@@ -1,0 +1,111 @@
+"""Statement IR for the declarative ML DSL.
+
+The dataclass shapes and field names deliberately match the
+reference's public IR (reference: dsl/parser.py:261-284 —
+``TrainModel`` / ``ComputeKernel`` and the option dataclasses at
+dsl/parser.py:225-258), because the reference exposes the IR as
+public API (reference: dsl/__init__.py:3-5) and its test-suite
+constructs these directly. Validation invariants are identical,
+including error messages, so the reference's negative tests port
+verbatim.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from math import isclose
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclass
+class DataSplit:
+    """Named split ratios; each in [0,1], summing to 1.0 (±1e-6)."""
+
+    ratios: Dict[str, float]
+
+    def __post_init__(self) -> None:
+        for value in self.ratios.values():
+            if not 0 <= value <= 1:
+                raise ValueError("split ratios must be between 0 and 1")
+        total = sum(self.ratios.values())
+        if not isclose(total, 1.0, abs_tol=1e-6):
+            raise ValueError("data split ratios must sum to 1.0")
+
+
+@dataclass
+class ValidationOption:
+    """VALIDATE USING method(params) | VALIDATE ON dataset."""
+
+    method: Optional[str] = None
+    params: Optional[List[Tuple[str, Any]]] = None
+    on: Optional[str] = None
+
+
+@dataclass
+class OptimizeOption:
+    metric: str
+
+
+@dataclass
+class BalanceOption:
+    method: str
+
+
+@dataclass
+class CheckpointOption:
+    interval: int
+    unit: Optional[str] = None
+
+
+@dataclass
+class TrainModel:
+    """IR for ``TRAIN MODEL`` statements."""
+
+    name: str
+    algorithm: str
+    params: List[Tuple[str, Any]]
+    source: str
+    target: str
+    features: List[str]
+    source_is_identifier: bool = True
+    split: Optional[DataSplit] = None
+    validate: Optional[ValidationOption] = None
+    optimize_metric: Optional[str] = None
+    stop_condition: Optional[str] = None
+    balance_method: Optional[str] = None
+    checkpoint: Optional[CheckpointOption] = None
+
+
+@dataclass
+class ComputeKernel:
+    """IR for ``COMPUTE`` statements."""
+
+    name: str
+    kernel: str
+    inputs: Optional[List[str]] = None
+    output: Optional[str] = None
+    schedule_ticks: Optional[int] = None
+    options: Optional[Dict[str, Any]] = None
+
+
+@dataclass
+class PredictModel:
+    """IR for ``PREDICT USING MODEL`` (spec'd in the reference at
+    DSL.md:69-72; implemented here as a first-class statement)."""
+
+    model: str
+    source: str
+    sink: Optional[str] = None
+    batch_size: Optional[int] = None
+    source_is_identifier: bool = True
+
+
+@dataclass
+class EvaluateModel:
+    """IR for ``EVALUATE MODEL`` (reference DSL.md:215-233
+    ``evaluate_model`` built-in, promoted to a statement)."""
+
+    model: str
+    source: str
+    metrics: List[str] = field(default_factory=list)
+    source_is_identifier: bool = True

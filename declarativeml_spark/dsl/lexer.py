@@ -1,0 +1,64 @@
+"""Tokenizer for the declarative ML DSL.
+
+A small regex scanner replacing the reference's Lark lexer
+(reference: dsl/parser.py:13-136 defines the grammar's terminals:
+CNAME names, signed numbers, JSON-style double-quoted strings, and
+SQL-style single-quoted strings with ``''`` escaping). Numbers are
+lexed unsigned; sign is handled at parse level so ``a - 1`` and
+``epochs=-5`` both work without a contextual lexer.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Iterator
+
+
+class DSLSyntaxError(ValueError):
+    """Raised for malformed DSL text (lexing or parsing)."""
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str  # NAME | NUMBER | DSTRING | SQSTRING | OP | EOF
+    value: str
+    pos: int  # character offset into the source text
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"Token({self.kind}, {self.value!r}@{self.pos})"
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+)
+  | (?P<NUMBER>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<DSTRING>"(?:\\.|[^"\\])*")
+  | (?P<SQSTRING>'(?:''|[^'])*')
+  | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<OP>!=|<>|<=|>=|=>|[.,()\[\]{}:=<>+\-*/%])
+    """,
+    re.VERBOSE,
+)
+
+
+def tokenize(text: str) -> list[Token]:
+    tokens: list[Token] = []
+    pos = 0
+    n = len(text)
+    while pos < n:
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise DSLSyntaxError(
+                f"Unexpected character {text[pos]!r} at position {pos}"
+            )
+        kind = m.lastgroup or ""
+        if kind != "WS":
+            tokens.append(Token(kind, m.group(), pos))
+        pos = m.end()
+    tokens.append(Token("EOF", "", n))
+    return tokens
+
+
+def iter_tokens(text: str) -> Iterator[Token]:  # pragma: no cover - convenience
+    yield from tokenize(text)

@@ -1,0 +1,478 @@
+"""Recursive-descent parser for the declarative ML DSL.
+
+Statement surface (reference grammar: dsl/parser.py:13-136):
+
+    TRAIN MODEL <name> USING <alg>[(<params>)] FROM <source>
+        PREDICT <target> WITH FEATURES(<exprs>)
+        [SPLIT DATA k=v,...] [VALIDATE USING m((p)) | VALIDATE ON d]
+        [OPTIMIZE FOR metric] [STOP WHEN cond]
+        [BALANCE CLASSES BY m] [SAVE CHECKPOINTS EVERY n [unit]]
+
+    COMPUTE <name> [FROM table(c,...)] [INTO column(c)]
+        [EVERY n TICKS] USING <kernel> [BLOCK n] [GRID auto] [SHARED s]
+
+Plus two statements the reference only specifies (DSL.md:69-72,
+DSL.md:215-233), implemented here:
+
+    PREDICT USING MODEL <m> FROM <source> [STORE RESULTS IN <sink>]
+        [WITH BATCH_SIZE n]
+    EVALUATE MODEL <m> ON <source> [METRICS (m1, m2, ...)]
+
+The FROM source clause is captured as a *raw text slice* between the
+FROM keyword and the next top-level terminator keyword, exactly as
+the reference does with position-propagating parse metadata
+(reference: dsl/parser.py:405-410) — this keeps joins, subqueries,
+quoted identifiers, and punctuated names like ``user-events`` intact.
+Option value validation matches the reference bit-for-bit
+(dsl/parser.py:418-499), including error messages.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, List, Optional, Tuple, Union
+
+from declarativeml_spark.dsl import ir
+from declarativeml_spark.dsl.features import _ExprParser
+from declarativeml_spark.dsl.lexer import DSLSyntaxError, Token, tokenize
+from declarativeml_spark.dsl.source import is_identifier_source
+
+_GRID_ALLOWED_VALUES = {"auto"}
+
+import re as _re
+
+_SHARED_SIZE_RE = _re.compile(r"^(0|[1-9][0-9]*)([KMG])?$")
+
+Statement = Union[ir.TrainModel, ir.ComputeKernel, ir.PredictModel, ir.EvaluateModel]
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.tokens = tokenize(text)
+        self.i = 0
+
+    # ------------------------------------------------------------------
+    def peek(self, offset: int = 0) -> Token:
+        j = min(self.i + offset, len(self.tokens) - 1)
+        return self.tokens[j]
+
+    def advance(self) -> Token:
+        tok = self.tokens[self.i]
+        if tok.kind != "EOF":
+            self.i += 1
+        return tok
+
+    def at_keyword(self, word: str, offset: int = 0) -> bool:
+        tok = self.peek(offset)
+        return tok.kind == "NAME" and tok.value == word
+
+    def expect_keyword(self, word: str) -> Token:
+        tok = self.advance()
+        if tok.kind != "NAME" or tok.value != word:
+            raise DSLSyntaxError(
+                f"Expected keyword {word}, got {tok.value!r} at {tok.pos}"
+            )
+        return tok
+
+    def expect_name(self, what: str = "identifier") -> str:
+        tok = self.advance()
+        if tok.kind != "NAME":
+            raise DSLSyntaxError(f"Expected {what}, got {tok.value!r} at {tok.pos}")
+        return tok.value
+
+    def accept_op(self, op: str) -> bool:
+        tok = self.peek()
+        if tok.kind == "OP" and tok.value == op:
+            self.advance()
+            return True
+        return False
+
+    def expect_op(self, op: str) -> None:
+        tok = self.advance()
+        if tok.kind != "OP" or tok.value != op:
+            raise DSLSyntaxError(f"Expected {op!r}, got {tok.value!r} at {tok.pos}")
+
+    def expect_eof(self) -> None:
+        tok = self.peek()
+        if tok.kind != "EOF":
+            raise DSLSyntaxError(f"Unexpected input {tok.value!r} at {tok.pos}")
+
+    # -- shared value grammar (params, dict/list literals) -------------
+    def parse_value(self) -> Any:
+        tok = self.peek()
+        if tok.kind == "OP" and tok.value in {"-", "+"}:
+            sign = -1 if tok.value == "-" else 1
+            self.advance()
+            num = self.advance()
+            if num.kind != "NUMBER":
+                raise DSLSyntaxError(
+                    f"Expected number after sign at {num.pos}, got {num.value!r}"
+                )
+            return sign * _to_number(num.value)
+        if tok.kind == "NUMBER":
+            self.advance()
+            return _to_number(tok.value)
+        if tok.kind == "DSTRING":
+            self.advance()
+            return json.loads(tok.value)
+        if tok.kind == "OP" and tok.value == "[":
+            return self.parse_list_literal()
+        if tok.kind == "OP" and tok.value == "{":
+            return self.parse_dict_literal()
+        if tok.kind == "NAME":
+            self.advance()
+            return tok.value
+        raise DSLSyntaxError(f"Expected value at {tok.pos}, got {tok.value!r}")
+
+    def parse_list_literal(self) -> list:
+        self.expect_op("[")
+        items: list[Any] = []
+        if not self.accept_op("]"):
+            while True:
+                items.append(self.parse_value())
+                if self.accept_op("]"):
+                    break
+                self.expect_op(",")
+        return items
+
+    def parse_dict_literal(self) -> dict:
+        self.expect_op("{")
+        out: dict[str, Any] = {}
+        if not self.accept_op("}"):
+            while True:
+                key_tok = self.advance()
+                if key_tok.kind == "NAME":
+                    key = key_tok.value
+                elif key_tok.kind == "DSTRING":
+                    key = json.loads(key_tok.value)
+                else:
+                    raise DSLSyntaxError(
+                        f"Expected dict key at {key_tok.pos}, got {key_tok.value!r}"
+                    )
+                self.expect_op(":")
+                out[key] = self.parse_value()
+                if self.accept_op("}"):
+                    break
+                self.expect_op(",")
+        return out
+
+    def parse_param_list(self) -> List[Tuple[str, Any]]:
+        params: list[tuple[str, Any]] = []
+        if self.peek().kind == "OP" and self.peek().value == ")":
+            return params
+        while True:
+            name = self.expect_name("parameter name")
+            self.expect_op("=")
+            params.append((name, self.parse_value()))
+            if not self.accept_op(","):
+                break
+        return params
+
+    # -- source clause (raw text slice) ---------------------------------
+    def capture_source_until(self, *stop_keywords: str) -> str:
+        """Consume tokens until a top-level stop keyword; return raw text."""
+        start_tok = self.peek()
+        if start_tok.kind == "EOF":
+            raise DSLSyntaxError("Training data source clause cannot be empty")
+        start = start_tok.pos
+        end = start
+        while True:
+            tok = self.peek()
+            if tok.kind == "EOF":
+                break
+            if tok.kind == "NAME" and tok.value in stop_keywords:
+                break
+            self.advance()
+            end = tok.pos + len(tok.value)
+        return self.text[start:end].strip()
+
+    # -- TRAIN MODEL -----------------------------------------------------
+    def parse_train(self) -> ir.TrainModel:
+        self.expect_keyword("TRAIN")
+        self.expect_keyword("MODEL")
+        name = self.expect_name("model name")
+        self.expect_keyword("USING")
+        algorithm = self.expect_name("algorithm name")
+        params: list[tuple[str, Any]] = []
+        if self.accept_op("("):
+            params = self.parse_param_list()
+            self.expect_op(")")
+        self.expect_keyword("FROM")
+        source = self.capture_source_until("PREDICT")
+        if not source:
+            raise ValueError("Training data source clause cannot be empty")
+        self.expect_keyword("PREDICT")
+        target = self.expect_name("target column")
+        self.expect_keyword("WITH")
+        self.expect_keyword("FEATURES")
+        self.expect_op("(")
+        features = self.parse_feature_list()
+        self.expect_op(")")
+
+        model = ir.TrainModel(
+            name=name,
+            algorithm=algorithm,
+            params=params,
+            source=source,
+            target=target,
+            features=features,
+            source_is_identifier=is_identifier_source(source),
+        )
+        self.parse_train_options(model)
+        self.expect_eof()
+        return model
+
+    def parse_feature_list(self) -> List[str]:
+        exprs: list[str] = []
+        while True:
+            sub = _ExprParser(self.tokens, self.i)
+            node = sub.parse_expr()
+            self.i = sub.i
+            exprs.append(node.render())
+            if not self.accept_op(","):
+                break
+        return exprs
+
+    def parse_train_options(self, model: ir.TrainModel) -> None:
+        while True:
+            if self.at_keyword("SPLIT"):
+                self.advance()
+                self.expect_keyword("DATA")
+                ratios: dict[str, float] = {}
+                while True:
+                    key = self.expect_name("split name")
+                    self.expect_op("=")
+                    val = self.parse_value()
+                    if not isinstance(val, (int, float)):
+                        raise ValueError("split ratios must be between 0 and 1")
+                    ratios[key] = float(val)
+                    if not self.accept_op(","):
+                        break
+                model.split = ir.DataSplit(ratios)
+            elif self.at_keyword("VALIDATE"):
+                self.advance()
+                if self.at_keyword("ON"):
+                    self.advance()
+                    model.validate = ir.ValidationOption(on=self.expect_name())
+                else:
+                    self.expect_keyword("USING")
+                    method = self.expect_name("validation method")
+                    params: Optional[list[tuple[str, Any]]] = None
+                    if self.accept_op("("):
+                        params = self.parse_param_list()
+                        self.expect_op(")")
+                    model.validate = ir.ValidationOption(method=method, params=params)
+            elif self.at_keyword("OPTIMIZE"):
+                self.advance()
+                self.expect_keyword("FOR")
+                model.optimize_metric = self.expect_name("metric name")
+            elif self.at_keyword("STOP"):
+                self.advance()
+                self.expect_keyword("WHEN")
+                model.stop_condition = self.parse_condition()
+            elif self.at_keyword("BALANCE"):
+                self.advance()
+                self.expect_keyword("CLASSES")
+                self.expect_keyword("BY")
+                model.balance_method = self.expect_name("balance method")
+            elif self.at_keyword("SAVE"):
+                self.advance()
+                self.expect_keyword("CHECKPOINTS")
+                self.expect_keyword("EVERY")
+                interval = self.parse_value()
+                interval = _require_positive_int(interval, "checkpoint interval")
+                unit = None
+                if self.peek().kind == "NAME":
+                    unit = self.advance().value
+                model.checkpoint = ir.CheckpointOption(interval=interval, unit=unit)
+            else:
+                return
+
+    def parse_condition(self) -> str:
+        """AND/OR chain of ``NAME op value`` comparisons → canonical text."""
+        parts: list[str] = [self.parse_comparison()]
+        while self.at_keyword("AND") or self.at_keyword("OR"):
+            conj = self.advance().value
+            parts.append(conj)
+            parts.append(self.parse_comparison())
+        return " ".join(parts)
+
+    def parse_comparison(self) -> str:
+        name = self.expect_name("metric name")
+        op_tok = self.advance()
+        if op_tok.kind != "OP" or op_tok.value not in {">=", "<=", ">", "<", "!=", "="}:
+            raise DSLSyntaxError(
+                f"Expected comparison operator at {op_tok.pos}, got {op_tok.value!r}"
+            )
+        value = self.parse_value()
+        return f"{name} {op_tok.value} {value}"
+
+    # -- COMPUTE ----------------------------------------------------------
+    def parse_compute(self) -> ir.ComputeKernel:
+        self.expect_keyword("COMPUTE")
+        name = self.expect_name("computation name")
+        inputs: Optional[list[str]] = None
+        output: Optional[str] = None
+        schedule: Optional[int] = None
+
+        if self.at_keyword("FROM"):
+            self.advance()
+            self.expect_keyword("table")
+            self.expect_op("(")
+            inputs = [self.expect_name("column name")]
+            while self.accept_op(","):
+                inputs.append(self.expect_name("column name"))
+            self.expect_op(")")
+        if self.at_keyword("INTO"):
+            self.advance()
+            self.expect_keyword("column")
+            self.expect_op("(")
+            output = self.expect_name("column name")
+            self.expect_op(")")
+        if self.at_keyword("EVERY"):
+            self.advance()
+            ticks = self.parse_value()
+            self.expect_keyword("TICKS")
+            schedule = _require_positive_int(ticks, "schedule ticks")
+
+        self.expect_keyword("USING")
+        kernel = self.expect_name("kernel name")
+
+        options: dict[str, Any] = {}
+        while True:
+            if self.at_keyword("BLOCK"):
+                self.advance()
+                options["BLOCK"] = _require_positive_int(self.parse_value(), "block size")
+            elif self.at_keyword("GRID"):
+                self.advance()
+                grid = self.expect_name("grid value")
+                if grid not in _GRID_ALLOWED_VALUES:
+                    allowed = ", ".join(sorted(_GRID_ALLOWED_VALUES))
+                    raise ValueError(f"grid value must be one of: {allowed}")
+                options["GRID"] = grid
+            elif self.at_keyword("SHARED"):
+                self.advance()
+                num_tok = self.advance()
+                if num_tok.kind != "NUMBER":
+                    raise DSLSyntaxError(
+                        f"Expected size at {num_tok.pos}, got {num_tok.value!r}"
+                    )
+                size = num_tok.value
+                if self.peek().kind == "NAME" and self.peek().pos == num_tok.pos + len(
+                    num_tok.value
+                ):
+                    size += self.advance().value
+                if _SHARED_SIZE_RE.fullmatch(size) is None:
+                    raise ValueError(
+                        "shared memory size must be a non-negative integer optionally"
+                        " suffixed with K, M, or G"
+                    )
+                options["SHARED"] = size
+            else:
+                break
+
+        self.expect_eof()
+        return ir.ComputeKernel(
+            name=name,
+            kernel=kernel,
+            inputs=inputs,
+            output=output,
+            schedule_ticks=schedule,
+            options=options or None,
+        )
+
+    # -- PREDICT USING MODEL ------------------------------------------------
+    def parse_predict(self) -> ir.PredictModel:
+        self.expect_keyword("PREDICT")
+        self.expect_keyword("USING")
+        self.expect_keyword("MODEL")
+        model = self.expect_name("model name")
+        self.expect_keyword("FROM")
+        source = self.capture_source_until("STORE", "WITH")
+        if not source:
+            raise ValueError("Training data source clause cannot be empty")
+        sink: Optional[str] = None
+        batch_size: Optional[int] = None
+        if self.at_keyword("STORE"):
+            self.advance()
+            self.expect_keyword("RESULTS")
+            self.expect_keyword("IN")
+            sink = self.expect_name("sink table")
+        if self.at_keyword("WITH"):
+            self.advance()
+            self.expect_keyword("BATCH_SIZE")
+            batch_size = _require_positive_int(self.parse_value(), "batch size")
+        self.expect_eof()
+        return ir.PredictModel(
+            model=model,
+            source=source,
+            sink=sink,
+            batch_size=batch_size,
+            source_is_identifier=is_identifier_source(source),
+        )
+
+    # -- EVALUATE MODEL -------------------------------------------------------
+    def parse_evaluate(self) -> ir.EvaluateModel:
+        self.expect_keyword("EVALUATE")
+        self.expect_keyword("MODEL")
+        model = self.expect_name("model name")
+        self.expect_keyword("ON")
+        source = self.capture_source_until("METRICS")
+        if not source:
+            raise ValueError("Training data source clause cannot be empty")
+        metrics: list[str] = []
+        if self.at_keyword("METRICS"):
+            self.advance()
+            self.expect_op("(")
+            metrics.append(self.expect_name("metric name"))
+            while self.accept_op(","):
+                metrics.append(self.expect_name("metric name"))
+            self.expect_op(")")
+        self.expect_eof()
+        return ir.EvaluateModel(
+            model=model,
+            source=source,
+            metrics=metrics,
+            source_is_identifier=is_identifier_source(source),
+        )
+
+
+def _to_number(text: str) -> Union[int, float]:
+    return float(text) if ("." in text or "e" in text or "E" in text) else int(text)
+
+
+def _require_positive_int(value: Any, what: str) -> int:
+    """Validate positive integers, accepting integral floats (``5.0``).
+
+    Mirrors reference validation (dsl/parser.py:418-456, 486-499):
+    ``{what} must be a positive integer``.
+    """
+    if isinstance(value, bool) or not isinstance(value, (int, float)):
+        raise ValueError(f"{what} must be a positive integer")
+    if isinstance(value, float):
+        if not value.is_integer():
+            raise ValueError(f"{what} must be a positive integer")
+        value = int(value)
+    if value <= 0:
+        raise ValueError(f"{what} must be a positive integer")
+    return value
+
+
+def parse(text: str) -> Statement:
+    """Parse one DSL statement into its IR dataclass."""
+    parser = _Parser(text)
+    tok = parser.peek()
+    if tok.kind != "NAME":
+        raise DSLSyntaxError(f"Expected statement keyword, got {tok.value!r}")
+    if tok.value == "TRAIN":
+        return parser.parse_train()
+    if tok.value == "COMPUTE":
+        return parser.parse_compute()
+    if tok.value == "PREDICT":
+        return parser.parse_predict()
+    if tok.value == "EVALUATE":
+        return parser.parse_evaluate()
+    raise DSLSyntaxError(
+        f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT, or EVALUATE"
+    )

@@ -1,0 +1,6 @@
+from declarativeml_spark.queries.registry import ORACLES, QUERIES, query
+
+__all__ = ["QUERIES", "ORACLES", "query"]
+
+# Importing the modules below populates the registry.
+from declarativeml_spark.queries import relational  # noqa: E402,F401
