@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall seconds.
+
+Usage: python bench.py [--sf-dir DIR] [--queries q1,q2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--queries", default=None, help="comma-separated subset")
+    ap.add_argument("--warmup", action="store_true", help="run one warmup pass first")
+    args = ap.parse_args()
+
+    from declarativeml_spark.queries import QUERIES
+    from declarativeml_spark.session import get_spark
+
+    spark = get_spark("declarativeml-bench")
+
+    if args.queries:
+        names = [q.strip() for q in args.queries.split(",") if q.strip()]
+    else:
+        names = sorted(QUERIES.keys())
+
+    # Warm the JVM/codegen path once with the cheapest query so the
+    # first measured query doesn't absorb session startup.
+    QUERIES[names[0]](spark, args.sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, args.sf_dir)
+        # materialize fully (collect small results; count for anything big)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    m = re.search(r"sf([0-9.]+)", args.sf_dir)
+    sf = float(m.group(1)) if m else None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
