@@ -59,6 +59,23 @@ class StringLit:
 
 
 @dataclass(frozen=True)
+class ListLit:
+    """List literal in a feature-call argument, e.g. ``periods=[1,7,30]``.
+
+    Extension over the reference feature grammar (its DSL.md:94
+    ``time_series.lag(revenue, periods=[1,7,30])`` example doesn't
+    parse under its own implemented grammar — we accept it)."""
+
+    items: Tuple["FeatureExpr", ...]
+
+    def render(self) -> str:
+        return "[" + ", ".join(i.render() for i in self.items) + "]"
+
+    def to_spark_sql(self) -> str:
+        return "array(" + ", ".join(i.to_spark_sql() for i in self.items) + ")"
+
+
+@dataclass(frozen=True)
 class BinOp:
     op: str  # + - * /
     left: "FeatureExpr"
@@ -113,7 +130,7 @@ class Call:
         return f"{self.func.render()}({', '.join(parts)})"
 
 
-FeatureExpr = Union[Identifier, NumberLit, StringLit, BinOp, Neg, Group, Call]
+FeatureExpr = Union[Identifier, NumberLit, StringLit, ListLit, BinOp, Neg, Group, Call]
 
 
 class _ExprParser:
@@ -182,6 +199,16 @@ class _ExprParser:
             inner = self.parse_expr()
             self.expect_op(")")
             return Group(inner)
+        if tok.kind == "OP" and tok.value == "[":
+            self.advance()
+            items: list[FeatureExpr] = []
+            if not (self.peek().kind == "OP" and self.peek().value == "]"):
+                while True:
+                    items.append(self.parse_expr())
+                    if not self.accept_op(","):
+                        break
+            self.expect_op("]")
+            return ListLit(tuple(items))
         if tok.kind == "NAME":
             ident = self.parse_identifier()
             if self.peek().kind == "OP" and self.peek().value == "(":

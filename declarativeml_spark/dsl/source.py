@@ -27,7 +27,7 @@ _FORBIDDEN_SOURCE_TOKENS_RE = re.compile(
     r"INSERT|UPDATE|DELETE|UPSERT|MERGE|CREATE|ALTER|DROP|TRUNCATE|GRANT|REVOKE|"
     r"BEGIN|COMMIT|ROLLBACK|SAVEPOINT|RELEASE|LOCK|CALL|DO|EXECUTE|PREPARE|"
     r"DEALLOCATE|COPY|VACUUM|ANALYZE|REFRESH|SET|SHOW|RESET|LISTEN|UNLISTEN|NOTIFY|"
-    r"MSCK|UNCACHE|CACHE|CLEAR"
+    r"MSCK|UNCACHE|CACHE|CLEAR|UNION|INTERSECT|EXCEPT"
     r")\b",
     re.IGNORECASE,
 )

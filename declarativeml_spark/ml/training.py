@@ -1,0 +1,411 @@
+"""Training driver: TrainModel IR → fitted MLlib PipelineModel + metrics.
+
+This is the Spark analogue of the reference's spec'd in-database
+training loop (reference: EXTENSIONS.md:136-178 ``ml_train_model``:
+run training query → extract tensors → epoch loop → store model).
+MLlib's estimators replace the epoch loop's distributed internals
+(gradient aggregation per DISTRIBUTED.md:271-343 is MLlib
+``treeAggregate``); this driver implements the *statement semantics*
+around the fit:
+
+* ``SPLIT DATA``       → seeded ``randomSplit`` with named parts
+* ``BALANCE CLASSES``  → oversampling / undersampling / class_weights
+* ``VALIDATE USING cv``→ ``CrossValidator``; ``VALIDATE ON part`` →
+  post-fit evaluation on the named split
+* ``OPTIMIZE FOR``     → evaluator metric for model selection
+* ``STOP WHEN``        → epoch clauses become maxIter; metric clauses
+  run an incremental-refit loop (grow maxIter until predicate holds
+  or budget exhausted) — SURVEY.md §7.6 divergence note
+* ``SAVE CHECKPOINTS`` → persisted model version per interval in the
+  incremental loop, recorded in metadata
+
+Scale: the only driver-side data is metrics scalars; all data paths
+(fit, transform, evaluate) are distributed DataFrame ops.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import operator
+import os
+import re
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.evaluation import (
+    BinaryClassificationEvaluator,
+    ClusteringEvaluator,
+    MulticlassClassificationEvaluator,
+    RegressionEvaluator,
+)
+from pyspark.ml.feature import StringIndexer, VectorAssembler
+from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from declarativeml_spark.dsl.ir import TrainModel
+from declarativeml_spark.ml.registry import AlgorithmSpec, get_algorithm
+from declarativeml_spark.plans.builder import build_features, resolve_source
+
+SEED = 42
+
+_CLASSIFICATION_METRICS = {
+    "accuracy": ("multiclass", "accuracy"),
+    "f1": ("multiclass", "f1"),
+    "precision": ("multiclass", "weightedPrecision"),
+    "recall": ("multiclass", "weightedRecall"),
+    "auc": ("binary", "areaUnderROC"),
+    "roc_auc": ("binary", "areaUnderROC"),
+    "pr_auc": ("binary", "areaUnderPR"),
+}
+_REGRESSION_METRICS = {
+    "rmse": "rmse",
+    "mse": "mse",
+    "mae": "mae",
+    "r2": "r2",
+}
+
+
+@dataclass
+class TrainedModel:
+    name: str
+    algorithm: str
+    version: int
+    pipeline_model: PipelineModel
+    metrics: Dict[str, float]
+    features: List[str]
+    target: str
+    stop_satisfied: Optional[bool] = None
+    checkpoints: List[int] = field(default_factory=list)
+    path: Optional[str] = None
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.pipeline_model.transform(df)
+
+
+def train(
+    spark: SparkSession, stmt: TrainModel, model_dir: Optional[str] = None
+) -> TrainedModel:
+    """Execute a TRAIN MODEL statement end-to-end."""
+    spec = get_algorithm(stmt.algorithm)
+    df = resolve_source(spark, stmt.source, stmt.source_is_identifier)
+
+    plan = build_features(df, stmt.features)
+    df = plan.df
+
+    # --- label preparation ------------------------------------------------
+    label_col = "label"
+    label_materialized = True  # False when a pipeline stage produces it
+    stages: list[Any] = list(plan.stages)
+    if spec.kind == "classification":
+        target_type = dict(df.dtypes).get(stmt.target)
+        if target_type == "string":
+            stages.append(
+                StringIndexer(inputCol=stmt.target, outputCol=label_col, handleInvalid="keep")
+            )
+            label_materialized = False
+        else:
+            df = df.withColumn(label_col, F.col(stmt.target).cast("double"))
+    elif spec.kind == "regression":
+        df = df.withColumn(label_col, F.col(stmt.target).cast("double"))
+    else:  # clustering: target ignored but kept for evaluation if present
+        label_col = None  # type: ignore[assignment]
+
+    assembler = VectorAssembler(
+        inputCols=plan.input_cols, outputCol="features", handleInvalid="keep"
+    )
+    stages.append(assembler)
+
+    # --- split -------------------------------------------------------------
+    splits: dict[str, DataFrame] = {}
+    train_df = df
+    if stmt.split is not None:
+        names = list(stmt.split.ratios.keys())
+        parts = df.randomSplit(list(stmt.split.ratios.values()), seed=SEED)
+        splits = dict(zip(names, parts))
+        train_df = splits.get("training") or splits.get("train") or parts[0]
+
+    # --- class balancing -----------------------------------------------------
+    weight_col: Optional[str] = None
+    if stmt.balance_method and spec.kind == "classification" and label_col:
+        # when StringIndexer builds the label inside the pipeline,
+        # balance on the raw target column (same class partition)
+        balance_col = label_col if label_materialized else stmt.target
+        train_df, weight_col = _balance(
+            train_df, balance_col, stmt.balance_method, spec
+        )
+
+    # --- estimator -----------------------------------------------------------
+    params = dict(stmt.params)
+    stop = _parse_stop(stmt.stop_condition)
+    if stop and stop.max_epochs is not None:
+        # epoch-budget clause maps onto maxIter (SURVEY.md §7.6)
+        params.setdefault("max_iter", stop.max_epochs)
+
+    est_kwargs: dict[str, Any] = {"featuresCol": "features"}
+    if label_col:
+        est_kwargs["labelCol"] = label_col
+    if weight_col and spec.supports_weight_col:
+        est_kwargs["weightCol"] = weight_col
+    estimator = spec.build(params, **est_kwargs)
+    stages.append(estimator)
+    pipeline = Pipeline(stages=stages)
+
+    evaluator, metric_name = _make_evaluator(spec, stmt.optimize_metric, label_col)
+
+    # --- fit (CV or plain, with optional metric-driven refit loop) ---------
+    use_cv = (
+        stmt.validate is not None
+        and stmt.validate.method in {"cv", "cross_validation", "kfold"}
+    )
+    checkpoints: list[int] = []
+    if use_cv:
+        folds = 3
+        for key, value in stmt.validate.params or []:
+            if key in {"folds", "k", "num_folds"}:
+                folds = int(value)
+        cv = CrossValidator(
+            estimator=pipeline,
+            estimatorParamMaps=ParamGridBuilder().build(),
+            evaluator=evaluator,
+            numFolds=folds,
+            seed=SEED,
+            parallelism=4,
+        )
+        cv_model = cv.fit(train_df)
+        model = cv_model.bestModel
+        cv_metric = float(cv_model.avgMetrics[0]) if cv_model.avgMetrics else None
+    else:
+        model = pipeline.fit(train_df)
+        cv_metric = None
+
+    # --- evaluation ----------------------------------------------------------
+    eval_df = None
+    if stmt.validate is not None and stmt.validate.on:
+        eval_df = splits.get(stmt.validate.on)
+        if eval_df is None:
+            eval_df = resolve_source(spark, stmt.validate.on, True)
+            eval_df = build_features(eval_df, stmt.features).df
+            if spec.kind == "regression":
+                eval_df = eval_df.withColumn(label_col, F.col(stmt.target).cast("double"))
+            elif spec.kind == "classification" and label_col:
+                ttype = dict(eval_df.dtypes).get(stmt.target)
+                if ttype != "string":
+                    eval_df = eval_df.withColumn(
+                        label_col, F.col(stmt.target).cast("double")
+                    )
+    if eval_df is None:
+        eval_df = splits.get("validation") or splits.get("test") or train_df
+
+    metrics = _compute_metrics(model, eval_df, spec, label_col)
+    if cv_metric is not None:
+        metrics[f"cv_{metric_name}"] = cv_metric
+
+    # --- STOP WHEN metric clauses: incremental refit loop --------------------
+    stop_satisfied: Optional[bool] = None
+    if stop and stop.metric_clauses:
+        stop_satisfied = stop.evaluate(metrics)
+        budget = 3  # bounded refit attempts; each doubles maxIter
+        current_iter = params.get("max_iter", 100)
+        interval = stmt.checkpoint.interval if stmt.checkpoint else None
+        while not stop_satisfied and budget > 0 and _has_max_iter(estimator):
+            current_iter *= 2
+            estimator = spec.build({**params, "max_iter": current_iter}, **est_kwargs)
+            pipeline = Pipeline(stages=stages[:-1] + [estimator])
+            model = pipeline.fit(train_df)
+            metrics = _compute_metrics(model, eval_df, spec, label_col)
+            if interval:
+                checkpoints.append(current_iter)
+            stop_satisfied = stop.evaluate(metrics)
+            budget -= 1
+
+    trained = TrainedModel(
+        name=stmt.name,
+        algorithm=stmt.algorithm,
+        version=1,
+        pipeline_model=model,
+        metrics=metrics,
+        features=list(stmt.features),
+        target=stmt.target,
+        stop_satisfied=stop_satisfied,
+        checkpoints=checkpoints,
+    )
+    from declarativeml_spark.ml.models import registry_save
+
+    registry_save(spark, trained, base=model_dir)
+    return trained
+
+
+# ---------------------------------------------------------------------------
+def _balance(
+    df: DataFrame, label_col: str, method: str, spec: AlgorithmSpec
+) -> tuple[DataFrame, Optional[str]]:
+    """BALANCE CLASSES BY {oversampling|undersampling|class_weights}.
+
+    Oversampling/undersampling use per-class ``sampleBy`` fractions —
+    a distributed, single-pass resample (no driver loop over rows).
+    """
+    counts = {r[0]: r[1] for r in df.groupBy(label_col).count().collect()}
+    if not counts:
+        return df, None
+    if method in {"class_weights", "weights", "weighted"}:
+        total = sum(counts.values())
+        k = len(counts)
+        mapping = F.create_map(
+            *[
+                x
+                for label, cnt in counts.items()
+                for x in (F.lit(label), F.lit(total / (k * cnt)))
+            ]
+        )
+        return df.withColumn("__class_weight", mapping[F.col(label_col)]), "__class_weight"
+    if method in {"oversampling", "oversample"}:
+        target = max(counts.values())
+        out = df
+        extras = []
+        for label, cnt in counts.items():
+            if cnt < target:
+                ratio = target / cnt - 1.0
+                sample = df.filter(F.col(label_col) == label).sample(
+                    withReplacement=True, fraction=ratio, seed=SEED
+                )
+                extras.append(sample)
+        for e in extras:
+            out = out.unionByName(e)
+        return out, None
+    if method in {"undersampling", "undersample"}:
+        target = min(counts.values())
+        fractions = {label: min(1.0, target / cnt) for label, cnt in counts.items()}
+        return df.sampleBy(label_col, fractions=fractions, seed=SEED), None
+    raise ValueError(
+        f"Unknown balance method {method!r}; expected oversampling,"
+        " undersampling, or class_weights"
+    )
+
+
+# ---------------------------------------------------------------------------
+_OPS = {
+    ">": operator.gt,
+    ">=": operator.ge,
+    "<": operator.lt,
+    "<=": operator.le,
+    "=": lambda a, b: math.isclose(a, b, rel_tol=1e-9),
+    "!=": lambda a, b: not math.isclose(a, b, rel_tol=1e-9),
+}
+
+_CLAUSE_RE = re.compile(r"(\w+)\s*(>=|<=|!=|>|<|=)\s*([\w.+-]+)")
+
+
+@dataclass
+class StopCondition:
+    """Parsed STOP WHEN predicate: epoch budget + metric clauses.
+
+    The canonical condition string is a flat OR-of-AND text (the
+    reference compiles it the same way, dsl/parser.py:512-529); we
+    evaluate it with Python's precedence over computed metrics.
+    """
+
+    text: str
+    max_epochs: Optional[int] = None
+    metric_clauses: List[tuple] = field(default_factory=list)
+
+    def evaluate(self, metrics: Dict[str, float]) -> bool:
+        # Evaluate OR groups of AND clauses left-to-right.
+        for or_part in self.text.split(" OR "):
+            ok = True
+            for and_part in or_part.split(" AND "):
+                m = _CLAUSE_RE.fullmatch(and_part.strip())
+                if not m:
+                    ok = False
+                    break
+                name, op, raw = m.groups()
+                if name in {"epochs", "epoch", "iterations"}:
+                    continue  # epoch clauses handled via maxIter
+                if name not in metrics:
+                    ok = False
+                    break
+                ok = ok and _OPS[op](metrics[name], float(raw))
+                if not ok:
+                    break
+            if ok:
+                return True
+        return False
+
+
+def _parse_stop(text: Optional[str]) -> Optional[StopCondition]:
+    if not text:
+        return None
+    cond = StopCondition(text=text)
+    for m in _CLAUSE_RE.finditer(text):
+        name, op, raw = m.groups()
+        if name in {"epochs", "epoch", "iterations"} and op in {">", ">="}:
+            cond.max_epochs = int(float(raw))
+        else:
+            cond.metric_clauses.append((name, op, raw))
+    return cond
+
+
+def _has_max_iter(estimator: Any) -> bool:
+    return any(p.name == "maxIter" for p in estimator.params)
+
+
+# ---------------------------------------------------------------------------
+def _make_evaluator(spec: AlgorithmSpec, metric: Optional[str], label_col: Optional[str]):
+    if spec.kind == "classification":
+        key = (metric or "f1").lower()
+        family, mname = _CLASSIFICATION_METRICS.get(key, ("multiclass", "f1"))
+        if family == "binary":
+            return (
+                BinaryClassificationEvaluator(labelCol=label_col, metricName=mname),
+                key,
+            )
+        return (
+            MulticlassClassificationEvaluator(labelCol=label_col, metricName=mname),
+            key,
+        )
+    if spec.kind == "regression":
+        key = (metric or "rmse").lower()
+        mname = _REGRESSION_METRICS.get(key, "rmse")
+        return RegressionEvaluator(labelCol=label_col, metricName=mname), key
+    return ClusteringEvaluator(), "silhouette"
+
+
+def _compute_metrics(
+    model: PipelineModel, eval_df: DataFrame, spec: AlgorithmSpec, label_col: Optional[str]
+) -> Dict[str, float]:
+    """Score the standard metric set for the algorithm family.
+
+    One transform, cached, multiple evaluator passes — the transform
+    output is small (predictions only) relative to training data.
+    """
+    pred = model.transform(eval_df).cache()
+    try:
+        out: dict[str, float] = {}
+        if spec.kind == "classification":
+            n_labels = pred.select(label_col).distinct().count()
+            for key, (family, mname) in _CLASSIFICATION_METRICS.items():
+                if family == "binary":
+                    if n_labels > 2:
+                        continue
+                    ev = BinaryClassificationEvaluator(labelCol=label_col, metricName=mname)
+                else:
+                    ev = MulticlassClassificationEvaluator(labelCol=label_col, metricName=mname)
+                try:
+                    out[key] = float(ev.evaluate(pred))
+                except Exception:
+                    continue
+        elif spec.kind == "regression":
+            for key, mname in _REGRESSION_METRICS.items():
+                ev = RegressionEvaluator(labelCol=label_col, metricName=mname)
+                out[key] = float(ev.evaluate(pred))
+        else:
+            try:
+                out["silhouette"] = float(ClusteringEvaluator().evaluate(pred))
+            except Exception:
+                pass
+        return out
+    finally:
+        pred.unpersist()

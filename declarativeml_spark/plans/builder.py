@@ -1,0 +1,179 @@
+"""Plan builder: statement IR → DataFrame plans + pipeline stages.
+
+This is the Spark replacement for the reference's SQL emission
+(reference: dsl/parser.py:747-880 emits ``SELECT ml_train_model(...)``
+with an embedded ``training_data`` SELECT). Instead of SQL text we
+build the actual Catalyst plan:
+
+* identifier sources resolve through the session catalog
+  (``spark.table``) — schema errors surface at plan time, which
+  implements the reference's spec'd compile-time validation
+  (DSL.md:358-368) with Catalyst's analyzer;
+* fragment sources (joins/subqueries/WHERE tails) go through the
+  injection validator and then ``spark.sql`` — Catalyst parses and
+  optimizes the fragment like any other query;
+* feature expressions compile to ``F.expr`` columns (JVM codegen, no
+  Python boundary); ``TRANSFORM(...)`` / ``DERIVED(...)`` markers
+  route to MLlib pipeline stages per DSL.md:89-95.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+from pyspark.ml import Transformer
+from pyspark.ml.feature import OneHotEncoder, StandardScaler, StringIndexer, VectorAssembler
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from declarativeml_spark.dsl.features import (
+    Call,
+    FeatureExpr,
+    Identifier,
+    parse_feature_expr,
+)
+from declarativeml_spark.dsl.source import validate_source_fragment
+
+_TRANSFORM_MARKERS = {"TRANSFORM", "DERIVED"}
+
+
+def resolve_source(spark: SparkSession, source: str, is_identifier: bool) -> DataFrame:
+    """Resolve a FROM clause to a DataFrame.
+
+    Identifier mode hits the catalog directly; fragment mode is
+    validated then parsed by Catalyst via ``spark.sql``. Fragments can
+    reference any registered temp view or catalog table.
+    """
+    if is_identifier:
+        return spark.table(f"`{source}`")
+    validate_source_fragment(source)
+    return spark.sql(f"SELECT * FROM {source}")
+
+
+@dataclass
+class FeaturePlan:
+    """Resolved feature set: expression columns + pipeline stages.
+
+    ``input_cols`` are the columns the final VectorAssembler consumes
+    (expression outputs and/or transformer outputs).
+    """
+
+    df: DataFrame
+    input_cols: List[str]
+    stages: List[Transformer] = field(default_factory=list)
+    feature_names: List[str] = field(default_factory=list)
+
+
+def build_features(df: DataFrame, features: List[str]) -> FeaturePlan:
+    """Materialize feature expressions as columns and pipeline stages."""
+    input_cols: list[str] = []
+    stages: list[Any] = []
+    names: list[str] = []
+
+    for i, feat in enumerate(features):
+        ast = parse_feature_expr(feat)
+        marker_inner = _unwrap_marker(ast)
+        if marker_inner is not None:
+            df, col_name, extra = _build_transformer_feature(df, marker_inner, i)
+            stages.extend(extra)
+            input_cols.append(col_name)
+            names.append(feat)
+            continue
+        if isinstance(ast, Identifier) and len(ast.parts) == 1:
+            input_cols.append(ast.parts[0])
+            names.append(feat)
+            continue
+        col_name = f"__feat_{i}"
+        df = df.withColumn(col_name, F.expr(ast.to_spark_sql()).cast("double"))
+        input_cols.append(col_name)
+        names.append(feat)
+
+    return FeaturePlan(df=df, input_cols=input_cols, stages=stages, feature_names=names)
+
+
+def _unwrap_marker(ast: FeatureExpr) -> Optional[FeatureExpr]:
+    """Return the inner expression of TRANSFORM(...)/DERIVED(...), else None."""
+    if (
+        isinstance(ast, Call)
+        and len(ast.func.parts) == 1
+        and ast.func.parts[0].upper() in _TRANSFORM_MARKERS
+        and len(ast.args) == 1
+        and not ast.kwargs
+    ):
+        return ast.args[0]
+    return None
+
+
+def _build_transformer_feature(
+    df: DataFrame, inner: FeatureExpr, idx: int
+) -> tuple[DataFrame, str, list]:
+    """Map a TRANSFORM(...) inner call to MLlib stages (DSL.md:89-95).
+
+    * ``standard_scaler(expr)`` → VectorAssembler + StandardScaler
+    * ``one_hot_encoder(col)``  → StringIndexer + OneHotEncoder
+    * ``time_series.lag(expr, periods=[..], order_by=col)`` →
+      F.lag over Window.orderBy — evaluated eagerly as columns.
+    """
+    from pyspark.sql import Window as W
+
+    if not isinstance(inner, Call):
+        # TRANSFORM(plain_expr): treat as a computed column
+        col_name = f"__feat_{idx}"
+        return df.withColumn(col_name, F.expr(inner.to_spark_sql()).cast("double")), col_name, []
+
+    fn = ".".join(inner.func.parts)
+    if fn == "standard_scaler":
+        src_sql = inner.args[0].to_spark_sql()
+        raw = f"__feat_{idx}_raw"
+        vec = f"__feat_{idx}_vec"
+        out = f"__feat_{idx}_scaled"
+        df = df.withColumn(raw, F.expr(src_sql).cast("double"))
+        stages = [
+            VectorAssembler(inputCols=[raw], outputCol=vec),
+            StandardScaler(inputCol=vec, outputCol=out, withMean=True, withStd=True),
+        ]
+        return df, out, stages
+    if fn == "one_hot_encoder":
+        src_sql = inner.args[0].to_spark_sql()
+        raw = f"__feat_{idx}_raw"
+        indexed = f"__feat_{idx}_idx"
+        out = f"__feat_{idx}_ohe"
+        df = df.withColumn(raw, F.expr(src_sql).cast("string"))
+        stages = [
+            StringIndexer(inputCol=raw, outputCol=indexed, handleInvalid="keep"),
+            OneHotEncoder(inputCol=indexed, outputCol=out),
+        ]
+        return df, out, stages
+    if fn == "time_series.lag":
+        kwargs = dict(inner.kwargs)
+        if "order_by" not in kwargs:
+            raise ValueError(
+                "time_series.lag requires an order_by => <time column> argument"
+            )
+        order_col = kwargs["order_by"].to_spark_sql()
+        periods_node = kwargs.get("periods")
+        if periods_node is None:
+            periods = [1]
+        else:
+            periods = [
+                int(n.value)  # type: ignore[union-attr]
+                for n in getattr(periods_node, "items", [])
+            ] or [1]
+        src_sql = inner.args[0].to_spark_sql()
+        w = W.orderBy(F.expr(order_col))
+        col_name = f"__feat_{idx}"
+        # multiple periods → one column per lag, assembled later
+        cols = []
+        for p in periods:
+            c = f"{col_name}_lag{p}"
+            df = df.withColumn(
+                c, F.lag(F.expr(src_sql), p).over(w).cast("double")
+            )
+            cols.append(c)
+        df = df.na.fill(0.0, subset=cols)
+        if len(cols) == 1:
+            return df, cols[0], []
+        vec = f"{col_name}_vec"
+        return df, vec, [VectorAssembler(inputCols=cols, outputCol=vec)]
+    raise ValueError(f"Unknown TRANSFORM function: {fn}")

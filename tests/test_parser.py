@@ -1,0 +1,267 @@
+"""Parser contract tests, mirroring the reference's test strategy
+(reference: tests/test_parser.py — per-production positive/negative
+cases, option validation, injection blocking, Hypothesis round-trip).
+"""
+
+import pytest
+from hypothesis import given
+from hypothesis import strategies as st
+
+from declarativeml_spark import ComputeKernel, DataSplit, TrainModel, parse
+from declarativeml_spark.dsl import DSLSyntaxError
+from declarativeml_spark.dsl.features import feature_to_spark_sql
+from declarativeml_spark.dsl.ir import EvaluateModel, PredictModel
+from declarativeml_spark.dsl.source import validate_source_fragment
+
+
+def test_minimal_train():
+    m = parse(
+        "TRAIN MODEL churn USING logistic_regression FROM transactions "
+        "PREDICT churned WITH FEATURES(age, income)"
+    )
+    assert isinstance(m, TrainModel)
+    assert m.name == "churn"
+    assert m.algorithm == "logistic_regression"
+    assert m.params == []
+    assert m.source == "transactions"
+    assert m.source_is_identifier is True
+    assert m.target == "churned"
+    assert m.features == ["age", "income"]
+
+
+def test_train_with_params():
+    m = parse(
+        'TRAIN MODEL m USING gbt(max_iter=10, lr=0.1, mode="fast", layers=[64, 128], '
+        "cfg={a: 1, b: {c: [0.1, 0.2]}}) FROM t PREDICT y WITH FEATURES(x)"
+    )
+    assert m.params == [
+        ("max_iter", 10),
+        ("lr", 0.1),
+        ("mode", "fast"),
+        ("layers", [64, 128]),
+        ("cfg", {"a": 1, "b": {"c": [0.1, 0.2]}}),
+    ]
+
+
+def test_negative_param():
+    m = parse(
+        "TRAIN MODEL m USING a(offset=-5, scale=-0.5) FROM t PREDICT y WITH FEATURES(x)"
+    )
+    assert m.params == [("offset", -5), ("scale", -0.5)]
+
+
+def test_schema_qualified_source_is_fragment():
+    m = parse(
+        "TRAIN MODEL m USING a FROM analytics.transactions PREDICT y WITH FEATURES(x)"
+    )
+    assert m.source == "analytics.transactions"
+    assert m.source_is_identifier is False
+
+
+def test_join_source_preserved_verbatim():
+    m = parse(
+        "TRAIN MODEL m USING a FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_acctbal > 0 PREDICT y WITH FEATURES(x)"
+    )
+    assert m.source == (
+        "orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_acctbal > 0"
+    )
+    assert m.source_is_identifier is False
+
+
+def test_subquery_source():
+    m = parse(
+        "TRAIN MODEL m USING a FROM (SELECT a, b FROM t WHERE a > 1) sub "
+        "PREDICT y WITH FEATURES(x)"
+    )
+    assert m.source == "(SELECT a, b FROM t WHERE a > 1) sub"
+    validate_source_fragment(m.source)  # must be accepted
+
+
+def test_punctuated_table_name_is_identifier():
+    m = parse("TRAIN MODEL m USING a FROM user-events PREDICT y WITH FEATURES(x)")
+    assert m.source == "user-events"
+    assert m.source_is_identifier is True
+
+
+def test_keyword_inside_string_literal_survives():
+    m = parse(
+        "TRAIN MODEL m USING a FROM t WHERE note = 'PREDICT this' "
+        "PREDICT y WITH FEATURES(x)"
+    )
+    assert m.source == "t WHERE note = 'PREDICT this'"
+
+
+def test_feature_expressions():
+    m = parse(
+        "TRAIN MODEL m USING a FROM t PREDICT y "
+        'WITH FEATURES(amount + tax, scale(log(amount + 1)), -cost, f(x, k=2), "lit")'
+    )
+    assert m.features == [
+        "amount + tax",
+        "scale(log(amount + 1))",
+        "-cost",
+        "f(x, k=2)",
+        '"lit"',
+    ]
+
+
+def test_feature_to_spark_sql():
+    assert feature_to_spark_sql("amount + tax") == "`amount` + `tax`"
+    assert feature_to_spark_sql("scale(log(amount + 1))") == "scale(log(`amount` + 1))"
+    assert feature_to_spark_sql("customer.age") == "`customer`.`age`"
+    assert feature_to_spark_sql("(a + b) * c") == "(`a` + `b`) * `c`"
+
+
+def test_split_options():
+    m = parse(
+        "TRAIN MODEL m USING a FROM t PREDICT y WITH FEATURES(x) "
+        "SPLIT DATA training=0.7, validation=0.2, test=0.1"
+    )
+    assert m.split.ratios == {"training": 0.7, "validation": 0.2, "test": 0.1}
+
+
+def test_split_must_sum_to_one():
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        parse(
+            "TRAIN MODEL m USING a FROM t PREDICT y WITH FEATURES(x) "
+            "SPLIT DATA training=0.5, test=0.1"
+        )
+
+
+def test_split_ratio_range():
+    with pytest.raises(ValueError, match="between 0 and 1"):
+        DataSplit({"training": 1.5, "test": -0.5})
+
+
+def test_validate_cv_and_all_options():
+    m = parse(
+        "TRAIN MODEL m USING a FROM t PREDICT y WITH FEATURES(x) "
+        "VALIDATE USING cv(folds=5) OPTIMIZE FOR f1 "
+        "STOP WHEN recall > 0.9 OR epochs > 100 "
+        "BALANCE CLASSES BY oversampling SAVE CHECKPOINTS EVERY 10 epochs"
+    )
+    assert m.validate.method == "cv"
+    assert m.validate.params == [("folds", 5)]
+    assert m.optimize_metric == "f1"
+    assert m.stop_condition == "recall > 0.9 OR epochs > 100"
+    assert m.balance_method == "oversampling"
+    assert m.checkpoint.interval == 10
+    assert m.checkpoint.unit == "epochs"
+
+
+def test_validate_on():
+    m = parse(
+        "TRAIN MODEL m USING a FROM t PREDICT y WITH FEATURES(x) VALIDATE ON holdout"
+    )
+    assert m.validate.on == "holdout"
+    assert m.validate.method is None
+
+
+def test_checkpoint_rejects_nonpositive():
+    for bad in ["0", "-1", "2.5"]:
+        with pytest.raises(ValueError, match="positive integer"):
+            parse(
+                f"TRAIN MODEL m USING a FROM t PREDICT y WITH FEATURES(x) "
+                f"SAVE CHECKPOINTS EVERY {bad}"
+            )
+
+
+def test_compute_full():
+    c = parse(
+        "COMPUTE embed FROM table(a, b) INTO column(out) EVERY 5 TICKS "
+        "USING vector_add BLOCK 128 GRID auto SHARED 64K"
+    )
+    assert isinstance(c, ComputeKernel)
+    assert c.name == "embed"
+    assert c.kernel == "vector_add"
+    assert c.inputs == ["a", "b"]
+    assert c.output == "out"
+    assert c.schedule_ticks == 5
+    assert c.options == {"BLOCK": 128, "GRID": "auto", "SHARED": "64K"}
+
+
+def test_compute_minimal():
+    c = parse("COMPUTE x USING k")
+    assert c.inputs is None and c.output is None and c.schedule_ticks is None
+    assert c.options is None
+
+
+def test_compute_validations():
+    with pytest.raises(ValueError, match="schedule ticks must be a positive integer"):
+        parse("COMPUTE x EVERY 0 TICKS USING k")
+    with pytest.raises(ValueError, match="block size must be a positive integer"):
+        parse("COMPUTE x USING k BLOCK -1")
+    with pytest.raises(ValueError, match="grid value must be one of: auto"):
+        parse("COMPUTE x USING k GRID manual")
+    with pytest.raises(ValueError, match="shared memory size"):
+        parse("COMPUTE x USING k SHARED 1.5K")
+    with pytest.raises(DSLSyntaxError):
+        parse("COMPUTE x USING")  # kernel name required
+
+
+def test_injection_rejected():
+    for bad in [
+        "t; DROP TABLE users",
+        "t -- comment",
+        "t /* comment */",
+        "t WHERE 1=1 UNION SELECT * FROM secrets",
+        "orders CROSS JOIN (DELETE FROM x) d ON 1=1",
+    ]:
+        with pytest.raises(ValueError):
+            validate_source_fragment(bad)
+
+
+def test_join_using_accepted():
+    # Deliberate divergence from the reference validator (SURVEY §2.4):
+    # its docs use USING (DSL.md:398) but its regex only allowed ON.
+    validate_source_fragment("orders JOIN customer USING (custkey)")
+
+
+def test_predict_statement():
+    p = parse(
+        "PREDICT USING MODEL churn FROM new_customers "
+        "STORE RESULTS IN churn_predictions WITH BATCH_SIZE 1000"
+    )
+    assert isinstance(p, PredictModel)
+    assert p.model == "churn"
+    assert p.source == "new_customers"
+    assert p.sink == "churn_predictions"
+    assert p.batch_size == 1000
+
+
+def test_evaluate_statement():
+    e = parse("EVALUATE MODEL churn ON holdout METRICS (accuracy, f1)")
+    assert isinstance(e, EvaluateModel)
+    assert e.model == "churn"
+    assert e.source == "holdout"
+    assert e.metrics == ["accuracy", "f1"]
+
+
+def test_syntax_errors():
+    for bad in ["TRAIN MODEL", "TRAIN MODEL m USING", "nonsense", ""]:
+        with pytest.raises((DSLSyntaxError, ValueError)):
+            parse(bad)
+
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True).filter(
+    lambda s: s.upper()
+    not in {
+        "TRAIN", "MODEL", "USING", "FROM", "PREDICT", "WITH", "FEATURES",
+        "SPLIT", "DATA", "VALIDATE", "ON", "OPTIMIZE", "FOR", "STOP", "WHEN",
+        "BALANCE", "CLASSES", "BY", "SAVE", "CHECKPOINTS", "EVERY", "AND", "OR",
+    }
+)
+
+
+@given(name=_ident, alg=_ident, source=_ident, target=_ident, feat=_ident)
+def test_roundtrip_property(name, alg, source, target, feat):
+    m = parse(
+        f"TRAIN MODEL {name} USING {alg} FROM {source} "
+        f"PREDICT {target} WITH FEATURES({feat})"
+    )
+    assert m.name == name
+    assert m.algorithm == alg
+    assert m.source == source
+    assert m.target == target
+    assert m.features == [feat]
