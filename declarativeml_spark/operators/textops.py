@@ -1,0 +1,161 @@
+"""Text-analysis column builders: tokens, shingles, minhash, simhash,
+fingerprints, language scores, quality scores.
+
+These are the building blocks for the training-data pipeline operators
+(dedup, language filter, quality filter) that the north-star brief
+adds beyond the reference surface (BASELINE.json). Everything here is
+a pure JVM SQL expression — per-row, no shuffle, whole-stage codegen —
+so the operators scale linearly with input and the only shuffles are
+the explicit joins/aggs in the queries that use them.
+
+Cross-engine determinism: every function documents its DuckDB
+equivalent (used in the oracle SQL). md5 hex, 1-based substr/instr,
+and IEEE double arithmetic are bit-identical across engines; element
+order of array_distinct is NOT (never compare distinct arrays — only
+sizes, mins, and membership).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- tokenization -----------------------------------------------------------
+TOKENS_SPARK = r"split(trim({text}), '\\s+')"
+TOKENS_DUCK = r"string_split_regex(trim({text}), '\s+')"
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.expr(TOKENS_SPARK.format(text=text_col))
+
+
+# --- word 3-gram shingles ----------------------------------------------------
+SHINGLES_SPARK = (
+    "CASE WHEN size({toks}) < 3 THEN array(concat_ws(' ', {toks})) "
+    "ELSE array_distinct(transform(sequence(1, size({toks}) - 2), "
+    "i -> concat_ws(' ', element_at({toks}, i), element_at({toks}, i + 1), "
+    "element_at({toks}, i + 2)))) END"
+)
+SHINGLES_DUCK = (
+    "CASE WHEN len({toks}) < 3 THEN [array_to_string({toks}, ' ')] "
+    "ELSE list_distinct(list_transform(range(1, len({toks}) - 1), "
+    "i -> concat_ws(' ', {toks}[i], {toks}[i + 1], {toks}[i + 2]))) END"
+)
+
+
+# --- minhash signature --------------------------------------------------------
+# k-th minhash = lexicographic min of md5("<k>:" || shingle); hex-string
+# min is identical across engines (byte-wise ASCII collation).
+def minhash_spark(shingles: str, k: int) -> str:
+    return f"array_min(transform({shingles}, s -> md5(concat('{k}:', s))))"
+
+
+def minhash_duck(shingles: str, k: int) -> str:
+    return f"list_min(list_transform({shingles}, s -> md5(concat('{k}:', s))))"
+
+
+# --- simhash (16-bit) ----------------------------------------------------------
+# Per-row, shuffle-free simhash: token -> 16-bit hash from the first 4
+# hex chars of md5 (shared-dialect expression: md5/substr/instr behave
+# identically in Spark SQL and DuckDB); bit b of the signature is the
+# sign of sum(+1/-1) over distinct tokens.
+def _hex4_int(token_expr: str) -> str:
+    # (instr(hexdigits, c1)-1)*4096 + ... identical SQL in both engines
+    parts = []
+    for i, mult in ((1, 4096), (2, 256), (3, 16), (4, 1)):
+        parts.append(
+            f"(instr('0123456789abcdef', substr(md5({token_expr}), {i}, 1)) - 1) * {mult}"
+        )
+    return " + ".join(parts)
+
+
+def simhash_spark(toks_distinct: str, bits: int = 16) -> str:
+    h = _hex4_int("t")
+    terms = []
+    for b in range(bits):
+        bit = f"CAST(({h}) / {1 << b} AS INT) % 2"
+        vote = f"aggregate({toks_distinct}, 0, (acc, t) -> acc + CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
+        terms.append(f"CASE WHEN ({vote}) > 0 THEN {1 << b} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def simhash_duck(toks_distinct: str, bits: int = 16) -> str:
+    h = _hex4_int("t")
+    terms = []
+    for b in range(bits):
+        bit = f"CAST(floor(({h}) / {1 << b}) AS INT) % 2"
+        vote = (
+            f"list_sum(list_transform({toks_distinct},"
+            f" t -> CASE WHEN {bit} = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN ({vote}) > 0 THEN {1 << b} ELSE 0 END")
+    return " + ".join(terms)
+
+
+# --- document fingerprint -------------------------------------------------------
+# md5 of whitespace-normalized lowercase text; identical SQL both engines.
+FINGERPRINT_SPARK = r"md5(lower(regexp_replace(trim({text}), '\\s+', ' ')))"
+FINGERPRINT_DUCK = r"md5(lower(regexp_replace(trim({text}), '\s+', ' ', 'g')))"
+
+
+# --- language ID (stopword-overlap heuristic) -------------------------------------
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "zu"],
+    "fr": ["le", "la", "de", "et", "un", "est", "dans", "que"],
+    "zh": ["de", "le", "shi", "bu", "wo", "you", "he", "ta"],
+}
+LANG_ORDER = ["en", "es", "de", "fr", "zh"]  # deterministic tie-break
+
+
+def _arr_lit(words: list[str]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _list_lit(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def lang_hits_spark(toks: str, lang: str) -> str:
+    return f"size(filter({toks}, t -> array_contains({_arr_lit(STOPWORDS[lang])}, t)))"
+
+
+def lang_hits_duck(toks: str, lang: str) -> str:
+    return (
+        f"len(list_filter({toks}, t -> list_contains({_list_lit(STOPWORDS[lang])}, t)))"
+    )
+
+
+def predicted_lang_case(hits_cols: dict[str, str]) -> str:
+    """CASE choosing the max-hit language with fixed-order tie-break.
+
+    ``hits_cols`` maps lang → column/expr name; emitted SQL is valid
+    in both engines.
+    """
+    clauses = []
+    for i, lang in enumerate(LANG_ORDER):
+        conds = [
+            f"{hits_cols[lang]} >= {hits_cols[other]}" for other in LANG_ORDER[i + 1 :]
+        ]
+        conds = " AND ".join(conds) if conds else "TRUE"
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses[:-1]) + f" ELSE '{LANG_ORDER[-1]}' END"
+
+
+# --- quality score -----------------------------------------------------------------
+# 0.4·min(1, tokens/100) + 0.3·(1 − min(1, |avg_len − 5|/10)) + 0.3·stopword_ratio
+def quality_spark(toks: str, text: str, en_hits: str) -> str:
+    return (
+        f"round(0.4 * least(1.0, size({toks}) / 100.0)"
+        f" + 0.3 * (1.0 - least(1.0, abs(length({text}) / size({toks}) - 5.0) / 10.0))"
+        f" + 0.3 * ({en_hits} / CAST(size({toks}) AS DOUBLE)), 6)"
+    )
+
+
+def quality_duck(toks: str, text: str, en_hits: str) -> str:
+    return (
+        f"round(0.4 * least(1.0, len({toks}) / 100.0)"
+        f" + 0.3 * (1.0 - least(1.0, abs(length({text}) / len({toks}) - 5.0) / 10.0))"
+        f" + 0.3 * ({en_hits} / CAST(len({toks}) AS DOUBLE)), 6)"
+    )

@@ -3,4 +3,4 @@ from declarativeml_spark.queries.registry import ORACLES, QUERIES, query
 __all__ = ["QUERIES", "ORACLES", "query"]
 
 # Importing the modules below populates the registry.
-from declarativeml_spark.queries import relational  # noqa: E402,F401
+from declarativeml_spark.queries import pipeline, relational  # noqa: E402,F401

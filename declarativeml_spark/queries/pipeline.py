@@ -1,0 +1,429 @@
+"""Training-data pipeline operators: dedup, similarity search, text
+analysis — over the ``documents`` and ``embeddings`` tables.
+
+These go beyond the reference's own surface (BASELINE.json north
+star): the operators a 100 TB LLM-data pipeline needs. Each is
+registered with a DuckDB oracle so correctness is hash-checked.
+
+Scale design notes (per operator docstrings):
+* dedup joins happen on *hash keys* (band signatures, fingerprints) —
+  equi-joins that AQE can re-plan; raw text never shuffles.
+* pair generation always constrains ``a < b`` inside the join
+  condition so the pair space never materializes twice.
+* brute-force similarity paths are blocked (label/source/lang
+  partitions) — the same shape as an IVF coarse quantizer; the LSH
+  variants are the unblocked scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from declarativeml_spark.operators import textops as T
+from declarativeml_spark.queries.registry import query
+from declarativeml_spark.sources.catalog import load_table
+
+_TOKS_S = T.TOKENS_SPARK.format(text="text")
+_TOKS_D = T.TOKENS_DUCK.format(text="text")
+_SHINGLES_S = T.SHINGLES_SPARK.format(toks="toks")
+_SHINGLES_D = T.SHINGLES_DUCK.format(toks="toks")
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH d AS (SELECT source, {_TOKS_D} AS toks FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM d GROUP BY source
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over documents (whitespace tokenizer).
+
+    Scale: pure map + partial agg; shuffle carries one row per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("toks", F.expr(_TOKS_S))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("toks")).cast("long").alias("total_tokens"),
+            (F.sum(F.size("toks")) / F.count("*")).cast("double").alias("avg_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+def _lang_confusion_oracle() -> str:
+    hits = {
+        lang: T.lang_hits_duck("toks", lang) for lang in T.LANG_ORDER
+    }
+    hit_cols = {lang: f"h_{lang}" for lang in T.LANG_ORDER}
+    hit_select = ", ".join(f"{hits[lang]} AS h_{lang}" for lang in T.LANG_ORDER)
+    case = T.predicted_lang_case(hit_cols)
+    return f"""
+    WITH d AS (SELECT doc_id, lang, {_TOKS_D} AS toks FROM documents),
+    scored AS (SELECT doc_id, lang, {hit_select} FROM d),
+    pred AS (SELECT doc_id, lang, {case} AS predicted FROM scored)
+    SELECT lang, predicted, COUNT(*) AS n_docs FROM pred GROUP BY lang, predicted
+    """
+
+
+@query("text_language_id", oracle=_lang_confusion_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-overlap scoring; output = confusion
+    matrix of labeled lang × predicted lang.
+
+    Scale: per-row scoring (codegen'd array filter), agg on ≤25 keys.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_S))
+    hit_cols = {}
+    for lang in T.LANG_ORDER:
+        col = f"h_{lang}"
+        docs = docs.withColumn(col, F.expr(T.lang_hits_spark("toks", lang)))
+        hit_cols[lang] = col
+    docs = docs.withColumn("predicted", F.expr(T.predicted_lang_case(hit_cols)))
+    return docs.groupBy("lang", "predicted").agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS_D} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           {T.quality_duck('toks', 'text', T.lang_hits_duck('toks', 'en'))} AS quality
+    FROM d
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score: length, word-shape, stopword ratio.
+
+    Scale: shuffle-free map; at 100 TB this is a single scan-project.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_S))
+    return docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.expr(
+            T.quality_spark("toks", "text", T.lang_hits_spark("toks", "en"))
+        ).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, {T.FINGERPRINT_DUCK.format(text='text')} AS fingerprint
+               FROM documents)
+    SELECT fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_id
+    FROM f GROUP BY fingerprint
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint of normalized text → groups with
+    the smallest doc_id as canonical.
+
+    Scale: the only shuffle is on the 16-byte fingerprint (never the
+    text); group sizes are the duplicate multiplicity, naturally
+    bounded. This is the standard 100 TB exact-dedup shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fingerprint", F.expr(T.FINGERPRINT_SPARK.format(text="text")))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, list_distinct({_TOKS_D}) AS toksd FROM documents)
+    SELECT doc_id, CAST({T.simhash_duck('toksd')} AS BIGINT) AS simhash
+    FROM d
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (near-dup key; equal hash → dup
+    candidate, Hamming-adjacent hashes → near-dup candidates).
+
+    Scale: entirely per-row (no shuffle); the downstream dup-candidate
+    join is an equi-join on the 2-byte key. 16 bits keeps the oracle
+    SQL tractable; the production variant is the same expression at 64
+    bits.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(T.simhash_spark(f"array_distinct({_TOKS_S})")).cast("long").alias("simhash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+_N_MINHASH = 8
+_BANDS = 4  # rows-per-band = 2
+
+
+def _minhash_lsh_oracle(threshold: float = 0.5) -> str:
+    mh_select = ", ".join(
+        f"{T.minhash_duck('shingles', k)} AS mh{k}" for k in range(_N_MINHASH)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, concat(mh{2 * b}, mh{2 * b + 1}) AS band_key FROM sigs"
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS_D} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_D} AS shingles FROM d),
+    sigs AS (SELECT doc_id, shingles, {mh_select} FROM sh),
+    bands AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                     / (len(sa.shingles) + len(sb.shingles)
+                        - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: 3-gram shingles → 8 minhashes → 4
+    bands → band-bucket join → exact Jaccard verify ≥ 0.5.
+
+    Scale: the candidate join shuffles only (band_idx, 64-byte key,
+    doc_id); actual shingle sets are joined back only for the
+    (small) candidate set. Hot band keys (boilerplate docs) are the
+    classic skew source — AQE skew-join handles it; salting the band
+    key is the manual fallback. This is the canonical 100 TB dedup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.expr(_TOKS_S).alias("toks")).select(
+        "doc_id", F.expr(_SHINGLES_S).alias("shingles")
+    )
+    sigs = sh.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.expr(T.minhash_spark("shingles", k)).alias(f"mh{k}")
+            for k in range(_N_MINHASH)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = F.round(
+        inter.cast("double") / (F.size("sa") + F.size("sb") - inter), 6
+    ).alias("jaccard")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac)
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, lang, {_TOKS_D} AS toks FROM documents),
+    sh AS (SELECT doc_id, source, lang, {_SHINGLES_D} AS shingles FROM d)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.15
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard: candidate pairs within a (source, lang)
+    block, 3-gram Jaccard ≥ 0.15.
+
+    Scale: blocking bounds the pair space to Σ block². At 100 TB the
+    block key would be a cheap cluster id (simhash prefix / length
+    bucket); unblocked similarity joins don't scale and aren't run.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", "lang", F.expr(_TOKS_S).alias("toks")
+    ).select("doc_id", "source", "lang", F.expr(_SHINGLES_S).alias("shingles"))
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("src"),
+        F.col("lang").alias("lng"),
+        F.col("shingles").alias("sa"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("src"),
+        F.col("lang").alias("lng"),
+        F.col("shingles").alias("sb"),
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    return (
+        a.join(b, ["src", "lng"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(jac >= 0.15)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+_DOT_S = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM_S = (
+    "sqrt(aggregate({a}, CAST(0.0 AS DOUBLE),"
+    " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+_DOT_D = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_NORM_D = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _cos_s(a: str, b: str) -> str:
+    return (
+        f"{_DOT_S.format(a=a, b=b)} / ({_NORM_S.format(a=a)} * {_NORM_S.format(a=b)})"
+    )
+
+
+def _cos_d(a: str, b: str) -> str:
+    return (
+        f"{_DOT_D.format(a=a, b=b)} / ({_NORM_D.format(a=a)} * {_NORM_D.format(a=b)})"
+    )
+
+
+@query(
+    "embedding_similarity_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_d('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos_d('a.embedding', 'b.embedding')} >= 0.35
+    """,
+)
+def embedding_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.35 within a label block.
+
+    Scale: the label block is the IVF coarse-cell stand-in — at 100 TB
+    the block id comes from a trained coarse quantizer (kmeans stage),
+    and each cell's pairs are computed independently. Join shuffles on
+    the block key only.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = F.expr(_cos_s("ea", "eb"))
+    return (
+        a.join(b, "lbl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@query(
+    "ann_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 97 = 0),
+    scored AS (
+        SELECT q.qid, e.vec_id AS nid,
+               {_cos_d('q.qe', 'e.embedding')} AS cos
+        FROM q JOIN embeddings e ON e.vec_id != q.qid
+    ),
+    ranked AS (
+        SELECT qid, nid, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        FROM scored
+    )
+    SELECT qid, nid, round(cos, 6) AS cosine, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: every ~97th vector queries the full
+    table; top-10 neighbors per query.
+
+    Scale: the query set broadcasts (it's ~1% of vectors); candidates
+    never shuffle — each partition scores its local vectors against
+    all queries, and only (qid, nid, cos) tuples enter the top-k
+    window. The LSH-bucketed variant replaces the cross join when the
+    query set itself is huge.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.join(F.broadcast(q), emb.vec_id != q.qid)
+        .withColumn("cos", F.expr(_cos_s("qe", "embedding")))
+        .select("qid", F.col("vec_id").alias("nid"), "cos")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("qid", "nid", F.round("cos", 6).alias("cosine"), "rnk")
+    )
