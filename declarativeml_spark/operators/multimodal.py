@@ -1,0 +1,144 @@
+"""Multimodal columns: opaque binary payloads + typed metadata,
+processed with Arrow-batched pandas iterators (``mapInPandas``).
+
+Design (per the north-star brief): image/audio/video cells are
+``BinaryType`` columns alongside a metadata struct (format, dims,
+duration). Decode / feature-extract / resize / frame-sample run as
+``mapInPandas`` batch functions — the Arrow boundary is the real,
+tested part; the codec itself is STUBBED because no image/audio
+libraries exist in this container:
+
+* ``codec="fake"`` (default) — deterministic byte-level features so
+  tests and oracles can verify the full distributed path;
+* any real codec name — raises ``NotImplementedError`` with the
+  library it would need (PIL/libav), at plan-build time, loudly.
+
+Scale notes: media blobs are large and skewed — the helpers
+repartition by a size bucket before the UDF so one executor doesn't
+receive all the 4K videos while another gets thumbnails. Batch size
+is bounded via ``spark.sql.execution.arrow.maxRecordsPerBatch``
+(COMPUTE's BLOCK hint maps to the same knob).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+_SUPPORTED_CODECS = {"fake"}
+N_HISTOGRAM_BINS = 16
+
+
+def _require_codec(codec: str, capability: str) -> None:
+    if codec not in _SUPPORTED_CODECS:
+        raise NotImplementedError(
+            f"codec {codec!r} for {capability} needs an image/audio library"
+            " (PIL / libav) that is not available in this environment;"
+            " use codec='fake' for the deterministic byte-level stub"
+        )
+
+
+def attach_fake_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Derive a binary media column from text (UTF-8 bytes) + metadata.
+
+    Test fixture: gives every documents row an opaque payload with the
+    same shape a real ingest (image bytes + probed metadata) would have.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("fake/bytes").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    codec: str = "fake",
+    bins: int = N_HISTOGRAM_BINS,
+    batch_size: Optional[int] = None,
+) -> DataFrame:
+    """Decode payloads to a feature vector via mapInPandas.
+
+    Fake codec: a normalized ``bins``-bin histogram of byte values
+    (byte // (256/bins)) — deterministic, so the distributed plumbing
+    is verifiable against a SQL oracle.
+    """
+    _require_codec(codec, "decode_features")
+    if batch_size:
+        df.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+        )
+    width = 256 // bins
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("features", T.ArrayType(T.LongType()), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for blob in pdf[payload_col]:
+                if blob is None or len(blob) == 0:
+                    feats.append([0] * bins)
+                    continue
+                counts = [0] * bins
+                for byte in blob:
+                    counts[byte // width] += 1
+                # integer counts, not ratios: exact under any hasher
+                feats.append(counts)
+            yield pd.DataFrame({"media_id": pdf[id_col], "features": feats})
+
+    # size-bucket repartition: balances skewed blob sizes across tasks
+    balanced = df.repartition(F.spark_partition_id(), F.length(payload_col) % 8)
+    return balanced.mapInPandas(batches, schema=out_schema)
+
+
+def resize_image(
+    df: DataFrame, payload_col: str = "payload", width: int = 64, height: int = 64,
+    codec: str = "real",
+) -> DataFrame:
+    """Resize stub — requires a real image codec (not in container)."""
+    _require_codec(codec, "resize_image")
+    raise NotImplementedError("fake codec has no pixel geometry to resize")
+
+
+def sample_frames(
+    df: DataFrame, payload_col: str = "payload", every_n: int = 30, codec: str = "real"
+) -> DataFrame:
+    """Video frame-sampling stub — requires libav (not in container)."""
+    _require_codec(codec, "sample_frames")
+    raise NotImplementedError("fake codec has no frames to sample")

@@ -386,6 +386,38 @@ def embedding_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_byte_histogram",
+    oracle="""
+    SELECT doc_id AS media_id,
+           list_transform(range(0, 16),
+               b -> CAST(len(list_filter(range(1, length(text) + 1),
+                        i -> ascii(substr(text, i, 1)) // 16 = b)) AS BIGINT)
+           ) AS features
+    FROM documents
+    """,
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload → 16-bin byte
+    histogram via an Arrow-batched ``mapInPandas`` 'decoder'.
+
+    The payload is the UTF-8 bytes of ``text`` (see
+    operators/multimodal.py: real codecs are stubbed; the fake codec
+    is deterministic so this whole distributed path — binary column,
+    metadata struct, size-balanced repartition, Arrow batches — is
+    oracle-verified). Scale: one shuffle for balance, then per-batch
+    Python at Arrow speed; real image decode swaps the codec only.
+    """
+    from declarativeml_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    return decode_features(media)
+
+
+@query(
     "ann_topk_cosine",
     oracle=f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 97 = 0),

@@ -1,0 +1,127 @@
+"""Event layer: PUBLISH / SUBSCRIBE / WHEN…THEN reactive rules.
+
+The reference specifies (never implements) a pub/sub event system:
+``PUBLISH EVENT type WITH PAYLOAD {json}`` (EXTENSIONS.md:194-210),
+``SUBSCRIBE TO 'pattern' EXECUTE PROCEDURE`` (EXTENSIONS.md:213-224),
+and reactive workflows ``WHEN <cond> THEN <actions>`` over model
+events (DSL.md:123-144). Spark-native design:
+
+* the event log is a DataFrame-shaped stream — ``event_type STRING,
+  payload STRING (JSON), ts TIMESTAMP`` — batch (a table) or
+  streaming (``readStream``) interchangeably;
+* subscriptions are SQL-pattern filters + Python handlers, evaluated
+  per micro-batch via ``foreachBatch`` (streaming) or directly
+  (batch) — the handler receives only its matched slice;
+* WHEN…THEN rules are subscriptions whose predicate may also inspect
+  JSON payload fields via ``get_json_object``.
+
+Scale: pattern filtering and payload predicates are Catalyst
+expressions pushed into the stream scan; handlers see pre-filtered
+micro-batches, so a rule that matches 0.1% of a 100 TB/day stream
+pulls 0.1%.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("payload", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("source_instance", T.StringType(), True),
+    ]
+)
+
+
+@dataclass
+class Subscription:
+    pattern: str  # SQL LIKE pattern on event_type
+    handler: Callable[[DataFrame], None]
+    payload_predicate: Optional[str] = None  # SQL over get_json_object fields
+    name: str = ""
+
+
+@dataclass
+class EventBus:
+    """In-session event bus over a DataFrame event log."""
+
+    spark: SparkSession
+    subscriptions: List[Subscription] = field(default_factory=list)
+    _published: list = field(default_factory=list)
+
+    def publish(
+        self, event_type: str, payload: Optional[dict] = None, source: str = "local"
+    ) -> None:
+        """PUBLISH EVENT type WITH PAYLOAD {...} — append to the log."""
+        self._published.append(
+            (
+                event_type,
+                json.dumps(payload or {}),
+                # event-time from the wall clock, matching the
+                # reference's created_at DEFAULT now() (EXTENSIONS.md:189)
+                __import__("datetime").datetime.utcnow(),
+                source,
+            )
+        )
+
+    def published_df(self) -> DataFrame:
+        return self.spark.createDataFrame(self._published, EVENT_SCHEMA)
+
+    def subscribe(
+        self,
+        pattern: str,
+        handler: Callable[[DataFrame], None],
+        payload_predicate: Optional[str] = None,
+        name: str = "",
+    ) -> Subscription:
+        """SUBSCRIBE TO 'pattern' EXECUTE <handler>."""
+        sub = Subscription(pattern, handler, payload_predicate, name)
+        self.subscriptions.append(sub)
+        return sub
+
+    def when(
+        self, event_type_pattern: str, payload_predicate: str, action: Callable[[DataFrame], None]
+    ) -> Subscription:
+        """WHEN <event matches + payload predicate> THEN <action>."""
+        return self.subscribe(event_type_pattern, action, payload_predicate)
+
+    # -- dispatch -----------------------------------------------------------
+    def dispatch_batch(self, events: Optional[DataFrame] = None) -> dict[str, int]:
+        """Evaluate all subscriptions against a batch of events.
+
+        Returns per-subscription matched-row counts. Used directly for
+        batch logs and from foreachBatch for streams.
+        """
+        df = events if events is not None else self.published_df()
+        counts: dict[str, int] = {}
+        for i, sub in enumerate(self.subscriptions):
+            matched = df.filter(F.col("event_type").like(sub.pattern))
+            if sub.payload_predicate:
+                matched = matched.filter(F.expr(sub.payload_predicate))
+            n = matched.count()
+            counts[sub.name or f"sub{i}"] = n
+            if n > 0:
+                sub.handler(matched)
+        return counts
+
+    def start_stream(self, events_stream: DataFrame, query_name: str = "event_rules"):
+        """Attach the rule set to a streaming event source."""
+
+        def process(batch_df: DataFrame, epoch_id: int) -> None:
+            self.dispatch_batch(batch_df)
+
+        return (
+            events_stream.writeStream.foreachBatch(process)
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
