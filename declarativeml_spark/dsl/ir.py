@@ -109,3 +109,67 @@ class EvaluateModel:
     source: str
     metrics: List[str] = field(default_factory=list)
     source_is_identifier: bool = True
+
+
+@dataclass
+class FeatureTransformer:
+    """IR for ``CREATE FEATURE TRANSFORMER name AS SELECT ...``
+    (reference DSL.md:79-86, spec-only there)."""
+
+    name: str
+    select_sql: str
+
+
+@dataclass
+class Ensemble:
+    """IR for ``CREATE ENSEMBLE`` (reference DSL.md:320-327)."""
+
+    name: str
+    models: List[Tuple[str, float]]  # (model_name, weight)
+    method: str = "weighted_average"
+    validate_on: Optional[str] = None
+
+
+@dataclass
+class DeployModel:
+    """IR for ``DEPLOY MODEL`` (reference DSL.md:57-66)."""
+
+    model: str
+    version: Optional[int] = None
+    config: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class DeployABTest:
+    """IR for ``DEPLOY MODELS (a, b) ... TRAFFIC SPLIT`` (DSL.md:330-334)."""
+
+    models: List[str]
+    endpoint: Optional[str] = None
+    split: List[float] = field(default_factory=list)  # percentages
+    track_metrics: List[str] = field(default_factory=list)
+    promote: Optional[str] = None
+    promote_after: Optional[int] = None
+
+
+@dataclass
+class MonitorModel:
+    """IR for ``MONITOR MODEL`` (reference DSL.md:347-351)."""
+
+    model: str
+    source: str
+    checks: List[str] = field(default_factory=list)  # condition strings
+    every: Optional[int] = None
+    every_unit: Optional[str] = None
+    source_is_identifier: bool = True
+
+
+@dataclass
+class RetrainModel:
+    """IR for ``RETRAIN MODEL ... USING LATEST n days OF data``
+    (reference DSL.md:136-142, incl. rollback semantics)."""
+
+    model: str
+    latest_n: Optional[int] = None
+    latest_unit: str = "days"
+    time_column: Optional[str] = None
+    rollback_ratio: float = 0.95  # keep old model if new metric < 95% of old

@@ -43,7 +43,18 @@ import re as _re
 
 _SHARED_SIZE_RE = _re.compile(r"^(0|[1-9][0-9]*)([KMG])?$")
 
-Statement = Union[ir.TrainModel, ir.ComputeKernel, ir.PredictModel, ir.EvaluateModel]
+Statement = Union[
+    ir.TrainModel,
+    ir.ComputeKernel,
+    ir.PredictModel,
+    ir.EvaluateModel,
+    ir.FeatureTransformer,
+    ir.Ensemble,
+    ir.DeployModel,
+    ir.DeployABTest,
+    ir.MonitorModel,
+    ir.RetrainModel,
+]
 
 
 class _Parser:
@@ -412,6 +423,219 @@ class _Parser:
             source_is_identifier=is_identifier_source(source),
         )
 
+    # -- CREATE FEATURE TRANSFORMER / CREATE ENSEMBLE --------------------------
+    def parse_create(self) -> Union[ir.FeatureTransformer, ir.Ensemble]:
+        self.expect_keyword("CREATE")
+        if self.at_keyword("FEATURE"):
+            self.advance()
+            self.expect_keyword("TRANSFORMER")
+            name = self.expect_name("transformer name")
+            self.expect_keyword("AS")
+            tok = self.peek()
+            if tok.kind == "EOF":
+                raise DSLSyntaxError("Expected SELECT statement after AS")
+            sql = self.text[tok.pos :].strip()
+            # consume the rest of the token stream
+            while self.peek().kind != "EOF":
+                self.advance()
+            if not sql.upper().startswith("SELECT") and not sql.upper().startswith(
+                "WITH"
+            ):
+                raise ValueError(
+                    "Feature transformer body must be a SELECT statement"
+                )
+            if ";" in sql:
+                raise ValueError(
+                    "Training data source must not contain statement terminators"
+                )
+            return ir.FeatureTransformer(name=name, select_sql=sql)
+        if self.at_keyword("ENSEMBLE"):
+            self.advance()
+            name = self.expect_name("ensemble name")
+            self.expect_keyword("FROM")
+            self.expect_keyword("COMBINE")
+            self.expect_keyword("MODELS")
+            self.expect_op("(")
+            models: list[tuple[str, float]] = []
+            while True:
+                mname = self.expect_name("model name")
+                weight = 1.0
+                if self.at_keyword("WEIGHT"):
+                    self.advance()
+                    w = self.parse_value()
+                    if not isinstance(w, (int, float)):
+                        raise ValueError("ensemble weight must be numeric")
+                    weight = float(w)
+                models.append((mname, weight))
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            method = "weighted_average"
+            if self.at_keyword("USING"):
+                self.advance()
+                method = self.expect_name("combination method")
+            validate_on = None
+            if self.at_keyword("VALIDATE"):
+                self.advance()
+                self.expect_keyword("ON")
+                validate_on = self.expect_name()
+            self.expect_eof()
+            return ir.Ensemble(
+                name=name, models=models, method=method, validate_on=validate_on
+            )
+        raise DSLSyntaxError(
+            "Expected FEATURE TRANSFORMER or ENSEMBLE after CREATE"
+        )
+
+    # -- DEPLOY MODEL / DEPLOY MODELS (A/B) --------------------------------------
+    def parse_deploy(self) -> Union[ir.DeployModel, ir.DeployABTest]:
+        self.expect_keyword("DEPLOY")
+        if self.at_keyword("MODELS"):
+            self.advance()
+            self.expect_op("(")
+            models = [self.expect_name("model name")]
+            while self.accept_op(","):
+                models.append(self.expect_name("model name"))
+            self.expect_op(")")
+            endpoint = None
+            if self.at_keyword("TO"):
+                self.advance()
+                endpoint = self.expect_name("endpoint name")
+            split: list[float] = []
+            track: list[str] = []
+            promote = None
+            promote_after = None
+            while self.peek().kind != "EOF":
+                if self.at_keyword("WITH"):
+                    self.advance()
+                    self.expect_keyword("TRAFFIC")
+                    self.expect_keyword("SPLIT")
+                    self.expect_op("(")
+                    while True:
+                        v = self.parse_value()
+                        if not isinstance(v, (int, float)):
+                            raise ValueError("traffic split must be numeric")
+                        split.append(float(v))
+                        self.accept_op("%")
+                        if not self.accept_op(","):
+                            break
+                    self.expect_op(")")
+                elif self.at_keyword("TRACK"):
+                    self.advance()
+                    self.expect_keyword("METRICS")
+                    self.expect_op("(")
+                    track.append(self.expect_name("metric"))
+                    while self.accept_op(","):
+                        track.append(self.expect_name("metric"))
+                    self.expect_op(")")
+                elif self.at_keyword("AUTO"):
+                    self.advance()
+                    self.expect_keyword("PROMOTE")
+                    promote = self.expect_name("promotion policy")
+                    if self.at_keyword("AFTER"):
+                        self.advance()
+                        promote_after = _require_positive_int(
+                            self.parse_value(), "promotion sample count"
+                        )
+                        if self.at_keyword("samples"):
+                            self.advance()
+                else:
+                    tok = self.peek()
+                    raise DSLSyntaxError(
+                        f"Unexpected input {tok.value!r} at {tok.pos}"
+                    )
+            if split and len(split) != len(models):
+                raise ValueError(
+                    "traffic split must have one percentage per model"
+                )
+            if split and abs(sum(split) - 100.0) > 1e-6:
+                raise ValueError("traffic split percentages must sum to 100")
+            return ir.DeployABTest(
+                models=models,
+                endpoint=endpoint,
+                split=split,
+                track_metrics=track,
+                promote=promote,
+                promote_after=promote_after,
+            )
+        self.expect_keyword("MODEL")
+        model = self.expect_name("model name")
+        version = None
+        config: dict = {}
+        if self.at_keyword("VERSION"):
+            self.advance()
+            version = _require_positive_int(self.parse_value(), "model version")
+        if self.at_keyword("WITH"):
+            self.advance()
+            self.expect_keyword("CONFIG")
+            config = self.parse_dict_literal()
+        self.expect_eof()
+        return ir.DeployModel(model=model, version=version, config=config)
+
+    # -- MONITOR MODEL --------------------------------------------------------------
+    def parse_monitor(self) -> ir.MonitorModel:
+        self.expect_keyword("MONITOR")
+        self.expect_keyword("MODEL")
+        model = self.expect_name("model name")
+        self.expect_keyword("ON")
+        source = self.capture_source_until("CHECK", "EVERY")
+        if not source:
+            raise ValueError("Training data source clause cannot be empty")
+        checks: list[str] = []
+        every = None
+        every_unit = None
+        while self.peek().kind != "EOF":
+            if self.at_keyword("CHECK"):
+                self.advance()
+                self.expect_op("(")
+                checks.append(self.parse_condition())
+                while self.accept_op(","):
+                    checks.append(self.parse_condition())
+                self.expect_op(")")
+            elif self.at_keyword("EVERY"):
+                self.advance()
+                every = _require_positive_int(self.parse_value(), "monitor interval")
+                if self.peek().kind == "NAME":
+                    every_unit = self.advance().value
+            else:
+                tok = self.peek()
+                raise DSLSyntaxError(f"Unexpected input {tok.value!r} at {tok.pos}")
+        return ir.MonitorModel(
+            model=model,
+            source=source,
+            checks=checks,
+            every=every,
+            every_unit=every_unit,
+            source_is_identifier=is_identifier_source(source),
+        )
+
+    # -- RETRAIN MODEL ------------------------------------------------------------------
+    def parse_retrain(self) -> ir.RetrainModel:
+        self.expect_keyword("RETRAIN")
+        self.expect_keyword("MODEL")
+        model = self.expect_name("model name")
+        latest_n = None
+        latest_unit = "days"
+        time_column = None
+        if self.at_keyword("USING"):
+            self.advance()
+            self.expect_keyword("LATEST")
+            latest_n = _require_positive_int(self.parse_value(), "retrain window")
+            latest_unit = self.expect_name("time unit")
+            self.expect_keyword("OF")
+            self.expect_keyword("data")
+        if self.at_keyword("TIME"):
+            self.advance()
+            self.expect_keyword("COLUMN")
+            time_column = self.expect_name("time column")
+        self.expect_eof()
+        return ir.RetrainModel(
+            model=model,
+            latest_n=latest_n,
+            latest_unit=latest_unit,
+            time_column=time_column,
+        )
+
     # -- EVALUATE MODEL -------------------------------------------------------
     def parse_evaluate(self) -> ir.EvaluateModel:
         self.expect_keyword("EVALUATE")
@@ -473,6 +697,15 @@ def parse(text: str) -> Statement:
         return parser.parse_predict()
     if tok.value == "EVALUATE":
         return parser.parse_evaluate()
+    if tok.value == "CREATE":
+        return parser.parse_create()
+    if tok.value == "DEPLOY":
+        return parser.parse_deploy()
+    if tok.value == "MONITOR":
+        return parser.parse_monitor()
+    if tok.value == "RETRAIN":
+        return parser.parse_retrain()
     raise DSLSyntaxError(
-        f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT, or EVALUATE"
+        f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
+        " EVALUATE, CREATE, DEPLOY, MONITOR, or RETRAIN"
     )

@@ -27,7 +27,7 @@ class Engine:
     def execute(self, text: str) -> Union[TrainedModel, DataFrame, dict]:
         stmt = parse(text)
         if isinstance(stmt, ir.TrainModel):
-            return train(self.spark, stmt, model_dir=self.model_dir)
+            return train(self.spark, stmt, model_dir=self.model_dir, statement=text)
         if isinstance(stmt, ir.ComputeKernel):
             from declarativeml_spark.functions.kernels import execute_compute
 
@@ -36,19 +36,154 @@ class Engine:
             return self._predict(stmt)
         if isinstance(stmt, ir.EvaluateModel):
             return self._evaluate(stmt)
+        if isinstance(stmt, ir.FeatureTransformer):
+            return self._feature_transformer(stmt)
+        if isinstance(stmt, ir.Ensemble):
+            from declarativeml_spark.ml.ensemble import create_ensemble
+
+            return create_ensemble(
+                self.spark, stmt.name, stmt.models, stmt.method, base=self.model_dir
+            )
+        if isinstance(stmt, ir.DeployModel):
+            from declarativeml_spark.ml.ensemble import deploy_model
+
+            return deploy_model(
+                self.spark, stmt.model, stmt.version, stmt.config, base=self.model_dir
+            )
+        if isinstance(stmt, ir.DeployABTest):
+            return self._deploy_ab(stmt)
+        if isinstance(stmt, ir.MonitorModel):
+            return self._monitor(stmt)
+        if isinstance(stmt, ir.RetrainModel):
+            return self._retrain(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
+
+    # -- CREATE FEATURE TRANSFORMER ------------------------------------------
+    def _feature_transformer(self, stmt: ir.FeatureTransformer) -> DataFrame:
+        """Named reusable feature view (DSL.md:79-86): the SELECT body
+        becomes a temp view resolvable as a FROM source anywhere."""
+        df = self.spark.sql(stmt.select_sql)
+        df.createOrReplaceTempView(stmt.name)
+        return df
+
+    # -- DEPLOY MODELS (A/B) -----------------------------------------------------
+    def _deploy_ab(self, stmt: ir.DeployABTest) -> dict:
+        from declarativeml_spark.ml.ensemble import _append_record
+
+        for m in stmt.models:
+            if self._model_meta(m) is None:
+                raise ValueError(f"No registered model named {m!r}")
+        record = {
+            "name": stmt.endpoint or "__ab__" + "_".join(stmt.models),
+            "algorithm": "ab_test",
+            "ab_models": stmt.models,
+            "traffic_split": stmt.split or [100.0 / len(stmt.models)] * len(stmt.models),
+            "track_metrics": stmt.track_metrics,
+            "promote": stmt.promote,
+            "promote_after": stmt.promote_after,
+            "status": "deployed",
+            "version": 1,
+        }
+        _append_record(self.model_dir, record)
+        return record
+
+    # -- MONITOR MODEL -------------------------------------------------------------
+    def _monitor(self, stmt: ir.MonitorModel, bus=None) -> dict:
+        from declarativeml_spark.ml.ensemble import monitor_model
+        from declarativeml_spark.plans.builder import build_features
+
+        meta = self._model_meta(stmt.model)
+        if meta is None:
+            raise ValueError(f"No registered model named {stmt.model!r}")
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        df = build_features(df, meta["features"]).df
+        return monitor_model(
+            self.spark,
+            stmt.model,
+            df,
+            target=meta["target"],
+            algorithm=meta["algorithm"],
+            checks=stmt.checks,
+            base=self.model_dir,
+            bus=bus,
+        )
+
+    # -- RETRAIN MODEL (with rollback, DSL.md:136-142) ---------------------------------
+    def _retrain(self, stmt: ir.RetrainModel) -> TrainedModel:
+        from declarativeml_spark.ml.models import mark_version_status
+
+        meta = self._model_meta(stmt.model)
+        if meta is None:
+            raise ValueError(f"No registered model named {stmt.model!r}")
+        if not meta.get("statement"):
+            raise ValueError(
+                f"Model {stmt.model!r} has no stored TRAIN statement to re-execute"
+            )
+        train_stmt = parse(meta["statement"])
+        assert isinstance(train_stmt, ir.TrainModel)
+        if stmt.latest_n is not None:
+            if not stmt.time_column:
+                raise ValueError(
+                    "RETRAIN ... USING LATEST requires TIME COLUMN <col>"
+                )
+            # window the source relative to its own newest timestamp so
+            # historical test data behaves like a live feed
+            filt = (
+                f"{stmt.time_column} >= (SELECT max({stmt.time_column})"
+                f" FROM {train_stmt.source}) - INTERVAL {stmt.latest_n}"
+                f" {stmt.latest_unit}"
+            )
+            if train_stmt.source_is_identifier:
+                train_stmt.source = f"{train_stmt.source} WHERE {filt}"
+                train_stmt.source_is_identifier = False
+            else:
+                joiner = " AND " if " WHERE " in train_stmt.source.upper() else " WHERE "
+                train_stmt.source = train_stmt.source + joiner + filt
+
+        new = train(
+            self.spark, train_stmt, model_dir=self.model_dir, statement=meta["statement"]
+        )
+        old_metrics = meta.get("performance_metrics") or {}
+        rolled_back = False
+        for key in ("accuracy", "f1", "r2"):  # higher-better metrics
+            if key in old_metrics and key in new.metrics:
+                if new.metrics[key] < stmt.rollback_ratio * old_metrics[key]:
+                    rolled_back = True
+                break
+        else:
+            if "rmse" in old_metrics and "rmse" in new.metrics:
+                if new.metrics["rmse"] * stmt.rollback_ratio > old_metrics["rmse"]:
+                    rolled_back = True
+        if rolled_back:
+            mark_version_status(stmt.model, new.version, "rolled_back", self.model_dir)
+            new.stop_satisfied = False
+        return new
 
     # -- PREDICT USING MODEL m FROM src [STORE RESULTS IN t] ----------------
     def _predict(self, stmt: ir.PredictModel) -> DataFrame:
-        model = registry_load(self.spark, stmt.model, base=self.model_dir)
         df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
-        # re-derive the feature columns the pipeline expects
         meta = self._model_meta(stmt.model)
-        if meta is not None:
-            from declarativeml_spark.plans.builder import build_features
+        if meta is not None and meta.get("algorithm") == "ensemble":
+            from declarativeml_spark.ml.ensemble import score_ensemble
 
-            df = build_features(df, meta["features"]).df
-        scored = model.transform(df)
+            members = [
+                (m["model"], m["weight"]) for m in meta["ensemble_members"]
+            ]
+            # member feature derivation: members share feature specs
+            member_meta = self._model_meta(members[0][0])
+            if member_meta is not None:
+                from declarativeml_spark.plans.builder import build_features
+
+                df = build_features(df, member_meta["features"]).df
+            scored = score_ensemble(self.spark, members, df, base=self.model_dir)
+        else:
+            model = registry_load(self.spark, stmt.model, base=self.model_dir)
+            # re-derive the feature columns the pipeline expects
+            if meta is not None:
+                from declarativeml_spark.plans.builder import build_features
+
+                df = build_features(df, meta["features"]).df
+            scored = model.transform(df)
         if stmt.sink:
             scored.write.mode("overwrite").saveAsTable(stmt.sink)
         return scored
@@ -80,6 +215,12 @@ class Engine:
         return metrics
 
     def _model_meta(self, name: str) -> Optional[dict[str, Any]]:
+        """Latest live (non-rolled-back) full registry record for a model.
+
+        The registry is append-only JSONL: full records carry
+        ``algorithm``; status-only records (deploy / rollback) override
+        the status of an existing version.
+        """
         import json
         import os
 
@@ -88,11 +229,21 @@ class Engine:
         path = _registry_path(self.model_dir or DEFAULT_MODEL_DIR)
         if not os.path.exists(path):
             return None
-        latest: Optional[dict] = None
+        full: dict[int, dict] = {}
+        status: dict[int, str] = {}
         with open(path) as f:
             for line in f:
                 rec = json.loads(line)
-                if rec["name"] == name:
-                    if latest is None or rec["version"] > latest["version"]:
-                        latest = rec
-        return latest
+                if rec.get("name") != name:
+                    continue
+                ver = rec.get("version") or 1
+                if "algorithm" in rec:
+                    full[ver] = rec
+                if rec.get("status"):
+                    status[ver] = rec["status"]
+        live = [v for v in full if status.get(v, "registered") != "rolled_back"]
+        if not live:
+            return None
+        rec = dict(full[max(live)])
+        rec["status"] = status.get(max(live), rec.get("status", "registered"))
+        return rec

@@ -1,0 +1,192 @@
+"""Ensembles, deployment records, A/B traffic routing, monitoring.
+
+Reference semantics implemented Spark-first:
+* ``CREATE ENSEMBLE`` (DSL.md:320-327) — weighted average of member
+  model predictions: score with each PipelineModel, combine with
+  ``Σ wᵢ·predᵢ / Σ wᵢ`` (plain column arithmetic — one pass, no UDF).
+* ``DEPLOY MODEL`` (DSL.md:57-66) — registry status flip + config.
+* ``DEPLOY MODELS ... TRAFFIC SPLIT`` (DSL.md:330-334) — router that
+  assigns rows to models by a *deterministic* hash bucket of a key
+  column (crc32 % 100 — reproducible across runs, unlike rand()).
+* ``MONITOR MODEL`` (DSL.md:347-351) — score + metric checks + drift
+  statistics; failed checks publish ``model.alert`` events.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from declarativeml_spark.ml.models import DEFAULT_MODEL_DIR, _registry_path, registry_load
+
+
+def _append_record(base: Optional[str], record: dict) -> None:
+    import os
+
+    base = base or DEFAULT_MODEL_DIR
+    os.makedirs(base, exist_ok=True)
+    with open(_registry_path(base), "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+def create_ensemble(
+    spark: SparkSession,
+    name: str,
+    models: List[Tuple[str, float]],
+    method: str = "weighted_average",
+    base: Optional[str] = None,
+) -> dict:
+    """Register an ensemble (validates members exist)."""
+    if method != "weighted_average":
+        raise ValueError(f"Unknown ensemble method {method!r}; only weighted_average")
+    for mname, _ in models:
+        registry_load(spark, mname, base=base)  # raises if missing
+    record = {
+        "name": name,
+        "version": 1,
+        "algorithm": "ensemble",
+        "ensemble_members": [{"model": m, "weight": w} for m, w in models],
+        "method": method,
+        "status": "registered",
+    }
+    _append_record(base, record)
+    return record
+
+
+def score_ensemble(
+    spark: SparkSession,
+    members: List[Tuple[str, float]],
+    df: DataFrame,
+    base: Optional[str] = None,
+    prediction_col: str = "prediction",
+) -> DataFrame:
+    """Weighted-average scoring across member models.
+
+    One transform per member; each adds a prediction column which is
+    combined with column arithmetic. Transforms are narrow (no
+    shuffle), so the whole ensemble is a single pass over the data
+    regardless of member count.
+    """
+    total_w = sum(w for _, w in members)
+    out = df
+    member_cols = []
+    for i, (mname, w) in enumerate(members):
+        model = registry_load(spark, mname, base=base)
+        col = f"__pred_{i}"
+        scored = model.transform(out)
+        keep = [c for c in scored.columns if c in out.columns] + [prediction_col]
+        out = scored.select(*keep).withColumnRenamed(prediction_col, col)
+        member_cols.append((col, w))
+    combined = sum(F.col(c) * F.lit(w) for c, w in member_cols) / F.lit(total_w)
+    out = out.withColumn(prediction_col, combined)
+    return out.drop(*[c for c, _ in member_cols])
+
+
+def deploy_model(
+    spark: SparkSession,
+    model: str,
+    version: Optional[int] = None,
+    config: Optional[Dict[str, Any]] = None,
+    base: Optional[str] = None,
+) -> dict:
+    """Flip a model version to deployed status with serving config."""
+    registry_load(spark, model, version=version, base=base)  # validate
+    record = {
+        "name": model,
+        "version": version,
+        "status": "deployed",
+        "deployment_config": config or {},
+    }
+    _append_record(base, record)
+    return record
+
+
+def ab_route(
+    spark: SparkSession,
+    models: List[str],
+    split: List[float],
+    df: DataFrame,
+    key_col: str,
+    base: Optional[str] = None,
+    prediction_col: str = "prediction",
+) -> DataFrame:
+    """Score rows, routing each to a model by deterministic hash bucket.
+
+    ``crc32(key) % 100`` into cumulative split boundaries — stable
+    across runs and executors (rand() would not be), so A/B cohorts
+    are reproducible. All models score all rows in one pass; the
+    router picks per-row — at 100 TB this trades |models|× compute in
+    exchange for zero shuffles and no data splitting, the right trade
+    for ≤ a handful of variants.
+    """
+    if len(models) != len(split):
+        raise ValueError("traffic split must have one percentage per model")
+    bucket = F.crc32(F.col(key_col).cast("string")) % 100
+    out = df.withColumn("__bucket", bucket)
+    preds = []
+    for i, mname in enumerate(models):
+        model = registry_load(spark, mname, base=base)
+        col = f"__ab_{i}"
+        scored = model.transform(out)
+        keep = [c for c in scored.columns if c in out.columns] + [prediction_col]
+        out = scored.select(*keep).withColumnRenamed(prediction_col, col)
+        preds.append(col)
+    # forward WHEN chain on cumulative upper boundaries: first match wins
+    boundaries = []
+    acc = 0.0
+    for pct in split:
+        acc += pct
+        boundaries.append(acc)
+    result = F.when(F.col("__bucket") < boundaries[0], F.col(preds[0]))
+    served_by = F.when(F.col("__bucket") < boundaries[0], F.lit(models[0]))
+    for i in range(1, len(models)):
+        result = result.when(F.col("__bucket") < boundaries[i], F.col(preds[i]))
+        served_by = served_by.when(F.col("__bucket") < boundaries[i], F.lit(models[i]))
+    result = result.otherwise(F.col(preds[-1]))
+    served_by = served_by.otherwise(F.lit(models[-1]))
+    out = out.withColumn(prediction_col, result).withColumn("served_by", served_by)
+    return out.drop("__bucket", *preds)
+
+
+def monitor_model(
+    spark: SparkSession,
+    model: str,
+    df: DataFrame,
+    target: str,
+    algorithm: str,
+    checks: List[str],
+    base: Optional[str] = None,
+    bus=None,
+) -> dict:
+    """Evaluate model health on fresh data; run threshold checks.
+
+    Returns metrics + per-check pass/fail; failing checks publish a
+    ``model.alert`` event when an EventBus is supplied (the WHEN…THEN
+    layer consumes those).
+    """
+    from declarativeml_spark.ml.registry import get_algorithm
+    from declarativeml_spark.ml.training import StopCondition, _compute_metrics
+
+    spec = get_algorithm(algorithm)
+    pipeline = registry_load(spark, model, base=base)
+    label_col = None
+    if spec.kind != "clustering":
+        label_col = "label"
+        ttype = dict(df.dtypes).get(target)
+        if not (spec.kind == "classification" and ttype == "string"):
+            df = df.withColumn(label_col, F.col(target).cast("double"))
+    metrics = _compute_metrics(pipeline, df, spec, label_col)
+    results: dict[str, Any] = {"metrics": metrics, "checks": {}}
+    for check in checks:
+        ok = StopCondition(text=check).evaluate(metrics)
+        results["checks"][check] = ok
+        if not ok and bus is not None:
+            bus.publish(
+                "model.alert",
+                {"model": model, "check": check, "metrics": metrics},
+            )
+    results["healthy"] = all(results["checks"].values()) if checks else True
+    return results

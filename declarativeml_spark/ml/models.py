@@ -42,7 +42,10 @@ def next_version(name: str, base: Optional[str] = None) -> int:
 
 
 def registry_save(
-    spark: SparkSession, trained: "TrainedModel", base: Optional[str] = None
+    spark: SparkSession,
+    trained: "TrainedModel",
+    base: Optional[str] = None,
+    statement: Optional[str] = None,
 ) -> str:
     """Persist a trained model version + append registry metadata."""
     base = base or DEFAULT_MODEL_DIR
@@ -64,19 +67,47 @@ def registry_save(
         "path": path,
         "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "status": "registered",
+        # original DSL text: RETRAIN re-executes it (DSL.md:136-142)
+        "statement": statement,
     }
     with open(_registry_path(base), "a") as f:
         f.write(json.dumps(record) + "\n")
     return path
 
 
+def mark_version_status(
+    name: str, version: int, status: str, base: Optional[str] = None
+) -> None:
+    """Append a status record for a version (e.g. rolled_back)."""
+    base = base or DEFAULT_MODEL_DIR
+    with open(_registry_path(base), "a") as f:
+        f.write(json.dumps({"name": name, "version": version, "status": status}) + "\n")
+
+
+def version_statuses(name: str, base: Optional[str] = None) -> dict[int, str]:
+    """Latest status per version of a model."""
+    base = base or DEFAULT_MODEL_DIR
+    path = _registry_path(base)
+    out: dict[int, str] = {}
+    if not os.path.exists(path):
+        return out
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("name") == name and rec.get("version") is not None:
+                out[rec["version"]] = rec.get("status", "registered")
+    return out
+
+
 def registry_load(
     spark: SparkSession, name: str, version: Optional[int] = None, base: Optional[str] = None
 ) -> PipelineModel:
-    """Load a model by name (latest version unless pinned)."""
+    """Load a model by name (latest non-rolled-back version unless pinned)."""
     base = base or DEFAULT_MODEL_DIR
     if version is None:
-        version = next_version(name, base) - 1
+        statuses = version_statuses(name, base)
+        live = [v for v, s in statuses.items() if s != "rolled_back"]
+        version = max(live) if live else next_version(name, base) - 1
     if version < 1:
         raise ValueError(f"No registered model named {name!r} in {base}")
     return PipelineModel.load(os.path.join(base, name, f"v{version}"))

@@ -87,7 +87,10 @@ class TrainedModel:
 
 
 def train(
-    spark: SparkSession, stmt: TrainModel, model_dir: Optional[str] = None
+    spark: SparkSession,
+    stmt: TrainModel,
+    model_dir: Optional[str] = None,
+    statement: Optional[str] = None,
 ) -> TrainedModel:
     """Execute a TRAIN MODEL statement end-to-end."""
     spec = get_algorithm(stmt.algorithm)
@@ -235,7 +238,7 @@ def train(
     )
     from declarativeml_spark.ml.models import registry_save
 
-    registry_save(spark, trained, base=model_dir)
+    registry_save(spark, trained, base=model_dir, statement=statement)
     return trained
 
 

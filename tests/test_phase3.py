@@ -1,0 +1,179 @@
+"""Phase-3 statements: feature transformers, ensembles, deploy, A/B,
+monitor, retrain-with-rollback."""
+
+import pytest
+
+from declarativeml_spark.dsl import parse
+from declarativeml_spark.dsl.ir import (
+    DeployABTest,
+    DeployModel,
+    Ensemble,
+    FeatureTransformer,
+    MonitorModel,
+    RetrainModel,
+)
+from declarativeml_spark.engine import Engine
+from declarativeml_spark.sources.catalog import register_views
+
+
+# ---------------------------------------------------------------- parsing
+def test_parse_feature_transformer():
+    t = parse(
+        "CREATE FEATURE TRANSFORMER cust_feats AS "
+        "SELECT c_custkey, avg(o_totalprice) AS avg_order FROM orders, customer "
+        "GROUP BY c_custkey"
+    )
+    assert isinstance(t, FeatureTransformer)
+    assert t.name == "cust_feats"
+    assert t.select_sql.startswith("SELECT")
+
+
+def test_parse_ensemble():
+    e = parse(
+        "CREATE ENSEMBLE combo FROM COMBINE MODELS (m1 WEIGHT 0.6, m2 WEIGHT 0.4) "
+        "USING weighted_average VALIDATE ON holdout"
+    )
+    assert isinstance(e, Ensemble)
+    assert e.models == [("m1", 0.6), ("m2", 0.4)]
+    assert e.validate_on == "holdout"
+
+
+def test_parse_deploy_and_ab():
+    d = parse('DEPLOY MODEL churn VERSION 2 WITH CONFIG {max_latency: "50ms", replicas: 3}')
+    assert isinstance(d, DeployModel)
+    assert d.version == 2 and d.config["max_latency"] == "50ms"
+
+    ab = parse(
+        "DEPLOY MODELS (a, b) TO scoring WITH TRAFFIC SPLIT (50%, 50%) "
+        "TRACK METRICS (accuracy, latency) AUTO PROMOTE best_performer AFTER 1000 samples"
+    )
+    assert isinstance(ab, DeployABTest)
+    assert ab.split == [50.0, 50.0]
+    assert ab.promote == "best_performer" and ab.promote_after == 1000
+
+
+def test_parse_ab_split_validation():
+    with pytest.raises(ValueError, match="sum to 100"):
+        parse("DEPLOY MODELS (a, b) WITH TRAFFIC SPLIT (50%, 40%)")
+    with pytest.raises(ValueError, match="one percentage per model"):
+        parse("DEPLOY MODELS (a, b) WITH TRAFFIC SPLIT (100%)")
+
+
+def test_parse_monitor_and_retrain():
+    m = parse(
+        "MONITOR MODEL churn ON orders CHECK (accuracy > 0.8 AND f1 > 0.7) EVERY 1 hour"
+    )
+    assert isinstance(m, MonitorModel)
+    assert m.checks == ["accuracy > 0.8 AND f1 > 0.7"]
+    assert m.every == 1 and m.every_unit == "hour"
+
+    r = parse("RETRAIN MODEL churn USING LATEST 30 days OF data TIME COLUMN o_orderdate")
+    assert isinstance(r, RetrainModel)
+    assert r.latest_n == 30 and r.time_column == "o_orderdate"
+
+
+# ---------------------------------------------------------------- execution
+@pytest.fixture(scope="module")
+def engine(spark, smoke_dir, tmp_path_factory):
+    register_views(spark, smoke_dir)
+    spark.sql(
+        "SELECT *, CAST(o_totalprice > 150000 AS INT) AS expensive FROM orders"
+    ).createOrReplaceTempView("orders_labeled")
+    eng = Engine(spark, model_dir=str(tmp_path_factory.mktemp("p3_models")))
+    eng.execute(
+        "TRAIN MODEL base_a USING logistic_regression(max_iter=10) "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice)"
+    )
+    eng.execute(
+        "TRAIN MODEL base_b USING decision_tree(max_depth=3) "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice)"
+    )
+    return eng
+
+
+def test_feature_transformer_usable_as_source(engine, spark):
+    engine.execute(
+        "CREATE FEATURE TRANSFORMER order_feats AS "
+        "SELECT o_custkey, avg(o_totalprice) AS avg_price, "
+        "CAST(max(o_totalprice) > 200000 AS INT) AS big_spender "
+        "FROM orders GROUP BY o_custkey"
+    )
+    assert spark.table("order_feats").count() > 0
+    trained = engine.execute(
+        "TRAIN MODEL ft_clf USING logistic_regression(max_iter=5) "
+        "FROM order_feats PREDICT big_spender WITH FEATURES(avg_price)"
+    )
+    assert trained.metrics["accuracy"] > 0.5
+
+
+def test_ensemble_create_and_score(engine, spark):
+    engine.execute(
+        "CREATE ENSEMBLE combo FROM COMBINE MODELS (base_a WEIGHT 0.7, base_b WEIGHT 0.3)"
+    )
+    scored = engine.execute("PREDICT USING MODEL combo FROM orders_labeled")
+    assert "prediction" in scored.columns
+    row = scored.select("prediction").first()
+    assert 0.0 <= row.prediction <= 1.0
+
+
+def test_ensemble_unknown_member_rejected(engine):
+    with pytest.raises(ValueError):
+        engine.execute("CREATE ENSEMBLE bad FROM COMBINE MODELS (nope WEIGHT 1.0)")
+
+
+def test_deploy_updates_status(engine):
+    rec = engine.execute('DEPLOY MODEL base_a WITH CONFIG {max_latency: "50ms"}')
+    assert rec["status"] == "deployed"
+    meta = engine._model_meta("base_a")
+    assert meta["status"] == "deployed"
+
+
+def test_ab_routing_deterministic(engine, spark):
+    engine.execute("DEPLOY MODELS (base_a, base_b) TO ab_ep WITH TRAFFIC SPLIT (50%, 50%)")
+    from declarativeml_spark.ml.ensemble import ab_route
+
+    df = spark.table("orders_labeled")
+    out1 = ab_route(
+        spark, ["base_a", "base_b"], [50.0, 50.0], df, "o_orderkey",
+        base=engine.model_dir,
+    )
+    served = out1.groupBy("served_by").count().collect()
+    counts = {r.served_by: r["count"] for r in served}
+    assert set(counts) == {"base_a", "base_b"}
+    # ~50/50 split, deterministic across runs
+    out2 = ab_route(
+        spark, ["base_a", "base_b"], [50.0, 50.0], df, "o_orderkey",
+        base=engine.model_dir,
+    )
+    assert (
+        out1.select("o_orderkey", "served_by").exceptAll(
+            out2.select("o_orderkey", "served_by")
+        ).count()
+        == 0
+    )
+
+
+def test_monitor_checks(engine):
+    res = engine.execute(
+        "MONITOR MODEL base_a ON orders_labeled CHECK (accuracy > 0.8)"
+    )
+    assert res["healthy"] is True
+    res_bad = engine.execute(
+        "MONITOR MODEL base_a ON orders_labeled CHECK (accuracy > 0.999999)"
+    )
+    assert res_bad["healthy"] is False
+
+
+def test_retrain_and_rollback(engine, spark):
+    new = engine.execute("RETRAIN MODEL base_a")
+    assert new.version == 2
+
+    # time-windowed retrain
+    windowed = engine.execute(
+        "RETRAIN MODEL base_a USING LATEST 365 days OF data TIME COLUMN o_orderdate"
+    )
+    assert windowed.version == 3
+
+    # retrain without stored statement fails loudly
+    with pytest.raises(ValueError, match="No registered model"):
+        engine.execute("RETRAIN MODEL never_trained")
