@@ -164,6 +164,33 @@ class MonitorModel:
 
 
 @dataclass
+class WhenRule:
+    """IR for ``WHEN ... THEN <statement>`` reactive workflows
+    (reference DSL.md:123-144, spec-only there).
+
+    Two source forms normalize into one event subscription:
+    * ``WHEN EVENT 'pattern' [WHERE <payload predicate>] THEN ...``
+    * ``WHEN model_metrics.<metric> <op> <value> THEN ...`` — sugar
+      for a ``model.metrics`` event with a payload predicate.
+    """
+
+    event_pattern: str
+    payload_predicate: Optional[str]
+    action: str  # a full DSL statement, validated at parse time
+
+
+@dataclass
+class Agent:
+    """IR for ``CREATE AGENT`` (reference DSL.md:150-171,
+    AGENTS.md:59-143): a named scheduled monitor with an optional
+    reactive action."""
+
+    name: str
+    monitor: "MonitorModel"
+    action: Optional[str] = None
+
+
+@dataclass
 class RetrainModel:
     """IR for ``RETRAIN MODEL ... USING LATEST n days OF data``
     (reference DSL.md:136-142, incl. rollback semantics)."""

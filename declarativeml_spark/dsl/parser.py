@@ -54,6 +54,8 @@ Statement = Union[
     ir.DeployABTest,
     ir.MonitorModel,
     ir.RetrainModel,
+    ir.WhenRule,
+    ir.Agent,
 ]
 
 
@@ -424,8 +426,10 @@ class _Parser:
         )
 
     # -- CREATE FEATURE TRANSFORMER / CREATE ENSEMBLE --------------------------
-    def parse_create(self) -> Union[ir.FeatureTransformer, ir.Ensemble]:
+    def parse_create(self) -> Union[ir.FeatureTransformer, ir.Ensemble, ir.Agent]:
         self.expect_keyword("CREATE")
+        if self.at_keyword("AGENT"):
+            return self.parse_agent()
         if self.at_keyword("FEATURE"):
             self.advance()
             self.expect_keyword("TRANSFORMER")
@@ -484,7 +488,7 @@ class _Parser:
                 name=name, models=models, method=method, validate_on=validate_on
             )
         raise DSLSyntaxError(
-            "Expected FEATURE TRANSFORMER or ENSEMBLE after CREATE"
+            "Expected FEATURE TRANSFORMER, ENSEMBLE, or AGENT after CREATE"
         )
 
     # -- DEPLOY MODEL / DEPLOY MODELS (A/B) --------------------------------------
@@ -574,17 +578,94 @@ class _Parser:
 
     # -- MONITOR MODEL --------------------------------------------------------------
     def parse_monitor(self) -> ir.MonitorModel:
+        stmt = self.parse_monitor_body()
+        self.expect_eof()
+        return stmt
+
+    # -- WHEN ... THEN <statement> -------------------------------------------------------
+    def parse_when(self) -> ir.WhenRule:
+        self.expect_keyword("WHEN")
+        if self.at_keyword("EVENT"):
+            self.advance()
+            tok = self.advance()
+            if tok.kind != "SQSTRING":
+                raise DSLSyntaxError(
+                    f"Expected quoted event pattern at {tok.pos}, got {tok.value!r}"
+                )
+            pattern = tok.value[1:-1].replace("''", "'")
+            predicate = None
+            if self.at_keyword("WHERE"):
+                self.advance()
+                predicate = self.capture_source_until("THEN")
+                if not predicate:
+                    raise DSLSyntaxError("Expected predicate after WHERE")
+        else:
+            # metric sugar: model_metrics.accuracy < 0.85
+            parts = [self.expect_name("metric source")]
+            while self.accept_op("."):
+                parts.append(self.expect_name("metric name"))
+            if len(parts) < 2:
+                raise DSLSyntaxError(
+                    "Expected dotted metric reference (e.g. model_metrics.accuracy)"
+                )
+            metric = parts[-1]
+            op_tok = self.advance()
+            if op_tok.kind != "OP" or op_tok.value not in {
+                ">=", "<=", ">", "<", "!=", "=",
+            }:
+                raise DSLSyntaxError(
+                    f"Expected comparison operator at {op_tok.pos}"
+                )
+            value = self.parse_value()
+            pattern = "model.metrics"
+            predicate = (
+                f"CAST(get_json_object(payload, '$.{metric}') AS DOUBLE)"
+                f" {op_tok.value} {value}"
+            )
+        self.expect_keyword("THEN")
+        tok = self.peek()
+        if tok.kind == "EOF":
+            raise DSLSyntaxError("Expected action statement after THEN")
+        action = self.text[tok.pos :].strip()
+        while self.peek().kind != "EOF":
+            self.advance()
+        # validate the action parses as a statement now, not at fire time
+        parse(action)
+        return ir.WhenRule(
+            event_pattern=pattern, payload_predicate=predicate, action=action
+        )
+
+    # -- CREATE AGENT --------------------------------------------------------------------
+    def parse_agent(self) -> ir.Agent:
+        # entered from parse_create after CREATE; expects AGENT next
+        self.expect_keyword("AGENT")
+        name = self.expect_name("agent name")
+        monitor = self.parse_monitor_body()
+        action = None
+        if self.at_keyword("THEN"):
+            self.advance()
+            tok = self.peek()
+            if tok.kind == "EOF":
+                raise DSLSyntaxError("Expected action statement after THEN")
+            action = self.text[tok.pos :].strip()
+            while self.peek().kind != "EOF":
+                self.advance()
+            parse(action)
+        return ir.Agent(name=name, monitor=monitor, action=action)
+
+    def parse_monitor_body(self) -> ir.MonitorModel:
+        """Shared MONITOR MODEL ... tail (used by MONITOR and CREATE AGENT)."""
         self.expect_keyword("MONITOR")
         self.expect_keyword("MODEL")
         model = self.expect_name("model name")
         self.expect_keyword("ON")
-        source = self.capture_source_until("CHECK", "EVERY")
+        source = self.capture_source_until("CHECK", "EVERY", "THEN")
         if not source:
             raise ValueError("Training data source clause cannot be empty")
         checks: list[str] = []
         every = None
         every_unit = None
-        while self.peek().kind != "EOF":
+        while True:
             if self.at_keyword("CHECK"):
                 self.advance()
                 self.expect_op("(")
@@ -595,11 +676,10 @@ class _Parser:
             elif self.at_keyword("EVERY"):
                 self.advance()
                 every = _require_positive_int(self.parse_value(), "monitor interval")
-                if self.peek().kind == "NAME":
+                if self.peek().kind == "NAME" and not self.at_keyword("THEN"):
                     every_unit = self.advance().value
             else:
-                tok = self.peek()
-                raise DSLSyntaxError(f"Unexpected input {tok.value!r} at {tok.pos}")
+                break
         return ir.MonitorModel(
             model=model,
             source=source,
@@ -705,7 +785,9 @@ def parse(text: str) -> Statement:
         return parser.parse_monitor()
     if tok.value == "RETRAIN":
         return parser.parse_retrain()
+    if tok.value == "WHEN":
+        return parser.parse_when()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
-        " EVALUATE, CREATE, DEPLOY, MONITOR, or RETRAIN"
+        " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, or WHEN"
     )

@@ -23,6 +23,17 @@ class Engine:
     def __init__(self, spark: SparkSession, model_dir: Optional[str] = None):
         self.spark = spark
         self.model_dir = model_dir
+        self._bus = None
+        self.agents: dict[str, ir.Agent] = {}
+
+    @property
+    def bus(self):
+        """Lazily-created event bus; WHEN rules and agents attach here."""
+        if self._bus is None:
+            from declarativeml_spark.streaming.events import EventBus
+
+            self._bus = EventBus(self.spark)
+        return self._bus
 
     def execute(self, text: str) -> Union[TrainedModel, DataFrame, dict]:
         stmt = parse(text)
@@ -56,7 +67,42 @@ class Engine:
             return self._monitor(stmt)
         if isinstance(stmt, ir.RetrainModel):
             return self._retrain(stmt)
+        if isinstance(stmt, ir.WhenRule):
+            return self._register_rule(stmt)
+        if isinstance(stmt, ir.Agent):
+            return self._register_agent(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
+
+    # -- WHEN ... THEN <statement> ------------------------------------------
+    def _register_rule(self, stmt: ir.WhenRule):
+        """Attach a reactive rule to the event bus: when a matching
+        event arrives, the action statement executes (DSL.md:123-144)."""
+
+        def fire(matched_df: DataFrame) -> None:
+            self.execute(stmt.action)
+
+        return self.bus.when(stmt.event_pattern, stmt.payload_predicate or "TRUE", fire)
+
+    # -- CREATE AGENT ---------------------------------------------------------
+    def _register_agent(self, stmt: ir.Agent) -> ir.Agent:
+        """Register an autonomous monitor agent (DSL.md:150-171). The
+        schedule is advisory metadata; ``run_agents_once`` is the tick."""
+        self.agents[stmt.name] = stmt
+        return stmt
+
+    def run_agents_once(self) -> dict[str, dict]:
+        """Run every registered agent's monitor; execute THEN actions
+        for unhealthy models, publish alerts to the bus."""
+        results: dict[str, dict] = {}
+        for name, agent in self.agents.items():
+            res = self._monitor(agent.monitor, bus=self.bus)
+            results[name] = res
+            if not res["healthy"] and agent.action:
+                self.execute(agent.action)
+        # deliver any alert events to WHEN-rules
+        if self._bus is not None and self._bus._published:
+            self._bus.dispatch_batch()
+        return results
 
     # -- CREATE FEATURE TRANSFORMER ------------------------------------------
     def _feature_transformer(self, stmt: ir.FeatureTransformer) -> DataFrame:

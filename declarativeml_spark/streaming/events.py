@@ -101,7 +101,13 @@ class EventBus:
         Returns per-subscription matched-row counts. Used directly for
         batch logs and from foreachBatch for streams.
         """
-        df = events if events is not None else self.published_df()
+        if events is not None:
+            df = events
+        else:
+            # internal log is a queue: each dispatch consumes it so a
+            # later dispatch doesn't re-fire rules on old events
+            df = self.published_df()
+            self._published = []
         counts: dict[str, int] = {}
         for i, sub in enumerate(self.subscriptions):
             matched = df.filter(F.col("event_type").like(sub.pattern))

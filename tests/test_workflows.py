@@ -1,0 +1,104 @@
+"""WHEN…THEN rules, CREATE AGENT, and the CLI."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from declarativeml_spark.dsl import parse
+from declarativeml_spark.dsl.ir import Agent, WhenRule
+from declarativeml_spark.engine import Engine
+from declarativeml_spark.sources.catalog import register_views
+
+
+def test_parse_when_event_form():
+    r = parse(
+        "WHEN EVENT 'data.drift' WHERE get_json_object(payload, '$.model') = 'churn' "
+        "THEN RETRAIN MODEL churn"
+    )
+    assert isinstance(r, WhenRule)
+    assert r.event_pattern == "data.drift"
+    assert "churn" in r.payload_predicate
+    assert r.action == "RETRAIN MODEL churn"
+
+
+def test_parse_when_metric_sugar():
+    r = parse("WHEN model_metrics.accuracy < 0.85 THEN RETRAIN MODEL churn")
+    assert r.event_pattern == "model.metrics"
+    assert "accuracy" in r.payload_predicate and "< 0.85" in r.payload_predicate
+
+
+def test_when_action_validated_at_parse_time():
+    with pytest.raises(ValueError):
+        parse("WHEN EVENT 'x' THEN NOT A STATEMENT")
+
+
+def test_parse_agent():
+    a = parse(
+        "CREATE AGENT guard MONITOR MODEL churn ON orders CHECK (accuracy > 0.8) "
+        "EVERY 1 hour THEN RETRAIN MODEL churn"
+    )
+    assert isinstance(a, Agent)
+    assert a.name == "guard"
+    assert a.monitor.model == "churn"
+    assert a.monitor.every == 1 and a.monitor.every_unit == "hour"
+    assert a.action == "RETRAIN MODEL churn"
+
+
+@pytest.fixture(scope="module")
+def engine(spark, smoke_dir, tmp_path_factory):
+    register_views(spark, smoke_dir)
+    spark.sql(
+        "SELECT *, CAST(o_totalprice > 150000 AS INT) AS expensive FROM orders"
+    ).createOrReplaceTempView("orders_labeled")
+    eng = Engine(spark, model_dir=str(tmp_path_factory.mktemp("wf_models")))
+    eng.execute(
+        "TRAIN MODEL wf_clf USING logistic_regression(max_iter=5) "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice)"
+    )
+    return eng
+
+
+def test_when_rule_fires_action(engine):
+    engine.execute("WHEN EVENT 'model.drift' THEN RETRAIN MODEL wf_clf")
+    v_before = engine._model_meta("wf_clf")["version"]
+    engine.bus.publish("model.drift", {"model": "wf_clf"})
+    engine.bus.dispatch_batch()
+    assert engine._model_meta("wf_clf")["version"] == v_before + 1
+
+
+def test_agent_runs_action_on_unhealthy(engine):
+    engine.execute(
+        "CREATE AGENT strict MONITOR MODEL wf_clf ON orders_labeled "
+        "CHECK (accuracy > 0.999999) THEN RETRAIN MODEL wf_clf"
+    )
+    v_before = engine._model_meta("wf_clf")["version"]
+    results = engine.run_agents_once()
+    assert results["strict"]["healthy"] is False
+    assert engine._model_meta("wf_clf")["version"] == v_before + 1
+
+
+def test_cli_plan_mode():
+    out = subprocess.run(
+        [sys.executable, "-m", "declarativeml_spark.cli"],
+        input="TRAIN MODEL m USING logistic_regression FROM t PREDICT y WITH FEATURES(x)",
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0
+    plan = json.loads(out.stdout)
+    assert plan["name"] == "m" and plan["algorithm"] == "logistic_regression"
+
+
+def test_cli_error_contract():
+    out = subprocess.run(
+        [sys.executable, "-m", "declarativeml_spark.cli"],
+        input="TRAIN MODEL",
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 1
+    assert "error:" in out.stderr
