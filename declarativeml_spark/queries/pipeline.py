@@ -220,8 +220,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is the manual fallback. This is the canonical 100 TB dedup.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.expr(_TOKS_S).alias("toks")).select(
-        "doc_id", F.expr(_SHINGLES_S).alias("shingles")
+    # shingle sets appear on 4 plan branches (both band-join sides +
+    # both verify joins); persist so tokenize+shingle+minhash runs
+    # once per doc, not 4× (at 100 TB: materialize a signatures table)
+    sh = (
+        docs.select("doc_id", F.expr(_TOKS_S).alias("toks"))
+        .select("doc_id", F.expr(_SHINGLES_S).alias("shingles"))
+        .persist()
     )
     sigs = sh.select(
         "doc_id",
@@ -231,6 +236,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(_N_MINHASH)
         ],
     )
+    sigs = sigs.persist()
     bands = sigs.select(
         "doc_id",
         F.posexplode(
@@ -293,9 +299,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket); unblocked similarity joins don't scale and aren't run.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "source", "lang", F.expr(_TOKS_S).alias("toks")
-    ).select("doc_id", "source", "lang", F.expr(_SHINGLES_S).alias("shingles"))
+    # persist: the shingle computation feeds both join sides
+    sh = (
+        docs.select("doc_id", "source", "lang", F.expr(_TOKS_S).alias("toks"))
+        .select("doc_id", "source", "lang", F.expr(_SHINGLES_S).alias("shingles"))
+        .persist()
+    )
     a = sh.select(
         F.col("doc_id").alias("id_a"),
         F.col("source").alias("src"),
