@@ -58,6 +58,15 @@ class CheckpointOption:
 
 
 @dataclass
+class FallbackOption:
+    """``WITH FALLBACK (ON err RETRY WITH params, ...) MAX RETRIES n``
+    (reference DSL.md:372-383)."""
+
+    retries: List[Tuple[str, List[Tuple[str, Any]]]]  # (error_kind, overrides)
+    max_retries: int = 1
+
+
+@dataclass
 class TrainModel:
     """IR for ``TRAIN MODEL`` statements."""
 
@@ -74,6 +83,25 @@ class TrainModel:
     stop_condition: Optional[str] = None
     balance_method: Optional[str] = None
     checkpoint: Optional[CheckpointOption] = None
+    fallback: Optional[FallbackOption] = None
+
+
+@dataclass
+class ForecastModel:
+    """IR for ``TRAIN MODEL … FORECAST`` time-series statements
+    (reference DSL.md:297-313: seasonality, trend, time column)."""
+
+    name: str
+    algorithm: str
+    params: List[Tuple[str, Any]]
+    source: str
+    target: str
+    time_column: str
+    horizon: int = 7
+    seasonal: Optional[str] = None  # e.g. 'weekday'
+    trend: Optional[str] = None  # e.g. 'linear'
+    lags: List[int] = field(default_factory=lambda: [1, 7])
+    source_is_identifier: bool = True
 
 
 @dataclass
@@ -160,6 +188,17 @@ class MonitorModel:
     checks: List[str] = field(default_factory=list)  # condition strings
     every: Optional[int] = None
     every_unit: Optional[str] = None
+    source_is_identifier: bool = True
+
+
+@dataclass
+class ExplainPrediction:
+    """IR for ``EXPLAIN PREDICTION FOR MODEL m FROM src [TOP n
+    FEATURES]`` (reference DSL.md:341-344)."""
+
+    model: str
+    source: str
+    top_k: int = 3
     source_is_identifier: bool = True
 
 

@@ -178,8 +178,17 @@ class _Parser:
             name = self.expect_name("parameter name")
             self.expect_op("=")
             params.append((name, self.parse_value()))
-            if not self.accept_op(","):
+            # consume a comma only if a `name =` follows — an unparenthesized
+            # param list (FALLBACK retries) ends at ", ON ..."
+            if not (
+                self.peek().kind == "OP"
+                and self.peek().value == ","
+                and self.peek(1).kind == "NAME"
+                and self.peek(2).kind == "OP"
+                and self.peek(2).value == "="
+            ):
                 break
+            self.advance()
         return params
 
     # -- source clause (raw text slice) ---------------------------------
@@ -212,9 +221,11 @@ class _Parser:
             params = self.parse_param_list()
             self.expect_op(")")
         self.expect_keyword("FROM")
-        source = self.capture_source_until("PREDICT")
+        source = self.capture_source_until("PREDICT", "FORECAST")
         if not source:
             raise ValueError("Training data source clause cannot be empty")
+        if self.at_keyword("FORECAST"):
+            return self.parse_forecast_tail(name, algorithm, params, source)
         self.expect_keyword("PREDICT")
         target = self.expect_name("target column")
         self.expect_keyword("WITH")
@@ -299,8 +310,103 @@ class _Parser:
                 if self.peek().kind == "NAME":
                     unit = self.advance().value
                 model.checkpoint = ir.CheckpointOption(interval=interval, unit=unit)
+            elif self.at_keyword("WITH"):
+                # WITH FALLBACK (ON err RETRY WITH p=v, ...) MAX RETRIES n
+                self.advance()
+                self.expect_keyword("FALLBACK")
+                self.expect_op("(")
+                retries: list[tuple[str, list]] = []
+                while True:
+                    self.expect_keyword("ON")
+                    err = self.expect_name("error kind")
+                    self.expect_keyword("RETRY")
+                    self.expect_keyword("WITH")
+                    overrides = self.parse_param_list()
+                    retries.append((err, overrides))
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                max_retries = 1
+                if self.at_keyword("MAX"):
+                    self.advance()
+                    self.expect_keyword("RETRIES")
+                    max_retries = _require_positive_int(
+                        self.parse_value(), "max retries"
+                    )
+                model.fallback = ir.FallbackOption(
+                    retries=retries, max_retries=max_retries
+                )
             else:
                 return
+
+    # -- TRAIN ... FORECAST tail (time series, DSL.md:297-313) -----------------
+    def parse_forecast_tail(
+        self, name: str, algorithm: str, params: list, source: str
+    ) -> ir.ForecastModel:
+        self.expect_keyword("FORECAST")
+        target = self.expect_name("forecast target")
+        self.expect_keyword("WITH")
+        self.expect_keyword("TIME")
+        self.expect_keyword("COLUMN")
+        time_column = self.expect_name("time column")
+        horizon = 7
+        seasonal = None
+        trend = None
+        lags = [1, 7]
+        while self.peek().kind != "EOF":
+            if self.at_keyword("HORIZON"):
+                self.advance()
+                horizon = _require_positive_int(self.parse_value(), "forecast horizon")
+            elif self.at_keyword("SEASONAL"):
+                self.advance()
+                seasonal = self.expect_name("seasonality")
+            elif self.at_keyword("TREND"):
+                self.advance()
+                trend = self.expect_name("trend type")
+            elif self.at_keyword("LAGS"):
+                self.advance()
+                raw = self.parse_list_literal()
+                lags = [_require_positive_int(v, "lag period") for v in raw]
+            else:
+                tok = self.peek()
+                raise DSLSyntaxError(f"Unexpected input {tok.value!r} at {tok.pos}")
+        return ir.ForecastModel(
+            name=name,
+            algorithm=algorithm,
+            params=params,
+            source=source,
+            target=target,
+            time_column=time_column,
+            horizon=horizon,
+            seasonal=seasonal,
+            trend=trend,
+            lags=lags,
+            source_is_identifier=is_identifier_source(source),
+        )
+
+    # -- EXPLAIN PREDICTION (DSL.md:341-344) -------------------------------------
+    def parse_explain(self) -> "ir.ExplainPrediction":
+        self.expect_keyword("EXPLAIN")
+        self.expect_keyword("PREDICTION")
+        self.expect_keyword("FOR")
+        self.expect_keyword("MODEL")
+        model = self.expect_name("model name")
+        self.expect_keyword("FROM")
+        source = self.capture_source_until("TOP")
+        if not source:
+            raise ValueError("Training data source clause cannot be empty")
+        top_k = 3
+        if self.at_keyword("TOP"):
+            self.advance()
+            top_k = _require_positive_int(self.parse_value(), "top feature count")
+            self.expect_keyword("FEATURES")
+        self.expect_eof()
+        return ir.ExplainPrediction(
+            model=model,
+            source=source,
+            top_k=top_k,
+            source_is_identifier=is_identifier_source(source),
+        )
 
     def parse_condition(self) -> str:
         """AND/OR chain of ``NAME op value`` comparisons → canonical text."""
@@ -787,6 +893,8 @@ def parse(text: str) -> Statement:
         return parser.parse_retrain()
     if tok.value == "WHEN":
         return parser.parse_when()
+    if tok.value == "EXPLAIN":
+        return parser.parse_explain()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, or WHEN"

@@ -71,7 +71,36 @@ class Engine:
             return self._register_rule(stmt)
         if isinstance(stmt, ir.Agent):
             return self._register_agent(stmt)
+        if isinstance(stmt, ir.ForecastModel):
+            from declarativeml_spark.ml.forecast import train_forecast
+
+            trained, forecast_df = train_forecast(
+                self.spark, stmt, model_dir=self.model_dir
+            )
+            trained.forecast = forecast_df  # type: ignore[attr-defined]
+            return trained
+        if isinstance(stmt, ir.ExplainPrediction):
+            return self._explain(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
+
+    # -- EXPLAIN PREDICTION ----------------------------------------------------
+    def _explain(self, stmt: ir.ExplainPrediction) -> DataFrame:
+        from declarativeml_spark.ml.evaluate import explain_predictions
+        from declarativeml_spark.plans.builder import build_features
+
+        meta = self._model_meta(stmt.model)
+        if meta is None:
+            raise ValueError(f"No registered model named {stmt.model!r}")
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        df = build_features(df, meta["features"]).df
+        return explain_predictions(
+            self.spark,
+            stmt.model,
+            df,
+            feature_names=meta["features"],
+            top_k=stmt.top_k,
+            base=self.model_dir,
+        )
 
     # -- WHEN ... THEN <statement> ------------------------------------------
     def _register_rule(self, stmt: ir.WhenRule):

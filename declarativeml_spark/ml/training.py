@@ -165,6 +165,28 @@ def train(
         and stmt.validate.method in {"cv", "cross_validation", "kfold"}
     )
     checkpoints: list[int] = []
+
+    # WITH FALLBACK (DSL.md:372-383): on fit failure, retry with the
+    # declared param overrides, up to MAX RETRIES total attempts.
+    if stmt.fallback is not None:
+        attempts = 0
+        last_err: Optional[Exception] = None
+        retry_queue = list(stmt.fallback.retries)
+        while attempts <= stmt.fallback.max_retries:
+            try:
+                pipeline.fit(train_df.limit(1))  # cheap plan validation
+                break
+            except Exception as e:  # noqa: BLE001 - fallback is the contract
+                last_err = e
+                if not retry_queue or attempts == stmt.fallback.max_retries:
+                    raise
+                _, overrides = retry_queue.pop(0)
+                params = {**params, **dict(overrides)}
+                estimator = spec.build(params, **est_kwargs)
+                stages = stages[:-1] + [estimator]
+                pipeline = Pipeline(stages=stages)
+                attempts += 1
+
     if use_cv:
         folds = 3
         for key, value in stmt.validate.params or []:

@@ -1,0 +1,138 @@
+"""evaluate/compare/importance APIs, EXPLAIN PREDICTION, FALLBACK,
+and TRAIN ... FORECAST."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from declarativeml_spark.dsl import parse
+from declarativeml_spark.dsl.ir import ExplainPrediction, ForecastModel
+from declarativeml_spark.engine import Engine
+from declarativeml_spark.sources.catalog import register_views
+
+
+@pytest.fixture(scope="module")
+def engine(spark, smoke_dir, tmp_path_factory):
+    register_views(spark, smoke_dir)
+    spark.sql(
+        "SELECT *, CAST(o_totalprice > 150000 AS INT) AS expensive FROM orders"
+    ).createOrReplaceTempView("orders_labeled")
+    spark.sql(
+        """
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1
+        """
+    ).createOrReplaceTempView("daily_revenue")
+    eng = Engine(spark, model_dir=str(tmp_path_factory.mktemp("ef_models")))
+    eng.execute(
+        "TRAIN MODEL ef_lr USING logistic_regression(max_iter=10) "
+        "FROM orders_labeled PREDICT expensive "
+        "WITH FEATURES(o_totalprice, log(o_totalprice + 1))"
+    )
+    eng.execute(
+        "TRAIN MODEL ef_dt USING decision_tree(max_depth=4) "
+        "FROM orders_labeled PREDICT expensive "
+        "WITH FEATURES(o_totalprice, log(o_totalprice + 1))"
+    )
+    return eng
+
+
+def test_compare_models(engine, spark):
+    from declarativeml_spark.ml.evaluate import compare_models
+    from declarativeml_spark.plans.builder import build_features
+
+    df = build_features(
+        spark.table("orders_labeled"), ["o_totalprice", "log(o_totalprice + 1)"]
+    ).df
+    out = compare_models(
+        spark,
+        [
+            {"name": "ef_lr", "algorithm": "logistic_regression", "target": "expensive"},
+            {"name": "ef_dt", "algorithm": "decision_tree", "target": "expensive"},
+        ],
+        df,
+        "accuracy",
+        base=engine.model_dir,
+    )
+    rows = out.collect()
+    assert [r.rank for r in rows] == [1, 2]
+    assert rows[0].accuracy >= rows[1].accuracy
+
+
+def test_feature_importance(engine, spark):
+    from declarativeml_spark.ml.evaluate import feature_importance
+
+    out = feature_importance(
+        spark, "ef_dt", ["o_totalprice", "log(o_totalprice + 1)"], base=engine.model_dir
+    ).collect()
+    assert len(out) == 2
+    assert abs(sum(r.importance for r in out) - 1.0) < 1e-6  # tree importances sum to 1
+
+
+def test_explain_prediction_statement(engine):
+    stmt = parse("EXPLAIN PREDICTION FOR MODEL ef_lr FROM orders_labeled TOP 2 FEATURES")
+    assert isinstance(stmt, ExplainPrediction) and stmt.top_k == 2
+    out = engine.execute(
+        "EXPLAIN PREDICTION FOR MODEL ef_lr FROM orders_labeled TOP 2 FEATURES"
+    )
+    row = out.select("top_features").first()
+    assert len(row.top_features) == 2
+    # sorted by |contribution| descending
+    assert abs(row.top_features[0].contribution) >= abs(row.top_features[1].contribution)
+
+
+def test_fallback_parse_and_retry(engine):
+    m = parse(
+        "TRAIN MODEL fb USING logistic_regression(max_iter=10) FROM t PREDICT y "
+        "WITH FEATURES(x) "
+        "WITH FALLBACK (ON out_of_memory RETRY WITH max_iter=2, "
+        "ON convergence_failure RETRY WITH reg=0.5) MAX RETRIES 2"
+    )
+    assert m.fallback.max_retries == 2
+    assert m.fallback.retries[0] == ("out_of_memory", [("max_iter", 2)])
+    assert m.fallback.retries[1] == ("convergence_failure", [("reg", 0.5)])
+
+    # bad param crashes the first fit; fallback retries with an override
+    trained = engine.execute(
+        "TRAIN MODEL fb_ok USING logistic_regression(max_iter=-5) "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice) "
+        "WITH FALLBACK (ON invalid_param RETRY WITH max_iter=5) MAX RETRIES 1"
+    )
+    assert trained.metrics["accuracy"] > 0.9
+
+
+def test_forecast_parse_and_train(engine, spark):
+    stmt = parse(
+        "TRAIN MODEL rev_fc USING linear_regression FROM daily_revenue "
+        "FORECAST revenue WITH TIME COLUMN day "
+        "HORIZON 5 SEASONAL weekday TREND linear LAGS [1, 7]"
+    )
+    assert isinstance(stmt, ForecastModel)
+    assert stmt.horizon == 5 and stmt.seasonal == "weekday" and stmt.lags == [1, 7]
+
+    trained = engine.execute(
+        "TRAIN MODEL rev_fc USING linear_regression FROM daily_revenue "
+        "FORECAST revenue WITH TIME COLUMN day HORIZON 5 SEASONAL weekday TREND linear"
+    )
+    fc = trained.forecast.collect()
+    assert len(fc) == 5
+    assert [r.step for r in fc] == [1, 2, 3, 4, 5]
+    last_day = spark.table("daily_revenue").agg(F.max("day")).first()[0]
+    assert all(r.day > last_day for r in fc)
+    assert "rmse" in trained.metrics
+
+
+def test_forecast_prophet_alias(engine):
+    trained = engine.execute(
+        "TRAIN MODEL rev_fc2 USING prophet(max_iter=10) FROM daily_revenue "
+        "FORECAST revenue WITH TIME COLUMN day HORIZON 3"
+    )
+    assert len(trained.forecast.collect()) == 3
+
+
+def test_forecast_requires_regression(engine):
+    with pytest.raises(ValueError, match="regression"):
+        engine.execute(
+            "TRAIN MODEL bad_fc USING logistic_regression FROM daily_revenue "
+            "FORECAST revenue WITH TIME COLUMN day"
+        )
