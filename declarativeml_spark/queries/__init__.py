@@ -7,4 +7,5 @@ from declarativeml_spark.queries import (  # noqa: E402,F401
     pipeline,
     relational,
     relational2,
+    relational3,
 )

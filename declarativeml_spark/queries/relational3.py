@@ -1,0 +1,166 @@
+"""Third relational batch: grouping sets, regression aggregates,
+winnowing fingerprints, approx variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from declarativeml_spark.queries.registry import dsum, query, sql_dsum
+from declarativeml_spark.sources.catalog import load_table
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+           COUNT(*) AS n,
+           {sql_dsum('o_totalprice', 'revenue')}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((o_orderpriority), (c_mktsegment),
+                            (o_orderpriority, c_mktsegment))
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY §2.5 'free from Spark SQL').
+
+    Expressed via the SQL API — Catalyst expands to a single Expand +
+    hash-agg (one scan covers all three groupings).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        f"""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+               COUNT(*) AS n,
+               {sql_dsum('o_totalprice', 'revenue')}
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((o_orderpriority), (c_mktsegment),
+                                (o_orderpriority, c_mktsegment))
+        """
+    )
+
+
+@query(
+    "nation_price_trend",
+    oracle="""
+    WITH j AS (
+        SELECT n_name,
+               CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS day_x,
+               o_totalprice AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    ),
+    s AS (
+        SELECT n_name, COUNT(*) AS n,
+               CAST(SUM(CAST(day_x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(day_x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(day_x * day_x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        FROM j GROUP BY n_name
+    )
+    SELECT n_name, n AS n_orders,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_day
+    FROM s
+    """,
+)
+def nation_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS slope as a pure hash-agg (distributed regression
+    without a UDAF): closed-form slope from Σx, Σy, Σxy, Σx² —
+    aggregated through exact decimals so the result is
+    order-independent (double covar_pop would not hash-match).
+
+    Scale: single-pass partial aggregates; no sort, no per-group
+    collection. The applyInPandas alternative is tested against this
+    result in tests/test_udaf.py.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    day = (F.unix_timestamp("o_orderdate") / F.lit(86400)).cast("long").alias("day_x")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", day, F.col("o_totalprice").alias("y"))
+    )
+
+    def dec(col):
+        return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+    s = joined.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        dec(F.col("day_x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("day_x") * F.col("y")).alias("sxy"),
+        dec(F.col("day_x") * F.col("day_x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "n_name",
+        F.col("n").alias("n_orders"),
+        F.round(slope, 6).alias("slope_per_day"),
+    )
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=r"""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+                       ELSE list_transform(range(1, len(toks) - 2),
+                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))
+                  END AS grams
+           FROM d),
+    hashed AS (SELECT doc_id, list_transform(grams, g -> md5(g)) AS hs FROM sh)
+    SELECT doc_id,
+           list_sort(list_distinct(list_filter(hs, h -> h < '2'))) AS winnowed
+    FROM hashed
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprints: hash rolling word
+    4-grams, keep the deterministic low-hash sample (hex < '2' ≈ 1/8
+    of grams). Shared fingerprints across docs ⇒ copied passages.
+
+    Scale: per-row expression (no shuffle); the downstream
+    copy-detection join explodes only the sampled fingerprints —
+    ~1/8th of the gram volume — on a hash key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = r"split(trim(text), '\\s+')"
+    grams = (
+        f"CASE WHEN size({toks}) < 4 THEN array(concat_ws(' ', {toks})) "
+        f"ELSE transform(sequence(1, size({toks}) - 3), "
+        f"i -> concat_ws(' ', element_at({toks}, i), element_at({toks}, i + 1),"
+        f" element_at({toks}, i + 2), element_at({toks}, i + 3))) END"
+    )
+    winnowed = (
+        f"array_sort(array_distinct(filter(transform({grams}, g -> md5(g)),"
+        f" h -> h < '2')))"
+    )
+    return docs.select("doc_id", F.expr(winnowed).alias("winnowed"))
+
+
+@query("approx_distinct_parts")  # rows-only: approx results are engine-specific
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch surface: approx_count_distinct (HLL++) and
+    approx_percentile (t-digest class) — THE 100 TB forms of distinct
+    counting and quantiles. No oracle: sketch estimates are
+    engine-specific by design; the driver records a rows-only check,
+    and exact counterparts are oracle-checked elsewhere
+    (price_bucket_distribution, segment_price_percentiles).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
