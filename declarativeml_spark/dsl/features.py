@@ -110,6 +110,16 @@ class Group:
         return f"({self.inner.to_spark_sql()})"
 
 
+# DSL function names → Spark SQL equivalents (reference DSL.md:81
+# names DAYS_BETWEEN/CURRENT_DATE; arg-swapping handled below).
+_FUNCTION_ALIASES = {
+    "days_between": "datediff",  # DAYS_BETWEEN(a, b) == datediff(b, a)
+    "DAYS_BETWEEN": "datediff",
+    "CURRENT_DATE": "current_date",
+}
+_ARG_REVERSED = {"days_between", "DAYS_BETWEEN"}
+
+
 @dataclass(frozen=True)
 class Call:
     func: Identifier
@@ -125,9 +135,15 @@ class Call:
         # kwargs use Spark's named-argument syntax (name => value);
         # only functions that accept named args (or registered
         # kernels, resolved earlier in the plan builder) may use them.
-        parts = [a.to_spark_sql() for a in self.args]
+        name = self.func.render()
+        args = list(self.args)
+        if len(self.func.parts) == 1 and self.func.parts[0] in _FUNCTION_ALIASES:
+            if self.func.parts[0] in _ARG_REVERSED:
+                args = list(reversed(args))
+            name = _FUNCTION_ALIASES[self.func.parts[0]]
+        parts = [a.to_spark_sql() for a in args]
         parts += [f"{k} => {v.to_spark_sql()}" for k, v in self.kwargs]
-        return f"{self.func.render()}({', '.join(parts)})"
+        return f"{name}({', '.join(parts)})"
 
 
 FeatureExpr = Union[Identifier, NumberLit, StringLit, ListLit, BinOp, Neg, Group, Call]

@@ -192,6 +192,19 @@ class MonitorModel:
 
 
 @dataclass
+class RegisterAgent:
+    """IR for ``REGISTER AGENT`` (reference AGENTS.md:189-196):
+    catalog registration with capabilities, subscriptions, priority,
+    and resource limits."""
+
+    name: str
+    capabilities: List[str] = field(default_factory=list)
+    subscribe_to: Optional[str] = None
+    priority: Optional[int] = None
+    resource_limits: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
 class ExplainPrediction:
     """IR for ``EXPLAIN PREDICTION FOR MODEL m FROM src [TOP n
     FEATURES]`` (reference DSL.md:341-344)."""

@@ -822,6 +822,50 @@ class _Parser:
             time_column=time_column,
         )
 
+    # -- REGISTER AGENT (AGENTS.md:189-196) ---------------------------------------
+    def parse_register(self) -> ir.RegisterAgent:
+        self.expect_keyword("REGISTER")
+        self.expect_keyword("AGENT")
+        name = self.expect_name("agent name")
+        capabilities: list[str] = []
+        subscribe_to = None
+        priority = None
+        limits: dict = {}
+        while self.peek().kind != "EOF":
+            if self.at_keyword("WITH"):
+                self.advance()
+                self.expect_keyword("CAPABILITIES")
+                self.expect_op("(")
+                capabilities.append(self.expect_name("capability"))
+                while self.accept_op(","):
+                    capabilities.append(self.expect_name("capability"))
+                self.expect_op(")")
+            elif self.at_keyword("SUBSCRIBE"):
+                self.advance()
+                self.expect_keyword("TO")
+                tok = self.advance()
+                if tok.kind != "SQSTRING":
+                    raise DSLSyntaxError(
+                        f"Expected quoted pattern at {tok.pos}, got {tok.value!r}"
+                    )
+                subscribe_to = tok.value[1:-1].replace("''", "'")
+            elif self.at_keyword("PRIORITY"):
+                self.advance()
+                priority = _require_positive_int(self.parse_value(), "agent priority")
+            elif self.at_keyword("RESOURCE_LIMITS"):
+                self.advance()
+                limits = self.parse_dict_literal()
+            else:
+                tok = self.peek()
+                raise DSLSyntaxError(f"Unexpected input {tok.value!r} at {tok.pos}")
+        return ir.RegisterAgent(
+            name=name,
+            capabilities=capabilities,
+            subscribe_to=subscribe_to,
+            priority=priority,
+            resource_limits=limits,
+        )
+
     # -- EVALUATE MODEL -------------------------------------------------------
     def parse_evaluate(self) -> ir.EvaluateModel:
         self.expect_keyword("EVALUATE")
@@ -895,6 +939,8 @@ def parse(text: str) -> Statement:
         return parser.parse_when()
     if tok.value == "EXPLAIN":
         return parser.parse_explain()
+    if tok.value == "REGISTER":
+        return parser.parse_register()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, or WHEN"

@@ -81,7 +81,31 @@ class Engine:
             return trained
         if isinstance(stmt, ir.ExplainPrediction):
             return self._explain(stmt)
+        if isinstance(stmt, ir.RegisterAgent):
+            return self._register_agent_catalog(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
+
+    # -- REGISTER AGENT (catalog row + subscription, AGENTS.md:189-196) -------
+    def _register_agent_catalog(self, stmt: ir.RegisterAgent) -> dict:
+        from declarativeml_spark.ml.ensemble import _append_record
+
+        record = {
+            "name": stmt.name,
+            "algorithm": "agent",
+            "version": 1,
+            "capabilities": stmt.capabilities,
+            "subscribe_to": stmt.subscribe_to,
+            "priority": stmt.priority,
+            "resource_limits": stmt.resource_limits,
+            "status": "registered",
+        }
+        _append_record(self.model_dir, record)
+        if stmt.subscribe_to:
+            # matched events are recorded for the agent's queue
+            self.bus.subscribe(
+                stmt.subscribe_to, lambda df: None, name=f"agent:{stmt.name}"
+            )
+        return record
 
     # -- EXPLAIN PREDICTION ----------------------------------------------------
     def _explain(self, stmt: ir.ExplainPrediction) -> DataFrame:

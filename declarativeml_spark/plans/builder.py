@@ -48,7 +48,48 @@ def resolve_source(spark: SparkSession, source: str, is_identifier: bool) -> Dat
     if is_identifier:
         return spark.table(f"`{source}`")
     validate_source_fragment(source)
-    return spark.sql(f"SELECT * FROM {source}")
+    return spark.sql(f"SELECT * FROM {_to_spark_quoting(source)}")
+
+
+def _to_spark_quoting(fragment: str) -> str:
+    """Translate ANSI double-quoted identifiers to Spark backticks.
+
+    The DSL (like the reference's PostgreSQL target) quotes
+    identifiers with double quotes; in Spark SQL a double-quoted
+    token is a string literal. Single-quoted strings are preserved
+    untouched.
+    """
+    import re
+
+    out: list[str] = []
+    i = 0
+    n = len(fragment)
+    while i < n:
+        ch = fragment[i]
+        if ch == "'":  # skip single-quoted string ('' escapes)
+            j = i + 1
+            while j < n:
+                if fragment[j] == "'":
+                    if j + 1 < n and fragment[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(fragment[i : j + 1])
+            i = j + 1
+        elif ch == '"':
+            m = re.match(r'"((?:[^"]|"")+)"', fragment[i:])
+            if m:
+                ident = m.group(1).replace('""', '"').replace("`", "``")
+                out.append(f"`{ident}`")
+                i += m.end()
+            else:
+                out.append(ch)
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 @dataclass

@@ -119,6 +119,30 @@ class EventBus:
                 sub.handler(matched)
         return counts
 
+    def wait_for(
+        self,
+        pattern: str,
+        payload_predicate: Optional[str] = None,
+        timeout_s: float = 30.0,
+        poll_s: float = 0.5,
+    ) -> Optional[DataFrame]:
+        """WAIT FOR EVENT … WHERE … (reference AGENTS.md:131-132):
+        block until a matching event is published or timeout.
+
+        Polls the internal log without consuming it; returns the
+        matched slice, or None on timeout.
+        """
+        deadline = time.time() + timeout_s
+        while True:
+            df = self.published_df().filter(F.col("event_type").like(pattern))
+            if payload_predicate:
+                df = df.filter(F.expr(payload_predicate))
+            if df.count() > 0:
+                return df
+            if time.time() >= deadline:
+                return None
+            time.sleep(poll_s)
+
     def start_stream(self, events_stream: DataFrame, query_name: str = "event_rules"):
         """Attach the rule set to a streaming event source."""
 
