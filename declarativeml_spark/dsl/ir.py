@@ -192,6 +192,15 @@ class MonitorModel:
 
 
 @dataclass
+class PublishEvent:
+    """IR for ``PUBLISH EVENT type WITH PAYLOAD {json}``
+    (reference EXTENSIONS.md:194-210)."""
+
+    event_type: str
+    payload: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
 class RegisterAgent:
     """IR for ``REGISTER AGENT`` (reference AGENTS.md:189-196):
     catalog registration with capabilities, subscriptions, priority,

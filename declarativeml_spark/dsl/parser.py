@@ -822,6 +822,29 @@ class _Parser:
             time_column=time_column,
         )
 
+    # -- PUBLISH EVENT (EXTENSIONS.md:194-210) -----------------------------------
+    def parse_publish(self) -> ir.PublishEvent:
+        self.expect_keyword("PUBLISH")
+        self.expect_keyword("EVENT")
+        tok = self.advance()
+        if tok.kind == "SQSTRING":
+            event_type = tok.value[1:-1].replace("''", "'")
+        elif tok.kind == "NAME":
+            event_type = tok.value
+            while self.accept_op("."):
+                event_type += "." + self.expect_name("event type part")
+        else:
+            raise DSLSyntaxError(
+                f"Expected event type at {tok.pos}, got {tok.value!r}"
+            )
+        payload: dict = {}
+        if self.at_keyword("WITH"):
+            self.advance()
+            self.expect_keyword("PAYLOAD")
+            payload = self.parse_dict_literal()
+        self.expect_eof()
+        return ir.PublishEvent(event_type=event_type, payload=payload)
+
     # -- REGISTER AGENT (AGENTS.md:189-196) ---------------------------------------
     def parse_register(self) -> ir.RegisterAgent:
         self.expect_keyword("REGISTER")
@@ -941,6 +964,8 @@ def parse(text: str) -> Statement:
         return parser.parse_explain()
     if tok.value == "REGISTER":
         return parser.parse_register()
+    if tok.value == "PUBLISH":
+        return parser.parse_publish()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, or WHEN"

@@ -83,6 +83,10 @@ class Engine:
             return self._explain(stmt)
         if isinstance(stmt, ir.RegisterAgent):
             return self._register_agent_catalog(stmt)
+        if isinstance(stmt, ir.PublishEvent):
+            self.bus.publish(stmt.event_type, stmt.payload)
+            # deliver immediately so WHEN rules react in-session
+            return self.bus.dispatch_batch()
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
 
     # -- REGISTER AGENT (catalog row + subscription, AGENTS.md:189-196) -------

@@ -394,6 +394,41 @@ def embedding_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_lsh_bucketed")  # rows-only: LSH bucket boundaries are model-specific
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed similarity join — the 100 TB ANN scale path.
+
+    ``BucketedRandomProjectionLSH`` (seeded, deterministic) hashes
+    vectors into buckets; ``approxSimilarityJoin`` joins only
+    same-bucket candidates, turning the O(n²) pair space into a
+    hash-key equi-join. No oracle: bucket boundaries come from the
+    fitted model (engine-specific); the brute-force counterpart
+    (ann_topk_cosine) is the oracle-checked baseline.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"))
+    )
+    # embeddings are ~unit-norm (pairwise distances 1.05–1.7); 1.15
+    # keeps the closest ~0.5% of pairs, bucketLength ≈ distance scale
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=0.5, numHashTables=3, seed=42
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(emb, emb, threshold=1.15, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+            F.round("dist", 4).alias("euclidean_dist"),
+        )
+    )
+
+
 @query(
     "multimodal_byte_histogram",
     oracle="""

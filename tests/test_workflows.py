@@ -102,3 +102,19 @@ def test_cli_error_contract():
     )
     assert out.returncode == 1
     assert "error:" in out.stderr
+
+
+def test_publish_event_statement(engine):
+    from declarativeml_spark.dsl import parse
+    from declarativeml_spark.dsl.ir import PublishEvent
+
+    p = parse('PUBLISH EVENT training.epoch_complete WITH PAYLOAD {accuracy: 0.91, model: "m1"}')
+    assert isinstance(p, PublishEvent)
+    assert p.event_type == "training.epoch_complete"
+    assert p.payload == {"accuracy": 0.91, "model": "m1"}
+
+    # publish through the engine fires registered rules immediately
+    engine.execute("WHEN EVENT 'ops.%' THEN RETRAIN MODEL wf_clf")
+    v_before = engine._model_meta("wf_clf")["version"]
+    engine.execute("PUBLISH EVENT ops.manual_retrain WITH PAYLOAD {reason: \"test\"}")
+    assert engine._model_meta("wf_clf")["version"] == v_before + 1
