@@ -88,6 +88,7 @@ def decode_features(
     codec: str = "fake",
     bins: int = N_HISTOGRAM_BINS,
     batch_size: Optional[int] = None,
+    balance_partitions: Optional[int] = None,
 ) -> DataFrame:
     """Decode payloads to a feature vector via mapInPandas.
 
@@ -122,9 +123,12 @@ def decode_features(
                 feats.append(np.bincount(arr, minlength=bins).tolist())
             yield pd.DataFrame({"media_id": pdf[id_col], "features": feats})
 
-    # size-bucket repartition: balances skewed blob sizes across tasks
-    balanced = df.repartition(F.spark_partition_id(), F.length(payload_col) % 8)
-    return balanced.mapInPandas(batches, schema=out_schema)
+    # optional size-bucket repartition: worth one shuffle only when
+    # blob sizes are skewed enough (4K video vs thumbnails) that task
+    # balance beats the shuffle cost — off by default
+    if balance_partitions:
+        df = df.repartition(balance_partitions, F.length(payload_col) % 64)
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 def resize_image(

@@ -374,17 +374,22 @@ def embedding_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the block key only.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
+    # precompute the norm once per vector (not once per pair) — the
+    # expression dot/(na·nb) stays bitwise-identical to the oracle's
+    base = emb.withColumn("nrm", F.expr(_NORM_S.format(a="embedding")))
+    a = base.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("lbl"),
         F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    b = emb.select(
+    b = base.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("lbl"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
-    cos = F.expr(_cos_s("ea", "eb"))
+    cos = F.expr(_DOT_S.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "lbl")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -488,13 +493,18 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. The LSH-bucketed variant replaces the cross join when the
     query set itself is huge.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", F.expr(_NORM_S.format(a="embedding"))
     )
+    q = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.expr(_DOT_S.format(a="qe", b="embedding")) / (F.col("qn") * F.col("nrm"))
     scored = (
         emb.join(F.broadcast(q), emb.vec_id != q.qid)
-        .withColumn("cos", F.expr(_cos_s("qe", "embedding")))
+        .withColumn("cos", cos)
         .select("qid", F.col("vec_id").alias("nid"), "cos")
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
