@@ -399,6 +399,75 @@ def embedding_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clean_corpus_oracle() -> str:
+    hits = {lang: T.lang_hits_duck("toks", lang) for lang in T.LANG_ORDER}
+    hit_cols = {lang: f"h_{lang}" for lang in T.LANG_ORDER}
+    hit_select = ", ".join(f"{hits[lang]} AS h_{lang}" for lang in T.LANG_ORDER)
+    case = T.predicted_lang_case(hit_cols)
+    fp = T.FINGERPRINT_DUCK.format(text="text")
+    quality = T.quality_duck("toks", "text", "h_en")
+    return f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS_D} AS toks, {fp} AS fp FROM documents),
+    scored AS (SELECT doc_id, text, toks, fp, {hit_select} FROM d),
+    enriched AS (
+        SELECT doc_id, fp, len(toks) AS n_tokens,
+               {case} AS predicted_lang,
+               {quality} AS quality,
+               MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id
+        FROM scored
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, predicted_lang, quality
+    FROM enriched
+    WHERE doc_id = canonical_id          -- exact-dedup survivor
+      AND n_tokens >= 20                 -- length floor
+      AND quality >= 0.3                 -- quality floor
+    """
+
+
+@query("pipeline_clean_corpus", oracle=_clean_corpus_oracle())
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline composite: a full corpus-cleaning pass in ONE plan
+    — exact dedup (fingerprint window), language ID, token floor, and
+    quality floor fused into a single scan + one window shuffle.
+
+    Scale: this is the shape a 100 TB pre-training cleanup runs as —
+    per-row scoring stays in codegen, the only shuffle is the
+    fingerprint window for canonical selection (equivalently a
+    groupBy-min join), and every filter prunes before anything wide
+    happens downstream (near-dup LSH, tokenization for training).
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_S))
+    hit_cols = {}
+    for lang in T.LANG_ORDER:
+        col = f"h_{lang}"
+        docs = docs.withColumn(col, F.expr(T.lang_hits_spark("toks", lang)))
+        hit_cols[lang] = col
+    docs = (
+        docs.withColumn("fp", F.expr(T.FINGERPRINT_SPARK.format(text="text")))
+        .withColumn("n_tokens", F.size("toks"))
+        .withColumn("predicted_lang", F.expr(T.predicted_lang_case(hit_cols)))
+        .withColumn(
+            "quality",
+            F.expr(T.quality_spark("toks", "text", "h_en")),
+        )
+        .withColumn(
+            "canonical_id", F.min("doc_id").over(W.partitionBy("fp"))
+        )
+    )
+    return (
+        docs.filter(
+            (F.col("doc_id") == F.col("canonical_id"))
+            & (F.col("n_tokens") >= 20)
+            & (F.col("quality") >= 0.3)
+        ).select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "predicted_lang",
+            "quality",
+        )
+    )
+
+
 @query("ann_lsh_bucketed")  # rows-only: LSH bucket boundaries are model-specific
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed similarity join — the 100 TB ANN scale path.
