@@ -23,6 +23,7 @@ from declarativeml_spark.dsl.ir import (
     TrainModel,
     ValidationOption,
 )
+from declarativeml_spark.compile import compile_plan
 from declarativeml_spark.dsl.parser import parse
 
 __all__ = [
@@ -34,6 +35,7 @@ __all__ = [
     "BalanceOption",
     "CheckpointOption",
     "parse",
+    "compile_plan",
 ]
 
 __version__ = "0.1.0"

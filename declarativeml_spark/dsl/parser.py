@@ -822,6 +822,28 @@ class _Parser:
             time_column=time_column,
         )
 
+    # -- SUBSCRIBE TO 'pattern' EXECUTE <statement> (EXTENSIONS.md:213-224) -------
+    def parse_subscribe(self) -> ir.WhenRule:
+        self.expect_keyword("SUBSCRIBE")
+        self.expect_keyword("TO")
+        tok = self.advance()
+        if tok.kind != "SQSTRING":
+            raise DSLSyntaxError(
+                f"Expected quoted event pattern at {tok.pos}, got {tok.value!r}"
+            )
+        pattern = tok.value[1:-1].replace("''", "'")
+        self.expect_keyword("EXECUTE")
+        if self.at_keyword("PROCEDURE"):
+            self.advance()
+        tok = self.peek()
+        if tok.kind == "EOF":
+            raise DSLSyntaxError("Expected action statement after EXECUTE")
+        action = self.text[tok.pos :].strip()
+        while self.peek().kind != "EOF":
+            self.advance()
+        parse(action)
+        return ir.WhenRule(event_pattern=pattern, payload_predicate=None, action=action)
+
     # -- PUBLISH EVENT (EXTENSIONS.md:194-210) -----------------------------------
     def parse_publish(self) -> ir.PublishEvent:
         self.expect_keyword("PUBLISH")
@@ -966,6 +988,8 @@ def parse(text: str) -> Statement:
         return parser.parse_register()
     if tok.value == "PUBLISH":
         return parser.parse_publish()
+    if tok.value == "SUBSCRIBE":
+        return parser.parse_subscribe()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, or WHEN"

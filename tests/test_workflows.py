@@ -118,3 +118,39 @@ def test_publish_event_statement(engine):
     v_before = engine._model_meta("wf_clf")["version"]
     engine.execute("PUBLISH EVENT ops.manual_retrain WITH PAYLOAD {reason: \"test\"}")
     assert engine._model_meta("wf_clf")["version"] == v_before + 1
+
+
+def test_subscribe_statement(engine):
+    from declarativeml_spark.dsl import parse
+    from declarativeml_spark.dsl.ir import WhenRule
+
+    s = parse("SUBSCRIBE TO 'corpus.%' EXECUTE PROCEDURE RETRAIN MODEL wf_clf")
+    assert isinstance(s, WhenRule)
+    assert s.event_pattern == "corpus.%" and s.action == "RETRAIN MODEL wf_clf"
+
+    engine.execute("SUBSCRIBE TO 'ingest.%' EXECUTE RETRAIN MODEL wf_clf")
+    v_before = engine._model_meta("wf_clf")["version"]
+    engine.execute("PUBLISH EVENT ingest.batch_done")
+    assert engine._model_meta("wf_clf")["version"] == v_before + 1
+
+
+def test_compile_plan_api():
+    from declarativeml_spark import compile_plan
+
+    plan = compile_plan(
+        "TRAIN MODEL m USING logistic_regression(max_iter=10, reg=0.5) "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "PREDICT y WITH FEATURES(o_totalprice, scale(log(o_totalprice + 1))) "
+        "SPLIT DATA training=0.8, test=0.2 OPTIMIZE FOR f1"
+    )
+    assert plan["estimator"] == "LogisticRegression"
+    assert plan["estimator_params"] == {"maxIter": 10, "regParam": 0.5}
+    assert plan["source_mode"] == "sql_fragment"
+    assert plan["features_sql"] == [
+        "`o_totalprice`",
+        "scale(log(`o_totalprice` + 1))",
+    ]
+    assert plan["split"] == {"training": 0.8, "test": 0.2}
+
+    kplan = compile_plan("COMPUTE k FROM table(a, b) INTO column(c) USING vector_add")
+    assert kplan["kernel_registered"] is True
