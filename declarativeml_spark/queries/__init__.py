@@ -8,4 +8,5 @@ from declarativeml_spark.queries import (  # noqa: E402,F401
     relational,
     relational2,
     relational3,
+    relational4,
 )
