@@ -327,3 +327,86 @@ def q19_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(rev)
         .agg(dsum("rev", "revenue"), F.count("*").alias("n_lines"))
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_moving_avg_7d",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS day_rev
+        FROM orders GROUP BY order_day
+    )
+    SELECT order_day,
+           CAST(day_rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(day_rev) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS ma7
+    FROM daily
+    WINDOW w AS (ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def revenue_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame spec (SURVEY §2.6 'free from Spark'): 7-day moving
+    average of daily order revenue via ROWS BETWEEN 6 PRECEDING.
+
+    The frame sum runs over exact decimals on both engines so the
+    average is order-independent. Scale: the window is over the
+    *daily* aggregate (≤ a few thousand rows after a full map-side
+    partial agg of orders), so the single-partition sort the
+    unpartitioned window implies is on a tiny input; at 100 TB the
+    window would be partitioned by month/region first.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("day_rev"))
+    w = Window.orderBy("order_day").rowsBetween(-6, 0)
+    return daily.select(
+        "order_day",
+        F.col("day_rev").cast("double").alias("day_revenue"),
+        (F.sum("day_rev").over(w).cast("double") / F.count("*").over(w)).alias("ma7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_array_stats",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(len(embedding)) AS BIGINT) AS min_dim,
+           CAST(max(len(embedding)) AS BIGINT) AS max_dim,
+           round(min(list_min(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)))), 6) AS min_elem,
+           round(max(list_max(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)))), 6) AS max_elem,
+           CAST(SUM(CAST(len(list_filter(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)), x -> x > 0)) AS BIGINT)) AS BIGINT)
+             AS n_positive
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (SURVEY §2.8 'free from Spark'):
+    per-label element stats over array<float> columns via
+    transform/filter/array_min/array_max — all JVM-side, no UDF.
+
+    min/max are exact (no float accumulation); the positive-element
+    count is integral. Scale: one scan of the embeddings table, pure
+    hash-agg; the array lambdas run inside codegen.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min(F.size("embedding")).cast("long").alias("min_dim"),
+        F.max(F.size("embedding")).cast("long").alias("max_dim"),
+        F.round(F.min(F.expr(f"array_min({dbl})")), 6).alias("min_elem"),
+        F.round(F.max(F.expr(f"array_max({dbl})")), 6).alias("max_elem"),
+        F.sum(F.expr(f"size(filter({dbl}, x -> x > 0))").cast("long"))
+        .cast("long")
+        .alias("n_positive"),
+    )
