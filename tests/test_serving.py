@@ -1,0 +1,71 @@
+"""Streaming model serving: DEPLOY's endpoint analogue
+(reference: DSL.md:57-66 spec-only) — train a model, score a
+file-backed stream with it, and check the streamed predictions match
+batch scoring exactly.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from declarativeml_spark.engine import Engine
+from declarativeml_spark.sources.catalog import load_table, register_views
+from declarativeml_spark.streaming.serving import serve_model_stream
+
+
+@pytest.fixture(scope="module")
+def served(spark, smoke_dir, tmp_path_factory):
+    register_views(spark, smoke_dir)
+    spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               CAST(o_totalprice > 150000 AS INT) AS expensive
+        FROM orders
+        """
+    ).createOrReplaceTempView("orders_serve_src")
+    model_dir = str(tmp_path_factory.mktemp("serve_models"))
+    engine = Engine(spark, model_dir=model_dir)
+    engine.execute(
+        "TRAIN MODEL serve_clf USING logistic_regression(max_iter=10) "
+        "FROM orders_serve_src PREDICT expensive WITH FEATURES(o_totalprice)"
+    )
+    return engine, model_dir
+
+
+def test_stream_scoring_matches_batch(spark, smoke_dir, served, tmp_path):
+    engine, model_dir = served
+    # stage a file-backed stream of unseen rows
+    src = load_table(spark, smoke_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    stream_dir = str(tmp_path / "stream_in")
+    src.write.parquet(stream_dir)
+    stream_df = spark.readStream.schema(src.schema).parquet(stream_dir)
+
+    q = serve_model_stream(
+        spark,
+        "serve_clf",
+        stream_df,
+        features=["o_totalprice"],
+        base=model_dir,
+        query_name="served_preds",
+        once=True,
+    )
+    q.awaitTermination(120)
+
+    streamed = (
+        spark.table("served_preds")
+        .select("o_orderkey", F.col("prediction").alias("p_stream"))
+    )
+    batch = engine.execute(
+        "PREDICT USING MODEL serve_clf FROM orders_serve_src"
+    ).select("o_orderkey", F.col("prediction").alias("p_batch"))
+    joined = streamed.join(batch, "o_orderkey")
+    assert joined.count() == src.count()
+    assert joined.filter(F.col("p_stream") != F.col("p_batch")).count() == 0
+
+
+def test_serve_requires_streaming_df(spark, smoke_dir, served):
+    _, model_dir = served
+    batch_df = load_table(spark, smoke_dir, "orders")
+    with pytest.raises(ValueError, match="streaming"):
+        serve_model_stream(spark, "serve_clf", batch_df, base=model_dir)
