@@ -278,7 +278,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH d AS (SELECT doc_id, source, lang, {_TOKS_D} AS toks FROM documents),
-    sh AS (SELECT doc_id, source, lang, {_SHINGLES_D} AS shingles FROM d)
+    sh AS (SELECT doc_id, source, lang,
+                  list_transform({_SHINGLES_D}, s -> hash(s)) AS shingles
+           FROM d)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                  / (len(a.shingles) + len(b.shingles)
@@ -294,6 +296,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard: candidate pairs within a (source, lang)
     block, 3-gram Jaccard ≥ 0.15.
 
+    The (already-distinct) shingle sets are hashed to int64 before
+    the pairwise intersect — integer set intersection is ~2× cheaper
+    than string, and Jaccard depends only on set *sizes*, which
+    hashing preserves (each engine hashes its own side consistently;
+    a 64-bit collision within one pair's ~100-shingle union is
+    ~1e-15). At 100 TB the hashed form also shrinks the shuffled
+    payload ~5× vs raw 3-gram strings.
+
     Scale: blocking bounds the pair space to Σ block². At 100 TB the
     block key would be a cheap cluster id (simhash prefix / length
     bucket); unblocked similarity joins don't scale and aren't run.
@@ -302,7 +312,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the shingle computation feeds both join sides
     sh = (
         docs.select("doc_id", "source", "lang", F.expr(_TOKS_S).alias("toks"))
-        .select("doc_id", "source", "lang", F.expr(_SHINGLES_S).alias("shingles"))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.expr(
+                f"transform({_SHINGLES_S}, s -> xxhash64(s))"
+            ).alias("shingles"),
+        )
         .persist()
     )
     a = sh.select(
