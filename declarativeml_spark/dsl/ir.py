@@ -261,3 +261,58 @@ class RetrainModel:
     latest_unit: str = "days"
     time_column: Optional[str] = None
     rollback_ratio: float = 0.95  # keep old model if new metric < 95% of old
+
+
+@dataclass
+class Deduplicate:
+    """IR for ``DEDUPLICATE <source> USING <method>[(params)] [ON col]
+    [THRESHOLD f]`` — the north-star dedup operators exposed in the
+    reference's grammar family (SURVEY.md §7.5; the reference itself
+    has no dedup surface — this is beyond-parity).
+
+    Methods: ``exact`` (fingerprint groups), ``minhash`` (LSH banded
+    near-dup pairs), ``simhash`` (per-doc signature), ``ngram``
+    (blocked Jaccard pairs), ``embedding`` (blocked cosine pairs).
+    """
+
+    source: str
+    method: str
+    params: Dict[str, Any] = field(default_factory=dict)
+    column: Optional[str] = None
+    threshold: Optional[float] = None
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        allowed = {"exact", "minhash", "simhash", "ngram", "embedding"}
+        if self.method not in allowed:
+            raise ValueError(
+                f"Unknown dedup method {self.method!r};"
+                f" expected one of {sorted(allowed)}"
+            )
+        if self.threshold is not None and not (0.0 < self.threshold <= 1.0):
+            raise ValueError("THRESHOLD must be in (0, 1]")
+
+
+@dataclass
+class SimilaritySearch:
+    """IR for ``SEARCH SIMILAR <source> [USING method[(params)]]
+    [TOP k]`` — ANN over an embedding column (SURVEY.md §7.5).
+
+    Methods: ``cosine`` (brute-force top-k, the oracle-checkable
+    baseline) and ``lsh`` (bucketed scale path).
+    """
+
+    source: str
+    method: str = "cosine"
+    params: Dict[str, Any] = field(default_factory=dict)
+    k: int = 10
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        if self.method not in {"cosine", "lsh"}:
+            raise ValueError(
+                f"Unknown similarity method {self.method!r};"
+                " expected 'cosine' or 'lsh'"
+            )
+        if not isinstance(self.k, int) or isinstance(self.k, bool) or self.k <= 0:
+            raise ValueError("TOP must be a positive integer")

@@ -56,6 +56,8 @@ Statement = Union[
     ir.RetrainModel,
     ir.WhenRule,
     ir.Agent,
+    ir.Deduplicate,
+    ir.SimilaritySearch,
 ]
 
 
@@ -936,6 +938,73 @@ class _Parser:
             source_is_identifier=is_identifier_source(source),
         )
 
+    # -- DEDUPLICATE (beyond-parity: SURVEY §7.5) -------------------------
+    def parse_deduplicate(self) -> "ir.Deduplicate":
+        self.expect_keyword("DEDUPLICATE")
+        source = self.capture_source_until("USING")
+        if not source:
+            raise ValueError("DEDUPLICATE source cannot be empty")
+        self.expect_keyword("USING")
+        method = self.expect_name("dedup method")
+        params: list[tuple[str, Any]] = []
+        if self.accept_op("("):
+            params = self.parse_param_list()
+            self.expect_op(")")
+        column = None
+        threshold = None
+        while True:
+            if self.at_keyword("ON"):
+                self.advance()
+                column = self.expect_name("column name")
+            elif self.at_keyword("THRESHOLD"):
+                self.advance()
+                tok = self.advance()
+                if tok.kind != "NUMBER":
+                    raise ValueError("THRESHOLD must be a number in (0, 1]")
+                threshold = float(_to_number(tok.value))
+            else:
+                break
+        self.expect_eof()
+        return ir.Deduplicate(
+            source=source,
+            method=method.lower(),
+            params=dict(params),
+            column=column,
+            threshold=threshold,
+            source_is_identifier=is_identifier_source(source),
+        )
+
+    # -- SEARCH SIMILAR (beyond-parity: SURVEY §7.5) ----------------------
+    def parse_search(self) -> "ir.SimilaritySearch":
+        self.expect_keyword("SEARCH")
+        self.expect_keyword("SIMILAR")
+        source = self.capture_source_until("USING", "TOP")
+        if not source:
+            raise ValueError("SEARCH SIMILAR source cannot be empty")
+        method = "cosine"
+        params: list[tuple[str, Any]] = []
+        if self.at_keyword("USING"):
+            self.advance()
+            method = self.expect_name("similarity method").lower()
+            if self.accept_op("("):
+                params = self.parse_param_list()
+                self.expect_op(")")
+        k = 10
+        if self.at_keyword("TOP"):
+            self.advance()
+            tok = self.advance()
+            if tok.kind != "NUMBER":
+                raise ValueError("TOP must be a positive integer")
+            k = _require_positive_int(_to_number(tok.value), "TOP")
+        self.expect_eof()
+        return ir.SimilaritySearch(
+            source=source,
+            method=method,
+            params=dict(params),
+            k=k,
+            source_is_identifier=is_identifier_source(source),
+        )
+
 
 def _to_number(text: str) -> Union[int, float]:
     return float(text) if ("." in text or "e" in text or "E" in text) else int(text)
@@ -990,7 +1059,12 @@ def parse(text: str) -> Statement:
         return parser.parse_publish()
     if tok.value == "SUBSCRIBE":
         return parser.parse_subscribe()
+    if tok.value == "DEDUPLICATE":
+        return parser.parse_deduplicate()
+    if tok.value == "SEARCH":
+        return parser.parse_search()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
-        " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, or WHEN"
+        " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
+        " or SEARCH"
     )

@@ -87,7 +87,58 @@ class Engine:
             self.bus.publish(stmt.event_type, stmt.payload)
             # deliver immediately so WHEN rules react in-session
             return self.bus.dispatch_batch()
+        if isinstance(stmt, ir.Deduplicate):
+            return self._deduplicate(stmt)
+        if isinstance(stmt, ir.SimilaritySearch):
+            return self._similarity_search(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
+
+    # -- DEDUPLICATE / SEARCH SIMILAR (beyond-parity, SURVEY §7.5) ----------
+    def _deduplicate(self, stmt: ir.Deduplicate) -> DataFrame:
+        from declarativeml_spark.operators import dedup as D
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        p = dict(stmt.params)
+        text_col = stmt.column or p.pop("column", "text")
+        id_param = p.pop("id_col", None)
+        id_col = id_param or "doc_id"
+        if stmt.method == "exact":
+            return D.exact_duplicates(df, id_col=id_col, text_col=text_col)
+        if stmt.method == "simhash":
+            return D.simhash_signatures(df, id_col=id_col, text_col=text_col)
+        if stmt.method == "minhash":
+            return D.minhash_pairs(
+                df,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=stmt.threshold if stmt.threshold is not None else 0.5,
+                **p,
+            )
+        if stmt.method == "ngram":
+            return D.ngram_jaccard_pairs(
+                df,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=stmt.threshold if stmt.threshold is not None else 0.15,
+                **p,
+            )
+        # embedding near-dup: ON names the vector column
+        return D.embedding_pairs(
+            df,
+            id_col=id_param or "vec_id",
+            vec_col=stmt.column or "embedding",
+            threshold=stmt.threshold if stmt.threshold is not None else 0.35,
+            **p,
+        )
+
+    def _similarity_search(self, stmt: ir.SimilaritySearch) -> DataFrame:
+        from declarativeml_spark.operators import dedup as D
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        p = dict(stmt.params)
+        if stmt.method == "lsh":
+            return D.lsh_topk_pairs(df, **p)
+        return D.cosine_topk(df, k=stmt.k, **p)
 
     # -- REGISTER AGENT (catalog row + subscription, AGENTS.md:189-196) -------
     def _register_agent_catalog(self, stmt: ir.RegisterAgent) -> dict:

@@ -1,0 +1,291 @@
+"""DataFrame-level dedup / similarity operators backing the
+``DEDUPLICATE`` and ``SEARCH SIMILAR`` DSL statements.
+
+These are the same algorithms as the oracle-checked queries in
+``queries/pipeline.py`` (which remain the correctness gate),
+generalized to arbitrary input DataFrames / column names so the DSL
+can run them on any registered source. All expressions come from
+``operators/textops.py`` — one implementation of each primitive.
+
+Scale notes are on each function; the common rules: raw text/vectors
+never shuffle (only hashes/signatures do), pair spaces are always
+blocked or LSH-pruned, and everything stays in JVM codegen except
+where MLlib models are involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from declarativeml_spark.operators import textops as T
+
+
+def _toks(text_col: str) -> str:
+    return T.TOKENS_SPARK.format(text=text_col)
+
+
+def _shingles(text_col: str) -> str:
+    return T.SHINGLES_SPARK.format(toks=_toks(text_col))
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fingerprint groups: md5 of normalized text, min id canonical.
+
+    Scale: shuffles 16-byte fingerprints only.
+    """
+    return (
+        df.withColumn("fingerprint", F.expr(T.FINGERPRINT_SPARK.format(text=text_col)))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-row 16-bit SimHash (shuffle-free)."""
+    return df.select(
+        id_col,
+        F.expr(T.simhash_spark(f"array_distinct({_toks(text_col)})"))
+        .cast("long")
+        .alias("simhash"),
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_minhash: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle → minhash → band-bucket
+    equi-join → exact Jaccard verify ≥ threshold.
+
+    Scale: the candidate join shuffles (band_idx, band_key, id) only;
+    shingle sets join back just for the candidate set. Skewed band
+    keys (boilerplate) are handled by AQE skew-join.
+    """
+    if n_minhash % bands:
+        raise ValueError("n_minhash must be divisible by bands")
+    rows_per_band = n_minhash // bands
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), F.expr(_shingles(text_col)).alias("shingles"))
+        .persist()
+    )
+    sigs = sh.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.expr(T.minhash_spark("shingles", k)).alias(f"mh{k}")
+            for k in range(n_minhash)
+        ],
+    )
+    bands_df = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(
+                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = F.round(inter.cast("double") / (F.size("sa") + F.size("sb") - inter), 6)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_by: list[str] | None = None,
+    threshold: float = 0.15,
+) -> DataFrame:
+    """Blocked n-gram Jaccard pairs (hashed shingle sets; Jaccard
+    depends only on set sizes, which hashing preserves).
+
+    Scale: blocking bounds the pair space to Σ block²; unblocked
+    similarity joins don't scale and aren't offered.
+    """
+    block_by = block_by or ["source", "lang"]
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            *block_by,
+            F.expr(f"transform({_shingles(text_col)}, s -> xxhash64(s))").alias(
+                "shingles"
+            ),
+        )
+        .persist()
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), *block_by, F.col("shingles").alias("sa")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), *block_by, F.col("shingles").alias("sb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    return (
+        a.join(b, block_by)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate({a}, CAST(0.0 AS DOUBLE),"
+    " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+
+def embedding_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_by: str = "label",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold within a block
+    (the block id is the IVF coarse-cell stand-in).
+
+    Scale: per-vector norms precomputed once; join shuffles on the
+    block key only.
+    """
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(block_by).alias("blk"),
+        F.col(vec_col).alias("vec"),
+    ).withColumn("nrm", F.expr(_NORM.format(a="vec")))
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        "blk",
+        F.col("vec").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        "blk",
+        F.col("vec").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_mod: int = 97,
+) -> DataFrame:
+    """Brute-force cosine top-k: every ``query_mod``-th vector queries
+    the full table.
+
+    Scale: the query set (~1/query_mod of rows) broadcasts; scoring is
+    a per-partition map over the corpus; per-query top-k via window.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    base = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).withColumn("nrm", F.expr(_NORM.format(a="vec")))
+    q = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("vec").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.expr(_DOT.format(a="qe", b="vec")) / (F.col("qn") * F.col("nrm"))
+    scored = (
+        base.crossJoin(broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cos", cos)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round("cos", 6).alias("cosine"),
+            "rnk",
+        )
+    )
+
+
+def lsh_topk_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 1.15,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-bucketed similarity pairs — the ANN scale path
+    (``BucketedRandomProjectionLSH`` + ``approxSimilarityJoin``)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = df.select(
+        F.col(id_col).alias("vec_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("vec"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(emb, emb, threshold=threshold, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+            F.round("dist", 4).alias("euclidean_dist"),
+        )
+    )

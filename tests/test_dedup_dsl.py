@@ -1,0 +1,87 @@
+"""DEDUPLICATE / SEARCH SIMILAR DSL statements (SURVEY §7.5: the
+north-star pipeline operators exposed in the reference's grammar
+family). Each statement's result is cross-checked against the
+corresponding oracle-checked registered query, so the DSL path
+inherits the DuckDB-verified semantics.
+"""
+
+import pytest
+
+from declarativeml_spark.dsl import parse
+from declarativeml_spark.dsl import ir
+from declarativeml_spark.engine import Engine
+from declarativeml_spark.queries import QUERIES
+from declarativeml_spark.sources.catalog import register_views
+
+
+@pytest.fixture(scope="module")
+def engine(spark, smoke_dir):
+    register_views(spark, smoke_dir)
+    return Engine(spark)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_parse_deduplicate_forms():
+    d = parse("DEDUPLICATE documents USING minhash(bands=4) ON text THRESHOLD 0.5")
+    assert isinstance(d, ir.Deduplicate)
+    assert d.method == "minhash" and d.threshold == 0.5 and d.column == "text"
+    assert d.params == {"bands": 4}
+    s = parse("SEARCH SIMILAR embeddings USING cosine(query_mod=97) TOP 5")
+    assert isinstance(s, ir.SimilaritySearch)
+    assert s.k == 5 and s.params == {"query_mod": 97}
+    assert parse("SEARCH SIMILAR embeddings").method == "cosine"
+
+
+def test_parse_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="Unknown dedup method"):
+        parse("DEDUPLICATE documents USING bogus")
+    with pytest.raises(ValueError, match="positive integer"):
+        parse("SEARCH SIMILAR embeddings TOP 0")
+    with pytest.raises(ValueError, match="THRESHOLD"):
+        parse("DEDUPLICATE documents USING exact THRESHOLD 2.0")
+
+
+def test_dedup_exact_matches_query(engine, spark, smoke_dir):
+    dsl = engine.execute("DEDUPLICATE documents USING exact")
+    ref = QUERIES["dedup_exact"](spark, smoke_dir)
+    assert _rows(dsl) == _rows(ref)
+
+
+def test_dedup_minhash_matches_query(engine, spark, smoke_dir):
+    dsl = engine.execute("DEDUPLICATE documents USING minhash THRESHOLD 0.5")
+    ref = QUERIES["dedup_minhash_lsh"](spark, smoke_dir)
+    assert _rows(dsl) == _rows(ref)
+
+
+def test_dedup_ngram_matches_query(engine, spark, smoke_dir):
+    dsl = engine.execute(
+        'DEDUPLICATE documents USING ngram(block_by=["source", "lang"])'
+        " THRESHOLD 0.15"
+    )
+    ref = QUERIES["dedup_ngram_jaccard"](spark, smoke_dir)
+    assert _rows(dsl) == _rows(ref)
+
+
+def test_dedup_embedding_matches_query(engine, spark, smoke_dir):
+    dsl = engine.execute(
+        "DEDUPLICATE embeddings USING embedding ON embedding THRESHOLD 0.35"
+    )
+    ref = QUERIES["embedding_similarity_pairs"](spark, smoke_dir)
+    assert _rows(dsl) == _rows(ref)
+
+
+def test_search_similar_matches_query(engine, spark, smoke_dir):
+    dsl = engine.execute("SEARCH SIMILAR embeddings USING cosine TOP 10")
+    ref = QUERIES["ann_topk_cosine"](spark, smoke_dir)
+    assert _rows(dsl) == _rows(ref)
+
+
+def test_search_lsh_runs(engine):
+    out = engine.execute(
+        "SEARCH SIMILAR embeddings USING lsh(threshold=1.15, bucket_length=0.5)"
+    )
+    assert out.columns == ["id_a", "id_b", "euclidean_dist"]
+    assert out.count() >= 0
