@@ -9,4 +9,5 @@ from declarativeml_spark.queries import (  # noqa: E402,F401
     relational2,
     relational3,
     relational4,
+    relational5,
 )
