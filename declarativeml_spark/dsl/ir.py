@@ -299,7 +299,8 @@ class SimilaritySearch:
     [TOP k]`` — ANN over an embedding column (SURVEY.md §7.5).
 
     Methods: ``cosine`` (brute-force top-k, the oracle-checkable
-    baseline) and ``lsh`` (bucketed scale path).
+    baseline), ``lsh`` (bucketed scale path) and ``ivf`` (coarse-
+    quantizer cells scale path).
     """
 
     source: str
@@ -309,10 +310,10 @@ class SimilaritySearch:
     source_is_identifier: bool = True
 
     def __post_init__(self) -> None:
-        if self.method not in {"cosine", "lsh"}:
+        if self.method not in {"cosine", "lsh", "ivf"}:
             raise ValueError(
                 f"Unknown similarity method {self.method!r};"
-                " expected 'cosine' or 'lsh'"
+                " expected 'cosine', 'lsh' or 'ivf'"
             )
         if not isinstance(self.k, int) or isinstance(self.k, bool) or self.k <= 0:
             raise ValueError("TOP must be a positive integer")

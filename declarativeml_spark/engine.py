@@ -138,6 +138,8 @@ class Engine:
         p = dict(stmt.params)
         if stmt.method == "lsh":
             return D.lsh_topk_pairs(df, **p)
+        if stmt.method == "ivf":
+            return D.ivf_topk(df, k=stmt.k, **p)
         return D.cosine_topk(df, k=stmt.k, **p)
 
     # -- REGISTER AGENT (catalog row + subscription, AGENTS.md:189-196) -------

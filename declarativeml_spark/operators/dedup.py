@@ -254,6 +254,91 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_mod: int = 97,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF-Flat ANN top-k: seeded KMeans coarse quantizer, probe the
+    ``n_probe`` nearest cells per query, exact cosine within probed
+    cells.
+
+    Scale: the corpus is scanned once to assign cells (JVM-side model
+    transform) and NEVER shuffles for the search itself — the probe
+    set (|queries| × n_probe rows, each carrying one query vector)
+    broadcasts into the cell-keyed corpus join, so candidate scoring
+    is map-side. Only the scored candidates (≈ n_probe/n_cells of the
+    corpus per query) shuffle for the per-query top-k window. With
+    n_cells ~ √n this is the classic IVF cost: O(n·n_probe/n_cells)
+    distance evaluations per query instead of O(n).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    base = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .withColumn("nrm", F.expr(_NORM.format(a="vec")))
+        .withColumn("mlvec", array_to_vector("vec"))
+    )
+    km = KMeans(
+        k=n_cells,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="mlvec",
+        predictionCol="cell",
+    )
+    model = km.fit(base)
+    corpus = model.transform(base).select("vec_id", "vec", "nrm", "cell")
+    # Centroids are k×dim doubles — driver-side tiny, broadcast back.
+    cents = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = df.sparkSession.createDataFrame(cents, "cell INT, cvec ARRAY<DOUBLE>")
+    q = corpus.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("vec").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qe, cvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("cell"))
+    probes = (
+        q.crossJoin(broadcast(cent_df))
+        .withColumn("d2", d2)
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("qid", "qe", "qn", "cell")
+    )
+    cos = F.expr(_DOT.format(a="qe", b="vec")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        corpus.join(broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round("cos", 6).alias("cosine"),
+            "rnk",
+        )
+    )
+
+
 def lsh_topk_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -485,6 +485,24 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_topk")  # rows-only: k-means cell assignment is model-specific
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN top-k — the second similarity-search scale path
+    (coarse-quantizer cells instead of random projections).
+
+    Seeded KMeans partitions the corpus into cells; each query probes
+    its nearest cells and scores exact cosine only there (see
+    operators/dedup.py::ivf_topk for the no-corpus-shuffle plan). No
+    oracle: cell assignment comes from the fitted model; recall vs
+    the oracle-checked brute-force baseline (ann_topk_cosine) is
+    asserted in tests/test_dedup_dsl.py.
+    """
+    from declarativeml_spark.operators.dedup import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, n_cells=16, n_probe=4)
+
+
 @query("ann_lsh_bucketed")  # rows-only: LSH bucket boundaries are model-specific
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed similarity join — the 100 TB ANN scale path.

@@ -85,3 +85,22 @@ def test_search_lsh_runs(engine):
     )
     assert out.columns == ["id_a", "id_b", "euclidean_dist"]
     assert out.count() >= 0
+
+
+def test_search_ivf_recall_vs_brute_force(engine, spark, smoke_dir):
+    """IVF is approximate; assert per-query shape and that probing 4
+    of 16 cells recovers a solid fraction of the exact top-10 (the
+    plumbing breaks → recall collapses to ~n_probe/n_cells)."""
+    ivf = engine.execute("SEARCH SIMILAR embeddings USING ivf(n_cells=16, n_probe=4)")
+    assert ivf.columns == ["qid", "nid", "cosine", "rnk"]
+    exact = QUERIES["ann_topk_cosine"](spark, smoke_dir)
+    ivf_pairs = {(r.qid, r.nid) for r in ivf.collect()}
+    exact_pairs = {(r.qid, r.nid) for r in exact.collect()}
+    assert exact_pairs, "brute-force baseline returned no pairs"
+    recall = len(ivf_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall vs brute force too low: {recall:.3f}"
+    # every query returns at most k ranked neighbours, ranks contiguous
+    import collections
+
+    per_q = collections.Counter(q for q, _ in ivf_pairs)
+    assert max(per_q.values()) <= 10
