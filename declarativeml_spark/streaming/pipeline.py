@@ -1,0 +1,90 @@
+"""Streaming training-data-pipeline operators: continuous dedup and
+incremental time-bucket rollups.
+
+The reference's streaming surface is spec-only (events + agents,
+reference: EXTENSIONS.md:186-224, DISTRIBUTED.md:87-195); these are
+the beyond-parity pipeline operators (SURVEY.md §7.5) lifted onto
+Structured Streaming so a 100 TB corpus ingested continuously gets
+the same semantics as the batch operators in ``operators/dedup.py``.
+
+Scale notes:
+* Streaming dedup state is keyed by the 16-byte fingerprint, never
+  the document text; the watermark bounds state size to the late-data
+  horizon (without it, state grows with the corpus — refuse rather
+  than default).
+* The rollup is the hypertable continuous-aggregate analogue: a
+  watermarked tumbling-window agg in update mode. Partial aggregation
+  happens map-side per micro-batch; state per (window, key) only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from declarativeml_spark.operators import textops as T
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Continuous exact dedup: emit only the first document seen per
+    normalized-text fingerprint, with state bounded by ``watermark``.
+
+    Same fingerprint expression as the batch operator
+    (``operators/dedup.py::exact_duplicates``), so a doc admitted by
+    the stream is exactly the doc the batch path would canonicalize.
+    """
+    fp = F.expr(T.FINGERPRINT_SPARK.format(text=text_col))
+    return (
+        stream.withColumn("fingerprint", fp)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["fingerprint"])
+    )
+
+
+def streaming_rollup(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: Optional[str],
+    value_col: str,
+    bucket: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Incremental time-bucket rollup (continuous aggregate): count /
+    exact-decimal sum / min / max of ``value_col`` per tumbling
+    ``bucket`` (and optional key).
+
+    Late rows within ``watermark`` revise their bucket; older ones
+    are dropped deterministically. The bucket boundary is emitted as
+    an ISO string so downstream consumers (and the batch
+    ``events_hourly_stats`` oracle-checked query) compare cleanly.
+    """
+    win = F.window(F.col(ts_col), bucket)
+    keys = [win] + ([F.col(key_col)] if key_col else [])
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col(value_col).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("value_sum"),
+            F.min(value_col).alias("value_min"),
+            F.max(value_col).alias("value_max"),
+        )
+    )
+    cols = [
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_start"
+        )
+    ]
+    if key_col:
+        cols.append(F.col(key_col))
+    cols += ["n_rows", "value_sum", "value_min", "value_max"]
+    return agg.select(*cols)

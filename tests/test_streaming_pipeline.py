@@ -1,0 +1,80 @@
+"""Streaming pipeline operators: continuous dedup + incremental
+rollup, each cross-checked against its batch counterpart on the same
+staged data (the batch semantics are the oracle-checked ones)."""
+
+from pyspark.sql import functions as F
+
+from declarativeml_spark.operators.dedup import exact_duplicates
+from declarativeml_spark.sources.catalog import load_table
+from declarativeml_spark.streaming.pipeline import streaming_dedup, streaming_rollup
+
+
+def test_streaming_dedup_matches_batch_fingerprints(spark, smoke_dir, tmp_path):
+    src = str(tmp_path / "docs_src")
+    docs = (
+        load_table(spark, smoke_dir, "documents")
+        .limit(300)
+        .withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
+    )
+    docs.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_dedup(stream, ts_col="ts", text_col="text")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = spark.sql("SELECT fingerprint FROM dedup_sink")
+    batch = exact_duplicates(spark.read.parquet(src))
+    # one survivor per distinct fingerprint, same fingerprint universe
+    assert streamed.count() == batch.count()
+    got = {r.fingerprint for r in streamed.collect()}
+    want = {r.fingerprint for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_rollup_matches_batch(spark, smoke_dir, tmp_path):
+    src = str(tmp_path / "events_src")
+    load_table(spark, smoke_dir, "events").limit(500).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_rollup(
+        stream, ts_col="ts", key_col="event_type", value_col="value", bucket="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rollup_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = spark.sql(
+        "SELECT bucket_start, event_type, n_rows, value_sum FROM rollup_sink"
+    )
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(
+            F.date_format(
+                F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss"
+            ).alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("value_sum"),
+        )
+    )
+    got = sorted(tuple(r) for r in streamed.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
