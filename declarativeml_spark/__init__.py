@@ -26,6 +26,11 @@ from declarativeml_spark.dsl.ir import (
 from declarativeml_spark.compile import compile_plan
 from declarativeml_spark.dsl.parser import parse
 
+# Drop-in name parity with the reference's public API (reference:
+# dsl/__init__.py:3-5 exports ``compile_sql``): same compile step,
+# our executable artifact is a plan description rather than SQL text.
+compile_sql = compile_plan
+
 __all__ = [
     "TrainModel",
     "ComputeKernel",
@@ -36,6 +41,7 @@ __all__ = [
     "CheckpointOption",
     "parse",
     "compile_plan",
+    "compile_sql",
 ]
 
 __version__ = "0.1.0"

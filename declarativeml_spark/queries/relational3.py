@@ -45,6 +45,38 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_type_hour_cube",
+    oracle=f"""
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(hour(ts) AS INT), -1) AS hour_of_day,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY CUBE (event_type, hour(ts))
+    """,
+)
+def events_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day) — the remaining grouping
+    variant (SURVEY §2.5: ROLLUP/GROUPING SETS/CUBE 'free from Spark
+    SQL'). All four groupings come out of one Expand + hash-agg pass;
+    NULL grouping slots are disambiguated from data NULLs by COALESCE
+    sentinels on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.hour("ts").alias("hod"), "value")
+        .cube("event_type", "hod")
+        .agg(F.count("*").alias("n"), dsum("value", "total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hod").cast("int"), F.lit(-1)).alias("hour_of_day"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
     "nation_price_trend",
     oracle="""
     WITH j AS (

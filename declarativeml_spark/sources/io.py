@@ -35,6 +35,16 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar like parquet, same pushdown/pruning path."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (predicate pushdown + column pruning on re-read)."""
+    df.write.mode(mode).orc(path)
+
+
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
     """Delta Lake (requires delta jars — not in this environment)."""
     try:

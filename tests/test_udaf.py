@@ -74,6 +74,8 @@ def test_io_roundtrips(spark, smoke_dir, tmp_path):
     from declarativeml_spark.sources.io import (
         read_csv,
         read_json,
+        read_orc,
+        write_orc,
         write_partitioned_parquet,
     )
 
@@ -88,6 +90,9 @@ def test_io_roundtrips(spark, smoke_dir, tmp_path):
 
     assert read_csv(spark, csv_path, src.schema).count() == 25
     assert read_json(spark, json_path, src.schema).count() == 25
+    orc_path = str(tmp_path / "nation_orc")
+    write_orc(src, orc_path)
+    assert read_orc(spark, orc_path).count() == 25
     back = spark.read.parquet(pq_path)
     assert back.count() == 25
     # partition pruning: filter on the partition column reads 1 dir

@@ -154,3 +154,9 @@ def test_compile_plan_api():
 
     kplan = compile_plan("COMPUTE k FROM table(a, b) INTO column(c) USING vector_add")
     assert kplan["kernel_registered"] is True
+
+    # reference-name parity: compile_sql is the same compile step
+    # (reference dsl/__init__.py:3-5 exports parse + compile_sql)
+    from declarativeml_spark import compile_sql
+
+    assert compile_sql is compile_plan
