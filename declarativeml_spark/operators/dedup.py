@@ -21,6 +21,14 @@ from pyspark.sql import functions as F
 from declarativeml_spark.operators import textops as T
 
 
+def _sround(c, digits: int = 6):
+    """Half-up round in pure IEEE double ops — bit-identical across
+    engines and with the oracle-checked queries (see
+    ``textops.stable_round``)."""
+    p = float(10**digits)
+    return F.floor(c * F.lit(p) + F.lit(0.5)).cast("double") / F.lit(p)
+
+
 def _toks(text_col: str) -> str:
     return T.TOKENS_SPARK.format(text=text_col)
 
@@ -112,7 +120,7 @@ def minhash_pairs(
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
-    jac = F.round(inter.cast("double") / (F.size("sa") + F.size("sb") - inter), 6)
+    jac = _sround(inter.cast("double") / (F.size("sa") + F.size("sb") - inter))
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -157,7 +165,7 @@ def ngram_jaccard_pairs(
         a.join(b, block_by)
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .select("id_a", "id_b", _sround(jac).alias("jaccard"))
     )
 
 
@@ -207,7 +215,7 @@ def embedding_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .select("id_a", "id_b", _sround(F.col("cosine")).alias("cosine"))
     )
 
 
@@ -248,7 +256,7 @@ def cosine_topk(
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
-            F.round("cos", 6).alias("cosine"),
+            _sround(F.col("cos")).alias("cosine"),
             "rnk",
         )
     )
@@ -333,7 +341,7 @@ def ivf_topk(
         .select(
             "qid",
             F.col("vec_id").alias("nid"),
-            F.round("cos", 6).alias("cosine"),
+            _sround(F.col("cos")).alias("cosine"),
             "rnk",
         )
     )

@@ -143,19 +143,33 @@ def predicted_lang_case(hits_cols: dict[str, str]) -> str:
     return "CASE " + " ".join(clauses[:-1]) + f" ELSE '{LANG_ORDER[-1]}' END"
 
 
+def stable_round(expr: str, digits: int = 6) -> str:
+    """Half-up rounding in pure IEEE double arithmetic — bit-identical
+    between Spark and DuckDB. The engines' native ``round(x, n)``
+    disagree on last-ulp half boundaries (one rounds the exact binary
+    expansion, the other scales first), which shows up at sf0.1+ on
+    ratios whose denominators are powers of two. ``x*10^n + 0.5`` and
+    ``floor`` are each a single deterministic IEEE op, so this form
+    hashes identically on both engines. Same SQL text is valid in
+    both dialects.
+    """
+    p = 10**digits
+    return f"(CAST(floor(({expr}) * {p}.0 + 0.5) AS DOUBLE) / {p}.0)"
+
+
 # --- quality score -----------------------------------------------------------------
 # 0.4·min(1, tokens/100) + 0.3·(1 − min(1, |avg_len − 5|/10)) + 0.3·stopword_ratio
 def quality_spark(toks: str, text: str, en_hits: str) -> str:
-    return (
-        f"round(0.4 * least(1.0, size({toks}) / 100.0)"
+    return stable_round(
+        f"0.4 * least(1.0, size({toks}) / 100.0)"
         f" + 0.3 * (1.0 - least(1.0, abs(length({text}) / size({toks}) - 5.0) / 10.0))"
-        f" + 0.3 * ({en_hits} / CAST(size({toks}) AS DOUBLE)), 6)"
+        f" + 0.3 * ({en_hits} / CAST(size({toks}) AS DOUBLE))"
     )
 
 
 def quality_duck(toks: str, text: str, en_hits: str) -> str:
-    return (
-        f"round(0.4 * least(1.0, len({toks}) / 100.0)"
+    return stable_round(
+        f"0.4 * least(1.0, len({toks}) / 100.0)"
         f" + 0.3 * (1.0 - least(1.0, abs(length({text}) / len({toks}) - 5.0) / 10.0))"
-        f" + 0.3 * ({en_hits} / CAST(len({toks}) AS DOUBLE)), 6)"
+        f" + 0.3 * ({en_hits} / CAST(len({toks}) AS DOUBLE))"
     )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from declarativeml_spark.operators import textops as T
-from declarativeml_spark.queries.registry import query
+from declarativeml_spark.queries.registry import query, sql_sround, sround
 from declarativeml_spark.sources.catalog import load_table
 
 _TOKS_S = T.TOKENS_SPARK.format(text="text")
@@ -197,9 +197,11 @@ def _minhash_lsh_oracle(threshold: float = 0.5) -> str:
     ),
     scored AS (
         SELECT c.id_a, c.id_b,
-               round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-                     / (len(sa.shingles) + len(sb.shingles)
-                        - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+               {sql_sround(
+                   "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+                   " / (len(sa.shingles) + len(sb.shingles)"
+                   " - len(list_intersect(sa.shingles, sb.shingles)))"
+               )} AS jaccard
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.id_a
         JOIN sh sb ON sb.doc_id = c.id_b
@@ -262,8 +264,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
-    jac = F.round(
-        inter.cast("double") / (F.size("sa") + F.size("sb") - inter), 6
+    jac = sround(
+        inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
     ).alias("jaccard")
     return (
         cand.join(sa, "id_a")
@@ -282,9 +284,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                   list_transform({_SHINGLES_D}, s -> hash(s)) AS shingles
            FROM d)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / (len(a.shingles) + len(b.shingles)
-                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+           {sql_sround(
+               "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+               " / (len(a.shingles) + len(b.shingles)"
+               " - len(list_intersect(a.shingles, b.shingles)))"
+           )} AS jaccard
     FROM sh a JOIN sh b
       ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
@@ -340,7 +344,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["src", "lng"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(jac >= 0.15)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .select("id_a", "id_b", sround(jac).alias("jaccard"))
     )
 
 
@@ -376,7 +380,7 @@ def _cos_d(a: str, b: str) -> str:
     "embedding_similarity_pairs",
     oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_cos_d('a.embedding', 'b.embedding')}, 6) AS cosine
+           {sql_sround(_cos_d('a.embedding', 'b.embedding'))} AS cosine
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_cos_d('a.embedding', 'b.embedding')} >= 0.35
@@ -412,7 +416,7 @@ def embedding_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= 0.35)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .select("id_a", "id_b", sround("cosine").alias("cosine"))
     )
 
 
@@ -584,7 +588,7 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
         FROM scored
     )
-    SELECT qid, nid, round(cos, 6) AS cosine, rnk FROM ranked WHERE rnk <= 10
+    SELECT qid, nid, {sql_sround('cos')} AS cosine, rnk FROM ranked WHERE rnk <= 10
     """,
 )
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,5 +619,5 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
-        .select("qid", "nid", F.round("cos", 6).alias("cosine"), "rnk")
+        .select("qid", "nid", sround("cos").alias("cosine"), "rnk")
     )

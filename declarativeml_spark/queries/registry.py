@@ -53,7 +53,22 @@ def davg(col: Column | str, alias: str) -> Column:
     ).alias(alias)
 
 
+def sround(col: Column | str, digits: int = 6) -> Column:
+    """Half-up round in pure IEEE double ops — bit-identical across
+    Spark and DuckDB (see ``operators.textops.stable_round``; native
+    round() disagrees on last-ulp half boundaries)."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = float(10**digits)
+    return F.floor(c * F.lit(p) + F.lit(0.5)).cast("double") / F.lit(p)
+
+
 # SQL-side equivalents for oracle strings.
+def sql_sround(expr: str, digits: int = 6) -> str:
+    from declarativeml_spark.operators.textops import stable_round
+
+    return stable_round(expr, digits)
+
+
 def sql_dsum(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from declarativeml_spark.queries.registry import dsum, query, sql_dsum
+from declarativeml_spark.queries.registry import sql_sround, sround, dsum, query, sql_dsum
 from declarativeml_spark.sources.catalog import load_table
 
 
@@ -68,12 +68,12 @@ def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "segment_price_percentiles",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
-           round(min(o_totalprice), 4) AS min_price,
-           round(max(o_totalprice), 4) AS max_price
+           {sql_sround('quantile_cont(o_totalprice, 0.5)', 4)} AS median_price,
+           {sql_sround('quantile_cont(o_totalprice, 0.9)', 4)} AS p90_price,
+           {sql_sround('min(o_totalprice)', 4)} AS min_price,
+           {sql_sround('max(o_totalprice)', 4)} AS max_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -92,10 +92,10 @@ def segment_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
-            F.round(F.min("o_totalprice"), 4).alias("min_price"),
-            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+            sround(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            sround(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            sround(F.min("o_totalprice"), 4).alias("min_price"),
+            sround(F.max("o_totalprice"), 4).alias("max_price"),
         )
     )
 

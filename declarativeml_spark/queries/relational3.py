@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from declarativeml_spark.queries.registry import dsum, query, sql_dsum
+from declarativeml_spark.queries.registry import dsum, query, sql_dsum, sql_sround, sround
 from declarativeml_spark.sources.catalog import load_table
 
 
@@ -78,7 +78,7 @@ def events_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "nation_price_trend",
-    oracle="""
+    oracle=f"""
     WITH j AS (
         SELECT n_name,
                CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS day_x,
@@ -96,7 +96,7 @@ def events_type_hour_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM j GROUP BY n_name
     )
     SELECT n_name, n AS n_orders,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_day
+           {sql_sround('(n * sxy - sx * sy) / (n * sxx - sx * sx)')} AS slope_per_day
     FROM s
     """,
 )
@@ -136,7 +136,7 @@ def nation_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n_name",
         F.col("n").alias("n_orders"),
-        F.round(slope, 6).alias("slope_per_day"),
+        sround(slope).alias("slope_per_day"),
     )
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from declarativeml_spark.queries.registry import dsum, query, sql_dsum
+from declarativeml_spark.queries.registry import dsum, query, sql_dsum, sql_sround, sround
 from declarativeml_spark.sources.catalog import load_table
 
 
@@ -191,14 +191,16 @@ def q12_priority_shipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q14_promo_revenue_share",
-    oracle="""
+    oracle=f"""
     SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-           round(100.0
-                 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
-                                      THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
-                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(38,6))) AS DOUBLE), 6) AS promo_share
+           {sql_sround(
+               "100.0"
+               " * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'"
+               " THEN l_extendedprice * (1 - l_discount)"
+               " ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)"
+               " / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+               " AS DECIMAL(38,6))) AS DOUBLE)"
+           )} AS promo_share
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY ship_month
     """,
@@ -224,11 +226,10 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("ship_month")
         .agg(
-            F.round(
+            sround(
                 100.0
                 * F.sum(F.col("promo_rev").cast("decimal(38,6)")).cast("double")
-                / F.sum(F.col("rev").cast("decimal(38,6)")).cast("double"),
-                6,
+                / F.sum(F.col("rev").cast("decimal(38,6)")).cast("double")
             ).alias("promo_share")
         )
     )
@@ -374,15 +375,15 @@ def revenue_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "embedding_array_stats",
-    oracle="""
+    oracle=f"""
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_vecs,
            CAST(min(len(embedding)) AS BIGINT) AS min_dim,
            CAST(max(len(embedding)) AS BIGINT) AS max_dim,
-           round(min(list_min(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE)))), 6) AS min_elem,
-           round(max(list_max(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE)))), 6) AS max_elem,
+           {sql_sround("min(list_min(list_transform(embedding,"
+                       " x -> CAST(x AS DOUBLE))))")} AS min_elem,
+           {sql_sround("max(list_max(list_transform(embedding,"
+                       " x -> CAST(x AS DOUBLE))))")} AS max_elem,
            CAST(SUM(CAST(len(list_filter(list_transform(embedding,
                  x -> CAST(x AS DOUBLE)), x -> x > 0)) AS BIGINT)) AS BIGINT)
              AS n_positive
@@ -404,8 +405,8 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vecs"),
         F.min(F.size("embedding")).cast("long").alias("min_dim"),
         F.max(F.size("embedding")).cast("long").alias("max_dim"),
-        F.round(F.min(F.expr(f"array_min({dbl})")), 6).alias("min_elem"),
-        F.round(F.max(F.expr(f"array_max({dbl})")), 6).alias("max_elem"),
+        sround(F.min(F.expr(f"array_min({dbl})"))).alias("min_elem"),
+        sround(F.max(F.expr(f"array_max({dbl})"))).alias("max_elem"),
         F.sum(F.expr(f"size(filter({dbl}, x -> x > 0))").cast("long"))
         .cast("long")
         .alias("n_positive"),

@@ -19,20 +19,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from declarativeml_spark.queries.registry import dsum, query, sql_dsum
+from declarativeml_spark.queries.registry import dsum, query, sql_dsum, sql_sround, sround
 from declarativeml_spark.sources.catalog import load_table
 
 
 # ---------------------------------------------------------------------------
 @query(
     "q8_nation_market_share",
-    oracle="""
+    oracle=f"""
     SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-           round(CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_5'
-                          THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
-                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                          AS DECIMAL(38,6))) AS DOUBLE), 6) AS mkt_share
+           {sql_sround(
+               "CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_5'"
+               " THEN l_extendedprice * (1 - l_discount)"
+               " ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)"
+               " / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+               " AS DECIMAL(38,6))) AS DOUBLE)"
+           )} AS mkt_share
     FROM lineitem
     JOIN orders    ON l_orderkey = o_orderkey
     JOIN customer  ON o_custkey = c_custkey
@@ -82,10 +84,9 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_year")
         .agg(
-            F.round(
+            sround(
                 F.sum(F.col("nat_rev").cast("decimal(38,6)")).cast("double")
-                / F.sum(F.col("rev").cast("decimal(38,6)")).cast("double"),
-                6,
+                / F.sum(F.col("rev").cast("decimal(38,6)")).cast("double")
             ).alias("mkt_share")
         )
     )
