@@ -60,6 +60,53 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+@query(
+    "text_bpe_token_stats",
+    oracle=r"""
+    WITH d AS (SELECT doc_id, source,
+                      regexp_extract_all(text, '\w+|[^\w\s]') AS toks
+               FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_subwords,
+           CAST(SUM(len(list_filter(toks,
+                t -> NOT regexp_matches(t, '^\w')))) AS BIGINT) AS punct_tokens,
+           CAST(SUM(len(list_filter(toks,
+                t -> len(t) > 8))) AS BIGINT) AS long_tokens
+    FROM d GROUP BY source
+    """,
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: GPT-2-style pre-tokenizer regex
+    (word runs | single non-word-non-space) instead of whitespace
+    splitting — the token-budget estimator for an LLM data pipeline.
+
+    Scale: per-row regex + integer counts, shuffle carries one row
+    per source. Java and RE2 agree on ASCII \\w/\\s classes, so the
+    counts hash-match the oracle exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"
+    return (
+        docs.select(
+            "source",
+            F.expr(f"size({toks})").alias("n_toks"),
+            F.expr(
+                f"size(filter({toks}, t -> NOT (t rlike '^\\\\w')))"
+            ).alias("n_punct"),
+            F.expr(f"size(filter({toks}, t -> length(t) > 8))").alias("n_long"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_subwords"),
+            F.sum("n_punct").cast("long").alias("punct_tokens"),
+            F.sum("n_long").cast("long").alias("long_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 def _lang_confusion_oracle() -> str:
     hits = {
         lang: T.lang_hits_duck("toks", lang) for lang in T.LANG_ORDER

@@ -94,6 +94,41 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 @query(
+    "q6_discount_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6: forecast-revenue-change — single filtered scan,
+    single-row aggregate (completes the full set of 22 classic TPC-H
+    query shapes).
+
+    Scale: all three predicates push down to the parquet scan
+    (min/max row-group skipping on l_shipdate); the agg is a
+    map-side partial + 1-row final. Nothing shuffles but partials.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select((F.col("l_extendedprice") * F.col("l_discount")).alias("rev"))
+        .agg(dsum("rev", "revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
     "q9_product_profit",
     oracle=f"""
     SELECT n_name AS supp_nation,
