@@ -37,16 +37,22 @@ def main(argv: list[str] | None = None) -> int:
     else:
         text = sys.stdin.read()
 
-    from declarativeml_spark.dsl.parser import parse
+    from declarativeml_spark.dsl.parser import parse_script
 
     try:
-        stmt = parse(text)
+        stmts = parse_script(text)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    if not stmts:
+        print("error: empty input", file=sys.stderr)
+        return 1
 
     if not args.execute:
-        print(json.dumps(dataclasses.asdict(stmt), default=str, indent=2))
+        dumps = [dataclasses.asdict(s) for s in stmts]
+        print(
+            json.dumps(dumps[0] if len(dumps) == 1 else dumps, default=str, indent=2)
+        )
         return 0
 
     from declarativeml_spark.engine import Engine
@@ -55,26 +61,28 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("declarativeml-cli")
     register_views(spark, args.sf_dir)
+    engine = Engine(spark, model_dir=args.model_dir)
     try:
-        result = Engine(spark, model_dir=args.model_dir).execute(text)
+        results = engine.execute_script(text)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
 
     from pyspark.sql import DataFrame
 
-    if isinstance(result, DataFrame):
-        result.show(20, truncate=False)
-    elif dataclasses.is_dataclass(result) and not isinstance(result, type):
-        # shallow field dump: pipeline_model is a live JVM handle
-        d = {
-            f.name: getattr(result, f.name)
-            for f in dataclasses.fields(result)
-            if f.name != "pipeline_model"
-        }
-        print(json.dumps(d, default=str, indent=2))
-    else:
-        print(json.dumps(result, default=str, indent=2))
+    for result in results:
+        if isinstance(result, DataFrame):
+            result.show(20, truncate=False)
+        elif dataclasses.is_dataclass(result) and not isinstance(result, type):
+            # shallow field dump: pipeline_model is a live JVM handle
+            d = {
+                f.name: getattr(result, f.name)
+                for f in dataclasses.fields(result)
+                if f.name != "pipeline_model"
+            }
+            print(json.dumps(d, default=str, indent=2))
+        else:
+            print(json.dumps(result, default=str, indent=2))
     return 0
 
 

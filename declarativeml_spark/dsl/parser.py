@@ -131,6 +131,11 @@ class _Parser:
         if tok.kind == "DSTRING":
             self.advance()
             return json.loads(tok.value)
+        if tok.kind == "SQSTRING":
+            # reference DSL.md:62 writes config values single-quoted
+            # ('50ms'); '' unescapes to ' (reference: dsl/parser.py:135)
+            self.advance()
+            return tok.value[1:-1].replace("''", "'")
         if tok.kind == "OP" and tok.value == "[":
             return self.parse_list_literal()
         if tok.kind == "OP" and tok.value == "{":
@@ -1068,3 +1073,43 @@ def parse(text: str) -> Statement:
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
         " or SEARCH"
     )
+
+
+def split_statements(text: str) -> list[str]:
+    """Split a script into top-level statements on ``;``.
+
+    Quote-aware (semicolons inside single/double-quoted literals and
+    JSON payloads don't split) — the reference compiles one statement
+    per call (reference: dsl/cli.py:14-46) but its design docs write
+    multi-statement workflows (reference: DSL.md:123-144), so the
+    script form accepts both. The source-fragment injection guard
+    still rejects ``;`` *inside* a statement's FROM fragment, so a
+    top-level semicolon is unambiguous.
+    """
+    parts: list[str] = []
+    buf: list[str] = []
+    quote: str | None = None
+    for ch in text:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                parts.append(stmt)
+            buf = []
+        else:
+            buf.append(ch)
+    stmt = "".join(buf).strip()
+    if stmt:
+        parts.append(stmt)
+    return parts
+
+
+def parse_script(text: str) -> list[Statement]:
+    """Parse a multi-statement script (see ``split_statements``)."""
+    return [parse(stmt) for stmt in split_statements(text)]

@@ -35,6 +35,14 @@ class Engine:
             self._bus = EventBus(self.spark)
         return self._bus
 
+    def execute_script(self, text: str) -> list:
+        """Run a multi-statement script (``;``-separated, quote-aware
+        — see ``dsl.parser.split_statements``); returns one result per
+        statement, in order."""
+        from declarativeml_spark.dsl.parser import split_statements
+
+        return [self.execute(stmt) for stmt in split_statements(text)]
+
     def execute(self, text: str) -> Union[TrainedModel, DataFrame, dict]:
         stmt = parse(text)
         if isinstance(stmt, ir.TrainModel):

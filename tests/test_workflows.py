@@ -92,6 +92,46 @@ def test_cli_plan_mode():
     assert plan["name"] == "m" and plan["algorithm"] == "logistic_regression"
 
 
+def test_split_statements_quote_aware():
+    from declarativeml_spark.dsl.parser import parse_script, split_statements
+
+    script = (
+        "PUBLISH EVENT a WITH PAYLOAD {note: 'semi;colon'};\n"
+        "SEARCH SIMILAR embeddings TOP 3;"
+    )
+    parts = split_statements(script)
+    assert len(parts) == 2
+    assert "semi;colon" in parts[0]
+    kinds = [type(s).__name__ for s in parse_script(script)]
+    assert kinds == ["PublishEvent", "SimilaritySearch"]
+
+
+def test_execute_script_runs_statements_in_order(engine):
+    results = engine.execute_script(
+        "PUBLISH EVENT script.start WITH PAYLOAD {step: 1};"
+        "DEDUPLICATE documents USING exact"
+    )
+    assert len(results) == 2
+    assert results[1].columns == ["fingerprint", "n_docs", "canonical_id"]
+
+
+def test_cli_plan_mode_multi_statement():
+    out = subprocess.run(
+        [sys.executable, "-m", "declarativeml_spark.cli"],
+        input=(
+            "TRAIN MODEL m USING logistic_regression FROM t PREDICT y"
+            " WITH FEATURES(x); PUBLISH EVENT done WITH PAYLOAD {ok: 1}"
+        ),
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0
+    plans = json.loads(out.stdout)
+    assert isinstance(plans, list) and len(plans) == 2
+    assert plans[0]["name"] == "m" and plans[1]["event_type"] == "done"
+
+
 def test_cli_error_contract():
     out = subprocess.run(
         [sys.executable, "-m", "declarativeml_spark.cli"],
