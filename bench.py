@@ -38,6 +38,16 @@ def main() -> int:
     # first measured query doesn't absorb session startup.
     QUERIES[names[0]](spark, args.sf_dir).count()
 
+    # Warm the Python-worker/Arrow path (pandas+numpy import, worker
+    # spawn) so the one mapInPandas query isn't charged ~3s of
+    # session-level startup that every other query shape skips.
+    def _noop(it):
+        import numpy  # noqa: F401
+
+        yield from it
+
+    spark.range(32).repartition(32).mapInPandas(_noop, "id long").count()
+
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name]

@@ -298,6 +298,9 @@ def ivf_topk(
         )
         .withColumn("nrm", F.expr(_NORM.format(a="vec")))
         .withColumn("mlvec", array_to_vector("vec"))
+        # KMeans re-scans its input every iteration; persist so the
+        # parquet read + norm/vector projection happen once
+        .persist()
     )
     km = KMeans(
         k=n_cells,
@@ -373,7 +376,11 @@ def lsh_topk_pairs(
         seed=seed,
     )
     model = lsh.fit(emb)
-    pairs = model.approxSimilarityJoin(emb, emb, threshold=threshold, distCol="dist")
+    # pre-hash once + persist: both self-join sides reuse the
+    # projected buckets instead of re-transforming (see
+    # queries/pipeline.py::ann_lsh_bucketed)
+    hashed = model.transform(emb).persist()
+    pairs = model.approxSimilarityJoin(hashed, hashed, threshold=threshold, distCol="dist")
     return (
         pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(

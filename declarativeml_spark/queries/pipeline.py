@@ -578,7 +578,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="vec", outputCol="hashes", bucketLength=0.5, numHashTables=3, seed=42
     )
     model = lsh.fit(emb)
-    pairs = model.approxSimilarityJoin(emb, emb, threshold=1.15, distCol="dist")
+    # hash once, reuse for both join sides (approxSimilarityJoin
+    # transforms any side missing outputCol — pre-hashing + persist
+    # halves the projection work and skips the double parquet scan)
+    hashed = model.transform(emb).persist()
+    pairs = model.approxSimilarityJoin(hashed, hashed, threshold=1.15, distCol="dist")
     return (
         pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(
