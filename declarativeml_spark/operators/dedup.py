@@ -350,6 +350,41 @@ def ivf_topk(
     )
 
 
+def _lsh_proj_matrix(dim: int, num_tables: int, seed: int) -> list[list[float]]:
+    """Seeded Gaussian projection directions (driver-side constants).
+
+    numpy's RandomState stream is stable across platforms, so the
+    same (dim, num_tables, seed) always yields the same projections —
+    which is what lets the oracle SQL embed them as literals.
+    """
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((num_tables, dim)).tolist()
+
+
+def _proj_dot_spark(vec_sql: str, weights: list[float]) -> str:
+    """Spark-side ``v · w`` with literal weights: sequential left fold
+    via ``aggregate(zip_with(...))`` — a codegen loop (stays JIT-able
+    at any dim, unlike a fully unrolled sum) whose IEEE fold order
+    DuckDB's ``list_sum`` provably matches (see _DOT_S/_DOT_D in
+    queries/pipeline.py, hash-checked every round)."""
+    lits = ", ".join(repr(w) for w in weights)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({lits}), (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _proj_dot_duck(vec_sql: str, weights: list[float]) -> str:
+    """DuckDB twin of ``_proj_dot_spark`` (same fold order)."""
+    lits = ", ".join(repr(w) for w in weights)
+    return (
+        f"list_sum(list_transform(list_zip({vec_sql}, [{lits}]),"
+        " p -> p[1] * p[2]))"
+    )
+
+
 def lsh_topk_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -358,34 +393,110 @@ def lsh_topk_pairs(
     bucket_length: float = 0.5,
     num_hash_tables: int = 3,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """LSH-bucketed similarity pairs — the ANN scale path
-    (``BucketedRandomProjectionLSH`` + ``approxSimilarityJoin``)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    """LSH-bucketed similarity pairs — the ANN scale path, native.
 
-    emb = df.select(
+    Random-projection LSH expressed entirely in DataFrame ops: bucket
+    key per table is ``floor(v·r / bucketLength)`` with seeded
+    projection constants, candidates come from a (table, key)
+    equi-join, and the exact euclidean distance verifies each
+    candidate — all whole-stage codegen, no MLlib model or UDF.
+
+    Scale: the only shuffle keys are (table_idx, bucket_key, id);
+    vectors re-join just for the surviving candidate set. Every
+    arithmetic expression is unrolled left-associative so results are
+    bit-identical across engines (hash-checkable against DuckDB).
+    """
+    if dim is None:
+        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None:
+            raise ValueError("cannot infer vector dim from an empty DataFrame")
+        dim = int(probe["d"])
+    proj = _lsh_proj_matrix(dim, num_hash_tables, seed)
+    base = df.select(
         F.col(id_col).alias("vec_id"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("vec"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).persist()
+    keyed = base.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"CAST(FLOOR(({_proj_dot_spark('vec', proj[t])})"
+                        f" / {bucket_length!r}) AS BIGINT)"
+                    )
+                    for t in range(num_hash_tables)
+                ]
+            )
+        ).alias("tbl", "bkey"),
     )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="vec",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=seed,
+    a = keyed.select(F.col("vec_id").alias("id_a"), "tbl", "bkey")
+    b = keyed.select(F.col("vec_id").alias("id_b"), "tbl", "bkey")
+    cand = (
+        a.join(b, ["tbl", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    model = lsh.fit(emb)
-    # pre-hash once + persist: both self-join sides reuse the
-    # projected buckets instead of re-transforming (see
-    # queries/pipeline.py::ann_lsh_bucketed)
-    hashed = model.transform(emb).persist()
-    pairs = model.approxSimilarityJoin(hashed, hashed, threshold=threshold, distCol="dist")
+    ea = base.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("ea"))
+    eb = base.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("eb"))
+    dist = (
+        "SQRT(aggregate(zip_with(ea, eb, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
     return (
-        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
-        .select(
-            F.col("datasetA.vec_id").alias("id_a"),
-            F.col("datasetB.vec_id").alias("id_b"),
-            F.round("dist", 4).alias("euclidean_dist"),
-        )
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("dist", F.expr(dist))
+        .filter(F.col("dist") <= threshold)
+        .select("id_a", "id_b", _sround(F.col("dist"), 4).alias("euclidean_dist"))
     )
+
+
+def lsh_pairs_oracle_sql(
+    threshold: float = 1.15,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for ``lsh_topk_pairs`` — same projection
+    constants, same left-assoc fold order, so buckets, candidates and
+    distances are bit-identical."""
+    from declarativeml_spark.operators.textops import stable_round
+
+    proj = _lsh_proj_matrix(dim, num_hash_tables, seed)
+    keys = ",\n           ".join(
+        f"CAST(FLOOR(({_proj_dot_duck('vec', proj[t])})"
+        f" / {bucket_length!r}) AS BIGINT) AS k{t}"
+        for t in range(num_hash_tables)
+    )
+    case = " ".join(f"WHEN {t} THEN k{t}" for t in range(num_hash_tables))
+    values = ",".join(f"({t})" for t in range(num_hash_tables))
+    dist = (
+        "SQRT(list_sum(list_transform(list_zip(a.vec, b.vec),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2]))))"
+    )
+    return f"""
+    WITH base AS (SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS vec
+                  FROM {table}),
+    keyed AS (SELECT vec_id, vec,
+           {keys}
+           FROM base),
+    expl AS (SELECT vec_id, t.tbl, CASE t.tbl {case} END AS bkey
+             FROM keyed, (VALUES {values}) AS t(tbl)),
+    cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+             FROM expl x JOIN expl y
+               ON x.tbl = y.tbl AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+    scored AS (SELECT c.id_a, c.id_b, {dist} AS dist
+               FROM cand c
+               JOIN base a ON a.vec_id = c.id_a
+               JOIN base b ON b.vec_id = c.id_b)
+    SELECT id_a, id_b, {stable_round('dist', 4)} AS euclidean_dist
+    FROM scored WHERE dist <= {threshold!r}
+    """

@@ -554,42 +554,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, n_cells=16, n_probe=4)
 
 
-@query("ann_lsh_bucketed")  # rows-only: LSH bucket boundaries are model-specific
+def _lsh_oracle() -> str:
+    from declarativeml_spark.operators.dedup import lsh_pairs_oracle_sql
+
+    return lsh_pairs_oracle_sql(
+        threshold=1.15, bucket_length=0.5, num_hash_tables=3, seed=42, dim=64
+    )
+
+
+@query("ann_lsh_bucketed", oracle=_lsh_oracle())
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed similarity join — the 100 TB ANN scale path.
+    """LSH-bucketed similarity join — the 100 TB ANN scale path,
+    expressed natively (no MLlib model, no UDFs).
 
-    ``BucketedRandomProjectionLSH`` (seeded, deterministic) hashes
-    vectors into buckets; ``approxSimilarityJoin`` joins only
-    same-bucket candidates, turning the O(n²) pair space into a
-    hash-key equi-join. No oracle: bucket boundaries come from the
-    fitted model (engine-specific); the brute-force counterpart
-    (ann_topk_cosine) is the oracle-checked baseline.
+    Seeded Gaussian projections hash each vector into
+    ``floor(v·r / bucketLength)`` buckets per hash table; candidates
+    come from a (table, bucket) equi-join; the exact euclidean
+    distance verifies each candidate. Because the projections are
+    driver-side constants and every fold is left-associative, bucket
+    keys and distances are bit-identical in DuckDB — this scale path
+    is hash-checked, not just rows-only (see
+    operators/dedup.py::lsh_topk_pairs for the plan shape).
+
+    embeddings are ~unit-norm (pairwise distances 1.05–1.7); 1.15
+    keeps the closest ~0.5% of pairs, bucketLength ≈ distance scale.
     """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    from declarativeml_spark.operators.dedup import lsh_topk_pairs
 
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"))
-    )
-    # embeddings are ~unit-norm (pairwise distances 1.05–1.7); 1.15
-    # keeps the closest ~0.5% of pairs, bucketLength ≈ distance scale
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="vec", outputCol="hashes", bucketLength=0.5, numHashTables=3, seed=42
-    )
-    model = lsh.fit(emb)
-    # hash once, reuse for both join sides (approxSimilarityJoin
-    # transforms any side missing outputCol — pre-hashing + persist
-    # halves the projection work and skips the double parquet scan)
-    hashed = model.transform(emb).persist()
-    pairs = model.approxSimilarityJoin(hashed, hashed, threshold=1.15, distCol="dist")
-    return (
-        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
-        .select(
-            F.col("datasetA.vec_id").alias("id_a"),
-            F.col("datasetB.vec_id").alias("id_b"),
-            F.round("dist", 4).alias("euclidean_dist"),
-        )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk_pairs(
+        emb, threshold=1.15, bucket_length=0.5, num_hash_tables=3, seed=42, dim=64
     )
 
 
