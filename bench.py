@@ -40,13 +40,20 @@ def main() -> int:
 
     # Warm the Python-worker/Arrow path (pandas+numpy import, worker
     # spawn) so the one mapInPandas query isn't charged ~3s of
-    # session-level startup that every other query shape skips.
-    def _noop(it):
-        import numpy  # noqa: F401
+    # session-level startup that every other query shape skips. Only
+    # when a pandas-path query is actually selected.
+    if "multimodal_byte_histogram" in names:
 
-        yield from it
+        def _noop(it):
+            import numpy  # noqa: F401
 
-    spark.range(32).repartition(32).mapInPandas(_noop, "id long").count()
+            yield from it
+
+        spark.range(32).repartition(32).mapInPandas(_noop, "id long").count()
+
+    if args.warmup:
+        for name in names:
+            QUERIES[name](spark, args.sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -351,7 +351,14 @@ def ivf_topk(
 
 
 def _lsh_proj_matrix(dim: int, num_tables: int, seed: int) -> list[list[float]]:
-    """Seeded Gaussian projection directions (driver-side constants).
+    """Seeded *unit-norm* Gaussian projection directions (driver-side
+    constants).
+
+    Normalizing to unit length matches MLlib's
+    BucketedRandomProjectionLSH semantics: ``bucket_length`` is then
+    calibrated to the data's distance scale, not to ``sqrt(dim)``
+    (unnormalized projections make buckets ~8x finer at dim=64 and
+    halve recall — measured 48% vs 94% at sf0.01).
 
     numpy's RandomState stream is stable across platforms, so the
     same (dim, num_tables, seed) always yields the same projections —
@@ -360,7 +367,9 @@ def _lsh_proj_matrix(dim: int, num_tables: int, seed: int) -> list[list[float]]:
     import numpy as np
 
     rs = np.random.RandomState(seed)
-    return rs.standard_normal((num_tables, dim)).tolist()
+    m = rs.standard_normal((num_tables, dim))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return m.tolist()
 
 
 def _proj_dot_spark(vec_sql: str, weights: list[float]) -> str:
@@ -410,16 +419,39 @@ def lsh_topk_pairs(
     """
     if dim is None:
         probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        if probe is None:
-            raise ValueError("cannot infer vector dim from an empty DataFrame")
+        if probe is None or probe["d"] is None or probe["d"] < 0:
+            raise ValueError(
+                f"cannot infer vector dim from {vec_col!r} (empty input or"
+                " NULL first vector); pass dim= explicitly"
+            )
         dim = int(probe["d"])
     proj = _lsh_proj_matrix(dim, num_hash_tables, seed)
-    base = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    ).persist()
+    # rows whose vector length differs from `dim` would fold to a NULL
+    # bucket key (silently unjoinable) — and engines disagree on NULL
+    # propagation in list folds, so exclude them explicitly up front.
+    #
+    # repartition before persist: when one join side broadcasts, the
+    # streaming side's parallelism IS the input partitioning — a
+    # single-file corpus would otherwise run every candidate distance
+    # in one task (measured 23s -> ~2s at sf0.1). Never downsizes a
+    # big corpus (max with the existing partition count).
+    sc = df.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    base = (
+        df.filter(F.size(F.col(vec_col)) == dim)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .repartition(n_parts)
+        # persisted for the downstream uses (bucket keying on both
+        # join sides); released by Spark's LRU — callers running many
+        # statements per session can spark.catalog.clearCache()
+        .persist()
+    )
     keyed = base.select(
         "vec_id",
+        "vec",
         F.posexplode(
             F.array(
                 *[
@@ -432,26 +464,42 @@ def lsh_topk_pairs(
             )
         ).alias("tbl", "bkey"),
     )
-    a = keyed.select(F.col("vec_id").alias("id_a"), "tbl", "bkey")
-    b = keyed.select(F.col("vec_id").alias("id_b"), "tbl", "bkey")
-    cand = (
-        a.join(b, ["tbl", "bkey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # Vectors ride through the bucket join (one shuffle of n x tables
+    # rows), and the exact-distance filter runs BEFORE the pair-level
+    # distinct — so the wide candidate space only ever exists as
+    # (id, id, dist) tuples, never as shuffled vector pairs. Distance
+    # is bit-identical across a pair's duplicate bucket collisions
+    # (same left fold), so distinct-after is safe.
+    #
+    # Bucket keys are COARSE by construction (that's what makes them
+    # recall-friendly), so the join key space can be tiny and AQE
+    # would coalesce the candidate evaluation onto a few tasks. A
+    # deterministic salt (id mod S) on the probe side, replicated S
+    # ways on the build side, spreads each bucket's pair space across
+    # S tasks — the standard skew treatment, and a no-op for results.
+    n_salt = 32
+    a = keyed.select(
+        F.col("vec_id").alias("id_a"),
+        "tbl",
+        "bkey",
+        F.col("vec").alias("ea"),
+        F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int").alias("salt"),
     )
-    ea = base.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("ea"))
-    eb = base.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("eb"))
+    salts = df.sparkSession.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+    b = keyed.select(
+        F.col("vec_id").alias("id_b"), "tbl", "bkey", F.col("vec").alias("eb")
+    ).crossJoin(F.broadcast(salts))
     dist = (
         "SQRT(aggregate(zip_with(ea, eb, (x, y) -> (x - y) * (x - y)),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
     )
     return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
+        a.join(b, ["tbl", "bkey", "salt"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("dist", F.expr(dist))
         .filter(F.col("dist") <= threshold)
         .select("id_a", "id_b", _sround(F.col("dist"), 4).alias("euclidean_dist"))
+        .distinct()
     )
 
 
@@ -484,7 +532,7 @@ def lsh_pairs_oracle_sql(
     )
     return f"""
     WITH base AS (SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS vec
-                  FROM {table}),
+                  FROM {table} WHERE len({vec_col}) = {dim}),
     keyed AS (SELECT vec_id, vec,
            {keys}
            FROM base),

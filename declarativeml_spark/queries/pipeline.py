@@ -554,12 +554,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, n_cells=16, n_probe=4)
 
 
+# one source of truth for the registered LSH query AND its oracle —
+# editing either in isolation would silently desync the hash-check
+_LSH_PARAMS = dict(
+    threshold=1.15, bucket_length=0.5, num_hash_tables=3, seed=42, dim=64
+)
+
+
 def _lsh_oracle() -> str:
     from declarativeml_spark.operators.dedup import lsh_pairs_oracle_sql
 
-    return lsh_pairs_oracle_sql(
-        threshold=1.15, bucket_length=0.5, num_hash_tables=3, seed=42, dim=64
-    )
+    return lsh_pairs_oracle_sql(**_LSH_PARAMS)
 
 
 @query("ann_lsh_bucketed", oracle=_lsh_oracle())
@@ -582,9 +587,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from declarativeml_spark.operators.dedup import lsh_topk_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk_pairs(
-        emb, threshold=1.15, bucket_length=0.5, num_hash_tables=3, seed=42, dim=64
-    )
+    return lsh_topk_pairs(emb, **_LSH_PARAMS)
 
 
 @query(

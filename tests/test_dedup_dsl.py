@@ -79,12 +79,34 @@ def test_search_similar_matches_query(engine, spark, smoke_dir):
     assert _rows(dsl) == _rows(ref)
 
 
-def test_search_lsh_runs(engine):
+def test_search_lsh_recall_vs_brute_force(engine, spark, smoke_dir):
+    """LSH is approximate; assert it recovers most true near-pairs
+    (unnormalized projections once halved recall — this is the guard)."""
+    from pyspark.sql import functions as F
+
     out = engine.execute(
         "SEARCH SIMILAR embeddings USING lsh(threshold=1.15, bucket_length=0.5)"
     )
     assert out.columns == ["id_a", "id_b", "euclidean_dist"]
-    assert out.count() >= 0
+    lsh_pairs = {(r.id_a, r.id_b) for r in out.collect()}
+
+    emb = spark.read.parquet(f"{smoke_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("eb"))
+    dist = F.expr(
+        "SQRT(aggregate(zip_with(ea, eb, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= 1.15)
+    )
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert exact_pairs, "brute-force baseline returned no pairs"
+    assert lsh_pairs <= exact_pairs, "LSH must never invent pairs (exact verify)"
+    recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"LSH recall vs brute force too low: {recall:.3f}"
 
 
 def test_search_ivf_recall_vs_brute_force(engine, spark, smoke_dir):
