@@ -81,8 +81,15 @@ def minhash_pairs(
     if n_minhash % bands:
         raise ValueError("n_minhash must be divisible by bands")
     rows_per_band = n_minhash // bands
+    from declarativeml_spark.operators.skew import spread_partitions
+
     sh = (
-        df.select(F.col(id_col).alias("doc_id"), F.expr(_shingles(text_col)).alias("shingles"))
+        spread_partitions(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.expr(_shingles(text_col)).alias("shingles"),
+            )
+        )
         .persist()
     )
     sigs = sh.select(
@@ -142,14 +149,18 @@ def ngram_jaccard_pairs(
     Scale: blocking bounds the pair space to Σ block²; unblocked
     similarity joins don't scale and aren't offered.
     """
+    from declarativeml_spark.operators.skew import spread_partitions
+
     block_by = block_by or ["source", "lang"]
     sh = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            *block_by,
-            F.expr(f"transform({_shingles(text_col)}, s -> xxhash64(s))").alias(
-                "shingles"
-            ),
+        spread_partitions(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                *block_by,
+                F.expr(f"transform({_shingles(text_col)}, s -> xxhash64(s))").alias(
+                    "shingles"
+                ),
+            )
         )
         .persist()
     )
@@ -192,11 +203,19 @@ def embedding_pairs(
     Scale: per-vector norms precomputed once; join shuffles on the
     block key only.
     """
-    base = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(block_by).alias("blk"),
-        F.col(vec_col).alias("vec"),
-    ).withColumn("nrm", F.expr(_NORM.format(a="vec")))
+    from declarativeml_spark.operators.skew import spread_partitions
+
+    base = (
+        spread_partitions(
+            df.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(block_by).alias("blk"),
+                F.col(vec_col).alias("vec"),
+            )
+        )
+        .withColumn("nrm", F.expr(_NORM.format(a="vec")))
+        .persist()
+    )
     a = base.select(
         F.col("vec_id").alias("id_a"),
         "blk",
@@ -430,20 +449,20 @@ def lsh_topk_pairs(
     # bucket key (silently unjoinable) — and engines disagree on NULL
     # propagation in list folds, so exclude them explicitly up front.
     #
-    # repartition before persist: when one join side broadcasts, the
+    # spread before persist: when one join side broadcasts, the
     # streaming side's parallelism IS the input partitioning — a
     # single-file corpus would otherwise run every candidate distance
-    # in one task (measured 23s -> ~2s at sf0.1). Never downsizes a
-    # big corpus (max with the existing partition count).
-    sc = df.sparkSession.sparkContext
-    n_parts = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    # in one task (see skew.spread_partitions; measured 15.7s -> 1.4s
+    # for the candidate stage at sf0.1).
+    from declarativeml_spark.operators.skew import spread_partitions
+
     base = (
-        df.filter(F.size(F.col(vec_col)) == dim)
-        .select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
+        spread_partitions(
+            df.filter(F.size(F.col(vec_col)) == dim).select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+            )
         )
-        .repartition(n_parts)
         # persisted for the downstream uses (bucket keying on both
         # join sides); released by Spark's LRU — callers running many
         # statements per session can spark.catalog.clearCache()

@@ -61,3 +61,18 @@ def replicate_join_skewed(
     small_replicated = small.crossJoin(salts)
     out = big_salted.join(small_replicated, [key, "__salt"])
     return out.drop("__salt")
+
+
+def spread_partitions(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to max(defaultParallelism, current).
+
+    Pairwise self-joins (LSH buckets, blocked similarity) broadcast
+    one side; the streaming side's parallelism is then exactly its
+    input partitioning — a single-file table would run every
+    candidate evaluation in ONE task (measured 15.7s vs 1.4s for 2M
+    higher-order-function distance evals at sf0.1). Never downsizes
+    an already-parallel input.
+    """
+    sc = df.sparkSession.sparkContext
+    n = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    return df.repartition(n)

@@ -268,12 +268,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic skew source — AQE skew-join handles it; salting the band
     key is the manual fallback. This is the canonical 100 TB dedup.
     """
+    from declarativeml_spark.operators.skew import spread_partitions
+
     docs = load_table(spark, sf_dir, "documents")
     # shingle sets appear on 4 plan branches (both band-join sides +
     # both verify joins); persist so tokenize+shingle+minhash runs
-    # once per doc, not 4× (at 100 TB: materialize a signatures table)
+    # once per doc, not 4× (at 100 TB: materialize a signatures table).
+    # spread first: a single-file input would otherwise pin the
+    # pairwise verify stage to one task (see skew.spread_partitions)
     sh = (
-        docs.select("doc_id", F.expr(_TOKS_S).alias("toks"))
+        spread_partitions(docs.select("doc_id", F.expr(_TOKS_S).alias("toks")))
         .select("doc_id", F.expr(_SHINGLES_S).alias("shingles"))
         .persist()
     )
@@ -359,10 +363,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     block key would be a cheap cluster id (simhash prefix / length
     bucket); unblocked similarity joins don't scale and aren't run.
     """
+    from declarativeml_spark.operators.skew import spread_partitions
+
     docs = load_table(spark, sf_dir, "documents")
-    # persist: the shingle computation feeds both join sides
+    # persist: the shingle computation feeds both join sides; spread
+    # so the blocked pairwise stage parallelizes (coarse block keys)
     sh = (
-        docs.select("doc_id", "source", "lang", F.expr(_TOKS_S).alias("toks"))
+        spread_partitions(
+            docs.select("doc_id", "source", "lang", F.expr(_TOKS_S).alias("toks"))
+        )
         .select(
             "doc_id",
             "source",
@@ -441,10 +450,17 @@ def embedding_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each cell's pairs are computed independently. Join shuffles on
     the block key only.
     """
+    from declarativeml_spark.operators.skew import spread_partitions
+
     emb = load_table(spark, sf_dir, "embeddings")
     # precompute the norm once per vector (not once per pair) — the
-    # expression dot/(na·nb) stays bitwise-identical to the oracle's
-    base = emb.withColumn("nrm", F.expr(_NORM_S.format(a="embedding")))
+    # expression dot/(na·nb) stays bitwise-identical to the oracle's.
+    # spread + persist: parallel pairwise stage, one norm pass
+    base = (
+        spread_partitions(emb)
+        .withColumn("nrm", F.expr(_NORM_S.format(a="embedding")))
+        .persist()
+    )
     a = base.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("lbl"),
