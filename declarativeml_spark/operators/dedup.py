@@ -317,9 +317,11 @@ def ivf_topk(
         )
         .withColumn("nrm", F.expr(_NORM.format(a="vec")))
         .withColumn("mlvec", array_to_vector("vec"))
-        # KMeans re-scans its input every iteration; persist so the
-        # parquet read + norm/vector projection happen once
-        .persist()
+        # deliberately NOT persisted: caching a VectorUDT column
+        # stores deserialized UDT objects on the old-gen heap and
+        # measurably GC-poisons every later query in the session
+        # (warm LSH runs went 3s -> 47s); the per-iteration re-scan
+        # KMeans does instead is cheap and partition-local
     )
     km = KMeans(
         k=n_cells,

@@ -599,10 +599,21 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embeddings are ~unit-norm (pairwise distances 1.05–1.7); 1.15
     keeps the closest ~0.5% of pairs, bucketLength ≈ distance scale.
+
+    Runs in a no-codegen child session: the per-pair distance is an
+    interpreted higher-order-function fold either way (HOFs have no
+    whole-stage codegen), so codegen buys nothing here — and compiling
+    the generated sources around the 3×64-literal projection
+    expressions is erratically expensive (measured 6-46s first-run
+    spikes; stable ~5s interpreted). The child session scopes the
+    conf to this query only.
     """
     from declarativeml_spark.operators.dedup import lsh_topk_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.wholeStage", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    emb = load_table(s2, sf_dir, "embeddings")
     return lsh_topk_pairs(emb, **_LSH_PARAMS)
 
 
