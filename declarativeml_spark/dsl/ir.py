@@ -283,7 +283,7 @@ class Deduplicate:
     source_is_identifier: bool = True
 
     def __post_init__(self) -> None:
-        allowed = {"exact", "minhash", "simhash", "ngram", "embedding"}
+        allowed = {"exact", "minhash", "simhash", "ngram", "embedding", "clusters"}
         if self.method not in allowed:
             raise ValueError(
                 f"Unknown dedup method {self.method!r};"

@@ -130,6 +130,17 @@ class Engine:
                 threshold=stmt.threshold if stmt.threshold is not None else 0.15,
                 **p,
             )
+        if stmt.method == "clusters":
+            # minhash pairs -> connected components (one canonical doc
+            # per near-dup cluster; see operators/dedup.py)
+            pairs = D.minhash_pairs(
+                df,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=stmt.threshold if stmt.threshold is not None else 0.5,
+                **p,
+            ).select("id_a", "id_b")
+            return D.connected_components(pairs)
         # embedding near-dup: ON names the vector column
         return D.embedding_pairs(
             df,

@@ -569,3 +569,72 @@ def lsh_pairs_oracle_sql(
     SELECT id_a, id_b, {stable_round('dist', 4)} AS euclidean_dist
     FROM scored WHERE dist <= {threshold!r}
     """
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Near-dup clusters: connected components over a pair graph by
+    iterative min-label propagation (each node repeatedly takes the
+    smallest label among itself and its neighbours).
+
+    The last mile of every dedup pipeline: pair emitters (minhash,
+    simhash, embedding cosine) produce EDGES, but retention decisions
+    need one canonical doc per CLUSTER — A~B and B~C must collapse to
+    one group even though (A, C) was never emitted as a pair.
+
+    Scale: the classic Pregel-style loop in DataFrame ops. Labels are
+    (id, long) pairs — the only shuffled state; vectors/text never
+    enter. Rounds are bounded by component diameter, which for
+    near-dup clusters is tiny (dup sets are near-cliques, not
+    chains); converged typically in 2-4 rounds, detected by the label
+    sum reaching a fixpoint (labels only ever decrease, so an
+    unchanged sum means no label moved). Each round persists its
+    labels and unpersists the previous round's.
+
+    Returns (doc_id, cluster_id) for every node appearing in a pair;
+    cluster_id is the component's minimum doc_id. Deterministic —
+    oracle-checkable against a recursive-CTE transitive closure.
+    """
+    e_fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    e_rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = e_fwd.union(e_rev).distinct().persist()
+
+    lbl = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .persist()
+    )
+    prev_sum = lbl.agg(F.sum("lbl")).first()[0]
+    if prev_sum is None:  # empty graph
+        return lbl.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(lbl, edges["dst"] == lbl["id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        new_lbl = (
+            lbl.join(nbr_min, lbl["id"] == nbr_min["src"], "left")
+            .select(
+                lbl["id"],
+                F.least(lbl["lbl"], F.coalesce(nbr_min["nbr_min"], lbl["lbl"])).alias(
+                    "lbl"
+                ),
+            )
+            .persist()
+        )
+        cur_sum = new_lbl.agg(F.sum("lbl")).first()[0]
+        lbl.unpersist()
+        lbl = new_lbl
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    edges.unpersist()
+    return lbl.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -223,7 +223,10 @@ _N_MINHASH = 8
 _BANDS = 4  # rows-per-band = 2
 
 
-def _minhash_lsh_oracle(threshold: float = 0.5) -> str:
+def _minhash_cte_chain() -> str:
+    """The minhash pair pipeline as a reusable CTE chain (d → sh →
+    sigs → bands → cand → scored); shared by the pair query's oracle
+    and the cluster query's recursive-closure oracle."""
     mh_select = ", ".join(
         f"{T.minhash_duck('shingles', k)} AS mh{k}" for k in range(_N_MINHASH)
     )
@@ -231,8 +234,7 @@ def _minhash_lsh_oracle(threshold: float = 0.5) -> str:
         f"SELECT doc_id, {b} AS band_idx, concat(mh{2 * b}, mh{2 * b + 1}) AS band_key FROM sigs"
         for b in range(_BANDS)
     )
-    return f"""
-    WITH d AS (SELECT doc_id, {_TOKS_D} AS toks FROM documents),
+    return f"""d AS (SELECT doc_id, {_TOKS_D} AS toks FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES_D} AS shingles FROM d),
     sigs AS (SELECT doc_id, shingles, {mh_select} FROM sh),
     bands AS ({band_selects}),
@@ -252,7 +254,12 @@ def _minhash_lsh_oracle(threshold: float = 0.5) -> str:
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.id_a
         JOIN sh sb ON sb.doc_id = c.id_b
-    )
+    )"""
+
+
+def _minhash_lsh_oracle(threshold: float = 0.5) -> str:
+    return f"""
+    WITH {_minhash_cte_chain()}
     SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
     """
 
@@ -324,6 +331,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", jac)
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+# ---------------------------------------------------------------------------
+def _clusters_oracle() -> str:
+    """Transitive closure of the minhash near-dup pair graph via a
+    recursive CTE — the oracle for the iterative Spark loop."""
+    return f"""
+    WITH RECURSIVE {_minhash_cte_chain()},
+    pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(v, u) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u
+    )
+    SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY v
+    """
+
+
+@query("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the minhash pair
+    graph (A~B, B~C ⇒ one cluster {A,B,C} with canonical min id).
+
+    The retention step of a 100 TB dedup pipeline: pair emitters give
+    edges; keep/drop decisions need one canonical doc per component.
+    Spark side is the Pregel-style min-label-propagation loop in
+    operators/dedup.py::connected_components (labels-only shuffles,
+    label-sum fixpoint detection); the oracle is a recursive-CTE
+    transitive closure over the identical pair CTEs — an iterative
+    DataFrame algorithm still hash-checked against DuckDB.
+    """
+    from declarativeml_spark.operators.dedup import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs)
 
 
 # ---------------------------------------------------------------------------

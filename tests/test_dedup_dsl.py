@@ -126,3 +126,37 @@ def test_search_ivf_recall_vs_brute_force(engine, spark, smoke_dir):
 
     per_q = collections.Counter(q for q, _ in ivf_pairs)
     assert max(per_q.values()) <= 10
+
+
+def test_connected_components_chain(spark):
+    """A chain a-b, b-c, c-d must collapse to ONE cluster labelled by
+    the minimum id — requires multiple propagation rounds (diameter
+    3), plus a separate 2-cluster and a pair ordered high-low."""
+    from declarativeml_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "id_a LONG, id_b LONG",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_empty(spark):
+    from declarativeml_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a LONG, id_b LONG")
+    assert connected_components(pairs).count() == 0
+
+
+def test_dedup_clusters_matches_query(engine, spark, smoke_dir):
+    dsl = engine.execute("DEDUPLICATE documents USING clusters THRESHOLD 0.5")
+    ref = QUERIES["dedup_clusters"](spark, smoke_dir)
+    assert _rows(dsl) == _rows(ref)
