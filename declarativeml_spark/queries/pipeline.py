@@ -167,6 +167,108 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 @query(
+    "corpus_mix_sample",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, {_TOKS_D} AS toks,
+               CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                    THEN 1.0 ELSE 0.4 END AS rate,
+               (doc_id * 48271) % 2147483647 AS h
+        FROM documents
+    )
+    SELECT source, rate,
+           CAST(COUNT(CASE WHEN h < rate * 2147483647 THEN 1 END) AS BIGINT)
+               AS kept_docs,
+           CAST(COALESCE(SUM(CASE WHEN h < rate * 2147483647
+                                  THEN len(toks) END), 0) AS BIGINT)
+               AS kept_tokens
+    FROM d GROUP BY source, rate
+    """,
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing by deterministic hash sampling: each source keeps
+    a target fraction of docs (here: even-numbered sources 1.0,
+    odd 0.4 — the stand-in for a trained mixture-weights table),
+    selected by a Lehmer hash of doc_id, NOT rand().
+
+    The sampling predicate ``(doc_id * 48271) % 2147483647 <
+    rate * 2^31-1`` is pure integer/double arithmetic: reproducible
+    run-to-run, engine-to-engine (hash-checked), and restart-safe —
+    the properties a 100 TB mixing pass needs and rand() lacks.
+
+    Scale: shuffle-free scan + map-side-combinable agg; one row per
+    source leaves the map stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.expr(
+        "CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0 THEN 1.0 ELSE 0.4 END"
+    ).cast("double")
+    kept = F.col("h") < F.col("rate") * F.lit(2147483647.0)
+    return (
+        docs.withColumn("toks", F.expr(_TOKS_S))
+        .withColumn("rate", rate)
+        .withColumn("h", F.expr("pmod(doc_id * 48271, 2147483647)"))
+        .groupBy("source", "rate")
+        .agg(
+            F.count(F.when(kept, 1)).cast("long").alias("kept_docs"),
+            F.coalesce(F.sum(F.when(kept, F.size("toks"))), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "quality_budget_selection",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, text, {_TOKS_D} AS toks FROM documents),
+    q AS (SELECT doc_id, source, len(toks) AS n_tokens,
+                 {T.quality_duck('toks', 'text', T.lang_hits_duck('toks', 'en'))} AS quality
+          FROM d),
+    thr AS (SELECT quantile_cont(quality, 0.7) AS cutoff FROM q)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+    FROM q, thr WHERE quality >= cutoff
+    GROUP BY source
+    """,
+)
+def quality_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation by quality: keep the top-30%-quality
+    docs (quality ≥ the global p70 cutoff), report kept docs/tokens
+    per source.
+
+    Scale: the two-pass budget cut — pass 1 computes the quality
+    distribution and picks the cutoff (a scalar; at 100 TB use
+    ``approx_percentile``'s t-digest instead of the exact sort), pass
+    2 is a shuffle-free filter + map-side agg. No global sort or
+    single-partition window anywhere, unlike the naive
+    cumulative-sum-over-ranking formulation.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_S))
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("n_tokens"),
+        F.expr(
+            T.quality_spark("toks", "text", T.lang_hits_spark("toks", "en"))
+        ).alias("quality"),
+    )
+    thr = q.agg(F.expr("percentile(quality, 0.7)").alias("cutoff"))
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("cutoff"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("kept_docs"),
+            F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
     "dedup_exact",
     oracle=f"""
     WITH f AS (SELECT doc_id, {T.FINGERPRINT_DUCK.format(text='text')} AS fingerprint
