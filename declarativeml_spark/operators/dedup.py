@@ -7,10 +7,12 @@ generalized to arbitrary input DataFrames / column names so the DSL
 can run them on any registered source. All expressions come from
 ``operators/textops.py`` — one implementation of each primitive.
 
-Scale notes are on each function; the common rules: raw text/vectors
-never shuffle (only hashes/signatures do), pair spaces are always
-blocked or LSH-pruned, and everything stays in JVM codegen except
-where MLlib models are involved.
+Scale notes are on each function; the common rules: the expanded
+intermediates (shingle arrays, candidate pair spaces) never shuffle —
+each input row crosses the wire at most once (the spread/bucket
+shuffle of raw text or vectors), and everything past that is
+hash-key equi-joins over slim tuples. Everything stays JVM-side
+except where MLlib models are involved.
 """
 
 from __future__ import annotations
@@ -83,13 +85,12 @@ def minhash_pairs(
     rows_per_band = n_minhash // bands
     from declarativeml_spark.operators.skew import spread_partitions
 
+    # spread the raw (id, text) rows and derive shingles AFTER the
+    # shuffle — the shingle arrays are ~3x the text volume and should
+    # never cross the wire
     sh = (
-        spread_partitions(
-            df.select(
-                F.col(id_col).alias("doc_id"),
-                F.expr(_shingles(text_col)).alias("shingles"),
-            )
-        )
+        spread_partitions(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", F.expr(_shingles(text_col)).alias("shingles"))
         .persist()
     )
     sigs = sh.select(
@@ -152,15 +153,17 @@ def ngram_jaccard_pairs(
     from declarativeml_spark.operators.skew import spread_partitions
 
     block_by = block_by or ["source", "lang"]
+    # spread raw text, shingle after the shuffle (see minhash_pairs)
     sh = (
         spread_partitions(
-            df.select(
-                F.col(id_col).alias("doc_id"),
-                *block_by,
-                F.expr(f"transform({_shingles(text_col)}, s -> xxhash64(s))").alias(
-                    "shingles"
-                ),
-            )
+            df.select(F.col(id_col).alias("doc_id"), *block_by, F.col(text_col))
+        )
+        .select(
+            "doc_id",
+            *block_by,
+            F.expr(f"transform({_shingles(text_col)}, s -> xxhash64(s))").alias(
+                "shingles"
+            ),
         )
         .persist()
     )
@@ -431,12 +434,17 @@ def lsh_topk_pairs(
     key per table is ``floor(v·r / bucketLength)`` with seeded
     projection constants, candidates come from a (table, key)
     equi-join, and the exact euclidean distance verifies each
-    candidate — all whole-stage codegen, no MLlib model or UDF.
+    candidate — no MLlib model or UDF.
 
-    Scale: the only shuffle keys are (table_idx, bucket_key, id);
-    vectors re-join just for the surviving candidate set. Every
-    arithmetic expression is unrolled left-associative so results are
-    bit-identical across engines (hash-checkable against DuckDB).
+    Scale: vectors deliberately ride through the bucket join — one
+    shuffle of n x num_tables vector rows — so the distance filter
+    runs inside the join stage and the (much larger) candidate pair
+    space only ever exists as slim (id, id, dist) tuples; shuffling
+    slim candidates and re-joining vectors afterwards would move the
+    pair space across the wire instead. Coarse/hot bucket keys are
+    AQE skew-join territory (enabled in the session). Every fold is
+    left-associative, so results are bit-identical across engines
+    (hash-checkable against DuckDB).
     """
     if dim is None:
         probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -485,37 +493,26 @@ def lsh_topk_pairs(
             )
         ).alias("tbl", "bkey"),
     )
-    # Vectors ride through the bucket join (one shuffle of n x tables
-    # rows), and the exact-distance filter runs BEFORE the pair-level
-    # distinct — so the wide candidate space only ever exists as
-    # (id, id, dist) tuples, never as shuffled vector pairs. Distance
-    # is bit-identical across a pair's duplicate bucket collisions
-    # (same left fold), so distinct-after is safe.
-    #
-    # Bucket keys are COARSE by construction (that's what makes them
-    # recall-friendly), so the join key space can be tiny and AQE
-    # would coalesce the candidate evaluation onto a few tasks. A
-    # deterministic salt (id mod S) on the probe side, replicated S
-    # ways on the build side, spreads each bucket's pair space across
-    # S tasks — the standard skew treatment, and a no-op for results.
-    n_salt = 32
+    # The exact-distance filter runs inside the join stage, BEFORE the
+    # pair-level distinct — the wide candidate space only ever exists
+    # as (id, id, dist) tuples. Distance is bit-identical across a
+    # pair's duplicate bucket collisions (same left fold), so
+    # distinct-after is safe. Hot/coarse bucket keys are handled by
+    # AQE skew-join splitting (enabled in the session), which — unlike
+    # manual salting — doesn't replicate the vector-carrying build
+    # side and works for any id type.
     a = keyed.select(
-        F.col("vec_id").alias("id_a"),
-        "tbl",
-        "bkey",
-        F.col("vec").alias("ea"),
-        F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int").alias("salt"),
+        F.col("vec_id").alias("id_a"), "tbl", "bkey", F.col("vec").alias("ea")
     )
-    salts = df.sparkSession.range(n_salt).select(F.col("id").cast("int").alias("salt"))
     b = keyed.select(
         F.col("vec_id").alias("id_b"), "tbl", "bkey", F.col("vec").alias("eb")
-    ).crossJoin(F.broadcast(salts))
+    )
     dist = (
         "SQRT(aggregate(zip_with(ea, eb, (x, y) -> (x - y) * (x - y)),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
     )
     return (
-        a.join(b, ["tbl", "bkey", "salt"])
+        a.join(b, ["tbl", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("dist", F.expr(dist))
         .filter(F.col("dist") <= threshold)
@@ -590,10 +587,13 @@ def connected_components(
     (id, long) pairs — the only shuffled state; vectors/text never
     enter. Rounds are bounded by component diameter, which for
     near-dup clusters is tiny (dup sets are near-cliques, not
-    chains); converged typically in 2-4 rounds, detected by the label
-    sum reaching a fixpoint (labels only ever decrease, so an
-    unchanged sum means no label moved). Each round persists its
-    labels and unpersists the previous round's.
+    chains); converged typically in 2-4 rounds, detected by counting
+    rows whose label changed (type-agnostic: works for string/UUID ids
+    too, where a label-sum fixpoint would silently degrade). Each
+    round persists its labels and unpersists the previous round's.
+    Raises if the fixpoint is not reached within ``max_rounds`` —
+    returning split clusters silently would corrupt retention
+    decisions downstream.
 
     Returns (doc_id, cluster_id) for every node appearing in a pair;
     cluster_id is the component's minimum doc_id. Deterministic —
@@ -609,10 +609,11 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .persist()
     )
-    prev_sum = lbl.agg(F.sum("lbl")).first()[0]
-    if prev_sum is None:  # empty graph
+    if lbl.limit(1).count() == 0:  # empty graph
         return lbl.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
+    cached = lbl  # the currently-persisted round (released next round)
+    converged = False
     for _ in range(max_rounds):
         nbr_min = (
             edges.join(lbl, edges["dst"] == lbl["id"])
@@ -623,18 +624,26 @@ def connected_components(
             lbl.join(nbr_min, lbl["id"] == nbr_min["src"], "left")
             .select(
                 lbl["id"],
+                lbl["lbl"].alias("old_lbl"),
                 F.least(lbl["lbl"], F.coalesce(nbr_min["nbr_min"], lbl["lbl"])).alias(
                     "lbl"
                 ),
             )
             .persist()
         )
-        cur_sum = new_lbl.agg(F.sum("lbl")).first()[0]
-        lbl.unpersist()
-        lbl = new_lbl
-        if cur_sum == prev_sum:
+        changed = new_lbl.filter(F.col("lbl") != F.col("old_lbl")).count()
+        cached.unpersist()
+        cached = new_lbl
+        lbl = new_lbl.select("id", "lbl")
+        if changed == 0:
+            converged = True
             break
-        prev_sum = cur_sum
 
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds;"
+            " the pair graph has a component with diameter >"
+            f" {max_rounds} — raise max_rounds"
+        )
     return lbl.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -173,7 +173,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, {_TOKS_D} AS toks,
                CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
                     THEN 1.0 ELSE 0.4 END AS rate,
-               (doc_id * 48271) % 2147483647 AS h
+               ((((doc_id % 2147483647) + 2147483647) % 2147483647)
+                * 48271) % 2147483647 AS h
         FROM documents
     )
     SELECT source, rate,
@@ -191,10 +192,14 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     odd 0.4 — the stand-in for a trained mixture-weights table),
     selected by a Lehmer hash of doc_id, NOT rand().
 
-    The sampling predicate ``(doc_id * 48271) % 2147483647 <
-    rate * 2^31-1`` is pure integer/double arithmetic: reproducible
+    The sampling predicate ``pmod(doc_id, 2^31-1) * 48271 mod 2^31-1
+    < rate * 2^31-1`` is pure integer/double arithmetic: reproducible
     run-to-run, engine-to-engine (hash-checked), and restart-safe —
-    the properties a 100 TB mixing pass needs and rand() lacks.
+    the properties a 100 TB mixing pass needs and rand() lacks. The
+    id is reduced mod 2^31-1 FIRST so the multiply never overflows
+    int64 for any bigint id (Spark would silently wrap where DuckDB
+    errors); pmod / the +m%m trick keep both engines non-negative
+    even for negative ids.
 
     Scale: shuffle-free scan + map-side-combinable agg; one row per
     source leaves the map stage.
@@ -207,7 +212,7 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.withColumn("toks", F.expr(_TOKS_S))
         .withColumn("rate", rate)
-        .withColumn("h", F.expr("pmod(doc_id * 48271, 2147483647)"))
+        .withColumn("h", F.expr("pmod(pmod(doc_id, 2147483647) * 48271, 2147483647)"))
         .groupBy("source", "rate")
         .agg(
             F.count(F.when(kept, 1)).cast("long").alias("kept_docs"),
@@ -383,10 +388,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle sets appear on 4 plan branches (both band-join sides +
     # both verify joins); persist so tokenize+shingle+minhash runs
     # once per doc, not 4× (at 100 TB: materialize a signatures table).
-    # spread first: a single-file input would otherwise pin the
-    # pairwise verify stage to one task (see skew.spread_partitions)
+    # spread the raw text first (a single-file input would otherwise
+    # pin the pairwise verify stage to one task), tokenize + shingle
+    # AFTER the shuffle so only raw text crosses the wire
     sh = (
-        spread_partitions(docs.select("doc_id", F.expr(_TOKS_S).alias("toks")))
+        spread_partitions(docs.select("doc_id", "text"))
+        .select("doc_id", F.expr(_TOKS_S).alias("toks"))
         .select("doc_id", F.expr(_SHINGLES_S).alias("shingles"))
         .persist()
     )
@@ -517,11 +524,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # persist: the shingle computation feeds both join sides; spread
-    # so the blocked pairwise stage parallelizes (coarse block keys)
+    # raw text so the blocked pairwise stage parallelizes (coarse
+    # block keys) without shuffling expanded token/shingle arrays
     sh = (
-        spread_partitions(
-            docs.select("doc_id", "source", "lang", F.expr(_TOKS_S).alias("toks"))
-        )
+        spread_partitions(docs.select("doc_id", "source", "lang", "text"))
+        .select("doc_id", "source", "lang", F.expr(_TOKS_S).alias("toks"))
         .select(
             "doc_id",
             "source",
@@ -760,11 +767,27 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from declarativeml_spark.operators.dedup import lsh_topk_pairs
 
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.codegen.wholeStage", "false")
-    s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    s2 = _no_codegen_session(spark)
     emb = load_table(s2, sf_dir, "embeddings")
     return lsh_topk_pairs(emb, **_LSH_PARAMS)
+
+
+_NO_CODEGEN_SESSIONS: dict = {}
+
+
+def _no_codegen_session(spark: SparkSession) -> SparkSession:
+    """One cached no-codegen child session per parent — repeated
+    invocations must not accumulate session state for the process
+    lifetime. Note newSession() inherits builder-time confs only;
+    runtime conf changes on the parent don't propagate."""
+    key = id(spark)
+    s2 = _NO_CODEGEN_SESSIONS.get(key)
+    if s2 is None:
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.codegen.wholeStage", "false")
+        s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        _NO_CODEGEN_SESSIONS[key] = s2
+    return s2
 
 
 @query(

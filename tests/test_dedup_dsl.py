@@ -160,3 +160,14 @@ def test_dedup_clusters_matches_query(engine, spark, smoke_dir):
     dsl = engine.execute("DEDUPLICATE documents USING clusters THRESHOLD 0.5")
     ref = QUERIES["dedup_clusters"](spark, smoke_dir)
     assert _rows(dsl) == _rows(ref)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+    from declarativeml_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a LONG, id_b LONG"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=1)
