@@ -599,8 +599,11 @@ def connected_components(
     cluster_id is the component's minimum doc_id. Deterministic —
     oracle-checkable against a recursive-CTE transitive closure.
     """
-    e_fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    e_rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    # persist the pair list first: the forward/reverse union branches
+    # would otherwise each execute the (expensive) pair-emitter plan
+    p = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).persist()
+    e_fwd = p.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    e_rev = p.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     edges = e_fwd.union(e_rev).distinct().persist()
 
     lbl = (
@@ -610,6 +613,8 @@ def connected_components(
         .persist()
     )
     if lbl.limit(1).count() == 0:  # empty graph
+        edges.unpersist()
+        p.unpersist()
         return lbl.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
     cached = lbl  # the currently-persisted round (released next round)
@@ -640,6 +645,7 @@ def connected_components(
             break
 
     edges.unpersist()
+    p.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds;"
