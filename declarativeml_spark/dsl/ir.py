@@ -317,3 +317,26 @@ class SimilaritySearch:
             )
         if not isinstance(self.k, int) or isinstance(self.k, bool) or self.k <= 0:
             raise ValueError("TOP must be a positive integer")
+
+
+@dataclass
+class SampleCorpus:
+    """IR for ``SAMPLE <source> RATE f [ON col]`` — deterministic
+    hash sampling for training-data mixing (SURVEY.md §7.5 family).
+
+    The kept set is chosen by a Lehmer hash of the id column, not
+    rand(): reproducible run-to-run and engine-to-engine, restart-
+    safe, and shuffle-free (see queries/pipeline.py::corpus_mix_sample
+    for the oracle-checked aggregate form).
+    """
+
+    source: str
+    rate: float
+    column: Optional[str] = None
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        if not isinstance(self.rate, (int, float)) or isinstance(self.rate, bool):
+            raise ValueError("RATE must be a number in (0, 1]")
+        if not (0.0 < float(self.rate) <= 1.0):
+            raise ValueError("RATE must be in (0, 1]")

@@ -58,6 +58,7 @@ Statement = Union[
     ir.Agent,
     ir.Deduplicate,
     ir.SimilaritySearch,
+    ir.SampleCorpus,
 ]
 
 
@@ -979,6 +980,29 @@ class _Parser:
             source_is_identifier=is_identifier_source(source),
         )
 
+    # -- SAMPLE (beyond-parity: SURVEY §7.5) ------------------------------
+    def parse_sample(self) -> "ir.SampleCorpus":
+        self.expect_keyword("SAMPLE")
+        source = self.capture_source_until("RATE")
+        if not source:
+            raise ValueError("SAMPLE source cannot be empty")
+        self.expect_keyword("RATE")
+        tok = self.advance()
+        if tok.kind != "NUMBER":
+            raise ValueError("RATE must be a number in (0, 1]")
+        rate = float(_to_number(tok.value))
+        column = None
+        if self.at_keyword("ON"):
+            self.advance()
+            column = self.expect_name("column name")
+        self.expect_eof()
+        return ir.SampleCorpus(
+            source=source,
+            rate=rate,
+            column=column,
+            source_is_identifier=is_identifier_source(source),
+        )
+
     # -- SEARCH SIMILAR (beyond-parity: SURVEY §7.5) ----------------------
     def parse_search(self) -> "ir.SimilaritySearch":
         self.expect_keyword("SEARCH")
@@ -1068,10 +1092,12 @@ def parse(text: str) -> Statement:
         return parser.parse_deduplicate()
     if tok.value == "SEARCH":
         return parser.parse_search()
+    if tok.value == "SAMPLE":
+        return parser.parse_sample()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
-        " or SEARCH"
+        " SEARCH, or SAMPLE"
     )
 
 

@@ -99,6 +99,8 @@ class Engine:
             return self._deduplicate(stmt)
         if isinstance(stmt, ir.SimilaritySearch):
             return self._similarity_search(stmt)
+        if isinstance(stmt, ir.SampleCorpus):
+            return self._sample(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
 
     # -- DEDUPLICATE / SEARCH SIMILAR (beyond-parity, SURVEY §7.5) ----------
@@ -149,6 +151,25 @@ class Engine:
             threshold=stmt.threshold if stmt.threshold is not None else 0.35,
             **p,
         )
+
+    # -- SAMPLE (deterministic hash sampling; SURVEY §7.5 family) ----------
+    def _sample(self, stmt: ir.SampleCorpus) -> DataFrame:
+        """Keep ``rate`` of rows, chosen by a Lehmer hash of the id
+        column — reproducible and restart-safe, unlike rand(); see
+        queries/pipeline.py::corpus_mix_sample for the overflow-safe
+        arithmetic and its DuckDB-checked oracle form."""
+        from pyspark.sql import functions as F
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        col = stmt.column or "doc_id"
+        # two Lehmer steps: one multiply maps a small consecutive id
+        # range onto a small prefix of [0, m) — every row would pass
+        # any rate threshold; the second wrap actually mixes
+        h = F.expr(
+            f"pmod(pmod(pmod({col}, 2147483647) * 48271, 2147483647)"
+            " * 48271, 2147483647)"
+        )
+        return df.filter(h < F.lit(float(stmt.rate) * 2147483647.0))
 
     def _similarity_search(self, stmt: ir.SimilaritySearch) -> DataFrame:
         from declarativeml_spark.operators import dedup as D

@@ -173,8 +173,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, {_TOKS_D} AS toks,
                CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
                     THEN 1.0 ELSE 0.4 END AS rate,
-               ((((doc_id % 2147483647) + 2147483647) % 2147483647)
-                * 48271) % 2147483647 AS h
+               (((((doc_id % 2147483647) + 2147483647) % 2147483647)
+                 * 48271 % 2147483647) * 48271) % 2147483647 AS h
         FROM documents
     )
     SELECT source, rate,
@@ -192,14 +192,16 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     odd 0.4 — the stand-in for a trained mixture-weights table),
     selected by a Lehmer hash of doc_id, NOT rand().
 
-    The sampling predicate ``pmod(doc_id, 2^31-1) * 48271 mod 2^31-1
-    < rate * 2^31-1`` is pure integer/double arithmetic: reproducible
-    run-to-run, engine-to-engine (hash-checked), and restart-safe —
-    the properties a 100 TB mixing pass needs and rand() lacks. The
-    id is reduced mod 2^31-1 FIRST so the multiply never overflows
-    int64 for any bigint id (Spark would silently wrap where DuckDB
-    errors); pmod / the +m%m trick keep both engines non-negative
-    even for negative ids.
+    The sampling predicate applies the Lehmer step ``x -> x * 48271
+    mod 2^31-1`` TWICE to the id (one step maps a small consecutive
+    id range onto a small prefix of [0, m), passing every threshold;
+    the second wrap mixes) and keeps rows with ``h < rate * 2^31-1``
+    — pure integer/double arithmetic: reproducible run-to-run,
+    engine-to-engine (hash-checked), and restart-safe, which rand()
+    is not. The id is reduced mod 2^31-1 FIRST so the multiply never
+    overflows int64 for any bigint id (Spark would silently wrap
+    where DuckDB errors); pmod / the +m%m trick keep both engines
+    non-negative even for negative ids.
 
     Scale: shuffle-free scan + map-side-combinable agg; one row per
     source leaves the map stage.
@@ -212,7 +214,13 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.withColumn("toks", F.expr(_TOKS_S))
         .withColumn("rate", rate)
-        .withColumn("h", F.expr("pmod(pmod(doc_id, 2147483647) * 48271, 2147483647)"))
+        .withColumn(
+            "h",
+            F.expr(
+                "pmod(pmod(pmod(doc_id, 2147483647) * 48271, 2147483647)"
+                " * 48271, 2147483647)"
+            ),
+        )
         .groupBy("source", "rate")
         .agg(
             F.count(F.when(kept, 1)).cast("long").alias("kept_docs"),

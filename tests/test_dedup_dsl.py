@@ -171,3 +171,39 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_rounds=1)
+
+
+def test_sample_statement(engine, spark, smoke_dir):
+    from pyspark.sql import functions as F
+
+    out = engine.execute("SAMPLE documents RATE 0.4")
+    docs = spark.read.parquet(f"{smoke_dir}/documents.parquet")
+    expected = docs.filter(
+        F.expr(
+            "pmod(pmod(pmod(doc_id, 2147483647) * 48271, 2147483647)"
+            " * 48271, 2147483647)"
+        )
+        < 0.4 * 2147483647.0
+    )
+    assert out.count() == expected.count()
+    # deterministic: same statement, same rows
+    again = engine.execute("SAMPLE documents RATE 0.4")
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {
+        r.doc_id for r in again.select("doc_id").collect()
+    }
+    # roughly the requested fraction
+    total = docs.count()
+    assert 0.25 * total <= out.count() <= 0.55 * total
+
+
+def test_sample_parse_validation():
+    from declarativeml_spark.dsl import parse
+    from declarativeml_spark.dsl import ir as _ir
+
+    s = parse("SAMPLE documents RATE 0.25 ON doc_id")
+    assert isinstance(s, _ir.SampleCorpus)
+    assert s.rate == 0.25 and s.column == "doc_id"
+    with pytest.raises(ValueError, match="RATE must be in"):
+        parse("SAMPLE documents RATE 1.5")
+    with pytest.raises(ValueError, match="RATE must be a number"):
+        parse("SAMPLE documents RATE banana")
