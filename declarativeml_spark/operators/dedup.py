@@ -653,3 +653,120 @@ def connected_components(
             f" {max_rounds} — raise max_rounds"
         )
     return lbl.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def ivf_native_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_mod: int = 97,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-Flat ANN with a fully deterministic, engine-portable
+    coarse quantizer — the hash-checkable counterpart of ``ivf_topk``.
+
+    Lloyd's KMeans with every nondeterminism pinned: centroids
+    initialize to the ``n_cells`` smallest-id vectors; exactly
+    ``n_iters`` update steps; per-dimension means go through
+    DECIMAL(38,12) (exact, order-independent) before one double
+    division, so centroids are bit-identical regardless of shuffle
+    order AND across engines; assignment ties break by cell id. The
+    iteration count is fixed, so the whole computation is ONE lazy
+    DataFrame plan — no driver-side loop, no fitted model object.
+
+    Scale: each iteration is a broadcast(centroids) map + one
+    groupBy(cell) agg of 64 decimal sums (map-side combinable); the
+    corpus never shuffles for the search itself, matching ivf_topk's
+    probe plan. MLlib's KMeans (ivf_topk) remains the scale default —
+    k-means|| init converges better on real data; this variant trades
+    init quality for cross-engine verifiability.
+    """
+    from declarativeml_spark.operators.skew import spread_partitions
+    from pyspark.sql import Window
+
+    base = (
+        spread_partitions(
+            df.filter(F.size(F.col(vec_col)) == dim).select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+            )
+        )
+        .persist()
+    )
+    # init: the n_cells smallest-id vectors. orderBy().limit() plans
+    # as TakeOrderedAndProject (no global sort); the ranking window
+    # then runs over just n_cells rows.
+    w_init = Window.orderBy("vec_id")
+    cents = (
+        base.orderBy("vec_id")
+        .limit(n_cells)
+        .withColumn("cell", F.row_number().over(w_init) - 1)
+        .select("cell", F.col("vec").alias("cvec"))
+    )
+    d2 = (
+        "aggregate(zip_with(vec, cvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    mean_dims = [
+        (
+            F.expr(f"CAST(SUM(CAST(vec[{i}] AS DECIMAL(38,12))) AS DOUBLE)")
+            / F.count("*")
+        ).alias(f"m{i}")
+        for i in range(dim)
+    ]
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    for _ in range(n_iters):
+        assigned = (
+            base.crossJoin(F.broadcast(cents))
+            .withColumn("d2", F.expr(d2))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "vec", "cell")
+        )
+        cents = (
+            assigned.groupBy("cell")
+            .agg(*mean_dims)
+            .select("cell", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cvec"))
+        )
+    corpus = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("d2", F.expr(d2))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", F.col("cell"))
+        .withColumn("nrm", F.expr(_NORM.format(a="vec")))
+    )
+    q = corpus.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qe"), F.col("nrm").alias("qn")
+    )
+    qd2 = (
+        "aggregate(zip_with(qe, cvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    w_probe = Window.partitionBy("qid").orderBy("qd2", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("qd2", F.expr(qd2))
+        .withColumn("cell_rank", F.row_number().over(w_probe))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("qid", "qe", "qn", "cell")
+    )
+    cos = F.expr(_DOT.format(a="qe", b="vec")) / (F.col("qn") * F.col("nrm"))
+    w_topk = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w_topk))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            _sround(F.col("cos")).alias("cosine"),
+            "rnk",
+        )
+    )

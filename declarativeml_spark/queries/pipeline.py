@@ -717,6 +717,107 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_native_oracle(
+    k: int = 10,
+    query_mod: int = 97,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of operators/dedup.py::ivf_native_topk: the same
+    pinned Lloyd's iterations with DECIMAL(38,12) per-dim means, as
+    unrolled CTE layers."""
+    from declarativeml_spark.operators.textops import stable_round
+
+    d2 = (
+        "list_sum(list_transform(list_zip({v}, {c}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    mean_list = ", ".join(
+        f"CAST(SUM(CAST(vec[{i + 1}] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)"
+        for i in range(dim)
+    )
+    ctes = [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec"
+        f" FROM embeddings WHERE len(embedding) = {dim})",
+        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,"
+        " vec AS cvec FROM base ORDER BY vec_id LIMIT "
+        f"{n_cells})",
+    ]
+    prev = "c0"
+    for it in range(1, n_iters + 1):
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, vec, cell FROM ("
+            f" SELECT b.vec_id, b.vec, c.cell,"
+            f" ROW_NUMBER() OVER (PARTITION BY b.vec_id"
+            f" ORDER BY {d2.format(v='b.vec', c='c.cvec')}, c.cell) AS rn"
+            f" FROM base b CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT cell, [{mean_list}] AS cvec"
+            f" FROM a{it} GROUP BY cell)"
+        )
+        prev = f"c{it}"
+    nrm = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+    dot = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    ctes.append(
+        "corpus AS (SELECT a.vec_id, a.vec, a.cell,"
+        f" {nrm.format(v='a.vec')} AS nrm FROM ("
+        " SELECT b.vec_id, b.vec, c.cell,"
+        " ROW_NUMBER() OVER (PARTITION BY b.vec_id"
+        f" ORDER BY {d2.format(v='b.vec', c='c.cvec')}, c.cell) AS rn"
+        f" FROM base b CROSS JOIN {prev} c) a WHERE a.rn = 1)"
+    )
+    ctes.append(
+        f"q AS (SELECT vec_id AS qid, vec AS qe, nrm AS qn FROM corpus"
+        f" WHERE vec_id % {query_mod} = 0)"
+    )
+    ctes.append(
+        "probes AS (SELECT qid, qe, qn, cell FROM ("
+        " SELECT q.qid, q.qe, q.qn, c.cell,"
+        " ROW_NUMBER() OVER (PARTITION BY q.qid"
+        f" ORDER BY {d2.format(v='q.qe', c='c.cvec')}, c.cell) AS cr"
+        f" FROM q CROSS JOIN {prev} c) WHERE cr <= {n_probe})"
+    )
+    ctes.append(
+        "scored AS (SELECT p.qid, co.vec_id AS nid,"
+        f" {dot.format(a='p.qe', b='co.vec')} / (p.qn * co.nrm) AS cos"
+        " FROM probes p JOIN corpus co ON co.cell = p.cell"
+        " AND co.vec_id != p.qid)"
+    )
+    ctes.append(
+        "ranked AS (SELECT qid, nid, cos,"
+        " ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk"
+        " FROM scored)"
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT qid, nid, {stable_round('cos')} AS cosine, rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@query("ann_ivf_native", oracle=_ivf_native_oracle())
+def ann_ivf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN with a deterministic engine-portable coarse
+    quantizer — the hash-checked counterpart of ann_ivf_topk.
+
+    Pinned Lloyd's KMeans (smallest-id init, 2 fixed iterations,
+    DECIMAL(38,12) per-dim means → bit-identical centroids in any
+    shuffle order and in DuckDB), then the standard IVF probe: each
+    query scores exact cosine in its 2 nearest of 8 cells. One lazy
+    plan end-to-end — no fitted model, no driver loop. ann_ivf_topk
+    (MLlib k-means||) stays the scale default for init quality; this
+    proves the same plan shape under the correctness gate.
+    """
+    from declarativeml_spark.operators.dedup import ivf_native_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_native_topk(emb)
+
+
 @query("ann_ivf_topk")  # rows-only: k-means cell assignment is model-specific
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN top-k — the second similarity-search scale path

@@ -207,3 +207,18 @@ def test_sample_parse_validation():
         parse("SAMPLE documents RATE 1.5")
     with pytest.raises(ValueError, match="RATE must be a number"):
         parse("SAMPLE documents RATE banana")
+
+
+def test_ivf_native_recall_vs_brute_force(spark, smoke_dir):
+    """The deterministic-quantizer IVF must recover a solid fraction
+    of the exact top-10 (2 of 8 cells probed)."""
+    from declarativeml_spark.operators.dedup import ivf_native_topk
+
+    emb = spark.read.parquet(f"{smoke_dir}/embeddings.parquet")
+    ivf = ivf_native_topk(emb)
+    exact = QUERIES["ann_topk_cosine"](spark, smoke_dir)
+    ivf_pairs = {(r.qid, r.nid) for r in ivf.collect()}
+    exact_pairs = {(r.qid, r.nid) for r in exact.collect()}
+    assert exact_pairs, "brute-force baseline returned no pairs"
+    recall = len(ivf_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"native IVF recall too low: {recall:.3f}"
