@@ -23,11 +23,53 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# Queries with the least accumulated verification evidence go first:
+# correctness tooling that samples a prefix of this dict should spend
+# its budget on rows not yet (or not yet successfully) checked, not on
+# re-confirming long-green ones.
+_CHECK_FIRST = (
+    # never driver-checked as of round 1 (fell past the row cap)
+    "q6_discount_revenue",
+    "q8_nation_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_brand_quantity_revenue",
+    "q20_heavy_shippers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "revenue_moving_avg_7d",
+    "embedding_array_stats",
+    # red in round 1, fixed since — need fresh rows
+    "events_sessionize",
+    "events_hourly_stats",
+    "events_json_extract",
+    "events_type_hour_cube",
+    "asof_last_view_before_purchase",
+    "events_value_range_join",
+    "part_type_shares",
+    "text_winnow_fingerprints",
+    "approx_distinct_parts",
+    "multimodal_byte_histogram",
+)
+
+
+def _ordered(mapping: dict) -> dict:
+    head = {k: mapping[k] for k in _CHECK_FIRST if k in mapping}
+    tail = {k: v for k, v in mapping.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each hash-checkable query."""
-    return dict(ORACLES)
+    return _ordered(dict(ORACLES))

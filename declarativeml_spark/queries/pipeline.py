@@ -903,10 +903,10 @@ def _no_codegen_session(spark: SparkSession) -> SparkSession:
     "multimodal_byte_histogram",
     oracle="""
     SELECT doc_id AS media_id,
-           list_transform(range(0, 16),
+           array_to_string(list_transform(range(0, 16),
                b -> CAST(len(list_filter(range(1, length(text) + 1),
                         i -> ascii(substr(text, i, 1)) // 16 = b)) AS BIGINT)
-           ) AS features
+           ), ',') AS features
     FROM documents
     """,
 )
@@ -928,7 +928,12 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = attach_fake_media(docs)
-    return decode_features(media)
+    decoded = decode_features(media)
+    # Histogram bins are fixed-order, so joining to a scalar string is
+    # lossless — and keeps the output hashable for value comparison.
+    return decoded.select(
+        "media_id", F.array_join("features", ",").alias("features")
+    )
 
 
 @query(

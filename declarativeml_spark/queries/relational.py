@@ -23,6 +23,8 @@ from declarativeml_spark.queries.registry import (
     query,
     sql_davg,
     sql_dsum,
+    sql_sround,
+    sround,
 )
 from declarativeml_spark.sources.catalog import load_table
 
@@ -464,24 +466,33 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "part_type_shares",
-    oracle="""
+    oracle=f"""
     SELECT p_type, p_brand, n_parts, brand_parts,
-           CAST(n_parts AS DOUBLE) / brand_parts AS share
+           {sql_sround('CAST(n_parts AS DOUBLE) / brand_parts')} AS share
     FROM (
         SELECT p_type, p_brand,
                COUNT(*) AS n_parts,
-               SUM(COUNT(*)) OVER (PARTITION BY p_brand) AS brand_parts
+               CAST(SUM(COUNT(*)) OVER (PARTITION BY p_brand) AS BIGINT)
+                   AS brand_parts
         FROM part
         GROUP BY p_type, p_brand
     ) t
     """,
 )
 def part_type_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate + analytic window over aggregate (share-of-total)."""
+    """Aggregate + analytic window over aggregate (share-of-total).
+
+    DuckDB's SUM over BIGINT is HUGEINT — cast back to BIGINT in the
+    oracle so both engines emit int64; the ratio goes through
+    ``sround`` on both sides (repo-wide double convention).
+    """
     part = load_table(spark, sf_dir, "part")
     agg = part.groupBy("p_type", "p_brand").agg(F.count("*").alias("n_parts"))
     w = W.partitionBy("p_brand")
     return (
         agg.withColumn("brand_parts", F.sum("n_parts").over(w))
-        .withColumn("share", F.col("n_parts").cast("double") / F.col("brand_parts"))
+        .withColumn(
+            "share",
+            sround(F.col("n_parts").cast("double") / F.col("brand_parts")),
+        )
     )

@@ -153,7 +153,11 @@ def nation_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM d),
     hashed AS (SELECT doc_id, list_transform(grams, g -> md5(g)) AS hs FROM sh)
     SELECT doc_id,
-           list_sort(list_distinct(list_filter(hs, h -> h < '2'))) AS winnowed
+           -- DuckDB folds empty lists to NULL through sort/distinct;
+           -- Spark's array_join gives '' — normalize to ''
+           COALESCE(array_to_string(
+               list_sort(list_distinct(list_filter(hs, h -> h < '2'))), ','),
+               '') AS winnowed
     FROM hashed
     """,
 )
@@ -175,24 +179,52 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" element_at({toks}, i + 2), element_at({toks}, i + 3))) END"
     )
     winnowed = (
-        f"array_sort(array_distinct(filter(transform({grams}, g -> md5(g)),"
-        f" h -> h < '2')))"
+        f"array_join(array_sort(array_distinct(filter(transform({grams}, g -> md5(g)),"
+        f" h -> h < '2'))), ',')"
     )
     return docs.select("doc_id", F.expr(winnowed).alias("winnowed"))
 
 
-@query("approx_distinct_parts")  # rows-only: approx results are engine-specific
+@query(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS hll_within_tol,
+           TRUE AS pct_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch surface: approx_count_distinct (HLL++) and
-    approx_percentile (t-digest class) — THE 100 TB forms of distinct
-    counting and quantiles. No oracle: sketch estimates are
-    engine-specific by design; the driver records a rows-only check,
-    and exact counterparts are oracle-checked elsewhere
-    (price_bucket_distribution, segment_price_percentiles).
+    approx_percentile (Greenwald-Khanna) — THE 100 TB forms of
+    distinct counting and quantiles.
+
+    Raw sketch estimates are engine-specific, so the query emits the
+    exact values plus in-engine tolerance assertions: HLL++ within 15%
+    of the exact distinct count (default rsd is 5%, so 3σ of margin)
+    and the approximate median within 15% of the exact median. The
+    oracle asserts TRUE — a sketch regression flips the hash. Sketch
+    merge is commutative (HLL register max / GK summary merge), so the
+    booleans are partitioning-independent.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.15 * F.col("exact_parts")
+        ).alias("hll_within_tol"),
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            <= 0.15 * F.col("exact_median")
+        ).alias("pct_within_tol"),
     )

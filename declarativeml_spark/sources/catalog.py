@@ -42,6 +42,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``epoch_us`` truncation of the same values.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # Callers (the correctness driver included) may hand us a session
+        # built without the nanos conf; set it here so TIMESTAMP(NANOS)
+        # parquet is readable regardless of who constructed the session.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
