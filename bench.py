@@ -68,17 +68,23 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", args.sf_dir)
     sf = float(m.group(1)) if m else None
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    full = {**summary, "queries": timings}
+    # Short summary line FIRST: capture windows that keep only the
+    # head of stdout still get a parseable JSON object. The full
+    # per-query map follows on its own line and is also written to
+    # BENCH_LOCAL.json.
+    print(json.dumps(summary), flush=True)
+    print(json.dumps(full), flush=True)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1)
     return 0
 
 
