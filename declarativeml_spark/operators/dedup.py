@@ -137,47 +137,134 @@ def minhash_pairs(
     )
 
 
+def _guard_block_sizes(
+    df: DataFrame, block_cols: list[str], max_block_rows: int
+) -> None:
+    """Refuse all-pairs blocks that would explode quadratically.
+
+    Driver-side read of per-block counts (one row per block — bounded
+    by block-key cardinality, not data size). Raising beats silently
+    launching an O(block²) stage that would never finish at scale.
+    """
+    top = (
+        df.groupBy(*block_cols)
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(1)
+        .collect()
+    )
+    if top and top[0]["count"] > max_block_rows:
+        key = {c: top[0][c] for c in block_cols}
+        raise ValueError(
+            f"block {key} has {top[0]['count']} rows (> max_block_rows="
+            f"{max_block_rows}): all-pairs within this block is "
+            "quadratic. Use the candidate-gated default (method="
+            "'minhash'/'lsh') or raise max_block_rows explicitly."
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    block_by: list[str] | None = None,
     threshold: float = 0.15,
+    method: str = "minhash",
+    n_minhash: int = 8,
+    block_by: list[str] | None = None,
+    max_block_rows: int = 20_000,
 ) -> DataFrame:
-    """Blocked n-gram Jaccard pairs (hashed shingle sets; Jaccard
-    depends only on set sizes, which hashing preserves).
+    """N-gram Jaccard pairs ≥ threshold, with exact Jaccard as the
+    VERIFY step over candidate pairs — never an unbounded all-pairs.
 
-    Scale: blocking bounds the pair space to Σ block²; unblocked
-    similarity joins don't scale and aren't offered.
+    ``method='minhash'`` (default, the 100 TB path): candidates are
+    pairs sharing ANY of ``n_minhash`` md5-minhashes (n tables × 1
+    row — single-hash buckets keep recall usable at low thresholds:
+    P(candidate) = 1-(1-J)^n ≈ 73% at J=0.15, n=8, vs 8.7% for 4×2
+    banding). The pair space is Σ bucket² over minhash-value buckets —
+    docs sharing a rare shingle — not Σ block² over corpus-linear
+    blocks. Exact Jaccard over xxhash64'd shingle sets (Jaccard
+    depends only on set sizes, which hashing preserves) then verifies
+    every candidate. Hot buckets (boilerplate shingles) are AQE
+    skew-join territory.
+
+    ``method='block'``: the legacy all-pairs within ``block_by``
+    (default (source, lang)) — O(block²), refuses blocks over
+    ``max_block_rows`` so it stays an explicitly small-block tool.
     """
     from declarativeml_spark.operators.skew import spread_partitions
 
-    block_by = block_by or ["source", "lang"]
-    # spread raw text, shingle after the shuffle (see minhash_pairs)
-    sh = (
-        spread_partitions(
-            df.select(F.col(id_col).alias("doc_id"), *block_by, F.col(text_col))
+    if method == "block":
+        block_by = block_by or ["source", "lang"]
+        sh = (
+            spread_partitions(
+                df.select(F.col(id_col).alias("doc_id"), *block_by, F.col(text_col))
+            )
+            .select(
+                "doc_id",
+                *block_by,
+                F.expr(f"transform({_shingles(text_col)}, s -> xxhash64(s))").alias(
+                    "shingles"
+                ),
+            )
+            .persist()
         )
+        _guard_block_sizes(sh, block_by, max_block_rows)
+        a = sh.select(
+            F.col("doc_id").alias("id_a"), *block_by, F.col("shingles").alias("sa")
+        )
+        b = sh.select(
+            F.col("doc_id").alias("id_b"), *block_by, F.col("shingles").alias("sb")
+        )
+        inter = F.size(F.array_intersect("sa", "sb"))
+        jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+        return (
+            a.join(b, block_by)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(jac >= threshold)
+            .select("id_a", "id_b", _sround(jac).alias("jaccard"))
+        )
+    if method != "minhash":
+        raise ValueError(f"unknown ngram_jaccard method: {method!r}")
+
+    # candidate-gated default: spread raw text, shingle AFTER the
+    # shuffle (see minhash_pairs), derive both the string shingles
+    # (minhash input) and the hashed sets (verify input) in one pass
+    sh = (
+        spread_partitions(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", F.expr(_shingles(text_col)).alias("sh_str"))
         .select(
             "doc_id",
-            *block_by,
-            F.expr(f"transform({_shingles(text_col)}, s -> xxhash64(s))").alias(
-                "shingles"
-            ),
+            "sh_str",
+            F.expr("transform(sh_str, s -> xxhash64(s))").alias("shingles"),
         )
         .persist()
     )
-    a = sh.select(
-        F.col("doc_id").alias("id_a"), *block_by, F.col("shingles").alias("sa")
+    sigs = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[F.expr(T.minhash_spark("sh_str", k)) for k in range(n_minhash)]
+            )
+        ).alias("band_idx", "band_key"),
     )
-    b = sh.select(
-        F.col("doc_id").alias("id_b"), *block_by, F.col("shingles").alias("sb")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
     )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
     return (
-        a.join(b, block_by)
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(jac >= threshold)
         .select("id_a", "id_b", _sround(jac).alias("jaccard"))
     )
@@ -197,43 +284,92 @@ def embedding_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_by: str = "label",
     threshold: float = 0.35,
+    method: str = "lsh",
+    block_by: str = "label",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+    dim: int | None = None,
+    max_block_rows: int = 20_000,
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ threshold within a block
-    (the block id is the IVF coarse-cell stand-in).
+    """Embedding near-dup pairs: exact cosine ≥ threshold as the
+    VERIFY step over candidate pairs.
 
-    Scale: per-vector norms precomputed once; join shuffles on the
-    block key only.
+    ``method='lsh'`` (default, the 100 TB path): candidates come from
+    seeded random-projection buckets — the same (table, key)
+    equi-join as ``lsh_topk_pairs`` — so the pair space is Σ bucket²
+    over distance-local buckets, not Σ block² over corpus-linear
+    label blocks. Exact cosine verifies every candidate inside the
+    join stage; only (id, id, cos) tuples survive. Deterministic
+    (seeded driver-side projections, left-assoc folds), so the result
+    is hash-checkable cross-engine.
+
+    ``method='block'``: the legacy all-pairs within ``block_by`` —
+    O(block²), refuses blocks over ``max_block_rows`` so it stays an
+    explicitly small-block tool.
     """
     from declarativeml_spark.operators.skew import spread_partitions
 
-    base = (
-        spread_partitions(
-            df.select(
-                F.col(id_col).alias("vec_id"),
-                F.col(block_by).alias("blk"),
-                F.col(vec_col).alias("vec"),
+    if method == "block":
+        base = (
+            spread_partitions(
+                df.select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(block_by).alias("blk"),
+                    F.col(vec_col).alias("vec"),
+                )
             )
+            .withColumn("nrm", F.expr(_NORM.format(a="vec")))
+            .persist()
         )
-        .withColumn("nrm", F.expr(_NORM.format(a="vec")))
-        .persist()
+        _guard_block_sizes(base, ["blk"], max_block_rows)
+        a = base.select(
+            F.col("vec_id").alias("id_a"),
+            "blk",
+            F.col("vec").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        b = base.select(
+            F.col("vec_id").alias("id_b"),
+            "blk",
+            F.col("vec").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+        return (
+            a.join(b, "blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", _sround(F.col("cosine")).alias("cosine"))
+        )
+    if method != "ivf":
+        raise ValueError(f"unknown embedding_pairs method: {method!r}")
+
+    cells = ivf_native_cells(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        n_iters=n_iters,
+        dim=dim if dim is not None else 64,
     )
-    a = base.select(
+    a = cells.select(
         F.col("vec_id").alias("id_a"),
-        "blk",
+        "cell",
         F.col("vec").alias("ea"),
         F.col("nrm").alias("na"),
     )
-    b = base.select(
+    b = cells.select(
         F.col("vec_id").alias("id_b"),
-        "blk",
+        "cell",
         F.col("vec").alias("eb"),
         F.col("nrm").alias("nb"),
     )
     cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, "blk")
+        a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

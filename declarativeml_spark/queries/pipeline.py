@@ -492,80 +492,62 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH d AS (SELECT doc_id, source, lang, {_TOKS_D} AS toks FROM documents),
-    sh AS (SELECT doc_id, source, lang,
-                  list_transform({_SHINGLES_D}, s -> hash(s)) AS shingles
-           FROM d)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           {sql_sround(
-               "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
-               " / (len(a.shingles) + len(b.shingles)"
-               " - len(list_intersect(a.shingles, b.shingles)))"
-           )} AS jaccard
-    FROM sh a JOIN sh b
-      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / (len(a.shingles) + len(b.shingles)
-             - len(list_intersect(a.shingles, b.shingles))) >= 0.15
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked n-gram Jaccard: candidate pairs within a (source, lang)
-    block, 3-gram Jaccard ≥ 0.15.
+_NGRAM_GATE_MH = 8  # 8 tables x 1 row: P(candidate) = 1-(1-J)^8
 
-    The (already-distinct) shingle sets are hashed to int64 before
-    the pairwise intersect — integer set intersection is ~2× cheaper
-    than string, and Jaccard depends only on set *sizes*, which
-    hashing preserves (each engine hashes its own side consistently;
-    a 64-bit collision within one pair's ~100-shingle union is
-    ~1e-15). At 100 TB the hashed form also shrinks the shuffled
-    payload ~5× vs raw 3-gram strings.
 
-    Scale: blocking bounds the pair space to Σ block². At 100 TB the
-    block key would be a cheap cluster id (simhash prefix / length
-    bucket); unblocked similarity joins don't scale and aren't run.
+def _ngram_jaccard_oracle(threshold: float = 0.15) -> str:
+    """Minhash-gated Jaccard in DuckDB: same md5-minhash buckets, same
+    hashed-set verify (each engine hashes its own side — Jaccard
+    depends only on set sizes, which hashing preserves)."""
+    mh_select = ", ".join(
+        f"{T.minhash_duck('sh_str', k)} AS mh{k}" for k in range(_NGRAM_GATE_MH)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band_idx, mh{k} AS band_key FROM sigs"
+        for k in range(_NGRAM_GATE_MH)
+    )
+    jac = (
+        "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+        " / (len(a.shingles) + len(b.shingles)"
+        " - len(list_intersect(a.shingles, b.shingles)))"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS_D} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_D} AS sh_str FROM d),
+    hs AS (SELECT doc_id, list_transform(sh_str, s -> hash(s)) AS shingles FROM sh),
+    sigs AS (SELECT doc_id, {mh_select} FROM sh),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b, {sql_sround(jac)} AS jaccard
+    FROM cand c
+    JOIN hs a ON a.doc_id = c.id_a
+    JOIN hs b ON b.doc_id = c.id_b
+    WHERE {jac} >= {threshold}
     """
-    from declarativeml_spark.operators.skew import spread_partitions
+
+
+@query("dedup_ngram_jaccard", oracle=_ngram_jaccard_oracle())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash-gated n-gram Jaccard: candidates share at least one of
+    8 md5-minhashes (8 tables × 1 row — usable recall at the low 0.15
+    threshold: P = 1-(1-J)^8), then exact 3-gram Jaccard over
+    xxhash64'd shingle sets verifies each candidate.
+
+    Round 1 shipped this as all-pairs within (source, lang) blocks —
+    quadratic in block size, and blocks grow linearly with the
+    corpus. The minhash gate bounds the pair space to Σ bucket² over
+    shingle-locality buckets instead; the blocked form survives as
+    ``method='block'`` with a hard block-size guard
+    (operators/dedup.py::ngram_jaccard_pairs).
+    """
+    from declarativeml_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    # persist: the shingle computation feeds both join sides; spread
-    # raw text so the blocked pairwise stage parallelizes (coarse
-    # block keys) without shuffling expanded token/shingle arrays
-    sh = (
-        spread_partitions(docs.select("doc_id", "source", "lang", "text"))
-        .select("doc_id", "source", "lang", F.expr(_TOKS_S).alias("toks"))
-        .select(
-            "doc_id",
-            "source",
-            "lang",
-            F.expr(
-                f"transform({_SHINGLES_S}, s -> xxhash64(s))"
-            ).alias("shingles"),
-        )
-        .persist()
-    )
-    a = sh.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("source").alias("src"),
-        F.col("lang").alias("lng"),
-        F.col("shingles").alias("sa"),
-    )
-    b = sh.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("source").alias("src"),
-        F.col("lang").alias("lng"),
-        F.col("shingles").alias("sb"),
-    )
-    inter = F.size(F.array_intersect("sa", "sb"))
-    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
-    return (
-        a.join(b, ["src", "lng"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(jac >= 0.15)
-        .select("id_a", "id_b", sround(jac).alias("jaccard"))
+    return ngram_jaccard_pairs(
+        docs, threshold=0.15, n_minhash=_NGRAM_GATE_MH
     )
 
 
@@ -597,55 +579,31 @@ def _cos_d(a: str, b: str) -> str:
     )
 
 
-@query(
-    "embedding_similarity_pairs",
-    oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {sql_sround(_cos_d('a.embedding', 'b.embedding'))} AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_cos_d('a.embedding', 'b.embedding')} >= 0.35
-    """,
-)
-def embedding_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.35 within a label block.
+def _embedding_pairs_oracle() -> str:
+    from declarativeml_spark.operators.dedup import embedding_pairs_oracle_sql
 
-    Scale: the label block is the IVF coarse-cell stand-in — at 100 TB
-    the block id comes from a trained coarse quantizer (kmeans stage),
-    and each cell's pairs are computed independently. Join shuffles on
-    the block key only.
+    return embedding_pairs_oracle_sql(threshold=0.35, dim=64)
+
+
+@query("embedding_similarity_pairs", oracle=_embedding_pairs_oracle())
+def embedding_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: LSH-bucket candidates, exact cosine
+    ≥ 0.35 verify.
+
+    Round 1 shipped this as all-pairs within a label block — O(m²) in
+    a block that grows linearly with the corpus. Candidates now come
+    from the seeded random-projection buckets (same machinery as
+    ann_lsh_bucketed): the pair space is Σ bucket² over
+    distance-local buckets, exact cosine verifies inside the join
+    stage, and only (id, id, cos) tuples survive. Deterministic
+    projections keep it hash-checkable. The blocked form survives as
+    ``method='block'`` with a hard block-size guard
+    (operators/dedup.py::embedding_pairs).
     """
-    from declarativeml_spark.operators.skew import spread_partitions
+    from declarativeml_spark.operators.dedup import embedding_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # precompute the norm once per vector (not once per pair) — the
-    # expression dot/(na·nb) stays bitwise-identical to the oracle's.
-    # spread + persist: parallel pairwise stage, one norm pass
-    base = (
-        spread_partitions(emb)
-        .withColumn("nrm", F.expr(_NORM_S.format(a="embedding")))
-        .persist()
-    )
-    a = base.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("lbl"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = base.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("lbl"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = F.expr(_DOT_S.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, "lbl")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.35)
-        .select("id_a", "id_b", sround("cosine").alias("cosine"))
-    )
+    return embedding_pairs(emb, threshold=0.35, dim=64)
 
 
 def _clean_corpus_oracle() -> str:
