@@ -344,37 +344,121 @@ def embedding_pairs(
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", _sround(F.col("cosine")).alias("cosine"))
         )
-    if method != "ivf":
+    if method != "lsh":
         raise ValueError(f"unknown embedding_pairs method: {method!r}")
 
-    cells = ivf_native_cells(
-        df,
-        id_col=id_col,
-        vec_col=vec_col,
-        n_cells=n_cells,
-        n_iters=n_iters,
-        dim=dim if dim is not None else 64,
+    if dim is None:
+        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None or probe["d"] is None or probe["d"] < 0:
+            raise ValueError(
+                f"cannot infer vector dim from {vec_col!r} (empty input or"
+                " NULL first vector); pass dim= explicitly"
+            )
+        dim = int(probe["d"])
+    proj = _lsh_proj_matrix(dim, num_hash_tables, seed)
+    base = (
+        spread_partitions(
+            df.filter(F.size(F.col(vec_col)) == dim).select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+            )
+        )
+        .withColumn("nrm", F.expr(_NORM.format(a="vec")))
+        .persist()
     )
-    a = cells.select(
+    keyed = base.select(
+        "vec_id",
+        "vec",
+        "nrm",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"CAST(FLOOR(({_proj_dot_spark('vec', proj[t])})"
+                        f" / {bucket_length!r}) AS BIGINT)"
+                    )
+                    for t in range(num_hash_tables)
+                ]
+            )
+        ).alias("tbl", "bkey"),
+    )
+    a = keyed.select(
         F.col("vec_id").alias("id_a"),
-        "cell",
+        "tbl",
+        "bkey",
         F.col("vec").alias("ea"),
         F.col("nrm").alias("na"),
     )
-    b = cells.select(
+    b = keyed.select(
         F.col("vec_id").alias("id_b"),
-        "cell",
+        "tbl",
+        "bkey",
         F.col("vec").alias("eb"),
         F.col("nrm").alias("nb"),
     )
+    # exact-cosine verify runs inside the join stage, before the
+    # pair-level distinct — the wide candidate space only ever exists
+    # as (id, id, cos) tuples. Cosine is bit-identical across a pair's
+    # duplicate bucket collisions (same left fold), so distinct-after
+    # is safe.
     cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, "cell")
+        a.join(b, ["tbl", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", _sround(F.col("cosine")).alias("cosine"))
+        .distinct()
     )
+
+
+def embedding_pairs_oracle_sql(
+    threshold: float = 0.35,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for ``embedding_pairs(method='lsh')`` — same
+    projection constants and left-assoc fold order as the Spark plan,
+    so buckets, candidates and cosines are bit-identical."""
+    from declarativeml_spark.operators.textops import stable_round
+
+    proj = _lsh_proj_matrix(dim, num_hash_tables, seed)
+    keys = ",\n           ".join(
+        f"CAST(FLOOR(({_proj_dot_duck('vec', proj[t])})"
+        f" / {bucket_length!r}) AS BIGINT) AS k{t}"
+        for t in range(num_hash_tables)
+    )
+    case = " ".join(f"WHEN {t} THEN k{t}" for t in range(num_hash_tables))
+    values = ",".join(f"({t})" for t in range(num_hash_tables))
+    dot = (
+        "list_sum(list_transform(list_zip(a.vec, b.vec),"
+        " p -> p[1] * p[2]))"
+    )
+    nrm = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+    cos = f"{dot} / ({nrm.format(v='a.vec')} * {nrm.format(v='b.vec')})"
+    return f"""
+    WITH base AS (SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS vec
+                  FROM {table} WHERE len({vec_col}) = {dim}),
+    keyed AS (SELECT vec_id, vec,
+           {keys}
+           FROM base),
+    expl AS (SELECT vec_id, t.tbl, CASE t.tbl {case} END AS bkey
+             FROM keyed, (VALUES {values}) AS t(tbl)),
+    cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+             FROM expl x JOIN expl y
+               ON x.tbl = y.tbl AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+    scored AS (SELECT c.id_a, c.id_b, {cos} AS cos
+               FROM cand c
+               JOIN base a ON a.vec_id = c.id_a
+               JOIN base b ON b.vec_id = c.id_b)
+    SELECT id_a, id_b, {stable_round('cos', 6)} AS cosine
+    FROM scored WHERE cos >= {threshold!r}
+    """
 
 
 def cosine_topk(

@@ -48,8 +48,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # parquet is readable regardless of who constructed the session.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
+        except Exception as exc:  # pragma: no cover - conf locked down
+            import warnings
+
+            warnings.warn(
+                "could not set spark.sql.legacy.parquet.nanosAsLong on this"
+                f" session ({exc}); reading events.parquet may fail with a"
+                " TIMESTAMP(NANOS) error",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
