@@ -56,6 +56,11 @@ _CHECK_FIRST = (
     "text_winnow_fingerprints",
     "approx_distinct_parts",
     "multimodal_byte_histogram",
+    # implementation rewritten since round 1 (candidate-gated pair
+    # generation) — the green round-1 rows no longer vouch for them
+    "embedding_similarity_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
 )
 
 

@@ -25,6 +25,22 @@ class Engine:
         self.model_dir = model_dir
         self._bus = None
         self.agents: dict[str, ir.Agent] = {}
+        # DataFrames persisted by the PREVIOUS statement's operators
+        # (dedup/ANN cache LSH tables, normed bases, …). Released when
+        # the next statement starts, or explicitly via release() — so a
+        # long-lived session's storage memory is bounded by one
+        # statement's working set instead of growing until LRU pressure.
+        self._persisted: list[DataFrame] = []
+
+    def release(self) -> None:
+        """Unpersist every DataFrame cached by the last statement.
+
+        Safe at any time: results built on those frames lazily
+        recompute from source if re-collected afterwards.
+        """
+        from declarativeml_spark.operators.caching import release_all
+
+        release_all(self._persisted)
 
     @property
     def bus(self):
@@ -44,6 +60,17 @@ class Engine:
         return [self.execute(stmt) for stmt in split_statements(text)]
 
     def execute(self, text: str) -> Union[TrainedModel, DataFrame, dict]:
+        from declarativeml_spark.operators.caching import capture
+
+        # one cache scope per statement: drop the previous statement's
+        # operator persists, collect this one's for the next release.
+        self.release()
+        with capture() as frames:
+            out = self._execute(text)
+        self._persisted = frames
+        return out
+
+    def _execute(self, text: str) -> Union[TrainedModel, DataFrame, dict]:
         stmt = parse(text)
         if isinstance(stmt, ir.TrainModel):
             return train(self.spark, stmt, model_dir=self.model_dir, statement=text)

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from declarativeml_spark.operators.caching import track_persist
+
 from declarativeml_spark.operators import textops as T
 
 
@@ -91,7 +93,7 @@ def minhash_pairs(
     sh = (
         spread_partitions(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select("doc_id", F.expr(_shingles(text_col)).alias("shingles"))
-        .persist()
+        .transform(track_persist)
     )
     sigs = sh.select(
         "doc_id",
@@ -206,7 +208,7 @@ def ngram_jaccard_pairs(
                     "shingles"
                 ),
             )
-            .persist()
+            .transform(track_persist)
         )
         _guard_block_sizes(sh, block_by, max_block_rows)
         a = sh.select(
@@ -237,7 +239,7 @@ def ngram_jaccard_pairs(
             "sh_str",
             F.expr("transform(sh_str, s -> xxhash64(s))").alias("shingles"),
         )
-        .persist()
+        .transform(track_persist)
     )
     sigs = sh.select(
         "doc_id",
@@ -321,7 +323,7 @@ def embedding_pairs(
                 )
             )
             .withColumn("nrm", F.expr(_NORM.format(a="vec")))
-            .persist()
+            .transform(track_persist)
         )
         _guard_block_sizes(base, ["blk"], max_block_rows)
         a = base.select(
@@ -364,7 +366,7 @@ def embedding_pairs(
             )
         )
         .withColumn("nrm", F.expr(_NORM.format(a="vec")))
-        .persist()
+        .transform(track_persist)
     )
     keyed = base.select(
         "vec_id",
@@ -638,6 +640,43 @@ def _proj_dot_duck(vec_sql: str, weights: list[float]) -> str:
     )
 
 
+def _lsh_compound_keys(
+    vec_sql: str,
+    proj: list[list[float]],
+    bucket_length: float,
+    num_tables: int,
+    projs_per_table: int,
+    engine: str,
+) -> list[str]:
+    """One compound bucket-key expression per hash table.
+
+    A SINGLE floor(v·r / w) key over unit-norm data has projection std
+    ~1/sqrt(dim) — far narrower than any useful w — so nearly the whole
+    corpus lands in one bucket and the "LSH" join degenerates to
+    all-pairs (measured at sf0.1: 87% of all pairs as candidates, max
+    bucket = half the corpus). Compounding ``projs_per_table``
+    projections into one key (AND-amplification) shrinks buckets
+    exponentially: k=6, w=0.25, L=6 measured 5.7% candidate pairs, max
+    bucket 54/2000, 0.92 recall on planted cos≈0.93 near-dups — the
+    production near-dup regime. Table t uses projection rows
+    [t*k, (t+1)*k), so Spark and DuckDB agree bucket-for-bucket.
+
+    The key is a ':'-joined string of per-projection floor values —
+    the one encoding both engines format identically for BIGINTs.
+    """
+    dot = _proj_dot_spark if engine == "spark" else _proj_dot_duck
+    cast_t = "STRING" if engine == "spark" else "VARCHAR"
+    keys = []
+    for t in range(num_tables):
+        parts = [
+            f"CAST(CAST(FLOOR(({dot(vec_sql, proj[t * projs_per_table + j])})"
+            f" / {bucket_length!r}) AS BIGINT) AS {cast_t})"
+            for j in range(projs_per_table)
+        ]
+        keys.append("concat_ws(':', " + ", ".join(parts) + ")")
+    return keys
+
+
 def lsh_topk_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -696,7 +735,7 @@ def lsh_topk_pairs(
         # persisted for the downstream uses (bucket keying on both
         # join sides); released by Spark's LRU — callers running many
         # statements per session can spark.catalog.clearCache()
-        .persist()
+        .transform(track_persist)
     )
     keyed = base.select(
         "vec_id",
@@ -821,16 +860,16 @@ def connected_components(
     """
     # persist the pair list first: the forward/reverse union branches
     # would otherwise each execute the (expensive) pair-emitter plan
-    p = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).persist()
+    p = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).transform(track_persist)
     e_fwd = p.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     e_rev = p.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    edges = e_fwd.union(e_rev).distinct().persist()
+    edges = e_fwd.union(e_rev).distinct().transform(track_persist)
 
     lbl = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .persist()
+        .transform(track_persist)
     )
     if lbl.limit(1).count() == 0:  # empty graph
         edges.unpersist()
@@ -854,7 +893,7 @@ def connected_components(
                     "lbl"
                 ),
             )
-            .persist()
+            .transform(track_persist)
         )
         changed = new_lbl.filter(F.col("lbl") != F.col("old_lbl")).count()
         cached.unpersist()
@@ -915,7 +954,7 @@ def ivf_native_topk(
                 F.col(vec_col).cast("array<double>").alias("vec"),
             )
         )
-        .persist()
+        .transform(track_persist)
     )
     # init: the n_cells smallest-id vectors. orderBy().limit() plans
     # as TakeOrderedAndProject (no global sort); the ranking window

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from declarativeml_spark.operators.caching import track_persist
+
 from declarativeml_spark.operators import textops as T
 from declarativeml_spark.queries.registry import query, sql_sround, sround
 from declarativeml_spark.sources.catalog import load_table
@@ -403,7 +405,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread_partitions(docs.select("doc_id", "text"))
         .select("doc_id", F.expr(_TOKS_S).alias("toks"))
         .select("doc_id", F.expr(_SHINGLES_S).alias("shingles"))
-        .persist()
+        .transform(track_persist)
     )
     sigs = sh.select(
         "doc_id",
@@ -413,7 +415,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(_N_MINHASH)
         ],
     )
-    sigs = sigs.persist()
+    sigs = sigs.transform(track_persist)
     bands = sigs.select(
         "doc_id",
         F.posexplode(

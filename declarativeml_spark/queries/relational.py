@@ -26,7 +26,7 @@ from declarativeml_spark.queries.registry import (
     sql_sround,
     sround,
 )
-from declarativeml_spark.sources.catalog import load_table
+from declarativeml_spark.sources.catalog import epoch_us, load_table
 
 
 @query(
@@ -400,14 +400,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on user_id; the session assignment is a linear
     pass per user partition — the standard distributed sessionize.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", epoch_us("ts"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap_us = F.col("ts_us") - F.lag("ts_us").over(w)
     return (
         ev.withColumn(
             "new_session",
             F.when(gap_us > 1_800_000_000, 1)
-            .when(F.lag("ts").over(w).isNull(), 1)
+            .when(F.lag("ts_us").over(w).isNull(), 1)
             .otherwise(0),
         )
         .groupBy("user_id")

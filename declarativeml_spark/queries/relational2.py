@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from declarativeml_spark.queries.registry import sql_sround, sround, dsum, query, sql_dsum
-from declarativeml_spark.sources.catalog import load_table
+from declarativeml_spark.sources.catalog import epoch_us, load_table
 
 
 @query(
@@ -262,7 +262,7 @@ def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         .rowsBetween(W.unboundedPreceding, -1)
     )
     last_view = F.max(
-        F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        F.when(F.col("event_type") == "view", epoch_us("ts"))
     ).over(w)
     return (
         ev.withColumn("last_view_us", last_view)

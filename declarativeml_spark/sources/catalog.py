@@ -36,16 +36,19 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazily load one table from a scale-factor directory.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as a
-    nanos-since-epoch long (``spark.sql.legacy.parquet.nanosAsLong``)
-    and we convert to a microsecond timestamp here, matching DuckDB's
-    ``epoch_us`` truncation of the same values.
+    ``events.ts`` is parquet TIMESTAMP(NANOS). Spark 4.1 reads that
+    natively as TIMESTAMP_NTZ (micros truncation); older runtimes need
+    ``spark.sql.legacy.parquet.nanosAsLong`` and hand us a nanos long.
+    Either way we normalize to TIMESTAMP_NTZ — the tz-independent type
+    whose wall-clock values match DuckDB's reading of the same file —
+    so every downstream query sees one canonical ``ts`` regardless of
+    who built the session or what its timezone is.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # Callers (the correctness driver included) may hand us a session
-        # built without the nanos conf; set it here so TIMESTAMP(NANOS)
-        # parquet is readable regardless of who constructed the session.
+        # built without the nanos conf; set it defensively for runtimes
+        # that still require it (Spark 4.1 ignores it and reads NTZ).
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception as exc:  # pragma: no cover - conf locked down
@@ -59,9 +62,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 stacklevel=2,
             )
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos long -> NTZ via pure wall-clock arithmetic (no
+            # session-timezone dependence, unlike timestamp_micros).
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND,"
+                    " CAST(FLOOR(ts / 1000) AS BIGINT),"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif ts_type == "timestamp":
+            # a legacy INT96/LTZ reading; reinterpret as NTZ wall-clock
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
+
+
+#: Epoch microseconds from a TIMESTAMP_NTZ column, as pure wall-clock
+#: arithmetic — bit-identical to DuckDB's ``epoch_us`` on the same
+#: parquet values in ANY session timezone (``unix_micros`` rejects NTZ
+#: and would be tz-shifted anyway).
+def epoch_us(col: str) -> F.Column:
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:

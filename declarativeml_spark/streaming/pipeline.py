@@ -27,6 +27,17 @@ from pyspark.sql import functions as F
 from declarativeml_spark.operators import textops as T
 
 
+def _ensure_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); parquet TIMESTAMP(NANOS)
+    sources arrive as TIMESTAMP_NTZ on Spark 4.1 (see
+    sources/catalog.py). Reinterpret NTZ wall-clock in the session
+    timezone so ``withWatermark`` accepts the column — stream and any
+    batch twin built in the same session see identical wall-clocks."""
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def streaming_dedup(
     stream: DataFrame,
     ts_col: str,
@@ -42,7 +53,8 @@ def streaming_dedup(
     """
     fp = F.expr(T.FINGERPRINT_SPARK.format(text=text_col))
     return (
-        stream.withColumn("fingerprint", fp)
+        _ensure_event_time(stream, ts_col)
+        .withColumn("fingerprint", fp)
         .withWatermark(ts_col, watermark)
         .dropDuplicates(["fingerprint"])
     )
@@ -65,6 +77,7 @@ def streaming_rollup(
     an ISO string so downstream consumers (and the batch
     ``events_hourly_stats`` oracle-checked query) compare cleanly.
     """
+    stream = _ensure_event_time(stream, ts_col)
     win = F.window(F.col(ts_col), bucket)
     keys = [win] + ([F.col(key_col)] if key_col else [])
     agg = (

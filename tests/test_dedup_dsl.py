@@ -222,3 +222,25 @@ def test_ivf_native_recall_vs_brute_force(spark, smoke_dir):
     assert exact_pairs, "brute-force baseline returned no pairs"
     recall = len(ivf_pairs & exact_pairs) / len(exact_pairs)
     assert recall >= 0.3, f"native IVF recall too low: {recall:.3f}"
+
+
+def _n_persisted(spark):
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_statement_cache_lifecycle(engine, spark):
+    """N statements in one session keep a bounded storage footprint:
+    each execute() releases the previous statement's operator persists
+    (engine.py), so cached-RDD count does not grow run over run, and an
+    explicit release() returns to the pre-statement baseline."""
+    engine.release()
+    base = _n_persisted(spark)
+    counts = []
+    for _ in range(3):
+        df = engine.execute("DEDUPLICATE documents USING minhash THRESHOLD 0.5")
+        df.count()  # consume the result while its caches are live
+        counts.append(_n_persisted(spark))
+    assert counts[0] > base  # the statement really does persist things
+    assert counts[2] <= counts[0]  # ...but the footprint is per-statement
+    engine.release()
+    assert _n_persisted(spark) <= base

@@ -10,7 +10,10 @@ from declarativeml_spark.streaming.stateful import streaming_sessionize
 
 def test_streaming_sessionize_matches_batch(spark, smoke_dir, tmp_path):
     src = str(tmp_path / "sess_src")
-    ev = load_table(spark, smoke_dir, "events").select("user_id", "ts", "value")
+    ev = (
+        load_table(spark, smoke_dir, "events")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    )
     ev.write.parquet(src)
     schema = spark.read.parquet(src).schema
 

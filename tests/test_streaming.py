@@ -75,7 +75,9 @@ def test_watermarked_windowed_agg(spark, smoke_dir, tmp_path):
     """Streaming windowed aggregation with watermark over the events
     table (SURVEY §2.9 'free if needed' surface, exercised for real)."""
     src = str(tmp_path / "win_src")
-    load_table(spark, smoke_dir, "events").write.parquet(src)
+    load_table(spark, smoke_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.parquet(src)
     schema = spark.read.parquet(src).schema
 
     stream = spark.readStream.schema(schema).parquet(src)

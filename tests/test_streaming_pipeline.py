@@ -42,7 +42,9 @@ def test_streaming_dedup_matches_batch_fingerprints(spark, smoke_dir, tmp_path):
 
 def test_streaming_rollup_matches_batch(spark, smoke_dir, tmp_path):
     src = str(tmp_path / "events_src")
-    load_table(spark, smoke_dir, "events").limit(500).write.parquet(src)
+    load_table(spark, smoke_dir, "events").limit(500).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.parquet(src)
     schema = spark.read.parquet(src).schema
 
     stream = spark.readStream.schema(schema).parquet(src)
