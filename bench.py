@@ -55,13 +55,22 @@ def main() -> int:
         for name in names:
             QUERIES[name](spark, args.sf_dir).count()
 
+    from declarativeml_spark.operators.caching import capture, release_all
+
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        df = fn(spark, args.sf_dir)
-        # materialize fully (collect small results; count for anything big)
-        n = df.count()
+        # own each query's tracked persists and release them after the
+        # result materializes — without this, 66 queries' intermediate
+        # caches accumulate and the tail of the run slows ~3x under
+        # storage/GC pressure (measured: dedup_ngram_jaccard 29.8s in
+        # a full run vs 11.5s solo).
+        with capture() as persisted:
+            df = fn(spark, args.sf_dir)
+            # materialize fully (collect small results; count for anything big)
+            n = df.count()
+        release_all(persisted)
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -76,15 +85,20 @@ def main() -> int:
         "n_queries": len(timings),
     }
     full = {**summary, "queries": timings}
-    # Short summary line FIRST: capture windows that keep only the
-    # head of stdout still get a parseable JSON object. The full
-    # per-query map follows on its own line and is also written to
-    # BENCH_LOCAL.json.
-    print(json.dumps(summary), flush=True)
-    print(json.dumps(full), flush=True)
+    # Write the artifact BEFORE printing: a consumer that pipes stdout
+    # through `head` closes the pipe after the first line, and the
+    # resulting BrokenPipeError must not cost us the file.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as f:
         json.dump(full, f, indent=1)
+    # Short summary line FIRST: capture windows that keep only the
+    # head of stdout still get a parseable JSON object. The full
+    # per-query map follows on its own line.
+    try:
+        print(json.dumps(summary), flush=True)
+        print(json.dumps(full), flush=True)
+    except BrokenPipeError:
+        pass
     return 0
 
 

@@ -289,8 +289,9 @@ def embedding_pairs(
     threshold: float = 0.35,
     method: str = "lsh",
     block_by: str = "label",
-    bucket_length: float = 0.5,
-    num_hash_tables: int = 3,
+    bucket_length: float = 0.25,
+    num_hash_tables: int = 6,
+    projs_per_table: int = 6,
     seed: int = 42,
     dim: int | None = None,
     max_block_rows: int = 20_000,
@@ -299,13 +300,15 @@ def embedding_pairs(
     VERIFY step over candidate pairs.
 
     ``method='lsh'`` (default, the 100 TB path): candidates come from
-    seeded random-projection buckets — the same (table, key)
-    equi-join as ``lsh_topk_pairs`` — so the pair space is Σ bucket²
-    over distance-local buckets, not Σ block² over corpus-linear
-    label blocks. Exact cosine verifies every candidate inside the
-    join stage; only (id, id, cos) tuples survive. Deterministic
-    (seeded driver-side projections, left-assoc folds), so the result
-    is hash-checkable cross-engine.
+    seeded random-projection buckets — the same compound
+    AND-amplified (table, key) equi-join as ``lsh_topk_pairs`` — so
+    the pair space is Σ bucket² over distance-local buckets, not
+    Σ block² over corpus-linear label blocks (a single-projection key
+    degenerates to near-all-pairs on unit-norm data; see
+    ``_lsh_compound_keys``). Exact cosine verifies every candidate
+    inside the join stage; only (id, id, cos) tuples survive.
+    Deterministic (seeded driver-side projections, left-assoc folds),
+    so the result is hash-checkable cross-engine.
 
     ``method='block'``: the legacy all-pairs within ``block_by`` —
     O(block²), refuses blocks over ``max_block_rows`` so it stays an
@@ -357,7 +360,10 @@ def embedding_pairs(
                 " NULL first vector); pass dim= explicitly"
             )
         dim = int(probe["d"])
-    proj = _lsh_proj_matrix(dim, num_hash_tables, seed)
+    proj = _lsh_proj_matrix(dim, num_hash_tables * projs_per_table, seed)
+    key_exprs = _lsh_compound_keys(
+        "vec", proj, bucket_length, num_hash_tables, projs_per_table, "spark"
+    )
     base = (
         spread_partitions(
             df.filter(F.size(F.col(vec_col)) == dim).select(
@@ -372,17 +378,9 @@ def embedding_pairs(
         "vec_id",
         "vec",
         "nrm",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        f"CAST(FLOOR(({_proj_dot_spark('vec', proj[t])})"
-                        f" / {bucket_length!r}) AS BIGINT)"
-                    )
-                    for t in range(num_hash_tables)
-                ]
-            )
-        ).alias("tbl", "bkey"),
+        F.posexplode(F.array(*[F.expr(k) for k in key_exprs])).alias(
+            "tbl", "bkey"
+        ),
     )
     a = keyed.select(
         F.col("vec_id").alias("id_a"),
@@ -416,8 +414,9 @@ def embedding_pairs(
 
 def embedding_pairs_oracle_sql(
     threshold: float = 0.35,
-    bucket_length: float = 0.5,
-    num_hash_tables: int = 3,
+    bucket_length: float = 0.25,
+    num_hash_tables: int = 6,
+    projs_per_table: int = 6,
     seed: int = 42,
     dim: int = 64,
     table: str = "embeddings",
@@ -429,11 +428,12 @@ def embedding_pairs_oracle_sql(
     so buckets, candidates and cosines are bit-identical."""
     from declarativeml_spark.operators.textops import stable_round
 
-    proj = _lsh_proj_matrix(dim, num_hash_tables, seed)
+    proj = _lsh_proj_matrix(dim, num_hash_tables * projs_per_table, seed)
+    key_exprs = _lsh_compound_keys(
+        "vec", proj, bucket_length, num_hash_tables, projs_per_table, "duck"
+    )
     keys = ",\n           ".join(
-        f"CAST(FLOOR(({_proj_dot_duck('vec', proj[t])})"
-        f" / {bucket_length!r}) AS BIGINT) AS k{t}"
-        for t in range(num_hash_tables)
+        f"{key_exprs[t]} AS k{t}" for t in range(num_hash_tables)
     )
     case = " ".join(f"WHEN {t} THEN k{t}" for t in range(num_hash_tables))
     values = ",".join(f"({t})" for t in range(num_hash_tables))
@@ -682,18 +682,22 @@ def lsh_topk_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 1.15,
-    bucket_length: float = 0.5,
-    num_hash_tables: int = 3,
+    bucket_length: float = 0.25,
+    num_hash_tables: int = 6,
+    projs_per_table: int = 6,
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed similarity pairs — the ANN scale path, native.
 
-    Random-projection LSH expressed entirely in DataFrame ops: bucket
-    key per table is ``floor(v·r / bucketLength)`` with seeded
-    projection constants, candidates come from a (table, key)
-    equi-join, and the exact euclidean distance verifies each
-    candidate — no MLlib model or UDF.
+    Random-projection LSH expressed entirely in DataFrame ops: the
+    bucket key per table is a compound (AND-amplified) string of
+    ``projs_per_table`` ``floor(v·r / bucketLength)`` values with
+    seeded projection constants (see ``_lsh_compound_keys`` — a
+    single-projection key degenerates to near-all-pairs on unit-norm
+    data), candidates come from a (table, key) equi-join, and the
+    exact euclidean distance verifies each candidate — no MLlib model
+    or UDF.
 
     Scale: vectors deliberately ride through the bucket join — one
     shuffle of n x num_tables vector rows — so the distance filter
@@ -713,7 +717,10 @@ def lsh_topk_pairs(
                 " NULL first vector); pass dim= explicitly"
             )
         dim = int(probe["d"])
-    proj = _lsh_proj_matrix(dim, num_hash_tables, seed)
+    proj = _lsh_proj_matrix(dim, num_hash_tables * projs_per_table, seed)
+    key_exprs = _lsh_compound_keys(
+        "vec", proj, bucket_length, num_hash_tables, projs_per_table, "spark"
+    )
     # rows whose vector length differs from `dim` would fold to a NULL
     # bucket key (silently unjoinable) — and engines disagree on NULL
     # propagation in list folds, so exclude them explicitly up front.
@@ -740,17 +747,9 @@ def lsh_topk_pairs(
     keyed = base.select(
         "vec_id",
         "vec",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        f"CAST(FLOOR(({_proj_dot_spark('vec', proj[t])})"
-                        f" / {bucket_length!r}) AS BIGINT)"
-                    )
-                    for t in range(num_hash_tables)
-                ]
-            )
-        ).alias("tbl", "bkey"),
+        F.posexplode(F.array(*[F.expr(k) for k in key_exprs])).alias(
+            "tbl", "bkey"
+        ),
     )
     # The exact-distance filter runs inside the join stage, BEFORE the
     # pair-level distinct — the wide candidate space only ever exists
@@ -782,8 +781,9 @@ def lsh_topk_pairs(
 
 def lsh_pairs_oracle_sql(
     threshold: float = 1.15,
-    bucket_length: float = 0.5,
-    num_hash_tables: int = 3,
+    bucket_length: float = 0.25,
+    num_hash_tables: int = 6,
+    projs_per_table: int = 6,
     seed: int = 42,
     dim: int = 64,
     table: str = "embeddings",
@@ -795,11 +795,12 @@ def lsh_pairs_oracle_sql(
     distances are bit-identical."""
     from declarativeml_spark.operators.textops import stable_round
 
-    proj = _lsh_proj_matrix(dim, num_hash_tables, seed)
+    proj = _lsh_proj_matrix(dim, num_hash_tables * projs_per_table, seed)
+    key_exprs = _lsh_compound_keys(
+        "vec", proj, bucket_length, num_hash_tables, projs_per_table, "duck"
+    )
     keys = ",\n           ".join(
-        f"CAST(FLOOR(({_proj_dot_duck('vec', proj[t])})"
-        f" / {bucket_length!r}) AS BIGINT) AS k{t}"
-        for t in range(num_hash_tables)
+        f"{key_exprs[t]} AS k{t}" for t in range(num_hash_tables)
     )
     case = " ".join(f"WHEN {t} THEN k{t}" for t in range(num_hash_tables))
     values = ",".join(f"({t})" for t in range(num_hash_tables))

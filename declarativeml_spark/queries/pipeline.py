@@ -604,7 +604,11 @@ def embedding_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from declarativeml_spark.operators.dedup import embedding_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # same 36-projection expression surface as ann_lsh_bucketed —
+    # codegen compile around it is erratically expensive, interpreted
+    # evaluation is stable (HOF folds never codegen anyway).
+    s2 = _no_codegen_session(spark)
+    emb = load_table(s2, sf_dir, "embeddings")
     return embedding_pairs(emb, threshold=0.35, dim=64)
 
 
@@ -799,7 +803,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one source of truth for the registered LSH query AND its oracle —
 # editing either in isolation would silently desync the hash-check
 _LSH_PARAMS = dict(
-    threshold=1.15, bucket_length=0.5, num_hash_tables=3, seed=42, dim=64
+    threshold=1.15,
+    bucket_length=0.25,
+    num_hash_tables=6,
+    projs_per_table=6,
+    seed=42,
+    dim=64,
 )
 
 
@@ -814,25 +823,30 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed similarity join — the 100 TB ANN scale path,
     expressed natively (no MLlib model, no UDFs).
 
-    Seeded Gaussian projections hash each vector into
-    ``floor(v·r / bucketLength)`` buckets per hash table; candidates
-    come from a (table, bucket) equi-join; the exact euclidean
-    distance verifies each candidate. Because the projections are
-    driver-side constants and every fold is left-associative, bucket
-    keys and distances are bit-identical in DuckDB — this scale path
-    is hash-checked, not just rows-only (see
-    operators/dedup.py::lsh_topk_pairs for the plan shape).
+    Seeded Gaussian projections hash each vector into a compound
+    (AND-amplified) ``floor(v·r / bucketLength)`` key per hash table
+    — single-projection keys degenerate to near-all-pairs on
+    unit-norm data (measured 87% of all pairs as candidates at
+    sf0.1); compounding 6 projections per key cuts that to ~5% with
+    0.92 recall on cos≈0.93 near-dups. Candidates come from a
+    (table, bucket) equi-join; the exact euclidean distance verifies
+    each candidate. Because the projections are driver-side constants
+    and every fold is left-associative, bucket keys and distances are
+    bit-identical in DuckDB — this scale path is hash-checked, not
+    just rows-only (see operators/dedup.py::lsh_topk_pairs for the
+    plan shape).
 
     embeddings are ~unit-norm (pairwise distances 1.05–1.7); 1.15
-    keeps the closest ~0.5% of pairs, bucketLength ≈ distance scale.
+    keeps the closest ~0.5% of pairs, bucketLength tuned with the
+    compound keys (see _lsh_compound_keys).
 
     Runs in a no-codegen child session: the per-pair distance is an
     interpreted higher-order-function fold either way (HOFs have no
     whole-stage codegen), so codegen buys nothing here — and compiling
-    the generated sources around the 3×64-literal projection
+    the generated sources around the 36×64-literal projection
     expressions is erratically expensive (measured 6-46s first-run
-    spikes; stable ~5s interpreted). The child session scopes the
-    conf to this query only.
+    spikes; stable interpreted). The child session scopes the conf to
+    this query only.
     """
     from declarativeml_spark.operators.dedup import lsh_topk_pairs
 

@@ -33,6 +33,19 @@ def get_spark(app_name: str = "declarativeml_spark", cpus: str | None = None) ->
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # shuffle/spill scratch on tmpfs when available: the test
+        # host's block device has erratic latency (iowait-dominated
+        # load), and sf0.1 shuffle files are tiny relative to RAM. On
+        # a real cluster this maps to fast local SSD scratch.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-scratch"
+                if os.path.isdir("/dev/shm")
+                else "/tmp",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # testdata events.ts is TIMESTAMP(NANOS); Spark has no ns type —
