@@ -28,6 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # its budget on rows not yet (or not yet successfully) checked, not on
 # re-confirming long-green ones.
 _CHECK_FIRST = (
+    # new in round 3 — never driver-checked
+    "decontam_benchmark_overlap",
+    "pack_concat_chunks",
+    "text_quality_repetition",
+    "text_bm25_topk",
     # never driver-checked as of round 1 (fell past the row cap)
     "q6_discount_revenue",
     "q8_nation_market_share",

@@ -90,16 +90,27 @@ def minhash_pairs(
     # spread the raw (id, text) rows and derive shingles AFTER the
     # shuffle — the shingle arrays are ~3x the text volume and should
     # never cross the wire
+    # group md5 arrays live in the persisted frame so each shingle is
+    # md5'd once per GROUP of 4 minhash tables, not once per table
+    n_groups = (n_minhash + 3) // 4
     sh = (
         spread_partitions(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select("doc_id", F.expr(_shingles(text_col)).alias("shingles"))
+        .select(
+            "doc_id",
+            "shingles",
+            *[
+                F.expr(T.minhash_md5_group_spark("shingles", g)).alias(f"mhg{g}")
+                for g in range(n_groups)
+            ],
+        )
         .transform(track_persist)
     )
     sigs = sh.select(
         "doc_id",
         "shingles",
         *[
-            F.expr(T.minhash_spark("shingles", k)).alias(f"mh{k}")
+            F.expr(T.minhash_slice_spark(f"mhg{k // 4}", k % 4)).alias(f"mh{k}")
             for k in range(n_minhash)
         ],
     )
@@ -231,13 +242,18 @@ def ngram_jaccard_pairs(
     # candidate-gated default: spread raw text, shingle AFTER the
     # shuffle (see minhash_pairs), derive both the string shingles
     # (minhash input) and the hashed sets (verify input) in one pass
+    n_groups = (n_minhash + 3) // 4
     sh = (
         spread_partitions(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select("doc_id", F.expr(_shingles(text_col)).alias("sh_str"))
         .select(
             "doc_id",
-            "sh_str",
             F.expr("transform(sh_str, s -> xxhash64(s))").alias("shingles"),
+            # one salted md5 per shingle per GROUP of 4 minhash tables
+            *[
+                F.expr(T.minhash_md5_group_spark("sh_str", g)).alias(f"mhg{g}")
+                for g in range(n_groups)
+            ],
         )
         .transform(track_persist)
     )
@@ -245,7 +261,10 @@ def ngram_jaccard_pairs(
         "doc_id",
         F.posexplode(
             F.array(
-                *[F.expr(T.minhash_spark("sh_str", k)) for k in range(n_minhash)]
+                *[
+                    F.expr(T.minhash_slice_spark(f"mhg{k // 4}", k % 4))
+                    for k in range(n_minhash)
+                ]
             )
         ).alias("band_idx", "band_key"),
     )

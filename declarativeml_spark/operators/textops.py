@@ -44,14 +44,41 @@ SHINGLES_DUCK = (
 
 
 # --- minhash signature --------------------------------------------------------
-# k-th minhash = lexicographic min of md5("<k>:" || shingle); hex-string
-# min is identical across engines (byte-wise ASCII collation).
+# k-th minhash = lexicographic min over shingles of an 8-hex-char
+# (32-bit) slice of a salted md5: group g = k // 4 salts ONE md5 per
+# shingle and slice k % 4 cuts its bits — one md5 evaluation feeds 4
+# minhash tables, 4x less hashing than salting per table (md5 is the
+# only cross-engine-identical hash, and it dominated the minhash
+# queries' runtime on BOTH engines). Fixed-width lowercase hex means
+# lexicographic min == numeric min of the slice in both engines; a
+# 32-bit slice collision can only add a false candidate, which the
+# exact-Jaccard verify stage removes identically on both engines.
+def minhash_md5_group_spark(shingles: str, g: int) -> str:
+    """Spark: one salted md5 per shingle for minhash group ``g``."""
+    return f"transform({shingles}, s -> md5(concat('{g}:', s)))"
+
+
+def minhash_md5_group_duck(shingles: str, g: int) -> str:
+    return f"list_transform({shingles}, s -> md5(concat('{g}:', s)))"
+
+
+def minhash_slice_spark(group_col: str, off: int) -> str:
+    """Spark: min of the ``off``-th 8-hex slice over a group column."""
+    return f"array_min(transform({group_col}, h -> substr(h, {1 + 8 * off}, 8)))"
+
+
+def minhash_slice_duck(group_col: str, off: int) -> str:
+    return f"list_min(list_transform({group_col}, h -> substr(h, {1 + 8 * off}, 8)))"
+
+
 def minhash_spark(shingles: str, k: int) -> str:
-    return f"array_min(transform({shingles}, s -> md5(concat('{k}:', s))))"
+    g, off = divmod(k, 4)
+    return minhash_slice_spark(minhash_md5_group_spark(shingles, g), off)
 
 
 def minhash_duck(shingles: str, k: int) -> str:
-    return f"list_min(list_transform({shingles}, s -> md5(concat('{k}:', s))))"
+    g, off = divmod(k, 4)
+    return minhash_slice_duck(minhash_md5_group_duck(shingles, g), off)
 
 
 # --- simhash (16-bit) ----------------------------------------------------------

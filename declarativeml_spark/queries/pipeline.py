@@ -405,13 +405,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread_partitions(docs.select("doc_id", "text"))
         .select("doc_id", F.expr(_TOKS_S).alias("toks"))
         .select("doc_id", F.expr(_SHINGLES_S).alias("shingles"))
+        .select(
+            "doc_id",
+            "shingles",
+            # one salted md5 array per GROUP of 4 minhash tables —
+            # md5 dominates this query's cost (textops.py)
+            *[
+                F.expr(T.minhash_md5_group_spark("shingles", g)).alias(f"mhg{g}")
+                for g in range((_N_MINHASH + 3) // 4)
+            ],
+        )
         .transform(track_persist)
     )
     sigs = sh.select(
         "doc_id",
         "shingles",
         *[
-            F.expr(T.minhash_spark("shingles", k)).alias(f"mh{k}")
+            F.expr(T.minhash_slice_spark(f"mhg{k // 4}", k % 4)).alias(f"mh{k}")
             for k in range(_N_MINHASH)
         ],
     )

@@ -1,0 +1,351 @@
+"""Training-data pipeline operators, part 2: decontamination,
+sequence packing, repetition-quality filters, BM25 retrieval.
+
+These extend the LLM-pipeline surface (BASELINE.json north star)
+beyond round 1's dedup/similarity/text-analysis set with the
+remaining operations a 100 TB pretraining pipeline runs between
+"raw corpus" and "training batches":
+
+* benchmark decontamination (n-gram overlap against a held-out set —
+  the GPT-3/Pile-style 13-gram check, expressed as a broadcast
+  fingerprint join);
+* concatenate-and-chunk sequence packing (assigning every document a
+  (bucket, chunk, offset) in fixed-size context windows — a windowed
+  running sum, never a global sort);
+* Gopher/C4-style repetition heuristics (duplicate token / 2-gram
+  fractions, mean word length — pure per-row expressions);
+* BM25 keyword retrieval (two tiny aggregates broadcast against a
+  per-row scoring map; the lexical leg of hybrid search next to the
+  embedding ANN queries in pipeline.py).
+
+Every query here is hash-checked against a DuckDB oracle; the float
+convention follows registry.py (IEEE per-row ops + stable_round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from declarativeml_spark.operators import textops as T
+from declarativeml_spark.queries.registry import query, sround
+from declarativeml_spark.sources.catalog import load_table
+
+_TOKS_S = T.TOKENS_SPARK.format(text="text")
+_TOKS_D = T.TOKENS_DUCK.format(text="text")
+
+# word 4-grams — same construction relational3.py's winnowing uses,
+# proven hash-identical across engines
+_GRAMS4_S = (
+    f"CASE WHEN size({_TOKS_S}) < 4 THEN array(concat_ws(' ', {_TOKS_S})) "
+    f"ELSE transform(sequence(1, size({_TOKS_S}) - 3), "
+    f"i -> concat_ws(' ', element_at({_TOKS_S}, i), element_at({_TOKS_S}, i + 1),"
+    f" element_at({_TOKS_S}, i + 2), element_at({_TOKS_S}, i + 3))) END"
+)
+_GRAMS4_D = (
+    f"CASE WHEN len({_TOKS_D}) < 4 THEN [array_to_string({_TOKS_D}, ' ')] "
+    f"ELSE list_transform(range(1, len({_TOKS_D}) - 2), "
+    f"i -> concat_ws(' ', ({_TOKS_D})[i], ({_TOKS_D})[i+1],"
+    f" ({_TOKS_D})[i+2], ({_TOKS_D})[i+3])) END"
+)
+
+# deterministic 1/2 sample of each doc's distinct 4-gram fingerprints
+# (md5 hex < '8') — bounds the join volume the same way winnowing does
+_FP_S = f"array_distinct(filter(transform({_GRAMS4_S}, g -> md5(g)), h -> h < '8'))"
+_FP_D = (
+    f"list_distinct(list_filter(list_transform({_GRAMS4_D}, g -> md5(g)),"
+    " h -> h < '8'))"
+)
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "decontam_benchmark_overlap",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_FP_D} AS hs FROM documents),
+    bench AS (SELECT DISTINCT unnest(hs) AS h FROM d WHERE doc_id % 23 = 5),
+    corp AS (SELECT doc_id, hs FROM d WHERE doc_id % 23 <> 5),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM corp),
+    ov AS (SELECT e.doc_id, COUNT(*) AS overlap
+           FROM ex e JOIN bench b ON e.h = b.h GROUP BY e.doc_id)
+    SELECT c.doc_id,
+           CAST(len(c.hs) AS BIGINT) AS n_grams,
+           CAST(COALESCE(o.overlap, 0) AS BIGINT) AS overlap_grams,
+           COALESCE(o.overlap, 0) >= 3 AS contaminated
+    FROM corp c LEFT JOIN ov o ON c.doc_id = o.doc_id
+    """,
+)
+def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    4-gram fingerprints with a held-out benchmark set (here the
+    deterministic pseudo-benchmark ``doc_id % 23 = 5``).
+
+    The GPT-3 / Pile pretraining hygiene step: any training document
+    with >= 3 n-gram fingerprints from an eval set is contaminated
+    and must be dropped before training.
+
+    Scale: the benchmark side is tiny (eval sets are MBs against a
+    100 TB corpus) — its distinct fingerprints BROADCAST, so the
+    corpus-side explode+join is map-side with zero shuffle of corpus
+    text; only (doc_id, count) rows shuffle for the final groupBy.
+    Fingerprints are a deterministic 1/2 winnow sample of distinct
+    grams, bounding join volume the same way the winnowing
+    fingerprint query does (relational3.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.expr(_FP_S).alias("hs"))
+    bench = (
+        d.filter(F.col("doc_id") % 23 == 5)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    corp = d.filter(F.col("doc_id") % 23 != 5)
+    ex = corp.select("doc_id", F.explode("hs").alias("h"))
+    ov = (
+        ex.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("h").alias("overlap"))
+    )
+    return (
+        corp.select("doc_id", F.size("hs").cast("bigint").alias("n_grams"))
+        .join(ov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("overlap"), F.lit(0)).cast("bigint").alias(
+                "overlap_grams"
+            ),
+            (F.coalesce(F.col("overlap"), F.lit(0)) >= 3).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+_CTX = 512  # tokens per packed context window
+_PACK_BUCKETS = 8  # parallel packing streams
+
+
+@query(
+    "pack_concat_chunks",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+                      CAST(len({_TOKS_D}) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, bucket, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                      PARTITION BY bucket ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cum
+          FROM d)
+    SELECT doc_id, bucket, n_tokens,
+           CAST(FLOOR(cum / {_CTX}.0) AS BIGINT) AS chunk_id,
+           cum % {_CTX} AS chunk_offset,
+           CAST(FLOOR((cum + n_tokens - 1) / {_CTX}.0) AS BIGINT)
+             - CAST(FLOOR(cum / {_CTX}.0) AS BIGINT) + 1 AS chunks_spanned
+    FROM c
+    """,
+)
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: assign every document
+    a (bucket, chunk_id, offset) position in fixed ``_CTX``-token
+    context windows — the standard LLM-pretraining batch layout
+    (concatenate the token stream, slice every ctx_len tokens).
+
+    Scale: packing is a RUNNING SUM, which a naive implementation
+    writes as a global ordered window — a single-partition sort that
+    dies at 100 TB (WindowExec "No Partition Defined"). Instead the
+    corpus hash-partitions into ``_PACK_BUCKETS`` independent packing
+    streams (real pipelines use source/shard as the natural bucket),
+    so the window sorts WITHIN buckets only and every stream packs in
+    parallel; chunk ids are per-bucket, (bucket, chunk_id) is the
+    global chunk key. Deterministic: bucket and order are pure
+    functions of doc_id, so the layout is reproducible across runs
+    and engines (hash-checked).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
+        F.expr(f"size({_TOKS_S})").cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    d = d.withColumn("cum", cum)
+    chunk_id = F.expr(f"CAST(FLOOR(cum / {_CTX}.0) AS BIGINT)")
+    end_chunk = F.expr(f"CAST(FLOOR((cum + n_tokens - 1) / {_CTX}.0) AS BIGINT)")
+    return d.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        chunk_id.alias("chunk_id"),
+        (F.col("cum") % _CTX).alias("chunk_offset"),
+        (end_chunk - chunk_id + 1).alias("chunks_spanned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+_G2_S = (
+    f"CASE WHEN size({_TOKS_S}) < 2 THEN array() "
+    f"ELSE transform(sequence(1, size({_TOKS_S}) - 1), "
+    f"i -> concat_ws(' ', element_at({_TOKS_S}, i), element_at({_TOKS_S}, i + 1))) END"
+)
+_G2_D = (
+    f"CASE WHEN len({_TOKS_D}) < 2 THEN [] "
+    f"ELSE list_transform(range(1, len({_TOKS_D})), "
+    f"i -> concat_ws(' ', ({_TOKS_D})[i], ({_TOKS_D})[i+1])) END"
+)
+
+
+@query(
+    "text_quality_repetition",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_D} AS toks, {_G2_D} AS g2 FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           {T.stable_round("len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)")}
+             AS uniq_token_ratio,
+           {T.stable_round("CASE WHEN len(g2) = 0 THEN 0.0 ELSE"
+                           " 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)"
+                           " END")} AS dup_2gram_frac,
+           {T.stable_round("list_sum(list_transform(toks, t -> length(t)))"
+                           " / CAST(len(toks) AS DOUBLE)")} AS mean_word_len,
+           (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) >= 0.3
+            AND len(toks) >= 10) AS keep
+    FROM d
+    """,
+)
+def text_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition heuristics: duplicate-token and
+    duplicate-2-gram fractions, mean word length, and the resulting
+    keep/drop decision — the cheap first-pass quality gate of a
+    pretraining pipeline (boilerplate and spam are repetitive).
+
+    Scale: pure per-row expressions — no shuffle, no UDF; scales
+    linearly with the scan and pushes the projection to parquet.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.expr(_TOKS_S).alias("toks"), F.expr(_G2_S).alias("g2")
+    )
+    uniq = "size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)"
+    dup2 = (
+        "CASE WHEN size(g2) = 0 THEN 0.0 ELSE"
+        " 1.0 - size(array_distinct(g2)) / CAST(size(g2) AS DOUBLE) END"
+    )
+    mwl = (
+        "aggregate(toks, 0, (acc, t) -> acc + length(t))"
+        " / CAST(size(toks) AS DOUBLE)"
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.expr(T.stable_round(uniq)).alias("uniq_token_ratio"),
+        F.expr(T.stable_round(dup2)).alias("dup_2gram_frac"),
+        F.expr(T.stable_round(mwl)).alias("mean_word_len"),
+        F.expr(f"({uniq}) >= 0.3 AND size(toks) >= 10").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("data", "spark", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def _bm25_score_sql(dialect: str) -> str:
+    """BM25 score as the same left-assoc IEEE expression in both
+    dialects; column refs: tf{i}, df{i}, dl, n_docs, avgdl."""
+    terms = []
+    for i in range(len(_BM25_TERMS)):
+        idf = f"ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        norm = f"(tf{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        terms.append(f"{idf} * (tf{i} * ({_BM25_K1} + 1.0)) / {norm}")
+    return " + ".join(terms)
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_TOKS_D} AS toks FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(len(toks)) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                     {", ".join(
+                         f"CAST(SUM(CASE WHEN list_contains(toks, '{t}')"
+                         f" THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+                         for i, t in enumerate(_BM25_TERMS)
+                     )}
+              FROM base),
+    scored AS (SELECT doc_id,
+                      CAST(len(toks) AS DOUBLE) AS dl,
+                      {", ".join(
+                          f"CAST(len(list_filter(toks, x -> x = '{t}'))"
+                          f" AS DOUBLE) AS tf{i}"
+                          for i, t in enumerate(_BM25_TERMS)
+                      )},
+                      n_docs, avgdl,
+                      {", ".join(f"df{i}" for i in range(len(_BM25_TERMS)))}
+               FROM base CROSS JOIN stats),
+    s AS (SELECT doc_id, {_bm25_score_sql("duck")} AS s FROM scored),
+    ranked AS (SELECT doc_id, s,
+                      ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rnk
+               FROM s WHERE s > 0)
+    SELECT doc_id, {T.stable_round("s")} AS bm25, rnk
+    FROM ranked WHERE rnk <= {_BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (query: {data, spark, merge}) — the
+    lexical leg of hybrid search, next to the embedding-ANN queries.
+
+    Scale: corpus statistics (N, avgdl, per-term df) are ONE tiny
+    aggregate row, broadcast back; scoring is then a pure per-row map
+    with zero shuffle, and the global top-k is TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows), never a full
+    sort. ln() and the +/*// chain are IEEE-identical across engines,
+    so ranks and scores hash-match.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.expr(_TOKS_S).alias("toks"))
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (
+            F.sum(F.size("toks").cast("bigint")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("toks", t).cast("int"))
+            .cast("double")
+            .alias(f"df{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    scored = base.join(F.broadcast(stats)).select(
+        "doc_id",
+        F.size("toks").cast("double").alias("dl"),
+        *[
+            F.expr(f"CAST(size(filter(toks, x -> x = '{t}')) AS DOUBLE)").alias(
+                f"tf{i}"
+            )
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+        "n_docs",
+        "avgdl",
+        *[f"df{i}" for i in range(len(_BM25_TERMS))],
+    )
+    s = scored.select("doc_id", F.expr(_bm25_score_sql("spark")).alias("s")).filter(
+        F.col("s") > 0
+    )
+    top = s.orderBy(F.desc("s"), F.asc("doc_id")).limit(_BM25_TOPK)
+    # rank window runs on <= k rows post-limit — never a global sort
+    wr = W.orderBy(F.desc("s"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        F.expr(T.stable_round("s")).alias("bm25"),
+        F.row_number().over(wr).alias("rnk"),
+    )
