@@ -320,6 +320,58 @@ class SimilaritySearch:
 
 
 @dataclass
+class Decontaminate:
+    """IR for ``DECONTAMINATE <source> AGAINST <benchmark> [ON col]
+    [THRESHOLD n]`` — benchmark decontamination in the reference's
+    grammar family (SURVEY.md §2.11; beyond-parity, like DEDUPLICATE).
+
+    Flags every source document sharing at least ``threshold`` word
+    4-gram fingerprints with any benchmark document (see
+    operators/corpus.py::benchmark_overlap for the broadcast-join
+    plan and queries/pipeline2.py for the oracle-checked twin).
+    """
+
+    source: str
+    benchmark: str
+    column: Optional[str] = None
+    threshold: int = 3
+    source_is_identifier: bool = True
+    benchmark_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        if (
+            not isinstance(self.threshold, int)
+            or isinstance(self.threshold, bool)
+            or self.threshold <= 0
+        ):
+            raise ValueError("THRESHOLD must be a positive integer")
+
+
+@dataclass
+class PackSequences:
+    """IR for ``PACK <source> INTO <n> TOKEN CHUNKS [BUCKETS b]
+    [ON col]`` — concatenate-and-chunk sequence packing (SURVEY.md
+    §2.11; beyond-parity).
+
+    Assigns each document a (bucket, chunk_id, offset) position in
+    fixed ``context``-token windows; ``buckets`` independent packing
+    streams keep the running-sum window partitioned (see
+    operators/corpus.py::pack_chunks).
+    """
+
+    source: str
+    context: int = 512
+    buckets: int = 8
+    column: Optional[str] = None
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        for what, v in (("INTO", self.context), ("BUCKETS", self.buckets)):
+            if not isinstance(v, int) or isinstance(v, bool) or v <= 0:
+                raise ValueError(f"{what} must be a positive integer")
+
+
+@dataclass
 class SampleCorpus:
     """IR for ``SAMPLE <source> RATE f [ON col]`` — deterministic
     hash sampling for training-data mixing (SURVEY.md §7.5 family).

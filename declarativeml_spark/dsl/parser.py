@@ -59,6 +59,8 @@ Statement = Union[
     ir.Deduplicate,
     ir.SimilaritySearch,
     ir.SampleCorpus,
+    ir.Decontaminate,
+    ir.PackSequences,
 ]
 
 
@@ -1003,6 +1005,78 @@ class _Parser:
             source_is_identifier=is_identifier_source(source),
         )
 
+    # -- DECONTAMINATE (beyond-parity: SURVEY §2.11) ----------------------
+    def parse_decontaminate(self) -> "ir.Decontaminate":
+        self.expect_keyword("DECONTAMINATE")
+        source = self.capture_source_until("AGAINST")
+        if not source:
+            raise ValueError("DECONTAMINATE source cannot be empty")
+        self.expect_keyword("AGAINST")
+        benchmark = self.capture_source_until("ON", "THRESHOLD")
+        if not benchmark:
+            raise ValueError("DECONTAMINATE benchmark cannot be empty")
+        column = None
+        threshold = 3
+        while True:
+            if self.at_keyword("ON"):
+                self.advance()
+                column = self.expect_name("column name")
+            elif self.at_keyword("THRESHOLD"):
+                self.advance()
+                tok = self.advance()
+                if tok.kind != "NUMBER":
+                    raise ValueError("THRESHOLD must be a positive integer")
+                threshold = _require_positive_int(
+                    _to_number(tok.value), "THRESHOLD"
+                )
+            else:
+                break
+        self.expect_eof()
+        return ir.Decontaminate(
+            source=source,
+            benchmark=benchmark,
+            column=column,
+            threshold=threshold,
+            source_is_identifier=is_identifier_source(source),
+            benchmark_is_identifier=is_identifier_source(benchmark),
+        )
+
+    # -- PACK (beyond-parity: SURVEY §2.11) -------------------------------
+    def parse_pack(self) -> "ir.PackSequences":
+        self.expect_keyword("PACK")
+        source = self.capture_source_until("INTO")
+        if not source:
+            raise ValueError("PACK source cannot be empty")
+        self.expect_keyword("INTO")
+        tok = self.advance()
+        if tok.kind != "NUMBER":
+            raise ValueError("INTO must be a positive integer")
+        context = _require_positive_int(_to_number(tok.value), "INTO")
+        self.expect_keyword("TOKEN")
+        self.expect_keyword("CHUNKS")
+        buckets = 8
+        column = None
+        while True:
+            if self.at_keyword("BUCKETS"):
+                self.advance()
+                tok = self.advance()
+                if tok.kind != "NUMBER":
+                    raise ValueError("BUCKETS must be a positive integer")
+                buckets = _require_positive_int(_to_number(tok.value), "BUCKETS")
+            elif self.at_keyword("ON"):
+                self.advance()
+                column = self.expect_name("column name")
+            else:
+                break
+        self.expect_eof()
+        return ir.PackSequences(
+            source=source,
+            context=context,
+            buckets=buckets,
+            column=column,
+            source_is_identifier=is_identifier_source(source),
+        )
+
     # -- SEARCH SIMILAR (beyond-parity: SURVEY §7.5) ----------------------
     def parse_search(self) -> "ir.SimilaritySearch":
         self.expect_keyword("SEARCH")
@@ -1094,10 +1168,14 @@ def parse(text: str) -> Statement:
         return parser.parse_search()
     if tok.value == "SAMPLE":
         return parser.parse_sample()
+    if tok.value == "DECONTAMINATE":
+        return parser.parse_decontaminate()
+    if tok.value == "PACK":
+        return parser.parse_pack()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
-        " SEARCH, or SAMPLE"
+        " SEARCH, SAMPLE, DECONTAMINATE, or PACK"
     )
 
 

@@ -128,6 +128,10 @@ class Engine:
             return self._similarity_search(stmt)
         if isinstance(stmt, ir.SampleCorpus):
             return self._sample(stmt)
+        if isinstance(stmt, ir.Decontaminate):
+            return self._decontaminate(stmt)
+        if isinstance(stmt, ir.PackSequences):
+            return self._pack(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
 
     # -- DEDUPLICATE / SEARCH SIMILAR (beyond-parity, SURVEY §7.5) ----------
@@ -177,6 +181,32 @@ class Engine:
             vec_col=stmt.column or "embedding",
             threshold=stmt.threshold if stmt.threshold is not None else 0.35,
             **p,
+        )
+
+    # -- DECONTAMINATE / PACK (corpus prep; SURVEY §2.11) ------------------
+    def _decontaminate(self, stmt: ir.Decontaminate) -> DataFrame:
+        from declarativeml_spark.operators.corpus import benchmark_overlap
+
+        corpus = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        bench = resolve_source(
+            self.spark, stmt.benchmark, stmt.benchmark_is_identifier
+        )
+        return benchmark_overlap(
+            corpus,
+            bench,
+            text_col=stmt.column or "text",
+            min_overlap=stmt.threshold,
+        )
+
+    def _pack(self, stmt: ir.PackSequences) -> DataFrame:
+        from declarativeml_spark.operators.corpus import pack_chunks
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        return pack_chunks(
+            df,
+            text_col=stmt.column or "text",
+            context=stmt.context,
+            buckets=stmt.buckets,
         )
 
     # -- SAMPLE (deterministic hash sampling; SURVEY §7.5 family) ----------

@@ -1,0 +1,142 @@
+"""Corpus-preparation operators: benchmark decontamination and
+concatenate-and-chunk sequence packing.
+
+Shared by the oracle-checked queries (queries/pipeline2.py) and the
+DSL statements (``DECONTAMINATE`` / ``PACK``, engine.py) so both
+paths execute the identical plan. Expression templates come in
+Spark/DuckDB pairs — the DuckDB forms feed the oracle SQL — and
+follow the cross-engine conventions of operators/textops.py (md5-only
+hashing, stable_round, fixed-width hex collation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def grams4_spark(text: str) -> str:
+    """Word 4-grams of ``text`` (Spark SQL) — same construction the
+    winnowing fingerprints use (relational3.py), hash-checked."""
+    toks = rf"split(trim({text}), '\\s+')"
+    return (
+        f"CASE WHEN size({toks}) < 4 THEN array(concat_ws(' ', {toks})) "
+        f"ELSE transform(sequence(1, size({toks}) - 3), "
+        f"i -> concat_ws(' ', element_at({toks}, i), element_at({toks}, i + 1),"
+        f" element_at({toks}, i + 2), element_at({toks}, i + 3))) END"
+    )
+
+
+def grams4_duck(text: str) -> str:
+    toks = rf"string_split_regex(trim({text}), '\s+')"
+    return (
+        f"CASE WHEN len({toks}) < 4 THEN [array_to_string({toks}, ' ')] "
+        f"ELSE list_transform(range(1, len({toks}) - 2), "
+        f"i -> concat_ws(' ', ({toks})[i], ({toks})[i+1],"
+        f" ({toks})[i+2], ({toks})[i+3])) END"
+    )
+
+
+def fp_sample_spark(text: str) -> str:
+    """Deterministic 1/2 sample of a doc's distinct 4-gram md5
+    fingerprints (hex < '8') — bounds decontamination join volume the
+    same way winnowing bounds copy-detection."""
+    return (
+        f"array_distinct(filter(transform({grams4_spark(text)},"
+        " g -> md5(g)), h -> h < '8'))"
+    )
+
+
+def fp_sample_duck(text: str) -> str:
+    return (
+        f"list_distinct(list_filter(list_transform({grams4_duck(text)},"
+        " g -> md5(g)), h -> h < '8'))"
+    )
+
+
+def benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Flag corpus documents sharing >= ``min_overlap`` word-4-gram
+    fingerprints with any benchmark document (GPT-3/Pile-style
+    pretraining decontamination).
+
+    Scale: eval sets are MBs against a 100 TB corpus — the
+    benchmark's distinct fingerprints BROADCAST, the corpus-side
+    explode+join is map-side (corpus text never shuffles), and only
+    (doc_id, count) rows shuffle for the final aggregate.
+    """
+    fp = fp_sample_spark(text_col)
+    corp = corpus.select(F.col(id_col).alias("doc_id"), F.expr(fp).alias("hs"))
+    bench = (
+        benchmark.select(F.explode(F.expr(fp)).alias("h")).distinct()
+    )
+    ex = corp.select("doc_id", F.explode("hs").alias("h"))
+    ov = (
+        ex.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("h").alias("overlap"))
+    )
+    return (
+        corp.select("doc_id", F.size("hs").cast("bigint").alias("n_grams"))
+        .join(ov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("overlap"), F.lit(0)).cast("bigint").alias(
+                "overlap_grams"
+            ),
+            (F.coalesce(F.col("overlap"), F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    context: int = 512,
+    buckets: int = 8,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: assign every document a
+    (bucket, chunk_id, offset) position in fixed ``context``-token
+    windows — the LLM-pretraining batch layout.
+
+    Scale: packing is a RUNNING SUM; a global ordered window would be
+    a single-partition sort (dies at 100 TB). The corpus
+    hash-partitions into ``buckets`` independent packing streams, the
+    window sorts within buckets only, and (bucket, chunk_id) is the
+    global chunk key. Deterministic in ``id_col``, so the layout is
+    reproducible across runs and engines.
+    """
+    toks = rf"split(trim({text_col}), '\\s+')"
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % buckets).alias("bucket"),
+        F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    d = d.withColumn("cum", cum)
+    chunk_id = F.expr(f"CAST(FLOOR(cum / {context}.0) AS BIGINT)")
+    end_chunk = F.expr(
+        f"CAST(FLOOR((cum + n_tokens - 1) / {context}.0) AS BIGINT)"
+    )
+    return d.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        chunk_id.alias("chunk_id"),
+        (F.col("cum") % context).alias("chunk_offset"),
+        (end_chunk - chunk_id + 1).alias("chunks_spanned"),
+    )

@@ -31,31 +31,19 @@ from declarativeml_spark.operators import textops as T
 from declarativeml_spark.queries.registry import query, sround
 from declarativeml_spark.sources.catalog import load_table
 
+from declarativeml_spark.operators.corpus import (
+    benchmark_overlap,
+    fp_sample_duck,
+    pack_chunks,
+)
+
 _TOKS_S = T.TOKENS_SPARK.format(text="text")
 _TOKS_D = T.TOKENS_DUCK.format(text="text")
 
-# word 4-grams — same construction relational3.py's winnowing uses,
-# proven hash-identical across engines
-_GRAMS4_S = (
-    f"CASE WHEN size({_TOKS_S}) < 4 THEN array(concat_ws(' ', {_TOKS_S})) "
-    f"ELSE transform(sequence(1, size({_TOKS_S}) - 3), "
-    f"i -> concat_ws(' ', element_at({_TOKS_S}, i), element_at({_TOKS_S}, i + 1),"
-    f" element_at({_TOKS_S}, i + 2), element_at({_TOKS_S}, i + 3))) END"
-)
-_GRAMS4_D = (
-    f"CASE WHEN len({_TOKS_D}) < 4 THEN [array_to_string({_TOKS_D}, ' ')] "
-    f"ELSE list_transform(range(1, len({_TOKS_D}) - 2), "
-    f"i -> concat_ws(' ', ({_TOKS_D})[i], ({_TOKS_D})[i+1],"
-    f" ({_TOKS_D})[i+2], ({_TOKS_D})[i+3])) END"
-)
-
 # deterministic 1/2 sample of each doc's distinct 4-gram fingerprints
-# (md5 hex < '8') — bounds the join volume the same way winnowing does
-_FP_S = f"array_distinct(filter(transform({_GRAMS4_S}, g -> md5(g)), h -> h < '8'))"
-_FP_D = (
-    f"list_distinct(list_filter(list_transform({_GRAMS4_D}, g -> md5(g)),"
-    " h -> h < '8'))"
-)
+# (md5 hex < '8') — one source of truth in operators/corpus.py, shared
+# with the DECONTAMINATE DSL statement
+_FP_D = fp_sample_duck("text")
 
 
 # ---------------------------------------------------------------------------
@@ -93,30 +81,10 @@ def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint query does (relational3.py).
     """
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", F.expr(_FP_S).alias("hs"))
-    bench = (
-        d.filter(F.col("doc_id") % 23 == 5)
-        .select(F.explode("hs").alias("h"))
-        .distinct()
-    )
-    corp = d.filter(F.col("doc_id") % 23 != 5)
-    ex = corp.select("doc_id", F.explode("hs").alias("h"))
-    ov = (
-        ex.join(F.broadcast(bench), "h")
-        .groupBy("doc_id")
-        .agg(F.count("h").alias("overlap"))
-    )
-    return (
-        corp.select("doc_id", F.size("hs").cast("bigint").alias("n_grams"))
-        .join(ov, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce(F.col("overlap"), F.lit(0)).cast("bigint").alias(
-                "overlap_grams"
-            ),
-            (F.coalesce(F.col("overlap"), F.lit(0)) >= 3).alias("contaminated"),
-        )
+    return benchmark_overlap(
+        docs.filter(F.col("doc_id") % 23 != 5),
+        docs.filter(F.col("doc_id") % 23 == 5),
+        min_overlap=3,
     )
 
 
@@ -163,28 +131,7 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     and engines (hash-checked).
     """
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
-        F.expr(f"size({_TOKS_S})").cast("bigint").alias("n_tokens"),
-    )
-    w = (
-        W.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
-    d = d.withColumn("cum", cum)
-    chunk_id = F.expr(f"CAST(FLOOR(cum / {_CTX}.0) AS BIGINT)")
-    end_chunk = F.expr(f"CAST(FLOOR((cum + n_tokens - 1) / {_CTX}.0) AS BIGINT)")
-    return d.select(
-        "doc_id",
-        "bucket",
-        "n_tokens",
-        chunk_id.alias("chunk_id"),
-        (F.col("cum") % _CTX).alias("chunk_offset"),
-        (end_chunk - chunk_id + 1).alias("chunks_spanned"),
-    )
+    return pack_chunks(docs, context=_CTX, buckets=_PACK_BUCKETS)
 
 
 # ---------------------------------------------------------------------------

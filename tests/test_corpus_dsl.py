@@ -1,0 +1,96 @@
+"""DECONTAMINATE / PACK DSL statements (SURVEY §2.11 corpus-prep
+operators in the reference's grammar family). Statement results are
+cross-checked against the oracle-checked registered queries so the
+DSL path inherits the DuckDB-verified semantics."""
+
+import pytest
+
+from declarativeml_spark.dsl import ir, parse
+from declarativeml_spark.engine import Engine
+from declarativeml_spark.queries import QUERIES
+from declarativeml_spark.sources.catalog import register_views
+
+
+@pytest.fixture(scope="module")
+def engine(spark, smoke_dir):
+    register_views(spark, smoke_dir)
+    return Engine(spark)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_parse_decontaminate_forms():
+    d = parse("DECONTAMINATE documents AGAINST benchmark_docs")
+    assert isinstance(d, ir.Decontaminate)
+    assert d.source == "documents" and d.benchmark == "benchmark_docs"
+    assert d.threshold == 3 and d.column is None
+
+    d = parse(
+        "DECONTAMINATE documents AGAINST eval_set ON body THRESHOLD 5"
+    )
+    assert d.column == "body" and d.threshold == 5
+
+
+def test_parse_pack_forms():
+    p = parse("PACK documents INTO 512 TOKEN CHUNKS")
+    assert isinstance(p, ir.PackSequences)
+    assert p.context == 512 and p.buckets == 8 and p.column is None
+
+    p = parse("PACK documents INTO 2048 TOKEN CHUNKS BUCKETS 16 ON body")
+    assert p.context == 2048 and p.buckets == 16 and p.column == "body"
+
+
+def test_parse_rejects_bad_inputs():
+    # empty benchmark trips the shared source-capture guard
+    with pytest.raises(ValueError, match="cannot be empty"):
+        parse("DECONTAMINATE documents AGAINST")
+    with pytest.raises(ValueError, match="THRESHOLD must be a positive integer"):
+        parse("DECONTAMINATE documents AGAINST b THRESHOLD 0")
+    with pytest.raises(ValueError, match="INTO must be a positive integer"):
+        parse("PACK documents INTO -5 TOKEN CHUNKS")
+    with pytest.raises(ValueError, match="BUCKETS must be a positive integer"):
+        parse("PACK documents INTO 512 TOKEN CHUNKS BUCKETS 1.5")
+
+
+def test_decontaminate_matches_query(engine, spark, smoke_dir):
+    spark.table("documents").filter("doc_id % 23 = 5").createOrReplaceTempView(
+        "bench_docs"
+    )
+    spark.table("documents").filter("doc_id % 23 <> 5").createOrReplaceTempView(
+        "corpus_docs"
+    )
+    out = engine.execute(
+        "DECONTAMINATE corpus_docs AGAINST bench_docs THRESHOLD 3"
+    )
+    assert out.columns == ["doc_id", "n_grams", "overlap_grams", "contaminated"]
+    expected = QUERIES["decontam_benchmark_overlap"](spark, smoke_dir)
+    assert _rows(out) == _rows(expected)
+
+
+def test_pack_matches_query(engine, spark, smoke_dir):
+    out = engine.execute("PACK documents INTO 512 TOKEN CHUNKS BUCKETS 8")
+    assert out.columns == [
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        "chunk_id",
+        "chunk_offset",
+        "chunks_spanned",
+    ]
+    expected = QUERIES["pack_concat_chunks"](spark, smoke_dir)
+    assert _rows(out) == _rows(expected)
+
+
+def test_pack_chunk_invariants(engine, spark):
+    """Every chunk position is internally consistent: offsets fit the
+    window, spans cover the token count."""
+    out = engine.execute("PACK documents INTO 128 TOKEN CHUNKS BUCKETS 4")
+    bad_offset = out.filter("chunk_offset < 0 OR chunk_offset >= 128").count()
+    bad_span = out.filter(
+        "chunks_spanned < 1 OR"
+        " chunks_spanned < CAST(CEIL((chunk_offset + n_tokens - 128)"
+        " / 128.0) AS BIGINT)"
+    ).count()
+    assert bad_offset == 0 and bad_span == 0
