@@ -33,6 +33,7 @@ _CHECK_FIRST = (
     "pack_concat_chunks",
     "text_quality_repetition",
     "text_bm25_topk",
+    "corpus_stratified_quota",
     # never driver-checked as of round 1 (fell past the row cap)
     "q6_discount_revenue",
     "q8_nation_market_share",

@@ -198,6 +198,52 @@ def text_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+_QUOTA = 50  # docs kept per language stratum
+_LEHMER2 = (
+    "(((((doc_id % 2147483647) + 2147483647) % 2147483647)"
+    " * 48271 % 2147483647) * 48271) % 2147483647"
+)
+
+
+@query(
+    "corpus_stratified_quota",
+    oracle=f"""
+    WITH d AS (SELECT lang, doc_id, {_LEHMER2} AS h FROM documents),
+    r AS (SELECT lang, doc_id, h,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                   AS rnk
+          FROM d)
+    SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {_QUOTA}
+    """,
+)
+def corpus_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with EXACT per-stratum quotas: keep the
+    ``_QUOTA`` lowest-Lehmer-hash documents per language — the
+    fixed-budget counterpart of rate-based mixing
+    (``corpus_mix_sample``). Deterministic, so the selection is
+    reproducible across runs, engines (hash-checked) and restarts —
+    the property reservoir sampling with rand() lacks.
+
+    Scale: one hash-partitioned window per stratum — exact quotas
+    WITHOUT a global sort; each stratum sorts independently and in
+    parallel. A hot stratum is one sort partition (AQE-skew
+    territory); at 100 TB, pre-aggregate candidates per stratum with
+    an approximate hash cutoff, then window only the survivors.
+    """
+    from pyspark.sql.functions import row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("lang", "doc_id", F.expr(_LEHMER2).alias("h"))
+    w = W.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        d.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _QUOTA)
+        .select("lang", "doc_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
 _BM25_TERMS = ("data", "spark", "merge")
 _BM25_K1 = 1.2
 _BM25_B = 0.75

@@ -101,3 +101,51 @@ def streaming_rollup(
         cols.append(F.col(key_col))
     cols += ["n_rows", "value_sum", "value_min", "value_max"]
     return agg.select(*cols)
+
+
+def streaming_decontam(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Continuous benchmark decontamination: flag each arriving
+    document whose word-4-gram fingerprints overlap a STATIC
+    held-out benchmark set — the ingest-time twin of
+    ``operators/corpus.py::benchmark_overlap`` (same fingerprint
+    expression, same flag semantics, asserted equal in tests).
+
+    Stateless by construction, so it runs in append mode with no
+    watermark: the benchmark collapses to ONE sorted fingerprint
+    array (eval sets are MBs — this is the operator's contract, not
+    an accident), joined in via a broadcast single-row equi-join, and
+    the per-document overlap is a per-row ``array_intersect`` — no
+    streaming aggregation state at all. At 100 TB/day ingest this is
+    a map-only stage.
+    """
+    from declarativeml_spark.operators.corpus import fp_sample_spark
+
+    fp = F.expr(fp_sample_spark(text_col))
+    bench_row = (
+        benchmark.withColumn("hs", fp)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+        .agg(F.array_sort(F.collect_set("h")).alias("bench_hs"))
+        .withColumn("j", F.lit(1))
+    )
+    return (
+        stream.withColumn("hs", fp)
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(bench_row), "j")
+        .select(
+            F.col(id_col),
+            F.size("hs").cast("bigint").alias("n_grams"),
+            F.size(F.array_intersect("hs", "bench_hs"))
+            .cast("bigint")
+            .alias("overlap_grams"),
+            (
+                F.size(F.array_intersect("hs", "bench_hs")) >= min_overlap
+            ).alias("contaminated"),
+        )
+    )

@@ -80,3 +80,38 @@ def test_streaming_rollup_matches_batch(spark, smoke_dir, tmp_path):
     got = sorted(tuple(r) for r in streamed.collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
+
+
+def test_streaming_decontam_matches_batch(spark, smoke_dir, tmp_path):
+    """The streaming flag must equal the batch operator's on the same
+    corpus/benchmark split (the batch form is the oracle-checked one)."""
+    from declarativeml_spark.operators.corpus import benchmark_overlap
+    from declarativeml_spark.streaming.pipeline import streaming_decontam
+
+    docs = load_table(spark, smoke_dir, "documents")
+    bench = docs.filter("doc_id % 23 = 5")
+    corpus = docs.filter("doc_id % 23 <> 5").limit(200)
+
+    src = str(tmp_path / "corpus_src")
+    corpus.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_decontam(stream, bench, min_overlap=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decontam_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = spark.sql(
+        "SELECT doc_id, n_grams, overlap_grams, contaminated FROM decontam_sink"
+    )
+    batch = benchmark_overlap(spark.read.parquet(src), bench, min_overlap=3)
+    got = sorted(tuple(r) for r in streamed.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
