@@ -1011,6 +1011,12 @@ def ivf_native_topk(
             .agg(*mean_dims)
             .select("cell", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cvec"))
         )
+    # the finished centroids feed THREE downstream broadcasts (corpus
+    # assignment, query probes, and the final join's lineage) — without
+    # a persist each broadcast job replays the whole n_iters update
+    # chain (measured 3-5x wall on this 16-row frame). Same for the
+    # assigned corpus, which both join sides of the search reference.
+    cents = cents.transform(track_persist)
     corpus = (
         base.crossJoin(F.broadcast(cents))
         .withColumn("d2", F.expr(d2))
@@ -1018,6 +1024,7 @@ def ivf_native_topk(
         .filter(F.col("rn") == 1)
         .select("vec_id", "vec", F.col("cell"))
         .withColumn("nrm", F.expr(_NORM.format(a="vec")))
+        .transform(track_persist)
     )
     q = corpus.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("qid"), F.col("vec").alias("qe"), F.col("nrm").alias("qn")

@@ -32,7 +32,13 @@ def get_spark(app_name: str = "declarativeml_spark", cpus: str | None = None) ->
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # 8g, NOT a max-it-out heap: on this (overcommitted) host a
+        # 48g heap produced multi-second GC/page-in stalls that
+        # inflated random queries 3-40x; two full bench runs at 8g
+        # measured 69-75s total vs 142-287s at 48g, with flat
+        # per-query profiles. sf0.1 working sets are far below 8g;
+        # override via SPARK_DRIVER_MEMORY for bigger scale factors.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # shuffle/spill scratch on tmpfs when available: the test
         # host's block device has erratic latency (iowait-dominated
         # load), and sf0.1 shuffle files are tiny relative to RAM. On
