@@ -34,6 +34,8 @@ _CHECK_FIRST = (
     "text_quality_repetition",
     "text_bm25_topk",
     "corpus_stratified_quota",
+    "corpus_weighted_sample",
+    "nation_trade_pagerank",
     # never driver-checked as of round 1 (fell past the row cap)
     "q6_discount_revenue",
     "q8_nation_market_share",

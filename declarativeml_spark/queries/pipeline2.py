@@ -342,3 +342,210 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(T.stable_round("s")).alias("bm25"),
         F.row_number().over(wr).alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+_WS_N = 200  # weighted-sample budget (docs kept)
+_LEHMER_M = 2147483647
+
+
+@query(
+    "corpus_weighted_sample",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      CAST(len({_TOKS_D}) AS DOUBLE) + 1.0 AS w,
+                      ({_LEHMER2}) AS h
+               FROM documents),
+    keyed AS (SELECT doc_id, w,
+                     -ln((h + 1.0) / {_LEHMER_M + 1}.0) / w AS skey
+              FROM d),
+    ranked AS (SELECT doc_id, w, skey,
+                      ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rnk
+               FROM keyed)
+    SELECT doc_id, CAST(w AS BIGINT) AS weight,
+           {T.stable_round("skey", 8)} AS sample_key,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_WS_N}
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): keep the ``_WS_N`` documents with the smallest
+    ``-ln(u)/w`` key, where ``u`` derives from a Lehmer hash of
+    doc_id and ``w`` is the document's weight (here token count + 1 —
+    the stand-in for a learned quality weight). Equivalent to keeping
+    the largest ``u^(1/w)`` — each doc's inclusion probability is
+    proportional to its weight, yet the draw is fully deterministic:
+    reproducible across runs, engines (hash-checked) and restarts,
+    which rand()-based reservoir sampling is not.
+
+    Scale: the top-N cut is ``orderBy().limit()`` →
+    TakeOrderedAndProject (per-partition heaps + driver merge of N
+    rows) — never a global sort; key computation is a shuffle-free
+    per-row map. ln() is IEEE-identical across engines (proven by the
+    hash-checked BM25 idf).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({_TOKS_S}) AS DOUBLE) + 1.0").alias("w"),
+        F.expr(_LEHMER2).alias("h"),
+    ).withColumn(
+        "skey",
+        F.expr(f"-ln((h + 1.0) / {_LEHMER_M + 1}.0) / w"),
+    )
+    top = keyed.orderBy(F.asc("skey"), F.asc("doc_id")).limit(_WS_N)
+    wr = W.orderBy(F.asc("skey"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        F.col("w").cast("bigint").alias("weight"),
+        F.expr(T.stable_round("skey", 8)).alias("sample_key"),
+        F.row_number().over(wr).cast("bigint").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+_PR_D = 0.85  # damping
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 3-iteration PageRank in DuckDB, mirroring the Spark
+    loop step for step: same edge weights, same DECIMAL(38,12)
+    contribution sums (exact, order-independent — the dsum pattern),
+    same leaky handling of dangling mass."""
+    edges = """
+    SELECT ns.n_name AS src, nc.n_name AS dst,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS w
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    GROUP BY ns.n_name, nc.n_name
+    """
+    it = """
+    SELECT n.node,
+           (1.0 - {d}) / nn.cnt + {d} * COALESCE(c.contrib, 0.0) AS rank
+    FROM nodes n
+    CROSS JOIN ncount nn
+    LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(r.rank * e.wn AS DECIMAL(38,12))) AS DOUBLE)
+                   AS contrib
+        FROM enorm e JOIN {prev} r ON e.src = r.node
+        GROUP BY e.dst
+    ) c ON c.node = n.node
+    """
+    sql = f"""
+    WITH edges AS ({edges}),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst AS node FROM edges),
+    ncount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+    outw AS (SELECT src, CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE)
+                        AS total FROM edges GROUP BY src),
+    enorm AS (SELECT e.src, e.dst, e.w / o.total AS wn
+              FROM edges e JOIN outw o ON e.src = o.src),
+    r0 AS (SELECT node, 1.0 / (SELECT cnt FROM ncount) AS rank FROM nodes),
+    r1 AS ({it.format(d=_PR_D, prev='r0')}),
+    r2 AS ({it.format(d=_PR_D, prev='r1')}),
+    r3 AS ({it.format(d=_PR_D, prev='r2')})
+    SELECT node AS nation, {T.stable_round("rank", 10)} AS pagerank
+    FROM r3
+    """
+    return sql
+
+
+@query("nation_trade_pagerank", oracle=_pagerank_oracle())
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-level trade-flow graph (supplier
+    nation → customer nation, edge weight = revenue): the
+    link-authority signal pretraining pipelines use for source
+    quality weighting, expressed as an iterative DataFrame algorithm
+    with bit-exact cross-engine parity.
+
+    Determinism: contribution sums go through DECIMAL(38,12) (exact,
+    order-independent — shuffle order cannot change the result), the
+    iteration count is fixed, and dangling mass leaks identically in
+    both engines, so three unrolled iterations hash-match a DuckDB
+    CTE chain.
+
+    Scale: each iteration is one equi-join of edges with the rank
+    vector on src plus one groupBy(dst) — both shuffle slim
+    (node, double) rows only; the edge list itself never moves after
+    the initial normalization. At 1e9+ nodes the rank vector
+    co-partitions with the edge src key (bucketing), making the join
+    shuffle-free; dedup_clusters' persist-per-round discipline
+    applies to the rank frontier.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                                 F.col("n_name").alias("src"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
+                                 F.col("n_name").alias("dst"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum(rev).cast("double").alias("w"))
+    )
+    from declarativeml_spark.operators.caching import track_persist
+
+    edges = edges.transform(track_persist)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .transform(track_persist)
+    )
+    n_nodes = float(nodes.count())
+    outw = edges.groupBy("src").agg(
+        F.sum(F.col("w").cast("decimal(38,6)")).cast("double").alias("total")
+    )
+    enorm = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("total")).alias("wn"))
+        .transform(track_persist)
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            enorm.join(ranks, enorm.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("wn")).cast("decimal(38,12)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - _PR_D) / n_nodes)
+                + _PR_D * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        # truncate per-iteration lineage: the next join re-reads ranks
+        # on both plan paths, and three stacked iterations otherwise
+        # replay the full chain per downstream use
+        ranks = ranks.transform(track_persist)
+    return ranks.select(
+        F.col("node").alias("nation"),
+        F.expr(T.stable_round("rank", 10)).alias("pagerank"),
+    )
