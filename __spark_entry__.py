@@ -36,6 +36,7 @@ _CHECK_FIRST = (
     "corpus_stratified_quota",
     "corpus_weighted_sample",
     "nation_trade_pagerank",
+    "hybrid_search_rrf",
     # never driver-checked as of round 1 (fell past the row cap)
     "q6_discount_revenue",
     "q8_nation_market_share",

@@ -549,3 +549,176 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("nation"),
         F.expr(T.stable_round("rank", 10)).alias("pagerank"),
     )
+
+
+# ---------------------------------------------------------------------------
+_RRF_K = 60  # reciprocal-rank-fusion constant
+_RRF_LEG_N = 50  # per-leg candidate depth
+_RRF_TOPK = 20
+_DOT2_S = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM2_S = (
+    "sqrt(aggregate({a}, CAST(0.0 AS DOUBLE),"
+    " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+_DOT2_D = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_NORM2_D = (
+    "sqrt(list_sum(list_transform({a},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+def _hybrid_oracle() -> str:
+    cos = (
+        f"{_DOT2_D.format(a='q.qe', b='e.embedding')}"
+        f" / ({_NORM2_D.format(a='q.qe')} * {_NORM2_D.format(a='e.embedding')})"
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, {_TOKS_D} AS toks FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(len(toks)) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                     {", ".join(
+                         f"CAST(SUM(CASE WHEN list_contains(toks, '{t}')"
+                         f" THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+                         for i, t in enumerate(_BM25_TERMS)
+                     )}
+              FROM base),
+    scored AS (SELECT doc_id,
+                      CAST(len(toks) AS DOUBLE) AS dl,
+                      {", ".join(
+                          f"CAST(len(list_filter(toks, x -> x = '{t}'))"
+                          f" AS DOUBLE) AS tf{i}"
+                          for i, t in enumerate(_BM25_TERMS)
+                      )},
+                      n_docs, avgdl,
+                      {", ".join(f"df{i}" for i in range(len(_BM25_TERMS)))}
+               FROM base CROSS JOIN stats),
+    s AS (SELECT doc_id, {_bm25_score_sql("duck")} AS s FROM scored),
+    lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rnk_b
+            FROM s WHERE s > 0),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    vec AS (SELECT e.vec_id, {cos} AS cos
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+    sem AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rnk_v
+            FROM vec),
+    fused AS (
+        SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+               COALESCE(1.0 / ({_RRF_K} + l.rnk_b), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + v.rnk_v), 0.0) AS rrf
+        FROM (SELECT * FROM lex WHERE rnk_b <= {_RRF_LEG_N}) l
+        FULL OUTER JOIN (SELECT * FROM sem WHERE rnk_v <= {_RRF_LEG_N}) v
+          ON l.doc_id = v.vec_id
+    ),
+    ranked AS (SELECT doc_id, rrf,
+                      ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+               FROM fused)
+    SELECT doc_id, {T.stable_round("rrf", 8)} AS rrf_score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_RRF_TOPK}
+    """
+
+
+@query("hybrid_search_rrf", oracle=_hybrid_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical leg, query {data, spark,
+    merge}) fused with embedding cosine (semantic leg, query vector =
+    embedding 0) by reciprocal-rank fusion — the standard RAG
+    retrieval shape, end-to-end on DataFrames and hash-checked.
+
+    RRF(d) = sum over legs of 1/(k + rank_leg(d)), k=60: rank-based,
+    so the two legs' incomparable score scales never mix — and ranks
+    are integers, making the fusion exactly reproducible across
+    engines (the per-leg tie-breaks are deterministic by id).
+
+    Scale: each leg is the already-proven shape (BM25: broadcast
+    stats + per-row scoring + TakeOrdered; cosine: broadcast query
+    vector + per-partition scoring + TakeOrdered); the fusion joins
+    two <=``_RRF_LEG_N``-row frames — driver-trivial at any corpus
+    size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.expr(_TOKS_S).alias("toks"))
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (
+            F.sum(F.size("toks").cast("bigint")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("toks", t).cast("int"))
+            .cast("double")
+            .alias(f"df{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    scored = base.join(F.broadcast(stats)).select(
+        "doc_id",
+        F.size("toks").cast("double").alias("dl"),
+        *[
+            F.expr(f"CAST(size(filter(toks, x -> x = '{t}')) AS DOUBLE)").alias(
+                f"tf{i}"
+            )
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+        "n_docs",
+        "avgdl",
+        *[f"df{i}" for i in range(len(_BM25_TERMS))],
+    )
+    s = scored.select("doc_id", F.expr(_bm25_score_sql("spark")).alias("s")).filter(
+        F.col("s") > 0
+    )
+    lex = (
+        s.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(_RRF_LEG_N)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("s"), F.asc("doc_id")))
+            .alias("rnk_b"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cos = F.expr(
+        f"{_DOT2_S.format(a='qe', b='embedding')}"
+        f" / ({_NORM2_S.format(a='qe')} * {_NORM2_S.format(a='embedding')})"
+    )
+    vec = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select("vec_id", cos.alias("cos"))
+    )
+    sem = (
+        vec.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(_RRF_LEG_N)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("cos"), F.asc("vec_id")))
+            .alias("rnk_v"),
+        )
+    )
+    fused = (
+        lex.join(sem, lex.doc_id == sem.vec_id, "full_outer")
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+            (
+                F.coalesce(1.0 / (_RRF_K + F.col("rnk_b")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rnk_v")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    top = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(_RRF_TOPK)
+    return top.select(
+        "doc_id",
+        F.expr(T.stable_round("rrf", 8)).alias("rrf_score"),
+        F.row_number()
+        .over(W.orderBy(F.desc("rrf"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("rnk"),
+    )

@@ -120,3 +120,81 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+PACK_STATE_SCHEMA = StructType([StructField("cum", LongType())])
+
+PACK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bucket", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("chunk_id", LongType()),
+        StructField("chunk_offset", LongType()),
+        StructField("chunks_spanned", LongType()),
+    ]
+)
+
+
+def _pack_fn(context: int):
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (bucket,) = key
+        rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        cum = int(state.get[0]) if state.exists else 0
+        out: dict = {k.name: [] for k in PACK_OUTPUT_SCHEMA}
+        for doc_id, n in zip(rows["doc_id"], rows["n_tokens"]):
+            n = int(n)
+            out["doc_id"].append(int(doc_id))
+            out["bucket"].append(int(bucket))
+            out["n_tokens"].append(n)
+            out["chunk_id"].append(cum // context)
+            out["chunk_offset"].append(cum % context)
+            out["chunks_spanned"].append(
+                (cum + n - 1) // context - cum // context + 1
+            )
+            cum += n
+        state.update((cum,))
+        yield pd.DataFrame(out)
+
+    return update
+
+
+def streaming_pack(
+    docs_stream: DataFrame,
+    context: int = 512,
+    buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stateful concatenate-and-chunk packing over a document stream:
+    the per-bucket running token count lives in ``GroupState``, so
+    chunk positions CONTINUE across micro-batches — a restarted or
+    long-running ingest keeps appending to the same packed layout the
+    batch operator (operators/corpus.py::pack_chunks) would produce
+    for the same arrival order.
+
+    Scale: state per bucket is ONE long (the cumulative token count)
+    — thousands of buckets cost kilobytes; Arrow batches carry only
+    (doc_id, bucket, n_tokens) triples, never text. Within a batch,
+    rows pack in doc_id order; across batches, in arrival order —
+    the stream contract a file/queue source provides.
+    """
+    from pyspark.sql import functions as F
+
+    toks = rf"split(trim({text_col}), '\\s+')"
+    d = docs_stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(id_col) % buckets).cast("long").alias("bucket"),
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+    )
+    return d.groupBy("bucket").applyInPandasWithState(
+        _pack_fn(context),
+        outputStructType=PACK_OUTPUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

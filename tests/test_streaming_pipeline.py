@@ -115,3 +115,101 @@ def test_streaming_decontam_matches_batch(spark, smoke_dir, tmp_path):
     got = sorted(tuple(r) for r in streamed.collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
+
+
+def test_streaming_pack_continues_across_batches(spark, smoke_dir, tmp_path):
+    """Chunk positions must continue across micro-batches: two files
+    processed one per trigger must reproduce the batch operator's
+    layout for the same (doc_id) order."""
+    from declarativeml_spark.operators.corpus import pack_chunks
+    from declarativeml_spark.streaming.stateful import streaming_pack
+
+    docs = load_table(spark, smoke_dir, "documents").select("doc_id", "text")
+    lo = docs.filter("doc_id < 200")
+    hi = docs.filter("doc_id >= 200 AND doc_id < 400")
+    src = tmp_path / "pack_src"
+    src.mkdir()
+    # two lexicographically ordered files -> two deterministic batches
+    lo.coalesce(1).write.parquet(str(src / "a_first"))
+    hi.coalesce(1).write.parquet(str(src / "b_second"))
+    schema = spark.read.parquet(str(src / "a_first")).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = streaming_pack(stream, context=256, buckets=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pack_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = spark.sql(
+        "SELECT doc_id, bucket, n_tokens, chunk_id, chunk_offset,"
+        " chunks_spanned FROM pack_sink"
+    )
+    batch = pack_chunks(
+        docs.filter("doc_id < 400"), context=256, buckets=4
+    )
+    got = sorted(tuple(r) for r in streamed.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+
+
+def test_streaming_pack_restart_from_checkpoint(spark, smoke_dir, tmp_path):
+    """State must survive a query restart: pack batch 1, stop, start a
+    NEW query on the same checkpoint, pack batch 2 — positions continue
+    exactly where the first run left off."""
+    from declarativeml_spark.operators.corpus import pack_chunks
+    from declarativeml_spark.streaming.stateful import streaming_pack
+
+    docs = load_table(spark, smoke_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "pack_restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "pack_ckpt")
+    out = str(tmp_path / "pack_out")
+    docs.filter("doc_id < 150").coalesce(1).write.parquet(str(src / "a_first"))
+    schema = spark.read.parquet(str(src / "a_first")).schema
+
+    # memory sinks cannot recover from a checkpoint; a parquet sink can
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            streaming_pack(stream, context=256, buckets=4)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()  # processes batch 1, persists state in the checkpoint
+    assert spark.read.parquet(out).count() == 150
+    docs.filter("doc_id >= 150 AND doc_id < 300").coalesce(1).write.parquet(
+        str(src / "b_second")
+    )
+    run_once()  # NEW query, same checkpoint: resumes state + source offset
+
+    # batch 2's positions can only match the batch layout's tail if the
+    # running counts carried across the restart
+    streamed = spark.read.parquet(out).select(
+        "doc_id", "bucket", "n_tokens", "chunk_id", "chunk_offset",
+        "chunks_spanned",
+    )
+    batch = pack_chunks(docs.filter("doc_id < 300"), context=256, buckets=4)
+    got = sorted(tuple(r) for r in streamed.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
