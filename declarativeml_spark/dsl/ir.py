@@ -373,22 +373,44 @@ class PackSequences:
 
 @dataclass
 class SampleCorpus:
-    """IR for ``SAMPLE <source> RATE f [ON col]`` — deterministic
-    hash sampling for training-data mixing (SURVEY.md §7.5 family).
+    """IR for ``SAMPLE <source> RATE f [ON col]`` (rate form) and
+    ``SAMPLE <source> TOP n WEIGHT BY wcol [ON col]`` (weighted form)
+    — deterministic sampling for training-data mixing (SURVEY.md
+    §7.5/§2.11 family).
 
-    The kept set is chosen by a Lehmer hash of the id column, not
-    rand(): reproducible run-to-run and engine-to-engine, restart-
-    safe, and shuffle-free (see queries/pipeline.py::corpus_mix_sample
-    for the oracle-checked aggregate form).
+    Rate form: keep rows whose Lehmer hash of the id column clears
+    the rate threshold — reproducible run-to-run and
+    engine-to-engine, restart-safe, shuffle-free (see
+    queries/pipeline.py::corpus_mix_sample for the oracle-checked
+    aggregate form). Weighted form: Efraimidis-Spirakis sampling
+    without replacement — keep the ``top_n`` rows with the smallest
+    ``-ln(u)/w`` key (see queries/pipeline2.py::corpus_weighted_sample
+    for the oracle-checked form).
     """
 
     source: str
-    rate: float
+    rate: Optional[float] = None
     column: Optional[str] = None
+    top_n: Optional[int] = None
+    weight_column: Optional[str] = None
     source_is_identifier: bool = True
 
     def __post_init__(self) -> None:
-        if not isinstance(self.rate, (int, float)) or isinstance(self.rate, bool):
-            raise ValueError("RATE must be a number in (0, 1]")
-        if not (0.0 < float(self.rate) <= 1.0):
-            raise ValueError("RATE must be in (0, 1]")
+        if (self.rate is None) == (self.top_n is None):
+            raise ValueError("SAMPLE needs exactly one of RATE or TOP")
+        if self.rate is not None:
+            if not isinstance(self.rate, (int, float)) or isinstance(
+                self.rate, bool
+            ):
+                raise ValueError("RATE must be a number in (0, 1]")
+            if not (0.0 < float(self.rate) <= 1.0):
+                raise ValueError("RATE must be in (0, 1]")
+        if self.top_n is not None:
+            if (
+                not isinstance(self.top_n, int)
+                or isinstance(self.top_n, bool)
+                or self.top_n <= 0
+            ):
+                raise ValueError("TOP must be a positive integer")
+            if not self.weight_column:
+                raise ValueError("SAMPLE … TOP requires WEIGHT BY <column>")

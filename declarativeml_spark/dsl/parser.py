@@ -982,17 +982,32 @@ class _Parser:
             source_is_identifier=is_identifier_source(source),
         )
 
-    # -- SAMPLE (beyond-parity: SURVEY §7.5) ------------------------------
+    # -- SAMPLE (beyond-parity: SURVEY §7.5 / §2.11) ----------------------
     def parse_sample(self) -> "ir.SampleCorpus":
         self.expect_keyword("SAMPLE")
-        source = self.capture_source_until("RATE")
+        source = self.capture_source_until("RATE", "TOP")
         if not source:
             raise ValueError("SAMPLE source cannot be empty")
-        self.expect_keyword("RATE")
-        tok = self.advance()
-        if tok.kind != "NUMBER":
-            raise ValueError("RATE must be a number in (0, 1]")
-        rate = float(_to_number(tok.value))
+        rate = None
+        top_n = None
+        weight_column = None
+        if self.at_keyword("RATE"):
+            self.advance()
+            tok = self.advance()
+            if tok.kind != "NUMBER":
+                raise ValueError("RATE must be a number in (0, 1]")
+            rate = float(_to_number(tok.value))
+        elif self.at_keyword("TOP"):
+            self.advance()
+            tok = self.advance()
+            if tok.kind != "NUMBER":
+                raise ValueError("TOP must be a positive integer")
+            top_n = _require_positive_int(_to_number(tok.value), "TOP")
+            self.expect_keyword("WEIGHT")
+            self.expect_keyword("BY")
+            weight_column = self.expect_name("weight column")
+        else:
+            raise ValueError("SAMPLE needs RATE f or TOP n WEIGHT BY col")
         column = None
         if self.at_keyword("ON"):
             self.advance()
@@ -1002,6 +1017,8 @@ class _Parser:
             source=source,
             rate=rate,
             column=column,
+            top_n=top_n,
+            weight_column=weight_column,
             source_is_identifier=is_identifier_source(source),
         )
 

@@ -211,10 +211,17 @@ class Engine:
 
     # -- SAMPLE (deterministic hash sampling; SURVEY §7.5 family) ----------
     def _sample(self, stmt: ir.SampleCorpus) -> DataFrame:
-        """Keep ``rate`` of rows, chosen by a Lehmer hash of the id
-        column — reproducible and restart-safe, unlike rand(); see
-        queries/pipeline.py::corpus_mix_sample for the overflow-safe
-        arithmetic and its DuckDB-checked oracle form."""
+        """RATE form: keep ``rate`` of rows, chosen by a Lehmer hash of
+        the id column — reproducible and restart-safe, unlike rand();
+        see queries/pipeline.py::corpus_mix_sample for the
+        overflow-safe arithmetic and its DuckDB-checked oracle form.
+
+        TOP form: Efraimidis-Spirakis weighted sampling without
+        replacement — the ``top_n`` smallest ``-ln(u)/w`` keys win,
+        with u from the same Lehmer hash and w the weight column; see
+        queries/pipeline2.py::corpus_weighted_sample for the
+        oracle-checked form. Rows with non-positive weight are
+        excluded (their inclusion probability is zero)."""
         from pyspark.sql import functions as F
 
         df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
@@ -226,7 +233,17 @@ class Engine:
             f"pmod(pmod(pmod({col}, 2147483647) * 48271, 2147483647)"
             " * 48271, 2147483647)"
         )
-        return df.filter(h < F.lit(float(stmt.rate) * 2147483647.0))
+        if stmt.rate is not None:
+            return df.filter(h < F.lit(float(stmt.rate) * 2147483647.0))
+        w = F.col(stmt.weight_column).cast("double")
+        skey = -F.log((h + 1.0) / 2147483648.0) / w
+        return (
+            df.filter(w > 0)
+            .withColumn("__skey", skey)
+            .orderBy(F.asc("__skey"), F.asc(col))
+            .limit(stmt.top_n)
+            .drop("__skey")
+        )
 
     def _similarity_search(self, stmt: ir.SimilaritySearch) -> DataFrame:
         from declarativeml_spark.operators import dedup as D

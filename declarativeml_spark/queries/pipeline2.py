@@ -722,3 +722,91 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+_HOT_KEYS = (
+    ("orders", "o_custkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("events", "user_id"),
+)
+_HOT_TOPN = 10
+
+
+def _hotspots_oracle() -> str:
+    legs = "\n    UNION ALL\n    ".join(
+        f"SELECT '{t}' AS tname, '{c}' AS kname,"
+        f" CAST({c} AS BIGINT) AS keyval,"
+        f" CAST(COUNT(*) AS BIGINT) AS cnt FROM {t} GROUP BY {c}"
+        for t, c in _HOT_KEYS
+    )
+    return f"""
+    WITH counts AS (
+    {legs}
+    ),
+    ranked AS (
+        SELECT tname, kname, keyval, cnt,
+               cnt / CAST(SUM(cnt) OVER (PARTITION BY tname, kname)
+                          AS DOUBLE) AS share,
+               ROW_NUMBER() OVER (PARTITION BY tname, kname
+                                  ORDER BY cnt DESC, keyval) AS rnk
+        FROM counts
+    )
+    SELECT tname, kname, keyval, cnt,
+           {T.stable_round("share", 8)} AS share,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_HOT_TOPN}
+    """
+
+
+@query("join_key_hotspots", oracle=_hotspots_oracle())
+def join_key_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics: the top heavy-hitter values of every hot join
+    key, with their share of the table — the measurement that decides
+    between a plain shuffle join, AQE skew splitting, and manual
+    salting. At 100 TB you run THIS before tuning, not after the job
+    dies.
+
+    Scale: per-key counts are map-side-combinable aggregates; the
+    share/rank windows run over the already-aggregated (key, cnt)
+    frame — distinct key values, not rows — partitioned by key name.
+    This is the monitoring twin of operators/skew.py's salting
+    helpers.
+    """
+    parts = []
+    for t, c in _HOT_KEYS:
+        df = load_table(spark, sf_dir, t)
+        parts.append(
+            df.groupBy(F.col(c).cast("bigint").alias("keyval"))
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                F.lit(t).alias("tname"),
+                F.lit(c).alias("kname"),
+                "keyval",
+                "cnt",
+            )
+        )
+    counts = parts[0]
+    for p in parts[1:]:
+        counts = counts.unionByName(p)
+    wshare = W.partitionBy("tname", "kname")
+    wrank = W.partitionBy("tname", "kname").orderBy(
+        F.desc("cnt"), F.asc("keyval")
+    )
+    return (
+        counts.withColumn(
+            "share",
+            F.col("cnt") / F.sum("cnt").over(wshare).cast("double"),
+        )
+        .withColumn("rnk", F.row_number().over(wrank).cast("bigint"))
+        .filter(F.col("rnk") <= _HOT_TOPN)
+        .select(
+            "tname",
+            "kname",
+            "keyval",
+            "cnt",
+            F.expr(T.stable_round("share", 8)).alias("share"),
+            "rnk",
+        )
+    )

@@ -94,3 +94,34 @@ def test_pack_chunk_invariants(engine, spark):
         " / 128.0) AS BIGINT)"
     ).count()
     assert bad_offset == 0 and bad_span == 0
+
+
+def test_parse_sample_weighted_forms():
+    s = parse("SAMPLE documents TOP 100 WEIGHT BY n_chars")
+    assert isinstance(s, ir.SampleCorpus)
+    assert s.top_n == 100 and s.weight_column == "n_chars" and s.rate is None
+
+    s = parse("SAMPLE documents TOP 50 WEIGHT BY n_chars ON doc_id")
+    assert s.top_n == 50 and s.column == "doc_id"
+
+    with pytest.raises(ValueError, match="RATE f or TOP n WEIGHT BY col"):
+        parse("SAMPLE documents")
+    with pytest.raises(ValueError, match="TOP must be a positive integer"):
+        parse("SAMPLE documents TOP 0 WEIGHT BY n_chars")
+    with pytest.raises(ValueError, match="WEIGHT"):
+        parse("SAMPLE documents TOP 10")
+
+
+def test_sample_weighted_statement(engine, spark):
+    out = engine.execute("SAMPLE documents TOP 100 WEIGHT BY n_chars")
+    assert out.count() == 100
+    assert out.columns == spark.table("documents").columns
+    # deterministic: a second execution picks the identical set
+    again = engine.execute("SAMPLE documents TOP 100 WEIGHT BY n_chars")
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+    # the weight column matters: a different weighting changes the draw
+    spark.table("documents").withColumn(
+        "inv_w", 1_000_000 - spark.table("documents").n_chars
+    ).createOrReplaceTempView("documents_inv")
+    other = engine.execute("SAMPLE documents_inv TOP 100 WEIGHT BY inv_w")
+    assert {r.doc_id for r in out.collect()} != {r.doc_id for r in other.collect()}
