@@ -38,6 +38,7 @@ _CHECK_FIRST = (
     "nation_trade_pagerank",
     "hybrid_search_rrf",
     "join_key_hotspots",
+    "pipeline_pretraining_corpus",
     # never driver-checked as of round 1 (fell past the row cap)
     "q6_discount_revenue",
     "q8_nation_market_share",

@@ -810,3 +810,136 @@ def join_key_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+_E2E_QUOTA = 60  # per-language budget after cleaning
+_E2E_CTX = 512
+_E2E_BUCKETS = 8
+
+
+def _e2e_oracle() -> str:
+    from declarativeml_spark.operators.textops import (
+        FINGERPRINT_DUCK,
+    )
+
+    fp = FINGERPRINT_DUCK.format(text="text")
+    uniq = "len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)"
+    return f"""
+    WITH d AS (SELECT doc_id, lang, text, {_TOKS_D} AS toks,
+                      {_FP_D} AS hs FROM documents),
+    bench AS (SELECT DISTINCT unnest(hs) AS h FROM d WHERE doc_id % 23 = 5),
+    corp AS (SELECT * FROM d WHERE doc_id % 23 <> 5),
+    quality AS (SELECT * FROM corp
+                WHERE {uniq} >= 0.3 AND len(toks) >= 10),
+    ov AS (SELECT q.doc_id, COUNT(*) AS overlap
+           FROM quality q, unnest(q.hs) AS t(h)
+           JOIN bench b ON t.h = b.h GROUP BY q.doc_id),
+    clean AS (SELECT q.* FROM quality q
+              LEFT JOIN ov ON q.doc_id = ov.doc_id
+              WHERE COALESCE(ov.overlap, 0) < 3),
+    dedup AS (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY {fp} ORDER BY doc_id) AS dup_rnk
+              FROM clean),
+    survivors AS (SELECT doc_id, lang, toks,
+                         ({_LEHMER2}) AS h
+                  FROM dedup WHERE dup_rnk = 1),
+    quota AS (SELECT doc_id, lang, toks,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY h, doc_id) AS q_rnk
+              FROM survivors),
+    kept AS (SELECT doc_id, lang,
+                    CAST(len(toks) AS BIGINT) AS n_tokens,
+                    doc_id % {_E2E_BUCKETS} AS bucket
+             FROM quota WHERE q_rnk <= {_E2E_QUOTA}),
+    packed AS (SELECT doc_id, lang, n_tokens, bucket,
+                      CAST(COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY bucket ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS cum
+               FROM kept)
+    SELECT doc_id, lang, n_tokens, bucket,
+           CAST(FLOOR(cum / {_E2E_CTX}.0) AS BIGINT) AS chunk_id,
+           cum % {_E2E_CTX} AS chunk_offset
+    FROM packed
+    """
+
+
+@query("pipeline_pretraining_corpus", oracle=_e2e_oracle())
+def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining corpus pipeline as ONE declarative
+    plan: repetition-quality gate → benchmark decontamination → exact
+    dedup → per-language quota → concatenate-and-chunk packing. Every
+    stage is the already-hash-checked operator; this query proves they
+    COMPOSE — Catalyst fuses the per-row stages into the same scan and
+    the composite still hash-matches DuckDB end to end.
+
+    Scale: the per-row stages (quality, fingerprints) are one fused
+    scan; decontamination broadcasts the benchmark; dedup and quota
+    are slim windowed shuffles (fingerprint / lang keys); packing
+    windows per bucket. Nothing materializes between stages — at
+    100 TB the whole pipeline is one job with four slim exchanges.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from declarativeml_spark.operators.corpus import fp_sample_spark
+    from declarativeml_spark.operators.textops import FINGERPRINT_SPARK
+
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.expr(_TOKS_S).alias("toks"),
+        F.expr(fp_sample_spark("text")).alias("hs"),
+    )
+    bench = (
+        d.filter(F.col("doc_id") % 23 == 5)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    corp = d.filter(F.col("doc_id") % 23 != 5)
+    uniq = "size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)"
+    quality = corp.filter(F.expr(f"({uniq}) >= 0.3 AND size(toks) >= 10"))
+    ov = (
+        quality.select("doc_id", F.explode("hs").alias("h"))
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("h").alias("overlap"))
+    )
+    clean = (
+        quality.join(ov, "doc_id", "left")
+        .filter(F.coalesce(F.col("overlap"), F.lit(0)) < 3)
+        .drop("overlap")
+    )
+    fp = F.expr(FINGERPRINT_SPARK.format(text="text"))
+    w_dup = W.partitionBy(fp).orderBy("doc_id")
+    survivors = (
+        clean.withColumn("dup_rnk", F.row_number().over(w_dup))
+        .filter(F.col("dup_rnk") == 1)
+        .select("doc_id", "lang", "toks", F.expr(_LEHMER2).alias("h"))
+    )
+    w_quota = W.partitionBy("lang").orderBy("h", "doc_id")
+    kept = (
+        survivors.withColumn("q_rnk", F.row_number().over(w_quota))
+        .filter(F.col("q_rnk") <= _E2E_QUOTA)
+        .select(
+            "doc_id",
+            "lang",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            (F.col("doc_id") % _E2E_BUCKETS).alias("bucket"),
+        )
+    )
+    w_pack = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0)).cast("bigint")
+    packed = kept.withColumn("cum", cum)
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "bucket",
+        F.expr(f"CAST(FLOOR(cum / {_E2E_CTX}.0) AS BIGINT)").alias("chunk_id"),
+        (F.col("cum") % _E2E_CTX).alias("chunk_offset"),
+    )
