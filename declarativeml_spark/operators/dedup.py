@@ -41,6 +41,24 @@ def _shingles(text_col: str) -> str:
     return T.SHINGLES_SPARK.format(toks=_toks(text_col))
 
 
+def _shingled(df: DataFrame, id_col: str, text_col: str, out: str) -> DataFrame:
+    """(doc_id, <out>=shingle array) with a CACHE BOUNDARY between
+    tokenize and shingle. Building shingles straight from text lets
+    CollapseProject inline the split() into every element_at inside
+    the shingle lambda, and HOF projections evaluate interpreted (no
+    codegen → no common-subexpression elimination) — the text
+    re-splits 3x per shingle, quadratic per row. Persisting the token
+    arrays first makes element_at an O(1) access into a materialized
+    column. Callers own the returned (persisted) frame's lifecycle
+    via the tracking scope, same as any track_persist frame."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), F.expr(_toks(text_col)).alias("toks")
+    ).transform(track_persist)
+    return toked.select(
+        "doc_id", F.expr(T.SHINGLES_SPARK.format(toks="toks")).alias(out)
+    )
+
+
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -94,8 +112,14 @@ def minhash_pairs(
     # md5'd once per GROUP of 4 minhash tables, not once per table
     n_groups = (n_minhash + 3) // 4
     sh = (
-        spread_partitions(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
-        .select("doc_id", F.expr(_shingles(text_col)).alias("shingles"))
+        _shingled(
+            spread_partitions(
+                df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+            ),
+            "doc_id",
+            text_col,
+            "shingles",
+        )
         .select(
             "doc_id",
             "shingles",
@@ -244,8 +268,14 @@ def ngram_jaccard_pairs(
     # (minhash input) and the hashed sets (verify input) in one pass
     n_groups = (n_minhash + 3) // 4
     sh = (
-        spread_partitions(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
-        .select("doc_id", F.expr(_shingles(text_col)).alias("sh_str"))
+        _shingled(
+            spread_partitions(
+                df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+            ),
+            "doc_id",
+            text_col,
+            "sh_str",
+        )
         .select(
             "doc_id",
             F.expr("transform(sh_str, s -> xxhash64(s))").alias("shingles"),

@@ -404,6 +404,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         spread_partitions(docs.select("doc_id", "text"))
         .select("doc_id", F.expr(_TOKS_S).alias("toks"))
+        # cache boundary: without it CollapseProject re-inlines the
+        # split() into every element_at of the shingle lambda and the
+        # interpreted HOF evaluation re-splits the text 3x per shingle
+        # (quadratic per row; see operators/dedup.py::_shingled)
+        .transform(track_persist)
         .select("doc_id", F.expr(_SHINGLES_S).alias("shingles"))
         .select(
             "doc_id",

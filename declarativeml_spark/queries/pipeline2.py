@@ -884,13 +884,36 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from declarativeml_spark.operators.corpus import fp_sample_spark
     from declarativeml_spark.operators.textops import FINGERPRINT_SPARK
 
-    d = docs.select(
+    from declarativeml_spark.operators.caching import track_persist
+
+    # Two-stage derivation with a CACHE BOUNDARY between tokenize and
+    # gram-hash: building grams directly from text lets CollapseProject
+    # inline the split() into every element_at inside the gram lambda,
+    # and HOF projections evaluate INTERPRETED (no codegen, no
+    # common-subexpression elimination) — the text re-splits 4x per
+    # gram, quadratic per row (measured 20-30s vs ~3s at sf0.1). The
+    # cached toks column makes element_at an O(1) array access; the
+    # persisted d then feeds the three downstream branches (benchmark
+    # explode, quality chain, decontam join-back) without replay.
+    d1 = docs.select(
+        "doc_id", "lang", "text", F.expr(_TOKS_S).alias("toks")
+    ).transform(track_persist)
+    g4 = (
+        "CASE WHEN size(toks) < 4 THEN array(concat_ws(' ', toks)) "
+        "ELSE transform(sequence(1, size(toks) - 3), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+        " element_at(toks, i + 2), element_at(toks, i + 3))) END"
+    )
+    d = d1.select(
         "doc_id",
         "lang",
         "text",
-        F.expr(_TOKS_S).alias("toks"),
-        F.expr(fp_sample_spark("text")).alias("hs"),
-    )
+        "toks",
+        F.expr(
+            f"array_distinct(filter(transform({g4}, g -> md5(g)),"
+            " h -> h < '8'))"
+        ).alias("hs"),
+    ).transform(track_persist)
     bench = (
         d.filter(F.col("doc_id") % 23 == 5)
         .select(F.explode("hs").alias("h"))
@@ -898,7 +921,9 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corp = d.filter(F.col("doc_id") % 23 != 5)
     uniq = "size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)"
-    quality = corp.filter(F.expr(f"({uniq}) >= 0.3 AND size(toks) >= 10"))
+    quality = corp.filter(
+        F.expr(f"({uniq}) >= 0.3 AND size(toks) >= 10")
+    ).transform(track_persist)
     ov = (
         quality.select("doc_id", F.explode("hs").alias("h"))
         .join(F.broadcast(bench), "h")
