@@ -29,6 +29,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-confirming long-green ones.
 _CHECK_FIRST = (
     # new in round 3 — never driver-checked
+    "text_pii_redaction",
+    "semdedup_embedding_prune",
+    "text_chunk_windows",
+    "text_unigram_surprisal",
+    "corpus_source_datasheet",
     "decontam_benchmark_overlap",
     "pack_concat_chunks",
     "text_quality_repetition",

@@ -964,35 +964,27 @@ def connected_components(
     return lbl.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
-def ivf_native_topk(
+def native_cells(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 10,
-    query_mod: int = 97,
     n_cells: int = 8,
-    n_probe: int = 2,
     n_iters: int = 2,
     dim: int = 64,
-) -> DataFrame:
-    """IVF-Flat ANN with a fully deterministic, engine-portable
-    coarse quantizer — the hash-checkable counterpart of ``ivf_topk``.
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic coarse quantizer shared by ``ivf_native_topk``
+    and ``semdedup``: pinned Lloyd's KMeans (smallest-id init, fixed
+    iteration count, DECIMAL(38,12) per-dim means) assigning every
+    vector to a cell.
 
-    Lloyd's KMeans with every nondeterminism pinned: centroids
-    initialize to the ``n_cells`` smallest-id vectors; exactly
-    ``n_iters`` update steps; per-dimension means go through
-    DECIMAL(38,12) (exact, order-independent) before one double
-    division, so centroids are bit-identical regardless of shuffle
-    order AND across engines; assignment ties break by cell id. The
-    iteration count is fixed, so the whole computation is ONE lazy
-    DataFrame plan — no driver-side loop, no fitted model object.
+    Returns ``(corpus, cents)`` — ``corpus`` is
+    (vec_id, vec, cell, nrm), ``cents`` is (cell, cvec); both are
+    persisted via track_persist (callers' downstream plans reference
+    each several times). The DuckDB twin is ``native_cells_ctes``.
 
-    Scale: each iteration is a broadcast(centroids) map + one
-    groupBy(cell) agg of 64 decimal sums (map-side combinable); the
-    corpus never shuffles for the search itself, matching ivf_topk's
-    probe plan. MLlib's KMeans (ivf_topk) remains the scale default —
-    k-means|| init converges better on real data; this variant trades
-    init quality for cross-engine verifiability.
+    Scale: each Lloyd iteration is a broadcast(centroids) map over
+    the corpus + one groupBy(cell) agg of ``dim`` decimal sums
+    (map-side combinable); the corpus itself never shuffles.
     """
     from declarativeml_spark.operators.skew import spread_partitions
     from pyspark.sql import Window
@@ -1041,11 +1033,11 @@ def ivf_native_topk(
             .agg(*mean_dims)
             .select("cell", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cvec"))
         )
-    # the finished centroids feed THREE downstream broadcasts (corpus
-    # assignment, query probes, and the final join's lineage) — without
-    # a persist each broadcast job replays the whole n_iters update
-    # chain (measured 3-5x wall on this 16-row frame). Same for the
-    # assigned corpus, which both join sides of the search reference.
+    # the finished centroids feed several downstream broadcasts
+    # (corpus assignment, query probes, the final join's lineage) —
+    # without a persist each broadcast job replays the whole n_iters
+    # update chain (measured 3-5x wall on this tiny frame). Same for
+    # the assigned corpus, which multiple join sides reference.
     cents = cents.transform(track_persist)
     corpus = (
         base.crossJoin(F.broadcast(cents))
@@ -1056,6 +1048,183 @@ def ivf_native_topk(
         .withColumn("nrm", F.expr(_NORM.format(a="vec")))
         .transform(track_persist)
     )
+    return corpus, cents
+
+
+def native_cells_ctes(
+    n_cells: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[str], str]:
+    """DuckDB twin of ``native_cells``: the unrolled Lloyd's CTE
+    chain ending in a ``corpus`` CTE of (vec_id, vec, cell, nrm).
+
+    Returns ``(ctes, d2_template)`` — callers append their own
+    search/pair CTEs and format ``d2_template`` with ``v=``/``c=``
+    for centroid-distance expressions.
+    """
+    d2 = (
+        "list_sum(list_transform(list_zip({v}, {c}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    mean_list = ", ".join(
+        f"CAST(SUM(CAST(vec[{i + 1}] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)"
+        for i in range(dim)
+    )
+    ctes = [
+        f"base AS (SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS vec"
+        f" FROM {table} WHERE len({vec_col}) = {dim})",
+        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,"
+        " vec AS cvec FROM base ORDER BY vec_id LIMIT "
+        f"{n_cells})",
+    ]
+    prev = "c0"
+    for it in range(1, n_iters + 1):
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, vec, cell FROM ("
+            f" SELECT b.vec_id, b.vec, c.cell,"
+            f" ROW_NUMBER() OVER (PARTITION BY b.vec_id"
+            f" ORDER BY {d2.format(v='b.vec', c='c.cvec')}, c.cell) AS rn"
+            f" FROM base b CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT cell, [{mean_list}] AS cvec"
+            f" FROM a{it} GROUP BY cell)"
+        )
+        prev = f"c{it}"
+    nrm = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+    ctes.append(
+        "corpus AS (SELECT a.vec_id, a.vec, a.cell,"
+        f" {nrm.format(v='a.vec')} AS nrm FROM ("
+        " SELECT b.vec_id, b.vec, c.cell,"
+        " ROW_NUMBER() OVER (PARTITION BY b.vec_id"
+        f" ORDER BY {d2.format(v='b.vec', c='c.cvec')}, c.cell) AS rn"
+        f" FROM base b CROSS JOIN {prev} c) a WHERE a.rn = 1)"
+    )
+    return ctes, d2
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings with
+    the deterministic coarse quantizer, then inside each cell drop
+    every vector that has a smaller-id neighbour with cosine >=
+    ``threshold`` (Abbas et al. 2023's cluster-then-prune recipe,
+    with keep-lowest-id as the deterministic retention rule).
+
+    Scale: the paper's design point is exactly that the pairwise
+    stage is CELL-blocked — k-means cells bound the O(m^2) pair
+    space to Σ cell², and cells are sized (corpus/n_cells) by
+    construction, unlike corpus-linear label blocks. The cell
+    assignment is a broadcast map (native_cells); pairs exist only
+    as (id, id) tuples; the keep decision is one anti-join of the
+    corpus against the dominated-id list.
+
+    Returns (vec_id, cell, kept) for every in-dim vector —
+    hash-checkable via ``native_cells_ctes`` (pinned Lloyd's, exact
+    decimal means).
+    """
+    corpus, _ = native_cells(df, id_col, vec_col, n_cells, n_iters, dim)
+    a = corpus.select(
+        F.col("vec_id").alias("id_a"),
+        "cell",
+        F.col("vec").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("id_b"),
+        "cell",
+        F.col("vec").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    dominated = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias("dom_id"))
+        .distinct()
+    )
+    return (
+        corpus.join(dominated, corpus["vec_id"] == dominated["dom_id"], "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("dom_id").isNull().alias("kept"),
+        )
+    )
+
+
+def semdedup_oracle_sql(
+    threshold: float = 0.35,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for ``semdedup`` — same pinned quantizer CTEs,
+    same within-cell smaller-id domination rule."""
+    ctes, _ = native_cells_ctes(n_cells, n_iters, dim)
+    dot = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    ctes.append(
+        "dominated AS (SELECT DISTINCT b.vec_id AS dom_id"
+        " FROM corpus a JOIN corpus b"
+        " ON a.cell = b.cell AND a.vec_id < b.vec_id"
+        f" WHERE {dot.format(a='a.vec', b='b.vec')} / (a.nrm * b.nrm)"
+        f" >= {threshold!r})"
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+           d.dom_id IS NULL AS kept
+    FROM corpus c LEFT JOIN dominated d ON c.vec_id = d.dom_id
+    """
+
+
+def ivf_native_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_mod: int = 97,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-Flat ANN with a fully deterministic, engine-portable
+    coarse quantizer — the hash-checkable counterpart of ``ivf_topk``.
+
+    Lloyd's KMeans with every nondeterminism pinned: centroids
+    initialize to the ``n_cells`` smallest-id vectors; exactly
+    ``n_iters`` update steps; per-dimension means go through
+    DECIMAL(38,12) (exact, order-independent) before one double
+    division, so centroids are bit-identical regardless of shuffle
+    order AND across engines; assignment ties break by cell id. The
+    iteration count is fixed, so the whole computation is ONE lazy
+    DataFrame plan — no driver-side loop, no fitted model object.
+
+    Scale: each iteration is a broadcast(centroids) map + one
+    groupBy(cell) agg of 64 decimal sums (map-side combinable); the
+    corpus never shuffles for the search itself, matching ivf_topk's
+    probe plan. MLlib's KMeans (ivf_topk) remains the scale default —
+    k-means|| init converges better on real data; this variant trades
+    init quality for cross-engine verifiability.
+    """
+    from pyspark.sql import Window
+
+    corpus, cents = native_cells(df, id_col, vec_col, n_cells, n_iters, dim)
     q = corpus.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("qid"), F.col("vec").alias("qe"), F.col("nrm").alias("qn")
     )

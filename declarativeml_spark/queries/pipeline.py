@@ -706,48 +706,14 @@ def _ivf_native_oracle(
 ) -> str:
     """DuckDB twin of operators/dedup.py::ivf_native_topk: the same
     pinned Lloyd's iterations with DECIMAL(38,12) per-dim means, as
-    unrolled CTE layers."""
+    unrolled CTE layers (shared with semdedup via
+    ``native_cells_ctes``)."""
+    from declarativeml_spark.operators.dedup import native_cells_ctes
     from declarativeml_spark.operators.textops import stable_round
 
-    d2 = (
-        "list_sum(list_transform(list_zip({v}, {c}),"
-        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
-    )
-    mean_list = ", ".join(
-        f"CAST(SUM(CAST(vec[{i + 1}] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)"
-        for i in range(dim)
-    )
-    ctes = [
-        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec"
-        f" FROM embeddings WHERE len(embedding) = {dim})",
-        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,"
-        " vec AS cvec FROM base ORDER BY vec_id LIMIT "
-        f"{n_cells})",
-    ]
-    prev = "c0"
-    for it in range(1, n_iters + 1):
-        ctes.append(
-            f"a{it} AS (SELECT vec_id, vec, cell FROM ("
-            f" SELECT b.vec_id, b.vec, c.cell,"
-            f" ROW_NUMBER() OVER (PARTITION BY b.vec_id"
-            f" ORDER BY {d2.format(v='b.vec', c='c.cvec')}, c.cell) AS rn"
-            f" FROM base b CROSS JOIN {prev} c) WHERE rn = 1)"
-        )
-        ctes.append(
-            f"c{it} AS (SELECT cell, [{mean_list}] AS cvec"
-            f" FROM a{it} GROUP BY cell)"
-        )
-        prev = f"c{it}"
-    nrm = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+    ctes, d2 = native_cells_ctes(n_cells, n_iters, dim)
+    prev = f"c{n_iters}"
     dot = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
-    ctes.append(
-        "corpus AS (SELECT a.vec_id, a.vec, a.cell,"
-        f" {nrm.format(v='a.vec')} AS nrm FROM ("
-        " SELECT b.vec_id, b.vec, c.cell,"
-        " ROW_NUMBER() OVER (PARTITION BY b.vec_id"
-        f" ORDER BY {d2.format(v='b.vec', c='c.cvec')}, c.cell) AS rn"
-        f" FROM base b CROSS JOIN {prev} c) a WHERE a.rn = 1)"
-    )
     ctes.append(
         f"q AS (SELECT vec_id AS qid, vec AS qe, nrm AS qn FROM corpus"
         f" WHERE vec_id % {query_mod} = 0)"
