@@ -283,7 +283,15 @@ class Deduplicate:
     source_is_identifier: bool = True
 
     def __post_init__(self) -> None:
-        allowed = {"exact", "minhash", "simhash", "ngram", "embedding", "clusters"}
+        allowed = {
+            "exact",
+            "minhash",
+            "simhash",
+            "ngram",
+            "embedding",
+            "clusters",
+            "semantic",
+        }
         if self.method not in allowed:
             raise ValueError(
                 f"Unknown dedup method {self.method!r};"
@@ -414,3 +422,46 @@ class SampleCorpus:
                 raise ValueError("TOP must be a positive integer")
             if not self.weight_column:
                 raise ValueError("SAMPLE … TOP requires WEIGHT BY <column>")
+
+
+@dataclass
+class RedactPII:
+    """IR for ``REDACT <source> [ON col]`` — PII scrubbing in the
+    reference's grammar family (SURVEY.md §2.11; beyond-parity).
+
+    Masks emails / IPv4s / SSNs / phone-shaped digit runs in the
+    text column and reports per-class match counts (see
+    operators/pii.py for the engine-portable pattern set and
+    queries/pipeline3.py::text_pii_redaction for the oracle-checked
+    twin).
+    """
+
+    source: str
+    column: Optional[str] = None
+    source_is_identifier: bool = True
+
+
+@dataclass
+class ChunkWindows:
+    """IR for ``CHUNK <source> INTO <w> TOKEN WINDOWS [STRIDE s]
+    [ON col]`` — overlapping context-window chunking (SURVEY.md
+    §2.11; beyond-parity).
+
+    Slices each document into stride-``stride`` windows of ``win``
+    tokens (see operators/corpus.py::chunk_windows;
+    queries/pipeline3.py::text_chunk_windows is the oracle-checked
+    twin).
+    """
+
+    source: str
+    win: int = 32
+    stride: int = 24
+    column: Optional[str] = None
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        for what, v in (("INTO", self.win), ("STRIDE", self.stride)):
+            if not isinstance(v, int) or isinstance(v, bool) or v <= 0:
+                raise ValueError(f"{what} must be a positive integer")
+        if self.stride > self.win:
+            raise ValueError("STRIDE must be <= the window size")

@@ -1094,6 +1094,59 @@ class _Parser:
             source_is_identifier=is_identifier_source(source),
         )
 
+    # -- REDACT (beyond-parity: SURVEY §2.11) -----------------------------
+    def parse_redact(self) -> "ir.RedactPII":
+        self.expect_keyword("REDACT")
+        source = self.capture_source_until("ON")
+        if not source:
+            raise ValueError("REDACT source cannot be empty")
+        column = None
+        if self.at_keyword("ON"):
+            self.advance()
+            column = self.expect_name("column name")
+        self.expect_eof()
+        return ir.RedactPII(
+            source=source,
+            column=column,
+            source_is_identifier=is_identifier_source(source),
+        )
+
+    # -- CHUNK (beyond-parity: SURVEY §2.11) ------------------------------
+    def parse_chunk(self) -> "ir.ChunkWindows":
+        self.expect_keyword("CHUNK")
+        source = self.capture_source_until("INTO")
+        if not source:
+            raise ValueError("CHUNK source cannot be empty")
+        self.expect_keyword("INTO")
+        tok = self.advance()
+        if tok.kind != "NUMBER":
+            raise ValueError("INTO must be a positive integer")
+        win = _require_positive_int(_to_number(tok.value), "INTO")
+        self.expect_keyword("TOKEN")
+        self.expect_keyword("WINDOWS")
+        stride = None
+        column = None
+        while True:
+            if self.at_keyword("STRIDE"):
+                self.advance()
+                tok = self.advance()
+                if tok.kind != "NUMBER":
+                    raise ValueError("STRIDE must be a positive integer")
+                stride = _require_positive_int(_to_number(tok.value), "STRIDE")
+            elif self.at_keyword("ON"):
+                self.advance()
+                column = self.expect_name("column name")
+            else:
+                break
+        self.expect_eof()
+        return ir.ChunkWindows(
+            source=source,
+            win=win,
+            stride=stride if stride is not None else win,
+            column=column,
+            source_is_identifier=is_identifier_source(source),
+        )
+
     # -- SEARCH SIMILAR (beyond-parity: SURVEY §7.5) ----------------------
     def parse_search(self) -> "ir.SimilaritySearch":
         self.expect_keyword("SEARCH")
@@ -1189,10 +1242,14 @@ def parse(text: str) -> Statement:
         return parser.parse_decontaminate()
     if tok.value == "PACK":
         return parser.parse_pack()
+    if tok.value == "REDACT":
+        return parser.parse_redact()
+    if tok.value == "CHUNK":
+        return parser.parse_chunk()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
-        " SEARCH, SAMPLE, DECONTAMINATE, or PACK"
+        " SEARCH, SAMPLE, DECONTAMINATE, PACK, REDACT, or CHUNK"
     )
 
 

@@ -132,6 +132,10 @@ class Engine:
             return self._decontaminate(stmt)
         if isinstance(stmt, ir.PackSequences):
             return self._pack(stmt)
+        if isinstance(stmt, ir.RedactPII):
+            return self._redact(stmt)
+        if isinstance(stmt, ir.ChunkWindows):
+            return self._chunk(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
 
     # -- DEDUPLICATE / SEARCH SIMILAR (beyond-parity, SURVEY §7.5) ----------
@@ -161,6 +165,16 @@ class Engine:
                 id_col=id_col,
                 text_col=text_col,
                 threshold=stmt.threshold if stmt.threshold is not None else 0.15,
+                **p,
+            )
+        if stmt.method == "semantic":
+            # SemDeDup: deterministic k-means cells + within-cell
+            # cosine domination over an embedding column
+            return D.semdedup(
+                df,
+                id_col=id_param or "vec_id",
+                vec_col=stmt.column or "embedding",
+                threshold=stmt.threshold if stmt.threshold is not None else 0.35,
                 **p,
             )
         if stmt.method == "clusters":
@@ -207,6 +221,32 @@ class Engine:
             text_col=stmt.column or "text",
             context=stmt.context,
             buckets=stmt.buckets,
+        )
+
+    # -- REDACT / CHUNK (corpus prep; SURVEY §2.11) ------------------------
+    def _redact(self, stmt: "ir.RedactPII") -> DataFrame:
+        """Mask PII in the text column in place; append per-class
+        match counts so the caller can audit what was scrubbed."""
+        from declarativeml_spark.operators.pii import pii_counts, pii_redact
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        col = stmt.column or "text"
+        counts = pii_counts(col)
+        return df.select(
+            *[c for c in df.columns if c != col],
+            *counts,
+            pii_redact(col).alias(col),
+        )
+
+    def _chunk(self, stmt: "ir.ChunkWindows") -> DataFrame:
+        from declarativeml_spark.operators.corpus import chunk_windows
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        return chunk_windows(
+            df,
+            text_col=stmt.column or "text",
+            win=stmt.win,
+            stride=stmt.stride,
         )
 
     # -- SAMPLE (deterministic hash sampling; SURVEY §7.5 family) ----------

@@ -140,3 +140,47 @@ def pack_chunks(
         (F.col("cum") % context).alias("chunk_offset"),
         (end_chunk - chunk_id + 1).alias("chunks_spanned"),
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    win: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping context-window chunking: stride-``stride`` windows
+    of ``win`` tokens per document — the retrieval/finetuning-side
+    counterpart of ``pack_chunks`` (which packs disjoint windows
+    across documents; this slices overlapping windows within one).
+
+    Returns (doc_id, win_id, n_win_tokens, chunk) — ``chunk`` is the
+    window's text. A document shorter than ``win`` yields exactly one
+    (possibly short) window; every non-final window is exactly
+    ``win`` tokens.
+
+    Scale: sequence + posexplode + slice are all codegen'd per-row
+    ops — zero shuffle; output volume is input x (win/stride overlap
+    factor), and the slice bounds move no data anywhere.
+    """
+    if stride <= 0 or win <= 0:
+        raise ValueError("win and stride must be positive")
+    if stride > win:
+        raise ValueError("stride must be <= win (windows must cover all tokens)")
+    toks = rf"split(trim({text_col}), '\\s+')"
+    n_win = f"int(greatest(ceil((size(toks) - {win}) / {stride}.0), 0))"
+    sl = f"slice(toks, win_id * {stride} + 1, {win})"
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.expr(toks).alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode(F.expr(f"sequence(0, {n_win})")).alias("win_id", "_"),
+        )
+        .select(
+            "doc_id",
+            F.col("win_id").cast("bigint").alias("win_id"),
+            F.expr(f"size({sl})").cast("bigint").alias("n_win_tokens"),
+            F.expr(f"array_join({sl}, ' ')").alias("chunk"),
+        )
+    )

@@ -134,23 +134,16 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the slice bounds push no data movement anywhere. The chunk
     content travels as a 32-byte md5, not the token text.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_TOKS_S).alias("toks")
+    from declarativeml_spark.operators.corpus import chunk_windows
+
+    out = chunk_windows(
+        load_table(spark, sf_dir, "documents"), win=_WIN, stride=_STRIDE
     )
-    n_win = f"int(greatest(ceil((size(toks) - {_WIN}) / {_STRIDE}.0), 0))"
-    win = f"slice(toks, win_id * {_STRIDE} + 1, {_WIN})"
-    return (
-        docs.select(
-            "doc_id",
-            "toks",
-            F.posexplode(F.expr(f"sequence(0, {n_win})")).alias("win_id", "_"),
-        )
-        .select(
-            "doc_id",
-            F.col("win_id").cast("bigint").alias("win_id"),
-            F.expr(f"size({win})").cast("bigint").alias("n_win_tokens"),
-            F.md5(F.expr(f"array_join({win}, ' ')")).alias("chunk_md5"),
-        )
+    return out.select(
+        "doc_id",
+        "win_id",
+        "n_win_tokens",
+        F.md5("chunk").alias("chunk_md5"),
     )
 
 

@@ -125,3 +125,36 @@ def test_sample_weighted_statement(engine, spark):
     ).createOrReplaceTempView("documents_inv")
     other = engine.execute("SAMPLE documents_inv TOP 100 WEIGHT BY inv_w")
     assert {r.doc_id for r in out.collect()} != {r.doc_id for r in other.collect()}
+
+
+def test_redact_statement_masks_and_counts(spark, smoke_dir, engine):
+    from declarativeml_spark.sources.catalog import load_table
+
+    load_table(spark, smoke_dir, "documents").createOrReplaceTempView("documents")
+    out = engine.execute("REDACT documents ON text")
+    assert set(["n_email", "n_ipv4", "n_ssn", "n_phone", "text"]) <= set(out.columns)
+    # word-salad corpus has no PII: redaction is the identity there
+    assert out.filter(
+        (out.n_email > 0) | (out.n_ipv4 > 0) | (out.n_ssn > 0) | (out.n_phone > 0)
+    ).count() == 0
+
+
+def test_chunk_statement_matches_operator(spark, smoke_dir, engine):
+    from declarativeml_spark.operators.corpus import chunk_windows
+    from declarativeml_spark.sources.catalog import load_table
+
+    docs = load_table(spark, smoke_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    out = engine.execute("CHUNK documents INTO 32 TOKEN WINDOWS STRIDE 24")
+    direct = chunk_windows(docs, win=32, stride=24)
+    assert out.exceptAll(direct).count() == 0
+    assert direct.exceptAll(out).count() == 0
+
+
+def test_semantic_dedup_statement(spark, smoke_dir, engine):
+    from declarativeml_spark.sources.catalog import load_table
+
+    load_table(spark, smoke_dir, "embeddings").createOrReplaceTempView("embeddings")
+    out = engine.execute("DEDUPLICATE embeddings USING semantic THRESHOLD 0.35")
+    assert set(out.columns) == {"vec_id", "cell", "kept"}
+    assert out.count() > 0
