@@ -31,6 +31,7 @@ _CHECK_FIRST = (
     # new in round 3 — never driver-checked
     "text_pii_redaction",
     "semdedup_embedding_prune",
+    "corpus_cross_source_overlap",
     "text_chunk_windows",
     "text_unigram_surprisal",
     "corpus_source_datasheet",

@@ -303,3 +303,51 @@ def corpus_source_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+def _xsource_oracle() -> str:
+    from declarativeml_spark.operators.corpus import fp_sample_duck
+
+    return f"""
+    WITH d AS (SELECT source, {fp_sample_duck('text')} AS hs FROM documents),
+    g AS (SELECT DISTINCT source, unnest(hs) AS h FROM d)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """
+
+
+@query("corpus_cross_source_overlap", oracle=_xsource_oracle())
+def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many winnowed word-4-gram fingerprints they share — the audit a
+    curator runs before weighting sources independently (mirrors and
+    scraped copies show up as heavy off-diagonal cells; double-counted
+    content breaks mixing-ratio math).
+
+    Scale: per-source DISTINCT fingerprints first (so a gram repeated
+    within one source costs one row), then a self-equi-join on the
+    32-byte hash — text never moves. A gram shared by s sources emits
+    C(s,2) pairs, bounding worst-case fan-out by n_sources², not
+    corpus size; the winnow sample (same one the decontamination
+    chain uses) halves the join volume up front.
+    """
+    from declarativeml_spark.operators.corpus import fp_sample_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "source", F.explode(F.expr(fp_sample_spark("text"))).alias("h")
+        )
+        .distinct()
+    )
+    a = g.select(F.col("source").alias("source_a"), "h")
+    b = g.select(F.col("source").alias("source_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("shared_grams"))
+    )

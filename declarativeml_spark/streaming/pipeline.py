@@ -149,3 +149,28 @@ def streaming_decontam(
             ).alias("contaminated"),
         )
     )
+
+
+def streaming_redact(
+    stream: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous PII scrubbing: mask emails / IPv4s / SSNs /
+    phone-shaped runs in each arriving document and append per-class
+    match counts — the ingest-time twin of
+    ``operators/pii.py::pii_redact`` (same patterns, asserted equal
+    to the batch scrubber in tests).
+
+    Stateless per-row regexes: append mode, no watermark, no
+    streaming state — at sustained ingest this is a map-only stage
+    that scrubs before anything else persists the raw text (the
+    ordering a privacy pipeline actually requires: redact at the
+    edge, not after the data lake already has copies).
+    """
+    from declarativeml_spark.operators.pii import pii_counts, pii_redact
+
+    return stream.select(
+        *[c for c in stream.columns if c != text_col],
+        *pii_counts(text_col),
+        pii_redact(text_col).alias(text_col),
+    )

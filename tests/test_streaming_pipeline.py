@@ -213,3 +213,37 @@ def test_streaming_pack_restart_from_checkpoint(spark, smoke_dir, tmp_path):
     got = sorted(tuple(r) for r in streamed.collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
+
+
+def test_streaming_redact_matches_batch(spark, smoke_dir, tmp_path):
+    """The streamed scrub must equal the batch REDACT result on the
+    same corpus (the batch form is the oracle-checked machinery)."""
+    from declarativeml_spark.operators.pii import pii_counts, pii_redact
+    from declarativeml_spark.streaming.pipeline import streaming_redact
+
+    docs = load_table(spark, smoke_dir, "documents").limit(100)
+    src = str(tmp_path / "redact_src")
+    docs.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_redact(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("redact_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = spark.sql(
+        "SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone, text FROM redact_sink"
+    )
+    batch = spark.read.parquet(src).select(
+        "doc_id", *pii_counts("text"), pii_redact("text").alias("text")
+    )
+    got = sorted(tuple(r) for r in streamed.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
