@@ -32,6 +32,8 @@ _CHECK_FIRST = (
     "text_pii_redaction",
     "semdedup_embedding_prune",
     "corpus_cross_source_overlap",
+    "events_conversion_funnel",
+    "events_weekly_retention",
     "text_chunk_windows",
     "text_unigram_surprisal",
     "corpus_source_datasheet",

@@ -1,0 +1,158 @@
+"""Sixth relational batch: event-sequence analytics — conversion
+funnels and cohort retention over the events table.
+
+The reference delegates all relational work to its SQL engine
+(reference: dsl/parser.py:405-410, 633-673 capture FROM fragments
+verbatim), so sequence analytics are [ABSENT]-category surface our
+engine supplies natively (SURVEY §2.5/§2.6 "free from Spark SQL").
+Both queries follow the registry.py float conventions and the
+events-table ts canonicalization in sources/catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from declarativeml_spark.operators import textops as T
+from declarativeml_spark.queries.registry import query, sround
+from declarativeml_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "events_conversion_funnel",
+    oracle=f"""
+    WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, MIN(e.ts) AS v_ts, MIN(s.s_ts) AS s_ts
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'view' AND e.ts > s.s_ts
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS p_ts, MIN(v.v_ts) AS v_ts
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > v.v_ts
+          GROUP BY e.user_id)
+    SELECT 'signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+           0.0 AS avg_gap_s FROM s
+    UNION ALL
+    SELECT 'view_after_signup', CAST(COUNT(*) AS BIGINT),
+           {T.stable_round(
+               'CAST(SUM(CAST((epoch_us(v_ts) - epoch_us(s_ts)) / 1000000.0'
+               ' AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)', 4
+           )} FROM v
+    UNION ALL
+    SELECT 'purchase_after_view', CAST(COUNT(*) AS BIGINT),
+           {T.stable_round(
+               'CAST(SUM(CAST((epoch_us(p_ts) - epoch_us(v_ts)) / 1000000.0'
+               ' AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)', 4
+           )} FROM p
+    """,
+)
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with strict event ordering: users who signed
+    up → first view strictly after the signup → first purchase
+    strictly after that view, with the average stage-to-stage gap.
+
+    The sequence-analytics shape (MATCH_RECOGNIZE-lite) every
+    product-analytics workload needs; ordering is enforced by
+    timestamps, not mere event co-occurrence.
+
+    Scale: three per-user min-timestamp aggregations, each shuffling
+    only (user_id, ts) pairs; the stage frames are user-cardinality
+    (tiny vs. the event log) and broadcast into the next stage's
+    filter — the event log itself is scanned, never self-joined.
+    Gaps are exact integer microseconds before one decimal average.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"), F.min("s_ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(v.select("user_id", "v_ts")), "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"), F.min("v_ts").alias("v_ts"))
+    )
+
+    def _stage(df: DataFrame, name: str, a: str, b: str) -> DataFrame:
+        # ts is TIMESTAMP_NTZ after catalog canonicalization; the
+        # session is pinned UTC, so the cast to TIMESTAMP is identity
+        gap = (
+            (
+                F.unix_micros(F.col(a).cast("timestamp"))
+                - F.unix_micros(F.col(b).cast("timestamp"))
+            )
+            / F.lit(1000000.0)
+        ).cast("decimal(38,6)")
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").cast("bigint").alias("n_users"),
+            sround(F.sum(gap).cast("double") / F.count("*"), 4).alias("avg_gap_s"),
+        )
+
+    base = s.agg(
+        F.lit("signup").alias("stage"),
+        F.count("*").cast("bigint").alias("n_users"),
+        F.lit(0.0).alias("avg_gap_s"),
+    )
+    return base.unionAll(_stage(v, "view_after_signup", "v_ts", "s_ts")).unionAll(
+        _stage(p, "purchase_after_view", "p_ts", "v_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "events_weekly_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day
+               FROM events GROUP BY user_id)
+    SELECT CAST(FLOOR(datediff('day', DATE '2024-01-01', f.first_day) / 7.0)
+                AS BIGINT) AS cohort_week,
+           CAST(FLOOR(datediff('day', f.first_day, CAST(e.ts AS DATE)) / 7.0)
+                AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week,
+    counted distinct in each subsequent week offset — the triangle
+    chart behind every retention dashboard.
+
+    Scale: one per-user min aggregation builds the cohort dimension
+    (user-cardinality — broadcast), then a single pass over the event
+    log computes (cohort_week, week_offset) per event and a distinct
+    count per cell. The distinct shuffles (cell, user_id) pairs; the
+    cell space is weeks², which is tiny forever. All integer date
+    math — engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
+    joined = ev.join(F.broadcast(f), "user_id")
+    cohort = F.floor(
+        F.datediff(F.col("first_day"), F.lit("2024-01-01").cast("date")) / 7.0
+    ).cast("bigint")
+    offset = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.col("first_day")) / 7.0
+    ).cast("bigint")
+    return (
+        joined.select(
+            cohort.alias("cohort_week"),
+            offset.alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
