@@ -95,7 +95,14 @@ def test_io_roundtrips(spark, smoke_dir, tmp_path):
     assert read_orc(spark, orc_path).count() == 25
     back = spark.read.parquet(pq_path)
     assert back.count() == 25
-    # partition pruning: filter on the partition column reads 1 dir
+    # partition pruning: filter on the partition column reads 1 dir —
+    # the scan must carry the predicate as a PartitionFilter (pruned
+    # at planning), not a post-scan Filter
     pruned = back.filter(F.col("n_regionkey") == 2)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "n_regionkey" in pf.group(1), plan
     assert pruned.count() == 5
