@@ -141,3 +141,70 @@ def test_semdedup_threshold_one_keeps_everything(spark, smoke_dir):
     emb = load_table(spark, smoke_dir, "embeddings")
     out = semdedup(emb, threshold=1.0000001)
     assert out.filter(~F.col("kept")).count() == 0
+
+
+def test_pii_redaction_is_idempotent(spark):
+    # scrubbing already-scrubbed text must be a no-op: replacement
+    # tokens must not themselves match any PII pattern
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = st.lists(
+        st.sampled_from(
+            [
+                "bob@x.io",
+                "10.0.0.1",
+                "123-45-6789",
+                "+1 415 555 0199",
+                "plain",
+                "word",
+                "a.b",
+                "4111 1111 1111 1111",
+            ]
+        ),
+        min_size=1,
+        max_size=8,
+    ).map(" ".join)
+
+    @given(texts)
+    @settings(max_examples=20, deadline=None)
+    def check(text):
+        df = spark.createDataFrame([(text,)], "text string")
+        once = df.select(pii_redact("text").alias("text"))
+        twice = once.select(pii_redact("text").alias("text"))
+        assert once.collect()[0].text == twice.collect()[0].text
+
+    check()
+
+
+def test_chunk_windows_invariants_random(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from declarativeml_spark.operators.corpus import chunk_windows
+
+    @given(
+        n_tokens=st.integers(min_value=1, max_value=200),
+        win=st.integers(min_value=2, max_value=64),
+        data=st.data(),
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(n_tokens, win, data):
+        stride = data.draw(st.integers(min_value=1, max_value=win))
+        text = " ".join(f"t{i}" for i in range(n_tokens))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_windows(df, win=win, stride=stride).collect(),
+            key=lambda r: r.win_id,
+        )
+        # window ids are dense from 0; every non-final window is full;
+        # stride<=win means every token appears in some window
+        assert [r.win_id for r in rows] == list(range(len(rows)))
+        assert all(r.n_win_tokens == win for r in rows[:-1])
+        covered = set()
+        for r in rows:
+            start = r.win_id * stride
+            covered.update(range(start, start + r.n_win_tokens))
+        assert covered == set(range(n_tokens))
+
+    check()
