@@ -28,6 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # its budget on rows not yet (or not yet successfully) checked, not on
 # re-confirming long-green ones.
 _CHECK_FIRST = (
+    # newest (round-3 late batch) — never driver-checked
+    "embedding_quantize_int8",
+    "token_vocab_coverage",
+    "dedup_incremental_delta",
+    "events_minute_gapfill",
+    "multimodal_frame_sample",
     # new in round 3 — never driver-checked
     "text_pii_redaction",
     "semdedup_embedding_prune",

@@ -140,9 +140,59 @@ def resize_image(
     raise NotImplementedError("fake codec has no pixel geometry to resize")
 
 
+FRAME_BYTES = 16  # fake codec: one "frame" = 16 consecutive payload bytes
+
+
 def sample_frames(
-    df: DataFrame, payload_col: str = "payload", every_n: int = 30, codec: str = "real"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_n: int = 4,
+    codec: str = "fake",
+    frame_bytes: int = FRAME_BYTES,
 ) -> DataFrame:
-    """Video frame-sampling stub — requires libav (not in container)."""
+    """Sample every ``every_n``-th frame of each video payload.
+
+    Fake codec: the payload is treated as a stream of fixed
+    ``frame_bytes``-byte frames (a real decoder would use container
+    timestamps); sampled frames come back as (media_id, frame_no,
+    frame) rows. A real codec (libav) is not available here — the
+    distributed shape (Arrow batches in, exploded frame rows out,
+    output fan-out ≈ payload_bytes / (frame_bytes * every_n)) is the
+    part this implementation makes real and testable.
+
+    Scale: mapInPandas keeps whole payloads executor-local — no
+    shuffle; frame rows are emitted where the blob already lives, so
+    a downstream per-frame feature step chains map-to-map.
+    """
     _require_codec(codec, "sample_frames")
-    raise NotImplementedError("fake codec has no frames to sample")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_no", T.LongType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, frames = [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                if blob is None:
+                    continue
+                n_frames = len(blob) // frame_bytes
+                for f in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    nos.append(f)
+                    frames.append(bytes(blob[f * frame_bytes : (f + 1) * frame_bytes]))
+            yield pd.DataFrame(
+                {
+                    # explicit dtypes: an empty batch would otherwise
+                    # infer object columns Arrow can't map to long
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_no": pd.array(nos, dtype="int64"),
+                    "frame": pd.Series(frames, dtype=object),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)

@@ -1,0 +1,520 @@
+"""Training-data pipeline operators, part 4: embedding quantization,
+vocabulary coverage, incremental (snapshot-delta) dedup, time-series
+gap-fill, and multimodal frame sampling.
+
+Round-3 additions to the corpus-pipeline surface:
+
+* int8 scalar quantization of the embedding column (the storage /
+  ANN-speed lever every vector pipeline pulls before indexing);
+* tokenizer vocabulary coverage (how many top tokens cover X% of the
+  corpus token mass — the curve a tokenizer budget decision reads),
+  built on the two-phase distributed cumulative sum in
+  ``operators/ordered.py`` instead of a single-partition window;
+* incremental dedup of a new document batch against the existing
+  corpus (the production shape: the corpus is a static snapshot, the
+  delta is small, nothing re-pairs old-vs-old);
+* minute-grid gap-fill with forward fill over the events stream (the
+  hypertable/continuous-aggregate counterpart of events_hourly_stats);
+* video-style frame sampling through the multimodal Arrow path
+  (fake codec — frame slicing is real, the pixel decode is the
+  documented stub).
+
+Every query is hash-checked against a DuckDB oracle; float handling
+follows registry.py (per-row IEEE + stable_round, DECIMAL
+aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from declarativeml_spark.operators import textops as T
+from declarativeml_spark.operators.caching import track_persist
+from declarativeml_spark.queries.registry import query, sql_sround, sround
+from declarativeml_spark.sources.catalog import load_table
+
+_TOKS_S = T.TOKENS_SPARK.format(text="text")
+_TOKS_D = T.TOKENS_DUCK.format(text="text")
+_SHINGLES_S = T.SHINGLES_SPARK.format(toks="toks")
+_SHINGLES_D = T.SHINGLES_DUCK.format(toks="toks")
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization: per-dimension global [min, max] → q in
+# 0..255 → md5 of the code string + reconstruction MSE per vector.
+_QF = "least(255, greatest(0, CAST(floor(({v} - {mn}) / ({mx} - {mn}) * 255.0 + 0.5) AS BIGINT)))"
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY dim),
+    q AS (
+        SELECT ex.vec_id, ex.dim, ex.v, mm.mn, mm.mx,
+               CASE WHEN mm.mx > mm.mn
+                    THEN {_QF.format(v='ex.v', mn='mm.mn', mx='mm.mx')}
+                    ELSE 0 END AS code
+        FROM ex JOIN mm ON ex.dim = mm.dim
+    ),
+    e AS (
+        SELECT vec_id, dim, code,
+               {sql_sround('(v - (mn + code / 255.0 * (mx - mn)))'
+                           ' * (v - (mn + code / 255.0 * (mx - mn)))', 12)} AS se
+        FROM q
+    )
+    SELECT vec_id,
+           md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim)) AS q_md5,
+           {sql_sround(
+               'CAST(SUM(CAST(se AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)', 10
+           )} AS mse
+    FROM e GROUP BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column: per-dimension
+    global [min, max] ranges, each component mapped to an 8-bit code,
+    with per-vector reconstruction MSE — 4x storage cut (and the
+    precursor to PQ / IVF-PQ indexing) for the similarity-search ops.
+
+    Scale: pass 1 is a dim-keyed partial agg (map-side combined, the
+    shuffle carries n_dims × n_partitions tiny rows); the dim→range
+    table is dimensionality-sized — broadcast — so pass 2 never
+    shuffles the vectors themselves. The per-vector regroup shuffles
+    (vec_id, dim, code) triples; at 100 TB you'd fuse pass 2 into a
+    zip_with over a broadcast range array to skip that regroup
+    entirely — kept exploded here so the quantization error math
+    stays hash-checkable per element.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "vf")
+    ).select("vec_id", "dim", F.col("vf").cast("double").alias("v"))
+    mm = ex.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    q = ex.join(F.broadcast(mm), "dim").select(
+        "vec_id",
+        "dim",
+        "v",
+        "mn",
+        "mx",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.expr(_QF.format(v="v", mn="mn", mx="mx")),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("code"),
+    )
+    recon = F.col("mn") + F.col("code") / F.lit(255.0) * (F.col("mx") - F.col("mn"))
+    e = q.select(
+        "vec_id",
+        "dim",
+        "code",
+        sround((F.col("v") - recon) * (F.col("v") - recon), 12).alias("se"),
+    )
+    codes = F.array_sort(F.collect_list(F.struct("dim", "code")))
+    return e.groupBy("vec_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(codes, lambda x: x["code"].cast("string")), ","
+            )
+        ).alias("q_md5"),
+        sround(
+            F.sum(F.col("se").cast("decimal(38,12)")).cast("double") / F.count("*"),
+            10,
+        ).alias("mse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+_COVERAGE_THRESHOLDS = (0.5, 0.75, 0.9, 0.99)
+
+
+@query(
+    "token_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS_D}) AS t FROM documents),
+    freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT SUM(c) AS total FROM freq),
+    cum AS (
+        SELECT t, c,
+               CAST(SUM(c) OVER (ORDER BY c DESC, t ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum,
+               ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rnk
+        FROM freq
+    ),
+    thr AS (SELECT * FROM (VALUES {', '.join(f'({x})' for x in _COVERAGE_THRESHOLDS)})
+            v(threshold))
+    SELECT threshold,
+           CAST(MIN(rnk) AS BIGINT) AS vocab_tokens,
+           {sql_sround('CAST(arg_min(cum, rnk) AS DOUBLE) / MAX(total)', 6)}
+             AS covered_mass
+    FROM cum CROSS JOIN tot CROSS JOIN thr
+    WHERE cum >= threshold * total
+    GROUP BY threshold
+    """,
+)
+def token_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the number of most-frequent tokens
+    needed to cover 50/75/90/99% of the corpus token mass — the
+    readout behind a tokenizer vocab-size budget.
+
+    Scale: the cumulative sum over the frequency-ranked vocabulary is
+    the textbook single-partition-window trap (a web-scale vocab is
+    millions of rows). This uses operators/ordered.py::global_cumsum —
+    range-repartition on (count DESC, token), per-partition totals
+    (one row per partition) turned into broadcast prefix offsets, and
+    a within-partition window — so no task ever sees more than its
+    range slice. The driver-side collect is bounded by the partition
+    count, never by vocab or corpus size.
+    """
+    from declarativeml_spark.operators.ordered import global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.expr(_TOKS_S)).alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("c"))
+    cum = global_cumsum(
+        freq,
+        [F.col("c").desc(), F.col("t").asc()],
+        "c",
+        out_col="cum",
+        rank_col="rnk",
+        num_partitions=8,
+    )
+    tot = freq.agg(F.sum("c").alias("total"))
+    thr = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(x,) for x in _COVERAGE_THRESHOLDS], "threshold double"
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(thr)
+        .filter(F.col("cum") >= F.col("threshold") * F.col("total"))
+        .groupBy("threshold")
+        .agg(
+            F.min("rnk").cast("bigint").alias("vocab_tokens"),
+            sround(
+                F.min_by("cum", "rnk").cast("double") / F.max("total"), 6
+            ).alias("covered_mass"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch = doc_id % 8 == 0 (a deterministic
+# stand-in for "today's crawl"), corpus = everything else.
+_N_MINHASH = 8
+_BANDS = 4
+_DELTA_NEW = "(doc_id % 8 = 0)"
+
+
+def _delta_oracle() -> str:
+    mh_select = ", ".join(
+        f"{T.minhash_duck('shingles', k)} AS mh{k}" for k in range(_N_MINHASH)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, is_new, {b} AS band_idx,"
+        f" concat(mh{2 * b}, mh{2 * b + 1}) AS band_key FROM sigs"
+        for b in range(_BANDS)
+    )
+    fp = T.FINGERPRINT_DUCK.format(text="text")
+    jac = sql_sround(
+        "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+        " / (len(sa.shingles) + len(sb.shingles)"
+        " - len(list_intersect(sa.shingles, sb.shingles)))"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, text, {_DELTA_NEW} AS is_new, {_TOKS_D} AS toks
+               FROM documents),
+    f AS (SELECT doc_id, is_new, {fp} AS fp FROM d),
+    ex AS (
+        SELECT n.doc_id, MIN(o.doc_id) AS match_id
+        FROM f n JOIN f o ON n.fp = o.fp AND NOT o.is_new
+        WHERE n.is_new GROUP BY n.doc_id
+    ),
+    sh AS (SELECT doc_id, is_new, {_SHINGLES_D} AS shingles FROM d),
+    sigs AS (SELECT doc_id, is_new, shingles, {mh_select} FROM sh),
+    bands AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bands n JOIN bands o
+          ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+         AND NOT o.is_new
+        WHERE n.is_new
+    ),
+    nr AS (
+        SELECT c.new_id AS doc_id, MIN(c.old_id) AS match_id
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.new_id
+        JOIN sh sb ON sb.doc_id = c.old_id
+        WHERE {jac} >= 0.5
+        GROUP BY c.new_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'novel' END AS status,
+           CAST(COALESCE(ex.match_id, nr.match_id, -1) AS BIGINT) AS match_id
+    FROM d
+    LEFT JOIN ex ON ex.doc_id = d.doc_id
+    LEFT JOIN nr ON nr.doc_id = d.doc_id
+    WHERE d.is_new
+    """
+
+
+@query("dedup_incremental_delta", oracle=_delta_oracle())
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: classify each document of a new batch
+    against the existing corpus — ``exact_dup`` (fingerprint already
+    present), ``near_dup`` (minhash-band candidate verified at
+    Jaccard ≥ 0.5), or ``novel`` — with the smallest matching corpus
+    id. The production dedup shape: the corpus snapshot is write-once,
+    only new-vs-old pairs are generated, old-vs-old never re-pairs.
+
+    Scale: the exact leg shuffles 16-byte fingerprints; the near leg
+    joins new-side bands (delta-sized) against corpus bands — at
+    100 TB the corpus band table is a bucketed signature table built
+    once and re-read per batch, so the recurring cost is proportional
+    to the delta, not the corpus. Shingle verify touches only the
+    candidate set.
+    """
+    from declarativeml_spark.operators.skew import spread_partitions
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_new", F.expr(_DELTA_NEW)
+    )
+    fp = docs.select(
+        "doc_id", "is_new", F.expr(T.FINGERPRINT_SPARK.format(text="text")).alias("fp")
+    )
+    ex = (
+        fp.filter("is_new")
+        .alias("n")
+        .join(fp.filter("NOT is_new").alias("o"), F.col("n.fp") == F.col("o.fp"))
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.min("o.doc_id").alias("ex_match"))
+    )
+
+    # signatures once for all docs (cache boundary between tokenize
+    # and shingle — see pipeline.py::dedup_minhash_lsh)
+    sh = (
+        spread_partitions(docs.select("doc_id", "is_new", "text"))
+        .select("doc_id", "is_new", F.expr(_TOKS_S).alias("toks"))
+        .transform(track_persist)
+        .select("doc_id", "is_new", F.expr(_SHINGLES_S).alias("shingles"))
+        .select(
+            "doc_id",
+            "is_new",
+            "shingles",
+            *[
+                F.expr(T.minhash_md5_group_spark("shingles", g)).alias(f"mhg{g}")
+                for g in range((_N_MINHASH + 3) // 4)
+            ],
+        )
+        .transform(track_persist)
+    )
+    sigs = sh.select(
+        "doc_id",
+        "is_new",
+        *[
+            F.expr(T.minhash_slice_spark(f"mhg{k // 4}", k % 4)).alias(f"mh{k}")
+            for k in range(_N_MINHASH)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        "is_new",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    cand = (
+        bands.filter("is_new")
+        .alias("n")
+        .join(
+            bands.filter("NOT is_new").alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = sround(inter.cast("double") / (F.size("sa") + F.size("sb") - inter))
+    nr = (
+        cand.join(sa, "new_id")
+        .join(sb, "old_id")
+        .filter(jac >= 0.5)
+        .groupBy(F.col("new_id").alias("doc_id"))
+        .agg(F.min("old_id").alias("nr_match"))
+    )
+    return (
+        docs.filter("is_new")
+        .select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(nr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("ex_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("nr_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce("ex_match", "nr_match", F.lit(-1))
+            .cast("bigint")
+            .alias("match_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "events_minute_gapfill",
+    oracle=f"""
+    WITH p AS (SELECT date_trunc('minute', ts) AS minute, value
+               FROM events WHERE event_type = 'purchase'),
+    m AS (SELECT minute, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                   AS avg_value
+          FROM p GROUP BY minute),
+    b AS (SELECT MIN(minute) AS lo, MAX(minute) AS hi FROM p),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+              FROM b),
+    g AS (SELECT s.minute, COALESCE(m.n, 0) AS n_events, m.avg_value
+          FROM spine s LEFT JOIN m ON s.minute = m.minute)
+    SELECT minute,
+           CAST(n_events AS BIGINT) AS n_events,
+           {sql_sround('last_value(avg_value IGNORE NULLS) OVER'
+                       ' (ORDER BY minute ROWS UNBOUNDED PRECEDING)', 6)}
+             AS filled_value,
+           avg_value IS NULL AS is_gap
+    FROM g
+    """,
+)
+def events_minute_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute-grid gap-fill over the purchase stream: a dense minute
+    spine between the first and last purchase, per-minute average
+    value, and forward-filled values across gap minutes — the
+    hypertable / continuous-aggregate query shape (`time_bucket` +
+    `locf`).
+
+    Scale: the spine is generated from one global min/max row
+    (sequence + explode — no shuffle), and its size is bounded by the
+    time range, not the event volume. The forward fill deliberately
+    avoids one global ordered window: fill within (day) partitions,
+    then carry the last known value across days via a day-level
+    window whose partition count is the calendar size (bounded
+    constant), composed with coalesce. Per-minute aggregation is the
+    only data-sized shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    per_min = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double") / F.count("*")
+        ).alias("avg_value"),
+    )
+    bounds = ev.agg(
+        F.min(F.date_trunc("minute", "ts")).alias("lo"),
+        F.max(F.date_trunc("minute", "ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 minute"))).alias("minute")
+    )
+    g = spine.join(per_min, "minute", "left").withColumn(
+        "day", F.to_date("minute")
+    )
+
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fill_day = F.last("avg_value", ignorenulls=True).over(w_day)
+
+    # last known value per day (non-null minutes only), then carry the
+    # most recent earlier day's value with a day-granularity window —
+    # ~30 rows here, calendar-bounded always.
+    day_last = (
+        g.filter(F.col("avg_value").isNotNull())
+        .groupBy("day")
+        .agg(F.max_by("avg_value", "minute").alias("day_last"))
+    )
+    days = g.select("day").distinct().join(day_last, "day", "left")
+    # constant partition key: this window is single-partition BY
+    # DESIGN (calendar-bounded input, ~30 rows) — the explicit lit(0)
+    # documents that and keeps WindowExec's all-data-to-one-partition
+    # warning out of logs where it would flag a real problem.
+    w_days = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = days.select(
+        "day", F.last("day_last", ignorenulls=True).over(w_days).alias("carry")
+    )
+
+    return (
+        g.join(F.broadcast(carry), "day")
+        .select(
+            "minute",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            sround(F.coalesce(fill_day, F.col("carry")), 6).alias("filled_value"),
+            F.col("avg_value").isNull().alias("is_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+_FRAME_EVERY_N = 4
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH f AS (SELECT doc_id AS media_id, text,
+                      CAST(length(text) // 16 AS BIGINT) AS nf
+               FROM documents),
+    s AS (SELECT media_id, text,
+                 unnest(generate_series(0, nf - 1, {_FRAME_EVERY_N})) AS frame_no
+          FROM f WHERE nf > 0)
+    SELECT media_id,
+           CAST(frame_no AS BIGINT) AS frame_no,
+           md5(substr(text, CAST(frame_no * 16 + 1 AS INT), 16)) AS frame_md5
+    FROM s
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the multimodal binary path: every 4th
+    16-byte frame of each payload, as (media_id, frame_no, frame md5)
+    rows — the video keyframe-extraction plumbing with the fake codec
+    standing in for libav (the payload is the document's UTF-8 bytes,
+    so the oracle can slice the same frames in SQL; the text is
+    ASCII, making byte and character offsets coincide).
+
+    Scale: mapInPandas emits frames where the blob lives — no
+    shuffle, output fan-out bounded by payload_bytes/(16·4). A real
+    pipeline chains a per-frame feature step onto the same map stage.
+    """
+    from declarativeml_spark.operators.multimodal import attach_fake_media, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    frames = sample_frames(media, every_n=_FRAME_EVERY_N, codec="fake")
+    return frames.select(
+        "media_id", "frame_no", F.md5("frame").alias("frame_md5")
+    )

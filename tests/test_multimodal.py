@@ -39,4 +39,4 @@ def test_real_codecs_are_loud_stubs(spark, smoke_dir):
     with pytest.raises(NotImplementedError):
         resize_image(media)
     with pytest.raises(NotImplementedError):
-        sample_frames(media)
+        sample_frames(media, codec="h264")
