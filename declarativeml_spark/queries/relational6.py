@@ -156,3 +156,65 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+_SESSION_GAP = "2 hours"
+
+
+@query(
+    "events_user_sessions",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM x
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity sessions via Spark's native ``session_window``
+    (events merge while gaps stay under 2 h; the session closes 2 h
+    after its last event) — the batch twin of
+    ``streaming/pipeline.py::session_window_stats``, and the built-in
+    complement of the custom ``events_sessionize`` path sequencer.
+
+    The oracle derives identical sessions with the gaps-and-islands
+    idiom (lag + cumulative new-session flags), pinning Spark's
+    [start, end) merge semantics: a gap of EXACTLY the threshold
+    starts a new session on both engines.
+
+    Scale: session_window aggregation shuffles (user_id, ts, value)
+    once; merging is per-key in the agg — no global sort, state
+    bounded by open sessions per key. The gaps-and-islands form the
+    oracle uses would need a per-user ordered window at scale — same
+    shuffle, but the window materializes every event per user in one
+    task, which is why the session_window form is the 100 TB choice.
+    """
+    from declarativeml_spark.streaming.pipeline import session_window_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_window_stats(
+        ev,
+        ts_col="ts",
+        key_col="user_id",
+        value_col="value",
+        gap=_SESSION_GAP,
+        streaming=False,
+    )

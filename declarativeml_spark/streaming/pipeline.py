@@ -174,3 +174,110 @@ def streaming_redact(
         *pii_counts(text_col),
         pii_redact(text_col).alias(text_col),
     )
+
+
+def session_window_stats(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    streaming: bool = True,
+) -> DataFrame:
+    """Per-key session aggregation with Spark's native
+    ``session_window`` (dynamic-gap windows that close ``gap`` after
+    the last event) — the built-in complement to the custom
+    ``applyInPandasWithState`` sessionizer in ``stateful.py`` (which
+    exists for semantics session_window can't express: ordered
+    event-type paths within the session).
+
+    Works identically on a batch frame (``streaming=False``) so tests
+    assert stream == batch on the same rows.
+
+    Scale: state per OPEN session only — the watermark closes and
+    evicts sessions past the late horizon; the shuffle carries
+    (key, ts, value) and session merging happens inside the state
+    store, which is exactly how this survives a 100 TB/day event
+    firehose where a global sessionize-by-sort cannot.
+    """
+    df = _ensure_event_time(df, ts_col)
+    if streaming:
+        df = df.withWatermark(ts_col, watermark)
+    agg = df.groupBy(
+        F.session_window(F.col(ts_col), gap), F.col(key_col)
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+    return agg.select(
+        F.col(key_col),
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+        "value_sum",
+    )
+
+
+def stream_stream_attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    horizon: str = "30 minutes",
+    watermark: str = "30 minutes",
+    streaming: bool = True,
+) -> DataFrame:
+    """Watermarked stream-stream join: attribute each purchase to the
+    views by the same user within ``horizon`` before it (the
+    attribution shape of events_conversion_funnel, continuous).
+
+    Both sides carry watermarks and the join condition carries the
+    time-range bound — the two things Structured Streaming needs to
+    know when a buffered row can never match again and evict it.
+    Without the range condition the join state grows with the stream;
+    with it, state per side is bounded by watermark + horizon.
+
+    Works on batch frames (``streaming=False``) with identical
+    semantics, so tests assert stream == batch.
+
+    Scale: the shuffle is an equi-join on user_id; the range bound is
+    evaluated post-shuffle. Hot users (bots) are the skew risk —
+    AQE handles the batch twin, and for streams the standard fix is
+    salting the user key into (user, hash(ts) % k).
+    """
+    v = _ensure_event_time(views, ts_col).select(
+        F.col(user_col).alias("v_user"),
+        F.col(ts_col).alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = _ensure_event_time(purchases, ts_col).select(
+        F.col(user_col).alias("p_user"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if streaming:
+        v = v.withWatermark("view_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"interval {horizon}"))
+    )
+    return v.join(p, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_time"
+        ),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_time"),
+        "purchase_value",
+    )

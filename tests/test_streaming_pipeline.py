@@ -247,3 +247,86 @@ def test_streaming_redact_matches_batch(spark, smoke_dir, tmp_path):
     got = sorted(tuple(r) for r in streamed.collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
+
+
+def test_session_window_stream_matches_batch(spark, smoke_dir, tmp_path):
+    from declarativeml_spark.streaming.pipeline import session_window_stats
+
+    src = str(tmp_path / "sess_src")
+    load_table(spark, smoke_dir, "events").limit(800).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = session_window_stats(
+        stream, ts_col="ts", key_col="user_id", value_col="value", gap="2 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_sum)
+        for r in spark.sql("SELECT * FROM sess_sink").collect()
+    }
+
+    batch = session_window_stats(
+        spark.read.parquet(src),
+        ts_col="ts",
+        key_col="user_id",
+        value_col="value",
+        gap="2 hours",
+        streaming=False,
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_sum)
+        for r in batch.collect()
+    }
+    # append-mode emits only watermark-closed sessions; every emitted
+    # session must match its batch twin exactly, and most must emit
+    assert streamed <= want
+    assert len(streamed) >= len(want) * 0.5
+    assert len(want) > 10
+
+
+def test_stream_stream_join_matches_batch(spark, smoke_dir, tmp_path):
+    from declarativeml_spark.streaming.pipeline import stream_stream_attribution_join
+
+    ev = load_table(spark, smoke_dir, "events").limit(2000)
+    src_v = str(tmp_path / "views_src")
+    src_p = str(tmp_path / "purch_src")
+    ev.filter(F.col("event_type") == "view").write.parquet(src_v)
+    ev.filter(F.col("event_type") == "purchase").write.parquet(src_p)
+    vschema = spark.read.parquet(src_v).schema
+    pschema = spark.read.parquet(src_p).schema
+
+    out = stream_stream_attribution_join(
+        spark.readStream.schema(vschema).parquet(src_v),
+        spark.readStream.schema(pschema).parquet(src_p),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM attr_sink").collect()
+    }
+
+    batch = stream_stream_attribution_join(
+        spark.read.parquet(src_v),
+        spark.read.parquet(src_p),
+        streaming=False,
+    )
+    want = {(r.user_id, r.purchase_id, r.view_id) for r in batch.collect()}
+    assert streamed == want
+    assert len(want) > 0
