@@ -54,6 +54,46 @@ def fp_sample_duck(text: str) -> str:
     )
 
 
+# Token-array-input forms: building grams straight from text lets
+# CollapseProject inline the split() into every element_at inside the
+# gram lambda, and HOF projections evaluate INTERPRETED (no codegen →
+# no common-subexpression elimination), so the text re-splits 4x per
+# gram — quadratic per row (measured ~12s → ~1.7s at sf0.1 for the
+# cross-source overlap). Callers materialize a ``toks`` column behind
+# a cache boundary (track_persist) and derive grams from it.
+def grams4_from_toks_spark(toks: str) -> str:
+    return (
+        f"CASE WHEN size({toks}) < 4 THEN array(concat_ws(' ', {toks})) "
+        f"ELSE transform(sequence(1, size({toks}) - 3), "
+        f"i -> concat_ws(' ', element_at({toks}, i), element_at({toks}, i + 1),"
+        f" element_at({toks}, i + 2), element_at({toks}, i + 3))) END"
+    )
+
+
+def fp_sample_from_toks_spark(toks: str) -> str:
+    return (
+        f"array_distinct(filter(transform({grams4_from_toks_spark(toks)},"
+        " g -> md5(g)), h -> h < '8'))"
+    )
+
+
+def fingerprint_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, hs = winnow-sampled 4-gram fingerprints) with the
+    tokenize→gram cache boundary applied. The returned frame's
+    persisted ancestor is owned by the caller's tracking scope
+    (operators/caching.py), like every track_persist frame."""
+    from declarativeml_spark.operators.caching import track_persist
+    from declarativeml_spark.operators.textops import TOKENS_SPARK
+
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(TOKENS_SPARK.format(text=text_col)).alias("toks"),
+    ).transform(track_persist)
+    return toked.select(
+        "doc_id", F.expr(fp_sample_from_toks_spark("toks")).alias("hs")
+    )
+
+
 def benchmark_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -68,12 +108,18 @@ def benchmark_overlap(
     Scale: eval sets are MBs against a 100 TB corpus — the
     benchmark's distinct fingerprints BROADCAST, the corpus-side
     explode+join is map-side (corpus text never shuffles), and only
-    (doc_id, count) rows shuffle for the final aggregate.
+    (doc_id, count) rows shuffle for the final aggregate. The corpus
+    fingerprints derive through the tokenize→gram cache boundary
+    (``fingerprint_frame``), and the (doc_id, hs) frame is persisted
+    once because two plan branches (size + explode-join) read it.
     """
-    fp = fp_sample_spark(text_col)
-    corp = corpus.select(F.col(id_col).alias("doc_id"), F.expr(fp).alias("hs"))
+    from declarativeml_spark.operators.caching import track_persist
+
+    corp = fingerprint_frame(corpus, id_col, text_col).transform(track_persist)
     bench = (
-        benchmark.select(F.explode(F.expr(fp)).alias("h")).distinct()
+        benchmark.select(
+            F.explode(F.expr(fp_sample_spark(text_col))).alias("h")
+        ).distinct()
     )
     ex = corp.select("doc_id", F.explode("hs").alias("h"))
     ov = (

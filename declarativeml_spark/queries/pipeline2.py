@@ -898,21 +898,14 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = docs.select(
         "doc_id", "lang", "text", F.expr(_TOKS_S).alias("toks")
     ).transform(track_persist)
-    g4 = (
-        "CASE WHEN size(toks) < 4 THEN array(concat_ws(' ', toks)) "
-        "ELSE transform(sequence(1, size(toks) - 3), "
-        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
-        " element_at(toks, i + 2), element_at(toks, i + 3))) END"
-    )
+    from declarativeml_spark.operators.corpus import fp_sample_from_toks_spark
+
     d = d1.select(
         "doc_id",
         "lang",
         "text",
         "toks",
-        F.expr(
-            f"array_distinct(filter(transform({g4}, g -> md5(g)),"
-            " h -> h < '8'))"
-        ).alias("hs"),
+        F.expr(fp_sample_from_toks_spark("toks")).alias("hs"),
     ).transform(track_persist)
     bench = (
         d.filter(F.col("doc_id") % 23 == 5)

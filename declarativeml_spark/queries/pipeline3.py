@@ -327,27 +327,35 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     scraped copies show up as heavy off-diagonal cells; double-counted
     content breaks mixing-ratio math).
 
-    Scale: per-source DISTINCT fingerprints first (so a gram repeated
-    within one source costs one row), then a self-equi-join on the
-    32-byte hash — text never moves. A gram shared by s sources emits
-    C(s,2) pairs, bounding worst-case fan-out by n_sources², not
-    corpus size; the winnow sample (same one the decontamination
-    chain uses) halves the join volume up front.
+    Scale: ONE pass — explode winnowed fingerprints, groupBy(h) with
+    collect_set(source) (set semantics dedup within-source repeats,
+    partials combine map-side), then emit each gram's C(s,2) source
+    pairs from the sorted set and count per pair. Compared to the
+    self-equi-join form this computes the rolling-hash sample once
+    instead of once per join side, and shuffles the gram table once
+    instead of three times; a gram's fan-out is bounded by
+    n_sources² (handfuls), never corpus size. The source-set arrays
+    per gram are n_sources-bounded too, so the agg state stays tiny.
     """
-    from declarativeml_spark.operators.corpus import fp_sample_spark
+    from declarativeml_spark.operators.corpus import fingerprint_frame
 
     docs = load_table(spark, sf_dir, "documents")
-    g = (
-        docs.select(
-            "source", F.explode(F.expr(fp_sample_spark("text"))).alias("h")
-        )
-        .distinct()
+    by_gram = (
+        fingerprint_frame(docs, id_col="source", text_col="text")
+        .select(F.col("doc_id").alias("source"), F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
     )
-    a = g.select(F.col("source").alias("source_a"), "h")
-    b = g.select(F.col("source").alias("source_b"), "h")
-    return (
-        a.join(b, "h")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").cast("bigint").alias("shared_grams"))
+    pairs = by_gram.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (a, i) ->"
+                " transform(slice(ss, i + 2, size(ss) - i - 1),"
+                " b -> struct(a AS source_a, b AS source_b))))"
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("shared_grams")
     )
