@@ -465,3 +465,52 @@ class ChunkWindows:
                 raise ValueError(f"{what} must be a positive integer")
         if self.stride > self.win:
             raise ValueError("STRIDE must be <= the window size")
+
+
+@dataclass
+class Sessionize:
+    """IR for ``SESSIONIZE <source> BY <key> [GAP n MINUTES|HOURS]
+    [ON ts_col] [VALUE val_col]`` — per-key session aggregation in
+    the reference's grammar family (SURVEY.md §2.9; beyond-parity).
+
+    Merges a key's events into sessions while gaps stay under the
+    threshold (native ``session_window``; see streaming/pipeline.py::
+    session_window_stats; queries/relational6.py::events_user_sessions
+    is the oracle-checked twin).
+    """
+
+    source: str
+    key: str = "user_id"
+    gap_value: int = 30
+    gap_unit: str = "MINUTES"
+    ts_column: Optional[str] = None
+    value_column: Optional[str] = None
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        if (
+            not isinstance(self.gap_value, int)
+            or isinstance(self.gap_value, bool)
+            or self.gap_value <= 0
+        ):
+            raise ValueError("GAP must be a positive integer")
+        if self.gap_unit not in ("MINUTES", "HOURS", "SECONDS"):
+            raise ValueError("GAP unit must be SECONDS, MINUTES or HOURS")
+
+
+@dataclass
+class QuantizeEmbeddings:
+    """IR for ``QUANTIZE EMBEDDINGS <source> [ON vec_col] [ID id_col]``
+    — int8 scalar quantization of an embedding column (SURVEY.md
+    §2.11; beyond-parity).
+
+    Per-dimension global ranges, 8-bit codes, per-vector
+    reconstruction MSE (see operators/dedup.py::quantize_int8;
+    queries/pipeline4.py::embedding_quantize_int8 is the
+    oracle-checked twin).
+    """
+
+    source: str
+    column: Optional[str] = None
+    id_column: Optional[str] = None
+    source_is_identifier: bool = True

@@ -61,6 +61,10 @@ Statement = Union[
     ir.SampleCorpus,
     ir.Decontaminate,
     ir.PackSequences,
+    ir.RedactPII,
+    ir.ChunkWindows,
+    ir.Sessionize,
+    ir.QuantizeEmbeddings,
 ]
 
 
@@ -1147,6 +1151,74 @@ class _Parser:
             source_is_identifier=is_identifier_source(source),
         )
 
+    # -- SESSIONIZE (beyond-parity: SURVEY §2.9) --------------------------
+    def parse_sessionize(self) -> "ir.Sessionize":
+        self.expect_keyword("SESSIONIZE")
+        source = self.capture_source_until("BY")
+        if not source:
+            raise ValueError("SESSIONIZE source cannot be empty")
+        self.expect_keyword("BY")
+        key = self.expect_name("key column")
+        gap_value, gap_unit = 30, "MINUTES"
+        ts_column = None
+        value_column = None
+        while True:
+            if self.at_keyword("GAP"):
+                self.advance()
+                tok = self.advance()
+                if tok.kind != "NUMBER":
+                    raise ValueError("GAP must be a positive integer")
+                gap_value = _require_positive_int(_to_number(tok.value), "GAP")
+                unit_tok = self.advance()
+                unit = unit_tok.value.upper() if unit_tok.kind == "NAME" else ""
+                if unit not in ("SECONDS", "MINUTES", "HOURS"):
+                    raise ValueError("GAP unit must be SECONDS, MINUTES or HOURS")
+                gap_unit = unit
+            elif self.at_keyword("ON"):
+                self.advance()
+                ts_column = self.expect_name("timestamp column")
+            elif self.at_keyword("VALUE"):
+                self.advance()
+                value_column = self.expect_name("value column")
+            else:
+                break
+        self.expect_eof()
+        return ir.Sessionize(
+            source=source,
+            key=key,
+            gap_value=gap_value,
+            gap_unit=gap_unit,
+            ts_column=ts_column,
+            value_column=value_column,
+            source_is_identifier=is_identifier_source(source),
+        )
+
+    # -- QUANTIZE EMBEDDINGS (beyond-parity: SURVEY §2.11) ----------------
+    def parse_quantize(self) -> "ir.QuantizeEmbeddings":
+        self.expect_keyword("QUANTIZE")
+        self.expect_keyword("EMBEDDINGS")
+        source = self.capture_source_until("ON", "ID")
+        if not source:
+            raise ValueError("QUANTIZE EMBEDDINGS source cannot be empty")
+        column = None
+        id_column = None
+        while True:
+            if self.at_keyword("ON"):
+                self.advance()
+                column = self.expect_name("embedding column")
+            elif self.at_keyword("ID"):
+                self.advance()
+                id_column = self.expect_name("id column")
+            else:
+                break
+        self.expect_eof()
+        return ir.QuantizeEmbeddings(
+            source=source,
+            column=column,
+            id_column=id_column,
+            source_is_identifier=is_identifier_source(source),
+        )
+
     # -- SEARCH SIMILAR (beyond-parity: SURVEY §7.5) ----------------------
     def parse_search(self) -> "ir.SimilaritySearch":
         self.expect_keyword("SEARCH")
@@ -1246,10 +1318,15 @@ def parse(text: str) -> Statement:
         return parser.parse_redact()
     if tok.value == "CHUNK":
         return parser.parse_chunk()
+    if tok.value == "SESSIONIZE":
+        return parser.parse_sessionize()
+    if tok.value == "QUANTIZE":
+        return parser.parse_quantize()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
-        " SEARCH, SAMPLE, DECONTAMINATE, PACK, REDACT, or CHUNK"
+        " SEARCH, SAMPLE, DECONTAMINATE, PACK, REDACT, CHUNK, SESSIONIZE,"
+        " or QUANTIZE"
     )
 
 

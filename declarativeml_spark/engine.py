@@ -136,6 +136,10 @@ class Engine:
             return self._redact(stmt)
         if isinstance(stmt, ir.ChunkWindows):
             return self._chunk(stmt)
+        if isinstance(stmt, ir.Sessionize):
+            return self._sessionize(stmt)
+        if isinstance(stmt, ir.QuantizeEmbeddings):
+            return self._quantize(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
 
     # -- DEDUPLICATE / SEARCH SIMILAR (beyond-parity, SURVEY §7.5) ----------
@@ -247,6 +251,36 @@ class Engine:
             text_col=stmt.column or "text",
             win=stmt.win,
             stride=stmt.stride,
+        )
+
+    # -- SESSIONIZE / QUANTIZE (SURVEY §2.9 / §2.11) -----------------------
+    def _sessionize(self, stmt: "ir.Sessionize") -> DataFrame:
+        """Per-key session aggregation with native session_window —
+        batch form of streaming/pipeline.py::session_window_stats
+        (the oracle-checked twin is events_user_sessions)."""
+        from declarativeml_spark.streaming.pipeline import session_window_stats
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        gap = f"{stmt.gap_value} {stmt.gap_unit.lower()}"
+        return session_window_stats(
+            df,
+            ts_col=stmt.ts_column or "ts",
+            key_col=stmt.key,
+            value_col=stmt.value_column or "value",
+            gap=gap,
+            streaming=False,
+        )
+
+    def _quantize(self, stmt: "ir.QuantizeEmbeddings") -> DataFrame:
+        """int8 scalar quantization of an embedding column (the
+        oracle-checked twin is embedding_quantize_int8)."""
+        from declarativeml_spark.operators.dedup import quantize_int8
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        return quantize_int8(
+            df,
+            id_col=stmt.id_column or "vec_id",
+            vec_col=stmt.column or "embedding",
         )
 
     # -- SAMPLE (deterministic hash sampling; SURVEY §7.5 family) ----------

@@ -1255,3 +1255,58 @@ def ivf_native_topk(
             "rnk",
         )
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column: per-dimension
+    global [min, max] ranges, each component mapped to an 8-bit code
+    0..255, with per-vector reconstruction MSE. Returns
+    (id, q_md5 = md5 of the comma-joined code string, mse).
+
+    Backs the ``QUANTIZE EMBEDDINGS`` DSL statement; the
+    oracle-checked twin is queries/pipeline4.py::
+    embedding_quantize_int8.
+
+    Scale: pass 1 is a dim-keyed partial agg (shuffle = n_dims ×
+    n_partitions tiny rows); the dim→range table broadcasts; the
+    per-vector regroup shuffles (id, dim, code) triples. See the
+    query docstring for the zip_with fusion that removes the regroup
+    at 100 TB.
+    """
+    qf = (
+        "least(255, greatest(0, CAST(floor((v - mn) / (mx - mn) * 255.0 + 0.5)"
+        " AS BIGINT)))"
+    )
+    ex = df.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(vec_col).alias("dim", "vf")
+    ).select("vec_id", "dim", F.col("vf").cast("double").alias("v"))
+    mm = ex.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    q = ex.join(F.broadcast(mm), "dim").select(
+        "vec_id",
+        "dim",
+        "v",
+        "mn",
+        "mx",
+        F.when(F.col("mx") > F.col("mn"), F.expr(qf))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("code"),
+    )
+    recon = F.col("mn") + F.col("code") / F.lit(255.0) * (F.col("mx") - F.col("mn"))
+    e = q.select(
+        "vec_id",
+        "dim",
+        "code",
+        _sround((F.col("v") - recon) * (F.col("v") - recon), 12).alias("se"),
+    )
+    codes = F.array_sort(F.collect_list(F.struct("dim", "code")))
+    return e.groupBy("vec_id").agg(
+        F.md5(
+            F.array_join(F.transform(codes, lambda x: x["code"].cast("string")), ",")
+        ).alias("q_md5"),
+        _sround(
+            F.sum(F.col("se").cast("decimal(38,12)")).cast("double") / F.count("*"),
+            10,
+        ).alias("mse"),
+    )

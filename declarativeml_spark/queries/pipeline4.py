@@ -93,43 +93,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely — kept exploded here so the quantization error math
     stays hash-checkable per element.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "vf")
-    ).select("vec_id", "dim", F.col("vf").cast("double").alias("v"))
-    mm = ex.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-    q = ex.join(F.broadcast(mm), "dim").select(
-        "vec_id",
-        "dim",
-        "v",
-        "mn",
-        "mx",
-        F.when(
-            F.col("mx") > F.col("mn"),
-            F.expr(_QF.format(v="v", mn="mn", mx="mx")),
-        )
-        .otherwise(F.lit(0).cast("bigint"))
-        .alias("code"),
-    )
-    recon = F.col("mn") + F.col("code") / F.lit(255.0) * (F.col("mx") - F.col("mn"))
-    e = q.select(
-        "vec_id",
-        "dim",
-        "code",
-        sround((F.col("v") - recon) * (F.col("v") - recon), 12).alias("se"),
-    )
-    codes = F.array_sort(F.collect_list(F.struct("dim", "code")))
-    return e.groupBy("vec_id").agg(
-        F.md5(
-            F.array_join(
-                F.transform(codes, lambda x: x["code"].cast("string")), ","
-            )
-        ).alias("q_md5"),
-        sround(
-            F.sum(F.col("se").cast("decimal(38,12)")).cast("double") / F.count("*"),
-            10,
-        ).alias("mse"),
-    )
+    from declarativeml_spark.operators.dedup import quantize_int8
+
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

@@ -158,3 +158,43 @@ def test_semantic_dedup_statement(spark, smoke_dir, engine):
     out = engine.execute("DEDUPLICATE embeddings USING semantic THRESHOLD 0.35")
     assert set(out.columns) == {"vec_id", "cell", "kept"}
     assert out.count() > 0
+
+
+def test_parse_sessionize_forms():
+    s = parse("SESSIONIZE events BY user_id")
+    assert isinstance(s, ir.Sessionize)
+    assert s.key == "user_id" and s.gap_value == 30 and s.gap_unit == "MINUTES"
+
+    s = parse("SESSIONIZE events BY user_id GAP 2 HOURS ON ts VALUE value")
+    assert s.gap_value == 2 and s.gap_unit == "HOURS"
+    assert s.ts_column == "ts" and s.value_column == "value"
+
+
+def test_parse_quantize_forms():
+    q = parse("QUANTIZE EMBEDDINGS embeddings")
+    assert isinstance(q, ir.QuantizeEmbeddings)
+    assert q.column is None and q.id_column is None
+
+    q = parse("QUANTIZE EMBEDDINGS embeddings ON embedding ID vec_id")
+    assert q.column == "embedding" and q.id_column == "vec_id"
+
+
+def test_parse_sessionize_quantize_reject_bad():
+    with pytest.raises(ValueError, match="GAP must be a positive integer"):
+        parse("SESSIONIZE events BY user_id GAP 0 MINUTES")
+    with pytest.raises(ValueError, match="GAP unit"):
+        parse("SESSIONIZE events BY user_id GAP 5 FORTNIGHTS")
+    with pytest.raises(ValueError, match="cannot be empty"):
+        parse("QUANTIZE EMBEDDINGS ON embedding")
+
+
+def test_sessionize_matches_query(engine, spark, smoke_dir):
+    out = engine.execute("SESSIONIZE events BY user_id GAP 2 HOURS")
+    want = QUERIES["events_user_sessions"](spark, smoke_dir)
+    assert _rows(out) == _rows(want)
+
+
+def test_quantize_matches_query(engine, spark, smoke_dir):
+    out = engine.execute("QUANTIZE EMBEDDINGS embeddings")
+    want = QUERIES["embedding_quantize_int8"](spark, smoke_dir)
+    assert _rows(out) == _rows(want)
