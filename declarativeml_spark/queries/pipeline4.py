@@ -484,3 +484,107 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_no", F.md5("frame").alias("frame_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+_KNN_K = 5
+
+
+def _knn_oracle() -> str:
+    from declarativeml_spark.operators.dedup import lsh_pairs_oracle_sql
+    from declarativeml_spark.queries.pipeline import _LSH_PARAMS
+
+    inner = lsh_pairs_oracle_sql(**_LSH_PARAMS)
+    return f"""
+    WITH pairs AS ({inner}),
+    directed AS (
+        SELECT id_a AS src, id_b AS dst, euclidean_dist AS d FROM pairs
+        UNION ALL
+        SELECT id_b, id_a, euclidean_dist FROM pairs
+    ),
+    knn AS (
+        SELECT src, dst, d
+        FROM (SELECT src, dst, d,
+                     ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst)
+                       AS rnk
+              FROM directed)
+        WHERE rnk <= {_KNN_K}
+    ),
+    edges AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+    outk AS (SELECT src, COUNT(*) AS outk FROM knn GROUP BY src),
+    mut AS (SELECT a.src, COUNT(*) AS mutual
+            FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+            GROUP BY a.src)
+    SELECT e.src AS vec_id,
+           CAST(COUNT(*) AS BIGINT) AS degree,
+           CAST(MAX(k.outk) AS BIGINT) AS knn_out,
+           CAST(COALESCE(MAX(m.mutual), 0) AS BIGINT) AS mutual_edges
+    FROM edges e
+    JOIN outk k ON k.src = e.src
+    LEFT JOIN mut m ON m.src = e.src
+    GROUP BY e.src
+    """
+
+
+@query("knn_graph_degrees", oracle=_knn_oracle())
+def knn_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized k-nearest-neighbour graph over the embedding
+    corpus: per node, its ≤5 nearest LSH-candidate neighbours, the
+    union-symmetrized degree, and how many of its kNN edges are
+    mutual — the graph-construction step under SemDeDup-style
+    cluster pruning, curriculum ordering, and label propagation.
+
+    Scale: candidates come from the hash-checked LSH bucket join
+    (never all pairs); the per-node top-k window partitions by node,
+    so its input is that node's candidate list (LSH fan-in bounded),
+    not the corpus. Everything after the candidate stage moves only
+    (id, id, dist) tuples. The knn frame feeds four plan branches —
+    persisted once.
+    """
+    from declarativeml_spark.operators.dedup import lsh_topk_pairs
+    from declarativeml_spark.queries.pipeline import _LSH_PARAMS, _no_codegen_session
+
+    s2 = _no_codegen_session(spark)
+    pairs = lsh_topk_pairs(load_table(s2, sf_dir, "embeddings"), **_LSH_PARAMS)
+    directed = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+        F.col("euclidean_dist").alias("d"),
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
+            F.col("euclidean_dist").alias("d"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst").asc())
+    knn = (
+        directed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("src", "dst", "d")
+        .transform(track_persist)
+    )
+    edges = (
+        knn.select("src", "dst")
+        .union(knn.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    outk = knn.groupBy("src").agg(F.count("*").alias("outk"))
+    mut = (
+        knn.alias("a")
+        .join(
+            knn.alias("b"),
+            (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("src"))
+        .agg(F.count("*").alias("mutual"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    return (
+        deg.join(outk, "src")
+        .join(mut, "src", "left")
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("degree").cast("bigint").alias("degree"),
+            F.col("outk").cast("bigint").alias("knn_out"),
+            F.coalesce("mutual", F.lit(0)).cast("bigint").alias("mutual_edges"),
+        )
+    )
