@@ -29,6 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-confirming long-green ones.
 _CHECK_FIRST = (
     # newest (round-3 late batch) — never driver-checked
+    "text_heuristic_filters",
     "knn_graph_degrees",
     "events_user_sessions",
     "embedding_quantize_int8",

@@ -588,3 +588,97 @@ def knn_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("mutual", F.lit(0)).cast("bigint").alias("mutual_edges"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4/Gopher-style heuristic document filters (Raffel et al. 2020 §2.2,
+# Rae et al. 2021 A1.1), adapted to the whitespace tokenizer: word
+# count bounds, mean word length band, max-word-length cap, stopword
+# evidence, and bad-marker rejection. Each flag is reported so the
+# keep decision is auditable per rule.
+_C4_MIN_WORDS = 16
+_C4_MAX_WORD_LEN = 15
+
+
+@query(
+    "text_heuristic_filters",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, {_TOKS_D} AS toks FROM documents),
+    x AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(length(text) - len(toks) + 1 AS DOUBLE)
+                 / len(toks) AS mean_wlen,
+               CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT)
+                 AS max_wlen,
+               CAST({T.lang_hits_duck('toks', 'en')} AS BIGINT) AS en_stop,
+               (contains(lower(text), 'lorem ipsum')
+                OR contains(text, '{{')) AS bad_marker
+        FROM d
+    )
+    SELECT doc_id, n_words,
+           {T.stable_round('mean_wlen', 6)} AS mean_word_len,
+           max_wlen,
+           en_stop AS stopword_hits,
+           bad_marker,
+           (n_words >= {_C4_MIN_WORDS}
+            AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+            AND max_wlen <= {_C4_MAX_WORD_LEN}
+            AND en_stop >= 2
+            AND NOT bad_marker) AS keep
+    FROM x
+    """,
+)
+def text_heuristic_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style heuristic document gate: word-count floor,
+    mean-word-length band [3, 10], max-word-length cap, ≥2 English
+    stopword hits, and bad-marker rejection ('lorem ipsum', braces) —
+    each rule's evidence emitted alongside the fused keep decision so
+    curation can audit which rule dropped a document.
+
+    Complements the scored filters (text_quality_scores,
+    text_quality_repetition, text_unigram_surprisal): this is the
+    cheap hard gate a pipeline runs FIRST, before anything that
+    tokenizes twice or joins.
+
+    Scale: entirely per-row inside WholeStageCodegen — one map over
+    the corpus scan, no shuffle, no state. mean word length derives
+    from (chars - spaces) / words to avoid a second pass over the
+    token array.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.expr(_TOKS_S).alias("toks")
+    )
+    n_words = F.size("toks").cast("bigint")
+    mean_wlen = (F.length("text") - F.size("toks") + 1).cast("double") / F.size(
+        "toks"
+    )
+    max_wlen = F.expr("array_max(transform(toks, t -> length(t)))").cast("bigint")
+    en_stop = F.expr(T.lang_hits_spark("toks", "en")).cast("bigint")
+    bad = F.lower(F.col("text")).contains("lorem ipsum") | F.col("text").contains(
+        "{"
+    )
+    x = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        max_wlen.alias("max_wlen"),
+        en_stop.alias("en_stop"),
+        bad.alias("bad_marker"),
+    )
+    return x.select(
+        "doc_id",
+        "n_words",
+        sround("mean_wlen", 6).alias("mean_word_len"),
+        F.col("max_wlen"),
+        F.col("en_stop").alias("stopword_hits"),
+        "bad_marker",
+        (
+            (F.col("n_words") >= _C4_MIN_WORDS)
+            & (F.col("mean_wlen") >= 3.0)
+            & (F.col("mean_wlen") <= 10.0)
+            & (F.col("max_wlen") <= _C4_MAX_WORD_LEN)
+            & (F.col("en_stop") >= 2)
+            & ~F.col("bad_marker")
+        ).alias("keep"),
+    )
