@@ -28,6 +28,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # its budget on rows not yet (or not yet successfully) checked, not on
 # re-confirming long-green ones.
 _CHECK_FIRST = (
+    # round-3 new batch — never driver-checked
+    "corpus_temperature_mix",
+    "events_rate_anomalies",
+    "decontam_bloom_gate",
+    "token_heavy_hitters_cms",
+    "lineitem_numeric_profile",
+    "embedding_pq_codes",
     # newest (round-3 late batch) — never driver-checked
     "text_heuristic_filters",
     "knn_graph_degrees",

@@ -1058,13 +1058,17 @@ def native_cells_ctes(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prefix: str = "",
 ) -> tuple[list[str], str]:
     """DuckDB twin of ``native_cells``: the unrolled Lloyd's CTE
-    chain ending in a ``corpus`` CTE of (vec_id, vec, cell, nrm).
+    chain ending in a ``{prefix}corpus`` CTE of (vec_id, vec, cell,
+    nrm).
 
     Returns ``(ctes, d2_template)`` — callers append their own
     search/pair CTEs and format ``d2_template`` with ``v=``/``c=``
-    for centroid-distance expressions.
+    for centroid-distance expressions. ``prefix`` namespaces every
+    CTE so several independent quantizers (e.g. one per PQ subspace)
+    can share one WITH clause.
     """
     d2 = (
         "list_sum(list_transform(list_zip({v}, {c}),"
@@ -1074,35 +1078,36 @@ def native_cells_ctes(
         f"CAST(SUM(CAST(vec[{i + 1}] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)"
         for i in range(dim)
     )
+    p = prefix
     ctes = [
-        f"base AS (SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS vec"
+        f"{p}base AS (SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS vec"
         f" FROM {table} WHERE len({vec_col}) = {dim})",
-        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,"
-        " vec AS cvec FROM base ORDER BY vec_id LIMIT "
+        f"{p}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,"
+        f" vec AS cvec FROM {p}base ORDER BY vec_id LIMIT "
         f"{n_cells})",
     ]
-    prev = "c0"
+    prev = f"{p}c0"
     for it in range(1, n_iters + 1):
         ctes.append(
-            f"a{it} AS (SELECT vec_id, vec, cell FROM ("
+            f"{p}a{it} AS (SELECT vec_id, vec, cell FROM ("
             f" SELECT b.vec_id, b.vec, c.cell,"
             f" ROW_NUMBER() OVER (PARTITION BY b.vec_id"
             f" ORDER BY {d2.format(v='b.vec', c='c.cvec')}, c.cell) AS rn"
-            f" FROM base b CROSS JOIN {prev} c) WHERE rn = 1)"
+            f" FROM {p}base b CROSS JOIN {prev} c) WHERE rn = 1)"
         )
         ctes.append(
-            f"c{it} AS (SELECT cell, [{mean_list}] AS cvec"
-            f" FROM a{it} GROUP BY cell)"
+            f"{p}c{it} AS (SELECT cell, [{mean_list}] AS cvec"
+            f" FROM {p}a{it} GROUP BY cell)"
         )
-        prev = f"c{it}"
+        prev = f"{p}c{it}"
     nrm = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
     ctes.append(
-        "corpus AS (SELECT a.vec_id, a.vec, a.cell,"
+        f"{p}corpus AS (SELECT a.vec_id, a.vec, a.cell,"
         f" {nrm.format(v='a.vec')} AS nrm FROM ("
         " SELECT b.vec_id, b.vec, c.cell,"
         " ROW_NUMBER() OVER (PARTITION BY b.vec_id"
         f" ORDER BY {d2.format(v='b.vec', c='c.cvec')}, c.cell) AS rn"
-        f" FROM base b CROSS JOIN {prev} c) a WHERE a.rn = 1)"
+        f" FROM {p}base b CROSS JOIN {prev} c) a WHERE a.rn = 1)"
     )
     return ctes, d2
 

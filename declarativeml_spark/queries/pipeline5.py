@@ -1,0 +1,684 @@
+"""Training-data pipeline operators, part 5: temperature-scaled
+source mixing, Bloom-filter decontamination, count-min-sketch heavy
+hitters, event-rate anomaly detection, and numeric data profiling.
+
+Round-3 additions, each chosen for its 100 TB plan shape:
+
+* temperature mixing (the mT5/multilingual sampling rule p_i^(1/T)):
+  the entire computation happens on the per-source aggregate — a
+  handful of rows — so the only corpus-scale work is one counting
+  scan;
+* Bloom-gate decontamination: the benchmark membership structure is a
+  FIXED-SIZE bit set (M positions), so the broadcast side is bounded
+  by M no matter how large the held-out suite grows — the O(1)-memory
+  counterpart of decontam_benchmark_overlap's exact fingerprint
+  broadcast;
+* count-min-sketch heavy hitters: frequency estimation whose state is
+  d*w cells instead of |vocab| rows — the sketch every streaming
+  frequency monitor keeps; built here from map-side-combinable
+  partial counts and compared against exact counts row by row;
+* event-rate anomalies: trailing-window z-scores computed over the
+  *aggregated* hourly series (types x hours rows), never over raw
+  events — the window cost is independent of event volume;
+* numeric profiling: the two-pass (stats, then histogram) column
+  profiler; each pass shuffles only (column, bucket) partial counts.
+
+Every query is hash-checked against a DuckDB oracle; float handling
+follows registry.py (IEEE per-row ops, DECIMAL aggregation,
+stable_round). Integer sums in oracle SQL are CAST to BIGINT per the
+HUGEINT convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from declarativeml_spark.operators import textops as T
+from declarativeml_spark.operators.caching import track_persist
+from declarativeml_spark.queries.registry import (
+    dsum,
+    query,
+    sql_dsum,
+    sql_sround,
+    sround,
+)
+from declarativeml_spark.sources.catalog import load_table
+
+_TOKS_S = T.TOKENS_SPARK.format(text="text")
+_TOKS_D = T.TOKENS_DUCK.format(text="text")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing: w_i ∝ n_i^(1/T) with T = 2, i.e.
+# sqrt — chosen over an arbitrary exponent because IEEE-754 sqrt is
+# correctly rounded (bit-identical across engines), where pow() is
+# not guaranteed to be.
+@query(
+    "corpus_temperature_mix",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    t AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+               CAST(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE))
+                             AS DECIMAL(38,12))) AS DOUBLE) AS total_sqrt
+        FROM s
+    )
+    SELECT s.source, s.n_docs,
+           {sql_sround('CAST(s.n_docs AS DOUBLE) / t.total_docs', 6)}
+               AS nat_share,
+           {sql_sround('sqrt(CAST(s.n_docs AS DOUBLE)) / t.total_sqrt', 6)}
+               AS temp_weight,
+           {sql_sround(
+               '(sqrt(CAST(s.n_docs AS DOUBLE)) / t.total_sqrt)'
+               ' / (CAST(s.n_docs AS DOUBLE) / t.total_docs)', 6)}
+               AS boost
+    FROM s CROSS JOIN t
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixing weights per source (the multilingual
+    /multi-domain sampling rule of mT5: sample source i with
+    probability proportional to p_i^(1/T)). T = 2 (sqrt) upweights
+    tail sources relative to natural frequency; ``boost`` is the
+    oversampling factor each source receives.
+
+    Scale: one counting scan of the corpus; every subsequent op runs
+    on the n_sources-row aggregate (a broadcast cross join against a
+    single totals row). sqrt instead of a free exponent because IEEE
+    sqrt is correctly rounded — pow() may differ across engines in
+    the last ulp. The sqrt-sum aggregates through DECIMAL(38,12) so
+    shuffle order cannot change it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    t = s.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("total_sqrt"),
+    )
+    nat = F.col("n_docs").cast("double") / F.col("total_docs")
+    tw = F.sqrt(F.col("n_docs").cast("double")) / F.col("total_sqrt")
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        sround(nat, 6).alias("nat_share"),
+        sround(tw, 6).alias("temp_weight"),
+        sround(tw / nat, 6).alias("boost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-rate anomaly detection: z-score of each hourly event count
+# against its trailing 24-hour window, per event type.
+@query(
+    "events_rate_anomalies",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, hour, n,
+               CAST(SUM(n) OVER tw AS BIGINT) AS s,
+               CAST(SUM(n * n) OVER tw AS BIGINT) AS sq,
+               CAST(COUNT(n) OVER tw AS BIGINT) AS m
+        FROM h
+        WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+        SELECT event_type, hour, n, m,
+               CASE WHEN (CAST(sq AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / m)
+                         / (m - 1) > 0
+                    THEN (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / m)
+                         / sqrt((CAST(sq AS DOUBLE)
+                                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / m)
+                                / (m - 1))
+               END AS zv
+        FROM w WHERE m >= 2
+    )
+    SELECT event_type, hour, n,
+           {sql_sround('zv', 4)} AS z,
+           coalesce(m >= 12 AND abs(zv) > 2.0, FALSE) AS is_anomaly
+    FROM z
+    """,
+)
+def events_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window rate anomalies: per (event_type, hour), the
+    z-score of the hourly event count against the mean/stddev of the
+    preceding 24 hourly buckets; flagged when the window has >= 12
+    observations and |z| > 2.
+
+    Scale: the window function runs over the AGGREGATED hourly series
+    (event_types x hours rows), never over raw events — raw volume
+    only affects the one groupBy that builds the series, and that agg
+    is map-side combinable. Variance comes from exact integer
+    sum/sum-of-squares (bigint, overflow-safe for realistic hourly
+    counts), so both engines divide the same exact integers — no
+    float-accumulation drift, no stddev_samp implementation
+    dependence.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tw = (
+        Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    )
+    w = h.select(
+        "event_type",
+        "hour",
+        "n",
+        F.sum("n").over(tw).cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(tw).cast("bigint").alias("sq"),
+        F.count("n").over(tw).cast("bigint").alias("m"),
+    ).filter(F.col("m") >= 2)
+    mean = F.col("s").cast("double") / F.col("m")
+    var = (
+        F.col("sq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("m")
+    ) / (F.col("m") - 1)
+    zv = F.when(var > 0, (F.col("n").cast("double") - mean) / F.sqrt(var))
+    z = w.withColumn("zv", zv)
+    return z.select(
+        "event_type",
+        "hour",
+        "n",
+        sround(F.col("zv"), 4).alias("z"),
+        F.coalesce(
+            (F.col("m") >= 12) & (F.abs(F.col("zv")) > 2.0), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination gate. M bits, k = 3 hash positions per
+# fingerprint taken from non-overlapping 4-hex-char slices of the
+# fingerprint itself (it is already an md5 — no extra hashing).
+_BLOOM_M = 16384
+_BLOOM_OFFS = (1, 9, 17)
+
+
+def _hexslice_int(expr: str, off: int) -> str:
+    """Integer value of the 4 hex chars of ``expr`` at 1-based
+    ``off`` — instr-decomposition identical in Spark SQL and DuckDB
+    (same trick as textops._hex4_int, without the md5)."""
+    parts = [
+        f"(instr('0123456789abcdef', substr({expr}, {off + i}, 1)) - 1) * {m}"
+        for i, m in enumerate((4096, 256, 16, 1))
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _bloom_pos(expr: str) -> list[str]:
+    return [f"({_hexslice_int(expr, o)} % {_BLOOM_M})" for o in _BLOOM_OFFS]
+
+
+@query(
+    "decontam_bloom_gate",
+    oracle=(
+        lambda fp_duck: f"""
+    WITH bfp AS (
+        SELECT DISTINCT unnest({fp_duck}) AS fp
+        FROM documents WHERE doc_id % 23 = 5
+    ),
+    bits AS (
+        SELECT DISTINCT unnest([{', '.join(_bloom_pos('fp'))}]) AS pos
+        FROM bfp
+    ),
+    cfp AS (
+        SELECT DISTINCT doc_id, unnest({fp_duck}) AS fp
+        FROM documents WHERE doc_id % 23 <> 5
+    ),
+    probe AS (
+        SELECT doc_id, fp, unnest([{', '.join(_bloom_pos('fp'))}]) AS pos
+        FROM cfp
+    ),
+    fphit AS (
+        SELECT p.doc_id, p.fp,
+               CAST(MIN(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END)
+                    AS BIGINT) AS all_hit
+        FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+        GROUP BY p.doc_id, p.fp
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fps,
+           CAST(SUM(all_hit) AS BIGINT) AS n_hits
+    FROM fphit GROUP BY doc_id HAVING SUM(all_hit) >= 3
+    """
+    )(
+        __import__(
+            "declarativeml_spark.operators.corpus", fromlist=["fp_sample_duck"]
+        ).fp_sample_duck("text")
+    ),
+)
+def decontam_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination: flag corpus documents
+    whose winnowed 4-gram fingerprints score >= 3 Bloom-membership
+    hits against the held-out set (pseudo-benchmark doc_id % 23 = 5,
+    as in decontam_benchmark_overlap).
+
+    Scale: the exact-fingerprint decontaminator broadcasts the
+    benchmark's full fingerprint set — fine for MB-scale suites, but
+    the broadcast grows with the benchmark. The Bloom gate's build
+    side is a set of bit POSITIONS bounded by M = 16384 rows of one
+    int each, REGARDLESS of benchmark size; k = 3 positions per
+    fingerprint come from hex slices of the fingerprint itself (no
+    extra hashing). The corpus side is map-only against that
+    broadcast; only (doc_id, fp, hit) partials shuffle. False
+    positives are inherent to Bloom semantics and deterministic —
+    the oracle reproduces them bit-for-bit; a production pipeline
+    routes flagged docs through the exact overlap check.
+    """
+    from declarativeml_spark.operators.corpus import fingerprint_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 5)
+    corpus = docs.filter(F.col("doc_id") % 23 != 5)
+
+    pos_arr = "array(" + ", ".join(_bloom_pos("fp")) + ")"
+    bits = (
+        fingerprint_frame(bench, id_col="doc_id", text_col="text")
+        .select(F.explode("hs").alias("fp"))
+        .distinct()
+        .select(F.explode(F.expr(pos_arr)).alias("pos"))
+        .distinct()
+    )
+    probe = (
+        fingerprint_frame(corpus, id_col="doc_id", text_col="text")
+        .select("doc_id", F.explode("hs").alias("fp"))
+        .distinct()
+        .select("doc_id", "fp", F.explode(F.expr(pos_arr)).alias("pos"))
+    )
+    fphit = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id", "fp")
+        .agg(F.min(F.coalesce("hit", F.lit(0))).cast("bigint").alias("all_hit"))
+    )
+    return (
+        fphit.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fps"),
+            F.sum("all_hit").cast("bigint").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") >= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters: d rows x w columns of counters; the
+# estimate for a token is the min over its d cells. Deliberately
+# small w so the sketch actually collides at test scale and the
+# overcount column is exercised.
+_CMS_D = 4
+_CMS_W = 64
+
+
+def _cms_pos(tok_expr: str, j: int) -> str:
+    salted = "md5(concat('cms" + str(j) + ":', " + tok_expr + "))"
+    return f"({_hexslice_int(salted, 1)} % {_CMS_W})"
+
+
+@query(
+    "token_heavy_hitters_cms",
+    oracle=f"""
+    WITH occ AS (
+        SELECT unnest({_TOKS_D}) AS token FROM documents
+    ),
+    vocab AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM occ GROUP BY token
+    ),
+    cells AS (
+        SELECT j, pos, CAST(SUM(exact_cnt) AS BIGINT) AS cell_total
+        FROM (
+            SELECT exact_cnt, unnest([{
+                ', '.join(str(j) for j in range(_CMS_D))
+            }]) AS j,
+                   unnest([{
+                ', '.join(_cms_pos('token', j) for j in range(_CMS_D))
+            }]) AS pos
+            FROM vocab
+        ) GROUP BY j, pos
+    ),
+    est AS (
+        SELECT v.token, v.exact_cnt,
+               CAST(MIN(c.cell_total) AS BIGINT) AS est_cnt
+        FROM (
+            SELECT token, exact_cnt, unnest([{
+                ', '.join(str(j) for j in range(_CMS_D))
+            }]) AS j,
+                   unnest([{
+                ', '.join(_cms_pos('token', j) for j in range(_CMS_D))
+            }]) AS pos
+            FROM vocab
+        ) v JOIN cells c ON v.j = c.j AND v.pos = c.pos
+        GROUP BY v.token, v.exact_cnt
+    )
+    SELECT token, exact_cnt, est_cnt,
+           CAST(est_cnt - exact_cnt AS BIGINT) AS overcount
+    FROM est
+    ORDER BY est_cnt DESC, token LIMIT 20
+    """,
+)
+def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heavy-hitter tokens by count-min-sketch estimate
+    (d = {d} rows x w = {w} counters), reported against exact counts
+    so the sketch's one-sided overcount is visible per token.
+
+    Scale: the sketch state is d*w = {dw} cells total — constant,
+    vs a |vocab|-sized exact table. Cell updates are built from
+    map-side-combinable partial token counts (inserting per
+    occurrence and summing partial counts into cells are the same
+    arithmetic), so the corpus-scale shuffle carries only (token,
+    partial-count) pairs and the cell build runs on the vocab
+    aggregate. The d positions per token are salted-md5 slices —
+    the same cross-engine hash family as the minhash tables. Top-20
+    ties break on token text for deterministic LIMIT.
+    """.format(d=_CMS_D, w=_CMS_W, dw=_CMS_D * _CMS_W)
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.expr(_TOKS_S)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+        .transform(track_persist)
+    )
+    tagged = vocab
+    for j in range(_CMS_D):
+        tagged = tagged.withColumn(f"p{j}", F.expr(_cms_pos("token", j)))
+    placed = tagged.select(
+        "token",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"p{j}").alias("pos")
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jp"),
+    ).select("token", "exact_cnt", "jp.j", "jp.pos")
+    cells = placed.groupBy("j", "pos").agg(
+        F.sum("exact_cnt").cast("bigint").alias("cell_total")
+    )
+    est = (
+        placed.join(F.broadcast(cells), ["j", "pos"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cell_total").cast("bigint").alias("est_cnt"))
+    )
+    return (
+        est.select(
+            "token",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+        .orderBy(F.desc("est_cnt"), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Numeric column profiler over lineitem: two passes — global stats,
+# then equi-width 10-bucket histograms using the stats.
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _profile_oracle() -> str:
+    stat_sel = []
+    for c in _PROFILE_COLS:
+        avg_expr = sql_sround(
+            f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({c})", 6
+        )
+        stat_sel.append(
+            f"SELECT '{c}' AS col_name, CAST(COUNT({c}) AS BIGINT) AS n,"
+            f" CAST(MIN({c}) AS DOUBLE) AS mn, CAST(MAX({c}) AS DOUBLE) AS mx,"
+            f" {avg_expr} AS avg_val"
+            " FROM lineitem"
+        )
+    stats = " UNION ALL ".join(stat_sel)
+    val_sel = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS DOUBLE) AS v FROM lineitem"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+    WITH stats AS ({stats}),
+    vals AS ({val_sel}),
+    bucketed AS (
+        SELECT v.col_name,
+               CAST(least(9, greatest(0, CAST(floor((v.v - s.mn)
+                   / (s.mx - s.mn) * 10.0) AS BIGINT))) AS BIGINT) AS b
+        FROM vals v JOIN stats s ON v.col_name = s.col_name
+    ),
+    counts AS (
+        SELECT col_name, b, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM bucketed GROUP BY col_name, b
+    ),
+    hist AS (
+        SELECT s.col_name,
+               string_agg(CAST(coalesce(c.cnt, 0) AS VARCHAR), ','
+                          ORDER BY g.range) AS hist
+        FROM stats s
+        CROSS JOIN range(0, 10) g
+        LEFT JOIN counts c ON c.col_name = s.col_name AND c.b = g.range
+        GROUP BY s.col_name
+    )
+    SELECT s.col_name, s.n, s.mn, s.mx, s.avg_val, h.hist
+    FROM stats s JOIN hist h ON s.col_name = h.col_name
+    """
+
+
+@query("lineitem_numeric_profile", oracle=_profile_oracle())
+def lineitem_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric column profiler: per column, row count, min/max,
+    decimal-exact mean, and a 10-bucket equi-width histogram — the
+    data-quality card a pipeline publishes for every numeric feature
+    before training consumes it.
+
+    Scale: two inherent passes (bucket edges need global min/max
+    first, cf. quality_budget_selection's two-pass percentile). Pass
+    1 computes all columns' stats in ONE scan (a single agg row,
+    stack()ed into per-column rows). Pass 2 re-scans with the tiny
+    stats frame broadcast, posexplodes each row into (column, bucket)
+    pairs and counts — map-side combine collapses the shuffle to at
+    most columns x 10 rows per partition. The histogram string is
+    assembled from a bucket->count map so empty buckets render as
+    zeros without a spine join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).cast("bigint").alias(f"{c}__n"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__mn"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__mx"),
+            sround(
+                F.sum(F.col(c).cast("decimal(38,6)")).cast("double")
+                / F.count(c),
+                6,
+            ).alias(f"{c}__avg"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__mn, {c}__mx, {c}__avg" for c in _PROFILE_COLS
+    )
+    stats = one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        " as (col_name, n, mn, mx, avg_val)"
+    )
+
+    pairs = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("cv")
+    ).select("cv.col_name", "cv.v")
+    bucketed = pairs.join(F.broadcast(stats), "col_name").select(
+        "col_name",
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * 10.0
+                ).cast("bigint"),
+            ),
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+    counts = bucketed.groupBy("col_name", "b").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    hist = counts.groupBy("col_name").agg(
+        F.expr(
+            "concat_ws(',', transform(sequence(0, 9),"
+            " i -> CAST(coalesce("
+            "element_at(map_from_entries(collect_list(struct(b, cnt))), i),"
+            " 0) AS STRING)))"
+        ).alias("hist")
+    )
+    return stats.join(hist, "col_name")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: m subspaces, each with its own deterministic
+# Lloyd's codebook (native_cells), codes concatenated per vector.
+_PQ_M = 4
+_PQ_SUBDIM = 16
+_PQ_CELLS = 4
+_PQ_ITERS = 2
+
+# Integer-scaled squared error: each per-dim term is rounded to an
+# exact BIGINT at 1e12 scale before summing, so the subspace error is
+# an exact integer in both engines — no float-accumulation-order or
+# decimal-cast-rounding dependence in the hash.
+_SE_SPARK = (
+    "CAST(aggregate(zip_with(vec, cvec, (x, y) ->"
+    " CAST(floor((x - y) * (x - y) * 1e12 + 0.5) AS BIGINT)),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+)
+_SE_DUCK = (
+    "CAST(list_sum(list_transform(list_zip(a.vec, c.cvec), p ->"
+    " CAST(floor((p[1] - p[2]) * (p[1] - p[2]) * 1e12 + 0.5) AS BIGINT)))"
+    " AS BIGINT)"
+)
+
+
+def _pq_oracle() -> str:
+    from declarativeml_spark.operators.dedup import native_cells_ctes
+
+    ctes: list[str] = []
+    for s in range(_PQ_M):
+        lo, hi = 1 + _PQ_SUBDIM * s, _PQ_SUBDIM * (s + 1)
+        sub_t = (
+            f"(SELECT vec_id, embedding[{lo}:{hi}] AS sub FROM embeddings"
+            f" WHERE len(embedding) = {_PQ_M * _PQ_SUBDIM}) AS sq{s}"
+        )
+        chain, _ = native_cells_ctes(
+            n_cells=_PQ_CELLS,
+            n_iters=_PQ_ITERS,
+            dim=_PQ_SUBDIM,
+            table=sub_t,
+            id_col="vec_id",
+            vec_col="sub",
+            prefix=f"p{s}_",
+        )
+        ctes += chain
+        ctes.append(
+            f"e{s} AS (SELECT a.vec_id, a.cell AS c{s}, {_SE_DUCK} AS se{s}"
+            f" FROM p{s}_corpus a JOIN p{s}_c{_PQ_ITERS} c"
+            " ON a.cell = c.cell)"
+        )
+    joined = ",\n    ".join(ctes)
+    code = ", ".join(f"CAST(c{s} AS VARCHAR)" for s in range(_PQ_M))
+    tot = " + ".join(f"se{s}" for s in range(_PQ_M))
+    froms = " JOIN ".join(
+        [f"e0"] + [f"e{s} USING (vec_id)" for s in range(1, _PQ_M)]
+    )
+    denom = float(_PQ_M * _PQ_SUBDIM) * 1e12
+    return f"""
+    WITH {joined}
+    SELECT vec_id, concat_ws('-', {code}) AS pq_code,
+           CAST({tot} AS DOUBLE) / {denom!r} AS mse
+    FROM {froms}
+    """
+
+
+@query("embedding_pq_codes", oracle=_pq_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split each embedding into m = {m}
+    subspaces of {d} dims, learn a {k}-centroid codebook per subspace
+    with the pinned deterministic Lloyd's (operators/dedup.py
+    ``native_cells`` — DECIMAL means, smallest-id init), and emit
+    each vector's concatenated cell code plus reconstruction MSE.
+    PQ is the memory lever behind IVFPQ-style billion-vector indexes:
+    m log2(k) bits per vector instead of dim floats.
+
+    Scale: each subspace's Lloyd iteration is a broadcast(centroids)
+    map over the corpus plus one {d}-column decimal agg — the corpus
+    never shuffles during training; the final code assembly joins m
+    slim (vec_id, code, se) frames on vec_id. Reconstruction error
+    aggregates as exact integers (per-dim terms rounded to BIGINT at
+    1e12 scale) so the hash cannot depend on summation order.
+    """.format(m=_PQ_M, d=_PQ_SUBDIM, k=_PQ_CELLS)
+    from declarativeml_spark.operators.dedup import native_cells
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == _PQ_M * _PQ_SUBDIM
+    )
+    joined = None
+    for s in range(_PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice(
+                F.col("embedding").cast("array<double>"),
+                1 + _PQ_SUBDIM * s,
+                _PQ_SUBDIM,
+            ).alias("sub"),
+        )
+        corpus, cents = native_cells(
+            sub,
+            id_col="vec_id",
+            vec_col="sub",
+            n_cells=_PQ_CELLS,
+            n_iters=_PQ_ITERS,
+            dim=_PQ_SUBDIM,
+        )
+        part = corpus.join(F.broadcast(cents), "cell").select(
+            "vec_id",
+            F.col("cell").alias(f"c{s}"),
+            F.expr(_SE_SPARK).alias(f"se{s}"),
+        )
+        joined = part if joined is None else joined.join(part, "vec_id")
+    code = F.concat_ws(
+        "-", *[F.col(f"c{s}").cast("string") for s in range(_PQ_M)]
+    )
+    tot = sum(F.col(f"se{s}") for s in range(1, _PQ_M)) + F.col("se0")
+    denom = F.lit(float(_PQ_M * _PQ_SUBDIM) * 1e12)
+    return joined.select(
+        "vec_id",
+        code.alias("pq_code"),
+        (tot.cast("double") / denom).alias("mse"),
+    )
