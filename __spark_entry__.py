@@ -35,6 +35,8 @@ _CHECK_FIRST = (
     "token_heavy_hitters_cms",
     "lineitem_numeric_profile",
     "embedding_pq_codes",
+    "text_tfidf_top_terms",
+    "quality_source_percentile",
     # newest (round-3 late batch) — never driver-checked
     "text_heuristic_filters",
     "knn_graph_degrees",

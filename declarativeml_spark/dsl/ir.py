@@ -514,3 +514,50 @@ class QuantizeEmbeddings:
     column: Optional[str] = None
     id_column: Optional[str] = None
     source_is_identifier: bool = True
+
+
+@dataclass
+class MixCorpus:
+    """IR for ``MIX <source> [BY col] [TEMPERATURE t]`` —
+    temperature-scaled mixing weights per group (SURVEY.md §2.11;
+    beyond-parity, like SAMPLE).
+
+    Emits per-group natural share, temperature weight p_i^(1/T), and
+    oversampling boost (see operators/corpus.py::temperature_mix;
+    queries/pipeline5.py::corpus_temperature_mix is the
+    oracle-checked twin). Only T = 2 (sqrt) is supported: IEEE sqrt
+    is correctly rounded, an arbitrary pow() is not — the restriction
+    keeps results engine-reproducible.
+    """
+
+    source: str
+    by: str = "source"
+    temperature: int = 2
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        if self.temperature != 2:
+            raise ValueError(
+                "TEMPERATURE must be 2 (sqrt scaling; other exponents"
+                " are not engine-reproducible)"
+            )
+
+
+@dataclass
+class ProfileTable:
+    """IR for ``PROFILE <source> ON col1, col2, ...`` — numeric
+    column profiling (SURVEY.md §2.11; beyond-parity).
+
+    Per-column count/min/max/mean + 10-bucket equi-width histogram
+    (see operators/profile.py::numeric_profile;
+    queries/pipeline5.py::lineitem_numeric_profile is the
+    oracle-checked twin).
+    """
+
+    source: str
+    columns: List[str] = field(default_factory=list)
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        if not self.columns:
+            raise ValueError("PROFILE requires at least one column after ON")

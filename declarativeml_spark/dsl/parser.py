@@ -1219,6 +1219,53 @@ class _Parser:
             source_is_identifier=is_identifier_source(source),
         )
 
+    # -- MIX (beyond-parity: SURVEY §2.11) --------------------------------
+    def parse_mix(self) -> "ir.MixCorpus":
+        self.expect_keyword("MIX")
+        source = self.capture_source_until("BY", "TEMPERATURE")
+        if not source:
+            raise ValueError("MIX source cannot be empty")
+        by = "source"
+        temperature = 2
+        while True:
+            if self.at_keyword("BY"):
+                self.advance()
+                by = self.expect_name("group column")
+            elif self.at_keyword("TEMPERATURE"):
+                self.advance()
+                tok = self.advance()
+                if tok.kind != "NUMBER":
+                    raise ValueError("TEMPERATURE must be a positive integer")
+                temperature = _require_positive_int(
+                    _to_number(tok.value), "TEMPERATURE"
+                )
+            else:
+                break
+        self.expect_eof()
+        return ir.MixCorpus(
+            source=source,
+            by=by,
+            temperature=temperature,
+            source_is_identifier=is_identifier_source(source),
+        )
+
+    # -- PROFILE (beyond-parity: SURVEY §2.11) ----------------------------
+    def parse_profile(self) -> "ir.ProfileTable":
+        self.expect_keyword("PROFILE")
+        source = self.capture_source_until("ON")
+        if not source:
+            raise ValueError("PROFILE source cannot be empty")
+        self.expect_keyword("ON")
+        columns = [self.expect_name("column")]
+        while self.accept_op(","):
+            columns.append(self.expect_name("column"))
+        self.expect_eof()
+        return ir.ProfileTable(
+            source=source,
+            columns=columns,
+            source_is_identifier=is_identifier_source(source),
+        )
+
     # -- SEARCH SIMILAR (beyond-parity: SURVEY §7.5) ----------------------
     def parse_search(self) -> "ir.SimilaritySearch":
         self.expect_keyword("SEARCH")
@@ -1322,11 +1369,15 @@ def parse(text: str) -> Statement:
         return parser.parse_sessionize()
     if tok.value == "QUANTIZE":
         return parser.parse_quantize()
+    if tok.value == "MIX":
+        return parser.parse_mix()
+    if tok.value == "PROFILE":
+        return parser.parse_profile()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
         " SEARCH, SAMPLE, DECONTAMINATE, PACK, REDACT, CHUNK, SESSIONIZE,"
-        " or QUANTIZE"
+        " QUANTIZE, MIX, or PROFILE"
     )
 
 

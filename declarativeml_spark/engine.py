@@ -140,6 +140,10 @@ class Engine:
             return self._sessionize(stmt)
         if isinstance(stmt, ir.QuantizeEmbeddings):
             return self._quantize(stmt)
+        if isinstance(stmt, ir.MixCorpus):
+            return self._mix(stmt)
+        if isinstance(stmt, ir.ProfileTable):
+            return self._profile(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
 
     # -- DEDUPLICATE / SEARCH SIMILAR (beyond-parity, SURVEY §7.5) ----------
@@ -318,6 +322,22 @@ class Engine:
             .limit(stmt.top_n)
             .drop("__skey")
         )
+
+    def _mix(self, stmt: "ir.MixCorpus") -> DataFrame:
+        """Temperature-scaled mixing weights per group (the
+        oracle-checked twin is corpus_temperature_mix)."""
+        from declarativeml_spark.operators.corpus import temperature_mix
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        return temperature_mix(df, by_col=stmt.by)
+
+    def _profile(self, stmt: "ir.ProfileTable") -> DataFrame:
+        """Numeric column profiling (the oracle-checked twin is
+        lineitem_numeric_profile)."""
+        from declarativeml_spark.operators.profile import numeric_profile
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        return numeric_profile(df, stmt.columns)
 
     def _similarity_search(self, stmt: ir.SimilaritySearch) -> DataFrame:
         from declarativeml_spark.operators import dedup as D

@@ -94,6 +94,40 @@ def fingerprint_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def temperature_mix(df: DataFrame, by_col: str = "source") -> DataFrame:
+    """Temperature-scaled mixing weights per group (T = 2, i.e.
+    sqrt): (group, n_docs, nat_share, temp_weight, boost). Shared by
+    the ``MIX`` DSL statement and the oracle-checked
+    ``corpus_temperature_mix`` query — see queries/pipeline5.py for
+    the cross-engine determinism notes (sqrt is correctly rounded;
+    the sqrt-sum goes through DECIMAL(38,12)).
+
+    Scale: one counting scan; everything downstream runs on the
+    n_groups-row aggregate crossed with a single broadcast totals
+    row.
+    """
+    from declarativeml_spark.queries.registry import sround
+
+    s = df.groupBy(F.col(by_col).alias("source")).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    t = s.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("total_sqrt"),
+    )
+    nat = F.col("n_docs").cast("double") / F.col("total_docs")
+    tw = F.sqrt(F.col("n_docs").cast("double")) / F.col("total_sqrt")
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        sround(nat, 6).alias("nat_share"),
+        sround(tw, 6).alias("temp_weight"),
+        sround(tw / nat, 6).alias("boost"),
+    )
+
+
 def benchmark_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,

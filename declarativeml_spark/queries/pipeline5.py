@@ -37,13 +37,7 @@ from pyspark.sql.window import Window
 
 from declarativeml_spark.operators import textops as T
 from declarativeml_spark.operators.caching import track_persist
-from declarativeml_spark.queries.registry import (
-    dsum,
-    query,
-    sql_dsum,
-    sql_sround,
-    sround,
-)
+from declarativeml_spark.queries.registry import query, sql_sround, sround
 from declarativeml_spark.sources.catalog import load_table
 
 _TOKS_S = T.TOKENS_SPARK.format(text="text")
@@ -94,22 +88,10 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last ulp. The sqrt-sum aggregates through DECIMAL(38,12) so
     shuffle order cannot change it.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    s = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
-    t = s.agg(
-        F.sum("n_docs").cast("bigint").alias("total_docs"),
-        F.sum(F.sqrt(F.col("n_docs").cast("double")).cast("decimal(38,12)"))
-        .cast("double")
-        .alias("total_sqrt"),
-    )
-    nat = F.col("n_docs").cast("double") / F.col("total_docs")
-    tw = F.sqrt(F.col("n_docs").cast("double")) / F.col("total_sqrt")
-    return s.crossJoin(F.broadcast(t)).select(
-        "source",
-        "n_docs",
-        sround(nat, 6).alias("nat_share"),
-        sround(tw, 6).alias("temp_weight"),
-        sround(tw / nat, 6).alias("boost"),
+    from declarativeml_spark.operators.corpus import temperature_mix
+
+    return temperature_mix(
+        load_table(spark, sf_dir, "documents"), by_col="source"
     )
 
 
@@ -497,69 +479,9 @@ def lineitem_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled from a bucket->count map so empty buckets render as
     zeros without a spine join.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
-    for c in _PROFILE_COLS:
-        aggs += [
-            F.count(c).cast("bigint").alias(f"{c}__n"),
-            F.min(F.col(c).cast("double")).alias(f"{c}__mn"),
-            F.max(F.col(c).cast("double")).alias(f"{c}__mx"),
-            sround(
-                F.sum(F.col(c).cast("decimal(38,6)")).cast("double")
-                / F.count(c),
-                6,
-            ).alias(f"{c}__avg"),
-        ]
-    one = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__n, {c}__mn, {c}__mx, {c}__avg" for c in _PROFILE_COLS
-    )
-    stats = one.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack_args})"
-        " as (col_name, n, mn, mx, avg_val)"
-    )
+    from declarativeml_spark.operators.profile import numeric_profile
 
-    pairs = li.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("col_name"),
-                        F.col(c).cast("double").alias("v"),
-                    )
-                    for c in _PROFILE_COLS
-                ]
-            )
-        ).alias("cv")
-    ).select("cv.col_name", "cv.v")
-    bucketed = pairs.join(F.broadcast(stats), "col_name").select(
-        "col_name",
-        F.least(
-            F.lit(9),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col("v") - F.col("mn"))
-                    / (F.col("mx") - F.col("mn"))
-                    * 10.0
-                ).cast("bigint"),
-            ),
-        )
-        .cast("bigint")
-        .alias("b"),
-    )
-    counts = bucketed.groupBy("col_name", "b").agg(
-        F.count("*").cast("bigint").alias("cnt")
-    )
-    hist = counts.groupBy("col_name").agg(
-        F.expr(
-            "concat_ws(',', transform(sequence(0, 9),"
-            " i -> CAST(coalesce("
-            "element_at(map_from_entries(collect_list(struct(b, cnt))), i),"
-            " 0) AS STRING)))"
-        ).alias("hist")
-    )
-    return stats.join(hist, "col_name")
+    return numeric_profile(load_table(spark, sf_dir, "lineitem"), _PROFILE_COLS)
 
 
 # ---------------------------------------------------------------------------
@@ -681,4 +603,148 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         code.alias("pq_code"),
         (tot.cast("double") / denom).alias("mse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction: top-3 terms per document.
+_TFIDF_TOPK = 3
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH occ AS (
+        SELECT doc_id, unnest({_TOKS_D}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM occ GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf AS DOUBLE) * ln(n.n_docs / df.df) AS score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, {sql_sround('score', 6)} AS tfidf,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_TFIDF_TOPK}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} TF-IDF terms per document — the per-doc keyword
+    extraction that feeds tagging, routing, and cluster labeling
+    (complements the corpus-level BM25 retrieval leg).
+
+    Scale: (doc_id, term) term frequencies shuffle once with
+    map-side combine; document frequencies aggregate the tf table
+    (already vocab x docs-bounded) and broadcast back as a
+    vocab-sized dimension join. The per-document top-k window
+    partitions by doc_id — embarrassingly parallel, never a global
+    sort. ln() is the same cross-engine IEEE op BM25 already relies
+    on; ties break on term text.
+    """.format(k=_TFIDF_TOPK)
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .transform(track_persist)
+    )
+    df = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _TFIDF_TOPK)
+        .select(
+            "doc_id",
+            "term",
+            sround(F.col("score"), 6).alias("tfidf"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality percentile calibration: the same raw quality
+# score means different things in different domains; percentile
+# normalization within source makes one keep-threshold comparable
+# across all of them.
+def _qpct_oracle() -> str:
+    qual = T.quality_duck("toks", "text", T.lang_hits_duck("toks", "en"))
+    return f"""
+    WITH d AS (SELECT doc_id, source, text, {_TOKS_D} AS toks
+               FROM documents),
+    q AS (SELECT doc_id, source, {qual} AS quality FROM d),
+    p AS (SELECT doc_id, source, quality,
+                 percent_rank() OVER (PARTITION BY source
+                                      ORDER BY quality, doc_id) AS pctl
+          FROM q)
+    SELECT doc_id, source, {sql_sround('quality', 6)} AS quality,
+           {sql_sround('pctl', 6)} AS pctl,
+           pctl >= 0.3 AS keep
+    FROM p
+    """
+
+
+@query("quality_source_percentile", oracle=_qpct_oracle())
+def quality_source_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality percentile: percent_rank of each document's
+    quality score WITHIN its source, plus the keep flag for a
+    drop-bottom-30%-per-source gate. Calibrating the threshold per
+    domain prevents one verbose source from monopolizing the survivor
+    set the way a single global cutoff does.
+
+    Scale: one scan computing the quality score (codegen'd), one
+    window partitioned by source. Sources are few and can be large —
+    if a single source outgrows a partition's sort budget, the
+    two-pass percentile-cutoff shape (quality_budget_selection)
+    applied per source is the fallback; percent_rank is kept here
+    because the per-document percentile itself is the output, not
+    just the cutoff. Ties break on doc_id so ranks are deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.expr(_TOKS_S)
+    )
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            T.quality_spark("toks", "text", T.lang_hits_spark("toks", "en"))
+        ).alias("quality"),
+    )
+    wp = Window.partitionBy("source").orderBy("quality", "doc_id")
+    p = q.withColumn("pctl", F.percent_rank().over(wp))
+    return p.select(
+        "doc_id",
+        "source",
+        sround(F.col("quality"), 6).alias("quality"),
+        sround(F.col("pctl"), 6).alias("pctl"),
+        (F.col("pctl") >= 0.3).alias("keep"),
     )

@@ -23,8 +23,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -195,6 +198,103 @@ def streaming_pack(
         _pack_fn(context),
         outputStructType=PACK_OUTPUT_SCHEMA,
         stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ANOM_STATE_SCHEMA = StructType(
+    [
+        StructField("hours_us", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+ANOM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("hour", TimestampType()),
+        StructField("n", LongType()),
+        StructField("z", DoubleType()),
+        StructField("is_anomaly", BooleanType()),
+    ]
+)
+
+
+def _anomaly_fn(window_size: int, min_full: int, z_cut: float):
+    import math
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (event_type,) = key
+        if state.exists:
+            hours_us, counts = state.get
+            hist = list(zip(list(hours_us), list(counts)))
+        else:
+            hist = []
+        rows = pd.concat(list(pdfs)).sort_values("hour")
+        hour_us = rows["hour"].astype("datetime64[us]").astype("int64")
+        out: dict = {k.name: [] for k in ANOM_OUTPUT_SCHEMA}
+        for h_us, n in zip(hour_us, rows["n"]):
+            n = int(n)
+            trail = [c for _, c in hist[-window_size:]]
+            m = len(trail)
+            if m >= 2:
+                s = sum(trail)
+                sq = sum(c * c for c in trail)
+                # exact-integer sum/sumsq then IEEE division — the
+                # identical arithmetic of the batch query
+                # (queries/pipeline5.py events_rate_anomalies)
+                var = (float(sq) - float(s) * float(s) / m) / (m - 1)
+                z = (
+                    (float(n) - float(s) / m) / math.sqrt(var)
+                    if var > 0
+                    else None
+                )
+                out["event_type"].append(event_type)
+                out["hour"].append(pd.Timestamp(h_us, unit="us"))
+                out["n"].append(n)
+                out["z"].append(z)
+                out["is_anomaly"].append(
+                    bool(z is not None and m >= min_full and abs(z) > z_cut)
+                )
+            hist.append((int(h_us), n))
+        hist = hist[-window_size:]
+        state.update(
+            ([h for h, _ in hist], [c for _, c in hist])
+        )
+        yield pd.DataFrame(out)
+
+    return update
+
+
+def streaming_rate_anomalies(
+    hourly_stream: DataFrame,
+    window_size: int = 24,
+    min_full: int = 12,
+    z_cut: float = 2.0,
+) -> DataFrame:
+    """Stateful streaming twin of the batch ``events_rate_anomalies``
+    query: consumes a stream of FINALIZED hourly counts (event_type,
+    hour, n) — e.g. the output of a watermarked hourly rollup — and
+    emits each bucket's z-score against the trailing ``window_size``
+    buckets, continuing across micro-batches and restarts.
+
+    Scale: state per event type is two {w}-element long arrays (the
+    trailing hours and counts) — thousands of event types cost
+    kilobytes, and Arrow batches carry 3-column count rows, never raw
+    events. Arithmetic matches the batch query exactly (integer
+    sum/sum-of-squares, IEEE division), so a backfill through the
+    batch path and a live run through this operator agree
+    bit-for-bit; tests/test_streaming_pipeline.py asserts it.
+    """.format(w=window_size)
+    return hourly_stream.groupBy("event_type").applyInPandasWithState(
+        _anomaly_fn(window_size, min_full, z_cut),
+        outputStructType=ANOM_OUTPUT_SCHEMA,
+        stateStructType=ANOM_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -198,3 +198,41 @@ def test_quantize_matches_query(engine, spark, smoke_dir):
     out = engine.execute("QUANTIZE EMBEDDINGS embeddings")
     want = QUERIES["embedding_quantize_int8"](spark, smoke_dir)
     assert _rows(out) == _rows(want)
+
+
+def test_parse_mix_profile_forms():
+    m = parse("MIX documents")
+    assert isinstance(m, ir.MixCorpus)
+    assert m.by == "source" and m.temperature == 2
+
+    m = parse("MIX documents BY lang TEMPERATURE 2")
+    assert m.by == "lang"
+
+    p = parse("PROFILE lineitem ON l_quantity, l_extendedprice")
+    assert isinstance(p, ir.ProfileTable)
+    assert p.columns == ["l_quantity", "l_extendedprice"]
+
+
+def test_parse_mix_profile_reject_bad():
+    with pytest.raises(ValueError, match="TEMPERATURE must be 2"):
+        parse("MIX documents TEMPERATURE 3")
+    with pytest.raises(ValueError, match="TEMPERATURE must be a positive integer"):
+        parse("MIX documents TEMPERATURE zero")
+    with pytest.raises(Exception, match="column"):
+        parse("PROFILE lineitem ON")
+    with pytest.raises(Exception, match="cannot be empty"):
+        parse("PROFILE ON x")
+
+
+def test_mix_matches_query(engine, spark, smoke_dir):
+    out = engine.execute("MIX documents BY source")
+    want = QUERIES["corpus_temperature_mix"](spark, smoke_dir)
+    assert _rows(out) == _rows(want)
+
+
+def test_profile_matches_query(engine, spark, smoke_dir):
+    out = engine.execute(
+        "PROFILE lineitem ON l_quantity, l_extendedprice, l_discount"
+    )
+    want = QUERIES["lineitem_numeric_profile"](spark, smoke_dir)
+    assert _rows(out) == _rows(want)

@@ -330,3 +330,57 @@ def test_stream_stream_join_matches_batch(spark, smoke_dir, tmp_path):
     want = {(r.user_id, r.purchase_id, r.view_id) for r in batch.collect()}
     assert streamed == want
     assert len(want) > 0
+
+
+def test_streaming_rate_anomalies_matches_batch(spark, smoke_dir, tmp_path):
+    """The stateful streaming anomaly detector, fed the finalized
+    hourly series split across two micro-batches, must reproduce the
+    batch events_rate_anomalies query exactly (same z, same flags —
+    trailing state continues across the batch boundary)."""
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.queries import QUERIES
+    from declarativeml_spark.streaming.stateful import streaming_rate_anomalies
+
+    ev = load_table(spark, smoke_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").cast("long").alias("n"))
+    cut = hourly.agg(F.expr("percentile(unix_seconds(hour), 0.5)")).first()[0]
+
+    src = tmp_path / "anom_src"
+    src.mkdir()
+    hourly.filter(F.unix_seconds("hour") <= cut).coalesce(1).write.parquet(
+        str(src / "a_first")
+    )
+    hourly.filter(F.unix_seconds("hour") > cut).coalesce(1).write.parquet(
+        str(src / "b_second")
+    )
+    schema = spark.read.parquet(str(src / "a_first")).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = streaming_rate_anomalies(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    sround4 = "floor(z * 1e4 + 0.5) / 1e4"
+    streamed = spark.sql(
+        f"SELECT event_type, hour, n, {sround4} AS z, is_anomaly"
+        " FROM anom_sink"
+    )
+    want = QUERIES["events_rate_anomalies"](spark, smoke_dir)
+    skey = lambda r: (r[0], r[1])  # noqa: E731
+    got_rows = sorted((tuple(r) for r in streamed.collect()), key=skey)
+    want_rows = sorted((tuple(r) for r in want.collect()), key=skey)
+    assert got_rows == want_rows
