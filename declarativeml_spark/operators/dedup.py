@@ -1008,10 +1008,6 @@ def native_cells(
         .withColumn("cell", F.row_number().over(w_init) - 1)
         .select("cell", F.col("vec").alias("cvec"))
     )
-    d2 = (
-        "aggregate(zip_with(vec, cvec, (x, y) -> (x - y) * (x - y)),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
     mean_dims = [
         (
             F.expr(f"CAST(SUM(CAST(vec[{i}] AS DECIMAL(38,12))) AS DOUBLE)")
@@ -1019,14 +1015,25 @@ def native_cells(
         ).alias(f"m{i}")
         for i in range(dim)
     ]
-    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    # Assignment is argmin over (d2, cell) — computed per row from a
+    # single broadcast ROW holding all centroids as an array, via
+    # array_min over struct(d2, cell) (lexicographic struct compare ==
+    # ORDER BY d2, cell). The previous form crossJoined n_cells rows
+    # per vector and ranked with a window partitioned by vec_id, which
+    # re-shuffled the whole corpus ONCE PER ITERATION; this form never
+    # shuffles the corpus at all — the only movement per iteration is
+    # the dim-column decimal agg for the new means (map-side
+    # combinable) and one tiny centroid row broadcast back.
+    cs = F.collect_list(F.struct("cell", "cvec")).alias("cs")
+    assign = (
+        "array_min(transform(cs, c -> struct("
+        "aggregate(zip_with(vec, c.cvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d2,"
+        " c.cell AS cell))).cell"
+    )
     for _ in range(n_iters):
-        assigned = (
-            base.crossJoin(F.broadcast(cents))
-            .withColumn("d2", F.expr(d2))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "vec", "cell")
+        assigned = base.crossJoin(F.broadcast(cents.agg(cs))).select(
+            "vec_id", "vec", F.expr(assign).alias("cell")
         )
         cents = (
             assigned.groupBy("cell")
@@ -1040,11 +1047,8 @@ def native_cells(
     # the assigned corpus, which multiple join sides reference.
     cents = cents.transform(track_persist)
     corpus = (
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("d2", F.expr(d2))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", F.col("cell"))
+        base.crossJoin(F.broadcast(cents.agg(cs)))
+        .select("vec_id", "vec", F.expr(assign).alias("cell"))
         .withColumn("nrm", F.expr(_NORM.format(a="vec")))
         .transform(track_persist)
     )

@@ -565,44 +565,97 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates as exact integers (per-dim terms rounded to BIGINT at
     1e12 scale) so the hash cannot depend on summation order.
     """.format(m=_PQ_M, d=_PQ_SUBDIM, k=_PQ_CELLS)
-    from declarativeml_spark.operators.dedup import native_cells
+    from declarativeml_spark.operators.skew import spread_partitions
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.size("embedding") == _PQ_M * _PQ_SUBDIM
     )
-    joined = None
-    for s in range(_PQ_M):
-        sub = emb.select(
-            "vec_id",
-            F.slice(
-                F.col("embedding").cast("array<double>"),
-                1 + _PQ_SUBDIM * s,
-                _PQ_SUBDIM,
-            ).alias("sub"),
-        )
-        corpus, cents = native_cells(
-            sub,
-            id_col="vec_id",
-            vec_col="sub",
-            n_cells=_PQ_CELLS,
-            n_iters=_PQ_ITERS,
-            dim=_PQ_SUBDIM,
-        )
-        part = corpus.join(F.broadcast(cents), "cell").select(
-            "vec_id",
-            F.col("cell").alias(f"c{s}"),
-            F.expr(_SE_SPARK).alias(f"se{s}"),
-        )
-        joined = part if joined is None else joined.join(part, "vec_id")
-    code = F.concat_ws(
-        "-", *[F.col(f"c{s}").cast("string") for s in range(_PQ_M)]
+    # All m subspaces train JOINTLY in one keyed Lloyd's loop: the
+    # corpus explodes once into (vec_id, s, vec) sub-vector rows, and
+    # each iteration is ONE broadcast of all m codebooks + one
+    # groupBy(s, cell) decimal agg — versus m independent quantizer
+    # runs (m x iters broadcast jobs, m persists of the same scan).
+    # The per-subspace arithmetic is unchanged, so the per-subspace
+    # oracle CTE chains still match value-for-value.
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(
+                    F.col("embedding").cast("array<double>"),
+                    1 + _PQ_SUBDIM * s,
+                    _PQ_SUBDIM,
+                ).alias("vec"),
+            )
+            for s in range(_PQ_M)
+        ]
     )
-    tot = sum(F.col(f"se{s}") for s in range(1, _PQ_M)) + F.col("se0")
+    base = (
+        spread_partitions(
+            emb.select("vec_id", F.explode(subs).alias("sv")).select(
+                "vec_id", "sv.s", "sv.vec"
+            )
+        )
+        .transform(track_persist)
+    )
+    # init: the n_cells smallest-id vectors of EACH subspace — the
+    # same vec_ids for every s, so TakeOrdered on the un-exploded
+    # table then a tiny per-s ranking.
+    init = (
+        emb.orderBy("vec_id")
+        .limit(_PQ_CELLS)
+        .select("vec_id", F.explode(subs).alias("sv"))
+        .select("vec_id", "sv.s", F.col("sv.vec").alias("cvec"))
+    )
+    w_init = Window.partitionBy("s").orderBy("vec_id")
+    cents = init.withColumn("cell", F.row_number().over(w_init) - 1).select(
+        "s", "cell", "cvec"
+    )
+    mean_dims = [
+        (
+            F.expr(f"CAST(SUM(CAST(vec[{i}] AS DECIMAL(38,12))) AS DOUBLE)")
+            / F.count("*")
+        ).alias(f"m{i}")
+        for i in range(_PQ_SUBDIM)
+    ]
+    cs = F.collect_list(F.struct("cell", "cvec")).alias("cs")
+    assign = (
+        "array_min(transform(cs, c -> struct("
+        "aggregate(zip_with(vec, c.cvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d2,"
+        " c.cell AS cell))).cell"
+    )
+    for _ in range(_PQ_ITERS):
+        assigned = base.join(
+            F.broadcast(cents.groupBy("s").agg(cs)), "s"
+        ).select("vec_id", "s", "vec", F.expr(assign).alias("cell"))
+        cents = (
+            assigned.groupBy("s", "cell")
+            .agg(*mean_dims)
+            .select(
+                "s",
+                "cell",
+                F.array(
+                    *[F.col(f"m{i}") for i in range(_PQ_SUBDIM)]
+                ).alias("cvec"),
+            )
+        )
+    cents = cents.transform(track_persist)
+    final = (
+        base.join(F.broadcast(cents.groupBy("s").agg(cs)), "s")
+        .select("vec_id", "s", "vec", F.expr(assign).alias("cell"))
+        .join(F.broadcast(cents), ["s", "cell"])
+        .select("vec_id", "s", "cell", F.expr(_SE_SPARK).alias("se"))
+    )
+    # one slim (vec_id, s, cell, se) shuffle assembles codes + MSE
     denom = F.lit(float(_PQ_M * _PQ_SUBDIM) * 1e12)
-    return joined.select(
-        "vec_id",
-        code.alias("pq_code"),
-        (tot.cast("double") / denom).alias("mse"),
+    return final.groupBy("vec_id").agg(
+        F.expr(
+            f"concat_ws('-', transform(sequence(0, {_PQ_M - 1}),"
+            " i -> CAST(element_at("
+            "map_from_entries(collect_list(struct(s, cell))), i) AS STRING)))"
+        ).alias("pq_code"),
+        (F.sum("se").cast("double") / denom).alias("mse"),
     )
 
 
