@@ -37,6 +37,8 @@ _CHECK_FIRST = (
     "embedding_pq_codes",
     "text_tfidf_top_terms",
     "quality_source_percentile",
+    "source_length_drift_psi",
+    "ann_ivf_recall",
     # newest (round-3 late batch) — never driver-checked
     "text_heuristic_filters",
     "knn_graph_degrees",

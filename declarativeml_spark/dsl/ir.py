@@ -561,3 +561,31 @@ class ProfileTable:
     def __post_init__(self) -> None:
         if not self.columns:
             raise ValueError("PROFILE requires at least one column after ON")
+
+
+@dataclass
+class DetectAnomalies:
+    """IR for ``DETECT ANOMALIES <source> [BY key] [ON ts_col]
+    [WINDOW n]`` — trailing-window rate-anomaly detection
+    (SURVEY.md §2.11; beyond-parity).
+
+    Per (key, hour) z-scores against the preceding ``window`` hourly
+    buckets (see operators/anomaly.py::rate_anomalies;
+    queries/pipeline5.py::events_rate_anomalies is the oracle-checked
+    twin, streaming/stateful.py::streaming_rate_anomalies the
+    streaming one).
+    """
+
+    source: str
+    key: str = "event_type"
+    ts_column: Optional[str] = None
+    window: int = 24
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        if (
+            not isinstance(self.window, int)
+            or isinstance(self.window, bool)
+            or self.window <= 0
+        ):
+            raise ValueError("WINDOW must be a positive integer")

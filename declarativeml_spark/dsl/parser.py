@@ -1266,6 +1266,40 @@ class _Parser:
             source_is_identifier=is_identifier_source(source),
         )
 
+    # -- DETECT ANOMALIES (beyond-parity: SURVEY §2.11) -------------------
+    def parse_detect(self) -> "ir.DetectAnomalies":
+        self.expect_keyword("DETECT")
+        self.expect_keyword("ANOMALIES")
+        source = self.capture_source_until("BY", "ON", "WINDOW")
+        if not source:
+            raise ValueError("DETECT ANOMALIES source cannot be empty")
+        key = "event_type"
+        ts_column = None
+        window = 24
+        while True:
+            if self.at_keyword("BY"):
+                self.advance()
+                key = self.expect_name("key column")
+            elif self.at_keyword("ON"):
+                self.advance()
+                ts_column = self.expect_name("timestamp column")
+            elif self.at_keyword("WINDOW"):
+                self.advance()
+                tok = self.advance()
+                if tok.kind != "NUMBER":
+                    raise ValueError("WINDOW must be a positive integer")
+                window = _require_positive_int(_to_number(tok.value), "WINDOW")
+            else:
+                break
+        self.expect_eof()
+        return ir.DetectAnomalies(
+            source=source,
+            key=key,
+            ts_column=ts_column,
+            window=window,
+            source_is_identifier=is_identifier_source(source),
+        )
+
     # -- SEARCH SIMILAR (beyond-parity: SURVEY §7.5) ----------------------
     def parse_search(self) -> "ir.SimilaritySearch":
         self.expect_keyword("SEARCH")
@@ -1373,11 +1407,13 @@ def parse(text: str) -> Statement:
         return parser.parse_mix()
     if tok.value == "PROFILE":
         return parser.parse_profile()
+    if tok.value == "DETECT":
+        return parser.parse_detect()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
         " SEARCH, SAMPLE, DECONTAMINATE, PACK, REDACT, CHUNK, SESSIONIZE,"
-        " QUANTIZE, MIX, or PROFILE"
+        " QUANTIZE, MIX, PROFILE, or DETECT"
     )
 
 

@@ -144,6 +144,8 @@ class Engine:
             return self._mix(stmt)
         if isinstance(stmt, ir.ProfileTable):
             return self._profile(stmt)
+        if isinstance(stmt, ir.DetectAnomalies):
+            return self._detect_anomalies(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
 
     # -- DEDUPLICATE / SEARCH SIMILAR (beyond-parity, SURVEY §7.5) ----------
@@ -338,6 +340,20 @@ class Engine:
 
         df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
         return numeric_profile(df, stmt.columns)
+
+    def _detect_anomalies(self, stmt: "ir.DetectAnomalies") -> DataFrame:
+        """Trailing-window rate anomalies (the oracle-checked twin is
+        events_rate_anomalies; streaming_rate_anomalies the stream
+        form)."""
+        from declarativeml_spark.operators.anomaly import rate_anomalies
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        return rate_anomalies(
+            df,
+            key_col=stmt.key,
+            ts_col=stmt.ts_column or "ts",
+            window_size=stmt.window,
+        )
 
     def _similarity_search(self, stmt: ir.SimilaritySearch) -> DataFrame:
         from declarativeml_spark.operators import dedup as D

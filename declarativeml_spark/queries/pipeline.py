@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from declarativeml_spark.operators.caching import track_persist
 
 from declarativeml_spark.operators import textops as T
-from declarativeml_spark.queries.registry import query, sql_sround, sround
+from declarativeml_spark.queries.registry import QUERIES, query, sql_sround, sround
 from declarativeml_spark.sources.catalog import load_table
 
 _TOKS_S = T.TOKENS_SPARK.format(text="text")
@@ -937,4 +937,53 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
         .select("qid", "nid", sround("cos").alias("cosine"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the IVF-native index against
+# the brute-force ground truth, per query. Registered AFTER both
+# legs so their oracle SQL can be composed as subqueries.
+def _ivf_recall_oracle() -> str:
+    from declarativeml_spark.queries.registry import ORACLES
+
+    gt = ORACLES["ann_topk_cosine"]
+    ivf = ORACLES["ann_ivf_native"]
+    return f"""
+    SELECT g.qid,
+           CAST(COUNT(i.nid) AS BIGINT) AS hits,
+           CAST(COUNT(i.nid) AS DOUBLE) / COUNT(*) AS recall
+    FROM ({gt}) g
+    LEFT JOIN ({ivf}) i ON g.qid = i.qid AND g.nid = i.nid
+    GROUP BY g.qid
+    """
+
+
+@query("ann_ivf_recall", oracle=_ivf_recall_oracle())
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF-native approximate index against the
+    brute-force cosine ground truth, per query vector — the eval
+    harness every ANN deployment runs before trading exactness for
+    speed (pairs with the probe/cell-count tuning knobs).
+
+    Scale: both legs are existing plans (ground truth broadcasts the
+    ~1% query set; IVF searches only probed cells); the comparison
+    itself joins two k-per-query frames — tiny — on (qid, nid).
+    Deterministic end to end, so even the RECALL NUMBER is
+    hash-checked against DuckDB computing both legs independently.
+    """
+    from pyspark.sql import functions as F
+
+    gt = QUERIES["ann_topk_cosine"](spark, sf_dir).select("qid", "nid")
+    ivf = QUERIES["ann_ivf_native"](spark, sf_dir).select(
+        F.col("qid").alias("iqid"), F.col("nid").alias("inid")
+    )
+    j = gt.join(
+        ivf,
+        (F.col("qid") == F.col("iqid")) & (F.col("nid") == F.col("inid")),
+        "left",
+    )
+    return j.groupBy("qid").agg(
+        F.count("inid").cast("bigint").alias("hits"),
+        (F.count("inid").cast("double") / F.count("*")).alias("recall"),
     )

@@ -148,37 +148,9 @@ def events_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-accumulation drift, no stddev_samp implementation
     dependence.
     """
-    ev = load_table(spark, sf_dir, "events")
-    h = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(F.count("*").cast("bigint").alias("n"))
-    tw = (
-        Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
-    )
-    w = h.select(
-        "event_type",
-        "hour",
-        "n",
-        F.sum("n").over(tw).cast("bigint").alias("s"),
-        F.sum(F.col("n") * F.col("n")).over(tw).cast("bigint").alias("sq"),
-        F.count("n").over(tw).cast("bigint").alias("m"),
-    ).filter(F.col("m") >= 2)
-    mean = F.col("s").cast("double") / F.col("m")
-    var = (
-        F.col("sq").cast("double")
-        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("m")
-    ) / (F.col("m") - 1)
-    zv = F.when(var > 0, (F.col("n").cast("double") - mean) / F.sqrt(var))
-    z = w.withColumn("zv", zv)
-    return z.select(
-        "event_type",
-        "hour",
-        "n",
-        sround(F.col("zv"), 4).alias("z"),
-        F.coalesce(
-            (F.col("m") >= 12) & (F.abs(F.col("zv")) > 2.0), F.lit(False)
-        ).alias("is_anomaly"),
-    )
+    from declarativeml_spark.operators.anomaly import rate_anomalies
+
+    return rate_anomalies(load_table(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------
@@ -656,6 +628,121 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "map_from_entries(collect_list(struct(s, cell))), i) AS STRING)))"
         ).alias("pq_code"),
         (F.sum("se").cast("double") / denom).alias("mse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population-stability-index drift: each source's document-length
+# distribution vs the whole corpus, over 10 equi-width buckets.
+_PSI_EPS = 1e-6
+
+
+@query(
+    "source_length_drift_psi",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents
+    ),
+    mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM d),
+    b AS (
+        SELECT d.source,
+               least(9, greatest(0, CAST(floor((d.v - mm.mn)
+                   / (mm.mx - mm.mn) * 10.0) AS BIGINT))) AS bkt
+        FROM d CROSS JOIN mm
+    ),
+    sc AS (SELECT source, bkt, CAST(COUNT(*) AS BIGINT) AS c
+           FROM b GROUP BY source, bkt),
+    st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+           FROM sc GROUP BY source),
+    gc AS (SELECT bkt, CAST(SUM(c) AS BIGINT) AS g FROM sc GROUP BY bkt),
+    gt AS (SELECT CAST(SUM(g) AS BIGINT) AS ng FROM gc),
+    spine AS (
+        SELECT st.source, st.n, g.range AS bkt
+        FROM st CROSS JOIN range(0, 10) g
+    ),
+    frac AS (
+        SELECT s.source, s.bkt,
+               CAST(coalesce(sc.c, 0) AS DOUBLE) / s.n + {_PSI_EPS!r} AS p,
+               CAST(gc.g AS DOUBLE) / gt.ng + {_PSI_EPS!r} AS q
+        FROM spine s
+        LEFT JOIN sc ON sc.source = s.source AND sc.bkt = s.bkt
+        JOIN gc ON gc.bkt = s.bkt
+        CROSS JOIN gt
+    )
+    SELECT source,
+           {sql_sround(
+               'CAST(SUM(CAST('
+               + sql_sround('(p - q) * ln(p / q)', 12)
+               + ' AS DECIMAL(38,12))) AS DOUBLE)', 8)} AS psi
+    FROM frac GROUP BY source
+    """,
+)
+def source_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of each source's document-length
+    distribution against the whole corpus — the drift score a data
+    monitor tracks per ingest source (PSI > 0.2 conventionally flags
+    a shifted distribution; pairs with MONITOR MODEL's
+    feature-drift checks).
+
+    Scale: one scan buckets lengths into 10 equi-width bins (edges
+    from a broadcast min/max row); everything after runs on the
+    (sources x 10)-row count table — per-source and global fractions,
+    epsilon-smoothed PSI terms, a 10-term sum. The per-bucket PSI
+    terms round to 12 digits and aggregate through DECIMAL so the
+    hash is order-independent; ln() is the same cross-engine IEEE op
+    BM25/TF-IDF rely on. Empty (source, bucket) cells enter as
+    exact zeros via a sources x 10 spine, not a missing row.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("v")
+    )
+    mm = docs.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    b = docs.crossJoin(F.broadcast(mm)).select(
+        "source",
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * 10.0
+                ).cast("bigint"),
+            ),
+        ).alias("bkt"),
+    )
+    sc = (
+        b.groupBy("source", "bkt")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .transform(track_persist)
+    )
+    st = sc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    gc = sc.groupBy("bkt").agg(F.sum("c").cast("bigint").alias("g"))
+    gt = gc.agg(F.sum("g").cast("bigint").alias("ng"))
+    spine = st.crossJoin(F.broadcast(spark.range(10).select(F.col("id").alias("bkt"))))
+    frac = (
+        spine.join(sc, ["source", "bkt"], "left")
+        .join(F.broadcast(gc), "bkt")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            "bkt",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("n")
+                + F.lit(_PSI_EPS)
+            ).alias("p"),
+            (F.col("g").cast("double") / F.col("ng") + F.lit(_PSI_EPS)).alias(
+                "q"
+            ),
+        )
+    )
+    term = sround(
+        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 12
+    )
+    return frac.groupBy("source").agg(
+        sround(
+            F.sum(term.cast("decimal(38,12)")).cast("double"), 8
+        ).alias("psi")
     )
 
 

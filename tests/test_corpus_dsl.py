@@ -236,3 +236,21 @@ def test_profile_matches_query(engine, spark, smoke_dir):
     )
     want = QUERIES["lineitem_numeric_profile"](spark, smoke_dir)
     assert _rows(out) == _rows(want)
+
+
+def test_parse_detect_forms():
+    d = parse("DETECT ANOMALIES events")
+    assert isinstance(d, ir.DetectAnomalies)
+    assert d.key == "event_type" and d.window == 24
+
+    d = parse("DETECT ANOMALIES events BY event_type ON ts WINDOW 12")
+    assert d.window == 12 and d.ts_column == "ts"
+
+    with pytest.raises(ValueError, match="WINDOW must be a positive integer"):
+        parse("DETECT ANOMALIES events WINDOW 0")
+
+
+def test_detect_anomalies_matches_query(engine, spark, smoke_dir):
+    out = engine.execute("DETECT ANOMALIES events")
+    want = QUERIES["events_rate_anomalies"](spark, smoke_dir)
+    assert _rows(out) == _rows(want)
