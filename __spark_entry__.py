@@ -39,6 +39,8 @@ _CHECK_FIRST = (
     "quality_source_percentile",
     "source_length_drift_psi",
     "ann_ivf_recall",
+    "orders_merge_upsert",
+    "events_latest_per_user",
     # newest (round-3 late batch) — never driver-checked
     "text_heuristic_filters",
     "knn_graph_degrees",

@@ -747,6 +747,104 @@ def source_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CDC shapes: MERGE-style upsert of a change batch into a snapshot,
+# and latest-per-key log compaction.
+@query(
+    "orders_merge_upsert",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey, o_custkey, 'D' AS o_orderstatus,
+               CAST(o_totalprice * 1.1 AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey % 31 = 7
+    ),
+    kept AS (
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+               FALSE AS updated
+        FROM orders o LEFT JOIN changes c ON o.o_orderkey = c.o_orderkey
+        WHERE c.o_orderkey IS NULL
+    )
+    SELECT * FROM kept
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           TRUE AS updated
+    FROM changes
+    """,
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (WHEN MATCHED UPDATE semantics) without a
+    row-level-op table format: apply a change batch (here a derived
+    ~3% of orders with repriced rows) onto the snapshot as
+    anti-join(snapshot, changes) UNION changes — the upsert shape a
+    warehouse runs when Delta/Iceberg MERGE isn't available.
+
+    Scale: one hash join on the primary key (changes are typically a
+    small fraction — AQE broadcasts them when they fit, else a keyed
+    shuffle co-partitions both sides); the snapshot is read once,
+    never sorted globally. With a bucketed snapshot table the join is
+    co-located and shuffle-free (tests/test_bucketed_join.py shows
+    the layout). The ``updated`` flag makes the written-row
+    provenance auditable downstream.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    changes = o.filter(F.col("o_orderkey") % 31 == 7).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("D").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).cast("double").alias("o_totalprice"),
+    )
+    kept = o.join(changes.select("o_orderkey"), "o_orderkey", "left_anti")
+    return kept.withColumn("updated", F.lit(False)).unionByName(
+        changes.withColumn("updated", F.lit(True))
+    )
+
+
+@query(
+    "events_latest_per_user",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id, event_type, ts AS last_ts
+    FROM r WHERE rn = 1
+    """,
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction: the latest event per user (CDC upsert-stream →
+    current-state table, the Kafka-compaction / SCD-type-1 shape).
+
+    Scale: one shuffle on the compaction key with map-side partial
+    reduction — max_by over struct(ts, event_id, ...) keeps ONE row
+    per key per partition before the exchange, so the shuffle carries
+    at most n_keys rows per upstream partition (a window + rn = 1
+    formulation would shuffle every event and sort each key group).
+    Ties break on event_id so both engines pick the same row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    best = F.max(
+        F.struct("ts", "event_id", "event_type")
+    ).alias("b")
+    return (
+        ev.groupBy("user_id")
+        .agg(best)
+        .select(
+            "user_id",
+            F.col("b.event_id").alias("event_id"),
+            F.col("b.event_type").alias("event_type"),
+            F.col("b.ts").alias("last_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF keyword extraction: top-3 terms per document.
 _TFIDF_TOPK = 3
 
