@@ -27,8 +27,53 @@ def entry(spark: SparkSession) -> DataFrame:
 # correctness tooling that samples a prefix of this dict should spend
 # its budget on rows not yet (or not yet successfully) checked, not on
 # re-confirming long-green ones.
+# Priority for a ~50-row sampling window, in order:
+# 1. The TPC-H classics + two round-1 stragglers (18): never had ANY
+#    driver row across rounds 1-2 (round-1 cap cut them, round 2's
+#    run aborted) — the shapes a real user hits constantly.
+# 2. Red in round 1, fixed since (10): the fixes need driver
+#    confirmation, not just the local mirror gate.
+# 3. Rewritten since their green round-1 rows (3): candidate-gated
+#    pair generation replaced the blocked forms.
+# 4. This round's new operators (12), newest first.
+# 5. Round-2/3 additions that were locally green both rounds but have
+#    no driver row yet (the remainder) — they take whatever window is
+#    left and rotate forward next round.
 _CHECK_FIRST = (
-    # round-3 new batch — never driver-checked
+    # (1) TPC-H classics, never driver-checked
+    "q6_discount_revenue",
+    "q8_nation_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_brand_quantity_revenue",
+    "q20_heavy_shippers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "revenue_moving_avg_7d",
+    "embedding_array_stats",
+    # (2) red in round 1, fixed since — need fresh rows
+    "events_sessionize",
+    "events_hourly_stats",
+    "events_json_extract",
+    "events_type_hour_cube",
+    "asof_last_view_before_purchase",
+    "events_value_range_join",
+    "part_type_shares",
+    "text_winnow_fingerprints",
+    "approx_distinct_parts",
+    "multimodal_byte_histogram",
+    # (3) rewritten since round 1 (candidate-gated pair generation) —
+    # the green round-1 rows no longer vouch for them
+    "embedding_similarity_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    # (4) round-3 new batch — never driver-checked
     "corpus_temperature_mix",
     "events_rate_anomalies",
     "decontam_bloom_gate",
@@ -41,7 +86,8 @@ _CHECK_FIRST = (
     "ann_ivf_recall",
     "orders_merge_upsert",
     "events_latest_per_user",
-    # newest (round-3 late batch) — never driver-checked
+    # (5) round-2/3 additions, locally green since introduction,
+    # no driver row yet — rotate forward next round
     "text_heuristic_filters",
     "knn_graph_degrees",
     "events_user_sessions",
@@ -50,7 +96,6 @@ _CHECK_FIRST = (
     "dedup_incremental_delta",
     "events_minute_gapfill",
     "multimodal_frame_sample",
-    # new in round 3 — never driver-checked
     "text_pii_redaction",
     "semdedup_embedding_prune",
     "corpus_cross_source_overlap",
@@ -69,39 +114,6 @@ _CHECK_FIRST = (
     "hybrid_search_rrf",
     "join_key_hotspots",
     "pipeline_pretraining_corpus",
-    # never driver-checked as of round 1 (fell past the row cap)
-    "q6_discount_revenue",
-    "q8_nation_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_brand_quantity_revenue",
-    "q20_heavy_shippers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "revenue_moving_avg_7d",
-    "embedding_array_stats",
-    # red in round 1, fixed since — need fresh rows
-    "events_sessionize",
-    "events_hourly_stats",
-    "events_json_extract",
-    "events_type_hour_cube",
-    "asof_last_view_before_purchase",
-    "events_value_range_join",
-    "part_type_shares",
-    "text_winnow_fingerprints",
-    "approx_distinct_parts",
-    "multimodal_byte_histogram",
-    # implementation rewritten since round 1 (candidate-gated pair
-    # generation) — the green round-1 rows no longer vouch for them
-    "embedding_similarity_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
 )
 
 
