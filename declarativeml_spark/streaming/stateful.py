@@ -298,3 +298,74 @@ def streaming_rate_anomalies(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+COMPACT_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+COMPACT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def _compact_fn():
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        best = state.get if state.exists else None  # (ts_us, event_id, type)
+        rows = pd.concat(list(pdfs))
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
+        for t_us, eid, etype in zip(ts_us, rows["event_id"], rows["event_type"]):
+            cand = (int(t_us), int(eid), str(etype))
+            # same (ts, event_id) lexicographic ordering as the batch
+            # max_by-struct — newest ts wins, event_id breaks ties
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "event_id": [best[1]],
+                "event_type": [best[2]],
+                "last_ts": [pd.Timestamp(best[0], unit="us")],
+            }
+        )
+
+    return update
+
+
+def streaming_latest_per_user(events_stream: DataFrame) -> DataFrame:
+    """Stateful streaming twin of the batch ``events_latest_per_user``
+    compaction: per user, the current newest event, re-emitted
+    whenever a micro-batch touches that user — the changelog a
+    current-state store (or Kafka compacted topic) consumes.
+
+    Scale: state per key is ONE (ts, id, type) triple — a
+    current-state table over 10^9 users is 10^9 tiny rows sharded
+    across executors, and Arrow batches carry only the 4 columns the
+    comparison needs. The comparison is the same (ts, event_id)
+    lexicographic rule as the batch max_by-struct, so after any
+    prefix of the stream the emitted state equals the batch query on
+    the same prefix (tests assert it across a two-batch split).
+    """
+    d = events_stream.select("user_id", "event_id", "event_type", "ts")
+    return d.groupBy("user_id").applyInPandasWithState(
+        _compact_fn(),
+        outputStructType=COMPACT_OUTPUT_SCHEMA,
+        stateStructType=COMPACT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

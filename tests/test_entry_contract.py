@@ -43,3 +43,8 @@ def test_priority_queries_lead_the_registry():
     mod = importlib.import_module("__spark_entry__")
     head = list(mod.queries())[: len(mod._CHECK_FIRST)]
     assert head == list(mod._CHECK_FIRST)
+
+
+def test_check_first_has_no_duplicates():
+    mod = importlib.import_module("__spark_entry__")
+    assert len(mod._CHECK_FIRST) == len(set(mod._CHECK_FIRST))

@@ -384,3 +384,62 @@ def test_streaming_rate_anomalies_matches_batch(spark, smoke_dir, tmp_path):
     got_rows = sorted((tuple(r) for r in streamed.collect()), key=skey)
     want_rows = sorted((tuple(r) for r in want.collect()), key=skey)
     assert got_rows == want_rows
+
+
+def test_streaming_compaction_matches_batch(spark, smoke_dir, tmp_path):
+    """The stateful latest-per-user compactor, after consuming the
+    whole event log across two micro-batches, must hold exactly the
+    batch events_latest_per_user state for every user (update mode:
+    keep each user's LAST emitted row)."""
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.queries import QUERIES
+    from declarativeml_spark.streaming.stateful import streaming_latest_per_user
+
+    ev = load_table(spark, smoke_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    cut = ev.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+
+    src = tmp_path / "compact_src"
+    src.mkdir()
+    ev.filter(F.col("event_id") <= cut).coalesce(1).write.parquet(
+        str(src / "a_first")
+    )
+    ev.filter(F.col("event_id") > cut).coalesce(1).write.parquet(
+        str(src / "b_second")
+    )
+    schema = spark.read.parquet(str(src / "a_first")).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = streaming_latest_per_user(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("compact_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # update-mode memory sink appends each emission; the CURRENT state
+    # per user is the row from the latest batch that touched it
+    streamed = spark.sql(
+        """
+        SELECT user_id, event_id, event_type, last_ts FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY last_ts DESC, event_id DESC)
+                      AS rn
+            FROM compact_sink
+        ) WHERE rn = 1
+        """
+    )
+    want = QUERIES["events_latest_per_user"](spark, smoke_dir)
+    got_rows = sorted(tuple(r) for r in streamed.collect())
+    want_rows = sorted(tuple(r) for r in want.collect())
+    assert got_rows == want_rows
