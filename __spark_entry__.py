@@ -86,6 +86,7 @@ _CHECK_FIRST = (
     "ann_ivf_recall",
     "orders_merge_upsert",
     "events_latest_per_user",
+    "multimodal_audio_energy",
     # (5) round-2/3 additions, locally green since introduction,
     # no driver row yet — rotate forward next round
     "text_heuristic_filters",

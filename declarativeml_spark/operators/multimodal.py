@@ -196,3 +196,62 @@ def sample_frames(
             )
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+WINDOW_BYTES = 64  # fake audio codec: one analysis window = 64 bytes
+
+
+def window_energy(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    codec: str = "fake",
+    window_bytes: int = WINDOW_BYTES,
+) -> DataFrame:
+    """Per-window energy of an 'audio' payload via mapInPandas: the
+    payload's bytes are read as unsigned 8-bit samples, split into
+    ``window_bytes``-sample analysis windows (last window ragged),
+    and each window's energy is the exact integer sum of squared
+    sample values — the fake-codec stand-in for RMS/spectral frames,
+    chosen so the full Arrow decode path is SQL-oracle-verifiable.
+
+    Scale: one row per (media, window) leaves the Python boundary —
+    slim longs, never the payload; a real PCM/FFT codec swaps the
+    numpy body only. Energy stays in int64 (max 64 * 255^2 per
+    window), so no float drift crosses the engine boundary.
+    """
+    _require_codec(codec, "window_energy")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("window_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("energy", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, wids, ns, es = [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                if blob is None or len(blob) == 0:
+                    continue
+                arr = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+                for w in range(0, len(arr), window_bytes):
+                    win = arr[w : w + window_bytes]
+                    ids.append(int(mid))
+                    wids.append(w // window_bytes)
+                    ns.append(int(win.size))
+                    es.append(int((win * win).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "window_id": wids,
+                    "n_samples": ns,
+                    "energy": es,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)

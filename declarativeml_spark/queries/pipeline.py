@@ -987,3 +987,41 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("inid").cast("bigint").alias("hits"),
         (F.count("inid").cast("double") / F.count("*")).alias("recall"),
     )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(w AS BIGINT) AS window_id,
+           CAST(least(64, length(text) - w * 64) AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(
+               range(w * 64 + 1, least((w + 1) * 64, length(text)) + 1),
+               i -> ascii(substr(text, i, 1)) * ascii(substr(text, i, 1))
+           )) AS BIGINT) AS energy
+    FROM documents,
+         unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS t(w)
+    WHERE length(text) > 0
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style multimodal decode: per 64-byte analysis window of
+    each payload, the exact integer energy (sum of squared unsigned
+    samples) through the Arrow ``mapInPandas`` path — the windowed
+    feature-extraction shape (RMS frames, spectral bands) with the
+    codec faked deterministically so the whole distributed path is
+    hash-checked (see operators/multimodal.py::window_energy).
+
+    Scale: only (media_id, window_id, n_samples, energy) longs leave
+    Python; payload bytes stay inside the Arrow batch. A real codec
+    swaps the numpy body; the schema, batching, and partitioning are
+    the production shape.
+    """
+    from declarativeml_spark.operators.multimodal import (
+        attach_fake_media,
+        window_energy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    return window_energy(media)
