@@ -87,6 +87,8 @@ _CHECK_FIRST = (
     "orders_merge_upsert",
     "events_latest_per_user",
     "multimodal_audio_energy",
+    "events_rollup_incremental",
+    "lineitem_zorder_layout",
     # (5) round-2/3 additions, locally green since introduction,
     # no driver row yet — rotate forward next round
     "text_heuristic_filters",

@@ -845,6 +845,167 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance: merge a delta batch's
+# partial aggregates into an existing hourly rollup snapshot.
+@query(
+    "events_rollup_incremental",
+    oracle="""
+    WITH old AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events WHERE event_id % 5 <> 0 GROUP BY 1, 2
+    ),
+    delta AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2
+    )
+    SELECT coalesce(o.event_type, d.event_type) AS event_type,
+           coalesce(o.hour, d.hour) AS hour,
+           CAST(coalesce(o.n, 0) + coalesce(d.n, 0) AS BIGINT) AS n,
+           CAST(CAST(coalesce(o.total_value, 0.0) AS DECIMAL(38,6))
+                + CAST(coalesce(d.total_value, 0.0) AS DECIMAL(38,6))
+                AS DOUBLE) AS total_value,
+           d.event_type IS NOT NULL AS touched
+    FROM old o FULL OUTER JOIN delta d
+      ON o.event_type = d.event_type AND o.hour = d.hour
+    """,
+)
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (the hypertable
+    continuous-aggregate / materialized-view-delta shape): an hourly
+    (event_type, hour) rollup SNAPSHOT exists (here events with
+    event_id % 5 != 0); a DELTA batch arrives (% 5 = 0); the merged
+    rollup is snapshot ⟗ delta-partials with countable/summable
+    state added cell-wise — history is NEVER rescanned.
+
+    Scale: the delta aggregates alone (delta-sized work), then joins
+    the snapshot on the rollup key — at 100 TB the snapshot is
+    orders of magnitude smaller than raw events, and with both sides
+    keyed identically AQE plans a co-partitioned join. Sums combine
+    in DECIMAL so the merged value equals the from-scratch rollup
+    exactly; the ``touched`` flag shows which cells an upsert-style
+    writer would rewrite. Equivalent from-scratch semantics =
+    events_hourly_stats over the full table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+
+    old = rollup(ev.filter(F.col("event_id") % 5 != 0)).alias("o")
+    delta = rollup(ev.filter(F.col("event_id") % 5 == 0)).alias("d")
+    j = old.join(
+        delta,
+        (F.col("o.event_type") == F.col("d.event_type"))
+        & (F.col("o.hour") == F.col("d.hour")),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("o.event_type"), F.col("d.event_type")).alias(
+            "event_type"
+        ),
+        F.coalesce(F.col("o.hour"), F.col("d.hour")).alias("hour"),
+        (
+            F.coalesce(F.col("o.n"), F.lit(0))
+            + F.coalesce(F.col("d.n"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n"),
+        (
+            F.coalesce(F.col("o.total_value"), F.lit(0.0)).cast(
+                "decimal(38,6)"
+            )
+            + F.coalesce(F.col("d.total_value"), F.lit(0.0)).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("total_value"),
+        F.col("d.event_type").isNotNull().alias("touched"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout keys: bit-interleave two join/filter dimensions so
+# one sort order gives narrow min/max spans on BOTH — the
+# data-skipping layout lever (Delta OPTIMIZE ZORDER BY shape).
+_Z_BITS = 20
+
+
+def _z_terms(shift_fmt: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(shift_fmt.format(col="l_orderkey", i=i, out=2 * i))
+        terms.append(shift_fmt.format(col="l_partkey", i=i, out=2 * i + 1))
+    return " + ".join(terms)
+
+
+_Z_SPARK = _z_terms("shiftleft(shiftright({col}, {i}) & 1, {out})")
+_Z_DUCK = _z_terms("((({col} >> {i}) & 1) << {out})")
+
+
+@query(
+    "lineitem_zorder_layout",
+    oracle=f"""
+    WITH z AS (
+        SELECT l_orderkey, l_partkey,
+               CAST({_Z_DUCK} AS BIGINT) AS zval
+        FROM lineitem
+    )
+    SELECT CAST(zval >> {2 * _Z_BITS - 6} AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS ok_min,
+           CAST(MAX(l_orderkey) AS BIGINT) AS ok_max,
+           CAST(MIN(l_partkey) AS BIGINT) AS pk_min,
+           CAST(MAX(l_partkey) AS BIGINT) AS pk_max
+    FROM z GROUP BY 1
+    """,
+)
+def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (l_orderkey, l_partkey):
+    interleave the low {b} bits of both keys, bucket rows by the
+    z-value's top 6 bits (64 would-be files), and report each
+    bucket's min/max span on BOTH dimensions — the evidence that one
+    z-sorted write gives parquet row-group skipping for predicates
+    on either key, where a plain sort helps only its leading column.
+
+    Scale: the z-value is a pure per-row bit expression (whole-stage
+    codegen, no shuffle); the span audit is one groupBy(bucket) of
+    64 groups. The write-side use is `sortWithinPartitions(zval)`
+    before the sink — this query is the planner's proof that the
+    spans are narrow, kept hash-checkable instead of writing files.
+    """.format(b=_Z_BITS)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    z = li.withColumn("zval", F.expr(f"CAST({_Z_SPARK} AS BIGINT)"))
+    return (
+        z.withColumn(
+            "z_bucket",
+            F.expr(f"CAST(shiftright(zval, {2 * _Z_BITS - 6}) AS BIGINT)"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("l_orderkey").cast("bigint").alias("ok_min"),
+            F.max("l_orderkey").cast("bigint").alias("ok_max"),
+            F.min("l_partkey").cast("bigint").alias("pk_min"),
+            F.max("l_partkey").cast("bigint").alias("pk_max"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF keyword extraction: top-3 terms per document.
 _TFIDF_TOPK = 3
 
