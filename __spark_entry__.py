@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #    confirmation, not just the local mirror gate.
 # 3. Rewritten since their green round-1 rows (3): candidate-gated
 #    pair generation replaced the blocked forms.
-# 4. This round's new operators (12), newest first.
+# 4. This round's new operators (~17, grows as the round adds more).
 # 5. Round-2/3 additions that were locally green both rounds but have
 #    no driver row yet (the remainder) — they take whatever window is
 #    left and rotate forward next round.

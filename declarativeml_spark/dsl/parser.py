@@ -65,6 +65,9 @@ Statement = Union[
     ir.ChunkWindows,
     ir.Sessionize,
     ir.QuantizeEmbeddings,
+    ir.MixCorpus,
+    ir.ProfileTable,
+    ir.DetectAnomalies,
 ]
 
 

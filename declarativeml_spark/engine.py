@@ -348,11 +348,15 @@ class Engine:
         from declarativeml_spark.operators.anomaly import rate_anomalies
 
         df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        # min_full scales with the window (half of it, floor 2) so a
+        # short WINDOW can still flag — a fixed 12 would make any
+        # WINDOW < 12 statement silently never-anomalous.
         return rate_anomalies(
             df,
             key_col=stmt.key,
             ts_col=stmt.ts_column or "ts",
             window_size=stmt.window,
+            min_full=max(2, stmt.window // 2),
         )
 
     def _similarity_search(self, stmt: ir.SimilaritySearch) -> DataFrame:

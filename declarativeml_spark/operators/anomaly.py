@@ -30,20 +30,22 @@ def rate_anomalies(
     """(key, hour, n, z, is_anomaly): z-score of each hourly event
     count against the mean/stddev of the preceding ``window_size``
     hourly buckets of the same key; flagged when the trailing window
-    holds >= ``min_full`` observations and |z| > ``z_cut``."""
+    holds >= ``min_full`` observations and |z| > ``z_cut``. The key
+    column keeps its input name (``BY country`` yields a ``country``
+    column, not a misnamed ``event_type``)."""
     from declarativeml_spark.queries.registry import sround
 
     h = df.groupBy(
-        F.col(key_col).alias("event_type"),
+        F.col(key_col).alias(key_col),
         F.date_trunc("hour", F.col(ts_col)).alias("hour"),
     ).agg(F.count("*").cast("bigint").alias("n"))
     tw = (
-        Window.partitionBy("event_type")
+        Window.partitionBy(key_col)
         .orderBy("hour")
         .rowsBetween(-window_size, -1)
     )
     w = h.select(
-        "event_type",
+        key_col,
         "hour",
         "n",
         F.sum("n").over(tw).cast("bigint").alias("s"),
@@ -58,7 +60,7 @@ def rate_anomalies(
     zv = F.when(var > 0, (F.col("n").cast("double") - mean) / F.sqrt(var))
     z = w.withColumn("zv", zv)
     return z.select(
-        "event_type",
+        key_col,
         "hour",
         "n",
         sround(F.col("zv"), 4).alias("z"),

@@ -108,7 +108,9 @@ def temperature_mix(df: DataFrame, by_col: str = "source") -> DataFrame:
     """
     from declarativeml_spark.queries.registry import sround
 
-    s = df.groupBy(F.col(by_col).alias("source")).agg(
+    # the group column keeps its input name: MIX ... BY lang yields a
+    # `lang` column, not a misnamed `source`
+    s = df.groupBy(F.col(by_col).alias(by_col)).agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
     t = s.agg(

@@ -51,19 +51,26 @@ def numeric_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         " as (col_name, n, mn, mx, avg_val)"
     )
 
-    pairs = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("col_name"),
-                        F.col(c).cast("double").alias("v"),
-                    )
-                    for c in cols
-                ]
-            )
-        ).alias("cv")
-    ).select("cv.col_name", "cv.v")
+    # NULL cells are excluded from the histogram to match n (F.count
+    # skips nulls); without the filter greatest(0, NULL) would shunt
+    # every NULL row into bucket 0 and the histogram would sum past n.
+    pairs = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_name"),
+                            F.col(c).cast("double").alias("v"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("cv")
+        )
+        .select("cv.col_name", "cv.v")
+        .filter(F.col("v").isNotNull())
+    )
     bucketed = pairs.join(F.broadcast(stats), "col_name").select(
         "col_name",
         F.least(

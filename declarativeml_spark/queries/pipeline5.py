@@ -938,29 +938,51 @@ def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Z-order layout keys: bit-interleave two join/filter dimensions so
 # one sort order gives narrow min/max spans on BOTH — the
-# data-skipping layout lever (Delta OPTIMIZE ZORDER BY shape).
+# data-skipping layout lever (Delta OPTIMIZE ZORDER BY shape). Each
+# dimension is first min/max-quantized into the bit budget: raw
+# low-bit interleaving is degenerate when the key range is far below
+# 2^bits (all rows land in bucket 0) and aliased when it exceeds it
+# (keys 2^bits apart collide).
 _Z_BITS = 20
+_Z_SCALE = 1 << _Z_BITS
 
 
 def _z_terms(shift_fmt: str) -> str:
     terms = []
     for i in range(_Z_BITS):
-        terms.append(shift_fmt.format(col="l_orderkey", i=i, out=2 * i))
-        terms.append(shift_fmt.format(col="l_partkey", i=i, out=2 * i + 1))
+        terms.append(shift_fmt.format(col="qok", i=i, out=2 * i))
+        terms.append(shift_fmt.format(col="qpk", i=i, out=2 * i + 1))
     return " + ".join(terms)
 
 
 _Z_SPARK = _z_terms("shiftleft(shiftright({col}, {i}) & 1, {out})")
 _Z_DUCK = _z_terms("((({col} >> {i}) & 1) << {out})")
 
+# quantize key k into [0, 2^bits): IEEE double divide + floor,
+# identical in both engines
+_ZQ = (
+    "CAST(floor(CAST({k} - {mn} AS DOUBLE) / ({mx} - {mn} + 1)"
+    f" * {_Z_SCALE}.0) AS BIGINT)"
+)
+
 
 @query(
     "lineitem_zorder_layout",
     oracle=f"""
-    WITH z AS (
-        SELECT l_orderkey, l_partkey,
-               CAST({_Z_DUCK} AS BIGINT) AS zval
+    WITH mm AS (
+        SELECT MIN(l_orderkey) AS ok_mn, MAX(l_orderkey) AS ok_mx,
+               MIN(l_partkey) AS pk_mn, MAX(l_partkey) AS pk_mx
         FROM lineitem
+    ),
+    q AS (
+        SELECT l_orderkey, l_partkey,
+               {_ZQ.format(k='l_orderkey', mn='mm.ok_mn', mx='mm.ok_mx')} AS qok,
+               {_ZQ.format(k='l_partkey', mn='mm.pk_mn', mx='mm.pk_mx')} AS qpk
+        FROM lineitem CROSS JOIN mm
+    ),
+    z AS (
+        SELECT l_orderkey, l_partkey, CAST({_Z_DUCK} AS BIGINT) AS zval
+        FROM q
     )
     SELECT CAST(zval >> {2 * _Z_BITS - 6} AS BIGINT) AS z_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -973,22 +995,41 @@ _Z_DUCK = _z_terms("((({col} >> {i}) & 1) << {out})")
 )
 def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout keys over (l_orderkey, l_partkey):
-    interleave the low {b} bits of both keys, bucket rows by the
-    z-value's top 6 bits (64 would-be files), and report each
+    min/max-quantize each key into {b} bits, interleave, bucket rows
+    by the z-value's top 6 bits (64 would-be files), and report each
     bucket's min/max span on BOTH dimensions — the evidence that one
     z-sorted write gives parquet row-group skipping for predicates
     on either key, where a plain sort helps only its leading column.
 
-    Scale: the z-value is a pure per-row bit expression (whole-stage
-    codegen, no shuffle); the span audit is one groupBy(bucket) of
-    64 groups. The write-side use is `sortWithinPartitions(zval)`
-    before the sink — this query is the planner's proof that the
-    spans are narrow, kept hash-checkable instead of writing files.
+    Scale: one stats row (broadcast) quantizes both dims into the bit
+    budget at ANY key range — without it the interleave is degenerate
+    below 2^{b} and aliased above; the z-value itself is a pure
+    per-row bit expression (whole-stage codegen, no shuffle); the
+    span audit is one groupBy of 64 groups. The write-side use is
+    `sortWithinPartitions(zval)` before the sink — this query is the
+    planner's proof the spans are narrow, kept hash-checkable
+    instead of writing files.
     """.format(b=_Z_BITS)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    z = li.withColumn("zval", F.expr(f"CAST({_Z_SPARK} AS BIGINT)"))
+    mm = li.agg(
+        F.min("l_orderkey").alias("ok_mn"),
+        F.max("l_orderkey").alias("ok_mx"),
+        F.min("l_partkey").alias("pk_mn"),
+        F.max("l_partkey").alias("pk_mx"),
+    )
+    q = li.crossJoin(F.broadcast(mm)).select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr(
+            _ZQ.format(k="l_orderkey", mn="ok_mn", mx="ok_mx")
+        ).alias("qok"),
+        F.expr(_ZQ.format(k="l_partkey", mn="pk_mn", mx="pk_mx")).alias(
+            "qpk"
+        ),
+    )
+    z = q.withColumn("zval", F.expr(f"CAST({_Z_SPARK} AS BIGINT)"))
     return (
         z.withColumn(
             "z_bucket",

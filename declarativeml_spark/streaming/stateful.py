@@ -240,6 +240,14 @@ def _anomaly_fn(window_size: int, min_full: int, z_cut: float):
         out: dict = {k.name: [] for k in ANOM_OUTPUT_SCHEMA}
         for h_us, n in zip(hour_us, rows["n"]):
             n = int(n)
+            # monotonicity guard: a duplicate or late re-emission of an
+            # already-processed hour (update-mode upstream, replayed
+            # file) would silently double-count inside the trailing
+            # window and corrupt every later z-score — drop it; late
+            # corrections require a batch backfill, which the
+            # bit-identical batch query provides.
+            if hist and int(h_us) <= hist[-1][0]:
+                continue
             trail = [c for _, c in hist[-window_size:]]
             m = len(trail)
             if m >= 2:
@@ -290,6 +298,9 @@ def streaming_rate_anomalies(
     sum/sum-of-squares, IEEE division), so a backfill through the
     batch path and a live run through this operator agree
     bit-for-bit; tests/test_streaming_pipeline.py asserts it.
+    Duplicate or out-of-order re-emissions of an already-processed
+    hour are DROPPED (monotonicity guard) — corrections flow through
+    the batch backfill instead of corrupting the trailing window.
     """.format(w=window_size)
     return hourly_stream.groupBy("event_type").applyInPandasWithState(
         _anomaly_fn(window_size, min_full, z_cut),
