@@ -89,6 +89,8 @@ _CHECK_FIRST = (
     "multimodal_audio_energy",
     "events_rollup_incremental",
     "lineitem_zorder_layout",
+    "token_bigram_pmi",
+    "lang_id_confusion",
     # (5) round-2/3 additions, locally green since introduction,
     # no driver row yet — rotate forward next round
     "text_heuristic_filters",

@@ -1047,6 +1047,164 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bigram PMI collocations: which adjacent token pairs stick together
+# far more than chance — the collocation extraction step under
+# phrase mining / tokenizer-merge analysis.
+_PMI_TOPK = 20
+_PMI_MIN_N = 5
+
+
+@query(
+    "token_bigram_pmi",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_D} AS toks FROM documents),
+    uni AS (
+        SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM d, unnest(toks) AS u(t) GROUP BY t
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_uni FROM uni),
+    big AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM d, unnest(range(1, len(toks))) AS r(i)
+        GROUP BY 1, 2
+    ),
+    btot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_big FROM big),
+    scored AS (
+        SELECT b.w1, b.w2, b.n,
+               ln((CAST(b.n AS DOUBLE) / bt.n_big)
+                  / ((CAST(u1.n AS DOUBLE) / t.n_uni)
+                     * (CAST(u2.n AS DOUBLE) / t.n_uni))) AS pmi
+        FROM big b
+        JOIN uni u1 ON b.w1 = u1.tok
+        JOIN uni u2 ON b.w2 = u2.tok
+        CROSS JOIN tot t CROSS JOIN btot bt
+        WHERE b.n >= {_PMI_MIN_N}
+    )
+    SELECT w1, w2, n, {sql_sround('pmi', 6)} AS pmi,
+           CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT)
+               AS rnk
+    FROM scored
+    QUALIFY rnk <= {_PMI_TOPK}
+    """,
+)
+def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} adjacent-token collocations by pointwise mutual
+    information (observed bigram probability over the independence
+    expectation), with a minimum-count floor of {m} so rare
+    coincidences don't dominate — the phrase-mining/tokenizer-merge
+    signal.
+
+    Scale: one (w1, w2) bigram shuffle with map-side combine and one
+    unigram shuffle; the unigram table joins back as a broadcast
+    dimension and the two totals are single broadcast rows. Top-k is
+    TakeOrdered on the scored bigram table; ties break on the pair
+    text. ln() is the shared cross-engine IEEE op.
+    """.format(k=_PMI_TOPK, m=_PMI_MIN_N)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKS_S).alias("toks")
+    )
+    uni = (
+        docs.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .transform(track_persist)
+    )
+    tot = uni.agg(F.sum("n").cast("bigint").alias("n_uni"))
+    big_all = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .transform(track_persist)
+    )
+    # the probability denominator counts ALL bigram occurrences; the
+    # min-count floor prunes only which pairs get scored
+    btot = big_all.agg(F.sum("n").cast("bigint").alias("n_big"))
+    big = big_all.filter(F.col("n") >= _PMI_MIN_N)
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("n").alias("n2"))
+    scored = (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.log(
+                (F.col("n").cast("double") / F.col("n_big"))
+                / (
+                    (F.col("n1").cast("double") / F.col("n_uni"))
+                    * (F.col("n2").cast("double") / F.col("n_uni"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(_PMI_TOPK)
+    wr = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return top.select(
+        "w1",
+        "w2",
+        "n",
+        sround(F.col("pmi"), 6).alias("pmi"),
+        F.row_number().over(wr).cast("bigint").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: the heuristic's prediction against
+# the metadata label — the eval every classifier-driven filter needs
+# before its output steers retention.
+def _lang_conf_oracle() -> str:
+    hits = {lang: T.lang_hits_duck("toks", lang) for lang in T.LANG_ORDER}
+    pred = T.predicted_lang_case(hits)
+    return f"""
+    WITH d AS (SELECT lang, {_TOKS_D} AS toks FROM documents),
+    p AS (SELECT lang, {pred} AS predicted FROM d)
+    SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY lang, predicted
+    """
+
+
+@query("lang_id_confusion", oracle=_lang_conf_oracle())
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-overlap language-ID heuristic
+    against the documents table's metadata ``lang`` label — the
+    quality gate for the classifier itself, run before its
+    predictions steer corpus retention (mirrors how production
+    pipelines audit fastText-style LID per source).
+
+    Scale: per-row prediction is pure codegen (the same expression
+    text_language_id uses); the matrix is one groupBy of
+    (langs x langs) cells with map-side combine.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.expr(_TOKS_S)
+    )
+    hit_cols = {}
+    for lang in T.LANG_ORDER:
+        col = f"h_{lang}"
+        docs = docs.withColumn(col, F.expr(T.lang_hits_spark("toks", lang)))
+        hit_cols[lang] = col
+    return (
+        docs.withColumn(
+            "predicted", F.expr(T.predicted_lang_case(hit_cols))
+        )
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF keyword extraction: top-3 terms per document.
 _TFIDF_TOPK = 3
 
