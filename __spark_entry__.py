@@ -91,6 +91,7 @@ _CHECK_FIRST = (
     "lineitem_zorder_layout",
     "token_bigram_pmi",
     "lang_id_confusion",
+    "knn_graph_triangles",
     # (5) round-2/3 additions, locally green since introduction,
     # no driver row yet — rotate forward next round
     "text_heuristic_filters",

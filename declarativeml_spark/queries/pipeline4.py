@@ -490,7 +490,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_K = 5
 
 
-def _knn_oracle() -> str:
+def _knn_cte_prefix() -> str:
+    """Shared oracle CTE chain: LSH candidate pairs → directed →
+    per-node kNN (used by knn_graph_degrees and
+    knn_graph_triangles)."""
     from declarativeml_spark.operators.dedup import lsh_pairs_oracle_sql
     from declarativeml_spark.queries.pipeline import _LSH_PARAMS
 
@@ -509,7 +512,11 @@ def _knn_oracle() -> str:
                        AS rnk
               FROM directed)
         WHERE rnk <= {_KNN_K}
-    ),
+    )"""
+
+
+def _knn_oracle() -> str:
+    return f"""{_knn_cte_prefix()},
     edges AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
     outk AS (SELECT src, COUNT(*) AS outk FROM knn GROUP BY src),
     mut AS (SELECT a.src, COUNT(*) AS mutual
@@ -681,4 +688,83 @@ def text_heuristic_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("en_stop") >= 2)
             & ~F.col("bad_marker")
         ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+def _knn_tri_oracle() -> str:
+    return f"""{_knn_cte_prefix()},
+    und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM knn),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+        SELECT a AS n FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT n AS vec_id, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM nodes GROUP BY n
+    """
+
+
+@query("knn_graph_triangles", oracle=_knn_tri_oracle())
+def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the symmetrized kNN graph — the
+    local-density signal under clustering coefficients, community
+    seeds, and near-dup neighborhood audits (a node in many triangles
+    sits inside a tight duplicate cluster, not a chain of borderline
+    matches).
+
+    Scale: the edge list is k-bounded (≤ k·N canonical edges from the
+    LSH-candidate kNN, never all pairs), so the standard
+    enumerate-by-join plan is safe: each triangle a<b<c is found
+    exactly once by joining edges (a,b)⋈(b,c) and closing with
+    (a,c); join fan-out per node is its degree ≤ 2k. Only (id, id)
+    tuples move. On power-law graphs the refinement is orienting
+    edges from low to high DEGREE instead of id — noted, not needed
+    for a degree-capped kNN graph.
+    """
+    from declarativeml_spark.operators.dedup import lsh_topk_pairs
+    from declarativeml_spark.queries.pipeline import _LSH_PARAMS, _no_codegen_session
+
+    s2 = _no_codegen_session(spark)
+    pairs = lsh_topk_pairs(load_table(s2, sf_dir, "embeddings"), **_LSH_PARAMS)
+    directed = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+        F.col("euclidean_dist").alias("d"),
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
+            F.col("euclidean_dist").alias("d"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst").asc())
+    knn = (
+        directed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("src", "dst")
+    )
+    und = (
+        knn.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .transform(track_persist)
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("n"))
+        .unionAll(tri.select(F.col("b").alias("n")))
+        .unionAll(tri.select(F.col("c").alias("n")))
+    )
+    return nodes.groupBy(F.col("n").alias("vec_id")).agg(
+        F.count("*").cast("bigint").alias("triangles")
     )
