@@ -74,6 +74,10 @@ _CHECK_FIRST = (
     "dedup_ngram_jaccard",
     "dedup_clusters",
     # (4) round-3 new batch — never driver-checked
+    "dedup_substring_runs",
+    "corpus_shard_assignment",
+    "tokenizer_fertility",
+    "embedding_centroid_dispersion",
     "corpus_temperature_mix",
     "events_rate_anomalies",
     "decontam_bloom_gate",

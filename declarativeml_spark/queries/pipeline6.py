@@ -1,0 +1,374 @@
+"""Training-data pipeline operators, part 6 (round 3): cross-document
+substring-run dedup, balanced output sharding, tokenizer fertility,
+and embedding centroid dispersion.
+
+* ``dedup_substring_runs`` — the suffix-array-style exact-substring
+  dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+  Language Models Better"), re-expressed as a distributed rolling
+  k-token-gram fingerprint pass: a gram shared by ≥2 documents marks
+  every position it covers, and consecutive marked positions merge
+  into maximal runs per document (islands-and-gaps, windowed *within*
+  the document only).
+* ``corpus_shard_assignment`` — the balanced-output-writer plan for a
+  100 TB corpus: an exact hash-ordered round-robin over documents via
+  the two-phase distributed rank (operators/ordered.py — never a
+  single-partition global window), audited by per-shard token mass.
+* ``tokenizer_fertility`` — subwords-per-word and bytes-per-subword
+  per language, the tokenizer-budget metric multilingual pipelines
+  read before fixing a vocab.
+* ``embedding_centroid_dispersion`` — per-label centroid (exact
+  DECIMAL per-dimension mean) and each vector's cosine to its label
+  centroid; the intra-cluster cohesion audit run before semantic
+  dedup thresholds are chosen.
+
+Every query is hash-checked against a DuckDB oracle; float handling
+follows registry.py (per-row IEEE ops, DECIMAL aggregation,
+stable_round), and vector math reuses the left-fold ``aggregate``
+↔ ``list_sum`` pairing proven by operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from declarativeml_spark.operators import textops as T
+from declarativeml_spark.operators.dedup import _DOT, _NORM
+from declarativeml_spark.queries.registry import query, sql_sround, sround
+from declarativeml_spark.sources.catalog import load_table
+
+_TOKS_S = T.TOKENS_SPARK.format(text="text")
+_TOKS_D = T.TOKENS_DUCK.format(text="text")
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated substring runs (k-token grams).
+
+_K = 8  # tokens per gram: long enough that shared runs mean copying
+
+
+@query(
+    "dedup_substring_runs",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_D} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               md5(array_to_string(t[(pos + 1):(pos + {_K})], ' ')) AS fp,
+               pos
+        FROM (SELECT doc_id, t,
+                     unnest(range(0, len(t) - {_K} + 1)) AS pos
+              FROM toks WHERE len(t) >= {_K})
+    ),
+    rep AS (
+        SELECT fp FROM grams GROUP BY fp
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN rep USING (fp)),
+    runs AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM hits
+    ),
+    spans AS (
+        SELECT doc_id, grp,
+               CAST(COUNT(*) + {_K} - 1 AS BIGINT) AS run_tokens
+        FROM runs GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_tokens) AS BIGINT) AS longest_run_tokens,
+           CAST(SUM(run_tokens) AS BIGINT) AS shared_tokens_ub
+    FROM spans GROUP BY doc_id
+    """,
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents containing token runs that also appear verbatim in at
+    least one other document — the exact-substring dedup signal of
+    Lee et al. 2022, without building a corpus-wide suffix array.
+
+    Plan: every document emits one 16-byte md5 fingerprint per
+    k-token window (k=8). One map-side-combinable aggregation finds
+    fingerprints spanning ≥2 documents; a fingerprint-keyed shuffle
+    join marks the covered positions; and the maximal-run merge
+    (pos − row_number islands) windows *within* each document only —
+    no global ordering ever exists. Shuffle volume is O(total tokens)
+    × 16 bytes on the gram pass and only the repeated positions
+    afterwards; a stop-phrase-hot fingerprint is a skewed join key,
+    which AQE skew-split handles (the aggregation side is two-phase
+    regardless).
+
+    ``shared_tokens_ub`` is an upper bound on copied tokens per doc
+    (runs may overlap by < k tokens at their joints).
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_TOKS_S).alias("t"))
+        .where(F.expr(f"size(t) >= {_K}"))
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {_K}),"
+                f" i -> md5(concat_ws(' ', slice(t, i + 1, {_K}))))"
+            )
+        ).alias("pos", "fp"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "fp")
+
+    rep = (
+        grams.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("fp")
+    )
+    hits = grams.join(rep, "fp").select("doc_id", "pos")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = runs.groupBy("doc_id", "grp").agg(
+        (F.count(F.lit(1)) + (_K - 1)).cast("long").alias("run_tokens")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("run_tokens").alias("longest_run_tokens"),
+        F.sum("run_tokens").cast("long").alias("shared_tokens_ub"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Balanced shard assignment: exact round-robin over a deterministic
+# hash order, with per-shard token-mass audit.
+
+_N_SHARDS = 16
+_LEHMER_DOC = (
+    "(((((doc_id % 2147483647) + 2147483647) % 2147483647)"
+    " * 48271 % 2147483647) * 48271) % 2147483647"
+)
+
+
+@query(
+    "corpus_shard_assignment",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_LEHMER_DOC} AS h,
+               CAST(len({_TOKS_D}) AS BIGINT) AS n_toks
+        FROM documents
+    ),
+    r AS (
+        SELECT n_toks,
+               ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rnk
+        FROM d
+    ),
+    agg AS (
+        SELECT CAST((rnk - 1) % {_N_SHARDS} AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS tok_sum
+        FROM r GROUP BY 1
+    )
+    SELECT shard, n_docs, tok_sum,
+           {sql_sround(
+               'CAST(tok_sum AS DOUBLE)'
+               ' / (SELECT CAST(SUM(tok_sum) AS DOUBLE) FROM agg)', 6)}
+             AS tok_share
+    FROM agg
+    """,
+)
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to one of N output shards by exact
+    round-robin over a deterministic Lehmer-hash order, and audit the
+    balance by token mass per shard — the plan a 100 TB corpus writer
+    follows to emit evenly-sized output files.
+
+    Scale: the global rank comes from the two-phase distributed
+    cumsum (``operators/ordered.py``): range-repartition on the hash
+    key, per-partition totals (one driver-side row per partition — a
+    constant), then a within-partition window. No single-partition
+    global sort exists anywhere in the plan. Hash order makes the
+    round-robin statistically independent of document length, so
+    shards balance in both doc count (exactly, ±1) and token mass
+    (statistically); the query output *is* the audit of that claim.
+    Restart-safe: the Lehmer hash is a pure function of doc_id, so a
+    re-run assigns identical shards (rand() would not).
+    """
+    from declarativeml_spark.operators.ordered import global_cumsum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_LEHMER_DOC).alias("h"),
+        F.expr(f"CAST(size({_TOKS_S}) AS BIGINT)").alias("n_toks"),
+    )
+    ranked = global_cumsum(
+        d, [F.col("h"), F.col("doc_id")], "n_toks", out_col="__cum",
+        rank_col="rnk",
+    )
+    agg = (
+        ranked.select(
+            ((F.col("rnk") - 1) % _N_SHARDS).cast("long").alias("shard"),
+            "n_toks",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("tok_sum"),
+        )
+    )
+    total = agg.agg(F.sum("tok_sum").cast("double").alias("all_toks"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "shard",
+        "n_docs",
+        "tok_sum",
+        sround(F.col("tok_sum").cast("double") / F.col("all_toks")).alias(
+            "tok_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language.
+
+_BPE_S = r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"
+_BPE_D = r"regexp_extract_all(text, '\w+|[^\w\s]')"
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=rf"""
+    WITH d AS (
+        SELECT lang,
+               len({_TOKS_D}) AS n_words,
+               len({_BPE_D}) AS n_sub,
+               strlen(text) AS n_bytes
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_sub) AS BIGINT) AS total_subwords,
+           {sql_sround(
+               'CAST(SUM(n_sub) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)',
+               6)} AS fertility,
+           {sql_sround(
+               'CAST(SUM(n_bytes) AS DOUBLE) / CAST(SUM(n_sub) AS DOUBLE)',
+               6)} AS bytes_per_subword
+    FROM d GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword tokens per whitespace word) and
+    bytes per subword, per language — the metric a multilingual
+    pipeline reads to spot languages a vocab under-serves (high
+    fertility = more sequence length spent per word).
+
+    Scale: per-row regex counts (JVM codegen, Java∩RE2-safe ASCII
+    classes), integer sums — shuffle carries one row per language.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(f"size({_TOKS_S})").alias("n_words"),
+        F.expr(f"size({_BPE_S})").alias("n_sub"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_sub").cast("long").alias("total_subwords"),
+        sround(
+            F.sum("n_sub").cast("double") / F.sum("n_words").cast("double")
+        ).alias("fertility"),
+        sround(
+            F.sum("n_bytes").cast("double") / F.sum("n_sub").cast("double")
+        ).alias("bytes_per_subword"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroid + cosine dispersion.
+
+_DOT_D = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+)
+_NRM_D = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+
+
+@query(
+    "embedding_centroid_dispersion",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, CAST(i - 1 AS INTEGER) AS dim, vec[i] AS v
+        FROM (SELECT label, vec, unnest(range(1, len(vec) + 1)) AS i
+              FROM e)
+    ),
+    cent AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+                 AS cd
+        FROM dims GROUP BY label, dim
+    ),
+    carr AS (
+        SELECT label, list(cd ORDER BY dim) AS cvec FROM cent GROUP BY label
+    ),
+    j AS (
+        SELECT e.vec_id, e.label,
+               {_DOT_D.format(a="e.vec", b="c.cvec")}
+                 / ({_NRM_D.format(v="e.vec")} * {_NRM_D.format(v="c.cvec")})
+                 AS cos
+        FROM e JOIN carr c USING (label)
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {sql_sround(
+               'CAST(SUM(CAST(cos AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)',
+               6)} AS avg_cos,
+           {sql_sround('MIN(cos)', 6)} AS min_cos
+    FROM j GROUP BY label
+    """,
+)
+def embedding_centroid_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cohesion: mean and minimum cosine of each
+    vector to its label centroid — the audit run before choosing a
+    semantic-dedup or clustering threshold (a label whose min_cos is
+    low holds outliers a threshold would mis-handle).
+
+    Scale: the exploded (label, dim) aggregation shuffles one partial
+    per (label, dim) — bounded by labels × dim, not by corpus size —
+    and the assembled centroid table (labels rows) broadcasts into
+    the scoring join, so corpus vectors never shuffle. Per-dim means
+    aggregate through DECIMAL(38,12) (exact, order-free); per-vector
+    cosine is the left-fold ``aggregate`` ↔ ``list_sum`` pairing
+    proven deterministic cross-engine by operators/dedup.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("vec")
+    )
+    dims = emb.select("label", F.posexplode("vec").alias("dim", "v"))
+    cent = dims.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(38,12)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("cd")
+    )
+    carr = cent.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, cd))), s -> s.cd)"
+        ).alias("cvec")
+    )
+    cos = F.expr(_DOT.format(a="vec", b="cvec")) / (
+        F.expr(_NORM.format(a="vec")) * F.expr(_NORM.format(a="cvec"))
+    )
+    j = emb.join(F.broadcast(carr), "label").withColumn("cos", cos)
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        sround(
+            F.sum(F.col("cos").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_cos"),
+        sround(F.min("cos")).alias("min_cos"),
+    )
