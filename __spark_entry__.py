@@ -75,6 +75,7 @@ _CHECK_FIRST = (
     "dedup_clusters",
     # (4) round-3 new batch — never driver-checked
     "dedup_substring_runs",
+    "lakehouse_compaction_plan",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

@@ -589,3 +589,59 @@ class DetectAnomalies:
             or self.window <= 0
         ):
             raise ValueError("WINDOW must be a positive integer")
+
+
+@dataclass
+class ShardCorpus:
+    """IR for ``SHARD <source> INTO <n> SHARDS [BY id_col]`` —
+    balanced output sharding by exact round-robin over a
+    deterministic hash order (SURVEY.md §2.11; beyond-parity).
+
+    Adds a ``shard`` column in [0, n); row counts balance exactly
+    (±1), payload mass statistically (see
+    operators/layout.py::shard_round_robin;
+    queries/pipeline6.py::corpus_shard_assignment is the
+    oracle-checked audit twin).
+    """
+
+    source: str
+    n_shards: int
+    id_column: str = "doc_id"
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        if (
+            not isinstance(self.n_shards, int)
+            or isinstance(self.n_shards, bool)
+            or self.n_shards <= 0
+        ):
+            raise ValueError("INTO must be a positive shard count")
+
+
+@dataclass
+class CompactTable:
+    """IR for ``COMPACT <source> TARGET <n> BYTES [PARTITION BY col]
+    [FILE BY col] [SIZE BY col]`` — small-file compaction planning
+    over a file manifest (SURVEY.md §2.11; beyond-parity).
+
+    Assigns each manifest row a merge group by next-fit over the
+    running byte sum within its partition (see
+    operators/layout.py::compaction_groups;
+    queries/pipeline6.py::lakehouse_compaction_plan is the
+    oracle-checked twin).
+    """
+
+    source: str
+    target_bytes: int
+    part_column: str = "part"
+    file_column: str = "file_id"
+    bytes_column: str = "bytes"
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        if (
+            not isinstance(self.target_bytes, int)
+            or isinstance(self.target_bytes, bool)
+            or self.target_bytes <= 0
+        ):
+            raise ValueError("TARGET must be a positive byte count")

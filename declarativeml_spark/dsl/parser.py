@@ -68,6 +68,8 @@ Statement = Union[
     ir.MixCorpus,
     ir.ProfileTable,
     ir.DetectAnomalies,
+    ir.ShardCorpus,
+    ir.CompactTable,
 ]
 
 
@@ -1252,6 +1254,68 @@ class _Parser:
             source_is_identifier=is_identifier_source(source),
         )
 
+    # -- SHARD (beyond-parity: SURVEY §2.11) ------------------------------
+    def parse_shard(self) -> "ir.ShardCorpus":
+        self.expect_keyword("SHARD")
+        source = self.capture_source_until("INTO")
+        if not source:
+            raise ValueError("SHARD source cannot be empty")
+        self.expect_keyword("INTO")
+        tok = self.advance()
+        if tok.kind != "NUMBER":
+            raise ValueError("INTO must be a positive shard count")
+        n_shards = _require_positive_int(_to_number(tok.value), "INTO")
+        self.expect_keyword("SHARDS")
+        id_column = "doc_id"
+        if self.at_keyword("BY"):
+            self.advance()
+            id_column = self.expect_name("id column")
+        self.expect_eof()
+        return ir.ShardCorpus(
+            source=source,
+            n_shards=n_shards,
+            id_column=id_column,
+            source_is_identifier=is_identifier_source(source),
+        )
+
+    # -- COMPACT (beyond-parity: SURVEY §2.11) ----------------------------
+    def parse_compact(self) -> "ir.CompactTable":
+        self.expect_keyword("COMPACT")
+        source = self.capture_source_until("TARGET")
+        if not source:
+            raise ValueError("COMPACT source cannot be empty")
+        self.expect_keyword("TARGET")
+        tok = self.advance()
+        if tok.kind != "NUMBER":
+            raise ValueError("TARGET must be a positive byte count")
+        target_bytes = _require_positive_int(_to_number(tok.value), "TARGET")
+        self.expect_keyword("BYTES")
+        part_column, file_column, bytes_column = "part", "file_id", "bytes"
+        while True:
+            if self.at_keyword("PARTITION"):
+                self.advance()
+                self.expect_keyword("BY")
+                part_column = self.expect_name("partition column")
+            elif self.at_keyword("FILE"):
+                self.advance()
+                self.expect_keyword("BY")
+                file_column = self.expect_name("file column")
+            elif self.at_keyword("SIZE"):
+                self.advance()
+                self.expect_keyword("BY")
+                bytes_column = self.expect_name("size column")
+            else:
+                break
+        self.expect_eof()
+        return ir.CompactTable(
+            source=source,
+            target_bytes=target_bytes,
+            part_column=part_column,
+            file_column=file_column,
+            bytes_column=bytes_column,
+            source_is_identifier=is_identifier_source(source),
+        )
+
     # -- PROFILE (beyond-parity: SURVEY §2.11) ----------------------------
     def parse_profile(self) -> "ir.ProfileTable":
         self.expect_keyword("PROFILE")
@@ -1412,11 +1476,15 @@ def parse(text: str) -> Statement:
         return parser.parse_profile()
     if tok.value == "DETECT":
         return parser.parse_detect()
+    if tok.value == "SHARD":
+        return parser.parse_shard()
+    if tok.value == "COMPACT":
+        return parser.parse_compact()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
         " SEARCH, SAMPLE, DECONTAMINATE, PACK, REDACT, CHUNK, SESSIONIZE,"
-        " QUANTIZE, MIX, PROFILE, or DETECT"
+        " QUANTIZE, MIX, PROFILE, DETECT, SHARD, or COMPACT"
     )
 
 

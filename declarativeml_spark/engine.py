@@ -146,6 +146,10 @@ class Engine:
             return self._profile(stmt)
         if isinstance(stmt, ir.DetectAnomalies):
             return self._detect_anomalies(stmt)
+        if isinstance(stmt, ir.ShardCorpus):
+            return self._shard(stmt)
+        if isinstance(stmt, ir.CompactTable):
+            return self._compact(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
 
     # -- DEDUPLICATE / SEARCH SIMILAR (beyond-parity, SURVEY §7.5) ----------
@@ -340,6 +344,30 @@ class Engine:
 
         df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
         return numeric_profile(df, stmt.columns)
+
+    def _shard(self, stmt: "ir.ShardCorpus") -> DataFrame:
+        """Balanced round-robin shard assignment (the oracle-checked
+        audit twin is corpus_shard_assignment)."""
+        from declarativeml_spark.operators.layout import shard_round_robin
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        return shard_round_robin(
+            df, n_shards=stmt.n_shards, id_col=stmt.id_column
+        )
+
+    def _compact(self, stmt: "ir.CompactTable") -> DataFrame:
+        """Next-fit compaction grouping over a file manifest (the
+        oracle-checked twin is lakehouse_compaction_plan)."""
+        from declarativeml_spark.operators.layout import compaction_groups
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        return compaction_groups(
+            df,
+            stmt.target_bytes,
+            part_col=stmt.part_column,
+            file_col=stmt.file_column,
+            bytes_col=stmt.bytes_column,
+        )
 
     def _detect_anomalies(self, stmt: "ir.DetectAnomalies") -> DataFrame:
         """Trailing-window rate anomalies (the oracle-checked twin is

@@ -143,10 +143,10 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash order, with per-shard token-mass audit.
 
 _N_SHARDS = 16
-_LEHMER_DOC = (
-    "(((((doc_id % 2147483647) + 2147483647) % 2147483647)"
-    " * 48271 % 2147483647) * 48271) % 2147483647"
-)
+# The oracle recomputes the operator's hash, so the two can't drift.
+from declarativeml_spark.operators.layout import LEHMER_ID as _LEHMER_FMT  # noqa: E402
+
+_LEHMER_DOC = _LEHMER_FMT.format(id="doc_id")
 
 
 @query(
@@ -193,22 +193,14 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Restart-safe: the Lehmer hash is a pure function of doc_id, so a
     re-run assigns identical shards (rand() would not).
     """
-    from declarativeml_spark.operators.ordered import global_cumsum
+    from declarativeml_spark.operators.layout import shard_round_robin
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.expr(_LEHMER_DOC).alias("h"),
         F.expr(f"CAST(size({_TOKS_S}) AS BIGINT)").alias("n_toks"),
     )
-    ranked = global_cumsum(
-        d, [F.col("h"), F.col("doc_id")], "n_toks", out_col="__cum",
-        rank_col="rnk",
-    )
     agg = (
-        ranked.select(
-            ((F.col("rnk") - 1) % _N_SHARDS).cast("long").alias("shard"),
-            "n_toks",
-        )
+        shard_round_robin(d, n_shards=_N_SHARDS, id_col="doc_id")
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -281,6 +273,91 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         sround(
             F.sum("n_bytes").cast("double") / F.sum("n_sub").cast("double")
         ).alias("bytes_per_subword"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse small-file compaction planner (metadata-plane op).
+
+_FILE_BUCKETS = 97
+_TARGET_BYTES = 64 * 4096
+
+
+@query(
+    "lakehouse_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS part,
+               CAST(o_orderkey % {_FILE_BUCKETS} AS BIGINT) AS file_id,
+               CAST(COUNT(*) * 4096 AS BIGINT) AS bytes
+        FROM orders GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT part, file_id, bytes,
+               CAST(SUM(bytes) OVER (PARTITION BY part ORDER BY file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - bytes AS BIGINT) AS excl_cum
+        FROM files
+    ),
+    g AS (
+        SELECT part,
+               CAST(floor(CAST(excl_cum AS DOUBLE) / {_TARGET_BYTES})
+                    AS BIGINT) AS grp_id,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(bytes) AS BIGINT) AS grp_bytes
+        FROM seq GROUP BY 1, 2
+    )
+    SELECT part,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_files) AS BIGINT) AS n_files,
+           CAST(SUM(grp_bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(grp_bytes) AS BIGINT) AS max_group_bytes,
+           CAST(MAX(n_files) AS BIGINT) AS max_group_files
+    FROM g GROUP BY part
+    """,
+)
+def lakehouse_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning: bin-pack each table
+    partition's files into merge groups of ~``_TARGET_BYTES`` by
+    next-fit over a running byte sum — the OPTIMIZE/maintenance op
+    every long-lived lakehouse table needs once streaming writers
+    have fragmented it.
+
+    The file inventory is simulated from ``orders`` (one "file" per
+    (month, orderkey-bucket), bytes ∝ row count) because the engine's
+    contract is the *plan*, not the filesystem: a real deployment
+    feeds the table manifest in as this same (part, file_id, bytes)
+    frame.
+
+    Scale: this is a metadata-plane operator — input cardinality is
+    the file count (~millions of rows for a 100 TB table), not the
+    data size. The running sum windows within one table partition
+    only (never a global sort), and next-fit means each group
+    overshoots the target by at most one file — the same guarantee
+    Delta/Iceberg OPTIMIZE bin-packing gives.
+    """
+    from declarativeml_spark.operators.layout import (
+        compaction_groups,
+        simulated_file_manifest,
+    )
+
+    files = simulated_file_manifest(
+        load_table(spark, sf_dir, "orders"), n_buckets=_FILE_BUCKETS
+    )
+    g = (
+        compaction_groups(files, _TARGET_BYTES)
+        .groupBy("part", "grp_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("grp_bytes"),
+        )
+    )
+    return g.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_files").cast("long").alias("n_files"),
+        F.sum("grp_bytes").cast("long").alias("total_bytes"),
+        F.max("grp_bytes").alias("max_group_bytes"),
+        F.max("n_files").alias("max_group_files"),
     )
 
 

@@ -254,3 +254,103 @@ def test_detect_anomalies_matches_query(engine, spark, smoke_dir):
     out = engine.execute("DETECT ANOMALIES events")
     want = QUERIES["events_rate_anomalies"](spark, smoke_dir)
     assert _rows(out) == _rows(want)
+
+
+def test_parse_shard_compact_forms():
+    s = parse("SHARD documents INTO 16 SHARDS")
+    assert isinstance(s, ir.ShardCorpus)
+    assert s.n_shards == 16 and s.id_column == "doc_id"
+
+    s = parse("SHARD embeddings INTO 4 SHARDS BY vec_id")
+    assert s.n_shards == 4 and s.id_column == "vec_id"
+
+    c = parse("COMPACT manifest TARGET 262144 BYTES")
+    assert isinstance(c, ir.CompactTable)
+    assert c.target_bytes == 262144
+    assert (c.part_column, c.file_column, c.bytes_column) == (
+        "part", "file_id", "bytes",
+    )
+
+    c = parse(
+        "COMPACT manifest TARGET 1048576 BYTES PARTITION BY dt"
+        " FILE BY path SIZE BY sz"
+    )
+    assert (c.part_column, c.file_column, c.bytes_column) == ("dt", "path", "sz")
+
+
+def test_parse_shard_compact_reject_bad():
+    with pytest.raises(ValueError, match="INTO must be a positive"):
+        parse("SHARD documents INTO 0 SHARDS")
+    with pytest.raises(ValueError, match="TARGET must be a positive"):
+        parse("COMPACT manifest TARGET 0 BYTES")
+    with pytest.raises(ValueError, match="cannot be empty"):
+        parse("SHARD INTO 4 SHARDS")
+
+
+def test_shard_statement_balance_and_determinism(engine, spark):
+    out = engine.execute("SHARD documents INTO 8 SHARDS").select(
+        "doc_id", "shard"
+    )
+    rows = _rows(out)
+    assert rows == _rows(engine.execute("SHARD documents INTO 8 SHARDS")
+                         .select("doc_id", "shard"))  # restart-safe
+    from collections import Counter
+
+    counts = Counter(shard for _, shard in rows)
+    assert set(counts) == set(range(8))
+    assert max(counts.values()) - min(counts.values()) <= 1  # exact ±1
+
+
+def test_compact_statement_matches_query(engine, spark, smoke_dir):
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.operators.layout import simulated_file_manifest
+    from declarativeml_spark.sources.catalog import load_table
+
+    manifest = simulated_file_manifest(load_table(spark, smoke_dir, "orders"))
+    manifest.createOrReplaceTempView("manifest")
+    plan = (
+        engine.execute("COMPACT manifest TARGET 262144 BYTES")
+        .groupBy("part", "grp_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("grp_bytes"),
+        )
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("n_files").cast("long").alias("n_files"),
+            F.sum("grp_bytes").cast("long").alias("total_bytes"),
+            F.max("grp_bytes").alias("max_group_bytes"),
+            F.max("n_files").alias("max_group_files"),
+        )
+    )
+    want = QUERIES["lakehouse_compaction_plan"](spark, smoke_dir)
+    assert _rows(plan) == _rows(want)
+
+
+def test_compact_next_fit_bound(engine, spark, smoke_dir):
+    # files are never split, so every group except a partition's last
+    # lands within one (partition-max) file size of the target on
+    # both sides — the documented next-fit bound
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.operators.layout import simulated_file_manifest
+    from declarativeml_spark.sources.catalog import load_table
+
+    manifest = simulated_file_manifest(load_table(spark, smoke_dir, "orders"))
+    manifest.createOrReplaceTempView("manifest2")
+    out = engine.execute("COMPACT manifest2 TARGET 262144 BYTES")
+    g = out.groupBy("part", "grp_id").agg(F.sum("bytes").alias("grp_bytes"))
+    pmax = out.groupBy("part").agg(
+        F.max("bytes").alias("max_file"), F.max("grp_id").alias("last_grp")
+    )
+    bad = (
+        g.join(pmax, "part")
+        .where(
+            "grp_id < last_grp AND"
+            " (grp_bytes <= 262144 - max_file OR grp_bytes >= 262144 + max_file)"
+        )
+        .count()
+    )
+    assert bad == 0
