@@ -76,6 +76,8 @@ _CHECK_FIRST = (
     # (4) round-3 new batch — never driver-checked
     "dedup_substring_runs",
     "lakehouse_compaction_plan",
+    "events_hourly_corr",
+    "events_top_paths",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

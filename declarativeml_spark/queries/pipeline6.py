@@ -36,7 +36,7 @@ from pyspark.sql.window import Window
 from declarativeml_spark.operators import textops as T
 from declarativeml_spark.operators.dedup import _DOT, _NORM
 from declarativeml_spark.queries.registry import query, sql_sround, sround
-from declarativeml_spark.sources.catalog import load_table
+from declarativeml_spark.sources.catalog import epoch_us, load_table
 
 _TOKS_S = T.TOKENS_SPARK.format(text="text")
 _TOKS_D = T.TOKENS_DUCK.format(text="text")
@@ -448,4 +448,201 @@ def embedding_centroid_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.count(F.lit(1))
         ).alias("avg_cos"),
         sround(F.min("cos")).alias("min_cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-series correlation of hourly event-type counts.
+
+
+@query(
+    "events_hourly_corr",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    hours AS (SELECT DISTINCT hour FROM hourly),
+    types AS (SELECT DISTINCT event_type FROM hourly),
+    grid AS (
+        SELECT h.hour, t.event_type, COALESCE(x.n, 0) AS n
+        FROM hours h CROSS JOIN types t
+        LEFT JOIN hourly x
+          ON x.hour = h.hour AND x.event_type = t.event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(a.n) AS BIGINT) AS sx,
+               CAST(SUM(b.n) AS BIGINT) AS sy,
+               CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+               CAST(SUM(a.n * a.n) AS BIGINT) AS sxx,
+               CAST(SUM(b.n * b.n) AS BIGINT) AS syy
+        FROM grid a JOIN grid b
+          ON a.hour = b.hour AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_hours,
+           CASE WHEN n_hours * sxx - sx * sx = 0
+                  OR n_hours * syy - sy * sy = 0 THEN NULL
+                ELSE {sql_sround(
+                    'CAST(n_hours * sxy - sx * sy AS DOUBLE)'
+                    ' / (sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE))'
+                    ' * sqrt(CAST(n_hours * syy - sy * sy AS DOUBLE)))', 6)}
+           END AS pearson_r
+    FROM pairs
+    """,
+)
+def events_hourly_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between every pair of event-type hourly
+    count series (zero-filled on the dense hour×type grid) — the
+    cross-metric co-movement scan behind alerting and capacity
+    dashboards.
+
+    All moments (Σx, Σy, Σxy, Σx², Σy²) are exact integer sums, so
+    shuffle order cannot perturb them; the correlation itself is a
+    handful of IEEE ops on those integers — bit-identical
+    cross-engine (built-in ``corr()`` aggregates doubles in shuffle
+    order and would not be).
+
+    Scale: the raw table collapses to the (hours × types) count grid
+    in one map-side-combinable aggregation; the pair join and the
+    corr math run entirely on that aggregate plane.
+    """
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    hours = hourly.select("hour").distinct()
+    types = hourly.select("event_type").distinct()
+    grid = (
+        hours.crossJoin(types)
+        .join(hourly, ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    a = grid.select(
+        F.col("hour").alias("h"),
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+    )
+    b = grid.select(
+        F.col("hour").alias("h"),
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("na").cast("long").alias("sx"),
+            F.sum("nb").cast("long").alias("sy"),
+            F.sum(F.col("na") * F.col("nb")).cast("long").alias("sxy"),
+            F.sum(F.col("na") * F.col("na")).cast("long").alias("sxx"),
+            F.sum(F.col("nb") * F.col("nb")).cast("long").alias("syy"),
+        )
+    )
+    varx = F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n_hours") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (
+        F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    r = num / (
+        F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_hours",
+        F.when((varx == 0) | (vary == 0), F.lit(None)).otherwise(
+            sround(r)
+        ).alias("pearson_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top session entry paths (first three event types per session).
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    ),
+    ranked AS (
+        SELECT user_id, sid, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS rn
+        FROM sess
+    ),
+    paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM ranked WHERE rn <= 3 GROUP BY user_id, sid
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common session entry paths: the ordered first three event
+    types of each 30-min-gap session, ranked by session count — the
+    product-analytics path query that tells you how sessions begin.
+
+    Scale: one shuffle on user_id; session assignment, ranking, and
+    the first-3 cut all window within the user partition. Only
+    (path, 1) pairs leave it, and the final top-20 is a
+    TakeOrdered over the tiny path-count aggregate. Ties break on
+    the path string, so LIMIT picks identical rows cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", epoch_us("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    sess = ev.withColumn(
+        "new_session",
+        F.when(gap > 1_800_000_000, 1)
+        .when(F.lag("ts_us").over(w).isNull(), 1)
+        .otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    first3 = sess.withColumn("rn", F.row_number().over(ws)).where(
+        F.col("rn") <= 3
+    )
+    paths = first3.groupBy("user_id", "sid").agg(
+        F.expr(
+            "array_join(transform(array_sort("
+            "collect_list(struct(ts_us, event_id, event_type))),"
+            " s -> s.event_type), '>')"
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
     )
