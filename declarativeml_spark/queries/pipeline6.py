@@ -519,9 +519,11 @@ def events_hourly_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hours = hourly.select("hour").distinct()
     types = hourly.select("event_type").distinct()
+    # the grid is aggregate-plane (hours × types); broadcast the tiny
+    # sides so the densify and the pair self-join never sort-merge
     grid = (
-        hours.crossJoin(types)
-        .join(hourly, ["hour", "event_type"], "left")
+        hours.crossJoin(F.broadcast(types))
+        .join(F.broadcast(hourly), ["hour", "event_type"], "left")
         .select("hour", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
     )
     a = grid.select(
@@ -535,7 +537,7 @@ def events_hourly_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("nb"),
     )
     pairs = (
-        a.join(b, "h")
+        a.join(F.broadcast(b), "h")
         .where(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")
         .agg(
