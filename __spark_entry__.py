@@ -78,6 +78,7 @@ _CHECK_FIRST = (
     "lakehouse_compaction_plan",
     "events_hourly_corr",
     "events_top_paths",
+    "embedding_pca_power",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

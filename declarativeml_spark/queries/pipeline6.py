@@ -648,3 +648,190 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component of the embedding corpus via deterministic
+# power iteration over the covariance matrix.
+
+_PCA_T = 8  # fixed iteration count: determinism over adaptivity
+
+
+def _pca_oracle() -> str:
+    """Unrolled power iteration in DuckDB, mirroring the Spark loop
+    step for step: same DECIMAL(38,12) product sums (exact,
+    order-independent), same fixed iteration count, same scalar
+    normalizations — so even the eigenvector's sign matches.
+
+    Every multiply-referenced CTE is MATERIALIZED: DuckDB inlines
+    plain CTEs per reference, and an 8-deep chain whose steps each
+    reference their predecessor twice would otherwise re-expand (and
+    re-scan the parquet) exponentially."""
+    ctes = []
+    prev = "v0"
+    for t in range(1, _PCA_T + 1):
+        ctes.append(
+            f"u{t} AS MATERIALIZED (SELECT c.i,"
+            f" CAST(SUM(CAST(c.c * r.val AS DECIMAL(38,12))) AS DOUBLE)"
+            f" AS val FROM cov c JOIN {prev} r ON r.i = c.j GROUP BY c.i)"
+        )
+        ctes.append(
+            f"n{t} AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(val * val"
+            f" AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM u{t})"
+        )
+        ctes.append(
+            f"v{t} AS MATERIALIZED (SELECT i,"
+            f" val / (SELECT nrm FROM n{t}) AS val FROM u{t})"
+        )
+        prev = f"v{t}"
+    loads = ",\n           ".join(
+        sql_sround(f"(SELECT val FROM v{_PCA_T} WHERE i = {k})", 6)
+        + f" AS load_{k}"
+        for k in range(4)
+    )
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+    t1 AS MATERIALIZED (SELECT vec, unnest(range(1, len(vec) + 1)) AS i FROM e),
+    mu AS MATERIALIZED (
+        SELECT CAST(i - 1 AS INTEGER) AS i,
+               CAST(SUM(CAST(vec[i] AS DECIMAL(38,12))) AS DOUBLE)
+                 / (SELECT n FROM cnt) AS m
+        FROM t1 GROUP BY 1
+    ),
+    t2 AS MATERIALIZED (SELECT vec, i, unnest(range(1, len(vec) + 1)) AS j FROM t1),
+    s AS MATERIALIZED (
+        SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
+               CAST(SUM(CAST(vec[i] * vec[j] AS DECIMAL(38,12)))
+                    AS DOUBLE) AS sij
+        FROM t2 GROUP BY 1, 2
+    ),
+    cov AS MATERIALIZED (
+        SELECT s.i, s.j,
+               s.sij / (SELECT n FROM cnt) - mi.m * mj.m AS c
+        FROM s JOIN mu mi ON mi.i = s.i JOIN mu mj ON mj.i = s.j
+    ),
+    v0 AS (
+        SELECT i, 1.0 / sqrt((SELECT COUNT(*) FROM mu) * 1.0) AS val
+        FROM mu
+    ),
+    {',' .join(ctes)},
+    trace AS (
+        SELECT CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE) AS tr
+        FROM cov WHERE i = j
+    )
+    SELECT (SELECT n FROM cnt) AS n_vecs,
+           {sql_sround(f'(SELECT nrm FROM n{_PCA_T})', 6)} AS eigenvalue,
+           {sql_sround(
+               f'(SELECT nrm FROM n{_PCA_T}) / (SELECT tr FROM trace)', 6)}
+             AS explained_ratio,
+           {loads}
+    """
+
+
+@query("embedding_pca_power", oracle=_pca_oracle())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus: population
+    covariance + fixed-count power iteration, entirely as DataFrame
+    ops — the variance-structure probe run before choosing PQ/IVF
+    dimensions or spotting collapsed embedding dims.
+
+    Determinism: every aggregation (dim means, covariance products,
+    mat-vec contractions, norms) goes through DECIMAL(38,12), the
+    iteration count is fixed, and each normalization is a single IEEE
+    divide — so the result (down to the eigenvector's sign) is
+    bit-reproducible and hash-matches an unrolled DuckDB CTE chain,
+    the ``nation_trade_pagerank`` pattern applied to linear algebra.
+
+    Scale: the covariance pass emits dim² partials per partition
+    (map-side combined; dim-bounded, not data-bounded) from a
+    replicate-free double explode. Every iteration then runs on the
+    dim²-row covariance frame with a broadcast dim-row vector —
+    aggregate-plane work regardless of corpus size. At 100 TB the
+    covariance pass is the only data-scan; a deterministic Lehmer
+    sample (as in corpus_mix_sample) caps it when an approximation
+    suffices. The only driver-side reads are two bounded counts
+    (n rows, dim), the ordered.py convention.
+    """
+    from declarativeml_spark.operators.caching import track_persist
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("vec")
+    )
+    n = emb.count()
+    t1 = emb.select("vec", F.posexplode("vec").alias("i", "vi"))
+    mu = t1.groupBy("i").agg(
+        (
+            F.sum(F.col("vi").cast("decimal(38,12)")).cast("double")
+            / F.lit(n)
+        ).alias("m")
+    )
+    t2 = t1.select("i", "vi", F.posexplode("vec").alias("j", "vj"))
+    s = t2.groupBy("i", "j").agg(
+        F.sum((F.col("vi") * F.col("vj")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sij")
+    )
+    cov = (
+        s.join(F.broadcast(mu.select("i", F.col("m").alias("mi"))), "i")
+        .join(
+            F.broadcast(
+                mu.select(F.col("i").alias("j"), F.col("m").alias("mj"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (F.col("sij") / F.lit(n) - F.col("mi") * F.col("mj")).alias("c"),
+        )
+        .transform(track_persist)
+    )
+    dim = mu.count()
+    # The vector is dim doubles — materialize it to the driver each
+    # iteration (the bounded-read convention of ordered.py) so the
+    # lineage stays one contraction deep. Without this, each of the
+    # T iterations re-derives its predecessor and the plan grows
+    # exponentially (v appears twice per step: in u and in the norm).
+    import math
+
+    v_vals = {i: 1.0 / math.sqrt(dim * 1.0) for i in range(dim)}
+    nrm = None
+    for _ in range(_PCA_T):
+        v_df = spark.createDataFrame(
+            [(j, val) for j, val in sorted(v_vals.items())], "j int, vj double"
+        )
+        u_rows = (
+            cov.join(F.broadcast(v_df), "j")
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("c") * F.col("vj")).cast("decimal(38,12)"))
+                .cast("double")
+                .alias("val")
+            )
+            .collect()
+        )
+        u_df = spark.createDataFrame(
+            [(r["i"], r["val"]) for r in u_rows], "i int, val double"
+        )
+        nrm = u_df.agg(
+            F.sqrt(
+                F.sum((F.col("val") * F.col("val")).cast("decimal(38,12)"))
+                .cast("double")
+            ).alias("nrm")
+        ).collect()[0]["nrm"]
+        v_vals = {r["i"]: r["val"] / nrm for r in u_rows}
+    trace = cov.where(F.col("i") == F.col("j")).agg(
+        F.sum(F.col("c").cast("decimal(38,12)")).cast("double").alias("tr")
+    )
+    return trace.select(
+        F.lit(n).cast("long").alias("n_vecs"),
+        sround(F.lit(nrm)).alias("eigenvalue"),
+        sround(F.lit(nrm) / F.col("tr")).alias("explained_ratio"),
+        *[
+            sround(F.lit(v_vals[k])).alias(f"load_{k}")
+            for k in range(4)
+        ],
+    )
