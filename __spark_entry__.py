@@ -79,6 +79,8 @@ _CHECK_FIRST = (
     "events_hourly_corr",
     "events_top_paths",
     "embedding_pca_power",
+    "orders_categorical_profile",
+    "lineitem_winsorized_stats",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

@@ -835,3 +835,159 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(4)
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Categorical column profile: cardinality, mode, Shannon entropy.
+
+
+@query(
+    "orders_categorical_profile",
+    oracle=f"""
+    WITH c AS (
+        SELECT 'o_orderstatus' AS column_name, o_orderstatus AS val,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority,
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders GROUP BY 2
+    ),
+    t AS (
+        SELECT column_name, val, c,
+               CAST(SUM(c) OVER (PARTITION BY column_name) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (PARTITION BY column_name
+                                  ORDER BY c DESC, val) AS rn
+        FROM c
+    ),
+    e AS (
+        SELECT column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(CAST(
+                   -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+                   AS DECIMAL(38,12))) AS DOUBLE) AS ent
+        FROM t GROUP BY column_name
+    )
+    SELECT e.column_name, e.n_distinct,
+           top.val AS top_value, top.c AS top_count,
+           {sql_sround('e.ent', 6)} AS entropy_nats
+    FROM e JOIN (SELECT column_name, val, c FROM t WHERE rn = 1) top
+      USING (column_name)
+    """,
+)
+def orders_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical data-quality profile of the orders dimensions:
+    distinct cardinality, modal value, and Shannon entropy (nats) per
+    column — the complement to the numeric profiler
+    (``lineitem_numeric_profile``) a schema-drift audit reads before
+    trusting a column as a partition or stratification key.
+
+    Scale: one counting aggregation per column collapses the table to
+    its value histogram; every subsequent op (window rank, entropy
+    sum) runs on the values×columns aggregate plane. Entropy terms
+    are per-row IEEE (divide, ln, multiply) and aggregate through
+    DECIMAL(38,12); ln() is the proven cross-engine op
+    (source_length_drift_psi).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    counts = None
+    for col in ("o_orderstatus", "o_orderpriority"):
+        part = o.groupBy(F.col(col).alias("val")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ).select(F.lit(col).alias("column_name"), "val", "c")
+        counts = part if counts is None else counts.unionByName(part)
+    wp = Window.partitionBy("column_name")
+    t = counts.withColumn(
+        "n", F.sum("c").over(wp).cast("long")
+    ).withColumn(
+        "rn",
+        F.row_number().over(wp.orderBy(F.col("c").desc(), "val")),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    e = t.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum((-p * F.log(p)).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("ent"),
+    )
+    top = t.where(F.col("rn") == 1).select(
+        "column_name", F.col("val").alias("top_value"),
+        F.col("c").alias("top_count"),
+    )
+    return e.join(F.broadcast(top), "column_name").select(
+        "column_name",
+        "n_distinct",
+        "top_value",
+        "top_count",
+        sround(F.col("ent")).alias("entropy_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized (percentile-clipped) robust price statistics.
+
+
+@query(
+    "lineitem_winsorized_stats",
+    oracle=f"""
+    WITH cut AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.01) AS lo,
+               quantile_cont(l_extendedprice, 0.99) AS hi
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT l.l_returnflag, l.l_extendedprice AS p, cut.lo, cut.hi
+        FROM lineitem l JOIN cut USING (l_returnflag)
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN p < lo OR p > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped,
+           {sql_sround(
+               'CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)',
+               6)} AS mean_raw,
+           {sql_sround(
+               'CAST(SUM(CAST(least(greatest(p, lo), hi)'
+               ' AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)', 6)}
+             AS mean_winsorized
+    FROM j GROUP BY l_returnflag
+    """,
+)
+def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized price statistics per return flag: exact p01/p99
+    cutoffs, then the mean with tails clipped to them — the robust
+    central-tendency readout outlier-heavy value columns need before
+    thresholds or budgets are set on their mean.
+
+    Two-pass shape (cf. quality_budget_selection): the cutoff pass
+    reduces to one row per group, broadcast back into a shuffle-free
+    clip-and-aggregate scan. Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the interpolation definition
+    (segment_price_percentiles precedent), and both means aggregate
+    through DECIMAL so shuffle order cannot move them.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("hi"),
+    )
+    j = li.select("l_returnflag", F.col("l_extendedprice").alias("p")).join(
+        F.broadcast(cut), "l_returnflag"
+    )
+    clipped = F.expr("least(greatest(p, lo), hi)")
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("p") < F.col("lo")) | (F.col("p") > F.col("hi")), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_clipped"),
+        sround(
+            F.sum(F.col("p").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_raw"),
+        sround(
+            F.sum(clipped.cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_winsorized"),
+    )
