@@ -81,6 +81,8 @@ _CHECK_FIRST = (
     "embedding_pca_power",
     "orders_categorical_profile",
     "lineitem_winsorized_stats",
+    "customer_rfm_segments",
+    "events_transition_matrix",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

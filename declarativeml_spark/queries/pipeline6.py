@@ -1,6 +1,4 @@
-"""Training-data pipeline operators, part 6 (round 3): cross-document
-substring-run dedup, balanced output sharding, tokenizer fertility,
-and embedding centroid dispersion.
+"""Training-data pipeline operators, part 6 (round 3).
 
 * ``dedup_substring_runs`` — the suffix-array-style exact-substring
   dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
@@ -13,6 +11,8 @@ and embedding centroid dispersion.
   100 TB corpus: an exact hash-ordered round-robin over documents via
   the two-phase distributed rank (operators/ordered.py — never a
   single-partition global window), audited by per-shard token mass.
+* ``lakehouse_compaction_plan`` — next-fit small-file merge groups
+  over a (partition, file, bytes) manifest; metadata-plane.
 * ``tokenizer_fertility`` — subwords-per-word and bytes-per-subword
   per language, the tokenizer-budget metric multilingual pipelines
   read before fixing a vocab.
@@ -20,6 +20,15 @@ and embedding centroid dispersion.
   DECIMAL per-dimension mean) and each vector's cosine to its label
   centroid; the intra-cluster cohesion audit run before semantic
   dedup thresholds are chosen.
+* ``events_hourly_corr`` / ``events_top_paths`` — cross-series
+  Pearson correlation from exact integer moments; top session entry
+  paths per 30-min-gap session.
+* ``embedding_pca_power`` — top principal component via
+  DECIMAL-exact covariance + fixed-count power iteration.
+* ``orders_categorical_profile`` / ``lineitem_winsorized_stats`` —
+  categorical entropy/mode profile; percentile-clipped robust means.
+* ``customer_rfm_segments`` / ``events_transition_matrix`` — RFM
+  quartile segmentation; first-order Markov transitions with lift.
 
 Every query is hash-checked against a DuckDB oracle; float handling
 follows registry.py (per-row IEEE ops, DECIMAL aggregation,
@@ -990,4 +999,179 @@ def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(clipped.cast("decimal(38,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("mean_winsorized"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quartiles).
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', MAX(o_orderdate), (SELECT d0 FROM maxd))
+                    AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary,
+               NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r,
+               NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+               NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+        FROM rfm
+    )
+    SELECT r, f, m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_sround(
+               'CAST(SUM(CAST(monetary AS DECIMAL(38,6))) AS DOUBLE)'
+               ' / COUNT(*)', 6)} AS avg_monetary
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile scores for recency, frequency, and
+    monetary value per customer, aggregated to segment counts — the
+    standard customer-base health matrix.
+
+    Determinism: every NTILE orders by a unique (metric, custkey)
+    pair, so quartile boundaries are identical cross-engine.
+
+    Scale: the per-customer RFM pass is one map-side-combinable
+    aggregation. The NTILE windows are global sorts over the
+    *customer aggregate* (one row per customer) — at 1e9 customers
+    this is where ordered.py's two-phase rank would replace them; the
+    segment matrix itself is 4×4×4.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d0 = o.agg(F.max("o_orderdate").alias("d0"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(d0))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("d0"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = (
+        rfm.withColumn(
+            "r",
+            F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")),
+        )
+        .withColumn(
+            "f",
+            F.ntile(4).over(
+                Window.orderBy(F.col("frequency").desc(), "o_custkey")
+            ),
+        )
+        .withColumn(
+            "m",
+            F.ntile(4).over(
+                Window.orderBy(F.col("monetary").desc(), "o_custkey")
+            ),
+        )
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        sround(
+            F.sum(F.col("monetary").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_monetary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix with lift.
+
+
+@query(
+    "events_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM trans),
+    margins_from AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS nf FROM trans GROUP BY 1
+    ),
+    margins_to AS (
+        SELECT to_type, CAST(SUM(n) AS BIGINT) AS nt FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           {sql_sround(
+               'CAST(t.n AS DOUBLE) / mf.nf', 6)} AS p_next,
+           {sql_sround(
+               '(CAST(t.n AS DOUBLE) / tt.total)'
+               ' / ((CAST(mf.nf AS DOUBLE) / tt.total)'
+               ' * (CAST(mt.nt AS DOUBLE) / tt.total))', 6)} AS lift
+    FROM trans t
+    JOIN margins_from mf USING (from_type)
+    JOIN margins_to mt USING (to_type)
+    CROSS JOIN tot tt
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for each (from, to) event-type pair, the transition
+    count, the conditional next-step probability, and the lift
+    against independence — the sequence-structure scan behind
+    next-action models and funnel design.
+
+    Scale: one shuffle on user_id; LEAD windows within the user
+    partition only. Everything downstream (margins, total, lift)
+    runs on the types×types aggregate, joined with broadcast margins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = trans.agg(F.sum("n").cast("long").alias("total"))
+    mf = trans.groupBy("from_type").agg(F.sum("n").cast("long").alias("nf"))
+    mt = trans.groupBy("to_type").agg(F.sum("n").cast("long").alias("nt"))
+    j = (
+        trans.join(F.broadcast(mf), "from_type")
+        .join(F.broadcast(mt), "to_type")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_next = F.col("n").cast("double") / F.col("nf")
+    lift = (F.col("n").cast("double") / F.col("total")) / (
+        (F.col("nf").cast("double") / F.col("total"))
+        * (F.col("nt").cast("double") / F.col("total"))
+    )
+    return j.select(
+        "from_type",
+        "to_type",
+        "n",
+        sround(p_next).alias("p_next"),
+        sround(lift).alias("lift"),
     )
