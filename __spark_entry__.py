@@ -83,6 +83,8 @@ _CHECK_FIRST = (
     "lineitem_winsorized_stats",
     "customer_rfm_segments",
     "events_transition_matrix",
+    "corpus_dedup_survivorship",
+    "text_ngram_novelty",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

@@ -1175,3 +1175,161 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sround(p_next).alias("p_next"),
         sround(lift).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivorship: which copy of each duplicate group to keep.
+
+
+@query(
+    "corpus_dedup_survivorship",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               CAST(len({_TOKS_D}) AS BIGINT) AS n_toks,
+               {T.FINGERPRINT_DUCK.format(text="text")} AS f
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_toks, f,
+               ROW_NUMBER() OVER (PARTITION BY f
+                                  ORDER BY n_toks DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY f) AS grp_n
+        FROM fp
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN rn > 1 THEN n_toks ELSE 0 END) AS BIGINT)
+             AS dropped_tokens,
+           CAST(SUM(CASE WHEN grp_n > 1 AND rn = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS contested_survivors
+    FROM ranked GROUP BY source
+    """,
+)
+def corpus_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection for exact-duplicate groups: within each
+    normalized-text fingerprint group keep the longest copy (ties to
+    the lowest doc_id), and report kept/dropped volume per source —
+    the policy step between *detecting* duplicates and *writing* the
+    deduplicated corpus, where keep-the-best beats keep-the-first.
+
+    Scale: one fingerprint shuffle (16-byte key, like dedup_exact);
+    the survivor rank windows within a fingerprint group only.
+    ``contested_survivors`` counts groups that actually had a
+    contest — the audit number for how much the keep-best policy
+    mattered.
+    """
+    fp = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(f"CAST(size({_TOKS_S}) AS BIGINT)").alias("n_toks"),
+        F.expr(T.FINGERPRINT_SPARK.format(text="text")).alias("f"),
+    )
+    wf = Window.partitionBy("f")
+    ranked = fp.withColumn(
+        "rn",
+        F.row_number().over(wf.orderBy(F.col("n_toks").desc(), "doc_id")),
+    ).withColumn("grp_n", F.count(F.lit(1)).over(wf))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("dropped_tokens"),
+        F.sum(
+            F.when((F.col("grp_n") > 1) & (F.col("rn") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("contested_survivors"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: how much of each document is first-seen vs echo.
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_D} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               md5(array_to_string(t[(pos + 1):(pos + 4)], ' ')) AS fp
+        FROM (SELECT doc_id, t,
+                     unnest(range(0, len(t) - 3)) AS pos
+              FROM toks WHERE len(t) >= 4)
+    ),
+    owner AS (
+        SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM grams
+        GROUP BY fp
+    ),
+    flags AS (
+        SELECT g.doc_id,
+               CASE WHEN o.first_doc < g.doc_id THEN 1 ELSE 0 END AS echoed
+        FROM grams g JOIN owner o USING (fp)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(echoed) AS BIGINT) AS echoed_grams,
+           {sql_sround(
+               '1.0 - CAST(SUM(echoed) AS DOUBLE) / COUNT(*)', 6)}
+             AS novelty
+    FROM flags GROUP BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 4-gram novelty against everything that came
+    before it (by doc_id order): the share of a document's word
+    4-grams whose first corpus occurrence is the document itself —
+    the incremental-information curve that tells a crawler when a
+    source has stopped contributing new text.
+
+    Scale: same fingerprint economics as dedup_substring_runs — one
+    16-byte-key aggregation finds each gram's first owner (MIN is
+    map-side combinable), one fingerprint join flags echoes, and the
+    per-doc ratio is a counting aggregation. Attribution by MIN
+    doc_id is deterministic and order-free, so no global scan order
+    exists to coordinate.
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_TOKS_S).alias("t"))
+        .where(F.expr("size(t) >= 4"))
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 4),"
+                " i -> md5(concat_ws(' ', slice(t, i + 1, 4))))"
+            )
+        ).alias("fp"),
+    )
+    owner = grams.groupBy("fp").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    flags = grams.join(owner, "fp").select(
+        "doc_id",
+        F.when(F.col("first_doc") < F.col("doc_id"), 1)
+        .otherwise(0)
+        .alias("echoed"),
+    )
+    return flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("echoed").cast("long").alias("echoed_grams"),
+        sround(
+            F.lit(1.0)
+            - F.sum("echoed").cast("double") / F.count(F.lit(1))
+        ).alias("novelty"),
+    )
