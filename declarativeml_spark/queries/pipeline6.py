@@ -798,47 +798,44 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(track_persist)
     )
-    dim = mu.count()
-    # The vector is dim doubles — materialize it to the driver each
-    # iteration (the bounded-read convention of ordered.py) so the
-    # lineage stays one contraction deep. Without this, each of the
-    # T iterations re-derives its predecessor and the plan grows
-    # exponentially (v appears twice per step: in u and in the norm).
+    # The covariance matrix is dim² doubles — a constant, not a
+    # function of corpus size — so the iteration runs driver-side on
+    # one bounded collect (the ordered.py convention). The DECIMAL
+    # semantics are replicated exactly with Python's decimal module
+    # (binary-exact Decimal(float), scale-12 HALF_UP quantize, exact
+    # sum, nearest-double conversion) — the same arithmetic Spark's
+    # cast(… as decimal(38,12)) and DuckDB's CAST perform, so the
+    # hash-parity with the unrolled oracle is preserved while the
+    # 2×T tiny Spark jobs the in-engine loop needed disappear.
+    import decimal
     import math
+
+    cov_rows = cov.collect()
+    C = {(r["i"], r["j"]): r["c"] for r in cov_rows}
+    dim = max(i for i, _ in C) + 1
+    q12 = decimal.Decimal(1).scaleb(-12)
+
+    def dec12(x: float) -> decimal.Decimal:
+        return decimal.Decimal(x).quantize(
+            q12, rounding=decimal.ROUND_HALF_UP
+        )
 
     v_vals = {i: 1.0 / math.sqrt(dim * 1.0) for i in range(dim)}
     nrm = None
     for _ in range(_PCA_T):
-        v_df = spark.createDataFrame(
-            [(j, val) for j, val in sorted(v_vals.items())], "j int, vj double"
-        )
-        u_rows = (
-            cov.join(F.broadcast(v_df), "j")
-            .groupBy("i")
-            .agg(
-                F.sum((F.col("c") * F.col("vj")).cast("decimal(38,12)"))
-                .cast("double")
-                .alias("val")
+        u = {
+            i: float(
+                sum(dec12(C[(i, j)] * v_vals[j]) for j in range(dim))
             )
-            .collect()
-        )
-        u_df = spark.createDataFrame(
-            [(r["i"], r["val"]) for r in u_rows], "i int, val double"
-        )
-        nrm = u_df.agg(
-            F.sqrt(
-                F.sum((F.col("val") * F.col("val")).cast("decimal(38,12)"))
-                .cast("double")
-            ).alias("nrm")
-        ).collect()[0]["nrm"]
-        v_vals = {r["i"]: r["val"] / nrm for r in u_rows}
-    trace = cov.where(F.col("i") == F.col("j")).agg(
-        F.sum(F.col("c").cast("decimal(38,12)")).cast("double").alias("tr")
-    )
-    return trace.select(
+            for i in range(dim)
+        }
+        nrm = math.sqrt(float(sum(dec12(u[i] * u[i]) for i in range(dim))))
+        v_vals = {i: u[i] / nrm for i in range(dim)}
+    tr = float(sum(dec12(C[(i, i)]) for i in range(dim)))
+    return spark.range(1).select(
         F.lit(n).cast("long").alias("n_vecs"),
         sround(F.lit(nrm)).alias("eigenvalue"),
-        sround(F.lit(nrm) / F.col("tr")).alias("explained_ratio"),
+        sround(F.lit(nrm / tr)).alias("explained_ratio"),
         *[
             sround(F.lit(v_vals[k])).alias(f"load_{k}")
             for k in range(4)
