@@ -85,6 +85,8 @@ _CHECK_FIRST = (
     "events_transition_matrix",
     "corpus_dedup_survivorship",
     "text_ngram_novelty",
+    "events_time_weighted_value",
+    "orders_seasonality_index",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

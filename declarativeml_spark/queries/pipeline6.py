@@ -1330,3 +1330,146 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum("echoed").cast("double") / F.count(F.lit(1))
         ).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average event value per user (interval arithmetic).
+
+
+@query(
+    "events_time_weighted_value",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, value, epoch_us(ts) AS ts_us,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_us
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, value,
+               CAST(next_us - ts_us AS BIGINT) AS gap_us
+        FROM seq WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(gap_us) AS BIGINT) AS span_us,
+           {sql_sround(
+               'CAST(SUM(CAST(value * CAST(gap_us AS DOUBLE)'
+               ' AS DECIMAL(38,6))) AS DOUBLE)'
+               ' / CAST(SUM(gap_us) AS DOUBLE)', 6)} AS twa_value
+    FROM seg GROUP BY user_id
+    """,
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's ``value`` signal: every
+    reading holds until the next one, so readings are weighted by
+    how long they were current — the correct average for sampled
+    gauges (utilization, price, balance), where the arithmetic mean
+    over-weights bursts of rapid updates.
+
+    Scale: one user_id shuffle; LEAD windows within the user
+    partition. Weights are exact integer microsecond gaps; the
+    weighted sum goes through DECIMAL so shuffle order cannot move
+    it; the final divide is one IEEE op.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", epoch_us("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.withColumn("next_us", F.lead("ts_us").over(w))
+        .where(F.col("next_us").isNotNull())
+        .select(
+            "user_id",
+            "value",
+            (F.col("next_us") - F.col("ts_us")).cast("long").alias("gap_us"),
+        )
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("gap_us").cast("long").alias("span_us"),
+        sround(
+            F.sum(
+                (F.col("value") * F.col("gap_us").cast("double")).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double")
+            / F.sum("gap_us").cast("double")
+        ).alias("twa_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal index decomposition of monthly order revenue.
+
+
+@query(
+    "orders_seasonality_index",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+               CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    yearly AS (
+        SELECT y,
+               CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*) AS yavg
+        FROM monthly GROUP BY y
+    ),
+    ratio AS (
+        SELECT m.mo, m.y, m.rev / v.yavg AS r, m.rev
+        FROM monthly m JOIN yearly v USING (y)
+    )
+    SELECT mo AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_years,
+           {sql_sround(
+               'CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)',
+               6)} AS seasonal_index,
+           {sql_sround(
+               'CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)',
+               6)} AS avg_revenue
+    FROM ratio GROUP BY mo
+    """,
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal indices for order revenue: each month's
+    revenue relative to its year's monthly average, averaged across
+    years — the multiplicative-seasonality readout (index > 1 = a
+    strong month) behind demand planning and anomaly baselines.
+
+    Scale: the raw table collapses to (year, month) in one
+    map-side-combinable pass; the year-normalization join and the
+    index average run on that ~n_years×12-row aggregate. No moving
+    window, no global sort — the classic decomposition re-expressed
+    as two tiny joins.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    yearly = monthly.groupBy("y").agg(
+        (
+            F.sum(F.col("rev").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("yavg")
+    )
+    ratio = monthly.join(F.broadcast(yearly), "y").select(
+        "mo", (F.col("rev") / F.col("yavg")).alias("r"), "rev"
+    )
+    return ratio.groupBy(F.col("mo").alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_years"),
+        sround(
+            F.sum(F.col("r").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("seasonal_index"),
+        sround(
+            F.sum(F.col("rev").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_revenue"),
+    )
