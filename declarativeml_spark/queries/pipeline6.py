@@ -706,20 +706,22 @@ def _pca_oracle() -> str:
     t1 AS MATERIALIZED (SELECT vec, unnest(range(1, len(vec) + 1)) AS i FROM e),
     mu AS MATERIALIZED (
         SELECT CAST(i - 1 AS INTEGER) AS i,
-               CAST(SUM(CAST(vec[i] AS DECIMAL(38,12))) AS DOUBLE)
-                 / (SELECT n FROM cnt) AS m
+               CAST(CAST(SUM(CAST(floor(vec[i] * 1e12 + 0.5) AS BIGINT))
+                         AS BIGINT) AS DOUBLE)
+                 / 1e12 / (SELECT n FROM cnt) AS m
         FROM t1 GROUP BY 1
     ),
     t2 AS MATERIALIZED (SELECT vec, i, unnest(range(1, len(vec) + 1)) AS j FROM t1),
     s AS MATERIALIZED (
         SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
-               CAST(SUM(CAST(vec[i] * vec[j] AS DECIMAL(38,12)))
-                    AS DOUBLE) AS sij
+               CAST(CAST(SUM(CAST(floor(vec[i] * vec[j] * 1e12 + 0.5)
+                                  AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 AS sij12
         FROM t2 GROUP BY 1, 2
     ),
     cov AS MATERIALIZED (
         SELECT s.i, s.j,
-               s.sij / (SELECT n FROM cnt) - mi.m * mj.m AS c
+               s.sij12 / 1e12 / (SELECT n FROM cnt) - mi.m * mj.m AS c
         FROM s JOIN mu mi ON mi.i = s.i JOIN mu mj ON mj.i = s.j
     ),
     v0 AS (
@@ -756,62 +758,65 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the covariance pass emits dim² partials per partition
     (map-side combined; dim-bounded, not data-bounded) from a
-    replicate-free double explode. Every iteration then runs on the
-    dim²-row covariance frame with a broadcast dim-row vector —
-    aggregate-plane work regardless of corpus size. At 100 TB the
-    covariance pass is the only data-scan; a deterministic Lehmer
-    sample (as in corpus_mix_sample) caps it when an approximation
-    suffices. The only driver-side reads are two bounded counts
-    (n rows, dim), the ordered.py convention.
+    replicate-free double explode — two aggregation jobs total (dim
+    means, dim² product sums), each collecting a constant-size
+    result. At 100 TB the covariance pass is the only data-scan; a
+    deterministic Lehmer sample (as in corpus_mix_sample) caps it
+    when an approximation suffices. Everything after the two
+    collects is dim-bounded driver math, the ordered.py convention.
     """
-    from declarativeml_spark.operators.caching import track_persist
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("vec")
     )
-    n = emb.count()
     t1 = emb.select("vec", F.posexplode("vec").alias("i", "vi"))
-    mu = t1.groupBy("i").agg(
-        (
-            F.sum(F.col("vi").cast("decimal(38,12)")).cast("double")
-            / F.lit(n)
-        ).alias("m")
-    )
-    t2 = t1.select("i", "vi", F.posexplode("vec").alias("j", "vj"))
-    s = t2.groupBy("i", "j").agg(
-        F.sum((F.col("vi") * F.col("vj")).cast("decimal(38,12)"))
-        .cast("double")
-        .alias("sij")
-    )
-    cov = (
-        s.join(F.broadcast(mu.select("i", F.col("m").alias("mi"))), "i")
-        .join(
-            F.broadcast(
-                mu.select(F.col("i").alias("j"), F.col("m").alias("mj"))
+    # Exact-and-fast sums: each term rounds to a 1e-12-scaled BIGINT
+    # (floor(x*1e12 + 0.5) — one deterministic IEEE sequence both
+    # engines share), and BIGINT sums are exact, order-free, and stay
+    # in whole-stage codegen — unlike DECIMAL(38,*) aggregation,
+    # whose per-row BigDecimal path measured ~10× slower. Overflow
+    # bound: |Σ terms| < 9.2e6 × max|term| vectors — far beyond the
+    # documented Lehmer-sample cap for the 100 TB case.
+    # job 1: per-dim scaled sums + count (count per dim == n rows)
+    mu_rows = (
+        t1.groupBy("i")
+        .agg(
+            F.sum(F.expr("CAST(floor(vi * 1e12 + 0.5) AS BIGINT)")).alias(
+                "msum"
             ),
-            "j",
+            F.count(F.lit(1)).alias("cnt"),
         )
-        .select(
-            "i",
-            "j",
-            (F.col("sij") / F.lit(n) - F.col("mi") * F.col("mj")).alias("c"),
-        )
-        .transform(track_persist)
+        .collect()
     )
-    # The covariance matrix is dim² doubles — a constant, not a
-    # function of corpus size — so the iteration runs driver-side on
-    # one bounded collect (the ordered.py convention). The DECIMAL
-    # semantics are replicated exactly with Python's decimal module
-    # (binary-exact Decimal(float), scale-12 HALF_UP quantize, exact
-    # sum, nearest-double conversion) — the same arithmetic Spark's
-    # cast(… as decimal(38,12)) and DuckDB's CAST perform, so the
-    # hash-parity with the unrolled oracle is preserved while the
-    # 2×T tiny Spark jobs the in-engine loop needed disappear.
+    n = int(mu_rows[0]["cnt"])
+    # float(int) is the nearest double — the same conversion
+    # CAST(BIGINT AS DOUBLE) performs in Spark and DuckDB
+    mu = {r["i"]: float(r["msum"]) / 1e12 / n for r in mu_rows}
+    # job 2: dim² scaled product sums
+    t2 = t1.select("i", "vi", F.posexplode("vec").alias("j", "vj"))
+    s_rows = (
+        t2.groupBy("i", "j")
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(vi * vj * 1e12 + 0.5) AS BIGINT)")
+            ).alias("ssum")
+        )
+        .collect()
+    )
+    # population covariance, the oracle's exact IEEE op sequence
+    C = {
+        (r["i"], r["j"]): float(r["ssum"]) / 1e12 / n
+        - mu[r["i"]] * mu[r["j"]]
+        for r in s_rows
+    }
+    # The iteration runs driver-side on the dim²-double matrix. The
+    # DECIMAL semantics are replicated exactly with Python's decimal
+    # module (binary-exact Decimal(float), scale-12 HALF_UP quantize,
+    # exact sum, nearest-double conversion) — the same arithmetic
+    # Spark's cast(… as decimal(38,12)) and DuckDB's CAST perform, so
+    # the hash-parity with the unrolled oracle is preserved.
     import decimal
     import math
 
-    cov_rows = cov.collect()
-    C = {(r["i"], r["j"]): r["c"] for r in cov_rows}
     dim = max(i for i, _ in C) + 1
     q12 = decimal.Decimal(1).scaleb(-12)
 

@@ -380,3 +380,101 @@ def streaming_latest_per_user(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TWA_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_value", DoubleType()),
+        StructField("wsum_dec", StringType()),  # exact DECIMAL(38,6) sum
+        StructField("span_us", LongType()),
+        StructField("n_segments", LongType()),
+    ]
+)
+
+TWA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_segments", LongType()),
+        StructField("span_us", LongType()),
+        StructField("twa_raw", DoubleType()),
+    ]
+)
+
+
+def _twa_fn():
+    import decimal
+
+    q6 = decimal.Decimal(1).scaleb(-6)
+
+    def dec6(x: float) -> decimal.Decimal:
+        return decimal.Decimal(x).quantize(
+            q6, rounding=decimal.ROUND_HALF_UP
+        )
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_ts, last_val, wsum_s, span, nseg = state.get
+            wsum = decimal.Decimal(wsum_s)
+        else:
+            last_ts, last_val, wsum, span, nseg = None, None, decimal.Decimal(0), 0, 0
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
+        for t_us, val in zip(ts_us, rows["value"]):
+            t_us = int(t_us)
+            if last_ts is not None:
+                gap = t_us - last_ts
+                # each segment's weight contribution rounds to
+                # DECIMAL(38,6) exactly like the batch twin's
+                # cast(value * gap AS DECIMAL(38,6)), then sums exactly
+                wsum += dec6(last_val * float(gap))
+                span += gap
+                nseg += 1
+            last_ts, last_val = t_us, float(val)
+        state.update((last_ts, last_val, str(wsum), span, nseg))
+        twa = float(wsum) / float(span) if span > 0 else None
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "n_segments": [nseg],
+                "span_us": [span],
+                "twa_raw": [twa],
+            }
+        )
+
+    return update
+
+
+def streaming_time_weighted_value(events_stream: DataFrame) -> DataFrame:
+    """Stateful streaming twin of the batch
+    ``events_time_weighted_value``: per user, the running
+    time-weighted average of the ``value`` gauge, updated every
+    micro-batch — the continuously-maintained form of the
+    interval-weighted mean (utilization/price/balance averaging).
+
+    State per key is one (last_ts, last_value, exact-decimal weighted
+    sum, span, count) quintuple — O(1) per user regardless of event
+    volume. Segment weights round through DECIMAL(38,6) exactly as
+    the batch query's cast does (Python decimal HALF_UP — the
+    cross-engine-proven semantics of embedding_pca_power), so after
+    consuming any in-order prefix of the log, the emitted aggregate
+    equals the batch query on the same prefix bit for bit.
+
+    In-order delivery per key is assumed (append-log semantics, the
+    contract of the other stateful twins); within a micro-batch rows
+    are sorted by (ts, event_id) before folding.
+    """
+    d = events_stream.select("user_id", "event_id", "value", "ts")
+    return d.groupBy("user_id").applyInPandasWithState(
+        _twa_fn(),
+        outputStructType=TWA_OUTPUT_SCHEMA,
+        stateStructType=TWA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

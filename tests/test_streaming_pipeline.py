@@ -443,3 +443,65 @@ def test_streaming_compaction_matches_batch(spark, smoke_dir, tmp_path):
     got_rows = sorted(tuple(r) for r in streamed.collect())
     want_rows = sorted(tuple(r) for r in want.collect())
     assert got_rows == want_rows
+
+
+def test_streaming_twa_matches_batch(spark, smoke_dir, tmp_path):
+    """The stateful time-weighted-average operator, fed the event log
+    in time order across two micro-batches, must hold exactly the
+    batch events_time_weighted_value aggregate for every user
+    (update mode: keep each user's LAST emitted row)."""
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.operators.textops import stable_round
+    from declarativeml_spark.queries import QUERIES
+    from declarativeml_spark.streaming.stateful import (
+        streaming_time_weighted_value,
+    )
+
+    from declarativeml_spark.sources.catalog import epoch_us
+
+    ev = load_table(spark, smoke_dir, "events").select(
+        "user_id", "event_id", "value", "ts", epoch_us("ts").alias("ts_us")
+    )
+    cut = ev.agg(F.expr("percentile(ts_us, 0.5)")).first()[0]
+
+    src = tmp_path / "twa_src"
+    src.mkdir()
+    ev.filter(F.col("ts_us") <= cut).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "a_first")
+    )
+    ev.filter(F.col("ts_us") > cut).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "b_second")
+    )
+    schema = spark.read.parquet(str(src / "a_first")).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = streaming_time_weighted_value(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("twa_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # update mode re-emits a user's row each batch; keep the newest
+    # (largest n_segments) per user, then round like the batch query
+    streamed = spark.sql(
+        "SELECT user_id, n_segments, span_us,"
+        f" {stable_round('twa_raw')} AS twa_value FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id"
+        "           ORDER BY n_segments DESC) AS rn FROM twa_sink"
+        ") WHERE rn = 1 AND n_segments > 0"
+    )
+    want = QUERIES["events_time_weighted_value"](spark, smoke_dir)
+    skey = lambda r: r[0]  # noqa: E731
+    got_rows = sorted((tuple(r) for r in streamed.collect()), key=skey)
+    want_rows = sorted((tuple(r) for r in want.collect()), key=skey)
+    assert got_rows == want_rows
