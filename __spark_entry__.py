@@ -87,6 +87,8 @@ _CHECK_FIRST = (
     "text_ngram_novelty",
     "events_time_weighted_value",
     "orders_seasonality_index",
+    "nation_revenue_trend",
+    "referential_integrity_audit",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

@@ -1478,3 +1478,184 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS revenue trend (exact-moment linear regression).
+
+
+@query(
+    "nation_revenue_trend",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT n_name,
+               CAST(date_part('year', o_orderdate) * 12
+                    + date_part('month', o_orderdate) - 1 AS BIGINT) AS mx,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(mx) AS BIGINT) AS sx,
+               CAST(SUM(mx * mx) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(rev * CAST(mx AS DOUBLE) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxy
+        FROM monthly GROUP BY n_name
+    )
+    SELECT n_name, k AS n_months,
+           {sql_sround(
+               '(k * sxy - sx * sy)'
+               ' / CAST(k * sxx - sx * sx AS DOUBLE)', 4)}
+             AS slope_per_month,
+           {sql_sround('sy / k', 4)} AS avg_monthly_revenue
+    FROM m WHERE k * sxx - sx * sx <> 0
+    """,
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares revenue trend per customer nation:
+    slope of monthly revenue against a month index, from exact
+    moments — is this market growing and how fast, the per-group
+    regression every BI layer ships.
+
+    Determinism: x moments (Σx, Σx²) are exact integers; y moments
+    aggregate through DECIMAL; the slope is a handful of IEEE ops on
+    those — the events_hourly_corr recipe applied to regression
+    (built-in regr_slope aggregates doubles in shuffle order and
+    would not hash-match).
+
+    Scale: the fact join collapses to (nation, month) in one pass
+    with broadcast dims; the regression math runs on that
+    nations×months aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    monthly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(na), c.c_nationkey == na.n_nationkey)
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("mx"),
+        )
+        .agg(F.sum(rev).cast("double").alias("rev"))
+    )
+    m = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("mx").cast("long").alias("sx"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("sxx"),
+        F.sum(F.col("rev").cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum(
+            (F.col("rev") * F.col("mx").cast("double")).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    det = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / det.cast("double")
+    return m.where(det != 0).select(
+        "n_name",
+        F.col("k").alias("n_months"),
+        sround(slope, 4).alias("slope_per_month"),
+        sround(F.col("sy") / F.col("k"), 4).alias("avg_monthly_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the fact/dimension graph.
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey))
+                AS BIGINT)
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: for each FK
+    edge, total rows and rows whose key has no match in the parent —
+    the data-quality gate run before trusting joins to be lossless
+    (an inner join silently drops orphans; this measures them first).
+
+    Scale: each edge is one LEFT ANTI join counted — small parents
+    broadcast, the lineitem→orders edge shuffles only the key
+    column. Four edges, four independent counting plans unioned.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def edge(name, child, key, parent, pkey, broadcast_parent):
+        p = parent.select(pkey)
+        if broadcast_parent:
+            p = F.broadcast(p)
+        orphans = child.select(key).join(
+            p, child[key] == parent[pkey], "left_anti"
+        )
+        return (
+            child.select(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .crossJoin(
+                orphans.select(
+                    F.count(F.lit(1)).cast("long").alias("n_orphans")
+                )
+            )
+            .select(F.lit(name).alias("fk_edge"), "n_rows", "n_orphans")
+        )
+
+    frames = [
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", o,
+             "o_orderkey", False),
+        edge("orders.o_custkey->customer", o, "o_custkey", c,
+             "c_custkey", True),
+        edge("customer.c_nationkey->nation", c, "c_nationkey", na,
+             "n_nationkey", True),
+        edge("supplier.s_nationkey->nation", s, "s_nationkey", na,
+             "n_nationkey", True),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
