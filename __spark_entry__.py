@@ -89,6 +89,8 @@ _CHECK_FIRST = (
     "orders_seasonality_index",
     "nation_revenue_trend",
     "referential_integrity_audit",
+    "part_abc_classification",
+    "part_pair_affinity",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

@@ -1659,3 +1659,183 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ABC classification of parts by cumulative revenue share.
+
+
+@query(
+    "part_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+                 AS rev_u
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(rev_u) AS BIGINT) AS total FROM rev),
+    cum AS (
+        SELECT l_partkey, rev_u,
+               CAST(SUM(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS c
+        FROM rev
+    ),
+    cls AS (
+        SELECT l_partkey, rev_u,
+               CASE WHEN CAST(c AS DOUBLE) / tt.total <= 0.8 THEN 'A'
+                    WHEN CAST(c AS DOUBLE) / tt.total <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM cum CROSS JOIN tot tt
+    )
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_u) AS BIGINT) AS rev_micros
+    FROM cls GROUP BY abc
+    """,
+)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, split
+    at 80% / 95% cumulative share — the Pareto segmentation behind
+    stocking policy and catalog pruning.
+
+    Determinism at scale: per-part revenue is DECIMAL-exact and
+    scaled to integer micro-units, so the running total is an exact
+    BIGINT cumsum — computed with ordered.py's two-phase distributed
+    rank (range partitions + broadcast prefix offsets), never a
+    single-partition global window; any contiguous range partitioning
+    telescopes to the same exact cumsum.
+    """
+    from declarativeml_spark.operators.ordered import global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        (
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("rev_u")
+    )
+    cum = global_cumsum(
+        rev,
+        [F.col("rev_u").desc(), F.col("l_partkey")],
+        "rev_u",
+        out_col="c",
+    )
+    tot = rev.agg(F.sum("rev_u").cast("long").alias("total"))
+    share = F.col("c").cast("double") / F.col("total")
+    cls = cum.crossJoin(F.broadcast(tot)).select(
+        "rev_u",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+        .alias("abc"),
+    )
+    return cls.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev_u").cast("long").alias("rev_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity: part pairs co-ordered, with lift.
+
+_MB_MIN_COUNT = 3
+_MB_TOPK = 50
+
+
+@query(
+    "part_pair_affinity",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+    ),
+    freq AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS nf
+        FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p.pa, p.pb, p.n_both,
+           {sql_sround(
+               '(CAST(p.n_both AS DOUBLE) / no.n)'
+               ' / ((CAST(fa.nf AS DOUBLE) / no.n)'
+               ' * (CAST(fb.nf AS DOUBLE) / no.n))', 6)} AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.pa
+    JOIN freq fb ON fb.l_partkey = p.pb
+    CROSS JOIN n_orders no
+    WHERE p.n_both >= {_MB_MIN_COUNT}
+    ORDER BY lift DESC, pa, pb
+    LIMIT {_MB_TOPK}
+    """,
+)
+def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs that co-occur in orders,
+    ranked by lift over independence (count-floored) — the
+    co-purchase signal behind bundling and recommendation baselines.
+
+    Scale: the pair space is Σ items_per_order² — bounded by basket
+    size (single digits), NOT corpus-quadratic, so the within-order
+    self-join is safe at any order count. One orderkey shuffle builds
+    pairs; margins join back broadcast; the final cut is a
+    TakeOrdered over the count-floored pair aggregate. Ties break on
+    (pa, pb) so LIMIT picks identical rows cross-engine.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n")
+    )
+    freq = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("nf")
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .where(F.col("n_both") >= _MB_MIN_COUNT)
+    )
+    j = (
+        pairs.join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("pa"),
+                                    F.col("nf").alias("nfa"))), "pa"
+        )
+        .join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("pb"),
+                                    F.col("nf").alias("nfb"))), "pb"
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    lift = (F.col("n_both").cast("double") / F.col("n")) / (
+        (F.col("nfa").cast("double") / F.col("n"))
+        * (F.col("nfb").cast("double") / F.col("n"))
+    )
+    return (
+        j.select("pa", "pb", "n_both", sround(lift).alias("lift"))
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(_MB_TOPK)
+    )
