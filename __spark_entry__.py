@@ -91,6 +91,7 @@ _CHECK_FIRST = (
     "referential_integrity_audit",
     "part_abc_classification",
     "part_pair_affinity",
+    "events_new_users_cumulative",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

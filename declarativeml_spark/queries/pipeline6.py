@@ -1839,3 +1839,78 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "pa", "pb")
         .limit(_MB_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: daily new / active / cumulative users.
+
+
+@query(
+    "events_new_users_cumulative",
+    oracle=f"""
+    WITH firstd AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+    ),
+    newd AS (
+        SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM firstd GROUP BY 1
+    ),
+    act AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT a.day, COALESCE(n.n_new, 0) AS n_new, a.n_active,
+               CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY a.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_users
+        FROM act a LEFT JOIN newd n ON n.day = a.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_new, n_active, cum_users,
+           {sql_sround(
+               'CAST(n_new AS DOUBLE) / n_active', 6)} AS pct_new
+    FROM cum
+    """,
+)
+def events_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting over the event log: per day, first-seen
+    (new) users, distinct active users, the running cumulative user
+    base, and the new-user share of activity — the top-of-dashboard
+    growth curve.
+
+    Scale: two map-side-combinable aggregations (first-seen day per
+    user; distinct actives per day) collapse the log to the day
+    plane; the running total is the exact integer two-phase cumsum
+    of ordered.py — no single-partition window over data. Days emit
+    as ISO strings so both engines hash identical values.
+    """
+    from declarativeml_spark.operators.ordered import global_cumsum
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    newd = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    act = ev.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("n_active")
+    )
+    base = act.join(F.broadcast(newd), "day", "left").select(
+        "day",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        "n_active",
+    )
+    cum = global_cumsum(base, [F.col("day")], "n_new", out_col="cum_users")
+    return cum.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_new",
+        "n_active",
+        F.col("cum_users").cast("long").alias("cum_users"),
+        sround(F.col("n_new").cast("double") / F.col("n_active")).alias(
+            "pct_new"
+        ),
+    )
