@@ -92,6 +92,8 @@ _CHECK_FIRST = (
     "part_abc_classification",
     "part_pair_affinity",
     "events_new_users_cumulative",
+    "orders_benford_audit",
+    "key_uniqueness_audit",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

@@ -29,6 +29,16 @@
   categorical entropy/mode profile; percentile-clipped robust means.
 * ``customer_rfm_segments`` / ``events_transition_matrix`` — RFM
   quartile segmentation; first-order Markov transitions with lift.
+* ``corpus_dedup_survivorship`` / ``text_ngram_novelty`` — keep-best
+  survivor selection per dup group; first-seen 4-gram share per doc.
+* ``events_time_weighted_value`` / ``orders_seasonality_index`` —
+  gauge-correct interval-weighted means; month-of-year indices.
+* ``nation_revenue_trend`` / ``referential_integrity_audit`` —
+  exact-moment OLS slope per group; FK orphan counts per edge.
+* ``part_abc_classification`` / ``part_pair_affinity`` /
+  ``events_new_users_cumulative`` — Pareto split on the exact
+  cumulative share; basket-bounded co-purchase lift; daily
+  new/active/cumulative growth accounting.
 
 Every query is hash-checked against a DuckDB oracle; float handling
 follows registry.py (per-row IEEE ops, DECIMAL aggregation,
@@ -1914,3 +1924,136 @@ def events_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_new"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud / synthetic-data smell test).
+
+
+@query(
+    "orders_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+    SELECT c.d AS first_digit, c.n,
+           {sql_sround('CAST(c.n AS DOUBLE) / tt.total', 6)}
+             AS observed_p,
+           {sql_sround(
+               'ln(1.0 + 1.0 / c.d) / ln(10.0)', 6)} AS benford_p,
+           {sql_sround(
+               'CAST(c.n AS DOUBLE) / tt.total'
+               ' - ln(1.0 + 1.0 / c.d) / ln(10.0)', 6)} AS deviation
+    FROM counts c CROSS JOIN tot tt
+    """,
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    leading-digit frequencies against log10(1 + 1/d) — the
+    fraud/synthetic-data smell test auditors run on financial
+    columns (organic multiplicative data follows Benford; fabricated
+    or uniformly-generated data does not).
+
+    Scale: one counting aggregation collapses the table to ≤9 digit
+    rows; all probability math runs there. log10 is expressed as
+    ln/ln(10) because ln is the proven cross-engine-identical op
+    (source_length_drift_psi precedent); log10 itself may differ in
+    the last ulp between libms.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("d")
+    )
+    counts = digits.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total")
+    ben = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        "n",
+        sround(obs).alias("observed_p"),
+        sround(ben).alias("benford_p"),
+        sround(obs - ben).alias("deviation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-uniqueness audit across the schema's declared primary keys.
+
+
+@query(
+    "key_uniqueness_audit",
+    oracle="""
+    SELECT 'orders.o_orderkey' AS key_name,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+             AS n_distinct
+    UNION ALL
+    SELECT 'customer.c_custkey',
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT c_custkey) FROM customer) AS BIGINT)
+    UNION ALL
+    SELECT 'part.p_partkey',
+           CAST((SELECT COUNT(*) FROM part) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT p_partkey) FROM part) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM
+                 (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'documents.doc_id',
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT doc_id) FROM documents) AS BIGINT)
+    """,
+)
+def key_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: row count vs distinct key count
+    for every declared key — the precondition check for MERGE
+    upserts, CDC compaction, and any join that assumes the key is a
+    key (a duplicated key silently fans joins out).
+
+    Scale: each check is one two-phase distinct count; shuffles carry
+    key columns only. Five keys, five independent counting plans
+    unioned.
+    """
+
+    def check(name, table, cols):
+        t = load_table(spark, sf_dir, table)
+        return (
+            t.select(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .crossJoin(
+                t.select(*cols)
+                .distinct()
+                .select(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+            )
+            .select(F.lit(name).alias("key_name"), "n_rows", "n_distinct")
+        )
+
+    frames = [
+        check("orders.o_orderkey", "orders", ["o_orderkey"]),
+        check("customer.c_custkey", "customer", ["c_custkey"]),
+        check("part.p_partkey", "part", ["p_partkey"]),
+        check(
+            "lineitem.(l_orderkey,l_linenumber)",
+            "lineitem",
+            ["l_orderkey", "l_linenumber"],
+        ),
+        check("documents.doc_id", "documents", ["doc_id"]),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
