@@ -265,3 +265,32 @@ def test_roundtrip_property(name, alg, source, target, feat):
     assert m.source == source
     assert m.target == target
     assert m.features == [feat]
+
+
+@given(
+    source=_ident,
+    n=st.integers(min_value=1, max_value=10_000),
+    idc=_ident,
+)
+def test_shard_roundtrip_property(source, n, idc):
+    s = parse(f"SHARD {source} INTO {n} SHARDS BY {idc}")
+    assert s.source == source
+    assert s.n_shards == n
+    assert s.id_column == idc
+
+
+@given(
+    source=_ident,
+    target=st.integers(min_value=1, max_value=10**12),
+    part=_ident,
+    fid=_ident,
+    sz=_ident,
+)
+def test_compact_roundtrip_property(source, target, part, fid, sz):
+    c = parse(
+        f"COMPACT {source} TARGET {target} BYTES"
+        f" PARTITION BY {part} FILE BY {fid} SIZE BY {sz}"
+    )
+    assert c.source == source
+    assert c.target_bytes == target
+    assert (c.part_column, c.file_column, c.bytes_column) == (part, fid, sz)
