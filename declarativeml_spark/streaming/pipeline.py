@@ -281,3 +281,25 @@ def stream_stream_attribution_join(
         F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_time"),
         "purchase_value",
     )
+
+
+def streaming_new_users(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Continuous growth accounting: first-seen users per day from
+    the event stream — the streaming twin of the batch
+    ``events_new_users_cumulative`` new-user leg, built on Spark's
+    native stateful ``dropDuplicates`` (state = one row per seen
+    user) plus a tumbling-day count.
+
+    Scale: dedup state is O(distinct users), the same bound the
+    batch MIN-aggregation carries; with a watermark the state store
+    evicts nothing here by design (a user's first appearance is
+    forever) — at 1e9 users this is the one deliberately unbounded
+    state in the streaming layer, sized like any user dimension.
+    Works identically on a batch frame (``dropDuplicates`` +
+    groupBy), so tests assert stream == batch on the same rows.
+    """
+    ev = _ensure_event_time(stream, ts_col)
+    firsts = ev.select("user_id", ts_col).dropDuplicates(["user_id"])
+    return firsts.groupBy(
+        F.col(ts_col).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_new"))

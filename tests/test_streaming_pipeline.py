@@ -505,3 +505,57 @@ def test_streaming_twa_matches_batch(spark, smoke_dir, tmp_path):
     got_rows = sorted((tuple(r) for r in streamed.collect()), key=skey)
     want_rows = sorted((tuple(r) for r in want.collect()), key=skey)
     assert got_rows == want_rows
+
+
+def test_streaming_new_users_matches_batch(spark, smoke_dir, tmp_path):
+    """Stateful dropDuplicates growth accounting: fed the log in time
+    order, the per-day first-seen counts must equal the batch
+    new-user leg of events_new_users_cumulative."""
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.sources.catalog import epoch_us
+    from declarativeml_spark.streaming.pipeline import streaming_new_users
+
+    ev = load_table(spark, smoke_dir, "events").select(
+        "user_id", "ts", epoch_us("ts").alias("ts_us")
+    )
+    cut = ev.agg(F.expr("percentile(ts_us, 0.5)")).first()[0]
+    src = tmp_path / "nu_src"
+    src.mkdir()
+    ev.filter(F.col("ts_us") <= cut).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "a_first")
+    )
+    ev.filter(F.col("ts_us") > cut).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "b_second")
+    )
+    schema = spark.read.parquet(str(src / "a_first")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = streaming_new_users(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nu_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (str(r["day"]), r["n_new"])
+        for r in spark.sql("SELECT * FROM nu_sink").collect()
+    )
+    want = sorted(
+        (str(r["day"]), r["n_new"])
+        for r in load_table(spark, smoke_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+        .collect()
+    )
+    assert got == want
