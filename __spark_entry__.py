@@ -94,6 +94,7 @@ _CHECK_FIRST = (
     "events_new_users_cumulative",
     "orders_benford_audit",
     "key_uniqueness_audit",
+    "lineitem_price_ols",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

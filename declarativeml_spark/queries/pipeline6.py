@@ -2057,3 +2057,128 @@ def key_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic multivariate OLS: price ~ quantity + discount,
+# trained from exact moments via shared-text Cramer expressions.
+
+# The closed-form solve is emitted from ONE set of expression strings
+# used verbatim by both engines, so every IEEE op sequence is
+# identical by construction (not by convention).
+_OLS_NF = "CAST(n AS DOUBLE)"
+_OLS_DET = (
+    "({a00})*(({a11})*({a22})-({a12})*({a21}))"
+    " - ({a01})*(({a10})*({a22})-({a12})*({a20}))"
+    " + ({a02})*(({a10})*({a21})-({a11})*({a20}))"
+)
+
+
+def _ols_exprs() -> dict[str, str]:
+    A = [[_OLS_NF, "sq", "sd"], ["sq", "sqq", "sqd"], ["sd", "sqd", "sdd"]]
+    b = ["sy", "sqy", "sdy"]
+
+    def det(m):
+        return _OLS_DET.format(
+            a00=m[0][0], a01=m[0][1], a02=m[0][2],
+            a10=m[1][0], a11=m[1][1], a12=m[1][2],
+            a20=m[2][0], a21=m[2][1], a22=m[2][2],
+        )
+
+    def repl(col):
+        return [
+            [b[r] if c == col else A[r][c] for c in range(3)]
+            for r in range(3)
+        ]
+
+    dA = det(A)
+    b0 = f"({det(repl(0))}) / ({dA})"
+    b1 = f"({det(repl(1))}) / ({dA})"
+    b2 = f"({det(repl(2))}) / ({dA})"
+    sse = f"syy - (({b0})*sy + ({b1})*sqy + ({b2})*sdy)"
+    sst = f"syy - sy*sy/{_OLS_NF}"
+    return {
+        "intercept": b0,
+        "coef_quantity": b1,
+        "coef_discount": b2,
+        "r2": f"1.0 - ({sse}) / ({sst})",
+    }
+
+
+_OLS_MOMENTS_DUCK = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sd,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                AS DOUBLE) AS sqq,
+           CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS sqd,
+           CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS sdd,
+           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                AS DOUBLE) AS sqy,
+           CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(38,6)))
+                AS DOUBLE) AS sdy,
+           CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                         AS DECIMAL(38,6))) AS DOUBLE) AS syy
+    FROM lineitem
+"""
+
+
+def _ols_oracle() -> str:
+    e = _ols_exprs()
+    return f"""
+    WITH m AS ({_OLS_MOMENTS_DUCK})
+    SELECT n AS n_rows,
+           {sql_sround(e['intercept'], 4)} AS intercept,
+           {sql_sround(e['coef_quantity'], 4)} AS coef_quantity,
+           {sql_sround(e['coef_discount'], 4)} AS coef_discount,
+           {sql_sround(e['r2'], 6)} AS r2
+    FROM m
+    """
+
+
+@query("lineitem_price_ols", oracle=_ols_oracle())
+def lineitem_price_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS trained in-engine: extendedprice regressed on
+    quantity and discount via the normal equations, solved in closed
+    form (Cramer) — a model fit whose coefficients hash-match an
+    independent engine, the strongest verification an ML training
+    path can have.
+
+    Determinism: all ten moments aggregate through DECIMAL (exact,
+    order-free); the solve is emitted from ONE set of expression
+    strings shared verbatim by the Spark select and the DuckDB
+    oracle, so the IEEE op sequences are identical by construction.
+
+    Scale: training is ONE map-side-combinable aggregation pass over
+    the fact table (10 partials per partition) + constant driver-free
+    math on the single moment row — the textbook "ML on the
+    aggregate plane" shape; features scale this by p², never by rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dsum6(expr):
+        return F.sum(F.expr(expr).cast("decimal(38,6)")).cast("double")
+
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum6("l_quantity").alias("sq"),
+        dsum6("l_discount").alias("sd"),
+        dsum6("l_extendedprice").alias("sy"),
+        dsum6("l_quantity * l_quantity").alias("sqq"),
+        dsum6("l_quantity * l_discount").alias("sqd"),
+        dsum6("l_discount * l_discount").alias("sdd"),
+        dsum6("l_quantity * l_extendedprice").alias("sqy"),
+        dsum6("l_discount * l_extendedprice").alias("sdy"),
+        dsum6("l_extendedprice * l_extendedprice").alias("syy"),
+    )
+    e = _ols_exprs()
+    return m.select(
+        F.col("n").alias("n_rows"),
+        sround(F.expr(e["intercept"]), 4).alias("intercept"),
+        sround(F.expr(e["coef_quantity"]), 4).alias("coef_quantity"),
+        sround(F.expr(e["coef_discount"]), 4).alias("coef_discount"),
+        sround(F.expr(e["r2"])).alias("r2"),
+    )
