@@ -95,6 +95,7 @@ _CHECK_FIRST = (
     "orders_benford_audit",
     "key_uniqueness_audit",
     "lineitem_price_ols",
+    "nb_lang_confusion",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

@@ -1,0 +1,183 @@
+"""Training-data pipeline operators, part 7 (round 3): in-engine
+hash-checked ML.
+
+* ``nb_lang_confusion`` — a multinomial Naive Bayes language
+  classifier trained, scored, and evaluated entirely in the engine,
+  with the full train→predict→confusion pipeline hash-checked
+  against DuckDB: every sufficient statistic is an exact count,
+  every log-likelihood is ln() of an exact ratio (the proven
+  cross-engine op), and per-document score sums aggregate through
+  DECIMAL so shuffle order cannot reorder float additions.
+
+Float conventions follow registry.py; see also
+``lineitem_price_ols`` (closed-form OLS) and ``embedding_pca_power``
+(power iteration) for the other hash-checked training paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from declarativeml_spark.operators import textops as T
+from declarativeml_spark.queries.registry import query, sql_sround, sround
+from declarativeml_spark.sources.catalog import load_table
+
+_TOKS_S = T.TOKENS_SPARK.format(text="text")
+_TOKS_D = T.TOKENS_DUCK.format(text="text")
+
+
+@query(
+    "nb_lang_confusion",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, lang, unnest({_TOKS_D}) AS w FROM documents
+    ),
+    cls AS MATERIALIZED (
+        SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM tok GROUP BY lang
+    ),
+    nall AS MATERIALIZED (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cls),
+    tokc AS MATERIALIZED (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY lang, w
+    ),
+    langtot AS MATERIALIZED (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM tokc GROUP BY lang
+    ),
+    vocab AS MATERIALIZED (
+        SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tok
+    ),
+    loglik AS MATERIALIZED (
+        SELECT t.lang, t.w,
+               ln((CAST(t.c AS DOUBLE) + 1.0)
+                  / (CAST(lt.tot AS DOUBLE) + vv.v)) AS ll
+        FROM tokc t JOIN langtot lt USING (lang) CROSS JOIN vocab vv
+    ),
+    scored AS MATERIALIZED (
+        SELECT d.doc_id, d.lang AS actual_lang, m.lang AS model_lang,
+               ln(CAST(c2.n_docs AS DOUBLE) / na.n)
+                 + CAST(SUM(CAST(
+                       COALESCE(l.ll,
+                                ln(1.0 / (CAST(m.tot AS DOUBLE) + vv.v)))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS score
+        FROM tok d
+        CROSS JOIN langtot m
+        CROSS JOIN vocab vv
+        CROSS JOIN nall na
+        JOIN cls c2 ON c2.lang = m.lang
+        LEFT JOIN loglik l ON l.lang = m.lang AND l.w = d.w
+        GROUP BY d.doc_id, d.lang, m.lang, c2.n_docs, na.n, m.tot, vv.v
+    ),
+    pred AS MATERIALIZED (
+        SELECT doc_id, actual_lang, model_lang AS pred_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, model_lang) AS rn
+        FROM scored
+    )
+    SELECT actual_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_sround(
+               'CAST(SUM(CASE WHEN actual_lang = pred_lang THEN 1 ELSE 0'
+               ' END) AS DOUBLE) / COUNT(*)', 6)} AS hit_rate
+    FROM pred WHERE rn = 1
+    GROUP BY actual_lang, pred_lang
+    """,
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier — trained on the
+    corpus's own (text, lang) pairs, scored over every document, and
+    reported as a train-set confusion matrix — entirely in-engine
+    and hash-checked: the sufficient statistics are exact counts,
+    each Laplace-smoothed log-likelihood is ln() of an exact ratio
+    (the cross-engine-identical op), and per-document score sums go
+    through DECIMAL(38,12) so shuffle order cannot perturb the
+    argmax. Ties break on the language name.
+
+    Scale: training is two counting aggregations (class priors,
+    per-class token counts). Scoring fans each token occurrence out
+    by n_classes (a constant) and joins the class-conditional table
+    on (lang, token) — broadcastable while vocab × classes stays
+    dimension-sized; per-document partial sums combine map-side.
+    The argmax windows within one document only.
+    """
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.expr(_TOKS_S)).alias("w")
+    )
+    cls = tok.groupBy("lang").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs")
+    )
+    tokc = tok.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    langtot = tokc.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    v = tok.agg(F.count_distinct("w").cast("long").alias("v"))
+    n_all = cls.agg(F.sum("n_docs").cast("long").alias("n"))
+
+    loglik = (
+        tokc.join(F.broadcast(langtot), "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lang",
+            "w",
+            F.log(
+                (F.col("c").cast("double") + 1.0)
+                / (F.col("tot").cast("double") + F.col("v"))
+            ).alias("ll"),
+        )
+    )
+    model = (
+        langtot.select(F.col("lang").alias("model_lang"), "tot")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(n_all))
+        .join(
+            F.broadcast(cls.select(F.col("lang").alias("model_lang"),
+                                   "n_docs")),
+            "model_lang",
+        )
+    )
+    default_ll = F.log(1.0 / (F.col("tot").cast("double") + F.col("v")))
+    prior = F.log(F.col("n_docs").cast("double") / F.col("n"))
+    scored = (
+        tok.select("doc_id", F.col("lang").alias("actual_lang"), "w")
+        .crossJoin(F.broadcast(model))
+        .join(
+            F.broadcast(loglik).withColumnRenamed("lang", "model_lang"),
+            ["model_lang", "w"],
+            "left",
+        )
+        .groupBy("doc_id", "actual_lang", "model_lang", "tot", "v",
+                 "n_docs", "n")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("ll"), default_ll).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("s")
+        )
+        .select(
+            "doc_id",
+            "actual_lang",
+            "model_lang",
+            (prior + F.col("s")).alias("score"),
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), "model_lang"
+    )
+    pred = scored.withColumn("rn", F.row_number().over(wd)).where(
+        F.col("rn") == 1
+    )
+    return pred.groupBy(
+        "actual_lang", F.col("model_lang").alias("pred_lang")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        sround(
+            F.sum(
+                F.when(F.col("actual_lang") == F.col("model_lang"), 1)
+                .otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("hit_rate"),
+    )
