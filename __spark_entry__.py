@@ -96,6 +96,7 @@ _CHECK_FIRST = (
     "key_uniqueness_audit",
     "lineitem_price_ols",
     "nb_lang_confusion",
+    "lineitem_decision_stump",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

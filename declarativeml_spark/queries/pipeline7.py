@@ -181,3 +181,118 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("hit_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: best single split by Gini impurity reduction.
+
+_GINI = "2.0 * ({p}) * (1.0 - ({p}))"
+
+
+@query(
+    "lineitem_decision_stump",
+    oracle=f"""
+    WITH lab AS (
+        SELECT l_quantity AS q,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ),
+    per_q AS (
+        SELECT q, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM lab GROUP BY q
+    ),
+    cum AS (
+        SELECT q,
+               CAST(SUM(n) OVER w AS BIGINT) AS n_le,
+               CAST(SUM(pos) OVER w AS BIGINT) AS pos_le,
+               CAST(SUM(n) OVER () AS BIGINT) AS n_all,
+               CAST(SUM(pos) OVER () AS BIGINT) AS pos_all
+        FROM per_q
+        WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    scored AS (
+        SELECT q AS threshold, n_le, n_all - n_le AS n_gt,
+               (CAST(n_le AS DOUBLE)
+                  * ({_GINI.format(p='CAST(pos_le AS DOUBLE)'
+                                     ' / CAST(n_le AS DOUBLE)')})
+                + CAST(n_all - n_le AS DOUBLE)
+                  * ({_GINI.format(
+                        p='CAST(pos_all - pos_le AS DOUBLE)'
+                          ' / CAST(n_all - n_le AS DOUBLE)')}))
+                 / CAST(n_all AS DOUBLE) AS wg,
+               {_GINI.format(
+                   p='CAST(pos_all AS DOUBLE) / CAST(n_all AS DOUBLE)')}
+                 AS g0
+        FROM cum WHERE n_le > 0 AND n_all - n_le > 0
+    )
+    SELECT threshold, n_le, n_gt,
+           {sql_sround('wg', 6)} AS weighted_gini,
+           {sql_sround('g0 - wg', 6)} AS gain
+    FROM scored
+    ORDER BY wg, threshold LIMIT 1
+    """,
+)
+def lineitem_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training: the best single split of l_quantity
+    for predicting returns, by weighted Gini impurity — tree-style
+    model fitting whose chosen threshold, impurity, and gain
+    hash-match an independent engine.
+
+    Determinism: candidate statistics are exact integer cumulative
+    counts over the ~50-row distinct-value aggregate; each
+    candidate's Gini is a fixed IEEE op sequence on those integers;
+    the argmin breaks ties on the threshold value.
+
+    Scale: one counting pass collapses the fact table to its
+    distinct feature values; the split search runs entirely on that
+    value plane (the histogram-split strategy XGBoost/LightGBM use).
+    The windows order ~50 rows — value-plane, not data-plane.
+    """
+    lab = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    per_q = lab.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    wall = Window.partitionBy()
+    cum = per_q.select(
+        "q",
+        F.sum("n").over(w).cast("long").alias("n_le"),
+        F.sum("pos").over(w).cast("long").alias("pos_le"),
+        F.sum("n").over(wall).cast("long").alias("n_all"),
+        F.sum("pos").over(wall).cast("long").alias("pos_all"),
+    )
+    scored = cum.where(
+        (F.col("n_le") > 0) & (F.col("n_all") - F.col("n_le") > 0)
+    ).select(
+        F.col("q").alias("threshold"),
+        "n_le",
+        (F.col("n_all") - F.col("n_le")).alias("n_gt"),
+        F.expr(
+            "(CAST(n_le AS DOUBLE)"
+            f"  * ({_GINI.format(p='CAST(pos_le AS DOUBLE) / CAST(n_le AS DOUBLE)')})"
+            " + CAST(n_all - n_le AS DOUBLE)"
+            f"  * ({_GINI.format(p='CAST(pos_all - pos_le AS DOUBLE) / CAST(n_all - n_le AS DOUBLE)')}))"
+            " / CAST(n_all AS DOUBLE)"
+        ).alias("wg"),
+        F.expr(
+            _GINI.format(p="CAST(pos_all AS DOUBLE) / CAST(n_all AS DOUBLE)")
+        ).alias("g0"),
+    )
+    return (
+        scored.select(
+            "threshold",
+            "n_le",
+            "n_gt",
+            sround(F.col("wg")).alias("weighted_gini"),
+            sround(F.col("g0") - F.col("wg")).alias("gain"),
+        )
+        .orderBy(F.col("weighted_gini"), "threshold")
+        .limit(1)
+    )
