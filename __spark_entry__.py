@@ -97,6 +97,8 @@ _CHECK_FIRST = (
     "lineitem_price_ols",
     "nb_lang_confusion",
     "lineitem_decision_stump",
+    "lineitem_feature_mi",
+    "segment_spend_ttest",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

@@ -296,3 +296,198 @@ def lineitem_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("weighted_gini"), "threshold")
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between a bucketed feature and the label.
+
+
+@query(
+    "lineitem_feature_mi",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS qb,
+               l_returnflag AS y,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cells),
+    mx AS (SELECT qb, CAST(SUM(n) AS BIGINT) AS nx FROM cells GROUP BY qb),
+    my AS (SELECT y, CAST(SUM(n) AS BIGINT) AS ny FROM cells GROUP BY y),
+    terms AS (
+        SELECT c.qb, c.y,
+               CAST(c.n AS DOUBLE) / tt.nt
+                 * ln((CAST(c.n AS DOUBLE) * tt.nt)
+                      / (CAST(x.nx AS DOUBLE) * y2.ny)) AS t
+        FROM cells c
+        JOIN mx x USING (qb) JOIN my y2 USING (y) CROSS JOIN tot tt
+    ),
+    hy AS (
+        SELECT CAST(SUM(CAST(
+                 -(CAST(ny AS DOUBLE) / tt.nt)
+                   * ln(CAST(ny AS DOUBLE) / tt.nt) AS DECIMAL(38,12)))
+               AS DOUBLE) AS h
+        FROM my CROSS JOIN tot tt
+    )
+    SELECT CAST((SELECT nt FROM tot) AS BIGINT) AS n_rows,
+           {sql_sround(
+               '(SELECT CAST(SUM(CAST(t AS DECIMAL(38,12))) AS DOUBLE)'
+               ' FROM terms)', 6)} AS mi_nats,
+           {sql_sround(
+               '(SELECT CAST(SUM(CAST(t AS DECIMAL(38,12))) AS DOUBLE)'
+               ' FROM terms) / (SELECT h FROM hy)', 6)}
+             AS mi_over_hy
+    """,
+)
+def lineitem_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the bucketed quantity feature and
+    the return flag (plus the H(Y)-normalized form) — the
+    model-free feature-relevance score feature selection starts
+    from, computed from exact contingency counts.
+
+    Determinism: every probability is a ratio of exact integers;
+    each MI term is a fixed IEEE sequence ending in ln(); term sums
+    go through DECIMAL(38,12) so shuffle order cannot reorder them.
+
+    Scale: one counting pass collapses the table to the (buckets ×
+    classes) contingency plane; margins and the MI sum run there.
+    """
+    cells = load_table(spark, sf_dir, "lineitem").groupBy(
+        F.expr("CAST(floor(l_quantity / 10.0) AS BIGINT)").alias("qb"),
+        F.col("l_returnflag").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cells.agg(F.sum("n").cast("long").alias("nt"))
+    mx = cells.groupBy("qb").agg(F.sum("n").cast("long").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("n").cast("long").alias("ny"))
+    terms = (
+        cells.join(F.broadcast(mx), "qb")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("n").cast("double") / F.col("nt")
+                * F.log(
+                    (F.col("n").cast("double") * F.col("nt"))
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                )
+            ).alias("t")
+        )
+    )
+    mi = terms.agg(
+        F.sum(F.col("t").cast("decimal(38,12)")).cast("double").alias("mi")
+    )
+    py = F.col("ny").cast("double") / F.col("nt")
+    hy = (
+        my.crossJoin(F.broadcast(tot))
+        .select((-py * F.log(py)).alias("t"))
+        .agg(
+            F.sum(F.col("t").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("h")
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nt").alias("n_rows"),
+            sround(F.col("mi")).alias("mi_nats"),
+            sround(F.col("mi") / F.col("h")).alias("mi_over_hy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Welch t-tests between customer segments.
+
+
+@query(
+    "segment_spend_ttest",
+    oracle=f"""
+    WITH m AS (
+        SELECT c_mktsegment AS seg,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS s1,
+               CAST(SUM(CAST(o_totalprice * o_totalprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    ),
+    stats AS (
+        SELECT seg, n, s1 / n AS mean,
+               (s2 - s1 * s1 / n) / (n - 1.0) AS var
+        FROM m WHERE n > 1
+    )
+    SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, b.n AS n_b,
+           {sql_sround('a.mean - b.mean', 4)} AS mean_diff,
+           {sql_sround(
+               '(a.mean - b.mean)'
+               ' / sqrt(a.var / a.n + b.var / b.n)', 6)} AS welch_t
+    FROM stats a JOIN stats b ON a.seg < b.seg
+    """,
+)
+def segment_spend_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Welch t-statistics for mean order value between every
+    pair of customer segments — the significance readout an A/B or
+    segmentation analysis ends with (the engine's DEPLOY … TRAFFIC
+    SPLIT statement is the experiment side; this is the evaluation
+    side).
+
+    Determinism: per-segment moments aggregate through DECIMAL; mean,
+    variance, and the t-statistic are fixed IEEE sequences on those
+    moments. Segments pair by name inequality, so each pair appears
+    once with a stable orientation.
+
+    Scale: one broadcast-dim join + counting pass collapses the fact
+    table to one moment row per segment; the pairwise join runs on
+    the segments² plane.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("s1"),
+            F.sum(
+                (F.col("o_totalprice") * F.col("o_totalprice")).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+    stats = m.where(F.col("n") > 1).select(
+        "seg",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1.0)
+        ).alias("var"),
+    )
+    a = stats.select(
+        F.col("seg").alias("seg_a"), F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"), F.col("var").alias("var_a"),
+    )
+    b = stats.select(
+        F.col("seg").alias("seg_b"), F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"), F.col("var").alias("var_b"),
+    )
+    j = a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return j.select(
+        "seg_a",
+        "seg_b",
+        "n_a",
+        "n_b",
+        sround(F.col("mean_a") - F.col("mean_b"), 4).alias("mean_diff"),
+        sround(t).alias("welch_t"),
+    )
