@@ -99,6 +99,8 @@ _CHECK_FIRST = (
     "lineitem_decision_stump",
     "lineitem_feature_mi",
     "segment_spend_ttest",
+    "events_change_points",
+    "nation_revenue_gini",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

@@ -491,3 +491,198 @@ def segment_spend_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         sround(F.col("mean_a") - F.col("mean_b"), 4).alias("mean_diff"),
         sround(t).alias("welch_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Change-point detection: best binary segmentation of each hourly
+# event-count series.
+
+
+@query(
+    "events_change_points",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, hour, n,
+               CAST(SUM(n) OVER w AS BIGINT) AS s_le,
+               CAST(SUM(n * n) OVER w AS BIGINT) AS q_le,
+               CAST(COUNT(*) OVER w AS BIGINT) AS k_le,
+               CAST(SUM(n) OVER p AS BIGINT) AS s_all,
+               CAST(SUM(n * n) OVER p AS BIGINT) AS q_all,
+               CAST(COUNT(*) OVER p AS BIGINT) AS k_all
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               p AS (PARTITION BY event_type)
+    ),
+    scored AS (
+        SELECT event_type, hour, k_le, k_all,
+               CAST(s_le AS DOUBLE) * s_le / k_le
+                 + CAST(s_all - s_le AS DOUBLE) * (s_all - s_le)
+                   / (k_all - k_le)
+                 - CAST(s_all AS DOUBLE) * s_all / k_all AS gain,
+               CAST(s_le AS DOUBLE) / k_le AS mean_before,
+               CAST(s_all - s_le AS DOUBLE) / (k_all - k_le) AS mean_after
+        FROM cum WHERE k_le < k_all
+    ),
+    best AS (
+        SELECT event_type, hour, gain, mean_before, mean_after,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY gain DESC, hour) AS rn
+        FROM scored
+    )
+    SELECT event_type, hour AS change_hour,
+           {sql_sround('gain', 4)} AS sse_reduction,
+           {sql_sround('mean_before', 6)} AS mean_before,
+           {sql_sround('mean_after', 6)} AS mean_after
+    FROM best WHERE rn = 1
+    """,
+)
+def events_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection per event type: the hour that
+    maximally reduces the hourly-count series' squared error when
+    split into two constant segments (binary segmentation, the base
+    step of PELT-style detectors) — where did this metric's level
+    actually shift.
+
+    Determinism: all cumulative moments are exact integers from the
+    hourly plane; the SSE-reduction gain is a fixed IEEE sequence on
+    them; the argmax breaks ties on the hour.
+
+    Scale: the raw log collapses to (type, hour) counts in one pass;
+    cumulative windows and the argmax partition by event type on
+    that aggregate plane.
+    """
+    hourly = load_table(spark, sf_dir, "events").groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = Window.partitionBy("event_type")
+    cum = hourly.select(
+        "event_type",
+        "hour",
+        F.sum("n").over(w).cast("long").alias("s_le"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("long").alias("q_le"),
+        F.count(F.lit(1)).over(w).cast("long").alias("k_le"),
+        F.sum("n").over(p).cast("long").alias("s_all"),
+        F.sum(F.col("n") * F.col("n")).over(p).cast("long").alias("q_all"),
+        F.count(F.lit(1)).over(p).cast("long").alias("k_all"),
+    )
+    s_gt = F.col("s_all") - F.col("s_le")
+    k_gt = F.col("k_all") - F.col("k_le")
+    gain = (
+        F.col("s_le").cast("double") * F.col("s_le") / F.col("k_le")
+        + s_gt.cast("double") * s_gt / k_gt
+        - F.col("s_all").cast("double") * F.col("s_all") / F.col("k_all")
+    )
+    scored = cum.where(F.col("k_le") < F.col("k_all")).select(
+        "event_type",
+        "hour",
+        gain.alias("gain"),
+        (F.col("s_le").cast("double") / F.col("k_le")).alias("mean_before"),
+        (s_gt.cast("double") / k_gt).alias("mean_after"),
+    )
+    rb = Window.partitionBy("event_type").orderBy(
+        F.col("gain").desc(), "hour"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rb))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("change_hour"),
+            sround(F.col("gain"), 4).alias("sse_reduction"),
+            sround(F.col("mean_before")).alias("mean_before"),
+            sround(F.col("mean_after")).alias("mean_after"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer-spend concentration per nation.
+
+
+@query(
+    "nation_revenue_gini",
+    oracle=f"""
+    WITH spend AS (
+        SELECT n_name, c.c_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * 1000000
+                    AS BIGINT) AS v
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT n_name, v,
+               ROW_NUMBER() OVER (PARTITION BY n_name
+                                  ORDER BY v, c_custkey) AS i,
+               COUNT(*) OVER (PARTITION BY n_name) AS k,
+               CAST(SUM(v) OVER (PARTITION BY n_name) AS BIGINT) AS tv
+        FROM spend
+    )
+    SELECT n_name,
+           CAST(MAX(k) AS BIGINT) AS n_customers,
+           {sql_sround(
+               '(2.0 * CAST(SUM(i * v) AS DOUBLE)'
+               ' / (CAST(MAX(k) AS DOUBLE) * MAX(tv)))'
+               ' - (CAST(MAX(k) AS DOUBLE) + 1.0) / MAX(k)', 6)} AS gini
+    FROM ranked GROUP BY n_name
+    """,
+)
+def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-spend concentration within each
+    nation — how unequal the revenue base is, the concentration-risk
+    readout behind account-dependency analysis (a Gini near 1 means
+    a few whales fund the nation).
+
+    Determinism: spend is DECIMAL-exact in integer micro-units; the
+    rank-weighted sum Σ i·v is exact integer arithmetic; the Gini
+    formula is a fixed IEEE sequence on those integers. Ranks order
+    by (v, custkey), so ties cannot reorder.
+
+    Scale: one fact aggregation to (nation, customer) rows; ranking
+    windows partition by nation on that customer plane (1e8 rows per
+    nation before ordered.py's two-phase rank is needed — the same
+    documented swap as customer_rfm_segments).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(na), c.c_nationkey == na.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(38,6)")) * 1000000)
+            .cast("long")
+            .alias("v")
+        )
+    )
+    wn = Window.partitionBy("n_name")
+    ranked = spend.select(
+        "n_name",
+        "v",
+        F.row_number().over(wn.orderBy("v", "c_custkey")).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("k"),
+        F.sum("v").over(wn).cast("long").alias("tv"),
+    )
+    return ranked.groupBy("n_name").agg(
+        F.max("k").cast("long").alias("n_customers"),
+        sround(
+            2.0
+            * F.sum(F.col("i") * F.col("v")).cast("double")
+            / (F.max("k").cast("double") * F.max("tv"))
+            - (F.max("k").cast("double") + 1.0) / F.max("k")
+        ).alias("gini"),
+    )
