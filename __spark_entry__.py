@@ -101,6 +101,8 @@ _CHECK_FIRST = (
     "segment_spend_ttest",
     "events_change_points",
     "nation_revenue_gini",
+    "events_autocorrelation",
+    "cluster_top_terms",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

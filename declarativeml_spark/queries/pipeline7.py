@@ -686,3 +686,223 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.max("k").cast("double") + 1.0) / F.max("k")
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the hourly event-count series (lags 1-3).
+
+
+@query(
+    "events_autocorrelation",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    hours AS (SELECT DISTINCT hour FROM hourly),
+    types AS (SELECT DISTINCT event_type FROM hourly),
+    grid AS (
+        SELECT t.event_type, h.hour, COALESCE(x.n, 0) AS n
+        FROM hours h CROSS JOIN types t
+        LEFT JOIN hourly x
+          ON x.hour = h.hour AND x.event_type = t.event_type
+    ),
+    led AS (
+        SELECT event_type, n,
+               LEAD(n, 1) OVER w AS n1,
+               LEAD(n, 2) OVER w AS n2,
+               LEAD(n, 3) OVER w AS n3
+        FROM grid
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    ),
+    stacked AS (
+        SELECT event_type, CAST(1 AS BIGINT) AS lag, n AS x, n1 AS y
+        FROM led WHERE n1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2, n, n2 FROM led WHERE n2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 3, n, n3 FROM led WHERE n3 IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type, lag,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM stacked GROUP BY 1, 2
+    )
+    SELECT event_type, lag, k AS n_pairs,
+           CASE WHEN k * sxx - sx * sx = 0 OR k * syy - sy * sy = 0
+                THEN NULL
+                ELSE {sql_sround(
+                    'CAST(k * sxy - sx * sy AS DOUBLE)'
+                    ' / (sqrt(CAST(k * sxx - sx * sx AS DOUBLE))'
+                    ' * sqrt(CAST(k * syy - sy * sy AS DOUBLE)))', 6)}
+           END AS acf
+    FROM m
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of each event type's zero-filled
+    hourly count series — does this metric have short-range memory
+    (bursty) or is it hour-to-hour independent; the stationarity
+    probe read before picking anomaly/forecast baselines.
+
+    Determinism: exact integer moments over lagged pairs
+    (events_hourly_corr's recipe along the time axis); variance-zero
+    series yield NULL.
+
+    Scale: the log collapses to the dense hour×type grid; LEAD
+    windows within one event type on that plane.
+    """
+    hourly = load_table(spark, sf_dir, "events").groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hours = hourly.select("hour").distinct()
+    types = hourly.select("event_type").distinct()
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(F.broadcast(hourly), ["hour", "event_type"], "left")
+        .select("event_type", "hour", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    led = grid.select(
+        "event_type",
+        "n",
+        *[F.lead("n", k).over(w).alias(f"n{k}") for k in (1, 2, 3)],
+    )
+    stacked = None
+    for k in (1, 2, 3):
+        part = led.where(F.col(f"n{k}").isNotNull()).select(
+            "event_type",
+            F.lit(k).cast("long").alias("lag"),
+            F.col("n").alias("x"),
+            F.col(f"n{k}").alias("y"),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    m = stacked.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    vx = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    acf = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+    return m.select(
+        "event_type",
+        "lag",
+        F.col("k").alias("n_pairs"),
+        F.when((vx == 0) | (vy == 0), F.lit(None))
+        .otherwise(sround(acf))
+        .alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster topic labeling: c-TF-IDF top terms per embedding label.
+
+
+_CT_TOPK = 5
+
+
+@query(
+    "cluster_top_terms",
+    oracle=f"""
+    WITH joined AS (
+        SELECT e.label, unnest({_TOKS_D}) AS w
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    tf AS (
+        SELECT label, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM joined GROUP BY 1, 2
+    ),
+    cls AS (SELECT label, CAST(SUM(c) AS BIGINT) AS tot FROM tf GROUP BY 1),
+    corpus AS (
+        SELECT w, CAST(SUM(c) AS BIGINT) AS fw FROM tf GROUP BY w
+    ),
+    atot AS (
+        SELECT CAST(SUM(c) AS DOUBLE) / COUNT(DISTINCT label) AS a FROM tf
+    ),
+    scored AS (
+        SELECT t.label, t.w,
+               (CAST(t.c AS DOUBLE) / cl.tot)
+                 * ln(1.0 + aa.a / co.fw) AS score
+        FROM tf t
+        JOIN cls cl USING (label)
+        JOIN corpus co USING (w)
+        CROSS JOIN atot aa
+    ),
+    ranked AS (
+        SELECT label, w, score,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY score DESC, w) AS rn
+        FROM scored
+    )
+    SELECT label, CAST(rn AS BIGINT) AS rank, w AS term,
+           {sql_sround('score', 6)} AS ctfidf
+    FROM ranked WHERE rn <= {_CT_TOPK}
+    """,
+)
+def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic labels for embedding clusters: the BERTopic-style
+    c-TF-IDF top terms per label, computed over the documents ⋈
+    embeddings cross-modal join — the step that turns anonymous
+    cluster ids into human-readable topics after semantic dedup or
+    SemDeDup cell assignment.
+
+    Determinism: term and class frequencies are exact counts; each
+    score is (tf share) × ln(1 + A/f_w) — fixed IEEE ops ending in
+    the proven-identical ln(); per-label rank breaks ties on the
+    term.
+
+    Scale: one id-equi-join (both sides shuffle-or-broadcast on the
+    shared key), one (label, term) counting pass, then everything
+    runs on the vocab×labels plane with the corpus margins broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id).select(
+        "label", F.explode(F.expr(_TOKS_S)).alias("w")
+    )
+    tf = joined.groupBy("label", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cls = tf.groupBy("label").agg(F.sum("c").cast("long").alias("tot"))
+    corpus = tf.groupBy("w").agg(F.sum("c").cast("long").alias("fw"))
+    atot = tf.agg(
+        (
+            F.sum("c").cast("double") / F.count_distinct("label")
+        ).alias("a")
+    )
+    scored = (
+        tf.join(F.broadcast(cls), "label")
+        .join(corpus, "w")
+        .crossJoin(F.broadcast(atot))
+        .select(
+            "label",
+            "w",
+            (
+                (F.col("c").cast("double") / F.col("tot"))
+                * F.log(1.0 + F.col("a") / F.col("fw"))
+            ).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("label").orderBy(F.col("score").desc(), "w")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= _CT_TOPK)
+        .select(
+            "label",
+            F.col("rn").cast("long").alias("rank"),
+            F.col("w").alias("term"),
+            sround(F.col("score")).alias("ctfidf"),
+        )
+    )
