@@ -103,6 +103,8 @@ _CHECK_FIRST = (
     "nation_revenue_gini",
     "events_autocorrelation",
     "cluster_top_terms",
+    "retention_half_life",
+    "orders_forecast_backtest",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

@@ -906,3 +906,201 @@ def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             sround(F.col("score")).alias("ctfidf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention half-life: log-linear decay fit of the retention curve.
+
+
+@query(
+    "retention_half_life",
+    oracle=f"""
+    WITH f AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+    offs AS (
+        SELECT DISTINCT e.user_id,
+               CAST(FLOOR(datediff('day', f.first_day, CAST(e.ts AS DATE))
+                          / 7.0) AS BIGINT) AS w
+        FROM events e JOIN f ON e.user_id = f.user_id
+    ),
+    curve AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_ret
+        FROM offs WHERE w >= 1 GROUP BY w
+    ),
+    pts AS (
+        SELECT CAST(w AS DOUBLE) AS x,
+               ln(CAST(n_ret AS DOUBLE) / nn.n) AS y
+        FROM curve CROSS JOIN n0 nn
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        FROM pts
+    )
+    SELECT k AS n_points,
+           {sql_sround(
+               '(k * sxy - sx * sy) / (k * sxx - sx * sx)', 6)} AS slope,
+           CASE WHEN (k * sxy - sx * sy) / (k * sxx - sx * sx) >= 0
+                THEN NULL
+                ELSE {sql_sround(
+                    '-ln(2.0) / ((k * sxy - sx * sy)'
+                    ' / (k * sxx - sx * sx))', 4)}
+           END AS half_life_weeks
+    FROM m WHERE k > 1 AND k * sxx - sx * sx <> 0
+    """,
+)
+def retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: fit ln(retained share) against the week
+    offset with OLS and convert the decay slope to a half-life — the
+    single number a growth model wants from the retention triangle
+    (NULL if retention doesn't decay).
+
+    Determinism: the curve's points are ln() of exact user-count
+    ratios; regression moments aggregate through DECIMAL; the solve
+    is a fixed IEEE sequence.
+
+    Scale: one per-user MIN pass (broadcast back), one distinct
+    (user, offset) aggregation, then everything runs on the
+    ~weeks-row curve.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
+    n0 = f.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    offs = (
+        ev.join(F.broadcast(f), "user_id")
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("first_day"))
+                / 7.0
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .distinct()
+    )
+    curve = offs.where(F.col("w") >= 1).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ret")
+    )
+    pts = curve.crossJoin(F.broadcast(n0)).select(
+        F.col("w").cast("double").alias("x"),
+        F.log(F.col("n_ret").cast("double") / F.col("n")).alias("y"),
+    )
+
+    def d12(c):
+        return F.sum(c.cast("decimal(38,12)")).cast("double")
+
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        d12(F.col("x")).alias("sx"),
+        d12(F.col("x") * F.col("x")).alias("sxx"),
+        d12(F.col("y")).alias("sy"),
+        d12(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    det = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    return m.where((F.col("k") > 1) & (det != 0)).select(
+        F.col("k").alias("n_points"),
+        sround(slope).alias("slope"),
+        F.when(slope >= 0, F.lit(None))
+        .otherwise(sround(-F.log(F.lit(2.0)) / slope, 4))
+        .alias("half_life_weeks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest: naive vs seasonal-naive MAE on monthly revenue.
+
+
+@query(
+    "orders_forecast_backtest",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(date_part('year', o_orderdate) * 12
+                    + date_part('month', o_orderdate) - 1 AS BIGINT) AS mx,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS rev
+        FROM orders GROUP BY 1
+    ),
+    led AS (
+        SELECT mx, rev,
+               LAG(rev, 1) OVER (ORDER BY mx) AS prev1,
+               LAG(rev, 12) OVER (ORDER BY mx) AS prev12
+        FROM monthly
+    ),
+    scored AS (
+        SELECT mx, abs(rev - prev1) AS e1, abs(rev - prev12) AS e12
+        FROM led WHERE prev1 IS NOT NULL AND prev12 IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+           {sql_sround(
+               'CAST(SUM(CAST(e1 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)',
+               4)} AS mae_naive,
+           {sql_sround(
+               'CAST(SUM(CAST(e12 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)',
+               4)} AS mae_seasonal_naive,
+           {sql_sround(
+               '(CAST(SUM(CAST(e12 AS DECIMAL(38,6))) AS DOUBLE)'
+               ' / COUNT(*))'
+               ' / (CAST(SUM(CAST(e1 AS DECIMAL(38,6))) AS DOUBLE)'
+               ' / COUNT(*))', 6)} AS seasonal_vs_naive
+    FROM scored
+    """,
+)
+def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest on monthly revenue: mean absolute
+    error of the naive (last month) vs seasonal-naive (same month
+    last year) forecasters over the months where both apply — the
+    sanity benchmark any real forecasting model must beat, and the
+    evaluation twin of the TRAIN … FORECAST statement.
+
+    Determinism: monthly revenue is DECIMAL-exact; per-month absolute
+    errors are single IEEE ops; error sums aggregate through DECIMAL.
+
+    Scale: the fact table collapses to one row per month; lags and
+    MAE run on that bounded series (LAG windows over the months
+    plane — metadata-sized forever).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("mx")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.orderBy("mx")
+    led = monthly.select(
+        "mx",
+        "rev",
+        F.lag("rev", 1).over(w).alias("prev1"),
+        F.lag("rev", 12).over(w).alias("prev12"),
+    )
+    scored = led.where(
+        F.col("prev1").isNotNull() & F.col("prev12").isNotNull()
+    ).select(
+        F.abs(F.col("rev") - F.col("prev1")).alias("e1"),
+        F.abs(F.col("rev") - F.col("prev12")).alias("e12"),
+    )
+
+    def d6avg(c):
+        return F.sum(c.cast("decimal(38,6)")).cast("double") / F.count(
+            F.lit(1)
+        )
+
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        sround(d6avg(F.col("e1")), 4).alias("mae_naive"),
+        sround(d6avg(F.col("e12")), 4).alias("mae_seasonal_naive"),
+        sround(d6avg(F.col("e12")) / d6avg(F.col("e1"))).alias(
+            "seasonal_vs_naive"
+        ),
+    )
