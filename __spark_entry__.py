@@ -105,6 +105,8 @@ _CHECK_FIRST = (
     "cluster_top_terms",
     "retention_half_life",
     "orders_forecast_backtest",
+    "events_fano_factor",
+    "parttype_supplier_hhi",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

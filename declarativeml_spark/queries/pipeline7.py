@@ -1104,3 +1104,167 @@ def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_vs_naive"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (Fano factor) of hourly event counts per type.
+
+
+@query(
+    "events_fano_factor",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    hours AS (SELECT DISTINCT hour FROM hourly),
+    types AS (SELECT DISTINCT event_type FROM hourly),
+    grid AS (
+        SELECT t.event_type, COALESCE(x.n, 0) AS n
+        FROM hours h CROSS JOIN types t
+        LEFT JOIN hourly x
+          ON x.hour = h.hour AND x.event_type = t.event_type
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS s,
+               CAST(SUM(n * n) AS BIGINT) AS q
+        FROM grid GROUP BY event_type
+    )
+    SELECT event_type, k AS n_hours,
+           {sql_sround('CAST(s AS DOUBLE) / k', 6)} AS mean_per_hour,
+           CASE WHEN s = 0 THEN NULL
+                ELSE {sql_sround(
+                    '((CAST(q AS DOUBLE)'
+                    ' - CAST(s AS DOUBLE) * s / k) / k)'
+                    ' / (CAST(s AS DOUBLE) / k)', 6)}
+           END AS fano
+    FROM m
+    """,
+)
+def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event type's hourly arrivals: the Fano
+    factor (variance / mean of the zero-filled hourly counts). 1 ≈
+    Poisson arrivals; ≫1 means bursts — the dispersion statistic
+    capacity planning and anomaly thresholds should be conditioned
+    on (a z-score threshold tuned on Poisson traffic misfires on
+    bursty traffic).
+
+    Determinism: population variance and mean come from exact integer
+    moments on the dense hour×type grid.
+
+    Scale: one counting pass to the grid; moments per type are
+    map-side-combinable integer sums.
+    """
+    hourly = load_table(spark, sf_dir, "events").groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hours = hourly.select("hour").distinct()
+    types = hourly.select("event_type").distinct()
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(F.broadcast(hourly), ["hour", "event_type"], "left")
+        .select("event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    m = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("k")
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("k")
+    ) / F.col("k")
+    return m.select(
+        "event_type",
+        F.col("k").alias("n_hours"),
+        sround(mean).alias("mean_per_hour"),
+        F.when(F.col("s") == 0, F.lit(None))
+        .otherwise(sround(var / mean))
+        .alias("fano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman supplier concentration per part type.
+
+
+@query(
+    "parttype_supplier_hhi",
+    oracle=f"""
+    WITH rev AS (
+        SELECT p.p_type AS ptype, l.l_suppkey AS sk,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS v
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT ptype, CAST(SUM(v) AS BIGINT) AS tv,
+               CAST(COUNT(*) AS BIGINT) AS n_sup
+        FROM rev GROUP BY ptype
+    ),
+    terms AS (
+        SELECT r.ptype,
+               (CAST(r.v AS DOUBLE) / t.tv)
+                 * (CAST(r.v AS DOUBLE) / t.tv) AS sq
+        FROM rev r JOIN tot t USING (ptype)
+    )
+    SELECT t.ptype AS p_type, t.n_sup AS n_suppliers,
+           {sql_sround(
+               'CAST(SUM(CAST(x.sq AS DECIMAL(38,12))) AS DOUBLE)', 6)}
+             AS hhi
+    FROM terms x JOIN tot t USING (ptype)
+    GROUP BY t.ptype, t.n_sup
+    """,
+)
+def parttype_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per part type: the Herfindahl-Hirschman
+    index (sum of squared revenue shares) — the supply-chain-risk
+    twin of nation_revenue_gini (HHI near 1 means a single supplier
+    owns the category).
+
+    Determinism: shares are ratios of DECIMAL-exact micro-unit
+    integers; each squared share is one IEEE sequence; the HHI sum
+    aggregates through DECIMAL(38,12).
+
+    Scale: one fact aggregation to (type, supplier) rows; all index
+    math runs on that plane with the per-type totals joined back.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_type").alias("ptype"), F.col("l_suppkey"))
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(38,6)")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    tot = rev.groupBy("ptype").agg(
+        F.sum("v").cast("long").alias("tv"),
+        F.count(F.lit(1)).cast("long").alias("n_sup"),
+    )
+    share = F.col("v").cast("double") / F.col("tv")
+    terms = rev.join(F.broadcast(tot), "ptype").select(
+        "ptype", "n_sup", (share * share).alias("sq")
+    )
+    return terms.groupBy(
+        F.col("ptype").alias("p_type"), F.col("n_sup").alias("n_suppliers")
+    ).agg(
+        sround(
+            F.sum(F.col("sq").cast("decimal(38,12)")).cast("double")
+        ).alias("hhi")
+    )
