@@ -107,6 +107,8 @@ _CHECK_FIRST = (
     "orders_forecast_backtest",
     "events_fano_factor",
     "parttype_supplier_hhi",
+    "text_zipf_fit",
+    "events_transition_entropy",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

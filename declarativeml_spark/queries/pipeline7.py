@@ -1268,3 +1268,196 @@ def parttype_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("sq").cast("decimal(38,12)")).cast("double")
         ).alias("hhi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit of the token frequency distribution.
+
+_ZIPF_TOPN = 200
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS_D}) AS w FROM documents
+    ),
+    freq AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ),
+    ranked AS (
+        SELECT w, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+        FROM freq
+    ),
+    pts AS (
+        SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        FROM ranked WHERE r <= {_ZIPF_TOPN}
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        FROM pts
+    )
+    SELECT k AS n_ranks,
+           {sql_sround(
+               '-(k * sxy - sx * sy) / (k * sxx - sx * sx)', 6)}
+             AS zipf_exponent,
+           {sql_sround(
+               '(k * sxy - sx * sy) * (k * sxy - sx * sy)'
+               ' / ((k * sxx - sx * sx) * (k * syy - sy * sy))', 6)}
+             AS r_squared
+    FROM m WHERE k > 1 AND k * sxx - sx * sx <> 0
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    log-frequency against log-rank over the top ranks — natural text
+    sits near exponent 1; a flat or broken slope is the signature of
+    templated/synthetic text, making this a corpus-authenticity
+    check alongside the Benford audit for numbers.
+
+    Determinism: ranks order by (count, token); each point is ln()
+    of an exact integer; regression moments aggregate through
+    DECIMAL.
+
+    Scale: one token-count aggregation; the rank cut is a TakeOrdered
+    over the vocab plane, and the fit runs on ≤{_ZIPF_TOPN} points.
+    """
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.expr(_TOKS_S)).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    top = freq.orderBy(F.col("c").desc(), "w").limit(_ZIPF_TOPN)
+    wr = Window.orderBy(F.col("c").desc(), "w")
+    pts = top.withColumn("r", F.row_number().over(wr)).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+
+    def d12(c):
+        return F.sum(c.cast("decimal(38,12)")).cast("double")
+
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        d12(F.col("x")).alias("sx"),
+        d12(F.col("x") * F.col("x")).alias("sxx"),
+        d12(F.col("y")).alias("sy"),
+        d12(F.col("x") * F.col("y")).alias("sxy"),
+        d12(F.col("y") * F.col("y")).alias("syy"),
+    )
+    det = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    cov = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vy = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.where((F.col("k") > 1) & (det != 0)).select(
+        F.col("k").alias("n_ranks"),
+        sround(-cov / det).alias("zipf_exponent"),
+        sround(cov * cov / (det * vy)).alias("r_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the event-type Markov chain.
+
+
+@query(
+    "events_transition_entropy",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type, ts, event_id, user_id,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS a, next_type AS b,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    ma AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM trans GROUP BY a),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM trans),
+    hcond AS (
+        SELECT CAST(SUM(CAST(
+                 -(CAST(t.n AS DOUBLE) / tt.nt)
+                   * ln(CAST(t.n AS DOUBLE) / m2.na)
+                 AS DECIMAL(38,12))) AS DOUBLE) AS h
+        FROM trans t JOIN ma m2 USING (a) CROSS JOIN tot tt
+    ),
+    hmarg AS (
+        SELECT CAST(SUM(CAST(
+                 -(CAST(na AS DOUBLE) / tt.nt)
+                   * ln(CAST(na AS DOUBLE) / tt.nt)
+                 AS DECIMAL(38,12))) AS DOUBLE) AS h
+        FROM ma CROSS JOIN tot tt
+    )
+    SELECT (SELECT nt FROM tot) AS n_transitions,
+           {sql_sround('(SELECT h FROM hcond)', 6)} AS entropy_rate_nats,
+           {sql_sround('(SELECT h FROM hmarg)', 6)} AS marginal_entropy,
+           {sql_sround(
+               '(SELECT h FROM hmarg) - (SELECT h FROM hcond)', 6)}
+             AS predictability_gain
+    """,
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event-type Markov chain: the conditional
+    entropy H(next | current) against the marginal entropy H(next) —
+    the information-theoretic ceiling for any next-action predictor
+    (the gain is how much knowing the current step helps at all).
+
+    Determinism: all probabilities are ratios of exact transition
+    counts; entropy terms end in ln() and sum through
+    DECIMAL(38,12).
+
+    Scale: one user_id shuffle for LEAD; everything after runs on
+    the types² transition plane.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    trans = seq.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ma = trans.groupBy("a").agg(F.sum("n").cast("long").alias("na"))
+    tot = trans.agg(F.sum("n").cast("long").alias("nt"))
+    hcond = (
+        trans.join(F.broadcast(ma), "a")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                -(F.col("n").cast("double") / F.col("nt"))
+                * F.log(F.col("n").cast("double") / F.col("na"))
+            ).alias("t")
+        )
+        .agg(
+            F.sum(F.col("t").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("h")
+        )
+    )
+    pm = F.col("na").cast("double") / F.col("nt")
+    hmarg = (
+        ma.crossJoin(F.broadcast(tot))
+        .select((-pm * F.log(pm)).alias("t"))
+        .agg(
+            F.sum(F.col("t").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("h")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(hcond.withColumnRenamed("h", "hc")))
+        .crossJoin(F.broadcast(hmarg.withColumnRenamed("h", "hm")))
+        .select(
+            F.col("nt").alias("n_transitions"),
+            sround(F.col("hc")).alias("entropy_rate_nats"),
+            sround(F.col("hm")).alias("marginal_entropy"),
+            sround(F.col("hm") - F.col("hc")).alias("predictability_gain"),
+        )
+    )
