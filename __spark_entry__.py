@@ -109,6 +109,7 @@ _CHECK_FIRST = (
     "parttype_supplier_hhi",
     "text_zipf_fit",
     "events_transition_entropy",
+    "orders_calendar_completeness",
     "corpus_shard_assignment",
     "tokenizer_fertility",
     "embedding_centroid_dispersion",

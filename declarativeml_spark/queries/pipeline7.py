@@ -1461,3 +1461,66 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             sround(F.col("hm") - F.col("hc")).alias("predictability_gain"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-freshness / calendar-completeness audit.
+
+
+@query(
+    "orders_calendar_completeness",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               CAST(o_orderdate AS DATE) AS day
+        FROM orders
+    ),
+    per_m AS (
+        SELECT m,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT day) AS BIGINT) AS days_present,
+               CAST(datediff('day', m,
+                    CAST(m + INTERVAL 1 MONTH AS DATE)) AS BIGINT)
+                 AS days_in_month
+        FROM d GROUP BY m
+    )
+    SELECT strftime(m, '%Y-%m') AS month, n_rows, days_present,
+           days_in_month,
+           {sql_sround(
+               'CAST(days_present AS DOUBLE) / days_in_month', 6)}
+             AS completeness
+    FROM per_m
+    """,
+)
+def orders_calendar_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-completeness audit: per month, how many distinct days
+    actually have order rows versus the month's day count — the
+    ingestion-gap detector run before trusting any time-series
+    aggregate (a 0.8 completeness month silently deflates monthly
+    revenue by ~20%).
+
+    Scale: one counting pass collapses the table to (month, day)
+    distincts; all calendar math is exact integer date arithmetic on
+    the months plane. Months emit as ISO strings for cross-engine
+    hashing.
+    """
+    d = load_table(spark, sf_dir, "orders").select(
+        F.trunc("o_orderdate", "MM").alias("m"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    )
+    per_m = d.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("day").cast("long").alias("days_present"),
+    ).withColumn(
+        "days_in_month",
+        F.datediff(F.add_months(F.col("m"), 1), F.col("m")).cast("long"),
+    )
+    return per_m.select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        "n_rows",
+        "days_present",
+        "days_in_month",
+        sround(
+            F.col("days_present").cast("double") / F.col("days_in_month")
+        ).alias("completeness"),
+    )
