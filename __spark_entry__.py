@@ -27,79 +27,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # correctness tooling that samples a prefix of this dict should spend
 # its budget on rows not yet (or not yet successfully) checked, not on
 # re-confirming long-green ones.
-# Priority for a ~50-row sampling window, in order:
-# 1. The TPC-H classics + two round-1 stragglers (18): never had ANY
-#    driver row across rounds 1-2 (round-1 cap cut them, round 2's
-#    run aborted) — the shapes a real user hits constantly.
-# 2. Red in round 1, fixed since (10): the fixes need driver
-#    confirmation, not just the local mirror gate.
-# 3. Rewritten since their green round-1 rows (3): candidate-gated
-#    pair generation replaced the blocked forms.
-# 4. This round's new operators (~17, grows as the round adds more).
-# 5. Round-2/3 additions that were locally green both rounds but have
-#    no driver row yet (the remainder) — they take whatever window is
-#    left and rotate forward next round.
+# Round-4 rotation: rounds 1+3 accumulated 86 unique driver-green rows
+# (r3: the 50-entry prefix of the round-3 ordering; r1: 36 more).
+# The 63 names below are every query with NO driver row in any round —
+# they take the whole window this round; the long-green ones rotate to
+# the back. Round-4 additions slot in after the leftovers (~13) so
+# round 5's window covers leftover + new.
 _CHECK_FIRST = (
-    # (1) TPC-H classics, never driver-checked
-    "q6_discount_revenue",
-    "q8_nation_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_brand_quantity_revenue",
-    "q20_heavy_shippers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "revenue_moving_avg_7d",
-    "embedding_array_stats",
-    # (2) red in round 1, fixed since — need fresh rows
-    "events_sessionize",
-    "events_hourly_stats",
-    "events_json_extract",
-    "events_type_hour_cube",
-    "asof_last_view_before_purchase",
-    "events_value_range_join",
-    "part_type_shares",
-    "text_winnow_fingerprints",
-    "approx_distinct_parts",
-    "multimodal_byte_histogram",
-    # (3) rewritten since round 1 (candidate-gated pair generation) —
-    # the green round-1 rows no longer vouch for them
-    "embedding_similarity_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    # (4) round-3 new batch — never driver-checked
-    "dedup_substring_runs",
-    "lakehouse_compaction_plan",
-    "events_hourly_corr",
-    "events_top_paths",
-    "embedding_pca_power",
-    "orders_categorical_profile",
-    "lineitem_winsorized_stats",
-    "customer_rfm_segments",
-    "events_transition_matrix",
-    "corpus_dedup_survivorship",
-    "text_ngram_novelty",
-    "events_time_weighted_value",
-    "orders_seasonality_index",
-    "nation_revenue_trend",
-    "referential_integrity_audit",
-    "part_abc_classification",
-    "part_pair_affinity",
-    "events_new_users_cumulative",
-    "orders_benford_audit",
-    "key_uniqueness_audit",
-    "lineitem_price_ols",
+    # (1) never driver-checked, rounds 1-3 (ordered: ML-training plane
+    # and graph/ranking queries the judge called out first)
     "nb_lang_confusion",
     "lineitem_decision_stump",
     "lineitem_feature_mi",
     "segment_spend_ttest",
     "events_change_points",
+    "nation_trade_pagerank",
+    "knn_graph_degrees",
+    "knn_graph_triangles",
+    "text_bm25_topk",
+    "hybrid_search_rrf",
+    "pipeline_pretraining_corpus",
     "nation_revenue_gini",
     "events_autocorrelation",
     "cluster_top_terms",
@@ -123,6 +70,7 @@ _CHECK_FIRST = (
     "quality_source_percentile",
     "source_length_drift_psi",
     "ann_ivf_recall",
+    "ann_ivf_topk",
     "orders_merge_upsert",
     "events_latest_per_user",
     "multimodal_audio_energy",
@@ -130,11 +78,7 @@ _CHECK_FIRST = (
     "lineitem_zorder_layout",
     "token_bigram_pmi",
     "lang_id_confusion",
-    "knn_graph_triangles",
-    # (5) round-2/3 additions, locally green since introduction,
-    # no driver row yet — rotate forward next round
     "text_heuristic_filters",
-    "knn_graph_degrees",
     "events_user_sessions",
     "embedding_quantize_int8",
     "token_vocab_coverage",
@@ -142,6 +86,7 @@ _CHECK_FIRST = (
     "events_minute_gapfill",
     "multimodal_frame_sample",
     "text_pii_redaction",
+    # ---- 50-row window boundary (historically) ----
     "semdedup_embedding_prune",
     "corpus_cross_source_overlap",
     "events_conversion_funnel",
@@ -152,20 +97,82 @@ _CHECK_FIRST = (
     "decontam_benchmark_overlap",
     "pack_concat_chunks",
     "text_quality_repetition",
-    "text_bm25_topk",
     "corpus_stratified_quota",
     "corpus_weighted_sample",
-    "nation_trade_pagerank",
-    "hybrid_search_rrf",
     "join_key_hotspots",
-    "pipeline_pretraining_corpus",
+    # (2) round-4 additions are appended here by module order below;
+    # anything not named in this tuple keeps registry order after it.
+)
+
+# Driver-green in a prior round (r1 and/or r3) — rotate to the very
+# back of the registry so the sampling window never spends budget on
+# them again. Registry order is preserved within this set.
+_CHECK_LAST = frozenset(
+    {
+        # round-3 green (CORRECTNESS_r03.json, 50/50)
+        "q6_discount_revenue",
+        "q8_nation_market_share",
+        "q9_product_profit",
+        "q11_important_parts",
+        "q13_order_count_distribution",
+        "q14_promo_revenue_share",
+        "q15_top_supplier",
+        "q16_supplier_part_counts",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_orders",
+        "q19_brand_quantity_revenue",
+        "q20_heavy_shippers",
+        "q21_waiting_suppliers",
+        "q22_idle_rich_customers",
+        "revenue_moving_avg_7d",
+        "embedding_array_stats",
+        "events_sessionize",
+        "events_hourly_stats",
+        "events_json_extract",
+        "events_type_hour_cube",
+        "asof_last_view_before_purchase",
+        "events_value_range_join",
+        "part_type_shares",
+        "text_winnow_fingerprints",
+        "approx_distinct_parts",
+        "multimodal_byte_histogram",
+        "embedding_similarity_pairs",
+        "dedup_ngram_jaccard",
+        "dedup_clusters",
+        "dedup_substring_runs",
+        "lakehouse_compaction_plan",
+        "events_hourly_corr",
+        "events_top_paths",
+        "embedding_pca_power",
+        "orders_categorical_profile",
+        "lineitem_winsorized_stats",
+        "customer_rfm_segments",
+        "events_transition_matrix",
+        "corpus_dedup_survivorship",
+        "text_ngram_novelty",
+        "events_time_weighted_value",
+        "orders_seasonality_index",
+        "nation_revenue_trend",
+        "referential_integrity_audit",
+        "part_abc_classification",
+        "part_pair_affinity",
+        "events_new_users_cumulative",
+        "orders_benford_audit",
+        "key_uniqueness_audit",
+        "lineitem_price_ols",
+    }
 )
 
 
 def _ordered(mapping: dict) -> dict:
     head = {k: mapping[k] for k in _CHECK_FIRST if k in mapping}
-    tail = {k: v for k, v in mapping.items() if k not in head}
-    return {**head, **tail}
+    mid = {
+        k: v
+        for k, v in mapping.items()
+        if k not in head and k not in _CHECK_LAST
+    }
+    tail = {k: v for k, v in mapping.items() if k in _CHECK_LAST}
+    return {**head, **mid, **tail}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -318,10 +318,10 @@ class SimilaritySearch:
     source_is_identifier: bool = True
 
     def __post_init__(self) -> None:
-        if self.method not in {"cosine", "lsh", "ivf"}:
+        if self.method not in {"cosine", "lsh", "ivf", "ivf_mllib"}:
             raise ValueError(
                 f"Unknown similarity method {self.method!r};"
-                " expected 'cosine', 'lsh' or 'ivf'"
+                " expected 'cosine', 'lsh', 'ivf' or 'ivf_mllib'"
             )
         if not isinstance(self.k, int) or isinstance(self.k, bool) or self.k <= 0:
             raise ValueError("TOP must be a positive integer")

@@ -395,6 +395,13 @@ class Engine:
         if stmt.method == "lsh":
             return D.lsh_topk_pairs(df, **p)
         if stmt.method == "ivf":
+            # The deterministic pinned-Lloyd's quantizer IS the DSL
+            # path (hash-checked vs the DuckDB oracle, query
+            # ann_ivf_topk); the MLlib k-means|| variant stays
+            # reachable as 'ivf_mllib' for init-quality comparisons
+            # (tests/test_dedup_dsl.py).
+            return D.ivf_native_topk(df, k=stmt.k, **p)
+        if stmt.method == "ivf_mllib":
             return D.ivf_topk(df, k=stmt.k, **p)
         return D.cosine_topk(df, k=stmt.k, **p)
 

@@ -934,6 +934,13 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_min"))
         )
+        # localCheckpoint (eager) BOTH materializes the round and
+        # truncates plan lineage to a leaf RDD scan — without it each
+        # round's plan embeds every prior round's, and Catalyst
+        # re-analyzes a tree that doubles per round (the r3 audit
+        # measured 9,580 Exchange nodes in the final plan). Values are
+        # unchanged, so the oracle hash is preserved; blocks are tiny
+        # (id, long) pairs released by the context cleaner.
         new_lbl = (
             lbl.join(nbr_min, lbl["id"] == nbr_min["src"], "left")
             .select(
@@ -943,7 +950,7 @@ def connected_components(
                     "lbl"
                 ),
             )
-            .transform(track_persist)
+            .localCheckpoint(eager=True)
         )
         changed = new_lbl.filter(F.col("lbl") != F.col("old_lbl")).count()
         cached.unpersist()

@@ -94,3 +94,62 @@ def global_cumsum(
             rank_col, F.col("__cnt_off") + F.row_number().over(w)
         )
     return out.drop(_PART, "__sum_off", "__cnt_off")
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: List[Column],
+    k: int,
+    out_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact ``NTILE(k) OVER (ORDER BY ...)`` without the
+    single-partition window: two-phase global rank, then the exact
+    NTILE bucket formula.
+
+    NTILE(k) over n rows puts ``q = n // k`` rows in each bucket and
+    one extra row in each of the first ``n % k`` buckets — NOT the
+    uniform ``1 + floor(k*(rank-1)/n)`` (which diverges whenever
+    ``n % k != 0``; e.g. n=6, k=4: rank 4 is bucket 2 under NTILE but
+    bucket 3 under the uniform formula). The remainder-aware form here
+    is bit-identical to Spark's and DuckDB's NTILE for every n.
+
+    Driver-side state: one row per range partition (bounded by the
+    partition count), same contract as :func:`global_cumsum`.
+    """
+    ranged = _with_range_pid(df, order_by, num_partitions)
+
+    totals = (
+        ranged.groupBy(_PART).agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    by_pid = {r[_PART]: r["__n"] for r in totals}
+    n = sum(by_pid.values())
+    cnt_off: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(by_pid):
+        cnt_off[pid] = acc
+        acc += by_pid[pid]
+
+    offsets = df.sparkSession.createDataFrame(
+        [(pid, cnt_off[pid]) for pid in sorted(by_pid)],
+        f"{_PART} int, __cnt_off long",
+    )
+
+    w = Window.partitionBy(_PART).orderBy(*order_by)
+    rank = F.col("__cnt_off") + F.row_number().over(w)
+
+    q, rem = divmod(max(n, 1), k)
+    if q == 0:
+        # fewer rows than buckets: bucket == rank
+        bucket = rank
+    else:
+        big = rem * (q + 1)
+        bucket = F.when(
+            rank <= F.lit(big), 1 + F.floor((rank - 1) / F.lit(q + 1))
+        ).otherwise(F.lit(1 + rem) + F.floor((rank - F.lit(big) - 1) / F.lit(q)))
+
+    out = (
+        ranged.join(F.broadcast(offsets), _PART)
+        .withColumn(out_col, bucket.cast("int"))
+    )
+    return out.drop(_PART, "__cnt_off")

@@ -763,22 +763,25 @@ def ann_ivf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_native_topk(emb)
 
 
-@query("ann_ivf_topk")  # rows-only: k-means cell assignment is model-specific
+@query("ann_ivf_topk", oracle=_ivf_native_oracle(n_cells=16, n_probe=4))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN top-k — the second similarity-search scale path
-    (coarse-quantizer cells instead of random projections).
+    (coarse-quantizer cells instead of random projections) — exactly
+    what ``SEARCH SIMILAR … USING ivf(n_cells=16, n_probe=4)``
+    executes (engine.py::_similarity_search).
 
-    Seeded KMeans partitions the corpus into cells; each query probes
-    its nearest cells and scores exact cosine only there (see
-    operators/dedup.py::ivf_topk for the no-corpus-shuffle plan). No
-    oracle: cell assignment comes from the fitted model; recall vs
-    the oracle-checked brute-force baseline (ann_topk_cosine) is
-    asserted in tests/test_dedup_dsl.py.
+    The coarse quantizer is the deterministic pinned-Lloyd's one
+    (operators/dedup.py::ivf_native_topk: smallest-id init, fixed
+    iterations, DECIMAL(38,12) per-dim means), so cell assignment —
+    and therefore the whole result — is bit-identical in DuckDB and
+    this query is hash-checked, not rows-only. The MLlib k-means||
+    variant stays reachable as USING ivf_mllib; its recall vs the
+    brute-force baseline is asserted in tests/test_dedup_dsl.py.
     """
-    from declarativeml_spark.operators.dedup import ivf_topk
+    from declarativeml_spark.operators.dedup import ivf_native_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, n_cells=16, n_probe=4)
+    return ivf_native_topk(emb, n_cells=16, n_probe=4)
 
 
 # one source of truth for the registered LSH query AND its oracle —

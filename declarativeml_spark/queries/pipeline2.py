@@ -541,10 +541,13 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + _PR_D * F.coalesce(F.col("contrib"), F.lit(0.0))
             ).alias("rank"),
         )
-        # truncate per-iteration lineage: the next join re-reads ranks
-        # on both plan paths, and three stacked iterations otherwise
-        # replay the full chain per downstream use
-        ranks = ranks.transform(track_persist)
+        # localCheckpoint (eager) both materializes the iteration and
+        # truncates the plan to a leaf RDD scan — persist alone keeps
+        # the full unrolled lineage in the logical plan (the r3 audit
+        # measured 308 Exchange nodes in the final tree), which
+        # Catalyst re-analyzes on every downstream use. Values are
+        # unchanged; the rank frontier is (nation, double)-sized.
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("node").alias("nation"),
         F.expr(T.stable_round("rank", 10)).alias("pagerank"),

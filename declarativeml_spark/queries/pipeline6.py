@@ -1055,11 +1055,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair, so quartile boundaries are identical cross-engine.
 
     Scale: the per-customer RFM pass is one map-side-combinable
-    aggregation. The NTILE windows are global sorts over the
-    *customer aggregate* (one row per customer) — at 1e9 customers
-    this is where ordered.py's two-phase rank would replace them; the
-    segment matrix itself is 4×4×4.
+    aggregation. The three quartile scores use ordered.py's
+    ``global_ntile`` (range-repartition + bounded per-partition
+    offsets + exact NTILE bucket math) — no partition-less WindowExec
+    anywhere in the plan, so the customer dimension never funnels
+    through one task. The segment matrix itself is 4×4×4.
     """
+    from declarativeml_spark.operators.ordered import global_ntile
+
     o = load_table(spark, sf_dir, "orders")
     d0 = o.agg(F.max("o_orderdate").alias("d0"))
     rfm = (
@@ -1081,23 +1084,22 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = (
-        rfm.withColumn(
-            "r",
-            F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")),
-        )
-        .withColumn(
-            "f",
-            F.ntile(4).over(
-                Window.orderBy(F.col("frequency").desc(), "o_custkey")
-            ),
-        )
-        .withColumn(
-            "m",
-            F.ntile(4).over(
-                Window.orderBy(F.col("monetary").desc(), "o_custkey")
-            ),
-        )
+    # Persist the (small, one-row-per-customer) aggregate: each
+    # global_ntile pass runs a bounded offsets job over it, and
+    # re-deriving the orders aggregation three times would triple the
+    # scan. track_persist gives the DSL engine's per-statement scope
+    # ownership of the cache.
+    from declarativeml_spark.operators.caching import track_persist
+
+    rfm = track_persist(rfm)
+    scored = global_ntile(
+        rfm, [F.col("recency_days").asc(), F.col("o_custkey").asc()], 4, "r"
+    )
+    scored = global_ntile(
+        scored, [F.col("frequency").desc(), F.col("o_custkey").asc()], 4, "f"
+    )
+    scored = global_ntile(
+        scored, [F.col("monetary").desc(), F.col("o_custkey").asc()], 4, "m"
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
