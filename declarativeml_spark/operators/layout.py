@@ -19,9 +19,14 @@ from pyspark.sql.window import Window
 # Deterministic Lehmer-style hash of an integer id: restart-safe
 # (pure function of the id — rand() would reshuffle on re-run) and
 # engine-reproducible, so oracle twins can hash-check assignments.
+# The id is widened to BIGINT *inside* the expression: without it, an
+# INT id column makes `(id % 2147483647) + 2147483647` 32-bit
+# arithmetic, which overflows for every positive remainder (errors
+# under ANSI mode, silently wraps otherwise). The shared text keeps
+# Spark and DuckDB in lock-step either way.
 LEHMER_ID = (
-    "((((({id} % 2147483647) + 2147483647) % 2147483647)"
-    " * 48271 % 2147483647) * 48271) % 2147483647"
+    "((((CAST({id} AS BIGINT) % 2147483647) + 2147483647) % 2147483647)"
+    " * 48271 % 2147483647) * 48271 % 2147483647"
 )
 
 
@@ -87,9 +92,12 @@ def compaction_groups(
     """
     if target_bytes < 1:
         raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+    # bytes_col joins the ordering as a tiebreaker: a generic manifest
+    # may repeat file_col within a partition, and with ties the
+    # running byte sum — hence grp_id — would depend on shuffle order.
     w = (
         Window.partitionBy(part_col)
-        .orderBy(file_col)
+        .orderBy(file_col, bytes_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return files.withColumn(

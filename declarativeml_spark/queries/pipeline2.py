@@ -199,9 +199,12 @@ def text_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 _QUOTA = 50  # docs kept per language stratum
+# doc_id widens to BIGINT inside the expression (see
+# operators/layout.py::LEHMER_ID — INT ids overflow otherwise); the
+# shipped doc_id is already int64, so values are unchanged here.
 _LEHMER2 = (
-    "(((((doc_id % 2147483647) + 2147483647) % 2147483647)"
-    " * 48271 % 2147483647) * 48271) % 2147483647"
+    "((((CAST(doc_id AS BIGINT) % 2147483647) + 2147483647) % 2147483647)"
+    " * 48271 % 2147483647) * 48271 % 2147483647"
 )
 
 

@@ -820,10 +820,13 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     # The iteration runs driver-side on the dim²-double matrix. The
     # DECIMAL semantics are replicated exactly with Python's decimal
-    # module (binary-exact Decimal(float), scale-12 HALF_UP quantize,
-    # exact sum, nearest-double conversion) — the same arithmetic
-    # Spark's cast(… as decimal(38,12)) and DuckDB's CAST perform, so
-    # the hash-parity with the unrolled oracle is preserved.
+    # module (shortest-repr Decimal, scale-12 HALF_UP quantize, exact
+    # sum, nearest-double conversion) — the same arithmetic Spark's
+    # cast(… as decimal(38,12)) and DuckDB's CAST perform (both go
+    # through the shortest round-trip decimal string; the exact binary
+    # expansion Decimal(float) rounds HALF_UP ties the other way,
+    # e.g. 2.5e-12 → 2E-12 vs the engines' 3E-12), so the hash-parity
+    # with the unrolled oracle is preserved.
     import decimal
     import math
 
@@ -831,7 +834,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     q12 = decimal.Decimal(1).scaleb(-12)
 
     def dec12(x: float) -> decimal.Decimal:
-        return decimal.Decimal(x).quantize(
+        return decimal.Decimal(repr(x)).quantize(
             q12, rounding=decimal.ROUND_HALF_UP
         )
 

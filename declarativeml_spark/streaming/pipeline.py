@@ -286,20 +286,36 @@ def stream_stream_attribution_join(
 def streaming_new_users(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Continuous growth accounting: first-seen users per day from
     the event stream — the streaming twin of the batch
-    ``events_new_users_cumulative`` new-user leg, built on Spark's
-    native stateful ``dropDuplicates`` (state = one row per seen
-    user) plus a tumbling-day count.
+    ``events_new_users_cumulative`` new-user leg.
 
-    Scale: dedup state is O(distinct users), the same bound the
-    batch MIN-aggregation carries; with a watermark the state store
-    evicts nothing here by design (a user's first appearance is
-    forever) — at 1e9 users this is the one deliberately unbounded
-    state in the streaming layer, sized like any user dimension.
-    Works identically on a batch frame (``dropDuplicates`` +
-    groupBy), so tests assert stream == batch on the same rows.
+    The first-seen step is the stateful MIN operator
+    (streaming/stateful.py::streaming_first_seen): a user is emitted
+    exactly once, in the first micro-batch they appear, carrying
+    MIN(ts) *within* that batch — deterministic regardless of how
+    the batch's rows are partitioned. A bare
+    ``dropDuplicates(['user_id'])`` would instead keep whichever of
+    a user's rows won the shuffle race, so multi-day micro-batches
+    or multi-partition input could attribute the user to the wrong
+    day. Cross-batch late data (a user's true min arriving after
+    their first batch) remains outside any append-mode operator —
+    micro-batch boundaries are the attribution horizon, matching
+    the batch MIN exactly whenever each user's first-day rows arrive
+    in one batch.
+
+    Scale: state is one long per seen user — O(distinct users), the
+    same bound the batch MIN-aggregation carries; deliberately never
+    evicted (a first appearance is forever), sized like any user
+    dimension.
     """
-    ev = _ensure_event_time(stream, ts_col)
-    firsts = ev.select("user_id", ts_col).dropDuplicates(["user_id"])
-    return firsts.groupBy(
-        F.col(ts_col).cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    from declarativeml_spark.sources.catalog import epoch_us
+    from declarativeml_spark.streaming.stateful import streaming_first_seen
+
+    ev = _ensure_event_time(stream, ts_col).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        epoch_us(ts_col).alias("ts_us"),
+    )
+    firsts = streaming_first_seen(ev)
+    day = F.to_date(F.timestamp_micros(F.col("first_ts_us")))
+    return firsts.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )

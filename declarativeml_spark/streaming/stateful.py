@@ -408,7 +408,14 @@ def _twa_fn():
     q6 = decimal.Decimal(1).scaleb(-6)
 
     def dec6(x: float) -> decimal.Decimal:
-        return decimal.Decimal(x).quantize(
+        # repr(x) is the shortest round-trip decimal string — the same
+        # route Spark's cast(double AS DECIMAL) takes
+        # (BigDecimal.valueOf/Double.toString). Quantizing the exact
+        # binary expansion Decimal(x) instead rounds HALF_UP ties the
+        # other way (e.g. 2.5e-12: engines say 3E-12, exact-expansion
+        # says 2E-12), breaking parity with the batch twin on
+        # boundary values.
+        return decimal.Decimal(repr(x)).quantize(
             q6, rounding=decimal.ROUND_HALF_UP
         )
 
@@ -476,5 +483,69 @@ def streaming_time_weighted_value(events_stream: DataFrame) -> DataFrame:
         outputStructType=TWA_OUTPUT_SCHEMA,
         stateStructType=TWA_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-seen-per-user: the stateful core of streaming_new_users.
+
+FIRST_SEEN_STATE_SCHEMA = StructType([StructField("emitted", LongType())])
+
+FIRST_SEEN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_ts_us", LongType()),
+    ]
+)
+
+
+def _first_seen_fn():
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            # already emitted in an earlier micro-batch; a later
+            # (late-data) smaller ts cannot revise an appended row —
+            # the same horizon every no-retraction streaming
+            # first-seen carries.
+            for _ in pdfs:
+                pass
+            return
+        mn = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["ts_us"].min())
+                mn = m if mn is None else min(mn, m)
+        if mn is None:
+            return
+        state.update((1,))
+        yield pd.DataFrame({"user_id": [int(user_id)], "first_ts_us": [mn]})
+
+    return update
+
+
+def streaming_first_seen(events_stream: DataFrame) -> DataFrame:
+    """Per-user first appearance over a stream (columns: user_id,
+    ts_us int64): emits (user_id, first_ts_us) exactly once — in the
+    first micro-batch the user appears — taking MIN(ts_us) *within*
+    that batch, so the emitted timestamp is deterministic however the
+    batch's rows are partitioned (a bare ``dropDuplicates`` keeps
+    whichever row wins the shuffle race instead).
+
+    State is one long per seen user — O(distinct users), the same
+    bound the batch MIN-aggregation carries. Cross-batch late rows
+    (a user's true min arriving after their first batch) are beyond
+    any append-mode operator; micro-batch boundaries are the
+    attribution horizon.
+    """
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _first_seen_fn(),
+        outputStructType=FIRST_SEEN_OUTPUT_SCHEMA,
+        stateStructType=FIRST_SEEN_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

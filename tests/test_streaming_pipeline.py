@@ -559,3 +559,47 @@ def test_streaming_new_users_matches_batch(spark, smoke_dir, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_streaming_new_users_multipartition_batch(spark, smoke_dir, tmp_path):
+    """Day attribution must not depend on shuffle arrival order: one
+    micro-batch made of MANY unordered partitions (users' rows spread
+    arbitrarily) must still credit every user to their MIN(ts) day —
+    the case a bare dropDuplicates gets wrong (it keeps whichever row
+    of a user wins the shuffle race)."""
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.streaming.pipeline import streaming_new_users
+
+    ev = load_table(spark, smoke_dir, "events").select("user_id", "ts")
+    src = tmp_path / "nu_mp_src"
+    # 8 hash-shuffled part files consumed in a single trigger: within
+    # the micro-batch, a user's rows arrive in arbitrary order across
+    # partitions.
+    ev.repartition(8, F.col("ts")).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = streaming_new_users(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nu_mp_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (str(r["day"]), r["n_new"])
+        for r in spark.sql("SELECT * FROM nu_mp_sink").collect()
+    )
+    want = sorted(
+        (str(r["day"]), r["n_new"])
+        for r in ev.groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+        .collect()
+    )
+    assert got == want
