@@ -6,10 +6,13 @@ primary_metric)``, ``feature_importance(model, method)``; and
 ``EXPLAIN PREDICTION`` (DSL.md:341-344) — per-row top-k feature
 contributions.
 
-Explanations are computed Spark-side: linear models decompose as
-coefficient × feature value per row (exact); tree ensembles expose
-global ``featureImportances`` (impurity-based). Both paths are pure
-column arithmetic over the assembled vector — no per-row Python.
+Explanations are computed Spark-side and are additive per row
+(SHAP-style, ``Σφ = prediction − base``): linear models use the
+interventional closed form ``coefᵢ·(xᵢ − μᵢ)`` as pure column
+arithmetic; tree regressors use Saabas path attribution through an
+Arrow-batched pandas UDF carrying the extracted tree tables (model-
+sized, not data-sized). Tree classifiers fall back to global
+impurity importances (documented in ``explain_predictions``).
 """
 
 from __future__ import annotations
@@ -109,6 +112,35 @@ def feature_importance(
     return spark.createDataFrame(rows, "feature string, importance double")
 
 
+def _extract_tree(java_node) -> list:
+    """Flatten an MLlib Java tree into Python tuples
+    ``(feature, threshold, left_categories, left, right, node_pred)``
+    (leaf: feature == -1). Uses the JVM ``Node`` API, which exposes
+    the per-node training prediction — the quantity Saabas
+    attribution needs and ``toDebugString`` does not carry."""
+    nodes: list = []
+
+    def walk(n) -> int:
+        idx = len(nodes)
+        nodes.append(None)
+        if n.getClass().getSimpleName() == "InternalNode":
+            sp = n.split()
+            fi = int(sp.featureIndex())
+            if sp.getClass().getSimpleName() == "ContinuousSplit":
+                thr, cats = float(sp.threshold()), None
+            else:
+                thr, cats = None, {float(c) for c in sp.leftCategories()}
+            left = walk(n.leftChild())
+            right = walk(n.rightChild())
+            nodes[idx] = (fi, thr, cats, left, right, float(n.prediction()))
+        else:
+            nodes[idx] = (-1, None, None, -1, -1, float(n.prediction()))
+        return idx
+
+    walk(java_node)
+    return nodes
+
+
 def explain_predictions(
     spark: SparkSession,
     model_name: str,
@@ -118,15 +150,34 @@ def explain_predictions(
     base: Optional[str] = None,
 ) -> DataFrame:
     """EXPLAIN PREDICTION (DSL.md:341-344): per-row top-k feature
-    contributions.
+    contributions, SHAP-style: every row's attributions are ADDITIVE —
+    they sum to ``prediction_value − base_value`` exactly (closed
+    forms, no sampling).
 
-    Linear models: contribution_i = coef_i × x_i (exact additive
-    decomposition of the margin). Tree models fall back to global
-    importances replicated per row (documented approximation — true
-    SHAP needs per-tree path traversal).
+    * Linear models — interventional Shapley values in margin space:
+      ``φᵢ = coefᵢ · (xᵢ − μᵢ)`` with μ the mean feature vector of the
+      explained frame and ``base_value = coef·μ + intercept`` (for a
+      linear model these are the exact interventional SHAP values;
+      the decomposition is pure column arithmetic, no Python).
+    * Tree regressors (decision tree / random forest / GBT) — Saabas
+      path attribution using MLlib's per-node training predictions:
+      walking a row's decision path, the change in node prediction at
+      each split is credited to the split feature; the telescoping
+      sum gives ``Σφ = prediction − root`` per tree, combined with
+      the ensemble weights (GBT ``treeWeights``, RF 1/numTrees).
+      ``base_value`` is the weighted sum of root predictions. Trees
+      travel to executors as plain Python tuples inside an
+      Arrow-batched pandas UDF (the model-sized closure is
+      O(numNodes), not data-sized).
+    * Tree classifiers — per-row closed forms need per-node class
+      distributions; falls back to global impurity importances
+      replicated per row (contributions then do NOT telescope; the
+      base/prediction columns are omitted to keep the contract
+      honest).
 
-    Scale: ``vector_to_array`` + per-index arithmetic — no shuffle, no
-    Python; sorting top-k happens inside an array expression.
+    Output: input columns + model outputs + ``base_value``,
+    ``prediction_value``, ``contributions`` (all features) and
+    ``top_features`` (k largest by |contribution|).
     """
     from pyspark.ml.functions import vector_to_array
 
@@ -135,32 +186,98 @@ def explain_predictions(
     scored = model.transform(df)
     arr = vector_to_array(F.col("features"))
 
+    def _name(i: int) -> str:
+        return feature_names[i] if i < len(feature_names) else f"f{i}"
+
+    def _structs(contrib_cols: list) -> "F.Column":
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(_name(i)).alias("feature"),
+                    c.cast("double").alias("contribution"),
+                )
+                for i, c in enumerate(contrib_cols)
+            ]
+        )
+
+    additive = True
     if hasattr(final, "coefficients"):
         coefs = final.coefficients.toArray().tolist()
-        contribs = F.array(
-            *[
-                F.struct(
-                    F.lit(feature_names[i] if i < len(feature_names) else f"f{i}").alias(
-                        "feature"
-                    ),
-                    (arr[i] * F.lit(float(coefs[i]))).alias("contribution"),
-                )
-                for i in range(len(coefs))
-            ]
+        d = len(coefs)
+        # background = mean feature vector of the explained frame
+        # (one tiny agg job; d doubles to the driver)
+        mu_row = (
+            scored.select([F.avg(arr[i]).alias(f"m{i}") for i in range(d)])
+            .collect()[0]
         )
+        mu = [float(mu_row[i] or 0.0) for i in range(d)]
+        intercept = float(getattr(final, "intercept", 0.0))
+        base_value = sum(c * m for c, m in zip(coefs, mu)) + intercept
+        margin = sum(
+            (arr[i] * F.lit(float(coefs[i])) for i in range(d)),
+            F.lit(intercept),
+        )
+        scored = scored.withColumn("base_value", F.lit(float(base_value)))
+        scored = scored.withColumn("prediction_value", margin.cast("double"))
+        contribs = _structs(
+            [(arr[i] - F.lit(mu[i])) * F.lit(float(coefs[i])) for i in range(d)]
+        )
+    elif type(final).__name__ in {
+        "DecisionTreeRegressionModel",
+        "RandomForestRegressionModel",
+        "GBTRegressionModel",
+    }:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        cls = type(final).__name__
+        if cls == "DecisionTreeRegressionModel":
+            jtrees = [_extract_tree(final._call_java("rootNode"))]
+            weights = [1.0]
+        else:
+            jtrees = [_extract_tree(t._call_java("rootNode")) for t in final.trees]
+            if cls == "GBTRegressionModel":
+                weights = [float(w) for w in final.treeWeights]
+            else:  # RF regression averages its trees
+                weights = [1.0 / len(jtrees)] * len(jtrees)
+        d = int(final.numFeatures)
+        base_value = sum(
+            w * t[0][5] for w, t in zip(weights, jtrees)
+        )
+
+        from pyspark.sql.functions import PandasUDFType
+
+        @pandas_udf("array<double>", PandasUDFType.SCALAR)
+        def saabas(feats):
+            out = []
+            for x in feats:
+                phi = [0.0] * d
+                for w, nodes in zip(weights, jtrees):
+                    idx = 0
+                    fi, thr, cats, left, right, pred = nodes[0]
+                    while fi >= 0:
+                        goes_left = (
+                            x[fi] <= thr if cats is None else x[fi] in cats
+                        )
+                        nxt = left if goes_left else right
+                        fi2, thr2, cats2, l2, r2, pred2 = nodes[nxt]
+                        phi[fi] += w * (pred2 - pred)
+                        fi, thr, cats, left, right, pred = (
+                            fi2, thr2, cats2, l2, r2, pred2,
+                        )
+                out.append(phi)
+            return pd.Series(out)
+
+        scored = (
+            scored.withColumn("__phi", saabas(arr))
+            .withColumn("base_value", F.lit(float(base_value)))
+            .withColumn("prediction_value", F.col("prediction").cast("double"))
+        )
+        contribs = _structs([F.col("__phi")[i] for i in range(d)])
     elif hasattr(final, "featureImportances"):
+        additive = False
         imps = final.featureImportances.toArray().tolist()
-        contribs = F.array(
-            *[
-                F.struct(
-                    F.lit(feature_names[i] if i < len(feature_names) else f"f{i}").alias(
-                        "feature"
-                    ),
-                    F.lit(float(imps[i])).alias("contribution"),
-                )
-                for i in range(len(imps))
-            ]
-        )
+        contribs = _structs([F.lit(float(v)) for v in imps])
     else:
         raise ValueError(f"Model {model_name!r} is not explainable")
 
@@ -171,4 +288,9 @@ def explain_predictions(
         1,
         top_k,
     )
-    return scored.withColumn("top_features", top)
+    out = scored.withColumn("contributions", contribs).withColumn(
+        "top_features", top
+    )
+    if additive and "__phi" in out.columns:
+        out = out.drop("__phi")
+    return out

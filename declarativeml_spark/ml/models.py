@@ -63,6 +63,7 @@ def registry_save(
         "features": trained.features,
         "target": trained.target,
         "performance_metrics": trained.metrics,
+        "stopping_epoch": trained.stopping_epoch,
         "checkpoints": trained.checkpoints,
         "path": path,
         "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

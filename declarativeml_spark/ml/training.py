@@ -14,8 +14,12 @@ around the fit:
   post-fit evaluation on the named split
 * ``OPTIMIZE FOR``     → evaluator metric for model selection
 * ``STOP WHEN``        → epoch clauses become maxIter; metric clauses
-  run an incremental-refit loop (grow maxIter until predicate holds
-  or budget exhausted) — SURVEY.md §7.6 divergence note
+  run an epoch-wise early-stopping loop on iterative estimators
+  (geometric maxIter schedule 1, 2, 4, …, budget; predicate
+  evaluated after each step; training halts — and the stopping
+  epoch is recorded in model metadata — at the first step where it
+  holds). MLlib can't warm-start, so each step refits; the schedule
+  bounds total work at ≤ 2× one full fit (SURVEY.md §7.6).
 * ``SAVE CHECKPOINTS`` → persisted model version per interval in the
   incremental loop, recorded in metadata
 
@@ -79,6 +83,7 @@ class TrainedModel:
     features: List[str]
     target: str
     stop_satisfied: Optional[bool] = None
+    stopping_epoch: Optional[int] = None
     checkpoints: List[int] = field(default_factory=list)
     path: Optional[str] = None
 
@@ -187,6 +192,15 @@ def train(
                 pipeline = Pipeline(stages=stages)
                 attempts += 1
 
+    # Metric STOP WHEN clauses on an iterative estimator run the
+    # epoch-wise early-stopping loop below instead of one monolithic
+    # fit (reference semantics, DSL.md:123-144): the predicate is
+    # evaluated as training progresses and the fit HALTS at the first
+    # epoch where it holds.
+    epochwise = bool(
+        stop and stop.metric_clauses and not use_cv and _has_max_iter(estimator)
+    )
+
     if use_cv:
         folds = 3
         for key, value in stmt.validate.params or []:
@@ -203,6 +217,9 @@ def train(
         cv_model = cv.fit(train_df)
         model = cv_model.bestModel
         cv_metric = float(cv_model.avgMetrics[0]) if cv_model.avgMetrics else None
+    elif epochwise:
+        model = None  # fitted inside the early-stopping loop below
+        cv_metric = None
     else:
         model = pipeline.fit(train_df)
         cv_metric = None
@@ -225,27 +242,46 @@ def train(
     if eval_df is None:
         eval_df = splits.get("validation") or splits.get("test") or train_df
 
-    metrics = _compute_metrics(model, eval_df, spec, label_col)
-    if cv_metric is not None:
-        metrics[f"cv_{metric_name}"] = cv_metric
-
-    # --- STOP WHEN metric clauses: incremental refit loop --------------------
+    # --- STOP WHEN metric clauses: epoch-wise early stopping ----------------
     stop_satisfied: Optional[bool] = None
-    if stop and stop.metric_clauses:
-        stop_satisfied = stop.evaluate(metrics)
-        budget = 3  # bounded refit attempts; each doubles maxIter
-        current_iter = params.get("max_iter", 100)
+    stopping_epoch: Optional[int] = None
+    if epochwise:
+        # MLlib estimators cannot warm-start a fit, so the outer loop
+        # refits with a geometric maxIter schedule (1, 2, 4, …,
+        # max_iter — ≤ 2× the iterations of one full fit in total)
+        # and evaluates the STOP WHEN predicate after each step; the
+        # first satisfying step is the recorded stopping epoch and
+        # its model is the one kept. Falls through to the final
+        # full-budget fit when the predicate never holds.
+        target_iter = int(params.get("max_iter", 100))
         interval = stmt.checkpoint.interval if stmt.checkpoint else None
-        while not stop_satisfied and budget > 0 and _has_max_iter(estimator):
-            current_iter *= 2
-            estimator = spec.build({**params, "max_iter": current_iter}, **est_kwargs)
-            pipeline = Pipeline(stages=stages[:-1] + [estimator])
-            model = pipeline.fit(train_df)
+        schedule: list[int] = []
+        e = 1
+        while e < target_iter:
+            schedule.append(e)
+            e *= 2
+        schedule.append(target_iter)
+        stop_satisfied = False
+        for e in schedule:
+            est_e = spec.build({**params, "max_iter": e}, **est_kwargs)
+            model = Pipeline(stages=stages[:-1] + [est_e]).fit(train_df)
             metrics = _compute_metrics(model, eval_df, spec, label_col)
             if interval:
-                checkpoints.append(current_iter)
+                checkpoints.append(e)
+            if stop.evaluate(metrics):
+                stop_satisfied = True
+                stopping_epoch = e
+                break
+        if stopping_epoch is not None:
+            metrics["stopping_epoch"] = float(stopping_epoch)
+    else:
+        metrics = _compute_metrics(model, eval_df, spec, label_col)
+        if stop and stop.metric_clauses:
+            # non-iterative estimator or CV path: the predicate is
+            # still reported, evaluated on the final fit
             stop_satisfied = stop.evaluate(metrics)
-            budget -= 1
+    if cv_metric is not None:
+        metrics[f"cv_{metric_name}"] = cv_metric
 
     trained = TrainedModel(
         name=stmt.name,
@@ -256,6 +292,7 @@ def train(
         features=list(stmt.features),
         target=stmt.target,
         stop_satisfied=stop_satisfied,
+        stopping_epoch=stopping_epoch,
         checkpoints=checkpoints,
     )
     from declarativeml_spark.ml.models import registry_save

@@ -52,13 +52,41 @@ MEDIA_SCHEMA = T.StructType(
 _SUPPORTED_CODECS = {"fake"}
 N_HISTOGRAM_BINS = 16
 
+# User-registered decoders: the extension point that turns the
+# fake-codec boundary into a plug, not a dead end. A decoder is a
+# PICKLABLE callable ``decode(payload: bytes, meta: dict | None) ->
+# list`` returning the per-item feature vector; it ships to executors
+# inside the mapInPandas closure, so it must not capture a
+# SparkSession or other driver-only state.
+_CODECS: dict = {}
+
+
+def register_codec(name: str, decode, feature_dtype: Optional[T.DataType] = None) -> None:
+    """Register a real decoder under ``name`` for
+    :func:`decode_features` (e.g. a PIL/libav-backed callable in an
+    environment that has one).
+
+    ``feature_dtype`` is the element type of the returned feature
+    column (default ``array<long>``, matching the fake codec).
+    """
+    if name == "fake":
+        raise ValueError("'fake' is the built-in deterministic stub; pick another name")
+    if not callable(decode):
+        raise TypeError(f"decode for codec {name!r} must be callable")
+    _CODECS[name] = (decode, feature_dtype or T.ArrayType(T.LongType()))
+
+
+def unregister_codec(name: str) -> None:
+    _CODECS.pop(name, None)
+
 
 def _require_codec(codec: str, capability: str) -> None:
-    if codec not in _SUPPORTED_CODECS:
+    if codec not in _SUPPORTED_CODECS and codec not in _CODECS:
         raise NotImplementedError(
             f"codec {codec!r} for {capability} needs an image/audio library"
             " (PIL / libav) that is not available in this environment;"
-            " use codec='fake' for the deterministic byte-level stub"
+            " use codec='fake' for the deterministic byte-level stub, or"
+            " register_codec(name, decode_fn) to plug a real decoder in"
         )
 
 
@@ -102,19 +130,30 @@ def decode_features(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
         )
     width = 256 // bins
+    custom = _CODECS.get(codec)
+    feature_dtype = custom[1] if custom else T.ArrayType(T.LongType())
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
-            T.StructField("features", T.ArrayType(T.LongType()), True),
+            T.StructField("features", feature_dtype, True),
         ]
     )
+    has_meta = "meta" in df.columns
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in it:
             feats = []
-            for blob in pdf[payload_col]:
+            metas = pdf["meta"] if (custom and has_meta) else None
+            for pos, blob in enumerate(pdf[payload_col]):
+                if custom:
+                    meta = None
+                    if metas is not None:
+                        m = metas.iloc[pos]
+                        meta = dict(m) if m is not None else None
+                    feats.append(custom[0](bytes(blob) if blob is not None else b"", meta))
+                    continue
                 if blob is None or len(blob) == 0:
                     feats.append([0] * bins)
                     continue

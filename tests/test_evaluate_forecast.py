@@ -136,3 +136,43 @@ def test_forecast_requires_regression(engine):
             "TRAIN MODEL bad_fc USING logistic_regression FROM daily_revenue "
             "FORECAST revenue WITH TIME COLUMN day"
         )
+
+
+def test_explain_linear_additivity(engine, spark):
+    """SHAP contract on the linear path: per-row contributions sum to
+    prediction_value − base_value (margin space), exactly."""
+    out = engine.execute(
+        "EXPLAIN PREDICTION FOR MODEL ef_lr FROM orders_labeled TOP 2 FEATURES"
+    )
+    rows = out.select("base_value", "prediction_value", "contributions").take(20)
+    assert rows
+    for r in rows:
+        s = sum(c.contribution for c in r.contributions)
+        assert abs(s - (r.prediction_value - r.base_value)) < 1e-6, r
+
+
+def test_explain_tree_regressor_additivity(engine, spark):
+    """Saabas contract on tree regressors: contributions telescope to
+    prediction − base (the weighted root expectation), per row, for
+    single trees, random forests and GBTs."""
+    for name, algo in [
+        ("ex_dtr", "decision_tree_regressor(max_depth=4)"),
+        ("ex_rfr", "random_forest_regressor(num_trees=5, max_depth=4)"),
+        ("ex_gbt", "gradient_boosting_regressor(max_iter=5, max_depth=3)"),
+    ]:
+        engine.execute(
+            f"TRAIN MODEL {name} USING {algo} "
+            "FROM orders_labeled PREDICT o_totalprice "
+            "WITH FEATURES(o_custkey, o_orderkey, log(o_totalprice + 1))"
+        )
+        out = engine.execute(
+            f"EXPLAIN PREDICTION FOR MODEL {name} FROM orders_labeled TOP 2 FEATURES"
+        )
+        rows = out.select(
+            "prediction", "base_value", "prediction_value", "contributions"
+        ).take(20)
+        assert rows, name
+        for r in rows:
+            s = sum(c.contribution for c in r.contributions)
+            assert abs(s - (r.prediction_value - r.base_value)) < 1e-6, (name, r)
+            assert r.prediction_value == pytest.approx(r.prediction)

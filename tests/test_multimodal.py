@@ -40,3 +40,46 @@ def test_real_codecs_are_loud_stubs(spark, smoke_dir):
         resize_image(media)
     with pytest.raises(NotImplementedError):
         sample_frames(media, codec="h264")
+
+
+def test_registered_decoder_end_to_end(spark, smoke_dir):
+    """register_codec turns the fake-codec boundary into an extension
+    point: a user decoder runs through the same Arrow mapInPandas
+    path, gets payload bytes + metadata dict, and its output schema
+    is the registered dtype."""
+    from declarativeml_spark.operators.multimodal import (
+        register_codec,
+        unregister_codec,
+    )
+
+    # defined locally so cloudpickle ships it by VALUE (a test module
+    # isn't importable on executors — and a user's decoder module may
+    # not be either; the registry contract is "picklable callable")
+    def _toy_decode(blob, meta):
+        n = meta["n_bytes"] if meta and meta.get("n_bytes") is not None else -1
+        return [len(blob), blob[0] if blob else -1, n]
+
+    register_codec("toy", _toy_decode)
+    try:
+        docs = load_table(spark, smoke_dir, "documents").limit(20)
+        media = attach_fake_media(docs)
+        rows = decode_features(media, codec="toy").collect()
+        assert len(rows) == 20
+        src = {r.media_id: bytes(r.payload) for r in media.collect()}
+        for r in rows:
+            blob = src[r.media_id]
+            assert list(r.features) == [len(blob), blob[0], len(blob)]
+    finally:
+        unregister_codec("toy")
+    # unregistered again -> loud stub
+    with pytest.raises(NotImplementedError):
+        decode_features(media, codec="toy")
+
+
+def test_register_codec_validation():
+    from declarativeml_spark.operators.multimodal import register_codec
+
+    with pytest.raises(ValueError, match="fake"):
+        register_codec("fake", lambda b, m: [])
+    with pytest.raises(TypeError):
+        register_codec("nope", "not-callable")

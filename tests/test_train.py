@@ -124,3 +124,44 @@ def test_transform_features(engine):
         "TRANSFORM(one_hot_encoder(o_orderstatus)))"
     )
     assert trained.metrics["accuracy"] > 0.9
+
+
+def test_stop_when_halts_before_max_iter(engine):
+    """Epoch-wise STOP WHEN (reference DSL.md:123-144): an easily-met
+    metric predicate must halt training at an early step of the
+    maxIter schedule — strictly before the declared budget — and
+    record the stopping epoch in the result and registry metadata."""
+    trained = engine.execute(
+        "TRAIN MODEL early_clf USING logistic_regression(max_iter=64) "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice) "
+        "STOP WHEN accuracy > 0.5"
+    )
+    assert trained.stop_satisfied is True
+    assert trained.stopping_epoch is not None
+    assert trained.stopping_epoch < 64
+    assert trained.metrics["stopping_epoch"] == float(trained.stopping_epoch)
+    # the fitted model carries the early budget, not the full one
+    lr_model = trained.pipeline_model.stages[-1]
+    assert lr_model.getOrDefault("maxIter") == trained.stopping_epoch
+    import json as _json
+    import os as _os
+
+    base = trained.path.rsplit("/", 2)[0]
+    with open(_os.path.join(base, "registry.jsonl")) as f:
+        recs = [_json.loads(line) for line in f if line.strip()]
+    rec = [r for r in recs if r.get("name") == "early_clf"][-1]
+    assert rec["stopping_epoch"] == trained.stopping_epoch
+
+
+def test_stop_when_unmet_runs_full_budget(engine):
+    """An unsatisfiable predicate must fall through to the full
+    maxIter fit with stop_satisfied False and no stopping epoch."""
+    trained = engine.execute(
+        "TRAIN MODEL nostop_clf USING logistic_regression(max_iter=4) "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice) "
+        "STOP WHEN accuracy > 1.5"
+    )
+    assert trained.stop_satisfied is False
+    assert trained.stopping_epoch is None
+    lr_model = trained.pipeline_model.stages[-1]
+    assert lr_model.getOrDefault("maxIter") == 4
