@@ -100,8 +100,14 @@ _CHECK_FIRST = (
     "corpus_stratified_quota",
     "corpus_weighted_sample",
     "join_key_hotspots",
-    # (2) round-4 additions are appended here by module order below;
-    # anything not named in this tuple keeps registry order after it.
+    # (2) round-4 additions (queries/pipeline8.py) — next after the
+    # leftovers; anything not named in this tuple keeps registry
+    # order after it.
+    "dsir_importance_weights",
+    "quality_linear_margin",
+    "corpus_epoch_shuffle",
+    "embedding_nearest_centroid",
+    "embedding_fisher_ratio",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

@@ -645,3 +645,57 @@ class CompactTable:
             or self.target_bytes <= 0
         ):
             raise ValueError("TARGET must be a positive byte count")
+
+
+@dataclass
+class ShuffleCorpus:
+    """IR for ``SHUFFLE <source> EPOCHS <n> [SHARDS <m>] [BY id_col]``
+    — deterministic per-epoch global shuffle + shard assignment for
+    training-order generation (SURVEY.md §2.11; beyond-parity).
+
+    Adds (epoch, skey, shard) columns; the permutation is a pure
+    function of the id, so restarts reproduce it bit-for-bit (see
+    operators/layout.py::epoch_shuffle;
+    queries/pipeline8.py::corpus_epoch_shuffle is the oracle-checked
+    balance-audit twin).
+    """
+
+    source: str
+    epochs: int = 3
+    n_shards: int = 8
+    id_column: str = "doc_id"
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        for name, v, kw in (
+            ("EPOCHS", self.epochs, "epoch count"),
+            ("SHARDS", self.n_shards, "shard count"),
+        ):
+            if not isinstance(v, int) or isinstance(v, bool) or v <= 0:
+                raise ValueError(f"{name} must be a positive {kw}")
+
+
+@dataclass
+class ScoreQuality:
+    """IR for ``SCORE QUALITY <source> [BUCKETS <b>] [ON text_col]``
+    — fastText-shaped linear quality margin per document over hashed
+    token buckets (SURVEY.md §2.11; beyond-parity).
+
+    Deterministic weight table (engine-portable); see
+    operators/textops.py::quality_margin;
+    queries/pipeline8.py::quality_linear_margin is the oracle-checked
+    rollup twin.
+    """
+
+    source: str
+    buckets: int = 512
+    text_column: str = "text"
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        if (
+            not isinstance(self.buckets, int)
+            or isinstance(self.buckets, bool)
+            or self.buckets <= 0
+        ):
+            raise ValueError("BUCKETS must be a positive bucket count")

@@ -1316,6 +1316,63 @@ class _Parser:
             source_is_identifier=is_identifier_source(source),
         )
 
+    # -- SHUFFLE (beyond-parity: SURVEY §2.11) ----------------------------
+    def parse_shuffle(self) -> "ir.ShuffleCorpus":
+        self.expect_keyword("SHUFFLE")
+        source = self.capture_source_until("EPOCHS")
+        if not source:
+            raise ValueError("SHUFFLE source cannot be empty")
+        self.expect_keyword("EPOCHS")
+        tok = self.advance()
+        if tok.kind != "NUMBER":
+            raise ValueError("EPOCHS must be a positive epoch count")
+        epochs = _require_positive_int(_to_number(tok.value), "EPOCHS")
+        n_shards = 8
+        if self.at_keyword("SHARDS"):
+            self.advance()
+            tok = self.advance()
+            if tok.kind != "NUMBER":
+                raise ValueError("SHARDS must be a positive shard count")
+            n_shards = _require_positive_int(_to_number(tok.value), "SHARDS")
+        id_column = "doc_id"
+        if self.at_keyword("BY"):
+            self.advance()
+            id_column = self.expect_name("id column")
+        self.expect_eof()
+        return ir.ShuffleCorpus(
+            source=source,
+            epochs=epochs,
+            n_shards=n_shards,
+            id_column=id_column,
+            source_is_identifier=is_identifier_source(source),
+        )
+
+    # -- SCORE QUALITY (beyond-parity: SURVEY §2.11) ----------------------
+    def parse_score(self) -> "ir.ScoreQuality":
+        self.expect_keyword("SCORE")
+        self.expect_keyword("QUALITY")
+        source = self.capture_source_until("BUCKETS", "ON")
+        if not source:
+            raise ValueError("SCORE QUALITY source cannot be empty")
+        buckets = 512
+        if self.at_keyword("BUCKETS"):
+            self.advance()
+            tok = self.advance()
+            if tok.kind != "NUMBER":
+                raise ValueError("BUCKETS must be a positive bucket count")
+            buckets = _require_positive_int(_to_number(tok.value), "BUCKETS")
+        text_column = "text"
+        if self.at_keyword("ON"):
+            self.advance()
+            text_column = self.expect_name("text column")
+        self.expect_eof()
+        return ir.ScoreQuality(
+            source=source,
+            buckets=buckets,
+            text_column=text_column,
+            source_is_identifier=is_identifier_source(source),
+        )
+
     # -- PROFILE (beyond-parity: SURVEY §2.11) ----------------------------
     def parse_profile(self) -> "ir.ProfileTable":
         self.expect_keyword("PROFILE")
@@ -1480,11 +1537,15 @@ def parse(text: str) -> Statement:
         return parser.parse_shard()
     if tok.value == "COMPACT":
         return parser.parse_compact()
+    if tok.value == "SHUFFLE":
+        return parser.parse_shuffle()
+    if tok.value == "SCORE":
+        return parser.parse_score()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
         " SEARCH, SAMPLE, DECONTAMINATE, PACK, REDACT, CHUNK, SESSIONIZE,"
-        " QUANTIZE, MIX, PROFILE, DETECT, SHARD, or COMPACT"
+        " QUANTIZE, MIX, PROFILE, DETECT, SHARD, COMPACT, SHUFFLE, or SCORE"
     )
 
 

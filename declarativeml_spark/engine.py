@@ -150,6 +150,10 @@ class Engine:
             return self._shard(stmt)
         if isinstance(stmt, ir.CompactTable):
             return self._compact(stmt)
+        if isinstance(stmt, ir.ShuffleCorpus):
+            return self._shuffle(stmt)
+        if isinstance(stmt, ir.ScoreQuality):
+            return self._score_quality(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
 
     # -- DEDUPLICATE / SEARCH SIMILAR (beyond-parity, SURVEY §7.5) ----------
@@ -353,6 +357,29 @@ class Engine:
         df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
         return shard_round_robin(
             df, n_shards=stmt.n_shards, id_col=stmt.id_column
+        )
+
+    def _shuffle(self, stmt: "ir.ShuffleCorpus") -> DataFrame:
+        """Deterministic per-epoch training-order shuffle (the
+        oracle-checked balance-audit twin is corpus_epoch_shuffle)."""
+        from declarativeml_spark.operators.layout import epoch_shuffle
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        return epoch_shuffle(
+            df,
+            epochs=stmt.epochs,
+            n_shards=stmt.n_shards,
+            id_col=stmt.id_column,
+        )
+
+    def _score_quality(self, stmt: "ir.ScoreQuality") -> DataFrame:
+        """fastText-shaped linear quality margin per document (the
+        oracle-checked rollup twin is quality_linear_margin)."""
+        from declarativeml_spark.operators.textops import quality_margin
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        return quality_margin(
+            df, buckets=stmt.buckets, text_col=stmt.text_column
         )
 
     def _compact(self, stmt: "ir.CompactTable") -> DataFrame:

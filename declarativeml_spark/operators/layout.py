@@ -123,3 +123,39 @@ def simulated_file_manifest(
         F.date_format("o_orderdate", "yyyy-MM").alias("part"),
         (F.col("o_orderkey") % n_buckets).cast("long").alias("file_id"),
     ).agg((F.count(F.lit(1)) * bytes_per_row).cast("long").alias("bytes"))
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epochs: int = 3,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle: every (epoch, row)
+    pair gets a pseudorandom 16-bit sort key (md5 of
+    ``'ep<epoch>:<id>'``) and a shard — writing each epoch's shards
+    ordered by ``skey`` IS the shuffled data-loader order. Pure
+    function of the id: a restarted job reproduces the permutation
+    bit-for-bit, which rand()-seeded shuffles lose the moment
+    partitioning changes. Backs the ``SHUFFLE`` DSL statement; the
+    oracle-checked audit twin is
+    queries/pipeline8.py::corpus_epoch_shuffle.
+
+    Scale: a constant ×epochs fan-out of per-row map expressions —
+    no joins, no windows; materializing the order is
+    ``repartitionByRange(epoch, shard, skey)`` +
+    ``sortWithinPartitions``, never a single-task sort.
+    """
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from declarativeml_spark.operators.textops import _hex4_int
+
+    key_s = _hex4_int(f"concat('ep', epoch, ':', CAST({id_col} AS STRING))")
+    e = df.withColumn(
+        "epoch", F.explode(F.expr(f"sequence(0, {epochs - 1})"))
+    )
+    return e.withColumn("skey", F.expr(f"({key_s})").cast("long")).withColumn(
+        "shard", (F.col("skey") % n_shards).cast("long")
+    )

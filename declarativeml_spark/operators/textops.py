@@ -200,3 +200,54 @@ def quality_duck(toks: str, text: str, en_hits: str) -> str:
         f" + 0.3 * (1.0 - least(1.0, abs(length({text}) / len({toks}) - 5.0) / 10.0))"
         f" + 0.3 * ({en_hits} / CAST(len({toks}) AS DOUBLE))"
     )
+
+
+QUALITY_BUCKETS = 512
+# numerator cast to DOUBLE before dividing: Spark parses 65537.0 as a
+# DECIMAL literal, and int/decimal division is reduced-scale decimal
+# arithmetic; double/decimal promotes to the IEEE division both
+# engines perform identically (see queries/pipeline8.py)
+QUALITY_WEIGHT = (
+    "(CAST(CAST(bkt AS BIGINT) * 48271 % 65537 AS DOUBLE) / 65537.0 - 0.5)"
+)
+
+
+def quality_margin(
+    df: DataFrame,
+    buckets: int = QUALITY_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-shaped linear quality score per document: tokens hash
+    into ``buckets`` feature buckets, each bucket carries a weight (a
+    deterministic Lehmer mix of the bucket id — swap in a learned
+    broadcast (bucket, weight) table without touching the plan), and
+    the document margin is the mean bucket weight. Raw (pre-sigmoid)
+    space on purpose: exp() is not bit-stable across engines,
+    monotone, and sigmoid(0) == 0.5 so thresholds translate.
+
+    Backs the ``SCORE QUALITY`` DSL statement; the oracle-checked
+    rollup twin is queries/pipeline8.py::quality_linear_margin.
+
+    Scale: explode → per-row hash → one per-document combine through
+    DECIMAL; no joins, no windows.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    toks = TOKENS_SPARK.format(text=text_col)
+    feats = df.withColumn("__w", F.explode(F.expr(toks))).withColumn(
+        "bkt", F.expr(f"(({_hex4_int('__w')}) % {buckets})")
+    )
+    keep = [c for c in df.columns if c != text_col]
+    return (
+        feats.groupBy(*[F.col(c) for c in keep])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (
+                F.sum(F.expr(QUALITY_WEIGHT).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("margin"),
+        )
+    )

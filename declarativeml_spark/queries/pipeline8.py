@@ -1,0 +1,499 @@
+"""Training-data pipeline operators, part 8 (round 4): data
+selection and representation-quality evaluation.
+
+* ``dsir_importance_weights`` — DSIR-style data selection (Xie et
+  al. 2023, "Data Selection for Language Models via Importance
+  Resampling"): hashed-n-gram importance weights
+  ``log p_target(x) − log p_raw(x)`` per document against a target
+  domain, the standard way to skim a 100 TB crawl for
+  domain-relevant training data.
+* ``quality_linear_margin`` — a fastText-shaped linear quality
+  scorer over hashed token buckets, evaluated corpus-wide. The
+  weight table is a deterministic function of the bucket id so the
+  whole score plane is engine-portable; swapping in learned weights
+  changes one broadcast table, not the plan.
+* ``corpus_epoch_shuffle`` — deterministic per-epoch global shuffle
+  + shard assignment (hash of (epoch, doc_id)), audited for balance.
+  Restart-safe training order: no rand(), so a resumed job
+  reproduces the exact same epoch permutation.
+* ``embedding_nearest_centroid`` — nearest-centroid classification
+  of the labelled embedding table against its own per-label
+  centroids (train→assign→confusion, all hash-checked) — the
+  cheapest representation-quality probe there is.
+* ``embedding_fisher_ratio`` — per-dimension Fisher discriminant
+  ratio (between-class / within-class variance) over the labelled
+  embeddings: which dimensions carry label signal.
+
+Float conventions follow registry.py: per-row math in double
+(IEEE-identical cross-engine), aggregations through DECIMAL, ln()
+only (exp/log10 are not cross-engine identical), ties broken on
+unique keys. Token hashing reuses textops._hex4_int — md5 hex-slice
+arithmetic with identical SQL text in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from declarativeml_spark.operators import textops as T
+from declarativeml_spark.operators.textops import _hex4_int
+from declarativeml_spark.queries.registry import query, sround, sql_sround
+from declarativeml_spark.sources.catalog import load_table
+
+_TOKS_S = T.TOKENS_SPARK.format(text="text")
+_TOKS_D = T.TOKENS_DUCK.format(text="text")
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights.
+
+_DSIR_B = 512  # hash buckets (n-gram feature space)
+_DSIR_TARGET = "src0"  # target domain: one source's distribution
+_DSIR_TOPK = 100
+
+_BKT = f"(({_hex4_int('w')}) % {_DSIR_B})"
+# shared per-token log-likelihood-ratio text (ln of exact ratios —
+# the proven cross-engine op); +1/+B is add-one smoothing over the
+# bucketed feature space
+_DSIR_LL = (
+    f"ln((tc + 1.0) / (ttot + {_DSIR_B}.0))"
+    f" - ln((rc + 1.0) / (rtot + {_DSIR_B}.0))"
+)
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, source, unnest({_TOKS_D}) AS w FROM documents
+    ),
+    bk AS MATERIALIZED (
+        SELECT doc_id, source, {_BKT} AS bkt FROM tok
+    ),
+    raw AS MATERIALIZED (
+        SELECT bkt, CAST(COUNT(*) AS BIGINT) AS rc FROM bk GROUP BY bkt
+    ),
+    tgt AS MATERIALIZED (
+        SELECT bkt, CAST(COUNT(*) AS BIGINT) AS tc FROM bk
+        WHERE source = '{_DSIR_TARGET}' GROUP BY bkt
+    ),
+    tots AS MATERIALIZED (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bk) AS rtot,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bk
+                WHERE source = '{_DSIR_TARGET}') AS ttot
+    ),
+    scored AS MATERIALIZED (
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(({_DSIR_LL}) AS DECIMAL(38,12))) AS DOUBLE)
+                 AS logw
+        FROM (SELECT doc_id, bkt,
+                     COALESCE(t.tc, 0) AS tc, r.rc, tt.rtot, tt.ttot
+              FROM bk
+              JOIN raw r USING (bkt)
+              LEFT JOIN tgt t USING (bkt)
+              CROSS JOIN tots tt) b
+        GROUP BY b.doc_id
+    ),
+    top AS (
+        SELECT doc_id, n_tokens, logw,
+               ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, {sql_sround('logw', 8)} AS log_weight,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM top WHERE rnk <= {_DSIR_TOPK}
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: per-document hashed-unigram importance
+    weight ``Σ_tokens [ln p̂_target(bkt) − ln p̂_raw(bkt)]`` against
+    the '{target}' source distribution, returning the top-{k}
+    documents a resampling pass would keep.
+
+    Every piece is cross-engine exact: bucket counts are integers,
+    each token's log-likelihood-ratio is ln() of exact ratios, and
+    the per-document sum goes through DECIMAL(38,12) so shuffle
+    order cannot reorder the float additions (the nb_lang_confusion
+    recipe).
+
+    Scale: the feature space is {B} hashed buckets — the bucket
+    stats tables and totals are constant-sized and broadcast; the
+    only data-proportional shuffles are the per-bucket count (map-
+    side combinable) and the per-document sum. The top-k cut is
+    orderBy().limit() → TakeOrderedAndProject, never a global sort;
+    the rank window runs on ≤ {k} rows post-limit.
+    """.format(target=_DSIR_TARGET, k=_DSIR_TOPK, B=_DSIR_B)
+    docs = load_table(spark, sf_dir, "documents")
+    bk = docs.select(
+        "doc_id", "source", F.explode(F.expr(_TOKS_S)).alias("w")
+    ).select("doc_id", "source", F.expr(_BKT).alias("bkt"))
+    raw = bk.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("rc"))
+    tgt = (
+        bk.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    )
+    stats = (
+        raw.join(tgt, "bkt", "left")
+        .select("bkt", "rc", F.coalesce("tc", F.lit(0)).cast("long").alias("tc"))
+    )
+    tots = bk.agg(
+        F.count(F.lit(1)).cast("long").alias("rtot"),
+        F.sum((F.col("source") == _DSIR_TARGET).cast("long"))
+        .cast("long")
+        .alias("ttot"),
+    )
+    scored = (
+        bk.join(F.broadcast(stats), "bkt")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.expr(_DSIR_LL).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("logw"),
+        )
+    )
+    top = scored.orderBy(F.desc("logw"), F.asc("doc_id")).limit(_DSIR_TOPK)
+    wr = Window.orderBy(F.desc("logw"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(T.stable_round("logw", 8)).alias("log_weight"),
+        F.row_number().over(wr).cast("long").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fastText-shaped linear quality scorer.
+
+_QLS_B = 512
+# one source of truth with the SCORE QUALITY operator — editing either
+# side alone would silently desync the hash-check
+_QLS_W = T.QUALITY_WEIGHT
+
+
+@query(
+    "quality_linear_margin",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, source, lang, unnest({_TOKS_D}) AS w FROM documents
+    ),
+    feats AS MATERIALIZED (
+        SELECT doc_id, source, lang,
+               (({_hex4_int('w')}) % {_QLS_B}) AS bkt
+        FROM tok
+    ),
+    margins AS MATERIALIZED (
+        SELECT doc_id, source, lang,
+               CAST(SUM(CAST({_QLS_W} AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*) AS margin
+        FROM feats GROUP BY doc_id, source, lang
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           {sql_sround(
+               'CAST(SUM(CAST(margin AS DECIMAL(38,12))) AS DOUBLE)'
+               ' / COUNT(*)', 8)} AS avg_margin
+    FROM margins GROUP BY source, lang
+    """,
+)
+def quality_linear_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped document quality scoring: a linear model over
+    hashed token buckets, applied corpus-wide and summarized per
+    (source, lang) stratum — the shape of every production quality
+    gate (CCNet, fastText lid/quality, Gopher rules ensembles).
+
+    The bucket weight here is a deterministic Lehmer mix of the
+    bucket id (so both engines — and any restart — score
+    identically); a LEARNED model drops in by replacing the weight
+    expression with a broadcast (bucket, weight) table, leaving the
+    plan untouched. The margin stays in raw (pre-sigmoid) space:
+    exp() is not bit-stable across engines, monotone, and
+    thresholding at 0.5 sigmoid == 0 margin.
+
+    Scale: one token explode (map-only), one per-document combine
+    through DECIMAL, one stratum rollup — no joins at all; the
+    model IS the expression.
+    """
+    from declarativeml_spark.operators.textops import quality_margin
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    margins = quality_margin(docs, buckets=_QLS_B)
+    return margins.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("margin") > 0).cast("long")).cast("long").alias("n_positive"),
+        sround(
+            F.sum(F.col("margin").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("avg_margin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle + shard balance audit.
+
+_EPOCHS = 3
+_SHUF_SHARDS = 8
+
+
+def _shuf_key(engine: str, epoch_expr: str) -> str:
+    if engine == "spark":
+        s = f"concat('ep', {epoch_expr}, ':', CAST(doc_id AS STRING))"
+    else:
+        s = f"('ep' || {epoch_expr} || ':' || CAST(doc_id AS VARCHAR))"
+    return f"({_hex4_int(s)})"
+
+
+@query(
+    "corpus_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (
+        SELECT doc_id, n_chars, unnest(range(0, {_EPOCHS})) AS epoch
+        FROM documents
+    ),
+    keyed AS (
+        SELECT epoch, n_chars,
+               {_shuf_key('duck', 'epoch')} AS skey
+        FROM e
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(skey % {_SHUF_SHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+           CAST(MIN(skey) AS BIGINT) AS min_key,
+           CAST(MAX(skey) AS BIGINT) AS max_key
+    FROM keyed GROUP BY 1, 2
+    """,
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle for training-order
+    generation: every (epoch, doc) pair gets a pseudorandom 16-bit
+    sort key (md5 of 'ep<e>:<doc_id>') and a shard; writing each
+    epoch's shards ordered by the key IS the shuffled data-loader
+    order. No rand() anywhere, so a restarted job reproduces the
+    permutation bit-for-bit — the property rand()-seeded shuffles
+    lose the moment partitioning changes.
+
+    The query returns the balance audit (per epoch × shard: doc
+    count, payload mass, key range) — the check a 100 TB pipeline
+    runs before committing an epoch layout.
+
+    Scale: the epoch fan-out is a constant ×{E}; key/shard are
+    per-row map expressions; the audit is one map-side-combinable
+    aggregation to {E}×{S} rows. Writing the actual order is
+    ``repartitionByRange(epoch, shard, skey)`` + sortWithinPartitions
+    — no single-task sort anywhere.
+    """.format(E=_EPOCHS, S=_SHUF_SHARDS)
+    from declarativeml_spark.operators.layout import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    keyed = epoch_shuffle(docs, epochs=_EPOCHS, n_shards=_SHUF_SHARDS)
+    return keyed.groupBy(
+        F.col("epoch").cast("long").alias("epoch"),
+        (F.col("skey") % _SHUF_SHARDS).cast("long").alias("shard"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("tot_chars"),
+        F.min("skey").cast("long").alias("min_key"),
+        F.max("skey").cast("long").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classification of the labelled embeddings.
+
+_NC_DIM = 64
+
+
+@query(
+    "embedding_nearest_centroid",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        FROM embeddings WHERE len(embedding) = {_NC_DIM}
+    ),
+    dims AS MATERIALIZED (
+        SELECT label, i,
+               CAST(SUM(CAST(vec[i + 1] AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*) AS m
+        FROM base, (SELECT unnest(range(0, {_NC_DIM})) AS i)
+        GROUP BY label, i
+    ),
+    cents AS MATERIALIZED (
+        SELECT label AS clabel, list(m ORDER BY i) AS cvec
+        FROM dims GROUP BY label
+    ),
+    scored AS (
+        SELECT b.vec_id, b.label, c.clabel,
+               list_sum(list_transform(list_zip(b.vec, c.cvec),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        FROM base b CROSS JOIN cents c
+    ),
+    pred AS (
+        SELECT vec_id, label, clabel,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, clabel) AS rn
+        FROM scored
+    )
+    SELECT CAST(label AS BIGINT) AS actual_label,
+           CAST(clabel AS BIGINT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier over the labelled embedding table
+    — train (per-label centroids), assign (euclidean argmin), and
+    report the confusion matrix, entirely in one hash-checked plan.
+    The standard first probe of representation quality: if labels
+    aren't linearly separated around their centroids, fancier heads
+    won't save the embedding.
+
+    Determinism: centroids are DECIMAL(38,12) per-dim means (exact,
+    order-independent — the native_cells recipe); distances are
+    left-fold double sums over a fixed dim order; argmin ties break
+    on the label.
+
+    Scale: centroids are an L×{d}-double broadcast; assignment is a
+    map-side array_min over the broadcast struct array (the corpus
+    never shuffles); the confusion rollup is ≤ L² rows.
+    """.format(d=_NC_DIM)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.size("embedding") == _NC_DIM).select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    mean_dims = [
+        (
+            F.expr(f"CAST(SUM(CAST(vec[{i}] AS DECIMAL(38,12))) AS DOUBLE)")
+            / F.count("*")
+        ).alias(f"m{i}")
+        for i in range(_NC_DIM)
+    ]
+    cents = (
+        base.groupBy("label")
+        .agg(*mean_dims)
+        .select(
+            F.col("label").alias("clabel"),
+            F.array(*[F.col(f"m{i}") for i in range(_NC_DIM)]).alias("cvec"),
+        )
+    )
+    cs = F.collect_list(F.struct("clabel", "cvec")).alias("cs")
+    assign = (
+        "array_min(transform(cs, c -> struct("
+        "aggregate(zip_with(vec, c.cvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d2,"
+        " c.clabel AS clabel))).clabel"
+    )
+    pred = base.crossJoin(F.broadcast(cents.agg(cs))).select(
+        "vec_id", "label", F.expr(assign).alias("pred_label")
+    )
+    return pred.groupBy(
+        F.col("label").cast("long").alias("actual_label"),
+        F.col("pred_label").cast("long").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension Fisher discriminant ratio.
+
+
+@query(
+    "embedding_fisher_ratio",
+    oracle=f"""
+    WITH ex AS MATERIALIZED (
+        SELECT label, i, vec[i + 1] AS x
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings WHERE len(embedding) = {_NC_DIM}),
+             (SELECT unnest(range(0, {_NC_DIM})) AS i)
+    ),
+    cls AS MATERIALIZED (
+        SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS q
+        FROM ex GROUP BY label, i
+    ),
+    tot AS MATERIALIZED (
+        SELECT i, CAST(COUNT(*) AS BIGINT) AS nt,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS st
+        FROM ex GROUP BY i
+    ),
+    terms AS (
+        SELECT c.i,
+               CAST((c.s / c.n - t.st / t.nt)
+                    * (c.s / c.n - t.st / t.nt) * c.n
+                    AS DECIMAL(38,12)) AS bt,
+               CAST(c.q - c.s * c.s / c.n AS DECIMAL(38,12)) AS wt,
+               t.nt
+        FROM cls c JOIN tot t USING (i)
+    )
+    SELECT CAST(i AS BIGINT) AS dim,
+           {sql_sround('CAST(SUM(bt) AS DOUBLE) / MIN(nt)', 10)}
+             AS between_var,
+           {sql_sround('CAST(SUM(wt) AS DOUBLE) / MIN(nt)', 10)}
+             AS within_var,
+           {sql_sround(
+               'CAST(SUM(bt) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE)', 8)}
+             AS fisher_ratio
+    FROM terms GROUP BY i
+    """,
+)
+def embedding_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension Fisher discriminant ratio over the labelled
+    embeddings: between-class variance / within-class variance from
+    the exact sufficient statistics (n, Σx, Σx²) per (label, dim) —
+    the classic screen for which embedding dimensions carry label
+    signal (feature selection, probing, PQ codebook allocation).
+
+    Determinism: sufficient statistics aggregate through
+    DECIMAL(38,12); the per-class terms are recombined through
+    DECIMAL again so the class-sum order cannot perturb the floats.
+
+    Scale: one explode to (label, dim) grain — {d}× row fan-out of
+    map-side-combinable sums; everything after lives on the
+    L×{d}-row statistics plane.
+    """.format(d=_NC_DIM)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        emb.filter(F.size("embedding") == _NC_DIM)
+        .select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+        )
+    )
+    cls = ex.groupBy("label", "i").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,12)")).cast("double").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("q"),
+    )
+    tot = ex.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("nt"),
+        F.sum(F.col("x").cast("decimal(38,12)")).cast("double").alias("st"),
+    )
+    mu_diff = F.col("s") / F.col("n") - F.col("st") / F.col("nt")
+    terms = cls.join(F.broadcast(tot), "i").select(
+        "i",
+        (mu_diff * mu_diff * F.col("n")).cast("decimal(38,12)").alias("bt"),
+        (F.col("q") - F.col("s") * F.col("s") / F.col("n"))
+        .cast("decimal(38,12)")
+        .alias("wt"),
+        "nt",
+    )
+    return terms.groupBy(F.col("i").cast("long").alias("dim")).agg(
+        sround(F.sum("bt").cast("double") / F.min("nt"), 10).alias("between_var"),
+        sround(F.sum("wt").cast("double") / F.min("nt"), 10).alias("within_var"),
+        sround(
+            F.sum("bt").cast("double") / F.sum("wt").cast("double"), 8
+        ).alias("fisher_ratio"),
+    )

@@ -38,35 +38,95 @@ MARKERS = [
 ]
 
 
-def partitionless_windows(plan: str) -> int:
-    """Count Window nodes with NO partition spec in a formatted plan.
+# Global-sort windows over provably BOUNDED planes (aggregate grains
+# whose row count is a function of the calendar / a quantization
+# constant, not of data volume). Each entry names its plane; a flag
+# on any query NOT listed here fails the audit.
+GLOBAL_WINDOW_BOUNDED_OK = {
+    # one row per calendar day of the dataset span
+    "revenue_moving_avg_7d": "per-day revenue plane (calendar-bounded)",
+    "events_minute_gapfill": "per-day fill frame (calendar-bounded)",
+    # one row per calendar month
+    "orders_forecast_backtest": "monthly revenue plane (calendar-bounded)",
+    # one row per quantized candidate threshold (fixed quantization)
+    "lineitem_decision_stump": "quantized threshold plane (constant-bounded)",
+}
 
-    A ``(n) Window`` node detail line reads
-    ``Arguments: [funcs], [partitionCols], [orderCols]`` when
-    partitioned but only ``Arguments: [funcs], [orderCols]`` when
-    global — so two top-level bracket groups instead of three marks
-    the single-task global sort.
+_TREE_NODE_RE = re.compile(r"^([\s:+\-]*)([A-Za-z][\w ]*?) \((\d+)\)\s*$")
+_LIMIT_NODES = {
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+    "LocalLimit",
+}
+
+
+def partitionless_windows(plan: str) -> int:
+    """Count Window nodes that sort DATA-PROPORTIONAL input through a
+    single task.
+
+    Two signals, both from the formatted plan:
+    * partition-less: the ``(n) Window`` detail line reads
+      ``Arguments: [funcs], [orderCols]`` — two top-level bracket
+      groups instead of the partitioned form's three;
+    * unbounded input: no limit operator
+      (TakeOrderedAndProject/GlobalLimit/...) anywhere in the
+      window's input subtree. A window over ``ORDER BY … LIMIT k``
+      output runs on ≤ k rows — the standard bounded
+      top-k-then-rank shape, which is fine at any scale.
     """
     lines = plan.splitlines()
-    hits = 0
-    for i, line in enumerate(lines):
-        if not re.match(r"\(\d+\) Window\b", line.strip()):
-            continue
-        for j in range(i + 1, min(i + 8, len(lines))):
-            arg = lines[j].strip()
-            if not arg.startswith("Arguments:"):
+    # tree entries in order: (indent, name, node id)
+    tree: list[tuple[int, str, int]] = []
+    for line in lines:
+        m = _TREE_NODE_RE.match(line)
+        if m:
+            prefix, name, nid = m.groups()
+            tree.append((len(prefix), name.strip(), int(nid)))
+
+    def subtree_has_limit(idx: int) -> bool:
+        indent = tree[idx][0]
+        for j in range(idx + 1, len(tree)):
+            if tree[j][0] <= indent:
+                break
+            if tree[j][1] in _LIMIT_NODES:
+                return True
+        return False
+
+    def is_partitionless(nid: int) -> bool:
+        # Partitioned+ordered windows have 3 top-level bracket groups
+        # ([funcs], [partition], [order]); both partition-only and
+        # order-only have 2. Only order-only is the global sort —
+        # recognized by ASC/DESC sort directions in the LAST group.
+        for i, line in enumerate(lines):
+            if not re.match(rf"\({nid}\) Window\b", line.strip()):
                 continue
-            depth = groups = 0
-            for ch in arg:
-                if ch == "[":
-                    if depth == 0:
-                        groups += 1
-                    depth += 1
-                elif ch == "]":
-                    depth -= 1
-            if groups == 2:
-                hits += 1
-            break
+            for j in range(i + 1, min(i + 8, len(lines))):
+                arg = lines[j].strip()
+                if not arg.startswith("Arguments:"):
+                    continue
+                depth = groups = 0
+                spans: list[list[int]] = []
+                for pos, ch in enumerate(arg):
+                    if ch == "[":
+                        if depth == 0:
+                            spans.append([pos, pos])
+                            groups += 1
+                        depth += 1
+                    elif ch == "]":
+                        depth -= 1
+                        if depth == 0:
+                            spans[-1][1] = pos
+                if groups != 2:
+                    return False
+                last = arg[spans[-1][0] : spans[-1][1] + 1]
+                return " ASC" in last or " DESC" in last
+        return False
+
+    hits = 0
+    for idx, (_indent, name, nid) in enumerate(tree):
+        if name == "Window" and is_partitionless(nid) and not subtree_has_limit(idx):
+            hits += 1
     return hits
 
 
@@ -101,8 +161,15 @@ def main() -> int:
         ]
         pw = partitionless_windows(plan)
         if pw:
-            flags.append(f"GlobalWindowx{pw}")
-        if "BatchEvalPython" in plan or pw:
+            if name in GLOBAL_WINDOW_BOUNDED_OK:
+                flags.append(
+                    f"GlobalWindowOKx{pw}({GLOBAL_WINDOW_BOUNDED_OK[name]})"
+                )
+            else:
+                flags.append(f"GlobalWindowx{pw}")
+        if "BatchEvalPython" in plan or (
+            pw and name not in GLOBAL_WINDOW_BOUNDED_OK
+        ):
             bad += 1
         print(f"{name}: exchanges={plan.count('Exchange')} {' '.join(flags)}")
     if args.fail_on_python and bad:

@@ -354,3 +354,78 @@ def test_compact_next_fit_bound(engine, spark, smoke_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_parse_shuffle_forms():
+    s = parse("SHUFFLE documents EPOCHS 3")
+    assert isinstance(s, ir.ShuffleCorpus)
+    assert s.epochs == 3 and s.n_shards == 8 and s.id_column == "doc_id"
+
+    s = parse("SHUFFLE documents EPOCHS 2 SHARDS 4 BY doc_id")
+    assert s.epochs == 2 and s.n_shards == 4
+
+    with pytest.raises(ValueError, match="EPOCHS must be a positive"):
+        parse("SHUFFLE documents EPOCHS 0")
+
+
+def test_parse_score_quality_forms():
+    s = parse("SCORE QUALITY documents")
+    assert isinstance(s, ir.ScoreQuality)
+    assert s.buckets == 512 and s.text_column == "text"
+
+    s = parse("SCORE QUALITY documents BUCKETS 64 ON body")
+    assert s.buckets == 64 and s.text_column == "body"
+
+    with pytest.raises(ValueError, match="BUCKETS must be a positive"):
+        parse("SCORE QUALITY documents BUCKETS 0")
+
+
+def test_shuffle_statement_matches_audit_query(engine, spark, smoke_dir):
+    """The SHUFFLE statement's row-level assignments must aggregate to
+    exactly the oracle-checked corpus_epoch_shuffle audit."""
+    from pyspark.sql import functions as F
+
+    out = engine.execute("SHUFFLE documents EPOCHS 3 SHARDS 8")
+    assert {"epoch", "skey", "shard"} <= set(out.columns)
+    got = _rows(
+        out.groupBy(
+            F.col("epoch").cast("long").alias("epoch"),
+            F.col("shard").cast("long").alias("shard"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("tot_chars"),
+            F.min("skey").cast("long").alias("min_key"),
+            F.max("skey").cast("long").alias("max_key"),
+        )
+    )
+    want = _rows(QUERIES["corpus_epoch_shuffle"](spark, smoke_dir))
+    assert got == want
+    # determinism: a second execution reproduces the permutation
+    again = engine.execute("SHUFFLE documents EPOCHS 3 SHARDS 8")
+    assert _rows(out.select("doc_id", "epoch", "skey")) == _rows(
+        again.select("doc_id", "epoch", "skey")
+    )
+
+
+def test_score_quality_statement_matches_rollup_query(engine, spark, smoke_dir):
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.queries.registry import sround
+
+    out = engine.execute("SCORE QUALITY documents")
+    assert {"doc_id", "n_tokens", "margin"} <= set(out.columns)
+    got = _rows(
+        out.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("margin") > 0).cast("long"))
+            .cast("long")
+            .alias("n_positive"),
+            sround(
+                F.sum(F.col("margin").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                8,
+            ).alias("avg_margin"),
+        )
+    )
+    want = _rows(QUERIES["quality_linear_margin"](spark, smoke_dir))
+    assert got == want
