@@ -212,6 +212,13 @@ QUALITY_WEIGHT = (
 )
 
 
+def quality_weight_of(token_expr: str, buckets: int = QUALITY_BUCKETS) -> str:
+    """The per-token weight with the bucket hash inlined — identical
+    SQL text in Spark and DuckDB (md5 hex-slice arithmetic)."""
+    bkt = f"(({_hex4_int(token_expr)}) % {buckets})"
+    return QUALITY_WEIGHT.replace("bkt", bkt)
+
+
 def quality_margin(
     df: DataFrame,
     buckets: int = QUALITY_BUCKETS,
@@ -229,25 +236,23 @@ def quality_margin(
     Backs the ``SCORE QUALITY`` DSL statement; the oracle-checked
     rollup twin is queries/pipeline8.py::quality_linear_margin.
 
-    Scale: explode → per-row hash → one per-document combine through
-    DECIMAL; no joins, no windows.
+    Scale: the whole score is ONE per-row higher-order-function fold
+    over the token array — no explode, no join, no shuffle, nothing
+    crosses the wire. The fold order is the array order, fixed, so
+    the double sum is bit-identical to DuckDB's list_sum (the proven
+    left-fold recipe). Because it is a stateless per-row map, the
+    same operator runs unchanged on a STREAMING frame
+    (tests/test_streaming_pipeline.py::test_score_quality_on_stream).
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
     toks = TOKENS_SPARK.format(text=text_col)
-    feats = df.withColumn("__w", F.explode(F.expr(toks))).withColumn(
-        "bkt", F.expr(f"(({_hex4_int('__w')}) % {buckets})")
+    fold = (
+        f"aggregate({toks}, CAST(0.0 AS DOUBLE),"
+        f" (acc, w) -> acc + {quality_weight_of('w', buckets)})"
     )
-    keep = [c for c in df.columns if c != text_col]
-    return (
-        feats.groupBy(*[F.col(c) for c in keep])
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            (
-                F.sum(F.expr(QUALITY_WEIGHT).cast("decimal(38,12)")).cast(
-                    "double"
-                )
-                / F.count(F.lit(1))
-            ).alias("margin"),
-        )
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        (F.expr(fold) / F.expr(f"size({toks})")).alias("margin"),
     )

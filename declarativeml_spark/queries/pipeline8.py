@@ -125,25 +125,41 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy().limit() → TakeOrderedAndProject, never a global sort;
     the rank window runs on ≤ {k} rows post-limit.
     """.format(target=_DSIR_TARGET, k=_DSIR_TOPK, B=_DSIR_B)
+    from declarativeml_spark.operators.caching import track_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    bk = docs.select(
-        "doc_id", "source", F.explode(F.expr(_TOKS_S)).alias("w")
-    ).select("doc_id", "source", F.expr(_BKT).alias("bkt"))
-    raw = bk.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("rc"))
-    tgt = (
-        bk.filter(F.col("source") == _DSIR_TARGET)
-        .groupBy("bkt")
-        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    # persist the hashed token frame: the stats pass and the scoring
+    # pass both read it, and re-running explode + md5 per token twice
+    # costs more than caching (doc_id, source, bkt) triples
+    bk = track_persist(
+        docs.select(
+            "doc_id", "source", F.explode(F.expr(_TOKS_S)).alias("w")
+        ).select("doc_id", "source", F.expr(_BKT).alias("bkt"))
     )
-    stats = (
-        raw.join(tgt, "bkt", "left")
-        .select("bkt", "rc", F.coalesce("tc", F.lit(0)).cast("long").alias("tc"))
+    # raw and target counts in ONE aggregation pass (tc as a
+    # conditional sum); the ≤{B}-row stats plane collects to the
+    # driver (bounded by the bucket constant), which both derives the
+    # totals without re-running the aggregation (broadcasting an
+    # aggregate frame recomputes it per consumer) and turns the
+    # per-token join side into a literal local table
+    stat_rows = (
+        bk.groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rc"),
+            F.sum((F.col("source") == _DSIR_TARGET).cast("long"))
+            .cast("long")
+            .alias("tc"),
+        )
+        .collect()
     )
-    tots = bk.agg(
-        F.count(F.lit(1)).cast("long").alias("rtot"),
-        F.sum((F.col("source") == _DSIR_TARGET).cast("long"))
-        .cast("long")
-        .alias("ttot"),
+    rtot = sum(r["rc"] for r in stat_rows)
+    ttot = sum(r["tc"] for r in stat_rows)
+    stats = spark.createDataFrame(
+        [(r["bkt"], r["rc"], r["tc"]) for r in stat_rows],
+        "bkt int, rc long, tc long",
+    )
+    tots = spark.createDataFrame(
+        [(rtot, ttot)], "rtot long, ttot long"
     )
     scored = (
         bk.join(F.broadcast(stats), "bkt")
@@ -170,27 +186,27 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fastText-shaped linear quality scorer.
 
 _QLS_B = 512
-# one source of truth with the SCORE QUALITY operator — editing either
-# side alone would silently desync the hash-check
-_QLS_W = T.QUALITY_WEIGHT
+
+
+def _qls_margin_duck() -> str:
+    # one source of truth with the SCORE QUALITY operator
+    # (textops.quality_weight_of) — editing either side alone would
+    # silently desync the hash-check; list_sum over list_transform is
+    # DuckDB's left-fold, matching Spark's aggregate() order exactly
+    w = T.quality_weight_of("w", _QLS_B)
+    return (
+        f"list_sum(list_transform({_TOKS_D}, w -> {w}))"
+        f" / len({_TOKS_D})"
+    )
 
 
 @query(
     "quality_linear_margin",
     oracle=f"""
-    WITH tok AS MATERIALIZED (
-        SELECT doc_id, source, lang, unnest({_TOKS_D}) AS w FROM documents
-    ),
-    feats AS MATERIALIZED (
+    WITH margins AS MATERIALIZED (
         SELECT doc_id, source, lang,
-               (({_hex4_int('w')}) % {_QLS_B}) AS bkt
-        FROM tok
-    ),
-    margins AS MATERIALIZED (
-        SELECT doc_id, source, lang,
-               CAST(SUM(CAST({_QLS_W} AS DECIMAL(38,12))) AS DOUBLE)
-                 / COUNT(*) AS margin
-        FROM feats GROUP BY doc_id, source, lang
+               {_qls_margin_duck()} AS margin
+        FROM documents
     )
     SELECT source, lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -216,9 +232,11 @@ def quality_linear_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp() is not bit-stable across engines, monotone, and
     thresholding at 0.5 sigmoid == 0 margin.
 
-    Scale: one token explode (map-only), one per-document combine
-    through DECIMAL, one stratum rollup — no joins at all; the
-    model IS the expression.
+    Scale: the per-document margin is ONE per-row HOF fold over the
+    token array (operators/textops.py::quality_margin) — no explode,
+    no join, no shuffle; the only wire traffic is the stratum rollup
+    of (source, lang, margin) rows. Stateless per-row scoring also
+    means the operator runs unchanged on a streaming frame.
     """
     from declarativeml_spark.operators.textops import quality_margin
 

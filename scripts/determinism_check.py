@@ -1,0 +1,88 @@
+"""Run every registered query TWICE at the given scale factor and
+compare sorted results — catches run-to-run nondeterminism that the
+sf0.01 oracle gate can miss.
+
+Motivation: the round-4 ordered.py bug (cross-job range-boundary
+races corrupting NTILE buckets) was invisible at sf0.01 — range
+sampling there is exhaustive, so both jobs agreed — but corrupted
+results at sf0.1, varying per run. Any query whose plan evaluates a
+sampled/shuffled subtree from two different jobs is exposed to the
+same class. This sweep is the regression net: a query that cannot
+reproduce its own output twice in a row is broken regardless of what
+the oracle says.
+
+Usage: python scripts/determinism_check.py [--sf-dir DIR] [--queries a,b]
+Exit 0 iff every query is stable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _canon(rows) -> list:
+    out = []
+    for r in rows:
+        vals = []
+        for v in r:
+            # float formatting at 12 significant digits: bitwise-equal
+            # doubles compare equal, and NaN compares to itself
+            if isinstance(v, float):
+                vals.append(f"{v:.12g}")
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", default=None)
+    args = ap.parse_args()
+
+    from declarativeml_spark.operators.caching import capture, release_all
+    from declarativeml_spark.queries import QUERIES
+    from declarativeml_spark.session import get_spark
+
+    spark = get_spark("determinism-check")
+    names = (
+        [q.strip() for q in args.queries.split(",") if q.strip()]
+        if args.queries
+        else sorted(QUERIES)
+    )
+
+    unstable = []
+    for i, name in enumerate(names, 1):
+        t0 = time.perf_counter()
+        try:
+            runs = []
+            for _ in range(2):
+                with capture() as persisted:
+                    runs.append(_canon(QUERIES[name](spark, args.sf_dir).collect()))
+                release_all(persisted)
+            ok = runs[0] == runs[1]
+        except Exception as e:  # noqa: BLE001 — a crash counts as unstable
+            ok = False
+            runs = [[f"EXCEPTION: {e!r}"], []]
+        dt = time.perf_counter() - t0
+        status = "ok" if ok else "UNSTABLE"
+        print(f"[{i:3}/{len(names)}] {status:8} {name} ({dt:.1f}s)", flush=True)
+        if not ok:
+            unstable.append(name)
+            a, b = set(runs[0]), set(runs[1])
+            for d in list(a ^ b)[:4]:
+                print(f"      diff: {d}", flush=True)
+
+    print({"checked": len(names), "unstable": unstable}, flush=True)
+    return 1 if unstable else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,3 +55,42 @@ def test_sample_frames_rejects_real_codec(spark):
             "declarativeml_spark.operators.multimodal", fromlist=["sample_frames"]
         )
         sample.sample_frames(df, codec="h264")
+
+
+@pytest.mark.parametrize("n,k", [(6, 4), (500, 4), (3, 4), (100, 7)])
+def test_global_ntile_matches_naive_window(spark, n, k):
+    """Exact NTILE parity including the remainder cases where the
+    uniform 1+floor(k*(rank-1)/n) formula diverges (n=6, k=4)."""
+    from declarativeml_spark.operators.ordered import global_ntile
+
+    rows = [(i, (i * 7919) % 101) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    order = [F.col("v").asc(), F.col("id").asc()]
+
+    got = global_ntile(df, order, k, "b", num_partitions=5)
+    want = df.withColumn("b", F.ntile(k).over(Window.orderBy(*order)))
+
+    got_rows = {r["id"]: r["b"] for r in got.collect()}
+    want_rows = {r["id"]: r["b"] for r in want.collect()}
+    assert got_rows == want_rows
+
+
+def test_global_rank_stable_across_runs(spark):
+    """The frozen range partitioning must make repeated evaluations
+    of the SAME operator output identical — the regression net for
+    the cross-job boundary race (module docstring)."""
+    from declarativeml_spark.operators.ordered import global_ntile
+
+    # an unmaterialized shuffle feeds the operator: the hazard shape
+    base = (
+        spark.range(2000)
+        .withColumn("g", F.col("id") % 97)
+        .groupBy("g")
+        .agg(F.sum("id").alias("v"))
+    )
+    out = global_ntile(
+        base, [F.col("v").desc(), F.col("g").asc()], 4, "b", num_partitions=7
+    )
+    first = sorted((r["g"], r["b"]) for r in out.collect())
+    for _ in range(3):
+        assert sorted((r["g"], r["b"]) for r in out.collect()) == first

@@ -603,3 +603,39 @@ def test_streaming_new_users_multipartition_batch(spark, smoke_dir, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_score_quality_on_stream(spark, smoke_dir, tmp_path):
+    """quality_margin is a stateless per-row HOF fold, so the SAME
+    operator must run unchanged on a streaming frame and produce
+    exactly the batch margins."""
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.operators.textops import quality_margin
+
+    docs = load_table(spark, smoke_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "sq_src"
+    docs.repartition(4).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+
+    out = quality_margin(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sq_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["margin"])
+        for r in spark.sql("SELECT * FROM sq_sink").collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_tokens"], r["margin"])
+        for r in quality_margin(docs).collect()
+    )
+    assert got == want
