@@ -108,6 +108,8 @@ _CHECK_FIRST = (
     "corpus_epoch_shuffle",
     "embedding_nearest_centroid",
     "embedding_fisher_ratio",
+    "dedup_ngram_containment",
+    "quality_margin_deciles",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

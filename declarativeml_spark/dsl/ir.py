@@ -288,6 +288,7 @@ class Deduplicate:
             "minhash",
             "simhash",
             "ngram",
+            "containment",
             "embedding",
             "clusters",
             "semantic",

@@ -185,6 +185,16 @@ class Engine:
                 threshold=stmt.threshold if stmt.threshold is not None else 0.15,
                 **p,
             )
+        if stmt.method == "containment":
+            # asymmetric quote/subset detection (oracle-checked twin:
+            # dedup_ngram_containment)
+            return D.ngram_containment_pairs(
+                df,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=stmt.threshold if stmt.threshold is not None else 0.5,
+                **p,
+            )
         if stmt.method == "semantic":
             # SemDeDup: deterministic k-means cells + within-cell
             # cosine domination over an embedding column

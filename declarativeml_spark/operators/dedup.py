@@ -1326,3 +1326,92 @@ def quantize_int8(
             10,
         ).alias("mse"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_minhash: int = 8,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: ``c(A⊆B) = |A∩B| / |A|``
+    over 3-gram shingle sets, keeping pairs where either direction
+    reaches ``threshold`` — the quote/subset detector Jaccard misses
+    (a short doc fully copied into a long one has high containment
+    but low Jaccard, because the union is dominated by the long doc).
+
+    Candidate gating and verification mirror ``ngram_jaccard_pairs``'
+    minhash path (same salted-md5 minhash buckets, same xxhash64'd
+    shingle-set verify — containment, like Jaccard, depends only on
+    set sizes, which hashing preserves). Gating note: single-hash
+    minhash buckets recall by JACCARD, so a containment hit with very
+    asymmetric sizes (tiny A inside huge B) has reduced candidate
+    probability 1-(1-J)^n with J ≈ |A|/|B|; the scale remedy is
+    hashing against the smaller set's signature (containment
+    sketches), noted not needed at the tested asymmetries.
+
+    Scale: identical envelope to the Jaccard path — pair space is
+    Σ bucket² over shingle-locality buckets, only (id, id) tuples and
+    hashed sets move, exact verify inside the join stage.
+    """
+    from declarativeml_spark.operators.skew import spread_partitions
+
+    n_groups = (n_minhash + 3) // 4
+    sh = (
+        _shingled(
+            spread_partitions(
+                df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+            ),
+            "doc_id",
+            text_col,
+            "sh_str",
+        )
+        .select(
+            "doc_id",
+            F.expr("transform(sh_str, s -> xxhash64(s))").alias("shingles"),
+            *[
+                F.expr(T.minhash_md5_group_spark("sh_str", g)).alias(f"mhg{g}")
+                for g in range(n_groups)
+            ],
+        )
+        .transform(track_persist)
+    )
+    sigs = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(T.minhash_slice_spark(f"mhg{k // 4}", k % 4))
+                    for k in range(n_minhash)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    c_ab = inter / F.size("sa")
+    c_ba = inter / F.size("sb")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.greatest(c_ab, c_ba) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            _sround(c_ab).alias("containment_a_in_b"),
+            _sround(c_ba).alias("containment_b_in_a"),
+        )
+    )

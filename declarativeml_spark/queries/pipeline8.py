@@ -515,3 +515,123 @@ def embedding_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bt").cast("double") / F.sum("wt").cast("double"), 8
         ).alias("fisher_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric n-gram containment dedup (quote/subset detection).
+
+_CONT_THRESHOLD = 0.5
+_CONT_MH = 8
+_SHINGLES_D2 = T.SHINGLES_DUCK.format(toks=_TOKS_D)
+
+
+def _containment_oracle() -> str:
+    """Minhash-gated containment in DuckDB: same md5-minhash buckets
+    as the Jaccard oracle, containment verify over hashed shingle
+    sets (containment depends only on set sizes, which hashing
+    preserves — each engine hashes its own side)."""
+    mh_select = ", ".join(
+        f"{T.minhash_duck('sh_str', k)} AS mh{k}" for k in range(_CONT_MH)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band_idx, mh{k} AS band_key FROM sigs"
+        for k in range(_CONT_MH)
+    )
+    inter = "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+    c_ab = f"({inter} / len(a.shingles))"
+    c_ba = f"({inter} / len(b.shingles))"
+    return f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES_D2} AS sh_str FROM documents),
+    hs AS (SELECT doc_id, list_transform(sh_str, s -> hash(s)) AS shingles FROM sh),
+    sigs AS (SELECT doc_id, {mh_select} FROM sh),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           {sql_sround(c_ab)} AS containment_a_in_b,
+           {sql_sround(c_ba)} AS containment_b_in_a
+    FROM cand c
+    JOIN hs a ON a.doc_id = c.id_a
+    JOIN hs b ON b.doc_id = c.id_b
+    WHERE greatest({c_ab}, {c_ba}) >= {_CONT_THRESHOLD}
+    """
+
+
+@query("dedup_ngram_containment", oracle=_containment_oracle())
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (|A∩B|/|A| over 3-gram
+    shingle sets, either direction ≥ {t}) — the quote/subset detector
+    Jaccard misses: a short document copied whole into a long one has
+    high containment but low Jaccard, because the union is dominated
+    by the long side. Standard in training-data curation for pruning
+    quotations, boilerplate wrappers, and partial mirrors.
+
+    Same minhash candidate gate and hashed-set verify as
+    dedup_ngram_jaccard (operators/dedup.py::ngram_containment_pairs
+    documents the gate's recall caveat for extreme size asymmetry).
+    """.format(t=_CONT_THRESHOLD)
+    from declarativeml_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, threshold=_CONT_THRESHOLD, n_minhash=_CONT_MH
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-margin decile calibration (a second global_ntile consumer).
+
+
+@query(
+    "quality_margin_deciles",
+    oracle=f"""
+    WITH margins AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(len({_TOKS_D}) AS BIGINT) AS n_tokens,
+               {_qls_margin_duck()} AS margin
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, n_tokens, margin,
+               NTILE(10) OVER (ORDER BY margin, doc_id) AS decile
+        FROM margins
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+           {sql_sround(
+               'CAST(SUM(CAST(margin AS DECIMAL(38,12))) AS DOUBLE)'
+               ' / COUNT(*)', 8)} AS avg_margin
+    FROM scored GROUP BY decile
+    """,
+)
+def quality_margin_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score calibration curve: documents bucketed into exact
+    margin DECILES, reporting each decile's population and token
+    mass — the table a curation team reads before picking a quality
+    cutoff (how much data does each threshold cost?).
+
+    The decile assignment is ordered.py's two-phase ``global_ntile``
+    over the per-document margin plane — bit-identical to the
+    engines' NTILE (hash-checked here against DuckDB's), with no
+    partition-less window at any scale.
+    """
+    from declarativeml_spark.operators.ordered import global_ntile
+    from declarativeml_spark.operators.textops import quality_margin
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    margins = quality_margin(docs)
+    scored = global_ntile(
+        margins, [F.col("margin").asc(), F.col("doc_id").asc()], 10, "decile"
+    )
+    return scored.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tot_tokens"),
+        sround(
+            F.sum(F.col("margin").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("avg_margin"),
+    )

@@ -549,3 +549,82 @@ def streaming_first_seen(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-stratum quota admission (streaming stratified sampling).
+
+QUOTA_STATE_SCHEMA = StructType([StructField("admitted", LongType())])
+
+QUOTA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("h", LongType()),
+        StructField("rnk", LongType()),
+    ]
+)
+
+
+def _quota_fn(quota: int):
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (lang,) = key
+        admitted = int(state.get[0]) if state.exists else 0
+        if admitted >= quota:
+            for _ in pdfs:
+                pass
+            return
+        rows = pd.concat(list(pdfs))
+        if not len(rows):
+            return
+        # deterministic admission WITHIN the batch: smallest
+        # (hash, doc_id) first — arrival order across partitions
+        # must not decide who gets the remaining budget
+        rows = rows.sort_values(["h", "doc_id"]).head(quota - admitted)
+        out = pd.DataFrame(
+            {
+                "lang": lang,
+                "doc_id": rows["doc_id"].astype("int64"),
+                "h": rows["h"].astype("int64"),
+                "rnk": range(admitted + 1, admitted + 1 + len(rows)),
+            }
+        )
+        state.update((admitted + len(rows),))
+        yield out
+
+    return update
+
+
+def streaming_stratified_quota(
+    docs_stream: DataFrame, quota: int = 50
+) -> DataFrame:
+    """Streaming per-stratum quota admission: at most ``quota``
+    documents per language ever pass, chosen deterministically
+    WITHIN each micro-batch by smallest (Lehmer-hash, doc_id) — the
+    ingest-side form of batch ``corpus_stratified_quota``.
+
+    Semantics note (inherent to append-only streams): the batch twin
+    keeps the quota globally-smallest hashes, which requires
+    retraction to maintain incrementally; the streaming form admits
+    batch-by-batch and never evicts. Exact batch-prefix equivalence
+    holds when a stratum's candidates arrive within one micro-batch
+    — the test feeds the whole table as one batch and asserts
+    bit-equality with the oracle-checked batch query.
+
+    Scale: state is ONE long per stratum; Arrow batches carry
+    (lang, doc_id, h) triples only.
+
+    Input columns: lang, doc_id, h (precompute h with the shared
+    Lehmer expression so stream and batch hash identically).
+    """
+    return docs_stream.groupBy("lang").applyInPandasWithState(
+        _quota_fn(quota),
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        stateStructType=QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

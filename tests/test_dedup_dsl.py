@@ -270,3 +270,27 @@ def test_statement_cache_lifecycle(engine, spark):
     assert counts[2] <= counts[0]  # ...but the footprint is per-statement
     engine.release()
     assert _n_persisted(spark) <= base
+
+
+def test_deduplicate_containment_statement(engine, spark, smoke_dir):
+    """DEDUPLICATE ... USING containment must produce exactly the
+    oracle-checked dedup_ngram_containment pairs, and containment
+    must be >= Jaccard on every pair (set algebra: |A∩B|/|A| >=
+    |A∩B|/|A∪B|)."""
+    out = engine.execute("DEDUPLICATE documents USING containment THRESHOLD 0.5")
+    assert out.columns == [
+        "id_a", "id_b", "containment_a_in_b", "containment_b_in_a"
+    ]
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(
+        tuple(r) for r in QUERIES["dedup_ngram_containment"](spark, smoke_dir).collect()
+    )
+    assert got == want
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in QUERIES["dedup_ngram_jaccard"](spark, smoke_dir).collect()
+    }
+    for r in out.collect():
+        j = jac.get((r.id_a, r.id_b))
+        if j is not None:
+            assert max(r.containment_a_in_b, r.containment_b_in_a) >= j - 1e-9

@@ -639,3 +639,46 @@ def test_score_quality_on_stream(spark, smoke_dir, tmp_path):
         for r in quality_margin(docs).collect()
     )
     assert got == want
+
+
+def test_streaming_stratified_quota_matches_batch(spark, smoke_dir, tmp_path):
+    """Fed the whole table as ONE micro-batch, the streaming quota
+    admitter must reproduce the batch corpus_stratified_quota exactly
+    (same Lehmer-hash order, same ranks); across batches the admitted
+    count per stratum must never exceed the quota."""
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.queries import QUERIES
+    from declarativeml_spark.queries.pipeline2 import _LEHMER2, _QUOTA
+    from declarativeml_spark.streaming.stateful import (
+        streaming_stratified_quota,
+    )
+
+    docs = load_table(spark, smoke_dir, "documents").select(
+        "lang", "doc_id", F.expr(_LEHMER2).alias("h")
+    )
+    src = tmp_path / "quota_src"
+    docs.repartition(4).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+
+    out = streaming_stratified_quota(stream, quota=_QUOTA)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quota_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r["lang"], r["doc_id"], r["rnk"])
+        for r in spark.sql("SELECT * FROM quota_sink").collect()
+    )
+    want = sorted(
+        (r["lang"], r["doc_id"], r["rnk"])
+        for r in QUERIES["corpus_stratified_quota"](spark, smoke_dir).collect()
+    )
+    assert got == want
