@@ -9,9 +9,11 @@ contributions.
 Explanations are computed Spark-side and are additive per row
 (SHAP-style, ``Σφ = prediction − base``): linear models use the
 interventional closed form ``coefᵢ·(xᵢ − μᵢ)`` as pure column
-arithmetic; tree regressors use Saabas path attribution through an
-Arrow-batched pandas UDF carrying the extracted tree tables (model-
-sized, not data-sized). Tree classifiers fall back to global
+arithmetic; tree regressors, GBT classifiers (margin space), and
+binary DT/RF classifiers (probability space via per-node class
+distributions) use Saabas path attribution through an Arrow-batched
+pandas UDF carrying the extracted tree tables (model-sized, not
+data-sized). Only multiclass tree classifiers fall back to global
 impurity importances (documented in ``explain_predictions``).
 """
 
@@ -112,13 +114,26 @@ def feature_importance(
     return spark.createDataFrame(rows, "feature string, importance double")
 
 
-def _extract_tree(java_node) -> list:
+def _extract_tree(java_node, value: str = "prediction") -> list:
     """Flatten an MLlib Java tree into Python tuples
-    ``(feature, threshold, left_categories, left, right, node_pred)``
+    ``(feature, threshold, left_categories, left, right, node_value)``
     (leaf: feature == -1). Uses the JVM ``Node`` API, which exposes
-    the per-node training prediction — the quantity Saabas
-    attribution needs and ``toDebugString`` does not carry."""
+    per-node training statistics — the quantities Saabas attribution
+    needs and ``toDebugString`` does not carry.
+
+    ``value``: ``"prediction"`` (regression trees / GBT margin trees)
+    or ``"p1"`` — the node's training probability of class 1 from its
+    impurity class counts (binary classification trees; MLlib's
+    RF probability is exactly the mean of per-tree leaf p1).
+    """
     nodes: list = []
+
+    def node_value(n) -> float:
+        if value == "p1":
+            stats = list(n.impurityStats().stats())
+            tot = sum(stats)
+            return float(stats[1] / tot) if tot else 0.0
+        return float(n.prediction())
 
     def walk(n) -> int:
         idx = len(nodes)
@@ -132,9 +147,9 @@ def _extract_tree(java_node) -> list:
                 thr, cats = None, {float(c) for c in sp.leftCategories()}
             left = walk(n.leftChild())
             right = walk(n.rightChild())
-            nodes[idx] = (fi, thr, cats, left, right, float(n.prediction()))
+            nodes[idx] = (fi, thr, cats, left, right, node_value(n))
         else:
-            nodes[idx] = (-1, None, None, -1, -1, float(n.prediction()))
+            nodes[idx] = (-1, None, None, -1, -1, node_value(n))
         return idx
 
     walk(java_node)
@@ -169,11 +184,16 @@ def explain_predictions(
       travel to executors as plain Python tuples inside an
       Arrow-batched pandas UDF (the model-sized closure is
       O(numNodes), not data-sized).
-    * Tree classifiers — per-row closed forms need per-node class
-      distributions; falls back to global impurity importances
-      replicated per row (contributions then do NOT telescope; the
-      base/prediction columns are omitted to keep the contract
-      honest).
+    * Binary tree classifiers — Saabas in p(class 1) space using
+      each node's training class distribution (``impurityStats``);
+      RF probability is exactly the mean of per-tree leaf p1, so
+      ``Σφ = probability₁ − base``. GBT classifiers attribute in
+      margin space (``rawPrediction[1] = Σ wₜ·treeₜ``).
+    * Multiclass tree classifiers — per-row closed forms would need
+      one attribution vector per class; falls back to global
+      impurity importances replicated per row (contributions then do
+      NOT telescope; the base/prediction columns are omitted to keep
+      the contract honest).
 
     Output: input columns + model outputs + ``base_value``,
     ``prediction_value``, ``contributions`` (all features) and
@@ -226,19 +246,40 @@ def explain_predictions(
         "DecisionTreeRegressionModel",
         "RandomForestRegressionModel",
         "GBTRegressionModel",
-    }:
+        "GBTClassificationModel",
+    } or (
+        type(final).__name__
+        in {"DecisionTreeClassificationModel", "RandomForestClassificationModel"}
+        and int(getattr(final, "numClasses", 0)) == 2
+    ):
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
         cls = type(final).__name__
-        if cls == "DecisionTreeRegressionModel":
-            jtrees = [_extract_tree(final._call_java("rootNode"))]
+        # binary DT/RF classifiers attribute in p(class 1) space (the
+        # node's training class distribution; RF probability is
+        # exactly the mean of per-tree leaf p1); GBT classifiers in
+        # margin space (their trees are regression trees on the
+        # logit scale, rawPrediction[1] == Σ wₜ·treeₜ)
+        value_kind = (
+            "p1"
+            if cls in {
+                "DecisionTreeClassificationModel",
+                "RandomForestClassificationModel",
+            }
+            else "prediction"
+        )
+        if cls.startswith("DecisionTree"):
+            jtrees = [_extract_tree(final._call_java("rootNode"), value_kind)]
             weights = [1.0]
         else:
-            jtrees = [_extract_tree(t._call_java("rootNode")) for t in final.trees]
-            if cls == "GBTRegressionModel":
+            jtrees = [
+                _extract_tree(t._call_java("rootNode"), value_kind)
+                for t in final.trees
+            ]
+            if cls.startswith("GBT"):
                 weights = [float(w) for w in final.treeWeights]
-            else:  # RF regression averages its trees
+            else:  # RF averages its trees
                 weights = [1.0 / len(jtrees)] * len(jtrees)
         d = int(final.numFeatures)
         base_value = sum(
@@ -268,10 +309,16 @@ def explain_predictions(
                 out.append(phi)
             return pd.Series(out)
 
+        if value_kind == "p1":
+            pred_col = vector_to_array(F.col("probability"))[1]
+        elif cls == "GBTClassificationModel":
+            pred_col = vector_to_array(F.col("rawPrediction"))[1]
+        else:
+            pred_col = F.col("prediction").cast("double")
         scored = (
             scored.withColumn("__phi", saabas(arr))
             .withColumn("base_value", F.lit(float(base_value)))
-            .withColumn("prediction_value", F.col("prediction").cast("double"))
+            .withColumn("prediction_value", pred_col.cast("double"))
         )
         contribs = _structs([F.col("__phi")[i] for i in range(d)])
     elif hasattr(final, "featureImportances"):

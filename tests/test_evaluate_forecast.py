@@ -176,3 +176,38 @@ def test_explain_tree_regressor_additivity(engine, spark):
             s = sum(c.contribution for c in r.contributions)
             assert abs(s - (r.prediction_value - r.base_value)) < 1e-6, (name, r)
             assert r.prediction_value == pytest.approx(r.prediction)
+
+
+def test_explain_tree_classifier_additivity(engine, spark):
+    """Saabas for binary tree CLASSIFIERS: DT/RF attribute in
+    p(class 1) space (Σφ = probability₁ − base), GBT in margin space
+    (Σφ = rawPrediction[1] − base)."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    for name, algo, space in [
+        ("exc_dt", "decision_tree(max_depth=4)", "probability"),
+        ("exc_rf", "random_forest(num_trees=5, max_depth=4)", "probability"),
+        ("exc_gbt", "gradient_boosting(max_iter=5, max_depth=3)", "margin"),
+    ]:
+        engine.execute(
+            f"TRAIN MODEL {name} USING {algo} "
+            "FROM orders_labeled PREDICT expensive "
+            "WITH FEATURES(o_custkey, o_orderkey, log(o_totalprice + 1))"
+        )
+        out = engine.execute(
+            f"EXPLAIN PREDICTION FOR MODEL {name} FROM orders_labeled TOP 2 FEATURES"
+        )
+        ref_col = (
+            vector_to_array(F.col("probability"))[1]
+            if space == "probability"
+            else vector_to_array(F.col("rawPrediction"))[1]
+        )
+        rows = out.select(
+            ref_col.alias("ref"), "base_value", "prediction_value", "contributions"
+        ).take(20)
+        assert rows, name
+        for r in rows:
+            s = sum(c.contribution for c in r.contributions)
+            assert abs(s - (r.prediction_value - r.base_value)) < 1e-6, (name, r)
+            assert r.prediction_value == pytest.approx(r.ref), (name, r)
