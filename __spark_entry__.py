@@ -110,6 +110,7 @@ _CHECK_FIRST = (
     "embedding_fisher_ratio",
     "dedup_ngram_containment",
     "quality_margin_deciles",
+    "text_bigram_logprob",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

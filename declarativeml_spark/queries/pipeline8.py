@@ -635,3 +635,126 @@ def quality_margin_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("avg_margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM document scoring (KenLM-lite quality proxy).
+
+_BLM_TOPK = 20
+# shared per-occurrence log-prob text: ln of exact integer ratios
+# (add-one smoothing over the vocabulary)
+_BLM_LL = "ln((c12 + 1.0) / (c1 + v))"
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, {_TOKS_D} AS toks FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(2, len(toks) + 1),
+                         i -> struct_pack(w1 := toks[i - 1], w2 := toks[i])))
+                       AS p
+              FROM d WHERE len(toks) >= 2)
+    ),
+    c12t AS MATERIALIZED (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+    ),
+    c1t AS MATERIALIZED (
+        SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1
+    ),
+    vt AS MATERIALIZED (
+        SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
+        FROM (SELECT unnest(toks) AS t FROM d)
+    ),
+    scored AS MATERIALIZED (
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(({_BLM_LL}) AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*) AS avg_logprob
+        FROM (SELECT bg.doc_id, c12t.c12, c1t.c1, vt.v
+              FROM bg
+              JOIN c12t USING (w1, w2)
+              JOIN c1t USING (w1)
+              CROSS JOIN vt) b
+        GROUP BY b.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, n_bigrams, avg_logprob,
+               ROW_NUMBER() OVER (ORDER BY avg_logprob, doc_id) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, n_bigrams, {sql_sround('avg_logprob', 8)} AS avg_logprob,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_BLM_TOPK}
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model document scoring (KenLM-lite): train an
+    add-one-smoothed bigram LM on the corpus itself, score every
+    document by its mean bigram log-probability, and return the
+    {k} LOWEST-scoring documents — the classic perplexity-style
+    noise/outlier skim that runs before any neural filter exists.
+
+    Determinism: counts are exact integers, each occurrence's
+    log-prob is ln() of an exact ratio (the cross-engine-identical
+    op), per-document sums go through DECIMAL(38,12); ties break on
+    doc_id.
+
+    Scale: bigram and context counts are map-side-combinable
+    aggregations over the (doc, w1, w2) frame (persisted — counts
+    and scoring share one bigram explode); scoring joins the bigram
+    occurrences back to the count tables on their keys — sort-merge
+    territory when vocab² outgrows broadcast, exactly the join shape
+    it plans. The top-k cut is orderBy().limit().
+    """.format(k=_BLM_TOPK)
+    from declarativeml_spark.operators.caching import track_persist
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKS_S).alias("toks")
+    )
+    docs = track_persist(docs)
+    bg = track_persist(
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    v = float(
+        docs.select(F.explode("toks").alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .withColumn("v", F.lit(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (
+                F.sum(F.expr(_BLM_LL).cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_logprob"),
+        )
+    )
+    top = scored.orderBy(F.asc("avg_logprob"), F.asc("doc_id")).limit(_BLM_TOPK)
+    wr = Window.orderBy(F.asc("avg_logprob"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr(T.stable_round("avg_logprob", 8)).alias("avg_logprob"),
+        F.row_number().over(wr).cast("long").alias("rnk"),
+    )

@@ -294,3 +294,15 @@ def test_deduplicate_containment_statement(engine, spark, smoke_dir):
         j = jac.get((r.id_a, r.id_b))
         if j is not None:
             assert max(r.containment_a_in_b, r.containment_b_in_a) >= j - 1e-9
+
+
+def test_search_ivf_mllib_method(engine):
+    """The MLlib k-means|| IVF leg stays reachable as USING ivf_mllib
+    (init-quality comparisons); the default ivf method is the
+    deterministic hash-checked quantizer."""
+    out = engine.execute(
+        "SEARCH SIMILAR embeddings USING ivf_mllib(n_cells=8, n_probe=2) TOP 5"
+    )
+    assert out.columns == ["qid", "nid", "cosine", "rnk"]
+    rows = out.collect()
+    assert rows and max(r.rnk for r in rows) <= 5
