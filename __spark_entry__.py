@@ -111,6 +111,8 @@ _CHECK_FIRST = (
     "dedup_ngram_containment",
     "quality_margin_deciles",
     "text_bigram_logprob",
+    "dedup_savings_by_source",
+    "split_leakage_audit",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

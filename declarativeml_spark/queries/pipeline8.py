@@ -758,3 +758,153 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(T.stable_round("avg_logprob", 8)).alias("avg_logprob"),
         F.row_number().over(wr).cast("long").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-savings accounting + split leakage audit.
+
+# head fingerprint: md5 of the first _FP_HEAD tokens — the cheap
+# mirror/boilerplate key that fires on near-dups sharing an opening
+# (exact whole-text fingerprints live in dedup_exact; this corpus's
+# planted near-dups differ in their tails)
+_FP_HEAD = 8
+_FP_S = (
+    f"md5(array_join(slice({_TOKS_S}, 1, {_FP_HEAD}), ' '))"
+)
+_FP_D = (
+    f"md5(array_to_string(({_TOKS_D})[1:{_FP_HEAD}], ' '))"
+)
+
+
+@query(
+    "dedup_savings_by_source",
+    oracle=f"""
+    WITH fp AS MATERIALIZED (
+        SELECT doc_id, source, n_chars, {_FP_D} AS fp FROM documents
+    ),
+    canon AS MATERIALIZED (
+        SELECT fp, MIN(doc_id) AS canonical_id FROM fp GROUP BY fp
+    ),
+    marked AS (
+        SELECT f.source, f.n_chars,
+               CASE WHEN f.doc_id = c.canonical_id THEN 0 ELSE 1 END
+                 AS redundant
+        FROM fp f JOIN canon c USING (fp)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(redundant) AS BIGINT) AS n_redundant,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN redundant = 1 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_saved,
+           {sql_sround(
+               'CAST(SUM(CASE WHEN redundant = 1 THEN n_chars ELSE 0 END)'
+               ' AS DOUBLE) / SUM(n_chars)', 8)} AS saved_share
+    FROM marked GROUP BY source
+    """,
+)
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact accounting: per source, how many documents are
+    redundant copies (same head fingerprint — md5 of the first 8
+    tokens, the cheap mirror/boilerplate key — and not the group's
+    canonical id) and how much payload deduplication saves — the
+    report a curation team files before and after every dedup run
+    (which sources are mirror-heavy, what the storage/token budget
+    gets back).
+
+    Scale: one 16-byte fingerprint shuffle to find each group's
+    canonical id; the redundancy mark joins back on the fingerprint;
+    the report is a per-source rollup. Text never moves.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", "n_chars", F.expr(_FP_S).alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    marked = fp.withColumn(
+        "redundant",
+        (F.col("doc_id") != F.min("doc_id").over(w)).cast("long"),
+    )
+    saved = F.sum(
+        F.when(F.col("redundant") == 1, F.col("n_chars")).otherwise(F.lit(0))
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("redundant").cast("long").alias("n_redundant"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        saved.cast("long").alias("chars_saved"),
+        sround(
+            saved.cast("double") / F.sum("n_chars"), 8
+        ).alias("saved_share"),
+    )
+
+
+_SPLIT_EVAL_MOD = 10  # 90/10 split: hash % 10 == 9 -> eval
+from declarativeml_spark.queries.pipeline2 import _LEHMER2  # noqa: E402
+
+
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, {_FP_D} AS fp,
+               CASE WHEN ({_LEHMER2})
+                         % {_SPLIT_EVAL_MOD} = {_SPLIT_EVAL_MOD - 1}
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM documents
+    ),
+    grp AS MATERIALIZED (
+        SELECT fp,
+               CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train,
+               CAST(SUM(CASE WHEN split = 'eval' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_eval
+        FROM d GROUP BY fp
+    )
+    SELECT CAST(SUM(n_train) AS BIGINT) AS train_docs,
+           CAST(SUM(n_eval) AS BIGINT) AS eval_docs,
+           CAST(SUM(CASE WHEN n_train > 0 AND n_eval > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS leaky_fingerprints,
+           CAST(SUM(CASE WHEN n_train > 0 THEN n_eval ELSE 0 END)
+                AS BIGINT) AS leaked_eval_docs
+    FROM grp
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split leakage audit: split the corpus 90/10 by the
+    deterministic Lehmer hash, then count duplicate head-fingerprint
+    groups that SPAN both splits — each leaked eval document is a
+    membership-inference / metric-inflation hazard (the
+    split-after-dedup rule this audit enforces).
+
+    Scale: the split tag is a per-row map; leakage detection is one
+    16-byte fingerprint shuffle with two conditional counts, and the
+    verdict is a single summary row.
+    """
+    from declarativeml_spark.queries.pipeline2 import _LEHMER2 as _lh
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.expr(_FP_S).alias("fp"),
+        F.when(
+            F.expr(_lh) % _SPLIT_EVAL_MOD == _SPLIT_EVAL_MOD - 1, "eval"
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+    grp = d.groupBy("fp").agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "eval").cast("long")).alias("n_eval"),
+    )
+    return grp.agg(
+        F.sum("n_train").cast("long").alias("train_docs"),
+        F.sum("n_eval").cast("long").alias("eval_docs"),
+        F.sum(
+            ((F.col("n_train") > 0) & (F.col("n_eval") > 0)).cast("long")
+        )
+        .cast("long")
+        .alias("leaky_fingerprints"),
+        F.sum(F.when(F.col("n_train") > 0, F.col("n_eval")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("leaked_eval_docs"),
+    )
