@@ -113,6 +113,7 @@ _CHECK_FIRST = (
     "text_bigram_logprob",
     "dedup_savings_by_source",
     "split_leakage_audit",
+    "events_robust_anomalies",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

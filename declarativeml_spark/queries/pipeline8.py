@@ -908,3 +908,84 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("leaked_eval_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) anomaly detection.
+
+_RZ_CUT = 3.5  # Iglewicz-Hoaglin modified z-score threshold
+
+
+@query(
+    "events_robust_anomalies",
+    oracle=f"""
+    WITH h AS MATERIALIZED (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    med AS MATERIALIZED (
+        SELECT event_type, quantile_cont(n, 0.5) AS med FROM h GROUP BY 1
+    ),
+    dev AS MATERIALIZED (
+        SELECT h.event_type, h.hour, h.n, m.med, abs(h.n - m.med) AS ad
+        FROM h JOIN med m USING (event_type)
+    ),
+    madt AS MATERIALIZED (
+        SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           strftime(d.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           d.n,
+           {sql_sround('d.med')} AS med,
+           {sql_sround('m.mad')} AS mad,
+           {sql_sround('0.6745 * (d.n - d.med) / m.mad')} AS robust_z
+    FROM dev d JOIN madt m USING (event_type)
+    WHERE m.mad > 0
+      AND abs(0.6745 * (d.n - d.med) / m.mad) > {_RZ_CUT}
+    """,
+)
+def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust hourly-rate anomalies via the Iglewicz-Hoaglin modified
+    z-score: ``0.6745·(n − median) / MAD`` per event type, flagged
+    above {c} — the outlier detector that stays calibrated when the
+    series itself contains outliers (mean/stddev z-scores, cf.
+    events_rate_anomalies, get dragged by the very spikes they are
+    meant to flag).
+
+    Determinism: the hourly series is exact counts; Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the
+    interpolation definition (lineitem_winsorized_stats precedent);
+    the z expression is the same IEEE text in both engines.
+
+    Scale: two percentile passes over the AGGREGATED types×hours
+    plane (bounded by the calendar, partitioned per type — never a
+    global sort); raw events appear only in the one
+    map-side-combinable counting aggregation.
+    """.format(c=_RZ_CUT)
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = h.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    dev = h.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    z = F.lit(0.6745) * (F.col("n") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(z) > _RZ_CUT))
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            sround(F.col("med")).alias("med"),
+            sround(F.col("mad")).alias("mad"),
+            sround(z).alias("robust_z"),
+        )
+    )
