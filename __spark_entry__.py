@@ -114,6 +114,7 @@ _CHECK_FIRST = (
     "dedup_savings_by_source",
     "split_leakage_audit",
     "events_robust_anomalies",
+    "deletion_vector_plan",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

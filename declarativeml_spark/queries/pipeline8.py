@@ -989,3 +989,78 @@ def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             sround(z).alias("robust_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deletion-vector maintenance planner (GDPR-style delete propagation).
+
+_DV_BUCKETS = 97  # same simulated file layout as the compaction plan
+_DV_REWRITE_FRAC = 0.1  # rewrite the file above 10% deleted, else DV
+
+
+@query(
+    "deletion_vector_plan",
+    oracle=f"""
+    WITH files AS MATERIALIZED (
+        SELECT strftime(o_orderdate, '%Y-%m') AS part,
+               CAST(o_orderkey % {_DV_BUCKETS} AS BIGINT) AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY 1, 2
+    ),
+    del AS MATERIALIZED (
+        SELECT strftime(o.o_orderdate, '%Y-%m') AS part,
+               CAST(o.o_orderkey % {_DV_BUCKETS} AS BIGINT) AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_deleted
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal < 0
+        GROUP BY 1, 2
+    )
+    SELECT f.part, f.file_id, f.n_rows, d.n_deleted,
+           {sql_sround('CAST(d.n_deleted AS DOUBLE) / f.n_rows', 8)}
+             AS delete_frac,
+           CASE WHEN CAST(d.n_deleted AS DOUBLE) / f.n_rows
+                     > {_DV_REWRITE_FRAC}
+                THEN 'rewrite' ELSE 'deletion_vector' END AS action
+    FROM files f JOIN del d USING (part, file_id)
+    """,
+)
+def deletion_vector_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-propagation planner (the GDPR/right-to-be-forgotten
+    maintenance pass): given a delete predicate (customers with
+    negative account balance), map every doomed row to its physical
+    file in the manifest and decide per file between a DELETION
+    VECTOR (mark rows dead in place — cheap, read-time filter) and a
+    REWRITE (re-materialize the file — worth it once more than {f:.0%}
+    of its rows are dead). Exactly the decision Delta/Iceberg
+    OPTIMIZE makes when DVs accumulate.
+
+    Scale: metadata-plane — both legs aggregate to the file manifest
+    grain before joining (never row-to-row); the delete leg's
+    dimension join broadcasts the customer filter. Exact integer
+    counts; one shared ratio expression.
+    """.format(f=_DV_REWRITE_FRAC)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    part = F.date_format("o_orderdate", "yyyy-MM").alias("part")
+    fid = (F.col("o_orderkey") % _DV_BUCKETS).cast("long").alias("file_id")
+    files = o.groupBy(part, fid).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    doomed = o.join(
+        F.broadcast(c.filter(F.col("c_acctbal") < 0).select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+    )
+    dels = doomed.groupBy(part, fid).agg(
+        F.count(F.lit(1)).cast("long").alias("n_deleted")
+    )
+    frac = F.col("n_deleted").cast("double") / F.col("n_rows")
+    return files.join(dels, ["part", "file_id"]).select(
+        "part",
+        "file_id",
+        "n_rows",
+        "n_deleted",
+        sround(frac, 8).alias("delete_frac"),
+        F.when(frac > _DV_REWRITE_FRAC, "rewrite")
+        .otherwise("deletion_vector")
+        .alias("action"),
+    )

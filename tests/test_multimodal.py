@@ -83,3 +83,37 @@ def test_register_codec_validation():
         register_codec("fake", lambda b, m: [])
     with pytest.raises(TypeError):
         register_codec("nope", "not-callable")
+
+
+def test_decode_features_on_stream(spark, smoke_dir, tmp_path):
+    """decode_features is a stateless Arrow mapInPandas — the same
+    operator must run unchanged on a streaming frame and produce the
+    batch features exactly (the multimodal ingest path is a stream in
+    production)."""
+    docs = load_table(spark, smoke_dir, "documents").limit(40)
+    media = attach_fake_media(docs)
+    src = tmp_path / "media_src"
+    media.repartition(3).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+
+    out = decode_features(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("media_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r["media_id"], tuple(r["features"]))
+        for r in spark.sql("SELECT * FROM media_sink").collect()
+    )
+    want = sorted(
+        (r["media_id"], tuple(r["features"]))
+        for r in decode_features(spark.read.parquet(str(src))).collect()
+    )
+    assert got == want
