@@ -115,6 +115,7 @@ _CHECK_FIRST = (
     "split_leakage_audit",
     "events_robust_anomalies",
     "deletion_vector_plan",
+    "embedding_outlier_audit",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

@@ -1064,3 +1064,105 @@ def deletion_vector_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("deletion_vector")
         .alias("action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier audit (distance to own label centroid).
+
+
+@query(
+    "embedding_outlier_audit",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        FROM embeddings WHERE len(embedding) = {_NC_DIM}
+    ),
+    dims AS MATERIALIZED (
+        SELECT label, i,
+               CAST(SUM(CAST(vec[i + 1] AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*) AS m
+        FROM base, (SELECT unnest(range(0, {_NC_DIM})) AS i)
+        GROUP BY label, i
+    ),
+    cents AS MATERIALIZED (
+        SELECT label, list(m ORDER BY i) AS cvec FROM dims GROUP BY label
+    ),
+    dist AS MATERIALIZED (
+        SELECT b.vec_id, b.label,
+               sqrt(list_sum(list_transform(list_zip(b.vec, c.cvec),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])))) AS d
+        FROM base b JOIN cents c USING (label)
+    ),
+    cut AS MATERIALIZED (
+        SELECT label, quantile_cont(d, 0.99) AS p99 FROM dist GROUP BY label
+    )
+    SELECT d.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {sql_sround('MIN(c.p99)', 8)} AS p99_dist,
+           CAST(SUM(CASE WHEN d.d > c.p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           {sql_sround('MAX(d.d)', 8)} AS max_dist
+    FROM dist d JOIN cut c USING (label)
+    GROUP BY d.label
+    """,
+)
+def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier audit: each vector's euclidean
+    distance to its OWN label centroid, the label's exact p99
+    distance, and how many vectors exceed it — the mislabeled-or-
+    corrupted-vector screen that pairs with nearest-centroid
+    classification (who crosses labels) and the Fisher ratio (which
+    dims separate them) to complete the representation-QC trio.
+
+    Determinism: DECIMAL-exact centroids (native_cells recipe),
+    left-fold distances in fixed dim order, sqrt is IEEE-correctly-
+    rounded, exact percentile interpolation shared across engines.
+
+    Scale: centroids are an L×{d}-double broadcast; distances are a
+    map over the corpus; the percentile runs per label over the
+    distance column (partitioned, never global); the report is L
+    rows.
+    """.format(d=_NC_DIM)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.size("embedding") == _NC_DIM).select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    mean_dims = [
+        (
+            F.expr(f"CAST(SUM(CAST(vec[{i}] AS DECIMAL(38,12))) AS DOUBLE)")
+            / F.count("*")
+        ).alias(f"m{i}")
+        for i in range(_NC_DIM)
+    ]
+    cents = (
+        base.groupBy("label")
+        .agg(*mean_dims)
+        .select(
+            "label",
+            F.array(*[F.col(f"m{i}") for i in range(_NC_DIM)]).alias("cvec"),
+        )
+    )
+    d2 = (
+        "aggregate(zip_with(vec, cvec, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    dist = base.join(F.broadcast(cents), "label").select(
+        "vec_id", "label", F.sqrt(F.expr(d2)).alias("d")
+    )
+    cut = dist.groupBy("label").agg(
+        F.expr("percentile(d, 0.99)").alias("p99")
+    )
+    return (
+        dist.join(F.broadcast(cut), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            sround(F.min("p99"), 8).alias("p99_dist"),
+            F.sum((F.col("d") > F.col("p99")).cast("long"))
+            .cast("long")
+            .alias("n_outliers"),
+            sround(F.max("d"), 8).alias("max_dist"),
+        )
+    )
