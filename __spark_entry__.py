@@ -116,6 +116,8 @@ _CHECK_FIRST = (
     "events_robust_anomalies",
     "deletion_vector_plan",
     "embedding_outlier_audit",
+    "corpus_token_budget_curve",
+    "events_user_cap_sample",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

@@ -1166,3 +1166,143 @@ def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             sround(F.max("d"), 8).alias("max_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget curve: tokens surviving each quality cutoff.
+
+_TBC_BUCKETS = 20
+
+
+@query(
+    "corpus_token_budget_curve",
+    oracle=f"""
+    WITH margins AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(len({_TOKS_D}) AS BIGINT) AS n_tokens,
+               {_qls_margin_duck()} AS margin
+        FROM documents
+    ),
+    n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM margins),
+    ranked AS (
+        SELECT m.doc_id, m.n_tokens, m.margin, nn.n,
+               ROW_NUMBER() OVER (ORDER BY m.margin DESC, m.doc_id)
+                 AS rnk,
+               SUM(m.n_tokens) OVER (ORDER BY m.margin DESC, m.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_tokens
+        FROM margins m CROSS JOIN n nn
+    )
+    SELECT CAST(1 + ((rnk - 1) * {_TBC_BUCKETS}) // n AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_sround('MIN(margin)', 8)} AS margin_cutoff,
+           CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens,
+           CAST(MAX(cum_tokens) AS BIGINT) AS cum_tokens
+    FROM ranked GROUP BY 1
+    """,
+)
+def corpus_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curve: documents ordered best-quality-first, cut
+    into {b} uniform rank buckets, reporting each bucket's quality
+    cutoff and the CUMULATIVE token mass kept through it — the table
+    that answers "if we keep only quality > m, how many training
+    tokens survive?" before any threshold is committed.
+
+    The global order/cumsum runs through ordered.py's two-phase
+    frozen-range ``global_cumsum`` (never a partition-less window);
+    the bucket id is uniform integer rank arithmetic (identical in
+    both engines), deliberately NOT NTILE (no remainder skew in a
+    budget table).
+
+    Scale: the margin plane is one row per document; the curve is a
+    {b}-row report.
+    """.format(b=_TBC_BUCKETS)
+    from declarativeml_spark.operators.ordered import global_cumsum
+    from declarativeml_spark.operators.textops import quality_margin
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    margins = quality_margin(docs)
+    n = margins.count()  # one scalar; the bucket divisor
+    ranked = global_cumsum(
+        margins,
+        [F.col("margin").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        out_col="cum_tokens",
+        rank_col="rnk",
+    )
+    # integer floor division: (rnk-1)*B // n
+    bucket = (1 + F.floor(((F.col("rnk") - 1) * _TBC_BUCKETS) / F.lit(n))).cast(
+        "long"
+    )
+    return ranked.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        sround(F.min("margin"), 8).alias("margin_cutoff"),
+        F.sum("n_tokens").cast("long").alias("bucket_tokens"),
+        F.max("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user event capping (heavy-user / bot damping).
+
+_CAP_K = 25  # events kept per user
+# per-event deterministic sampling key: md5 of 'ev:<event_id>'
+_CAP_KEY_S = _hex4_int("concat('ev:', CAST(event_id AS STRING))")
+_CAP_KEY_D = _hex4_int("('ev:' || CAST(event_id AS VARCHAR))")
+
+
+@query(
+    "events_user_cap_sample",
+    oracle=f"""
+    WITH keyed AS MATERIALIZED (
+        SELECT event_id, user_id, event_type,
+               ({_CAP_KEY_D}) AS skey
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY skey, event_id) AS rnk
+        FROM keyed
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN rnk <= {_CAP_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           {sql_sround(
+               'CAST(SUM(CASE WHEN rnk <= ' + str(_CAP_K) +
+               ' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)', 8)}
+             AS kept_share
+    FROM ranked GROUP BY event_type
+    """,
+)
+def events_user_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event capping: keep at most {k} events per user,
+    chosen by a deterministic per-event hash order — the heavy-user /
+    bot damping every behavioral training set applies so a single
+    scripted account cannot dominate the distribution. Reported as
+    per-event-type retention (which event types are bot-heavy).
+
+    Determinism: the sampling key is md5 of the event id (restart-
+    and engine-stable; rand() would resample every run); ties break
+    on event_id.
+
+    Scale: one user_id shuffle; the rank window partitions per user
+    (a hot user is one partition — AQE skew territory); the report
+    is one row per event type.
+    """.format(k=_CAP_K)
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(f"({_CAP_KEY_S})").alias("skey"),
+    )
+    w = Window.partitionBy("user_id").orderBy("skey", "event_id")
+    ranked = keyed.withColumn("rnk", F.row_number().over(w))
+    kept = F.sum((F.col("rnk") <= _CAP_K).cast("long"))
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        kept.cast("long").alias("n_kept"),
+        sround(kept.cast("double") / F.count(F.lit(1)), 8).alias("kept_share"),
+    )
