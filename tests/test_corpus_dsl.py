@@ -429,3 +429,41 @@ def test_score_quality_statement_matches_rollup_query(engine, spark, smoke_dir):
     )
     want = _rows(QUERIES["quality_linear_margin"](spark, smoke_dir))
     assert got == want
+
+
+def test_shuffle_write_order_materializes(engine, spark, smoke_dir, tmp_path):
+    """The documented write pattern for SHUFFLE output —
+    repartitionByRange(epoch, shard, skey) + sortWithinPartitions —
+    must yield files whose row order IS the per-(epoch, shard)
+    hash-shuffled training order, reproducibly."""
+    from pyspark.sql import functions as F
+
+    out = engine.execute("SHUFFLE documents EPOCHS 2 SHARDS 4")
+    path = str(tmp_path / "epochs")
+    (
+        out.select("epoch", "shard", "skey", "doc_id")
+        .repartitionByRange(8, "epoch", "shard", "skey")
+        .sortWithinPartitions("epoch", "shard", "skey", "doc_id")
+        .write.partitionBy("epoch", "shard")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).withColumn(
+        "f", F.input_file_name()
+    )
+    # every written FILE holds its rows in skey order — the order a
+    # data loader streaming the file sees is the shuffled order
+    files = [r["f"] for r in back.select("f").distinct().collect()]
+    assert files
+    for f in files:
+        rows = [
+            tuple(r)
+            for r in back.filter(F.col("f") == f)
+            .select("skey", "doc_id")
+            .collect()
+        ]
+        assert rows == sorted(rows), f
+    # determinism: the full assignment is identical on re-execution
+    again = engine.execute("SHUFFLE documents EPOCHS 2 SHARDS 4")
+    a = sorted(tuple(r) for r in out.select("doc_id", "epoch", "shard", "skey").collect())
+    b = sorted(tuple(r) for r in again.select("doc_id", "epoch", "shard", "skey").collect())
+    assert a == b
