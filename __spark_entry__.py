@@ -118,6 +118,7 @@ _CHECK_FIRST = (
     "embedding_outlier_audit",
     "corpus_token_budget_curve",
     "events_user_cap_sample",
+    "orders_amount_reconciliation",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

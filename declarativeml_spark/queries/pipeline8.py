@@ -1306,3 +1306,93 @@ def events_user_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.cast("long").alias("n_kept"),
         sround(kept.cast("double") / F.count(F.lit(1)), 8).alias("kept_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Header/detail amount reconciliation audit.
+
+_RECON_TOL = 0.01  # relative tolerance for a "reconciled" order
+
+
+@query(
+    "orders_amount_reconciliation",
+    oracle=f"""
+    WITH l AS MATERIALIZED (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 + l_tax) * (1 - l_discount)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS line_total
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT o.o_orderstatus, o.o_totalprice, l.line_total
+        FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN line_total IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_no_lines,
+           CAST(SUM(CASE WHEN line_total IS NOT NULL
+                          AND abs(o_totalprice - line_total)
+                              > {_RECON_TOL} * o_totalprice
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           {sql_sround(
+               'quantile_cont(CASE WHEN line_total IS NOT NULL THEN'
+               ' CAST(o_totalprice AS DOUBLE) / line_total END, 0.5)', 8)}
+             AS median_header_to_lines_ratio
+    FROM j GROUP BY o_orderstatus
+    """,
+)
+def orders_amount_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/detail amount reconciliation: does each order's header
+    total equal its lines' net total (extendedprice × (1+tax) ×
+    (1−discount))? Reports, per order status, the orders with NO
+    lines at all, the orders off by more than {t:.0%}, and the median
+    header-to-lines ratio — the financial-pipeline audit that runs
+    before any revenue aggregate is trusted (on this synthetic data
+    the audit FIRES: headers are uncorrelated with line sums and 257
+    orders have no lines at sf0.01 — exactly what it exists to
+    surface).
+
+    Scale: the line rollup is one map-side-combinable aggregation at
+    orderkey grain; the header join is key-to-key; the report is one
+    row per status. Sums go through DECIMAL; the per-order comparison
+    and ratio are identical IEEE expressions in both engines; the
+    median uses the shared exact-percentile interpolation.
+    """.format(t=_RECON_TOL)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    l = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 + F.col("l_tax"))
+                * (1 - F.col("l_discount"))
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("line_total")
+    )
+    j = o.join(l, o.o_orderkey == l.l_orderkey, "left").select(
+        "o_orderstatus", "o_totalprice", "line_total"
+    )
+    mismatch = (
+        F.col("line_total").isNotNull()
+        & (
+            F.abs(F.col("o_totalprice") - F.col("line_total"))
+            > _RECON_TOL * F.col("o_totalprice")
+        )
+    ).cast("long")
+    ratio = F.when(
+        F.col("line_total").isNotNull(),
+        F.col("o_totalprice").cast("double") / F.col("line_total"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("line_total").isNull().cast("long"))
+        .cast("long")
+        .alias("n_no_lines"),
+        F.sum(mismatch).cast("long").alias("n_mismatched"),
+        sround(F.percentile(ratio, F.lit(0.5)), 8).alias(
+            "median_header_to_lines_ratio"
+        ),
+    )

@@ -56,3 +56,41 @@ def test_bucketed_join_has_no_shuffle(spark, smoke_dir, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Scale evidence for the skew story (docs/SCALING.md): a join
+    with one hot key must be re-planned by AQE into a skew-split
+    SortMergeJoin — the runtime remedy the relational set relies on
+    (structural skew in dedup/ANN is pre-salted instead, skew.py)."""
+    from pyspark.sql import functions as F
+
+    s2 = spark.newSession()
+    for k, v in {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1024",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1024",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }.items():
+        s2.conf.set(k, v)
+    # the hot key dominates side a's bytes but has NO match in b, so
+    # the join OUTPUT stays small enough to collect() — which executes
+    # j's own query execution, the one whose final adaptive plan we
+    # then inspect (count() would build a separate execution and leave
+    # j's plan un-finalized)
+    a = s2.range(0, 60000, 1, 8).select(
+        F.when(F.col("id") < 50000, F.lit(0))
+        .otherwise(1 + F.col("id") % 96)
+        .alias("k"),
+        (F.rand(7) * 1e9).cast("long").alias("va"),
+    )
+    b = s2.range(0, 500, 1, 4).select(
+        (1 + F.col("id") % 96).alias("k"), F.col("id").alias("vb")
+    )
+    j = a.join(b, "k")
+    rows = j.collect()
+    assert len(rows) > 10_000
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan[:2000]
