@@ -700,3 +700,32 @@ class ScoreQuality:
             or self.buckets <= 0
         ):
             raise ValueError("BUCKETS must be a positive bucket count")
+
+
+@dataclass
+class WeighCorpus:
+    """IR for ``WEIGH <source> AGAINST '<value>' [ON col]
+    [BUCKETS <b>]`` — DSIR importance weights per document against
+    the target domain ``col == value`` (SURVEY.md §2.11;
+    beyond-parity).
+
+    See operators/corpus.py::dsir_weights;
+    queries/pipeline8.py::dsir_importance_weights is the
+    oracle-checked top-k twin.
+    """
+
+    source: str
+    target_value: str
+    target_column: str = "source"
+    buckets: int = 512
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        if not self.target_value:
+            raise ValueError("AGAINST must name a non-empty target value")
+        if (
+            not isinstance(self.buckets, int)
+            or isinstance(self.buckets, bool)
+            or self.buckets <= 0
+        ):
+            raise ValueError("BUCKETS must be a positive bucket count")

@@ -70,6 +70,9 @@ Statement = Union[
     ir.DetectAnomalies,
     ir.ShardCorpus,
     ir.CompactTable,
+    ir.ShuffleCorpus,
+    ir.ScoreQuality,
+    ir.WeighCorpus,
 ]
 
 
@@ -1347,6 +1350,39 @@ class _Parser:
             source_is_identifier=is_identifier_source(source),
         )
 
+    # -- WEIGH (beyond-parity: SURVEY §2.11, DSIR selection) --------------
+    def parse_weigh(self) -> "ir.WeighCorpus":
+        self.expect_keyword("WEIGH")
+        source = self.capture_source_until("AGAINST")
+        if not source:
+            raise ValueError("WEIGH source cannot be empty")
+        self.expect_keyword("AGAINST")
+        tok = self.advance()
+        if tok.kind != "SQSTRING":
+            raise DSLSyntaxError(
+                f"Expected quoted target value at {tok.pos}, got {tok.value!r}"
+            )
+        target_value = tok.value[1:-1].replace("''", "'")
+        target_column = "source"
+        if self.at_keyword("ON"):
+            self.advance()
+            target_column = self.expect_name("target column")
+        buckets = 512
+        if self.at_keyword("BUCKETS"):
+            self.advance()
+            tok = self.advance()
+            if tok.kind != "NUMBER":
+                raise ValueError("BUCKETS must be a positive bucket count")
+            buckets = _require_positive_int(_to_number(tok.value), "BUCKETS")
+        self.expect_eof()
+        return ir.WeighCorpus(
+            source=source,
+            target_value=target_value,
+            target_column=target_column,
+            buckets=buckets,
+            source_is_identifier=is_identifier_source(source),
+        )
+
     # -- SCORE QUALITY (beyond-parity: SURVEY §2.11) ----------------------
     def parse_score(self) -> "ir.ScoreQuality":
         self.expect_keyword("SCORE")
@@ -1541,11 +1577,14 @@ def parse(text: str) -> Statement:
         return parser.parse_shuffle()
     if tok.value == "SCORE":
         return parser.parse_score()
+    if tok.value == "WEIGH":
+        return parser.parse_weigh()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
         " SEARCH, SAMPLE, DECONTAMINATE, PACK, REDACT, CHUNK, SESSIONIZE,"
-        " QUANTIZE, MIX, PROFILE, DETECT, SHARD, COMPACT, SHUFFLE, or SCORE"
+        " QUANTIZE, MIX, PROFILE, DETECT, SHARD, COMPACT, SHUFFLE, SCORE,"
+        " or WEIGH"
     )
 
 

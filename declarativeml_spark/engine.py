@@ -154,6 +154,8 @@ class Engine:
             return self._shuffle(stmt)
         if isinstance(stmt, ir.ScoreQuality):
             return self._score_quality(stmt)
+        if isinstance(stmt, ir.WeighCorpus):
+            return self._weigh(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
 
     # -- DEDUPLICATE / SEARCH SIMILAR (beyond-parity, SURVEY §7.5) ----------
@@ -390,6 +392,19 @@ class Engine:
         df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
         return quality_margin(
             df, buckets=stmt.buckets, text_col=stmt.text_column
+        )
+
+    def _weigh(self, stmt: "ir.WeighCorpus") -> DataFrame:
+        """DSIR importance weights per document (the oracle-checked
+        top-k twin is dsir_importance_weights)."""
+        from declarativeml_spark.operators.corpus import dsir_weights
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        return dsir_weights(
+            df,
+            target_col=stmt.target_column,
+            target_value=stmt.target_value,
+            buckets=stmt.buckets,
         )
 
     def _compact(self, stmt: "ir.CompactTable") -> DataFrame:

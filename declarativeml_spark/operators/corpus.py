@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from declarativeml_spark.operators import textops as T
+
 
 def grams4_spark(text: str) -> str:
     """Word 4-grams of ``text`` (Spark SQL) — same construction the
@@ -264,5 +266,77 @@ def chunk_windows(
             F.col("win_id").cast("bigint").alias("win_id"),
             F.expr(f"size({sl})").cast("bigint").alias("n_win_tokens"),
             F.expr(f"array_join({sl}, ' ')").alias("chunk"),
+        )
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: str = "source",
+    target_value: str = "src0",
+    buckets: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): per-document
+    ``Σ_tokens [ln p̂_target(bkt) − ln p̂_raw(bkt)]`` over hashed
+    unigram buckets, against the distribution of rows where
+    ``target_col == target_value``. Positive = more target-like; a
+    resampling pass keeps the top mass.
+
+    Backs the ``WEIGH`` DSL statement; the oracle-checked top-k twin
+    is queries/pipeline8.py::dsir_importance_weights (same math —
+    the query wraps this plan shape with a fixed target and a
+    TakeOrdered cut).
+
+    Scale: the feature space is ``buckets`` hashed ids — the stats
+    plane collects to the driver (bounded by the bucket constant) and
+    rejoins as a literal broadcast table; data-proportional work is
+    one token explode, one map-side-combinable bucket count, and one
+    per-document DECIMAL combine.
+    """
+    from declarativeml_spark.operators.caching import track_persist
+    from declarativeml_spark.operators.textops import _hex4_int
+
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    toks = T.TOKENS_SPARK.format(text=text_col)
+    bkt = f"(({_hex4_int('__w')}) % {buckets})"
+    ll = (
+        f"ln((tc + 1.0) / (ttot + {buckets}.0))"
+        f" - ln((rc + 1.0) / (rtot + {buckets}.0))"
+    )
+    bk = track_persist(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(target_col) == target_value).cast("long").alias("__is_t"),
+            F.explode(F.expr(toks)).alias("__w"),
+        ).select("doc_id", "__is_t", F.expr(bkt).alias("bkt"))
+    )
+    stat_rows = (
+        bk.groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rc"),
+            F.sum("__is_t").cast("long").alias("tc"),
+        )
+        .collect()
+    )
+    rtot = sum(r["rc"] for r in stat_rows)
+    ttot = sum(r["tc"] for r in stat_rows)
+    spark = df.sparkSession
+    stats = spark.createDataFrame(
+        [(r["bkt"], r["rc"], r["tc"]) for r in stat_rows],
+        "bkt int, rc long, tc long",
+    )
+    tots = spark.createDataFrame([(rtot, ttot)], "rtot long, ttot long")
+    return (
+        bk.join(F.broadcast(stats), "bkt")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.expr(ll).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("log_weight"),
         )
     )

@@ -125,53 +125,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy().limit() → TakeOrderedAndProject, never a global sort;
     the rank window runs on ≤ {k} rows post-limit.
     """.format(target=_DSIR_TARGET, k=_DSIR_TOPK, B=_DSIR_B)
-    from declarativeml_spark.operators.caching import track_persist
+    from declarativeml_spark.operators.corpus import dsir_weights
 
     docs = load_table(spark, sf_dir, "documents")
-    # persist the hashed token frame: the stats pass and the scoring
-    # pass both read it, and re-running explode + md5 per token twice
-    # costs more than caching (doc_id, source, bkt) triples
-    bk = track_persist(
-        docs.select(
-            "doc_id", "source", F.explode(F.expr(_TOKS_S)).alias("w")
-        ).select("doc_id", "source", F.expr(_BKT).alias("bkt"))
-    )
-    # raw and target counts in ONE aggregation pass (tc as a
-    # conditional sum); the ≤{B}-row stats plane collects to the
-    # driver (bounded by the bucket constant), which both derives the
-    # totals without re-running the aggregation (broadcasting an
-    # aggregate frame recomputes it per consumer) and turns the
-    # per-token join side into a literal local table
-    stat_rows = (
-        bk.groupBy("bkt")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("rc"),
-            F.sum((F.col("source") == _DSIR_TARGET).cast("long"))
-            .cast("long")
-            .alias("tc"),
-        )
-        .collect()
-    )
-    rtot = sum(r["rc"] for r in stat_rows)
-    ttot = sum(r["tc"] for r in stat_rows)
-    stats = spark.createDataFrame(
-        [(r["bkt"], r["rc"], r["tc"]) for r in stat_rows],
-        "bkt int, rc long, tc long",
-    )
-    tots = spark.createDataFrame(
-        [(rtot, ttot)], "rtot long, ttot long"
-    )
-    scored = (
-        bk.join(F.broadcast(stats), "bkt")
-        .crossJoin(F.broadcast(tots))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.expr(_DSIR_LL).cast("decimal(38,12)"))
-            .cast("double")
-            .alias("logw"),
-        )
-    )
+    # shared plan with the WEIGH statement (operators/corpus.py):
+    # per-bucket stats collected once (bounded by the bucket
+    # constant) and rejoined as literal broadcast tables, one token
+    # explode, one per-document DECIMAL combine
+    scored = dsir_weights(
+        docs, target_col="source", target_value=_DSIR_TARGET, buckets=_DSIR_B
+    ).withColumnRenamed("log_weight", "logw")
     top = scored.orderBy(F.desc("logw"), F.asc("doc_id")).limit(_DSIR_TOPK)
     wr = Window.orderBy(F.desc("logw"), F.asc("doc_id"))
     return top.select(

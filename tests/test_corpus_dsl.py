@@ -467,3 +467,45 @@ def test_shuffle_write_order_materializes(engine, spark, smoke_dir, tmp_path):
     a = sorted(tuple(r) for r in out.select("doc_id", "epoch", "shard", "skey").collect())
     b = sorted(tuple(r) for r in again.select("doc_id", "epoch", "shard", "skey").collect())
     assert a == b
+
+
+def test_parse_weigh_forms():
+    w = parse("WEIGH documents AGAINST 'src0'")
+    assert isinstance(w, ir.WeighCorpus)
+    assert w.target_value == "src0" and w.target_column == "source"
+    assert w.buckets == 512
+
+    w = parse("WEIGH documents AGAINST 'en' ON lang BUCKETS 64")
+    assert w.target_column == "lang" and w.buckets == 64
+
+    with pytest.raises(Exception, match="quoted target value"):
+        parse("WEIGH documents AGAINST src0")
+    with pytest.raises(ValueError, match="BUCKETS must be a positive"):
+        parse("WEIGH documents AGAINST 'x' BUCKETS 0")
+
+
+def test_weigh_statement_matches_query_topk(engine, spark, smoke_dir):
+    """The WEIGH statement's per-document weights, cut to the query's
+    top-k ordering, must equal the oracle-checked
+    dsir_importance_weights exactly."""
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.operators.textops import stable_round
+
+    out = engine.execute("WEIGH documents AGAINST 'src0' BUCKETS 512")
+    assert set(out.columns) == {"doc_id", "n_tokens", "log_weight"}
+    top = (
+        out.orderBy(F.desc("log_weight"), F.asc("doc_id"))
+        .limit(100)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(stable_round("log_weight", 8)).alias("log_weight"),
+        )
+    )
+    got = {(r.doc_id, r.n_tokens, r.log_weight) for r in top.collect()}
+    want = {
+        (r.doc_id, r.n_tokens, r.log_weight)
+        for r in QUERIES["dsir_importance_weights"](spark, smoke_dir).collect()
+    }
+    assert got == want
