@@ -119,6 +119,7 @@ _CHECK_FIRST = (
     "corpus_token_budget_curve",
     "events_user_cap_sample",
     "orders_amount_reconciliation",
+    "score_agreement_spearman",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

@@ -1359,3 +1359,104 @@ def orders_amount_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_header_to_lines_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Score agreement: Spearman rank correlation between DSIR and quality.
+
+
+@query(
+    "score_agreement_spearman",
+    oracle=f"""
+    WITH margins AS MATERIALIZED (
+        SELECT doc_id, {_qls_margin_duck()} AS margin FROM documents
+    ),
+    tok AS MATERIALIZED (
+        SELECT doc_id, source, unnest({_TOKS_D}) AS w FROM documents
+    ),
+    bk AS MATERIALIZED (
+        SELECT doc_id, source, {_BKT} AS bkt FROM tok
+    ),
+    raw AS MATERIALIZED (
+        SELECT bkt, CAST(COUNT(*) AS BIGINT) AS rc FROM bk GROUP BY bkt
+    ),
+    tgt AS MATERIALIZED (
+        SELECT bkt, CAST(COUNT(*) AS BIGINT) AS tc FROM bk
+        WHERE source = '{_DSIR_TARGET}' GROUP BY bkt
+    ),
+    tots AS MATERIALIZED (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bk) AS rtot,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bk
+                WHERE source = '{_DSIR_TARGET}') AS ttot
+    ),
+    dsir AS MATERIALIZED (
+        SELECT b.doc_id,
+               CAST(SUM(CAST(({_DSIR_LL}) AS DECIMAL(38,12))) AS DOUBLE)
+                 AS logw
+        FROM (SELECT doc_id, bkt,
+                     COALESCE(t.tc, 0) AS tc, r.rc, tt.rtot, tt.ttot
+              FROM bk
+              JOIN raw r USING (bkt)
+              LEFT JOIN tgt t USING (bkt)
+              CROSS JOIN tots tt) b
+        GROUP BY b.doc_id
+    ),
+    ranks AS (
+        SELECT m.doc_id,
+               ROW_NUMBER() OVER (ORDER BY m.margin, m.doc_id) AS rq,
+               ROW_NUMBER() OVER (ORDER BY d.logw, d.doc_id) AS rw
+        FROM margins m JOIN dsir d USING (doc_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_sround(
+               '1.0 - 6.0 * CAST(SUM((rq - rw) * (rq - rw)) AS DOUBLE)'
+               ' / (CAST(COUNT(*) AS DOUBLE)'
+               ' * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1.0))', 8)}
+             AS spearman_rho
+    FROM ranks
+    """,
+)
+def score_agreement_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the two document scorers agree? Exact Spearman rank
+    correlation between the DSIR importance weight and the linear
+    quality margin — the calibration check run before combining
+    selection signals (high ρ → one is redundant; ρ ≈ 0 → they
+    measure different things and can be multiplied).
+
+    Both rank assignments use ordered.py's two-phase frozen-range
+    rank (never a partition-less window); ties are impossible (both
+    orderings end on doc_id), so the classic ``1 − 6Σd²/(n(n²−1))``
+    closed form is exact — integer rank differences, one DECIMAL-free
+    integer sum, one final IEEE expression shared across engines.
+    """
+    from declarativeml_spark.operators.corpus import dsir_weights
+    from declarativeml_spark.operators.ordered import global_cumsum
+    from declarativeml_spark.operators.textops import quality_margin
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_margin(docs.select("doc_id", "text")).select("doc_id", "margin")
+    d = dsir_weights(
+        docs, target_col="source", target_value=_DSIR_TARGET, buckets=_DSIR_B
+    ).select("doc_id", F.col("log_weight").alias("logw"))
+    j = m.join(d, "doc_id")
+    rq = global_cumsum(
+        j.withColumn("__one", F.lit(1)),
+        [F.col("margin").asc(), F.col("doc_id").asc()],
+        "__one",
+        out_col="__c1",
+        rank_col="rq",
+    ).select("doc_id", "logw", "rq")
+    both = global_cumsum(
+        rq.withColumn("__one", F.lit(1)),
+        [F.col("logw").asc(), F.col("doc_id").asc()],
+        "__one",
+        out_col="__c2",
+        rank_col="rw",
+    ).select("doc_id", "rq", "rw")
+    dd = (F.col("rq") - F.col("rw")) * (F.col("rq") - F.col("rw"))
+    n = F.count(F.lit(1)).cast("double")
+    rho = 1.0 - 6.0 * F.sum(dd).cast("double") / (n * (n * F.count(F.lit(1)) - 1.0))
+    return both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        sround(rho, 8).alias("spearman_rho"),
+    )
