@@ -296,12 +296,16 @@ def dsir_weights(
     per-document DECIMAL combine.
     """
     from declarativeml_spark.operators.caching import track_persist
-    from declarativeml_spark.operators.textops import _hex4_int
+    from declarativeml_spark.operators.textops import _hex4_int, spread
 
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
     toks = T.TOKENS_SPARK.format(text=text_col)
     bkt = f"(({_hex4_int('__w')}) % {buckets})"
+    # tokenize is the CPU-heavy pass; re-spread a single-split scan
+    # so it uses the whole cluster (no-op when the scan is already
+    # wide). Downstream is purely key-based, so placement is free.
+    df = spread(df.select(id_col, target_col, text_col))
     ll = (
         f"ln((tc + 1.0) / (ttot + {buckets}.0))"
         f" - ln((rc + 1.0) / (rtot + {buckets}.0))"

@@ -171,3 +171,252 @@ def global_ntile(
         .withColumn(out_col, bucket.cast("int"))
     )
     return out.drop(_PART, "__cnt_off")
+
+
+def ntile_boundary_keys(
+    df: DataFrame,
+    order_spec: List[Tuple[str, str]],
+    k: int,
+    num_partitions: int = 32,
+) -> Tuple[int, List[tuple]]:
+    """Exact NTILE(k) *boundary keys*: the order-key tuples of the last
+    row of each of the first k-1 buckets (fewer when n < k), plus the
+    total row count.
+
+    ``order_spec`` is ``[(column_name, 'asc'|'desc'), ...]`` — the
+    composite key MUST be unique and non-null per row (end it on a key
+    column), exactly the discipline every NTILE call site here already
+    follows for cross-engine determinism.
+
+    Two tiny jobs over a narrow projection: (1) freeze a range
+    partitioning of just the key columns and collect one count per
+    partition; (2) pull the k-1 rows sitting at the exact boundary
+    ranks. Driver-side state is one row per partition plus k-1 key
+    tuples — bounded by configuration, never by data size. Combined
+    with :func:`ntile_assign` this replaces a full two-phase rank
+    (shuffle + window + join) with a collected-constant comparison,
+    the same trick a 1000-executor cluster wants: the data-plane
+    never reshuffles for bucket assignment.
+    """
+    cols = [
+        F.col(c).asc() if d == "asc" else F.col(c).desc()
+        for c, d in order_spec
+    ]
+    names = [c for c, _ in order_spec]
+    ranged = _ranged_frozen(df.select(*names), cols, num_partitions)
+
+    totals = (
+        ranged.groupBy(_PART).agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    counts = sorted((r[_PART], r["__n"]) for r in totals)
+    n = sum(c for _, c in counts)
+    if n == 0:
+        return 0, []
+
+    q, rem = divmod(n, k)
+    sizes = [q + 1] * rem + [q] * (k - rem)
+    acc = 0
+    bounds = []
+    for s in sizes[:-1]:
+        acc += s
+        bounds.append(acc)
+    ranks = sorted({r for r in bounds if 1 <= r < n + 1})
+
+    # map each global boundary rank -> (pid, local 1-based offset)
+    targets: dict[int, set] = {}
+    lo = 0
+    it = iter(counts)
+    pid, cnt = next(it)
+    for r in ranks:
+        while r > lo + cnt:
+            lo += cnt
+            pid, cnt = next(it)
+        targets.setdefault(pid, set()).add(r - lo)
+
+    cond = None
+    for p, offs in targets.items():
+        c = (F.col(_PART) == p) & F.col("__lrk").isin(*offs)
+        cond = c if cond is None else (cond | c)
+    w = Window.partitionBy(_PART).orderBy(*cols)
+    rows = (
+        ranged.filter(F.col(_PART).isin(*targets))
+        .withColumn("__lrk", F.row_number().over(w))
+        .filter(cond)
+        .select(*names)
+        .collect()
+    )
+    return n, [tuple(r) for r in rows]
+
+
+def ntile_assign(
+    df: DataFrame,
+    order_spec: List[Tuple[str, str]],
+    k: int,
+    out_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact ``NTILE(k) OVER (ORDER BY ...)`` as a SHUFFLE-FREE map
+    expression over collected boundary keys (see
+    :func:`ntile_boundary_keys` for the key-uniqueness contract).
+
+    A row's bucket is ``1 + #{boundaries strictly before it in sort
+    order}`` — with unique composite keys this telescopes to exactly
+    the remainder-aware NTILE bucket, bit-identical to Spark's and
+    DuckDB's, including the n < k case (every rank its own bucket).
+    Unlike :func:`global_ntile` the input frame itself is never
+    re-partitioned: the boundary scan runs on a narrow key projection
+    and the assignment is pure column arithmetic, so chaining several
+    NTILEs over different orderings (the RFM shape) costs no extra
+    shuffles of the data plane.
+    """
+    n, keys = ntile_boundary_keys(df, order_spec, k, num_partitions)
+    if not keys:
+        return df.withColumn(out_col, F.lit(1).cast("int"))
+
+    def after(key: tuple):
+        # strictly-after-boundary in lexicographic (spec-directed) order
+        expr = F.lit(False)
+        eq = F.lit(True)
+        for (c, d), v in zip(order_spec, key):
+            col = F.col(c)
+            gt = col > F.lit(v) if d == "asc" else col < F.lit(v)
+            expr = expr | (eq & gt)
+            eq = eq & (col == F.lit(v))
+        return expr
+
+    bucket = F.lit(1)
+    for key in keys:
+        bucket = bucket + F.when(after(key), 1).otherwise(0)
+    return df.withColumn(out_col, bucket.cast("int"))
+
+
+def ntile_assign_multi(
+    df: DataFrame,
+    metrics: List[Tuple[str, str, str]],
+    tie: str,
+    k: int,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Several exact NTILE(k)s over DIFFERENT orderings of the same
+    frame — ``metrics`` is ``[(metric_col, 'asc'|'desc', out_col),
+    ...]``, each ordered by ``(metric, tie)`` — in TWO bounded jobs
+    total, with zero data-plane shuffles for the assignment (the RFM
+    shape: R, F and M quartiles over one per-customer aggregate).
+
+    All orderings ride ONE frozen range partitioning of a tagged
+    union ordered by ``(tag, signed_metric, tie)``: within a tag
+    block the union's global order IS that metric's order, so one
+    per-(partition, tag) count pass + one boundary-row pull recovers
+    every ordering's exact NTILE boundary keys at once. Buckets are
+    then pure column arithmetic over the k-1 collected keys per
+    metric (see :func:`ntile_assign` for why that telescopes to the
+    remainder-aware NTILE exactly).
+
+    Contract: ``metric`` and ``tie`` are non-null numerics exactly
+    representable as doubles (|value| <= 2^53), and ``(metric, tie)``
+    is unique per row — the same composite-key discipline every
+    deterministic NTILE call site already follows. ``desc`` is
+    realized as an exact sign flip. Driver state: one row per
+    (partition, tag) plus (k-1)·len(metrics) boundary keys.
+    """
+    sess = df.sparkSession
+
+    def signed(m: str, d: str) -> Column:
+        sv = F.col(m).cast("double")
+        return -sv if d == "desc" else sv
+
+    legs = [
+        df.select(
+            F.lit(i).alias("__tag"),
+            signed(m, d).alias("__sv"),
+            F.col(tie).cast("double").alias("__tie"),
+        )
+        for i, (m, d, _out) in enumerate(metrics)
+    ]
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionAll(leg)
+
+    order = [F.col("__tag").asc(), F.col("__sv").asc(), F.col("__tie").asc()]
+    ranged = (
+        u.repartitionByRange(max(2, num_partitions), *order)
+        .withColumn(_PART, F.spark_partition_id())
+        # lazy checkpoint: the totals job below materializes the
+        # shuffle exactly once; the boundary pull then reads the same
+        # frozen blocks (same soundness argument as _ranged_frozen,
+        # one job cheaper).
+        .localCheckpoint(eager=False)
+    )
+    totals = (
+        ranged.groupBy(_PART, "__tag")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    per_tag: dict = {}
+    for r in totals:
+        per_tag.setdefault(r["__tag"], {})[r[_PART]] = r["__n"]
+
+    targets: dict = {}
+    for tag, by_pid in per_tag.items():
+        counts = sorted(by_pid.items())
+        n = sum(c for _, c in counts)
+        if n == 0:
+            continue
+        q, rem = divmod(n, k)
+        sizes = [q + 1] * rem + [q] * (k - rem)
+        acc = 0
+        bounds = set()
+        for s in sizes[:-1]:
+            acc += s
+            if acc >= 1:
+                bounds.add(acc)
+        lo = 0
+        it = iter(counts)
+        pid, cnt = next(it)
+        t = targets.setdefault(tag, {})
+        for rank in sorted(bounds):
+            while rank > lo + cnt:
+                lo += cnt
+                pid, cnt = next(it)
+            t.setdefault(pid, set()).add(rank - lo)
+
+    keys: dict = {}
+    if targets:
+        conds = []
+        pids = set()
+        for tag, t in targets.items():
+            for p, offs in t.items():
+                pids.add(p)
+                conds.append(
+                    (F.col("__tag") == tag)
+                    & (F.col(_PART) == p)
+                    & F.col("__lrk").isin(*offs)
+                )
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        w = Window.partitionBy(_PART, "__tag").orderBy(
+            F.col("__sv").asc(), F.col("__tie").asc()
+        )
+        rows = (
+            ranged.filter(F.col(_PART).isin(*pids))
+            .withColumn("__lrk", F.row_number().over(w))
+            .filter(cond)
+            .select("__tag", "__sv", "__tie")
+            .collect()
+        )
+        for r in rows:
+            keys.setdefault(r["__tag"], []).append((r["__sv"], r["__tie"]))
+
+    out = df
+    for i, (m, d, out_col) in enumerate(metrics):
+        sv = signed(m, d)
+        tiec = F.col(tie).cast("double")
+        bucket = F.lit(1)
+        for bsv, btie in keys.get(i, []):
+            after = (sv > F.lit(bsv)) | (
+                (sv == F.lit(bsv)) & (tiec > F.lit(btie))
+            )
+            bucket = bucket + F.when(after, 1).otherwise(0)
+        out = out.withColumn(out_col, bucket.cast("int"))
+    return out

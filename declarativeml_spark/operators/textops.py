@@ -22,6 +22,30 @@ from pyspark.sql import functions as F
 
 # --- tokenization -----------------------------------------------------------
 TOKENS_SPARK = r"split(trim({text}), '\\s+')"
+
+
+def spread(df, min_parallelism: int | None = None):
+    """Re-spread a narrow scan across the cluster before a CPU-heavy
+    per-row pass (regex tokenize, shingling, hashing).
+
+    A small parquet file arrives as ONE input split, so a 5 MB
+    documents table would push its whole tokenize/explode through a
+    single task while 31 cores idle. When the scan has fewer
+    partitions than the cluster's parallelism, a round-robin
+    repartition (tiny shuffle: the narrow projection itself) buys
+    full-width CPU. At real scale the scan already splits by
+    ``spark.sql.files.maxPartitionBytes`` and this is a no-op — the
+    guard makes it safe to leave in the operator permanently.
+
+    Only for plans whose downstream is key-based (joins/groupBys):
+    round-robin placement must not matter. Spark's round-robin
+    repartition locally sorts rows first, so the placement itself is
+    deterministic across retries.
+    """
+    target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 TOKENS_DUCK = r"string_split_regex(trim({text}), '\s+')"
 
 

@@ -1059,12 +1059,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the per-customer RFM pass is one map-side-combinable
     aggregation. The three quartile scores use ordered.py's
-    ``global_ntile`` (range-repartition + bounded per-partition
-    offsets + exact NTILE bucket math) — no partition-less WindowExec
-    anywhere in the plan, so the customer dimension never funnels
-    through one task. The segment matrix itself is 4×4×4.
+    ``ntile_assign`` — exact NTILE via collected boundary keys (two
+    bounded jobs per ordering over a narrow key projection) and a
+    shuffle-free comparison expression. No partition-less WindowExec
+    anywhere, and the customer plane itself is never re-shuffled for
+    bucket assignment: three NTILEs over three different orderings
+    cost zero data-plane exchanges. The segment matrix is 4×4×4.
     """
-    from declarativeml_spark.operators.ordered import global_ntile
+    from declarativeml_spark.operators.ordered import ntile_assign_multi
 
     o = load_table(spark, sf_dir, "orders")
     d0 = o.agg(F.max("o_orderdate").alias("d0"))
@@ -1087,22 +1089,23 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    # Persist the (small, one-row-per-customer) aggregate: each
-    # global_ntile pass runs a bounded offsets job over it, and
-    # re-deriving the orders aggregation three times would triple the
-    # scan. track_persist gives the DSL engine's per-statement scope
-    # ownership of the cache.
-    from declarativeml_spark.operators.caching import track_persist
-
-    rfm = track_persist(rfm)
-    scored = global_ntile(
-        rfm, [F.col("recency_days").asc(), F.col("o_custkey").asc()], 4, "r"
-    )
-    scored = global_ntile(
-        scored, [F.col("frequency").desc(), F.col("o_custkey").asc()], 4, "f"
-    )
-    scored = global_ntile(
-        scored, [F.col("monetary").desc(), F.col("o_custkey").asc()], 4, "m"
+    # Materialize the (one-row-per-customer) aggregate once: the
+    # boundary scan's tagged union reads it three times, and an
+    # unmaterialized frame would re-derive the orders aggregation
+    # per leg. The boundary partitioning inherits the AQE-coalesced
+    # partition count of the materialized plane (data-proportional
+    # at scale) with a small floor for local task parallelism.
+    rfm = rfm.localCheckpoint(eager=True)
+    scored = ntile_assign_multi(
+        rfm,
+        [
+            ("recency_days", "asc", "r"),
+            ("frequency", "desc", "f"),
+            ("monetary", "desc", "m"),
+        ],
+        tie="o_custkey",
+        k=4,
+        num_partitions=max(8, rfm.rdd.getNumPartitions()),
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),

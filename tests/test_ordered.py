@@ -94,3 +94,74 @@ def test_global_rank_stable_across_runs(spark):
     first = sorted((r["g"], r["b"]) for r in out.collect())
     for _ in range(3):
         assert sorted((r["g"], r["b"]) for r in out.collect()) == first
+
+
+@pytest.mark.parametrize("n,k", [(6, 4), (500, 4), (3, 4), (100, 7), (0, 4)])
+def test_ntile_assign_matches_naive_window(spark, n, k):
+    """Boundary-key NTILE parity with the real window, including
+    remainder (n=6,k=4), n<k (every rank its own bucket), and empty
+    input; desc direction + tiebreak column exercised."""
+    from declarativeml_spark.operators.ordered import ntile_assign
+
+    rows = [(i, (i * 7919) % 11) for i in range(n)]  # heavy ties
+    df = spark.createDataFrame(rows, "id long, v long")
+    spec = [("v", "desc"), ("id", "asc")]
+
+    got = ntile_assign(df, spec, k, "b", num_partitions=5)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    want = df.withColumn("b", F.ntile(k).over(Window.orderBy(*order)))
+
+    got_rows = {r["id"]: r["b"] for r in got.collect()}
+    want_rows = {r["id"]: r["b"] for r in want.collect()}
+    assert got_rows == want_rows
+
+
+def test_ntile_assign_adds_no_exchange_to_data_plane(spark):
+    """The assignment itself must be a pure map expression: the output
+    plan over the input frame contains no Exchange beyond what the
+    input already had."""
+    from declarativeml_spark.operators.ordered import ntile_assign
+
+    df = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(200)], "id long, v double"
+    )
+    out = ntile_assign(df, [("v", "asc"), ("id", "asc")], 4, "b")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize("n,k", [(6, 4), (500, 4), (3, 4), (100, 7)])
+def test_ntile_assign_multi_matches_naive_windows(spark, n, k):
+    """All-orderings-in-two-jobs NTILE parity: three metrics with
+    mixed directions and heavy ties against three real windows."""
+    from declarativeml_spark.operators.ordered import ntile_assign_multi
+
+    rows = [
+        (i, (i * 7919) % 11, (i * 31) % 7, float((i * 13) % 97) / 7.0)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c double")
+    got = ntile_assign_multi(
+        df,
+        [("a", "asc", "qa"), ("b", "desc", "qb"), ("c", "desc", "qc")],
+        tie="id",
+        k=k,
+        num_partitions=5,
+    )
+    want = df
+    for m, d, out in [("a", "asc", "qa"), ("b", "desc", "qb"), ("c", "desc", "qc")]:
+        mc = F.col(m).asc() if d == "asc" else F.col(m).desc()
+        want = want.withColumn(
+            out, F.ntile(k).over(Window.orderBy(mc, F.col("id").asc()))
+        )
+    g = {r["id"]: (r["qa"], r["qb"], r["qc"]) for r in got.collect()}
+    w = {r["id"]: (r["qa"], r["qb"], r["qc"]) for r in want.collect()}
+    assert g == w
+
+
+def test_ntile_assign_multi_empty_input(spark):
+    from declarativeml_spark.operators.ordered import ntile_assign_multi
+
+    df = spark.createDataFrame([], "id long, a long")
+    out = ntile_assign_multi(df, [("a", "asc", "qa")], tie="id", k=4)
+    assert out.count() == 0 and "qa" in out.columns
