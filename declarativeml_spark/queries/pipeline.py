@@ -394,7 +394,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from declarativeml_spark.operators.skew import spread_partitions
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     # shingle sets appear on 4 plan branches (both band-join sides +
     # both verify joins); persist so tokenize+shingle+minhash runs
     # once per doc, not 4× (at 100 TB: materialize a signatures table).
@@ -562,7 +562,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from declarativeml_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return ngram_jaccard_pairs(
         docs, threshold=0.15, n_minhash=_NGRAM_GATE_MH
     )
@@ -759,7 +759,7 @@ def ann_ivf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from declarativeml_spark.operators.dedup import ivf_native_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     return ivf_native_topk(emb)
 
 
@@ -780,7 +780,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from declarativeml_spark.operators.dedup import ivf_native_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     return ivf_native_topk(emb, n_cells=16, n_probe=4)
 
 
@@ -921,7 +921,7 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. The LSH-bucketed variant replaces the cross join when the
     query set itself is huge.
     """
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).withColumn(
         "nrm", F.expr(_NORM_S.format(a="embedding"))
     )
     q = emb.filter(F.col("vec_id") % 97 == 0).select(

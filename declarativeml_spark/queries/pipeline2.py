@@ -80,7 +80,7 @@ def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams, bounding join volume the same way the winnowing
     fingerprint query does (relational3.py).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return benchmark_overlap(
         docs.filter(F.col("doc_id") % 23 != 5),
         docs.filter(F.col("doc_id") % 23 == 5),
@@ -647,7 +647,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     two <=``_RRF_LEG_N``-row frames — driver-trivial at any corpus
     size.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     base = docs.select("doc_id", F.expr(_TOKS_S).alias("toks"))
     stats = base.agg(
         F.count("*").cast("double").alias("n_docs"),
@@ -688,7 +688,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rnk_b"),
         )
     )
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     cos = F.expr(
         f"{_DOT2_S.format(a='qe', b='embedding')}"
@@ -886,7 +886,7 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows per bucket. Nothing materializes between stages — at
     100 TB the whole pipeline is one job with four slim exchanges.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     from declarativeml_spark.operators.corpus import fp_sample_spark
     from declarativeml_spark.operators.textops import FINGERPRINT_SPARK
 

@@ -339,7 +339,7 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from declarativeml_spark.operators.corpus import fingerprint_frame
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     by_gram = (
         fingerprint_frame(docs, id_col="source", text_col="text")
         .select(F.col("doc_id").alias("source"), F.explode("hs").alias("h"))

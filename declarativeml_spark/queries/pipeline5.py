@@ -234,7 +234,7 @@ def decontam_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from declarativeml_spark.operators.corpus import fingerprint_frame
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     bench = docs.filter(F.col("doc_id") % 23 == 5)
     corpus = docs.filter(F.col("doc_id") % 23 != 5)
 
@@ -1101,7 +1101,7 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered on the scored bigram table; ties break on the pair
     text. ln() is the shared cross-engine IEEE op.
     """.format(k=_PMI_TOPK, m=_PMI_MIN_N)
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", F.expr(_TOKS_S).alias("toks")
     )
     uni = (
@@ -1253,7 +1253,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort. ln() is the same cross-engine IEEE op BM25 already relies
     on; ties break on term text.
     """.format(k=_TFIDF_TOPK)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     tf = (
         docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("term"))
         .groupBy("doc_id", "term")

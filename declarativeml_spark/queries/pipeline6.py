@@ -123,7 +123,7 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (runs may overlap by < k tokens at their joints).
     """
     toks = (
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents", spread=True)
         .select("doc_id", F.expr(_TOKS_S).alias("t"))
         .where(F.expr(f"size(t) >= {_K}"))
     )
@@ -1323,7 +1323,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to coordinate.
     """
     toks = (
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents", spread=True)
         .select("doc_id", F.expr(_TOKS_S).alias("t"))
         .where(F.expr("size(t) >= 4"))
     )

@@ -102,7 +102,7 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-sized; per-document partial sums combine map-side.
     The argmax windows within one document only.
     """
-    tok = load_table(spark, sf_dir, "documents").select(
+    tok = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "lang", F.explode(F.expr(_TOKS_S)).alias("w")
     )
     cls = tok.groupBy("lang").agg(
@@ -867,7 +867,7 @@ def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared key), one (label, term) counting pass, then everything
     runs on the vocab×labels plane with the corpus margins broadcast.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread=True)
     e = load_table(spark, sf_dir, "embeddings")
     joined = d.join(e, d.doc_id == e.vec_id).select(
         "label", F.explode(F.expr(_TOKS_S)).alias("w")

@@ -584,7 +584,7 @@ def quality_margin_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from declarativeml_spark.operators.ordered import global_ntile
     from declarativeml_spark.operators.textops import quality_margin
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     margins = quality_margin(docs)
     scored = global_ntile(
         margins, [F.col("margin").asc(), F.col("doc_id").asc()], 10, "decile"
@@ -676,7 +676,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(k=_BLM_TOPK)
     from declarativeml_spark.operators.caching import track_persist
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", F.expr(_TOKS_S).alias("toks")
     )
     docs = track_persist(docs)
@@ -1183,7 +1183,7 @@ def corpus_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from declarativeml_spark.operators.ordered import global_cumsum
     from declarativeml_spark.operators.textops import quality_margin
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     margins = quality_margin(docs)
     n = margins.count()  # one scalar; the bucket divisor
     ranked = global_cumsum(
@@ -1433,7 +1433,7 @@ def score_agreement_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from declarativeml_spark.operators.ordered import global_cumsum
     from declarativeml_spark.operators.textops import quality_margin
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     m = quality_margin(docs.select("doc_id", "text")).select("doc_id", "margin")
     d = dsir_weights(
         docs, target_col="source", target_value=_DSIR_TARGET, buckets=_DSIR_B

@@ -33,8 +33,17 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Lazily load one table from a scale-factor directory.
+
+    ``spread=True`` re-spreads a single-split scan across the cluster
+    (textops.spread) for callers whose FIRST stage is CPU-heavy
+    per-row work (tokenize, shingle, vector folds) — a small parquet
+    file arrives as one input split with one row group, so that stage
+    would otherwise run on a single core. No-op once the scan splits
+    at real scale; only for plans whose downstream is key-based.
 
     ``events.ts`` is parquet TIMESTAMP(NANOS). Spark 4.1 reads that
     natively as TIMESTAMP_NTZ (micros truncation); older runtimes need
@@ -78,6 +87,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type == "timestamp":
             # a legacy INT96/LTZ reading; reinterpret as NTZ wall-clock
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    if spread:
+        from declarativeml_spark.operators.textops import spread as _spread
+
+        df = _spread(df)
     return df
 
 
