@@ -1439,12 +1439,17 @@ def score_agreement_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, target_col="source", target_value=_DSIR_TARGET, buckets=_DSIR_B
     ).select("doc_id", F.col("log_weight").alias("logw"))
     j = m.join(d, "doc_id")
+    # Rank planes are one row per document; 8 range partitions keep
+    # the two-phase rank's task count proportional to this small
+    # plane locally (values are partitioning-independent; a 100 TB
+    # caller passes a real partition count).
     rq = global_cumsum(
         j.withColumn("__one", F.lit(1)),
         [F.col("margin").asc(), F.col("doc_id").asc()],
         "__one",
         out_col="__c1",
         rank_col="rq",
+        num_partitions=8,
     ).select("doc_id", "logw", "rq")
     both = global_cumsum(
         rq.withColumn("__one", F.lit(1)),
@@ -1452,6 +1457,7 @@ def score_agreement_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__one",
         out_col="__c2",
         rank_col="rw",
+        num_partitions=8,
     ).select("doc_id", "rq", "rw")
     dd = (F.col("rq") - F.col("rw")) * (F.col("rq") - F.col("rw"))
     n = F.count(F.lit(1)).cast("double")

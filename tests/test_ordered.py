@@ -165,3 +165,31 @@ def test_ntile_assign_multi_empty_input(spark):
     df = spark.createDataFrame([], "id long, a long")
     out = ntile_assign_multi(df, [("a", "asc", "qa")], tie="id", k=4)
     assert out.count() == 0 and "qa" in out.columns
+
+
+def test_ntile_assign_property_random_shapes(spark):
+    """Randomized NTILE parity sweep: a grid of (n, k, direction)
+    shapes including heavy ties, all checked against the real window
+    in one session."""
+    import random
+
+    rnd = random.Random(20260814)
+    from declarativeml_spark.operators.ordered import ntile_assign
+
+    for trial in range(6):
+        n = rnd.choice([1, 2, 7, 63, 256])
+        k = rnd.choice([2, 3, 4, 10])
+        mod = rnd.choice([2, 5, 1000])
+        d = rnd.choice(["asc", "desc"])
+        rows = [(i, (i * 2654435761) % mod) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        got = ntile_assign(df, [("v", d), ("id", "asc")], k, "b",
+                           num_partitions=3)
+        order = [
+            F.col("v").asc() if d == "asc" else F.col("v").desc(),
+            F.col("id").asc(),
+        ]
+        want = df.withColumn("b", F.ntile(k).over(Window.orderBy(*order)))
+        g = {r["id"]: r["b"] for r in got.collect()}
+        w = {r["id"]: r["b"] for r in want.collect()}
+        assert g == w, (n, k, mod, d)
