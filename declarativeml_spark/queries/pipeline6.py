@@ -1095,7 +1095,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per leg. The boundary partitioning inherits the AQE-coalesced
     # partition count of the materialized plane (data-proportional
     # at scale) with a small floor for local task parallelism.
-    rfm = rfm.localCheckpoint(eager=True)
+    # lazy: the boundary scan's first job materializes the checkpoint;
+    # every later read (the extract pull, the final agg) hits the same
+    # frozen blocks — one job fewer than an eager freeze.
+    rfm = rfm.localCheckpoint(eager=False)
     scored = ntile_assign_multi(
         rfm,
         [
