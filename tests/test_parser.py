@@ -294,3 +294,65 @@ def test_compact_roundtrip_property(source, target, part, fid, sz):
     assert c.source == source
     assert c.target_bytes == target
     assert (c.part_column, c.file_column, c.bytes_column) == (part, fid, sz)
+
+
+# -- crash-freedom fuzz ----------------------------------------------------
+# The parser's error contract: EVERY input either parses to an IR node
+# or raises DSLSyntaxError/ValueError — never an AttributeError /
+# IndexError / RecursionError escape from lexer internals. (The
+# reference compiles via a Lark grammar which guarantees this shape;
+# the hand-written recursive-descent parser here has to earn it.)
+
+_STATEMENT_HEADS = [
+    "TRAIN MODEL", "COMPUTE", "PREDICT USING MODEL", "DEPLOY MODEL",
+    "CREATE FEATURE TRANSFORMER", "WHEN", "CREATE AGENT",
+    "CREATE ENSEMBLE", "EXPLAIN PREDICTION", "MONITOR MODEL",
+    "RETRAIN", "REGISTER AGENT", "PUBLISH EVENT", "SUBSCRIBE TO",
+    "WAIT FOR EVENT", "SHARD", "COMPACT", "DEDUPLICATE", "WEIGH",
+    "SCORE QUALITY", "SEARCH SIMILAR", "QUANTIZE EMBEDDINGS",
+    "DECONTAMINATE", "PACK", "SAMPLE",
+]
+
+
+@given(st.text(max_size=120))
+def test_fuzz_arbitrary_text_never_crashes(s):
+    try:
+        parse(s)
+    except (DSLSyntaxError, ValueError):
+        pass  # the contract: typed errors only
+
+
+@given(
+    head=st.sampled_from(_STATEMENT_HEADS),
+    tail=st.text(
+        alphabet=st.characters(
+            whitelist_categories=["Lu", "Ll", "Nd", "Po", "Ps", "Pe", "Sm", "Zs"]
+        ),
+        max_size=80,
+    ),
+)
+def test_fuzz_statement_heads_never_crash(head, tail):
+    """Partial/mangled statements behind every real statement head
+    still fail typed — the shapes a user actually mistypes."""
+    try:
+        parse(f"{head} {tail}")
+    except (DSLSyntaxError, ValueError):
+        pass
+
+
+@given(
+    stmt=st.sampled_from([
+        "TRAIN MODEL m USING alg FROM t PREDICT y WITH FEATURES(a, b)",
+        "SHARD docs INTO 16 SHARDS BY doc_id",
+        "WEIGH documents AGAINST 'src0' ON source BUCKETS 512",
+    ]),
+    pos=st.integers(min_value=0, max_value=60),
+    ins=st.sampled_from(["(", ")", ",", "'", ";", " FROM ", "\x00", "99", " "]),
+)
+def test_fuzz_single_mutation_never_crashes(stmt, pos, ins):
+    p = min(pos, len(stmt))
+    mutated = stmt[:p] + ins + stmt[p:]
+    try:
+        parse(mutated)
+    except (DSLSyntaxError, ValueError):
+        pass
