@@ -1744,13 +1744,19 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_u")
     )
+    # 8 range partitions: the rank plane is one row per part, tiny
+    # next to the lineitem agg that feeds it (values partitioning-
+    # independent; scale callers pass more). The grand total is the
+    # max cumulative — reading it off the checkpointed cumsum output
+    # avoids re-deriving the whole lineitem aggregation for a SUM.
     cum = global_cumsum(
         rev,
         [F.col("rev_u").desc(), F.col("l_partkey")],
         "rev_u",
         out_col="c",
+        num_partitions=8,
     )
-    tot = rev.agg(F.sum("rev_u").cast("long").alias("total"))
+    tot = cum.agg(F.max("c").cast("long").alias("total"))
     share = F.col("c").cast("double") / F.col("total")
     cls = cum.crossJoin(F.broadcast(tot)).select(
         "rev_u",

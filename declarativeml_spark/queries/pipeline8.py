@@ -1185,19 +1185,24 @@ def corpus_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     margins = quality_margin(docs)
-    n = margins.count()  # one scalar; the bucket divisor
+    # 8 range partitions: one row per document. The bucket divisor n
+    # is read off the checkpointed rank output (max rank) as a
+    # broadcast scalar — a driver-side margins.count() here would
+    # re-run the whole tokenize pass just for one number.
     ranked = global_cumsum(
         margins,
         [F.col("margin").desc(), F.col("doc_id").asc()],
         "n_tokens",
         out_col="cum_tokens",
         rank_col="rnk",
+        num_partitions=8,
     )
+    nrow = F.broadcast(ranked.agg(F.max("rnk").cast("long").alias("__n")))
     # integer floor division: (rnk-1)*B // n
-    bucket = (1 + F.floor(((F.col("rnk") - 1) * _TBC_BUCKETS) / F.lit(n))).cast(
-        "long"
-    )
-    return ranked.groupBy(bucket.alias("bucket")).agg(
+    bucket = (
+        1 + F.floor(((F.col("rnk") - 1) * _TBC_BUCKETS) / F.col("__n"))
+    ).cast("long")
+    return ranked.crossJoin(nrow).groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         sround(F.min("margin"), 8).alias("margin_cutoff"),
         F.sum("n_tokens").cast("long").alias("bucket_tokens"),
