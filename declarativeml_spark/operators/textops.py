@@ -41,6 +41,15 @@ def spread(df, min_parallelism: int | None = None):
     round-robin placement must not matter. Spark's round-robin
     repartition locally sorts rows first, so the placement itself is
     deterministic across retries.
+
+    Know what it CANNOT fix: the parquet decode itself still happens
+    in the single scan task, before the exchange. Spreading pays off
+    only when downstream per-row CPU (regex tokenize, shingling,
+    wide-array folds) dominates the decode; for parse-bound plans
+    (plain column aggregation) or frames so small that per-task
+    overhead dominates (a dimension-sized vector table), it just adds
+    an exchange — measured both ways on this corpus before choosing
+    the call sites.
     """
     target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
