@@ -120,6 +120,9 @@ _CHECK_FIRST = (
     "events_user_cap_sample",
     "orders_amount_reconciliation",
     "score_agreement_spearman",
+    "doremi_domain_weights",
+    "dedup_threshold_sweep",
+    "dedup_source_overlap_matrix",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

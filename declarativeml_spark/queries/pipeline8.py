@@ -1471,3 +1471,272 @@ def score_agreement_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         sround(rho, 8).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-lite domain reweighting from the bigram-LM surprisal.
+
+# shared cross-engine expression text: every term is either an exact
+# integer ratio under ln() (identical IEEE in both engines) or a
+# difference of DECIMAL-exact sums cast to double once.
+_DRM_LPS = "CAST(sdec AS DOUBLE) / nb"
+_DRM_EXC = "(CAST(tdec AS DOUBLE) / tnb) - (CAST(sdec AS DOUBLE) / nb)"
+_DRM_LW = f"ln(CAST(nb AS DOUBLE) / tnb) + ({_DRM_EXC})"
+
+
+@query(
+    "doremi_domain_weights",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, source, {_TOKS_D} AS toks FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT source, p['w1'] AS w1, p['w2'] AS w2
+        FROM (SELECT source,
+                     unnest(list_transform(range(2, len(toks) + 1),
+                         i -> struct_pack(w1 := toks[i - 1], w2 := toks[i])))
+                       AS p
+              FROM d WHERE len(toks) >= 2)
+    ),
+    c12t AS MATERIALIZED (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2
+    ),
+    c1t AS MATERIALIZED (
+        SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1
+    ),
+    vt AS MATERIALIZED (
+        SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
+        FROM (SELECT unnest(toks) AS t FROM d)
+    ),
+    src AS MATERIALIZED (
+        SELECT b.source,
+               CAST(COUNT(*) AS BIGINT) AS nb,
+               SUM(CAST(({_BLM_LL}) AS DECIMAL(38,12))) AS sdec
+        FROM (SELECT bg.source, c12t.c12, c1t.c1, vt.v
+              FROM bg
+              JOIN c12t USING (w1, w2)
+              JOIN c1t USING (w1)
+              CROSS JOIN vt) b
+        GROUP BY b.source
+    ),
+    tot AS (
+        SELECT CAST(SUM(nb) AS BIGINT) AS tnb,
+               CAST(SUM(sdec) AS DECIMAL(38,12)) AS tdec
+        FROM src
+    )
+    SELECT source, nb AS n_bigrams,
+           {sql_sround(_DRM_LPS, 8)} AS avg_logprob,
+           {sql_sround(_DRM_EXC, 8)} AS excess_surprisal,
+           {sql_sround(_DRM_LW, 8)} AS domain_log_weight
+    FROM src CROSS JOIN tot
+    """,
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite domain reweighting (Xie et al. 2023, DoReMi: the
+    excess-loss reweighting idea with the corpus's own bigram LM as
+    the proxy reference model): per SOURCE, the mean bigram
+    log-probability, its excess surprisal over the corpus mean
+    (positive = harder domain), and the UN-normalized mixture
+    log-weight ``ln(token_share) + excess/τ`` (τ=1). Log-space on
+    purpose — ``exp``/softmax is not bit-stable across engines, it is
+    monotone, and the consumer normalizes one 20-row table.
+
+    Scale: identical plane to text_bigram_logprob (shared bigram
+    explode + count joins, map-side-combinable aggs); the domain
+    report is one row per source, totals ride a broadcast of the
+    persisted 20-row source plane.
+    """
+    from declarativeml_spark.operators.caching import track_persist
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "source", F.expr(_TOKS_S).alias("toks")
+    )
+    docs = track_persist(docs)
+    bg = track_persist(
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("source", "p.w1", "p.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    v = float(
+        docs.select(F.explode("toks").alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    src = track_persist(
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .withColumn("v", F.lit(v))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.sum(F.expr(_BLM_LL).cast("decimal(38,12)")).alias("sdec"),
+        )
+    )
+    tot = src.agg(
+        F.sum("nb").cast("long").alias("tnb"),
+        F.sum("sdec").cast("decimal(38,12)").alias("tdec"),
+    )
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("nb").alias("n_bigrams"),
+        F.expr(T.stable_round(_DRM_LPS, 8)).alias("avg_logprob"),
+        F.expr(T.stable_round(_DRM_EXC, 8)).alias("excess_surprisal"),
+        F.expr(T.stable_round(_DRM_LW, 8)).alias("domain_log_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold calibration + cross-source overlap matrix.
+
+_SWEEP_THRESHOLDS = [0.05, 0.1, 0.15, 0.2, 0.3, 0.4, 0.5, 0.75]
+
+
+def _jaccard_pairs_cte(threshold: float) -> str:
+    """The full minhash-gated Jaccard pair query (shared with
+    dedup_ngram_jaccard's oracle) as a nestable CTE body."""
+    from declarativeml_spark.queries.pipeline import _ngram_jaccard_oracle
+
+    return _ngram_jaccard_oracle(threshold)
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED (
+        {_jaccard_pairs_cte(0.05)}
+    ),
+    thr AS (SELECT unnest({_SWEEP_THRESHOLDS!r}) AS threshold),
+    hits AS MATERIALIZED (
+        SELECT t.threshold, p.id_a, p.id_b, p.jaccard
+        FROM pairs p JOIN thr t ON p.jaccard >= t.threshold
+    ),
+    per AS (
+        SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               {sql_sround(
+                   'CAST(SUM(CAST(jaccard AS DECIMAL(38,12))) AS DOUBLE)'
+                   ' / COUNT(*)', 8)} AS avg_jaccard
+        FROM hits GROUP BY threshold
+    ),
+    docs_hit AS (
+        SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+        FROM (SELECT threshold, unnest([id_a, id_b]) AS d FROM hits)
+        GROUP BY threshold
+    )
+    SELECT p.threshold, p.n_pairs, d.n_docs, p.avg_jaccard
+    FROM per p JOIN docs_hit d USING (threshold)
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold calibration curve: for each candidate Jaccard
+    cutoff, how many pairs fire and how many documents they touch —
+    the table read before committing a dedup threshold (too low:
+    distinct documents merge; too high: boilerplate survives).
+
+    All cutoffs share ONE pair materialization at the lowest
+    threshold (the minhash candidate gate is identical in both
+    engines, so "pairs surviving the gate" is a well-defined,
+    hash-checkable population); the sweep itself is a broadcast
+    non-equi join of 8 threshold rows against the slim (id, id,
+    jaccard) plane — the corpus is never rescanned per cutoff.
+    """
+    from declarativeml_spark.operators.caching import track_persist
+    from declarativeml_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = track_persist(ngram_jaccard_pairs(docs, threshold=0.05))
+    thr = F.broadcast(
+        spark.createDataFrame(
+            [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
+        )
+    )
+    hits = track_persist(
+        pairs.join(thr, F.col("jaccard") >= F.col("threshold"))
+    )
+    per = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            T.stable_round(
+                "CAST(SUM(CAST(jaccard AS DECIMAL(38,12))) AS DOUBLE)"
+                " / COUNT(1)",
+                8,
+            )
+        ).alias("avg_jaccard"),
+    )
+    docs_hit = (
+        hits.select(
+            "threshold", F.explode(F.array("id_a", "id_b")).alias("d")
+        )
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").cast("long").alias("n_docs"))
+    )
+    return per.join(docs_hit, "threshold").select(
+        "threshold", "n_pairs", "n_docs", "avg_jaccard"
+    )
+
+
+@query(
+    "dedup_source_overlap_matrix",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED (
+        {_jaccard_pairs_cte(0.15)}
+    )
+    SELECT least(da.source, db.source) AS src_lo,
+           greatest(da.source, db.source) AS src_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {sql_sround(
+               'CAST(SUM(CAST(p.jaccard AS DECIMAL(38,12))) AS DOUBLE)'
+               ' / COUNT(*)', 8)} AS avg_jaccard
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts between
+    every (source, source) combination — which crawls/dumps overlap,
+    the readout that decides source precedence before survivorship
+    (a high off-diagonal cell means one source is largely a mirror
+    of another).
+
+    The pair plane is the same minhash-gated Jaccard population as
+    dedup_ngram_jaccard; sources attach by two slim (doc_id, source)
+    joins, and the matrix is at most |sources|² rows.
+    """
+    from declarativeml_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.15)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            F.broadcast(src.select(F.col("doc_id").alias("id_a"),
+                                   F.col("source").alias("sa"))), "id_a"
+        ).join(
+            F.broadcast(src.select(F.col("doc_id").alias("id_b"),
+                                   F.col("source").alias("sb"))), "id_b"
+        )
+    )
+    return j.groupBy(
+        F.least("sa", "sb").alias("src_lo"),
+        F.greatest("sa", "sb").alias("src_hi"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            T.stable_round(
+                "CAST(SUM(CAST(jaccard AS DECIMAL(38,12))) AS DOUBLE)"
+                " / COUNT(1)",
+                8,
+            )
+        ).alias("avg_jaccard"),
+    )
