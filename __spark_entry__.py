@@ -123,6 +123,8 @@ _CHECK_FIRST = (
     "doremi_domain_weights",
     "dedup_threshold_sweep",
     "dedup_source_overlap_matrix",
+    "dedup_band_calibration",
+    "events_k_anonymity",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

@@ -729,3 +729,67 @@ class WeighCorpus:
             or self.buckets <= 0
         ):
             raise ValueError("BUCKETS must be a positive bucket count")
+
+
+@dataclass
+class AuditAnonymity:
+    """IR for ``AUDIT ANONYMITY <source> ON col[, col...] [RISK k]``
+    — k-anonymity equivalence-class report over the named
+    quasi-identifier columns (SURVEY.md §2.11; beyond-parity).
+
+    See operators/privacy.py::k_anonymity_report;
+    queries/pipeline8.py::events_k_anonymity is the oracle-checked
+    behavioural-profile twin.
+    """
+
+    source: str
+    columns: list[str] = field(default_factory=list)
+    risk: int = 5
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        if not self.columns:
+            raise ValueError(
+                "AUDIT ANONYMITY needs at least one ON column"
+            )
+        if (
+            not isinstance(self.risk, int)
+            or isinstance(self.risk, bool)
+            or self.risk <= 0
+        ):
+            raise ValueError("RISK must be a positive class-size threshold")
+
+
+@dataclass
+class CalibrateDedup:
+    """IR for ``CALIBRATE DEDUP <source> [THRESHOLDS f[, f...]]
+    [ON text_col]`` — the threshold calibration curve from one
+    minhash-gated pair materialization (SURVEY.md §2.11;
+    beyond-parity).
+
+    See operators/dedup.py::threshold_sweep;
+    queries/pipeline8.py::dedup_threshold_sweep is the oracle-checked
+    twin.
+    """
+
+    source: str
+    thresholds: list[float] = field(
+        default_factory=lambda: [0.05, 0.1, 0.15, 0.2, 0.3, 0.4, 0.5, 0.75]
+    )
+    text_column: str = "text"
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        if not self.thresholds:
+            raise ValueError(
+                "CALIBRATE DEDUP needs at least one threshold"
+            )
+        for t in self.thresholds:
+            if (
+                not isinstance(t, (int, float))
+                or isinstance(t, bool)
+                or not (0.0 < float(t) <= 1.0)
+            ):
+                raise ValueError(
+                    f"THRESHOLDS must be in (0, 1], got {t!r}"
+                )

@@ -1383,6 +1383,67 @@ class _Parser:
             source_is_identifier=is_identifier_source(source),
         )
 
+    # -- AUDIT ANONYMITY (beyond-parity: SURVEY §2.11) --------------------
+    def parse_audit(self) -> "ir.AuditAnonymity":
+        self.expect_keyword("AUDIT")
+        self.expect_keyword("ANONYMITY")
+        source = self.capture_source_until("ON")
+        if not source:
+            raise ValueError("AUDIT ANONYMITY source cannot be empty")
+        self.expect_keyword("ON")
+        columns = [self.expect_name("quasi-identifier column")]
+        while self.accept_op(","):
+            columns.append(self.expect_name("quasi-identifier column"))
+        risk = 5
+        if self.at_keyword("RISK"):
+            self.advance()
+            tok = self.advance()
+            if tok.kind != "NUMBER":
+                raise ValueError("RISK must be a positive class-size threshold")
+            risk = _require_positive_int(
+                _to_number(tok.value), "RISK class-size threshold"
+            )
+        self.expect_eof()
+        return ir.AuditAnonymity(
+            source=source,
+            columns=columns,
+            risk=risk,
+            source_is_identifier=is_identifier_source(source),
+        )
+
+    # -- CALIBRATE DEDUP (beyond-parity: SURVEY §2.11) --------------------
+    def parse_calibrate(self) -> "ir.CalibrateDedup":
+        self.expect_keyword("CALIBRATE")
+        self.expect_keyword("DEDUP")
+        source = self.capture_source_until("THRESHOLDS", "ON")
+        if not source:
+            raise ValueError("CALIBRATE DEDUP source cannot be empty")
+        thresholds: list[float] | None = None
+        if self.at_keyword("THRESHOLDS"):
+            self.advance()
+            thresholds = []
+            while True:
+                tok = self.advance()
+                if tok.kind != "NUMBER":
+                    raise ValueError(
+                        "THRESHOLDS must be numeric cutoffs in (0, 1]"
+                    )
+                thresholds.append(float(_to_number(tok.value)))
+                if not self.accept_op(","):
+                    break
+        text_column = "text"
+        if self.at_keyword("ON"):
+            self.advance()
+            text_column = self.expect_name("text column")
+        self.expect_eof()
+        kwargs = {} if thresholds is None else {"thresholds": thresholds}
+        return ir.CalibrateDedup(
+            source=source,
+            text_column=text_column,
+            source_is_identifier=is_identifier_source(source),
+            **kwargs,
+        )
+
     # -- SCORE QUALITY (beyond-parity: SURVEY §2.11) ----------------------
     def parse_score(self) -> "ir.ScoreQuality":
         self.expect_keyword("SCORE")
@@ -1579,12 +1640,16 @@ def parse(text: str) -> Statement:
         return parser.parse_score()
     if tok.value == "WEIGH":
         return parser.parse_weigh()
+    if tok.value == "AUDIT":
+        return parser.parse_audit()
+    if tok.value == "CALIBRATE":
+        return parser.parse_calibrate()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
         " SEARCH, SAMPLE, DECONTAMINATE, PACK, REDACT, CHUNK, SESSIONIZE,"
         " QUANTIZE, MIX, PROFILE, DETECT, SHARD, COMPACT, SHUFFLE, SCORE,"
-        " or WEIGH"
+        " WEIGH, AUDIT, or CALIBRATE"
     )
 
 

@@ -156,6 +156,10 @@ class Engine:
             return self._score_quality(stmt)
         if isinstance(stmt, ir.WeighCorpus):
             return self._weigh(stmt)
+        if isinstance(stmt, ir.AuditAnonymity):
+            return self._audit_anonymity(stmt)
+        if isinstance(stmt, ir.CalibrateDedup):
+            return self._calibrate_dedup(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
 
     # -- DEDUPLICATE / SEARCH SIMILAR (beyond-parity, SURVEY §7.5) ----------
@@ -405,6 +409,26 @@ class Engine:
             target_col=stmt.target_column,
             target_value=stmt.target_value,
             buckets=stmt.buckets,
+        )
+
+    def _audit_anonymity(self, stmt: "ir.AuditAnonymity") -> DataFrame:
+        """k-anonymity equivalence-class report over quasi-identifier
+        columns (the oracle-checked behavioural-profile twin is
+        events_k_anonymity)."""
+        from declarativeml_spark.operators.privacy import k_anonymity_report
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        return k_anonymity_report(df, stmt.columns, risk=stmt.risk)
+
+    def _calibrate_dedup(self, stmt: "ir.CalibrateDedup") -> DataFrame:
+        """Dedup threshold calibration curve from one pair
+        materialization (the oracle-checked twin is
+        dedup_threshold_sweep)."""
+        from declarativeml_spark.operators.dedup import threshold_sweep
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        return threshold_sweep(
+            df, stmt.thresholds, text_col=stmt.text_column
         )
 
     def _compact(self, stmt: "ir.CompactTable") -> DataFrame:

@@ -1415,3 +1415,64 @@ def ngram_containment_pairs(
             _sround(c_ba).alias("containment_b_in_a"),
         )
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    thresholds: list[float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup threshold calibration curve: pair/doc counts and mean
+    Jaccard at each candidate cutoff, from ONE pair materialization
+    gated at the lowest threshold. Backs the ``CALIBRATE DEDUP`` DSL
+    statement; queries/pipeline8.py::dedup_threshold_sweep is the
+    oracle-checked twin.
+
+    Scale: the corpus is scanned once (minhash-gated pair plane); the
+    sweep is a broadcast non-equi join of |thresholds| rows against
+    the slim (id, id, jaccard) plane.
+    """
+    if not thresholds:
+        raise ValueError("CALIBRATE DEDUP needs at least one threshold")
+    for t in thresholds:
+        if not isinstance(t, (int, float)) or isinstance(t, bool) or not (
+            0.0 < float(t) <= 1.0
+        ):
+            raise ValueError(
+                f"thresholds must be in (0, 1], got {t!r}"
+            )
+    gate = float(min(thresholds))
+    pairs = track_persist(
+        ngram_jaccard_pairs(
+            df, id_col=id_col, text_col=text_col, threshold=gate
+        )
+    )
+    thr = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(float(t),) for t in thresholds], "threshold double"
+        )
+    )
+    hits = track_persist(
+        pairs.join(thr, F.col("jaccard") >= F.col("threshold"))
+    )
+    per = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            T.stable_round(
+                "CAST(SUM(CAST(jaccard AS DECIMAL(38,12))) AS DOUBLE)"
+                " / COUNT(1)",
+                8,
+            )
+        ).alias("avg_jaccard"),
+    )
+    docs_hit = (
+        hits.select(
+            "threshold", F.explode(F.array("id_a", "id_b")).alias("d")
+        )
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").cast("long").alias("n_docs"))
+    )
+    return per.join(docs_hit, "threshold").select(
+        "threshold", "n_pairs", "n_docs", "avg_jaccard"
+    )

@@ -1649,39 +1649,10 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-equi join of 8 threshold rows against the slim (id, id,
     jaccard) plane — the corpus is never rescanned per cutoff.
     """
-    from declarativeml_spark.operators.caching import track_persist
-    from declarativeml_spark.operators.dedup import ngram_jaccard_pairs
+    from declarativeml_spark.operators.dedup import threshold_sweep
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    pairs = track_persist(ngram_jaccard_pairs(docs, threshold=0.05))
-    thr = F.broadcast(
-        spark.createDataFrame(
-            [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
-        )
-    )
-    hits = track_persist(
-        pairs.join(thr, F.col("jaccard") >= F.col("threshold"))
-    )
-    per = hits.groupBy("threshold").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.expr(
-            T.stable_round(
-                "CAST(SUM(CAST(jaccard AS DECIMAL(38,12))) AS DOUBLE)"
-                " / COUNT(1)",
-                8,
-            )
-        ).alias("avg_jaccard"),
-    )
-    docs_hit = (
-        hits.select(
-            "threshold", F.explode(F.array("id_a", "id_b")).alias("d")
-        )
-        .groupBy("threshold")
-        .agg(F.count_distinct("d").cast("long").alias("n_docs"))
-    )
-    return per.join(docs_hit, "threshold").select(
-        "threshold", "n_pairs", "n_docs", "avg_jaccard"
-    )
+    return threshold_sweep(docs, _SWEEP_THRESHOLDS)
 
 
 @query(
@@ -1739,4 +1710,245 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 8,
             )
         ).alias("avg_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash band-calibration planner: the (rows, bands) S-curve evaluated
+# against the corpus's OWN measured pair-similarity distribution.
+
+_BC_CONFIGS = [(2, 64), (4, 32), (8, 16), (16, 8)]  # 128-hash budget each
+
+
+def _scurve_chain(r: int, b: int) -> str:
+    """``1 - (1 - s^r)^b`` with both powers as repeated-squaring
+    product chains (r, b are powers of two) — plain multiplications
+    are IEEE-identical across engines, unlike pow()/exp()/ln()."""
+    ps = "s"
+    k = r
+    while k > 1:
+        ps = f"({ps} * {ps})"
+        k //= 2
+    t = f"(1.0 - {ps})"
+    k = b
+    while k > 1:
+        t = f"({t} * {t})"
+        k //= 2
+    return f"(1.0 - {t})"
+
+
+_BC_P = (
+    "CASE "
+    + " ".join(
+        f"WHEN r = {r} AND b = {b} THEN {_scurve_chain(r, b)}"
+        for r, b in _BC_CONFIGS
+    )
+    + " ELSE NULL END"
+)
+_BC_VALUES = ", ".join(f"({r}, {b})" for r, b in _BC_CONFIGS)
+# aggregate fragments shared verbatim by both engines
+_BC_SUMP = "CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE)"
+_BC_NS = "CAST(SUM(CASE WHEN s >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)"
+_BC_SPS = (
+    "CAST(SUM(CAST(CASE WHEN s >= 0.3 THEN p ELSE 0.0 END"
+    " AS DECIMAL(38,12))) AS DOUBLE)"
+)
+_BC_NW = "CAST(SUM(CASE WHEN s < 0.1 THEN 1 ELSE 0 END) AS BIGINT)"
+_BC_SPW = (
+    "CAST(SUM(CAST(CASE WHEN s < 0.1 THEN p ELSE 0.0 END"
+    " AS DECIMAL(38,12))) AS DOUBLE)"
+)
+_BC_RECALL = (
+    f"CASE WHEN {_BC_NS} > 0 THEN"
+    f" {sql_sround(f'{_BC_SPS} / {_BC_NS}', 8)} ELSE NULL END"
+)
+_BC_FPRATE = (
+    f"CASE WHEN {_BC_NW} > 0 THEN"
+    f" {sql_sround(f'{_BC_SPW} / {_BC_NW}', 8)} ELSE NULL END"
+)
+
+
+@query(
+    "dedup_band_calibration",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED (
+        {_jaccard_pairs_cte(0.05)}
+    ),
+    cfg AS (SELECT * FROM (VALUES {_BC_VALUES}) v(r, b)),
+    scored AS (
+        SELECT c.r, c.b, x.s, {_BC_P} AS p
+        FROM (SELECT jaccard AS s FROM pairs) x CROSS JOIN cfg c
+    )
+    SELECT CAST(r AS INT) AS r_rows, CAST(b AS INT) AS n_bands,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {sql_sround(_BC_SUMP, 6)} AS expected_candidates,
+           {_BC_NS} AS strong_pairs,
+           {_BC_RECALL} AS expected_strong_recall,
+           {_BC_NW} AS weak_pairs,
+           {_BC_FPRATE} AS expected_weak_rate
+    FROM scored GROUP BY r, b
+    """,
+)
+def dedup_band_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding planner: for each (rows-per-band r, bands b)
+    split of a 128-hash signature budget, the S-curve collision
+    probability ``1 − (1 − s^r)^b`` evaluated against the corpus's
+    own measured pair-Jaccard distribution — expected candidate-pair
+    volume, expected recall on strong pairs (s ≥ 0.3), and expected
+    false-fire rate on weak pairs (s < 0.1). This is the table read
+    before choosing LSH parameters for a 100 TB dedup run: more rows
+    per band sharpens the curve (fewer weak candidates) at the cost
+    of strong-pair recall.
+
+    Determinism: both powers are repeated-squaring product chains
+    (r, b are powers of two) — plain multiplications, IEEE-identical
+    across engines; probability sums go through DECIMAL(38,12) per
+    term. The pair population is the same minhash-gated plane as
+    dedup_threshold_sweep (gated at 0.05, so the curve is over
+    candidate-visible similarities — stated, not hidden).
+
+    Scale: ONE pair materialization; the 4-config sweep is a
+    broadcast cross join against the slim (id, id, s) plane; output
+    is 4 rows.
+    """
+    from declarativeml_spark.operators.caching import track_persist
+    from declarativeml_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = track_persist(
+        ngram_jaccard_pairs(docs, threshold=0.05).select(
+            F.col("jaccard").alias("s")
+        )
+    )
+    cfg = F.broadcast(
+        spark.createDataFrame(_BC_CONFIGS, "r int, b int")
+    )
+    scored = pairs.crossJoin(cfg).withColumn("p", F.expr(_BC_P))
+    return scored.groupBy("r", "b").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pairs"),
+        F.expr(sql_sround(_BC_SUMP, 6)).alias("expected_candidates"),
+        F.expr(_BC_NS).alias("strong_pairs"),
+        F.expr(_BC_RECALL).alias("expected_strong_recall"),
+        F.expr(_BC_NW).alias("weak_pairs"),
+        F.expr(_BC_FPRATE).alias("expected_weak_rate"),
+    ).select(
+        F.col("r").cast("int").alias("r_rows"),
+        F.col("b").cast("int").alias("n_bands"),
+        "n_pairs",
+        "expected_candidates",
+        "strong_pairs",
+        "expected_strong_recall",
+        "weak_pairs",
+        "expected_weak_rate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over user behavioural profiles.
+
+_KA_RISK = 5
+# shared expression text (both engines): hour band + value bucket
+_KA_BAND = "CAST(FLOOR(hour(ts) / 6) AS INT)"
+_KA_AVG = "CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)"
+_KA_VB = "LEAST(CAST(FLOOR(avg_v / 50.0) AS INT), 5)"
+
+
+@query(
+    "events_k_anonymity",
+    oracle=f"""
+    WITH et AS MATERIALIZED (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    met AS (
+        SELECT user_id, event_type AS modal_event_type
+        FROM (SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY c DESC, event_type) AS rn
+              FROM et)
+        WHERE rn = 1
+    ),
+    hb AS MATERIALIZED (
+        SELECT user_id, {_KA_BAND} AS band, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    mhb AS (
+        SELECT user_id, band AS active_band
+        FROM (SELECT user_id, band,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY c DESC, band) AS rn
+              FROM hb)
+        WHERE rn = 1
+    ),
+    av AS (
+        SELECT user_id, {_KA_AVG} AS avg_v FROM events GROUP BY user_id
+    )
+    SELECT m.modal_event_type, h.active_band, {_KA_VB} AS value_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           COUNT(*) < {_KA_RISK} AS at_risk
+    FROM met m
+    JOIN mhb h USING (user_id)
+    JOIN av USING (user_id)
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of user behavioural profiles: each user's
+    quasi-identifier triple (modal event type, modal 6-hour activity
+    band, average-value bucket) defines an equivalence class; classes
+    with fewer than {k} members are re-identification risks (Sweeney
+    2002's k-anonymity, applied to the behavioural profile a released
+    events table leaks even with user_id dropped). The release gate a
+    training-data pipeline runs BEFORE exporting interaction logs —
+    complementing content-plane PII redaction (text_pii_redaction)
+    with a structural-plane disclosure check.
+
+    Determinism: modal picks break ties by the smaller key through an
+    explicit ROW_NUMBER ordering; the value average goes through one
+    exact DECIMAL(38,12) sum and a shared division/floor expression,
+    so bucket boundaries agree bit-for-bit across engines.
+
+    Scale: three per-user partial aggregations (map-side combinable)
+    + two per-user windows whose partitions are one user's event-type
+    /band lists (bounded by cardinality, never corpus-wide); the
+    class report is at most |types| x 4 bands x 6 buckets rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    et = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_et = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    met = (
+        et.withColumn("rn", F.row_number().over(w_et))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_event_type"))
+    )
+    hb = ev.select("user_id", F.expr(_KA_BAND).alias("band")).groupBy(
+        "user_id", "band"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_hb = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("band").asc()
+    )
+    mhb = (
+        hb.withColumn("rn", F.row_number().over(w_hb))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("band").alias("active_band"))
+    )
+    av = ev.groupBy("user_id").agg(F.expr(_KA_AVG).alias("avg_v"))
+    cls = (
+        met.join(mhb, "user_id")
+        .join(av, "user_id")
+        .select(
+            "modal_event_type",
+            "active_band",
+            F.expr(_KA_VB).alias("value_bucket"),
+        )
+    )
+    return cls.groupBy(
+        "modal_event_type", "active_band", "value_bucket"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (F.count(F.lit(1)) < _KA_RISK).alias("at_risk"),
     )

@@ -509,3 +509,69 @@ def test_weigh_statement_matches_query_topk(engine, spark, smoke_dir):
         for r in QUERIES["dsir_importance_weights"](spark, smoke_dir).collect()
     }
     assert got == want
+
+
+# -- AUDIT ANONYMITY / CALIBRATE DEDUP (round 4) --------------------------
+
+
+def test_parse_audit_forms():
+    a = parse("AUDIT ANONYMITY events ON event_type")
+    assert isinstance(a, ir.AuditAnonymity)
+    assert a.source == "events" and a.columns == ["event_type"]
+    assert a.risk == 5
+
+    a = parse("AUDIT ANONYMITY events ON event_type, user_id RISK 10")
+    assert a.columns == ["event_type", "user_id"] and a.risk == 10
+
+
+def test_parse_calibrate_forms():
+    c = parse("CALIBRATE DEDUP documents")
+    assert isinstance(c, ir.CalibrateDedup)
+    assert c.thresholds[0] == 0.05 and len(c.thresholds) == 8
+    assert c.text_column == "text"
+
+    c = parse("CALIBRATE DEDUP documents THRESHOLDS 0.1, 0.3 ON body")
+    assert c.thresholds == [0.1, 0.3] and c.text_column == "body"
+
+
+def test_parse_audit_calibrate_rejects():
+    from declarativeml_spark.dsl import DSLSyntaxError
+
+    with pytest.raises(ValueError, match="RISK"):
+        parse("AUDIT ANONYMITY events ON event_type RISK 0")
+    with pytest.raises((DSLSyntaxError, ValueError)):
+        parse("AUDIT ANONYMITY events")  # missing ON clause
+    with pytest.raises(ValueError, match="THRESHOLDS"):
+        parse("CALIBRATE DEDUP documents THRESHOLDS 1.5")
+    with pytest.raises(ValueError, match="cannot be empty"):
+        parse("CALIBRATE DEDUP THRESHOLDS 0.1")
+
+
+def test_audit_statement_matches_groupby(engine, spark):
+    from pyspark.sql import functions as F
+
+    out = engine.execute("AUDIT ANONYMITY events ON event_type RISK 999")
+    assert out.columns == ["event_type", "n_members", "at_risk"]
+    want = _rows(
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            (F.count(F.lit(1)) < 999).alias("at_risk"),
+        )
+    )
+    assert _rows(out) == want
+    # every class is below a RISK this large
+    assert all(r[-1] for r in _rows(out))
+
+
+def test_audit_rejects_unknown_column(engine):
+    with pytest.raises(ValueError, match="not in"):
+        engine.execute("AUDIT ANONYMITY events ON no_such_col")
+
+
+def test_calibrate_statement_matches_query(engine, spark, smoke_dir):
+    out = engine.execute("CALIBRATE DEDUP documents")
+    assert out.columns == ["threshold", "n_pairs", "n_docs", "avg_jaccard"]
+    expected = QUERIES["dedup_threshold_sweep"](spark, smoke_dir)
+    assert _rows(out) == _rows(expected)
