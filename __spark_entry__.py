@@ -125,6 +125,8 @@ _CHECK_FIRST = (
     "dedup_source_overlap_matrix",
     "dedup_band_calibration",
     "events_k_anonymity",
+    "embedding_matryoshka_audit",
+    "lineitem_pruning_effectiveness",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

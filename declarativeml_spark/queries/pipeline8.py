@@ -1952,3 +1952,304 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         (F.count(F.lit(1)) < _KA_RISK).alias("at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit: how much cosine structure survives at
+# each prefix dimensionality.
+
+_MAT_DIMS = [8, 16, 32]
+
+
+def _mat_cos(engine: str, a: str, b: str) -> str:
+    from declarativeml_spark.queries.pipeline import (
+        _DOT_D, _DOT_S, _NORM_D, _NORM_S)
+
+    dot, nrm = (_DOT_S, _NORM_S) if engine == "spark" else (_DOT_D, _NORM_D)
+    return (
+        f"({dot.format(a=a, b=b)}"
+        f" / ({nrm.format(a=a)} * {nrm.format(a=b)}))"
+    )
+
+
+def _mat_prefix(engine: str, col: str, d: int) -> str:
+    return f"slice({col}, 1, {d})" if engine == "spark" else f"{col}[1:{d}]"
+
+
+def _mat_err(engine: str, d: int) -> str:
+    full = _mat_cos(engine, "ea", "eb")
+    trunc = _mat_cos(
+        engine, _mat_prefix(engine, "ea", d), _mat_prefix(engine, "eb", d)
+    )
+    return f"abs({trunc} - {full})"
+
+
+def _mat_mean(err: str) -> str:
+    return (
+        f"CAST(SUM(CAST(({err}) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(1)"
+    )
+
+
+def _mat_oracle() -> str:
+    from declarativeml_spark.operators.dedup import lsh_pairs_oracle_sql
+    from declarativeml_spark.queries.pipeline import _LSH_PARAMS
+
+    inner = lsh_pairs_oracle_sql(**_LSH_PARAMS)
+    cols = []
+    for d in _MAT_DIMS:
+        err = _mat_err("duck", d)
+        cols.append(f"{sql_sround(_mat_mean(err), 8)} AS mean_abs_err_{d}")
+        cols.append(f"{sql_sround(f'MAX({err})', 8)} AS max_abs_err_{d}")
+    sel = ",\n           ".join(cols)
+    return f"""
+    WITH pairs AS MATERIALIZED ({inner}),
+    j AS (
+        SELECT va.embedding AS ea, vb.embedding AS eb
+        FROM pairs p
+        JOIN embeddings va ON va.vec_id = p.id_a
+        JOIN embeddings vb ON vb.vec_id = p.id_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {sel}
+    FROM j
+    """
+
+
+@query("embedding_matryoshka_audit", oracle=_mat_oracle())
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022, MRL): over
+    the hash-checked LSH near-neighbour pair plane, the mean and
+    worst absolute cosine error when vectors are truncated to their
+    first 8/16/32 of 64 dimensions — the measurement behind "can we
+    run candidate retrieval on a prefix and rerank on the full
+    vector", which at 100 TB cuts the ANN index's memory and shuffle
+    bytes by the truncation factor.
+
+    The error is measured exactly where it matters: on the
+    candidate-pair population the index serves, not on random pairs.
+
+    Scale: the pair plane is the LSH bucket join (never all pairs);
+    vectors re-attach by two id equi-joins; prefix cosines are
+    per-row folds (same left-fold text as every embedding query);
+    the report is ONE aggregate row via DECIMAL-exact sums.
+    """
+    from declarativeml_spark.operators.dedup import lsh_topk_pairs
+    from declarativeml_spark.queries.pipeline import (
+        _LSH_PARAMS, _no_codegen_session)
+
+    s2 = _no_codegen_session(spark)
+    emb = load_table(s2, sf_dir, "embeddings")
+    pairs = lsh_topk_pairs(emb, **_LSH_PARAMS).select("id_a", "id_b")
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    j = pairs.join(va, "id_a").join(vb, "id_b")
+    aggs = [F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pairs")]
+    for d in _MAT_DIMS:
+        err = _mat_err("spark", d)
+        aggs.append(
+            F.expr(sql_sround(_mat_mean(err), 8)).alias(f"mean_abs_err_{d}")
+        )
+        aggs.append(
+            F.expr(sql_sround(f"MAX({err})", 8)).alias(f"max_abs_err_{d}")
+        )
+    return j.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning effectiveness: which physical layout lets min/max
+# file statistics skip which predicate workload.
+
+_PRUNE_N_FILES = 64
+# value-range quantize key k into [0, n) — IEEE double divide + floor,
+# identical text in both engines
+_PRUNE_Q = (
+    "CAST(FLOOR(CAST({k} - {mn} AS DOUBLE) / ({mx} - {mn} + 1)"
+    " * {n}.0) AS BIGINT)"
+)
+_PRUNE_W = "CAST(FLOOR((pk_mx - pk_mn + 8.0) / 8.0) AS BIGINT)"
+
+
+def _prune_interleave3(engine: str) -> str:
+    """6-bit Morton interleave of two 3-bit quantized keys."""
+    terms = []
+    for i in range(3):
+        for col, out in (("qs3", 2 * i), ("qp3", 2 * i + 1)):
+            if engine == "spark":
+                terms.append(f"shiftleft(shiftright({col}, {i}) & 1, {out})")
+            else:
+                terms.append(f"((({col} >> {i}) & 1) << {out})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _prune_month_preds() -> list[tuple[int, str, int, int]]:
+    import datetime
+
+    epoch = datetime.date(1992, 1, 1)
+    rows = []
+    for m in range(1, 13):
+        lo = datetime.date(1997, m, 1)
+        hi = (
+            datetime.date(1997, m + 1, 1)
+            if m < 12
+            else datetime.date(1998, 1, 1)
+        )
+        rows.append(
+            (m - 1, "shipdate", (lo - epoch).days, (hi - epoch).days - 1)
+        )
+    return rows
+
+
+_PRUNE_SKIP = (
+    "CASE WHEN dim = 'shipdate' THEN (sd_max < lo OR sd_min > hi)"
+    " ELSE (pk_max < lo OR pk_min > hi) END"
+)
+
+
+def _prune_oracle() -> str:
+    months = ", ".join(
+        f"({pid}, '{dim}', {lo}, {hi})"
+        for pid, dim, lo, hi in _prune_month_preds()
+    )
+    qf = _PRUNE_Q
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT datediff('day', DATE '1992-01-01',
+                        CAST(l_shipdate AS DATE)) AS sd,
+               l_partkey AS pk, l_orderkey AS ok
+        FROM lineitem
+    ),
+    mm AS (
+        SELECT MIN(sd) AS sd_mn, MAX(sd) AS sd_mx,
+               MIN(pk) AS pk_mn, MAX(pk) AS pk_mx,
+               MIN(ok) AS ok_mn, MAX(ok) AS ok_mx
+        FROM base
+    ),
+    qq AS (
+        SELECT sd, pk,
+               {qf.format(k='ok', mn='ok_mn', mx='ok_mx', n=_PRUNE_N_FILES)} AS fo,
+               {qf.format(k='sd', mn='sd_mn', mx='sd_mx', n=_PRUNE_N_FILES)} AS fs,
+               {qf.format(k='sd', mn='sd_mn', mx='sd_mx', n=8)} AS qs3,
+               {qf.format(k='pk', mn='pk_mn', mx='pk_mx', n=8)} AS qp3
+        FROM base CROSS JOIN mm
+    ),
+    files AS MATERIALIZED (
+        SELECT 'orderkey' AS layout, fo AS f, sd, pk FROM qq
+        UNION ALL
+        SELECT 'shipdate', fs, sd, pk FROM qq
+        UNION ALL
+        SELECT 'zorder', {_prune_interleave3('duck')}, sd, pk FROM qq
+    ),
+    zones AS (
+        SELECT layout, f,
+               MIN(sd) AS sd_min, MAX(sd) AS sd_max,
+               MIN(pk) AS pk_min, MAX(pk) AS pk_max
+        FROM files GROUP BY layout, f
+    ),
+    preds AS (
+        SELECT * FROM (VALUES {months}) v(pid, dim, lo, hi)
+        UNION ALL
+        SELECT k, 'partkey', pk_mn + k * w,
+               LEAST(pk_mx, pk_mn + k * w + w - 1)
+        FROM (SELECT unnest(range(8)) AS k)
+        CROSS JOIN (SELECT pk_mn, pk_mx, {_PRUNE_W} AS w FROM mm)
+    )
+    SELECT z.layout, p.dim AS predicate_dim,
+           CAST(COUNT(DISTINCT z.f) AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_checks,
+           CAST(SUM(CASE WHEN {_PRUNE_SKIP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_skipped,
+           {sql_sround(
+               'CAST(SUM(CASE WHEN ' + _PRUNE_SKIP + ' THEN 1 ELSE 0 END)'
+               ' AS DOUBLE) / COUNT(*)', 6)} AS skip_fraction
+    FROM zones z CROSS JOIN preds p
+    GROUP BY 1, 2
+    """
+
+
+@query("lineitem_pruning_effectiveness", oracle=_prune_oracle())
+def lineitem_pruning_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning effectiveness: simulate three physical
+    layouts of lineitem as 64 files each — natural (orderkey-ranged),
+    shipdate-sorted, and a 6-bit Morton interleave of (shipdate,
+    partkey) — compute each file's min/max statistics on BOTH
+    predicate dimensions, then replay a 20-predicate workload
+    (12 shipdate months + 8 partkey ranges) against the zone maps and
+    report the fraction of file reads each layout lets the scanner
+    skip. This is the completion of lineitem_zorder_layout's span
+    audit: spans are the mechanism, skip-fraction under a workload is
+    the decision number (the shipdate sort prunes only its own
+    dimension; z-order buys pruning on both at a small per-dimension
+    cost).
+
+    Scale: files are value-range buckets (one broadcast stats row, a
+    per-row quantize expression — no global sort, no rank); zone maps
+    are a 3x64-group aggregate; the workload replay is a broadcast
+    nested-loop of 20 predicate rows against 192 zone rows. The
+    corpus is scanned once; everything downstream is metadata-plane.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.expr(
+            "datediff(CAST(l_shipdate AS DATE), DATE'1992-01-01')"
+        ).alias("sd"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_orderkey").alias("ok"),
+    )
+    mm = base.agg(
+        F.min("sd").alias("sd_mn"), F.max("sd").alias("sd_mx"),
+        F.min("pk").alias("pk_mn"), F.max("pk").alias("pk_mx"),
+        F.min("ok").alias("ok_mn"), F.max("ok").alias("ok_mx"),
+    )
+    qf = _PRUNE_Q
+    qq = base.crossJoin(F.broadcast(mm)).select(
+        "sd", "pk",
+        F.expr(qf.format(k="ok", mn="ok_mn", mx="ok_mx", n=_PRUNE_N_FILES)).alias("fo"),
+        F.expr(qf.format(k="sd", mn="sd_mn", mx="sd_mx", n=_PRUNE_N_FILES)).alias("fs"),
+        F.expr(qf.format(k="sd", mn="sd_mn", mx="sd_mx", n=8)).alias("qs3"),
+        F.expr(qf.format(k="pk", mn="pk_mn", mx="pk_mx", n=8)).alias("qp3"),
+    )
+    files = qq.selectExpr(
+        "stack(3, 'orderkey', fo, 'shipdate', fs,"
+        f" 'zorder', {_prune_interleave3('spark')}) AS (layout, f)",
+        "sd", "pk",
+    )
+    zones = files.groupBy("layout", "f").agg(
+        F.min("sd").alias("sd_min"), F.max("sd").alias("sd_max"),
+        F.min("pk").alias("pk_min"), F.max("pk").alias("pk_max"),
+    )
+    month_preds = spark.createDataFrame(
+        _prune_month_preds(), "pid int, dim string, lo bigint, hi bigint"
+    )
+    pk_preds = (
+        spark.createDataFrame([(k,) for k in range(8)], "k int")
+        .crossJoin(F.broadcast(mm.select("pk_mn", "pk_mx")))
+        .selectExpr(
+            "k AS pid", "'partkey' AS dim",
+            f"pk_mn + k * ({_PRUNE_W}) AS lo",
+            f"LEAST(pk_mx, pk_mn + k * ({_PRUNE_W}) + ({_PRUNE_W}) - 1) AS hi",
+        )
+    )
+    preds = month_preds.select(
+        "pid", "dim", F.col("lo").cast("long"), F.col("hi").cast("long")
+    ).unionAll(
+        pk_preds.select(
+            "pid", "dim", F.col("lo").cast("long"), F.col("hi").cast("long")
+        )
+    )
+    joined = zones.crossJoin(F.broadcast(preds))
+    return joined.groupBy(
+        "layout", F.col("dim").alias("predicate_dim")
+    ).agg(
+        F.expr("CAST(COUNT(DISTINCT f) AS BIGINT)").alias("n_files"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_checks"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN {_PRUNE_SKIP} THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_skipped"),
+        F.expr(
+            sql_sround(
+                "CAST(SUM(CASE WHEN " + _PRUNE_SKIP + " THEN 1 ELSE 0 END)"
+                " AS DOUBLE) / COUNT(*)",
+                6,
+            )
+        ).alias("skip_fraction"),
+    )
