@@ -127,6 +127,8 @@ _CHECK_FIRST = (
     "events_k_anonymity",
     "embedding_matryoshka_audit",
     "lineitem_pruning_effectiveness",
+    "decontam_semantic_overlap",
+    "text_heaps_law_fit",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

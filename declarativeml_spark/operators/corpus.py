@@ -344,3 +344,57 @@ def dsir_weights(
             .alias("log_weight"),
         )
     )
+
+
+def semantic_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: per corpus vector,
+    its max cosine to the (broadcast) benchmark set, the nearest
+    benchmark id (ties to the smaller id), and a contamination flag.
+    The paraphrase-robust complement of ``benchmark_overlap``; the
+    oracle-checked twin is
+    queries/pipeline8.py::decontam_semantic_overlap, and
+    streaming/pipeline.py::streaming_semantic_decontam is the
+    stateless ingest-time form (asserted equal in tests).
+
+    Scale: the benchmark is an eval suite — small by contract — so it
+    broadcasts and the corpus never shuffles for scoring; the argmax
+    window partitions per corpus vector over its |benchmark|-bounded
+    candidate list. Benchmark must be non-empty (an empty benchmark
+    yields an empty result, matching the join semantics).
+    """
+    from declarativeml_spark.queries.pipeline import _DOT_S, _NORM_S
+
+    q = benchmark.select(
+        F.col(bench_id_col).cast("long").alias("qid"),
+        F.col(bench_vec_col).cast("array<double>").alias("qe"),
+    )
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("ce"),
+    )
+    cos = (
+        f"({_DOT_S.format(a='ce', b='qe')}"
+        f" / ({_NORM_S.format(a='ce')} * {_NORM_S.format(a='qe')}))"
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn("cos", F.expr(cos))
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("qid"))
+    p = float(10**8)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("qid").alias("nearest_benchmark"),
+            (F.floor(F.col("cos") * F.lit(p) + F.lit(0.5)).cast("double") / F.lit(p))
+            .alias("max_cosine"),
+            (F.col("cos") >= threshold).alias("contaminated"),
+        )
+    )

@@ -409,9 +409,8 @@ def embedding_pairs(
                 " NULL first vector); pass dim= explicitly"
             )
         dim = int(probe["d"])
-    proj = _lsh_proj_matrix(dim, num_hash_tables * projs_per_table, seed)
-    key_exprs = _lsh_compound_keys(
-        "vec", proj, bucket_length, num_hash_tables, projs_per_table, "spark"
+    key_cols = _lsh_key_columns(
+        dim, bucket_length, num_hash_tables, projs_per_table, seed
     )
     base = (
         spread_partitions(
@@ -427,9 +426,7 @@ def embedding_pairs(
         "vec_id",
         "vec",
         "nrm",
-        F.posexplode(F.array(*[F.expr(k) for k in key_exprs])).alias(
-            "tbl", "bkey"
-        ),
+        F.posexplode(F.array(*key_cols)).alias("tbl", "bkey"),
     )
     a = keyed.select(
         F.col("vec_id").alias("id_a"),
@@ -726,6 +723,36 @@ def _lsh_compound_keys(
     return keys
 
 
+_LSH_KEY_COL_CACHE: dict = {}
+
+
+def _lsh_key_columns(
+    dim: int,
+    bucket_length: float,
+    num_hash_tables: int,
+    projs_per_table: int,
+    seed: int,
+) -> list:
+    """Spark-side compound bucket-key Columns for ``vec``, memoized
+    per parameter set: each key is an ``F.expr`` over
+    ``projs_per_table`` 64-literal projection folds, and parsing the
+    36 long expression strings through py4j costs ~0.5 s per call —
+    pure plan-construction overhead repeated by every LSH query in a
+    session. The parsed Columns are unresolved expression trees
+    (bound to no DataFrame or session state), so reuse is safe."""
+    key = (dim, bucket_length, num_hash_tables, projs_per_table, seed)
+    cols = _LSH_KEY_COL_CACHE.get(key)
+    if cols is None:
+        proj = _lsh_proj_matrix(dim, num_hash_tables * projs_per_table, seed)
+        exprs = _lsh_compound_keys(
+            "vec", proj, bucket_length, num_hash_tables, projs_per_table,
+            "spark",
+        )
+        cols = [F.expr(k) for k in exprs]
+        _LSH_KEY_COL_CACHE[key] = cols
+    return cols
+
+
 def lsh_topk_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -766,9 +793,8 @@ def lsh_topk_pairs(
                 " NULL first vector); pass dim= explicitly"
             )
         dim = int(probe["d"])
-    proj = _lsh_proj_matrix(dim, num_hash_tables * projs_per_table, seed)
-    key_exprs = _lsh_compound_keys(
-        "vec", proj, bucket_length, num_hash_tables, projs_per_table, "spark"
+    key_cols = _lsh_key_columns(
+        dim, bucket_length, num_hash_tables, projs_per_table, seed
     )
     # rows whose vector length differs from `dim` would fold to a NULL
     # bucket key (silently unjoinable) — and engines disagree on NULL
@@ -796,9 +822,7 @@ def lsh_topk_pairs(
     keyed = base.select(
         "vec_id",
         "vec",
-        F.posexplode(F.array(*[F.expr(k) for k in key_exprs])).alias(
-            "tbl", "bkey"
-        ),
+        F.posexplode(F.array(*key_cols)).alias("tbl", "bkey"),
     )
     # The exact-distance filter runs inside the join stage, BEFORE the
     # pair-level distinct — the wide candidate space only ever exists

@@ -2253,3 +2253,194 @@ def lineitem_pruning_effectiveness(spark: SparkSession, sf_dir: str) -> DataFram
             )
         ).alias("skip_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination: embedding-space benchmark overlap.
+
+_SDC_MOD = 97       # benchmark set: vec_id % 97 == 0 (ann-query convention)
+_SDC_THRESHOLD = 0.30  # ~p95 of max-cos-to-benchmark on this corpus
+
+
+def _sdc_cos(engine: str) -> str:
+    from declarativeml_spark.queries.pipeline import (
+        _DOT_D, _DOT_S, _NORM_D, _NORM_S)
+
+    dot, nrm = (_DOT_S, _NORM_S) if engine == "spark" else (_DOT_D, _NORM_D)
+    return (
+        f"({dot.format(a='ce', b='qe')}"
+        f" / ({nrm.format(a='ce')} * {nrm.format(a='qe')}))"
+    )
+
+
+@query(
+    "decontam_semantic_overlap",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id % {_SDC_MOD} = 0),
+    c AS (SELECT vec_id, embedding AS ce FROM embeddings
+          WHERE vec_id % {_SDC_MOD} <> 0),
+    scored AS (
+        SELECT c.vec_id, q.qid, {_sdc_cos('duck')} AS cos
+        FROM c CROSS JOIN q
+    ),
+    best AS (
+        SELECT vec_id, qid, cos
+        FROM (SELECT vec_id, qid, cos,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, qid) AS rn
+              FROM scored)
+        WHERE rn = 1
+    )
+    SELECT vec_id, qid AS nearest_benchmark,
+           {sql_sround('cos', 8)} AS max_cosine,
+           cos >= {_SDC_THRESHOLD!r} AS contaminated
+    FROM best
+    """,
+)
+def decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) benchmark decontamination: for every
+    corpus vector, its maximum cosine to the held-out benchmark set
+    and a contamination flag at the measured ~p95 cutoff — the
+    paraphrase-robust complement of the n-gram overlap screens
+    (decontam_benchmark_overlap / decontam_bloom_gate), which miss
+    reworded eval items that embedding similarity still catches.
+
+    Scale: the benchmark set is an eval suite — small by nature — so
+    it BROADCASTS and the corpus never shuffles for scoring; the
+    per-vector argmax window's partition is one vector's
+    |benchmark|-bounded candidate list (the knn_graph pattern), and
+    ties break on the benchmark id. At a benchmark too large to
+    broadcast, the LSH bucket join (ann_lsh_bucketed) replaces the
+    broadcast product; the threshold semantics are unchanged.
+    """
+    from declarativeml_spark.operators.corpus import semantic_overlap
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
+    bench = emb.filter(F.col("vec_id") % _SDC_MOD == 0)
+    corpus = emb.filter(F.col("vec_id") % _SDC_MOD != 0)
+    return semantic_overlap(corpus, bench, threshold=_SDC_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit: vocabulary growth across corpus-prefix deciles.
+
+_HEAPS_DECILES = 10
+_HEAPS_Q = (
+    "CAST(FLOOR(CAST(doc_id - mn AS DOUBLE) / (mx - mn + 1)"
+    f" * {_HEAPS_DECILES}.0) AS BIGINT)"
+)
+# local Heaps exponent between consecutive prefix points — ln-ratio
+# form (ln is the one transcendental identical across engines)
+_HEAPS_BETA = (
+    "(ln(CAST(cum_types AS DOUBLE)) - ln(CAST(prev_types AS DOUBLE)))"
+    " / (ln(CAST(cum_tokens AS DOUBLE)) - ln(CAST(prev_tokens AS DOUBLE)))"
+)
+
+
+@query(
+    "text_heaps_law_fit",
+    oracle=f"""
+    WITH mm AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+    tok AS MATERIALIZED (
+        SELECT {_HEAPS_Q} AS decile, unnest({_TOKS_D}) AS w
+        FROM documents CROSS JOIN mm
+    ),
+    per AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok
+        GROUP BY decile
+    ),
+    first_seen AS (
+        SELECT w, MIN(decile) AS d0 FROM tok GROUP BY w
+    ),
+    novel AS (
+        SELECT d0 AS decile, CAST(COUNT(*) AS BIGINT) AS new_types
+        FROM first_seen GROUP BY d0
+    ),
+    cum AS (
+        SELECT p.decile,
+               CAST(SUM(p.n_tokens) OVER (ORDER BY p.decile) AS BIGINT)
+                 AS cum_tokens,
+               CAST(SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY p.decile)
+                 AS BIGINT) AS cum_types
+        FROM per p LEFT JOIN novel n ON n.decile = p.decile
+    ),
+    lagged AS (
+        SELECT decile, cum_tokens, cum_types,
+               LAG(cum_tokens) OVER (ORDER BY decile) AS prev_tokens,
+               LAG(cum_types) OVER (ORDER BY decile) AS prev_types
+        FROM cum
+    )
+    SELECT decile, cum_tokens, cum_types,
+           CASE WHEN prev_tokens IS NOT NULL
+                THEN {sql_sround(_HEAPS_BETA, 8)} END AS heaps_beta
+    FROM lagged
+    """,
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law vocabulary-growth fit: cumulative token and
+    distinct-type counts at ten corpus-prefix points (doc_id order =
+    ingestion order), with the local Heaps exponent
+    β = Δln(V)/Δln(N) between consecutive points. The capacity-
+    planning readout for tokenizer vocab sizing and dedup health — a
+    β that stops falling means the crawl is still surfacing new
+    material; β ≈ 0 means additional data is pure repetition.
+    Complements the static text_zipf_fit (frequency shape at one
+    corpus size) with the growth dimension.
+
+    Scale: "vocabulary at each prefix" is NOT ten scans — each type
+    maps to the decile of its FIRST appearance (one groupBy over the
+    token plane), and cumulative sums over the 10-row decile plane
+    reconstruct every prefix vocabulary exactly. The 10-row windows
+    are calendar-bounded by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    mm = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    tok = (
+        docs.crossJoin(F.broadcast(mm))
+        .select(
+            F.expr(_HEAPS_Q).alias("decile"),
+            F.explode(F.expr(_TOKS_S)).alias("w"),
+        )
+    )
+    per = tok.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    novel = (
+        tok.groupBy("w")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    # constant partition key: 10-row decile plane by construction
+    w10 = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        per.join(novel, "decile", "left")
+        .select(
+            "decile",
+            F.sum("n_tokens").over(w10).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce("new_types", F.lit(0)))
+            .over(w10)
+            .cast("long")
+            .alias("cum_types"),
+        )
+    )
+    w_lag = Window.partitionBy(F.lit(0)).orderBy("decile")
+    lagged = cum.select(
+        "decile", "cum_tokens", "cum_types",
+        F.lag("cum_tokens").over(w_lag).alias("prev_tokens"),
+        F.lag("cum_types").over(w_lag).alias("prev_types"),
+    )
+    return lagged.select(
+        "decile", "cum_tokens", "cum_types",
+        F.when(
+            F.col("prev_tokens").isNotNull(),
+            F.expr(sql_sround(_HEAPS_BETA, 8)),
+        ).alias("heaps_beta"),
+    )

@@ -319,3 +319,74 @@ def streaming_new_users(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
     return firsts.groupBy(day.alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("n_new")
     )
+
+
+def streaming_semantic_decontam(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+) -> DataFrame:
+    """Continuous embedding-space decontamination: score each arriving
+    vector against a STATIC benchmark set and flag max-cosine >=
+    threshold — the ingest-time twin of
+    ``operators/corpus.py::semantic_overlap`` (asserted equal in
+    tests).
+
+    Stateless by construction, so it runs in append mode with no
+    watermark: the benchmark collapses to ONE qid-sorted
+    array<struct> row (eval sets are small — the operator's contract,
+    as with streaming_decontam), joined in via a broadcast single-row
+    equi-join; the per-vector argmax is a left fold over that array
+    with a strict ``>`` comparison, which reproduces the batch
+    window's (cos DESC, qid ASC) winner exactly: the array is sorted
+    by qid, so the FIRST element attaining the max wins in both
+    forms. At 100 TB/day ingest this is a map-only stage.
+    """
+    from declarativeml_spark.queries.pipeline import _DOT_S, _NORM_S
+
+    bench_row = (
+        benchmark.select(
+            F.struct(
+                F.col(bench_id_col).cast("long").alias("qid"),
+                F.col(bench_vec_col).cast("array<double>").alias("qe"),
+            ).alias("s")
+        )
+        .agg(F.array_sort(F.collect_list("s")).alias("bench"))
+        .withColumn("j", F.lit(1))
+    )
+    cos = (
+        f"({_DOT_S.format(a='ce', b='b.qe')}"
+        f" / ({_NORM_S.format(a='ce')} * {_NORM_S.format(a='b.qe')}))"
+    )
+    best = (
+        "aggregate(bench,"
+        " struct(CAST(-2.0 AS DOUBLE) AS cos, CAST(-1 AS BIGINT) AS qid),"
+        f" (acc, b) -> CASE WHEN {cos} > acc.cos"
+        f" THEN struct(CAST({cos} AS DOUBLE) AS cos, b.qid AS qid)"
+        " ELSE acc END)"
+    )
+    p = float(10**8)
+    return (
+        stream.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("ce"),
+        )
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(bench_row), "j")
+        .withColumn("best", F.expr(best))
+        .select(
+            "vec_id",
+            F.col("best.qid").alias("nearest_benchmark"),
+            (
+                F.floor(F.col("best.cos") * F.lit(p) + F.lit(0.5)).cast(
+                    "double"
+                )
+                / F.lit(p)
+            ).alias("max_cosine"),
+            (F.col("best.cos") >= threshold).alias("contaminated"),
+        )
+    )

@@ -50,6 +50,8 @@ GLOBAL_WINDOW_BOUNDED_OK = {
     "orders_forecast_backtest": "monthly revenue plane (calendar-bounded)",
     # one row per quantized candidate threshold (fixed quantization)
     "lineitem_decision_stump": "quantized threshold plane (constant-bounded)",
+    # one row per corpus-prefix decile (constant _HEAPS_DECILES = 10)
+    "text_heaps_law_fit": "10-row decile plane (constant-bounded)",
 }
 
 _TREE_NODE_RE = re.compile(r"^([\s:+\-]*)([A-Za-z][\w ]*?) \((\d+)\)\s*$")

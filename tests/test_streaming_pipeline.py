@@ -682,3 +682,43 @@ def test_streaming_stratified_quota_matches_batch(spark, smoke_dir, tmp_path):
         for r in QUERIES["corpus_stratified_quota"](spark, smoke_dir).collect()
     )
     assert got == want
+
+
+def test_streaming_semantic_decontam_matches_batch(spark, smoke_dir, tmp_path):
+    """The streaming fold's (max cos, nearest id, flag) must equal the
+    batch window operator's on the same corpus/benchmark split (the
+    batch form is the oracle-checked one)."""
+    from declarativeml_spark.operators.corpus import semantic_overlap
+    from declarativeml_spark.streaming.pipeline import (
+        streaming_semantic_decontam,
+    )
+
+    emb = load_table(spark, smoke_dir, "embeddings")
+    bench = emb.filter("vec_id % 97 = 0")
+    corpus = emb.filter("vec_id % 97 <> 0")
+
+    src = str(tmp_path / "emb_src")
+    corpus.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_semantic_decontam(stream, bench, threshold=0.30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sem_decontam_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = spark.sql(
+        "SELECT vec_id, nearest_benchmark, max_cosine, contaminated"
+        " FROM sem_decontam_sink"
+    )
+    batch = semantic_overlap(spark.read.parquet(src), bench, threshold=0.30)
+    got = sorted(tuple(r) for r in streamed.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+    assert any(r[3] for r in got)  # the threshold actually fires
