@@ -553,15 +553,23 @@ def knn_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s2 = _no_codegen_session(spark)
     pairs = lsh_topk_pairs(load_table(s2, sf_dir, "embeddings"), **_LSH_PARAMS)
+    # symmetrize by exploding both orientations of each pair — ONE
+    # evaluation of the LSH candidate join (a unionAll of two
+    # projections would execute the expensive pair-emitter plan twice)
     directed = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
-        F.col("euclidean_dist").alias("d"),
-    ).unionAll(
-        pairs.select(
-            F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
-            F.col("euclidean_dist").alias("d"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+                    F.col("euclidean_dist").alias("d"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
+                    F.col("euclidean_dist").alias("d"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.d")
     w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst").asc())
     knn = (
         directed.withColumn("rnk", F.row_number().over(w))
@@ -734,15 +742,22 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s2 = _no_codegen_session(spark)
     pairs = lsh_topk_pairs(load_table(s2, sf_dir, "embeddings"), **_LSH_PARAMS)
+    # explode-symmetrized like knn_graph_degrees: one evaluation of
+    # the LSH candidate join instead of a twice-executed unionAll
     directed = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
-        F.col("euclidean_dist").alias("d"),
-    ).unionAll(
-        pairs.select(
-            F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
-            F.col("euclidean_dist").alias("d"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+                    F.col("euclidean_dist").alias("d"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
+                    F.col("euclidean_dist").alias("d"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.d")
     w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst").asc())
     knn = (
         directed.withColumn("rnk", F.row_number().over(w))
@@ -760,11 +775,10 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    nodes = (
-        tri.select(F.col("a").alias("n"))
-        .unionAll(tri.select(F.col("b").alias("n")))
-        .unionAll(tri.select(F.col("c").alias("n")))
-    )
+    # one evaluation of the two triangle-closing joins: explode the
+    # three corners per triangle (three unionAll'd projections would
+    # run the join pipeline three times)
+    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("n"))
     return nodes.groupBy(F.col("n").alias("vec_id")).agg(
         F.count("*").cast("bigint").alias("triangles")
     )
