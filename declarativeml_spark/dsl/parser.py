@@ -73,6 +73,8 @@ Statement = Union[
     ir.ShuffleCorpus,
     ir.ScoreQuality,
     ir.WeighCorpus,
+    ir.AuditAnonymity,
+    ir.CalibrateDedup,
 ]
 
 

@@ -464,22 +464,45 @@ class Engine:
         )
 
     def _similarity_search(self, stmt: ir.SimilaritySearch) -> DataFrame:
+        import inspect
+
         from declarativeml_spark.operators import dedup as D
 
         df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
         p = dict(stmt.params)
         if stmt.method == "lsh":
-            return D.lsh_topk_pairs(df, **p)
-        if stmt.method == "ivf":
+            fn, kw = D.lsh_topk_pairs, p
+        elif stmt.method == "ivf":
             # The deterministic pinned-Lloyd's quantizer IS the DSL
             # path (hash-checked vs the DuckDB oracle, query
             # ann_ivf_topk); the MLlib k-means|| variant stays
             # reachable as 'ivf_mllib' for init-quality comparisons
             # (tests/test_dedup_dsl.py).
-            return D.ivf_native_topk(df, k=stmt.k, **p)
-        if stmt.method == "ivf_mllib":
-            return D.ivf_topk(df, k=stmt.k, **p)
-        return D.cosine_topk(df, k=stmt.k, **p)
+            fn, kw = D.ivf_native_topk, dict(k=stmt.k, **p)
+        elif stmt.method == "ivf_mllib":
+            fn, kw = D.ivf_topk, dict(k=stmt.k, **p)
+        else:
+            fn, kw = D.cosine_topk, dict(k=stmt.k, **p)
+        # validate option names HERE so an unsupported option is the
+        # DSL's typed error, not a raw TypeError from **kw — e.g.
+        # seed/max_iter are k-means|| knobs that the deterministic
+        # 'ivf' quantizer does not have (use ivf_mllib for those)
+        accepted = set(inspect.signature(fn).parameters) - {"df"}
+        unknown = sorted(set(kw) - accepted)
+        if unknown:
+            raise ValueError(
+                f"SEARCH SIMILAR USING {stmt.method} does not accept "
+                f"option(s) {', '.join(unknown)!s}; accepted: "
+                f"{', '.join(sorted(accepted))}"
+                + (
+                    " (seed/max_iter are k-means|| options — use"
+                    " USING ivf_mllib)"
+                    if stmt.method == "ivf"
+                    and {"seed", "max_iter"} & set(unknown)
+                    else ""
+                )
+            )
+        return fn(df, **kw)
 
     # -- REGISTER AGENT (catalog row + subscription, AGENTS.md:189-196) -------
     def _register_agent_catalog(self, stmt: ir.RegisterAgent) -> dict:

@@ -67,3 +67,24 @@ def release_all(frames: List[DataFrame]) -> None:
         except Exception:
             pass
     frames.clear()
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Free a ``localCheckpoint``'d frame's storage blocks NOW.
+
+    ``DataFrame.unpersist()`` only clears CacheManager entries — a
+    local checkpoint's RDD blocks are untouched and survive until the
+    driver happens to GC the RDD reference, so a T-round iterative
+    loop holds T generations of label blocks simultaneously. This
+    reaches the checkpointed RDD through the analyzed ``LogicalRDD``
+    and unpersists it directly (best-effort: any py4j/plan-shape
+    mismatch degrades to the context-cleaner behavior).
+
+    Only call on frames NO LONGER referenced by any live plan — a
+    released checkpoint cannot recompute (the lineage was truncated);
+    subsequent actions on it raise CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass

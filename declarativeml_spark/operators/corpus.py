@@ -380,9 +380,11 @@ def semantic_overlap(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("ce"),
     )
+    # nullif: a zero-norm vector must score NULL (ranked last, NULL
+    # flag), not raise ANSI DIVIDE_BY_ZERO — same guard in the oracle
     cos = (
         f"({_DOT_S.format(a='ce', b='qe')}"
-        f" / ({_NORM_S.format(a='ce')} * {_NORM_S.format(a='qe')}))"
+        f" / nullif({_NORM_S.format(a='ce')} * {_NORM_S.format(a='qe')}, 0))"
     )
     scored = c.crossJoin(F.broadcast(q)).withColumn("cos", F.expr(cos))
     w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("qid"))

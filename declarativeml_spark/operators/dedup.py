@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from declarativeml_spark.operators.caching import track_persist
+from declarativeml_spark.operators.caching import (
+    release_checkpoint,
+    track_persist,
+)
 
 from declarativeml_spark.operators import textops as T
 
@@ -977,7 +980,11 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = new_lbl.filter(F.col("lbl") != F.col("old_lbl")).count()
+        # round 1's frame is a plain persist; later rounds are local
+        # checkpoints whose blocks unpersist() does NOT free — release
+        # them explicitly or T rounds hold T label generations
         cached.unpersist()
+        release_checkpoint(cached)
         cached = new_lbl
         lbl = new_lbl.select("id", "lbl")
         if changed == 0:
@@ -1466,19 +1473,20 @@ def threshold_sweep(
             raise ValueError(
                 f"thresholds must be in (0, 1], got {t!r}"
             )
-    gate = float(min(thresholds))
+    # set semantics: duplicate thresholds would double-count every
+    # pair through the non-equi join (each copy matches separately)
+    uniq = sorted({float(t) for t in thresholds})
+    gate = uniq[0]
     pairs = track_persist(
         ngram_jaccard_pairs(
             df, id_col=id_col, text_col=text_col, threshold=gate
         )
     )
-    thr = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(float(t),) for t in thresholds], "threshold double"
-        )
+    thr = df.sparkSession.createDataFrame(
+        [(t,) for t in uniq], "threshold double"
     )
     hits = track_persist(
-        pairs.join(thr, F.col("jaccard") >= F.col("threshold"))
+        pairs.join(F.broadcast(thr), F.col("jaccard") >= F.col("threshold"))
     )
     per = hits.groupBy("threshold").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
@@ -1497,6 +1505,17 @@ def threshold_sweep(
         .groupBy("threshold")
         .agg(F.count_distinct("d").cast("long").alias("n_docs"))
     )
-    return per.join(docs_hit, "threshold").select(
-        "threshold", "n_pairs", "n_docs", "avg_jaccard"
+    # left joins from the threshold spine: a cutoff no pair reaches
+    # still gets its curve row (n_pairs=0) — silently dropping exactly
+    # the threshold being evaluated would make "no pairs" look like
+    # "not requested"
+    return (
+        thr.join(per, "threshold", "left")
+        .join(docs_hit, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            "avg_jaccard",
+        )
     )

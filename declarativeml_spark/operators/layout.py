@@ -134,17 +134,23 @@ def epoch_shuffle(
     """Deterministic per-epoch global shuffle: every (epoch, row)
     pair gets a pseudorandom 16-bit sort key (md5 of
     ``'ep<epoch>:<id>'``) and a shard — writing each epoch's shards
-    ordered by ``skey`` IS the shuffled data-loader order. Pure
+    ordered by ``(skey, id)`` IS the shuffled data-loader order. Pure
     function of the id: a restarted job reproduces the permutation
     bit-for-bit, which rand()-seeded shuffles lose the moment
     partitioning changes. Backs the ``SHUFFLE`` DSL statement; the
     oracle-checked audit twin is
     queries/pipeline8.py::corpus_epoch_shuffle.
 
+    The 16-bit skey is NOT unique once a shard exceeds ~65k rows —
+    the id must stay in the composite everywhere order matters:
+    materialize with ``repartitionByRange(epoch, shard, skey,
+    id)`` + ``sortWithinPartitions(same)``. Ordering (or range-
+    splitting) by skey alone leaves within-tie order to shuffle
+    nondeterminism, silently breaking the restart-safety contract.
+
     Scale: a constant ×epochs fan-out of per-row map expressions —
-    no joins, no windows; materializing the order is
-    ``repartitionByRange(epoch, shard, skey)`` +
-    ``sortWithinPartitions``, never a single-task sort.
+    no joins, no windows; the materialization above is never a
+    single-task sort.
     """
     if epochs < 1:
         raise ValueError(f"epochs must be >= 1, got {epochs}")

@@ -142,6 +142,8 @@ def global_ntile(
     bucket 3 under the uniform formula). The remainder-aware form
     here is bit-identical to Spark's and DuckDB's NTILE for every n.
     """
+    if k < 1:
+        raise ValueError(f"NTILE bucket count must be >= 1, got {k}")
     ranged = _ranged_frozen(df, order_by, num_partitions)
 
     totals = (
@@ -198,6 +200,8 @@ def ntile_boundary_keys(
     the same trick a 1000-executor cluster wants: the data-plane
     never reshuffles for bucket assignment.
     """
+    if k < 1:
+        raise ValueError(f"NTILE bucket count must be >= 1, got {k}")
     cols = [
         F.col(c).asc() if d == "asc" else F.col(c).desc()
         for c, d in order_spec
@@ -221,6 +225,9 @@ def ntile_boundary_keys(
         acc += s
         bounds.append(acc)
     ranks = sorted({r for r in bounds if 1 <= r < n + 1})
+    if not ranks:
+        # k=1 (or n=1): no interior boundaries — NTILE is all-ones
+        return n, []
 
     # map each global boundary rank -> (pid, local 1-based offset)
     targets: dict[int, set] = {}
@@ -319,6 +326,8 @@ def ntile_assign_multi(
     realized as an exact sign flip. Driver state: one row per
     (partition, tag) plus (k-1)·len(metrics) boundary keys.
     """
+    if k < 1:
+        raise ValueError(f"NTILE bucket count must be >= 1, got {k}")
     sess = df.sparkSession
 
     def signed(m: str, d: str) -> Column:
@@ -370,6 +379,9 @@ def ntile_assign_multi(
             acc += s
             if acc >= 1:
                 bounds.add(acc)
+        if not bounds:
+            # k=1 or n=1: no interior boundaries for this metric
+            continue
         lo = 0
         it = iter(counts)
         pid, cnt = next(it)

@@ -526,7 +526,10 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", (F.col("w") / F.col("total")).alias("wn"))
         .transform(track_persist)
     )
+    from declarativeml_spark.operators.caching import release_checkpoint
+
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    prev = None
     for _ in range(_PR_ITERS):
         contrib = (
             enorm.join(ranks, enorm.src == ranks.node)
@@ -550,7 +553,12 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measured 308 Exchange nodes in the final tree), which
         # Catalyst re-analyzes on every downstream use. Values are
         # unchanged; the rank frontier is (nation, double)-sized.
+        # unpersist() can't free checkpoint blocks, so release each
+        # superseded generation explicitly once the next one exists.
         ranks = ranks.localCheckpoint(eager=True)
+        if prev is not None:
+            release_checkpoint(prev)
+        prev = ranks
     return ranks.select(
         F.col("node").alias("nation"),
         F.expr(T.stable_round("rank", 10)).alias("pagerank"),

@@ -270,8 +270,9 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the epoch fan-out is a constant ×{E}; key/shard are
     per-row map expressions; the audit is one map-side-combinable
     aggregation to {E}×{S} rows. Writing the actual order is
-    ``repartitionByRange(epoch, shard, skey)`` + sortWithinPartitions
-    — no single-task sort anywhere.
+    ``repartitionByRange(epoch, shard, skey, doc_id)`` +
+    sortWithinPartitions — doc_id completes the 16-bit key into a
+    unique composite — no single-task sort anywhere.
     """.format(E=_EPOCHS, S=_SHUF_SHARDS)
     from declarativeml_spark.operators.layout import epoch_shuffle
 
@@ -1615,7 +1616,7 @@ def _jaccard_pairs_cte(threshold: float) -> str:
     WITH pairs AS MATERIALIZED (
         {_jaccard_pairs_cte(0.05)}
     ),
-    thr AS (SELECT unnest({_SWEEP_THRESHOLDS!r}) AS threshold),
+    thr AS (SELECT DISTINCT unnest({_SWEEP_THRESHOLDS!r}) AS threshold),
     hits AS MATERIALIZED (
         SELECT t.threshold, p.id_a, p.id_b, p.jaccard
         FROM pairs p JOIN thr t ON p.jaccard >= t.threshold
@@ -1632,8 +1633,13 @@ def _jaccard_pairs_cte(threshold: float) -> str:
         FROM (SELECT threshold, unnest([id_a, id_b]) AS d FROM hits)
         GROUP BY threshold
     )
-    SELECT p.threshold, p.n_pairs, d.n_docs, p.avg_jaccard
-    FROM per p JOIN docs_hit d USING (threshold)
+    SELECT t.threshold,
+           CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(d.n_docs, 0) AS BIGINT) AS n_docs,
+           p.avg_jaccard
+    FROM thr t
+    LEFT JOIN per p USING (threshold)
+    LEFT JOIN docs_hit d USING (threshold)
     """,
 )
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2195,18 +2201,26 @@ def lineitem_pruning_effectiveness(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("l_partkey").alias("pk"),
         F.col("l_orderkey").alias("ok"),
     )
-    mm = base.agg(
+    # ONE bounded collect of the six min/max values, injected as
+    # literals everywhere — two F.broadcast(mm) sites would each
+    # re-derive the aggregate with its own lineitem scan (the
+    # broadcast-of-aggregate trap); 1 row, 6 longs of driver state
+    mmr = base.agg(
         F.min("sd").alias("sd_mn"), F.max("sd").alias("sd_mx"),
         F.min("pk").alias("pk_mn"), F.max("pk").alias("pk_mx"),
         F.min("ok").alias("ok_mn"), F.max("ok").alias("ok_mx"),
-    )
+    ).collect()[0]
     qf = _PRUNE_Q
-    qq = base.crossJoin(F.broadcast(mm)).select(
+    qq = base.select(
         "sd", "pk",
-        F.expr(qf.format(k="ok", mn="ok_mn", mx="ok_mx", n=_PRUNE_N_FILES)).alias("fo"),
-        F.expr(qf.format(k="sd", mn="sd_mn", mx="sd_mx", n=_PRUNE_N_FILES)).alias("fs"),
-        F.expr(qf.format(k="sd", mn="sd_mn", mx="sd_mx", n=8)).alias("qs3"),
-        F.expr(qf.format(k="pk", mn="pk_mn", mx="pk_mx", n=8)).alias("qp3"),
+        F.expr(
+            qf.format(k="ok", mn=mmr["ok_mn"], mx=mmr["ok_mx"], n=_PRUNE_N_FILES)
+        ).alias("fo"),
+        F.expr(
+            qf.format(k="sd", mn=mmr["sd_mn"], mx=mmr["sd_mx"], n=_PRUNE_N_FILES)
+        ).alias("fs"),
+        F.expr(qf.format(k="sd", mn=mmr["sd_mn"], mx=mmr["sd_mx"], n=8)).alias("qs3"),
+        F.expr(qf.format(k="pk", mn=mmr["pk_mn"], mx=mmr["pk_mx"], n=8)).alias("qp3"),
     )
     files = qq.selectExpr(
         "stack(3, 'orderkey', fo, 'shipdate', fs,"
@@ -2220,14 +2234,19 @@ def lineitem_pruning_effectiveness(spark: SparkSession, sf_dir: str) -> DataFram
     month_preds = spark.createDataFrame(
         _prune_month_preds(), "pid int, dim string, lo bigint, hi bigint"
     )
-    pk_preds = (
-        spark.createDataFrame([(k,) for k in range(8)], "k int")
-        .crossJoin(F.broadcast(mm.select("pk_mn", "pk_mx")))
-        .selectExpr(
-            "k AS pid", "'partkey' AS dim",
-            f"pk_mn + k * ({_PRUNE_W}) AS lo",
-            f"LEAST(pk_mx, pk_mn + k * ({_PRUNE_W}) + ({_PRUNE_W}) - 1) AS hi",
-        )
+    # same integer math as the oracle's SQL, from the collected
+    # bounds: w = FLOOR((pk_mx - pk_mn + 8.0) / 8.0) is one IEEE
+    # double division, identical driver-side
+    import math
+
+    pk_mn, pk_mx = int(mmr["pk_mn"]), int(mmr["pk_mx"])
+    w = int(math.floor((pk_mx - pk_mn + 8.0) / 8.0))
+    pk_preds = spark.createDataFrame(
+        [
+            (k, "partkey", pk_mn + k * w, min(pk_mx, pk_mn + k * w + w - 1))
+            for k in range(8)
+        ],
+        "pid int, dim string, lo bigint, hi bigint",
     )
     preds = month_preds.select(
         "pid", "dim", F.col("lo").cast("long"), F.col("hi").cast("long")
@@ -2267,9 +2286,12 @@ def _sdc_cos(engine: str) -> str:
         _DOT_D, _DOT_S, _NORM_D, _NORM_S)
 
     dot, nrm = (_DOT_S, _NORM_S) if engine == "spark" else (_DOT_D, _NORM_D)
+    # nullif mirrors operators/corpus.py::semantic_overlap: zero-norm
+    # scores NULL in BOTH engines instead of ANSI DIVIDE_BY_ZERO /
+    # IEEE inf divergence
     return (
         f"({dot.format(a='ce', b='qe')}"
-        f" / ({nrm.format(a='ce')} * {nrm.format(a='qe')}))"
+        f" / nullif({nrm.format(a='ce')} * {nrm.format(a='qe')}, 0))"
     )
 
 

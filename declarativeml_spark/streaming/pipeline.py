@@ -341,10 +341,13 @@ def streaming_semantic_decontam(
     array<struct> row (eval sets are small — the operator's contract,
     as with streaming_decontam), joined in via a broadcast single-row
     equi-join; the per-vector argmax is a left fold over that array
-    with a strict ``>`` comparison, which reproduces the batch
-    window's (cos DESC, qid ASC) winner exactly: the array is sorted
-    by qid, so the FIRST element attaining the max wins in both
-    forms. At 100 TB/day ingest this is a map-only stage.
+    that reproduces the batch window's (cos DESC NULLS LAST, qid ASC)
+    winner exactly: the array is sorted by qid, the fold keeps the
+    first element until a strictly greater non-NULL cosine appears,
+    so ties and NULL cosines (zero-norm vectors) resolve identically
+    to the window — and an EMPTY benchmark emits no rows at all,
+    like the batch join. At 100 TB/day ingest this is a map-only
+    stage.
     """
     from declarativeml_spark.queries.pipeline import _DOT_S, _NORM_S
 
@@ -356,16 +359,27 @@ def streaming_semantic_decontam(
             ).alias("s")
         )
         .agg(F.array_sort(F.collect_list("s")).alias("bench"))
+        # batch semantics: an empty benchmark yields an EMPTY result
+        # (the cross join has nothing to pair) — without this filter
+        # the fold's init would leak sentinel rows instead
+        .filter(F.size("bench") > 0)
         .withColumn("j", F.lit(1))
     )
     cos = (
         f"({_DOT_S.format(a='ce', b='b.qe')}"
-        f" / ({_NORM_S.format(a='ce')} * {_NORM_S.format(a='b.qe')}))"
+        f" / nullif({_NORM_S.format(a='ce')} * {_NORM_S.format(a='b.qe')},"
+        " 0))"
     )
+    # init is a typed NULL struct; "acc.qid IS NULL" = nothing taken
+    # yet. A non-NULL cosine beats a NULL acc (the window's NULLS
+    # LAST); when every cosine is NULL the first (smallest-qid)
+    # element survives with cos NULL — exactly the batch row.
     best = (
         "aggregate(bench,"
-        " struct(CAST(-2.0 AS DOUBLE) AS cos, CAST(-1 AS BIGINT) AS qid),"
-        f" (acc, b) -> CASE WHEN {cos} > acc.cos"
+        " struct(CAST(NULL AS DOUBLE) AS cos, CAST(NULL AS BIGINT) AS qid),"
+        " (acc, b) -> CASE"
+        f" WHEN acc.qid IS NULL THEN struct(CAST({cos} AS DOUBLE) AS cos, b.qid AS qid)"
+        f" WHEN {cos} IS NOT NULL AND (acc.cos IS NULL OR {cos} > acc.cos)"
         f" THEN struct(CAST({cos} AS DOUBLE) AS cos, b.qid AS qid)"
         " ELSE acc END)"
     )

@@ -442,7 +442,10 @@ def test_shuffle_write_order_materializes(engine, spark, smoke_dir, tmp_path):
     path = str(tmp_path / "epochs")
     (
         out.select("epoch", "shard", "skey", "doc_id")
-        .repartitionByRange(8, "epoch", "shard", "skey")
+        # doc_id completes the composite: the 16-bit skey ties above
+        # ~65k rows/shard, and range-splitting on a non-unique prefix
+        # would leave within-tie placement to shuffle nondeterminism
+        .repartitionByRange(8, "epoch", "shard", "skey", "doc_id")
         .sortWithinPartitions("epoch", "shard", "skey", "doc_id")
         .write.partitionBy("epoch", "shard")
         .parquet(path)
@@ -575,3 +578,31 @@ def test_calibrate_statement_matches_query(engine, spark, smoke_dir):
     assert out.columns == ["threshold", "n_pairs", "n_docs", "avg_jaccard"]
     expected = QUERIES["dedup_threshold_sweep"](spark, smoke_dir)
     assert _rows(out) == _rows(expected)
+
+
+def test_calibrate_zero_hit_and_duplicate_thresholds(spark, smoke_dir):
+    """A cutoff no pair reaches must still get its curve row
+    (n_pairs=0) — dropping it would make 'no pairs' look like 'not
+    requested' — and duplicate thresholds must collapse to set
+    semantics instead of double-counting every pair through the
+    non-equi join."""
+    from declarativeml_spark.operators.dedup import threshold_sweep
+    from declarativeml_spark.sources.catalog import load_table
+
+    docs = load_table(spark, smoke_dir, "documents")
+    out = {
+        r["threshold"]: r
+        for r in threshold_sweep(docs, [0.2, 1.0]).collect()
+    }
+    assert set(out) == {0.2, 1.0}
+    assert out[0.2]["n_pairs"] > 0
+    # jaccard 1.0 pairs may or may not exist; the row must regardless
+    assert out[1.0]["n_pairs"] >= 0 and out[1.0]["n_docs"] >= 0
+    if out[1.0]["n_pairs"] == 0:
+        assert out[1.0]["n_docs"] == 0 and out[1.0]["avg_jaccard"] is None
+
+    dup = {
+        r["threshold"]: r["n_pairs"]
+        for r in threshold_sweep(docs, [0.2, 0.2]).collect()
+    }
+    assert dup == {0.2: out[0.2]["n_pairs"]}

@@ -154,6 +154,20 @@ def test_search_ivf_recall_vs_brute_force(engine, spark, smoke_dir):
     assert max(per_q.values()) <= 10
 
 
+def test_search_rejects_unknown_options(engine):
+    """An unsupported option must be the DSL's typed ValueError, not
+    a raw TypeError from **kwargs — and the ivf message must point
+    k-means|| knobs (seed/max_iter) at ivf_mllib."""
+    import pytest
+
+    with pytest.raises(ValueError, match="ivf_mllib"):
+        engine.execute("SEARCH SIMILAR embeddings USING ivf(seed=7) TOP 5")
+    with pytest.raises(ValueError, match="does not accept"):
+        engine.execute(
+            "SEARCH SIMILAR embeddings USING cosine(bucket_length=0.2)"
+        )
+
+
 def test_connected_components_chain(spark):
     """A chain a-b, b-c, c-d must collapse to ONE cluster labelled by
     the minimum id — requires multiple propagation rounds (diameter

@@ -57,7 +57,7 @@ def test_sample_frames_rejects_real_codec(spark):
         sample.sample_frames(df, codec="h264")
 
 
-@pytest.mark.parametrize("n,k", [(6, 4), (500, 4), (3, 4), (100, 7)])
+@pytest.mark.parametrize("n,k", [(6, 4), (500, 4), (3, 4), (100, 7), (10, 1)])
 def test_global_ntile_matches_naive_window(spark, n, k):
     """Exact NTILE parity including the remainder cases where the
     uniform 1+floor(k*(rank-1)/n) formula diverges (n=6, k=4)."""
@@ -96,7 +96,7 @@ def test_global_rank_stable_across_runs(spark):
         assert sorted((r["g"], r["b"]) for r in out.collect()) == first
 
 
-@pytest.mark.parametrize("n,k", [(6, 4), (500, 4), (3, 4), (100, 7), (0, 4)])
+@pytest.mark.parametrize("n,k", [(6, 4), (500, 4), (3, 4), (100, 7), (0, 4), (10, 1)])
 def test_ntile_assign_matches_naive_window(spark, n, k):
     """Boundary-key NTILE parity with the real window, including
     remainder (n=6,k=4), n<k (every rank its own bucket), and empty
@@ -130,7 +130,7 @@ def test_ntile_assign_adds_no_exchange_to_data_plane(spark):
     assert "Exchange" not in plan
 
 
-@pytest.mark.parametrize("n,k", [(6, 4), (500, 4), (3, 4), (100, 7)])
+@pytest.mark.parametrize("n,k", [(6, 4), (500, 4), (3, 4), (100, 7), (10, 1)])
 def test_ntile_assign_multi_matches_naive_windows(spark, n, k):
     """All-orderings-in-two-jobs NTILE parity: three metrics with
     mixed directions and heavy ties against three real windows."""
@@ -193,3 +193,23 @@ def test_ntile_assign_property_random_shapes(spark):
         g = {r["id"]: r["b"] for r in got.collect()}
         w = {r["id"]: r["b"] for r in want.collect()}
         assert g == w, (n, k, mod, d)
+
+
+@pytest.mark.parametrize("k", [0, -3])
+def test_ntile_rejects_nonpositive_k(spark, k):
+    """k < 1 must be a typed ValueError from every NTILE entry point,
+    not a ZeroDivisionError (global_ntile) or a cond-is-None filter
+    crash (boundary keys)."""
+    from declarativeml_spark.operators.ordered import (
+        global_ntile,
+        ntile_assign,
+        ntile_assign_multi,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "id long, v long")
+    with pytest.raises(ValueError, match=">= 1"):
+        global_ntile(df, [F.col("v").asc(), F.col("id").asc()], k, "b")
+    with pytest.raises(ValueError, match=">= 1"):
+        ntile_assign(df, [("v", "asc"), ("id", "asc")], k, "b")
+    with pytest.raises(ValueError, match=">= 1"):
+        ntile_assign_multi(df, [("v", "asc", "b")], "id", k)

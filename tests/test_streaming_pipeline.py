@@ -722,3 +722,60 @@ def test_streaming_semantic_decontam_matches_batch(spark, smoke_dir, tmp_path):
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
     assert any(r[3] for r in got)  # the threshold actually fires
+
+
+def test_streaming_semantic_decontam_edge_parity(spark, tmp_path):
+    """The stream fold must match the batch window on the edge cases
+    the happy-path test can't reach: an EMPTY benchmark (no rows, not
+    sentinel rows) and an all-NULL cosine corpus vector (zero-norm:
+    smallest qid survives with NULL score/flag, the window's
+    NULLS LAST order)."""
+    from declarativeml_spark.operators.corpus import semantic_overlap
+    from declarativeml_spark.streaming.pipeline import (
+        streaming_semantic_decontam,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    src = str(tmp_path / "edge_src")
+    corpus.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_stream(bench):
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_semantic_decontam(stream, bench, threshold=0.5)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sem_edge_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return sorted(
+            tuple(r)
+            for r in spark.sql("SELECT * FROM sem_edge_sink").collect()
+        )
+
+    empty_bench = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    assert run_stream(empty_bench) == []
+    assert semantic_overlap(corpus, empty_bench).count() == 0
+
+    bench = spark.createDataFrame(
+        [(10, [0.0, 1.0]), (20, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = run_stream(bench)
+    want = sorted(
+        tuple(r) for r in semantic_overlap(corpus, bench, 0.5).collect()
+    )
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    # zero-norm vector: smallest qid, NULL cosine, NULL flag
+    assert by_id[1][1] == 10 and by_id[1][2] is None and by_id[1][3] is None
+    assert by_id[2][3] is not None
