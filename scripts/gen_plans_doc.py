@@ -56,6 +56,8 @@ HEADLINE = {
     "quality_linear_margin": "the whole scorer is one per-row HOF fold — zero joins, zero shuffles before the stratum rollup",
     "embedding_nearest_centroid": "DECIMAL-exact centroids broadcast; argmin assignment in place; L^2 confusion rollup",
     "corpus_epoch_shuffle": "per-row epoch keys; balance audit is one map-side-combinable agg to epochs x shards rows",
+    "knn_graph_degrees": "edges explode-symmetrized from ONE evaluation of the LSH candidate join (a unionAll of projections would execute it twice); per-node top-k window partitions by node",
+    "decontam_semantic_overlap": "benchmark embeddings broadcast; corpus scored in place; per-vector argmax windows over the benchmark-bounded candidate list",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
