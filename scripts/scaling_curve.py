@@ -44,6 +44,8 @@ QUERIES = [
     "embedding_pca_power",
     "nb_lang_confusion",
     "text_tfidf_top_terms",
+    "knn_graph_triangles",
+    "decontam_semantic_overlap",
 ]
 
 
