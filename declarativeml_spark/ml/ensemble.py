@@ -124,6 +124,17 @@ def ab_route(
     """
     if len(models) != len(split):
         raise ValueError("traffic split must have one percentage per model")
+    total = sum(split)
+    if abs(total - 1.0) < 0.01:
+        # fractions: silently routing [0.5, 0.5] against integer
+        # buckets 0..99 would turn a 50/50 test into 1/99
+        split = [s * 100.0 for s in split]
+        total = 100.0
+    if abs(total - 100.0) > 0.5:
+        raise ValueError(
+            f"traffic split must sum to 100 (percent) or 1.0"
+            f" (fractions); got {total!r}"
+        )
     bucket = F.crc32(F.col(key_col).cast("string")) % 100
     out = df.withColumn("__bucket", bucket)
     preds = []

@@ -29,6 +29,18 @@ from declarativeml_spark.ml.models import registry_load
 from declarativeml_spark.ml.registry import get_algorithm
 
 
+def _linear_coefficients(final) -> Optional[list]:
+    """Binary/linear model coefficients, or None when the model has
+    none — including the multinomial LogisticRegressionModel, whose
+    ``coefficients`` property EXISTS but raises a Py4J SparkException
+    ('use coefficientMatrix instead'): ``hasattr`` only swallows
+    AttributeError, so probing with it crashes on 3+-class models."""
+    try:
+        return final.coefficients.toArray().tolist()
+    except Exception:
+        return None
+
+
 def evaluate_model(
     spark: SparkSession,
     model_name: str,
@@ -99,11 +111,14 @@ def feature_importance(
     impurity importances for trees (DSL.md:222-226)."""
     model = registry_load(spark, model_name, base=base)
     final = model.stages[-1]
+    values = None
     if hasattr(final, "featureImportances"):
         values = final.featureImportances.toArray().tolist()
-    elif hasattr(final, "coefficients"):
-        values = [abs(c) for c in final.coefficients.toArray().tolist()]
     else:
+        coefs = _linear_coefficients(final)
+        if coefs is not None:
+            values = [abs(c) for c in coefs]
+    if values is None:
         raise ValueError(
             f"Model {model_name!r} ({type(final).__name__}) exposes no importances"
         )
@@ -221,8 +236,9 @@ def explain_predictions(
         )
 
     additive = True
-    if hasattr(final, "coefficients"):
-        coefs = final.coefficients.toArray().tolist()
+    lin_coefs = _linear_coefficients(final)
+    if lin_coefs is not None:
+        coefs = lin_coefs
         d = len(coefs)
         # background = mean feature vector of the explained frame
         # (one tiny agg job; d doubles to the driver)

@@ -108,10 +108,39 @@ def registry_load(
     if version is None:
         statuses = version_statuses(name, base)
         live = [v for v, s in statuses.items() if s != "rolled_back"]
+        if statuses and not live:
+            # silently serving the very version that was rolled back
+            # would undo the rollback for every downstream scorer
+            raise ValueError(
+                f"Every version of model {name!r} is rolled back; pin a"
+                " version explicitly to override"
+            )
         version = max(live) if live else next_version(name, base) - 1
     if version < 1:
         raise ValueError(f"No registered model named {name!r} in {base}")
     return PipelineModel.load(os.path.join(base, name, f"v{version}"))
+
+
+def registry_meta(
+    name: str, version: Optional[int] = None, base: Optional[str] = None
+) -> dict:
+    """The latest registry record for a model (optionally pinned to a
+    version) — feature expressions, target, metrics, checkpoints."""
+    base = base or DEFAULT_MODEL_DIR
+    path = _registry_path(base)
+    out: dict = {}
+    if not os.path.exists(path):
+        return out
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("name") != name:
+                continue
+            if version is not None and rec.get("version") != version:
+                continue
+            if "algorithm" in rec or "features" in rec:
+                out = rec
+    return out
 
 
 def registry_table(spark: SparkSession, base: Optional[str] = None) -> DataFrame:

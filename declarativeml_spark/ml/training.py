@@ -192,13 +192,17 @@ def train(
                 pipeline = Pipeline(stages=stages)
                 attempts += 1
 
-    # Metric STOP WHEN clauses on an iterative estimator run the
-    # epoch-wise early-stopping loop below instead of one monolithic
-    # fit (reference semantics, DSL.md:123-144): the predicate is
-    # evaluated as training progresses and the fit HALTS at the first
-    # epoch where it holds.
+    # Metric STOP WHEN clauses — or a SAVE CHECKPOINTS interval — on
+    # an iterative estimator run the epoch-wise loop below instead of
+    # one monolithic fit (reference semantics, DSL.md:123-144): the
+    # predicate is evaluated as training progresses and the fit HALTS
+    # at the first epoch where it holds; checkpoint snapshots persist
+    # at interval crossings.
+    ckpt_interval = stmt.checkpoint.interval if stmt.checkpoint else None
     epochwise = bool(
-        stop and stop.metric_clauses and not use_cv and _has_max_iter(estimator)
+        ((stop and stop.metric_clauses) or ckpt_interval)
+        and not use_cv
+        and _has_max_iter(estimator)
     )
 
     if use_cv:
@@ -254,24 +258,40 @@ def train(
         # its model is the one kept. Falls through to the final
         # full-budget fit when the predicate never holds.
         target_iter = int(params.get("max_iter", 100))
-        interval = stmt.checkpoint.interval if stmt.checkpoint else None
         schedule: list[int] = []
         e = 1
         while e < target_iter:
             schedule.append(e)
             e *= 2
         schedule.append(target_iter)
-        stop_satisfied = False
+        stop_satisfied = False if stop else None
+        prev_e = 0
         for e in schedule:
             est_e = spec.build({**params, "max_iter": e}, **est_kwargs)
             model = Pipeline(stages=stages[:-1] + [est_e]).fit(train_df)
             metrics = _compute_metrics(model, eval_df, spec, label_col)
-            if interval:
+            # a checkpoint is the model snapshot at each crossed
+            # EVERY-n boundary, persisted — not a log line per
+            # schedule step (the geometric steps rarely hit exact
+            # multiples; crossing is the honorable reading)
+            if ckpt_interval and (e // ckpt_interval) > (prev_e // ckpt_interval):
                 checkpoints.append(e)
-            if stop.evaluate(metrics):
+                if model_dir:
+                    model.write().overwrite().save(
+                        os.path.join(
+                            model_dir, stmt.name, f"checkpoint_e{e}"
+                        )
+                    )
+            prev_e = e
+            if stop and stop.evaluate(metrics, epoch=e):
                 stop_satisfied = True
                 stopping_epoch = e
                 break
+        else:
+            # budget exhausted without a metric hit: epoch-budget
+            # clauses are satisfied by completion (epoch=None form)
+            if stop:
+                stop_satisfied = stop.evaluate(metrics)
         if stopping_epoch is not None:
             metrics["stopping_epoch"] = float(stopping_epoch)
     else:
@@ -374,7 +394,9 @@ class StopCondition:
     max_epochs: Optional[int] = None
     metric_clauses: List[tuple] = field(default_factory=list)
 
-    def evaluate(self, metrics: Dict[str, float]) -> bool:
+    def evaluate(
+        self, metrics: Dict[str, float], epoch: Optional[int] = None
+    ) -> bool:
         # Evaluate OR groups of AND clauses left-to-right.
         for or_part in self.text.split(" OR "):
             ok = True
@@ -385,7 +407,16 @@ class StopCondition:
                     break
                 name, op, raw = m.groups()
                 if name in {"epochs", "epoch", "iterations"}:
-                    continue  # epoch clauses handled via maxIter
+                    # mid-training (epoch given): compare against the
+                    # CURRENT epoch — skipping would make an OR'd
+                    # epoch clause vacuously true and stop everything
+                    # at epoch 1. Post-fit (epoch None): the budget
+                    # was realized via maxIter, so the clause holds.
+                    if epoch is not None:
+                        ok = ok and _OPS[op](float(epoch), float(raw))
+                        if not ok:
+                            break
+                    continue
                 if name not in metrics:
                     ok = False
                     break

@@ -325,10 +325,10 @@ def _cms_pos(tok_expr: str, j: int) -> str:
 )
 def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 heavy-hitter tokens by count-min-sketch estimate
-    (d = {d} rows x w = {w} counters), reported against exact counts
+    (d = <_CMS_D> rows x w = <_CMS_W> counters), reported against exact counts
     so the sketch's one-sided overcount is visible per token.
 
-    Scale: the sketch state is d*w = {dw} cells total — constant,
+    Scale: the sketch state is d*w = <_CMS_D * _CMS_W> cells total — constant,
     vs a |vocab|-sized exact table. Cell updates are built from
     map-side-combinable partial token counts (inserting per
     occurrence and summing partial counts into cells are the same
@@ -337,7 +337,7 @@ def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. The d positions per token are salted-md5 slices —
     the same cross-engine hash family as the minhash tables. Top-20
     ties break on token text for deterministic LIMIT.
-    """.format(d=_CMS_D, w=_CMS_W, dw=_CMS_D * _CMS_W)
+    """
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.expr(_TOKS_S)).alias("token"))
@@ -522,8 +522,8 @@ def _pq_oracle() -> str:
 
 @query("embedding_pq_codes", oracle=_pq_oracle())
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization: split each embedding into m = {m}
-    subspaces of {d} dims, learn a {k}-centroid codebook per subspace
+    """Product quantization: split each embedding into m = <_PQ_M>
+    subspaces of <_PQ_SUBDIM> dims, learn a <_PQ_CELLS>-centroid codebook per subspace
     with the pinned deterministic Lloyd's (operators/dedup.py
     ``native_cells`` — DECIMAL means, smallest-id init), and emit
     each vector's concatenated cell code plus reconstruction MSE.
@@ -531,12 +531,12 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     m log2(k) bits per vector instead of dim floats.
 
     Scale: each subspace's Lloyd iteration is a broadcast(centroids)
-    map over the corpus plus one {d}-column decimal agg — the corpus
+    map over the corpus plus one <_PQ_SUBDIM>-column decimal agg — the corpus
     never shuffles during training; the final code assembly joins m
     slim (vec_id, code, se) frames on vec_id. Reconstruction error
     aggregates as exact integers (per-dim terms rounded to BIGINT at
     1e12 scale) so the hash cannot depend on summation order.
-    """.format(m=_PQ_M, d=_PQ_SUBDIM, k=_PQ_CELLS)
+    """
     from declarativeml_spark.operators.skew import spread_partitions
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
@@ -995,7 +995,7 @@ _ZQ = (
 )
 def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout keys over (l_orderkey, l_partkey):
-    min/max-quantize each key into {b} bits, interleave, bucket rows
+    min/max-quantize each key into <_Z_BITS> bits, interleave, bucket rows
     by the z-value's top 6 bits (64 would-be files), and report each
     bucket's min/max span on BOTH dimensions — the evidence that one
     z-sorted write gives parquet row-group skipping for predicates
@@ -1003,13 +1003,13 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one stats row (broadcast) quantizes both dims into the bit
     budget at ANY key range — without it the interleave is degenerate
-    below 2^{b} and aliased above; the z-value itself is a pure
+    below 2^<_Z_BITS> and aliased above; the z-value itself is a pure
     per-row bit expression (whole-stage codegen, no shuffle); the
     span audit is one groupBy of 64 groups. The write-side use is
     `sortWithinPartitions(zval)` before the sink — this query is the
     planner's proof the spans are narrow, kept hash-checkable
     instead of writing files.
-    """.format(b=_Z_BITS)
+    """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -1089,9 +1089,9 @@ _PMI_MIN_N = 5
     """,
 )
 def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} adjacent-token collocations by pointwise mutual
+    """Top-<_PMI_TOPK> adjacent-token collocations by pointwise mutual
     information (observed bigram probability over the independence
-    expectation), with a minimum-count floor of {m} so rare
+    expectation), with a minimum-count floor of <_PMI_MIN_N> so rare
     coincidences don't dominate — the phrase-mining/tokenizer-merge
     signal.
 
@@ -1100,7 +1100,7 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension and the two totals are single broadcast rows. Top-k is
     TakeOrdered on the scored bigram table; ties break on the pair
     text. ln() is the shared cross-engine IEEE op.
-    """.format(k=_PMI_TOPK, m=_PMI_MIN_N)
+    """
     docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", F.expr(_TOKS_S).alias("toks")
     )
@@ -1241,7 +1241,7 @@ _TFIDF_TOPK = 3
     """,
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} TF-IDF terms per document — the per-doc keyword
+    """Top-<_TFIDF_TOPK> TF-IDF terms per document — the per-doc keyword
     extraction that feeds tagging, routing, and cluster labeling
     (complements the corpus-level BM25 retrieval leg).
 
@@ -1252,7 +1252,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions by doc_id — embarrassingly parallel, never a global
     sort. ln() is the same cross-engine IEEE op BM25 already relies
     on; ties break on term text.
-    """.format(k=_TFIDF_TOPK)
+    """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     tf = (
         docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("term"))

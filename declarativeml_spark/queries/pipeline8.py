@@ -109,7 +109,7 @@ _DSIR_LL = (
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection: per-document hashed-unigram importance
     weight ``Σ_tokens [ln p̂_target(bkt) − ln p̂_raw(bkt)]`` against
-    the '{target}' source distribution, returning the top-{k}
+    the '<_DSIR_TARGET>' source distribution, returning the top-<_DSIR_TOPK>
     documents a resampling pass would keep.
 
     Every piece is cross-engine exact: bucket counts are integers,
@@ -118,13 +118,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     order cannot reorder the float additions (the nb_lang_confusion
     recipe).
 
-    Scale: the feature space is {B} hashed buckets — the bucket
+    Scale: the feature space is <_DSIR_B> hashed buckets — the bucket
     stats tables and totals are constant-sized and broadcast; the
     only data-proportional shuffles are the per-bucket count (map-
     side combinable) and the per-document sum. The top-k cut is
     orderBy().limit() → TakeOrderedAndProject, never a global sort;
-    the rank window runs on ≤ {k} rows post-limit.
-    """.format(target=_DSIR_TARGET, k=_DSIR_TOPK, B=_DSIR_B)
+    the rank window runs on ≤ <_DSIR_TOPK> rows post-limit.
+    """
     from declarativeml_spark.operators.corpus import dsir_weights
 
     docs = load_table(spark, sf_dir, "documents")
@@ -267,13 +267,13 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, payload mass, key range) — the check a 100 TB pipeline
     runs before committing an epoch layout.
 
-    Scale: the epoch fan-out is a constant ×{E}; key/shard are
+    Scale: the epoch fan-out is a constant ×<_EPOCHS>; key/shard are
     per-row map expressions; the audit is one map-side-combinable
-    aggregation to {E}×{S} rows. Writing the actual order is
+    aggregation to <_EPOCHS>×<_SHUF_SHARDS> rows. Writing the actual order is
     ``repartitionByRange(epoch, shard, skey, doc_id)`` +
     sortWithinPartitions — doc_id completes the 16-bit key into a
     unique composite — no single-task sort anywhere.
-    """.format(E=_EPOCHS, S=_SHUF_SHARDS)
+    """
     from declarativeml_spark.operators.layout import epoch_shuffle
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -344,10 +344,10 @@ def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-fold double sums over a fixed dim order; argmin ties break
     on the label.
 
-    Scale: centroids are an L×{d}-double broadcast; assignment is a
+    Scale: centroids are an L×<_NC_DIM>-double broadcast; assignment is a
     map-side array_min over the broadcast struct array (the corpus
     never shuffles); the confusion rollup is ≤ L² rows.
-    """.format(d=_NC_DIM)
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.size("embedding") == _NC_DIM).select(
         "vec_id",
@@ -440,10 +440,10 @@ def embedding_fisher_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,12); the per-class terms are recombined through
     DECIMAL again so the class-sum order cannot perturb the floats.
 
-    Scale: one explode to (label, dim) grain — {d}× row fan-out of
+    Scale: one explode to (label, dim) grain — <_NC_DIM>× row fan-out of
     map-side-combinable sums; everything after lives on the
-    L×{d}-row statistics plane.
-    """.format(d=_NC_DIM)
+    L×<_NC_DIM>-row statistics plane.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     ex = (
         emb.filter(F.size("embedding") == _NC_DIM)
@@ -526,7 +526,7 @@ def _containment_oracle() -> str:
 @query("dedup_ngram_containment", oracle=_containment_oracle())
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment pairs (|A∩B|/|A| over 3-gram
-    shingle sets, either direction ≥ {t}) — the quote/subset detector
+    shingle sets, either direction ≥ <_CONT_THRESHOLD>) — the quote/subset detector
     Jaccard misses: a short document copied whole into a long one has
     high containment but low Jaccard, because the union is dominated
     by the long side. Standard in training-data curation for pruning
@@ -535,7 +535,7 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same minhash candidate gate and hashed-set verify as
     dedup_ngram_jaccard (operators/dedup.py::ngram_containment_pairs
     documents the gate's recall caveat for extreme size asymmetry).
-    """.format(t=_CONT_THRESHOLD)
+    """
     from declarativeml_spark.operators.dedup import ngram_containment_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -660,7 +660,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model document scoring (KenLM-lite): train an
     add-one-smoothed bigram LM on the corpus itself, score every
     document by its mean bigram log-probability, and return the
-    {k} LOWEST-scoring documents — the classic perplexity-style
+    <_BLM_TOPK> LOWEST-scoring documents — the classic perplexity-style
     noise/outlier skim that runs before any neural filter exists.
 
     Determinism: counts are exact integers, each occurrence's
@@ -674,7 +674,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences back to the count tables on their keys — sort-merge
     territory when vocab² outgrows broadcast, exactly the join shape
     it plans. The top-k cut is orderBy().limit().
-    """.format(k=_BLM_TOPK)
+    """
     from declarativeml_spark.operators.caching import track_persist
 
     docs = load_table(spark, sf_dir, "documents", spread=True).select(
@@ -912,7 +912,7 @@ _RZ_CUT = 3.5  # Iglewicz-Hoaglin modified z-score threshold
 def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust hourly-rate anomalies via the Iglewicz-Hoaglin modified
     z-score: ``0.6745·(n − median) / MAD`` per event type, flagged
-    above {c} — the outlier detector that stays calibrated when the
+    above <_RZ_CUT> — the outlier detector that stays calibrated when the
     series itself contains outliers (mean/stddev z-scores, cf.
     events_rate_anomalies, get dragged by the very spikes they are
     meant to flag).
@@ -926,7 +926,7 @@ def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane (bounded by the calendar, partitioned per type — never a
     global sort); raw events appear only in the one
     map-side-combinable counting aggregation.
-    """.format(c=_RZ_CUT)
+    """
     ev = load_table(spark, sf_dir, "events")
     h = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
@@ -1002,7 +1002,7 @@ def deletion_vector_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain before joining (never row-to-row); the delete leg's
     dimension join broadcasts the customer filter. Exact integer
     counts; one shared ratio expression.
-    """.format(f=_DV_REWRITE_FRAC)
+    """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     part = F.date_format("o_orderdate", "yyyy-MM").alias("part")
@@ -1082,11 +1082,11 @@ def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-fold distances in fixed dim order, sqrt is IEEE-correctly-
     rounded, exact percentile interpolation shared across engines.
 
-    Scale: centroids are an L×{d}-double broadcast; distances are a
+    Scale: centroids are an L×<_NC_DIM>-double broadcast; distances are a
     map over the corpus; the percentile runs per label over the
     distance column (partitioned, never global); the report is L
     rows.
-    """.format(d=_NC_DIM)
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.size("embedding") == _NC_DIM).select(
         "vec_id",
@@ -1167,7 +1167,7 @@ _TBC_BUCKETS = 20
 )
 def corpus_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget curve: documents ordered best-quality-first, cut
-    into {b} uniform rank buckets, reporting each bucket's quality
+    into <_TBC_BUCKETS> uniform rank buckets, reporting each bucket's quality
     cutoff and the CUMULATIVE token mass kept through it — the table
     that answers "if we keep only quality > m, how many training
     tokens survive?" before any threshold is committed.
@@ -1179,8 +1179,8 @@ def corpus_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget table).
 
     Scale: the margin plane is one row per document; the curve is a
-    {b}-row report.
-    """.format(b=_TBC_BUCKETS)
+    <_TBC_BUCKETS>-row report.
+    """
     from declarativeml_spark.operators.ordered import global_cumsum
     from declarativeml_spark.operators.textops import quality_margin
 
@@ -1246,7 +1246,7 @@ _CAP_KEY_D = _hex4_int("('ev:' || CAST(event_id AS VARCHAR))")
     """,
 )
 def events_user_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user event capping: keep at most {k} events per user,
+    """Per-user event capping: keep at most <_CAP_K> events per user,
     chosen by a deterministic per-event hash order — the heavy-user /
     bot damping every behavioral training set applies so a single
     scripted account cannot dominate the distribution. Reported as
@@ -1259,7 +1259,7 @@ def events_user_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one user_id shuffle; the rank window partitions per user
     (a hot user is one partition — AQE skew territory); the report
     is one row per event type.
-    """.format(k=_CAP_K)
+    """
     ev = load_table(spark, sf_dir, "events")
     keyed = ev.select(
         "event_id",
@@ -1327,7 +1327,7 @@ def orders_amount_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per status. Sums go through DECIMAL; the per-order comparison
     and ratio are identical IEEE expressions in both engines; the
     median uses the shared exact-percentile interpolation.
-    """.format(t=_RECON_TOL)
+    """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     l = li.groupBy("l_orderkey").agg(

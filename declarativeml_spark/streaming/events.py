@@ -62,13 +62,18 @@ class EventBus:
         self, event_type: str, payload: Optional[dict] = None, source: str = "local"
     ) -> None:
         """PUBLISH EVENT type WITH PAYLOAD {...} — append to the log."""
+        import datetime as _dt
+
         self._published.append(
             (
                 event_type,
                 json.dumps(payload or {}),
                 # event-time from the wall clock, matching the
-                # reference's created_at DEFAULT now() (EXTENSIONS.md:189)
-                __import__("datetime").datetime.utcnow(),
+                # reference's created_at DEFAULT now() (EXTENSIONS.md:189).
+                # Timezone-AWARE: createDataFrame reads a naive datetime
+                # in the session-local timezone, which would shift the
+                # stored instant by the UTC offset on non-UTC machines.
+                _dt.datetime.now(_dt.timezone.utc),
                 source,
             )
         )

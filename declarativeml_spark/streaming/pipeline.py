@@ -47,6 +47,14 @@ def streaming_dedup(
     """Continuous exact dedup: emit only the first document seen per
     normalized-text fingerprint, with state bounded by ``watermark``.
 
+    ``dropDuplicatesWithinWatermark`` is what makes the bound REAL:
+    plain ``dropDuplicates(['fingerprint'])`` only uses a watermark
+    to evict state when the event-time column is part of the dedup
+    subset, so keyed-only dedup state would grow with total distinct
+    documents forever. The trade is the documented one — duplicates
+    arriving farther apart than ``watermark`` are re-admitted; dedup
+    across the whole corpus history belongs to the batch operator.
+
     Same fingerprint expression as the batch operator
     (``operators/dedup.py::exact_duplicates``), so a doc admitted by
     the stream is exactly the doc the batch path would canonicalize.
@@ -56,7 +64,7 @@ def streaming_dedup(
         _ensure_event_time(stream, ts_col)
         .withColumn("fingerprint", fp)
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["fingerprint"])
+        .dropDuplicatesWithinWatermark(["fingerprint"])
     )
 
 
@@ -370,17 +378,22 @@ def streaming_semantic_decontam(
         f" / nullif({_NORM_S.format(a='ce')} * {_NORM_S.format(a='b.qe')},"
         " 0))"
     )
-    # init is a typed NULL struct; "acc.qid IS NULL" = nothing taken
-    # yet. A non-NULL cosine beats a NULL acc (the window's NULLS
-    # LAST); when every cosine is NULL the first (smallest-qid)
-    # element survives with cos NULL — exactly the batch row.
+    # score each benchmark element ONCE via transform, then fold over
+    # the slim (cos, qid) structs — inlining the O(d) cosine fragment
+    # into the CASE would re-evaluate it up to 3x per element on the
+    # map-only hot path. Init is a typed NULL struct; "acc.qid IS
+    # NULL" = nothing taken yet. A non-NULL cosine beats a NULL acc
+    # (the window's NULLS LAST); when every cosine is NULL the first
+    # (smallest-qid) element survives with cos NULL — exactly the
+    # batch row.
     best = (
-        "aggregate(bench,"
+        f"aggregate(transform(bench, b -> struct(CAST({cos} AS DOUBLE)"
+        " AS cos, b.qid AS qid)),"
         " struct(CAST(NULL AS DOUBLE) AS cos, CAST(NULL AS BIGINT) AS qid),"
-        " (acc, b) -> CASE"
-        f" WHEN acc.qid IS NULL THEN struct(CAST({cos} AS DOUBLE) AS cos, b.qid AS qid)"
-        f" WHEN {cos} IS NOT NULL AND (acc.cos IS NULL OR {cos} > acc.cos)"
-        f" THEN struct(CAST({cos} AS DOUBLE) AS cos, b.qid AS qid)"
+        " (acc, s) -> CASE"
+        " WHEN acc.qid IS NULL THEN s"
+        " WHEN s.cos IS NOT NULL AND (acc.cos IS NULL OR s.cos > acc.cos)"
+        " THEN s"
         " ELSE acc END)"
     )
     p = float(10**8)

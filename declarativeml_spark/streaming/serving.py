@@ -51,6 +51,14 @@ def serve_model_stream(
     if not stream_df.isStreaming:
         raise ValueError("serve_model_stream needs a streaming DataFrame")
     model = registry_load(spark, model_name, base=base)
+    if features is None:
+        # models trained with derived expressions assemble from
+        # materialized __feat_i columns (plans/builder.py) — without
+        # rebuilding them here the VectorAssembler's inputs are
+        # missing from the stream and the query fails at start
+        from declarativeml_spark.ml.models import registry_meta
+
+        features = registry_meta(model_name, base=base).get("features")
     if features:
         from declarativeml_spark.plans.builder import build_features
 

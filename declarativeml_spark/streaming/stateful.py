@@ -291,17 +291,17 @@ def streaming_rate_anomalies(
     emits each bucket's z-score against the trailing ``window_size``
     buckets, continuing across micro-batches and restarts.
 
-    Scale: state per event type is two {w}-element long arrays (the
-    trailing hours and counts) — thousands of event types cost
-    kilobytes, and Arrow batches carry 3-column count rows, never raw
-    events. Arithmetic matches the batch query exactly (integer
-    sum/sum-of-squares, IEEE division), so a backfill through the
-    batch path and a live run through this operator agree
+    Scale: state per event type is two window_size-element long
+    arrays (the trailing hours and counts) — thousands of event types
+    cost kilobytes, and Arrow batches carry 3-column count rows,
+    never raw events. Arithmetic matches the batch query exactly
+    (integer sum/sum-of-squares, IEEE division), so a backfill
+    through the batch path and a live run through this operator agree
     bit-for-bit; tests/test_streaming_pipeline.py asserts it.
     Duplicate or out-of-order re-emissions of an already-processed
     hour are DROPPED (monotonicity guard) — corrections flow through
     the batch backfill instead of corrupting the trailing window.
-    """.format(w=window_size)
+    """
     return hourly_stream.groupBy("event_type").applyInPandasWithState(
         _anomaly_fn(window_size, min_full, z_cut),
         outputStructType=ANOM_OUTPUT_SCHEMA,

@@ -211,3 +211,30 @@ def test_explain_tree_classifier_additivity(engine, spark):
             s = sum(c.contribution for c in r.contributions)
             assert abs(s - (r.prediction_value - r.base_value)) < 1e-6, (name, r)
             assert r.prediction_value == pytest.approx(r.ref), (name, r)
+
+
+def test_multiclass_lr_explain_is_typed_error(engine, spark):
+    """Multinomial LogisticRegressionModel.coefficients EXISTS but
+    raises a Py4J SparkException ('use coefficientMatrix'), which
+    hasattr does not swallow — both the importance and explain paths
+    must surface the clean typed ValueError instead of the crash."""
+    spark.sql(
+        "SELECT *, CAST(o_totalprice / 100000 AS INT) % 3 AS price_class"
+        " FROM orders"
+    ).createOrReplaceTempView("orders_3class")
+    engine.execute(
+        "TRAIN MODEL ef_multi USING logistic_regression(max_iter=5) "
+        "FROM orders_3class PREDICT price_class "
+        "WITH FEATURES(o_totalprice)"
+    )
+    from declarativeml_spark.ml.evaluate import feature_importance
+
+    with pytest.raises(ValueError, match="importances"):
+        feature_importance(
+            spark, "ef_multi", ["o_totalprice"], base=engine.model_dir
+        )
+    with pytest.raises(ValueError, match="not explainable"):
+        engine.execute(
+            "EXPLAIN PREDICTION FOR MODEL ef_multi FROM orders_3class"
+            " TOP 1 FEATURES"
+        )

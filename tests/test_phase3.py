@@ -153,6 +153,40 @@ def test_ab_routing_deterministic(engine, spark):
     )
 
 
+def test_ab_routing_fraction_and_bad_splits(engine, spark):
+    """Fractions summing to 1.0 must scale to percentages (buckets
+    are integers 0..99 — [0.5, 0.5] raw would silently route 1/99),
+    and anything summing elsewhere is a typed error."""
+    from declarativeml_spark.ml.ensemble import ab_route
+
+    df = spark.table("orders_labeled")
+    frac = ab_route(
+        spark, ["base_a", "base_b"], [0.5, 0.5], df, "o_orderkey",
+        base=engine.model_dir,
+    )
+    counts = {
+        r.served_by: r["count"]
+        for r in frac.groupBy("served_by").count().collect()
+    }
+    total = sum(counts.values())
+    assert counts.get("base_a", 0) / total > 0.3  # ~50%, not ~1%
+    pct = ab_route(
+        spark, ["base_a", "base_b"], [50.0, 50.0], df, "o_orderkey",
+        base=engine.model_dir,
+    )
+    assert (
+        frac.select("o_orderkey", "served_by")
+        .exceptAll(pct.select("o_orderkey", "served_by"))
+        .count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="sum to 100"):
+        ab_route(
+            spark, ["base_a", "base_b"], [30.0, 30.0], df, "o_orderkey",
+            base=engine.model_dir,
+        )
+
+
 def test_monitor_checks(engine):
     res = engine.execute(
         "MONITOR MODEL base_a ON orders_labeled CHECK (accuracy > 0.8)"

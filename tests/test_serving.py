@@ -69,3 +69,55 @@ def test_serve_requires_streaming_df(spark, smoke_dir, served):
     batch_df = load_table(spark, smoke_dir, "orders")
     with pytest.raises(ValueError, match="streaming"):
         serve_model_stream(spark, "serve_clf", batch_df, base=model_dir)
+
+
+def test_serve_derived_features_from_registry_meta(
+    spark, smoke_dir, served, tmp_path
+):
+    """With ``features`` omitted, serving must rebuild the model's
+    feature expressions from registry metadata — a model trained on a
+    DERIVED expression assembles from a materialized __feat column
+    that raw streams don't carry."""
+    engine, model_dir = served
+    engine.execute(
+        "TRAIN MODEL serve_derived USING logistic_regression(max_iter=10) "
+        "FROM orders_serve_src PREDICT expensive "
+        "WITH FEATURES(o_totalprice / 1000)"
+    )
+    src = load_table(spark, smoke_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    stream_dir = str(tmp_path / "stream_derived")
+    src.write.parquet(stream_dir)
+    stream_df = spark.readStream.schema(src.schema).parquet(stream_dir)
+
+    q = serve_model_stream(
+        spark,
+        "serve_derived",
+        stream_df,
+        base=model_dir,
+        query_name="served_derived",
+        once=True,
+    )
+    q.awaitTermination(120)
+    assert spark.table("served_derived").count() == src.count()
+
+
+def test_registry_load_refuses_fully_rolled_back(spark, served):
+    """Rolling back every version must make an unpinned load a typed
+    error, not silently serve the rolled-back model."""
+    from declarativeml_spark.ml.models import (
+        mark_version_status,
+        registry_load,
+    )
+
+    engine, model_dir = served
+    engine.execute(
+        "TRAIN MODEL rollback_all USING logistic_regression(max_iter=5) "
+        "FROM orders_serve_src PREDICT expensive WITH FEATURES(o_totalprice)"
+    )
+    mark_version_status("rollback_all", 1, "rolled_back", base=model_dir)
+    with pytest.raises(ValueError, match="rolled back"):
+        registry_load(spark, "rollback_all", base=model_dir)
+    # pinning still works as the explicit override
+    assert registry_load(spark, "rollback_all", version=1, base=model_dir)

@@ -165,3 +165,38 @@ def test_stop_when_unmet_runs_full_budget(engine):
     assert trained.stopping_epoch is None
     lr_model = trained.pipeline_model.stages[-1]
     assert lr_model.getOrDefault("maxIter") == 4
+
+
+def test_stop_when_ord_epoch_clause_not_vacuous(engine):
+    """An OR'd epoch-budget clause must compare against the CURRENT
+    epoch, not evaluate vacuously true (which stopped every such
+    train at epoch 1): with an unsatisfiable metric leg, 'OR epochs
+    >= 4' must hold training until epoch 4."""
+    trained = engine.execute(
+        "TRAIN MODEL orstop_clf USING logistic_regression(max_iter=16) "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice) "
+        "STOP WHEN accuracy > 1.5 OR epochs >= 4"
+    )
+    assert trained.stop_satisfied is True
+    assert trained.stopping_epoch == 4
+
+
+def test_save_checkpoints_interval_persists_snapshots(engine):
+    """SAVE CHECKPOINTS EVERY n: checkpoints record interval
+    CROSSINGS of the epoch schedule (not every schedule step), and
+    each recorded epoch has a persisted model snapshot on disk."""
+    import os as _os
+
+    trained = engine.execute(
+        "TRAIN MODEL ckpt_clf USING logistic_regression(max_iter=16) "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice) "
+        "SAVE CHECKPOINTS EVERY 5 EPOCHS"
+    )
+    # geometric schedule 1,2,4,8,16 crosses the 5-boundary at 8 and
+    # the 10- and 15-boundaries at 16
+    assert trained.checkpoints == [8, 16]
+    base = trained.path.rsplit("/", 2)[0]
+    for e in trained.checkpoints:
+        assert _os.path.isdir(
+            _os.path.join(base, "ckpt_clf", f"checkpoint_e{e}")
+        )
