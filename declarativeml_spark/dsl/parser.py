@@ -748,10 +748,20 @@ class _Parser:
                 )
             value = self.parse_value()
             pattern = "model.metrics"
-            predicate = (
-                f"CAST(get_json_object(payload, '$.{metric}') AS DOUBLE)"
-                f" {op_tok.value} {value}"
-            )
+            if isinstance(value, str):
+                # string values compare as quoted literals — bare
+                # interpolation would emit `= prod` (an identifier),
+                # failing at fire time or matching a real column
+                esc = value.replace("'", "''")
+                predicate = (
+                    f"get_json_object(payload, '$.{metric}')"
+                    f" {op_tok.value} '{esc}'"
+                )
+            else:
+                predicate = (
+                    f"CAST(get_json_object(payload, '$.{metric}') AS DOUBLE)"
+                    f" {op_tok.value} {value}"
+                )
         self.expect_keyword("THEN")
         tok = self.peek()
         if tok.kind == "EOF":
@@ -1669,10 +1679,19 @@ def split_statements(text: str) -> list[str]:
     parts: list[str] = []
     buf: list[str] = []
     quote: str | None = None
+    escaped = False
     for ch in text:
         if quote:
             buf.append(ch)
-            if ch == quote:
+            if escaped:
+                escaped = False
+            elif quote == '"' and ch == "\\":
+                # the lexer's DSTRING accepts \" escapes — a \" must
+                # not close the literal here or a ; inside it splits
+                # the statement (single-quoted strings have no
+                # escapes, matching the lexer)
+                escaped = True
+            elif ch == quote:
                 quote = None
         elif ch in ("'", '"'):
             quote = ch

@@ -19,14 +19,10 @@ from declarativeml_spark.operators import textops as T
 
 def grams4_spark(text: str) -> str:
     """Word 4-grams of ``text`` (Spark SQL) — same construction the
-    winnowing fingerprints use (relational3.py), hash-checked."""
-    toks = rf"split(trim({text}), '\\s+')"
-    return (
-        f"CASE WHEN size({toks}) < 4 THEN array(concat_ws(' ', {toks})) "
-        f"ELSE transform(sequence(1, size({toks}) - 3), "
-        f"i -> concat_ws(' ', element_at({toks}, i), element_at({toks}, i + 1),"
-        f" element_at({toks}, i + 2), element_at({toks}, i + 3))) END"
-    )
+    winnowing fingerprints use (relational3.py), hash-checked.
+    Delegates to the toks-input form so the gram shape has exactly
+    one definition per engine."""
+    return grams4_from_toks_spark(rf"split(trim({text}), '\\s+')")
 
 
 def grams4_duck(text: str) -> str:
@@ -42,11 +38,9 @@ def grams4_duck(text: str) -> str:
 def fp_sample_spark(text: str) -> str:
     """Deterministic 1/2 sample of a doc's distinct 4-gram md5
     fingerprints (hex < '8') — bounds decontamination join volume the
-    same way winnowing bounds copy-detection."""
-    return (
-        f"array_distinct(filter(transform({grams4_spark(text)},"
-        " g -> md5(g)), h -> h < '8'))"
-    )
+    same way winnowing bounds copy-detection. Delegates like
+    ``grams4_spark``."""
+    return fp_sample_from_toks_spark(rf"split(trim({text}), '\\s+')")
 
 
 def fp_sample_duck(text: str) -> str:
@@ -124,7 +118,7 @@ def temperature_mix(df: DataFrame, by_col: str = "source") -> DataFrame:
     nat = F.col("n_docs").cast("double") / F.col("total_docs")
     tw = F.sqrt(F.col("n_docs").cast("double")) / F.col("total_sqrt")
     return s.crossJoin(F.broadcast(t)).select(
-        "source",
+        F.col(by_col),
         "n_docs",
         sround(nat, 6).alias("nat_share"),
         sround(tw, 6).alias("temp_weight"),

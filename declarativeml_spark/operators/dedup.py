@@ -378,6 +378,10 @@ def embedding_pairs(
                 )
             )
             .withColumn("nrm", F.expr(_NORM.format(a="vec")))
+            # zero-norm vectors have no cosine direction; under ANSI
+            # (Spark 4 default) they would abort the whole query with
+            # DIVIDE_BY_ZERO — excluded here and in every oracle twin
+            .filter(F.col("nrm") > 0)
             .transform(track_persist)
         )
         _guard_block_sizes(base, ["blk"], max_block_rows)
@@ -423,6 +427,7 @@ def embedding_pairs(
             )
         )
         .withColumn("nrm", F.expr(_NORM.format(a="vec")))
+        .filter(F.col("nrm") > 0)  # no cosine direction; ANSI div-by-0
         .transform(track_persist)
     )
     keyed = base.select(
@@ -494,7 +499,9 @@ def embedding_pairs_oracle_sql(
     cos = f"{dot} / ({nrm.format(v='a.vec')} * {nrm.format(v='b.vec')})"
     return f"""
     WITH base AS (SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS vec
-                  FROM {table} WHERE len({vec_col}) = {dim}),
+                  FROM {table} WHERE len({vec_col}) = {dim}
+                    AND list_sum(list_transform(CAST({vec_col} AS DOUBLE[]),
+                                                x -> x * x)) > 0),
     keyed AS (SELECT vec_id, vec,
            {keys}
            FROM base),
@@ -528,9 +535,11 @@ def cosine_topk(
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
-    base = df.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
-    ).withColumn("nrm", F.expr(_NORM.format(a="vec")))
+    base = (
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .withColumn("nrm", F.expr(_NORM.format(a="vec")))
+        .filter(F.col("nrm") > 0)  # no cosine direction; ANSI div-by-0
+    )
     q = base.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("vec").alias("qe"),
@@ -590,6 +599,7 @@ def ivf_topk(
             F.col(vec_col).cast("array<double>").alias("vec"),
         )
         .withColumn("nrm", F.expr(_NORM.format(a="vec")))
+        .filter(F.col("nrm") > 0)  # no cosine direction; ANSI div-by-0
         .withColumn("mlvec", array_to_vector("vec"))
         # deliberately NOT persisted: caching a VectorUDT column
         # stores deserialized UDT objects on the old-gen heap and
@@ -1182,13 +1192,16 @@ def semdedup(
     decimal means).
     """
     corpus, _ = native_cells(df, id_col, vec_col, n_cells, n_iters, dim)
-    a = corpus.select(
+    # zero-norm vectors have no cosine: they neither dominate nor get
+    # dominated (excluded from the pair space, still reported kept)
+    scored_side = corpus.filter(F.col("nrm") > 0)
+    a = scored_side.select(
         F.col("vec_id").alias("id_a"),
         "cell",
         F.col("vec").alias("ea"),
         F.col("nrm").alias("na"),
     )
-    b = corpus.select(
+    b = scored_side.select(
         F.col("vec_id").alias("id_b"),
         "cell",
         F.col("vec").alias("eb"),
@@ -1227,6 +1240,7 @@ def semdedup_oracle_sql(
         "dominated AS (SELECT DISTINCT b.vec_id AS dom_id"
         " FROM corpus a JOIN corpus b"
         " ON a.cell = b.cell AND a.vec_id < b.vec_id"
+        " AND a.nrm > 0 AND b.nrm > 0"
         f" WHERE {dot.format(a='a.vec', b='b.vec')} / (a.nrm * b.nrm)"
         f" >= {threshold!r})"
     )
@@ -1272,6 +1286,10 @@ def ivf_native_topk(
     from pyspark.sql import Window
 
     corpus, cents = native_cells(df, id_col, vec_col, n_cells, n_iters, dim)
+    # zero-norm vectors cluster fine (L2 distance is defined) but
+    # have no cosine direction — exclude them from BOTH sides of the
+    # scoring (ANSI div-by-0 otherwise), mirrored in the oracle
+    corpus = corpus.filter(F.col("nrm") > 0)
     q = corpus.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("qid"), F.col("vec").alias("qe"), F.col("nrm").alias("qn")
     )

@@ -125,6 +125,8 @@ def decode_features(
     is verifiable against a SQL oracle.
     """
     _require_codec(codec, "decode_features")
+    if not 1 <= bins <= 256:
+        raise ValueError(f"bins must be in [1, 256], got {bins}")
     if batch_size:
         df.sparkSession.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
@@ -157,7 +159,13 @@ def decode_features(
                 if blob is None or len(blob) == 0:
                     feats.append([0] * bins)
                     continue
-                arr = np.frombuffer(blob, dtype=np.uint8) // width
+                # clip: when bins does not divide 256, bytes above
+                # bins*width would index bucket `bins` and bincount
+                # (minlength only pads) would emit a ragged bins+1
+                # vector for just those rows
+                arr = np.minimum(
+                    np.frombuffer(blob, dtype=np.uint8) // width, bins - 1
+                )
                 # integer counts, not ratios: exact under any hasher
                 feats.append(np.bincount(arr, minlength=bins).tolist())
             yield pd.DataFrame({"media_id": pdf[id_col], "features": feats})

@@ -36,9 +36,11 @@ def numeric_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             F.count(c).cast("bigint").alias(f"{c}__n"),
             F.min(F.col(c).cast("double")).alias(f"{c}__mn"),
             F.max(F.col(c).cast("double")).alias(f"{c}__mx"),
+            # nullif: an all-NULL column has count 0 — its mean is
+            # NULL, not an ANSI DIVIDE_BY_ZERO abort
             sround(
                 F.sum(F.col(c).cast("decimal(38,6)")).cast("double")
-                / F.count(c),
+                / F.nullif(F.count(c), F.lit(0)),
                 6,
             ).alias(f"{c}__avg"),
         ]
@@ -71,19 +73,25 @@ def numeric_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         .select("cv.col_name", "cv.v")
         .filter(F.col("v").isNotNull())
     )
+    # constant column (mx == mn): every value is the single bucket 0,
+    # not a DIVIDE_BY_ZERO abort (ANSI default)
     bucketed = pairs.join(F.broadcast(stats), "col_name").select(
         "col_name",
-        F.least(
-            F.lit(9),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col("v") - F.col("mn"))
-                    / (F.col("mx") - F.col("mn"))
-                    * 10.0
-                ).cast("bigint"),
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(9),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("v") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
+                        * 10.0
+                    ).cast("bigint"),
+                ),
             ),
         )
+        .otherwise(F.lit(0))
         .cast("bigint")
         .alias("b"),
     )
@@ -98,4 +106,9 @@ def numeric_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             " 0) AS STRING)))"
         ).alias("hist")
     )
-    return stats.join(hist, "col_name")
+    # left join: an all-NULL column has no histogram rows, but its
+    # stats row (n=0) must still be reported — an inner join would
+    # make 'no data' indistinguishable from 'not requested'
+    return stats.join(hist, "col_name", "left").withColumn(
+        "hist", F.coalesce("hist", F.lit(",".join(["0"] * 10)))
+    )

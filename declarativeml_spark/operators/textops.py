@@ -17,6 +17,8 @@ sizes, mins, and membership).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -52,6 +54,23 @@ def spread(df, min_parallelism: int | None = None):
     the call sites.
     """
     target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
+    # the df.rdd partition probe is free for a pure scan/project/
+    # filter plan, but on a shuffle-bearing plan (joins, aggregates —
+    # e.g. a DSL statement over a subquery fragment) it forces AQE to
+    # EXECUTE every upstream stage just to count partitions. Those
+    # plans are already at the configured shuffle width, so skip the
+    # probe (and the respread) for them.
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        plan = ""
+    # "Repartition n, true" is a shuffle; "Repartition n, false" is a
+    # coalesce — narrow, safe (and worth) probing
+    if re.search(
+        r"\bJoin\b|\bAggregate\b|\bWindow\b|\bSort\b|Repartition \d+, true",
+        plan,
+    ):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

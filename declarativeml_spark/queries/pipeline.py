@@ -590,6 +590,14 @@ def _cos_s(a: str, b: str) -> str:
     )
 
 
+# zero-norm exclusion (no cosine direction; ANSI div-by-0 in Spark) —
+# mirrored wherever a cosine is computed in either engine
+_NZ_D = (
+    "list_sum(list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0"
+)
+
+
 def _cos_d(a: str, b: str) -> str:
     return (
         f"{_DOT_D.format(a=a, b=b)} / ({_NORM_D.format(a=a)} * {_NORM_D.format(a=b)})"
@@ -716,7 +724,7 @@ def _ivf_native_oracle(
     dot = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
     ctes.append(
         f"q AS (SELECT vec_id AS qid, vec AS qe, nrm AS qn FROM corpus"
-        f" WHERE vec_id % {query_mod} = 0)"
+        f" WHERE vec_id % {query_mod} = 0 AND nrm > 0)"
     )
     ctes.append(
         "probes AS (SELECT qid, qe, qn, cell FROM ("
@@ -729,7 +737,7 @@ def _ivf_native_oracle(
         "scored AS (SELECT p.qid, co.vec_id AS nid,"
         f" {dot.format(a='p.qe', b='co.vec')} / (p.qn * co.nrm) AS cos"
         " FROM probes p JOIN corpus co ON co.cell = p.cell"
-        " AND co.vec_id != p.qid)"
+        " AND co.vec_id != p.qid AND co.nrm > 0)"
     )
     ctes.append(
         "ranked AS (SELECT qid, nid, cos,"
@@ -897,11 +905,13 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_topk_cosine",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 97 = 0),
+    WITH nz AS (SELECT vec_id, embedding FROM embeddings
+                WHERE {_NZ_D}),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM nz WHERE vec_id % 97 = 0),
     scored AS (
         SELECT q.qid, e.vec_id AS nid,
                {_cos_d('q.qe', 'e.embedding')} AS cos
-        FROM q JOIN embeddings e ON e.vec_id != q.qid
+        FROM q JOIN nz e ON e.vec_id != q.qid
     ),
     ranked AS (
         SELECT qid, nid, cos,
@@ -921,8 +931,10 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. The LSH-bucketed variant replaces the cross join when the
     query set itself is huge.
     """
-    emb = load_table(spark, sf_dir, "embeddings", spread=True).withColumn(
-        "nrm", F.expr(_NORM_S.format(a="embedding"))
+    emb = (
+        load_table(spark, sf_dir, "embeddings", spread=True)
+        .withColumn("nrm", F.expr(_NORM_S.format(a="embedding")))
+        .filter(F.col("nrm") > 0)  # no cosine direction; ANSI div-by-0
     )
     q = emb.filter(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("qid"),

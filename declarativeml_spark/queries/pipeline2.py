@@ -588,9 +588,12 @@ _NORM2_D = (
 
 
 def _hybrid_oracle() -> str:
+    # nullif: zero-norm guard mirrored with the Spark leg (ANSI
+    # div-by-0 there, IEEE inf here — NULL in both, ranked last)
     cos = (
         f"{_DOT2_D.format(a='q.qe', b='e.embedding')}"
-        f" / ({_NORM2_D.format(a='q.qe')} * {_NORM2_D.format(a='e.embedding')})"
+        f" / nullif({_NORM2_D.format(a='q.qe')}"
+        f" * {_NORM2_D.format(a='e.embedding')}, 0)"
     )
     return f"""
     WITH base AS (SELECT doc_id, {_TOKS_D} AS toks FROM documents),
@@ -700,7 +703,8 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     cos = F.expr(
         f"{_DOT2_S.format(a='qe', b='embedding')}"
-        f" / ({_NORM2_S.format(a='qe')} * {_NORM2_S.format(a='embedding')})"
+        f" / nullif({_NORM2_S.format(a='qe')}"
+        f" * {_NORM2_S.format(a='embedding')}, 0)"
     )
     vec = (
         emb.filter(F.col("vec_id") != 0)

@@ -393,8 +393,12 @@ _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
 def _profile_oracle() -> str:
     stat_sel = []
     for c in _PROFILE_COLS:
+        # nullif mirrors operators/profile.py: all-NULL column -> NULL
+        # mean, constant column -> single bucket (not div-by-zero)
         avg_expr = sql_sround(
-            f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({c})", 6
+            f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE)"
+            f" / nullif(COUNT({c}), 0)",
+            6,
         )
         stat_sel.append(
             f"SELECT '{c}' AS col_name, CAST(COUNT({c}) AS BIGINT) AS n,"
@@ -412,9 +416,12 @@ def _profile_oracle() -> str:
     vals AS ({val_sel}),
     bucketed AS (
         SELECT v.col_name,
-               CAST(least(9, greatest(0, CAST(floor((v.v - s.mn)
-                   / (s.mx - s.mn) * 10.0) AS BIGINT))) AS BIGINT) AS b
+               CAST(CASE WHEN s.mx > s.mn
+                    THEN least(9, greatest(0, CAST(floor((v.v - s.mn)
+                        / (s.mx - s.mn) * 10.0) AS BIGINT)))
+                    ELSE 0 END AS BIGINT) AS b
         FROM vals v JOIN stats s ON v.col_name = s.col_name
+        WHERE v.v IS NOT NULL
     ),
     counts AS (
         SELECT col_name, b, CAST(COUNT(*) AS BIGINT) AS cnt

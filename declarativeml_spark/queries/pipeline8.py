@@ -1972,9 +1972,13 @@ def _mat_cos(engine: str, a: str, b: str) -> str:
         _DOT_D, _DOT_S, _NORM_D, _NORM_S)
 
     dot, nrm = (_DOT_S, _NORM_S) if engine == "spark" else (_DOT_D, _NORM_D)
+    # nullif: a PREFIX slice can be all-zero even when the full
+    # vector is not — its truncated cosine is undefined (NULL, which
+    # both engines' mean() skips identically), not an ANSI
+    # DIVIDE_BY_ZERO abort
     return (
         f"({dot.format(a=a, b=b)}"
-        f" / ({nrm.format(a=a)} * {nrm.format(a=b)}))"
+        f" / nullif({nrm.format(a=a)} * {nrm.format(a=b)}, 0))"
     )
 
 

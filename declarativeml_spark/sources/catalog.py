@@ -76,11 +76,18 @@ def load_table(
         if ts_type == "bigint":
             # nanos long -> NTZ via pure wall-clock arithmetic (no
             # session-timezone dependence, unlike timestamp_micros).
+            # Integer DIV, not FLOOR(ts / 1000): bigint/1000 is IEEE
+            # double division, which rounds ns beyond 2^53 to 256-ns
+            # multiples BEFORE the floor — ~12% of 2026-era values
+            # land one microsecond high, silently diverging from
+            # DuckDB's exact parquet ns->us conversion. DIV truncates
+            # toward zero == floor for the post-1970 epochs events
+            # carry.
             df = df.withColumn(
                 "ts",
                 F.expr(
                     "timestampadd(MICROSECOND,"
-                    " CAST(FLOOR(ts / 1000) AS BIGINT),"
+                    " ts DIV 1000,"
                     " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )
