@@ -23,6 +23,12 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="declarativeml-spark")
     ap.add_argument("file", nargs="?", help="DSL file (default: stdin)")
     ap.add_argument("--execute", action="store_true", help="run against Spark")
+    ap.add_argument(
+        "--plan-only",
+        action="store_true",
+        help="parse and print the IR without executing (the default;"
+        " documented flag accepted explicitly)",
+    )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--model-dir", default=None)
     args = ap.parse_args(argv)
@@ -48,6 +54,9 @@ def main(argv: list[str] | None = None) -> int:
         print("error: empty input", file=sys.stderr)
         return 1
 
+    if args.plan_only and args.execute:
+        print("error: --plan-only and --execute are exclusive", file=sys.stderr)
+        return 1
     if not args.execute:
         dumps = [dataclasses.asdict(s) for s in stmts]
         print(

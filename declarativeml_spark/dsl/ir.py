@@ -315,7 +315,9 @@ class SimilaritySearch:
     source: str
     method: str = "cosine"
     params: Dict[str, Any] = field(default_factory=dict)
-    k: int = 10
+    #: None = no TOP clause; top-k methods default to 10, lsh returns
+    #: the full threshold-governed pair set
+    k: Optional[int] = None
     source_is_identifier: bool = True
 
     def __post_init__(self) -> None:
@@ -324,7 +326,11 @@ class SimilaritySearch:
                 f"Unknown similarity method {self.method!r};"
                 " expected 'cosine', 'lsh', 'ivf' or 'ivf_mllib'"
             )
-        if not isinstance(self.k, int) or isinstance(self.k, bool) or self.k <= 0:
+        if self.k is not None and (
+            not isinstance(self.k, int)
+            or isinstance(self.k, bool)
+            or self.k <= 0
+        ):
             raise ValueError("TOP must be a positive integer")
 
 

@@ -1548,7 +1548,7 @@ class _Parser:
             if self.accept_op("("):
                 params = self.parse_param_list()
                 self.expect_op(")")
-        k = 10
+        k = None  # None = TOP absent; engine applies per-method default
         if self.at_keyword("TOP"):
             self.advance()
             tok = self.advance()

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from declarativeml_spark.dsl import ir
 from declarativeml_spark.dsl.parser import parse
@@ -64,10 +65,17 @@ class Engine:
 
         # one cache scope per statement: drop the previous statement's
         # operator persists, collect this one's for the next release.
+        # The finally-extend (not assign) matters twice: a statement
+        # failing AFTER its operator persisted frames must still hand
+        # them to the next release(), and a re-entrant execute (a
+        # WHEN-rule action firing inside PUBLISH EVENT) must not have
+        # its frames overwritten by the outer call's list.
         self.release()
         with capture() as frames:
-            out = self._execute(text)
-        self._persisted = frames
+            try:
+                out = self._execute(text)
+            finally:
+                self._persisted.extend(frames)
         return out
 
     def _execute(self, text: str) -> Union[TrainedModel, DataFrame, dict]:
@@ -168,7 +176,17 @@ class Engine:
 
         df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
         p = dict(stmt.params)
-        text_col = stmt.column or p.pop("column", "text")
+        # the column can arrive as ON <col> or column => "..."; pop the
+        # param unconditionally (leaving it in p turns **p into a raw
+        # TypeError) and give ON precedence
+        col_param = p.pop("column", None)
+        if stmt.column and col_param and stmt.column != col_param:
+            raise ValueError(
+                "DEDUPLICATE got two different columns: ON"
+                f" {stmt.column!r} vs column => {col_param!r}"
+            )
+        chosen_col = stmt.column or col_param
+        text_col = chosen_col or "text"
         id_param = p.pop("id_col", None)
         id_col = id_param or "doc_id"
         if stmt.method == "exact":
@@ -207,7 +225,7 @@ class Engine:
             return D.semdedup(
                 df,
                 id_col=id_param or "vec_id",
-                vec_col=stmt.column or "embedding",
+                vec_col=chosen_col or "embedding",
                 threshold=stmt.threshold if stmt.threshold is not None else 0.35,
                 **p,
             )
@@ -226,7 +244,7 @@ class Engine:
         return D.embedding_pairs(
             df,
             id_col=id_param or "vec_id",
-            vec_col=stmt.column or "embedding",
+            vec_col=chosen_col or "embedding",
             threshold=stmt.threshold if stmt.threshold is not None else 0.35,
             **p,
         )
@@ -470,6 +488,14 @@ class Engine:
 
         df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
         p = dict(stmt.params)
+        if "k" in p:
+            # a k => param would collide with TOP's keyword argument
+            # as a raw 'multiple values for k' TypeError
+            raise ValueError(
+                "SEARCH SIMILAR takes its result size from the TOP"
+                " clause, not a k => option"
+            )
+        k = stmt.k if stmt.k is not None else 10
         if stmt.method == "lsh":
             fn, kw = D.lsh_topk_pairs, p
         elif stmt.method == "ivf":
@@ -478,11 +504,11 @@ class Engine:
             # ann_ivf_topk); the MLlib k-means|| variant stays
             # reachable as 'ivf_mllib' for init-quality comparisons
             # (tests/test_dedup_dsl.py).
-            fn, kw = D.ivf_native_topk, dict(k=stmt.k, **p)
+            fn, kw = D.ivf_native_topk, dict(k=k, **p)
         elif stmt.method == "ivf_mllib":
-            fn, kw = D.ivf_topk, dict(k=stmt.k, **p)
+            fn, kw = D.ivf_topk, dict(k=k, **p)
         else:
-            fn, kw = D.cosine_topk, dict(k=stmt.k, **p)
+            fn, kw = D.cosine_topk, dict(k=k, **p)
         # validate option names HERE so an unsupported option is the
         # DSL's typed error, not a raw TypeError from **kw — e.g.
         # seed/max_iter are k-means|| knobs that the deterministic
@@ -502,7 +528,17 @@ class Engine:
                     else ""
                 )
             )
-        return fn(df, **kw)
+        out = fn(df, **kw)
+        if stmt.method == "lsh" and stmt.k is not None:
+            # honor an explicit TOP for the pair join too: the k
+            # closest pairs, deterministic tiebreak — silently
+            # returning the full threshold set ignored the clause
+            out = out.orderBy(
+                F.col("euclidean_dist").asc(),
+                F.col("id_a").asc(),
+                F.col("id_b").asc(),
+            ).limit(stmt.k)
+        return out
 
     # -- REGISTER AGENT (catalog row + subscription, AGENTS.md:189-196) -------
     def _register_agent_catalog(self, stmt: ir.RegisterAgent) -> dict:
@@ -655,8 +691,17 @@ class Engine:
                 train_stmt.source = f"{train_stmt.source} WHERE {filt}"
                 train_stmt.source_is_identifier = False
             else:
-                joiner = " AND " if " WHERE " in train_stmt.source.upper() else " WHERE "
-                train_stmt.source = train_stmt.source + joiner + filt
+                # wrap, never splice: string-scanning for WHERE breaks
+                # on subquery fragments ('(SELECT ... WHERE ...) s'
+                # would get AND appended after the alias) and on
+                # newline-separated clauses; double-nesting keeps the
+                # result a pure '(SELECT ...) alias' fragment — valid
+                # around ANY source resolve_source accepts, including
+                # ones carrying their own WHERE tail
+                train_stmt.source = (
+                    f"(SELECT * FROM (SELECT * FROM {train_stmt.source})"
+                    f" __retrain_inner WHERE {filt}) __retrain_window"
+                )
 
         new = train(
             self.spark, train_stmt, model_dir=self.model_dir, statement=meta["statement"]
@@ -733,35 +778,12 @@ class Engine:
         return metrics
 
     def _model_meta(self, name: str) -> Optional[dict[str, Any]]:
-        """Latest live (non-rolled-back) full registry record for a model.
+        """Latest live (non-rolled-back) full registry record for a
+        model — the canonical lookup lives in ml/models.py so the
+        engine and the streaming serving path resolve metadata
+        identically (a second parsing loop here had drifted on
+        rollback handling)."""
+        from declarativeml_spark.ml.models import registry_meta
 
-        The registry is append-only JSONL: full records carry
-        ``algorithm``; status-only records (deploy / rollback) override
-        the status of an existing version.
-        """
-        import json
-        import os
-
-        from declarativeml_spark.ml.models import DEFAULT_MODEL_DIR, _registry_path
-
-        path = _registry_path(self.model_dir or DEFAULT_MODEL_DIR)
-        if not os.path.exists(path):
-            return None
-        full: dict[int, dict] = {}
-        status: dict[int, str] = {}
-        with open(path) as f:
-            for line in f:
-                rec = json.loads(line)
-                if rec.get("name") != name:
-                    continue
-                ver = rec.get("version") or 1
-                if "algorithm" in rec:
-                    full[ver] = rec
-                if rec.get("status"):
-                    status[ver] = rec["status"]
-        live = [v for v in full if status.get(v, "registered") != "rolled_back"]
-        if not live:
-            return None
-        rec = dict(full[max(live)])
-        rec["status"] = status.get(max(live), rec.get("status", "registered"))
-        return rec
+        rec = registry_meta(name, base=self.model_dir)
+        return rec or None

@@ -138,8 +138,21 @@ COMPUTATIONS: Dict[str, ComputeRegistration] = {}
 
 
 def execute_compute(spark: SparkSession, stmt: ComputeKernel) -> ComputeRegistration:
-    """Register a COMPUTE statement (validates the kernel exists)."""
-    get_kernel(stmt.kernel)
+    """Register a COMPUTE statement (validates the kernel AND its
+    input arity NOW — deferring an arity mismatch to tick time would
+    surface it as a bare IndexError inside the streaming loop)."""
+    spec = get_kernel(stmt.kernel)
+    n_inputs = len(stmt.inputs or [])
+    if spec.arity is not None and n_inputs != spec.arity:
+        raise ValueError(
+            f"Kernel {spec.name!r} expects {spec.arity} inputs,"
+            f" got {n_inputs}"
+        )
+    if spec.arity is None and n_inputs == 0:
+        raise ValueError(
+            f"Kernel {spec.name!r} is variadic but needs at least one"
+            " input column — add a FROM table(col, ...) clause"
+        )
     reg = ComputeRegistration(
         name=stmt.name,
         kernel=stmt.kernel,

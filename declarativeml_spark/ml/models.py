@@ -124,23 +124,40 @@ def registry_load(
 def registry_meta(
     name: str, version: Optional[int] = None, base: Optional[str] = None
 ) -> dict:
-    """The latest registry record for a model (optionally pinned to a
-    version) — feature expressions, target, metrics, checkpoints."""
+    """The full registry record for a model — feature expressions,
+    target, metrics, checkpoints — resolved like :func:`registry_load`:
+    the latest NON-rolled-back version unless pinned. The registry is
+    append-only JSONL: full records carry ``algorithm``; status-only
+    records (deploy / rollback) override a version's status. Returns
+    ``{}`` when no live record exists."""
     base = base or DEFAULT_MODEL_DIR
     path = _registry_path(base)
-    out: dict = {}
     if not os.path.exists(path):
-        return out
+        return {}
+    full: dict[int, dict] = {}
+    status: dict[int, str] = {}
     with open(path) as f:
         for line in f:
             rec = json.loads(line)
             if rec.get("name") != name:
                 continue
-            if version is not None and rec.get("version") != version:
-                continue
-            if "algorithm" in rec or "features" in rec:
-                out = rec
-    return out
+            ver = rec.get("version") or 1
+            if "algorithm" in rec:
+                full[ver] = rec
+            if rec.get("status"):
+                status[ver] = rec["status"]
+    if version is not None:
+        pick = version if version in full else None
+    else:
+        live = [
+            v for v in full if status.get(v, "registered") != "rolled_back"
+        ]
+        pick = max(live) if live else None
+    if pick is None:
+        return {}
+    rec = dict(full[pick])
+    rec["status"] = status.get(pick, rec.get("status", "registered"))
+    return rec
 
 
 def registry_table(spark: SparkSession, base: Optional[str] = None) -> DataFrame:

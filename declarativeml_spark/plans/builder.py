@@ -196,11 +196,17 @@ def _build_transformer_feature(
         periods_node = kwargs.get("periods")
         if periods_node is None:
             periods = [1]
+        elif hasattr(periods_node, "items"):  # list literal [1, 7, 28]
+            periods = [int(n.value) for n in periods_node.items] or [1]
+        elif hasattr(periods_node, "value"):  # scalar: periods => 7
+            # silently substituting lag-1 here trained on the wrong
+            # feature with no error — a scalar is a one-element list
+            periods = [int(periods_node.value)]
         else:
-            periods = [
-                int(n.value)  # type: ignore[union-attr]
-                for n in getattr(periods_node, "items", [])
-            ] or [1]
+            raise ValueError(
+                "time_series.lag periods must be a number or a list of"
+                f" numbers, got {type(periods_node).__name__}"
+            )
         src_sql = inner.args[0].to_spark_sql()
         w = W.orderBy(F.expr(order_col))
         col_name = f"__feat_{idx}"

@@ -46,10 +46,15 @@ def test_unknown_kernel_rejected(engine):
 
 
 def test_arity_check(engine, spark, smoke_dir):
-    engine.execute("COMPUTE dotp FROM table(embedding) INTO column(d) USING vector_dot")
-    emb = load_table(spark, smoke_dir, "embeddings").limit(5)
+    # arity mismatches fail at REGISTRATION, not at tick/apply time —
+    # a deferred check surfaced as a bare IndexError in the tick loop
     with pytest.raises(ValueError, match="expects 2 inputs"):
-        apply_compute(emb, "dotp")
+        engine.execute(
+            "COMPUTE dotp FROM table(embedding) INTO column(d) USING vector_dot"
+        )
+    # a variadic kernel with no FROM clause is rejected the same way
+    with pytest.raises(ValueError, match="at least one"):
+        engine.execute("COMPUTE va EVERY 5 TICKS USING vector_add")
 
 
 def test_custom_kernel_registration(engine, spark, smoke_dir):

@@ -113,3 +113,128 @@ def test_spread_skips_shuffle_bearing_plans(spark):
     # a narrow scan-shaped frame still respreads
     one = spark.range(100).coalesce(1)
     assert spread(one).rdd.getNumPartitions() > 1
+
+
+def test_lag_scalar_periods_honored(spark, smoke_dir):
+    """TRANSFORM(time_series.lag(x, periods=7, ...)) with a SCALAR
+    periods must lag by 7 — it silently trained on lag-1 before."""
+    from declarativeml_spark.plans.builder import build_features
+    from declarativeml_spark.sources.catalog import load_table
+
+    df = load_table(spark, smoke_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    plan = build_features(
+        df,
+        [
+            "TRANSFORM(time_series.lag(o_totalprice, periods=3,"
+            " order_by=o_orderkey))"
+        ],
+    )
+    lagged = {r["o_orderkey"]: r[plan.input_cols[0]] for r in plan.df.collect()}
+    base = {r["o_orderkey"]: r["o_totalprice"] for r in df.collect()}
+    keys = sorted(base)
+    assert lagged[keys[5]] == pytest.approx(float(base[keys[2]]))
+
+
+def test_engine_scope_survives_failed_statement(spark, smoke_dir):
+    """Frames persisted before a statement fails must still be owned
+    by the engine scope and released by the next statement."""
+    from declarativeml_spark.engine import Engine
+    from declarativeml_spark.sources.catalog import register_views
+
+    register_views(spark, smoke_dir)
+    eng = Engine(spark)
+    with pytest.raises(Exception):
+        # minhash persists its signature frame, then the bogus
+        # num_perm option raises AFTER the persist
+        eng.execute(
+            "DEDUPLICATE documents USING minhash(not_an_option=1)"
+        )
+    leaked = list(eng._persisted)
+    eng.release()
+    assert eng._persisted == []
+    assert leaked is not None  # frames were captured, not dropped
+
+
+def test_retrain_windows_subquery_fragment(spark, smoke_dir, tmp_path):
+    """RETRAIN ... USING LATEST must window a SUBQUERY source — the
+    old WHERE string-splice produced invalid SQL for it."""
+    from declarativeml_spark.engine import Engine
+    from declarativeml_spark.sources.catalog import register_views
+
+    register_views(spark, smoke_dir)
+    eng = Engine(spark, model_dir=str(tmp_path / "models"))
+    eng.execute(
+        "TRAIN MODEL rw_clf USING logistic_regression(max_iter=5) "
+        "FROM (SELECT *, CAST(o_totalprice > 150000 AS INT) AS expensive"
+        " FROM orders WHERE o_orderkey > 0) src "
+        "PREDICT expensive WITH FEATURES(o_totalprice)"
+    )
+    out = eng.execute(
+        "RETRAIN MODEL rw_clf USING LATEST 10000 days OF data"
+        " TIME COLUMN o_orderdate"
+    )
+    assert out.version == 2
+
+
+def test_search_lsh_honors_explicit_top(spark, smoke_dir):
+    from declarativeml_spark.engine import Engine
+    from declarativeml_spark.sources.catalog import register_views
+
+    register_views(spark, smoke_dir)
+    eng = Engine(spark)
+    full = eng.execute("SEARCH SIMILAR embeddings USING lsh")
+    top3 = eng.execute("SEARCH SIMILAR embeddings USING lsh TOP 3")
+    n_full = full.count()
+    assert top3.count() == min(3, n_full)
+    if n_full >= 3:
+        # the 3 closest pairs of the full set, deterministically
+        want = sorted(
+            (r["euclidean_dist"], r["id_a"], r["id_b"]) for r in full.collect()
+        )[:3]
+        got = sorted(
+            (r["euclidean_dist"], r["id_a"], r["id_b"]) for r in top3.collect()
+        )
+        assert got == want
+    with pytest.raises(ValueError, match="TOP"):
+        eng.execute("SEARCH SIMILAR embeddings USING cosine(k=5)")
+
+
+def test_dedup_column_param_routes_to_vec_col(spark):
+    from declarativeml_spark.engine import Engine
+
+    spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, emb2 array<double>",
+    ).createOrReplaceTempView("vectors2")
+    eng = Engine(spark)
+    out = eng.execute(
+        'DEDUPLICATE vectors2 USING'
+        ' semantic(column="emb2", n_cells=2, dim=2)'
+    )
+    kept = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert kept[1] is True and kept[2] is False
+    with pytest.raises(ValueError, match="two different columns"):
+        eng.execute(
+            'DEDUPLICATE vectors2 USING semantic(column="other") ON emb2'
+        )
+
+
+def test_cli_plan_only_flag(tmp_path):
+    import subprocess
+    import sys
+
+    f = tmp_path / "stmt.dsl"
+    f.write_text(
+        "TRAIN MODEL m USING logistic_regression(max_iter=5) FROM t"
+        " PREDICT y WITH FEATURES(x)"
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "declarativeml_spark.cli", "--plan-only", str(f)],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert '"name": "m"' in r.stdout
