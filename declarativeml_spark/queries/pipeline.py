@@ -847,7 +847,13 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_pairs(emb, **_LSH_PARAMS)
 
 
-_NO_CODEGEN_SESSIONS: dict = {}
+import weakref
+
+# weak keys: keyed on the live parent session OBJECT, so a torn-down
+# session's child is dropped with it — an id()-keyed dict handed a
+# stale child (bound to a STOPPED SparkContext) to any new session
+# allocated at the recycled address, and pinned every child forever
+_NO_CODEGEN_SESSIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _no_codegen_session(spark: SparkSession) -> SparkSession:
@@ -855,13 +861,12 @@ def _no_codegen_session(spark: SparkSession) -> SparkSession:
     invocations must not accumulate session state for the process
     lifetime. Note newSession() inherits builder-time confs only;
     runtime conf changes on the parent don't propagate."""
-    key = id(spark)
-    s2 = _NO_CODEGEN_SESSIONS.get(key)
+    s2 = _NO_CODEGEN_SESSIONS.get(spark)
     if s2 is None:
         s2 = spark.newSession()
         s2.conf.set("spark.sql.codegen.wholeStage", "false")
         s2.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-        _NO_CODEGEN_SESSIONS[key] = s2
+        _NO_CODEGEN_SESSIONS[spark] = s2
     return s2
 
 

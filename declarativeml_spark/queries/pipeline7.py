@@ -292,9 +292,14 @@ def lineitem_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_gt",
             sround(F.col("wg")).alias("weighted_gini"),
             sround(F.col("g0") - F.col("wg")).alias("gain"),
+            F.col("wg").alias("__wg_raw"),
         )
-        .orderBy(F.col("weighted_gini"), "threshold")
+        # argmin on the RAW gini, matching the oracle's ORDER BY wg —
+        # ordering on the rounded column could pick a different row
+        # than DuckDB when two splits tie within the rounding quantum
+        .orderBy(F.col("__wg_raw"), "threshold")
         .limit(1)
+        .drop("__wg_raw")
     )
 
 
@@ -680,8 +685,12 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("n_name").agg(
         F.max("k").cast("long").alias("n_customers"),
         sround(
+            # decimal sum: i*v summed over a group overflows int64
+            # around TPC-H sf10 (rank x cents both grow with rows)
             2.0
-            * F.sum(F.col("i") * F.col("v")).cast("double")
+            * F.sum(F.col("i").cast("decimal(38,0)") * F.col("v")).cast(
+                "double"
+            )
             / (F.max("k").cast("double") * F.max("tv"))
             - (F.max("k").cast("double") + 1.0) / F.max("k")
         ).alias("gini"),

@@ -280,7 +280,10 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = epoch_shuffle(docs, epochs=_EPOCHS, n_shards=_SHUF_SHARDS)
     return keyed.groupBy(
         F.col("epoch").cast("long").alias("epoch"),
-        (F.col("skey") % _SHUF_SHARDS).cast("long").alias("shard"),
+        # the operator's own shard column: re-deriving skey % n here
+        # would silently audit a different assignment if the SHUFFLE
+        # statement's shard definition ever changed
+        F.col("shard").cast("long").alias("shard"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("tot_chars"),
@@ -994,7 +997,7 @@ def deletion_vector_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative account balance), map every doomed row to its physical
     file in the manifest and decide per file between a DELETION
     VECTOR (mark rows dead in place — cheap, read-time filter) and a
-    REWRITE (re-materialize the file — worth it once more than {f:.0%}
+    REWRITE (re-materialize the file — worth it once more than <_DV_REWRITE_FRAC>
     of its rows are dead). Exactly the decision Delta/Iceberg
     OPTIMIZE makes when DVs accumulate.
 
@@ -1315,7 +1318,7 @@ def orders_amount_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header/detail amount reconciliation: does each order's header
     total equal its lines' net total (extendedprice × (1+tax) ×
     (1−discount))? Reports, per order status, the orders with NO
-    lines at all, the orders off by more than {t:.0%}, and the median
+    lines at all, the orders off by more than <_RECON_TOL>, and the median
     header-to-lines ratio — the financial-pipeline audit that runs
     before any revenue aggregate is trusted (on this synthetic data
     the audit FIRES: headers are uncorrelated with line sums and 257
@@ -1465,7 +1468,12 @@ def score_agreement_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rw",
         num_partitions=8,
     ).select("doc_id", "rq", "rw")
-    dd = (F.col("rq") - F.col("rw")) * (F.col("rq") - F.col("rw"))
+    # DECIMAL accumulator: sum(d^2) grows ~ n^3/6 and overflows int64
+    # near n = 3M docs (ANSI abort); DuckDB's HUGEINT sum never does —
+    # the decimal sum is exact like both and scale-safe
+    dd = (F.col("rq") - F.col("rw")).cast("decimal(38,0)") * (
+        F.col("rq") - F.col("rw")
+    )
     n = F.count(F.lit(1)).cast("double")
     rho = 1.0 - 6.0 * F.sum(dd).cast("double") / (n * (n * F.count(F.lit(1)) - 1.0))
     return both.agg(
@@ -1902,7 +1910,7 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit of user behavioural profiles: each user's
     quasi-identifier triple (modal event type, modal 6-hour activity
     band, average-value bucket) defines an equivalence class; classes
-    with fewer than {k} members are re-identification risks (Sweeney
+    with fewer than <_KANON_K> members are re-identification risks (Sweeney
     2002's k-anonymity, applied to the behavioural profile a released
     events table leaks even with user_id dropped). The release gate a
     training-data pipeline runs BEFORE exporting interaction logs —

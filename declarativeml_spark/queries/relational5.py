@@ -188,7 +188,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey AS p_partkey, value
     FROM pv
-    WHERE value > (SELECT 0.001 * SUM(value) FROM pv)
+    WHERE value > (SELECT 0.001 * CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                                       AS DOUBLE) FROM pv)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
