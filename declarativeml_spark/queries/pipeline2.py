@@ -264,6 +264,43 @@ def _bm25_score_sql(dialect: str) -> str:
     return " + ".join(terms)
 
 
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) BM25 scores for the fixed query terms — ONE
+    definition of the stats/tf/score plan shared by text_bm25_topk
+    and hybrid_search_rrf (two verbatim copies had to be edited in
+    lock-step). Broadcast one stats row; scoring is a per-row map."""
+    base = docs.select("doc_id", F.expr(_TOKS_S).alias("toks"))
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (
+            F.sum(F.size("toks").cast("bigint")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("toks", t).cast("int"))
+            .cast("double")
+            .alias(f"df{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    scored = base.join(F.broadcast(stats)).select(
+        "doc_id",
+        F.size("toks").cast("double").alias("dl"),
+        *[
+            F.expr(f"CAST(size(filter(toks, x -> x = '{t}')) AS DOUBLE)").alias(
+                f"tf{i}"
+            )
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+        "n_docs",
+        "avgdl",
+        *[f"df{i}" for i in range(len(_BM25_TERMS))],
+    )
+    return scored.select(
+        "doc_id", F.expr(_bm25_score_sql("spark")).alias("s")
+    ).filter(F.col("s") > 0)
+
+
 @query(
     "text_bm25_topk",
     oracle=f"""
@@ -307,36 +344,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so ranks and scores hash-match.
     """
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.expr(_TOKS_S).alias("toks"))
-    stats = base.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        (
-            F.sum(F.size("toks").cast("bigint")).cast("double")
-            / F.count("*").cast("double")
-        ).alias("avgdl"),
-        *[
-            F.sum(F.array_contains("toks", t).cast("int"))
-            .cast("double")
-            .alias(f"df{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
-    )
-    scored = base.join(F.broadcast(stats)).select(
-        "doc_id",
-        F.size("toks").cast("double").alias("dl"),
-        *[
-            F.expr(f"CAST(size(filter(toks, x -> x = '{t}')) AS DOUBLE)").alias(
-                f"tf{i}"
-            )
-            for i, t in enumerate(_BM25_TERMS)
-        ],
-        "n_docs",
-        "avgdl",
-        *[f"df{i}" for i in range(len(_BM25_TERMS))],
-    )
-    s = scored.select("doc_id", F.expr(_bm25_score_sql("spark")).alias("s")).filter(
-        F.col("s") > 0
-    )
+    s = _bm25_scored(docs)
     top = s.orderBy(F.desc("s"), F.asc("doc_id")).limit(_BM25_TOPK)
     # rank window runs on <= k rows post-limit — never a global sort
     wr = W.orderBy(F.desc("s"), F.asc("doc_id"))
@@ -659,36 +667,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     size.
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    base = docs.select("doc_id", F.expr(_TOKS_S).alias("toks"))
-    stats = base.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        (
-            F.sum(F.size("toks").cast("bigint")).cast("double")
-            / F.count("*").cast("double")
-        ).alias("avgdl"),
-        *[
-            F.sum(F.array_contains("toks", t).cast("int"))
-            .cast("double")
-            .alias(f"df{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
-    )
-    scored = base.join(F.broadcast(stats)).select(
-        "doc_id",
-        F.size("toks").cast("double").alias("dl"),
-        *[
-            F.expr(f"CAST(size(filter(toks, x -> x = '{t}')) AS DOUBLE)").alias(
-                f"tf{i}"
-            )
-            for i, t in enumerate(_BM25_TERMS)
-        ],
-        "n_docs",
-        "avgdl",
-        *[f"df{i}" for i in range(len(_BM25_TERMS))],
-    )
-    s = scored.select("doc_id", F.expr(_bm25_score_sql("spark")).alias("s")).filter(
-        F.col("s") > 0
-    )
+    s = _bm25_scored(docs)
     lex = (
         s.orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(_RRF_LEG_N)

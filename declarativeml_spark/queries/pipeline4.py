@@ -533,29 +533,26 @@ def _knn_oracle() -> str:
     """
 
 
-@query("knn_graph_degrees", oracle=_knn_oracle())
-def knn_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized k-nearest-neighbour graph over the embedding
-    corpus: per node, its ≤5 nearest LSH-candidate neighbours, the
-    union-symmetrized degree, and how many of its kNN edges are
-    mutual — the graph-construction step under SemDeDup-style
-    cluster pruning, curriculum ordering, and label propagation.
+def _knn_frame(spark: SparkSession, sf_dir: str):
+    """Shared (src, dst, d) kNN plan for the graph queries — ONE
+    definition of the LSH-candidate symmetrization and per-node top-k
+    (the DuckDB side shares ``_knn_cte_prefix`` the same way; two
+    Spark copies had to be edited in lock-step or the queries drifted
+    from the common oracle prefix).
 
-    Scale: candidates come from the hash-checked LSH bucket join
-    (never all pairs); the per-node top-k window partitions by node,
-    so its input is that node's candidate list (LSH fan-in bounded),
-    not the corpus. Everything after the candidate stage moves only
-    (id, id, dist) tuples. The knn frame feeds four plan branches —
-    persisted once.
-    """
+    Symmetrizes by exploding both orientations of each pair — one
+    evaluation of the LSH candidate join (a unionAll of two
+    projections would execute the expensive pair-emitter plan twice);
+    the top-k window partitions per node over its LSH-bounded
+    candidate list."""
     from declarativeml_spark.operators.dedup import lsh_topk_pairs
-    from declarativeml_spark.queries.pipeline import _LSH_PARAMS, _no_codegen_session
+    from declarativeml_spark.queries.pipeline import (
+        _LSH_PARAMS,
+        _no_codegen_session,
+    )
 
     s2 = _no_codegen_session(spark)
     pairs = lsh_topk_pairs(load_table(s2, sf_dir, "embeddings"), **_LSH_PARAMS)
-    # symmetrize by exploding both orientations of each pair — ONE
-    # evaluation of the LSH candidate join (a unionAll of two
-    # projections would execute the expensive pair-emitter plan twice)
     directed = pairs.select(
         F.explode(
             F.array(
@@ -571,12 +568,29 @@ def knn_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst", "e.d")
     w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst").asc())
-    knn = (
+    return (
         directed.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _KNN_K)
         .select("src", "dst", "d")
-        .transform(track_persist)
     )
+
+
+@query("knn_graph_degrees", oracle=_knn_oracle())
+def knn_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized k-nearest-neighbour graph over the embedding
+    corpus: per node, its ≤5 nearest LSH-candidate neighbours, the
+    union-symmetrized degree, and how many of its kNN edges are
+    mutual — the graph-construction step under SemDeDup-style
+    cluster pruning, curriculum ordering, and label propagation.
+
+    Scale: candidates come from the hash-checked LSH bucket join
+    (never all pairs); the per-node top-k window partitions by node,
+    so its input is that node's candidate list (LSH fan-in bounded),
+    not the corpus. Everything after the candidate stage moves only
+    (id, id, dist) tuples. The knn frame feeds four plan branches —
+    persisted once.
+    """
+    knn = _knn_frame(spark, sf_dir).transform(track_persist)
     edges = (
         knn.select("src", "dst")
         .union(knn.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -737,33 +751,7 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges from low to high DEGREE instead of id — noted, not needed
     for a degree-capped kNN graph.
     """
-    from declarativeml_spark.operators.dedup import lsh_topk_pairs
-    from declarativeml_spark.queries.pipeline import _LSH_PARAMS, _no_codegen_session
-
-    s2 = _no_codegen_session(spark)
-    pairs = lsh_topk_pairs(load_table(s2, sf_dir, "embeddings"), **_LSH_PARAMS)
-    # explode-symmetrized like knn_graph_degrees: one evaluation of
-    # the LSH candidate join instead of a twice-executed unionAll
-    directed = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
-                    F.col("euclidean_dist").alias("d"),
-                ),
-                F.struct(
-                    F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
-                    F.col("euclidean_dist").alias("d"),
-                ),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst", "e.d")
-    w = Window.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst").asc())
-    knn = (
-        directed.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _KNN_K)
-        .select("src", "dst")
-    )
+    knn = _knn_frame(spark, sf_dir).select("src", "dst")
     und = (
         knn.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")

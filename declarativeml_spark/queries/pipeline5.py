@@ -1190,24 +1190,18 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     predictions steer corpus retention (mirrors how production
     pipelines audit fastText-style LID per source).
 
-    Scale: per-row prediction is pure codegen (the same expression
-    text_language_id uses); the matrix is one groupBy of
-    (langs x langs) cells with map-side combine.
+    Scale: per-row prediction is pure codegen; the matrix is one
+    groupBy of (langs x langs) cells with map-side combine. The plan
+    IS text_language_id's (delegated — a second verbatim copy of the
+    prediction pipeline would silently drift from it), re-aliased to
+    this query's historical column name.
     """
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "toks", F.expr(_TOKS_S)
-    )
-    hit_cols = {}
-    for lang in T.LANG_ORDER:
-        col = f"h_{lang}"
-        docs = docs.withColumn(col, F.expr(T.lang_hits_spark("toks", lang)))
-        hit_cols[lang] = col
-    return (
-        docs.withColumn(
-            "predicted", F.expr(T.predicted_lang_case(hit_cols))
-        )
-        .groupBy("lang", "predicted")
-        .agg(F.count("*").cast("bigint").alias("n"))
+    from declarativeml_spark.queries.pipeline import text_language_id
+
+    return text_language_id(spark, sf_dir).select(
+        "lang",
+        "predicted",
+        F.col("n_docs").cast("bigint").alias("n"),
     )
 
 

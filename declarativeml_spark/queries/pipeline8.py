@@ -298,6 +298,29 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NC_DIM = 64
 
 
+def _label_centroids(base, dim: int, label_alias: str = "label"):
+    """Per-label DECIMAL(38,12)-exact centroid frame (label, cvec) —
+    the one definition of the exact-mean recipe shared by
+    embedding_nearest_centroid and embedding_outlier_audit (their
+    oracles share the dims/cents CTE text the same way; a precision
+    or tie-break change must land everywhere at once)."""
+    mean_dims = [
+        (
+            F.expr(f"CAST(SUM(CAST(vec[{i}] AS DECIMAL(38,12))) AS DOUBLE)")
+            / F.count("*")
+        ).alias(f"m{i}")
+        for i in range(dim)
+    ]
+    return (
+        base.groupBy("label")
+        .agg(*mean_dims)
+        .select(
+            F.col("label").alias(label_alias),
+            F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cvec"),
+        )
+    )
+
+
 @query(
     "embedding_nearest_centroid",
     oracle=f"""
@@ -357,21 +380,7 @@ def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("embedding").cast("array<double>").alias("vec"),
     )
-    mean_dims = [
-        (
-            F.expr(f"CAST(SUM(CAST(vec[{i}] AS DECIMAL(38,12))) AS DOUBLE)")
-            / F.count("*")
-        ).alias(f"m{i}")
-        for i in range(_NC_DIM)
-    ]
-    cents = (
-        base.groupBy("label")
-        .agg(*mean_dims)
-        .select(
-            F.col("label").alias("clabel"),
-            F.array(*[F.col(f"m{i}") for i in range(_NC_DIM)]).alias("cvec"),
-        )
-    )
+    cents = _label_centroids(base, _NC_DIM, label_alias="clabel")
     cs = F.collect_list(F.struct("clabel", "cvec")).alias("cs")
     assign = (
         "array_min(transform(cs, c -> struct("
@@ -1096,21 +1105,7 @@ def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("embedding").cast("array<double>").alias("vec"),
     )
-    mean_dims = [
-        (
-            F.expr(f"CAST(SUM(CAST(vec[{i}] AS DECIMAL(38,12))) AS DOUBLE)")
-            / F.count("*")
-        ).alias(f"m{i}")
-        for i in range(_NC_DIM)
-    ]
-    cents = (
-        base.groupBy("label")
-        .agg(*mean_dims)
-        .select(
-            "label",
-            F.array(*[F.col(f"m{i}") for i in range(_NC_DIM)]).alias("cvec"),
-        )
-    )
+    cents = _label_centroids(base, _NC_DIM)
     d2 = (
         "aggregate(zip_with(vec, cvec, (x, y) -> (x - y) * (x - y)),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
