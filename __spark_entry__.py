@@ -27,66 +27,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # correctness tooling that samples a prefix of this dict should spend
 # its budget on rows not yet (or not yet successfully) checked, not on
 # re-confirming long-green ones.
-# Round-4 rotation: rounds 1+3 accumulated 86 unique driver-green rows
-# (r3: the 50-entry prefix of the round-3 ordering; r1: 36 more).
-# The 63 names below are every query with NO driver row in any round —
-# they take the whole window this round; the long-green ones rotate to
-# the back. Round-4 additions slot in after the leftovers (~13) so
-# round 5's window covers leftover + new.
+# Round-5 rotation: rounds 1+3+4 accumulated 136 unique driver-green
+# rows (r4: the 50-entry prefix of the round-4 ordering; r3: 50 more;
+# r1: 36 more). The 39 names below are every query with NO driver row
+# in any round — they take the window head this round; the 50 round-4
+# greens joined _CHECK_LAST. Round-5 additions are capped at 11 so
+# 39 + new ≤ 50: every registered query then has a driver row by the
+# end of round 5. Any query beyond that cap must wait for round 6 —
+# do NOT push a never-checked leftover out of the window.
 _CHECK_FIRST = (
-    # (1) never driver-checked, rounds 1-3 (ordered: ML-training plane
-    # and graph/ranking queries the judge called out first)
-    "nb_lang_confusion",
-    "lineitem_decision_stump",
-    "lineitem_feature_mi",
-    "segment_spend_ttest",
-    "events_change_points",
-    "nation_trade_pagerank",
-    "knn_graph_degrees",
-    "knn_graph_triangles",
-    "text_bm25_topk",
-    "hybrid_search_rrf",
-    "pipeline_pretraining_corpus",
-    "nation_revenue_gini",
-    "events_autocorrelation",
-    "cluster_top_terms",
-    "retention_half_life",
-    "orders_forecast_backtest",
-    "events_fano_factor",
-    "parttype_supplier_hhi",
-    "text_zipf_fit",
-    "events_transition_entropy",
-    "orders_calendar_completeness",
-    "corpus_shard_assignment",
-    "tokenizer_fertility",
-    "embedding_centroid_dispersion",
-    "corpus_temperature_mix",
-    "events_rate_anomalies",
-    "decontam_bloom_gate",
-    "token_heavy_hitters_cms",
-    "lineitem_numeric_profile",
-    "embedding_pq_codes",
-    "text_tfidf_top_terms",
-    "quality_source_percentile",
-    "source_length_drift_psi",
-    "ann_ivf_recall",
-    "ann_ivf_topk",
-    "orders_merge_upsert",
-    "events_latest_per_user",
-    "multimodal_audio_energy",
-    "events_rollup_incremental",
-    "lineitem_zorder_layout",
-    "token_bigram_pmi",
-    "lang_id_confusion",
-    "text_heuristic_filters",
-    "events_user_sessions",
-    "embedding_quantize_int8",
-    "token_vocab_coverage",
-    "dedup_incremental_delta",
-    "events_minute_gapfill",
-    "multimodal_frame_sample",
-    "text_pii_redaction",
-    # ---- 50-row window boundary (historically) ----
+    # (1) never driver-checked r2/r3 leftovers (13)
     "semdedup_embedding_prune",
     "corpus_cross_source_overlap",
     "events_conversion_funnel",
@@ -100,9 +50,9 @@ _CHECK_FIRST = (
     "corpus_stratified_quota",
     "corpus_weighted_sample",
     "join_key_hotspots",
-    # (2) round-4 additions (queries/pipeline8.py) — next after the
-    # leftovers; anything not named in this tuple keeps registry
-    # order after it.
+    # (2) never driver-checked round-4 additions (26) — anything not
+    # named in this tuple keeps registry order after it; round-5
+    # additions append below (≤11 — see rotation note above).
     "dsir_importance_weights",
     "quality_linear_margin",
     "corpus_epoch_shuffle",
@@ -187,6 +137,57 @@ _CHECK_LAST = frozenset(
         "orders_benford_audit",
         "key_uniqueness_audit",
         "lineitem_price_ols",
+        # round-4 green (CORRECTNESS_r04.json, 50/50)
+        "nb_lang_confusion",
+        "lineitem_decision_stump",
+        "lineitem_feature_mi",
+        "segment_spend_ttest",
+        "events_change_points",
+        "nation_trade_pagerank",
+        "knn_graph_degrees",
+        "knn_graph_triangles",
+        "text_bm25_topk",
+        "hybrid_search_rrf",
+        "pipeline_pretraining_corpus",
+        "nation_revenue_gini",
+        "events_autocorrelation",
+        "cluster_top_terms",
+        "retention_half_life",
+        "orders_forecast_backtest",
+        "events_fano_factor",
+        "parttype_supplier_hhi",
+        "text_zipf_fit",
+        "events_transition_entropy",
+        "orders_calendar_completeness",
+        "corpus_shard_assignment",
+        "tokenizer_fertility",
+        "embedding_centroid_dispersion",
+        "corpus_temperature_mix",
+        "events_rate_anomalies",
+        "decontam_bloom_gate",
+        "token_heavy_hitters_cms",
+        "lineitem_numeric_profile",
+        "embedding_pq_codes",
+        "text_tfidf_top_terms",
+        "quality_source_percentile",
+        "source_length_drift_psi",
+        "ann_ivf_recall",
+        "ann_ivf_topk",
+        "orders_merge_upsert",
+        "events_latest_per_user",
+        "multimodal_audio_energy",
+        "events_rollup_incremental",
+        "lineitem_zorder_layout",
+        "token_bigram_pmi",
+        "lang_id_confusion",
+        "text_heuristic_filters",
+        "events_user_sessions",
+        "embedding_quantize_int8",
+        "token_vocab_coverage",
+        "dedup_incremental_delta",
+        "events_minute_gapfill",
+        "multimodal_frame_sample",
+        "text_pii_redaction",
     }
 )
 
