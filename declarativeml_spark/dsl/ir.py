@@ -102,6 +102,11 @@ class ForecastModel:
     trend: Optional[str] = None  # e.g. 'linear'
     lags: List[int] = field(default_factory=lambda: [1, 7])
     source_is_identifier: bool = True
+    # reference DSL.md:297-313 verbose form extensions
+    exog: List[str] = field(default_factory=list)  # exogenous regressors
+    seasonal_terms: List[str] = field(default_factory=list)
+    confidence_levels: List[float] = field(default_factory=list)
+    horizon_unit: Optional[str] = None  # 'days'/'weeks'/'hours'
 
 
 @dataclass

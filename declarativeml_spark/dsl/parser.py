@@ -253,6 +253,11 @@ class _Parser:
         self.expect_keyword("PREDICT")
         target = self.expect_name("target column")
         self.expect_keyword("WITH")
+        if self.at_keyword("TIME"):
+            # verbose time-series form (reference DSL.md:297-313):
+            # PREDICT y WITH TIME COLUMN t AND FEATURES (...) FORECAST n
+            # days AHEAD WITH CONFIDENCE INTERVALS p1, p2
+            return self.parse_verbose_forecast(name, algorithm, params, source, target)
         self.expect_keyword("FEATURES")
         self.expect_op("(")
         features = self.parse_feature_list()
@@ -363,6 +368,86 @@ class _Parser:
             else:
                 return
 
+    # -- TRAIN ... FORECAST (verbose form, DSL.md:297-313 verbatim) ------------
+    def parse_verbose_forecast(
+        self, name: str, algorithm: str, params: list, source: str, target: str
+    ) -> ir.ForecastModel:
+        """``PREDICT y WITH TIME COLUMN t [AND FEATURES (exprs | SEASONAL s |
+        TREND tr)] FORECAST n [days] AHEAD [WITH CONFIDENCE INTERVALS p, ...]``.
+
+        Matches the reference's prophet-style statement byte for byte
+        (reference docs/DSL.md:297-313); ``holidays=<table>`` /
+        ``seasonality=[...]`` ride in the USING param list.
+        """
+        self.expect_keyword("TIME")
+        self.expect_keyword("COLUMN")
+        time_column = self.expect_name("time column")
+        exog: list[str] = []
+        seasonal_terms: list[str] = []
+        trend = None
+        if self.at_keyword("AND"):
+            self.advance()
+            self.expect_keyword("FEATURES")
+            self.expect_op("(")
+            while True:
+                if self.at_keyword("SEASONAL"):
+                    self.advance()
+                    seasonal_terms.append(self.expect_name("seasonality"))
+                elif self.at_keyword("TREND"):
+                    self.advance()
+                    trend = self.expect_name("trend type")
+                else:
+                    sub = _ExprParser(self.tokens, self.i)
+                    node = sub.parse_expr()
+                    self.i = sub.i
+                    exog.append(node.render())
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+        self.expect_keyword("FORECAST")
+        horizon = _require_positive_int(self.parse_value(), "forecast horizon")
+        unit = None
+        if self.peek().kind == "NAME" and not self.at_keyword("AHEAD"):
+            unit = self.advance().value.lower()
+        self.expect_keyword("AHEAD")
+        levels: list[float] = []
+        if self.at_keyword("WITH"):
+            self.advance()
+            levels = self.parse_confidence_intervals()
+        self.expect_eof()
+        return ir.ForecastModel(
+            name=name,
+            algorithm=algorithm,
+            params=params,
+            source=source,
+            target=target,
+            time_column=time_column,
+            horizon=horizon,
+            seasonal=seasonal_terms[0] if seasonal_terms else None,
+            trend=trend,
+            source_is_identifier=is_identifier_source(source),
+            exog=exog,
+            seasonal_terms=seasonal_terms,
+            confidence_levels=levels,
+            horizon_unit=unit,
+        )
+
+    def parse_confidence_intervals(self) -> list:
+        """``CONFIDENCE INTERVALS 0.8, 0.95`` → [0.8, 0.95]."""
+        self.expect_keyword("CONFIDENCE")
+        self.expect_keyword("INTERVALS")
+        levels: list[float] = []
+        while True:
+            val = self.parse_value()
+            if not isinstance(val, (int, float)) or not (0.0 < float(val) < 1.0):
+                raise ValueError(
+                    "confidence interval levels must be between 0 and 1"
+                )
+            levels.append(float(val))
+            if not self.accept_op(","):
+                break
+        return levels
+
     # -- TRAIN ... FORECAST tail (time series, DSL.md:297-313) -----------------
     def parse_forecast_tail(
         self, name: str, algorithm: str, params: list, source: str
@@ -377,6 +462,7 @@ class _Parser:
         seasonal = None
         trend = None
         lags = [1, 7]
+        levels: list[float] = []
         while self.peek().kind != "EOF":
             if self.at_keyword("HORIZON"):
                 self.advance()
@@ -391,6 +477,10 @@ class _Parser:
                 self.advance()
                 raw = self.parse_list_literal()
                 lags = [_require_positive_int(v, "lag period") for v in raw]
+            elif self.at_keyword("WITH") or self.at_keyword("CONFIDENCE"):
+                if self.at_keyword("WITH"):
+                    self.advance()
+                levels = self.parse_confidence_intervals()
             else:
                 tok = self.peek()
                 raise DSLSyntaxError(f"Unexpected input {tok.value!r} at {tok.pos}")
@@ -406,6 +496,8 @@ class _Parser:
             trend=trend,
             lags=lags,
             source_is_identifier=is_identifier_source(source),
+            seasonal_terms=[seasonal] if seasonal else [],
+            confidence_levels=levels,
         )
 
     # -- EXPLAIN PREDICTION (DSL.md:341-344) -------------------------------------

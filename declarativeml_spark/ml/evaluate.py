@@ -10,11 +10,11 @@ Explanations are computed Spark-side and are additive per row
 (SHAP-style, ``Σφ = prediction − base``): linear models use the
 interventional closed form ``coefᵢ·(xᵢ − μᵢ)`` as pure column
 arithmetic; tree regressors, GBT classifiers (margin space), and
-binary DT/RF classifiers (probability space via per-node class
-distributions) use Saabas path attribution through an Arrow-batched
-pandas UDF carrying the extracted tree tables (model-sized, not
-data-sized). Only multiclass tree classifiers fall back to global
-impurity importances (documented in ``explain_predictions``).
+DT/RF classifiers (probability space via per-node class
+distributions — binary explains p₁, multiclass carries one exact
+attribution vector PER CLASS) use Saabas path attribution through an
+Arrow-batched pandas UDF carrying the extracted tree tables
+(model-sized, not data-sized).
 """
 
 from __future__ import annotations
@@ -136,17 +136,20 @@ def _extract_tree(java_node, value: str = "prediction") -> list:
     per-node training statistics — the quantities Saabas attribution
     needs and ``toDebugString`` does not carry.
 
-    ``value``: ``"prediction"`` (regression trees / GBT margin trees)
-    or ``"p1"`` — the node's training probability of class 1 from its
+    ``value``: ``"prediction"`` (regression trees / GBT margin trees),
+    ``"p1"`` — the node's training probability of class 1 from its
     impurity class counts (binary classification trees; MLlib's
-    RF probability is exactly the mean of per-tree leaf p1).
+    RF probability is exactly the mean of per-tree leaf p1), or
+    ``"pvec"`` — the full per-class probability tuple (multiclass).
     """
     nodes: list = []
 
-    def node_value(n) -> float:
-        if value == "p1":
+    def node_value(n):
+        if value in {"p1", "pvec"}:
             stats = list(n.impurityStats().stats())
             tot = sum(stats)
+            if value == "pvec":
+                return tuple((s / tot) if tot else 0.0 for s in stats)
             return float(stats[1] / tot) if tot else 0.0
         return float(n.prediction())
 
@@ -204,15 +207,17 @@ def explain_predictions(
       RF probability is exactly the mean of per-tree leaf p1, so
       ``Σφ = probability₁ − base``. GBT classifiers attribute in
       margin space (``rawPrediction[1] = Σ wₜ·treeₜ``).
-    * Multiclass tree classifiers — per-row closed forms would need
-      one attribution vector per class; falls back to global
-      impurity importances replicated per row (contributions then do
-      NOT telescope; the base/prediction columns are omitted to keep
-      the contract honest).
+    * Multiclass tree classifiers — Saabas per CLASS from the same
+      per-node ``impurityStats`` class distributions: one exact
+      attribution vector per class (``Σφ_c = p_c − base_c`` for every
+      class c), emitted in ``class_contributions``; the top-level
+      ``base_value``/``prediction_value``/``contributions`` columns
+      describe the row's PREDICTED class, keeping the binary contract.
 
     Output: input columns + model outputs + ``base_value``,
     ``prediction_value``, ``contributions`` (all features) and
-    ``top_features`` (k largest by |contribution|).
+    ``top_features`` (k largest by |contribution|); multiclass adds
+    ``class_contributions`` (one additive decomposition per class).
     """
     from pyspark.ml.functions import vector_to_array
 
@@ -235,7 +240,6 @@ def explain_predictions(
             ]
         )
 
-    additive = True
     lin_coefs = _linear_coefficients(final)
     if lin_coefs is not None:
         coefs = lin_coefs
@@ -337,10 +341,89 @@ def explain_predictions(
             .withColumn("prediction_value", pred_col.cast("double"))
         )
         contribs = _structs([F.col("__phi")[i] for i in range(d)])
-    elif hasattr(final, "featureImportances"):
-        additive = False
-        imps = final.featureImportances.toArray().tolist()
-        contribs = _structs([F.lit(float(v)) for v in imps])
+    elif type(final).__name__ in {
+        "DecisionTreeClassificationModel",
+        "RandomForestClassificationModel",
+    } and int(getattr(final, "numClasses", 0)) > 2:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        cls = type(final).__name__
+        if cls.startswith("DecisionTree"):
+            jtrees = [_extract_tree(final._call_java("rootNode"), "pvec")]
+            weights = [1.0]
+        else:  # RF probability = mean of per-tree leaf class distributions
+            jtrees = [
+                _extract_tree(t._call_java("rootNode"), "pvec")
+                for t in final.trees
+            ]
+            weights = [1.0 / len(jtrees)] * len(jtrees)
+        d = int(final.numFeatures)
+        k = int(final.numClasses)
+        base_vec = [
+            sum(w * t[0][5][c] for w, t in zip(weights, jtrees))
+            for c in range(k)
+        ]
+
+        from pyspark.sql.functions import PandasUDFType
+
+        @pandas_udf("array<array<double>>", PandasUDFType.SCALAR)
+        def saabas_mc(feats):
+            out = []
+            for x in feats:
+                phi = [[0.0] * d for _ in range(k)]
+                for w, nodes in zip(weights, jtrees):
+                    fi, thr, cats, left, right, pvec = nodes[0]
+                    while fi >= 0:
+                        goes_left = (
+                            x[fi] <= thr if cats is None else x[fi] in cats
+                        )
+                        nxt = left if goes_left else right
+                        fi2, thr2, cats2, l2, r2, pvec2 = nodes[nxt]
+                        for c in range(k):
+                            phi[c][fi] += w * (pvec2[c] - pvec[c])
+                        fi, thr, cats, left, right, pvec = (
+                            fi2, thr2, cats2, l2, r2, pvec2,
+                        )
+                out.append(phi)
+            return pd.Series(out)
+
+        prob_arr = vector_to_array(F.col("probability"))
+        pred_idx = F.col("prediction").cast("int")
+        scored = (
+            scored.withColumn("__phi", saabas_mc(arr))
+            .withColumn(
+                "base_value",
+                F.element_at(
+                    F.array(*[F.lit(float(b)) for b in base_vec]),
+                    pred_idx + F.lit(1),
+                ),
+            )
+            .withColumn(
+                "prediction_value",
+                F.element_at(prob_arr, pred_idx + F.lit(1)).cast("double"),
+            )
+            .withColumn(
+                "class_contributions",
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("class"),
+                            F.lit(float(base_vec[c])).alias("base_value"),
+                            prob_arr[c].cast("double").alias(
+                                "probability_value"
+                            ),
+                            _structs(
+                                [F.col("__phi")[c][i] for i in range(d)]
+                            ).alias("contributions"),
+                        )
+                        for c in range(k)
+                    ]
+                ),
+            )
+        )
+        phi_pred = F.element_at(F.col("__phi"), pred_idx + F.lit(1))
+        contribs = _structs([phi_pred[i] for i in range(d)])
     else:
         raise ValueError(f"Model {model_name!r} is not explainable")
 
@@ -354,6 +437,6 @@ def explain_predictions(
     out = scored.withColumn("contributions", contribs).withColumn(
         "top_features", top
     )
-    if additive and "__phi" in out.columns:
+    if "__phi" in out.columns:
         out = out.drop("__phi")
     return out

@@ -1,13 +1,30 @@
 """Time-series forecasting: lag features + trend + seasonality →
-regression, with iterative multi-step forecast.
+regression, with iterative multi-step forecast and residual-quantile
+confidence intervals.
 
-Reference semantics (DSL.md:297-313): ``TRAIN … FORECAST revenue WITH
-TIME COLUMN date SEASONAL weekday TREND linear``. The reference names
-``prophet`` as an algorithm; there is no Prophet on a Spark cluster's
-JVM — the documented mapping (SURVEY.md §2.1 'TRAIN … FORECAST') is
-window-lag feature generation + an MLlib regressor. ``prophet`` is
-accepted as an alias for gradient-boosted regression with the full
+Reference semantics (DSL.md:297-313): the verbose prophet-style form
+``TRAIN MODEL … USING prophet(seasonality=['yearly','weekly'],
+holidays=us_holidays) … PREDICT y WITH TIME COLUMN t AND FEATURES
+(… SEASONAL weekday, TREND linear) FORECAST 30 days AHEAD WITH
+CONFIDENCE INTERVALS 0.8, 0.95`` plus the compact ``FORECAST y WITH
+TIME COLUMN t HORIZON n …`` form. There is no Prophet on a Spark
+cluster's JVM — the documented mapping (SURVEY.md §2.1 'TRAIN …
+FORECAST') is window-lag feature generation + an MLlib regressor;
+``prophet`` is an alias for gradient-boosted regression with the full
 seasonal feature set.
+
+Confidence intervals are distribution-free residual quantiles
+(split-conformal style): for level p the in-sample residual
+quantiles at (1±p)/2 are added to each point forecast, yielding
+``lo_80/hi_80``-style columns. The quantiles come from one
+``approxQuantile`` pass (distributed, no driver materialization of
+residuals).
+
+Holidays are a calendar dimension: the named table's date column is
+collected to a bounded driver-side set (a few hundred rows per
+decade; guarded) and becomes an ``is_holiday`` indicator on both the
+training frame and future steps — the broadcast-a-tiny-dim pattern,
+expressed as a literal IN-set so the scan stays single-pass.
 
 Scale: feature building is one window over the time order (single
 shuffle); the fit is a distributed MLlib regression. Multi-step
@@ -18,7 +35,7 @@ never over the history.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import pandas as pd
 from pyspark.ml import Pipeline
@@ -32,20 +49,118 @@ from declarativeml_spark.plans.builder import resolve_source
 
 _FORECAST_ALIASES = {"prophet": "gradient_boosting_regressor"}
 
+# seasonality vocabulary → (feature column, Spark builder)
+_SEASONAL_FEATURES = {
+    "weekday": ("dow", F.dayofweek),
+    "weekly": ("dow", F.dayofweek),
+    "dow": ("dow", F.dayofweek),
+    "month": ("month", F.month),
+    "monthly": ("month", F.month),
+    "yearly": ("doy", F.dayofyear),
+    "year": ("doy", F.dayofyear),
+}
+
+_UNIT_STEPS = {
+    "hour": pd.Timedelta(hours=1),
+    "hours": pd.Timedelta(hours=1),
+    "day": pd.Timedelta(days=1),
+    "days": pd.Timedelta(days=1),
+    "week": pd.Timedelta(weeks=1),
+    "weeks": pd.Timedelta(weeks=1),
+}
+
+_MAX_HOLIDAY_ROWS = 100_000  # calendars are small; refuse fact tables
+
+
+def _split_params(stmt: ForecastModel) -> Tuple[dict, dict]:
+    """Separate estimator params from forecast-level ones.
+
+    ``holidays=<table>`` and ``seasonality=[...]`` (reference
+    DSL.md:299-301) configure the feature plan, not the regressor.
+    """
+    est: Dict[str, Any] = {}
+    fc: Dict[str, Any] = {}
+    for key, val in stmt.params:
+        (fc if key in {"holidays", "seasonality"} else est)[key] = val
+    return est, fc
+
+
+def _seasonal_terms(stmt: ForecastModel) -> List[str]:
+    """Ordered, deduped union of SEASONAL clauses + seasonality param."""
+    _, fc = _split_params(stmt)
+    raw = list(stmt.seasonal_terms or ([stmt.seasonal] if stmt.seasonal else []))
+    extra = fc.get("seasonality", [])
+    if isinstance(extra, str):
+        extra = [extra]
+    raw.extend(extra)
+    out: list[str] = []
+    for term in raw:
+        if term not in _SEASONAL_FEATURES:
+            raise ValueError(
+                f"Unknown seasonality {term!r}; expected one of "
+                f"{sorted(set(_SEASONAL_FEATURES))}"
+            )
+        col = _SEASONAL_FEATURES[term][0]
+        if col not in out:
+            out.append(col)
+    return out
+
+
+def _exog_cols(stmt: ForecastModel) -> List[str]:
+    return [f"exog_{i}" for i in range(len(stmt.exog))]
+
+
+def _holiday_dates(spark: SparkSession, table: str) -> List[str]:
+    """Collect the holiday calendar as ISO date strings (bounded)."""
+    df = resolve_source(spark, table, True)
+    date_col = None
+    for name, dtype in df.dtypes:
+        if dtype in {"date", "timestamp", "timestamp_ntz"}:
+            date_col = name
+            break
+    if date_col is None:
+        for cand in ("holiday", "date", "day", "ds"):
+            if cand in df.columns:
+                date_col = cand
+                break
+    if date_col is None:
+        raise ValueError(
+            f"holidays table {table!r} has no date-typed column"
+        )
+    rows = (
+        df.select(F.to_date(F.col(date_col)).cast("string").alias("d"))
+        .where(F.col("d").isNotNull())
+        .distinct()
+        .limit(_MAX_HOLIDAY_ROWS + 1)
+        .collect()
+    )
+    if len(rows) > _MAX_HOLIDAY_ROWS:
+        raise ValueError(
+            f"holidays table {table!r} exceeds {_MAX_HOLIDAY_ROWS} distinct "
+            "dates — not a calendar"
+        )
+    return sorted(r.d for r in rows)
+
 
 def _feature_cols(stmt: ForecastModel) -> List[str]:
     cols = [f"lag_{k}" for k in stmt.lags]
     if stmt.trend:
         cols.append("trend_idx")
-    if stmt.seasonal == "weekday":
-        cols.append("dow")
-    elif stmt.seasonal in {"monthly", "month"}:
-        cols.append("month")
+    cols.extend(_seasonal_terms(stmt))
+    cols.extend(_exog_cols(stmt))
+    _, fc = _split_params(stmt)
+    if fc.get("holidays"):
+        cols.append("is_holiday")
     return cols
 
 
-def build_forecast_frame(df: DataFrame, stmt: ForecastModel) -> DataFrame:
-    """One ordered window pass: lags, trend index, seasonal fields."""
+def build_forecast_frame(
+    df: DataFrame,
+    stmt: ForecastModel,
+    holiday_dates: Optional[List[str]] = None,
+) -> DataFrame:
+    """One ordered window pass: lags, trend index, seasonal fields,
+    exogenous regressors, holiday indicator."""
     w = W.orderBy(F.col(stmt.time_column))
     out = df
     for k in stmt.lags:
@@ -54,11 +169,36 @@ def build_forecast_frame(df: DataFrame, stmt: ForecastModel) -> DataFrame:
         )
     if stmt.trend:
         out = out.withColumn("trend_idx", F.row_number().over(w).cast("double"))
-    if stmt.seasonal == "weekday":
-        out = out.withColumn("dow", F.dayofweek(stmt.time_column).cast("double"))
-    elif stmt.seasonal in {"monthly", "month"}:
-        out = out.withColumn("month", F.month(stmt.time_column).cast("double"))
+    for col in _seasonal_terms(stmt):
+        builder = {"dow": F.dayofweek, "month": F.month, "doy": F.dayofyear}[col]
+        out = out.withColumn(col, builder(stmt.time_column).cast("double"))
+    for i, expr in enumerate(stmt.exog):
+        out = out.withColumn(f"exog_{i}", F.expr(expr).cast("double"))
+    if holiday_dates is not None:
+        out = out.withColumn(
+            "is_holiday",
+            F.to_date(F.col(stmt.time_column))
+            .cast("string")
+            .isin(holiday_dates)
+            .cast("double"),
+        )
     return out.na.drop(subset=[f"lag_{k}" for k in stmt.lags])
+
+
+def _residual_bands(model, frame: DataFrame, levels: List[float]) -> dict:
+    """Split-conformal interval offsets: residual quantiles per level.
+
+    One distributed ``approxQuantile`` call (relativeError=0 → exact)
+    over the in-sample residuals; returns {level: (lo_off, hi_off)}.
+    """
+    resid = model.transform(frame).select(
+        (F.col("label") - F.col("prediction")).alias("resid")
+    )
+    probs: list[float] = []
+    for p in levels:
+        probs.extend([(1.0 - p) / 2.0, (1.0 + p) / 2.0])
+    qs = resid.stat.approxQuantile("resid", probs, 0.0)
+    return {p: (qs[2 * i], qs[2 * i + 1]) for i, p in enumerate(levels)}
 
 
 def train_forecast(
@@ -75,15 +215,21 @@ def train_forecast(
             f"FORECAST requires a regression algorithm, got {stmt.algorithm!r}"
         )
 
+    est_params, fc_params = _split_params(stmt)
+    holiday_dates = (
+        _holiday_dates(spark, fc_params["holidays"])
+        if fc_params.get("holidays")
+        else None
+    )
     df = resolve_source(spark, stmt.source, stmt.source_is_identifier)
-    frame = build_forecast_frame(df, stmt)
+    frame = build_forecast_frame(df, stmt, holiday_dates)
     feats = _feature_cols(stmt)
     frame = frame.withColumn("label", F.col(stmt.target).cast("double"))
 
     pipeline = Pipeline(
         stages=[
             VectorAssembler(inputCols=feats, outputCol="features", handleInvalid="keep"),
-            spec.build(dict(stmt.params), featuresCol="features", labelCol="label"),
+            spec.build(est_params, featuresCol="features", labelCol="label"),
         ]
     )
     model = pipeline.fit(frame)
@@ -99,18 +245,35 @@ def train_forecast(
         target=stmt.target,
     )
     registry_save(spark, trained, base=model_dir)
-    forecast_df = forecast(spark, model, df, stmt)
+    forecast_df = forecast(spark, model, df, stmt, holiday_dates)
+    if stmt.confidence_levels:
+        bands = _residual_bands(model, frame, stmt.confidence_levels)
+        for p in stmt.confidence_levels:
+            lo_off, hi_off = bands[p]
+            tag = int(round(p * 100))
+            forecast_df = forecast_df.withColumn(
+                f"lo_{tag}", F.col("forecast") + F.lit(lo_off)
+            ).withColumn(f"hi_{tag}", F.col("forecast") + F.lit(hi_off))
     return trained, forecast_df
 
 
 def forecast(
-    spark: SparkSession, model, history_df: DataFrame, stmt: ForecastModel
+    spark: SparkSession,
+    model,
+    history_df: DataFrame,
+    stmt: ForecastModel,
+    holiday_dates: Optional[List[str]] = None,
 ) -> DataFrame:
     """Iterative h-step forecast from the tail of the history.
 
     Pulls only the last ``max(lags)`` (time, value) pairs to the
     driver; each step predicts one point and feeds it back as lag
-    input. Frequency is inferred from the median spacing of the tail.
+    input. Step spacing comes from the declared horizon unit
+    (``FORECAST 30 days AHEAD``) or, absent one, the median spacing
+    of the tail. Exogenous regressors are unknowable for future rows
+    — they are held at their last observed value (the standard naive
+    scenario; callers wanting what-if paths re-run with a scenario
+    table).
     """
     max_lag = max(stmt.lags)
     tail = (
@@ -126,11 +289,37 @@ def forecast(
             f"Need at least {max_lag + 1} observations to forecast with lags {stmt.lags}"
         )
     times = pd.to_datetime(tail[stmt.time_column])
-    freq = (times.diff().dropna()).median()
+    if stmt.horizon_unit:
+        if stmt.horizon_unit not in _UNIT_STEPS:
+            raise ValueError(
+                f"Unknown forecast unit {stmt.horizon_unit!r}; expected one of "
+                f"{sorted(set(_UNIT_STEPS))}"
+            )
+        freq = _UNIT_STEPS[stmt.horizon_unit]
+    else:
+        freq = (times.diff().dropna()).median()
     values = list(tail[stmt.target].astype(float))
     last_time = times.iloc[-1]
     n_hist = history_df.count()
 
+    exog_last: dict[str, float] = {}
+    if stmt.exog:
+        last_row = (
+            history_df.select(
+                F.col(stmt.time_column).alias("_t"),
+                *[
+                    F.expr(e).cast("double").alias(f"exog_{i}")
+                    for i, e in enumerate(stmt.exog)
+                ],
+            )
+            .orderBy(F.desc("_t"))
+            .limit(1)
+            .collect()[0]
+        )
+        exog_last = {c: last_row[c] for c in _exog_cols(stmt)}
+    holiday_set = set(holiday_dates or [])
+
+    seasonal = _seasonal_terms(stmt)
     rows = []
     for step in range(1, stmt.horizon + 1):
         t_next = last_time + freq * step
@@ -139,11 +328,16 @@ def forecast(
             feat[f"lag_{k}"] = values[-k]
         if stmt.trend:
             feat["trend_idx"] = float(n_hist + step)
-        if stmt.seasonal == "weekday":
+        if "dow" in seasonal:
             # pandas dayofweek: Mon=0..Sun=6; Spark dayofweek: Sun=1..Sat=7
             feat["dow"] = float((t_next.dayofweek + 1) % 7 + 1)
-        elif stmt.seasonal in {"monthly", "month"}:
+        if "month" in seasonal:
             feat["month"] = float(t_next.month)
+        if "doy" in seasonal:
+            feat["doy"] = float(t_next.dayofyear)
+        feat.update(exog_last)
+        if holiday_dates is not None:
+            feat["is_holiday"] = float(t_next.strftime("%Y-%m-%d") in holiday_set)
         pred_df = model.transform(
             spark.createDataFrame(pd.DataFrame([feat]))
         )

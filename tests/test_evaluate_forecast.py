@@ -130,6 +130,96 @@ def test_forecast_prophet_alias(engine):
     assert len(trained.forecast.collect()) == 3
 
 
+def test_forecast_verbose_form_parses_reference_statement():
+    # reference docs/DSL.md:297-313, byte for byte
+    stmt = parse(
+        """TRAIN MODEL sales_forecast
+  USING prophet(
+    seasonality=['yearly', 'weekly'],
+    holidays=us_holidays
+  )
+  FROM daily_sales
+  PREDICT revenue
+  WITH TIME COLUMN date
+  AND FEATURES (
+    marketing_spend,
+    weather_temperature,
+    SEASONAL weekday,
+    TREND linear
+  )
+  FORECAST 30 days AHEAD
+  WITH CONFIDENCE INTERVALS 0.8, 0.95"""
+    )
+    assert isinstance(stmt, ForecastModel)
+    assert stmt.target == "revenue" and stmt.time_column == "date"
+    assert stmt.exog == ["marketing_spend", "weather_temperature"]
+    assert stmt.seasonal_terms == ["weekday"] and stmt.trend == "linear"
+    assert stmt.horizon == 30 and stmt.horizon_unit == "days"
+    assert stmt.confidence_levels == [0.8, 0.95]
+    assert dict(stmt.params)["holidays"] == "us_holidays"
+    assert dict(stmt.params)["seasonality"] == ["yearly", "weekly"]
+
+
+def test_forecast_confidence_intervals_and_coverage(engine, spark):
+    # dense calendar spine (orders has gap days; forecast steps are daily)
+    spark.sql(
+        """
+        SELECT d.day, COALESCE(r.revenue, CAST(0.0 AS DOUBLE)) AS revenue
+        FROM (
+          SELECT explode(sequence(
+            (SELECT MIN(day) FROM daily_revenue),
+            (SELECT MAX(day) FROM daily_revenue),
+            interval 1 day)) AS day
+        ) d LEFT JOIN daily_revenue r USING (day)
+        """
+    ).createOrReplaceTempView("daily_revenue_dense")
+    # hold out the last 5 days; train on the rest
+    spark.sql(
+        """
+        SELECT * FROM daily_revenue_dense
+        WHERE day < (SELECT date_add(MAX(day), -5) FROM daily_revenue_dense)
+        """
+    ).createOrReplaceTempView("daily_revenue_train")
+    trained = engine.execute(
+        "TRAIN MODEL rev_ci USING linear_regression FROM daily_revenue_train "
+        "PREDICT revenue WITH TIME COLUMN day "
+        "AND FEATURES (SEASONAL weekday, TREND linear) "
+        "FORECAST 5 days AHEAD "
+        "WITH CONFIDENCE INTERVALS 0.8, 0.95"
+    )
+    fc = trained.forecast.orderBy("step").toPandas()
+    for col in ("lo_80", "hi_80", "lo_95", "hi_95"):
+        assert col in fc.columns
+    # nesting: 95% band contains the 80% band contains the point
+    assert (fc.lo_95 <= fc.lo_80).all() and (fc.hi_80 <= fc.hi_95).all()
+    assert (fc.lo_80 <= fc.forecast).all() and (fc.forecast <= fc.hi_80).all()
+    # coverage sanity on the held-out tail: most actuals in the 95% band
+    actual = spark.sql(
+        """
+        SELECT day, revenue FROM daily_revenue_dense
+        WHERE day >= (SELECT date_add(MAX(day), -5) FROM daily_revenue_dense)
+          AND day < (SELECT MAX(day) FROM daily_revenue_dense)
+        """
+    ).toPandas()
+    merged = fc.merge(actual, on="day")
+    assert len(merged) == 5
+    covered = ((merged.revenue >= merged.lo_95) & (merged.revenue <= merged.hi_95)).sum()
+    assert covered >= 3
+
+
+def test_forecast_holidays_feature(engine, spark):
+    hol = spark.sql(
+        "SELECT DISTINCT o_orderdate AS holiday FROM orders LIMIT 3"
+    )
+    hol.createOrReplaceTempView("test_holidays")
+    trained = engine.execute(
+        "TRAIN MODEL rev_hol USING linear_regression(holidays=test_holidays) "
+        "FROM daily_revenue FORECAST revenue WITH TIME COLUMN day HORIZON 3"
+    )
+    assert "is_holiday" in trained.features
+    assert len(trained.forecast.collect()) == 3
+
+
 def test_forecast_requires_regression(engine):
     with pytest.raises(ValueError, match="regression"):
         engine.execute(
@@ -211,6 +301,59 @@ def test_explain_tree_classifier_additivity(engine, spark):
             s = sum(c.contribution for c in r.contributions)
             assert abs(s - (r.prediction_value - r.base_value)) < 1e-6, (name, r)
             assert r.prediction_value == pytest.approx(r.ref), (name, r)
+
+
+def test_explain_multiclass_tree_additivity(engine, spark):
+    """Per-class Saabas for MULTICLASS tree classifiers: every class c
+    gets its own additive decomposition (Σφ_c = p_c − base_c) from the
+    per-node impurityStats class distributions; the top-level columns
+    describe the predicted class."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    spark.sql(
+        "SELECT *, CAST(o_totalprice / 100000 AS INT) % 3 AS price_class"
+        " FROM orders"
+    ).createOrReplaceTempView("orders_3class_tree")
+    for name, algo in [
+        ("exm_dt", "decision_tree(max_depth=4)"),
+        ("exm_rf", "random_forest(num_trees=5, max_depth=4)"),
+    ]:
+        engine.execute(
+            f"TRAIN MODEL {name} USING {algo} "
+            "FROM orders_3class_tree PREDICT price_class "
+            "WITH FEATURES(o_custkey, o_orderkey, log(o_totalprice + 1))"
+        )
+        out = engine.execute(
+            f"EXPLAIN PREDICTION FOR MODEL {name} FROM orders_3class_tree"
+            " TOP 2 FEATURES"
+        )
+        rows = out.select(
+            vector_to_array(F.col("probability")).alias("prob"),
+            F.col("prediction").cast("int").alias("pred"),
+            "base_value",
+            "prediction_value",
+            "contributions",
+            "class_contributions",
+        ).take(20)
+        assert rows, name
+        for r in rows:
+            assert len(r.class_contributions) == 3, name
+            # per-class additivity: Σφ_c = p_c − base_c for EVERY class
+            for cc in r.class_contributions:
+                s = sum(c.contribution for c in cc.contributions)
+                assert abs(s - (cc.probability_value - cc.base_value)) < 1e-6, (
+                    name,
+                    cc,
+                )
+                assert cc.probability_value == pytest.approx(r.prob[cc["class"]])
+            # top-level columns mirror the predicted class
+            assert r.prediction_value == pytest.approx(r.prob[r.pred]), name
+            s = sum(c.contribution for c in r.contributions)
+            assert abs(s - (r.prediction_value - r.base_value)) < 1e-6, (name, r)
+        # probabilities are a simplex → per-row class bases sum to 1
+        bases = [cc.base_value for cc in rows[0].class_contributions]
+        assert sum(bases) == pytest.approx(1.0)
 
 
 def test_multiclass_lr_explain_is_typed_error(engine, spark):
