@@ -79,6 +79,9 @@ _CHECK_FIRST = (
     "lineitem_pruning_effectiveness",
     "decontam_semantic_overlap",
     "text_heaps_law_fit",
+    # (3) round-5 additions (window slots 40-50; hard cap 11 — see
+    # rotation note above)
+    "tokenizer_bpe_merges",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

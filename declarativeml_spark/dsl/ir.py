@@ -804,3 +804,31 @@ class CalibrateDedup:
                 raise ValueError(
                     f"THRESHOLDS must be in (0, 1], got {t!r}"
                 )
+
+
+@dataclass
+class TrainTokenizer:
+    """IR for ``TRAIN TOKENIZER <name> FROM <source> VOCAB n
+    [TEXT COLUMN col]`` — BPE-merge tokenizer training (SURVEY.md
+    §2.11; beyond-parity — the reference has no tokenizer surface).
+
+    ``VOCAB n`` is the target vocabulary size: the engine learns
+    ``n − |base alphabet|`` merge rules (the base alphabet is the
+    corpus's distinct single characters, counted at train time).
+    See operators/bpe.py; queries/pipeline9.py::tokenizer_bpe_merges
+    is the oracle-checked twin.
+    """
+
+    name: str
+    source: str
+    vocab: int
+    text_column: str = "text"
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        if (
+            not isinstance(self.vocab, int)
+            or isinstance(self.vocab, bool)
+            or self.vocab < 2
+        ):
+            raise ValueError("VOCAB must be an integer vocabulary size >= 2")

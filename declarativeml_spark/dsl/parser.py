@@ -75,6 +75,7 @@ Statement = Union[
     ir.WeighCorpus,
     ir.AuditAnonymity,
     ir.CalibrateDedup,
+    ir.TrainTokenizer,
 ]
 
 
@@ -234,8 +235,10 @@ class _Parser:
         return self.text[start:end].strip()
 
     # -- TRAIN MODEL -----------------------------------------------------
-    def parse_train(self) -> ir.TrainModel:
+    def parse_train(self) -> "Statement":
         self.expect_keyword("TRAIN")
+        if self.at_keyword("TOKENIZER"):
+            return self.parse_train_tokenizer()
         self.expect_keyword("MODEL")
         name = self.expect_name("model name")
         self.expect_keyword("USING")
@@ -1059,6 +1062,32 @@ class _Parser:
             model=model,
             source=source,
             metrics=metrics,
+            source_is_identifier=is_identifier_source(source),
+        )
+
+    # -- TRAIN TOKENIZER (beyond-parity: SURVEY §2.11) --------------------
+    def parse_train_tokenizer(self) -> "ir.TrainTokenizer":
+        """``TRAIN TOKENIZER <name> FROM <source> VOCAB n
+        [TEXT COLUMN col]`` — BPE-merge training (operators/bpe.py)."""
+        self.expect_keyword("TOKENIZER")
+        name = self.expect_name("tokenizer name")
+        self.expect_keyword("FROM")
+        source = self.capture_source_until("VOCAB")
+        if not source:
+            raise ValueError("TRAIN TOKENIZER source cannot be empty")
+        self.expect_keyword("VOCAB")
+        vocab = _require_positive_int(self.parse_value(), "vocabulary size")
+        text_column = "text"
+        if self.at_keyword("TEXT"):
+            self.advance()
+            self.expect_keyword("COLUMN")
+            text_column = self.expect_name("text column")
+        self.expect_eof()
+        return ir.TrainTokenizer(
+            name=name,
+            source=source,
+            vocab=vocab,
+            text_column=text_column,
             source_is_identifier=is_identifier_source(source),
         )
 

@@ -26,6 +26,8 @@ class Engine:
         self.model_dir = model_dir
         self._bus = None
         self.agents: dict[str, ir.Agent] = {}
+        # learned BPE merge tables by tokenizer name (TRAIN TOKENIZER)
+        self.tokenizers: dict[str, DataFrame] = {}
         # DataFrames persisted by the PREVIOUS statement's operators
         # (dedup/ANN cache LSH tables, normed bases, …). Released when
         # the next statement starts, or explicitly via release() — so a
@@ -168,7 +170,48 @@ class Engine:
             return self._audit_anonymity(stmt)
         if isinstance(stmt, ir.CalibrateDedup):
             return self._calibrate_dedup(stmt)
+        if isinstance(stmt, ir.TrainTokenizer):
+            return self._train_tokenizer(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
+
+    # -- TRAIN TOKENIZER (beyond-parity, SURVEY §2.11) -----------------------
+    def _train_tokenizer(self, stmt: "ir.TrainTokenizer") -> DataFrame:
+        """BPE-merge training (operators/bpe.py): ``VOCAB n`` is the
+        target vocabulary size, so the engine learns
+        ``n − |base alphabet|`` merges (the base alphabet is the
+        corpus's distinct single characters — one bounded ≤36-row
+        distinct agg). The learned merge table is kept on the engine
+        (``tokenizers[name]``, a handful of rows) for reuse."""
+        from declarativeml_spark.operators.bpe import bpe_merges
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        if stmt.text_column not in df.columns:
+            raise ValueError(
+                f"TRAIN TOKENIZER: source has no column"
+                f" {stmt.text_column!r}"
+            )
+        alphabet = (
+            df.select(
+                F.explode(
+                    F.split(F.lower(F.col(stmt.text_column)), "[^a-z0-9]+")
+                ).alias("w")
+            )
+            .filter(F.col("w") != "")
+            .select(F.explode(F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            )).alias("c"))
+            .distinct()
+            .count()
+        )
+        n_merges = stmt.vocab - alphabet
+        if n_merges < 1:
+            raise ValueError(
+                f"VOCAB {stmt.vocab} is not larger than the base"
+                f" alphabet ({alphabet} symbols) — nothing to learn"
+            )
+        merges = bpe_merges(df, stmt.text_column, n_merges)
+        self.tokenizers[stmt.name] = merges
+        return merges
 
     # -- DEDUPLICATE / SEARCH SIMILAR (beyond-parity, SURVEY §7.5) ----------
     def _deduplicate(self, stmt: ir.Deduplicate) -> DataFrame:

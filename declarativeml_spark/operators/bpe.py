@@ -1,0 +1,177 @@
+"""BPE-merge tokenizer training: iterative top-pair selection.
+
+The one LLM-pipeline primitive the engine measured but could not
+*learn* until now: ``tokenizer_fertility`` scores an existing
+tokenizer, this module trains merge rules from the corpus — the
+byte-pair-encoding loop (Sennrich et al. 2016, public algorithm):
+start from single characters, repeatedly merge the most frequent
+adjacent symbol pair.
+
+Spark-first shape (no reference counterpart — the reference DSL
+delegates everything to PostgreSQL and has no tokenizer training):
+
+* The corpus collapses to WORD TYPES once (one groupBy of the
+  tokenized text) — the classic BPE trick: all later rounds operate
+  on the vocabulary (10⁴-10⁵ rows at any corpus size), never the
+  corpus, so a 100 TB input costs one token-count shuffle and the
+  loop runs on a dimension-sized frame.
+* Each round is one map-side-combinable pair-count aggregation plus a
+  ``TakeOrderedAndProject`` top-1 (a bounded 1-row collect — the
+  driver only ever sees the winning pair), then a pure per-row fold
+  (``aggregate``) applying the merge greedily left-to-right.
+* Rounds persist-and-release generation by generation (the PageRank /
+  connected-components pattern), so lineage and storage stay bounded
+  by one vocabulary frame regardless of round count.
+
+Greedy left-to-right application is the part SQL folds get wrong for
+overlapping matches (pair (a,a) on "aaa" must merge once, not twice):
+the fold checks the LAST element of the accumulator, so a symbol
+consumed by the previous merge can never start another — exactly the
+scan order of the published algorithm. The DuckDB oracle twin
+replicates the same fold with ``list_reduce`` over a
+unit-separator-encoded accumulator (documents are printable ASCII and
+symbols are [a-z0-9]+, so chr(31) can't collide).
+
+Determinism: pair counts are exact integers; the winning pair breaks
+ties by (count DESC, lhs, rhs) — byte ordering on ASCII is identical
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from declarativeml_spark.operators.caching import track_persist
+
+# merged symbols are runs of [a-z0-9] — no regex/quote escaping needed,
+# asserted before interpolation anyway
+_APPLY_MERGE = (
+    "aggregate(seq, CAST(array() AS array<string>), (acc, x) -> "
+    "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{lhs}' "
+    "AND x = '{rhs}' "
+    "THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
+    "ELSE concat(acc, array(x)) END)"
+)
+
+_PAIRS = (
+    "explode(zip_with(slice(seq, 1, size(seq) - 1), "
+    "slice(seq, 2, size(seq) - 1), (a, b) -> struct(a AS lhs, b AS rhs)))"
+)
+
+
+def bpe_merges(
+    df: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merge rules from a text column.
+
+    Returns (merge_round, lhs, rhs, merged, pair_count) — one row per
+    learned rule in learning order. Stops early if the vocabulary
+    runs out of adjacent pairs (every word fully merged).
+    """
+    from declarativeml_spark.operators.textops import spread
+
+    spark = df.sparkSession
+    words = (
+        spread(df.select(F.lower(F.col(text_col)).alias("t")))
+        .select(F.explode(F.split(F.col("t"), "[^a-z0-9]+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    prev = track_persist(
+        vocab.select(
+            "cnt",
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            ).alias("seq"),
+        )
+    )
+    merges: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        top = (
+            prev.select("cnt", F.expr(_PAIRS).alias("p"))
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs = top[0].lhs, top[0].rhs
+        assert lhs.isalnum() and rhs.isalnum(), (lhs, rhs)
+        merges.append((r, lhs, rhs, lhs + rhs, int(top[0].pair_count)))
+        if r < n_merges:
+            nxt = track_persist(
+                prev.select(
+                    "cnt",
+                    F.expr(
+                        _APPLY_MERGE.format(
+                            lhs=lhs, rhs=rhs, merged=lhs + rhs
+                        )
+                    ).alias("seq"),
+                )
+            )
+            nxt.count()  # materialize before releasing the parent
+            prev.unpersist()
+            prev = nxt
+    prev.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_round long, lhs string, rhs string,"
+        " merged string, pair_count long",
+    )
+
+
+def bpe_merges_oracle_sql(
+    n_merges: int = 6, table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin: the same rounds as unrolled MATERIALIZED CTEs.
+
+    The greedy fold rides ``list_reduce`` with a chr(31)-encoded
+    accumulator string (list-valued accumulators aren't expressible;
+    symbols are [a-z0-9]+ so the separator can't collide); the last
+    element is read/rewritten with an anchored regex.
+    """
+    sep = "chr(31)"
+    fold = (
+        "list_reduce(seq, (acc, x) -> CASE WHEN "
+        "regexp_extract(acc, '[^\\x1f]*$') = t.lhs AND x = t.rhs "
+        "THEN regexp_replace(acc, '[^\\x1f]*$', t.lhs || t.rhs) "
+        f"ELSE acc || {sep} || x END)"
+    )
+    ctes = [
+        "w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt"
+        " FROM (SELECT unnest(string_split_regex(lower("
+        f"{text_col}), '[^a-z0-9]+')) AS word FROM {table})"
+        " WHERE word <> '' GROUP BY word)",
+        "s0 AS MATERIALIZED (SELECT word, cnt, list_transform("
+        "range(1, length(word) + 1), i -> substr(word, i, 1)) AS seq"
+        " FROM w)",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"p{r} AS (SELECT seq[i] AS lhs, seq[i + 1] AS rhs,"
+            " CAST(SUM(cnt) AS BIGINT) AS pair_count"
+            f" FROM {prev}, unnest(range(1, len(seq))) AS u(i)"
+            " GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"t{r} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p{r}"
+            " ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"
+        )
+        if r < n_merges:
+            ctes.append(
+                f"s{r} AS MATERIALIZED (SELECT word, cnt,"
+                f" string_split({fold}, {sep}) AS seq"
+                f" FROM {prev}, t{r} t)"
+            )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, lhs, rhs,"
+        f" lhs || rhs AS merged, pair_count FROM t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"WITH {joined}\nSELECT * FROM ({unions}) ORDER BY merge_round"

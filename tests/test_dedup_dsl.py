@@ -320,3 +320,49 @@ def test_search_ivf_mllib_method(engine):
     assert out.columns == ["qid", "nid", "cosine", "rnk"]
     rows = out.collect()
     assert rows and max(r.rnk for r in rows) <= 5
+
+
+def test_train_tokenizer_statement(engine, spark, smoke_dir):
+    stmt = parse("TRAIN TOKENIZER bpe1 FROM documents VOCAB 40 TEXT COLUMN text")
+    assert isinstance(stmt, ir.TrainTokenizer)
+    assert stmt.name == "bpe1" and stmt.vocab == 40
+    out = engine.execute("TRAIN TOKENIZER bpe1 FROM documents VOCAB 40")
+    rows = out.orderBy("merge_round").collect()
+    assert rows, "expected at least one learned merge"
+    # engine keeps the learned table by name
+    assert "bpe1" in engine.tokenizers
+    # learned rules match the oracle-checked registered query's first
+    # rounds (same corpus, same greedy algorithm)
+    q = QUERIES["tokenizer_bpe_merges"](engine.spark, smoke_dir)
+    expect = {r.merge_round: (r.lhs, r.rhs) for r in q.collect()}
+    for r in rows[: len(expect)]:
+        assert (r.lhs, r.rhs) == expect[r.merge_round], r
+    # each merged token is the concatenation, counts are positive
+    for r in rows:
+        assert r.merged == r.lhs + r.rhs and r.pair_count > 0
+
+
+def test_train_tokenizer_rejects_bad_vocab(engine):
+    with pytest.raises(ValueError, match="VOCAB"):
+        parse("TRAIN TOKENIZER t FROM documents VOCAB 1")
+    with pytest.raises(ValueError, match="alphabet"):
+        engine.execute("TRAIN TOKENIZER t FROM documents VOCAB 5")
+
+
+def test_bpe_greedy_overlap_is_single_merge(spark):
+    """Pair (a,a) on 'aaa' merges ONCE (greedy left-to-right), and the
+    learned rounds follow frequency with lexicographic ties."""
+    from declarativeml_spark.operators.bpe import bpe_merges
+
+    df = spark.createDataFrame(
+        [("aaa bb aaa bb aaa cc",)], "text string"
+    )
+    out = bpe_merges(df, "text", 3).orderBy("merge_round").collect()
+    # round 1: 'aa' appears twice per 'aaa' as raw adjacent pairs
+    # (3 words x 2) = 6 > 'bb' (2) -- merging is greedy so each 'aaa'
+    # yields exactly one 'aa' + residual 'a'
+    assert (out[0].lhs, out[0].rhs, out[0].pair_count) == ("a", "a", 6)
+    # after applying (a,a): seqs are [aa,a]; pair (aa,a) has count 3,
+    # (b,b) has 2, (c,c) 1
+    assert (out[1].lhs, out[1].rhs, out[1].pair_count) == ("aa", "a", 3)
+    assert (out[2].lhs, out[2].rhs, out[2].pair_count) == ("b", "b", 2)
