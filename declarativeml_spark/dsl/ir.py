@@ -313,8 +313,10 @@ class SimilaritySearch:
     [TOP k]`` — ANN over an embedding column (SURVEY.md §7.5).
 
     Methods: ``cosine`` (brute-force top-k, the oracle-checkable
-    baseline), ``lsh`` (bucketed scale path) and ``ivf`` (coarse-
-    quantizer cells scale path).
+    baseline), ``lsh`` (bucketed scale path), ``ivf`` (coarse-
+    quantizer cells scale path), and ``index`` (``USING INDEX name``
+    — serve from a persisted index built by ``CREATE INDEX``; the
+    source may be omitted, it is the index's source).
     """
 
     source: str
@@ -324,12 +326,19 @@ class SimilaritySearch:
     #: the full threshold-governed pair set
     k: Optional[int] = None
     source_is_identifier: bool = True
+    #: USING INDEX <name> — set iff method == "index"
+    index: Optional[str] = None
 
     def __post_init__(self) -> None:
-        if self.method not in {"cosine", "lsh", "ivf", "ivf_mllib"}:
+        if self.method not in {"cosine", "lsh", "ivf", "ivf_mllib", "index"}:
             raise ValueError(
                 f"Unknown similarity method {self.method!r};"
-                " expected 'cosine', 'lsh', 'ivf' or 'ivf_mllib'"
+                " expected 'cosine', 'lsh', 'ivf', 'ivf_mllib'"
+                " or INDEX <name>"
+            )
+        if (self.method == "index") != (self.index is not None):
+            raise ValueError(
+                "USING INDEX requires an index name (and only then)"
             )
         if self.k is not None and (
             not isinstance(self.k, int)
@@ -832,3 +841,38 @@ class TrainTokenizer:
             or self.vocab < 2
         ):
             raise ValueError("VOCAB must be an integer vocabulary size >= 2")
+
+
+@dataclass
+class CreateIndex:
+    """IR for ``CREATE INDEX <name> ON <source> USING <method>[(params)]``
+    — build a persisted similarity index once and serve repeated
+    ``SEARCH SIMILAR … USING INDEX <name>`` statements from it
+    (SURVEY.md §7.5; beyond-parity).
+
+    Methods: ``ivf`` (materialized cell assignment + checkpointed
+    pinned-Lloyd centroids) and ``lsh`` (materialized banded bucket
+    table). The index is a SNAPSHOT of the source at build time —
+    re-run CREATE INDEX after the source changes.
+    """
+
+    name: str
+    source: str
+    method: str
+    params: Dict[str, Any] = field(default_factory=dict)
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        if self.method not in {"ivf", "lsh"}:
+            raise ValueError(
+                f"Unknown index method {self.method!r};"
+                " expected 'ivf' or 'lsh'"
+            )
+
+
+@dataclass
+class DropIndex:
+    """IR for ``DROP INDEX <name>`` — release a persisted similarity
+    index's storage (cached corpus blocks + checkpointed centroids)."""
+
+    name: str

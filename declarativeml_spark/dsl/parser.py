@@ -76,6 +76,8 @@ Statement = Union[
     ir.AuditAnonymity,
     ir.CalibrateDedup,
     ir.TrainTokenizer,
+    ir.CreateIndex,
+    ir.DropIndex,
 ]
 
 
@@ -651,10 +653,14 @@ class _Parser:
         )
 
     # -- CREATE FEATURE TRANSFORMER / CREATE ENSEMBLE --------------------------
-    def parse_create(self) -> Union[ir.FeatureTransformer, ir.Ensemble, ir.Agent]:
+    def parse_create(
+        self,
+    ) -> Union[ir.FeatureTransformer, ir.Ensemble, ir.Agent, ir.CreateIndex]:
         self.expect_keyword("CREATE")
         if self.at_keyword("AGENT"):
             return self.parse_agent()
+        if self.at_keyword("INDEX"):
+            return self.parse_create_index()
         if self.at_keyword("FEATURE"):
             self.advance()
             self.expect_keyword("TRANSFORMER")
@@ -1064,6 +1070,38 @@ class _Parser:
             metrics=metrics,
             source_is_identifier=is_identifier_source(source),
         )
+
+    # -- CREATE INDEX / DROP INDEX (beyond-parity: SURVEY §7.5) ------------
+    def parse_create_index(self) -> "ir.CreateIndex":
+        """``CREATE INDEX <name> ON <source> USING <method>[(params)]``
+        — build-once similarity index (engine.py::_create_index)."""
+        self.expect_keyword("INDEX")
+        name = self.expect_name("index name")
+        self.expect_keyword("ON")
+        source = self.capture_source_until("USING")
+        if not source:
+            raise ValueError("CREATE INDEX source cannot be empty")
+        self.expect_keyword("USING")
+        method = self.expect_name("index method").lower()
+        params: list[tuple[str, Any]] = []
+        if self.accept_op("("):
+            params = self.parse_param_list()
+            self.expect_op(")")
+        self.expect_eof()
+        return ir.CreateIndex(
+            name=name,
+            source=source,
+            method=method,
+            params=dict(params),
+            source_is_identifier=is_identifier_source(source),
+        )
+
+    def parse_drop(self) -> "ir.DropIndex":
+        self.expect_keyword("DROP")
+        self.expect_keyword("INDEX")
+        name = self.expect_name("index name")
+        self.expect_eof()
+        return ir.DropIndex(name=name)
 
     # -- TRAIN TOKENIZER (beyond-parity: SURVEY §2.11) --------------------
     def parse_train_tokenizer(self) -> "ir.TrainTokenizer":
@@ -1659,16 +1697,25 @@ class _Parser:
         self.expect_keyword("SEARCH")
         self.expect_keyword("SIMILAR")
         source = self.capture_source_until("USING", "TOP")
-        if not source:
-            raise ValueError("SEARCH SIMILAR source cannot be empty")
         method = "cosine"
+        index = None
         params: list[tuple[str, Any]] = []
         if self.at_keyword("USING"):
             self.advance()
-            method = self.expect_name("similarity method").lower()
+            if self.at_keyword("INDEX"):
+                # USING INDEX <name>[(search params)] — serve from a
+                # CREATE INDEX snapshot; source optional (it IS the
+                # index's source, validated by the engine if given)
+                self.advance()
+                method = "index"
+                index = self.expect_name("index name")
+            else:
+                method = self.expect_name("similarity method").lower()
             if self.accept_op("("):
                 params = self.parse_param_list()
                 self.expect_op(")")
+        if not source and index is None:
+            raise ValueError("SEARCH SIMILAR source cannot be empty")
         k = None  # None = TOP absent; engine applies per-method default
         if self.at_keyword("TOP"):
             self.advance()
@@ -1682,7 +1729,8 @@ class _Parser:
             method=method,
             params=dict(params),
             k=k,
-            source_is_identifier=is_identifier_source(source),
+            source_is_identifier=is_identifier_source(source) if source else True,
+            index=index,
         )
 
 
@@ -1777,12 +1825,14 @@ def parse(text: str) -> Statement:
         return parser.parse_audit()
     if tok.value == "CALIBRATE":
         return parser.parse_calibrate()
+    if tok.value == "DROP":
+        return parser.parse_drop()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
         " SEARCH, SAMPLE, DECONTAMINATE, PACK, REDACT, CHUNK, SESSIONIZE,"
         " QUANTIZE, MIX, PROFILE, DETECT, SHARD, COMPACT, SHUFFLE, SCORE,"
-        " WEIGH, AUDIT, or CALIBRATE"
+        " WEIGH, AUDIT, CALIBRATE, or DROP"
     )
 
 

@@ -28,6 +28,10 @@ class Engine:
         self.agents: dict[str, ir.Agent] = {}
         # learned BPE merge tables by tokenizer name (TRAIN TOKENIZER)
         self.tokenizers: dict[str, DataFrame] = {}
+        # persisted similarity indexes by name (CREATE INDEX) — each a
+        # dict of {method, source, params, frames, owned}; the owned
+        # frames outlive statement scopes until DROP INDEX
+        self.indexes: dict[str, dict] = {}
         # DataFrames persisted by the PREVIOUS statement's operators
         # (dedup/ANN cache LSH tables, normed bases, …). Released when
         # the next statement starts, or explicitly via release() — so a
@@ -172,7 +176,154 @@ class Engine:
             return self._calibrate_dedup(stmt)
         if isinstance(stmt, ir.TrainTokenizer):
             return self._train_tokenizer(stmt)
+        if isinstance(stmt, ir.CreateIndex):
+            return self._create_index(stmt)
+        if isinstance(stmt, ir.DropIndex):
+            return self._drop_index(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
+
+    def _search_from_index(
+        self, stmt: "ir.SimilaritySearch", p: dict, k: int
+    ) -> DataFrame:
+        """``SEARCH SIMILAR [source] USING INDEX name[(params)]`` —
+        serve from a CREATE INDEX snapshot: only the probe stages run
+        (no Lloyd's / no bucket-key build). Search-time knobs only:
+        ivf takes query_mod/n_probe, lsh takes threshold."""
+        from declarativeml_spark.operators import dedup as D
+
+        rec = self.indexes.get(stmt.index)
+        if rec is None:
+            raise ValueError(
+                f"Unknown index {stmt.index!r}; build it first with"
+                " CREATE INDEX"
+            )
+        if stmt.source and stmt.source != rec["source"]:
+            raise ValueError(
+                f"Index {stmt.index!r} was built on {rec['source']!r},"
+                f" not {stmt.source!r} — the index serves its own"
+                " snapshot; CREATE INDEX on the new source instead"
+            )
+        if rec["method"] == "ivf":
+            allowed = {"query_mod", "n_probe"}
+            unknown = sorted(set(p) - allowed)
+            if unknown:
+                raise ValueError(
+                    "SEARCH SIMILAR USING INDEX (ivf) does not accept"
+                    f" option(s) {', '.join(unknown)}; accepted:"
+                    f" {', '.join(sorted(allowed))} (build-time options"
+                    " belong on CREATE INDEX)"
+                )
+            return D.ivf_probe_topk(
+                rec["frames"]["corpus"], rec["frames"]["cents"], k=k, **p
+            )
+        allowed = {"threshold"}
+        unknown = sorted(set(p) - allowed)
+        if unknown:
+            raise ValueError(
+                "SEARCH SIMILAR USING INDEX (lsh) does not accept"
+                f" option(s) {', '.join(unknown)}; accepted: threshold"
+                " (build-time options belong on CREATE INDEX)"
+            )
+        return D.lsh_pairs_from_index(rec["frames"]["keyed"], **p)
+
+    # -- CREATE INDEX / DROP INDEX (beyond-parity, SURVEY §7.5) --------------
+    def _create_index(self, stmt: "ir.CreateIndex") -> DataFrame:
+        """Build a similarity index once, materialize it, and keep it
+        across statements so repeated ``SEARCH SIMILAR … USING INDEX``
+        runs only the probe stages.
+
+        * ``ivf``: the pinned-Lloyd cell assignment (persisted corpus,
+          checkpointed centroids — operators/dedup.py::native_cells).
+        * ``lsh``: the banded bucket table (persisted, materialized —
+          operators/dedup.py::lsh_keyed_index).
+
+        The built frames are adopted OUT of the per-statement cache
+        scope (caching.adopt_since), so the engine's next-statement
+        release leaves them cached; DROP INDEX (or a rebuilding
+        CREATE INDEX of the same name) frees them. The index is a
+        snapshot of the source at build time — rebuild after the
+        source changes.
+        """
+        from declarativeml_spark.operators import caching
+        from declarativeml_spark.operators import dedup as D
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        p = dict(stmt.params)
+        id_col = p.pop("id_col", "vec_id")
+        vec_col = p.pop("vec_col", "embedding")
+        mark = caching.scope_mark()
+        if stmt.method == "ivf":
+            allowed = {"n_cells", "n_iters", "dim"}
+            unknown = sorted(set(p) - allowed)
+            if unknown:
+                raise ValueError(
+                    f"CREATE INDEX USING ivf does not accept option(s)"
+                    f" {', '.join(unknown)}; accepted:"
+                    f" {', '.join(sorted(allowed | {'id_col', 'vec_col'}))}"
+                )
+            corpus, cents = D.native_cells(
+                df,
+                id_col,
+                vec_col,
+                n_cells=int(p.get("n_cells", 8)),
+                n_iters=int(p.get("n_iters", 2)),
+                dim=int(p.get("dim", 64)),
+            )
+            n_rows = corpus.count()  # materialize the snapshot NOW
+            frames = {"corpus": corpus, "cents": cents}
+        else:  # lsh (ir validates the method set)
+            allowed = {
+                "bucket_length",
+                "num_hash_tables",
+                "projs_per_table",
+                "seed",
+                "dim",
+            }
+            unknown = sorted(set(p) - allowed)
+            if unknown:
+                raise ValueError(
+                    f"CREATE INDEX USING lsh does not accept option(s)"
+                    f" {', '.join(unknown)}; accepted:"
+                    f" {', '.join(sorted(allowed | {'id_col', 'vec_col'}))}"
+                )
+            keyed = caching.track_persist(
+                D.lsh_keyed_index(df, id_col=id_col, vec_col=vec_col, **p)
+            )
+            n_rows = keyed.count()
+            frames = {"keyed": keyed}
+        owned = caching.adopt_since(mark)
+        old = self.indexes.pop(stmt.name, None)
+        if old is not None:
+            self._release_index(old)
+        self.indexes[stmt.name] = {
+            "method": stmt.method,
+            "source": stmt.source,
+            "params": dict(stmt.params),
+            "frames": frames,
+            "owned": owned,
+        }
+        return self.spark.createDataFrame(
+            [(stmt.name, stmt.method, stmt.source, int(n_rows))],
+            "index_name string, method string, source string, indexed_rows long",
+        )
+
+    def _release_index(self, rec: dict) -> None:
+        from declarativeml_spark.operators.caching import (
+            release_all,
+            release_checkpoint,
+        )
+
+        release_all(rec["owned"])
+        cents = rec["frames"].get("cents")
+        if cents is not None:
+            release_checkpoint(cents)
+
+    def _drop_index(self, stmt: "ir.DropIndex") -> dict:
+        rec = self.indexes.pop(stmt.name, None)
+        if rec is None:
+            raise ValueError(f"Unknown index {stmt.name!r}")
+        self._release_index(rec)
+        return {"dropped": stmt.name}
 
     # -- TRAIN TOKENIZER (beyond-parity, SURVEY §2.11) -----------------------
     def _train_tokenizer(self, stmt: "ir.TrainTokenizer") -> DataFrame:
@@ -529,7 +680,6 @@ class Engine:
 
         from declarativeml_spark.operators import dedup as D
 
-        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
         p = dict(stmt.params)
         if "k" in p:
             # a k => param would collide with TOP's keyword argument
@@ -539,6 +689,9 @@ class Engine:
                 " clause, not a k => option"
             )
         k = stmt.k if stmt.k is not None else 10
+        if stmt.method == "index":
+            return self._search_from_index(stmt, p, k)
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
         if stmt.method == "lsh":
             fn, kw = D.lsh_topk_pairs, p
         elif stmt.method == "ivf":

@@ -59,6 +59,31 @@ def capture() -> Iterator[List[DataFrame]]:
         _local.scope = prev
 
 
+def scope_mark() -> int:
+    """Current length of the active tracking scope (0 if none) — pair
+    with :func:`adopt_since` to take ownership of frames persisted by
+    a bounded stretch of operator code."""
+    scope = getattr(_local, "scope", None)
+    return len(scope) if scope is not None else 0
+
+
+def adopt_since(mark: int) -> List[DataFrame]:
+    """Remove and return every frame tracked since ``mark``.
+
+    The caller takes ownership: the scope owner's release (the
+    engine's next-statement unpersist) will no longer touch them.
+    Used by long-lived artifacts (CREATE INDEX) whose caches must
+    outlive the statement that built them; release them explicitly
+    with :func:`release_all` when the artifact is dropped.
+    """
+    scope = getattr(_local, "scope", None)
+    if scope is None:
+        return []
+    owned = list(scope[mark:])
+    del scope[mark:]
+    return owned
+
+
 def release_all(frames: List[DataFrame]) -> None:
     """Unpersist every frame; tolerant of already-released ones."""
     for df in frames:

@@ -798,6 +798,33 @@ def lsh_topk_pairs(
     left-associative, so results are bit-identical across engines
     (hash-checkable against DuckDB).
     """
+    keyed = lsh_keyed_index(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        bucket_length=bucket_length,
+        num_hash_tables=num_hash_tables,
+        projs_per_table=projs_per_table,
+        seed=seed,
+        dim=dim,
+    )
+    return lsh_pairs_from_index(keyed, threshold=threshold)
+
+
+def lsh_keyed_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 0.25,
+    num_hash_tables: int = 6,
+    projs_per_table: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Build stage of the native LSH: the banded bucket table
+    (vec_id, vec, tbl, bkey) — one row per (vector, hash table).
+    Split out so CREATE INDEX can materialize it once and serve
+    repeat searches (engine.py::_create_index)."""
     if dim is None:
         probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if probe is None or probe["d"] is None or probe["d"] < 0:
@@ -832,11 +859,17 @@ def lsh_topk_pairs(
         # statements per session can spark.catalog.clearCache()
         .transform(track_persist)
     )
-    keyed = base.select(
+    return base.select(
         "vec_id",
         "vec",
         F.posexplode(F.array(*key_cols)).alias("tbl", "bkey"),
     )
+
+
+def lsh_pairs_from_index(keyed: DataFrame, threshold: float = 1.15) -> DataFrame:
+    """Search stage of the native LSH over a prebuilt bucket table:
+    candidates from the (tbl, bkey) self-equi-join, verified by exact
+    euclidean distance."""
     # The exact-distance filter runs inside the join stage, BEFORE the
     # pair-level distinct — the wide candidate space only ever exists
     # as (id, id, dist) tuples. Distance is bit-identical across a
@@ -1316,6 +1349,23 @@ def ivf_native_topk(
     corpus, cents = native_cells(
         df, id_col, vec_col, n_cells, n_iters, dim, cache_key=cache_key
     )
+    return ivf_probe_topk(corpus, cents, k=k, query_mod=query_mod, n_probe=n_probe)
+
+
+def ivf_probe_topk(
+    corpus: DataFrame,
+    cents: DataFrame,
+    k: int = 10,
+    query_mod: int = 97,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Search stage of IVF-Flat over a prebuilt quantizer: probe the
+    ``n_probe`` nearest cells per query and score exact cosine inside
+    them. Split out from :func:`ivf_native_topk` so a CREATE INDEX'd
+    (corpus, cents) snapshot serves repeat searches without re-running
+    Lloyd's (engine.py::_create_index)."""
+    from pyspark.sql import Window
+
     # zero-norm vectors cluster fine (L2 distance is defined) but
     # have no cosine direction — exclude them from BOTH sides of the
     # scoring (ANSI div-by-0 otherwise), mirrored in the oracle

@@ -366,3 +366,62 @@ def test_bpe_greedy_overlap_is_single_merge(spark):
     # (b,b) has 2, (c,c) 1
     assert (out[1].lhs, out[1].rhs, out[1].pair_count) == ("aa", "a", 3)
     assert (out[2].lhs, out[2].rhs, out[2].pair_count) == ("b", "b", 2)
+
+
+def test_create_index_ivf_serves_repeat_searches(engine):
+    built = engine.execute(
+        "CREATE INDEX emb_ivf ON embeddings USING ivf(n_cells=16)"
+    ).collect()
+    assert built[0].index_name == "emb_ivf" and built[0].indexed_rows > 0
+    direct = engine.execute(
+        "SEARCH SIMILAR embeddings USING ivf(n_cells=16, n_probe=4) TOP 10"
+    )
+    expect = _rows(direct)
+    got1 = engine.execute(
+        "SEARCH SIMILAR USING INDEX emb_ivf(n_probe=4) TOP 10"
+    )
+    # the indexed search runs ONLY probe stages: the corpus comes from
+    # the materialized cache and the centroids from the checkpoint —
+    # the Lloyd build (its DECIMAL(38,12) mean aggregate) is absent
+    plan = got1._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert "decimal(38,12)" not in plan.lower()
+    assert _rows(got1) == expect
+    # second search: same snapshot, same result
+    got2 = engine.execute(
+        "SEARCH SIMILAR USING INDEX emb_ivf(n_probe=4) TOP 10"
+    )
+    assert _rows(got2) == expect
+    # naming the indexed source explicitly is allowed
+    got3 = engine.execute(
+        "SEARCH SIMILAR embeddings USING INDEX emb_ivf(n_probe=4) TOP 10"
+    )
+    assert _rows(got3) == expect
+
+
+def test_create_index_lsh_matches_direct(engine):
+    engine.execute("CREATE INDEX emb_lsh ON embeddings USING lsh")
+    direct = engine.execute("SEARCH SIMILAR embeddings USING lsh")
+    got = engine.execute(
+        "SEARCH SIMILAR USING INDEX emb_lsh(threshold=1.15)"
+    )
+    assert _rows(got) == _rows(direct)
+
+
+def test_index_errors(engine):
+    with pytest.raises(ValueError, match="Unknown index"):
+        engine.execute("SEARCH SIMILAR USING INDEX nope TOP 5")
+    engine.execute("CREATE INDEX emb_tmp ON embeddings USING ivf")
+    with pytest.raises(ValueError, match="built on"):
+        engine.execute("SEARCH SIMILAR documents USING INDEX emb_tmp TOP 5")
+    with pytest.raises(ValueError, match="build-time options"):
+        engine.execute("SEARCH SIMILAR USING INDEX emb_tmp(n_cells=4) TOP 5")
+    assert engine.execute("DROP INDEX emb_tmp") == {"dropped": "emb_tmp"}
+    with pytest.raises(ValueError, match="Unknown index"):
+        engine.execute("SEARCH SIMILAR USING INDEX emb_tmp TOP 5")
+    with pytest.raises(ValueError, match="Unknown index"):
+        engine.execute("DROP INDEX emb_tmp")
+    with pytest.raises(ValueError, match="Unknown index method"):
+        parse("CREATE INDEX i ON embeddings USING bogus")
+    with pytest.raises(ValueError, match="source cannot be empty"):
+        parse("SEARCH SIMILAR USING cosine TOP 5")
