@@ -82,6 +82,7 @@ _CHECK_FIRST = (
     # (3) round-5 additions (window slots 40-50; hard cap 11 — see
     # rotation note above)
     "tokenizer_bpe_merges",
+    "tokenizer_bpe_curve",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

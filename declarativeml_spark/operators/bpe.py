@@ -60,18 +60,29 @@ _PAIRS = (
 )
 
 
-def bpe_merges(
-    df: DataFrame, text_col: str = "text", n_merges: int = 6
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merge rules from a text column.
+def _gen_stats(gen: DataFrame) -> tuple:
+    """(total_tokens, vocab_size) of one symbol-sequence generation —
+    two vocabulary-sized aggs (one bounded row each to the driver)."""
+    tot = gen.select(
+        F.sum(F.col("cnt") * F.size("seq")).alias("t")
+    ).collect()[0].t
+    vocab = (
+        gen.select(F.explode("seq").alias("s")).distinct().count()
+    )
+    return int(tot), int(vocab)
 
-    Returns (merge_round, lhs, rhs, merged, pair_count) — one row per
-    learned rule in learning order. Stops early if the vocabulary
-    runs out of adjacent pairs (every word fully merged).
+
+def _bpe_learn(
+    df: DataFrame, text_col: str, n_merges: int, want_curve: bool
+) -> tuple[list, list]:
+    """Shared BPE loop: returns (merge rows, curve rows).
+
+    The curve (one row per generation 0..n, total tokens + distinct
+    symbol count) needs the FINAL merge applied too; the merges-only
+    caller skips that last apply.
     """
     from declarativeml_spark.operators.textops import spread
 
-    spark = df.sparkSession
     words = (
         spread(df.select(F.lower(F.col(text_col)).alias("t")))
         .select(F.explode(F.split(F.col("t"), "[^a-z0-9]+")).alias("word"))
@@ -88,6 +99,9 @@ def bpe_merges(
         )
     )
     merges: list[tuple] = []
+    curve: list[tuple] = []
+    if want_curve:
+        curve.append((0, *_gen_stats(prev)))
     for r in range(1, n_merges + 1):
         top = (
             prev.select("cnt", F.expr(_PAIRS).alias("p"))
@@ -102,7 +116,7 @@ def bpe_merges(
         lhs, rhs = top[0].lhs, top[0].rhs
         assert lhs.isalnum() and rhs.isalnum(), (lhs, rhs)
         merges.append((r, lhs, rhs, lhs + rhs, int(top[0].pair_count)))
-        if r < n_merges:
+        if r < n_merges or want_curve:
             nxt = track_persist(
                 prev.select(
                     "cnt",
@@ -116,18 +130,50 @@ def bpe_merges(
             nxt.count()  # materialize before releasing the parent
             prev.unpersist()
             prev = nxt
+            if want_curve:
+                curve.append((r, *_gen_stats(prev)))
     prev.unpersist()
-    return spark.createDataFrame(
+    return merges, curve
+
+
+def bpe_merges(
+    df: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merge rules from a text column.
+
+    Returns (merge_round, lhs, rhs, merged, pair_count) — one row per
+    learned rule in learning order. Stops early if the vocabulary
+    runs out of adjacent pairs (every word fully merged).
+    """
+    merges, _ = _bpe_learn(df, text_col, n_merges, want_curve=False)
+    return df.sparkSession.createDataFrame(
         merges,
         "merge_round long, lhs string, rhs string,"
         " merged string, pair_count long",
     )
 
 
-def bpe_merges_oracle_sql(
-    n_merges: int = 6, table: str = "documents", text_col: str = "text"
-) -> str:
-    """DuckDB twin: the same rounds as unrolled MATERIALIZED CTEs.
+def bpe_compression_curve(
+    df: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> DataFrame:
+    """Token-count compression curve of BPE training: one row per
+    generation 0..n_merges with the corpus's total token count (every
+    word weighted by frequency) and the symbol-vocabulary size — the
+    vocab-size-vs-sequence-length trade a tokenizer budget decision
+    reads. Generation 0 is raw characters.
+    """
+    _, curve = _bpe_learn(df, text_col, n_merges, want_curve=True)
+    return df.sparkSession.createDataFrame(
+        curve, "merge_round long, total_tokens long, vocab_size long"
+    )
+
+
+def _bpe_ctes(
+    n_merges: int, table: str, text_col: str, apply_last: bool
+) -> list[str]:
+    """The unrolled learn chain as MATERIALIZED CTEs: word types (w),
+    generations (s0..s{n-1 or n}), per-round pair counts (p{r}) and
+    winners (t{r}).
 
     The greedy fold rides ``list_reduce`` with a chr(31)-encoded
     accumulator string (list-valued accumulators aren't expressible;
@@ -162,16 +208,43 @@ def bpe_merges_oracle_sql(
             f"t{r} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p{r}"
             " ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"
         )
-        if r < n_merges:
+        if r < n_merges or apply_last:
             ctes.append(
                 f"s{r} AS MATERIALIZED (SELECT word, cnt,"
                 f" string_split({fold}, {sep}) AS seq"
                 f" FROM {prev}, t{r} t)"
             )
+    return ctes
+
+
+def bpe_merges_oracle_sql(
+    n_merges: int = 6, table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`bpe_merges` (see :func:`_bpe_ctes`)."""
+    ctes = _bpe_ctes(n_merges, table, text_col, apply_last=False)
     unions = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_round, lhs, rhs,"
         f" lhs || rhs AS merged, pair_count FROM t{r}"
         for r in range(1, n_merges + 1)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"WITH {joined}\nSELECT * FROM ({unions}) ORDER BY merge_round"
+
+
+def bpe_curve_oracle_sql(
+    n_merges: int = 6, table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`bpe_compression_curve`: per-generation
+    total token count + distinct symbol count as scalar subqueries
+    over each materialized generation."""
+    ctes = _bpe_ctes(n_merges, table, text_col, apply_last=True)
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round,"
+        f" (SELECT CAST(SUM(cnt * len(seq)) AS BIGINT) FROM s{r})"
+        " AS total_tokens,"
+        f" (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) FROM s{r},"
+        " unnest(seq) AS u(sym)) AS vocab_size"
+        for r in range(0, n_merges + 1)
     )
     joined = ",\n    ".join(ctes)
     return f"WITH {joined}\nSELECT * FROM ({unions}) ORDER BY merge_round"

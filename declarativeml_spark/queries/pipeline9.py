@@ -15,7 +15,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from declarativeml_spark.operators.bpe import bpe_merges, bpe_merges_oracle_sql
+from declarativeml_spark.operators.bpe import (
+    bpe_compression_curve,
+    bpe_curve_oracle_sql,
+    bpe_merges,
+    bpe_merges_oracle_sql,
+)
 from declarativeml_spark.queries.registry import query
 from declarativeml_spark.sources.catalog import load_table
 
@@ -40,3 +45,21 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return bpe_merges(docs, "text", _BPE_ROUNDS)
+
+
+@query("tokenizer_bpe_curve", oracle=bpe_curve_oracle_sql(_BPE_ROUNDS))
+def tokenizer_bpe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression curve of BPE training: after each learned merge
+    (generation 0 = raw characters), the corpus's total token count
+    (word types weighted by frequency) and the symbol-vocabulary size
+    — the tokens-saved-per-vocab-slot trade a tokenizer budget
+    decision reads, produced in-engine next to the learned rules.
+
+    Scale: identical loop shape to tokenizer_bpe_merges (one
+    corpus-sized word-type shuffle, then vocabulary-sized rounds);
+    the curve adds two bounded aggs per generation (a 1-row total and
+    a distinct-symbol count). Exact integers end to end, hash-checked
+    against DuckDB replaying the same greedy folds.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_compression_curve(docs, "text", _BPE_ROUNDS)

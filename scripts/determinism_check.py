@@ -12,7 +12,10 @@ reproduce its own output twice in a row is broken regardless of what
 the oracle says.
 
 Usage: python scripts/determinism_check.py [--sf-dir DIR] [--queries a,b]
-Exit 0 iff every query is stable.
+                                            [--out DETERMINISM.json]
+Exit 0 iff every query is stable. ``--out`` records the sweep as a
+JSON artifact — the round-end gate commits DETERMINISM.json alongside
+BENCH_LOCAL.json (see README "Round-end checklist").
 """
 
 from __future__ import annotations
@@ -45,6 +48,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--queries", default=None)
+    ap.add_argument("--out", default=None, help="write the sweep result as JSON")
     args = ap.parse_args()
 
     from declarativeml_spark.operators.caching import capture, release_all
@@ -81,6 +85,24 @@ def main() -> int:
                 print(f"      diff: {d}", flush=True)
 
     print({"checked": len(names), "unstable": unstable}, flush=True)
+    if args.out:
+        import datetime
+        import json
+
+        with open(args.out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "checked": len(names),
+                    "unstable": unstable,
+                    "run_at": datetime.datetime.now(
+                        datetime.timezone.utc
+                    ).isoformat(timespec="seconds"),
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
     return 1 if unstable else 0
 
 
