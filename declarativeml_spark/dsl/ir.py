@@ -86,6 +86,15 @@ class TrainModel:
     fallback: Optional[FallbackOption] = None
 
 
+# step units the forecaster understands (ml/forecast.py::_UNIT_STEPS
+# must cover exactly these — asserted in tests) — validated HERE so a
+# bad `FORECAST 3 months AHEAD` fails at parse time, not after a full
+# model fit
+FORECAST_UNITS = frozenset(
+    {"hour", "hours", "day", "days", "week", "weeks"}
+)
+
+
 @dataclass
 class ForecastModel:
     """IR for ``TRAIN MODEL … FORECAST`` time-series statements
@@ -107,6 +116,15 @@ class ForecastModel:
     seasonal_terms: List[str] = field(default_factory=list)
     confidence_levels: List[float] = field(default_factory=list)
     horizon_unit: Optional[str] = None  # 'days'/'weeks'/'hours'
+
+    def __post_init__(self) -> None:
+        if self.horizon_unit is not None and (
+            self.horizon_unit not in FORECAST_UNITS
+        ):
+            raise ValueError(
+                f"Unknown forecast unit {self.horizon_unit!r}; expected"
+                f" one of {sorted(FORECAST_UNITS)}"
+            )
 
 
 @dataclass

@@ -224,7 +224,16 @@ class Engine:
                 f" option(s) {', '.join(unknown)}; accepted: threshold"
                 " (build-time options belong on CREATE INDEX)"
             )
-        return D.lsh_pairs_from_index(rec["frames"]["keyed"], **p)
+        out = D.lsh_pairs_from_index(rec["frames"]["keyed"], **p)
+        if stmt.k is not None:
+            # honor an explicit TOP exactly like the direct lsh path:
+            # the k closest pairs, deterministic tiebreak
+            out = out.orderBy(
+                F.col("euclidean_dist").asc(),
+                F.col("id_a").asc(),
+                F.col("id_b").asc(),
+            ).limit(stmt.k)
+        return out
 
     # -- CREATE INDEX / DROP INDEX (beyond-parity, SURVEY §7.5) --------------
     def _create_index(self, stmt: "ir.CreateIndex") -> DataFrame:
@@ -329,9 +338,9 @@ class Engine:
     def _train_tokenizer(self, stmt: "ir.TrainTokenizer") -> DataFrame:
         """BPE-merge training (operators/bpe.py): ``VOCAB n`` is the
         target vocabulary size, so the engine learns
-        ``n − |base alphabet|`` merges (the base alphabet is the
-        corpus's distinct single characters — one bounded ≤36-row
-        distinct agg). The learned merge table is kept on the engine
+        ``n − |base alphabet|`` merges (the alphabet is counted on
+        BPE's own vocabulary-sized word-type frame — the corpus scans
+        exactly once). The learned merge table is kept on the engine
         (``tokenizers[name]``, a handful of rows) for reuse."""
         from declarativeml_spark.operators.bpe import bpe_merges
 
@@ -341,26 +350,7 @@ class Engine:
                 f"TRAIN TOKENIZER: source has no column"
                 f" {stmt.text_column!r}"
             )
-        alphabet = (
-            df.select(
-                F.explode(
-                    F.split(F.lower(F.col(stmt.text_column)), "[^a-z0-9]+")
-                ).alias("w")
-            )
-            .filter(F.col("w") != "")
-            .select(F.explode(F.expr(
-                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
-            )).alias("c"))
-            .distinct()
-            .count()
-        )
-        n_merges = stmt.vocab - alphabet
-        if n_merges < 1:
-            raise ValueError(
-                f"VOCAB {stmt.vocab} is not larger than the base"
-                f" alphabet ({alphabet} symbols) — nothing to learn"
-            )
-        merges = bpe_merges(df, stmt.text_column, n_merges)
+        merges = bpe_merges(df, stmt.text_column, vocab=stmt.vocab)
         self.tokenizers[stmt.name] = merges
         return merges
 
@@ -709,7 +699,11 @@ class Engine:
         # DSL's typed error, not a raw TypeError from **kw — e.g.
         # seed/max_iter are k-means|| knobs that the deterministic
         # 'ivf' quantizer does not have (use ivf_mllib for those)
-        accepted = set(inspect.signature(fn).parameters) - {"df"}
+        # cache_key is an internal memo handle for immutable bench
+        # inputs (operators/dedup.py::native_cells) — exposing it to
+        # the DSL would let two statements alias different/changed
+        # sources to one frozen quantizer
+        accepted = set(inspect.signature(fn).parameters) - {"df", "cache_key"}
         unknown = sorted(set(kw) - accepted)
         if unknown:
             raise ValueError(

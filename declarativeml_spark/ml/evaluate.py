@@ -344,7 +344,10 @@ def explain_predictions(
     elif type(final).__name__ in {
         "DecisionTreeClassificationModel",
         "RandomForestClassificationModel",
-    } and int(getattr(final, "numClasses", 0)) > 2:
+    } and int(getattr(final, "numClasses", 0)) >= 1:
+        # numClasses > 2, plus the degenerate single-class model
+        # (constant label: every φ is exactly 0 and p = base = 1)
+        # — numClasses == 2 took the p₁-space branch above
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 

@@ -113,16 +113,27 @@ def _exog_cols(stmt: ForecastModel) -> List[str]:
 def _holiday_dates(spark: SparkSession, table: str) -> List[str]:
     """Collect the holiday calendar as ISO date strings (bounded)."""
     df = resolve_source(spark, table, True)
-    date_col = None
-    for name, dtype in df.dtypes:
-        if dtype in {"date", "timestamp", "timestamp_ntz"}:
-            date_col = name
-            break
+    # conventionally-named calendar columns win over schema order —
+    # a table like (created_at timestamp, holiday date) must use
+    # `holiday`, not whichever date-typed column happens to be first
+    date_col = next(
+        (c for c in ("holiday", "date", "day", "ds") if c in df.columns),
+        None,
+    )
     if date_col is None:
-        for cand in ("holiday", "date", "day", "ds"):
-            if cand in df.columns:
-                date_col = cand
-                break
+        dated = [
+            name
+            for name, dtype in df.dtypes
+            if dtype in {"date", "timestamp", "timestamp_ntz"}
+        ]
+        if len(dated) > 1:
+            raise ValueError(
+                f"holidays table {table!r} has several date-typed columns"
+                f" ({', '.join(dated)}) and none named"
+                " holiday/date/day/ds — rename or project the calendar"
+                " column"
+            )
+        date_col = dated[0] if dated else None
     if date_col is None:
         raise ValueError(
             f"holidays table {table!r} has no date-typed column"

@@ -69,17 +69,26 @@ def _gen_stats(gen: DataFrame) -> tuple:
     vocab = (
         gen.select(F.explode("seq").alias("s")).distinct().count()
     )
-    return int(tot), int(vocab)
+    # an empty vocabulary (no [a-z0-9] text at all) sums to NULL —
+    # mirror the oracle's scalar subquery: (NULL, 0)
+    return (int(tot) if tot is not None else None), int(vocab)
 
 
 def _bpe_learn(
-    df: DataFrame, text_col: str, n_merges: int, want_curve: bool
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    want_curve: bool,
+    vocab_target: int | None = None,
 ) -> tuple[list, list]:
     """Shared BPE loop: returns (merge rows, curve rows).
 
     The curve (one row per generation 0..n, total tokens + distinct
     symbol count) needs the FINAL merge applied too; the merges-only
-    caller skips that last apply.
+    caller skips that last apply. ``vocab_target`` (TRAIN TOKENIZER's
+    VOCAB n) derives the merge budget from the base alphabet —
+    counted on the already-built word-type frame (vocabulary-sized),
+    so the corpus still scans exactly once.
     """
     from declarativeml_spark.operators.textops import spread
 
@@ -98,6 +107,17 @@ def _bpe_learn(
             ).alias("seq"),
         )
     )
+    if vocab_target is not None:
+        alphabet = (
+            prev.select(F.explode("seq").alias("s")).distinct().count()
+        )
+        n_merges = vocab_target - alphabet
+        if n_merges < 1:
+            prev.unpersist()
+            raise ValueError(
+                f"VOCAB {vocab_target} is not larger than the base"
+                f" alphabet ({alphabet} symbols) — nothing to learn"
+            )
     merges: list[tuple] = []
     curve: list[tuple] = []
     if want_curve:
@@ -112,6 +132,12 @@ def _bpe_learn(
             .collect()
         )
         if not top:
+            if want_curve:
+                # pair space exhausted: the oracle's remaining
+                # generations are empty (cross join with an empty
+                # winner CTE annihilates them), so its per-generation
+                # scalar subqueries read (NULL, 0) — mirror that
+                curve.extend((r2, None, 0) for r2 in range(r, n_merges + 1))
             break
         lhs, rhs = top[0].lhs, top[0].rhs
         assert lhs.isalnum() and rhs.isalnum(), (lhs, rhs)
@@ -137,15 +163,22 @@ def _bpe_learn(
 
 
 def bpe_merges(
-    df: DataFrame, text_col: str = "text", n_merges: int = 6
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+    vocab: int | None = None,
 ) -> DataFrame:
-    """Learn ``n_merges`` BPE merge rules from a text column.
+    """Learn BPE merge rules from a text column: ``n_merges`` rounds,
+    or — when ``vocab`` is given (TRAIN TOKENIZER's VOCAB n) —
+    ``vocab − |base alphabet|`` rounds.
 
     Returns (merge_round, lhs, rhs, merged, pair_count) — one row per
     learned rule in learning order. Stops early if the vocabulary
     runs out of adjacent pairs (every word fully merged).
     """
-    merges, _ = _bpe_learn(df, text_col, n_merges, want_curve=False)
+    merges, _ = _bpe_learn(
+        df, text_col, n_merges, want_curve=False, vocab_target=vocab
+    )
     return df.sparkSession.createDataFrame(
         merges,
         "merge_round long, lhs string, rhs string,"

@@ -1047,9 +1047,15 @@ def connected_components(
 
 # (applicationId, cache_key, params) → (corpus, cents). The IVF
 # family runs the same quantizer three times per bench/driver pass
-# (ann_ivf_native, ann_ivf_recall's inner leg, SEARCH SIMILAR);
-# sharing the finished frames turns repeats into cache reads. Keyed
-# by applicationId so entries die with their session; bounded.
+# (ann_ivf_native, ann_ivf_recall's inner leg); sharing the finished
+# frames turns repeats into cache reads. Keyed by applicationId so
+# entries die with their session; bounded. CONTRACT: cache_key must
+# uniquely identify an IMMUTABLE input (the registered queries pass
+# the sf_dir of a read-only parquet table) — the memo cannot see the
+# DataFrame's contents, so it is never exposed to the DSL
+# (engine.py excludes it from SEARCH SIMILAR's accepted options;
+# mutable sources go through CREATE INDEX, whose snapshot semantics
+# are explicit).
 _NATIVE_CELLS_MEMO: dict = {}
 _NATIVE_CELLS_MEMO_CAP = 16
 
@@ -1076,6 +1082,15 @@ def native_cells(
     Scale: each Lloyd iteration is a broadcast(centroids) map over
     the corpus + one groupBy(cell) agg of ``dim`` decimal sums
     (map-side combinable); the corpus itself never shuffles.
+
+    Known trade (deliberate): the centroids localCheckpoint eagerly,
+    so BUILDING the plan executes the (small) Lloyd job — an
+    EXPLAIN-only path over an IVF statement pays the quantizer run.
+    Without it, every downstream job re-plans the full per-iteration
+    broadcast+agg lineage (the 58-exchange ann_ivf_topk plan this
+    replaced). Checkpoint blocks are n_cells rows (~KB); outside
+    CREATE INDEX (which releases them on DROP) they are left to the
+    context cleaner.
     """
     from declarativeml_spark.operators.skew import spread_partitions
     from pyspark.sql import Window

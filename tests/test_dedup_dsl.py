@@ -425,3 +425,50 @@ def test_index_errors(engine):
         parse("CREATE INDEX i ON embeddings USING bogus")
     with pytest.raises(ValueError, match="source cannot be empty"):
         parse("SEARCH SIMILAR USING cosine TOP 5")
+
+
+def test_indexed_lsh_honors_top_like_direct_path(engine):
+    engine.execute("CREATE INDEX emb_lsh_top ON embeddings USING lsh")
+    direct = engine.execute("SEARCH SIMILAR embeddings USING lsh TOP 5")
+    got = engine.execute("SEARCH SIMILAR USING INDEX emb_lsh_top TOP 5")
+    assert _rows(got) == _rows(direct)
+    assert len(_rows(got)) == 5
+    engine.execute("DROP INDEX emb_lsh_top")
+
+
+def test_search_similar_rejects_cache_key_option(engine):
+    # cache_key is the internal memo handle for immutable bench
+    # inputs — exposing it would alias different sources to one
+    # frozen quantizer
+    with pytest.raises(ValueError, match="does not accept"):
+        engine.execute(
+            "SEARCH SIMILAR embeddings USING ivf(cache_key='x') TOP 5"
+        )
+
+
+def test_bpe_curve_early_exhaustion_matches_oracle(spark):
+    """Pair space exhausted before the round budget: the Spark curve
+    pads (round, NULL, 0) exactly like the oracle's empty-generation
+    scalar subqueries, so the hash gate holds on degenerate corpora."""
+    import duckdb
+
+    from declarativeml_spark.operators.bpe import (
+        bpe_compression_curve,
+        bpe_curve_oracle_sql,
+    )
+
+    rows = [("ab ab ab",), ("ab",)]
+    got = [
+        tuple(r)
+        for r in bpe_compression_curve(
+            spark.createDataFrame(rows, "text string"), "text", 4
+        ).orderBy("merge_round").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", rows)
+    want = [tuple(r) for r in con.execute(bpe_curve_oracle_sql(4)).fetchall()]
+    assert got == want
+    # round 1 merges (a,b); rounds 2..4 have no pairs left
+    assert got[0] == (0, 8, 2) and got[1] == (1, 4, 1)
+    assert all(r[1] is None and r[2] == 0 for r in got[2:])

@@ -381,3 +381,69 @@ def test_multiclass_lr_explain_is_typed_error(engine, spark):
             "EXPLAIN PREDICTION FOR MODEL ef_multi FROM orders_3class"
             " TOP 1 FEATURES"
         )
+
+
+def test_forecast_bad_unit_fails_at_parse_time():
+    # a bad unit must fail BEFORE any model fit (ir-level validation)
+    with pytest.raises(ValueError, match="Unknown forecast unit"):
+        parse(
+            "TRAIN MODEL m USING linear_regression FROM t PREDICT y "
+            "WITH TIME COLUMN d FORECAST 3 months AHEAD"
+        )
+
+
+def test_forecast_units_cover_forecaster_steps():
+    # the ir-level whitelist and the forecaster's step table must not
+    # drift apart
+    from declarativeml_spark.dsl.ir import FORECAST_UNITS
+    from declarativeml_spark.ml.forecast import _UNIT_STEPS
+
+    assert set(_UNIT_STEPS) == set(FORECAST_UNITS)
+
+
+def test_forecast_holidays_prefers_named_calendar_column(engine, spark):
+    # (created_at timestamp, holiday date): the conventionally-named
+    # calendar column must win over schema order
+    spark.sql(
+        "SELECT TIMESTAMP '2001-01-01 00:00:00' AS created_at,"
+        " o_orderdate AS holiday FROM orders LIMIT 3"
+    ).createOrReplaceTempView("holidays_two_dates")
+    from declarativeml_spark.ml.forecast import _holiday_dates
+
+    dates = _holiday_dates(spark, "holidays_two_dates")
+    assert dates and all(d != "2001-01-01" for d in dates)
+    # several date-typed columns and none conventionally named: a
+    # typed error, not a silent schema-order guess
+    spark.sql(
+        "SELECT TIMESTAMP '2001-01-01 00:00:00' AS created_at,"
+        " o_orderdate AS observed_on FROM orders LIMIT 3"
+    ).createOrReplaceTempView("holidays_ambiguous")
+    with pytest.raises(ValueError, match="several date-typed columns"):
+        _holiday_dates(spark, "holidays_ambiguous")
+
+
+def test_explain_single_class_tree_is_additive_zero(engine, spark):
+    """Degenerate constant-label classifier (numClasses == 1): every
+    contribution is exactly 0 and p = base = 1 — still additive, not
+    an error."""
+    # label constant 0 → MLlib numClasses == 1 (constant 1 would infer
+    # numClasses == 2 and take the binary p₁ branch)
+    spark.sql(
+        "SELECT *, CAST(0 AS INT) AS const_label FROM orders"
+    ).createOrReplaceTempView("orders_const")
+    engine.execute(
+        "TRAIN MODEL exm_const USING decision_tree(max_depth=2) "
+        "FROM orders_const PREDICT const_label WITH FEATURES(o_totalprice)"
+    )
+    out = engine.execute(
+        "EXPLAIN PREDICTION FOR MODEL exm_const FROM orders_const"
+        " TOP 1 FEATURES"
+    )
+    r = out.select(
+        "base_value", "prediction_value", "contributions",
+        "class_contributions",
+    ).first()
+    assert len(r.class_contributions) == 1
+    assert r.prediction_value == pytest.approx(1.0)
+    assert r.base_value == pytest.approx(1.0)
+    assert all(c.contribution == pytest.approx(0.0) for c in r.contributions)
