@@ -62,7 +62,11 @@ _PAIRS = (
 
 def _gen_stats(gen: DataFrame) -> tuple:
     """(total_tokens, vocab_size) of one symbol-sequence generation —
-    two vocabulary-sized aggs (one bounded row each to the driver)."""
+    two vocabulary-sized jobs (one bounded row each to the driver).
+    Deliberately NOT fused into one agg: the token total needs no
+    explode (sum of cnt·|seq|), and mixing countDistinct into the
+    exploded agg adds an Expand that doubles the symbol rows —
+    measured slower than the two narrow jobs."""
     tot = gen.select(
         F.sum(F.col("cnt") * F.size("seq")).alias("t")
     ).collect()[0].t
