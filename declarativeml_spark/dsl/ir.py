@@ -872,6 +872,13 @@ class CreateIndex:
     pinned-Lloyd centroids) and ``lsh`` (materialized banded bucket
     table). The index is a SNAPSHOT of the source at build time —
     re-run CREATE INDEX after the source changes.
+
+    ``STORED AS <table>`` additionally writes the index to BUCKETED
+    managed tables (lsh: bucket table bucketed by bkey, so the
+    candidate self-join runs shuffle-free; ivf: corpus bucketed by
+    cell + a centroid table) and serves searches from them — the
+    durable, executor-loss-safe variant; the in-memory form trades
+    that for zero write cost.
     """
 
     name: str
@@ -879,6 +886,7 @@ class CreateIndex:
     method: str
     params: Dict[str, Any] = field(default_factory=dict)
     source_is_identifier: bool = True
+    stored_as: Optional[str] = None
 
     def __post_init__(self) -> None:
         if self.method not in {"ivf", "lsh"}:

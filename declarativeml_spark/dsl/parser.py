@@ -1087,6 +1087,11 @@ class _Parser:
         if self.accept_op("("):
             params = self.parse_param_list()
             self.expect_op(")")
+        stored_as = None
+        if self.at_keyword("STORED"):
+            self.advance()
+            self.expect_keyword("AS")
+            stored_as = self.expect_name("storage table name")
         self.expect_eof()
         return ir.CreateIndex(
             name=name,
@@ -1094,6 +1099,7 @@ class _Parser:
             method=method,
             params=dict(params),
             source_is_identifier=is_identifier_source(source),
+            stored_as=stored_as,
         )
 
     def parse_drop(self) -> "ir.DropIndex":

@@ -301,6 +301,62 @@ class Engine:
             n_rows = keyed.count()
             frames = {"keyed": keyed}
         owned = caching.adopt_since(mark)
+        tables: list[str] = []
+        if stmt.stored_as is not None:
+            # durable variant: write BUCKETED managed tables and serve
+            # from them — the lsh bucket table is bucketed by bkey, so
+            # the candidate self-join is co-located (HashPartitioning
+            # on a subset of the join keys satisfies the clustering
+            # requirement: no exchange); survives executor loss, which
+            # in-memory checkpoint blocks do not
+            from declarativeml_spark.operators.caching import (
+                release_checkpoint,
+            )
+            from declarativeml_spark.sources.io import save_bucketed_table
+
+            t = stmt.stored_as
+            # a same-name table from a dropped/aborted build — or an
+            # orphaned managed-table LOCATION left by a previous
+            # session (the default in-memory catalog forgets tables
+            # but the warehouse directory persists) — must not block
+            # the save: drop the catalog entry AND the location
+            import os
+            import shutil
+
+            wh = self.spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            )
+            for prefix in ("file://", "file:"):
+                if wh.startswith(prefix):
+                    wh = wh[len(prefix):]
+                    break
+            for stale in (t, f"{t}_centroids"):
+                self.spark.sql(f"DROP TABLE IF EXISTS {stale}")
+                loc = os.path.join(wh, stale.lower())
+                if os.path.isdir(loc):
+                    shutil.rmtree(loc, ignore_errors=True)
+            if stmt.method == "ivf":
+                save_bucketed_table(frames["corpus"], t, "cell")
+                frames["cents"].write.mode("overwrite").saveAsTable(
+                    f"{t}_centroids"
+                )
+                release_checkpoint(frames["cents"])
+                tables = [t, f"{t}_centroids"]
+                frames = {
+                    "corpus": self.spark.table(t),
+                    "cents": self.spark.table(f"{t}_centroids"),
+                }
+            else:
+                # both candidate-join keys — Spark's co-partition check
+                # rejects a bucket-key subset of the join keys
+                save_bucketed_table(
+                    frames["keyed"], t, ["tbl", "bkey"],
+                    sort_col=["tbl", "bkey"],
+                )
+                tables = [t]
+                frames = {"keyed": self.spark.table(t)}
+            caching.release_all(owned)  # the tables serve now
+            owned = []
         old = self.indexes.pop(stmt.name, None)
         if old is not None:
             self._release_index(old)
@@ -310,6 +366,7 @@ class Engine:
             "params": dict(stmt.params),
             "frames": frames,
             "owned": owned,
+            "tables": tables,
         }
         return self.spark.createDataFrame(
             [(stmt.name, stmt.method, stmt.source, int(n_rows))],
@@ -323,9 +380,15 @@ class Engine:
         )
 
         release_all(rec["owned"])
-        cents = rec["frames"].get("cents")
-        if cents is not None:
-            release_checkpoint(cents)
+        if not rec.get("tables"):
+            cents = rec["frames"].get("cents")
+            if cents is not None:
+                release_checkpoint(cents)
+        for t in rec.get("tables", ()):
+            try:
+                self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
 
     def _drop_index(self, stmt: "ir.DropIndex") -> dict:
         rec = self.indexes.pop(stmt.name, None)

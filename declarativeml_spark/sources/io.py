@@ -67,16 +67,24 @@ def write_partitioned_parquet(
 def save_bucketed_table(
     df: DataFrame,
     table: str,
-    bucket_col: str,
+    bucket_col: "str | list[str]",
     n_buckets: int = 32,
-    sort_col: Optional[str] = None,
+    sort_col: Optional["str | list[str]"] = None,
     mode: str = "overwrite",
 ) -> None:
     """Bucketed managed table: joins/aggs on ``bucket_col`` between
-    tables bucketed the same way run shuffle-free (SURVEY §2.4)."""
-    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    tables bucketed the same way run shuffle-free (SURVEY §2.4).
+
+    For a shuffle-free JOIN the bucket columns must be ALL of the join
+    keys (Spark's co-partition check,
+    ``spark.sql.requireAllClusterKeysForCoPartition`` default true —
+    a subset is not accepted), so multi-key joins need the full list.
+    """
+    bcols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bcols)
     if sort_col:
-        writer = writer.sortBy(sort_col)
+        scols = [sort_col] if isinstance(sort_col, str) else list(sort_col)
+        writer = writer.sortBy(*scols)
     writer.saveAsTable(table)
 
 

@@ -472,3 +472,59 @@ def test_bpe_curve_early_exhaustion_matches_oracle(spark):
     # round 1 merges (a,b); rounds 2..4 have no pairs left
     assert got[0] == (0, 8, 2) and got[1] == (1, 4, 1)
     assert all(r[1] is None and r[2] == 0 for r in got[2:])
+
+
+def test_create_index_stored_as_bucketed_table(engine, spark):
+    """STORED AS writes the LSH bucket table as a BUCKETED managed
+    table: the candidate self-join co-locates on the bucket key (no
+    exchange feeding the join), results identical to the in-memory
+    index and the direct path."""
+    direct = engine.execute("SEARCH SIMILAR embeddings USING lsh")
+    expect = _rows(direct)
+    engine.execute(
+        "CREATE INDEX emb_lsh_stored ON embeddings USING lsh"
+        " STORED AS emb_lsh_bucket_tbl"
+    )
+    assert spark.catalog.tableExists("emb_lsh_bucket_tbl")
+    got = engine.execute(
+        "SEARCH SIMILAR USING INDEX emb_lsh_stored(threshold=1.15)"
+    )
+    # shuffle-free candidate join: with broadcast disabled, the join
+    # over the bucketed table must read both sides without an Exchange
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = engine.execute(
+            "SEARCH SIMILAR USING INDEX emb_lsh_stored(threshold=1.15)"
+        )
+        probe.count()
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # the pair-distinct above the join still shuffles; the JOIN's
+        # subtree (printed after the SortMergeJoin line) must not —
+        # both sides read the bucket table co-partitioned
+        assert "SortMergeJoin" in plan, plan
+        join_subtree = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in join_subtree, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert _rows(got) == expect
+    # ivf STORED AS: corpus bucketed by cell + a centroid table
+    engine.execute(
+        "CREATE INDEX emb_ivf_stored ON embeddings USING ivf(n_cells=16)"
+        " STORED AS emb_ivf_bucket_tbl"
+    )
+    assert spark.catalog.tableExists("emb_ivf_bucket_tbl")
+    assert spark.catalog.tableExists("emb_ivf_bucket_tbl_centroids")
+    direct_ivf = engine.execute(
+        "SEARCH SIMILAR embeddings USING ivf(n_cells=16, n_probe=4) TOP 10"
+    )
+    got_ivf = engine.execute(
+        "SEARCH SIMILAR USING INDEX emb_ivf_stored(n_probe=4) TOP 10"
+    )
+    assert _rows(got_ivf) == _rows(direct_ivf)
+    # DROP INDEX drops the stored tables too
+    engine.execute("DROP INDEX emb_lsh_stored")
+    engine.execute("DROP INDEX emb_ivf_stored")
+    assert not spark.catalog.tableExists("emb_lsh_bucket_tbl")
+    assert not spark.catalog.tableExists("emb_ivf_bucket_tbl")
+    assert not spark.catalog.tableExists("emb_ivf_bucket_tbl_centroids")
