@@ -29,9 +29,13 @@ class Engine:
         # learned BPE merge tables by tokenizer name (TRAIN TOKENIZER)
         self.tokenizers: dict[str, DataFrame] = {}
         # persisted similarity indexes by name (CREATE INDEX) — each a
-        # dict of {method, source, params, frames, owned}; the owned
-        # frames outlive statement scopes until DROP INDEX
+        # dict of {method, source, params, frames, owned, tables}; the
+        # owned frames outlive statement scopes until DROP INDEX
         self.indexes: dict[str, dict] = {}
+        # storage tables THIS session's CREATE INDEX wrote: only these
+        # may be silently cleaned on rebuild — anything else of the
+        # same name is presumed user data and errors instead
+        self._created_storage: set[str] = set()
         # DataFrames persisted by the PREVIOUS statement's operators
         # (dedup/ANN cache LSH tables, normed bases, …). Released when
         # the next statement starts, or explicitly via release() — so a
@@ -260,6 +264,53 @@ class Engine:
         p = dict(stmt.params)
         id_col = p.pop("id_col", "vec_id")
         vec_col = p.pop("vec_col", "embedding")
+        storage_targets: list[str] = []
+        if stmt.stored_as is not None:
+            # BEFORE the build: release a same-name index (its DROP of
+            # the same storage tables must run before, never after,
+            # the new write — releasing afterwards would delete the
+            # tables just written) and require clean storage targets.
+            # A pre-existing table we don't own is NEVER silently
+            # dropped: it could be user data, the index's own source,
+            # or another live index's storage.
+            old = self.indexes.pop(stmt.name, None)
+            if old is not None:
+                self._release_index(old)
+            t = stmt.stored_as
+            storage_targets = [t] + (
+                [f"{t}_centroids"] if stmt.method == "ivf" else []
+            )
+            import os
+            import shutil
+
+            wh = self.spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            )
+            for prefix in ("file://", "file:"):
+                if wh.startswith(prefix):
+                    wh = wh[len(prefix):]
+                    break
+            for target in storage_targets:
+                loc = os.path.join(wh, target.lower())
+                if target in self._created_storage:
+                    # leftover from this session's own earlier build
+                    # (e.g. a failed write): safe to clean
+                    self.spark.sql(f"DROP TABLE IF EXISTS {target}")
+                    if os.path.isdir(loc):
+                        shutil.rmtree(loc, ignore_errors=True)
+                elif self.spark.catalog.tableExists(target):
+                    raise ValueError(
+                        f"STORED AS target {target!r} already exists and"
+                        f" does not belong to index {stmt.name!r} — pick"
+                        " another name or drop the table first"
+                    )
+                elif os.path.isdir(loc):
+                    raise ValueError(
+                        f"STORED AS target location {loc!r} already"
+                        " exists (orphaned by a previous session?) —"
+                        " remove it or pick another name"
+                    )
+            self._created_storage.update(storage_targets)
         mark = caching.scope_mark()
         if stmt.method == "ivf":
             allowed = {"n_cells", "n_iters", "dim"}
@@ -315,26 +366,6 @@ class Engine:
             from declarativeml_spark.sources.io import save_bucketed_table
 
             t = stmt.stored_as
-            # a same-name table from a dropped/aborted build — or an
-            # orphaned managed-table LOCATION left by a previous
-            # session (the default in-memory catalog forgets tables
-            # but the warehouse directory persists) — must not block
-            # the save: drop the catalog entry AND the location
-            import os
-            import shutil
-
-            wh = self.spark.conf.get(
-                "spark.sql.warehouse.dir", "spark-warehouse"
-            )
-            for prefix in ("file://", "file:"):
-                if wh.startswith(prefix):
-                    wh = wh[len(prefix):]
-                    break
-            for stale in (t, f"{t}_centroids"):
-                self.spark.sql(f"DROP TABLE IF EXISTS {stale}")
-                loc = os.path.join(wh, stale.lower())
-                if os.path.isdir(loc):
-                    shutil.rmtree(loc, ignore_errors=True)
             if stmt.method == "ivf":
                 save_bucketed_table(frames["corpus"], t, "cell")
                 frames["cents"].write.mode("overwrite").saveAsTable(
@@ -389,6 +420,9 @@ class Engine:
                 self.spark.sql(f"DROP TABLE IF EXISTS {t}")
             except Exception:  # noqa: BLE001 — best-effort cleanup
                 pass
+            # the name is free again — a table the USER creates under
+            # it later must not be silently cleanable on rebuild
+            self._created_storage.discard(t)
 
     def _drop_index(self, stmt: "ir.DropIndex") -> dict:
         rec = self.indexes.pop(stmt.name, None)

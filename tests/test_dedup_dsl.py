@@ -528,3 +528,35 @@ def test_create_index_stored_as_bucketed_table(engine, spark):
     assert not spark.catalog.tableExists("emb_lsh_bucket_tbl")
     assert not spark.catalog.tableExists("emb_ivf_bucket_tbl")
     assert not spark.catalog.tableExists("emb_ivf_bucket_tbl_centroids")
+
+
+def test_stored_index_rebuild_and_ownership(engine, spark):
+    """Rebuilding an index under the same STORED AS table must leave
+    the FRESH tables in place (the old record's drop runs before the
+    new write); a pre-existing table the engine didn't write is never
+    silently dropped."""
+    engine.execute(
+        "CREATE INDEX emb_rb ON embeddings USING lsh STORED AS emb_rb_tbl"
+    )
+    first = _rows(
+        engine.execute("SEARCH SIMILAR USING INDEX emb_rb(threshold=1.15)")
+    )
+    # the documented rebuild workflow: same index name, same table
+    engine.execute(
+        "CREATE INDEX emb_rb ON embeddings USING lsh STORED AS emb_rb_tbl"
+    )
+    assert spark.catalog.tableExists("emb_rb_tbl")
+    again = _rows(
+        engine.execute("SEARCH SIMILAR USING INDEX emb_rb(threshold=1.15)")
+    )
+    assert again == first
+    # a foreign table of the target name is user data — typed error,
+    # no silent drop (temp views count: STORED AS embeddings errors)
+    with pytest.raises(ValueError, match="does not belong"):
+        engine.execute(
+            "CREATE INDEX emb_rb2 ON embeddings USING lsh"
+            " STORED AS embeddings"
+        )
+    assert spark.catalog.tableExists("embeddings")
+    engine.execute("DROP INDEX emb_rb")
+    assert not spark.catalog.tableExists("emb_rb_tbl")
