@@ -83,6 +83,7 @@ _CHECK_FIRST = (
     # rotation note above)
     "tokenizer_bpe_merges",
     "tokenizer_bpe_curve",
+    "corpus_cluster_split",
 )
 
 # Driver-green in a prior round (r1 and/or r3) — rotate to the very

@@ -63,3 +63,93 @@ def tokenizer_bpe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return bpe_compression_curve(docs, "text", _BPE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Cluster-aware (leakage-free) split assignment — the FIX for what
+# split_leakage_audit measures: hash the duplicate-group fingerprint,
+# not the document, so a whole near-dup cluster lands in one split.
+
+_CS_SPLITS = 5
+
+
+def _cluster_split_oracle() -> str:
+    from declarativeml_spark.operators import textops as T
+    from declarativeml_spark.operators.textops import _hex4_int
+
+    fp_d = T.FINGERPRINT_DUCK.format(text="text")
+    toks_d = f"len({T.TOKENS_DUCK.format(text='text')})"
+    return f"""
+    WITH d0 AS MATERIALIZED (
+        SELECT {fp_d} AS fp, CAST({toks_d} AS BIGINT) AS n_toks
+        FROM documents
+    ),
+    d AS MATERIALIZED (
+        SELECT fp, n_toks,
+               CAST(({_hex4_int('fp')}) % {_CS_SPLITS} AS BIGINT) AS split
+        FROM d0
+    ),
+    per AS (
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_clusters,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        FROM d GROUP BY split
+    ),
+    leak AS (
+        SELECT CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS leaky_clusters
+        FROM (SELECT fp, COUNT(DISTINCT split) AS k FROM d GROUP BY fp)
+    )
+    SELECT split, n_docs, n_clusters, n_tokens, leaky_clusters
+    FROM per CROSS JOIN leak
+    """
+
+
+@query("corpus_cluster_split", oracle=_cluster_split_oracle())
+def corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split assignment: every document's exact-dup
+    FINGERPRINT (not the document) hashes to one of <_CS_SPLITS>
+    splits, so a duplicate group can never span train and eval — the
+    constructive fix for the hazard ``split_leakage_audit`` measures.
+    Reports per-split document/cluster/token mass plus the
+    cross-split-cluster count (zero by construction, verified, not
+    assumed).
+
+    Scale: the split tag is a per-row codegen map (md5 arithmetic);
+    the stats are one 16-byte-fingerprint shuffle; the leakage verdict
+    is a 1-row broadcast joined onto the ≤<_CS_SPLITS>-row plane.
+    """
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.operators import textops as T
+    from declarativeml_spark.operators.textops import _hex4_int
+
+    fp_s = T.FINGERPRINT_SPARK.format(text="text")
+    toks_s = f"size({T.TOKENS_SPARK.format(text='text')})"
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select(
+            F.expr(fp_s).alias("fp"),
+            F.expr(toks_s).cast("long").alias("n_toks"),
+        )
+        .withColumn(
+            "split",
+            (F.expr(_hex4_int("fp")) % _CS_SPLITS).cast("long"),
+        )
+    )
+    per = d.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_clusters"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    leak = (
+        d.groupBy("fp")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(
+            F.sum((F.col("k") > 1).cast("long"))
+            .cast("long")
+            .alias("leaky_clusters")
+        )
+    )
+    return per.crossJoin(F.broadcast(leak))
