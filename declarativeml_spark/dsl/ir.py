@@ -125,6 +125,18 @@ class ForecastModel:
                 f"Unknown forecast unit {self.horizon_unit!r}; expected"
                 f" one of {sorted(FORECAST_UNITS)}"
             )
+        # any unknown token after TREND would otherwise be silently
+        # modelled as linear — reject like SEASONAL rejects typos
+        if self.trend is not None and self.trend != "linear":
+            raise ValueError(
+                f"Unknown trend type {self.trend!r}; expected 'linear'"
+            )
+        if not self.lags:
+            raise ValueError(
+                "FORECAST needs at least one lag (LAGS [] would train"
+                " on no autoregressive features and crash at forecast"
+                " time)"
+            )
 
 
 @dataclass

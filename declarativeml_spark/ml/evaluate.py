@@ -90,7 +90,19 @@ def compare_models(
         )
         rows.append((spec["name"], spec["algorithm"], float(m.get(primary_metric, float("nan"))), m))
     ascending = primary_metric in {"rmse", "mse", "mae"}
-    rows.sort(key=lambda r: r[2], reverse=not ascending)
+    # NaN keys (a model that lacks the primary metric, or a typo'd
+    # metric name) violate sort-comparison consistency and could land
+    # anywhere — rank the measurable models, append the rest last
+    import math
+
+    valid = [r for r in rows if not math.isnan(r[2])]
+    missing = [r for r in rows if math.isnan(r[2])]
+    if not valid:
+        raise ValueError(
+            f"No compared model reports metric {primary_metric!r}"
+        )
+    valid.sort(key=lambda r: r[2], reverse=not ascending)
+    rows = valid + missing
     return spark.createDataFrame(
         [
             (name, alg, i + 1, val, {k: float(v) for k, v in extra.items()})
@@ -122,9 +134,15 @@ def feature_importance(
         raise ValueError(
             f"Model {model_name!r} ({type(final).__name__}) exposes no importances"
         )
-    n = min(len(values), len(feature_names))
+    # never truncate the importance vector: a model with more features
+    # than provided names falls back to positional names (same 'f{i}'
+    # convention as explain_predictions) instead of silently dropping
+    # the tail — which could hide the single most important feature
+    names = list(feature_names) + [
+        f"f{i}" for i in range(len(feature_names), len(values))
+    ]
     rows = sorted(
-        zip(feature_names[:n], values[:n]), key=lambda kv: kv[1], reverse=True
+        zip(names[: len(values)], values), key=lambda kv: kv[1], reverse=True
     )
     return spark.createDataFrame(rows, "feature string, importance double")
 

@@ -180,9 +180,11 @@ def build_forecast_frame(
         )
     if stmt.trend:
         out = out.withColumn("trend_idx", F.row_number().over(w).cast("double"))
+    builders = {c: fn for c, fn in _SEASONAL_FEATURES.values()}
     for col in _seasonal_terms(stmt):
-        builder = {"dow": F.dayofweek, "month": F.month, "doy": F.dayofyear}[col]
-        out = out.withColumn(col, builder(stmt.time_column).cast("double"))
+        out = out.withColumn(
+            col, builders[col](stmt.time_column).cast("double")
+        )
     for i, expr in enumerate(stmt.exog):
         out = out.withColumn(f"exog_{i}", F.expr(expr).cast("double"))
     if holiday_dates is not None:
@@ -199,8 +201,14 @@ def build_forecast_frame(
 def _residual_bands(model, frame: DataFrame, levels: List[float]) -> dict:
     """Split-conformal interval offsets: residual quantiles per level.
 
-    One distributed ``approxQuantile`` call (relativeError=0 → exact)
-    over the in-sample residuals; returns {level: (lo_off, hi_off)}.
+    One distributed ``approxQuantile`` call over the in-sample
+    residuals; returns {level: (lo_off, hi_off)}. relativeError is
+    small but NON-zero: epsilon=0 disables Greenwald-Khanna summary
+    compression, buffering every residual into the driver-side merge
+    — exactly the unbounded driver materialization the rest of the
+    pipeline avoids. Values for increasing probabilities come from
+    one summary, so band nesting (lo95 ≤ lo80 ≤ hi80 ≤ hi95) is
+    preserved under the approximation.
     """
     resid = model.transform(frame).select(
         (F.col("label") - F.col("prediction")).alias("resid")
@@ -208,7 +216,7 @@ def _residual_bands(model, frame: DataFrame, levels: List[float]) -> dict:
     probs: list[float] = []
     for p in levels:
         probs.extend([(1.0 - p) / 2.0, (1.0 + p) / 2.0])
-    qs = resid.stat.approxQuantile("resid", probs, 0.0)
+    qs = resid.stat.approxQuantile("resid", probs, 1.0e-4)
     return {p: (qs[2 * i], qs[2 * i + 1]) for i, p in enumerate(levels)}
 
 
@@ -248,7 +256,10 @@ def train_forecast(
 
     trained = TrainedModel(
         name=stmt.name,
-        algorithm=stmt.algorithm,
+        # the RESOLVED algorithm, not the alias: registry consumers
+        # (EVALUATE/MONITOR/compare_models) call get_algorithm on this
+        # field, and 'prophet' is not a REGISTRY entry
+        algorithm=alg,
         version=1,
         pipeline_model=model,
         metrics=metrics,
@@ -311,7 +322,9 @@ def forecast(
         freq = (times.diff().dropna()).median()
     values = list(tail[stmt.target].astype(float))
     last_time = times.iloc[-1]
-    n_hist = history_df.count()
+    # only the trend feature consumes the history length — don't pay a
+    # full source scan for trend-less forecasts
+    n_hist = history_df.count() if stmt.trend else 0
 
     exog_last: dict[str, float] = {}
     if stmt.exog:

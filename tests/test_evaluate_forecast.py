@@ -447,3 +447,75 @@ def test_explain_single_class_tree_is_additive_zero(engine, spark):
     assert r.prediction_value == pytest.approx(1.0)
     assert r.base_value == pytest.approx(1.0)
     assert all(c.contribution == pytest.approx(0.0) for c in r.contributions)
+
+
+def test_forecast_rejects_bad_trend_and_empty_lags():
+    with pytest.raises(ValueError, match="trend"):
+        parse(
+            "TRAIN MODEL m USING linear_regression FROM t PREDICT y "
+            "WITH TIME COLUMN d AND FEATURES (TREND quadratic) "
+            "FORECAST 3 days AHEAD"
+        )
+    with pytest.raises(ValueError, match="at least one lag"):
+        parse(
+            "TRAIN MODEL m USING linear_regression FROM t "
+            "FORECAST y WITH TIME COLUMN d HORIZON 3 LAGS []"
+        )
+
+
+def test_forecast_prophet_registers_resolved_algorithm(engine, spark):
+    """The registry must record the RESOLVED algorithm, not the
+    'prophet' alias — EVALUATE/MONITOR/compare_models call
+    get_algorithm on that field and the alias is not a REGISTRY
+    entry."""
+    trained = engine.execute(
+        "TRAIN MODEL rev_alias USING prophet(max_iter=10) "
+        "FROM daily_revenue FORECAST revenue WITH TIME COLUMN day HORIZON 2"
+    )
+    assert trained.algorithm == "gradient_boosting_regressor"
+    # the recorded name resolves in the estimator registry (the alias
+    # 'prophet' would raise here, breaking EVALUATE/MONITOR)
+    from declarativeml_spark.ml.registry import get_algorithm
+
+    assert get_algorithm(trained.algorithm).kind == "regression"
+    # and the registry record carries the resolved name too
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(engine.model_dir, "registry.jsonl")) as f:
+        recs = [_json.loads(line) for line in f if line.strip()]
+    rec = [r for r in recs if r.get("name") == "rev_alias"][-1]
+    assert rec["algorithm"] == "gradient_boosting_regressor"
+
+
+def test_compare_models_ranks_nan_metric_last(engine, spark):
+    """A model that lacks the primary metric must rank LAST (never
+    corrupt the sort), and an unmeasurable metric across the board is
+    a typed error."""
+    from declarativeml_spark.ml.evaluate import compare_models
+    from declarativeml_spark.plans.builder import build_features
+
+    df = build_features(
+        spark.table("orders_labeled"),
+        ["o_totalprice", "log(o_totalprice + 1)"],
+    ).df
+    specs = [
+        {"name": "ef_lr", "algorithm": "logistic_regression", "target": "expensive"},
+        {"name": "ef_dt", "algorithm": "decision_tree", "target": "expensive"},
+    ]
+    out = compare_models(spark, specs, df, "accuracy", base=engine.model_dir)
+    assert [r.rank for r in out.collect()] == [1, 2]
+    with pytest.raises(ValueError, match="No compared model reports"):
+        compare_models(spark, specs, df, "not_a_metric", base=engine.model_dir)
+
+
+def test_feature_importance_does_not_truncate(engine, spark):
+    """Fewer names than model features must fall back to positional
+    names, never silently drop the tail importances."""
+    from declarativeml_spark.ml.evaluate import feature_importance
+
+    out = feature_importance(
+        spark, "ef_dt", ["o_totalprice"], base=engine.model_dir
+    ).collect()
+    assert len(out) == 2  # both features present
+    assert {r.feature for r in out} == {"o_totalprice", "f1"}
