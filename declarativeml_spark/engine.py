@@ -258,31 +258,41 @@ class Engine:
         source changes.
         """
         from declarativeml_spark.operators import caching
-        from declarativeml_spark.operators import dedup as D
 
         df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
         p = dict(stmt.params)
         id_col = p.pop("id_col", "vec_id")
         vec_col = p.pop("vec_col", "embedding")
+        # Validate the method's option surface FIRST: a CREATE INDEX
+        # that is going to fail must leave an existing same-name index
+        # (and its durable storage tables) untouched.
+        if stmt.method == "ivf":
+            allowed = {"n_cells", "n_iters", "dim"}
+        else:  # lsh (ir validates the method set)
+            allowed = {
+                "bucket_length",
+                "num_hash_tables",
+                "projs_per_table",
+                "seed",
+                "dim",
+            }
+        unknown = sorted(set(p) - allowed)
+        if unknown:
+            raise ValueError(
+                f"CREATE INDEX USING {stmt.method} does not accept option(s)"
+                f" {', '.join(unknown)}; accepted:"
+                f" {', '.join(sorted(allowed | {'id_col', 'vec_col'}))}"
+            )
+        import os
+        import shutil
+
         storage_targets: list[str] = []
+        wh = ""
         if stmt.stored_as is not None:
-            # BEFORE the build: release a same-name index (its DROP of
-            # the same storage tables must run before, never after,
-            # the new write — releasing afterwards would delete the
-            # tables just written) and require clean storage targets.
-            # A pre-existing table we don't own is NEVER silently
-            # dropped: it could be user data, the index's own source,
-            # or another live index's storage.
-            old = self.indexes.pop(stmt.name, None)
-            if old is not None:
-                self._release_index(old)
             t = stmt.stored_as
             storage_targets = [t] + (
                 [f"{t}_centroids"] if stmt.method == "ivf" else []
             )
-            import os
-            import shutil
-
             wh = self.spark.conf.get(
                 "spark.sql.warehouse.dir", "spark-warehouse"
             )
@@ -290,37 +300,107 @@ class Engine:
                 if wh.startswith(prefix):
                     wh = wh[len(prefix):]
                     break
+            # Availability checks run BEFORE the same-name index is
+            # released, so a failing statement never destroys the
+            # working one. A pre-existing table we don't own is NEVER
+            # silently dropped: it could be user data, the index's own
+            # source, or another live index's storage.
+            old_tables = frozenset(
+                (self.indexes.get(stmt.name) or {}).get("tables", ())
+            )
+            other_tables = {
+                tbl: nm
+                for nm, rec in self.indexes.items()
+                if nm != stmt.name
+                for tbl in rec.get("tables", ())
+            }
             for target in storage_targets:
                 loc = os.path.join(wh, target.lower())
-                if target in self._created_storage:
-                    # leftover from this session's own earlier build
-                    # (e.g. a failed write): safe to clean
-                    self.spark.sql(f"DROP TABLE IF EXISTS {target}")
-                    if os.path.isdir(loc):
-                        shutil.rmtree(loc, ignore_errors=True)
-                elif self.spark.catalog.tableExists(target):
+                if target in other_tables:
+                    raise ValueError(
+                        f"STORED AS target {target!r} belongs to live"
+                        f" index {other_tables[target]!r} — pick another"
+                        " name or drop that index first"
+                    )
+                if target in old_tables or target in self._created_storage:
+                    # the same-name index's own storage (released just
+                    # below) or a leftover from this session's earlier
+                    # failed build: safe to clean
+                    continue
+                if self.spark.catalog.tableExists(target):
                     raise ValueError(
                         f"STORED AS target {target!r} already exists and"
                         f" does not belong to index {stmt.name!r} — pick"
                         " another name or drop the table first"
                     )
-                elif os.path.isdir(loc):
+                if os.path.isdir(loc):
                     raise ValueError(
                         f"STORED AS target location {loc!r} already"
                         " exists (orphaned by a previous session?) —"
                         " remove it or pick another name"
                     )
+            # All checks passed. Release the same-name index NOW — its
+            # DROP of the shared storage tables must run before, never
+            # after, the new write (releasing afterwards would delete
+            # the tables just written) — then clean session leftovers.
+            old = self.indexes.pop(stmt.name, None)
+            if old is not None:
+                self._release_index(old)
+            for target in storage_targets:
+                if target in self._created_storage:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {target}")
+                    loc = os.path.join(wh, target.lower())
+                    if os.path.isdir(loc):
+                        shutil.rmtree(loc, ignore_errors=True)
             self._created_storage.update(storage_targets)
         mark = caching.scope_mark()
-        if stmt.method == "ivf":
-            allowed = {"n_cells", "n_iters", "dim"}
-            unknown = sorted(set(p) - allowed)
-            if unknown:
-                raise ValueError(
-                    f"CREATE INDEX USING ivf does not accept option(s)"
-                    f" {', '.join(unknown)}; accepted:"
-                    f" {', '.join(sorted(allowed | {'id_col', 'vec_col'}))}"
+        try:
+            frames, tables, n_rows, owned = self._build_index_frames(
+                stmt, df, p, id_col, vec_col, mark
+            )
+        except BaseException:
+            # a failed build must not leave the STORED AS names marked
+            # session-owned (a user table created under the name later
+            # would be silently dropped by the next same-target CREATE
+            # INDEX) nor leak partially-written storage or adopted
+            # caches
+            caching.release_all(caching.adopt_since(mark))
+            for target in storage_targets:
+                try:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {target}")
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass
+                shutil.rmtree(
+                    os.path.join(wh, target.lower()), ignore_errors=True
                 )
+                self._created_storage.discard(target)
+            raise
+        old = self.indexes.pop(stmt.name, None)
+        if old is not None:
+            self._release_index(old)
+        self.indexes[stmt.name] = {
+            "method": stmt.method,
+            "source": stmt.source,
+            "params": dict(stmt.params),
+            "frames": frames,
+            "owned": owned,
+            "tables": tables,
+        }
+        return self.spark.createDataFrame(
+            [(stmt.name, stmt.method, stmt.source, int(n_rows))],
+            "index_name string, method string, source string, indexed_rows long",
+        )
+
+    def _build_index_frames(
+        self, stmt: "ir.CreateIndex", df, p, id_col, vec_col, mark
+    ):
+        """Build (and, for ``STORED AS``, persist to bucketed tables)
+        the index's serving frames. Options are pre-validated by
+        ``_create_index``; any failure here is cleaned up there."""
+        from declarativeml_spark.operators import caching
+        from declarativeml_spark.operators import dedup as D
+
+        if stmt.method == "ivf":
             corpus, cents = D.native_cells(
                 df,
                 id_col,
@@ -331,27 +411,28 @@ class Engine:
             )
             n_rows = corpus.count()  # materialize the snapshot NOW
             frames = {"corpus": corpus, "cents": cents}
-        else:  # lsh (ir validates the method set)
-            allowed = {
-                "bucket_length",
-                "num_hash_tables",
-                "projs_per_table",
-                "seed",
-                "dim",
-            }
-            unknown = sorted(set(p) - allowed)
-            if unknown:
-                raise ValueError(
-                    f"CREATE INDEX USING lsh does not accept option(s)"
-                    f" {', '.join(unknown)}; accepted:"
-                    f" {', '.join(sorted(allowed | {'id_col', 'vec_col'}))}"
-                )
+        else:  # lsh (options validated by _create_index)
             keyed = caching.track_persist(
                 D.lsh_keyed_index(df, id_col=id_col, vec_col=vec_col, **p)
             )
             n_rows = keyed.count()
             frames = {"keyed": keyed}
         owned = caching.adopt_since(mark)
+        try:
+            tables, frames, owned = self._store_index_tables(
+                stmt, frames, owned
+            )
+        except BaseException:
+            # adopted frames are outside the statement scope now — a
+            # failed write must release them here (the caller's cleanup
+            # only sees frames still in the scope)
+            caching.release_all(owned)
+            raise
+        return frames, tables, n_rows, owned
+
+    def _store_index_tables(self, stmt: "ir.CreateIndex", frames, owned):
+        from declarativeml_spark.operators import caching
+
         tables: list[str] = []
         if stmt.stored_as is not None:
             # durable variant: write BUCKETED managed tables and serve
@@ -388,21 +469,7 @@ class Engine:
                 frames = {"keyed": self.spark.table(t)}
             caching.release_all(owned)  # the tables serve now
             owned = []
-        old = self.indexes.pop(stmt.name, None)
-        if old is not None:
-            self._release_index(old)
-        self.indexes[stmt.name] = {
-            "method": stmt.method,
-            "source": stmt.source,
-            "params": dict(stmt.params),
-            "frames": frames,
-            "owned": owned,
-            "tables": tables,
-        }
-        return self.spark.createDataFrame(
-            [(stmt.name, stmt.method, stmt.source, int(n_rows))],
-            "index_name string, method string, source string, indexed_rows long",
-        )
+        return tables, frames, owned
 
     def _release_index(self, rec: dict) -> None:
         from declarativeml_spark.operators.caching import (

@@ -198,19 +198,45 @@ def build_forecast_frame(
     return out.na.drop(subset=[f"lag_{k}" for k in stmt.lags])
 
 
-def _residual_bands(model, frame: DataFrame, levels: List[float]) -> dict:
-    """Split-conformal interval offsets: residual quantiles per level.
+_MIN_CALIB_ROWS = 8  # below this a holdout tail is too small to split
 
-    One distributed ``approxQuantile`` call over the in-sample
-    residuals; returns {level: (lo_off, hi_off)}. relativeError is
-    small but NON-zero: epsilon=0 disables Greenwald-Khanna summary
-    compression, buffering every residual into the driver-side merge
-    — exactly the unbounded driver materialization the rest of the
-    pipeline avoids. Values for increasing probabilities come from
-    one summary, so band nesting (lo95 ≤ lo80 ≤ hi80 ≤ hi95) is
-    preserved under the approximation.
+
+def _residual_bands(
+    model, pipeline, frame: DataFrame, stmt: ForecastModel,
+    levels: List[float],
+) -> dict:
+    """Split-conformal interval offsets: residual quantiles per level,
+    calibrated on a HELD-OUT tail of the history (the most recent
+    ~25%, min 2 rows). A calibration model is refit on the head only;
+    quantiles of its out-of-sample tail residuals band the
+    full-history model's forecasts — in-sample residuals would be
+    anti-conservative for overfitting learners (the ``prophet`` alias
+    is a GBT whose training residuals shrink toward zero). Histories
+    shorter than ``_MIN_CALIB_ROWS`` fall back to in-sample residuals
+    (bands may undercover at that size; the history is too short for
+    any split to be meaningful). The refit is cheap: the forecast
+    frame is an aggregate-plane time series, not the raw fact table.
+
+    One distributed ``approxQuantile`` call over the residuals;
+    returns {level: (lo_off, hi_off)}. relativeError is small but
+    NON-zero: epsilon=0 disables Greenwald-Khanna summary compression,
+    buffering every residual into the driver-side merge — exactly the
+    unbounded driver materialization the rest of the pipeline avoids.
+    Values for increasing probabilities come from one summary, so band
+    nesting (lo95 ≤ lo80 ≤ hi80 ≤ hi95) is preserved under the
+    approximation.
     """
-    resid = model.transform(frame).select(
+    n = frame.count()
+    calib_model, calib_frame = model, frame
+    if n >= _MIN_CALIB_ROWS:
+        head_n = n - max(2, n // 4)
+        w = W.orderBy(F.col(stmt.time_column))
+        ranked = frame.withColumn("_rn", F.row_number().over(w))
+        calib_model = pipeline.fit(
+            ranked.filter(F.col("_rn") <= head_n).drop("_rn")
+        )
+        calib_frame = ranked.filter(F.col("_rn") > head_n).drop("_rn")
+    resid = calib_model.transform(calib_frame).select(
         (F.col("label") - F.col("prediction")).alias("resid")
     )
     probs: list[float] = []
@@ -269,7 +295,9 @@ def train_forecast(
     registry_save(spark, trained, base=model_dir)
     forecast_df = forecast(spark, model, df, stmt, holiday_dates)
     if stmt.confidence_levels:
-        bands = _residual_bands(model, frame, stmt.confidence_levels)
+        bands = _residual_bands(
+            model, pipeline, frame, stmt, stmt.confidence_levels
+        )
         for p in stmt.confidence_levels:
             lo_off, hi_off = bands[p]
             tag = int(round(p * 100))

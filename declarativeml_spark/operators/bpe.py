@@ -39,13 +39,16 @@ across engines.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from declarativeml_spark.operators.caching import track_persist
 
-# merged symbols are runs of [a-z0-9] — no regex/quote escaping needed,
-# asserted before interpolation anyway
+# merged symbols are runs of [a-z0-9] — checked before interpolation
+# (_SYMBOL_RE in _bpe_learn), so no regex/quote escaping is needed
+_SYMBOL_RE = re.compile(r"[a-z0-9]+")
 _APPLY_MERGE = (
     "aggregate(seq, CAST(array() AS array<string>), (acc, x) -> "
     "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{lhs}' "
@@ -144,7 +147,16 @@ def _bpe_learn(
                 curve.extend((r2, None, 0) for r2 in range(r, n_merges + 1))
             break
         lhs, rhs = top[0].lhs, top[0].rhs
-        assert lhs.isalnum() and rhs.isalnum(), (lhs, rhs)
+        # these symbols are interpolated into a SQL expression below —
+        # enforce the [a-z0-9] invariant explicitly (an assert is
+        # stripped under python -O, and str.isalnum() admits Unicode
+        # letters/digits far beyond the split alphabet)
+        if not (_SYMBOL_RE.fullmatch(lhs) and _SYMBOL_RE.fullmatch(rhs)):
+            prev.unpersist()
+            raise ValueError(
+                f"BPE learned a symbol outside [a-z0-9]+: {(lhs, rhs)!r}"
+                " — the tokenizer alphabet invariant is broken"
+            )
         merges.append((r, lhs, rhs, lhs + rhs, int(top[0].pair_count)))
         if r < n_merges or want_curve:
             nxt = track_persist(

@@ -1103,7 +1103,16 @@ def native_cells(
         )
         hit = _NATIVE_CELLS_MEMO.get(memo_key)
         if hit is not None:
-            return hit
+            # a memo hit must serve a CACHED corpus: the insert-time
+            # persist may since have been dropped (LRU eviction, or a
+            # stray unpersist from a caller that re-tracked it) —
+            # re-persist lazily so downstream jobs repopulate the cache
+            # instead of recomputing the assignment per job
+            corpus_hit, cents_hit = hit
+            sl = corpus_hit.storageLevel
+            if not (sl.useMemory or sl.useDisk):
+                corpus_hit.persist()
+            return corpus_hit, cents_hit
 
     base = (
         spread_partitions(
@@ -1165,16 +1174,30 @@ def native_cells(
     # KB and are left to the context cleaner). The assigned corpus,
     # which multiple join sides reference, keeps a scoped persist.
     cents = cents.coalesce(1).localCheckpoint(eager=True)
-    corpus = (
-        base.crossJoin(F.broadcast(cents.agg(cs)))
-        .select("vec_id", "vec", F.expr(assign).alias("cell"))
-        .withColumn("nrm", F.expr(_NORM.format(a="vec")))
-        .transform(track_persist)
-    )
+    corpus = base.crossJoin(F.broadcast(cents.agg(cs))).select(
+        "vec_id", "vec", F.expr(assign).alias("cell")
+    ).withColumn("nrm", F.expr(_NORM.format(a="vec")))
     if memo_key is not None:
+        # memoized frames must OUTLIVE the statement/bench scope that
+        # built them — a plain persist (not track_persist) keeps the
+        # corpus out of the scope's release_all, so later memo hits
+        # still serve a cached frame
+        corpus = corpus.persist()
         if len(_NATIVE_CELLS_MEMO) >= _NATIVE_CELLS_MEMO_CAP:
-            _NATIVE_CELLS_MEMO.clear()
+            # FIFO-evict ONE entry (dicts iterate in insertion order),
+            # not the whole memo; unpersist the evictee's corpus — its
+            # centroid checkpoint blocks are n_cells rows and are left
+            # to the context cleaner (live plans may still read them)
+            old_corpus, _old_cents = _NATIVE_CELLS_MEMO.pop(
+                next(iter(_NATIVE_CELLS_MEMO))
+            )
+            try:
+                old_corpus.unpersist()
+            except Exception:  # noqa: BLE001 — best-effort release
+                pass
         _NATIVE_CELLS_MEMO[memo_key] = (corpus, cents)
+    else:
+        corpus = track_persist(corpus)
     return corpus, cents
 
 

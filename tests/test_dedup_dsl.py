@@ -560,3 +560,67 @@ def test_stored_index_rebuild_and_ownership(engine, spark):
     assert spark.catalog.tableExists("embeddings")
     engine.execute("DROP INDEX emb_rb")
     assert not spark.catalog.tableExists("emb_rb_tbl")
+
+
+def test_failing_create_index_preserves_existing_index(engine, spark):
+    """A CREATE INDEX that fails validation (unknown option, foreign
+    storage target) must leave the existing same-name index AND its
+    durable tables untouched (ADVICE r5: validation formerly ran after
+    the old-index release, so a typo'd rebuild destroyed the index)."""
+    engine.execute(
+        "CREATE INDEX emb_keep ON embeddings USING lsh STORED AS emb_keep_tbl"
+    )
+    before = _rows(
+        engine.execute("SEARCH SIMILAR USING INDEX emb_keep(threshold=1.15)")
+    )
+    with pytest.raises(ValueError, match="does not accept"):
+        engine.execute(
+            "CREATE INDEX emb_keep ON embeddings USING lsh(bogus=1)"
+            " STORED AS emb_keep_tbl"
+        )
+    with pytest.raises(ValueError, match="does not belong"):
+        engine.execute(
+            "CREATE INDEX emb_keep ON embeddings USING lsh"
+            " STORED AS embeddings"
+        )
+    # the working index survived both failures
+    assert spark.catalog.tableExists("emb_keep_tbl")
+    after = _rows(
+        engine.execute("SEARCH SIMILAR USING INDEX emb_keep(threshold=1.15)")
+    )
+    assert after == before
+    # a second index may not steal a live index's storage tables
+    with pytest.raises(ValueError, match="belongs to live index"):
+        engine.execute(
+            "CREATE INDEX emb_thief ON embeddings USING lsh"
+            " STORED AS emb_keep_tbl"
+        )
+    assert spark.catalog.tableExists("emb_keep_tbl")
+    engine.execute("DROP INDEX emb_keep")
+    assert not spark.catalog.tableExists("emb_keep_tbl")
+
+
+def test_failed_index_build_unmarks_storage(engine, spark):
+    """A build that fails AFTER validation (missing vector column) must
+    discard the session-ownership marks for its STORED AS targets —
+    otherwise a user table later created under that name would be
+    silently dropped by the next same-target CREATE INDEX (ADVICE r5)."""
+    with pytest.raises(Exception):
+        # documents has no `embedding` column — the build itself fails
+        engine.execute(
+            "CREATE INDEX doc_bad ON documents USING lsh"
+            " STORED AS doc_bad_tbl"
+        )
+    assert "doc_bad_tbl" not in engine._created_storage
+    assert not spark.catalog.tableExists("doc_bad_tbl")
+    # the name now belongs to the user: the engine refuses to reuse it
+    spark.sql("CREATE TABLE doc_bad_tbl (x INT) USING parquet")
+    try:
+        with pytest.raises(ValueError, match="does not belong"):
+            engine.execute(
+                "CREATE INDEX doc_bad2 ON embeddings USING lsh"
+                " STORED AS doc_bad_tbl"
+            )
+        assert spark.catalog.tableExists("doc_bad_tbl")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS doc_bad_tbl")
