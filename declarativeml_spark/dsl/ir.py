@@ -287,6 +287,73 @@ class Agent:
 
 
 @dataclass
+class TunerAgent:
+    """IR for the hyperparameter-search agent (reference
+    DSL.md:158-171)::
+
+        CREATE AGENT hyperparameter_tuner
+          FOR MODEL recommendation_engine
+          OPTIMIZE USING bayesian_optimization
+          SEARCH SPACE {
+            'learning_rate': log_uniform(0.001, 0.1),
+            'embedding_dim': choice([64, 128, 256, 512]),
+            'dropout_rate': uniform(0.1, 0.5)
+          }
+          MAXIMIZE recall
+          WITH BUDGET 50 trials
+          PARALLEL EXECUTION 4 workers
+
+    ``space`` holds one ``(param, spec)`` pair per entry, where spec is
+    ``("choice", (v, …))``, ``("uniform", lo, hi)`` or
+    ``("log_uniform", lo, hi)``. The search itself is Spark-first: a
+    deterministic budget-capped trial lattice fit through
+    ``TrainValidationSplit`` with ``parallelism=workers``
+    (ml/tuning.py) — the ``method`` name is recorded metadata; every
+    accepted method resolves to that deterministic search (a true
+    sequential Bayesian loop would serialize the trials the statement
+    asks to parallelize).
+    """
+
+    name: str
+    model: str
+    method: str
+    space: Tuple[Tuple[str, tuple], ...]
+    metric: str
+    maximize: bool = True
+    budget: int = 20
+    workers: int = 1
+
+    def __post_init__(self) -> None:
+        if not self.space:
+            raise ValueError("SEARCH SPACE cannot be empty")
+        if not isinstance(self.budget, int) or self.budget < 1:
+            raise ValueError("BUDGET must be a positive integer trial count")
+        if not isinstance(self.workers, int) or self.workers < 1:
+            raise ValueError(
+                "PARALLEL EXECUTION must be a positive integer worker count"
+            )
+        for pname, spec in self.space:
+            kind = spec[0]
+            if kind == "choice":
+                if not spec[1]:
+                    raise ValueError(
+                        f"choice([]) for {pname!r} has no values"
+                    )
+            elif kind in {"uniform", "log_uniform"}:
+                lo, hi = spec[1], spec[2]
+                if not (lo < hi):
+                    raise ValueError(
+                        f"{kind}({lo}, {hi}) for {pname!r} needs lo < hi"
+                    )
+                if kind == "log_uniform" and lo <= 0:
+                    raise ValueError(
+                        f"log_uniform bounds for {pname!r} must be positive"
+                    )
+            else:  # pragma: no cover - parser restricts the set
+                raise ValueError(f"Unknown search-space spec {kind!r}")
+
+
+@dataclass
 class RetrainModel:
     """IR for ``RETRAIN MODEL ... USING LATEST n days OF data``
     (reference DSL.md:136-142, incl. rollback semantics)."""

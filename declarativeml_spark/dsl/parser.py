@@ -56,6 +56,7 @@ Statement = Union[
     ir.RetrainModel,
     ir.WhenRule,
     ir.Agent,
+    ir.TunerAgent,
     ir.Deduplicate,
     ir.SimilaritySearch,
     ir.SampleCorpus,
@@ -877,10 +878,12 @@ class _Parser:
         )
 
     # -- CREATE AGENT --------------------------------------------------------------------
-    def parse_agent(self) -> ir.Agent:
+    def parse_agent(self) -> Union[ir.Agent, ir.TunerAgent]:
         # entered from parse_create after CREATE; expects AGENT next
         self.expect_keyword("AGENT")
         name = self.expect_name("agent name")
+        if self.at_keyword("FOR"):
+            return self.parse_tuner_agent(name)
         monitor = self.parse_monitor_body()
         action = None
         if self.at_keyword("THEN"):
@@ -893,6 +896,107 @@ class _Parser:
                 self.advance()
             parse(action)
         return ir.Agent(name=name, monitor=monitor, action=action)
+
+    def parse_tuner_agent(self, name: str) -> ir.TunerAgent:
+        """Hyperparameter-search agent (reference DSL.md:158-171):
+        ``FOR MODEL m OPTIMIZE USING method SEARCH SPACE {…}
+        MAXIMIZE metric WITH BUDGET n trials
+        PARALLEL EXECUTION k workers`` — every clause of the
+        reference's statement parses verbatim; MINIMIZE is accepted
+        for loss-style metrics."""
+        self.expect_keyword("FOR")
+        self.expect_keyword("MODEL")
+        model = self.expect_name("model name")
+        self.expect_keyword("OPTIMIZE")
+        self.expect_keyword("USING")
+        method = self.expect_name("optimization method")
+        self.expect_keyword("SEARCH")
+        self.expect_keyword("SPACE")
+        space = self.parse_search_space()
+        maximize = True
+        if self.at_keyword("MINIMIZE"):
+            self.advance()
+            maximize = False
+        else:
+            self.expect_keyword("MAXIMIZE")
+        metric = self.expect_name("metric name")
+        budget = 20
+        workers = 1
+        if self.at_keyword("WITH"):
+            self.advance()
+            self.expect_keyword("BUDGET")
+            budget = _require_positive_int(self.parse_value(), "trial budget")
+            self.expect_keyword("trials")
+        if self.at_keyword("PARALLEL"):
+            self.advance()
+            self.expect_keyword("EXECUTION")
+            workers = _require_positive_int(self.parse_value(), "worker count")
+            self.expect_keyword("workers")
+        self.expect_eof()
+        return ir.TunerAgent(
+            name=name,
+            model=model,
+            method=method,
+            space=space,
+            metric=metric,
+            maximize=maximize,
+            budget=budget,
+            workers=workers,
+        )
+
+    def parse_search_space(self) -> tuple:
+        """``{ 'pname': choice([…]) | uniform(a,b) | log_uniform(a,b),
+        … }`` — keys are quoted or bare names; value specs are the
+        three distribution constructors of reference DSL.md:162-166."""
+        self.expect_op("{")
+        out: list[tuple] = []
+        seen: set[str] = set()
+        while True:
+            key_tok = self.advance()
+            if key_tok.kind == "NAME":
+                key = key_tok.value
+            elif key_tok.kind == "SQSTRING":
+                key = key_tok.value[1:-1].replace("''", "'")
+            elif key_tok.kind == "DSTRING":
+                key = json.loads(key_tok.value)
+            else:
+                raise DSLSyntaxError(
+                    f"Expected search-space parameter name at {key_tok.pos},"
+                    f" got {key_tok.value!r}"
+                )
+            if key in seen:
+                raise ValueError(
+                    f"Search space names parameter {key!r} twice"
+                )
+            seen.add(key)
+            self.expect_op(":")
+            kind = self.expect_name("distribution (choice/uniform/log_uniform)")
+            self.expect_op("(")
+            if kind == "choice":
+                values = self.parse_list_literal()
+                spec: tuple = ("choice", tuple(values))
+            elif kind in {"uniform", "log_uniform"}:
+                lo = self.parse_value()
+                self.expect_op(",")
+                hi = self.parse_value()
+                if not isinstance(lo, (int, float)) or not isinstance(
+                    hi, (int, float)
+                ):
+                    raise ValueError(
+                        f"{kind} bounds for {key!r} must be numeric"
+                    )
+                spec = (kind, float(lo), float(hi))
+            else:
+                raise ValueError(
+                    f"Unknown search-space distribution {kind!r} for"
+                    f" {key!r}; expected choice, uniform, or log_uniform"
+                )
+            self.expect_op(")")
+            out.append((key, spec))
+            if self.accept_op("}"):
+                break
+            self.expect_op(",")
+        return tuple(out)
 
     def parse_monitor_body(self) -> ir.MonitorModel:
         """Shared MONITOR MODEL ... tail (used by MONITOR and CREATE AGENT)."""

@@ -26,6 +26,9 @@ class Engine:
         self.model_dir = model_dir
         self._bus = None
         self.agents: dict[str, ir.Agent] = {}
+        # hyperparameter-search agents (CREATE AGENT … SEARCH SPACE);
+        # registration stores the spec, run_tuner executes the search
+        self.tuners: dict[str, ir.TunerAgent] = {}
         # learned BPE merge tables by tokenizer name (TRAIN TOKENIZER)
         self.tokenizers: dict[str, DataFrame] = {}
         # persisted similarity indexes by name (CREATE INDEX) — each a
@@ -124,6 +127,8 @@ class Engine:
             return self._register_rule(stmt)
         if isinstance(stmt, ir.Agent):
             return self._register_agent(stmt)
+        if isinstance(stmt, ir.TunerAgent):
+            return self._register_tuner(stmt)
         if isinstance(stmt, ir.ForecastModel):
             from declarativeml_spark.ml.forecast import train_forecast
 
@@ -951,6 +956,90 @@ class Engine:
         schedule is advisory metadata; ``run_agents_once`` is the tick."""
         self.agents[stmt.name] = stmt
         return stmt
+
+    def _register_tuner(self, stmt: ir.TunerAgent) -> ir.TunerAgent:
+        """Register a hyperparameter-search agent (reference
+        DSL.md:158-171). Registration validates the target model and
+        method eagerly (a tuner for a model that was never trained is
+        a statement error, not a deferred runtime surprise); the
+        search itself runs on ``run_tuner`` — trials are full
+        distributed fits, too expensive to fire as a statement side
+        effect."""
+        from declarativeml_spark.ml.tuning import _KNOWN_METHODS
+
+        if stmt.method not in _KNOWN_METHODS:
+            raise ValueError(
+                f"Unknown optimization method {stmt.method!r}; accepted:"
+                f" {', '.join(sorted(_KNOWN_METHODS))}"
+            )
+        meta = self._model_meta(stmt.model)
+        if meta is None:
+            raise ValueError(f"No registered model named {stmt.model!r}")
+        if not meta.get("statement"):
+            raise ValueError(
+                f"Model {stmt.model!r} has no stored TRAIN statement for"
+                " the tuner to re-execute"
+            )
+        self.tuners[stmt.name] = stmt
+        return stmt
+
+    def run_tuner(self, name: str) -> DataFrame:
+        """Execute a registered tuner agent's search: a deterministic
+        budget-capped trial lattice fit through TrainValidationSplit
+        with ``parallelism`` = the statement's worker count
+        (ml/tuning.py). The best trial's model registers as a new
+        version of the base model; per-trial metrics append to the
+        registry audit log (``tuning_trials``). Returns the ranked
+        trials DataFrame."""
+        from declarativeml_spark.ml.tuning import run_search
+
+        tuner = self.tuners.get(name)
+        if tuner is None:
+            raise ValueError(f"Unknown tuner agent {name!r}")
+        meta = self._model_meta(tuner.model)
+        if meta is None:
+            raise ValueError(f"No registered model named {tuner.model!r}")
+        trials_df, _best = run_search(
+            self.spark, tuner, meta, model_dir=self.model_dir
+        )
+        return trials_df
+
+    def tuning_trials(self, agent: str) -> DataFrame:
+        """The latest recorded search for an agent as a DataFrame —
+        one row per trial ranked by the objective (the registry
+        audit-log surface of DSL.md:215-233's model-inspection
+        family)."""
+        from declarativeml_spark.ml.models import trial_log_read
+
+        rec = trial_log_read(agent, base=self.model_dir)
+        if rec is None:
+            raise ValueError(
+                f"No recorded search for tuner agent {agent!r} — run"
+                " Engine.run_tuner first"
+            )
+        metric = rec["metric"]
+        maximize = True
+        tuner = self.tuners.get(agent)
+        if tuner is not None:
+            maximize = tuner.maximize
+        trials = sorted(
+            rec["trials"], key=lambda t: t[metric], reverse=maximize
+        )
+        rows = [
+            (
+                rank + 1,
+                int(t["trial"]),
+                {k: float(v) for k, v in t["params"].items()},
+                float(t[metric]),
+                t["trial"] == rec["best_trial"],
+            )
+            for rank, t in enumerate(trials)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            f"rank int, trial int, params map<string,double>,"
+            f" {metric} double, best boolean",
+        )
 
     def run_agents_once(self) -> dict[str, dict]:
         """Run every registered agent's monitor; execute THEN actions

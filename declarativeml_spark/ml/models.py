@@ -46,6 +46,7 @@ def registry_save(
     trained: "TrainedModel",
     base: Optional[str] = None,
     statement: Optional[str] = None,
+    extra: Optional[dict] = None,
 ) -> str:
     """Persist a trained model version + append registry metadata."""
     base = base or DEFAULT_MODEL_DIR
@@ -71,9 +72,58 @@ def registry_save(
         # original DSL text: RETRAIN re-executes it (DSL.md:136-142)
         "statement": statement,
     }
+    if extra:
+        record.update(extra)
     with open(_registry_path(base), "a") as f:
         f.write(json.dumps(record) + "\n")
     return path
+
+
+def trial_log_append(
+    agent: str,
+    model: str,
+    method: str,
+    metric: str,
+    trials: list,
+    best_trial: int,
+    base: Optional[str] = None,
+) -> None:
+    """Append a hyperparameter-search audit record (one line holding
+    every trial's params + metric and the winner) to the registry
+    metadata, so a finished search is inspectable after the fact
+    (reference DSL.md:158-171 tuner agents; surfaced by
+    ``Engine.tuning_trials``)."""
+    base = base or DEFAULT_MODEL_DIR
+    os.makedirs(base, exist_ok=True)
+    record = {
+        "record": "tuning_trials",
+        "agent": agent,
+        "name": model,
+        "method": method,
+        "metric": metric,
+        "trials": trials,
+        "best_trial": best_trial,
+        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(_registry_path(base), "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+def trial_log_read(
+    agent: str, base: Optional[str] = None
+) -> Optional[dict]:
+    """Latest tuning_trials record for an agent, or None."""
+    base = base or DEFAULT_MODEL_DIR
+    path = _registry_path(base)
+    out: Optional[dict] = None
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("record") == "tuning_trials" and rec.get("agent") == agent:
+                out = rec
+    return out
 
 
 def mark_version_status(
