@@ -27,68 +27,78 @@ def entry(spark: SparkSession) -> DataFrame:
 # correctness tooling that samples a prefix of this dict should spend
 # its budget on rows not yet (or not yet successfully) checked, not on
 # re-confirming long-green ones.
-# Round-5 rotation: rounds 1+3+4 accumulated 136 unique driver-green
-# rows (r4: the 50-entry prefix of the round-4 ordering; r3: 50 more;
-# r1: 36 more). The 39 names below are every query with NO driver row
-# in any round — they take the window head this round; the 50 round-4
-# greens joined _CHECK_LAST. Round-5 additions are capped at 11 so
-# 39 + new ≤ 50: every registered query then has a driver row by the
-# end of round 5. Any query beyond that cap must wait for round 6 —
-# do NOT push a never-checked leftover out of the window.
+# Round-6 rotation: CORRECTNESS_r05 closed the never-checked backlog —
+# all 178 r5-registered queries now have a driver-green row. The
+# 50 r5-green names joined _CHECK_LAST below; the window head is now
+# (1) round-6 ADDITIONS (never checked) and (2) the 28 STALEST
+# queries — driver-green only in round 1, four rounds ago (computed
+# as r1-green minus r3/r4/r5 greens). Remaining window slots fill in
+# registry order with mid-staleness rows (r1/r3 green, not stalest).
 _CHECK_FIRST = (
-    # (1) never driver-checked r2/r3 leftovers (13)
-    "semdedup_embedding_prune",
-    "corpus_cross_source_overlap",
-    "events_conversion_funnel",
-    "events_weekly_retention",
-    "text_chunk_windows",
-    "text_unigram_surprisal",
-    "corpus_source_datasheet",
-    "decontam_benchmark_overlap",
-    "pack_concat_chunks",
-    "text_quality_repetition",
-    "corpus_stratified_quota",
-    "corpus_weighted_sample",
-    "join_key_hotspots",
-    # (2) never driver-checked round-4 additions (26) — anything not
-    # named in this tuple keeps registry order after it; round-5
-    # additions append below (≤11 — see rotation note above).
-    "dsir_importance_weights",
-    "quality_linear_margin",
-    "corpus_epoch_shuffle",
-    "embedding_nearest_centroid",
-    "embedding_fisher_ratio",
-    "dedup_ngram_containment",
-    "quality_margin_deciles",
-    "text_bigram_logprob",
-    "dedup_savings_by_source",
-    "split_leakage_audit",
-    "events_robust_anomalies",
-    "deletion_vector_plan",
-    "embedding_outlier_audit",
-    "corpus_token_budget_curve",
-    "events_user_cap_sample",
-    "orders_amount_reconciliation",
-    "score_agreement_spearman",
-    "doremi_domain_weights",
-    "dedup_threshold_sweep",
-    "dedup_source_overlap_matrix",
-    "dedup_band_calibration",
-    "events_k_anonymity",
-    "embedding_matryoshka_audit",
-    "lineitem_pruning_effectiveness",
-    "decontam_semantic_overlap",
-    "text_heaps_law_fit",
-    # (3) round-5 additions (window slots 40-50; hard cap 11 — see
-    # rotation note above)
-    "tokenizer_bpe_merges",
-    "tokenizer_bpe_curve",
-    "corpus_cluster_split",
+    # (1) round-6 additions (never driver-checked)
+    "tokenizer_bpe_encode",
+    # (2) stalest cohort: green only in CORRECTNESS_r01 (28)
+    "ann_ivf_native",
+    "ann_lsh_bucketed",
+    "ann_topk_cosine",
+    "cte_nation_revenue",
+    "customer_year_setops",
+    "customers_without_orders",
+    "dedup_minhash_lsh",
+    "grouping_sets_revenue",
+    "mktsegment_order_pivot",
+    "monthly_revenue",
+    "nation_price_trend",
+    "order_priority_rollup",
+    "orders_by_quarter",
+    "part_name_analysis",
+    "pipeline_clean_corpus",
+    "price_bucket_distribution",
+    "q10_returned_items",
+    "q12_priority_shipping_stats",
+    "q1_pricing_summary",
+    "q2_cheapest_part_per_type",
+    "q3_shipping_priority",
+    "q4_late_shipment_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "segment_price_percentiles",
+    "top3_customers_per_nation",
+    "urgent_customers_by_nation",
+    # (3) window fillers: the next-oldest cohort (green in r3, three
+    # rounds ago). With every query green, mid is empty — without
+    # these the leftover window slots would fall to registration
+    # order (freshest r5 greens). Names here also appear in
+    # _CHECK_LAST; head placement wins in _ordered. New r6 additions
+    # go in section (1) and push fillers out of the 50-row window.
+    "q6_discount_revenue",
+    "q8_nation_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_brand_quantity_revenue",
+    "q20_heavy_shippers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "revenue_moving_avg_7d",
+    "embedding_array_stats",
+    "events_sessionize",
+    "events_hourly_stats",
+    "events_json_extract",
+    "events_type_hour_cube",
+    "asof_last_view_before_purchase",
+    "events_value_range_join",
+    "part_type_shares",
+    "text_winnow_fingerprints",
+    "approx_distinct_parts",
 )
 
-# Driver-green in a prior round (r1 and/or r3) — rotate to the very
-# back of the registry so the sampling window never spends budget on
-# them again. Registry order is preserved within this set.
 _CHECK_LAST = frozenset(
     {
         # round-3 green (CORRECTNESS_r03.json, 50/50)
@@ -193,6 +203,57 @@ _CHECK_LAST = frozenset(
         "events_minute_gapfill",
         "multimodal_frame_sample",
         "text_pii_redaction",
+        # round-5 green (CORRECTNESS_r05.json, 50/50)
+        "corpus_cluster_split",
+        "corpus_cross_source_overlap",
+        "corpus_epoch_shuffle",
+        "corpus_mix_sample",
+        "corpus_source_datasheet",
+        "corpus_stratified_quota",
+        "corpus_token_budget_curve",
+        "corpus_weighted_sample",
+        "decontam_benchmark_overlap",
+        "decontam_semantic_overlap",
+        "dedup_band_calibration",
+        "dedup_exact",
+        "dedup_ngram_containment",
+        "dedup_savings_by_source",
+        "dedup_simhash",
+        "dedup_source_overlap_matrix",
+        "dedup_threshold_sweep",
+        "deletion_vector_plan",
+        "doremi_domain_weights",
+        "dsir_importance_weights",
+        "embedding_fisher_ratio",
+        "embedding_matryoshka_audit",
+        "embedding_nearest_centroid",
+        "embedding_outlier_audit",
+        "events_conversion_funnel",
+        "events_k_anonymity",
+        "events_robust_anomalies",
+        "events_user_cap_sample",
+        "events_weekly_retention",
+        "join_key_hotspots",
+        "lineitem_pruning_effectiveness",
+        "orders_amount_reconciliation",
+        "pack_concat_chunks",
+        "quality_budget_selection",
+        "quality_linear_margin",
+        "quality_margin_deciles",
+        "score_agreement_spearman",
+        "semdedup_embedding_prune",
+        "split_leakage_audit",
+        "text_bigram_logprob",
+        "text_bpe_token_stats",
+        "text_chunk_windows",
+        "text_heaps_law_fit",
+        "text_language_id",
+        "text_quality_repetition",
+        "text_quality_scores",
+        "text_token_stats",
+        "text_unigram_surprisal",
+        "tokenizer_bpe_curve",
+        "tokenizer_bpe_merges",
     }
 )
 

@@ -930,6 +930,9 @@ class TrainTokenizer:
     vocab: int
     text_column: str = "text"
     source_is_identifier: bool = True
+    # STORED AS <table>: persist the learned merge table so TOKENIZE
+    # can load it in a fresh session (mirrors CreateIndex.stored_as)
+    stored_as: Optional[str] = None
 
     def __post_init__(self) -> None:
         if (
@@ -938,6 +941,30 @@ class TrainTokenizer:
             or self.vocab < 2
         ):
             raise ValueError("VOCAB must be an integer vocabulary size >= 2")
+
+
+@dataclass
+class Tokenize:
+    """IR for ``TOKENIZE <source> USING <tokenizer> [TEXT COLUMN c]``
+    — the APPLY side of TRAIN TOKENIZER (SURVEY.md §2.11): encode a
+    corpus with a trained tokenizer's merge rules, composed into one
+    map-side fold chain (operators/bpe.py::bpe_tokens_expr). The
+    tokenizer resolves to a session-trained name first, then to a
+    ``STORED AS`` merge table in the catalog (cross-session path)."""
+
+    source: str
+    tokenizer: str
+    text_column: str = "text"
+    source_is_identifier: bool = True
+
+
+@dataclass
+class DropTokenizer:
+    """IR for ``DROP TOKENIZER <name>`` — forget a session tokenizer
+    and drop its ``STORED AS`` merge table (if this session wrote
+    one)."""
+
+    name: str
 
 
 @dataclass

@@ -77,6 +77,8 @@ Statement = Union[
     ir.AuditAnonymity,
     ir.CalibrateDedup,
     ir.TrainTokenizer,
+    ir.Tokenize,
+    ir.DropTokenizer,
     ir.CreateIndex,
     ir.DropIndex,
 ]
@@ -1206,8 +1208,13 @@ class _Parser:
             stored_as=stored_as,
         )
 
-    def parse_drop(self) -> "ir.DropIndex":
+    def parse_drop(self) -> Union["ir.DropIndex", "ir.DropTokenizer"]:
         self.expect_keyword("DROP")
+        if self.at_keyword("TOKENIZER"):
+            self.advance()
+            name = self.expect_name("tokenizer name")
+            self.expect_eof()
+            return ir.DropTokenizer(name=name)
         self.expect_keyword("INDEX")
         name = self.expect_name("index name")
         self.expect_eof()
@@ -1230,11 +1237,42 @@ class _Parser:
             self.advance()
             self.expect_keyword("COLUMN")
             text_column = self.expect_name("text column")
+        stored_as = None
+        if self.at_keyword("STORED"):
+            self.advance()
+            self.expect_keyword("AS")
+            stored_as = self.expect_name("storage table name")
         self.expect_eof()
         return ir.TrainTokenizer(
             name=name,
             source=source,
             vocab=vocab,
+            text_column=text_column,
+            source_is_identifier=is_identifier_source(source),
+            stored_as=stored_as,
+        )
+
+    # -- TOKENIZE (apply side of TRAIN TOKENIZER, SURVEY §2.11) ------------
+    def parse_tokenize(self) -> "ir.Tokenize":
+        """``TOKENIZE <source> USING <tokenizer> [TEXT COLUMN col]`` —
+        encode a corpus with a trained tokenizer's merge rules
+        (session tokenizer name, or a STORED AS merge table from any
+        session)."""
+        self.expect_keyword("TOKENIZE")
+        source = self.capture_source_until("USING")
+        if not source:
+            raise ValueError("TOKENIZE source cannot be empty")
+        self.expect_keyword("USING")
+        tokenizer = self.expect_name("tokenizer name")
+        text_column = "text"
+        if self.at_keyword("TEXT"):
+            self.advance()
+            self.expect_keyword("COLUMN")
+            text_column = self.expect_name("text column")
+        self.expect_eof()
+        return ir.Tokenize(
+            source=source,
+            tokenizer=tokenizer,
             text_column=text_column,
             source_is_identifier=is_identifier_source(source),
         )
@@ -1937,12 +1975,14 @@ def parse(text: str) -> Statement:
         return parser.parse_calibrate()
     if tok.value == "DROP":
         return parser.parse_drop()
+    if tok.value == "TOKENIZE":
+        return parser.parse_tokenize()
     raise DSLSyntaxError(
         f"Unknown statement {tok.value!r}; expected TRAIN, COMPUTE, PREDICT,"
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
         " SEARCH, SAMPLE, DECONTAMINATE, PACK, REDACT, CHUNK, SESSIONIZE,"
         " QUANTIZE, MIX, PROFILE, DETECT, SHARD, COMPACT, SHUFFLE, SCORE,"
-        " WEIGH, AUDIT, CALIBRATE, or DROP"
+        " WEIGH, AUDIT, CALIBRATE, TOKENIZE, or DROP"
     )
 
 

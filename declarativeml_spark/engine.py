@@ -31,6 +31,8 @@ class Engine:
         self.tuners: dict[str, ir.TunerAgent] = {}
         # learned BPE merge tables by tokenizer name (TRAIN TOKENIZER)
         self.tokenizers: dict[str, DataFrame] = {}
+        # tokenizer name → its STORED AS merge table (durable form)
+        self.tokenizer_tables: dict[str, str] = {}
         # persisted similarity indexes by name (CREATE INDEX) — each a
         # dict of {method, source, params, frames, owned, tables}; the
         # owned frames outlive statement scopes until DROP INDEX
@@ -185,6 +187,10 @@ class Engine:
             return self._calibrate_dedup(stmt)
         if isinstance(stmt, ir.TrainTokenizer):
             return self._train_tokenizer(stmt)
+        if isinstance(stmt, ir.Tokenize):
+            return self._tokenize(stmt)
+        if isinstance(stmt, ir.DropTokenizer):
+            return self._drop_tokenizer(stmt)
         if isinstance(stmt, ir.CreateIndex):
             return self._create_index(stmt)
         if isinstance(stmt, ir.DropIndex):
@@ -504,13 +510,28 @@ class Engine:
         return {"dropped": stmt.name}
 
     # -- TRAIN TOKENIZER (beyond-parity, SURVEY §2.11) -----------------------
+    def _warehouse_path(self) -> str:
+        wh = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        for prefix in ("file://", "file:"):
+            if wh.startswith(prefix):
+                return wh[len(prefix):]
+        return wh
+
     def _train_tokenizer(self, stmt: "ir.TrainTokenizer") -> DataFrame:
         """BPE-merge training (operators/bpe.py): ``VOCAB n`` is the
         target vocabulary size, so the engine learns
         ``n − |base alphabet|`` merges (the alphabet is counted on
         BPE's own vocabulary-sized word-type frame — the corpus scans
         exactly once). The learned merge table is kept on the engine
-        (``tokenizers[name]``, a handful of rows) for reuse."""
+        (``tokenizers[name]``, a handful of rows) for reuse;
+        ``STORED AS <t>`` additionally persists it as a managed table
+        (same ownership discipline as CREATE INDEX: a pre-existing
+        table this session didn't write is never silently
+        overwritten), so ``TOKENIZE … USING <t>`` works in a FRESH
+        session — unlike the session dict, the table survives."""
+        import os
+        import shutil
+
         from declarativeml_spark.operators.bpe import bpe_merges
 
         df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
@@ -519,9 +540,137 @@ class Engine:
                 f"TRAIN TOKENIZER: source has no column"
                 f" {stmt.text_column!r}"
             )
+        # storage-target validation BEFORE the (expensive) learn, and
+        # before anything about the existing same-name tokenizer is
+        # touched — a failing statement leaves the working one intact
+        if stmt.stored_as is not None:
+            t = stmt.stored_as
+            index_owned = {
+                tbl: nm
+                for nm, rec in self.indexes.items()
+                for tbl in rec.get("tables", ())
+            }
+            if t in index_owned:
+                raise ValueError(
+                    f"STORED AS target {t!r} belongs to live index"
+                    f" {index_owned[t]!r} — pick another name"
+                )
+            other = {
+                tbl: nm
+                for nm, tbl in self.tokenizer_tables.items()
+                if nm != stmt.name
+            }
+            if t in other:
+                raise ValueError(
+                    f"STORED AS target {t!r} belongs to tokenizer"
+                    f" {other[t]!r} — pick another name or drop it first"
+                )
+            owned = (
+                t == self.tokenizer_tables.get(stmt.name)
+                or t in self._created_storage
+            )
+            if not owned:
+                if self.spark.catalog.tableExists(t):
+                    raise ValueError(
+                        f"STORED AS target {t!r} already exists and does"
+                        f" not belong to tokenizer {stmt.name!r} — pick"
+                        " another name or drop the table first"
+                    )
+                loc = os.path.join(self._warehouse_path(), t.lower())
+                if os.path.isdir(loc):
+                    raise ValueError(
+                        f"STORED AS target location {loc!r} already"
+                        " exists (orphaned by a previous session?) —"
+                        " remove it or pick another name"
+                    )
         merges = bpe_merges(df, stmt.text_column, vocab=stmt.vocab)
+        if stmt.stored_as is not None:
+            t = stmt.stored_as
+            try:
+                merges.write.mode("overwrite").saveAsTable(t)
+            except BaseException:
+                # a failed write must not leave the name marked
+                # session-owned or a partial table behind
+                try:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass
+                shutil.rmtree(
+                    os.path.join(self._warehouse_path(), t.lower()),
+                    ignore_errors=True,
+                )
+                self._created_storage.discard(t)
+                raise
+            self._created_storage.add(t)
+            old_table = self.tokenizer_tables.get(stmt.name)
+            if old_table and old_table != t:
+                # retrained under a new table: release the old one
+                try:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {old_table}")
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass
+                self._created_storage.discard(old_table)
+            self.tokenizer_tables[stmt.name] = t
+            merges = self.spark.table(t)  # serve from the durable form
         self.tokenizers[stmt.name] = merges
         return merges
+
+    # -- TOKENIZE (apply side, beyond-parity, SURVEY §2.11) ------------------
+    def _tokenize(self, stmt: "ir.Tokenize") -> DataFrame:
+        """Encode a corpus with a trained tokenizer: all learned merge
+        rules compose into ONE map-side fold chain added as a projected
+        ``tokens`` column (operators/bpe.py::bpe_tokens_expr) — no
+        shuffle, no UDF, no per-rule corpus pass. The tokenizer
+        resolves to a session-trained name first, then to a STORED AS
+        merge table in the catalog (the fresh-session path)."""
+        from declarativeml_spark.operators.bpe import bpe_tokens_expr
+
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        if stmt.text_column not in df.columns:
+            raise ValueError(
+                f"TOKENIZE: source has no column {stmt.text_column!r}"
+            )
+        merges = self.tokenizers.get(stmt.tokenizer)
+        if merges is None:
+            if not self.spark.catalog.tableExists(stmt.tokenizer):
+                raise ValueError(
+                    f"Unknown tokenizer {stmt.tokenizer!r}; train one with"
+                    " TRAIN TOKENIZER, or reference a STORED AS merge"
+                    " table by its table name"
+                )
+            merges = self.spark.table(stmt.tokenizer)
+            missing = {"merge_round", "lhs", "rhs"} - set(merges.columns)
+            if missing:
+                raise ValueError(
+                    f"Table {stmt.tokenizer!r} is not a tokenizer merge"
+                    f" table (missing column(s) {', '.join(sorted(missing))})"
+                )
+        # rule order matters: BPE applies merges in learning order
+        rules = [
+            (r.lhs, r.rhs)
+            for r in merges.select("merge_round", "lhs", "rhs")
+            .orderBy("merge_round")
+            .collect()  # bounded: vocab − alphabet rows
+        ]
+        return df.withColumn(
+            "tokens", F.expr(bpe_tokens_expr(stmt.text_column, rules))
+        ).withColumn("n_tokens", F.size("tokens").cast("long"))
+
+    def _drop_tokenizer(self, stmt: "ir.DropTokenizer") -> dict:
+        if (
+            stmt.name not in self.tokenizers
+            and stmt.name not in self.tokenizer_tables
+        ):
+            raise ValueError(f"Unknown tokenizer {stmt.name!r}")
+        self.tokenizers.pop(stmt.name, None)
+        t = self.tokenizer_tables.pop(stmt.name, None)
+        if t:
+            try:
+                self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
+            self._created_storage.discard(t)
+        return {"dropped": stmt.name}
 
     # -- DEDUPLICATE / SEARCH SIMILAR (beyond-parity, SURVEY §7.5) ----------
     def _deduplicate(self, stmt: ir.Deduplicate) -> DataFrame:

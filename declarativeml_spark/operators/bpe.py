@@ -50,11 +50,11 @@ from declarativeml_spark.operators.caching import track_persist
 # (_SYMBOL_RE in _bpe_learn), so no regex/quote escaping is needed
 _SYMBOL_RE = re.compile(r"[a-z0-9]+")
 _APPLY_MERGE = (
-    "aggregate(seq, CAST(array() AS array<string>), (acc, x) -> "
-    "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{lhs}' "
-    "AND x = '{rhs}' "
-    "THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
-    "ELSE concat(acc, array(x)) END)"
+    "aggregate({seq}, CAST(array() AS array<string>), ({acc}, {x}) -> "
+    "CASE WHEN size({acc}) > 0 AND element_at({acc}, -1) = '{lhs}' "
+    "AND {x} = '{rhs}' "
+    "THEN concat(slice({acc}, 1, size({acc}) - 1), array('{merged}')) "
+    "ELSE concat({acc}, array({x})) END)"
 )
 
 _PAIRS = (
@@ -164,7 +164,8 @@ def _bpe_learn(
                     "cnt",
                     F.expr(
                         _APPLY_MERGE.format(
-                            lhs=lhs, rhs=rhs, merged=lhs + rhs
+                            seq="seq", acc="acc", x="x",
+                            lhs=lhs, rhs=rhs, merged=lhs + rhs,
                         )
                     ).alias("seq"),
                 )
@@ -297,3 +298,134 @@ def bpe_curve_oracle_sql(
     )
     joined = ",\n    ".join(ctes)
     return f"WITH {joined}\nSELECT * FROM ({unions}) ORDER BY merge_round"
+
+
+# ---------------------------------------------------------------------------
+# Apply side: encode text with a learned merge table (TOKENIZE … USING)
+
+
+def merge_chain_expr(seq_expr: str, rules: list) -> str:
+    """Compose learned merge rules — in learning order — into ONE
+    codegen'd fold chain over a symbol-array SQL expression.
+
+    Each rule is one greedy left-to-right ``aggregate`` pass
+    (identical to the learn-side per-generation apply), nested so the
+    whole chain evaluates per row in a single projection: applying R
+    rules to a corpus costs ZERO extra corpus passes. Lambda variables
+    are numbered per nesting level so the analyzer never sees shadowed
+    names. Symbols are validated against the [a-z0-9]+ alphabet before
+    interpolation (they come from a DataFrame, possibly a stored
+    table)."""
+    out = seq_expr
+    for i, (lhs, rhs) in enumerate(rules):
+        if not (
+            isinstance(lhs, str)
+            and isinstance(rhs, str)
+            and _SYMBOL_RE.fullmatch(lhs)
+            and _SYMBOL_RE.fullmatch(rhs)
+        ):
+            raise ValueError(
+                f"Merge rule {i + 1} has a symbol outside [a-z0-9]+:"
+                f" {(lhs, rhs)!r} — not a BPE merge table?"
+            )
+        out = _APPLY_MERGE.format(
+            seq=out, acc=f"acc{i}", x=f"x{i}",
+            lhs=lhs, rhs=rhs, merged=lhs + rhs,
+        )
+    return out
+
+
+_CHARS_OF = "transform(sequence(1, length({w})), {i} -> substring({w}, {i}, 1))"
+
+
+def bpe_tokens_expr(text_col: str, rules: list) -> str:
+    """Per-row token-array expression: lowercase, split to [a-z0-9]+
+    words, encode each word through the merge chain, flatten in
+    document order. Entirely map-side (no shuffle, no UDF) — the
+    TOKENIZE statement adds this as one projected column, so encoding
+    a 100-TB corpus is a single embarrassingly-parallel scan."""
+    encoded = merge_chain_expr(_CHARS_OF.format(w="__w", i="__i"), rules)
+    return (
+        "flatten(transform(filter(split(lower({t}), '[^a-z0-9]+'),"
+        " __w -> __w != ''), __w -> {e}))"
+    ).format(t=text_col, e=encoded)
+
+
+def bpe_encode_doc_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE rules, then re-score every document with
+    the learned tokenizer: per document the word count, the encoded
+    token count, and the fertility (tokens per word — 1.0 means every
+    word fully merged to one token; the whitespace baseline).
+
+    Scale: learning is the one word-type shuffle + vocabulary-sized
+    rounds (see :func:`bpe_merges`); encoding applies the composed
+    merge-chain fold per word OCCURRENCE in the same map task that
+    exploded it, so the only encode-side movement is the final
+    ``groupBy(doc_id)`` partial agg. No join, no broadcast, no second
+    corpus scan beyond the explode.
+    """
+    from declarativeml_spark.operators.textops import spread
+
+    merges, _ = _bpe_learn(df, text_col, n_merges, want_curve=False)
+    rules = [(m[1], m[2]) for m in merges]
+    enc = merge_chain_expr(_CHARS_OF.format(w="word", i="__i"), rules)
+    words = (
+        spread(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.lower(F.col(text_col)).alias("t"),
+            )
+        )
+        .select(
+            "doc_id", F.explode(F.split(F.col("t"), "[^a-z0-9]+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.withColumn("n_tok", F.size(F.expr(enc)).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .withColumn(
+            "fertility", F.col("n_tokens").cast("double") / F.col("n_words")
+        )
+    )
+
+
+def bpe_encode_oracle_sql(
+    n_merges: int = 6,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bpe_encode_doc_stats`: replay the learn
+    chain (final generation applied), then join the encoded word types
+    back to per-document word occurrences. Joining types (instead of
+    folding per occurrence like Spark) is value-identical: every
+    occurrence of a word encodes to the same sequence."""
+    ctes = _bpe_ctes(n_merges, table, text_col, apply_last=True)
+    ctes.append(
+        f"enc AS (SELECT word, CAST(len(seq) AS BIGINT) AS n_tok"
+        f" FROM s{n_merges})"
+    )
+    ctes.append(
+        f"dw AS (SELECT {id_col} AS doc_id, word FROM (SELECT {id_col},"
+        f" unnest(string_split_regex(lower({text_col}), '[^a-z0-9]+'))"
+        f" AS word FROM {table}) WHERE word <> '')"
+    )
+    joined = ",\n    ".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        "SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,"
+        " CAST(SUM(e.n_tok) AS BIGINT) AS n_tokens,"
+        " CAST(SUM(e.n_tok) AS DOUBLE) / COUNT(*) AS fertility"
+        " FROM dw JOIN enc e ON dw.word = e.word"
+        " GROUP BY dw.doc_id"
+    )

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from declarativeml_spark.operators.bpe import (
     bpe_compression_curve,
     bpe_curve_oracle_sql,
+    bpe_encode_doc_stats,
+    bpe_encode_oracle_sql,
     bpe_merges,
     bpe_merges_oracle_sql,
 )
@@ -63,6 +65,29 @@ def tokenizer_bpe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return bpe_compression_curve(docs, "text", _BPE_ROUNDS)
+
+
+@query("tokenizer_bpe_encode", oracle=bpe_encode_oracle_sql(_BPE_ROUNDS))
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY side of BPE training (round-5 verdict ask): learn
+    <_BPE_ROUNDS> merges, then re-score every document with the
+    learned tokenizer — word count, encoded token count, fertility
+    (tokens per word; the whitespace baseline is 1 token per word
+    only when every word fully merges). The DSL twin is
+    ``TOKENIZE <source> USING <tokenizer>``.
+
+    Scale: learning is the one word-type shuffle (see
+    tokenizer_bpe_merges); encoding composes ALL learned rules into a
+    single codegen'd fold chain applied per word occurrence in the
+    map task that exploded it — no join, no broadcast, no extra
+    corpus pass; the only encode-side movement is the final
+    ``groupBy(doc_id)`` partial agg. Hash-checked against DuckDB
+    replaying the same learn chain and joining the encoded word types
+    back to occurrences (value-identical: every occurrence of a word
+    encodes identically).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_doc_stats(docs, "doc_id", "text", _BPE_ROUNDS)
 
 
 # ---------------------------------------------------------------------------

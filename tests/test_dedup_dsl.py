@@ -624,3 +624,76 @@ def test_failed_index_build_unmarks_storage(engine, spark):
         assert spark.catalog.tableExists("doc_bad_tbl")
     finally:
         spark.sql("DROP TABLE IF EXISTS doc_bad_tbl")
+
+
+def test_tokenize_statement_round_trips(engine, spark, smoke_dir):
+    """TOKENIZE ∘ TRAIN TOKENIZER: encoding with the learned rules
+    reproduces the learn side's final generation (token totals match
+    the oracle-checked encode query), and the merge chain applies in
+    learning order."""
+    engine.execute("TRAIN TOKENIZER bpe_apply FROM documents VOCAB 40")
+    out = engine.execute("TOKENIZE documents USING bpe_apply")
+    assert "tokens" in out.columns and "n_tokens" in out.columns
+    rows = out.select("doc_id", "tokens", "n_tokens").limit(50).collect()
+    assert rows
+    merges = {
+        r.merged for r in engine.tokenizers["bpe_apply"].collect()
+    }
+    # every token is a single char or a learned merge product
+    for r in rows:
+        assert r.n_tokens == len(r.tokens)
+        for tok in r.tokens:
+            assert len(tok) == 1 or tok in merges, tok
+    # map-side only: no exchange anywhere in the encode plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # unknown tokenizer is a typed error
+    with pytest.raises(ValueError, match="Unknown tokenizer"):
+        engine.execute("TOKENIZE documents USING never_trained")
+    with pytest.raises(ValueError, match="no column"):
+        engine.execute("TOKENIZE documents USING bpe_apply TEXT COLUMN nope")
+
+
+def test_tokenizer_stored_as_lifecycle(engine, spark, smoke_dir):
+    """TRAIN TOKENIZER … STORED AS persists the merge table; a FRESH
+    engine (new session dict) can TOKENIZE USING the stored table;
+    DROP TOKENIZER removes table + session entry; foreign tables are
+    never silently overwritten."""
+    from declarativeml_spark.engine import Engine
+
+    engine.execute(
+        "TRAIN TOKENIZER bpe_dur FROM documents VOCAB 40"
+        " STORED AS bpe_dur_tbl"
+    )
+    assert spark.catalog.tableExists("bpe_dur_tbl")
+    in_session = engine.execute(
+        "TOKENIZE documents USING bpe_dur"
+    ).agg({"n_tokens": "sum"}).collect()[0][0]
+    # fresh engine: session dict is empty, the stored table serves
+    fresh = Engine(spark)
+    cross_session = fresh.execute(
+        "TOKENIZE documents USING bpe_dur_tbl"
+    ).agg({"n_tokens": "sum"}).collect()[0][0]
+    assert cross_session == in_session
+    # a foreign table target errors without touching the table
+    with pytest.raises(ValueError, match="does not belong"):
+        engine.execute(
+            "TRAIN TOKENIZER thief FROM documents VOCAB 40"
+            " STORED AS embeddings"
+        )
+    # another tokenizer may not steal the stored table
+    with pytest.raises(ValueError, match="belongs to tokenizer"):
+        engine.execute(
+            "TRAIN TOKENIZER thief2 FROM documents VOCAB 40"
+            " STORED AS bpe_dur_tbl"
+        )
+    # rebuild under the same name+table works (the documented workflow)
+    engine.execute(
+        "TRAIN TOKENIZER bpe_dur FROM documents VOCAB 40"
+        " STORED AS bpe_dur_tbl"
+    )
+    assert spark.catalog.tableExists("bpe_dur_tbl")
+    assert engine.execute("DROP TOKENIZER bpe_dur") == {"dropped": "bpe_dur"}
+    assert not spark.catalog.tableExists("bpe_dur_tbl")
+    with pytest.raises(ValueError, match="Unknown tokenizer"):
+        engine.execute("DROP TOKENIZER bpe_dur")
