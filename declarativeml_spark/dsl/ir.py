@@ -1008,3 +1008,19 @@ class DropIndex:
     index's storage (cached corpus blocks + checkpointed centroids)."""
 
     name: str
+
+
+@dataclass
+class RefreshIndex:
+    """IR for ``REFRESH INDEX <name>`` — incremental index
+    maintenance: re-read the index's source, assign ONLY the new rows
+    (anti-join on the id column) to the existing structure — frozen
+    IVF cells / deterministic LSH bucket keys — and append them
+    (bucketed append for ``STORED AS`` indexes, so the candidate join
+    stays co-located). The quantizer never moves: an LSH refresh is
+    exactly equal to a cold rebuild on the unioned source; an IVF
+    refresh keeps the snapshot's centroids (drift warrants a rebuild,
+    which is the documented trade of the dedup_incremental_delta
+    pattern this applies)."""
+
+    name: str

@@ -81,6 +81,7 @@ Statement = Union[
     ir.DropTokenizer,
     ir.CreateIndex,
     ir.DropIndex,
+    ir.RefreshIndex,
 ]
 
 
@@ -1208,6 +1209,13 @@ class _Parser:
             stored_as=stored_as,
         )
 
+    def parse_refresh(self) -> "ir.RefreshIndex":
+        self.expect_keyword("REFRESH")
+        self.expect_keyword("INDEX")
+        name = self.expect_name("index name")
+        self.expect_eof()
+        return ir.RefreshIndex(name=name)
+
     def parse_drop(self) -> Union["ir.DropIndex", "ir.DropTokenizer"]:
         self.expect_keyword("DROP")
         if self.at_keyword("TOKENIZER"):
@@ -1975,6 +1983,8 @@ def parse(text: str) -> Statement:
         return parser.parse_calibrate()
     if tok.value == "DROP":
         return parser.parse_drop()
+    if tok.value == "REFRESH":
+        return parser.parse_refresh()
     if tok.value == "TOKENIZE":
         return parser.parse_tokenize()
     raise DSLSyntaxError(
@@ -1982,7 +1992,7 @@ def parse(text: str) -> Statement:
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
         " SEARCH, SAMPLE, DECONTAMINATE, PACK, REDACT, CHUNK, SESSIONIZE,"
         " QUANTIZE, MIX, PROFILE, DETECT, SHARD, COMPACT, SHUFFLE, SCORE,"
-        " WEIGH, AUDIT, CALIBRATE, TOKENIZE, or DROP"
+        " WEIGH, AUDIT, CALIBRATE, TOKENIZE, REFRESH, or DROP"
     )
 
 

@@ -195,6 +195,8 @@ class Engine:
             return self._create_index(stmt)
         if isinstance(stmt, ir.DropIndex):
             return self._drop_index(stmt)
+        if isinstance(stmt, ir.RefreshIndex):
+            return self._refresh_index(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
 
     def _search_from_index(
@@ -392,6 +394,7 @@ class Engine:
         self.indexes[stmt.name] = {
             "method": stmt.method,
             "source": stmt.source,
+            "source_is_identifier": stmt.source_is_identifier,
             "params": dict(stmt.params),
             "frames": frames,
             "owned": owned,
@@ -400,6 +403,110 @@ class Engine:
         return self.spark.createDataFrame(
             [(stmt.name, stmt.method, stmt.source, int(n_rows))],
             "index_name string, method string, source string, indexed_rows long",
+        )
+
+    # -- REFRESH INDEX (incremental maintenance, SURVEY §7.5) ----------------
+    def _refresh_index(self, stmt: "ir.RefreshIndex") -> DataFrame:
+        """Incremental index maintenance (the dedup_incremental_delta
+        pattern applied to the index): re-read the source, anti-join
+        out already-indexed ids, assign ONLY the new rows to the
+        existing structure, and append.
+
+        * ``lsh``: bucket keys are a deterministic function of the
+          vector (seeded projections), so refresh == cold rebuild on
+          the unioned source, exactly.
+        * ``ivf``: new vectors assign to the FROZEN centroids
+          (operators/dedup.py::assign_cells — one broadcast argmin,
+          no shuffle); the quantizer never moves. Centroid drift
+          warrants CREATE INDEX, not REFRESH (documented trade).
+        * ``STORED AS`` indexes append to the bucketed table with the
+          same bucket spec, so the candidate join stays co-located —
+          no exchange creeps in as the index grows.
+        """
+        from declarativeml_spark.operators import caching
+        from declarativeml_spark.operators import dedup as D
+        from declarativeml_spark.sources.io import save_bucketed_table
+
+        rec = self.indexes.get(stmt.name)
+        if rec is None:
+            raise ValueError(
+                f"Unknown index {stmt.name!r}; build it first with"
+                " CREATE INDEX"
+            )
+        df = resolve_source(
+            self.spark, rec["source"], rec.get("source_is_identifier", True)
+        )
+        p = dict(rec["params"])
+        id_col = p.pop("id_col", "vec_id")
+        vec_col = p.pop("vec_col", "embedding")
+        mark = caching.scope_mark()
+        if rec["method"] == "ivf":
+            corpus, cents = rec["frames"]["corpus"], rec["frames"]["cents"]
+            indexed = corpus.select("vec_id")
+            new = df.join(
+                indexed, df[id_col] == indexed["vec_id"], "left_anti"
+            )
+            assigned = D.assign_cells(
+                new, cents, id_col, vec_col, dim=int(p.get("dim", 64))
+            )
+            if rec["tables"]:
+                t = rec["tables"][0]
+                n_new = assigned.count()
+                if n_new:
+                    save_bucketed_table(assigned, t, "cell", mode="append")
+                rec["frames"] = {
+                    "corpus": self.spark.table(t),
+                    "cents": cents,
+                }
+            else:
+                union = caching.track_persist(
+                    corpus.unionByName(assigned)
+                )
+                n_total = union.count()  # materialize before releasing
+                n_new = n_total - corpus.count()
+                caching.release_all(rec["owned"])
+                rec["owned"] = caching.adopt_since(mark)
+                rec["frames"] = {"corpus": union, "cents": cents}
+            total = rec["frames"]["corpus"].count()
+        else:  # lsh
+            keyed = rec["frames"]["keyed"]
+            indexed = keyed.select("vec_id").distinct()
+            new = df.join(
+                indexed, df[id_col] == indexed["vec_id"], "left_anti"
+            )
+            if "dim" not in p:
+                # infer from the EXISTING index, not from `new` — a
+                # refresh with zero new rows must key an empty frame
+                # (lsh_keyed_index can't infer dim from emptiness)
+                probe = keyed.select(F.size("vec").alias("d")).first()
+                if probe is not None and probe["d"] and probe["d"] > 0:
+                    p["dim"] = int(probe["d"])
+            keyed_new = D.lsh_keyed_index(
+                new, id_col=id_col, vec_col=vec_col, **p
+            )
+            if rec["tables"]:
+                t = rec["tables"][0]
+                n_new = keyed_new.count()
+                if n_new:
+                    save_bucketed_table(
+                        keyed_new, t, ["tbl", "bkey"],
+                        sort_col=["tbl", "bkey"], mode="append",
+                    )
+                # append-time operator persists die with the statement
+                # scope; the table serves
+                rec["frames"] = {"keyed": self.spark.table(t)}
+            else:
+                union = caching.track_persist(keyed.unionByName(keyed_new))
+                n_total = union.count()
+                n_new = n_total - keyed.count()
+                caching.release_all(rec["owned"])
+                rec["owned"] = caching.adopt_since(mark)
+                rec["frames"] = {"keyed": union}
+            total = rec["frames"]["keyed"].count()
+        return self.spark.createDataFrame(
+            [(stmt.name, rec["method"], int(n_new), int(total))],
+            "index_name string, method string, new_rows long,"
+            " indexed_rows long",
         )
 
     def _build_index_frames(

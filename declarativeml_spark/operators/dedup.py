@@ -1059,6 +1059,53 @@ def connected_components(
 _NATIVE_CELLS_MEMO: dict = {}
 _NATIVE_CELLS_MEMO_CAP = 16
 
+# one broadcastable ROW holding every centroid, and the per-vector
+# argmin-over-(d2, cell) assignment against it (lexicographic struct
+# compare == ORDER BY d2, cell) — shared by the Lloyd loop
+# (native_cells) and the incremental assignment path (assign_cells).
+# The row is a function, not a module constant: PySpark 4 Column
+# construction needs an active session, which imports must not assume.
+def _centroid_row():
+    return F.collect_list(F.struct("cell", "cvec")).alias("cs")
+
+
+_ASSIGN_CELL = (
+    "array_min(transform(cs, c -> struct("
+    "aggregate(zip_with(vec, c.cvec, (x, y) -> (x - y) * (x - y)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d2,"
+    " c.cell AS cell))).cell"
+)
+
+
+def assign_cells(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Assign vectors to an EXISTING (frozen) quantizer's cells — the
+    incremental path of :func:`native_cells`: ``REFRESH INDEX`` routes
+    only-new rows here so the snapshot's centroids never move (the
+    documented snapshot semantics; a drifted corpus warrants a
+    rebuild, not a refresh).
+
+    Scale: one broadcast of the centroid row + a map-only argmin per
+    vector — the new rows never shuffle."""
+    from declarativeml_spark.operators.skew import spread_partitions
+
+    base = spread_partitions(
+        df.filter(F.size(F.col(vec_col)) == dim).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+    )
+    return (
+        base.crossJoin(F.broadcast(cents.agg(_centroid_row())))
+        .select("vec_id", "vec", F.expr(_ASSIGN_CELL).alias("cell"))
+        .withColumn("nrm", F.expr(_NORM.format(a="vec")))
+    )
+
 
 def native_cells(
     df: DataFrame,
@@ -1149,13 +1196,8 @@ def native_cells(
     # shuffles the corpus at all — the only movement per iteration is
     # the dim-column decimal agg for the new means (map-side
     # combinable) and one tiny centroid row broadcast back.
-    cs = F.collect_list(F.struct("cell", "cvec")).alias("cs")
-    assign = (
-        "array_min(transform(cs, c -> struct("
-        "aggregate(zip_with(vec, c.cvec, (x, y) -> (x - y) * (x - y)),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d2,"
-        " c.cell AS cell))).cell"
-    )
+    cs = _centroid_row()
+    assign = _ASSIGN_CELL
     for _ in range(n_iters):
         assigned = base.crossJoin(F.broadcast(cents.agg(cs))).select(
             "vec_id", "vec", F.expr(assign).alias("cell")

@@ -697,3 +697,110 @@ def test_tokenizer_stored_as_lifecycle(engine, spark, smoke_dir):
     assert not spark.catalog.tableExists("bpe_dur_tbl")
     with pytest.raises(ValueError, match="Unknown tokenizer"):
         engine.execute("DROP TOKENIZER bpe_dur")
+
+
+def test_refresh_index_lsh_equals_cold_rebuild(engine, spark, smoke_dir):
+    """REFRESH INDEX on an LSH index: only new rows are keyed and
+    appended; because bucket keys are a deterministic function of the
+    vector, search-after-refresh must EQUAL a cold rebuild on the
+    unioned source."""
+    spark.sql(
+        "SELECT * FROM embeddings WHERE vec_id % 2 = 0"
+    ).createOrReplaceTempView("emb_growing")
+    engine.execute("CREATE INDEX emb_grow ON emb_growing USING lsh")
+    half_rows = engine.indexes["emb_grow"]["frames"]["keyed"].count()
+    # the source grows: the view now serves the full table
+    spark.sql("SELECT * FROM embeddings").createOrReplaceTempView(
+        "emb_growing"
+    )
+    out = engine.execute("REFRESH INDEX emb_grow").collect()[0]
+    assert out.new_rows > 0
+    assert out.indexed_rows == half_rows + out.new_rows
+    refreshed = _rows(
+        engine.execute("SEARCH SIMILAR USING INDEX emb_grow(threshold=1.15)")
+    )
+    # cold rebuild on the same (grown) source
+    engine.execute("CREATE INDEX emb_cold ON emb_growing USING lsh")
+    cold = _rows(
+        engine.execute("SEARCH SIMILAR USING INDEX emb_cold(threshold=1.15)")
+    )
+    assert refreshed == cold
+    # a second refresh with no new rows is a no-op
+    again = engine.execute("REFRESH INDEX emb_grow").collect()[0]
+    assert again.new_rows == 0 and again.indexed_rows == out.indexed_rows
+    engine.execute("DROP INDEX emb_grow")
+    engine.execute("DROP INDEX emb_cold")
+    with pytest.raises(ValueError, match="Unknown index"):
+        engine.execute("REFRESH INDEX emb_grow")
+
+
+def test_refresh_index_ivf_frozen_centroids(engine, spark, smoke_dir):
+    """IVF refresh assigns new rows to the FROZEN quantizer: centroids
+    are unchanged, new ids become searchable, totals match the union."""
+    spark.sql(
+        "SELECT * FROM embeddings WHERE vec_id % 2 = 0"
+    ).createOrReplaceTempView("emb_growing_ivf")
+    engine.execute(
+        "CREATE INDEX emb_gi ON emb_growing_ivf USING ivf(n_cells=8)"
+    )
+    cents_before = _rows(engine.indexes["emb_gi"]["frames"]["cents"])
+    n_half = engine.indexes["emb_gi"]["frames"]["corpus"].count()
+    spark.sql("SELECT * FROM embeddings").createOrReplaceTempView(
+        "emb_growing_ivf"
+    )
+    out = engine.execute("REFRESH INDEX emb_gi").collect()[0]
+    assert out.new_rows > 0 and out.indexed_rows == n_half + out.new_rows
+    assert _rows(engine.indexes["emb_gi"]["frames"]["cents"]) == cents_before
+    # odd (new) ids are now searchable: probe results include them
+    got = engine.execute(
+        "SEARCH SIMILAR USING INDEX emb_gi(n_probe=8, query_mod=97) TOP 20"
+    ).collect()
+    ids = {r.qid for r in got} | {r.nid for r in got}
+    assert any(i % 2 == 1 for i in ids), sorted(ids)[:10]
+    engine.execute("DROP INDEX emb_gi")
+
+
+def test_refresh_index_stored_bucketed_append(engine, spark, smoke_dir):
+    """STORED AS refresh appends with the SAME bucket spec: the
+    candidate join stays exchange-free below the join after growth,
+    and results equal a cold rebuild on the grown source."""
+    spark.sql(
+        "SELECT * FROM embeddings WHERE vec_id % 2 = 0"
+    ).createOrReplaceTempView("emb_growing_st")
+    engine.execute(
+        "CREATE INDEX emb_gs ON emb_growing_st USING lsh"
+        " STORED AS emb_gs_tbl"
+    )
+    spark.sql("SELECT * FROM embeddings").createOrReplaceTempView(
+        "emb_growing_st"
+    )
+    out = engine.execute("REFRESH INDEX emb_gs").collect()[0]
+    assert out.new_rows > 0
+    refreshed = _rows(
+        engine.execute("SEARCH SIMILAR USING INDEX emb_gs(threshold=1.15)")
+    )
+    engine.execute(
+        "CREATE INDEX emb_gs_cold ON emb_growing_st USING lsh"
+    )
+    cold = _rows(
+        engine.execute(
+            "SEARCH SIMILAR USING INDEX emb_gs_cold(threshold=1.15)"
+        )
+    )
+    assert refreshed == cold
+    # co-located join survives the append: no Exchange below the join
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = engine.execute(
+            "SEARCH SIMILAR USING INDEX emb_gs(threshold=1.15)"
+        )
+        probe.count()
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan.split("SortMergeJoin", 1)[1], plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    engine.execute("DROP INDEX emb_gs")
+    engine.execute("DROP INDEX emb_gs_cold")
+    assert not spark.catalog.tableExists("emb_gs_tbl")
