@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = (
     # (1) round-6 additions (never driver-checked)
     "tokenizer_bpe_encode",
+    "multimodal_wav_features",
     # (2) stalest cohort: green only in CORRECTNESS_r01 (28)
     "ann_ivf_native",
     "ann_lsh_bucketed",

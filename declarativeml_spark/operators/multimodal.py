@@ -5,13 +5,17 @@ Design (per the north-star brief): image/audio/video cells are
 ``BinaryType`` columns alongside a metadata struct (format, dims,
 duration). Decode / feature-extract / resize / frame-sample run as
 ``mapInPandas`` batch functions — the Arrow boundary is the real,
-tested part; the codec itself is STUBBED because no image/audio
-libraries exist in this container:
+tested part. Codecs:
 
 * ``codec="fake"`` (default) — deterministic byte-level features so
   tests and oracles can verify the full distributed path;
-* any real codec name — raises ``NotImplementedError`` with the
-  library it would need (PIL/libav), at plan-build time, loudly.
+* ``codec="wav"`` — a REAL dependency-free RIFF/PCM parser
+  (:func:`decode_wav`, registered via :func:`register_wav_codec`):
+  chunk walking, format validation, exact integer energy —
+  oracle-checked end to end (multimodal_wav_features);
+* other real codec names — raise ``NotImplementedError`` with the
+  library they'd need (PIL/libav), at plan-build time, loudly;
+  :func:`register_codec` is the plug-in point.
 
 Scale notes: media blobs are large and skewed — the helpers
 repartition by a size bucket before the UDF so one executor doesn't
@@ -302,3 +306,133 @@ def window_energy(
             )
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real codec #1: dependency-free WAV (RIFF/PCM) — retires the
+# "codecs stubbed by design" footnote. Pure stdlib + numpy (no audio
+# library), registered through the same register_codec boundary a
+# PIL/libav decoder would use.
+
+
+def decode_wav(payload: bytes, meta: Optional[dict] = None) -> list:
+    """Parse a RIFF/WAVE container and return
+    ``[sample_rate, n_channels, bits, n_frames, energy]`` where
+    ``energy`` is the exact integer sum of squared samples across all
+    channels (16-bit PCM signed; 8-bit PCM unsigned, centered at 128
+    per the WAV spec).
+
+    A REAL parser, not a stub: walks word-aligned chunks (so LIST /
+    INFO / junk chunks between fmt and data are skipped, as real
+    encoders emit them), validates the PCM format tag, and rejects
+    truncated containers loudly. Runs executor-side inside the Arrow
+    ``mapInPandas`` batch (see :func:`decode_features`), so only the
+    5-long feature vector crosses the Python boundary per file.
+    """
+    import numpy as np
+
+    if payload is None or len(payload) < 12:
+        raise ValueError("not a RIFF/WAVE payload (too short)")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload (bad magic)")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk ({len(body)}/{size}B)")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or len(fmt) < 16:
+        raise ValueError("missing or short fmt chunk")
+    if data is None:
+        raise ValueError("missing data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"only PCM (format 1) supported, got {audio_format}")
+    if bits not in (8, 16):
+        raise ValueError(f"only 8/16-bit PCM supported, got {bits}")
+    if n_channels < 1:
+        raise ValueError(f"invalid channel count {n_channels}")
+    frame = (bits // 8) * n_channels
+    n_frames = len(data) // frame if frame else 0
+    usable = data[: n_frames * frame]
+    if bits == 16:
+        samples = np.frombuffer(usable, dtype="<i2").astype(np.int64)
+    else:
+        samples = np.frombuffer(usable, dtype=np.uint8).astype(np.int64) - 128
+    energy = int((samples * samples).sum()) if samples.size else 0
+    return [sample_rate, n_channels, bits, n_frames, energy]
+
+
+def register_wav_codec() -> None:
+    """Idempotently register :func:`decode_wav` as codec ``"wav"``."""
+    if "wav" not in _CODECS:
+        register_codec("wav", decode_wav, T.ArrayType(T.LongType()))
+
+
+def synth_wav_from_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic WAV fixture: each document's text becomes a REAL
+    16-bit mono PCM RIFF container with one sample per character —
+    ``sample[i] = (byte[i] − 128) · 256`` — so a SQL oracle can
+    compute the decoder's expected output from the text alone while
+    the Spark side must actually parse the container. Payloads build
+    executor-side in the Arrow batch (mapInPandas, no shuffle)."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(text: Optional[str]) -> bytes:
+            raw = (text or "").encode("utf-8")
+            samples = (
+                (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128)
+                * 256
+            ).astype("<i2").tobytes()
+            fmt = (
+                (1).to_bytes(2, "little")            # PCM
+                + (1).to_bytes(2, "little")          # mono
+                + sample_rate.to_bytes(4, "little")
+                + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+                + (2).to_bytes(2, "little")          # block align
+                + (16).to_bytes(2, "little")         # bits
+            )
+            body = (
+                b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                + b"data" + len(samples).to_bytes(4, "little") + samples
+                + (b"\x00" if len(samples) & 1 else b"")
+            )
+            return (
+                b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE"
+                + body
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(pdf[id_col], dtype="int64"),
+                    "payload": pd.Series(
+                        [one(t) for t in pdf[text_col]], dtype=object
+                    ),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)

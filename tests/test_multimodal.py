@@ -117,3 +117,90 @@ def test_decode_features_on_stream(spark, smoke_dir, tmp_path):
         for r in decode_features(spark.read.parquet(str(src))).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Real WAV codec (round-6): pure-Python RIFF/PCM parser behind the
+# register_codec boundary.
+
+
+def _wav(samples_bytes, *, channels=1, rate=8000, bits=16, extra_chunk=False,
+         fmt_tag=1):
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if extra_chunk:  # odd-sized junk chunk: parser must skip + pad
+        body += b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    body += b"data" + len(samples_bytes).to_bytes(4, "little") + samples_bytes
+    if len(samples_bytes) & 1:
+        body += b"\x00"
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def test_decode_wav_pcm16_stereo_with_junk_chunks():
+    import struct
+
+    from declarativeml_spark.operators.multimodal import decode_wav
+
+    samples = struct.pack("<4h", 100, -100, 32000, -32768)
+    got = decode_wav(_wav(samples, channels=2, rate=44100, extra_chunk=True))
+    assert got == [44100, 2, 16, 2, 2 * 100 * 100 + 32000**2 + 32768**2]
+
+
+def test_decode_wav_pcm8_and_empty():
+    from declarativeml_spark.operators.multimodal import decode_wav
+
+    # 8-bit PCM is unsigned, centered at 128
+    got = decode_wav(_wav(bytes([128, 0, 255]), bits=8, rate=11025))
+    assert got == [11025, 1, 8, 3, 0 + 128 * 128 + 127 * 127]
+    assert decode_wav(_wav(b"")) == [8000, 1, 16, 0, 0]
+
+
+def test_decode_wav_rejects_bad_containers():
+    import pytest
+
+    from declarativeml_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError, match="too short"):
+        decode_wav(b"RIFF")
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_wav(b"RIFX" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="only PCM"):
+        decode_wav(_wav(b"\x00\x00", fmt_tag=3))  # IEEE float tag
+    # data chunk header claims more bytes than exist
+    ok = _wav(b"\x00\x00\x01\x00")
+    truncated = ok[:-2]
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(truncated)
+
+
+def test_wav_round_trip_through_arrow_path(spark, smoke_dir):
+    """synth → real parse through mapInPandas equals a driver-side
+    decode of the same payloads; energy formula matches the oracle's
+    closed form over text bytes."""
+    from declarativeml_spark.operators.multimodal import (
+        decode_features,
+        decode_wav,
+        register_wav_codec,
+        synth_wav_from_text,
+    )
+    from declarativeml_spark.sources.catalog import load_table
+
+    register_wav_codec()
+    docs = load_table(spark, smoke_dir, "documents").limit(20)
+    wav = synth_wav_from_text(docs, "text", "doc_id")
+    payloads = {r.media_id: bytes(r.payload) for r in wav.collect()}
+    got = {
+        r.media_id: list(r.features)
+        for r in decode_features(wav, codec="wav").collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for mid, feats in got.items():
+        assert feats == decode_wav(payloads[mid])
+        raw = (texts[mid] or "").encode("utf-8")
+        expect_energy = sum((b - 128) ** 2 for b in raw) * 65536
+        assert feats == [8000, 1, 16, len(raw), expect_energy]
