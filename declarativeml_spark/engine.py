@@ -306,18 +306,15 @@ class Engine:
             storage_targets = [t] + (
                 [f"{t}_centroids"] if stmt.method == "ivf" else []
             )
-            wh = self.spark.conf.get(
-                "spark.sql.warehouse.dir", "spark-warehouse"
-            )
-            for prefix in ("file://", "file:"):
-                if wh.startswith(prefix):
-                    wh = wh[len(prefix):]
-                    break
+            wh = self._warehouse_path()
             # Availability checks run BEFORE the same-name index is
             # released, so a failing statement never destroys the
             # working one. A pre-existing table we don't own is NEVER
             # silently dropped: it could be user data, the index's own
-            # source, or another live index's storage.
+            # source, another live index's storage — or a live
+            # tokenizer's merge table (both artifact kinds share
+            # _created_storage, so session ownership alone is NOT
+            # permission to clean).
             old_tables = frozenset(
                 (self.indexes.get(stmt.name) or {}).get("tables", ())
             )
@@ -327,6 +324,9 @@ class Engine:
                 if nm != stmt.name
                 for tbl in rec.get("tables", ())
             }
+            tokenizer_owned = {
+                tbl: nm for nm, tbl in self.tokenizer_tables.items()
+            }
             for target in storage_targets:
                 loc = os.path.join(wh, target.lower())
                 if target in other_tables:
@@ -334,6 +334,12 @@ class Engine:
                         f"STORED AS target {target!r} belongs to live"
                         f" index {other_tables[target]!r} — pick another"
                         " name or drop that index first"
+                    )
+                if target in tokenizer_owned:
+                    raise ValueError(
+                        f"STORED AS target {target!r} belongs to tokenizer"
+                        f" {tokenizer_owned[target]!r} — pick another name"
+                        " or drop that tokenizer first"
                     )
                 if target in old_tables or target in self._created_storage:
                     # the same-name index's own storage (released just
@@ -451,6 +457,11 @@ class Engine:
             )
             if rec["tables"]:
                 t = rec["tables"][0]
+                # persist the delta: the count below and the bucketed
+                # write would otherwise each run the source re-read +
+                # anti-join + assignment end to end (scope-released
+                # after the statement)
+                assigned = caching.track_persist(assigned)
                 n_new = assigned.count()
                 if n_new:
                     save_bucketed_table(assigned, t, "cell", mode="append")
@@ -459,11 +470,12 @@ class Engine:
                     "cents": cents,
                 }
             else:
-                union = caching.track_persist(
-                    corpus.unionByName(assigned)
+                n_old = corpus.count()  # BEFORE the old generation's
+                # checkpoint blocks are released by the union swap
+                union = self._checkpoint_refresh_union(
+                    rec, corpus.unionByName(assigned)
                 )
-                n_total = union.count()  # materialize before releasing
-                n_new = n_total - corpus.count()
+                n_new = union.count() - n_old
                 caching.release_all(rec["owned"])
                 rec["owned"] = caching.adopt_since(mark)
                 rec["frames"] = {"corpus": union, "cents": cents}
@@ -486,6 +498,9 @@ class Engine:
             )
             if rec["tables"]:
                 t = rec["tables"][0]
+                # persist the delta (count + write would otherwise
+                # each run the anti-join + keying end to end)
+                keyed_new = caching.track_persist(keyed_new)
                 n_new = keyed_new.count()
                 if n_new:
                     save_bucketed_table(
@@ -496,9 +511,12 @@ class Engine:
                 # scope; the table serves
                 rec["frames"] = {"keyed": self.spark.table(t)}
             else:
-                union = caching.track_persist(keyed.unionByName(keyed_new))
-                n_total = union.count()
-                n_new = n_total - keyed.count()
+                n_old = keyed.count()  # BEFORE the old generation's
+                # checkpoint blocks are released by the union swap
+                union = self._checkpoint_refresh_union(
+                    rec, keyed.unionByName(keyed_new)
+                )
+                n_new = union.count() - n_old
                 caching.release_all(rec["owned"])
                 rec["owned"] = caching.adopt_since(mark)
                 rec["frames"] = {"keyed": union}
@@ -508,6 +526,26 @@ class Engine:
             "index_name string, method string, new_rows long,"
             " indexed_rows long",
         )
+
+    def _checkpoint_refresh_union(self, rec: dict, union: DataFrame):
+        """Materialize a refreshed in-memory index frame with its
+        LINEAGE TRUNCATED (eager localCheckpoint), not merely cached:
+        the union's recompute path re-reads the index's source, which
+        has GROWN since the snapshot — a cache eviction would silently
+        re-index every new row twice (old branch now includes them +
+        the appended delta). Checkpoint blocks don't survive executor
+        loss; an in-memory index never did — rebuild on loss, as
+        documented. Prior refreshes' checkpoints are released once the
+        new generation is materialized."""
+        from declarativeml_spark.operators.caching import (
+            release_checkpoint,
+        )
+
+        union = union.localCheckpoint(eager=True)
+        for old in rec.get("checkpointed", ()):
+            release_checkpoint(old)
+        rec["checkpointed"] = [union]
+        return union
 
     def _build_index_frames(
         self, stmt: "ir.CreateIndex", df, p, id_col, vec_col, mark
@@ -600,6 +638,8 @@ class Engine:
             cents = rec["frames"].get("cents")
             if cents is not None:
                 release_checkpoint(cents)
+        for f in rec.get("checkpointed", ()):  # refresh generations
+            release_checkpoint(f)
         for t in rec.get("tables", ()):
             try:
                 self.spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -691,24 +731,14 @@ class Engine:
                         " remove it or pick another name"
                     )
         merges = bpe_merges(df, stmt.text_column, vocab=stmt.vocab)
-        if stmt.stored_as is not None:
-            t = stmt.stored_as
-            try:
-                merges.write.mode("overwrite").saveAsTable(t)
-            except BaseException:
-                # a failed write must not leave the name marked
-                # session-owned or a partial table behind
-                try:
-                    self.spark.sql(f"DROP TABLE IF EXISTS {t}")
-                except Exception:  # noqa: BLE001 — best-effort cleanup
-                    pass
-                shutil.rmtree(
-                    os.path.join(self._warehouse_path(), t.lower()),
-                    ignore_errors=True,
-                )
-                self._created_storage.discard(t)
-                raise
-            self._created_storage.add(t)
+        # Target resolution: an explicit STORED AS wins; a retrain of a
+        # tokenizer that already HAS a durable table keeps that table
+        # in sync (otherwise the stored form would silently serve the
+        # OLD merges to fresh sessions while this session uses the new
+        # ones — the name owns the table, so retraining refreshes it).
+        t = stmt.stored_as or self.tokenizer_tables.get(stmt.name)
+        if t is not None:
+            self._write_tokenizer_table(merges, t)
             old_table = self.tokenizer_tables.get(stmt.name)
             if old_table and old_table != t:
                 # retrained under a new table: release the old one
@@ -721,6 +751,57 @@ class Engine:
             merges = self.spark.table(t)  # serve from the durable form
         self.tokenizers[stmt.name] = merges
         return merges
+
+    def _write_tokenizer_table(self, merges: DataFrame, t: str) -> None:
+        """Persist a merge table ATOMICALLY with respect to an existing
+        good copy: a retrain writes to a swap table first and only then
+        drops + renames, so a failed write leaves the previous durable
+        table (and the session state pointing at it) fully intact — a
+        plain ``mode("overwrite")`` would destroy it on a mid-write
+        failure. Fresh targets write directly."""
+        import os
+        import shutil
+
+        def _clean(name: str) -> None:
+            try:
+                self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
+            shutil.rmtree(
+                os.path.join(self._warehouse_path(), name.lower()),
+                ignore_errors=True,
+            )
+
+        if self.spark.catalog.tableExists(t):
+            tmp = f"{t}__swap"
+            if (
+                self.spark.catalog.tableExists(tmp)
+                and tmp not in self._created_storage
+            ):
+                raise ValueError(
+                    f"swap table {tmp!r} exists and is not session-owned"
+                    " — remove it or pick another STORED AS name"
+                )
+            try:
+                self._created_storage.add(tmp)
+                _clean(tmp)  # leftover from an interrupted prior swap
+                merges.write.saveAsTable(tmp)
+            except BaseException:
+                _clean(tmp)
+                self._created_storage.discard(tmp)
+                raise  # the existing good table is untouched
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+            self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+            self._created_storage.discard(tmp)
+        else:
+            try:
+                merges.write.saveAsTable(t)
+            except BaseException:
+                # no prior table to protect: unmark and clean partials
+                _clean(t)
+                self._created_storage.discard(t)
+                raise
+        self._created_storage.add(t)
 
     # -- TOKENIZE (apply side, beyond-parity, SURVEY §2.11) ------------------
     def _tokenize(self, stmt: "ir.Tokenize") -> DataFrame:
@@ -759,9 +840,23 @@ class Engine:
             .orderBy("merge_round")
             .collect()  # bounded: vocab − alphabet rows
         ]
-        return df.withColumn(
-            "tokens", F.expr(bpe_tokens_expr(stmt.text_column, rules))
-        ).withColumn("n_tokens", F.size("tokens").cast("long"))
+        from declarativeml_spark.operators.bpe import (
+            MAX_CODEGEN_RULES,
+            bpe_tokenize_map,
+        )
+
+        if len(rules) <= MAX_CODEGEN_RULES:
+            # small vocab: one composed codegen fold — pure JVM
+            out = df.withColumn(
+                "tokens", F.expr(bpe_tokens_expr(stmt.text_column, rules))
+            )
+        else:
+            # large vocab: the nested expression exceeds Catalyst's
+            # parser complexity limit — encode in an Arrow batch with
+            # identical greedy semantics (operators/bpe.py, tested
+            # equal); still map-only
+            out = bpe_tokenize_map(df, stmt.text_column, rules)
+        return out.withColumn("n_tokens", F.size("tokens").cast("long"))
 
     def _drop_tokenizer(self, stmt: "ir.DropTokenizer") -> dict:
         if (
@@ -1274,10 +1369,14 @@ class Engine:
                 " Engine.run_tuner first"
             )
         metric = rec["metric"]
-        maximize = True
-        tuner = self.tuners.get(agent)
-        if tuner is not None:
-            maximize = tuner.maximize
+        # the recorded direction is authoritative — a fresh session has
+        # no tuner registry, and a wrong default would rank a MINIMIZE
+        # search worst-first; the session registry is only a fallback
+        # for logs written before the field existed
+        maximize = rec.get("maximize")
+        if maximize is None:
+            tuner = self.tuners.get(agent)
+            maximize = tuner.maximize if tuner is not None else True
         trials = sorted(
             rec["trials"], key=lambda t: t[metric], reverse=maximize
         )
@@ -1285,7 +1384,7 @@ class Engine:
             (
                 rank + 1,
                 int(t["trial"]),
-                {k: float(v) for k, v in t["params"].items()},
+                {k: str(v) for k, v in t["params"].items()},
                 float(t[metric]),
                 t["trial"] == rec["best_trial"],
             )
@@ -1293,7 +1392,7 @@ class Engine:
         ]
         return self.spark.createDataFrame(
             rows,
-            f"rank int, trial int, params map<string,double>,"
+            f"rank int, trial int, params map<string,string>,"
             f" {metric} double, best boolean",
         )
 

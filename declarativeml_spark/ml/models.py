@@ -86,6 +86,7 @@ def trial_log_append(
     metric: str,
     trials: list,
     best_trial: int,
+    maximize: bool = True,
     base: Optional[str] = None,
 ) -> None:
     """Append a hyperparameter-search audit record (one line holding
@@ -101,6 +102,11 @@ def trial_log_append(
         "name": model,
         "method": method,
         "metric": metric,
+        # the search DIRECTION must persist with the log: a fresh
+        # session reading this record has no tuner registry to consult,
+        # and defaulting MINIMIZE searches to descending would rank the
+        # WORST trial first
+        "maximize": bool(maximize),
         "trials": trials,
         "best_trial": best_trial,
         "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -176,6 +176,26 @@ def run_search(
             " statement — the tuner needs one to vary parameters over"
         )
     spec = get_algorithm(train_stmt.algorithm)
+    # validate the metric NAME eagerly: _make_evaluator silently falls
+    # back to f1/rmse/silhouette for unknown keys, which would tune a
+    # different objective than the statement names
+    from declarativeml_spark.ml.training import (
+        _CLASSIFICATION_METRICS,
+        _REGRESSION_METRICS,
+    )
+
+    known = (
+        set(_CLASSIFICATION_METRICS)
+        if spec.kind == "classification"
+        else set(_REGRESSION_METRICS)
+        if spec.kind == "regression"
+        else {"silhouette"}
+    )
+    if tuner.metric.lower() not in known:
+        raise ValueError(
+            f"Unknown metric {tuner.metric!r} for a {spec.kind} model;"
+            f" accepted: {', '.join(sorted(known))}"
+        )
     df, stages, label_col = _tuning_frame(spark, train_stmt, spec)
 
     est_kwargs: dict[str, Any] = {"featuresCol": "features"}
@@ -237,11 +257,14 @@ def run_search(
         tuner.metric: metrics[best_i],
     }
 
+    # params as map<string,string>: a choice() space may hold
+    # categorical values (impurity='gini'), which a double-typed map
+    # would reject only AFTER the whole paid-for search
     rows = [
         (
             rank + 1,
             i,
-            {k: float(v) for k, v in trials[i].items()},
+            {k: str(v) for k, v in trials[i].items()},
             metrics[i],
             i == best_i,
         )
@@ -249,7 +272,7 @@ def run_search(
     ]
     trials_df = spark.createDataFrame(
         rows,
-        f"rank int, trial int, params map<string,double>,"
+        f"rank int, trial int, params map<string,string>,"
         f" {tuner.metric} double, best boolean",
     )
 
@@ -265,6 +288,7 @@ def run_search(
             for i in range(len(trials))
         ],
         best_i,
+        maximize=tuner.maximize,
         base=model_dir,
     )
     tuned = TrainedModel(

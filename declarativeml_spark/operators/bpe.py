@@ -44,11 +44,17 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from declarativeml_spark.operators.caching import track_persist
+from declarativeml_spark.operators.caching import (
+    release_checkpoint,
+    track_persist,
+)
 
 # merged symbols are runs of [a-z0-9] — checked before interpolation
 # (_SYMBOL_RE in _bpe_learn), so no regex/quote escaping is needed
 _SYMBOL_RE = re.compile(r"[a-z0-9]+")
+# word splitter for the Python encode path — MUST mirror the SQL
+# split('[^a-z0-9]+') used by the expression path and the learner
+_SPLIT_RE = re.compile(r"[^a-z0-9]+")
 _APPLY_MERGE = (
     "aggregate({seq}, CAST(array() AS array<string>), ({acc}, {x}) -> "
     "CASE WHEN size({acc}) > 0 AND element_at({acc}, -1) = '{lhs}' "
@@ -127,6 +133,14 @@ def _bpe_learn(
             )
     merges: list[tuple] = []
     curve: list[tuple] = []
+    prev_is_ckpt = False  # generation 0 is persisted, not checkpointed
+
+    def _release(gen, is_ckpt: bool) -> None:
+        if is_ckpt:
+            release_checkpoint(gen)
+        else:
+            gen.unpersist()
+
     if want_curve:
         curve.append((0, *_gen_stats(prev)))
     for r in range(1, n_merges + 1):
@@ -152,30 +166,37 @@ def _bpe_learn(
         # stripped under python -O, and str.isalnum() admits Unicode
         # letters/digits far beyond the split alphabet)
         if not (_SYMBOL_RE.fullmatch(lhs) and _SYMBOL_RE.fullmatch(rhs)):
-            prev.unpersist()
+            _release(prev, prev_is_ckpt)
             raise ValueError(
                 f"BPE learned a symbol outside [a-z0-9]+: {(lhs, rhs)!r}"
                 " — the tokenizer alphabet invariant is broken"
             )
         merges.append((r, lhs, rhs, lhs + rhs, int(top[0].pair_count)))
         if r < n_merges or want_curve:
-            nxt = track_persist(
-                prev.select(
-                    "cnt",
-                    F.expr(
-                        _APPLY_MERGE.format(
-                            seq="seq", acc="acc", x="x",
-                            lhs=lhs, rhs=rhs, merged=lhs + rhs,
-                        )
-                    ).alias("seq"),
-                )
-            )
-            nxt.count()  # materialize before releasing the parent
-            prev.unpersist()
+            # Each generation LOCALCHECKPOINTs (eagerly), never merely
+            # persists: a persisted generation still carries the full
+            # fold lineage, whose OPTIMIZED plan doubles per round
+            # (measured: 12 KB at gen 2 → 7 MB at gen 11; the driver
+            # OOMs in AQE's explainString near 30 rounds — invisible
+            # at the 4-6 merges earlier rounds trained). The eager
+            # checkpoint truncates each generation to a constant-size
+            # block scan; the superseded generation's blocks release
+            # immediately (nothing references them again).
+            nxt = prev.select(
+                "cnt",
+                F.expr(
+                    _APPLY_MERGE.format(
+                        seq="seq", acc="acc", x="x",
+                        lhs=lhs, rhs=rhs, merged=lhs + rhs,
+                    )
+                ).alias("seq"),
+            ).localCheckpoint(eager=True)
+            _release(prev, prev_is_ckpt)
             prev = nxt
+            prev_is_ckpt = True
             if want_curve:
                 curve.append((r, *_gen_stats(prev)))
-    prev.unpersist()
+    _release(prev, prev_is_ckpt)
     return merges, curve
 
 
@@ -429,3 +450,82 @@ def bpe_encode_oracle_sql(
         " FROM dw JOIN enc e ON dw.word = e.word"
         " GROUP BY dw.doc_id"
     )
+
+
+# Above this rule count the nested-aggregate expression exceeds
+# Catalyst's parser complexity limit (measured: 64 rules parse, 128
+# throw FAILED_TO_PARSE_TOO_COMPLEX) — larger vocabularies encode
+# through the Arrow mapInPandas path below.
+MAX_CODEGEN_RULES = 64
+
+
+def bpe_tokenize_map(df, text_col: str, rules: list) -> DataFrame:
+    """TOKENIZE for LARGE vocabularies: the same greedy left-to-right
+    rule-ordered encode as :func:`bpe_tokens_expr`, applied in Python
+    inside an Arrow ``mapInPandas`` batch (a nested-aggregate SQL
+    expression stops parsing past ~{MAX_CODEGEN_RULES} rules —
+    Catalyst FAILED_TO_PARSE_TOO_COMPLEX).
+
+    Semantics are bit-identical to the expression path (tested equal):
+    per rule, one left-to-right pass checking the accumulator tail.
+    Encoded word types are memoized per batch, so the per-byte Python
+    cost is paid once per DISTINCT word, not per occurrence. Still
+    map-only — no shuffle, no join; all source columns pass through.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    for i, (lhs, rhs) in enumerate(rules):
+        if not (
+            isinstance(lhs, str)
+            and isinstance(rhs, str)
+            and _SYMBOL_RE.fullmatch(lhs)
+            and _SYMBOL_RE.fullmatch(rhs)
+        ):
+            raise ValueError(
+                f"Merge rule {i + 1} has a symbol outside [a-z0-9]+:"
+                f" {(lhs, rhs)!r} — not a BPE merge table?"
+            )
+    triples = [(lhs, rhs, lhs + rhs) for lhs, rhs in rules]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("tokens", T.ArrayType(T.StringType()), True)]
+    )
+    cols = df.columns
+
+    def encode_word(word: str, cache: dict) -> list:
+        toks = cache.get(word)
+        if toks is None:
+            toks = list(word)
+            for lhs, rhs, merged in triples:
+                if len(toks) < 2:
+                    break  # no adjacent pair can ever match again
+                out: list = []
+                append = out.append
+                for x in toks:
+                    if out and out[-1] == lhs and x == rhs:
+                        out[-1] = merged
+                    else:
+                        append(x)
+                toks = out
+            cache[word] = toks
+        return toks
+
+    def batches(it):
+        cache: dict = {}
+        for pdf in it:
+            toks_col = []
+            for text in pdf[text_col]:
+                if text is None:
+                    toks_col.append(None)
+                    continue
+                toks: list = []
+                for w in _SPLIT_RE.split(text.lower()):
+                    if w:
+                        toks.extend(encode_word(w, cache))
+                toks_col.append(toks)
+            pdf = pdf.copy()
+            pdf["tokens"] = pd.Series(toks_col, index=pdf.index, dtype=object)
+            yield pdf[cols + ["tokens"]]
+
+    return df.mapInPandas(batches, schema=out_schema)

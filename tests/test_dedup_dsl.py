@@ -804,3 +804,106 @@ def test_refresh_index_stored_bucketed_append(engine, spark, smoke_dir):
     engine.execute("DROP INDEX emb_gs")
     engine.execute("DROP INDEX emb_gs_cold")
     assert not spark.catalog.tableExists("emb_gs_tbl")
+
+
+def test_tokenize_large_vocab_map_path(engine, spark, smoke_dir):
+    """Past MAX_CODEGEN_RULES the nested-aggregate expression exceeds
+    Catalyst's parser limit — the engine must route through the Arrow
+    encoder with IDENTICAL greedy semantics. Proven two ways: (a) a
+    >64-rule tokenize no longer crashes, (b) on the same real merge
+    table both paths produce byte-identical tokens."""
+    from declarativeml_spark.operators.bpe import (
+        MAX_CODEGEN_RULES,
+        bpe_tokenize_map,
+        bpe_tokens_expr,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{smoke_dir}/documents.parquet").limit(40)
+    # (b) path equivalence on the real learned rules
+    engine.execute("TRAIN TOKENIZER bpe_eq FROM documents VOCAB 40")
+    rules = [
+        (r.lhs, r.rhs)
+        for r in engine.tokenizers["bpe_eq"].orderBy("merge_round").collect()
+    ]
+    expr_out = {
+        r.doc_id: list(r.tokens)
+        for r in docs.withColumn(
+            "tokens", F.expr(bpe_tokens_expr("text", rules))
+        ).select("doc_id", "tokens").collect()
+    }
+    map_out = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_tokenize_map(docs, "text", rules)
+        .select("doc_id", "tokens")
+        .collect()
+    }
+    assert map_out == expr_out
+    # (a) a synthetic >cap merge table tokenizes without crashing
+    big_rules = [(1, "x", "q")] + [
+        (i + 2, "xq", "q") for i in range(MAX_CODEGEN_RULES + 30)
+    ]
+    spark.createDataFrame(
+        [(r, lhs, rhs) for r, lhs, rhs in big_rules],
+        "merge_round long, lhs string, rhs string",
+    ).write.mode("overwrite").saveAsTable("big_merge_tbl")
+    try:
+        out = engine.execute(
+            "TOKENIZE documents USING big_merge_tbl"
+        )
+        assert out.limit(5).count() == 5  # plans AND executes
+    finally:
+        spark.sql("DROP TABLE IF EXISTS big_merge_tbl")
+
+
+def test_index_and_tokenizer_storage_never_collide(engine, spark):
+    """The two durable artifact kinds share _created_storage, but
+    session ownership is NOT permission to clean: CREATE INDEX must
+    refuse a live tokenizer's merge table and vice versa."""
+    engine.execute(
+        "TRAIN TOKENIZER bpe_coll FROM documents VOCAB 40"
+        " STORED AS coll_tbl"
+    )
+    with pytest.raises(ValueError, match="belongs to tokenizer"):
+        engine.execute(
+            "CREATE INDEX coll_idx ON embeddings USING lsh"
+            " STORED AS coll_tbl"
+        )
+    # the merge table survived and still serves
+    assert spark.catalog.tableExists("coll_tbl")
+    assert engine.execute("TOKENIZE documents USING bpe_coll").limit(
+        3
+    ).count() == 3
+    engine.execute("DROP TOKENIZER bpe_coll")
+    # and the reverse direction
+    engine.execute(
+        "CREATE INDEX coll_idx2 ON embeddings USING lsh"
+        " STORED AS coll_tbl2"
+    )
+    with pytest.raises(ValueError, match="belongs to live index"):
+        engine.execute(
+            "TRAIN TOKENIZER bpe_coll2 FROM documents VOCAB 40"
+            " STORED AS coll_tbl2"
+        )
+    assert spark.catalog.tableExists("coll_tbl2")
+    engine.execute("DROP INDEX coll_idx2")
+
+
+def test_tokenizer_retrain_syncs_stored_table(engine, spark):
+    """Retraining a STORED tokenizer WITHOUT repeating STORED AS must
+    refresh the durable table too — otherwise a fresh session would
+    silently encode with the outdated rules."""
+    engine.execute(
+        "TRAIN TOKENIZER bpe_sync FROM documents VOCAB 40"
+        " STORED AS sync_tbl"
+    )
+    v40 = {tuple(r) for r in spark.table("sync_tbl").collect()}
+    engine.execute("TRAIN TOKENIZER bpe_sync FROM documents VOCAB 45")
+    v45 = {tuple(r) for r in spark.table("sync_tbl").collect()}
+    assert len(v45) > len(v40)  # more merges learned AND persisted
+    session_rules = {
+        tuple(r) for r in engine.tokenizers["bpe_sync"].collect()
+    }
+    assert session_rules == v45
+    engine.execute("DROP TOKENIZER bpe_sync")
+    assert not spark.catalog.tableExists("sync_tbl")

@@ -144,8 +144,8 @@ def test_tuner_end_to_end_beats_default(engine, spark):
     assert metrics == sorted(metrics, reverse=True)
     # a deeper tree must beat the stump on this non-linear label
     best = rows[0]
-    assert best.params["max_depth"] > 1.0
-    stump = [r for r in rows if r.params["max_depth"] == 1.0]
+    assert float(best.params["max_depth"]) > 1.0
+    stump = [r for r in rows if float(r.params["max_depth"]) == 1.0]
     if stump:  # the stump trial may or may not survive the budget cut
         assert best.f1 >= stump[0].f1
     # the winning trial registered a NEW version of the base model,
@@ -161,7 +161,7 @@ def test_tuner_end_to_end_beats_default(engine, spark):
     assert len(tuned_versions) == 1
     assert tuned_versions[0]["version"] == 2
     assert tuned_versions[0]["trial_params"]["max_depth"] == int(
-        best.params["max_depth"]
+        float(best.params["max_depth"])
     )
     assert math.isclose(
         tuned_versions[0]["performance_metrics"]["tuned_f1"], best.f1
@@ -202,3 +202,59 @@ def test_tuner_error_paths(engine):
     )
     with pytest.raises(ValueError, match="contradicts"):
         engine.run_tuner("t5")
+
+
+def test_tuner_categorical_choice_space(engine):
+    """choice() over STRING values (impurity) must survive the whole
+    search — the trials schema is map<string,string> exactly so a
+    categorical space can't crash after the paid-for fit."""
+    engine.execute(
+        "CREATE AGENT cat_tuner FOR MODEL tuned_clf OPTIMIZE USING"
+        " grid_search SEARCH SPACE {'impurity': choice(['gini',"
+        " 'entropy']), 'max_depth': choice([2, 3])} MAXIMIZE f1"
+        " WITH BUDGET 4 trials"
+    )
+    rows = engine.run_tuner("cat_tuner").orderBy("rank").collect()
+    assert len(rows) == 4
+    assert {r.params["impurity"] for r in rows} == {"gini", "entropy"}
+    audit = engine.tuning_trials("cat_tuner").collect()
+    assert {r.params["impurity"] for r in audit} == {"gini", "entropy"}
+
+
+def test_tuner_unknown_metric_rejected(engine):
+    """_make_evaluator silently falls back to f1 for unknown names —
+    the tuner must reject the name instead of optimizing the wrong
+    objective under the requested label."""
+    engine.execute(
+        "CREATE AGENT ndcg_tuner FOR MODEL tuned_clf OPTIMIZE USING"
+        " grid_search SEARCH SPACE {'max_depth': choice([2, 3])}"
+        " MAXIMIZE ndcg WITH BUDGET 2 trials"
+    )
+    with pytest.raises(ValueError, match="Unknown metric 'ndcg'"):
+        engine.run_tuner("ndcg_tuner")
+
+
+def test_tuning_trials_minimize_ranking_survives_fresh_session(
+    engine, spark
+):
+    """The search direction persists in the audit record: a fresh
+    engine (no tuner registry) ranking a MINIMIZE search must put the
+    SMALLEST value first, not default to descending."""
+    from declarativeml_spark.engine import Engine
+
+    engine.execute(
+        "TRAIN MODEL price_reg_t USING linear_regression(max_iter=10) "
+        "FROM orders_tuner PREDICT o_totalprice "
+        "WITH FEATURES(o_custkey) SPLIT DATA training=0.8, test=0.2"
+    )
+    engine.execute(
+        "CREATE AGENT rmse_tuner FOR MODEL price_reg_t OPTIMIZE USING"
+        " grid_search SEARCH SPACE {'reg': choice([0.0, 0.5, 5.0])}"
+        " MINIMIZE rmse WITH BUDGET 3 trials"
+    )
+    engine.run_tuner("rmse_tuner")
+    fresh = Engine(spark, model_dir=engine.model_dir)
+    audit = fresh.tuning_trials("rmse_tuner").orderBy("rank").collect()
+    vals = [r.rmse for r in audit]
+    assert vals == sorted(vals)  # MINIMIZE: ascending by rank
+    assert audit[0].best
