@@ -113,6 +113,11 @@ def main() -> int:
             " (4 runs, warm): 1.12/0.97/0.94s — within the repo's"
             " ±20%/1.5x noise rule, not a code regression"
         ),
+        "events_k_anonymity": (
+            "r6 bench 1.25s vs r5 0.59s on untouched code; isolated"
+            " re-measure (warm): 0.85/0.71/0.73s — full-bench cache"
+            " pressure, not a code regression"
+        ),
     }
     # Write the artifact BEFORE printing: a consumer that pipes stdout
     # through `head` closes the pipe after the first line, and the
