@@ -38,6 +38,7 @@ _CHECK_FIRST = (
     # (1) round-6 additions (never driver-checked)
     "tokenizer_bpe_encode",
     "multimodal_wav_features",
+    "multimodal_ppm_stats",
     # (2) stalest cohort: green only in CORRECTNESS_r01 (28)
     "ann_ivf_native",
     "ann_lsh_bucketed",

@@ -13,6 +13,10 @@ tested part. Codecs:
   (:func:`decode_wav`, registered via :func:`register_wav_codec`):
   chunk walking, format validation, exact integer energy —
   oracle-checked end to end (multimodal_wav_features);
+* ``codec="ppm"`` — a REAL dependency-free PPM (P6) image parser
+  (:func:`decode_ppm`): comment-aware header scan, 8/16-bit samples,
+  exact per-channel sums — oracle-checked (multimodal_ppm_stats);
+  :func:`resize_image` does a real nearest-neighbor resample for it;
 * other real codec names — raise ``NotImplementedError`` with the
   library they'd need (PIL/libav), at plan-build time, loudly;
   :func:`register_codec` is the plug-in point.
@@ -186,9 +190,71 @@ def resize_image(
     df: DataFrame, payload_col: str = "payload", width: int = 64, height: int = 64,
     codec: str = "real",
 ) -> DataFrame:
-    """Resize stub — requires a real image codec (not in container)."""
-    _require_codec(codec, "resize_image")
-    raise NotImplementedError("fake codec has no pixel geometry to resize")
+    """Resize images to ``width × height``.
+
+    ``codec="ppm"`` is REAL: decode P6 (see :func:`decode_ppm`'s
+    header rules), nearest-neighbor resample in numpy, re-encode P6 —
+    all inside the Arrow batch, map-only. Other codec names still
+    raise at plan-build time (``fake`` payloads have no pixel
+    geometry; PIL-class codecs aren't in this container).
+    """
+    if codec != "ppm":
+        _require_codec(codec, "resize_image")
+        raise NotImplementedError(
+            "fake codec has no pixel geometry to resize; use codec='ppm'"
+        )
+    if width < 1 or height < 1:
+        raise ValueError(f"resize target must be positive, got {width}x{height}")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(blob) -> bytes:
+            w0, h0, maxval, *_ = decode_ppm(bytes(blob))
+            # re-scan the header to find the pixel offset (decode_ppm
+            # validated it): skip magic + 3 header ints + 1 whitespace
+            pos, fields = 2, 0
+            payload = bytes(blob)
+            while fields < 3:
+                c = payload[pos : pos + 1]
+                if c == b"#":
+                    while payload[pos : pos + 1] != b"\n":
+                        pos += 1
+                elif c.isdigit():
+                    while payload[pos : pos + 1].isdigit():
+                        pos += 1
+                    fields += 1
+                else:
+                    pos += 1
+            pos += 1
+            dt = ">u2" if maxval > 255 else np.uint8
+            px = np.frombuffer(
+                payload[pos:], dtype=dt, count=w0 * h0 * 3
+            ).reshape(h0, w0, 3)
+            # nearest neighbor: source index = floor((i + 0.5) * s/d)
+            ys = np.minimum((np.arange(height) + 0.5) * h0 / height, h0 - 1).astype(int)
+            xs = np.minimum((np.arange(width) + 0.5) * w0 / width, w0 - 1).astype(int)
+            out = px[ys][:, xs]
+            header = f"P6\n{width} {height}\n{maxval}\n".encode()
+            return header + out.astype(dt).tobytes()
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(pdf["media_id"], dtype="int64"),
+                    "payload": pd.Series(
+                        [one(b) for b in pdf[payload_col]], dtype=object
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 FRAME_BYTES = 16  # fake codec: one "frame" = 16 consecutive payload bytes
@@ -424,6 +490,124 @@ def synth_wav_from_text(
                 b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE"
                 + body
             )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(pdf[id_col], dtype="int64"),
+                    "payload": pd.Series(
+                        [one(t) for t in pdf[text_col]], dtype=object
+                    ),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real codec #2: dependency-free PPM (P6) image decoder — the image
+# sibling of decode_wav, through the same register_codec boundary.
+
+
+def decode_ppm(payload: bytes, meta: Optional[dict] = None) -> list:
+    """Parse a binary PPM (P6) image and return
+    ``[width, height, maxval, sum_r, sum_g, sum_b]`` — exact integer
+    per-channel sums, so a SQL oracle over synthesized pixels has a
+    closed form and any parser bug (header offset, comment handling,
+    interleave order) hash-fails.
+
+    A REAL parser: handles the P6 magic, '#' comments anywhere in the
+    header (as the spec allows), arbitrary whitespace between header
+    tokens, and rejects truncated pixel data loudly. 16-bit maxval
+    (two bytes per sample, big-endian) is supported per the spec.
+    """
+    import numpy as np
+
+    if payload is None or len(payload) < 2 or payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isdigit():
+            start = pos
+            while (
+                pos < len(payload) and payload[pos : pos + 1].isdigit()
+            ):
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        else:
+            raise ValueError(f"bad PPM header byte {c!r} at {pos}")
+    width, height, maxval = fields
+    if not (0 < maxval < 65536):
+        raise ValueError(f"PPM maxval {maxval} out of range")
+    pos += 1  # exactly ONE whitespace byte separates header and pixels
+    two_byte = maxval > 255
+    need = width * height * 3 * (2 if two_byte else 1)
+    data = payload[pos : pos + need]
+    if len(data) < need:
+        raise ValueError(
+            f"truncated PPM pixel data ({len(data)}/{need}B)"
+        )
+    arr = np.frombuffer(
+        data, dtype=(">u2" if two_byte else np.uint8)
+    ).astype(np.int64).reshape(-1, 3)
+    sums = arr.sum(axis=0)
+    return [width, height, maxval, int(sums[0]), int(sums[1]), int(sums[2])]
+
+
+def register_ppm_codec() -> None:
+    """Idempotently register :func:`decode_ppm` as codec ``"ppm"``."""
+    if "ppm" not in _CODECS:
+        register_codec("ppm", decode_ppm, T.ArrayType(T.LongType()))
+
+
+def synth_ppm_from_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """Deterministic PPM fixture: each document's text bytes become a
+    REAL P6 image — pixels laid out row-major, channels
+    ``(b, 255−b, (b·7) mod 256)`` per text byte ``b``, zero-padded to
+    a whole number of ``width``-pixel rows (at least one row) — so a
+    SQL oracle computes the decoder's expected channel sums from the
+    text alone. Includes a header comment line, which the parser must
+    skip. Builds executor-side in the Arrow batch (mapInPandas)."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(text: Optional[str]) -> bytes:
+            raw = np.frombuffer(
+                (text or "").encode("utf-8"), dtype=np.uint8
+            ).astype(np.int64)
+            n_pix = max(width, ((len(raw) + width - 1) // width) * width)
+            b = np.zeros(n_pix, dtype=np.int64)
+            b[: len(raw)] = raw
+            px = np.stack([b, 255 - b, (b * 7) % 256], axis=1).astype(
+                np.uint8
+            )
+            height = n_pix // width
+            header = (
+                b"P6\n# synthesized from text\n"
+                + f"{width} {height}\n255\n".encode()
+            )
+            return header + px.tobytes()
 
         for pdf in it:
             yield pd.DataFrame(

@@ -226,3 +226,65 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[3].alias("n_samples"),
         F.col("features")[4].alias("energy"),
     )
+
+
+_PPM_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_raw,
+           GREATEST(8, CAST(ceil(length(text) / 8.0) * 8 AS BIGINT))
+               AS n_pix,
+           CAST(COALESCE(list_sum(list_transform(
+               range(1, length(text) + 1),
+               i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS sum_r,
+           CAST(COALESCE(list_sum(list_transform(
+               range(1, length(text) + 1),
+               i -> (ascii(substr(text, i, 1)) * 7) % 256)), 0)
+               AS BIGINT) AS sum_b
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(n_pix / 8 AS BIGINT) AS height,
+       sum_r,
+       CAST(255 * n_pix - sum_r AS BIGINT) AS sum_g,
+       sum_b
+FROM base
+"""
+
+
+@query("multimodal_ppm_stats", oracle=_PPM_ORACLE)
+def multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image sibling of ``multimodal_wav_features``: every
+    document's text bytes become a genuine binary PPM (P6) image —
+    channels (b, 255−b, 7b mod 256) per byte, zero-padded to whole
+    8-pixel rows, header comment included — and the registered
+    pure-Python PPM parser (operators/multimodal.py::decode_ppm —
+    comment-aware header scan, 8/16-bit samples, loud truncation
+    errors) decodes it back through the Arrow ``mapInPandas`` path.
+    The oracle computes the expected per-channel pixel sums from the
+    text alone, so a header-offset or interleave bug hash-fails.
+
+    Scale: synthesis and decode are map-only (pixel bytes never leave
+    the executor; 6 longs per image cross the Python boundary); zero
+    shuffles in the plan.
+    """
+    from declarativeml_spark.operators.multimodal import (
+        decode_features,
+        register_ppm_codec,
+        synth_ppm_from_text,
+    )
+    from pyspark.sql import functions as F
+
+    register_ppm_codec()
+    docs = load_table(spark, sf_dir, "documents")
+    ppm = synth_ppm_from_text(docs, "text", "doc_id", width=8)
+    feats = decode_features(ppm, codec="ppm")
+    return feats.select(
+        "media_id",
+        F.col("features")[0].alias("width"),
+        F.col("features")[1].alias("height"),
+        F.col("features")[3].alias("sum_r"),
+        F.col("features")[4].alias("sum_g"),
+        F.col("features")[5].alias("sum_b"),
+    )

@@ -204,3 +204,68 @@ def test_wav_round_trip_through_arrow_path(spark, smoke_dir):
         raw = (texts[mid] or "").encode("utf-8")
         expect_energy = sum((b - 128) ** 2 for b in raw) * 65536
         assert feats == [8000, 1, 16, len(raw), expect_energy]
+
+
+def test_decode_ppm_header_rules():
+    import pytest
+
+    from declarativeml_spark.operators.multimodal import decode_ppm
+
+    img = b"P6\n# comment\n2 1\n# another\n255\n" + bytes(
+        [10, 20, 30, 40, 50, 60]
+    )
+    assert decode_ppm(img) == [2, 1, 255, 50, 70, 90]
+    # 16-bit samples are big-endian per the spec
+    img16 = (
+        b"P6 2 1 65535\n"
+        + b"".join(v.to_bytes(2, "big") for v in (300, 400, 500, 1, 2, 3))
+    )
+    assert decode_ppm(img16) == [2, 1, 65535, 301, 402, 503]
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        decode_ppm(b"P3\n1 1\n255\n1 2 3")
+    with pytest.raises(ValueError, match="truncated PPM pixel"):
+        decode_ppm(b"P6\n2 2\n255\n" + b"\x00" * 5)
+
+
+def test_ppm_round_trip_and_resize(spark, smoke_dir):
+    """synth → real parse equals the closed form; resize is a real
+    nearest-neighbor resample whose output re-decodes correctly."""
+    from declarativeml_spark.operators.multimodal import (
+        decode_features,
+        decode_ppm,
+        register_ppm_codec,
+        resize_image,
+        synth_ppm_from_text,
+    )
+    from declarativeml_spark.sources.catalog import load_table
+
+    register_ppm_codec()
+    docs = load_table(spark, smoke_dir, "documents").limit(12)
+    ppm = synth_ppm_from_text(docs, "text", "doc_id", width=8)
+    feats = {
+        r.media_id: list(r.features)
+        for r in decode_features(ppm, codec="ppm").collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for mid, f in feats.items():
+        raw = (texts[mid] or "").encode("utf-8")
+        n_pix = max(8, -(-len(raw) // 8) * 8)
+        sum_r = sum(raw)
+        assert f == [
+            8, n_pix // 8, 255, sum_r, 255 * n_pix - sum_r,
+            sum(b * 7 % 256 for b in raw),
+        ]
+    # resize halves each axis; the resized payload re-decodes with the
+    # target geometry and pixel values drawn from the source image
+    small = resize_image(ppm, width=4, height=1, codec="ppm").collect()
+    for r in small:
+        w, h, maxval, *_ = decode_ppm(bytes(r.payload))
+        assert (w, h, maxval) == (4, 1, 255)
+    # exact nearest-neighbor on a known 2x2: picks the center-biased
+    # source pixel per target cell
+    import numpy as np
+    px = bytes([1,1,1, 2,2,2, 3,3,3, 4,4,4])  # rows: [1,2],[3,4]
+    img = b"P6\n2 2\n255\n" + px
+    df = spark.createDataFrame([(7, bytearray(img))], "media_id long, payload binary")
+    out = resize_image(df, width=1, height=1, codec="ppm").collect()[0]
+    assert decode_ppm(bytes(out.payload))[3:] == [4, 4, 4]  # (0.5*2/1)=1 -> row1,col1
