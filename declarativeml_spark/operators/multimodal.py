@@ -69,19 +69,31 @@ N_HISTOGRAM_BINS = 16
 _CODECS: dict = {}
 
 
-def register_codec(name: str, decode, feature_dtype: Optional[T.DataType] = None) -> None:
+def register_codec(
+    name: str,
+    decode,
+    feature_dtype: Optional[T.DataType] = None,
+    resize=None,
+) -> None:
     """Register a real decoder under ``name`` for
     :func:`decode_features` (e.g. a PIL/libav-backed callable in an
     environment that has one).
 
     ``feature_dtype`` is the element type of the returned feature
     column (default ``array<long>``, matching the fake codec).
+    ``resize`` is an optional picklable
+    ``resize(payload: bytes, width: int, height: int) -> bytes``
+    capability consumed by :func:`resize_image` — per-codec, so each
+    real codec brings its own resampler instead of patching a name
+    check into the shared dispatch.
     """
     if name == "fake":
         raise ValueError("'fake' is the built-in deterministic stub; pick another name")
     if not callable(decode):
         raise TypeError(f"decode for codec {name!r} must be callable")
-    _CODECS[name] = (decode, feature_dtype or T.ArrayType(T.LongType()))
+    if resize is not None and not callable(resize):
+        raise TypeError(f"resize for codec {name!r} must be callable")
+    _CODECS[name] = (decode, feature_dtype or T.ArrayType(T.LongType()), resize)
 
 
 def unregister_codec(name: str) -> None:
@@ -188,20 +200,28 @@ def decode_features(
 
 def resize_image(
     df: DataFrame, payload_col: str = "payload", width: int = 64, height: int = 64,
-    codec: str = "real",
+    codec: str = "real", id_col: str = "media_id",
 ) -> DataFrame:
     """Resize images to ``width × height``.
 
-    ``codec="ppm"`` is REAL: decode P6 (see :func:`decode_ppm`'s
-    header rules), nearest-neighbor resample in numpy, re-encode P6 —
-    all inside the Arrow batch, map-only. Other codec names still
-    raise at plan-build time (``fake`` payloads have no pixel
-    geometry; PIL-class codecs aren't in this container).
+    Dispatches to the codec's registered ``resize`` capability (see
+    :func:`register_codec`'s ``resize`` parameter) — ``ppm`` ships one
+    (:func:`resize_ppm`: real nearest-neighbor resample in numpy,
+    re-encoded P6), all inside the Arrow batch, map-only. A codec
+    without the capability raises at plan-build time (``fake``
+    payloads have no pixel geometry; PIL-class codecs aren't in this
+    container).
     """
-    if codec != "ppm":
-        _require_codec(codec, "resize_image")
+    if codec == "ppm":
+        register_ppm_codec()  # idempotent convenience
+    _require_codec(codec, "resize_image")
+    entry = _CODECS.get(codec)
+    resizer = entry[2] if entry and len(entry) > 2 else None
+    if resizer is None:
         raise NotImplementedError(
-            "fake codec has no pixel geometry to resize; use codec='ppm'"
+            f"codec {codec!r} has no registered resize capability;"
+            " register_codec(name, decode, resize=fn) to add one"
+            " (codec='ppm' ships a real resampler)"
         )
     if width < 1 or height < 1:
         raise ValueError(f"resize target must be positive, got {width}x{height}")
@@ -213,43 +233,20 @@ def resize_image(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        def one(blob) -> bytes:
-            w0, h0, maxval, *_ = decode_ppm(bytes(blob))
-            # re-scan the header to find the pixel offset (decode_ppm
-            # validated it): skip magic + 3 header ints + 1 whitespace
-            pos, fields = 2, 0
-            payload = bytes(blob)
-            while fields < 3:
-                c = payload[pos : pos + 1]
-                if c == b"#":
-                    while payload[pos : pos + 1] != b"\n":
-                        pos += 1
-                elif c.isdigit():
-                    while payload[pos : pos + 1].isdigit():
-                        pos += 1
-                    fields += 1
-                else:
-                    pos += 1
-            pos += 1
-            dt = ">u2" if maxval > 255 else np.uint8
-            px = np.frombuffer(
-                payload[pos:], dtype=dt, count=w0 * h0 * 3
-            ).reshape(h0, w0, 3)
-            # nearest neighbor: source index = floor((i + 0.5) * s/d)
-            ys = np.minimum((np.arange(height) + 0.5) * h0 / height, h0 - 1).astype(int)
-            xs = np.minimum((np.arange(width) + 0.5) * w0 / width, w0 - 1).astype(int)
-            out = px[ys][:, xs]
-            header = f"P6\n{width} {height}\n{maxval}\n".encode()
-            return header + out.astype(dt).tobytes()
-
         for pdf in it:
             yield pd.DataFrame(
                 {
-                    "media_id": pd.array(pdf["media_id"], dtype="int64"),
+                    "media_id": pd.array(pdf[id_col], dtype="int64"),
                     "payload": pd.Series(
-                        [one(b) for b in pdf[payload_col]], dtype=object
+                        [
+                            resizer(
+                                bytes(b) if b is not None else b"",
+                                width,
+                                height,
+                            )
+                            for b in pdf[payload_col]
+                        ],
+                        dtype=object,
                     ),
                 }
             )
@@ -509,20 +506,18 @@ def synth_wav_from_text(
 # sibling of decode_wav, through the same register_codec boundary.
 
 
-def decode_ppm(payload: bytes, meta: Optional[dict] = None) -> list:
-    """Parse a binary PPM (P6) image and return
-    ``[width, height, maxval, sum_r, sum_g, sum_b]`` — exact integer
-    per-channel sums, so a SQL oracle over synthesized pixels has a
-    closed form and any parser bug (header offset, comment handling,
-    interleave order) hash-fails.
+def _parse_ppm_header(payload: bytes) -> tuple:
+    """Shared P6 header scan → ``(width, height, maxval,
+    pixel_offset)``; the single source of truth for both
+    :func:`decode_ppm` and :func:`resize_ppm` (two divergent inline
+    copies of a format parser is how resize-only bugs happen).
 
-    A REAL parser: handles the P6 magic, '#' comments anywhere in the
-    header (as the spec allows), arbitrary whitespace between header
-    tokens, and rejects truncated pixel data loudly. 16-bit maxval
-    (two bytes per sample, big-endian) is supported per the spec.
-    """
-    import numpy as np
-
+    Comment rules, stated precisely: ``#``-to-newline comments are
+    accepted between header tokens AND between the maxval digits and
+    the raster delimiter. After the last comment (or the maxval
+    digits), exactly ONE whitespace byte delimits the raster — the
+    netpbm reading; a ``#`` *after* that delimiter is pixel data
+    (value 0x23), not a comment, since raster bytes are opaque."""
     if payload is None or len(payload) < 2 or payload[:2] != b"P6":
         raise ValueError("not a binary PPM (P6) payload")
     pos = 2
@@ -546,9 +541,34 @@ def decode_ppm(payload: bytes, meta: Optional[dict] = None) -> list:
         else:
             raise ValueError(f"bad PPM header byte {c!r} at {pos}")
     width, height, maxval = fields
+    if width < 1 or height < 1:
+        raise ValueError(f"PPM dimensions {width}x{height} out of range")
     if not (0 < maxval < 65536):
         raise ValueError(f"PPM maxval {maxval} out of range")
+    # comments may still stand between the maxval digits and the
+    # raster-delimiting whitespace
+    while payload[pos : pos + 1] == b"#":
+        while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+            pos += 1
     pos += 1  # exactly ONE whitespace byte separates header and pixels
+    return width, height, maxval, pos
+
+
+def decode_ppm(payload: bytes, meta: Optional[dict] = None) -> list:
+    """Parse a binary PPM (P6) image and return
+    ``[width, height, maxval, sum_r, sum_g, sum_b]`` — exact integer
+    per-channel sums, so a SQL oracle over synthesized pixels has a
+    closed form and any parser bug (header offset, comment handling,
+    interleave order) hash-fails.
+
+    A REAL parser (header rules in :func:`_parse_ppm_header`):
+    arbitrary whitespace between header tokens, comments between
+    tokens and before the raster delimiter, loud truncation errors.
+    16-bit maxval (two bytes per sample, big-endian) per the spec.
+    """
+    import numpy as np
+
+    width, height, maxval, pos = _parse_ppm_header(payload)
     two_byte = maxval > 255
     need = width * height * 3 * (2 if two_byte else 1)
     data = payload[pos : pos + need]
@@ -563,10 +583,36 @@ def decode_ppm(payload: bytes, meta: Optional[dict] = None) -> list:
     return [width, height, maxval, int(sums[0]), int(sums[1]), int(sums[2])]
 
 
+def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor P6 resample (the ``resize`` capability the
+    ``ppm`` codec registers): one header scan, one numpy fancy-index —
+    no per-channel sum pass, no second parse."""
+    import numpy as np
+
+    w0, h0, maxval, pos = _parse_ppm_header(payload)
+    dt = ">u2" if maxval > 255 else np.uint8
+    need = w0 * h0 * 3 * (2 if maxval > 255 else 1)
+    if len(payload) - pos < need:
+        raise ValueError(
+            f"truncated PPM pixel data ({len(payload) - pos}/{need}B)"
+        )
+    px = np.frombuffer(payload, dtype=dt, count=w0 * h0 * 3, offset=pos).reshape(
+        h0, w0, 3
+    )
+    # nearest neighbor: source index = floor((i + 0.5) * src/dst)
+    ys = np.minimum((np.arange(height) + 0.5) * h0 / height, h0 - 1).astype(int)
+    xs = np.minimum((np.arange(width) + 0.5) * w0 / width, w0 - 1).astype(int)
+    out = px[ys][:, xs]
+    return f"P6\n{width} {height}\n{maxval}\n".encode() + out.astype(dt).tobytes()
+
+
 def register_ppm_codec() -> None:
-    """Idempotently register :func:`decode_ppm` as codec ``"ppm"``."""
+    """Idempotently register :func:`decode_ppm` (+ the resize
+    capability) as codec ``"ppm"``."""
     if "ppm" not in _CODECS:
-        register_codec("ppm", decode_ppm, T.ArrayType(T.LongType()))
+        register_codec(
+            "ppm", decode_ppm, T.ArrayType(T.LongType()), resize=resize_ppm
+        )
 
 
 def synth_ppm_from_text(

@@ -208,6 +208,12 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: synthesis and decode are map-only (payload bytes never
     leave the executor; 4 longs per file cross the Python boundary);
     zero shuffles in the whole plan.
+
+    Fixture contract: the synthetic corpus is printable ASCII (the
+    invariant operators/bpe.py documents and the BPE oracles already
+    rely on), so the oracle's per-CHARACTER closed form equals the
+    codec's per-UTF-8-BYTE arithmetic. Non-ASCII ingest would need a
+    byte-level oracle, not a different codec.
     """
     from declarativeml_spark.operators.multimodal import (
         decode_features,
@@ -267,7 +273,8 @@ def multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: synthesis and decode are map-only (pixel bytes never leave
     the executor; 6 longs per image cross the Python boundary); zero
-    shuffles in the plan.
+    shuffles in the plan. Same ASCII fixture contract as
+    multimodal_wav_features (char closed form == byte arithmetic).
     """
     from declarativeml_spark.operators.multimodal import (
         decode_features,

@@ -269,3 +269,31 @@ def test_ppm_round_trip_and_resize(spark, smoke_dir):
     df = spark.createDataFrame([(7, bytearray(img))], "media_id long, payload binary")
     out = resize_image(df, width=1, height=1, codec="ppm").collect()[0]
     assert decode_ppm(bytes(out.payload))[3:] == [4, 4, 4]  # (0.5*2/1)=1 -> row1,col1
+
+
+def test_ppm_pre_raster_comment_and_null_payload(spark):
+    """Comments between the maxval digits and the raster delimiter are
+    header (netpbm allows them); a NULL payload through resize_image
+    fails with the codec's loud ValueError, not a NoneType crash."""
+    import pytest
+
+    from declarativeml_spark.operators.multimodal import (
+        decode_ppm,
+        resize_image,
+    )
+
+    img = b"P6\n2 1\n255# pre-raster\n" + bytes([10, 20, 30, 40, 50, 60])
+    assert decode_ppm(img) == [2, 1, 255, 50, 70, 90]
+    df = spark.createDataFrame(
+        [(1, None)], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not a binary PPM"):
+        resize_image(df, codec="ppm", width=2, height=2).collect()
+    # custom id column name is honored
+    df2 = spark.createDataFrame(
+        [(5, bytearray(img))], "img_id long, payload binary"
+    )
+    out = resize_image(
+        df2, codec="ppm", width=1, height=1, id_col="img_id"
+    ).collect()[0]
+    assert out.media_id == 5
