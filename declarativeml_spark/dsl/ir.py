@@ -216,10 +216,14 @@ class DeployABTest:
 
 @dataclass
 class MonitorModel:
-    """IR for ``MONITOR MODEL`` (reference DSL.md:347-351)."""
+    """IR for ``MONITOR MODEL`` (reference DSL.md:347-351).
+
+    ``source=None`` (the reference's ``CREATE AGENT … FOR MODEL``
+    form names no data) means: monitor on the model's own stored
+    TRAIN-statement source, resolved at run time like RETRAIN does."""
 
     model: str
-    source: str
+    source: Optional[str]
     checks: List[str] = field(default_factory=list)  # condition strings
     every: Optional[int] = None
     every_unit: Optional[str] = None
@@ -279,11 +283,21 @@ class WhenRule:
 class Agent:
     """IR for ``CREATE AGENT`` (reference DSL.md:150-171,
     AGENTS.md:59-143): a named scheduled monitor with an optional
-    reactive action."""
+    reactive action.
+
+    Two grammars build it: the repo's ``MONITOR MODEL … ON <src>``
+    form (action = a full DSL statement), and the reference's
+    verbatim ``FOR MODEL … CHECK METRICS EVERY n unit WHEN
+    m DROPS BELOW v OR m EXCEEDS v THEN TRIGGER w AND NOTIFY p``
+    form — WHEN clauses are stored NEGATED as health checks (the
+    agent fires when any fails), and TRIGGER/NOTIFY publish
+    ``workflow.trigger`` / ``notification`` events on the bus."""
 
     name: str
     monitor: "MonitorModel"
     action: Optional[str] = None
+    trigger: Optional[str] = None
+    notify: Optional[str] = None
 
 
 @dataclass

@@ -886,7 +886,13 @@ class _Parser:
         self.expect_keyword("AGENT")
         name = self.expect_name("agent name")
         if self.at_keyword("FOR"):
-            return self.parse_tuner_agent(name)
+            # the reference's two FOR MODEL agent forms (DSL.md:150-171)
+            self.advance()
+            self.expect_keyword("MODEL")
+            model = self.expect_name("model name")
+            if self.at_keyword("OPTIMIZE"):
+                return self.parse_tuner_agent(name, model)
+            return self.parse_monitor_agent(name, model)
         monitor = self.parse_monitor_body()
         action = None
         if self.at_keyword("THEN"):
@@ -900,16 +906,87 @@ class _Parser:
             parse(action)
         return ir.Agent(name=name, monitor=monitor, action=action)
 
-    def parse_tuner_agent(self, name: str) -> ir.TunerAgent:
+    def parse_monitor_agent(self, name: str, model: str) -> ir.Agent:
+        """The reference's verbatim monitoring agent (DSL.md:150-157)::
+
+            CREATE AGENT performance_monitor
+              FOR MODEL fraud_detector
+              CHECK METRICS EVERY 1 hour
+              WHEN accuracy DROPS BELOW 0.85
+                OR precision DROPS BELOW 0.80
+                OR data_drift EXCEEDS 0.2
+              THEN TRIGGER retraining_workflow
+              AND NOTIFY on_call_engineer
+
+        WHEN clauses are TRIGGER conditions; they are stored negated
+        as health checks (``accuracy DROPS BELOW 0.85`` → health
+        ``accuracy >= 0.85``), so ``run_agents_once`` fires exactly
+        when any clause holds. No source clause: the monitor runs on
+        the model's stored TRAIN source, resolved at run time."""
+        self.expect_keyword("CHECK")
+        self.expect_keyword("METRICS")
+        self.expect_keyword("EVERY")
+        every = _require_positive_int(self.parse_value(), "monitor interval")
+        every_unit = self.expect_name("time unit")
+        self.expect_keyword("WHEN")
+        checks = [self.parse_drift_clause()]
+        while self.at_keyword("OR"):
+            self.advance()
+            checks.append(self.parse_drift_clause())
+        trigger = None
+        notify = None
+        if self.at_keyword("THEN"):
+            self.advance()
+            self.expect_keyword("TRIGGER")
+            trigger = self.expect_name("workflow name")
+            if self.at_keyword("AND"):
+                self.advance()
+                self.expect_keyword("NOTIFY")
+                notify = self.expect_name("notification target")
+        self.expect_eof()
+        return ir.Agent(
+            name=name,
+            monitor=ir.MonitorModel(
+                model=model,
+                source=None,
+                checks=checks,
+                every=every,
+                every_unit=every_unit,
+            ),
+            trigger=trigger,
+            notify=notify,
+        )
+
+    def parse_drift_clause(self) -> str:
+        """One reference WHEN clause → the NEGATED health condition:
+        ``m DROPS BELOW v`` → ``m >= v``; ``m EXCEEDS v`` → ``m <= v``
+        (plain comparisons are also accepted and negated)."""
+        name = self.expect_name("metric name")
+        if self.at_keyword("DROPS"):
+            self.advance()
+            self.expect_keyword("BELOW")
+            return f"{name} >= {self.parse_value()}"
+        if self.at_keyword("EXCEEDS"):
+            self.advance()
+            return f"{name} <= {self.parse_value()}"
+        tok = self.peek()
+        if tok.kind == "OP" and tok.value in {">=", "<=", ">", "<"}:
+            self.advance()
+            negated = {">": "<=", ">=": "<", "<": ">=", "<=": ">"}[tok.value]
+            return f"{name} {negated} {self.parse_value()}"
+        raise DSLSyntaxError(
+            f"Expected DROPS BELOW, EXCEEDS, or a comparison after"
+            f" {name!r} at {tok.pos}, got {tok.value!r}"
+        )
+
+    def parse_tuner_agent(self, name: str, model: str) -> ir.TunerAgent:
         """Hyperparameter-search agent (reference DSL.md:158-171):
         ``FOR MODEL m OPTIMIZE USING method SEARCH SPACE {…}
         MAXIMIZE metric WITH BUDGET n trials
         PARALLEL EXECUTION k workers`` — every clause of the
         reference's statement parses verbatim; MINIMIZE is accepted
-        for loss-style metrics."""
-        self.expect_keyword("FOR")
-        self.expect_keyword("MODEL")
-        model = self.expect_name("model name")
+        for loss-style metrics. (FOR MODEL is consumed by
+        parse_agent, which routes on the next keyword.)"""
         self.expect_keyword("OPTIMIZE")
         self.expect_keyword("USING")
         method = self.expect_name("optimization method")

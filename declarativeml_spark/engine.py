@@ -1403,8 +1403,34 @@ class Engine:
         for name, agent in self.agents.items():
             res = self._monitor(agent.monitor, bus=self.bus)
             results[name] = res
-            if not res["healthy"] and agent.action:
-                self.execute(agent.action)
+            if not res["healthy"]:
+                if agent.action:
+                    self.execute(agent.action)
+                # the reference form's THEN TRIGGER / AND NOTIFY
+                # clauses publish bus events: a WHEN-rule (or an
+                # external consumer) subscribes and runs the workflow
+                if agent.trigger:
+                    self.bus.publish(
+                        "workflow.trigger",
+                        {
+                            "workflow": agent.trigger,
+                            "agent": name,
+                            "model": agent.monitor.model,
+                        },
+                    )
+                if agent.notify:
+                    self.bus.publish(
+                        "notification",
+                        {
+                            "recipient": agent.notify,
+                            "agent": name,
+                            "model": agent.monitor.model,
+                            "failed_checks": [
+                                c for c, ok in res["checks"].items()
+                                if not ok
+                            ],
+                        },
+                    )
         # deliver any alert events to WHEN-rules
         if self._bus is not None and self._bus._published:
             self._bus.dispatch_batch()
@@ -1447,7 +1473,24 @@ class Engine:
         meta = self._model_meta(stmt.model)
         if meta is None:
             raise ValueError(f"No registered model named {stmt.model!r}")
-        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        if stmt.source is None:
+            # the reference's FOR MODEL agent form names no data:
+            # monitor on the model's own stored TRAIN source, resolved
+            # at run time (the RETRAIN pattern)
+            if not meta.get("statement"):
+                raise ValueError(
+                    f"Model {stmt.model!r} has no stored TRAIN statement"
+                    " — name a source explicitly (MONITOR MODEL … ON"
+                    " <source>)"
+                )
+            train_stmt = parse(meta["statement"])
+            source, is_ident = (
+                train_stmt.source,
+                train_stmt.source_is_identifier,
+            )
+        else:
+            source, is_ident = stmt.source, stmt.source_is_identifier
+        df = resolve_source(self.spark, source, is_ident)
         df = build_features(df, meta["features"]).df
         return monitor_model(
             self.spark,

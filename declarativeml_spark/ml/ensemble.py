@@ -162,6 +162,55 @@ def ab_route(
     return out.drop("__bucket", *preds)
 
 
+def _prediction_drift_psi(pipeline, df, spec, label_col: str) -> float:
+    """Population-stability index between the PREDICTED and ACTUAL
+    label distributions on the monitored batch — the stored-state-free
+    drift proxy behind the reference's ``data_drift EXCEEDS t`` check
+    (DSL.md:155): when the model's output distribution walks away from
+    the ground-truth distribution, either the data or the concept
+    moved. 0 = identical; rule-of-thumb alert band starts ~0.2.
+
+    Bins: label classes (classification) or the batch's label deciles
+    (regression). Scale: one transform + two bounded groupBy
+    aggregations over ≤ ~10 bins; the ε-smoothed PSI sum runs on the
+    driver over that bin plane."""
+    import math
+
+    pred = pipeline.transform(df).select(
+        F.col("prediction").cast("double").alias("p"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    if spec.kind == "regression":
+        edges = pred.stat.approxQuantile(
+            "y", [i / 10.0 for i in range(1, 10)], 1.0e-3
+        )
+        # strictly increasing edges (ties collapse bins — fine)
+        edges = sorted(set(edges))
+        bin_expr = "1 + " + " + ".join(
+            f"CASE WHEN {{c}} > {e!r} THEN 1 ELSE 0 END" for e in edges
+        ) if edges else "1"
+        pred = pred.select(
+            F.expr(bin_expr.format(c="p")).alias("p"),
+            F.expr(bin_expr.format(c="y")).alias("y"),
+        )
+    pred = pred.persist()
+    try:
+        p_counts = {r["p"]: r["n"] for r in pred.groupBy("p").agg(F.count("*").alias("n")).collect()}
+        q_counts = {r["y"]: r["n"] for r in pred.groupBy("y").agg(F.count("*").alias("n")).collect()}
+    finally:
+        pred.unpersist()
+    total = sum(q_counts.values())
+    if total == 0:
+        return 0.0
+    eps = 1.0e-6
+    psi = 0.0
+    for b in set(p_counts) | set(q_counts):
+        pi = max(p_counts.get(b, 0) / total, eps)
+        qi = max(q_counts.get(b, 0) / total, eps)
+        psi += (pi - qi) * math.log(pi / qi)
+    return float(psi)
+
+
 def monitor_model(
     spark: SparkSession,
     model: str,
@@ -190,6 +239,18 @@ def monitor_model(
         if not (spec.kind == "classification" and ttype == "string"):
             df = df.withColumn(label_col, F.col(target).cast("double"))
     metrics = _compute_metrics(pipeline, df, spec, label_col)
+    if any("data_drift" in c for c in checks):
+        # computed only when a check asks (reference DSL.md:155
+        # `data_drift EXCEEDS 0.2`) — two bounded aggregations
+        if spec.kind == "clustering":
+            raise ValueError(
+                "data_drift checks need a supervised model (the drift"
+                " proxy compares predicted vs actual label"
+                " distributions)"
+            )
+        metrics["data_drift"] = _prediction_drift_psi(
+            pipeline, df, spec, label_col
+        )
     results: dict[str, Any] = {"metrics": metrics, "checks": {}}
     for check in checks:
         ok = StopCondition(text=check).evaluate(metrics)

@@ -200,3 +200,68 @@ def test_compile_plan_api():
     from declarativeml_spark import compile_sql
 
     assert compile_sql is compile_plan
+
+
+# reference docs/DSL.md:150-157, byte for byte (trailing ; included)
+_REFERENCE_MONITOR_AGENT = """CREATE AGENT performance_monitor
+  FOR MODEL fraud_detector
+  CHECK METRICS EVERY 1 hour
+  WHEN accuracy DROPS BELOW 0.85
+    OR precision DROPS BELOW 0.80
+    OR data_drift EXCEEDS 0.2
+  THEN TRIGGER retraining_workflow
+  AND NOTIFY on_call_engineer;"""
+
+
+def test_reference_monitor_agent_parses_verbatim():
+    from declarativeml_spark.dsl.parser import parse_script
+
+    a = parse_script(_REFERENCE_MONITOR_AGENT)[0]
+    assert isinstance(a, Agent)
+    assert a.name == "performance_monitor"
+    assert a.monitor.model == "fraud_detector"
+    assert a.monitor.source is None  # the model's own stored source
+    # WHEN triggers stored NEGATED as health checks
+    assert a.monitor.checks == [
+        "accuracy >= 0.85",
+        "precision >= 0.8",
+        "data_drift <= 0.2",
+    ]
+    assert a.monitor.every == 1 and a.monitor.every_unit == "hour"
+    assert a.trigger == "retraining_workflow"
+    assert a.notify == "on_call_engineer"
+
+
+def test_reference_monitor_agent_end_to_end(engine):
+    """The FOR MODEL agent monitors on the model's stored TRAIN
+    source; failing WHEN clauses publish workflow.trigger +
+    notification events; a healthy agent publishes nothing."""
+    # impossible bar -> fires; data_drift computed (pred vs label PSI)
+    engine.execute(
+        "CREATE AGENT ref_mon FOR MODEL wf_clf"
+        " CHECK METRICS EVERY 1 hour"
+        " WHEN accuracy DROPS BELOW 0.999999 OR data_drift EXCEEDS 5.0"
+        " THEN TRIGGER retrain_wf AND NOTIFY oncall"
+    )
+    events = []
+    engine.bus.when("workflow.trigger", "TRUE", lambda df: events.append("trig"))
+    engine.bus.when("notification", "TRUE", lambda df: events.append("note"))
+    res = engine.run_agents_once()
+    r = res["ref_mon"]
+    assert r["healthy"] is False
+    assert r["checks"]["accuracy >= 0.999999"] is False
+    # drift proxy exists, is finite, and PASSES its (generous) check
+    assert 0.0 <= r["metrics"]["data_drift"] < 5.0
+    assert r["checks"]["data_drift <= 5.0"] is True
+    assert "trig" in events and "note" in events
+    del engine.agents["ref_mon"]
+    # healthy agent: nothing fires
+    engine.execute(
+        "CREATE AGENT ref_mon_ok FOR MODEL wf_clf"
+        " CHECK METRICS EVERY 1 hour WHEN accuracy DROPS BELOW 0.01"
+    )
+    events.clear()
+    res = engine.run_agents_once()
+    assert res["ref_mon_ok"]["healthy"] is True
+    assert events == []
+    del engine.agents["ref_mon_ok"]
