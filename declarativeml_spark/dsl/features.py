@@ -146,7 +146,30 @@ class Call:
         return f"{name}({', '.join(parts)})"
 
 
-FeatureExpr = Union[Identifier, NumberLit, StringLit, ListLit, BinOp, Neg, Group, Call]
+@dataclass(frozen=True)
+class AllColumns:
+    """``alias.*`` as a feature-call ARGUMENT (the reference's
+    flagship example, DSL.md:44: ``DERIVED
+    feature_engineering.recency_frequency_monetary(t.*)``) — rendered
+    to Spark SQL as ``struct(alias.*)`` so the call receives one
+    struct of the alias's columns. Parse-level parity: the reference's
+    own grammar rejects ``*`` in feature expressions, so anything a
+    reference user can run still runs here; resolution then depends on
+    the alias surviving into the resolved frame."""
+
+    alias: Tuple[str, ...]
+
+    def render(self) -> str:
+        return ".".join(self.alias) + ".*"
+
+    def to_spark_sql(self) -> str:
+        return "struct(" + ".".join(self.alias) + ".*)"
+
+
+FeatureExpr = Union[
+    Identifier, NumberLit, StringLit, ListLit, BinOp, Neg, Group, Call,
+    AllColumns,
+]
 
 
 class _ExprParser:
@@ -227,6 +250,8 @@ class _ExprParser:
             return ListLit(tuple(items))
         if tok.kind == "NAME":
             ident = self.parse_identifier()
+            if isinstance(ident, AllColumns):
+                return ident  # alias.* is never callable
             if self.peek().kind == "OP" and self.peek().value == "(":
                 return self.parse_call(ident)
             return ident
@@ -234,7 +259,7 @@ class _ExprParser:
             f"Unexpected token {tok.value!r} at {tok.pos} in feature expression"
         )
 
-    def parse_identifier(self) -> Identifier:
+    def parse_identifier(self) -> Union[Identifier, AllColumns]:
         parts = [self.advance().value]
         while (
             self.peek().kind == "OP"
@@ -243,6 +268,15 @@ class _ExprParser:
         ):
             self.advance()  # '.'
             parts.append(self.advance().value)
+        if (
+            self.peek().kind == "OP"
+            and self.peek().value == "."
+            and self.tokens[self.i + 1].kind == "OP"
+            and self.tokens[self.i + 1].value == "*"
+        ):
+            self.advance()  # '.'
+            self.advance()  # '*'
+            return AllColumns(tuple(parts))
         return Identifier(tuple(parts))
 
     def parse_call(self, func: Identifier) -> Call:

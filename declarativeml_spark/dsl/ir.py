@@ -228,6 +228,10 @@ class MonitorModel:
     every: Optional[int] = None
     every_unit: Optional[str] = None
     source_is_identifier: bool = True
+    # verbose-form watch scopes (DSL.md:348-349), e.g.
+    # (("drift_detection", ("age", "tenure")), ("performance_degradation",
+    #  ("accuracy", "f1_score"))) — recorded metadata
+    scopes: Tuple = ()
 
 
 @dataclass
@@ -254,13 +258,102 @@ class RegisterAgent:
 
 @dataclass
 class ExplainPrediction:
-    """IR for ``EXPLAIN PREDICTION FOR MODEL m FROM src [TOP n
-    FEATURES]`` (reference DSL.md:341-344)."""
+    """IR for both EXPLAIN forms:
+
+    * repo: ``EXPLAIN PREDICTION FOR MODEL m FROM src [TOP n FEATURES]``
+    * reference verbatim (DSL.md:341-345): ``EXPLAIN PREDICTION m
+      FOR TRANSACTION col = v USING shap_values SHOW TOP n features``
+      — ``source=None`` means the model's stored TRAIN source;
+      ``row_filter`` selects the explained row(s); ``method`` records
+      the requested attribution family (shap_values/saabas — both
+      resolve to the engine's exact additive explainer).
+    """
 
     model: str
-    source: str
+    source: Optional[str]
     top_k: int = 3
     source_is_identifier: bool = True
+    row_filter: Optional[Tuple[str, Any]] = None  # (column, value)
+    method: Optional[str] = None
+
+
+@dataclass
+class CreateType:
+    """IR for ``CREATE TYPE <name> AS (field type, …)`` — the
+    reference's ML data-model composites (DSL.md:177-210: ml_model,
+    feature_vector, ml_dataset). PostgreSQL types map to Spark:
+    VARCHAR(n)/TEXT → string, INTEGER → int, BIGINT → long,
+    FLOAT → double, TIMESTAMP → timestamp, JSONB → string (JSON
+    text — Spark's JSON functions operate on strings), ``T[]`` →
+    array<T>. The engine registers the resolved StructType by name
+    (``Engine.types``) so sources and UDFs can reference it."""
+
+    name: str
+    fields: Tuple[Tuple[str, str], ...]  # (field_name, sql_type_text)
+
+
+@dataclass
+class IfStep:
+    """One ``IF <expr> <op> <expr> THEN <actions…>; END IF`` inside a
+    workflow block (reference DSL.md:139-142). Operands are feature
+    expressions over the block's RESULT CONTEXT — after a RETRAIN
+    step, ``retraining_<metric>`` holds the new fit's metrics and
+    ``previous_<metric>`` the pre-retrain version's. Actions are the
+    AND-chain: tagged micro-actions (``("rollback",)``, ``("alert",
+    target, message)``) or full statements (``("stmt", text)``)."""
+
+    lhs: str
+    op: str
+    rhs: str
+    actions: Tuple[Tuple, ...]
+
+
+@dataclass
+class WorkflowBlock:
+    """IR for ``BEGIN <stmt>; [IF …; END IF;] … END`` — the reference's
+    complex-conditional workflow body (DSL.md:135-143), executed
+    statement by statement with a result context (engine.py::
+    _run_workflow)."""
+
+    steps: Tuple  # of ("stmt", text) | IfStep
+
+
+@dataclass
+class Notify:
+    """IR for ``NOTIFY <target>('message')`` / ``ALERT <target>('…')``
+    (reference DSL.md:129/140) — publishes a ``notification`` event on
+    the bus; WHEN-rules or external consumers deliver it."""
+
+    target: str
+    message: str
+
+
+@dataclass
+class ArchiveVersion:
+    """IR for ``ARCHIVE previous_version [OF <model>]`` (reference
+    DSL.md:128) — mark the model's previous registry version
+    ``archived`` (it stops serving as a rollback target)."""
+
+    model: str
+    which: str = "previous_version"
+
+
+@dataclass
+class SelectFunction:
+    """IR for the reference's built-in function calls (DSL.md:213-233)
+    — PostgreSQL named-argument syntax promoted to engine calls::
+
+        SELECT evaluate_model(model_name := 'x', test_data := 't',
+                              metrics := ARRAY['accuracy', 'f1']);
+        SELECT feature_importance(model_name := 'x', method := 'shap',
+                                  sample_size := 1000);
+        SELECT compare_models(models := ARRAY['a', 'b'],
+                              test_data := 't',
+                              primary_metric := 'accuracy');
+    """
+
+    func: str
+    kwargs: Dict[str, Any]
 
 
 @dataclass

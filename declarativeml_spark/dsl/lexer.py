@@ -32,11 +32,12 @@ class Token:
 _TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+)
+  | (?P<COMMENT>--[^\n]*)
   | (?P<NUMBER>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<DSTRING>"(?:\\.|[^"\\])*")
   | (?P<SQSTRING>'(?:''|[^'])*')
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>!=|<>|<=|>=|=>|[.,()\[\]{}:=<>+\-*/%])
+  | (?P<OP>!=|<>|<=|>=|=>|[.,()\[\]{}:=<>+\-*/%;])
     """,
     re.VERBOSE,
 )
@@ -53,7 +54,9 @@ def tokenize(text: str) -> list[Token]:
                 f"Unexpected character {text[pos]!r} at position {pos}"
             )
         kind = m.lastgroup or ""
-        if kind != "WS":
+        if kind not in ("WS", "COMMENT"):
+            # SQL `--`-to-end-of-line comments skip like whitespace
+            # (ADJACENT dashes only: `a - -1` still lexes as two ops)
             tokens.append(Token(kind, m.group(), pos))
         pos = m.end()
     tokens.append(Token("EOF", "", n))

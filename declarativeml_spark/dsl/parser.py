@@ -82,6 +82,10 @@ Statement = Union[
     ir.CreateIndex,
     ir.DropIndex,
     ir.RefreshIndex,
+    ir.SelectFunction,
+    ir.CreateType,
+    ir.Notify,
+    ir.ArchiveVersion,
 ]
 
 
@@ -190,6 +194,10 @@ class _Parser:
                     key = key_tok.value
                 elif key_tok.kind == "DSTRING":
                     key = json.loads(key_tok.value)
+                elif key_tok.kind == "SQSTRING":
+                    # the reference writes config keys single-quoted
+                    # (DSL.md:61 'max_latency': '50ms')
+                    key = key_tok.value[1:-1].replace("''", "'")
                 else:
                     raise DSLSyntaxError(
                         f"Expected dict key at {key_tok.pos}, got {key_tok.value!r}"
@@ -223,8 +231,13 @@ class _Parser:
         return params
 
     # -- source clause (raw text slice) ---------------------------------
-    def capture_source_until(self, *stop_keywords: str) -> str:
-        """Consume tokens until a top-level stop keyword; return raw text."""
+    def capture_source_until(
+        self, *stop_keywords: str, stop_pairs: tuple = ()
+    ) -> str:
+        """Consume tokens until a top-level stop keyword; return raw
+        text. ``stop_pairs`` adds two-token stops (e.g. ``("WITH",
+        "FEATURES")``) — a single token of the pair inside the source
+        does not stop the capture."""
         start_tok = self.peek()
         if start_tok.kind == "EOF":
             raise DSLSyntaxError("Training data source clause cannot be empty")
@@ -235,6 +248,11 @@ class _Parser:
             if tok.kind == "EOF":
                 break
             if tok.kind == "NAME" and tok.value in stop_keywords:
+                break
+            if tok.kind == "NAME" and any(
+                tok.value == a and self.at_keyword(b, 1)
+                for a, b in stop_pairs
+            ):
                 break
             self.advance()
             end = tok.pos + len(tok.value)
@@ -254,23 +272,37 @@ class _Parser:
             params = self.parse_param_list()
             self.expect_op(")")
         self.expect_keyword("FROM")
-        source = self.capture_source_until("PREDICT", "FORECAST")
+        source = self.capture_source_until(
+            "PREDICT", "FORECAST", stop_pairs=(("WITH", "FEATURES"),)
+        )
         if not source:
             raise ValueError("Training data source clause cannot be empty")
         if self.at_keyword("FORECAST"):
             return self.parse_forecast_tail(name, algorithm, params, source)
+        features = None
+        if self.at_keyword("WITH"):
+            # the reference's final example (DSL.md:404-409) orders
+            # WITH FEATURES before PREDICT — accept both orders
+            self.advance()
+            self.expect_keyword("FEATURES")
+            self.expect_op("(")
+            features = self.parse_feature_list()
+            self.expect_op(")")
         self.expect_keyword("PREDICT")
         target = self.expect_name("target column")
-        self.expect_keyword("WITH")
-        if self.at_keyword("TIME"):
-            # verbose time-series form (reference DSL.md:297-313):
-            # PREDICT y WITH TIME COLUMN t AND FEATURES (...) FORECAST n
-            # days AHEAD WITH CONFIDENCE INTERVALS p1, p2
-            return self.parse_verbose_forecast(name, algorithm, params, source, target)
-        self.expect_keyword("FEATURES")
-        self.expect_op("(")
-        features = self.parse_feature_list()
-        self.expect_op(")")
+        if features is None:
+            self.expect_keyword("WITH")
+            if self.at_keyword("TIME"):
+                # verbose time-series form (reference DSL.md:297-313):
+                # PREDICT y WITH TIME COLUMN t AND FEATURES (...)
+                # FORECAST n days AHEAD WITH CONFIDENCE INTERVALS p1, p2
+                return self.parse_verbose_forecast(
+                    name, algorithm, params, source, target
+                )
+            self.expect_keyword("FEATURES")
+            self.expect_op("(")
+            features = self.parse_feature_list()
+            self.expect_op(")")
 
         model = ir.TrainModel(
             name=name,
@@ -288,10 +320,23 @@ class _Parser:
     def parse_feature_list(self) -> List[str]:
         exprs: list[str] = []
         while True:
+            marker = None
+            tok = self.peek()
+            if tok.kind == "NAME" and tok.value in ("DERIVED", "TRANSFORM"):
+                # the reference writes markers PREFIX-style (DSL.md:44
+                # `DERIVED feature_engineering.rfm(t.*)`); the repo's
+                # call style `DERIVED(...)` also parses. Only treat as
+                # a marker when an expression follows — `DERIVED(` is
+                # already the call form, and `DERIVED,`/`DERIVED +` is
+                # a plain column of that name.
+                if self.peek(1).kind == "NAME":
+                    marker = tok.value
+                    self.advance()
             sub = _ExprParser(self.tokens, self.i)
             node = sub.parse_expr()
             self.i = sub.i
-            exprs.append(node.render())
+            rendered = node.render()
+            exprs.append(f"{marker}({rendered})" if marker else rendered)
             if not self.accept_op(","):
                 break
         return exprs
@@ -513,6 +558,8 @@ class _Parser:
     def parse_explain(self) -> "ir.ExplainPrediction":
         self.expect_keyword("EXPLAIN")
         self.expect_keyword("PREDICTION")
+        if not (self.at_keyword("FOR") and self.at_keyword("MODEL", 1)):
+            return self.parse_explain_reference_form()
         self.expect_keyword("FOR")
         self.expect_keyword("MODEL")
         model = self.expect_name("model name")
@@ -531,6 +578,53 @@ class _Parser:
             source=source,
             top_k=top_k,
             source_is_identifier=is_identifier_source(source),
+        )
+
+    _EXPLAIN_METHODS = {"shap_values", "shap", "saabas"}
+
+    def parse_explain_reference_form(self) -> "ir.ExplainPrediction":
+        """The reference's verbatim EXPLAIN (DSL.md:341-345)::
+
+            EXPLAIN PREDICTION fraud_detector
+              FOR TRANSACTION transaction_id = 12345
+              USING shap_values
+              SHOW TOP 5 features
+
+        The entity noun after FOR (TRANSACTION/ROW/…) is descriptive;
+        the ``col = value`` selector picks the explained row(s) out of
+        the model's stored TRAIN source. shap_values and saabas both
+        resolve to the engine's exact additive explainer (closed-form
+        Shapley for linear models, Saabas for trees)."""
+        model = self.expect_name("model name")
+        self.expect_keyword("FOR")
+        self.expect_name("row entity noun (e.g. TRANSACTION)")
+        col = self.expect_name("selector column")
+        self.expect_op("=")
+        value = self.parse_value()
+        method = None
+        if self.at_keyword("USING"):
+            self.advance()
+            method = self.expect_name("explanation method")
+            if method not in self._EXPLAIN_METHODS:
+                raise ValueError(
+                    f"Unknown explanation method {method!r}; accepted:"
+                    f" {', '.join(sorted(self._EXPLAIN_METHODS))}"
+                )
+        top_k = 3
+        if self.at_keyword("SHOW"):
+            self.advance()
+            self.expect_keyword("TOP")
+            top_k = _require_positive_int(
+                self.parse_value(), "top feature count"
+            )
+            self.expect_keyword("features")
+        self.expect_eof()
+        return ir.ExplainPrediction(
+            model=model,
+            source=None,
+            top_k=top_k,
+            row_filter=(col, value),
+            method=method,
         )
 
     def parse_condition(self) -> str:
@@ -665,6 +759,8 @@ class _Parser:
             return self.parse_agent()
         if self.at_keyword("INDEX"):
             return self.parse_create_index()
+        if self.at_keyword("TYPE"):
+            return self.parse_create_type()
         if self.at_keyword("FEATURE"):
             self.advance()
             self.expect_keyword("TRANSFORMER")
@@ -691,7 +787,12 @@ class _Parser:
         if self.at_keyword("ENSEMBLE"):
             self.advance()
             name = self.expect_name("ensemble name")
-            self.expect_keyword("FROM")
+            # the reference writes `CREATE ENSEMBLE x AS COMBINE …`
+            # (DSL.md:320); FROM is the repo's original spelling
+            if self.at_keyword("AS") or self.at_keyword("FROM"):
+                self.advance()
+            else:
+                self.expect_keyword("FROM")
             self.expect_keyword("COMBINE")
             self.expect_keyword("MODELS")
             self.expect_op("(")
@@ -739,6 +840,8 @@ class _Parser:
             endpoint = None
             if self.at_keyword("TO"):
                 self.advance()
+                if self.at_keyword("ENDPOINT"):  # reference DSL.md:331
+                    self.advance()
                 endpoint = self.expect_name("endpoint name")
             split: list[float] = []
             track: list[str] = []
@@ -801,15 +904,273 @@ class _Parser:
         model = self.expect_name("model name")
         version = None
         config: dict = {}
-        if self.at_keyword("VERSION"):
-            self.advance()
-            version = _require_positive_int(self.parse_value(), "model version")
-        if self.at_keyword("WITH"):
-            self.advance()
-            self.expect_keyword("CONFIG")
-            config = self.parse_dict_literal()
-        self.expect_eof()
+        # clause loop, any order — covers both the repo's short form
+        # (VERSION n / WITH CONFIG {…}) and the reference's verbatim
+        # DSL.md:58-66 form (TO ENDPOINT e / WITH CONFIGURATION {…} /
+        # MONITOR m / VERSION CONTROL enabled)
+        while self.peek().kind != "EOF":
+            if self.at_keyword("VERSION"):
+                self.advance()
+                if self.at_keyword("CONTROL"):
+                    self.advance()
+                    config["version_control"] = self.expect_name(
+                        "version-control mode"
+                    )
+                else:
+                    version = _require_positive_int(
+                        self.parse_value(), "model version"
+                    )
+            elif self.at_keyword("TO"):
+                self.advance()
+                self.expect_keyword("ENDPOINT")
+                config["endpoint"] = self.expect_name("endpoint name")
+            elif self.at_keyword("WITH"):
+                self.advance()
+                if self.at_keyword("CONFIGURATION"):
+                    self.advance()
+                else:
+                    self.expect_keyword("CONFIG")
+                config.update(self.parse_dict_literal())
+            elif self.at_keyword("MONITOR"):
+                self.advance()
+                config["monitor"] = self.expect_name("monitor name")
+            else:
+                tok = self.peek()
+                raise DSLSyntaxError(
+                    f"Unexpected input {tok.value!r} at {tok.pos}"
+                )
         return ir.DeployModel(model=model, version=version, config=config)
+
+    # -- CREATE TYPE (reference DSL.md:177-210) --------------------------------
+    def parse_create_type(self) -> "ir.CreateType":
+        """``CREATE TYPE <name> AS (field type[, …])`` — the three
+        reference composites parse verbatim (VARCHAR(n), TEXT[],
+        JSONB, TIMESTAMP, INTEGER[], FLOAT[], BIGINT, `--` comments
+        between fields)."""
+        self.expect_keyword("TYPE")
+        name = self.expect_name("type name")
+        self.expect_keyword("AS")
+        self.expect_op("(")
+        fields: list[tuple[str, str]] = []
+        seen: set[str] = set()
+        while True:
+            fname = self.expect_name("field name")
+            if fname in seen:
+                raise ValueError(f"Type field {fname!r} declared twice")
+            seen.add(fname)
+            ftype = self.expect_name("field type").upper()
+            if self.accept_op("("):
+                # length/precision argument: VARCHAR(100) — recorded,
+                # not enforced (Spark strings are unbounded)
+                n = self.parse_value()
+                self.expect_op(")")
+                ftype = f"{ftype}({n})"
+            if self.accept_op("["):
+                self.expect_op("]")
+                ftype = f"{ftype}[]"
+            fields.append((fname, ftype))
+            if self.accept_op(")"):
+                break
+            self.expect_op(",")
+        self.expect_eof()
+        return ir.CreateType(name=name, fields=tuple(fields))
+
+    # -- BEGIN … END workflow blocks (reference DSL.md:135-143) -----------------
+    def parse_workflow_block(self) -> "ir.WorkflowBlock":
+        """``BEGIN <stmt>; [IF <cond> THEN <actions>; END IF;] … END``
+        — the reference's complex-conditional workflow body. Every
+        inner statement is parse-validated here (registration time),
+        not at fire time."""
+        self.expect_keyword("BEGIN")
+        steps: list = []
+        while True:
+            if self.peek().kind == "EOF":
+                raise DSLSyntaxError(
+                    "Unterminated BEGIN block (missing END)"
+                )
+            if self.at_keyword("END") and not self.at_keyword("IF", 1):
+                self.advance()
+                self.accept_op(";")
+                break
+            if self.at_keyword("IF"):
+                steps.append(self.parse_if_step())
+                continue
+            start = self.peek()
+            depth = 0
+            while self.peek().kind != "EOF":
+                t = self.peek()
+                if t.kind == "OP" and t.value == "(":
+                    depth += 1
+                elif t.kind == "OP" and t.value == ")":
+                    depth -= 1
+                elif depth == 0 and t.kind == "OP" and t.value == ";":
+                    break
+                self.advance()
+            end = (
+                self.peek().pos
+                if self.peek().kind != "EOF"
+                else len(self.text)
+            )
+            stmt_text = self.text[start.pos : end].strip()
+            self.accept_op(";")
+            parse(stmt_text)
+            steps.append(("stmt", stmt_text))
+        if self.peek().kind != "EOF":
+            tok = self.peek()
+            raise DSLSyntaxError(
+                f"Unexpected input after END at {tok.pos}: {tok.value!r}"
+            )
+        if not steps:
+            raise ValueError("BEGIN block has no statements")
+        return ir.WorkflowBlock(steps=tuple(steps))
+
+    def parse_if_step(self) -> "ir.IfStep":
+        """``IF <expr> <op> <expr> THEN <action chain>; END IF;`` —
+        operands evaluate over the block's result context at run time
+        (retraining_<metric>, previous_<metric>)."""
+        self.expect_keyword("IF")
+        lhs_sub = _ExprParser(self.tokens, self.i)
+        lhs = lhs_sub.parse_expr()
+        self.i = lhs_sub.i
+        tok = self.advance()
+        if tok.kind != "OP" or tok.value not in {
+            ">=", "<=", ">", "<", "!=", "=",
+        }:
+            raise DSLSyntaxError(
+                f"Expected comparison operator at {tok.pos}, got"
+                f" {tok.value!r}"
+            )
+        op = tok.value
+        rhs_sub = _ExprParser(self.tokens, self.i)
+        rhs = rhs_sub.parse_expr()
+        self.i = rhs_sub.i
+        self.expect_keyword("THEN")
+        actions: list[tuple] = []
+        while True:
+            if self.at_keyword("ROLLBACK"):
+                self.advance()
+                self.expect_keyword("TO")
+                sel = self.expect_name("version selector")
+                if sel != "previous_version":
+                    raise ValueError(
+                        f"Unknown ROLLBACK selector {sel!r}; only"
+                        " previous_version is supported"
+                    )
+                actions.append(("rollback",))
+            elif self.at_keyword("ALERT") or self.at_keyword("NOTIFY"):
+                self.advance()
+                target = self.expect_name("notification target")
+                self.expect_op("(")
+                msg_tok = self.advance()
+                if msg_tok.kind != "SQSTRING":
+                    raise DSLSyntaxError(
+                        f"Expected quoted message at {msg_tok.pos}"
+                    )
+                self.expect_op(")")
+                actions.append(
+                    ("alert", target, msg_tok.value[1:-1].replace("''", "'"))
+                )
+            else:
+                start = self.peek()
+                if start.kind == "EOF":
+                    raise DSLSyntaxError("Expected action after IF … THEN")
+                depth = 0
+                while self.peek().kind != "EOF":
+                    t = self.peek()
+                    if t.kind == "OP" and t.value == "(":
+                        depth += 1
+                    elif t.kind == "OP" and t.value == ")":
+                        depth -= 1
+                    elif depth == 0 and (
+                        (t.kind == "NAME" and t.value == "AND")
+                        or (t.kind == "OP" and t.value == ";")
+                    ):
+                        break
+                    self.advance()
+                end = (
+                    self.peek().pos
+                    if self.peek().kind != "EOF"
+                    else len(self.text)
+                )
+                text = self.text[start.pos : end].strip()
+                parse(text)
+                actions.append(("stmt", text))
+            if self.at_keyword("AND"):
+                self.advance()
+                continue
+            break
+        self.accept_op(";")
+        self.expect_keyword("END")
+        self.expect_keyword("IF")
+        self.accept_op(";")
+        return ir.IfStep(
+            lhs=lhs.render(), op=op, rhs=rhs.render(), actions=tuple(actions)
+        )
+
+    # -- NOTIFY / ALERT / ARCHIVE (reference DSL.md:128-129, 140-141) ----------
+    def parse_notify(self) -> "ir.Notify":
+        kw = self.advance().value  # NOTIFY | ALERT
+        target = self.expect_name(f"{kw} target")
+        self.expect_op("(")
+        tok = self.advance()
+        if tok.kind != "SQSTRING":
+            raise DSLSyntaxError(
+                f"Expected quoted message at {tok.pos}, got {tok.value!r}"
+            )
+        message = tok.value[1:-1].replace("''", "'")
+        self.expect_op(")")
+        self.expect_eof()
+        return ir.Notify(target=target, message=message)
+
+    def parse_archive(self) -> "ir.ArchiveVersion":
+        self.expect_keyword("ARCHIVE")
+        which = self.expect_name("version selector")
+        if which != "previous_version":
+            raise ValueError(
+                f"Unknown ARCHIVE selector {which!r}; only"
+                " previous_version is supported"
+            )
+        self.expect_keyword("OF")
+        model = self.expect_name("model name")
+        self.expect_eof()
+        return ir.ArchiveVersion(model=model, which=which)
+
+    # -- SELECT <builtin_fn>(name := value, …) --------------------------------
+    _SELECT_FUNCTIONS = {
+        "evaluate_model",
+        "feature_importance",
+        "compare_models",
+    }
+
+    def parse_select_function(self) -> "ir.SelectFunction":
+        """The reference's built-in function statements (DSL.md:213-233)
+        verbatim: PostgreSQL ``name := value`` named arguments and
+        ``ARRAY[…]`` literals."""
+        self.expect_keyword("SELECT")
+        func = self.expect_name("built-in function name")
+        if func not in self._SELECT_FUNCTIONS:
+            raise ValueError(
+                f"Unknown built-in function {func!r}; accepted:"
+                f" {', '.join(sorted(self._SELECT_FUNCTIONS))}"
+            )
+        self.expect_op("(")
+        kwargs: dict[str, Any] = {}
+        if not (self.peek().kind == "OP" and self.peek().value == ")"):
+            while True:
+                key = self.expect_name("argument name")
+                # `:=` lexes as ':' then '='
+                self.expect_op(":")
+                self.expect_op("=")
+                if self.at_keyword("ARRAY"):
+                    self.advance()
+                    kwargs[key] = self.parse_list_literal()
+                else:
+                    kwargs[key] = self.parse_value()
+                if not self.accept_op(","):
+                    break
+        self.expect_op(")")
+        self.expect_eof()
+        return ir.SelectFunction(func=func, kwargs=kwargs)
 
     # -- MONITOR MODEL --------------------------------------------------------------
     def parse_monitor(self) -> ir.MonitorModel:
@@ -820,6 +1181,8 @@ class _Parser:
     # -- WHEN ... THEN <statement> -------------------------------------------------------
     def parse_when(self) -> ir.WhenRule:
         self.expect_keyword("WHEN")
+        if self.at_keyword("MODEL"):
+            return self.parse_when_model()
         if self.at_keyword("EVENT"):
             self.advance()
             tok = self.advance()
@@ -834,6 +1197,16 @@ class _Parser:
                 predicate = self.capture_source_until("THEN")
                 if not predicate:
                     raise DSLSyntaxError("Expected predicate after WHERE")
+                # the reference's JSON accessor (DSL.md:133-134):
+                # payload->>'k' → get_json_object(payload, '$.k');
+                # Spark coerces the string result for numeric compares
+                predicate = _re.sub(
+                    r"payload\s*-\s*>\s*>\s*'([^']+)'|payload\s*->>\s*'([^']+)'",
+                    lambda m: "get_json_object(payload, '$."
+                    + (m.group(1) or m.group(2))
+                    + "')",
+                    predicate,
+                )
         else:
             # metric sugar: model_metrics.accuracy < 0.85
             parts = [self.expect_name("metric source")]
@@ -874,11 +1247,138 @@ class _Parser:
         action = self.text[tok.pos :].strip()
         while self.peek().kind != "EOF":
             self.advance()
-        # validate the action parses as a statement now, not at fire time
-        parse(action)
+        # validate the action parses NOW, not at fire time — either a
+        # single statement or a BEGIN…END workflow block (DSL.md:135-143)
+        if action.upper().startswith("BEGIN"):
+            parse_workflow_block_text(action)
+        else:
+            parse(action)
         return ir.WhenRule(
             event_pattern=pattern, payload_predicate=predicate, action=action
         )
+
+    def parse_when_model(self) -> ir.WhenRule:
+        """The reference's reactive-workflow WHEN (DSL.md:125-130)::
+
+            WHEN MODEL fraud_detector ACCURACY > 0.95
+              AND MODEL fraud_detector PRECISION > 0.90
+              THEN DEPLOY TO production_endpoint
+              AND ARCHIVE previous_version
+              AND NOTIFY security_team('New fraud model deployed')
+
+        Conditions compile to a ``model.metrics`` event predicate
+        (model name + metric comparisons over the payload); THEN's
+        AND-chain becomes a validated action SCRIPT — the subject
+        model binds into model-implicit actions (DEPLOY TO …,
+        ARCHIVE previous_version)."""
+        models: set[str] = set()
+        clauses: list[str] = []
+        while True:
+            self.expect_keyword("MODEL")
+            model = self.expect_name("model name")
+            models.add(model)
+            metric = self.expect_name("metric name").lower()
+            tok = self.advance()
+            if tok.kind != "OP" or tok.value not in {
+                ">=", "<=", ">", "<", "!=", "=",
+            }:
+                raise DSLSyntaxError(
+                    f"Expected comparison operator at {tok.pos}, got"
+                    f" {tok.value!r}"
+                )
+            value = self.parse_value()
+            if not isinstance(value, (int, float)):
+                raise ValueError(
+                    f"Metric threshold for {metric!r} must be numeric"
+                )
+            clauses.append(
+                f"CAST(get_json_object(payload, '$.{metric}') AS DOUBLE)"
+                f" {tok.value} {value}"
+            )
+            if self.at_keyword("AND") and self.at_keyword("MODEL", 1):
+                self.advance()
+                continue
+            break
+        if len(models) > 1:
+            raise ValueError(
+                "WHEN MODEL clauses must reference ONE model — a"
+                " model.metrics event carries one model's metrics"
+                f" (got: {', '.join(sorted(models))})"
+            )
+        subject = next(iter(models))
+        esc = subject.replace("'", "''")
+        predicate = " AND ".join(
+            [f"get_json_object(payload, '$.model') = '{esc}'"] + clauses
+        )
+        self.expect_keyword("THEN")
+        actions = self.parse_action_chain(subject)
+        script = "; ".join(actions)
+        parse_script(script)  # validate now, not at fire time
+        return ir.WhenRule(
+            event_pattern="model.metrics",
+            payload_predicate=predicate,
+            action=script,
+        )
+
+    def parse_action_chain(self, subject_model: str) -> list:
+        """THEN's AND-chained actions, each rewritten to a standalone
+        statement with the subject model bound in where the reference
+        leaves it implicit."""
+        actions: list[str] = []
+        while True:
+            if self.at_keyword("DEPLOY") and self.at_keyword("TO", 1):
+                self.advance()
+                self.advance()
+                if self.at_keyword("ENDPOINT"):
+                    self.advance()
+                endpoint = self.expect_name("endpoint name")
+                actions.append(
+                    f"DEPLOY MODEL {subject_model} TO ENDPOINT {endpoint}"
+                )
+            elif self.at_keyword("ARCHIVE"):
+                self.advance()
+                which = self.expect_name("version selector")
+                actions.append(f"ARCHIVE {which} OF {subject_model}")
+            elif self.at_keyword("NOTIFY") or self.at_keyword("ALERT"):
+                kw = self.advance().value
+                target = self.expect_name("notification target")
+                self.expect_op("(")
+                tok = self.advance()
+                if tok.kind != "SQSTRING":
+                    raise DSLSyntaxError(
+                        f"Expected quoted message at {tok.pos}"
+                    )
+                self.expect_op(")")
+                actions.append(f"{kw} {target}({tok.value})")
+            else:
+                # a full DSL statement, captured to the next top-level
+                # AND (or EOF)
+                start = self.peek()
+                if start.kind == "EOF":
+                    raise DSLSyntaxError("Expected action after THEN/AND")
+                depth = 0
+                while self.peek().kind != "EOF":
+                    t = self.peek()
+                    if t.kind == "OP" and t.value == "(":
+                        depth += 1
+                    elif t.kind == "OP" and t.value == ")":
+                        depth -= 1
+                    elif (
+                        depth == 0
+                        and t.kind == "NAME"
+                        and t.value == "AND"
+                    ):
+                        break
+                    self.advance()
+                end = self.peek().pos if self.peek().kind != "EOF" else len(
+                    self.text
+                )
+                actions.append(self.text[start.pos : end].strip())
+            if self.at_keyword("AND"):
+                self.advance()
+                continue
+            break
+        return actions
 
     # -- CREATE AGENT --------------------------------------------------------------------
     def parse_agent(self) -> Union[ir.Agent, ir.TunerAgent]:
@@ -1083,6 +1583,8 @@ class _Parser:
         self.expect_keyword("MONITOR")
         self.expect_keyword("MODEL")
         model = self.expect_name("model name")
+        if self.at_keyword("FOR"):
+            return self.parse_monitor_verbose(model)
         self.expect_keyword("ON")
         source = self.capture_source_until("CHECK", "EVERY", "THEN")
         if not source:
@@ -1113,6 +1615,78 @@ class _Parser:
             every_unit=every_unit,
             source_is_identifier=is_identifier_source(source),
         )
+
+    def parse_monitor_verbose(self, model: str) -> ir.MonitorModel:
+        """The reference's verbatim MONITOR (DSL.md:347-351)::
+
+            MONITOR MODEL customer_churn
+              FOR drift_detection ON features (age, tenure, monthly_spend)
+              AND performance_degradation ON accuracy, f1_score
+              CHECK FREQUENCY daily
+              ALERT WHEN drift_score > 0.3 OR accuracy < 0.85
+
+        FOR scopes record what is watched; ALERT WHEN clauses are
+        stored NEGATED as health checks (alert fires when any holds).
+        No source clause: the model's stored TRAIN source serves. The
+        ``drift_score`` metric is computed on demand (the PSI drift
+        proxy, same as ``data_drift``)."""
+        scopes: list[tuple] = []
+        self.expect_keyword("FOR")
+        while True:
+            kind = self.expect_name("monitor scope")
+            self.expect_keyword("ON")
+            if self.at_keyword("features"):
+                self.advance()
+                self.expect_op("(")
+                cols = [self.expect_name("feature column")]
+                while self.accept_op(","):
+                    cols.append(self.expect_name("feature column"))
+                self.expect_op(")")
+            else:
+                cols = [self.expect_name("metric name")]
+                while self.accept_op(","):
+                    cols.append(self.expect_name("metric name"))
+            scopes.append((kind, tuple(cols)))
+            if self.at_keyword("AND"):
+                self.advance()
+                continue
+            break
+        every = None
+        every_unit = None
+        if self.at_keyword("CHECK"):
+            self.advance()
+            self.expect_keyword("FREQUENCY")
+            every = 1
+            every_unit = self.expect_name("frequency")
+        checks: list[str] = []
+        if self.at_keyword("ALERT"):
+            self.advance()
+            self.expect_keyword("WHEN")
+            checks.append(self.parse_negated_comparison())
+            while self.at_keyword("OR"):
+                self.advance()
+                checks.append(self.parse_negated_comparison())
+        self.expect_eof()
+        return ir.MonitorModel(
+            model=model,
+            source=None,
+            checks=checks,
+            every=every,
+            every_unit=every_unit,
+            scopes=tuple(scopes),
+        )
+
+    def parse_negated_comparison(self) -> str:
+        """One ALERT WHEN clause → its NEGATED health condition."""
+        name = self.expect_name("metric name")
+        tok = self.advance()
+        neg = {">": "<=", ">=": "<", "<": ">=", "<=": ">"}
+        if tok.kind != "OP" or tok.value not in neg:
+            raise DSLSyntaxError(
+                f"Expected comparison operator at {tok.pos}, got"
+                f" {tok.value!r}"
+            )
+        return f"{name} {neg[tok.value]} {self.parse_value()}"
 
     # -- RETRAIN MODEL ------------------------------------------------------------------
     def parse_retrain(self) -> ir.RetrainModel:
@@ -2062,6 +2636,14 @@ def parse(text: str) -> Statement:
         return parser.parse_drop()
     if tok.value == "REFRESH":
         return parser.parse_refresh()
+    if tok.value == "SELECT":
+        return parser.parse_select_function()
+    if tok.value == "WITH":
+        return _parse_cte_prefixed(parser)
+    if tok.value in ("NOTIFY", "ALERT"):
+        return parser.parse_notify()
+    if tok.value == "ARCHIVE":
+        return parser.parse_archive()
     if tok.value == "TOKENIZE":
         return parser.parse_tokenize()
     raise DSLSyntaxError(
@@ -2069,8 +2651,96 @@ def parse(text: str) -> Statement:
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
         " SEARCH, SAMPLE, DECONTAMINATE, PACK, REDACT, CHUNK, SESSIONIZE,"
         " QUANTIZE, MIX, PROFILE, DETECT, SHARD, COMPACT, SHUFFLE, SCORE,"
-        " WEIGH, AUDIT, CALIBRATE, TOKENIZE, REFRESH, or DROP"
+        " WEIGH, AUDIT, CALIBRATE, TOKENIZE, REFRESH, SELECT, or DROP"
     )
+
+
+_CTE_HOST_KEYWORDS = frozenset(
+    {
+        "TRAIN", "PREDICT", "EVALUATE", "DEPLOY", "MONITOR", "RETRAIN",
+        "EXPLAIN", "DEDUPLICATE", "SEARCH", "SAMPLE", "DECONTAMINATE",
+        "PACK", "REDACT", "CHUNK", "SESSIONIZE", "QUANTIZE", "MIX",
+        "PROFILE", "DETECT", "SHARD", "COMPACT", "SHUFFLE", "SCORE",
+        "WEIGH", "AUDIT", "CALIBRATE", "TOKENIZE",
+    }
+)
+
+
+def parse_workflow_block_text(text: str) -> "ir.WorkflowBlock":
+    """Parse a standalone ``BEGIN … END`` block (a WHEN rule's THEN
+    body) — used at registration/validation time and again by the
+    engine's workflow runner."""
+    return _Parser(text).parse_workflow_block()
+
+
+def _strip_sql_comments(text: str) -> str:
+    """Remove ``--``-to-end-of-line comments (quote-aware: a ``--``
+    inside a string literal survives). The CTE prefix embeds into the
+    statement's source fragment, whose injection guard rejects raw
+    comments — the lexer already skipped them, so stripping here keeps
+    the raw slice and the token stream consistent."""
+    out: list[str] = []
+    quote: str | None = None
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+        elif ch in ("'", '"'):
+            quote = ch
+            out.append(ch)
+            i += 1
+        elif ch == "-" and text[i : i + 2] == "--":
+            while i < n and text[i] != "\n":
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _parse_cte_prefixed(parser: "_Parser") -> Statement:
+    """``WITH ctes AS (…) <DSL statement>`` (reference DSL.md:396-417:
+    'The DSL seamlessly integrates with existing SQL' — standard-SQL
+    CTEs prepare the data, the DSL statement consumes it). The CTE
+    text becomes part of the statement's SOURCE: the resolved source
+    is ``(WITH … SELECT * FROM <original source>) __cte_src``, so
+    Catalyst plans data prep and the ML statement as ONE query —
+    predicate pushdown and column pruning cross the boundary."""
+    depth = 0
+    split_tok = None
+    for j in range(parser.i, len(parser.tokens)):
+        tok = parser.tokens[j]
+        if tok.kind == "OP" and tok.value == "(":
+            depth += 1
+        elif tok.kind == "OP" and tok.value == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and tok.kind == "NAME"
+            and tok.value in _CTE_HOST_KEYWORDS
+        ):
+            split_tok = tok
+            break
+    if split_tok is None:
+        raise DSLSyntaxError(
+            "Expected a DSL statement after the WITH clause (e.g."
+            " WITH features AS (SELECT …) TRAIN MODEL …)"
+        )
+    cte_text = _strip_sql_comments(parser.text[: split_tok.pos]).strip()
+    stmt = parse(parser.text[split_tok.pos :])
+    source = getattr(stmt, "source", None)
+    if not isinstance(source, str) or not source:
+        raise DSLSyntaxError(
+            f"A WITH prefix cannot feed a"
+            f" {type(stmt).__name__} statement (it reads no source)"
+        )
+    stmt.source = f"({cte_text} SELECT * FROM {source}) __cte_src"
+    stmt.source_is_identifier = False
+    return stmt
 
 
 def split_statements(text: str) -> list[str]:
@@ -2088,6 +2758,26 @@ def split_statements(text: str) -> list[str]:
     buf: list[str] = []
     quote: str | None = None
     escaped = False
+    depth = 0  # BEGIN…END nesting: a ';' inside a block doesn't split
+    word: list[str] = []
+    prev_word = ""
+
+    def flush_word() -> None:
+        nonlocal depth, prev_word
+        w = "".join(word)
+        word.clear()
+        if not w:
+            return
+        if w == "BEGIN":
+            depth += 1
+        elif w == "END":
+            depth = max(0, depth - 1)
+        elif w == "IF" and prev_word != "END":
+            # IF opens a block terminated by END IF; the END already
+            # decremented, so the IF of an `END IF` must not re-open
+            depth += 1
+        prev_word = w
+
     for ch in text:
         if quote:
             buf.append(ch)
@@ -2102,15 +2792,23 @@ def split_statements(text: str) -> list[str]:
             elif ch == quote:
                 quote = None
         elif ch in ("'", '"'):
+            flush_word()
             quote = ch
             buf.append(ch)
-        elif ch == ";":
+        elif ch == ";" and depth == 0:
+            flush_word()
             stmt = "".join(buf).strip()
             if stmt:
                 parts.append(stmt)
             buf = []
+            prev_word = ""
         else:
+            if ch.isalnum() or ch == "_":
+                word.append(ch)
+            else:
+                flush_word()
             buf.append(ch)
+    flush_word()
     stmt = "".join(buf).strip()
     if stmt:
         parts.append(stmt)

@@ -33,7 +33,9 @@ _FORBIDDEN_SOURCE_TOKENS_RE = re.compile(
 )
 
 _SUBQUERY_RE = re.compile(
-    r"\(\s*SELECT\b[\s\S]+\)\s*(?:AS\s+)?[A-Za-z_][A-Za-z0-9_]*\s*",
+    # WITH-led bodies support CTE-prefixed DSL statements
+    # (reference DSL.md:398-417: standard-SQL data prep feeding TRAIN)
+    r"\(\s*(?:SELECT|WITH)\b[\s\S]+\)\s*(?:AS\s+)?[A-Za-z_][A-Za-z0-9_]*\s*",
     re.IGNORECASE,
 )
 

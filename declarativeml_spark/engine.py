@@ -33,6 +33,8 @@ class Engine:
         self.tokenizers: dict[str, DataFrame] = {}
         # tokenizer name → its STORED AS merge table (durable form)
         self.tokenizer_tables: dict[str, str] = {}
+        # named composite types (CREATE TYPE) → Spark StructType
+        self.types: dict[str, Any] = {}
         # persisted similarity indexes by name (CREATE INDEX) — each a
         # dict of {method, source, params, frames, owned, tables}; the
         # owned frames outlive statement scopes until DROP INDEX
@@ -197,6 +199,19 @@ class Engine:
             return self._drop_index(stmt)
         if isinstance(stmt, ir.RefreshIndex):
             return self._refresh_index(stmt)
+        if isinstance(stmt, ir.SelectFunction):
+            return self._select_function(stmt)
+        if isinstance(stmt, ir.CreateType):
+            return self._create_type(stmt)
+        if isinstance(stmt, ir.Notify):
+            self.bus.publish(
+                "notification",
+                {"recipient": stmt.target, "message": stmt.message},
+            )
+            self.bus.dispatch_batch()  # deliver to WHEN-rules in-session
+            return {"notified": stmt.target, "message": stmt.message}
+        if isinstance(stmt, ir.ArchiveVersion):
+            return self._archive_version(stmt)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
 
     def _search_from_index(
@@ -1280,7 +1295,31 @@ class Engine:
         meta = self._model_meta(stmt.model)
         if meta is None:
             raise ValueError(f"No registered model named {stmt.model!r}")
-        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        if stmt.source is None:
+            # the reference form names no source: explain rows selected
+            # out of the model's own stored TRAIN source
+            if not meta.get("statement"):
+                raise ValueError(
+                    f"Model {stmt.model!r} has no stored TRAIN statement"
+                    " — name a source explicitly (EXPLAIN PREDICTION FOR"
+                    " MODEL … FROM <source>)"
+                )
+            train_stmt = parse(meta["statement"])
+            df = resolve_source(
+                self.spark, train_stmt.source, train_stmt.source_is_identifier
+            )
+        else:
+            df = resolve_source(
+                self.spark, stmt.source, stmt.source_is_identifier
+            )
+        if stmt.row_filter is not None:
+            col, value = stmt.row_filter
+            if col not in df.columns:
+                raise ValueError(
+                    f"EXPLAIN selector column {col!r} is not in the"
+                    f" source (columns: {', '.join(df.columns)})"
+                )
+            df = df.filter(F.col(col) == F.lit(value))
         df = build_features(df, meta["features"]).df
         return explain_predictions(
             self.spark,
@@ -1291,15 +1330,311 @@ class Engine:
             base=self.model_dir,
         )
 
-    # -- WHEN ... THEN <statement> ------------------------------------------
+    # -- CREATE TYPE (reference DSL.md:177-210) -------------------------------
+    _PG_TO_SPARK = {
+        "TEXT": "string",
+        "VARCHAR": "string",
+        "CHAR": "string",
+        "JSONB": "string",  # JSON text; Spark's JSON fns take strings
+        "JSON": "string",
+        "INTEGER": "int",
+        "INT": "int",
+        "SMALLINT": "short",
+        "BIGINT": "long",
+        "FLOAT": "double",
+        "REAL": "float",
+        "DOUBLE": "double",
+        "NUMERIC": "decimal(38,12)",
+        "BOOLEAN": "boolean",
+        "TIMESTAMP": "timestamp",
+        "DATE": "date",
+    }
+
+    def _create_type(self, stmt: "ir.CreateType") -> DataFrame:
+        """Register a named composite: PG types resolve to a Spark
+        StructType kept on the engine (``types[name]``); the result
+        DataFrame describes the mapping (one row per field)."""
+        from pyspark.sql import types as T
+
+        rows = []
+        struct_fields = []
+        for fname, ftype in stmt.fields:
+            base = ftype
+            is_array = base.endswith("[]")
+            if is_array:
+                base = base[:-2]
+            base = base.split("(")[0]  # VARCHAR(100) → VARCHAR
+            spark_type = self._PG_TO_SPARK.get(base)
+            if spark_type is None:
+                raise ValueError(
+                    f"Unsupported type {ftype!r} for field {fname!r};"
+                    f" supported: {', '.join(sorted(self._PG_TO_SPARK))}"
+                    " (plus [] array suffixes)"
+                )
+            if is_array:
+                spark_type = f"array<{spark_type}>"
+            struct_fields.append(
+                T.StructField(
+                    fname, T._parse_datatype_string(spark_type), True
+                )
+            )
+            rows.append((stmt.name, fname, ftype, spark_type))
+        self.types[stmt.name] = T.StructType(struct_fields)
+        return self.spark.createDataFrame(
+            rows,
+            "type_name string, field string, declared string,"
+            " spark_type string",
+        )
+
+    # -- SELECT <builtin_fn>(…) (reference DSL.md:213-233) -------------------
+    def _select_function(self, stmt: "ir.SelectFunction"):
+        """Route the reference's built-in function statements to the
+        evaluation library: evaluate_model → the EVALUATE path;
+        feature_importance → native importances (method recorded —
+        'shap' resolves to the same exact attribution family EXPLAIN
+        uses; sample_size is accepted and unused, importances are
+        closed-form not sampled); compare_models → ranked metric table
+        with each model evaluated on its OWN feature expressions."""
+        from declarativeml_spark.ml import evaluate as E
+        from declarativeml_spark.plans.builder import build_features
+
+        kw = dict(stmt.kwargs)
+
+        def need(key: str):
+            if key not in kw:
+                raise ValueError(
+                    f"{stmt.func} requires argument {key!r}"
+                )
+            return kw.pop(key)
+
+        if stmt.func == "evaluate_model":
+            model = need("model_name")
+            source = need("test_data")
+            metrics = kw.pop("metrics", []) or []
+            self._reject_extra_args(stmt.func, kw)
+            return self._evaluate(
+                ir.EvaluateModel(
+                    model=model, source=source, metrics=list(metrics)
+                )
+            )
+        if stmt.func == "feature_importance":
+            model = need("model_name")
+            method = kw.pop("method", None)
+            kw.pop("sample_size", None)  # accepted per the reference
+            self._reject_extra_args(stmt.func, kw)
+            if method not in (None, "shap", "native", "impurity"):
+                raise ValueError(
+                    f"Unknown feature_importance method {method!r};"
+                    " accepted: shap, native, impurity"
+                )
+            meta = self._model_meta(model)
+            if meta is None:
+                raise ValueError(f"No registered model named {model!r}")
+            return E.feature_importance(
+                self.spark, model, meta["features"], base=self.model_dir
+            )
+        # compare_models
+        models = need("models")
+        source = need("test_data")
+        primary = need("primary_metric")
+        self._reject_extra_args(stmt.func, kw)
+        if not isinstance(models, (list, tuple)) or not models:
+            raise ValueError(
+                "compare_models needs models := ARRAY['m1', 'm2', …]"
+            )
+        df = resolve_source(self.spark, source, True)
+        specs = []
+        frames = {}
+        for m in models:
+            meta = self._model_meta(m)
+            if meta is None:
+                raise ValueError(f"No registered model named {m!r}")
+            specs.append(
+                {
+                    "name": m,
+                    "algorithm": meta["algorithm"],
+                    "target": meta["target"],
+                }
+            )
+            frames[m] = build_features(df, meta["features"]).df
+        return E.compare_models(
+            self.spark, specs, frames, primary, base=self.model_dir
+        )
+
+    @staticmethod
+    def _reject_extra_args(func: str, kw: dict) -> None:
+        if kw:
+            raise ValueError(
+                f"{func} does not accept argument(s):"
+                f" {', '.join(sorted(kw))}"
+            )
+
+    # -- ARCHIVE previous_version OF <model> ----------------------------------
+    def _archive_version(self, stmt: "ir.ArchiveVersion") -> dict:
+        """Mark the model's previous registry version ``archived``
+        (bookkeeping status — the current version keeps serving, and a
+        pinned load of the archived version still works)."""
+        from declarativeml_spark.ml.models import mark_version_status
+
+        meta = self._model_meta(stmt.model)
+        if meta is None:
+            raise ValueError(f"No registered model named {stmt.model!r}")
+        prev = int(meta["version"]) - 1
+        if prev < 1:
+            return {"model": stmt.model, "archived": None,
+                    "note": "no previous version"}
+        mark_version_status(stmt.model, prev, "archived", self.model_dir)
+        return {"model": stmt.model, "archived": prev}
+
+    # -- WHEN ... THEN <statement(s)> -----------------------------------------
     def _register_rule(self, stmt: ir.WhenRule):
         """Attach a reactive rule to the event bus: when a matching
-        event arrives, the action statement executes (DSL.md:123-144)."""
+        event arrives, the action executes (DSL.md:123-144). The
+        action may be a SCRIPT (the reference's AND-chained THEN
+        actions join with ';'), executed statement by statement."""
+        from declarativeml_spark.dsl.parser import (
+            parse_workflow_block_text,
+            split_statements,
+        )
 
         def fire(matched_df: DataFrame) -> None:
-            self.execute(stmt.action)
+            txt = stmt.action.strip()
+            if txt.upper().startswith("BEGIN"):
+                self._run_workflow(parse_workflow_block_text(txt))
+            else:
+                for s in split_statements(txt):
+                    self.execute(s)
 
         return self.bus.when(stmt.event_pattern, stmt.payload_predicate or "TRUE", fire)
+
+    # -- BEGIN … END workflow execution (reference DSL.md:135-143) -------------
+    def _run_workflow(self, block: "ir.WorkflowBlock") -> dict:
+        """Execute a workflow block with a RESULT CONTEXT: after a
+        (RE)TRAIN step, ``retraining_<metric>`` holds the fresh fit's
+        metrics and ``previous_<metric>`` the prior registry version's
+        — the variables the reference's IF guard reads
+        (``IF retraining_accuracy < previous_accuracy * 0.95``).
+        Model-implicit IF actions (ROLLBACK) bind to the block's
+        latest trained model."""
+        from declarativeml_spark.ml.models import (
+            mark_version_status,
+            registry_meta,
+        )
+
+        context: dict[str, float] = {}
+        subject: Optional[str] = None
+        log: dict[str, Any] = {"steps": [], "conditions": []}
+        for step in block.steps:
+            if isinstance(step, ir.IfStep):
+                fired = self._eval_workflow_cond(step, context)
+                log["conditions"].append(
+                    {
+                        "condition": f"{step.lhs} {step.op} {step.rhs}",
+                        "fired": fired,
+                    }
+                )
+                if not fired:
+                    continue
+                for act in step.actions:
+                    if act[0] == "rollback":
+                        if subject is None:
+                            raise ValueError(
+                                "ROLLBACK TO previous_version needs a"
+                                " prior (RE)TRAIN step in the block to"
+                                " bind the model"
+                            )
+                        meta = self._model_meta(subject)
+                        mark_version_status(
+                            subject,
+                            int(meta["version"]),
+                            "rolled_back",
+                            self.model_dir,
+                        )
+                        log["steps"].append(f"rollback {subject}")
+                    elif act[0] == "alert":
+                        self.bus.publish(
+                            "notification",
+                            {"recipient": act[1], "message": act[2]},
+                        )
+                        log["steps"].append(f"alert {act[1]}")
+                    else:  # ("stmt", text)
+                        self.execute(act[1])
+                        log["steps"].append(act[1].splitlines()[0][:60])
+                continue
+            _, text = step
+            result = self.execute(text)
+            log["steps"].append(text.splitlines()[0][:60])
+            if isinstance(result, TrainedModel):
+                subject = result.name
+                for k, v in result.metrics.items():
+                    if isinstance(v, (int, float)):
+                        context[f"retraining_{k}"] = float(v)
+                if result.version > 1:
+                    prev = registry_meta(
+                        result.name,
+                        version=result.version - 1,
+                        base=self.model_dir,
+                    )
+                    for k, v in (
+                        prev.get("performance_metrics") or {}
+                    ).items():
+                        if isinstance(v, (int, float)):
+                            context[f"previous_{k}"] = float(v)
+        if self._bus is not None and self._bus._published:
+            self._bus.dispatch_batch()
+        return log
+
+    def _eval_workflow_cond(self, step: "ir.IfStep", context: dict) -> bool:
+        import operator as _op
+
+        from declarativeml_spark.dsl.features import parse_feature_expr
+
+        ops = {
+            ">": _op.gt, ">=": _op.ge, "<": _op.lt,
+            "<=": _op.le, "!=": _op.ne, "=": _op.eq,
+        }
+        lhs = self._eval_workflow_expr(parse_feature_expr(step.lhs), context)
+        rhs = self._eval_workflow_expr(parse_feature_expr(step.rhs), context)
+        return bool(ops[step.op](lhs, rhs))
+
+    def _eval_workflow_expr(self, node, context: dict) -> float:
+        from declarativeml_spark.dsl import features as FT
+
+        if isinstance(node, FT.NumberLit):
+            return float(node.value)
+        if isinstance(node, FT.Identifier):
+            key = ".".join(node.parts)
+            if key not in context:
+                avail = ", ".join(sorted(context)) or (
+                    "none — did a (RE)TRAIN step run first?"
+                )
+                raise ValueError(
+                    f"Unknown workflow variable {key!r}; available:"
+                    f" {avail}"
+                )
+            return float(context[key])
+        if isinstance(node, FT.Group):
+            return self._eval_workflow_expr(node.inner, context)
+        if isinstance(node, FT.Neg):
+            return -self._eval_workflow_expr(node.operand, context)
+        if isinstance(node, FT.BinOp):
+            left = self._eval_workflow_expr(node.left, context)
+            right = self._eval_workflow_expr(node.right, context)
+            if node.op == "+":
+                return left + right
+            if node.op == "-":
+                return left - right
+            if node.op == "*":
+                return left * right
+            if right == 0:
+                raise ValueError(
+                    "Division by zero in workflow IF condition"
+                )
+            return left / right
+        raise ValueError(
+            f"Unsupported expression in workflow IF:"
+            f" {type(node).__name__}"
+        )
 
     # -- CREATE AGENT ---------------------------------------------------------
     def _register_agent(self, stmt: ir.Agent) -> ir.Agent:

@@ -239,18 +239,19 @@ def monitor_model(
         if not (spec.kind == "classification" and ttype == "string"):
             df = df.withColumn(label_col, F.col(target).cast("double"))
     metrics = _compute_metrics(pipeline, df, spec, label_col)
-    if any("data_drift" in c for c in checks):
+    if any(("data_drift" in c) or ("drift_score" in c) for c in checks):
         # computed only when a check asks (reference DSL.md:155
-        # `data_drift EXCEEDS 0.2`) — two bounded aggregations
+        # `data_drift EXCEEDS 0.2`; DSL.md:351 `drift_score > 0.3` —
+        # two spellings, one metric) — two bounded aggregations
         if spec.kind == "clustering":
             raise ValueError(
                 "data_drift checks need a supervised model (the drift"
                 " proxy compares predicted vs actual label"
                 " distributions)"
             )
-        metrics["data_drift"] = _prediction_drift_psi(
-            pipeline, df, spec, label_col
-        )
+        psi = _prediction_drift_psi(pipeline, df, spec, label_col)
+        metrics["data_drift"] = psi
+        metrics["drift_score"] = psi
     results: dict[str, Any] = {"metrics": metrics, "checks": {}}
     for check in checks:
         ok = StopCondition(text=check).evaluate(metrics)

@@ -83,7 +83,9 @@ def compare_models(
         m = evaluate_model(
             spark,
             spec["name"],
-            test_df,
+            # models may carry different FEATURE expressions: a dict
+            # supplies each model its own feature-built frame
+            test_df[spec["name"]] if isinstance(test_df, dict) else test_df,
             algorithm=spec["algorithm"],
             target=spec["target"],
             base=base,
