@@ -231,6 +231,62 @@ class _Parser:
         return params
 
     # -- source clause (raw text slice) ---------------------------------
+    _COMPARISON_OPS = frozenset({">=", "<=", ">", "<", "!=", "="})
+
+    def expect_comparison_op(self) -> str:
+        tok = self.advance()
+        if tok.kind != "OP" or tok.value not in self._COMPARISON_OPS:
+            raise DSLSyntaxError(
+                f"Expected comparison operator at {tok.pos}, got"
+                f" {tok.value!r}"
+            )
+        return tok.value
+
+    def parse_quoted_message(self) -> str:
+        """``('single-quoted message')`` — NOTIFY/ALERT argument."""
+        self.expect_op("(")
+        tok = self.advance()
+        if tok.kind != "SQSTRING":
+            raise DSLSyntaxError(
+                f"Expected quoted message at {tok.pos}, got {tok.value!r}"
+            )
+        self.expect_op(")")
+        return tok.value[1:-1].replace("''", "'")
+
+    def expect_keyword_ci(self, word: str) -> None:
+        """Case-insensitive keyword (clauses the reference docs spell
+        lowercase, e.g. ``SHOW TOP 5 features``)."""
+        tok = self.advance()
+        if tok.kind != "NAME" or tok.value.upper() != word.upper():
+            raise DSLSyntaxError(
+                f"Expected keyword {word}, got {tok.value!r} at {tok.pos}"
+            )
+
+    def capture_statement_until_delimiter(
+        self, stop_names: frozenset = frozenset()
+    ) -> str:
+        """Raw text slice to the next TOP-LEVEL ';' or stop keyword
+        (paren-aware) — the shared scanner for workflow-block steps and
+        THEN action chains."""
+        start = self.peek()
+        if start.kind == "EOF":
+            raise DSLSyntaxError("Expected a statement")
+        depth = 0
+        while self.peek().kind != "EOF":
+            t = self.peek()
+            if t.kind == "OP" and t.value == "(":
+                depth += 1
+            elif t.kind == "OP" and t.value == ")":
+                depth -= 1
+            elif depth == 0 and (
+                (t.kind == "OP" and t.value == ";")
+                or (t.kind == "NAME" and t.value in stop_names)
+            ):
+                break
+            self.advance()
+        end = self.peek().pos if self.peek().kind != "EOF" else len(self.text)
+        return self.text[start.pos : end].strip()
+
     def capture_source_until(
         self, *stop_keywords: str, stop_pairs: tuple = ()
     ) -> str:
@@ -617,7 +673,7 @@ class _Parser:
             top_k = _require_positive_int(
                 self.parse_value(), "top feature count"
             )
-            self.expect_keyword("features")
+            self.expect_keyword_ci("features")
         self.expect_eof()
         return ir.ExplainPrediction(
             model=model,
@@ -995,23 +1051,7 @@ class _Parser:
             if self.at_keyword("IF"):
                 steps.append(self.parse_if_step())
                 continue
-            start = self.peek()
-            depth = 0
-            while self.peek().kind != "EOF":
-                t = self.peek()
-                if t.kind == "OP" and t.value == "(":
-                    depth += 1
-                elif t.kind == "OP" and t.value == ")":
-                    depth -= 1
-                elif depth == 0 and t.kind == "OP" and t.value == ";":
-                    break
-                self.advance()
-            end = (
-                self.peek().pos
-                if self.peek().kind != "EOF"
-                else len(self.text)
-            )
-            stmt_text = self.text[start.pos : end].strip()
+            stmt_text = self.capture_statement_until_delimiter()
             self.accept_op(";")
             parse(stmt_text)
             steps.append(("stmt", stmt_text))
@@ -1032,15 +1072,7 @@ class _Parser:
         lhs_sub = _ExprParser(self.tokens, self.i)
         lhs = lhs_sub.parse_expr()
         self.i = lhs_sub.i
-        tok = self.advance()
-        if tok.kind != "OP" or tok.value not in {
-            ">=", "<=", ">", "<", "!=", "=",
-        }:
-            raise DSLSyntaxError(
-                f"Expected comparison operator at {tok.pos}, got"
-                f" {tok.value!r}"
-            )
-        op = tok.value
+        op = self.expect_comparison_op()
         rhs_sub = _ExprParser(self.tokens, self.i)
         rhs = rhs_sub.parse_expr()
         self.i = rhs_sub.i
@@ -1060,39 +1092,11 @@ class _Parser:
             elif self.at_keyword("ALERT") or self.at_keyword("NOTIFY"):
                 self.advance()
                 target = self.expect_name("notification target")
-                self.expect_op("(")
-                msg_tok = self.advance()
-                if msg_tok.kind != "SQSTRING":
-                    raise DSLSyntaxError(
-                        f"Expected quoted message at {msg_tok.pos}"
-                    )
-                self.expect_op(")")
-                actions.append(
-                    ("alert", target, msg_tok.value[1:-1].replace("''", "'"))
-                )
+                actions.append(("alert", target, self.parse_quoted_message()))
             else:
-                start = self.peek()
-                if start.kind == "EOF":
-                    raise DSLSyntaxError("Expected action after IF … THEN")
-                depth = 0
-                while self.peek().kind != "EOF":
-                    t = self.peek()
-                    if t.kind == "OP" and t.value == "(":
-                        depth += 1
-                    elif t.kind == "OP" and t.value == ")":
-                        depth -= 1
-                    elif depth == 0 and (
-                        (t.kind == "NAME" and t.value == "AND")
-                        or (t.kind == "OP" and t.value == ";")
-                    ):
-                        break
-                    self.advance()
-                end = (
-                    self.peek().pos
-                    if self.peek().kind != "EOF"
-                    else len(self.text)
+                text = self.capture_statement_until_delimiter(
+                    stop_names=frozenset({"AND"})
                 )
-                text = self.text[start.pos : end].strip()
                 parse(text)
                 actions.append(("stmt", text))
             if self.at_keyword("AND"):
@@ -1111,14 +1115,7 @@ class _Parser:
     def parse_notify(self) -> "ir.Notify":
         kw = self.advance().value  # NOTIFY | ALERT
         target = self.expect_name(f"{kw} target")
-        self.expect_op("(")
-        tok = self.advance()
-        if tok.kind != "SQSTRING":
-            raise DSLSyntaxError(
-                f"Expected quoted message at {tok.pos}, got {tok.value!r}"
-            )
-        message = tok.value[1:-1].replace("''", "'")
-        self.expect_op(")")
+        message = self.parse_quoted_message()
         self.expect_eof()
         return ir.Notify(target=target, message=message)
 
@@ -1199,12 +1196,12 @@ class _Parser:
                     raise DSLSyntaxError("Expected predicate after WHERE")
                 # the reference's JSON accessor (DSL.md:133-134):
                 # payload->>'k' → get_json_object(payload, '$.k');
-                # Spark coerces the string result for numeric compares
+                # Spark coerces the string result for numeric compares.
+                # \b-anchored: a column merely ENDING in 'payload'
+                # (event_payload) must not be rewritten mid-identifier
                 predicate = _re.sub(
-                    r"payload\s*-\s*>\s*>\s*'([^']+)'|payload\s*->>\s*'([^']+)'",
-                    lambda m: "get_json_object(payload, '$."
-                    + (m.group(1) or m.group(2))
-                    + "')",
+                    r"\bpayload\s*-\s*>\s*>\s*'([^']+)'",
+                    lambda m: f"get_json_object(payload, '$.{m.group(1)}')",
                     predicate,
                 )
         else:
@@ -1278,14 +1275,7 @@ class _Parser:
             model = self.expect_name("model name")
             models.add(model)
             metric = self.expect_name("metric name").lower()
-            tok = self.advance()
-            if tok.kind != "OP" or tok.value not in {
-                ">=", "<=", ">", "<", "!=", "=",
-            }:
-                raise DSLSyntaxError(
-                    f"Expected comparison operator at {tok.pos}, got"
-                    f" {tok.value!r}"
-                )
+            op = self.expect_comparison_op()
             value = self.parse_value()
             if not isinstance(value, (int, float)):
                 raise ValueError(
@@ -1293,7 +1283,7 @@ class _Parser:
                 )
             clauses.append(
                 f"CAST(get_json_object(payload, '$.{metric}') AS DOUBLE)"
-                f" {tok.value} {value}"
+                f" {op} {value}"
             )
             if self.at_keyword("AND") and self.at_keyword("MODEL", 1):
                 self.advance()
@@ -1312,6 +1302,7 @@ class _Parser:
         )
         self.expect_keyword("THEN")
         actions = self.parse_action_chain(subject)
+        self.expect_eof()  # a dropped AND must not silently eat actions
         script = "; ".join(actions)
         parse_script(script)  # validate now, not at fire time
         return ir.WhenRule(
@@ -1342,38 +1333,16 @@ class _Parser:
             elif self.at_keyword("NOTIFY") or self.at_keyword("ALERT"):
                 kw = self.advance().value
                 target = self.expect_name("notification target")
-                self.expect_op("(")
-                tok = self.advance()
-                if tok.kind != "SQSTRING":
-                    raise DSLSyntaxError(
-                        f"Expected quoted message at {tok.pos}"
-                    )
-                self.expect_op(")")
-                actions.append(f"{kw} {target}({tok.value})")
+                msg = self.parse_quoted_message().replace("'", "''")
+                actions.append(f"{kw} {target}('{msg}')")
             else:
                 # a full DSL statement, captured to the next top-level
                 # AND (or EOF)
-                start = self.peek()
-                if start.kind == "EOF":
-                    raise DSLSyntaxError("Expected action after THEN/AND")
-                depth = 0
-                while self.peek().kind != "EOF":
-                    t = self.peek()
-                    if t.kind == "OP" and t.value == "(":
-                        depth += 1
-                    elif t.kind == "OP" and t.value == ")":
-                        depth -= 1
-                    elif (
-                        depth == 0
-                        and t.kind == "NAME"
-                        and t.value == "AND"
-                    ):
-                        break
-                    self.advance()
-                end = self.peek().pos if self.peek().kind != "EOF" else len(
-                    self.text
+                actions.append(
+                    self.capture_statement_until_delimiter(
+                        stop_names=frozenset({"AND"})
+                    )
                 )
-                actions.append(self.text[start.pos : end].strip())
             if self.at_keyword("AND"):
                 self.advance()
                 continue
@@ -1635,7 +1604,7 @@ class _Parser:
         while True:
             kind = self.expect_name("monitor scope")
             self.expect_keyword("ON")
-            if self.at_keyword("features"):
+            if self.at_keyword("features") or self.at_keyword("FEATURES"):
                 self.advance()
                 self.expect_op("(")
                 cols = [self.expect_name("feature column")]
@@ -1679,14 +1648,13 @@ class _Parser:
     def parse_negated_comparison(self) -> str:
         """One ALERT WHEN clause → its NEGATED health condition."""
         name = self.expect_name("metric name")
-        tok = self.advance()
+        op = self.expect_comparison_op()
         neg = {">": "<=", ">=": "<", "<": ">=", "<=": ">"}
-        if tok.kind != "OP" or tok.value not in neg:
+        if op not in neg:
             raise DSLSyntaxError(
-                f"Expected comparison operator at {tok.pos}, got"
-                f" {tok.value!r}"
+                f"ALERT WHEN needs an ordering comparison, got {op!r}"
             )
-        return f"{name} {neg[tok.value]} {self.parse_value()}"
+        return f"{name} {neg[op]} {self.parse_value()}"
 
     # -- RETRAIN MODEL ------------------------------------------------------------------
     def parse_retrain(self) -> ir.RetrainModel:
@@ -2755,32 +2723,31 @@ def split_statements(text: str) -> list[str]:
     top-level semicolon is unambiguous.
     """
     parts: list[str] = []
-    buf: list[str] = []
     quote: str | None = None
     escaped = False
-    depth = 0  # BEGIN…END nesting: a ';' inside a block doesn't split
-    word: list[str] = []
+    begin_depth = 0  # BEGIN…END nesting: a ';' inside doesn't split
+    paren_depth = 0
     prev_word = ""
+    start = 0
+    n = len(text)
+    i = 0
 
-    def flush_word() -> None:
-        nonlocal depth, prev_word
-        w = "".join(word)
-        word.clear()
-        if not w:
-            return
-        if w == "BEGIN":
-            depth += 1
-        elif w == "END":
-            depth = max(0, depth - 1)
-        elif w == "IF" and prev_word != "END":
-            # IF opens a block terminated by END IF; the END already
-            # decremented, so the IF of an `END IF` must not re-open
-            depth += 1
-        prev_word = w
+    def next_nonspace(j: int) -> str:
+        while j < n and text[j].isspace():
+            j += 1
+        return text[j] if j < n else ""
 
-    for ch in text:
+    def next_word(j: int) -> str:
+        while j < n and text[j].isspace():
+            j += 1
+        k = j
+        while k < n and (text[k].isalnum() or text[k] == "_"):
+            k += 1
+        return text[j:k]
+
+    while i < n:
+        ch = text[i]
         if quote:
-            buf.append(ch)
             if escaped:
                 escaped = False
             elif quote == '"' and ch == "\\":
@@ -2791,25 +2758,63 @@ def split_statements(text: str) -> list[str]:
                 escaped = True
             elif ch == quote:
                 quote = None
+            i += 1
         elif ch in ("'", '"'):
-            flush_word()
             quote = ch
-            buf.append(ch)
-        elif ch == ";" and depth == 0:
-            flush_word()
-            stmt = "".join(buf).strip()
+            prev_word = ""
+            i += 1
+        elif ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (text[j].isalnum() or text[j] == "_"):
+                j += 1
+            word = text[i:j]
+            # Block tracking is PAREN-AWARE: a CASE…END or IF(…) inside
+            # a parenthesized subquery/expression never touches the
+            # depth. At the top level: BEGIN opens; a workflow IF opens
+            # (only inside a block, never the IF of an `END IF`, never
+            # Spark's IF(cond, a, b) function call); END closes — but
+            # only in statement-final position (followed by ';', 'IF',
+            # or end of text), so a top-level `CASE … END = 1` filter
+            # can't close a surrounding block.
+            if paren_depth == 0:
+                if word == "BEGIN":
+                    begin_depth += 1
+                elif word == "END":
+                    # statement-final END only: followed by ';', end of
+                    # text, or the IF of an `END IF` — a `CASE … END = 1`
+                    # or `… END AS x` is an expression's END
+                    nxt_c = next_nonspace(j)
+                    if nxt_c in (";", "") or next_word(j) == "IF":
+                        begin_depth = max(0, begin_depth - 1)
+                elif (
+                    word == "IF"
+                    and begin_depth >= 1
+                    and prev_word != "END"
+                    and next_nonspace(j) != "("
+                ):
+                    begin_depth += 1
+            prev_word = word
+            i = j
+        elif ch == "(":
+            paren_depth += 1
+            prev_word = ""
+            i += 1
+        elif ch == ")":
+            paren_depth = max(0, paren_depth - 1)
+            prev_word = ""
+            i += 1
+        elif ch == ";" and begin_depth == 0:
+            stmt = text[start:i].strip()
             if stmt:
                 parts.append(stmt)
-            buf = []
+            start = i + 1
             prev_word = ""
+            i += 1
         else:
-            if ch.isalnum() or ch == "_":
-                word.append(ch)
-            else:
-                flush_word()
-            buf.append(ch)
-    flush_word()
-    stmt = "".join(buf).strip()
+            if not ch.isspace():
+                prev_word = ""
+            i += 1
+    stmt = text[start:].strip()
     if stmt:
         parts.append(stmt)
     return parts

@@ -1411,6 +1411,10 @@ class Engine:
             model = need("model_name")
             source = need("test_data")
             metrics = kw.pop("metrics", []) or []
+            if isinstance(metrics, str):
+                # a scalar 'accuracy' iterated char-wise would filter
+                # every metric out and silently return {}
+                metrics = [metrics]
             self._reject_extra_args(stmt.func, kw)
             return self._evaluate(
                 ir.EvaluateModel(

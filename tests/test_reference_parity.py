@@ -259,10 +259,15 @@ def test_deploy_reference_form(engine):
       }
       MONITOR drift_detection
       VERSION CONTROL enabled""")
-    cfg = rec["config"] if "config" in rec else rec.get("deploy_config", rec)
-    s = str(rec)
-    for needle in ("real_time_scoring", "50ms", "drift_detection", "enabled"):
-        assert needle in s, (needle, rec)
+    cfg = rec["deployment_config"]
+    # every clause must land under ITS key, not merely appear somewhere
+    assert cfg["endpoint"] == "real_time_scoring"
+    assert cfg["max_latency"] == "50ms"
+    assert cfg["throughput"] == "1000 rps"
+    assert cfg["scaling"] == "auto"
+    assert cfg["monitor"] == "drift_detection"
+    assert cfg["version_control"] == "enabled"
+    assert rec["status"] == "deployed"
 
 
 def test_cte_prefixed_train_end_to_end(engine, spark):
@@ -280,3 +285,66 @@ def test_cte_prefixed_train_end_to_end(engine, spark):
     assert trained.metrics["accuracy"] > 0.5
     # Catalyst plans CTE + train frame as one query (no temp views)
     assert "big_orders" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_split_statements_sql_keywords_do_not_confuse_blocks():
+    """Spark's IF() function and CASE…END inside parens (or a
+    top-level CASE filter) must not open/close BEGIN blocks; blocks
+    keep their inner ';' (review r6 regression repros)."""
+    # IF() call in a subquery source: two statements, split cleanly
+    parts = split_statements(
+        "TRAIN MODEL m USING linear_regression FROM"
+        " (SELECT IF(a > 1, 1, 0) AS y, b FROM t) s"
+        " PREDICT y WITH FEATURES(b);"
+        " EVALUATE MODEL m ON t2"
+    )
+    assert len(parts) == 2 and parts[1] == "EVALUATE MODEL m ON t2"
+    # CASE…END inside a block's parenthesized source must not close it
+    parts = split_statements(
+        "WHEN EVENT 'x' THEN BEGIN"
+        " PROFILE (SELECT CASE WHEN a > 1 THEN 1 ELSE 0 END AS y"
+        " FROM t) s;"
+        " NOTIFY t2('done');"
+        " END; MONITOR MODEL m ON t"
+    )
+    assert len(parts) == 2
+    assert parts[0].startswith("WHEN EVENT") and "NOTIFY" in parts[0]
+    assert parts[1].startswith("MONITOR")
+    # a TOP-LEVEL CASE…END filter inside a block (END not
+    # statement-final) doesn't close the block either
+    parts = split_statements(
+        "WHEN EVENT 'x' THEN BEGIN"
+        " EVALUATE MODEL m ON t WHERE CASE WHEN a THEN 1 ELSE 0 END = 1;"
+        " END"
+    )
+    assert len(parts) == 1
+
+
+def test_when_model_trailing_garbage_rejected():
+    """A dropped AND between actions must error, not silently discard
+    the remaining actions."""
+    with pytest.raises(Exception, match="Unexpected|Expected"):
+        parse(
+            "WHEN MODEL m ACCURACY > 0.9 THEN DEPLOY TO prod"
+            " ARCHIVE previous_version"
+        )
+
+
+def test_payload_accessor_anchored():
+    """Only the bare ``payload`` column rewrites — a column merely
+    ENDING in 'payload' must stay untouched."""
+    w = parse(
+        "WHEN EVENT 'x' WHERE event_payload = 'v'"
+        " AND payload->>'k' = 'v' THEN NOTIFY t('m')"
+    )
+    assert "event_payload = 'v'" in w.payload_predicate
+    assert "get_json_object(payload, '$.k')" in w.payload_predicate
+    assert "event_get_json_object" not in w.payload_predicate
+
+
+def test_select_scalar_metrics_coerced(engine):
+    m = engine.execute(
+        "SELECT evaluate_model(model_name := 'rp_clf',"
+        " test_data := 'orders_rp', metrics := 'accuracy')"
+    )
+    assert set(m) == {"accuracy"}  # not a char-wise filter to {}
