@@ -251,9 +251,70 @@ class RegisterAgent:
 
     name: str
     capabilities: List[str] = field(default_factory=list)
-    subscribe_to: Optional[str] = None
-    priority: Optional[int] = None
+    # one pattern (repo short form) or the reference's bracket list
+    subscribe_to: Optional[Any] = None
+    publish_to: List[str] = field(default_factory=list)
+    # integer rank (repo short form) or the reference's 'high'/'low'
+    priority: Optional[Any] = None
     resource_limits: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class ScheduleRetraining:
+    """IR for ``SCHEDULE retraining IN n unit FOR <model>`` — the
+    reference README's post-deploy clause (README.md:57). Advisory
+    registry metadata: records when the model is due; RETRAIN
+    executes it."""
+
+    model: str
+    n: int
+    unit: str
+
+
+@dataclass
+class TrendAgent:
+    """IR for the reference README's trend-watching agent
+    (README.md:60-63)::
+
+        CREATE AGENT overfitting_monitor
+          CHECK MODEL fraud_detector EVERY 10 epochs
+          WHEN validation_loss INCREASES FOR 3 consecutive_checks
+          THEN stop_training AND rollback_to_best_checkpoint
+
+    ``run_agents_once`` appends the watched metric to the agent's
+    history each tick and fires after ``k`` consecutive moves in the
+    watched direction; fired action NAMES call a registered procedure
+    of that name if one exists, else publish an ``agent.action``
+    event."""
+
+    name: str
+    model: str
+    metric: str
+    direction: str  # "increases" | "decreases"
+    k: int
+    every: int
+    every_unit: str
+    actions: Tuple[str, ...]
+
+
+@dataclass
+class SetConfig:
+    """IR for ``SET <dotted.key> = <value>`` (reference
+    EXTENSIONS.md:371-374) — runtime configuration, mapped onto the
+    Spark session conf (arbitrary dotted keys are legal there)."""
+
+    key: str
+    value: Any
+
+
+@dataclass
+class CallProcedure:
+    """IR for ``CALL <name>()`` — invoke a host-registered procedure
+    (``Engine.register_procedure``); the compile target for the
+    reference's ``SUBSCRIBE TO '…' EXECUTE PROCEDURE <name>()``
+    (AGENTS.md:49-51)."""
+
+    name: str
 
 
 @dataclass

@@ -86,6 +86,10 @@ Statement = Union[
     ir.CreateType,
     ir.Notify,
     ir.ArchiveVersion,
+    ir.CallProcedure,
+    ir.ScheduleRetraining,
+    ir.TrendAgent,
+    ir.SetConfig,
 ]
 
 
@@ -1115,9 +1119,79 @@ class _Parser:
     def parse_notify(self) -> "ir.Notify":
         kw = self.advance().value  # NOTIFY | ALERT
         target = self.expect_name(f"{kw} target")
-        message = self.parse_quoted_message()
+        message = ""
+        if self.peek().kind == "OP" and self.peek().value == "(":
+            message = self.parse_quoted_message()
         self.expect_eof()
         return ir.Notify(target=target, message=message)
+
+    def parse_schedule(self) -> "ir.ScheduleRetraining":
+        self.expect_keyword("SCHEDULE")
+        what = self.expect_name("schedule subject")
+        if what != "retraining":
+            raise ValueError(
+                f"Unknown SCHEDULE subject {what!r}; only retraining"
+                " is supported"
+            )
+        self.expect_keyword("IN")
+        n = _require_positive_int(self.parse_value(), "schedule interval")
+        unit = self.expect_name("time unit")
+        self.expect_keyword("FOR")
+        model = self.expect_name("model name")
+        self.expect_eof()
+        return ir.ScheduleRetraining(model=model, n=n, unit=unit)
+
+    def parse_dotted_call_name(self) -> str:
+        """``name`` or ``agent.method`` — the handler addressing the
+        reference's coordination examples use (AGENTS.md:153-161)."""
+        parts = [self.expect_name("procedure name")]
+        while self.accept_op("."):
+            parts.append(self.expect_name("procedure name part"))
+        self.expect_op("(")
+        self.expect_op(")")
+        return ".".join(parts)
+
+    def parse_call(self) -> "ir.CallProcedure":
+        # CALL and the reference's bare EXECUTE spell the same thing
+        self.advance()  # CALL | EXECUTE
+        name = self.parse_dotted_call_name()
+        self.expect_eof()
+        return ir.CallProcedure(name=name)
+
+    def parse_on_event(self) -> ir.WhenRule:
+        """``ON EVENT '<pattern>' EXECUTE <agent.method>();`` —
+        the reference's agent-coordination chains (AGENTS.md:153-161);
+        an alias of SUBSCRIBE TO … EXECUTE PROCEDURE."""
+        self.expect_keyword("ON")
+        self.expect_keyword("EVENT")
+        tok = self.advance()
+        if tok.kind != "SQSTRING":
+            raise DSLSyntaxError(
+                f"Expected quoted event pattern at {tok.pos}, got"
+                f" {tok.value!r}"
+            )
+        pattern = tok.value[1:-1].replace("''", "'")
+        self.expect_keyword("EXECUTE")
+        name = self.parse_dotted_call_name()
+        self.expect_eof()
+        return ir.WhenRule(
+            event_pattern=pattern,
+            payload_predicate=None,
+            action=f"CALL {name}()",
+        )
+
+    def parse_set(self) -> "ir.SetConfig":
+        """``SET declarative.max_tensor_size = '1GB'`` — the
+        reference's extension configuration (EXTENSIONS.md:371-374),
+        mapped onto the Spark session conf."""
+        self.expect_keyword("SET")
+        parts = [self.expect_name("config key")]
+        while self.accept_op("."):
+            parts.append(self.expect_name("config key part"))
+        self.expect_op("=")
+        value = self.parse_value()
+        self.expect_eof()
+        return ir.SetConfig(key=".".join(parts), value=value)
 
     def parse_archive(self) -> "ir.ArchiveVersion":
         self.expect_keyword("ARCHIVE")
@@ -1270,10 +1344,18 @@ class _Parser:
         ARCHIVE previous_version)."""
         models: set[str] = set()
         clauses: list[str] = []
+        converged = False
         while True:
             self.expect_keyword("MODEL")
             model = self.expect_name("model name")
             models.add(model)
+            if self.at_keyword("CONVERGED"):
+                # README.md:54: WHEN MODEL m CONVERGED <actions> — an
+                # event-pattern condition, no metric comparison; THEN
+                # is optional and actions may chain without AND
+                self.advance()
+                converged = True
+                break
             metric = self.expect_name("metric name").lower()
             op = self.expect_comparison_op()
             value = self.parse_value()
@@ -1300,6 +1382,18 @@ class _Parser:
         predicate = " AND ".join(
             [f"get_json_object(payload, '$.model') = '{esc}'"] + clauses
         )
+        if converged:
+            if self.at_keyword("THEN"):
+                self.advance()
+            actions = self.parse_action_chain(subject)
+            self.expect_eof()
+            script = "; ".join(actions)
+            parse_script(script)
+            return ir.WhenRule(
+                event_pattern="model.converged",
+                payload_predicate=predicate,
+                action=script,
+            )
         self.expect_keyword("THEN")
         actions = self.parse_action_chain(subject)
         self.expect_eof()  # a dropped AND must not silently eat actions
@@ -1333,8 +1427,28 @@ class _Parser:
             elif self.at_keyword("NOTIFY") or self.at_keyword("ALERT"):
                 kw = self.advance().value
                 target = self.expect_name("notification target")
-                msg = self.parse_quoted_message().replace("'", "''")
+                if self.peek().kind == "OP" and self.peek().value == "(":
+                    msg = self.parse_quoted_message().replace("'", "''")
+                else:  # README.md:56 writes a bare NOTIFY ops_team
+                    msg = ""
                 actions.append(f"{kw} {target}('{msg}')")
+            elif self.at_keyword("SCHEDULE"):
+                # README.md:57: SCHEDULE retraining IN 30 days
+                self.advance()
+                what = self.expect_name("schedule subject")
+                if what != "retraining":
+                    raise ValueError(
+                        f"Unknown SCHEDULE subject {what!r}; only"
+                        " retraining is supported"
+                    )
+                self.expect_keyword("IN")
+                n = _require_positive_int(
+                    self.parse_value(), "schedule interval"
+                )
+                unit = self.expect_name("time unit")
+                actions.append(
+                    f"SCHEDULE retraining IN {n} {unit} FOR {subject_model}"
+                )
             else:
                 # a full DSL statement, captured to the next top-level
                 # AND (or EOF)
@@ -1346,6 +1460,10 @@ class _Parser:
             if self.at_keyword("AND"):
                 self.advance()
                 continue
+            if self.peek().kind == "NAME" and self.peek().value in (
+                "DEPLOY", "ARCHIVE", "NOTIFY", "ALERT", "SCHEDULE",
+            ):
+                continue  # README.md:55-57 chains actions without AND
             break
         return actions
 
@@ -1362,6 +1480,8 @@ class _Parser:
             if self.at_keyword("OPTIMIZE"):
                 return self.parse_tuner_agent(name, model)
             return self.parse_monitor_agent(name, model)
+        if self.at_keyword("CHECK"):
+            return self.parse_trend_agent(name)
         monitor = self.parse_monitor_body()
         action = None
         if self.at_keyword("THEN"):
@@ -1547,6 +1667,59 @@ class _Parser:
             self.expect_op(",")
         return tuple(out)
 
+    def parse_trend_agent(self, name: str) -> "ir.TrendAgent":
+        """The reference README's trend agent (README.md:60-63)::
+
+            CREATE AGENT overfitting_monitor
+              CHECK MODEL fraud_detector EVERY 10 epochs
+              WHEN validation_loss INCREASES FOR 3 consecutive_checks
+              THEN stop_training AND rollback_to_best_checkpoint
+
+        Fires after k consecutive moves of the watched metric in the
+        stated direction across ``run_agents_once`` ticks; action
+        NAMES resolve to registered procedures, else publish
+        ``agent.action`` events."""
+        self.expect_keyword("CHECK")
+        self.expect_keyword("MODEL")
+        model = self.expect_name("model name")
+        self.expect_keyword("EVERY")
+        every = _require_positive_int(self.parse_value(), "check interval")
+        every_unit = self.expect_name("interval unit")
+        self.expect_keyword("WHEN")
+        metric = self.expect_name("metric name").lower()
+        if self.at_keyword("INCREASES"):
+            direction = "increases"
+        elif self.at_keyword("DECREASES"):
+            direction = "decreases"
+        else:
+            tok = self.peek()
+            raise DSLSyntaxError(
+                f"Expected INCREASES or DECREASES at {tok.pos}, got"
+                f" {tok.value!r}"
+            )
+        self.advance()
+        self.expect_keyword("FOR")
+        k = _require_positive_int(
+            self.parse_value(), "consecutive-check count"
+        )
+        self.expect_name("consecutive-checks unit")  # consecutive_checks
+        self.expect_keyword("THEN")
+        actions = [self.expect_name("action name")]
+        while self.at_keyword("AND"):
+            self.advance()
+            actions.append(self.expect_name("action name"))
+        self.expect_eof()
+        return ir.TrendAgent(
+            name=name,
+            model=model,
+            metric=metric,
+            direction=direction,
+            k=k,
+            every=every,
+            every_unit=every_unit,
+            actions=tuple(actions),
+        )
+
     def parse_monitor_body(self) -> ir.MonitorModel:
         """Shared MONITOR MODEL ... tail (used by MONITOR and CREATE AGENT)."""
         self.expect_keyword("MONITOR")
@@ -1694,8 +1867,29 @@ class _Parser:
             )
         pattern = tok.value[1:-1].replace("''", "'")
         self.expect_keyword("EXECUTE")
-        if self.at_keyword("PROCEDURE"):
+        if (
+            self.at_keyword("PROCEDURE")
+            and self.peek(1).kind == "NAME"
+            and self.peek(2).kind == "OP"
+            and self.peek(2).value == "("
+        ):
+            # the reference's handler form (AGENTS.md:49-51):
+            # EXECUTE PROCEDURE handle_model_ready() — compiles to a
+            # CALL of a host-registered procedure. (PROCEDURE followed
+            # by a full statement is the repo's original noise-word
+            # form and falls through below.)
             self.advance()
+            proc = self.expect_name("procedure name")
+            self.expect_op("(")
+            self.expect_op(")")
+            self.expect_eof()
+            return ir.WhenRule(
+                event_pattern=pattern,
+                payload_predicate=None,
+                action=f"CALL {proc}()",
+            )
+        if self.at_keyword("PROCEDURE"):
+            self.advance()  # noise word before a statement action
         tok = self.peek()
         if tok.kind == "EOF":
             raise DSLSyntaxError("Expected action statement after EXECUTE")
@@ -1734,30 +1928,63 @@ class _Parser:
         self.expect_keyword("AGENT")
         name = self.expect_name("agent name")
         capabilities: list[str] = []
-        subscribe_to = None
-        priority = None
+        subscribe_to: Any = None
+        publish_to: list[str] = []
+        priority: Any = None
         limits: dict = {}
+
+        def string_list() -> list:
+            # the reference writes bracketed quoted lists
+            # (AGENTS.md:191-194: ['training_monitoring', …])
+            vals = self.parse_list_literal()
+            bad = [v for v in vals if not isinstance(v, str)]
+            if bad:
+                raise ValueError(
+                    f"Expected quoted strings in the list, got {bad!r}"
+                )
+            return vals
+
         while self.peek().kind != "EOF":
             if self.at_keyword("WITH"):
                 self.advance()
                 self.expect_keyword("CAPABILITIES")
-                self.expect_op("(")
-                capabilities.append(self.expect_name("capability"))
-                while self.accept_op(","):
+                if self.peek().kind == "OP" and self.peek().value == "[":
+                    capabilities.extend(string_list())
+                else:  # repo short form: CAPABILITIES (name, name)
+                    self.expect_op("(")
                     capabilities.append(self.expect_name("capability"))
-                self.expect_op(")")
+                    while self.accept_op(","):
+                        capabilities.append(self.expect_name("capability"))
+                    self.expect_op(")")
             elif self.at_keyword("SUBSCRIBE"):
                 self.advance()
                 self.expect_keyword("TO")
-                tok = self.advance()
-                if tok.kind != "SQSTRING":
-                    raise DSLSyntaxError(
-                        f"Expected quoted pattern at {tok.pos}, got {tok.value!r}"
-                    )
-                subscribe_to = tok.value[1:-1].replace("''", "'")
+                if self.peek().kind == "OP" and self.peek().value == "[":
+                    subscribe_to = string_list()
+                else:
+                    tok = self.advance()
+                    if tok.kind != "SQSTRING":
+                        raise DSLSyntaxError(
+                            f"Expected quoted pattern at {tok.pos},"
+                            f" got {tok.value!r}"
+                        )
+                    subscribe_to = tok.value[1:-1].replace("''", "'")
+            elif self.at_keyword("PUBLISH"):
+                self.advance()
+                self.expect_keyword("TO")
+                publish_to = string_list()
             elif self.at_keyword("PRIORITY"):
                 self.advance()
-                priority = _require_positive_int(self.parse_value(), "agent priority")
+                v = self.parse_value()
+                if isinstance(v, str):  # reference: PRIORITY 'high'
+                    if v not in ("low", "normal", "high", "critical"):
+                        raise ValueError(
+                            f"Unknown priority {v!r}; accepted: low,"
+                            " normal, high, critical (or an integer)"
+                        )
+                    priority = v
+                else:
+                    priority = _require_positive_int(v, "agent priority")
             elif self.at_keyword("RESOURCE_LIMITS"):
                 self.advance()
                 limits = self.parse_dict_literal()
@@ -1768,6 +1995,7 @@ class _Parser:
             name=name,
             capabilities=capabilities,
             subscribe_to=subscribe_to,
+            publish_to=publish_to,
             priority=priority,
             resource_limits=limits,
         )
@@ -2612,6 +2840,14 @@ def parse(text: str) -> Statement:
         return parser.parse_notify()
     if tok.value == "ARCHIVE":
         return parser.parse_archive()
+    if tok.value in ("CALL", "EXECUTE"):
+        return parser.parse_call()
+    if tok.value == "ON":
+        return parser.parse_on_event()
+    if tok.value == "SET":
+        return parser.parse_set()
+    if tok.value == "SCHEDULE":
+        return parser.parse_schedule()
     if tok.value == "TOKENIZE":
         return parser.parse_tokenize()
     raise DSLSyntaxError(

@@ -35,6 +35,13 @@ class Engine:
         self.tokenizer_tables: dict[str, str] = {}
         # named composite types (CREATE TYPE) → Spark StructType
         self.types: dict[str, Any] = {}
+        # host-registered procedures for CALL / SUBSCRIBE … EXECUTE
+        # PROCEDURE (AGENTS.md:49-51): name → callable(engine)
+        self.procedures: dict[str, Any] = {}
+        # trend-agent metric histories (README.md:60-63 agents)
+        self._trend_history: dict[str, list] = {}
+        # advisory retraining schedules (SCHEDULE retraining IN n unit)
+        self.retrain_schedules: dict[str, dict] = {}
         # persisted similarity indexes by name (CREATE INDEX) — each a
         # dict of {method, source, params, frames, owned, tables}; the
         # owned frames outlive statement scopes until DROP INDEX
@@ -133,6 +140,10 @@ class Engine:
             return self._register_agent(stmt)
         if isinstance(stmt, ir.TunerAgent):
             return self._register_tuner(stmt)
+        if isinstance(stmt, ir.TrendAgent):
+            return self._register_trend_agent(stmt)
+        if isinstance(stmt, ir.ScheduleRetraining):
+            return self._schedule_retraining(stmt)
         if isinstance(stmt, ir.ForecastModel):
             from declarativeml_spark.ml.forecast import train_forecast
 
@@ -212,6 +223,19 @@ class Engine:
             return {"notified": stmt.target, "message": stmt.message}
         if isinstance(stmt, ir.ArchiveVersion):
             return self._archive_version(stmt)
+        if isinstance(stmt, ir.SetConfig):
+            # the reference's extension configuration → session conf
+            self.spark.conf.set(stmt.key, str(stmt.value))
+            return {"set": stmt.key, "value": stmt.value}
+        if isinstance(stmt, ir.CallProcedure):
+            fn = self.procedures.get(stmt.name)
+            if fn is None:
+                raise ValueError(
+                    f"Unknown procedure {stmt.name!r}; register one with"
+                    " Engine.register_procedure(name, fn) — registered:"
+                    f" {', '.join(sorted(self.procedures)) or 'none'}"
+                )
+            return fn(self)
         raise ValueError(f"Unsupported statement: {type(stmt).__name__}")
 
     def _search_from_index(
@@ -1275,15 +1299,23 @@ class Engine:
             "version": 1,
             "capabilities": stmt.capabilities,
             "subscribe_to": stmt.subscribe_to,
+            "publish_to": stmt.publish_to,
             "priority": stmt.priority,
             "resource_limits": stmt.resource_limits,
             "status": "registered",
         }
         _append_record(self.model_dir, record)
-        if stmt.subscribe_to:
+        patterns = (
+            stmt.subscribe_to
+            if isinstance(stmt.subscribe_to, list)
+            else [stmt.subscribe_to]
+            if stmt.subscribe_to
+            else []
+        )
+        for pat in patterns:
             # matched events are recorded for the agent's queue
             self.bus.subscribe(
-                stmt.subscribe_to, lambda df: None, name=f"agent:{stmt.name}"
+                pat, lambda df: None, name=f"agent:{stmt.name}"
             )
         return record
 
@@ -1735,11 +1767,84 @@ class Engine:
             f" {metric} double, best boolean",
         )
 
+    def _schedule_retraining(self, stmt: "ir.ScheduleRetraining") -> dict:
+        """Record when the model is due for retraining (advisory
+        registry metadata — README.md:57's post-deploy clause; RETRAIN
+        executes it when due)."""
+        if self._model_meta(stmt.model) is None:
+            raise ValueError(f"No registered model named {stmt.model!r}")
+        rec = {"model": stmt.model, "in_n": stmt.n, "unit": stmt.unit}
+        self.retrain_schedules[stmt.model] = rec
+        return {"scheduled": "retraining", **rec}
+
+    # -- trend agents (reference README.md:60-63) -------------------------------
+    def _register_trend_agent(self, stmt: "ir.TrendAgent") -> "ir.TrendAgent":
+        if self._model_meta(stmt.model) is None:
+            raise ValueError(f"No registered model named {stmt.model!r}")
+        self.agents[stmt.name] = stmt
+        self._trend_history.pop(stmt.name, None)  # re-registration resets
+        return stmt
+
+    def _run_trend_agent(self, name: str, agent: "ir.TrendAgent") -> dict:
+        """One tick: evaluate the watched metric on the model's stored
+        TRAIN source, append to the agent's history, fire after k
+        consecutive moves in the watched direction. Fired action names
+        call registered procedures, else publish ``agent.action``."""
+        res = self._monitor(
+            ir.MonitorModel(model=agent.model, source=None, checks=[]),
+            bus=self.bus,
+        )
+        value = res["metrics"].get(agent.metric)
+        if value is None:
+            raise ValueError(
+                f"Metric {agent.metric!r} is not computed for"
+                f" {agent.model!r}; available:"
+                f" {', '.join(sorted(res['metrics']))}"
+            )
+        hist = self._trend_history.setdefault(name, [])
+        hist.append(float(value))
+        del hist[: -(agent.k + 1)]  # a window of k moves needs k+1 points
+        moves = list(zip(hist, hist[1:]))
+        if agent.direction == "increases":
+            fired = len(hist) == agent.k + 1 and all(b > a for a, b in moves)
+        else:
+            fired = len(hist) == agent.k + 1 and all(b < a for a, b in moves)
+        if fired:
+            for act in agent.actions:
+                fn = self.procedures.get(act)
+                if fn is not None:
+                    fn(self)
+                else:
+                    self.bus.publish(
+                        "agent.action",
+                        {"agent": name, "action": act, "model": agent.model},
+                    )
+            hist.clear()  # re-arm: a fresh streak is needed to re-fire
+        return {
+            "healthy": not fired,
+            "fired": fired,
+            "metric": agent.metric,
+            agent.metric: float(value),
+            "history_len": len(hist),
+        }
+
+    def register_procedure(self, name: str, fn) -> None:
+        """Register a host callable for ``CALL <name>()`` and
+        ``SUBSCRIBE TO '…' EXECUTE PROCEDURE <name>()`` — the
+        extension point for event handlers the DSL can't express
+        (AGENTS.md:49-51). The callable receives this engine."""
+        if not callable(fn):
+            raise TypeError(f"procedure {name!r} must be callable")
+        self.procedures[name] = fn
+
     def run_agents_once(self) -> dict[str, dict]:
         """Run every registered agent's monitor; execute THEN actions
         for unhealthy models, publish alerts to the bus."""
         results: dict[str, dict] = {}
         for name, agent in self.agents.items():
+            if isinstance(agent, ir.TrendAgent):
+                results[name] = self._run_trend_agent(name, agent)
+                continue
             res = self._monitor(agent.monitor, bus=self.bus)
             results[name] = res
             if not res["healthy"]:

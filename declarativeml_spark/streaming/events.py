@@ -88,8 +88,15 @@ class EventBus:
         payload_predicate: Optional[str] = None,
         name: str = "",
     ) -> Subscription:
-        """SUBSCRIBE TO 'pattern' EXECUTE <handler>."""
-        sub = Subscription(pattern, handler, payload_predicate, name)
+        """SUBSCRIBE TO 'pattern' EXECUTE <handler>.
+
+        Patterns match with SQL LIKE; the reference writes glob-style
+        wildcards (AGENTS.md:50 ``'model.convergence.*'``), so ``*``
+        translates to ``%`` — an event TYPE never legitimately
+        contains a literal asterisk."""
+        sub = Subscription(
+            pattern.replace("*", "%"), handler, payload_predicate, name
+        )
         self.subscriptions.append(sub)
         return sub
 

@@ -320,13 +320,19 @@ def test_split_statements_sql_keywords_do_not_confuse_blocks():
     assert len(parts) == 1
 
 
-def test_when_model_trailing_garbage_rejected():
-    """A dropped AND between actions must error, not silently discard
-    the remaining actions."""
-    with pytest.raises(Exception, match="Unexpected|Expected"):
+def test_when_model_actions_never_silently_dropped():
+    """Known action keywords chain without AND (the README style) —
+    and anything else trailing the chain errors instead of being
+    silently discarded."""
+    w = parse(
+        "WHEN MODEL m ACCURACY > 0.9 THEN DEPLOY TO prod"
+        " ARCHIVE previous_version"
+    )
+    assert "ARCHIVE previous_version OF m" in w.action  # chained, not lost
+    with pytest.raises(Exception, match="Unexpected|Expected|Unknown"):
         parse(
             "WHEN MODEL m ACCURACY > 0.9 THEN DEPLOY TO prod"
-            " ARCHIVE previous_version"
+            " utterly_not_an_action ???"
         )
 
 
@@ -348,3 +354,194 @@ def test_select_scalar_metrics_coerced(engine):
         " test_data := 'orders_rp', metrics := 'accuracy')"
     )
     assert set(m) == {"accuracy"}  # not a char-wise filter to {}
+
+
+def test_agents_md_register_and_subscribe_verbatim(engine):
+    """AGENTS.md:41-51 + 189-196 byte for byte: PUBLISH with quoted
+    payload keys, SUBSCRIBE … EXECUTE PROCEDURE (registered handler),
+    REGISTER AGENT with bracket lists, PUBLISH TO, 'high' priority."""
+    calls = []
+    engine.register_procedure(
+        "handle_model_ready", lambda eng: calls.append(1)
+    )
+    engine.execute("""SUBSCRIBE TO 'model.convergence.*'
+  EXECUTE PROCEDURE handle_model_ready()""")
+    engine.execute("""PUBLISH EVENT 'model.convergence.detected'
+  WITH PAYLOAD {
+    'model_name': 'fraud_detector',
+    'final_accuracy': 0.94,
+    'training_epochs': 87,
+    'convergence_reason': 'validation_plateau'
+  }""")
+    assert calls == [1]
+    with pytest.raises(ValueError, match="Unknown procedure"):
+        engine.execute("CALL never_registered()")
+    rec = engine.execute("""REGISTER AGENT overfitting_monitor
+  WITH CAPABILITIES ['training_monitoring', 'early_stopping']
+  SUBSCRIBE TO ['training.epoch_complete', 'model.training_started']
+  PUBLISH TO ['training.early_stop', 'training.checkpoint_created']
+  PRIORITY 'high'
+  RESOURCE_LIMITS {'max_memory': '1GB', 'max_cpu': '2 cores'}""")
+    assert rec["capabilities"] == ["training_monitoring", "early_stopping"]
+    assert rec["subscribe_to"] == [
+        "training.epoch_complete", "model.training_started"
+    ]
+    assert rec["publish_to"] == [
+        "training.early_stop", "training.checkpoint_created"
+    ]
+    assert rec["priority"] == "high"
+    assert rec["resource_limits"]["max_memory"] == "1GB"
+
+
+def test_readme_converged_rule_verbatim(engine):
+    """README.md:54-57 byte for byte: CONVERGED condition, AND-less
+    action chain, bare NOTIFY, SCHEDULE retraining."""
+    from declarativeml_spark.dsl.parser import parse_script
+
+    w = parse_script("""WHEN MODEL fraud_detector CONVERGED
+  DEPLOY TO real_time_scoring
+  NOTIFY ops_team
+  SCHEDULE retraining IN 30 days;""")[0]
+    assert w.event_pattern == "model.converged"
+    assert "fraud_detector" in w.payload_predicate
+    assert "DEPLOY MODEL fraud_detector TO ENDPOINT real_time_scoring" in w.action
+    assert "NOTIFY ops_team('')" in w.action
+    assert "SCHEDULE retraining IN 30 days FOR fraud_detector" in w.action
+    # end to end on a real model
+    engine.execute(
+        "WHEN MODEL rp_clf CONVERGED DEPLOY TO conv_ep"
+        " NOTIFY conv_team SCHEDULE retraining IN 30 days"
+    )
+    engine.bus.publish("model.converged", {"model": "rp_clf"})
+    engine.bus.dispatch_batch()
+    assert engine.retrain_schedules["rp_clf"] == {
+        "model": "rp_clf", "in_n": 30, "unit": "days"
+    }
+
+
+def test_readme_trend_agent_verbatim(engine):
+    """README.md:60-63 byte for byte: the trend agent parses; firing
+    needs k consecutive moves of the metric in the stated direction
+    (static metrics never fire; a seeded decreasing streak does)."""
+    a = parse("""CREATE AGENT overfitting_monitor
+  CHECK MODEL fraud_detector EVERY 10 epochs
+  WHEN validation_loss INCREASES FOR 3 consecutive_checks
+  THEN stop_training AND rollback_to_best_checkpoint""")
+    assert isinstance(a, ir.TrendAgent)
+    assert (a.metric, a.direction, a.k) == ("validation_loss", "increases", 3)
+    assert a.actions == ("stop_training", "rollback_to_best_checkpoint")
+    # live agent on a real metric: accuracy is deterministic per tick,
+    # so an INCREASES watch never fires
+    engine.execute(
+        "CREATE AGENT acc_watch CHECK MODEL rp_clf EVERY 1 ticks"
+        " WHEN accuracy INCREASES FOR 2 consecutive_checks"
+        " THEN stop_training"
+    )
+    r1 = engine.run_agents_once()["acc_watch"]
+    r2 = engine.run_agents_once()["acc_watch"]
+    assert not r1["fired"] and not r2["fired"]
+    # DECREASES agent with a seeded falling streak fires and routes
+    # the action to a registered procedure
+    fired = []
+    engine.register_procedure("stop_training", lambda eng: fired.append(1))
+    engine.execute(
+        "CREATE AGENT acc_fall CHECK MODEL rp_clf EVERY 1 ticks"
+        " WHEN accuracy DECREASES FOR 2 consecutive_checks"
+        " THEN stop_training AND escalate"
+    )
+    engine._trend_history["acc_fall"] = [1.5, 1.4]  # > any real accuracy
+    events = []
+    engine.bus.when(
+        "agent.action",
+        "get_json_object(payload, '$.action') = 'escalate'",
+        lambda df: events.append(1),
+    )
+    res = engine.run_agents_once()["acc_fall"]
+    assert res["fired"] and fired == [1] and events == [1]
+    # the streak re-arms after firing
+    assert engine._trend_history["acc_fall"] == []
+    del engine.agents["acc_watch"]
+    del engine.agents["acc_fall"]
+    # unknown metric errors with the available list
+    engine.execute(
+        "CREATE AGENT bad_watch CHECK MODEL rp_clf EVERY 1 ticks"
+        " WHEN validation_loss INCREASES FOR 2 consecutive_checks"
+        " THEN stop_training"
+    )
+    with pytest.raises(ValueError, match="available"):
+        engine.run_agents_once()
+    del engine.agents["bad_watch"]
+
+
+def test_agents_md_coordination_chain_verbatim(engine):
+    """AGENTS.md:151-161 byte for byte: ON EVENT chains with dotted
+    agent.method handlers, glob wildcards, and bare EXECUTE."""
+    ran = []
+    for proc in (
+        "validation_agent.evaluate_model",
+        "deployment_agent.stage_model",
+        "monitoring_agent.setup_drift_detection",
+        "notification_agent.alert_stakeholders",
+    ):
+        engine.register_procedure(proc, lambda eng, p=proc: ran.append(p))
+    for stmt in [
+        "ON EVENT 'training.complete'\n  EXECUTE validation_agent.evaluate_model()",
+        "ON EVENT 'validation.passed'\n  EXECUTE deployment_agent.stage_model()",
+        "ON EVENT 'model.staged'\n  EXECUTE monitoring_agent.setup_drift_detection()",
+        "EXECUTE notification_agent.alert_stakeholders()",
+    ]:
+        engine.execute(stmt)
+    assert ran == ["notification_agent.alert_stakeholders"]  # bare EXECUTE ran now
+    engine.bus.publish("model.staged", {})
+    engine.bus.dispatch_batch()
+    assert "monitoring_agent.setup_drift_detection" in ran
+    assert "validation_agent.evaluate_model" not in ran  # pattern-gated
+
+
+def test_extensions_md_set_config_verbatim(engine, spark):
+    """EXTENSIONS.md:371-374 byte for byte: SET lands in the Spark
+    session conf under the dotted key."""
+    engine.execute("SET declarative.max_tensor_size = '1GB'")
+    engine.execute("SET declarative.cuda_enabled = true")
+    assert spark.conf.get("declarative.max_tensor_size") == "1GB"
+    assert spark.conf.get("declarative.cuda_enabled") == "true"
+
+
+def test_other_reference_docs_runnable_examples_parse():
+    """Sweep AGENTS.md / README.md / EXTENSIONS.md like DSL.md: the
+    only allowed failures are PostgreSQL-internal constructs (plpgsql
+    agent bodies, raw DML on coordination tables, CREATE EXTENSION
+    installs, PG init functions) — everything a DSL user runs
+    parses."""
+    allowed = {
+        "AGENTS.md": {
+            "CREATE AGENT overfitting_monitor AS",     # plpgsql body
+            "CREATE AGENT hyperparameter_optimizer AS",
+            "CREATE AGENT agent_health_monitor AS",
+            "UPDATE agent_coordination_state",         # raw DML
+        },
+        "README.md": set(),
+        "EXTENSIONS.md": {
+            "CREATE EXTENSION declarative_ml_core CASCADE",
+            "CREATE EXTENSION declarative_algorithms CASCADE",
+            "CREATE EXTENSION declarative_coordination CASCADE",
+            "CREATE EXTENSION declarative_dsl CASCADE",
+            "SELECT init_coordination_system()",       # PG init fns
+            "SELECT register_postgres_instance(",
+        },
+    }
+    for fname, ok_fail in allowed.items():
+        src = open(f"/root/reference/{fname}").read()
+        for block in re.findall(r"```sql\n(.*?)```", src, re.S):
+            for stmt in split_statements(block):
+                body = "\n".join(
+                    l for l in stmt.splitlines()
+                    if not l.strip().startswith("--")
+                ).strip()
+                if not body:
+                    continue
+                try:
+                    parse(body)
+                except Exception:
+                    head = body.splitlines()[0].strip()
+                    assert head in ok_fail, (fname, head)
