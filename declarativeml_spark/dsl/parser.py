@@ -1125,8 +1125,9 @@ class _Parser:
         self.expect_eof()
         return ir.Notify(target=target, message=message)
 
-    def parse_schedule(self) -> "ir.ScheduleRetraining":
-        self.expect_keyword("SCHEDULE")
+    def parse_schedule_clause(self) -> tuple:
+        """``retraining IN n unit`` — ONE grammar for the standalone
+        SCHEDULE statement and the WHEN-rule action chain."""
         what = self.expect_name("schedule subject")
         if what != "retraining":
             raise ValueError(
@@ -1136,10 +1137,31 @@ class _Parser:
         self.expect_keyword("IN")
         n = _require_positive_int(self.parse_value(), "schedule interval")
         unit = self.expect_name("time unit")
+        return n, unit
+
+    def parse_schedule(self) -> "ir.ScheduleRetraining":
+        self.expect_keyword("SCHEDULE")
+        n, unit = self.parse_schedule_clause()
         self.expect_keyword("FOR")
         model = self.expect_name("model name")
         self.expect_eof()
         return ir.ScheduleRetraining(model=model, n=n, unit=unit)
+
+    def _at_procedure_call(self) -> bool:
+        """Lookahead (no consumption): PROCEDURE <dotted name> '('."""
+        if not self.at_keyword("PROCEDURE"):
+            return False
+        off = 1
+        if self.peek(off).kind != "NAME":
+            return False
+        off += 1
+        while (
+            self.peek(off).kind == "OP"
+            and self.peek(off).value == "."
+            and self.peek(off + 1).kind == "NAME"
+        ):
+            off += 2
+        return self.peek(off).kind == "OP" and self.peek(off).value == "("
 
     def parse_dotted_call_name(self) -> str:
         """``name`` or ``agent.method`` — the handler addressing the
@@ -1354,6 +1376,16 @@ class _Parser:
                 # event-pattern condition, no metric comparison; THEN
                 # is optional and actions may chain without AND
                 self.advance()
+                if clauses:
+                    # metric clauses target model.metrics events,
+                    # CONVERGED targets model.converged — mixing them
+                    # would produce a rule that never fires (converged
+                    # payloads don't carry the compared metrics)
+                    raise ValueError(
+                        "CONVERGED cannot be combined with metric"
+                        " comparisons in one WHEN MODEL rule — write"
+                        " two rules"
+                    )
                 converged = True
                 break
             metric = self.expect_name("metric name").lower()
@@ -1435,17 +1467,7 @@ class _Parser:
             elif self.at_keyword("SCHEDULE"):
                 # README.md:57: SCHEDULE retraining IN 30 days
                 self.advance()
-                what = self.expect_name("schedule subject")
-                if what != "retraining":
-                    raise ValueError(
-                        f"Unknown SCHEDULE subject {what!r}; only"
-                        " retraining is supported"
-                    )
-                self.expect_keyword("IN")
-                n = _require_positive_int(
-                    self.parse_value(), "schedule interval"
-                )
-                unit = self.expect_name("time unit")
+                n, unit = self.parse_schedule_clause()
                 actions.append(
                     f"SCHEDULE retraining IN {n} {unit} FOR {subject_model}"
                 )
@@ -1867,21 +1889,15 @@ class _Parser:
             )
         pattern = tok.value[1:-1].replace("''", "'")
         self.expect_keyword("EXECUTE")
-        if (
-            self.at_keyword("PROCEDURE")
-            and self.peek(1).kind == "NAME"
-            and self.peek(2).kind == "OP"
-            and self.peek(2).value == "("
-        ):
+        if self._at_procedure_call():
             # the reference's handler form (AGENTS.md:49-51):
             # EXECUTE PROCEDURE handle_model_ready() — compiles to a
-            # CALL of a host-registered procedure. (PROCEDURE followed
-            # by a full statement is the repo's original noise-word
-            # form and falls through below.)
-            self.advance()
-            proc = self.expect_name("procedure name")
-            self.expect_op("(")
-            self.expect_op(")")
+            # CALL of a host-registered procedure; dotted handlers
+            # (agent.method()) are accepted exactly like ON EVENT's.
+            # (PROCEDURE followed by a full statement is the repo's
+            # original noise-word form and falls through below.)
+            self.advance()  # PROCEDURE
+            proc = self.parse_dotted_call_name()
             self.expect_eof()
             return ir.WhenRule(
                 event_pattern=pattern,

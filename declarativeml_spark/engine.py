@@ -105,7 +105,11 @@ class Engine:
     def _execute(self, text: str) -> Union[TrainedModel, DataFrame, dict]:
         stmt = parse(text)
         if isinstance(stmt, ir.TrainModel):
-            return train(self.spark, stmt, model_dir=self.model_dir, statement=text)
+            trained = train(
+                self.spark, stmt, model_dir=self.model_dir, statement=text
+            )
+            self._publish_converged(trained)
+            return trained
         if isinstance(stmt, ir.ComputeKernel):
             from declarativeml_spark.functions.kernels import execute_compute
 
@@ -133,7 +137,20 @@ class Engine:
         if isinstance(stmt, ir.MonitorModel):
             return self._monitor(stmt)
         if isinstance(stmt, ir.RetrainModel):
-            return self._retrain(stmt)
+            from declarativeml_spark.ml.models import version_statuses
+
+            retrained = self._retrain(stmt)
+            # a rolled-back retrain did NOT produce a serving model —
+            # announcing convergence would trigger deploy rules on it
+            rolled = (
+                version_statuses(retrained.name, self.model_dir).get(
+                    retrained.version
+                )
+                == "rolled_back"
+            )
+            if not rolled:
+                self._publish_converged(retrained)
+            return retrained
         if isinstance(stmt, ir.WhenRule):
             return self._register_rule(stmt)
         if isinstance(stmt, ir.Agent):
@@ -1312,10 +1329,12 @@ class Engine:
             if stmt.subscribe_to
             else []
         )
-        for pat in patterns:
-            # matched events are recorded for the agent's queue
+        for i, pat in enumerate(patterns):
+            # matched events are recorded for the agent's queue; one
+            # subscription NAME per pattern, or dispatch_batch's
+            # per-subscription counts would overwrite each other
             self.bus.subscribe(
-                pat, lambda df: None, name=f"agent:{stmt.name}"
+                pat, lambda df: None, name=f"agent:{stmt.name}:{i}"
             )
         return record
 
@@ -1768,19 +1787,51 @@ class Engine:
         )
 
     def _schedule_retraining(self, stmt: "ir.ScheduleRetraining") -> dict:
-        """Record when the model is due for retraining (advisory
-        registry metadata — README.md:57's post-deploy clause; RETRAIN
-        executes it when due)."""
+        """Record when the model is due for retraining (README.md:57's
+        post-deploy clause). ADVISORY metadata: it does not fire a
+        RETRAIN by itself — a host scheduler reads
+        ``Engine.retrain_schedules`` (this session) or the persisted
+        ``retrain_schedule`` registry records (any session) and issues
+        the RETRAIN statement when due."""
+        import time as _time
+
+        from declarativeml_spark.ml.ensemble import _append_record
+
         if self._model_meta(stmt.model) is None:
             raise ValueError(f"No registered model named {stmt.model!r}")
-        rec = {"model": stmt.model, "in_n": stmt.n, "unit": stmt.unit}
+        rec = {
+            "model": stmt.model,
+            "in_n": stmt.n,
+            "unit": stmt.unit,
+            "scheduled_at": _time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+            ),
+        }
         self.retrain_schedules[stmt.model] = rec
+        # durable form: survives the session like all model metadata
+        _append_record(
+            self.model_dir,
+            {"name": stmt.model, "record": "retrain_schedule", **rec},
+        )
         return {"scheduled": "retraining", **rec}
 
     # -- trend agents (reference README.md:60-63) -------------------------------
     def _register_trend_agent(self, stmt: "ir.TrendAgent") -> "ir.TrendAgent":
         if self._model_meta(stmt.model) is None:
             raise ValueError(f"No registered model named {stmt.model!r}")
+        # validate the WATCHED METRIC eagerly: an unknown metric is a
+        # statement error at registration, not a surprise on every
+        # subsequent tick (one monitor evaluation — registration is
+        # rare; its value also seeds nothing, the history starts empty)
+        res = self._monitor(
+            ir.MonitorModel(model=stmt.model, source=None, checks=[])
+        )
+        if stmt.metric not in res["metrics"]:
+            raise ValueError(
+                f"Metric {stmt.metric!r} is not computed for"
+                f" {stmt.model!r}; available:"
+                f" {', '.join(sorted(res['metrics']))}"
+            )
         self.agents[stmt.name] = stmt
         self._trend_history.pop(stmt.name, None)  # re-registration resets
         return stmt
@@ -1828,6 +1879,27 @@ class Engine:
             "history_len": len(hist),
         }
 
+    def _publish_converged(self, trained: TrainedModel) -> None:
+        """Announce a successful fit as a ``model.converged`` event —
+        the trigger for the reference's ``WHEN MODEL m CONVERGED``
+        rules (README.md:54). Delivery also dispatches queued rules;
+        nested publishes from fired actions queue for the NEXT
+        dispatch (one snapshot per pass — a self-retriggering rule
+        advances one step per dispatch, never recurses unboundedly)."""
+        payload: dict[str, Any] = {
+            "model": trained.name,
+            "version": trained.version,
+        }
+        payload.update(
+            {
+                k: float(v)
+                for k, v in trained.metrics.items()
+                if isinstance(v, (int, float))
+            }
+        )
+        self.bus.publish("model.converged", payload)
+        self.bus.dispatch_batch()
+
     def register_procedure(self, name: str, fn) -> None:
         """Register a host callable for ``CALL <name>()`` and
         ``SUBSCRIBE TO '…' EXECUTE PROCEDURE <name>()`` — the
@@ -1843,7 +1915,12 @@ class Engine:
         results: dict[str, dict] = {}
         for name, agent in self.agents.items():
             if isinstance(agent, ir.TrendAgent):
-                results[name] = self._run_trend_agent(name, agent)
+                try:
+                    results[name] = self._run_trend_agent(name, agent)
+                except Exception as e:  # noqa: BLE001 — isolate agents
+                    # one broken agent must not disable every OTHER
+                    # agent's tick (or swallow their queued events)
+                    results[name] = {"healthy": False, "error": str(e)}
                 continue
             res = self._monitor(agent.monitor, bus=self.bus)
             results[name] = res

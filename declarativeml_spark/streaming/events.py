@@ -42,6 +42,15 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
+def _like_pattern(pattern: str) -> str:
+    """Event patterns match with SQL LIKE; the reference writes
+    glob-style wildcards (AGENTS.md:50 ``'model.convergence.*'``), so
+    ``*`` translates to ``%`` — an event TYPE never legitimately
+    contains a literal asterisk. ONE chokepoint for every matcher
+    (subscribe, wait_for), so the two APIs speak the same language."""
+    return pattern.replace("*", "%")
+
+
 @dataclass
 class Subscription:
     pattern: str  # SQL LIKE pattern on event_type
@@ -88,14 +97,9 @@ class EventBus:
         payload_predicate: Optional[str] = None,
         name: str = "",
     ) -> Subscription:
-        """SUBSCRIBE TO 'pattern' EXECUTE <handler>.
-
-        Patterns match with SQL LIKE; the reference writes glob-style
-        wildcards (AGENTS.md:50 ``'model.convergence.*'``), so ``*``
-        translates to ``%`` — an event TYPE never legitimately
-        contains a literal asterisk."""
+        """SUBSCRIBE TO 'pattern' EXECUTE <handler>."""
         sub = Subscription(
-            pattern.replace("*", "%"), handler, payload_predicate, name
+            _like_pattern(pattern), handler, payload_predicate, name
         )
         self.subscriptions.append(sub)
         return sub
@@ -145,6 +149,7 @@ class EventBus:
         matched slice, or None on timeout.
         """
         deadline = time.time() + timeout_s
+        pattern = _like_pattern(pattern)
         while True:
             df = self.published_df().filter(F.col("event_type").like(pattern))
             if payload_predicate:

@@ -414,9 +414,11 @@ def test_readme_converged_rule_verbatim(engine):
     )
     engine.bus.publish("model.converged", {"model": "rp_clf"})
     engine.bus.dispatch_batch()
-    assert engine.retrain_schedules["rp_clf"] == {
-        "model": "rp_clf", "in_n": 30, "unit": "days"
-    }
+    sched = engine.retrain_schedules["rp_clf"]
+    assert (sched["model"], sched["in_n"], sched["unit"]) == (
+        "rp_clf", 30, "days"
+    )
+    assert "scheduled_at" in sched  # persisted with its timestamp
 
 
 def test_readme_trend_agent_verbatim(engine):
@@ -462,15 +464,15 @@ def test_readme_trend_agent_verbatim(engine):
     assert engine._trend_history["acc_fall"] == []
     del engine.agents["acc_watch"]
     del engine.agents["acc_fall"]
-    # unknown metric errors with the available list
-    engine.execute(
-        "CREATE AGENT bad_watch CHECK MODEL rp_clf EVERY 1 ticks"
-        " WHEN validation_loss INCREASES FOR 2 consecutive_checks"
-        " THEN stop_training"
-    )
+    # an unknown metric is a REGISTRATION error (listing what exists),
+    # never a broken tick that would disable every other agent
     with pytest.raises(ValueError, match="available"):
-        engine.run_agents_once()
-    del engine.agents["bad_watch"]
+        engine.execute(
+            "CREATE AGENT bad_watch CHECK MODEL rp_clf EVERY 1 ticks"
+            " WHEN validation_loss INCREASES FOR 2 consecutive_checks"
+            " THEN stop_training"
+        )
+    assert "bad_watch" not in engine.agents
 
 
 def test_agents_md_coordination_chain_verbatim(engine):
@@ -545,3 +547,50 @@ def test_other_reference_docs_runnable_examples_parse():
                 except Exception:
                     head = body.splitlines()[0].strip()
                     assert head in ok_fail, (fname, head)
+
+
+def test_converged_event_published_by_training(engine):
+    """TRAIN itself announces model.converged, so the README flow is
+    real end-to-end — no manual publish needed."""
+    fired = []
+    engine.execute(
+        "WHEN MODEL conv_clf CONVERGED NOTIFY conv_watchers"
+    )
+    engine.bus.when(
+        "notification",
+        "get_json_object(payload, '$.recipient') = 'conv_watchers'",
+        lambda df: fired.append(1),
+    )
+    engine.execute(
+        "TRAIN MODEL conv_clf USING logistic_regression(max_iter=5) "
+        "FROM orders_rp PREDICT expensive WITH FEATURES(o_totalprice)"
+    )
+    # the converged dispatch ran the rule; its notification is queued —
+    # one more dispatch delivers it (one snapshot per pass, no
+    # unbounded recursion)
+    engine.bus.dispatch_batch()
+    assert fired == [1]
+    # mixing CONVERGED with metric clauses is a parse-time error, not
+    # a rule that silently never fires
+    with pytest.raises(ValueError, match="two rules"):
+        parse(
+            "WHEN MODEL m ACCURACY > 0.9 AND MODEL m CONVERGED"
+            " THEN DEPLOY TO prod"
+        )
+
+
+def test_subscribe_procedure_dotted_and_wait_for_glob(engine, spark):
+    """Dotted handlers work in SUBSCRIBE … EXECUTE PROCEDURE exactly
+    like ON EVENT; wait_for speaks the same glob language as
+    subscribe."""
+    ran = []
+    engine.register_procedure("ops.page_oncall", lambda eng: ran.append(1))
+    engine.execute(
+        "SUBSCRIBE TO 'incident.*' EXECUTE PROCEDURE ops.page_oncall()"
+    )
+    engine.bus.publish("incident.sev1", {})
+    engine.bus.dispatch_batch()
+    assert ran == [1]
+    engine.bus.publish("deploy.finished", {})
+    got = engine.bus.wait_for("deploy.*", timeout_s=2.0)
+    assert got is not None and got.count() == 1

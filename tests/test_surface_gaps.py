@@ -29,7 +29,7 @@ def test_register_agent_execution(spark, tmp_path):
     eng = Engine(spark, model_dir=str(tmp_path))
     rec = eng.execute("REGISTER AGENT mon WITH CAPABILITIES (alerts) SUBSCRIBE TO 'model.%'")
     assert rec["status"] == "registered"
-    assert any(s.name == "agent:mon" for s in eng.bus.subscriptions)
+    assert any(s.name.startswith("agent:mon") for s in eng.bus.subscriptions)
 
 
 def test_quoted_identifier_translation():
