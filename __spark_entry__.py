@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 50-row window, the rest queue for round 8.
 _CHECK_FIRST = (
     # (1) round-7 additions (never driver-checked)
+    "multimodal_y4m_frames",
     # (2) stalest cohort: last green in CORRECTNESS_r03 (31)
     "approx_distinct_parts",
     "asof_last_view_before_purchase",

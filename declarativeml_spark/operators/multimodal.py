@@ -267,18 +267,20 @@ def sample_frames(
 ) -> DataFrame:
     """Sample every ``every_n``-th frame of each video payload.
 
-    Fake codec: the payload is treated as a stream of fixed
-    ``frame_bytes``-byte frames (a real decoder would use container
-    timestamps); sampled frames come back as (media_id, frame_no,
-    frame) rows. A real codec (libav) is not available here — the
-    distributed shape (Arrow batches in, exploded frame rows out,
-    output fan-out ≈ payload_bytes / (frame_bytes * every_n)) is the
-    part this implementation makes real and testable.
+    ``codec="y4m"`` (the REAL path, :func:`decode_y4m`'s sibling):
+    the payload is a genuine YUV4MPEG2 container; frames are found by
+    walking the ``FRAME`` markers and each sampled frame comes back as
+    its raw planar YUV bytes. ``codec="fake"`` treats the payload as
+    a stream of fixed ``frame_bytes``-byte frames — kept as the
+    codec-free smoke path. Output is (media_id, frame_no, frame) rows
+    either way.
 
     Scale: mapInPandas keeps whole payloads executor-local — no
     shuffle; frame rows are emitted where the blob already lives, so
     a downstream per-frame feature step chains map-to-map.
     """
+    if codec == "y4m":
+        register_y4m_codec()  # idempotent convenience
     _require_codec(codec, "sample_frames")
     out_schema = T.StructType(
         [
@@ -287,12 +289,20 @@ def sample_frames(
             T.StructField("frame", T.BinaryType(), True),
         ]
     )
+    use_y4m = codec == "y4m"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, nos, frames = [], [], []
             for mid, blob in zip(pdf[id_col], pdf[payload_col]):
                 if blob is None:
+                    continue
+                if use_y4m:
+                    for f, frame in enumerate(_iter_y4m_frames(bytes(blob))):
+                        if f % every_n == 0:
+                            ids.append(mid)
+                            nos.append(f)
+                            frames.append(frame)
                     continue
                 n_frames = len(blob) // frame_bytes
                 for f in range(0, n_frames, every_n):
@@ -654,6 +664,261 @@ def synth_ppm_from_text(
                 + f"{width} {height}\n255\n".encode()
             )
             return header + px.tobytes()
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(pdf[id_col], dtype="int64"),
+                    "payload": pd.Series(
+                        [one(t) for t in pdf[text_col]], dtype=object
+                    ),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real codec #3: dependency-free Y4M (YUV4MPEG2) video decoder — the
+# video sibling of decode_wav / decode_ppm, through the same
+# register_codec boundary. Retires the last fake-codec modality:
+# sample_frames(codec="y4m") walks real FRAME markers.
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+# colorspace tag -> chroma plane size as a fraction of (W, H); the
+# luma plane is always W*H bytes (8-bit only — Y4M has no 16-bit form)
+_Y4M_CHROMA = {
+    "420": (2, 2),  # C420 / C420jpeg / C420paldv / C420mpeg2
+    "422": (2, 1),
+    "444": (1, 1),
+    "mono": None,
+}
+
+
+def _parse_y4m_header(payload: bytes) -> tuple:
+    """Parse the YUV4MPEG2 stream header line → ``(width, height,
+    fps_num, fps_den, y_size, c_size, pos)`` where ``pos`` is the
+    offset of the first ``FRAME`` marker. The single source of truth
+    for :func:`decode_y4m`, :func:`_iter_y4m_frames`, and
+    :func:`y4m_frame_stats`.
+
+    Per the mjpegtools spec: the header is one ``\\n``-terminated line
+    of space-separated parameters, each a single tag letter + value
+    (``W`` width, ``H`` height, ``F`` fps num:den, ``C`` colorspace,
+    ``I``/``A``/``X`` accepted and ignored). W and H are required;
+    missing C means C420. Unknown tag letters are rejected loudly —
+    silently skipping them is how parsers drift from encoders."""
+    if payload is None or len(payload) < len(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload (too short)")
+    if not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload (bad magic)")
+    eol = payload.find(b"\n", len(_Y4M_MAGIC))
+    if eol < 0:
+        raise ValueError("unterminated YUV4MPEG2 header line")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    colorspace = "420"
+    for tok in payload[len(_Y4M_MAGIC) : eol].split(b" "):
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if tag == "W":
+            width = int(val)
+        elif tag == "H":
+            height = int(val)
+        elif tag == "F":
+            num, _, den = val.partition(":")
+            fps_num, fps_den = int(num), int(den or "1")
+            if fps_num < 1 or fps_den < 1:
+                raise ValueError(f"bad Y4M frame rate {val!r}")
+        elif tag == "C":
+            cs = val.lower()
+            key = "mono" if cs.startswith("mono") else cs[:3]
+            if key not in _Y4M_CHROMA:
+                raise ValueError(f"unsupported Y4M colorspace C{val}")
+            colorspace = key
+        elif tag in ("I", "A", "X"):
+            pass  # interlacing / pixel aspect / comment: no effect on planes
+        else:
+            raise ValueError(f"unknown Y4M header tag {tag!r}")
+    if width is None or height is None or width < 1 or height < 1:
+        raise ValueError(f"Y4M dimensions {width}x{height} out of range")
+    sub = _Y4M_CHROMA[colorspace]
+    if sub is None:
+        c_size = 0
+    else:
+        sx, sy = sub
+        if width % sx or height % sy:
+            raise ValueError(
+                f"Y4M {width}x{height} not divisible for C{colorspace}"
+            )
+        c_size = (width // sx) * (height // sy)
+    return width, height, fps_num, fps_den, width * height, c_size, eol + 1
+
+
+def _iter_y4m_frames(payload: bytes):
+    """Yield each frame's raw planar bytes (Y then U then V) by
+    walking the ``FRAME`` markers after the stream header. Truncated
+    frames and bad markers raise loudly — a container that lies about
+    its geometry must not decode to silently-short planes."""
+    width, height, _, _, y_size, c_size, pos = _parse_y4m_header(payload)
+    frame_size = y_size + 2 * c_size
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        eol = payload.find(b"\n", pos + 5)
+        if eol < 0:
+            raise ValueError("unterminated FRAME parameter line")
+        body = payload[eol + 1 : eol + 1 + frame_size]
+        if len(body) < frame_size:
+            raise ValueError(
+                f"truncated Y4M frame ({len(body)}/{frame_size}B)"
+            )
+        yield body
+        pos = eol + 1 + frame_size
+
+
+def decode_y4m(payload: bytes, meta: Optional[dict] = None) -> list:
+    """Parse a YUV4MPEG2 container and return ``[width, height,
+    fps_num, fps_den, n_frames, sum_y, sum_u, sum_v]`` — exact
+    integer per-plane sample sums across all frames, so a SQL oracle
+    over synthesized planes has a closed form and any parser bug
+    (header offset, FRAME walk, plane split) hash-fails.
+
+    A REAL parser: tag-validated header, marker-walked frames, loud
+    truncation errors; C420*/C422/C444/Cmono plane geometry."""
+    import numpy as np
+
+    width, height, fps_num, fps_den, y_size, c_size, _ = _parse_y4m_header(
+        payload
+    )
+    n_frames = 0
+    sum_y = sum_u = sum_v = 0
+    for frame in _iter_y4m_frames(payload):
+        arr = np.frombuffer(frame, dtype=np.uint8).astype(np.int64)
+        sum_y += int(arr[:y_size].sum())
+        sum_u += int(arr[y_size : y_size + c_size].sum())
+        sum_v += int(arr[y_size + c_size :].sum())
+        n_frames += 1
+    return [width, height, fps_num, fps_den, n_frames, sum_y, sum_u, sum_v]
+
+
+def register_y4m_codec() -> None:
+    """Idempotently register :func:`decode_y4m` as codec ``"y4m"``."""
+    if "y4m" not in _CODECS:
+        register_codec("y4m", decode_y4m, T.ArrayType(T.LongType()))
+
+
+def y4m_frame_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_n: int = 2,
+) -> DataFrame:
+    """Keyframe-sampling stats in ONE map stage: parse each Y4M
+    container, keep every ``every_n``-th frame, and emit per-media
+    ``(width, height, n_frames, n_sampled, sum_y_sampled,
+    sum_uv_sampled)`` — the fused form of ``sample_frames(codec=
+    'y4m') → per-frame sums`` for when only the aggregates are wanted.
+
+    Scale: raw frame bytes never cross the Python boundary (7 longs
+    per media do); zero shuffles — the container is decoded where the
+    blob lives. Use :func:`sample_frames` when the frames themselves
+    are the output.
+    """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.LongType(), False),
+            T.StructField("height", T.LongType(), False),
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("n_sampled", T.LongType(), False),
+            T.StructField("sum_y_sampled", T.LongType(), False),
+            T.StructField("sum_uv_sampled", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {k.name: [] for k in out_schema.fields}
+            for mid, blob in zip(pdf[id_col], pdf[payload_col]):
+                if blob is None:
+                    continue
+                payload = bytes(blob)
+                w, h, _, _, y_size, _, _ = _parse_y4m_header(payload)
+                n_frames = n_sampled = sum_y = sum_uv = 0
+                for f, frame in enumerate(_iter_y4m_frames(payload)):
+                    n_frames += 1
+                    if f % every_n:
+                        continue
+                    n_sampled += 1
+                    arr = np.frombuffer(frame, dtype=np.uint8).astype(np.int64)
+                    sum_y += int(arr[:y_size].sum())
+                    sum_uv += int(arr[y_size:].sum())
+                for k, v in zip(
+                    out_schema.fieldNames(),
+                    (int(mid), w, h, n_frames, n_sampled, sum_y, sum_uv),
+                ):
+                    rows[k].append(v)
+            yield pd.DataFrame(
+                {k: pd.array(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+Y4M_SYNTH_WIDTH = 4
+Y4M_SYNTH_HEIGHT = 2
+Y4M_SYNTH_U = 16  # constant chroma fill: a U/V plane-swap hash-fails
+Y4M_SYNTH_V = 240
+
+
+def synth_y4m_from_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = Y4M_SYNTH_WIDTH,
+    height: int = Y4M_SYNTH_HEIGHT,
+) -> DataFrame:
+    """Deterministic Y4M fixture: each document's text bytes become a
+    REAL YUV4MPEG2 container — C420, ``width × height`` frames whose
+    luma planes are consecutive ``width·height``-byte slices of the
+    text (zero-padded final frame, at least one frame) and whose
+    chroma planes are the constants ``U=16`` / ``V=240`` — so a SQL
+    oracle computes the decoder's expected plane sums from the text
+    alone while the Spark side must actually walk FRAME markers.
+    Payloads build executor-side in the Arrow batch (mapInPandas)."""
+    import numpy as np
+
+    if width % 2 or height % 2:
+        raise ValueError(f"C420 synth needs even dims, got {width}x{height}")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    y_size = width * height
+    c_size = (width // 2) * (height // 2)
+    chroma = bytes([Y4M_SYNTH_U] * c_size) + bytes([Y4M_SYNTH_V] * c_size)
+    header = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420jpeg\n".encode()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(text: Optional[str]) -> bytes:
+            raw = (text or "").encode("utf-8")
+            n_frames = max(1, -(-len(raw) // y_size))
+            buf = np.zeros(n_frames * y_size, dtype=np.uint8)
+            buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+            parts = [header]
+            for f in range(n_frames):
+                parts.append(b"FRAME\n")
+                parts.append(buf[f * y_size : (f + 1) * y_size].tobytes())
+                parts.append(chroma)
+            return b"".join(parts)
 
         for pdf in it:
             yield pd.DataFrame(

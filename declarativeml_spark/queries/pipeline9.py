@@ -295,3 +295,65 @@ def multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[4].alias("sum_g"),
         F.col("features")[5].alias("sum_b"),
     )
+
+
+_Y4M_EVERY_N = 2
+# synth geometry (operators/multimodal.py::synth_y4m_from_text):
+# 4x2 C420 frames — luma 8 B/frame from the text, chroma constant
+# U=16/V=240 (2+2 B/frame => 512 per sampled frame's UV sum)
+_Y4M_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           GREATEST(1, CAST(ceil(length(text) / 8.0) AS BIGINT))
+               AS n_frames,
+           CAST(COALESCE(list_sum(list_transform(
+               range(1, length(text) + 1),
+               i -> CASE WHEN ((CAST(i - 1 AS BIGINT) // 8) % {_Y4M_EVERY_N}) = 0
+                         THEN ascii(substr(text, i, 1)) ELSE 0 END)), 0)
+               AS BIGINT) AS sum_y_sampled
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(4 AS BIGINT) AS width,
+       CAST(2 AS BIGINT) AS height,
+       n_frames,
+       CAST((n_frames + {_Y4M_EVERY_N} - 1) // {_Y4M_EVERY_N} AS BIGINT)
+           AS n_sampled,
+       sum_y_sampled,
+       CAST(((n_frames + {_Y4M_EVERY_N} - 1) // {_Y4M_EVERY_N})
+            * (2 * 16 + 2 * 240) AS BIGINT) AS sum_uv_sampled
+FROM base
+"""
+
+
+@query("multimodal_y4m_frames", oracle=_Y4M_ORACLE)
+def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video sibling of ``multimodal_wav_features`` — retires the
+    last fake-codec modality: every document's text becomes a genuine
+    YUV4MPEG2 container (4×2 C420 frames, luma = consecutive 8-byte
+    text slices zero-padded, chroma constants U=16/V=240), and the
+    pure-Python Y4M parser (operators/multimodal.py::decode_y4m /
+    _iter_y4m_frames — tag-validated header, FRAME-marker walk, loud
+    truncation errors) samples every {_Y4M_EVERY_N}nd frame through
+    the Arrow ``mapInPandas`` path (y4m_frame_stats: the fused
+    sample+aggregate form, raw frames never cross to the JVM). The
+    oracle computes expected per-plane sums of exactly the SAMPLED
+    frames from the text alone, so a FRAME-boundary or plane-split
+    bug hash-fails — a total-sum oracle could not see byte slides
+    between frames.
+
+    Scale: synthesis and decode are map-only (container bytes never
+    leave the executor; 7 longs per video cross the Python boundary);
+    zero shuffles in the plan. Same ASCII fixture contract as the
+    WAV/PPM twins (char closed form == byte arithmetic).
+    """
+    from declarativeml_spark.operators.multimodal import (
+        register_y4m_codec,
+        synth_y4m_from_text,
+        y4m_frame_stats,
+    )
+
+    register_y4m_codec()
+    docs = load_table(spark, sf_dir, "documents")
+    y4m = synth_y4m_from_text(docs, "text", "doc_id")
+    return y4m_frame_stats(y4m, every_n=_Y4M_EVERY_N)

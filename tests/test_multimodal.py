@@ -297,3 +297,98 @@ def test_ppm_pre_raster_comment_and_null_payload(spark):
         df2, codec="ppm", width=1, height=1, id_col="img_id"
     ).collect()[0]
     assert out.media_id == 5
+
+
+def test_decode_y4m_header_and_planes():
+    """Header tag parsing, colorspace geometry, loud errors."""
+    from declarativeml_spark.operators.multimodal import (
+        _iter_y4m_frames,
+        decode_y4m,
+    )
+
+    hdr = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+    y, u, v = bytes(range(8)), bytes([16, 16]), bytes([240, 240])
+    payload = hdr + b"FRAME\n" + y + u + v + b"FRAME\n" + y + u + v
+    assert decode_y4m(payload) == [4, 2, 25, 1, 2, 56, 64, 960]
+    frames = list(_iter_y4m_frames(payload))
+    assert frames == [y + u + v, y + u + v]
+    # FRAME parameter lines are allowed
+    assert decode_y4m(hdr + b"FRAME Xix=1\n" + y + u + v)[4] == 1
+    # colorspace geometry: mono (no chroma), 444, 422, default 420
+    assert decode_y4m(b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n" + bytes([1, 2, 3, 4])) == [
+        2, 2, 25, 1, 1, 10, 0, 0,
+    ]
+    assert decode_y4m(b"YUV4MPEG2 W1 H1 C444\nFRAME\n" + bytes([9, 8, 7])) == [
+        1, 1, 25, 1, 1, 9, 8, 7,
+    ]
+    assert decode_y4m(b"YUV4MPEG2 W2 H1 C422 F30:1\nFRAME\n" + bytes([1, 2, 3, 4])) == [
+        2, 1, 30, 1, 1, 3, 3, 4,
+    ]
+    assert decode_y4m(b"YUV4MPEG2 W2 H2\nFRAME\n" + bytes(6))[:2] == [2, 2]
+    for bad in (
+        b"XX",                                        # bad magic
+        b"YUV4MPEG2 W4 H2",                           # unterminated header
+        hdr + b"FRAME\n" + y,                         # truncated frame
+        hdr + b"FRAMX\n" + y + u + v,                 # bad marker
+        b"YUV4MPEG2 W3 H2\nFRAME\n",                  # odd dims for C420
+        b"YUV4MPEG2 W2 H2 Z9\nFRAME\n",               # unknown tag
+        b"YUV4MPEG2 W2 H2 C311\nFRAME\n",             # unknown colorspace
+        b"YUV4MPEG2 W2 H2 F0:1\nFRAME\n",             # bad rate
+    ):
+        with pytest.raises(ValueError):
+            list(_iter_y4m_frames(bad))
+
+
+def test_y4m_round_trip_through_arrow_path(spark, smoke_dir):
+    """synth → FRAME-marker sampling through mapInPandas equals the
+    closed form over text bytes, for both the fused stats operator
+    and the raw sample_frames(codec='y4m') path."""
+    from declarativeml_spark.operators.multimodal import (
+        Y4M_SYNTH_U,
+        Y4M_SYNTH_V,
+        decode_y4m,
+        register_y4m_codec,
+        synth_y4m_from_text,
+        y4m_frame_stats,
+    )
+    from declarativeml_spark.sources.catalog import load_table
+
+    register_y4m_codec()
+    docs = load_table(spark, smoke_dir, "documents").limit(20)
+    y4m = synth_y4m_from_text(docs, "text", "doc_id")
+    texts = {r.doc_id: (r.text or "").encode("utf-8") for r in docs.collect()}
+    payloads = {r.media_id: bytes(r.payload) for r in y4m.collect()}
+
+    stats = {r.media_id: r.asDict() for r in y4m_frame_stats(y4m, every_n=2).collect()}
+    frames = sample_frames(y4m, every_n=2, codec="y4m").collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, {})[r.frame_no] = bytes(r.frame)
+
+    for mid, raw in texts.items():
+        n_frames = max(1, -(-len(raw) // 8))
+        sampled = list(range(0, n_frames, 2))
+        row = stats[mid]
+        assert row["width"] == 4 and row["height"] == 2
+        assert row["n_frames"] == n_frames
+        assert row["n_sampled"] == len(sampled)
+        padded = raw + b"\x00" * (n_frames * 8 - len(raw))
+        assert row["sum_y_sampled"] == sum(
+            sum(padded[f * 8 : (f + 1) * 8]) for f in sampled
+        )
+        assert row["sum_uv_sampled"] == len(sampled) * (
+            2 * Y4M_SYNTH_U + 2 * Y4M_SYNTH_V
+        )
+        # raw frame bytes: luma slice + constant chroma, per sampled frame
+        assert sorted(by_media[mid]) == sampled
+        for f in sampled:
+            expect = (
+                padded[f * 8 : (f + 1) * 8]
+                + bytes([Y4M_SYNTH_U] * 2)
+                + bytes([Y4M_SYNTH_V] * 2)
+            )
+            assert by_media[mid][f] == expect
+        # decode_y4m totals agree with the container
+        feats = decode_y4m(payloads[mid])
+        assert feats[0:2] == [4, 2] and feats[4] == n_frames
+        assert feats[5] == sum(padded)
