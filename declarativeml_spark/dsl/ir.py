@@ -1136,6 +1136,74 @@ class DropTokenizer:
 
 
 @dataclass
+class DecodeMedia:
+    """IR for ``DECODE <source> USING <codec> [PAYLOAD COLUMN c]
+    [ID COLUMN c]`` — the DSL twin of
+    operators/multimodal.py::decode_features (SURVEY §2.11 multimodal
+    family; beyond-parity — the reference has no media surface, its
+    thesis is 'declarative statement in, engine does the work',
+    reference README.md:6). ``codec`` is one of the engine-shipped
+    real parsers (``wav``/``ppm``/``y4m``), the deterministic
+    ``fake`` stub, or any name plugged in via ``register_codec`` —
+    unknown codecs fail loudly at execution with the library they'd
+    need. Output: one (media_id, features) row per payload."""
+
+    source: str
+    codec: str
+    payload_column: str = "payload"
+    id_column: str = "media_id"
+    source_is_identifier: bool = True
+
+
+@dataclass
+class SampleFrames:
+    """IR for ``SAMPLE FRAMES FROM <source> EVERY n [USING <codec>]
+    [PAYLOAD COLUMN c] [ID COLUMN c]`` — the DSL twin of
+    operators/multimodal.py::sample_frames: every ``n``-th frame of
+    each video payload as (media_id, frame_no, frame) rows. Default
+    codec ``y4m`` (the real container parser); ``fake`` keeps the
+    fixed-stride byte stub."""
+
+    source: str
+    every: int
+    codec: str = "y4m"
+    payload_column: str = "payload"
+    id_column: str = "media_id"
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        if (
+            not isinstance(self.every, int)
+            or isinstance(self.every, bool)
+            or self.every < 1
+        ):
+            raise ValueError("EVERY must be a positive integer frame stride")
+
+
+@dataclass
+class ResizeMedia:
+    """IR for ``RESIZE <source> TO <w> x <h> USING <codec>
+    [PAYLOAD COLUMN c] [ID COLUMN c]`` — the DSL twin of
+    operators/multimodal.py::resize_image: re-encoded payloads at the
+    target geometry via the codec's registered resize capability
+    (``ppm`` ships a real nearest-neighbor resampler; codecs without
+    one fail loudly at execution)."""
+
+    source: str
+    width: int
+    height: int
+    codec: str = "ppm"
+    payload_column: str = "payload"
+    id_column: str = "media_id"
+    source_is_identifier: bool = True
+
+    def __post_init__(self) -> None:
+        for label, v in (("width", self.width), ("height", self.height)):
+            if not isinstance(v, int) or isinstance(v, bool) or v < 1:
+                raise ValueError(f"RESIZE {label} must be a positive integer")
+
+
+@dataclass
 class CreateIndex:
     """IR for ``CREATE INDEX <name> ON <source> USING <method>[(params)]``
     — build a persisted similarity index once and serve repeated

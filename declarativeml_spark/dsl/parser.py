@@ -2148,6 +2148,108 @@ class _Parser:
             source_is_identifier=is_identifier_source(source),
         )
 
+    # -- DECODE / SAMPLE FRAMES / RESIZE (multimodal DSL twins, -----------
+    # SURVEY §2.11): route to operators/multimodal.py through the same
+    # grammar family as TOKENIZE/DEDUPLICATE
+    def _parse_media_columns(self) -> tuple:
+        """Shared optional tail: ``[PAYLOAD COLUMN c] [ID COLUMN c]``
+        in either order, each at most once."""
+        payload_column, id_column = "payload", "media_id"
+        seen: set = set()
+        while True:
+            if self.at_keyword("PAYLOAD") and "payload" not in seen:
+                self.advance()
+                self.expect_keyword("COLUMN")
+                payload_column = self.expect_name("payload column")
+                seen.add("payload")
+            elif self.at_keyword("ID") and "id" not in seen:
+                self.advance()
+                self.expect_keyword("COLUMN")
+                id_column = self.expect_name("id column")
+                seen.add("id")
+            else:
+                return payload_column, id_column
+
+    def parse_decode(self) -> "ir.DecodeMedia":
+        """``DECODE <source> USING <codec> [PAYLOAD COLUMN c]
+        [ID COLUMN c]`` — decode media payloads to feature vectors
+        (operators/multimodal.py::decode_features)."""
+        self.expect_keyword("DECODE")
+        source = self.capture_source_until("USING")
+        if not source:
+            raise ValueError("DECODE source cannot be empty")
+        self.expect_keyword("USING")
+        codec = self.expect_name("codec name")
+        payload_column, id_column = self._parse_media_columns()
+        self.expect_eof()
+        return ir.DecodeMedia(
+            source=source,
+            codec=codec.lower(),
+            payload_column=payload_column,
+            id_column=id_column,
+            source_is_identifier=is_identifier_source(source),
+        )
+
+    def parse_sample_frames(self) -> "ir.SampleFrames":
+        """``SAMPLE FRAMES FROM <source> EVERY n [USING <codec>]
+        [PAYLOAD COLUMN c] [ID COLUMN c]`` — keyframe sampling
+        (operators/multimodal.py::sample_frames). The caller has
+        already consumed ``SAMPLE``."""
+        self.expect_keyword("FRAMES")
+        self.expect_keyword("FROM")
+        source = self.capture_source_until("EVERY")
+        if not source:
+            raise ValueError("SAMPLE FRAMES source cannot be empty")
+        self.expect_keyword("EVERY")
+        every = _require_positive_int(self.parse_value(), "EVERY frame stride")
+        codec = "y4m"
+        if self.at_keyword("USING"):
+            self.advance()
+            codec = self.expect_name("codec name").lower()
+        payload_column, id_column = self._parse_media_columns()
+        self.expect_eof()
+        return ir.SampleFrames(
+            source=source,
+            every=every,
+            codec=codec,
+            payload_column=payload_column,
+            id_column=id_column,
+            source_is_identifier=is_identifier_source(source),
+        )
+
+    def parse_resize(self) -> "ir.ResizeMedia":
+        """``RESIZE <source> TO <w> x <h> USING <codec>
+        [PAYLOAD COLUMN c] [ID COLUMN c]`` — re-encode media at a
+        target geometry (operators/multimodal.py::resize_image)."""
+        self.expect_keyword("RESIZE")
+        source = self.capture_source_until("TO")
+        if not source:
+            raise ValueError("RESIZE source cannot be empty")
+        self.expect_keyword("TO")
+        width = _require_positive_int(self.parse_value(), "RESIZE width")
+        sep = self.advance()
+        if not (
+            sep.kind == "NAME" and sep.value.lower() in ("x", "by")
+        ):
+            raise DSLSyntaxError(
+                f"Expected 'x' between RESIZE dimensions, got {sep.value!r}"
+                f" at {sep.pos}"
+            )
+        height = _require_positive_int(self.parse_value(), "RESIZE height")
+        self.expect_keyword("USING")
+        codec = self.expect_name("codec name")
+        payload_column, id_column = self._parse_media_columns()
+        self.expect_eof()
+        return ir.ResizeMedia(
+            source=source,
+            width=width,
+            height=height,
+            codec=codec.lower(),
+            payload_column=payload_column,
+            id_column=id_column,
+            source_is_identifier=is_identifier_source(source),
+        )
+
     # -- DEDUPLICATE (beyond-parity: SURVEY §7.5) -------------------------
     def parse_deduplicate(self) -> "ir.Deduplicate":
         self.expect_keyword("DEDUPLICATE")
@@ -2811,7 +2913,16 @@ def parse(text: str) -> Statement:
     if tok.value == "SEARCH":
         return parser.parse_search()
     if tok.value == "SAMPLE":
+        # SAMPLE FRAMES FROM ... is the multimodal twin; plain SAMPLE
+        # is corpus sampling
+        if parser.at_keyword("FRAMES", offset=1):
+            parser.advance()  # consume SAMPLE
+            return parser.parse_sample_frames()
         return parser.parse_sample()
+    if tok.value == "DECODE":
+        return parser.parse_decode()
+    if tok.value == "RESIZE":
+        return parser.parse_resize()
     if tok.value == "DECONTAMINATE":
         return parser.parse_decontaminate()
     if tok.value == "PACK":
@@ -2871,7 +2982,8 @@ def parse(text: str) -> Statement:
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
         " SEARCH, SAMPLE, DECONTAMINATE, PACK, REDACT, CHUNK, SESSIONIZE,"
         " QUANTIZE, MIX, PROFILE, DETECT, SHARD, COMPACT, SHUFFLE, SCORE,"
-        " WEIGH, AUDIT, CALIBRATE, TOKENIZE, REFRESH, SELECT, or DROP"
+        " WEIGH, AUDIT, CALIBRATE, TOKENIZE, DECODE, RESIZE, REFRESH,"
+        " SELECT, or DROP"
     )
 
 
@@ -2881,7 +2993,7 @@ _CTE_HOST_KEYWORDS = frozenset(
         "EXPLAIN", "DEDUPLICATE", "SEARCH", "SAMPLE", "DECONTAMINATE",
         "PACK", "REDACT", "CHUNK", "SESSIONIZE", "QUANTIZE", "MIX",
         "PROFILE", "DETECT", "SHARD", "COMPACT", "SHUFFLE", "SCORE",
-        "WEIGH", "AUDIT", "CALIBRATE", "TOKENIZE",
+        "WEIGH", "AUDIT", "CALIBRATE", "TOKENIZE", "DECODE", "RESIZE",
     }
 )
 

@@ -221,6 +221,12 @@ class Engine:
             return self._tokenize(stmt)
         if isinstance(stmt, ir.DropTokenizer):
             return self._drop_tokenizer(stmt)
+        if isinstance(stmt, ir.DecodeMedia):
+            return self._decode_media(stmt)
+        if isinstance(stmt, ir.SampleFrames):
+            return self._sample_frames(stmt)
+        if isinstance(stmt, ir.ResizeMedia):
+            return self._resize_media(stmt)
         if isinstance(stmt, ir.CreateIndex):
             return self._create_index(stmt)
         if isinstance(stmt, ir.DropIndex):
@@ -929,6 +935,73 @@ class Engine:
                 pass
             self._created_storage.discard(t)
         return {"dropped": stmt.name}
+
+    # -- DECODE / SAMPLE FRAMES / RESIZE (multimodal DSL twins) ------------
+    @staticmethod
+    def _ensure_builtin_codec(codec: str) -> None:
+        """Auto-register the engine-shipped real parsers by name so a
+        DSL user can say ``USING wav`` without an API call first;
+        unknown names fall through to operators/multimodal.py's loud
+        NotImplementedError (register_codec is the plug-in point)."""
+        from declarativeml_spark.operators import multimodal as M
+
+        if codec == "wav":
+            M.register_wav_codec()
+        elif codec == "ppm":
+            M.register_ppm_codec()
+        elif codec == "y4m":
+            M.register_y4m_codec()
+
+    def _media_source(self, stmt) -> DataFrame:
+        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        for label, col in (
+            ("PAYLOAD COLUMN", stmt.payload_column),
+            ("ID COLUMN", stmt.id_column),
+        ):
+            if col not in df.columns:
+                raise ValueError(
+                    f"{type(stmt).__name__}: source has no {label} {col!r}"
+                )
+        return df
+
+    def _decode_media(self, stmt: "ir.DecodeMedia") -> DataFrame:
+        from declarativeml_spark.operators.multimodal import decode_features
+
+        self._ensure_builtin_codec(stmt.codec)
+        df = self._media_source(stmt)
+        return decode_features(
+            df,
+            payload_col=stmt.payload_column,
+            id_col=stmt.id_column,
+            codec=stmt.codec,
+        )
+
+    def _sample_frames(self, stmt: "ir.SampleFrames") -> DataFrame:
+        from declarativeml_spark.operators.multimodal import sample_frames
+
+        self._ensure_builtin_codec(stmt.codec)
+        df = self._media_source(stmt)
+        return sample_frames(
+            df,
+            payload_col=stmt.payload_column,
+            id_col=stmt.id_column,
+            every_n=stmt.every,
+            codec=stmt.codec,
+        )
+
+    def _resize_media(self, stmt: "ir.ResizeMedia") -> DataFrame:
+        from declarativeml_spark.operators.multimodal import resize_image
+
+        self._ensure_builtin_codec(stmt.codec)
+        df = self._media_source(stmt)
+        return resize_image(
+            df,
+            payload_col=stmt.payload_column,
+            width=stmt.width,
+            height=stmt.height,
+            codec=stmt.codec,
+            id_col=stmt.id_column,
+        )
 
     # -- DEDUPLICATE / SEARCH SIMILAR (beyond-parity, SURVEY §7.5) ----------
     def _deduplicate(self, stmt: ir.Deduplicate) -> DataFrame:
