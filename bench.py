@@ -118,6 +118,24 @@ def main() -> int:
             " re-measure (warm): 0.85/0.71/0.73s — full-bench cache"
             " pressure, not a code regression"
         ),
+        "tokenizer_bpe_curve": (
+            "r6 bench 4.46s flagged vs r5 3.28s after the learn path"
+            " was refactored to share code with encode; r7 isolated"
+            " re-measure (4 runs): 3.285/4.118/3.304/3.310s — median"
+            " 3.31s == the r5 number, so the refactor added NO pass to"
+            " the learn loop; the 4.46 was full-bench cache pressure"
+        ),
+        "text_language_id": (
+            "r6 bench 0.88s flagged vs r5 0.54s on untouched code"
+            " (git diff across r6 for the query and its textops/"
+            "catalog deps is empty); r7 isolated re-measure (4 runs):"
+            " 0.98/1.07/0.92/0.93s, and an SF sweep shows ~0.45s of"
+            " that is a FIXED plan-compile floor (sf0.001 0.47s /"
+            " sf0.01 0.51s / sf0.1 0.95s) — the 25-language expression"
+            " plane is Catalyst-compile-bound, so wall time moves with"
+            " host JIT state, not data; constant in SF, not a scale"
+            " problem, no code change"
+        ),
     }
     # Write the artifact BEFORE printing: a consumer that pipes stdout
     # through `head` closes the pipe after the first line, and the
