@@ -270,7 +270,9 @@ class Engine:
         ivf takes query_mod/n_probe, lsh takes threshold."""
         from declarativeml_spark.operators import dedup as D
 
-        rec = self.indexes.get(stmt.index)
+        rec = self.indexes.get(stmt.index) or self._adopt_stored_index(
+            stmt.index
+        )
         if rec is None:
             raise ValueError(
                 f"Unknown index {stmt.index!r}; build it first with"
@@ -365,6 +367,11 @@ class Engine:
         wh = ""
         if stmt.stored_as is not None:
             t = stmt.stored_as
+            if t == self.INDEX_REGISTRY_TABLE:
+                raise ValueError(
+                    f"STORED AS target {t!r} is the engine's index"
+                    " registry table — pick another name"
+                )
             storage_targets = [t] + (
                 [f"{t}_centroids"] if stmt.method == "ivf" else []
             )
@@ -468,6 +475,18 @@ class Engine:
             "owned": owned,
             "tables": tables,
         }
+        # keep the cross-session registry in step: a STORED AS index
+        # records itself (so a fresh Engine can adopt it); a rebuild
+        # that dropped a previously-stored same-name index must not
+        # leave a stale row pointing at dropped tables
+        try:
+            if stmt.stored_as is not None:
+                self._upsert_index_registry(stmt.name, stmt, tables)
+            elif (old or {}).get("tables"):
+                self._remove_index_registry(stmt.name)
+        except BaseException:
+            self._release_index(self.indexes.pop(stmt.name))
+            raise
         return self.spark.createDataFrame(
             [(stmt.name, stmt.method, stmt.source, int(n_rows))],
             "index_name string, method string, source string, indexed_rows long",
@@ -495,7 +514,9 @@ class Engine:
         from declarativeml_spark.operators import dedup as D
         from declarativeml_spark.sources.io import save_bucketed_table
 
-        rec = self.indexes.get(stmt.name)
+        rec = self.indexes.get(stmt.name) or self._adopt_stored_index(
+            stmt.name
+        )
         if rec is None:
             raise ValueError(
                 f"Unknown index {stmt.name!r}; build it first with"
@@ -714,9 +735,134 @@ class Engine:
     def _drop_index(self, stmt: "ir.DropIndex") -> dict:
         rec = self.indexes.pop(stmt.name, None)
         if rec is None:
+            # a STORED AS index from another session is droppable too:
+            # adopt it first so its tables and registry row go with it
+            try:
+                rec = self._adopt_stored_index(stmt.name)
+            except ValueError:
+                # registered but storage already gone: DROP just
+                # clears the stale registry row
+                self._remove_index_registry(stmt.name)
+                return {"dropped": stmt.name}
+            self.indexes.pop(stmt.name, None)
+        if rec is None:
             raise ValueError(f"Unknown index {stmt.name!r}")
         self._release_index(rec)
+        if rec.get("tables"):
+            self._remove_index_registry(stmt.name)
         return {"dropped": stmt.name}
+
+    # -- cross-session index registry (cold-start serving) -------------------
+    # CREATE INDEX … STORED AS persists the serving frames as bucketed
+    # tables, but the name→{method, params, tables} mapping lived only
+    # on the engine — a driver restart could read the tables yet not
+    # SERVE them. This one-row-per-index managed table closes that gap:
+    # a fresh Engine adopts a stored index on first SEARCH/REFRESH/DROP
+    # … USING INDEX <name>, probe-only, no rebuild.
+    INDEX_REGISTRY_TABLE = "declml_index_registry"
+    _INDEX_REGISTRY_SCHEMA = (
+        "index_name string, method string, source string,"
+        " source_is_identifier boolean, params string,"
+        " tables array<string>"
+    )
+
+    def _registry_rows_without(self, name: str) -> list:
+        if not self.spark.catalog.tableExists(self.INDEX_REGISTRY_TABLE):
+            return []
+        return [
+            r.asDict()
+            for r in self.spark.table(self.INDEX_REGISTRY_TABLE).collect()
+            if r.index_name != name
+        ]
+
+    def _write_index_registry(self, rows: list) -> None:
+        if not self.spark.catalog.tableExists(self.INDEX_REGISTRY_TABLE):
+            # an orphaned warehouse location (a previous catalog's
+            # registry — e.g. a fresh in-memory metastore over a
+            # shared warehouse dir) is stale by construction: nothing
+            # it points to is registered in THIS catalog. Clean it the
+            # way _create_index cleans orphaned index locations.
+            import os
+            import shutil
+
+            loc = os.path.join(
+                self._warehouse_path(), self.INDEX_REGISTRY_TABLE
+            )
+            if os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+        self.spark.createDataFrame(
+            rows, schema=self._INDEX_REGISTRY_SCHEMA
+        ).write.mode("overwrite").saveAsTable(self.INDEX_REGISTRY_TABLE)
+
+    def _upsert_index_registry(
+        self, name: str, stmt: "ir.CreateIndex", tables: list
+    ) -> None:
+        import json as _json
+
+        rows = self._registry_rows_without(name)
+        rows.append(
+            {
+                "index_name": name,
+                "method": stmt.method,
+                "source": stmt.source,
+                "source_is_identifier": stmt.source_is_identifier,
+                "params": _json.dumps(dict(stmt.params), sort_keys=True),
+                "tables": list(tables),
+            }
+        )
+        self._write_index_registry(rows)
+
+    def _remove_index_registry(self, name: str) -> None:
+        if not self.spark.catalog.tableExists(self.INDEX_REGISTRY_TABLE):
+            return
+        self._write_index_registry(self._registry_rows_without(name))
+
+    def _adopt_stored_index(self, name: str) -> Optional[dict]:
+        """Reconstruct a STORED AS index record from the registry and
+        its bucketed tables (any session's). Returns None when the
+        registry has no row for ``name``; raises when the row exists
+        but its storage is gone (a failed rebuild or out-of-band drop
+        — CREATE INDEX rebuilds it)."""
+        import json as _json
+
+        if not self.spark.catalog.tableExists(self.INDEX_REGISTRY_TABLE):
+            return None
+        rows = [
+            r
+            for r in self.spark.table(self.INDEX_REGISTRY_TABLE).collect()
+            if r.index_name == name
+        ]
+        if not rows:
+            return None
+        row = rows[0]
+        tables = list(row.tables)
+        missing = [
+            t for t in tables if not self.spark.catalog.tableExists(t)
+        ]
+        if missing:
+            raise ValueError(
+                f"Index {name!r} is registered but its storage table(s)"
+                f" {', '.join(missing)} are gone (failed rebuild or"
+                " dropped out of band) — CREATE INDEX to rebuild"
+            )
+        if row.method == "ivf":
+            frames = {
+                "corpus": self.spark.table(tables[0]),
+                "cents": self.spark.table(tables[1]),
+            }
+        else:
+            frames = {"keyed": self.spark.table(tables[0])}
+        rec = {
+            "method": row.method,
+            "source": row.source,
+            "source_is_identifier": bool(row.source_is_identifier),
+            "params": _json.loads(row.params),
+            "frames": frames,
+            "owned": [],  # serves straight from the tables: no caches
+            "tables": tables,
+        }
+        self.indexes[name] = rec
+        return rec
 
     # -- TRAIN TOKENIZER (beyond-parity, SURVEY §2.11) -----------------------
     def _warehouse_path(self) -> str:
