@@ -1708,18 +1708,26 @@ class Engine:
                 self.spark, model, meta["features"], base=self.model_dir
             )
         # compare_models
-        models = need("models")
+        models = kw.pop("models", None)
+        trials_agent = kw.pop("trials", None)
         source = need("test_data")
         primary = need("primary_metric")
         self._reject_extra_args(stmt.func, kw)
-        if not isinstance(models, (list, tuple)) or not models:
+        if models is None and trials_agent is None:
+            raise ValueError(
+                "compare_models needs models := ARRAY['m1', 'm2', …]"
+                " and/or trials := 'tuner_agent'"
+            )
+        if models is not None and (
+            not isinstance(models, (list, tuple)) or not models
+        ):
             raise ValueError(
                 "compare_models needs models := ARRAY['m1', 'm2', …]"
             )
         df = resolve_source(self.spark, source, True)
         specs = []
         frames = {}
-        for m in models:
+        for m in models or ():
             meta = self._model_meta(m)
             if meta is None:
                 raise ValueError(f"No registered model named {m!r}")
@@ -1731,8 +1739,58 @@ class Engine:
                 }
             )
             frames[m] = build_features(df, meta["features"]).df
+        # trials := 'agent' ranks the tuner's RECORDED search alongside
+        # the models on the same surface (one ranked table, one primary
+        # metric). Trial values come from the recorded search split —
+        # the trial models themselves are not persisted, so they cannot
+        # be re-evaluated on test_data; the name marks them as trials.
+        extra = []
+        ascending = None
+        if trials_agent is not None:
+            from declarativeml_spark.ml.models import trial_log_read
+
+            rec = trial_log_read(trials_agent, base=self.model_dir)
+            if rec is None:
+                raise ValueError(
+                    f"No recorded search for tuner agent {trials_agent!r}"
+                    " — run the tuner first"
+                )
+            if rec["metric"] != primary:
+                raise ValueError(
+                    f"Tuner {trials_agent!r} recorded metric"
+                    f" {rec['metric']!r}, not {primary!r} — compare on"
+                    " the recorded metric"
+                )
+            if rec.get("maximize") is not None:
+                rec_asc = not bool(rec["maximize"])
+                heuristic_asc = primary in {"rmse", "mse", "mae"}
+                if specs and rec_asc != heuristic_asc:
+                    raise ValueError(
+                        f"Tuner {trials_agent!r} ranks {primary!r}"
+                        f" {'ascending' if rec_asc else 'descending'} but"
+                        " model comparison ranks it"
+                        f" {'ascending' if heuristic_asc else 'descending'}"
+                        " — rank trials alone or pick a consistent metric"
+                    )
+                ascending = rec_asc
+            for t in rec["trials"]:
+                val = float(t[rec["metric"]])
+                extra.append(
+                    (
+                        f"{trials_agent}/trial{int(t['trial'])}",
+                        rec["method"],
+                        val,
+                        {rec["metric"]: val},
+                    )
+                )
         return E.compare_models(
-            self.spark, specs, frames, primary, base=self.model_dir
+            self.spark,
+            specs,
+            frames,
+            primary,
+            base=self.model_dir,
+            extra_rows=extra,
+            ascending=ascending,
         )
 
     @staticmethod

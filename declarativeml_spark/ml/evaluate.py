@@ -74,11 +74,19 @@ def compare_models(
     test_df: DataFrame,
     primary_metric: str,
     base: Optional[str] = None,
+    extra_rows: Optional[list] = None,
+    ascending: Optional[bool] = None,
 ) -> DataFrame:
     """DSL.md:228-233 ``compare_models``: one row per model, ranked by
     the primary metric (descending for higher-better, ascending for
-    error metrics)."""
-    rows = []
+    error metrics — or an explicit ``ascending`` when the caller knows
+    the search direction, e.g. from a tuner's recorded log).
+
+    ``extra_rows`` lets pre-measured entries rank on the same surface:
+    each is ``(name, algorithm, value, metrics_dict)`` — used by the
+    engine to rank a tuner agent's recorded trials alongside
+    registered models."""
+    rows = list(extra_rows or [])
     for spec in model_specs:
         m = evaluate_model(
             spark,
@@ -91,7 +99,8 @@ def compare_models(
             base=base,
         )
         rows.append((spec["name"], spec["algorithm"], float(m.get(primary_metric, float("nan"))), m))
-    ascending = primary_metric in {"rmse", "mse", "mae"}
+    if ascending is None:
+        ascending = primary_metric in {"rmse", "mse", "mae"}
     # NaN keys (a model that lacks the primary metric, or a typo'd
     # metric name) violate sort-comparison consistency and could land
     # anywhere — rank the measurable models, append the rest last

@@ -258,3 +258,63 @@ def test_tuning_trials_minimize_ranking_survives_fresh_session(
     vals = [r.rmse for r in audit]
     assert vals == sorted(vals)  # MINIMIZE: ascending by rank
     assert audit[0].best
+
+
+def test_compare_models_ranks_trials(engine, spark):
+    """Trials surface through compare_models (the DSL.md:215-233
+    inspection family): trials := 'agent' ranks the recorded search
+    on the same ranked-table surface as registered models."""
+    # depends on test_tuner_end_to_end_beats_default's tuner; rebuild
+    # if this test runs alone
+    if "stump_tuner" not in engine.tuners:
+        engine.execute(
+            "TRAIN MODEL tuned_clf USING decision_tree(max_depth=1, seed=7) "
+            "FROM orders_tuner PREDICT expensive WITH FEATURES(o_totalprice) "
+            "SPLIT DATA training=0.8, test=0.2 OPTIMIZE FOR f1"
+        )
+        engine.execute(
+            "CREATE AGENT stump_tuner FOR MODEL tuned_clf"
+            " OPTIMIZE USING grid_search"
+            " SEARCH SPACE {'max_depth': choice([1, 2, 3, 4, 5])}"
+            " MAXIMIZE f1 WITH BUDGET 4 trials PARALLEL EXECUTION 2 workers"
+        )
+        engine.run_tuner("stump_tuner")
+    # trials alone
+    ranked = engine.execute(
+        "SELECT compare_models(trials := 'stump_tuner',"
+        " test_data := 'orders_tuner', primary_metric := 'f1')"
+    ).orderBy("rank").collect()
+    assert len(ranked) == 4
+    assert all(r.model.startswith("stump_tuner/trial") for r in ranked)
+    vals = [r.f1 for r in ranked]
+    assert vals == sorted(vals, reverse=True)  # MAXIMIZE: best first
+    # mixed: the tuned model and the trials rank on one surface
+    mixed = engine.execute(
+        "SELECT compare_models(models := ARRAY['tuned_clf'],"
+        " trials := 'stump_tuner', test_data := 'orders_tuner',"
+        " primary_metric := 'f1')"
+    ).orderBy("rank").collect()
+    assert len(mixed) == 5
+    assert {r.model for r in mixed} == {"tuned_clf"} | {
+        r.model for r in ranked
+    }
+    mvals = [r.f1 for r in mixed]
+    assert mvals == sorted(mvals, reverse=True)
+
+
+def test_compare_models_trials_error_paths(engine):
+    with pytest.raises(ValueError, match="No recorded search"):
+        engine.execute(
+            "SELECT compare_models(trials := 'nope',"
+            " test_data := 'orders_tuner', primary_metric := 'f1')"
+        )
+    with pytest.raises(ValueError, match="recorded metric"):
+        engine.execute(
+            "SELECT compare_models(trials := 'stump_tuner',"
+            " test_data := 'orders_tuner', primary_metric := 'accuracy')"
+        )
+    with pytest.raises(ValueError, match="needs models"):
+        engine.execute(
+            "SELECT compare_models(test_data := 'orders_tuner',"
+            " primary_metric := 'f1')"
+        )
