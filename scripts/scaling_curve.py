@@ -46,6 +46,12 @@ QUERIES = [
     "text_tfidf_top_terms",
     "knn_graph_triangles",
     "decontam_semantic_overlap",
+    # r6/r7 families: tokenizer apply (codegen fold chain), the three
+    # real codecs through the Arrow mapInPandas path
+    "tokenizer_bpe_encode",
+    "multimodal_wav_features",
+    "multimodal_ppm_stats",
+    "multimodal_y4m_frames",
 ]
 
 

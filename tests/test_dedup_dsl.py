@@ -907,3 +907,40 @@ def test_tokenizer_retrain_syncs_stored_table(engine, spark):
     assert session_rules == v45
     engine.execute("DROP TOKENIZER bpe_sync")
     assert not spark.catalog.tableExists("sync_tbl")
+
+
+def test_refresh_index_exchange_count_stays_flat(engine, spark, smoke_dir):
+    """The scale property REFRESH INDEX exists for: as the index GROWS
+    across refreshes, the search plan's shuffle structure must not
+    degrade — same Exchange count at 1/3, 2/3, and full size, and
+    never an Exchange below the candidate join (the bucketed append
+    preserves co-location)."""
+    counts = []
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.sql(
+            "SELECT * FROM embeddings WHERE vec_id % 3 = 0"
+        ).createOrReplaceTempView("emb_flat")
+        engine.execute(
+            "CREATE INDEX emb_flat_ix ON emb_flat USING lsh"
+            " STORED AS emb_flat_tbl"
+        )
+        for stage, pred in enumerate(("vec_id % 3 <= 1", "TRUE"), start=1):
+            spark.sql(
+                f"SELECT * FROM embeddings WHERE {pred}"
+            ).createOrReplaceTempView("emb_flat")
+            grew = engine.execute("REFRESH INDEX emb_flat_ix").collect()[0]
+            assert grew.new_rows > 0, f"stage {stage} added nothing"
+            probe = engine.execute(
+                "SEARCH SIMILAR USING INDEX emb_flat_ix(threshold=1.15)"
+            )
+            probe.count()
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan.split("SortMergeJoin", 1)[1], plan
+            counts.append(plan.count("Exchange"))
+        assert len(set(counts)) == 1, f"exchange count drifted: {counts}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        engine.execute("DROP INDEX emb_flat_ix")
