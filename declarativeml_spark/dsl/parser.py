@@ -79,6 +79,9 @@ Statement = Union[
     ir.TrainTokenizer,
     ir.Tokenize,
     ir.DropTokenizer,
+    ir.DecodeMedia,
+    ir.SampleFrames,
+    ir.ResizeMedia,
     ir.CreateIndex,
     ir.DropIndex,
     ir.RefreshIndex,

@@ -482,7 +482,12 @@ class Engine:
         try:
             if stmt.stored_as is not None:
                 self._upsert_index_registry(stmt.name, stmt, tables)
-            elif (old or {}).get("tables"):
+            else:
+                # a non-stored rebuild must clear ANY same-name row —
+                # including a prior SESSION's (old is None then): the
+                # in-memory index shadows it now, and leaving the row
+                # would resurrect the stale stored snapshot after the
+                # next restart. No-op when no row exists.
                 self._remove_index_registry(stmt.name)
         except BaseException:
             self._release_index(self.indexes.pop(stmt.name))
@@ -740,16 +745,35 @@ class Engine:
             try:
                 rec = self._adopt_stored_index(stmt.name)
             except ValueError:
-                # registered but storage already gone: DROP just
-                # clears the stale registry row
+                # registered but storage partially gone: DROP reclaims
+                # everything — surviving tables, warehouse dirs, and
+                # the stale registry row — so the names are reusable
+                import os
+                import shutil
+
+                wh = self._warehouse_path()
+                for row in self._read_index_registry() or []:
+                    if row["index_name"] != stmt.name:
+                        continue
+                    for t in row["tables"]:
+                        try:
+                            self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+                        except Exception:  # noqa: BLE001 — best effort
+                            pass
+                        shutil.rmtree(
+                            os.path.join(wh, t.lower()), ignore_errors=True
+                        )
+                        self._created_storage.discard(t)
                 self._remove_index_registry(stmt.name)
                 return {"dropped": stmt.name}
             self.indexes.pop(stmt.name, None)
         if rec is None:
             raise ValueError(f"Unknown index {stmt.name!r}")
         self._release_index(rec)
-        if rec.get("tables"):
-            self._remove_index_registry(stmt.name)
+        # clear any registry row unconditionally: a session-only index
+        # can shadow a prior session's STORED row of the same name, and
+        # DROP must not let that row resurrect the stale snapshot
+        self._remove_index_registry(stmt.name)
         return {"dropped": stmt.name}
 
     # -- cross-session index registry (cold-start serving) -------------------
@@ -766,17 +790,42 @@ class Engine:
         " tables array<string>"
     )
 
-    def _registry_rows_without(self, name: str) -> list:
+    _INDEX_REGISTRY_COLUMNS = frozenset(
+        {
+            "index_name",
+            "method",
+            "source",
+            "source_is_identifier",
+            "params",
+            "tables",
+        }
+    )
+
+    def _read_index_registry(self) -> Optional[list]:
+        """All registry rows, or None when no registry table exists.
+        A same-named table with a FOREIGN shape is never read as (or
+        overwritten by) the registry — same never-clobber-user-data
+        discipline as the STORED AS target checks."""
         if not self.spark.catalog.tableExists(self.INDEX_REGISTRY_TABLE):
-            return []
+            return None
+        reg = self.spark.table(self.INDEX_REGISTRY_TABLE)
+        if set(reg.columns) != self._INDEX_REGISTRY_COLUMNS:
+            raise ValueError(
+                f"Table {self.INDEX_REGISTRY_TABLE!r} exists but is not"
+                " the engine's index registry (columns"
+                f" {sorted(reg.columns)}) — rename or drop it"
+            )
+        return [r.asDict() for r in reg.collect()]
+
+    def _registry_rows_without(self, name: str) -> list:
         return [
-            r.asDict()
-            for r in self.spark.table(self.INDEX_REGISTRY_TABLE).collect()
-            if r.index_name != name
+            r
+            for r in (self._read_index_registry() or [])
+            if r["index_name"] != name
         ]
 
     def _write_index_registry(self, rows: list) -> None:
-        if not self.spark.catalog.tableExists(self.INDEX_REGISTRY_TABLE):
+        if self._read_index_registry() is None:
             # an orphaned warehouse location (a previous catalog's
             # registry — e.g. a fresh in-memory metastore over a
             # shared warehouse dir) is stale by construction: nothing
@@ -813,9 +862,12 @@ class Engine:
         self._write_index_registry(rows)
 
     def _remove_index_registry(self, name: str) -> None:
-        if not self.spark.catalog.tableExists(self.INDEX_REGISTRY_TABLE):
+        rows = self._read_index_registry()
+        if rows is None:
             return
-        self._write_index_registry(self._registry_rows_without(name))
+        kept = [r for r in rows if r["index_name"] != name]
+        if len(kept) != len(rows):  # rewrite only when a row existed
+            self._write_index_registry(kept)
 
     def _adopt_stored_index(self, name: str) -> Optional[dict]:
         """Reconstruct a STORED AS index record from the registry and
@@ -825,17 +877,15 @@ class Engine:
         — CREATE INDEX rebuilds it)."""
         import json as _json
 
-        if not self.spark.catalog.tableExists(self.INDEX_REGISTRY_TABLE):
-            return None
         rows = [
             r
-            for r in self.spark.table(self.INDEX_REGISTRY_TABLE).collect()
-            if r.index_name == name
+            for r in (self._read_index_registry() or [])
+            if r["index_name"] == name
         ]
         if not rows:
             return None
         row = rows[0]
-        tables = list(row.tables)
+        tables = list(row["tables"])
         missing = [
             t for t in tables if not self.spark.catalog.tableExists(t)
         ]
@@ -845,7 +895,7 @@ class Engine:
                 f" {', '.join(missing)} are gone (failed rebuild or"
                 " dropped out of band) — CREATE INDEX to rebuild"
             )
-        if row.method == "ivf":
+        if row["method"] == "ivf":
             frames = {
                 "corpus": self.spark.table(tables[0]),
                 "cents": self.spark.table(tables[1]),
@@ -853,10 +903,10 @@ class Engine:
         else:
             frames = {"keyed": self.spark.table(tables[0])}
         rec = {
-            "method": row.method,
-            "source": row.source,
-            "source_is_identifier": bool(row.source_is_identifier),
-            "params": _json.loads(row.params),
+            "method": row["method"],
+            "source": row["source"],
+            "source_is_identifier": bool(row["source_is_identifier"]),
+            "params": _json.loads(row["params"]),
             "frames": frames,
             "owned": [],  # serves straight from the tables: no caches
             "tables": tables,
@@ -900,6 +950,11 @@ class Engine:
         # touched — a failing statement leaves the working one intact
         if stmt.stored_as is not None:
             t = stmt.stored_as
+            if t == self.INDEX_REGISTRY_TABLE:
+                raise ValueError(
+                    f"STORED AS target {t!r} is the engine's index"
+                    " registry table — pick another name"
+                )
             index_owned = {
                 tbl: nm
                 for nm, rec in self.indexes.items()

@@ -279,6 +279,10 @@ def sample_frames(
     shuffle; frame rows are emitted where the blob already lives, so
     a downstream per-frame feature step chains map-to-map.
     """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    if frame_bytes < 1:
+        raise ValueError(f"frame_bytes must be >= 1, got {frame_bytes}")
     if codec == "y4m":
         register_y4m_codec()  # idempotent convenience
     _require_codec(codec, "sample_frames")
@@ -732,9 +736,21 @@ def _parse_y4m_header(payload: bytes) -> tuple:
             if fps_num < 1 or fps_den < 1:
                 raise ValueError(f"bad Y4M frame rate {val!r}")
         elif tag == "C":
+            # EXACT 8-bit colorspace names only: a lax prefix match
+            # would read C420p10 / C444alpha (16-bit / 4-plane frames)
+            # with 8-bit 3-plane geometry and then fail mid-stream
+            # with a misleading FRAME-marker error
             cs = val.lower()
-            key = "mono" if cs.startswith("mono") else cs[:3]
-            if key not in _Y4M_CHROMA:
+            key = {
+                "420": "420",
+                "420jpeg": "420",
+                "420paldv": "420",
+                "420mpeg2": "420",
+                "422": "422",
+                "444": "444",
+                "mono": "mono",
+            }.get(cs)
+            if key is None:
                 raise ValueError(f"unsupported Y4M colorspace C{val}")
             colorspace = key
         elif tag in ("I", "A", "X"):

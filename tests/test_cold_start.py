@@ -158,3 +158,111 @@ def test_cold_drop_adopted_index_clears_registry(warm, spark, smoke_dir):
     # the warm engine's in-memory record is now stale by design (the
     # storage was dropped by another session) — clean it up
     warm.indexes.pop("cold_tmp", None)
+
+
+def test_drop_session_only_index_kills_stale_registry_row(
+    warm, spark, smoke_dir
+):
+    """A session-only index shadowing a prior session's STORED row:
+    DROP must clear the row too, or the dropped index resurrects as
+    the stale stored snapshot on the next SEARCH."""
+    warm.execute(
+        "CREATE INDEX cold_shadow ON embeddings USING lsh"
+        " STORED AS cold_shadow_tbl"
+    )
+    s2 = spark.newSession()
+    register_views(s2, smoke_dir)
+    e2 = Engine(s2)
+    # session-only rebuild of the same name (old is None here), then drop
+    e2.execute("CREATE INDEX cold_shadow ON embeddings USING lsh")
+    e2.execute("DROP INDEX cold_shadow")
+    with pytest.raises(ValueError, match="Unknown index"):
+        e2.execute("SEARCH SIMILAR USING INDEX cold_shadow")
+    warm.indexes.pop("cold_shadow", None)
+    # the non-stored rebuild above already cleared the registry row;
+    # its tables were dropped by the rebuild's same-name release in
+    # session 2? No — session 2 never owned them; reclaim explicitly.
+    for t in ("cold_shadow_tbl",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_nonstored_rebuild_clears_prior_session_registry_row(
+    warm, spark, smoke_dir
+):
+    """CREATE INDEX (no STORED AS) over a name another session stored:
+    the registry row must go (the in-memory index shadows it), so a
+    restart sees Unknown index, not the stale snapshot."""
+    warm.execute(
+        "CREATE INDEX cold_nsr ON embeddings USING lsh STORED AS cold_nsr_tbl"
+    )
+    s2 = spark.newSession()
+    register_views(s2, smoke_dir)
+    e2 = Engine(s2)
+    e2.execute("CREATE INDEX cold_nsr ON embeddings USING lsh")
+    s3 = spark.newSession()
+    e3 = Engine(s3)
+    with pytest.raises(ValueError, match="Unknown index"):
+        e3.execute("SEARCH SIMILAR USING INDEX cold_nsr")
+    e2.execute("DROP INDEX cold_nsr")
+    warm.indexes.pop("cold_nsr", None)
+    spark.sql("DROP TABLE IF EXISTS cold_nsr_tbl")
+
+
+def test_drop_broken_index_reclaims_surviving_storage(
+    warm, spark, smoke_dir
+):
+    """An ivf index whose centroids table was dropped out of band:
+    DROP INDEX must reclaim the SURVIVING table and the registry row,
+    so the names are immediately reusable by a new CREATE INDEX."""
+    warm.execute(
+        "CREATE INDEX cold_broken ON embeddings USING ivf(n_cells=4)"
+        " STORED AS cold_broken_tbl"
+    )
+    spark.sql("DROP TABLE cold_broken_tbl_centroids")
+    s2 = spark.newSession()
+    register_views(s2, smoke_dir)
+    e2 = Engine(s2)
+    assert e2.execute("DROP INDEX cold_broken") == {"dropped": "cold_broken"}
+    assert not s2.catalog.tableExists("cold_broken_tbl")
+    warm.indexes.pop("cold_broken", None)
+    # the names are reusable right away — this failed before the fix
+    # with "already exists and does not belong to index"
+    e2.execute(
+        "CREATE INDEX cold_broken ON embeddings USING ivf(n_cells=4)"
+        " STORED AS cold_broken_tbl"
+    )
+    e2.execute("DROP INDEX cold_broken")
+
+
+def test_foreign_registry_table_is_never_clobbered(warm, spark, smoke_dir):
+    """A user table occupying the registry name: every registry path
+    must fail loudly with the rename instruction, never overwrite.
+    (The registry name is overridden per-instance so the suite's live
+    registry is untouched.)"""
+    s2 = spark.newSession()
+    register_views(s2, smoke_dir)
+    e2 = Engine(s2)
+    e2.INDEX_REGISTRY_TABLE = "cold_foreign_reg"  # instance shadows class
+    s2.createDataFrame([(1, "keep")], "a int, b string").write.mode(
+        "overwrite"
+    ).saveAsTable("cold_foreign_reg")
+    try:
+        with pytest.raises(
+            ValueError, match="not the engine's index registry"
+        ):
+            e2.execute(
+                "CREATE INDEX cold_foreign ON embeddings USING lsh"
+                " STORED AS cold_foreign_tbl"
+            )
+        # adoption paths fail the same way, and the table survives
+        with pytest.raises(
+            ValueError, match="not the engine's index registry"
+        ):
+            e2.execute("SEARCH SIMILAR USING INDEX anything_at_all")
+        assert [tuple(r) for r in s2.table("cold_foreign_reg").collect()] == [
+            (1, "keep")
+        ]
+    finally:
+        e2.indexes.pop("cold_foreign", None)
+        s2.sql("DROP TABLE IF EXISTS cold_foreign_reg")
+        s2.sql("DROP TABLE IF EXISTS cold_foreign_tbl")

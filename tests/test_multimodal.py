@@ -392,3 +392,28 @@ def test_y4m_round_trip_through_arrow_path(spark, smoke_dir):
         feats = decode_y4m(payloads[mid])
         assert feats[0:2] == [4, 2] and feats[4] == n_frames
         assert feats[5] == sum(padded)
+
+
+def test_y4m_rejects_high_bit_depth_colorspaces():
+    """C420p10 / C444alpha etc. have different frame geometry — a lax
+    prefix match would mis-walk the stream; they must be rejected at
+    the header, loudly."""
+    from declarativeml_spark.operators.multimodal import decode_y4m
+
+    for cs in ("420p10", "422p12", "444alpha", "420p16"):
+        with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+            decode_y4m(f"YUV4MPEG2 W2 H2 C{cs}\nFRAME\n".encode())
+    # mono variants beyond plain 'mono' are also geometry changes
+    with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 Cmono12\nFRAME\n")
+
+
+def test_sample_frames_validates_stride(spark, smoke_dir):
+    docs = load_table(spark, smoke_dir, "documents").limit(2)
+    media = attach_fake_media(docs)
+    with pytest.raises(ValueError, match="every_n"):
+        sample_frames(media, every_n=0)
+    with pytest.raises(ValueError, match="every_n"):
+        sample_frames(media, every_n=-3)
+    with pytest.raises(ValueError, match="frame_bytes"):
+        sample_frames(media, every_n=2, frame_bytes=0)
