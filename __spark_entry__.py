@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = (
     # (1) round-7 additions (never driver-checked)
     "multimodal_y4m_frames",
+    "multimodal_ppm_resize_stats",
     # (2) stalest cohort: last green in CORRECTNESS_r03 (31)
     "approx_distinct_parts",
     "asof_last_view_before_purchase",

@@ -357,3 +357,76 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     y4m = synth_y4m_from_text(docs, "text", "doc_id")
     return y4m_frame_stats(y4m, every_n=_Y4M_EVERY_N)
+
+
+# resample geometry shared by the Spark path and the oracle: resizing
+# the 8-wide synth image to 4x2 picks source pixel (ys[i], xs[j]) with
+# xs[j] = 2j+1 and ys[i] = ((2i+1)*h0)//4 (nearest neighbor, matching
+# operators/multimodal.py::resize_ppm's (i+0.5)*src/dst rule, which
+# needs no clamp here since (2i+1)/4 < 1 for i in {0,1})
+_PPM_RESIZE_ORACLE = """
+WITH base AS (
+    SELECT doc_id, text,
+           GREATEST(8, CAST(ceil(length(text) / 8.0) * 8 AS BIGINT))
+               AS n_pix
+    FROM documents
+),
+px AS (
+    SELECT doc_id,
+           list_transform(
+               range(8),
+               k -> CASE WHEN (((2 * (k // 4) + 1) * (n_pix // 8)) // 4) * 8
+                              + (2 * (k % 4) + 1) < length(text)
+                         THEN ascii(substr(text,
+                              CAST((((2 * (k // 4) + 1) * (n_pix // 8)) // 4)
+                                   * 8 + (2 * (k % 4) + 1) + 1 AS INT), 1))
+                         ELSE 0 END) AS b
+    FROM base
+)
+SELECT doc_id AS media_id,
+       CAST(4 AS BIGINT) AS width,
+       CAST(2 AS BIGINT) AS height,
+       CAST(list_sum(b) AS BIGINT) AS sum_r,
+       CAST(255 * 8 - list_sum(b) AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(b, v -> (v * 7) % 256)) AS BIGINT)
+           AS sum_b
+FROM px
+"""
+
+
+@query("multimodal_ppm_resize_stats", oracle=_PPM_RESIZE_ORACLE)
+def multimodal_ppm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle coverage for the RESIZE path (previously pytest-only):
+    every document's synth P6 image (8 px wide, channels
+    (b, 255−b, 7b mod 256)) is nearest-neighbor-resampled to 4×2 by
+    the real resizer (operators/multimodal.py::resize_ppm — one
+    header scan, one numpy fancy-index) and decoded back; the oracle
+    computes the 8 surviving source pixels' channel sums from the
+    text alone, so an off-by-one in the resample index rule, a
+    header re-encode bug, or a channel interleave slip hash-fails.
+
+    Scale: synth → resize → decode chain is three map-only
+    mapInPandas stages, zero shuffles; payloads never leave the
+    executor (6 longs per image cross the Python boundary).
+    """
+    from declarativeml_spark.operators.multimodal import (
+        decode_features,
+        register_ppm_codec,
+        resize_image,
+        synth_ppm_from_text,
+    )
+    from pyspark.sql import functions as F
+
+    register_ppm_codec()
+    docs = load_table(spark, sf_dir, "documents")
+    ppm = synth_ppm_from_text(docs, "text", "doc_id", width=8)
+    small = resize_image(ppm, width=4, height=2, codec="ppm")
+    feats = decode_features(small, codec="ppm")
+    return feats.select(
+        "media_id",
+        F.col("features")[0].alias("width"),
+        F.col("features")[1].alias("height"),
+        F.col("features")[3].alias("sum_r"),
+        F.col("features")[4].alias("sum_g"),
+        F.col("features")[5].alias("sum_b"),
+    )
