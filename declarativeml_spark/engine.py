@@ -20,6 +20,13 @@ from declarativeml_spark.ml.training import TrainedModel, train
 from declarativeml_spark.plans.builder import resolve_source
 
 
+class ForeignRegistryTableError(ValueError):
+    """A table occupies the index-registry name but is not the
+    registry (wrong schema). Raised instead of reading or overwriting
+    it; paths that merely WOULD have consulted the registry (session
+    -only drops/rebuilds) treat it as 'no registry exists'."""
+
+
 class Engine:
     def __init__(self, spark: SparkSession, model_dir: Optional[str] = None):
         self.spark = spark
@@ -453,15 +460,17 @@ class Engine:
             # INDEX) nor leak partially-written storage or adopted
             # caches
             caching.release_all(caching.adopt_since(mark))
-            for target in storage_targets:
+            # empty shape sets: these names are this statement's own
+            # (validated above), reclaim unconditionally
+            self._reclaim_storage({t: set() for t in storage_targets})
+            if stmt.stored_as is not None:
+                # the same-name index (and its tables) was released
+                # before the build — a surviving registry row would
+                # point at dropped tables and poison later adoption
                 try:
-                    self.spark.sql(f"DROP TABLE IF EXISTS {target}")
-                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    self._remove_index_registry(stmt.name)
+                except Exception:  # noqa: BLE001 — keep the build error
                     pass
-                shutil.rmtree(
-                    os.path.join(wh, target.lower()), ignore_errors=True
-                )
-                self._created_storage.discard(target)
             raise
         old = self.indexes.pop(stmt.name, None)
         if old is not None:
@@ -487,8 +496,11 @@ class Engine:
                 # including a prior SESSION's (old is None then): the
                 # in-memory index shadows it now, and leaving the row
                 # would resurrect the stale stored snapshot after the
-                # next restart. No-op when no row exists.
-                self._remove_index_registry(stmt.name)
+                # next restart. The row's now-ownerless stored tables
+                # are reclaimed with it (shape-guarded), or they would
+                # leak in the warehouse with no DSL path left to free
+                # them. No-op when no row (or no real registry) exists.
+                self._reclaim_registry_row(stmt.name)
         except BaseException:
             self._release_index(self.indexes.pop(stmt.name))
             raise
@@ -744,27 +756,14 @@ class Engine:
             # adopt it first so its tables and registry row go with it
             try:
                 rec = self._adopt_stored_index(stmt.name)
+            except ForeignRegistryTableError:
+                raise  # a user table blocks the registry: say so
             except ValueError:
                 # registered but storage partially gone: DROP reclaims
-                # everything — surviving tables, warehouse dirs, and
-                # the stale registry row — so the names are reusable
-                import os
-                import shutil
-
-                wh = self._warehouse_path()
-                for row in self._read_index_registry() or []:
-                    if row["index_name"] != stmt.name:
-                        continue
-                    for t in row["tables"]:
-                        try:
-                            self.spark.sql(f"DROP TABLE IF EXISTS {t}")
-                        except Exception:  # noqa: BLE001 — best effort
-                            pass
-                        shutil.rmtree(
-                            os.path.join(wh, t.lower()), ignore_errors=True
-                        )
-                        self._created_storage.discard(t)
-                self._remove_index_registry(stmt.name)
+                # what survives (shape-guarded — a user table merely
+                # reusing a freed name is never dropped) plus the
+                # stale registry row, so the names are reusable
+                self._reclaim_registry_row(stmt.name)
                 return {"dropped": stmt.name}
             self.indexes.pop(stmt.name, None)
         if rec is None:
@@ -790,16 +789,16 @@ class Engine:
         " tables array<string>"
     )
 
-    _INDEX_REGISTRY_COLUMNS = frozenset(
-        {
-            "index_name",
-            "method",
-            "source",
-            "source_is_identifier",
-            "params",
-            "tables",
-        }
-    )
+    # full dtype map, not just names: a user table with the same six
+    # column NAMES but different types must not pass as the registry
+    _INDEX_REGISTRY_DTYPES = {
+        "index_name": "string",
+        "method": "string",
+        "source": "string",
+        "source_is_identifier": "boolean",
+        "params": "string",
+        "tables": "array<string>",
+    }
 
     def _read_index_registry(self) -> Optional[list]:
         """All registry rows, or None when no registry table exists.
@@ -809,11 +808,11 @@ class Engine:
         if not self.spark.catalog.tableExists(self.INDEX_REGISTRY_TABLE):
             return None
         reg = self.spark.table(self.INDEX_REGISTRY_TABLE)
-        if set(reg.columns) != self._INDEX_REGISTRY_COLUMNS:
-            raise ValueError(
+        if dict(reg.dtypes) != self._INDEX_REGISTRY_DTYPES:
+            raise ForeignRegistryTableError(
                 f"Table {self.INDEX_REGISTRY_TABLE!r} exists but is not"
-                " the engine's index registry (columns"
-                f" {sorted(reg.columns)}) — rename or drop it"
+                " the engine's index registry (schema"
+                f" {sorted(reg.dtypes)}) — rename or drop it"
             )
         return [r.asDict() for r in reg.collect()]
 
@@ -825,7 +824,9 @@ class Engine:
         ]
 
     def _write_index_registry(self, rows: list) -> None:
-        if self._read_index_registry() is None:
+        # callers have already read (and so shape-validated) the
+        # registry; only the existence check remains
+        if not self.spark.catalog.tableExists(self.INDEX_REGISTRY_TABLE):
             # an orphaned warehouse location (a previous catalog's
             # registry — e.g. a fresh in-memory metastore over a
             # shared warehouse dir) is stale by construction: nothing
@@ -842,6 +843,67 @@ class Engine:
         self.spark.createDataFrame(
             rows, schema=self._INDEX_REGISTRY_SCHEMA
         ).write.mode("overwrite").saveAsTable(self.INDEX_REGISTRY_TABLE)
+
+    @staticmethod
+    def _index_table_shapes(method: str, tables: list) -> dict:
+        """Map each of an index's storage tables to the column subset
+        that marks it as index storage (the reclaim guard: a table
+        whose live shape lacks these is presumed USER data that merely
+        reuses the name, and is never dropped)."""
+        shapes: dict = {}
+        if not tables:
+            return shapes
+        if method == "ivf":
+            shapes[tables[0]] = {"cell"}  # bucketed corpus
+            if len(tables) > 1:
+                shapes[tables[1]] = {"cell"}  # centroid table
+        else:  # lsh keyed bucket table
+            shapes[tables[0]] = {"tbl", "bkey"}
+        return shapes
+
+    def _reclaim_storage(self, shapes: dict) -> list:
+        """DROP tables + their warehouse dirs and release session
+        ownership. ``shapes`` maps table → required column subset; a
+        LIVE table missing those columns is skipped (never clobber
+        presumed user data — an empty set always reclaims, for tables
+        this statement itself just wrote). Returns the skipped names."""
+        import os
+        import shutil
+
+        skipped = []
+        wh = self._warehouse_path()
+        for t, required in shapes.items():
+            if self.spark.catalog.tableExists(t):
+                if required and not required <= set(
+                    self.spark.table(t).columns
+                ):
+                    skipped.append(t)
+                    continue
+                try:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass
+            shutil.rmtree(os.path.join(wh, t.lower()), ignore_errors=True)
+            self._created_storage.discard(t)
+        return skipped
+
+    def _reclaim_registry_row(self, name: str) -> None:
+        """Reclaim a registered index's surviving storage (shape
+        -guarded) and its registry row. No-op when no registry — or a
+        foreign-shaped table under the registry name — exists."""
+        try:
+            rows = self._read_index_registry() or []
+        except ForeignRegistryTableError:
+            return  # not a registry: nothing registered to reclaim
+        mine = [r for r in rows if r["index_name"] == name]
+        for row in mine:
+            self._reclaim_storage(
+                self._index_table_shapes(row["method"], list(row["tables"]))
+            )
+        if mine:
+            self._write_index_registry(
+                [r for r in rows if r["index_name"] != name]
+            )
 
     def _upsert_index_registry(
         self, name: str, stmt: "ir.CreateIndex", tables: list
@@ -862,7 +924,15 @@ class Engine:
         self._write_index_registry(rows)
 
     def _remove_index_registry(self, name: str) -> None:
-        rows = self._read_index_registry()
+        """Drop a row (only). Session-only operations route here, so a
+        foreign-shaped table under the registry name means 'no
+        registry' — swallow it rather than failing an operation that
+        needs no registry at all; only stored-index paths (which must
+        WRITE) surface the foreign-table error."""
+        try:
+            rows = self._read_index_registry()
+        except ForeignRegistryTableError:
+            return
         if rows is None:
             return
         kept = [r for r in rows if r["index_name"] != name]
@@ -895,6 +965,20 @@ class Engine:
                 f" {', '.join(missing)} are gone (failed rebuild or"
                 " dropped out of band) — CREATE INDEX to rebuild"
             )
+        # shape-validate BEFORE serving (and before DROP could release
+        # these frames): a user table that merely reuses a recorded
+        # name must neither serve garbage nor ever be dropped
+        for t, required in self._index_table_shapes(
+            row["method"], tables
+        ).items():
+            have = set(self.spark.table(t).columns)
+            if not required <= have:
+                raise ValueError(
+                    f"Index {name!r} is registered but table {t!r} does"
+                    " not look like its index storage (columns"
+                    f" {sorted(have)}) — the name was likely reused;"
+                    " CREATE INDEX to rebuild"
+                )
         if row["method"] == "ivf":
             frames = {
                 "corpus": self.spark.table(tables[0]),

@@ -175,15 +175,13 @@ def test_drop_session_only_index_kills_stale_registry_row(
     e2 = Engine(s2)
     # session-only rebuild of the same name (old is None here), then drop
     e2.execute("CREATE INDEX cold_shadow ON embeddings USING lsh")
+    # the non-stored rebuild reclaimed the prior session's row AND its
+    # now-ownerless stored table (nothing could ever free it otherwise)
+    assert not s2.catalog.tableExists("cold_shadow_tbl")
     e2.execute("DROP INDEX cold_shadow")
     with pytest.raises(ValueError, match="Unknown index"):
         e2.execute("SEARCH SIMILAR USING INDEX cold_shadow")
     warm.indexes.pop("cold_shadow", None)
-    # the non-stored rebuild above already cleared the registry row;
-    # its tables were dropped by the rebuild's same-name release in
-    # session 2? No — session 2 never owned them; reclaim explicitly.
-    for t in ("cold_shadow_tbl",):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_nonstored_rebuild_clears_prior_session_registry_row(
@@ -199,13 +197,13 @@ def test_nonstored_rebuild_clears_prior_session_registry_row(
     register_views(s2, smoke_dir)
     e2 = Engine(s2)
     e2.execute("CREATE INDEX cold_nsr ON embeddings USING lsh")
+    assert not s2.catalog.tableExists("cold_nsr_tbl")  # reclaimed too
     s3 = spark.newSession()
     e3 = Engine(s3)
     with pytest.raises(ValueError, match="Unknown index"):
         e3.execute("SEARCH SIMILAR USING INDEX cold_nsr")
     e2.execute("DROP INDEX cold_nsr")
     warm.indexes.pop("cold_nsr", None)
-    spark.sql("DROP TABLE IF EXISTS cold_nsr_tbl")
 
 
 def test_drop_broken_index_reclaims_surviving_storage(
@@ -266,3 +264,71 @@ def test_foreign_registry_table_is_never_clobbered(warm, spark, smoke_dir):
         e2.indexes.pop("cold_foreign", None)
         s2.sql("DROP TABLE IF EXISTS cold_foreign_reg")
         s2.sql("DROP TABLE IF EXISTS cold_foreign_tbl")
+
+
+def test_broken_drop_never_clobbers_user_table_reusing_the_name(
+    warm, spark, smoke_dir
+):
+    """A failed-rebuild registry row points at table names a USER has
+    since reused: DROP INDEX must clear the row but leave the user
+    table untouched (the shape guard: no index-storage columns)."""
+    import json
+
+    # forge the post-failed-rebuild state directly: a registry row
+    # whose tables are gone, then a user table under the freed name
+    warm._write_index_registry(
+        warm._registry_rows_without("cold_user")
+        + [
+            {
+                "index_name": "cold_user",
+                "method": "lsh",
+                "source": "embeddings",
+                "source_is_identifier": True,
+                "params": json.dumps({}),
+                "tables": ["cold_user_tbl"],
+            }
+        ]
+    )
+    spark.createDataFrame([(7, "mine")], "a int, b string").write.mode(
+        "overwrite"
+    ).saveAsTable("cold_user_tbl")
+    try:
+        s2 = spark.newSession()
+        e2 = Engine(s2)
+        assert e2.execute("DROP INDEX cold_user") == {"dropped": "cold_user"}
+        # row gone, user data intact
+        assert [tuple(r) for r in s2.table("cold_user_tbl").collect()] == [
+            (7, "mine")
+        ]
+        with pytest.raises(ValueError, match="Unknown index"):
+            e2.execute("SEARCH SIMILAR USING INDEX cold_user")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cold_user_tbl")
+
+
+def test_session_only_ops_survive_foreign_registry_table(
+    warm, spark, smoke_dir
+):
+    """With a foreign table on the registry name, purely in-memory
+    index operations (non-stored CREATE, its DROP) must still work —
+    they need no registry; only stored/adoption paths error."""
+    s2 = spark.newSession()
+    register_views(s2, smoke_dir)
+    e2 = Engine(s2)
+    e2.INDEX_REGISTRY_TABLE = "cold_foreign_reg2"
+    s2.createDataFrame([(1,)], "a int").write.mode("overwrite").saveAsTable(
+        "cold_foreign_reg2"
+    )
+    try:
+        e2.execute("CREATE INDEX cold_mem ON embeddings USING lsh")
+        res = e2.execute(
+            "SEARCH SIMILAR USING INDEX cold_mem(threshold=1.15)"
+        )
+        assert res.count() >= 0
+        assert e2.execute("DROP INDEX cold_mem") == {"dropped": "cold_mem"}
+        # the foreign table is untouched throughout
+        assert [tuple(r) for r in s2.table("cold_foreign_reg2").collect()] == [
+            (1,)
+        ]
+    finally:
+        s2.sql("DROP TABLE IF EXISTS cold_foreign_reg2")
