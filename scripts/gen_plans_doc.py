@@ -58,6 +58,9 @@ HEADLINE = {
     "corpus_epoch_shuffle": "per-row epoch keys; balance audit is one map-side-combinable agg to epochs x shards rows",
     "knn_graph_degrees": "edges explode-symmetrized from ONE evaluation of the LSH candidate join (a unionAll of projections would execute it twice); per-node top-k window partitions by node",
     "decontam_semantic_overlap": "benchmark embeddings broadcast; corpus scored in place; per-vector argmax windows over the benchmark-bounded candidate list",
+    "multimodal_y4m_frames": "three map-only stages (synth, container walk, stats) — zero exchanges; raw frames never cross the Python boundary",
+    "multimodal_ppm_resize_stats": "synth -> real resize -> decode chained map-to-map in one stage pipeline; payloads stay executor-local",
+    "tokenizer_bpe_encode": "every learned merge composes into ONE codegen fold chain in the scan's map task — no join, no second corpus pass",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
