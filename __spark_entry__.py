@@ -39,6 +39,7 @@ _CHECK_FIRST = (
     # (1) round-7 additions (never driver-checked)
     "multimodal_y4m_frames",
     "multimodal_ppm_resize_stats",
+    "multimodal_wav_window_energy",
     # (2) stalest cohort: last green in CORRECTNESS_r03 (31)
     "approx_distinct_parts",
     "asof_last_view_before_purchase",

@@ -214,6 +214,8 @@ def resize_image(
     """
     if codec == "ppm":
         register_ppm_codec()  # idempotent convenience
+    elif codec == "y4m":
+        register_y4m_codec()
     _require_codec(codec, "resize_image")
     entry = _CODECS.get(codec)
     resizer = entry[2] if entry and len(entry) > 2 else None
@@ -336,19 +338,29 @@ def window_energy(
     codec: str = "fake",
     window_bytes: int = WINDOW_BYTES,
 ) -> DataFrame:
-    """Per-window energy of an 'audio' payload via mapInPandas: the
-    payload's bytes are read as unsigned 8-bit samples, split into
-    ``window_bytes``-sample analysis windows (last window ragged),
-    and each window's energy is the exact integer sum of squared
-    sample values — the fake-codec stand-in for RMS/spectral frames,
-    chosen so the full Arrow decode path is SQL-oracle-verifiable.
+    """Per-window energy of an audio payload via mapInPandas, split
+    into ``window_bytes``-sample analysis windows (last window
+    ragged); each window's energy is the exact integer sum of squared
+    sample values.
+
+    ``codec="wav"`` (the REAL path): the RIFF/PCM container is parsed
+    (:func:`_parse_wav`) and the windows run over the DECODED
+    channel-interleaved samples — windowing raw container bytes would
+    mix header bytes into the first window and split 16-bit samples.
+    ``codec="fake"`` keeps the byte-level stand-in (payload bytes as
+    unsigned 8-bit samples) for codec-free plumbing tests.
 
     Scale: one row per (media, window) leaves the Python boundary —
-    slim longs, never the payload; a real PCM/FFT codec swaps the
-    numpy body only. Energy stays in int64 (max 64 * 255^2 per
-    window), so no float drift crosses the engine boundary.
+    slim longs, never the payload. Energy stays in int64 (max
+    window · 32768² per window), so no float drift crosses the
+    engine boundary.
     """
+    if window_bytes < 1:
+        raise ValueError(f"window_bytes must be >= 1, got {window_bytes}")
+    if codec == "wav":
+        register_wav_codec()  # idempotent convenience
     _require_codec(codec, "window_energy")
+    use_wav = codec == "wav"
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -366,7 +378,10 @@ def window_energy(
             for mid, blob in zip(pdf[id_col], pdf[payload_col]):
                 if blob is None or len(blob) == 0:
                     continue
-                arr = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+                if use_wav:
+                    arr = _parse_wav(bytes(blob))[4]
+                else:
+                    arr = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
                 for w in range(0, len(arr), window_bytes):
                     win = arr[w : w + window_bytes]
                     ids.append(int(mid))
@@ -392,20 +407,12 @@ def window_energy(
 # PIL/libav decoder would use.
 
 
-def decode_wav(payload: bytes, meta: Optional[dict] = None) -> list:
-    """Parse a RIFF/WAVE container and return
-    ``[sample_rate, n_channels, bits, n_frames, energy]`` where
-    ``energy`` is the exact integer sum of squared samples across all
-    channels (16-bit PCM signed; 8-bit PCM unsigned, centered at 128
-    per the WAV spec).
-
-    A REAL parser, not a stub: walks word-aligned chunks (so LIST /
-    INFO / junk chunks between fmt and data are skipped, as real
-    encoders emit them), validates the PCM format tag, and rejects
-    truncated containers loudly. Runs executor-side inside the Arrow
-    ``mapInPandas`` batch (see :func:`decode_features`), so only the
-    5-long feature vector crosses the Python boundary per file.
-    """
+def _parse_wav(payload: bytes) -> tuple:
+    """Shared RIFF/WAVE parse → ``(sample_rate, n_channels, bits,
+    n_frames, samples)`` with ``samples`` the int64 array of all
+    channel-interleaved PCM values (16-bit signed; 8-bit unsigned
+    centered at 128 per the spec). Single source of truth for
+    :func:`decode_wav` and :func:`window_energy`'s wav path."""
     import numpy as np
 
     if payload is None or len(payload) < 12:
@@ -446,6 +453,25 @@ def decode_wav(payload: bytes, meta: Optional[dict] = None) -> list:
         samples = np.frombuffer(usable, dtype="<i2").astype(np.int64)
     else:
         samples = np.frombuffer(usable, dtype=np.uint8).astype(np.int64) - 128
+    return sample_rate, n_channels, bits, n_frames, samples
+
+
+def decode_wav(payload: bytes, meta: Optional[dict] = None) -> list:
+    """Parse a RIFF/WAVE container and return
+    ``[sample_rate, n_channels, bits, n_frames, energy]`` where
+    ``energy`` is the exact integer sum of squared samples across all
+    channels (16-bit PCM signed; 8-bit PCM unsigned, centered at 128
+    per the WAV spec).
+
+    A REAL parser, not a stub (:func:`_parse_wav`): walks word-aligned
+    chunks (so LIST / INFO / junk chunks between fmt and data are
+    skipped, as real encoders emit them), validates the PCM format
+    tag, and rejects truncated containers loudly. Runs executor-side
+    inside the Arrow ``mapInPandas`` batch (see
+    :func:`decode_features`), so only the 5-long feature vector
+    crosses the Python boundary per file.
+    """
+    sample_rate, n_channels, bits, n_frames, samples = _parse_wav(payload)
     energy = int((samples * samples).sum()) if samples.size else 0
     return [sample_rate, n_channels, bits, n_frames, energy]
 
@@ -820,9 +846,12 @@ def decode_y4m(payload: bytes, meta: Optional[dict] = None) -> list:
 
 
 def register_y4m_codec() -> None:
-    """Idempotently register :func:`decode_y4m` as codec ``"y4m"``."""
+    """Idempotently register :func:`decode_y4m` (+ the per-frame
+    :func:`resize_y4m` resize capability) as codec ``"y4m"``."""
     if "y4m" not in _CODECS:
-        register_codec("y4m", decode_y4m, T.ArrayType(T.LongType()))
+        register_codec(
+            "y4m", decode_y4m, T.ArrayType(T.LongType()), resize=resize_y4m
+        )
 
 
 def y4m_frame_stats(
@@ -947,3 +976,61 @@ def synth_y4m_from_text(
             )
 
     return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
+
+
+def resize_y4m(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor YUV4MPEG2 resample (the ``resize`` capability
+    the ``y4m`` codec registers — the video sibling of
+    :func:`resize_ppm`): every frame's Y plane resamples to
+    ``width × height`` and each chroma plane to the colorspace's
+    subsampled geometry, re-encoded as a valid C-equivalent container.
+    One header scan; one numpy fancy-index per plane per frame."""
+    import numpy as np
+
+    w0, h0, fps_num, fps_den, y_size, c_size, _ = _parse_y4m_header(payload)
+    if width < 1 or height < 1:
+        raise ValueError(f"resize target must be positive, got {width}x{height}")
+    # recover the chroma subsampling from the plane geometry (the
+    # header parse already validated divisibility)
+    if c_size == 0:
+        sx = sy = None
+        cs = "mono"
+    elif c_size == (w0 // 2) * (h0 // 2):
+        sx, sy, cs = 2, 2, "420jpeg"
+    elif c_size == (w0 // 2) * h0:
+        sx, sy, cs = 2, 1, "422"
+    else:
+        sx, sy, cs = 1, 1, "444"
+    if sx is not None and (width % sx or height % sy):
+        raise ValueError(
+            f"resize target {width}x{height} not divisible for C{cs}"
+        )
+
+    def nn_index(dst: int, src: int):
+        import numpy as np
+
+        return np.minimum(
+            ((np.arange(dst) + 0.5) * src / dst).astype(int), src - 1
+        )
+
+    ys, xs = nn_index(height, h0), nn_index(width, w0)
+    if sx is not None:
+        cys = nn_index(height // sy, h0 // sy)
+        cxs = nn_index(width // sx, w0 // sx)
+    parts = [
+        f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} C{cs}\n".encode()
+    ]
+    for frame in _iter_y4m_frames(payload):
+        arr = np.frombuffer(frame, dtype=np.uint8)
+        y = arr[:y_size].reshape(h0, w0)
+        parts.append(b"FRAME\n")
+        parts.append(y[ys][:, xs].tobytes())
+        if sx is not None:
+            cw, ch = w0 // sx, h0 // sy
+            for plane in (
+                arr[y_size : y_size + c_size],
+                arr[y_size + c_size :],
+            ):
+                p = plane.reshape(ch, cw)
+                parts.append(p[cys][:, cxs].tobytes())
+    return b"".join(parts)

@@ -430,3 +430,56 @@ def multimodal_ppm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[4].alias("sum_g"),
         F.col("features")[5].alias("sum_b"),
     )
+
+
+_WW_SIZE = 64  # samples per analysis window
+_WAV_WINDOW_ORACLE = f"""
+WITH f AS (
+    SELECT doc_id, text,
+           CAST(ceil(length(text) / {_WW_SIZE}.0) AS BIGINT) AS nw
+    FROM documents WHERE length(text) > 0
+),
+w AS (
+    SELECT doc_id, text,
+           CAST(unnest(range(nw)) AS BIGINT) AS window_id,
+           CAST(length(text) AS BIGINT) AS n
+    FROM f
+)
+SELECT doc_id AS media_id,
+       window_id,
+       CAST(LEAST({_WW_SIZE}, n - window_id * {_WW_SIZE}) AS BIGINT)
+           AS n_samples,
+       CAST(65536 * COALESCE(list_sum(list_transform(
+           range(1, CAST(LEAST({_WW_SIZE}, n - window_id * {_WW_SIZE})
+                         + 1 AS BIGINT)),
+           j -> (ascii(substr(text,
+                     CAST(window_id * {_WW_SIZE} + j AS INT), 1)) - 128)
+                * (ascii(substr(text,
+                     CAST(window_id * {_WW_SIZE} + j AS INT), 1)) - 128)
+       )), 0) AS BIGINT) AS energy
+FROM w
+"""
+
+
+@query("multimodal_wav_window_energy", oracle=_WAV_WINDOW_ORACLE)
+def multimodal_wav_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio analysis over DECODED samples (the r7 upgrade of
+    ``multimodal_audio_energy``'s byte-level stand-in): each
+    document's text becomes a real 16-bit PCM RIFF container, and
+    ``window_energy(codec="wav")`` parses it and computes exact
+    integer energy per {_WW_SIZE}-sample window — windowing container
+    BYTES would mix header bytes into the first window and split
+    16-bit samples, so a container-offset bug hash-fails here in a
+    way the whole-file energy query cannot catch.
+
+    Scale: synthesis and windowing are map-only; one slim 4-long row
+    per (file, window) crosses the Python boundary; zero shuffles.
+    """
+    from declarativeml_spark.operators.multimodal import (
+        synth_wav_from_text,
+        window_energy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wav = synth_wav_from_text(docs, "text", "doc_id")
+    return window_energy(wav, codec="wav", window_bytes=_WW_SIZE)

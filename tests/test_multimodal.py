@@ -417,3 +417,71 @@ def test_sample_frames_validates_stride(spark, smoke_dir):
         sample_frames(media, every_n=-3)
     with pytest.raises(ValueError, match="frame_bytes"):
         sample_frames(media, every_n=2, frame_bytes=0)
+
+
+def test_resize_y4m_geometry_and_errors():
+    from declarativeml_spark.operators.multimodal import (
+        decode_y4m,
+        resize_y4m,
+    )
+
+    hdr = b"YUV4MPEG2 W4 H4 F30:1 C420\n"
+    y, u, v = bytes(range(16)), bytes([16] * 4), bytes([240] * 4)
+    p = hdr + b"FRAME\n" + y + u + v + b"FRAME\n" + y + u + v
+    out = decode_y4m(resize_y4m(p, 2, 2))
+    # nn rows/cols [1,3] of the 4x4 luma -> values 5,7,13,15 per frame;
+    # 2x2 chroma -> 1 byte per plane per frame
+    assert out == [2, 2, 30, 1, 2, 2 * (5 + 7 + 13 + 15), 2 * 16, 2 * 240]
+    # mono and 444 round-trip through their own geometry
+    pm = b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n" + bytes([1, 2, 3, 4])
+    assert decode_y4m(resize_y4m(pm, 1, 1)) == [1, 1, 25, 1, 1, 4, 0, 0]
+    p4 = b"YUV4MPEG2 W2 H1 C444\nFRAME\n" + bytes([10, 20, 1, 2, 3, 4])
+    assert decode_y4m(resize_y4m(p4, 1, 1)) == [1, 1, 25, 1, 1, 20, 2, 4]
+    with pytest.raises(ValueError, match="not divisible"):
+        resize_y4m(p, 3, 2)  # odd target under C420
+    with pytest.raises(ValueError, match="positive"):
+        resize_y4m(p, 0, 2)
+
+
+def test_resize_y4m_through_arrow_path(spark, smoke_dir):
+    from declarativeml_spark.operators.multimodal import (
+        decode_y4m,
+        register_y4m_codec,
+        resize_y4m,
+        synth_y4m_from_text,
+    )
+
+    register_y4m_codec()
+    docs = load_table(spark, smoke_dir, "documents").limit(10)
+    y4m = synth_y4m_from_text(docs, "text", "doc_id")
+    payloads = {r.media_id: bytes(r.payload) for r in y4m.collect()}
+    small = resize_image(y4m, width=2, height=2, codec="y4m")
+    for r in small.collect():
+        assert bytes(r.payload) == resize_y4m(payloads[r.media_id], 2, 2)
+        assert decode_y4m(bytes(r.payload))[:2] == [2, 2]
+
+
+def test_window_energy_wav_decodes_samples_not_bytes(spark, smoke_dir):
+    """The wav path must window DECODED samples: the first window of a
+    container-bytes implementation would include the RIFF header and
+    split 16-bit samples — assert exact per-window sums instead."""
+    from declarativeml_spark.operators.multimodal import (
+        synth_wav_from_text,
+        window_energy,
+    )
+
+    docs = load_table(spark, smoke_dir, "documents").limit(10)
+    wav = synth_wav_from_text(docs, "text", "doc_id")
+    texts = {r.doc_id: (r.text or "").encode("utf-8") for r in docs.collect()}
+    got = {}
+    for r in window_energy(wav, codec="wav", window_bytes=64).collect():
+        got[(r.media_id, r.window_id)] = (r.n_samples, r.energy)
+    for mid, raw in texts.items():
+        if not raw:
+            continue
+        for w in range(0, len(raw), 64):
+            chunk = raw[w : w + 64]
+            expect = sum(((b - 128) * 256) ** 2 for b in chunk)
+            assert got[(mid, w // 64)] == (len(chunk), expect)
+    with pytest.raises(ValueError, match="window_bytes"):
+        window_energy(wav, codec="wav", window_bytes=0)

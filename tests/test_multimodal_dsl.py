@@ -160,3 +160,10 @@ def test_missing_columns_fail_loudly(engine):
 def test_resize_without_capability_fails_loudly(engine):
     with pytest.raises(NotImplementedError, match="resize capability"):
         engine.execute("RESIZE wav_media TO 4 x 4 USING wav")
+
+
+def test_resize_y4m_matches_operator(engine, spark):
+    register_y4m_codec()
+    dsl = engine.execute("RESIZE y4m_media TO 2 x 2 USING y4m")
+    ref = resize_image(spark.table("y4m_media"), width=2, height=2, codec="y4m")
+    assert _rows(dsl) == _rows(ref)
