@@ -74,6 +74,7 @@ def register_codec(
     decode,
     feature_dtype: Optional[T.DataType] = None,
     resize=None,
+    samples=None,
 ) -> None:
     """Register a real decoder under ``name`` for
     :func:`decode_features` (e.g. a PIL/libav-backed callable in an
@@ -83,17 +84,28 @@ def register_codec(
     column (default ``array<long>``, matching the fake codec).
     ``resize`` is an optional picklable
     ``resize(payload: bytes, width: int, height: int) -> bytes``
-    capability consumed by :func:`resize_image` — per-codec, so each
-    real codec brings its own resampler instead of patching a name
-    check into the shared dispatch.
+    capability consumed by :func:`resize_image`; ``samples`` an
+    optional picklable ``samples(payload: bytes) -> int64 ndarray``
+    (decoded, channel-interleaved) consumed by :func:`window_energy`.
+    Capabilities are per-codec, so each real codec brings its own
+    implementation instead of patching name checks into the shared
+    dispatch — and an operator asked for a capability the codec lacks
+    fails loudly instead of running byte-level math on container
+    bytes.
     """
     if name == "fake":
         raise ValueError("'fake' is the built-in deterministic stub; pick another name")
     if not callable(decode):
         raise TypeError(f"decode for codec {name!r} must be callable")
-    if resize is not None and not callable(resize):
-        raise TypeError(f"resize for codec {name!r} must be callable")
-    _CODECS[name] = (decode, feature_dtype or T.ArrayType(T.LongType()), resize)
+    for label, cap in (("resize", resize), ("samples", samples)):
+        if cap is not None and not callable(cap):
+            raise TypeError(f"{label} for codec {name!r} must be callable")
+    _CODECS[name] = (
+        decode,
+        feature_dtype or T.ArrayType(T.LongType()),
+        resize,
+        samples,
+    )
 
 
 def unregister_codec(name: str) -> None:
@@ -328,7 +340,8 @@ def sample_frames(
     return df.mapInPandas(batches, schema=out_schema)
 
 
-WINDOW_BYTES = 64  # fake audio codec: one analysis window = 64 bytes
+WINDOW_SAMPLES = 64  # one analysis window = 64 samples
+WINDOW_BYTES = WINDOW_SAMPLES  # back-compat alias (fake: 1 byte = 1 sample)
 
 
 def window_energy(
@@ -336,31 +349,46 @@ def window_energy(
     payload_col: str = "payload",
     id_col: str = "media_id",
     codec: str = "fake",
-    window_bytes: int = WINDOW_BYTES,
+    window_samples: int = WINDOW_SAMPLES,
+    window_bytes: Optional[int] = None,
 ) -> DataFrame:
     """Per-window energy of an audio payload via mapInPandas, split
-    into ``window_bytes``-sample analysis windows (last window
+    into ``window_samples``-SAMPLE analysis windows (last window
     ragged); each window's energy is the exact integer sum of squared
-    sample values.
+    sample values. (``window_bytes`` is the deprecated alias from when
+    only the byte-level fake path existed — for real codecs the unit
+    is decoded samples, not bytes.)
 
-    ``codec="wav"`` (the REAL path): the RIFF/PCM container is parsed
-    (:func:`_parse_wav`) and the windows run over the DECODED
-    channel-interleaved samples — windowing raw container bytes would
-    mix header bytes into the first window and split 16-bit samples.
-    ``codec="fake"`` keeps the byte-level stand-in (payload bytes as
-    unsigned 8-bit samples) for codec-free plumbing tests.
+    Real codecs window their DECODED samples via the registry's
+    ``samples`` capability (``wav`` ships :func:`_parse_wav` —
+    channel-interleaved int64 PCM); windowing raw container bytes
+    would mix header bytes into the first window and split 16-bit
+    samples, so a codec WITHOUT the capability fails loudly instead
+    of silently squaring container bytes. ``codec="fake"`` keeps the
+    byte-level stand-in (payload bytes as unsigned 8-bit samples) for
+    codec-free plumbing tests.
 
     Scale: one row per (media, window) leaves the Python boundary —
     slim longs, never the payload. Energy stays in int64 (max
     window · 32768² per window), so no float drift crosses the
     engine boundary.
     """
-    if window_bytes < 1:
-        raise ValueError(f"window_bytes must be >= 1, got {window_bytes}")
+    if window_bytes is not None:
+        window_samples = window_bytes
+    if window_samples < 1:
+        raise ValueError(f"window_samples must be >= 1, got {window_samples}")
     if codec == "wav":
         register_wav_codec()  # idempotent convenience
     _require_codec(codec, "window_energy")
-    use_wav = codec == "wav"
+    entry = _CODECS.get(codec)
+    sampler = entry[3] if entry and len(entry) > 3 else None
+    if codec != "fake" and sampler is None:
+        raise NotImplementedError(
+            f"codec {codec!r} has no registered samples capability;"
+            " register_codec(name, decode, samples=fn) to add one"
+            " (codec='wav' ships a real PCM sampler) — windowing raw"
+            " container bytes would be silently wrong"
+        )
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -378,14 +406,14 @@ def window_energy(
             for mid, blob in zip(pdf[id_col], pdf[payload_col]):
                 if blob is None or len(blob) == 0:
                     continue
-                if use_wav:
-                    arr = _parse_wav(bytes(blob))[4]
+                if sampler is not None:
+                    arr = sampler(bytes(blob))
                 else:
                     arr = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
-                for w in range(0, len(arr), window_bytes):
-                    win = arr[w : w + window_bytes]
+                for w in range(0, len(arr), window_samples):
+                    win = arr[w : w + window_samples]
                     ids.append(int(mid))
-                    wids.append(w // window_bytes)
+                    wids.append(w // window_samples)
                     ns.append(int(win.size))
                     es.append(int((win * win).sum()))
             yield pd.DataFrame(
@@ -476,10 +504,19 @@ def decode_wav(payload: bytes, meta: Optional[dict] = None) -> list:
     return [sample_rate, n_channels, bits, n_frames, energy]
 
 
+def _wav_samples(payload: bytes):
+    """The wav codec's ``samples`` capability: decoded
+    channel-interleaved int64 PCM values (see :func:`_parse_wav`)."""
+    return _parse_wav(payload)[4]
+
+
 def register_wav_codec() -> None:
-    """Idempotently register :func:`decode_wav` as codec ``"wav"``."""
+    """Idempotently register :func:`decode_wav` (+ the
+    :func:`_wav_samples` windowing capability) as codec ``"wav"``."""
     if "wav" not in _CODECS:
-        register_codec("wav", decode_wav, T.ArrayType(T.LongType()))
+        register_codec(
+            "wav", decode_wav, T.ArrayType(T.LongType()), samples=_wav_samples
+        )
 
 
 def synth_wav_from_text(
@@ -623,6 +660,18 @@ def decode_ppm(payload: bytes, meta: Optional[dict] = None) -> list:
     return [width, height, maxval, int(sums[0]), int(sums[1]), int(sums[2])]
 
 
+def _nn_index(dst: int, src: int):
+    """Nearest-neighbor source indices: ``floor((i + 0.5) * src/dst)``
+    clamped to ``src - 1``. The ONE resample rule shared by
+    :func:`resize_ppm` and :func:`resize_y4m` — two inline copies of
+    an index rule is how resize-only bugs happen."""
+    import numpy as np
+
+    return np.minimum(
+        ((np.arange(dst) + 0.5) * src / dst).astype(int), src - 1
+    )
+
+
 def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
     """Nearest-neighbor P6 resample (the ``resize`` capability the
     ``ppm`` codec registers): one header scan, one numpy fancy-index —
@@ -639,9 +688,7 @@ def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
     px = np.frombuffer(payload, dtype=dt, count=w0 * h0 * 3, offset=pos).reshape(
         h0, w0, 3
     )
-    # nearest neighbor: source index = floor((i + 0.5) * src/dst)
-    ys = np.minimum((np.arange(height) + 0.5) * h0 / height, h0 - 1).astype(int)
-    xs = np.minimum((np.arange(width) + 0.5) * w0 / width, w0 - 1).astype(int)
+    ys, xs = _nn_index(height, h0), _nn_index(width, w0)
     out = px[ys][:, xs]
     return f"P6\n{width} {height}\n{maxval}\n".encode() + out.astype(dt).tobytes()
 
@@ -723,14 +770,29 @@ _Y4M_CHROMA = {
     "444": (1, 1),
     "mono": None,
 }
+# accepted raw colorspace tags → geometry key (EXACT names only; the
+# 420 variants differ in chroma SITING, which plane math ignores but
+# re-encoders must preserve)
+_Y4M_CS_KEYS = {
+    "420": "420",
+    "420jpeg": "420",
+    "420paldv": "420",
+    "420mpeg2": "420",
+    "422": "422",
+    "444": "444",
+    "mono": "mono",
+}
 
 
 def _parse_y4m_header(payload: bytes) -> tuple:
     """Parse the YUV4MPEG2 stream header line → ``(width, height,
-    fps_num, fps_den, y_size, c_size, pos)`` where ``pos`` is the
-    offset of the first ``FRAME`` marker. The single source of truth
-    for :func:`decode_y4m`, :func:`_iter_y4m_frames`, and
-    :func:`y4m_frame_stats`.
+    fps_num, fps_den, y_size, c_size, pos, cs_tag)`` where ``pos`` is
+    the offset of the first ``FRAME`` marker and ``cs_tag`` the raw
+    colorspace tag (e.g. ``"420mpeg2"`` — its geometry KEY is
+    ``_Y4M_CS_KEYS[cs_tag]``). The single source of truth for
+    :func:`decode_y4m`, :func:`_iter_y4m_frames`,
+    :func:`y4m_frame_stats`, and :func:`resize_y4m` — including the
+    colorspace, so geometry is never re-inferred from plane sizes.
 
     Per the mjpegtools spec: the header is one ``\\n``-terminated line
     of space-separated parameters, each a single tag letter + value
@@ -747,7 +809,7 @@ def _parse_y4m_header(payload: bytes) -> tuple:
         raise ValueError("unterminated YUV4MPEG2 header line")
     width = height = None
     fps_num, fps_den = 25, 1
-    colorspace = "420"
+    cs_tag = "420"
     for tok in payload[len(_Y4M_MAGIC) : eol].split(b" "):
         if not tok:
             continue
@@ -766,36 +828,35 @@ def _parse_y4m_header(payload: bytes) -> tuple:
             # would read C420p10 / C444alpha (16-bit / 4-plane frames)
             # with 8-bit 3-plane geometry and then fail mid-stream
             # with a misleading FRAME-marker error
-            cs = val.lower()
-            key = {
-                "420": "420",
-                "420jpeg": "420",
-                "420paldv": "420",
-                "420mpeg2": "420",
-                "422": "422",
-                "444": "444",
-                "mono": "mono",
-            }.get(cs)
-            if key is None:
+            if val.lower() not in _Y4M_CS_KEYS:
                 raise ValueError(f"unsupported Y4M colorspace C{val}")
-            colorspace = key
+            cs_tag = val.lower()
         elif tag in ("I", "A", "X"):
             pass  # interlacing / pixel aspect / comment: no effect on planes
         else:
             raise ValueError(f"unknown Y4M header tag {tag!r}")
     if width is None or height is None or width < 1 or height < 1:
         raise ValueError(f"Y4M dimensions {width}x{height} out of range")
-    sub = _Y4M_CHROMA[colorspace]
+    sub = _Y4M_CHROMA[_Y4M_CS_KEYS[cs_tag]]
     if sub is None:
         c_size = 0
     else:
         sx, sy = sub
         if width % sx or height % sy:
             raise ValueError(
-                f"Y4M {width}x{height} not divisible for C{colorspace}"
+                f"Y4M {width}x{height} not divisible for C{cs_tag}"
             )
         c_size = (width // sx) * (height // sy)
-    return width, height, fps_num, fps_den, width * height, c_size, eol + 1
+    return (
+        width,
+        height,
+        fps_num,
+        fps_den,
+        width * height,
+        c_size,
+        eol + 1,
+        cs_tag,
+    )
 
 
 def _iter_y4m_frames(payload: bytes):
@@ -803,7 +864,9 @@ def _iter_y4m_frames(payload: bytes):
     walking the ``FRAME`` markers after the stream header. Truncated
     frames and bad markers raise loudly — a container that lies about
     its geometry must not decode to silently-short planes."""
-    width, height, _, _, y_size, c_size, pos = _parse_y4m_header(payload)
+    width, height, _, _, y_size, c_size, pos, _cs = _parse_y4m_header(
+        payload
+    )
     frame_size = y_size + 2 * c_size
     while pos < len(payload):
         if payload[pos : pos + 5] != b"FRAME":
@@ -831,8 +894,8 @@ def decode_y4m(payload: bytes, meta: Optional[dict] = None) -> list:
     truncation errors; C420*/C422/C444/Cmono plane geometry."""
     import numpy as np
 
-    width, height, fps_num, fps_den, y_size, c_size, _ = _parse_y4m_header(
-        payload
+    width, height, fps_num, fps_den, y_size, c_size, _, _cs = (
+        _parse_y4m_header(payload)
     )
     n_frames = 0
     sum_y = sum_u = sum_v = 0
@@ -894,7 +957,7 @@ def y4m_frame_stats(
                 if blob is None:
                     continue
                 payload = bytes(blob)
-                w, h, _, _, y_size, _, _ = _parse_y4m_header(payload)
+                w, h, _, _, y_size, _, _, _cs = _parse_y4m_header(payload)
                 n_frames = n_sampled = sum_y = sum_uv = 0
                 for f, frame in enumerate(_iter_y4m_frames(payload)):
                     n_frames += 1
@@ -987,38 +1050,26 @@ def resize_y4m(payload: bytes, width: int, height: int) -> bytes:
     One header scan; one numpy fancy-index per plane per frame."""
     import numpy as np
 
-    w0, h0, fps_num, fps_den, y_size, c_size, _ = _parse_y4m_header(payload)
+    w0, h0, fps_num, fps_den, y_size, c_size, _, cs_tag = _parse_y4m_header(
+        payload
+    )
     if width < 1 or height < 1:
         raise ValueError(f"resize target must be positive, got {width}x{height}")
-    # recover the chroma subsampling from the plane geometry (the
-    # header parse already validated divisibility)
-    if c_size == 0:
-        sx = sy = None
-        cs = "mono"
-    elif c_size == (w0 // 2) * (h0 // 2):
-        sx, sy, cs = 2, 2, "420jpeg"
-    elif c_size == (w0 // 2) * h0:
-        sx, sy, cs = 2, 1, "422"
-    else:
-        sx, sy, cs = 1, 1, "444"
+    # the header parse is the single source of the chroma geometry;
+    # the raw tag is PRESERVED in the output (the 420 variants differ
+    # in chroma siting, which a re-encoder must not silently change)
+    sub = _Y4M_CHROMA[_Y4M_CS_KEYS[cs_tag]]
+    sx, sy = sub if sub is not None else (None, None)
     if sx is not None and (width % sx or height % sy):
         raise ValueError(
-            f"resize target {width}x{height} not divisible for C{cs}"
+            f"resize target {width}x{height} not divisible for C{cs_tag}"
         )
-
-    def nn_index(dst: int, src: int):
-        import numpy as np
-
-        return np.minimum(
-            ((np.arange(dst) + 0.5) * src / dst).astype(int), src - 1
-        )
-
-    ys, xs = nn_index(height, h0), nn_index(width, w0)
+    ys, xs = _nn_index(height, h0), _nn_index(width, w0)
     if sx is not None:
-        cys = nn_index(height // sy, h0 // sy)
-        cxs = nn_index(width // sx, w0 // sx)
+        cys = _nn_index(height // sy, h0 // sy)
+        cxs = _nn_index(width // sx, w0 // sx)
     parts = [
-        f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} C{cs}\n".encode()
+        f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} C{cs_tag}\n".encode()
     ]
     for frame in _iter_y4m_frames(payload):
         arr = np.frombuffer(frame, dtype=np.uint8)

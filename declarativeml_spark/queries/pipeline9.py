@@ -334,7 +334,7 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     text slices zero-padded, chroma constants U=16/V=240), and the
     pure-Python Y4M parser (operators/multimodal.py::decode_y4m /
     _iter_y4m_frames — tag-validated header, FRAME-marker walk, loud
-    truncation errors) samples every {_Y4M_EVERY_N}nd frame through
+    truncation errors) samples every 2nd frame through
     the Arrow ``mapInPandas`` path (y4m_frame_stats: the fused
     sample+aggregate form, raw frames never cross to the JVM). The
     oracle computes expected per-plane sums of exactly the SAMPLED
@@ -467,7 +467,7 @@ def multimodal_wav_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``multimodal_audio_energy``'s byte-level stand-in): each
     document's text becomes a real 16-bit PCM RIFF container, and
     ``window_energy(codec="wav")`` parses it and computes exact
-    integer energy per {_WW_SIZE}-sample window — windowing container
+    integer energy per 64-sample window — windowing container
     BYTES would mix header bytes into the first window and split
     16-bit samples, so a container-offset bug hash-fails here in a
     way the whole-file energy query cannot catch.

@@ -483,5 +483,12 @@ def test_window_energy_wav_decodes_samples_not_bytes(spark, smoke_dir):
             chunk = raw[w : w + 64]
             expect = sum(((b - 128) * 256) ** 2 for b in chunk)
             assert got[(mid, w // 64)] == (len(chunk), expect)
-    with pytest.raises(ValueError, match="window_bytes"):
-        window_energy(wav, codec="wav", window_bytes=0)
+    with pytest.raises(ValueError, match="window_samples"):
+        window_energy(wav, codec="wav", window_samples=0)
+    # a real codec WITHOUT a samples capability must fail loudly
+    # instead of silently squaring container bytes
+    from declarativeml_spark.operators.multimodal import register_ppm_codec
+
+    register_ppm_codec()
+    with pytest.raises(NotImplementedError, match="samples capability"):
+        window_energy(wav, codec="ppm")
