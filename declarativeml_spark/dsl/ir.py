@@ -1146,13 +1146,31 @@ class DecodeMedia:
     real parsers (``wav``/``ppm``/``y4m``), the deterministic
     ``fake`` stub, or any name plugged in via ``register_codec`` —
     unknown codecs fail loudly at execution with the library they'd
-    need. Output: one (media_id, features) row per payload."""
+    need. Output: one (media_id, features) row per payload.
+
+    ``WINDOWS n`` switches to windowed analysis
+    (operators/multimodal.py::window_energy): one
+    (media_id, window_id, n_samples, energy) row per ``n``-sample
+    window of the DECODED samples — the codec needs a registered
+    ``samples`` capability (``wav`` ships one; ``fake`` windows raw
+    bytes by design)."""
 
     source: str
     codec: str
     payload_column: str = "payload"
     id_column: str = "media_id"
     source_is_identifier: bool = True
+    windows: Optional[int] = None
+
+    def __post_init__(self) -> None:
+        if self.windows is not None and (
+            not isinstance(self.windows, int)
+            or isinstance(self.windows, bool)
+            or self.windows < 1
+        ):
+            raise ValueError(
+                "WINDOWS must be a positive integer sample count"
+            )
 
 
 @dataclass

@@ -2174,15 +2174,23 @@ class _Parser:
                 return payload_column, id_column
 
     def parse_decode(self) -> "ir.DecodeMedia":
-        """``DECODE <source> USING <codec> [PAYLOAD COLUMN c]
-        [ID COLUMN c]`` — decode media payloads to feature vectors
-        (operators/multimodal.py::decode_features)."""
+        """``DECODE <source> USING <codec> [WINDOWS n]
+        [PAYLOAD COLUMN c] [ID COLUMN c]`` — decode media payloads to
+        feature vectors (operators/multimodal.py::decode_features), or
+        with ``WINDOWS n`` to per-window sample energies
+        (window_energy over the codec's decoded samples)."""
         self.expect_keyword("DECODE")
         source = self.capture_source_until("USING")
         if not source:
             raise ValueError("DECODE source cannot be empty")
         self.expect_keyword("USING")
         codec = self.expect_name("codec name")
+        windows = None
+        if self.at_keyword("WINDOWS"):
+            self.advance()
+            windows = _require_positive_int(
+                self.parse_value(), "WINDOWS sample count"
+            )
         payload_column, id_column = self._parse_media_columns()
         self.expect_eof()
         return ir.DecodeMedia(
@@ -2191,6 +2199,7 @@ class _Parser:
             payload_column=payload_column,
             id_column=id_column,
             source_is_identifier=is_identifier_source(source),
+            windows=windows,
         )
 
     def parse_sample_frames(self) -> "ir.SampleFrames":

@@ -1250,10 +1250,22 @@ class Engine:
         return df
 
     def _decode_media(self, stmt: "ir.DecodeMedia") -> DataFrame:
-        from declarativeml_spark.operators.multimodal import decode_features
+        from declarativeml_spark.operators.multimodal import (
+            decode_features,
+            window_energy,
+        )
 
         self._ensure_builtin_codec(stmt.codec)
         df = self._media_source(stmt)
+        if stmt.windows is not None:
+            # windowed analysis over the codec's DECODED samples
+            return window_energy(
+                df,
+                payload_col=stmt.payload_column,
+                id_col=stmt.id_column,
+                codec=stmt.codec,
+                window_samples=stmt.windows,
+            )
         return decode_features(
             df,
             payload_col=stmt.payload_column,

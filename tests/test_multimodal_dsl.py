@@ -167,3 +167,27 @@ def test_resize_y4m_matches_operator(engine, spark):
     dsl = engine.execute("RESIZE y4m_media TO 2 x 2 USING y4m")
     ref = resize_image(spark.table("y4m_media"), width=2, height=2, codec="y4m")
     assert _rows(dsl) == _rows(ref)
+
+
+def test_decode_windows_matches_operator(engine, spark):
+    """DECODE ... WINDOWS n is the windowed-analysis twin: per-window
+    energies over the codec's DECODED samples."""
+    from declarativeml_spark.operators.multimodal import window_energy
+
+    dsl = engine.execute("DECODE wav_media USING wav WINDOWS 64")
+    ref = window_energy(
+        spark.table("wav_media"), codec="wav", window_samples=64
+    )
+    assert _rows(dsl) == _rows(ref) and dsl.columns == [
+        "media_id",
+        "window_id",
+        "n_samples",
+        "energy",
+    ]
+    d = parse("DECODE m USING wav WINDOWS 32 PAYLOAD COLUMN p")
+    assert d.windows == 32 and d.payload_column == "p"
+    with pytest.raises(ValueError, match="positive integer"):
+        parse("DECODE m USING wav WINDOWS 0")
+    # a codec without a samples capability fails loudly through the DSL
+    with pytest.raises(NotImplementedError, match="samples capability"):
+        engine.execute("DECODE ppm_media USING ppm WINDOWS 64")
