@@ -374,6 +374,16 @@ def window_energy(
     engine boundary.
     """
     if window_bytes is not None:
+        if window_samples != WINDOW_SAMPLES:
+            raise ValueError(
+                "pass window_samples OR the deprecated window_bytes"
+                f" alias, not both (got {window_samples} and"
+                f" {window_bytes})"
+            )
+        if window_bytes < 1:
+            raise ValueError(
+                f"window_bytes must be >= 1, got {window_bytes}"
+            )
         window_samples = window_bytes
     if window_samples < 1:
         raise ValueError(f"window_samples must be >= 1, got {window_samples}")

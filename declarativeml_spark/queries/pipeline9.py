@@ -482,4 +482,4 @@ def multimodal_wav_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     wav = synth_wav_from_text(docs, "text", "doc_id")
-    return window_energy(wav, codec="wav", window_bytes=_WW_SIZE)
+    return window_energy(wav, codec="wav", window_samples=_WW_SIZE)

@@ -474,7 +474,7 @@ def test_window_energy_wav_decodes_samples_not_bytes(spark, smoke_dir):
     wav = synth_wav_from_text(docs, "text", "doc_id")
     texts = {r.doc_id: (r.text or "").encode("utf-8") for r in docs.collect()}
     got = {}
-    for r in window_energy(wav, codec="wav", window_bytes=64).collect():
+    for r in window_energy(wav, codec="wav", window_samples=64).collect():
         got[(r.media_id, r.window_id)] = (r.n_samples, r.energy)
     for mid, raw in texts.items():
         if not raw:
