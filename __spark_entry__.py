@@ -40,6 +40,7 @@ _CHECK_FIRST = (
     "multimodal_y4m_frames",
     "multimodal_ppm_resize_stats",
     "multimodal_wav_window_energy",
+    "multimodal_y4m_resize_stats",
     # (2) stalest cohort: last green in CORRECTNESS_r03 (31)
     "approx_distinct_parts",
     "asof_last_view_before_purchase",

@@ -483,3 +483,71 @@ def multimodal_wav_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     wav = synth_wav_from_text(docs, "text", "doc_id")
     return window_energy(wav, codec="wav", window_samples=_WW_SIZE)
+
+
+# resample geometry: the 4x2 synth resized to 2x2 keeps luma columns
+# xs = [1, 3] of each row (operators/multimodal.py::_nn_index), i.e.
+# the ODD byte offsets {1,3,5,7} within each 8-byte frame; the 2x1
+# chroma planes collapse to one byte each (constants U=16 / V=240)
+_Y4M_RESIZE_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           GREATEST(1, CAST(ceil(length(text) / 8.0) AS BIGINT))
+               AS n_frames,
+           CAST(COALESCE(list_sum(list_transform(
+               range(1, length(text) + 1),
+               i -> CASE WHEN ((CAST(i - 1 AS BIGINT) % 8) % 2) = 1
+                         THEN ascii(substr(text, i, 1)) ELSE 0 END)), 0)
+               AS BIGINT) AS sum_y
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(2 AS BIGINT) AS width,
+       CAST(2 AS BIGINT) AS height,
+       n_frames,
+       sum_y,
+       CAST(16 * n_frames AS BIGINT) AS sum_u,
+       CAST(240 * n_frames AS BIGINT) AS sum_v
+FROM base
+"""
+
+
+@query("multimodal_y4m_resize_stats", oracle=_Y4M_RESIZE_ORACLE)
+def multimodal_y4m_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle coverage for VIDEO resize (the y4m sibling of
+    ``multimodal_ppm_resize_stats``): every document's synth Y4M
+    container (4×2 C420 frames) is per-frame nearest-neighbor
+    resampled to 2×2 by the real resizer
+    (operators/multimodal.py::resize_y4m — every plane in its own
+    subsampled geometry, container re-encoded) and decoded back; the
+    oracle computes the surviving luma samples (the odd byte offsets
+    of each frame) and collapsed chroma sums from the text alone, so
+    a plane-boundary slip, per-frame offset error, or chroma-geometry
+    bug in the resampler hash-fails.
+
+    Scale: synth → resize → decode is three chained map-only
+    mapInPandas stages, zero shuffles; containers never leave the
+    executor (8 longs per video cross the Python boundary).
+    """
+    from declarativeml_spark.operators.multimodal import (
+        decode_features,
+        register_y4m_codec,
+        resize_image,
+        synth_y4m_from_text,
+    )
+    from pyspark.sql import functions as F
+
+    register_y4m_codec()
+    docs = load_table(spark, sf_dir, "documents")
+    y4m = synth_y4m_from_text(docs, "text", "doc_id")
+    small = resize_image(y4m, width=2, height=2, codec="y4m")
+    feats = decode_features(small, codec="y4m")
+    return feats.select(
+        "media_id",
+        F.col("features")[0].alias("width"),
+        F.col("features")[1].alias("height"),
+        F.col("features")[4].alias("n_frames"),
+        F.col("features")[5].alias("sum_y"),
+        F.col("features")[6].alias("sum_u"),
+        F.col("features")[7].alias("sum_v"),
+    )

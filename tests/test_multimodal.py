@@ -492,3 +492,49 @@ def test_window_energy_wav_decodes_samples_not_bytes(spark, smoke_dir):
     register_ppm_codec()
     with pytest.raises(NotImplementedError, match="samples capability"):
         window_energy(wav, codec="ppm")
+
+
+def test_y4m_resize_stream_equals_batch(spark, smoke_dir, tmp_path):
+    """The full video chain (container walk + per-frame resample +
+    decode) is stateless mapInPandas — it must run unchanged on a
+    streaming frame and match the batch result exactly."""
+    from declarativeml_spark.operators.multimodal import (
+        decode_features,
+        register_y4m_codec,
+        synth_y4m_from_text,
+    )
+
+    register_y4m_codec()
+    docs = load_table(spark, smoke_dir, "documents").limit(30)
+    media = synth_y4m_from_text(docs, "text", "doc_id")
+    src = tmp_path / "y4m_src"
+    media.repartition(3).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+
+    out = decode_features(
+        resize_image(stream, width=2, height=2, codec="y4m"), codec="y4m"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("y4m_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["media_id"], tuple(r["features"]))
+        for r in spark.sql("SELECT * FROM y4m_sink").collect()
+    )
+    want = sorted(
+        (r["media_id"], tuple(r["features"]))
+        for r in decode_features(
+            resize_image(
+                spark.read.parquet(str(src)), width=2, height=2, codec="y4m"
+            ),
+            codec="y4m",
+        ).collect()
+    )
+    assert got == want and len(got) == 30
