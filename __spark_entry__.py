@@ -27,71 +27,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # correctness tooling that samples a prefix of this dict should spend
 # its budget on rows not yet (or not yet successfully) checked, not on
 # re-confirming long-green ones.
-# Round-7 rotation (computed from CORRECTNESS_r0{1..6}.json at round
-# start): every registered query now has a driver-green row, so
-# staleness (rounds since last green) is the only ordering signal.
-# Window head = (1) round-7 ADDITIONS (never checked), (2) the 31
-# queries whose LAST green is CORRECTNESS_r03 (three rounds stale),
-# (3) fillers from the next-stalest cohort (last green r4) in
-# alphabetical order — the first ~19-len(additions) of these land in
-# the 50-row window, the rest queue for round 8.
+# Round-8 rotation (scripts/rotation.py over CORRECTNESS_r0{1..7}):
+# every registered query has a driver-green row, so staleness (rounds
+# since last green) is the only ordering signal. Window head =
+# (1) round-8 ADDITIONS (never checked, capped at 15 so the window
+# still covers the whole stale cohort), (2) the 35 queries whose LAST
+# green is CORRECTNESS_r04 (three rounds stale), (3) fillers from the
+# next-stalest cohort (last green r5) in alphabetical order — these
+# only reach the driver if fewer than 15 additions land.
 _CHECK_FIRST = (
-    # (1) round-7 additions (never driver-checked)
-    "multimodal_y4m_frames",
-    "multimodal_ppm_resize_stats",
-    "multimodal_wav_window_energy",
-    "multimodal_y4m_resize_stats",
-    # (2) stalest cohort: last green in CORRECTNESS_r03 (31)
-    "approx_distinct_parts",
-    "asof_last_view_before_purchase",
-    "corpus_dedup_survivorship",
-    "customer_rfm_segments",
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_substring_runs",
-    "embedding_pca_power",
-    "embedding_similarity_pairs",
-    "events_hourly_corr",
-    "events_new_users_cumulative",
-    "events_time_weighted_value",
-    "events_top_paths",
-    "events_transition_matrix",
-    "events_type_hour_cube",
-    "events_value_range_join",
-    "key_uniqueness_audit",
-    "lakehouse_compaction_plan",
-    "lineitem_price_ols",
-    "lineitem_winsorized_stats",
-    "multimodal_byte_histogram",
-    "nation_revenue_trend",
-    "orders_benford_audit",
-    "orders_categorical_profile",
-    "orders_seasonality_index",
-    "part_abc_classification",
-    "part_pair_affinity",
-    "part_type_shares",
-    "referential_integrity_audit",
-    "text_ngram_novelty",
-    "text_winnow_fingerprints",
-    # (3) window fillers: next-stalest cohort (last green r04, 50) —
-    # only the first window slots reach the driver this round; the
-    # remainder are pre-queued for the round-8 rotation. Names here
-    # also appear in _CHECK_LAST; head placement wins in _ordered.
-    "ann_ivf_recall",
-    "ann_ivf_topk",
-    "cluster_top_terms",
-    "corpus_shard_assignment",
-    "corpus_temperature_mix",
-    "decontam_bloom_gate",
-    "dedup_incremental_delta",
-    "embedding_centroid_dispersion",
-    "embedding_pq_codes",
-    "embedding_quantize_int8",
-    "events_autocorrelation",
-    "events_change_points",
-    "events_fano_factor",
-    "events_latest_per_user",
-    "events_minute_gapfill",
+    # (1) round-8 additions (never driver-checked) — prepend as they land
+    # (2) stalest cohort: last green in CORRECTNESS_r04 (35)
     "events_rate_anomalies",
     "events_rollup_incremental",
     "events_transition_entropy",
@@ -127,6 +73,23 @@ _CHECK_FIRST = (
     "token_heavy_hitters_cms",
     "token_vocab_coverage",
     "tokenizer_fertility",
+    # (3) window fillers: next-stalest cohort (last green r05) —
+    # pushed past the 50-row window as round-8 additions land.
+    "corpus_cluster_split",
+    "corpus_cross_source_overlap",
+    "corpus_epoch_shuffle",
+    "corpus_mix_sample",
+    "corpus_source_datasheet",
+    "corpus_stratified_quota",
+    "corpus_token_budget_curve",
+    "corpus_weighted_sample",
+    "decontam_benchmark_overlap",
+    "decontam_semantic_overlap",
+    "dedup_band_calibration",
+    "dedup_exact",
+    "dedup_ngram_containment",
+    "dedup_savings_by_source",
+    "dedup_simhash",
 )
 
 # Every registered query has at least one driver-green row
@@ -230,8 +193,12 @@ _CHECK_LAST = frozenset(
         "multimodal_audio_energy",
         "multimodal_byte_histogram",
         "multimodal_frame_sample",
+        "multimodal_ppm_resize_stats",
         "multimodal_ppm_stats",
         "multimodal_wav_features",
+        "multimodal_wav_window_energy",
+        "multimodal_y4m_frames",
+        "multimodal_y4m_resize_stats",
         "nation_price_trend",
         "nation_revenue_gini",
         "nation_revenue_trend",

@@ -143,12 +143,15 @@ def main() -> int:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as f:
         json.dump(full, f, indent=1)
-    # Short summary line FIRST: capture windows that keep only the
-    # head of stdout still get a parseable JSON object. The full
-    # per-query map follows on its own line.
+    # Full per-query map FIRST, short summary line LAST: the driver
+    # keeps only the final ~2000 chars of stdout (BENCH_r05..r07 all
+    # came back "parsed": null because the summary printed first was
+    # truncated away with the head). Printing the ~100-char summary
+    # line last guarantees it lands inside the captured tail; the
+    # complete per-query dict lives in BENCH_LOCAL.json regardless.
     try:
-        print(json.dumps(summary), flush=True)
         print(json.dumps(full), flush=True)
+        print(json.dumps(summary), flush=True)
     except BrokenPipeError:
         pass
     return 0

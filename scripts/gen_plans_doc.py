@@ -73,7 +73,7 @@ What to look for, per the 100 TB design rules in README.md:
 * dimension joins as `BroadcastHashJoin` (no fact-side shuffle);
 * `Exchange` only where a key change is semantically required;
 * zero `BatchEvalPython` anywhere (Arrow-only Python boundary —
-  enforced by `scripts/plan_audit.py --fail-on-python`).
+  enforced by `scripts/plan_audit.py`, strict by default).
 
 """
 

@@ -15,7 +15,11 @@ Flags per query:
   operators/ordered.py's two-phase rank/ntile/cumsum instead);
 * exchange count — shuffles + broadcasts; watch for jumps.
 
-Usage: python scripts/plan_audit.py [--sf-dir DIR] [--fail-on-python]
+Failures (BatchEvalPython, a query that errors, or an un-allowlisted
+partition-less window) exit 1 by default; pass ``--warn-only`` to
+report without failing.
+
+Usage: python scripts/plan_audit.py [--sf-dir DIR] [--warn-only]
 """
 
 from __future__ import annotations
@@ -132,13 +136,35 @@ def partitionless_windows(plan: str) -> int:
     return hits
 
 
+def audit_plan(name: str, plan: str) -> tuple[list[str], bool]:
+    """Judge one formatted plan: (marker flags, fails-the-audit)."""
+    flags = [f"{m}x{plan.count(m)}" for m in MARKERS if plan.count(m)]
+    pw = partitionless_windows(plan)
+    if pw:
+        if name in GLOBAL_WINDOW_BOUNDED_OK:
+            flags.append(
+                f"GlobalWindowOKx{pw}({GLOBAL_WINDOW_BOUNDED_OK[name]})"
+            )
+        else:
+            flags.append(f"GlobalWindowx{pw}")
+    bad = "BatchEvalPython" in plan or (
+        pw and name not in GLOBAL_WINDOW_BOUNDED_OK
+    )
+    return flags, bad
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument(
         "--fail-on-python",
         action="store_true",
-        help="exit 1 if any plan contains a row-at-a-time Python UDF",
+        help="(default; kept for compatibility) exit 1 on any failure",
+    )
+    ap.add_argument(
+        "--warn-only",
+        action="store_true",
+        help="report failures but exit 0 (exploration escape hatch)",
     )
     args = ap.parse_args()
 
@@ -158,23 +184,12 @@ def main() -> int:
             print(f"{name}: ERROR {type(e).__name__}: {e}")
             bad += 1
             continue
-        flags = [
-            f"{m}x{plan.count(m)}" for m in MARKERS if plan.count(m)
-        ]
-        pw = partitionless_windows(plan)
-        if pw:
-            if name in GLOBAL_WINDOW_BOUNDED_OK:
-                flags.append(
-                    f"GlobalWindowOKx{pw}({GLOBAL_WINDOW_BOUNDED_OK[name]})"
-                )
-            else:
-                flags.append(f"GlobalWindowx{pw}")
-        if "BatchEvalPython" in plan or (
-            pw and name not in GLOBAL_WINDOW_BOUNDED_OK
-        ):
+        flags, is_bad = audit_plan(name, plan)
+        if is_bad:
             bad += 1
         print(f"{name}: exchanges={plan.count('Exchange')} {' '.join(flags)}")
-    if args.fail_on_python and bad:
+    if bad and not args.warn_only:
+        print(f"FAIL: {bad} plan(s) with scale anti-patterns", file=sys.stderr)
         return 1
     return 0
 
