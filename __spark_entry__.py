@@ -37,6 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # only reach the driver if fewer than 15 additions land.
 _CHECK_FIRST = (
     # (1) round-8 additions (never driver-checked) — prepend as they land
+    "media_load_wav_features",
+    "media_ingest_inventory",
     # (2) stalest cohort: last green in CORRECTNESS_r04 (35)
     "events_rate_anomalies",
     "events_rollup_incremental",

@@ -82,6 +82,7 @@ Statement = Union[
     ir.DecodeMedia,
     ir.SampleFrames,
     ir.ResizeMedia,
+    ir.LoadMedia,
     ir.CreateIndex,
     ir.DropIndex,
     ir.RefreshIndex,
@@ -2202,6 +2203,46 @@ class _Parser:
             windows=windows,
         )
 
+    def parse_load_media(self) -> "ir.LoadMedia":
+        """``LOAD MEDIA FROM '<path>' [GLOB '<pattern>'] [RECURSIVE]
+        [AS <view>]`` — binaryFile ingest into the standard media
+        frame (sources/io.py::read_media). The caller has already
+        consumed ``LOAD``."""
+        self.expect_keyword("MEDIA")
+        self.expect_keyword("FROM")
+        tok = self.advance()
+        if tok.kind != "SQSTRING":
+            raise DSLSyntaxError(
+                f"LOAD MEDIA path must be a single-quoted string,"
+                f" got {tok.value!r} at {tok.pos}"
+            )
+        path = tok.value[1:-1].replace("''", "'")
+        glob = None
+        recursive = False
+        view = None
+        while self.peek().kind != "EOF":
+            if self.at_keyword("GLOB") and glob is None:
+                self.advance()
+                g = self.advance()
+                if g.kind != "SQSTRING":
+                    raise DSLSyntaxError(
+                        f"GLOB pattern must be a single-quoted string,"
+                        f" got {g.value!r} at {g.pos}"
+                    )
+                glob = g.value[1:-1].replace("''", "'")
+            elif self.at_keyword("RECURSIVE") and not recursive:
+                self.advance()
+                recursive = True
+            elif self.at_keyword("AS") and view is None:
+                self.advance()
+                view = self.expect_name("view name")
+            else:
+                break
+        self.expect_eof()
+        return ir.LoadMedia(
+            path=path, glob=glob, recursive=recursive, view=view
+        )
+
     def parse_sample_frames(self) -> "ir.SampleFrames":
         """``SAMPLE FRAMES FROM <source> EVERY n [USING <codec>]
         [PAYLOAD COLUMN c] [ID COLUMN c]`` — keyframe sampling
@@ -2935,6 +2976,9 @@ def parse(text: str) -> Statement:
         return parser.parse_decode()
     if tok.value == "RESIZE":
         return parser.parse_resize()
+    if tok.value == "LOAD":
+        parser.advance()  # consume LOAD; MEDIA is checked inside
+        return parser.parse_load_media()
     if tok.value == "DECONTAMINATE":
         return parser.parse_decontaminate()
     if tok.value == "PACK":
@@ -2994,8 +3038,8 @@ def parse(text: str) -> Statement:
         " EVALUATE, CREATE, DEPLOY, MONITOR, RETRAIN, WHEN, DEDUPLICATE,"
         " SEARCH, SAMPLE, DECONTAMINATE, PACK, REDACT, CHUNK, SESSIONIZE,"
         " QUANTIZE, MIX, PROFILE, DETECT, SHARD, COMPACT, SHUFFLE, SCORE,"
-        " WEIGH, AUDIT, CALIBRATE, TOKENIZE, DECODE, RESIZE, REFRESH,"
-        " SELECT, or DROP"
+        " WEIGH, AUDIT, CALIBRATE, TOKENIZE, DECODE, RESIZE, LOAD,"
+        " REFRESH, SELECT, or DROP"
     )
 
 

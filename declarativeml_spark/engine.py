@@ -234,6 +234,8 @@ class Engine:
             return self._sample_frames(stmt)
         if isinstance(stmt, ir.ResizeMedia):
             return self._resize_media(stmt)
+        if isinstance(stmt, ir.LoadMedia):
+            return self._load_media(stmt)
         if isinstance(stmt, ir.CreateIndex):
             return self._create_index(stmt)
         if isinstance(stmt, ir.DropIndex):
@@ -1237,8 +1239,35 @@ class Engine:
         elif codec == "y4m":
             M.register_y4m_codec()
 
+    def _load_media(self, stmt: "ir.LoadMedia") -> DataFrame:
+        from declarativeml_spark.sources.io import read_media
+
+        df = read_media(
+            self.spark, stmt.path, glob=stmt.glob, recursive=stmt.recursive
+        )
+        if stmt.view:
+            df.createOrReplaceTempView(stmt.view)
+        return df
+
+    @staticmethod
+    def _quoted_media_path(source: str) -> "Optional[str]":
+        """A single-quoted source clause is a filesystem path/glob
+        (``DECODE 'clips/*.wav' USING wav``), not a relation."""
+        import re as _re
+
+        m = _re.fullmatch(r"'((?:''|[^'])*)'", source.strip())
+        return m.group(1).replace("''", "'") if m else None
+
     def _media_source(self, stmt) -> DataFrame:
-        df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
+        path = self._quoted_media_path(stmt.source)
+        if path is not None:
+            from declarativeml_spark.sources.io import read_media
+
+            df = read_media(self.spark, path)
+        else:
+            df = resolve_source(
+                self.spark, stmt.source, stmt.source_is_identifier
+            )
         for label, col in (
             ("PAYLOAD COLUMN", stmt.payload_column),
             ("ID COLUMN", stmt.id_column),

@@ -551,3 +551,149 @@ def multimodal_y4m_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[6].alias("sum_u"),
         F.col("features")[7].alias("sum_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real-FILE media ingestion (round-8 verdict ask #4): the binaryFile
+# on-ramp. Every prior multimodal query synthesized payloads
+# in-session; these two prove the missing first step of a real
+# pipeline — WAV containers written to DISK, listed and read back via
+# sources/io.py::read_media (Spark's binaryFile source), then pushed
+# through the same registered codec. The oracle computes the expected
+# decoder output from the document text alone, so a bug anywhere in
+# the write → list → read → parse chain hash-fails.
+
+_N_MEDIA_FILES = 24
+
+
+def _media_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a bounded on-disk WAV corpus (one real RIFF file
+    per document, lowest <_N_MEDIA_FILES> doc_ids) and return its
+    directory. Content-addressed by (sf_dir, n) and marker-gated, so
+    repeated runs — bench, verify, the determinism double-run — reuse
+    the files instead of rewriting them.
+
+    The collect is bounded by construction (a fixture, not a data
+    path): real ingest starts from files that already exist on
+    distributed storage; this helper only stands in for that storage
+    on a single host.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from declarativeml_spark.operators.multimodal import synth_wav_from_text
+
+    key = hashlib.sha1(
+        f"{sf_dir}|wav|{_N_MEDIA_FILES}".encode()
+    ).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"declml_media_{key}")
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id")
+            .limit(_N_MEDIA_FILES)
+        )
+        wav = synth_wav_from_text(docs, "text", "doc_id")
+        for r in wav.select("media_id", "payload").collect():
+            with open(os.path.join(d, f"m{r.media_id:08d}.wav"), "wb") as f:
+                f.write(bytes(r.payload))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+_MEDIA_LOAD_ORACLE = f"""
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(length(text) AS BIGINT) AS n_samples,
+       CAST(COALESCE(list_sum(list_transform(
+           range(1, length(text) + 1),
+           i -> (ascii(substr(text, i, 1)) - 128)
+                * (ascii(substr(text, i, 1)) - 128)
+       )), 0) * 65536 AS BIGINT) AS energy
+FROM (SELECT doc_id, text FROM documents
+      ORDER BY doc_id LIMIT {_N_MEDIA_FILES}) t
+"""
+
+
+@query("media_load_wav_features", oracle=_MEDIA_LOAD_ORACLE)
+def media_load_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-ingest round trip: real WAV files on disk → ``read_media``
+    (binaryFile listing, pathGlobFilter, standard media frame) →
+    registered WAV parser → per-file features, re-keyed to doc_id by
+    parsing the filename the fixture wrote. Also the engine path
+    behind ``LOAD MEDIA FROM '<dir>' GLOB '*.wav'`` and
+    ``DECODE '<dir>/*.wav' USING wav``.
+
+    Scale: the listing packs many small files per task
+    (maxPartitionBytes/openCostInBytes); decode is map-only; the
+    id-join is a broadcast of the slim (media_id, doc_id) projection.
+    Large single files do NOT split — binaryFile reads each file
+    whole — so per-file size caps belong at ingest (read_media
+    docstring).
+    """
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.operators.multimodal import (
+        decode_features,
+        register_wav_codec,
+    )
+    from declarativeml_spark.sources.io import read_media
+
+    register_wav_codec()
+    d = _media_fixture_dir(spark, sf_dir)
+    media = read_media(spark, d, glob="*.wav")
+    feats = decode_features(media, codec="wav")
+    ids = media.select(
+        "media_id",
+        F.regexp_extract("media_path", r"m(\d+)\.wav$", 1)
+        .cast("long")
+        .alias("doc_id"),
+    )
+    return feats.join(F.broadcast(ids), "media_id").select(
+        "doc_id",
+        F.col("features")[0].alias("sample_rate"),
+        F.col("features")[3].alias("n_samples"),
+        F.col("features")[4].alias("energy"),
+    )
+
+
+_MEDIA_INVENTORY_ORACLE = f"""
+SELECT 'audio/wav' AS format,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(44 + 2 * length(text)) AS BIGINT) AS total_bytes,
+       CAST(MIN(44 + 2 * length(text)) AS BIGINT) AS min_bytes,
+       CAST(MAX(44 + 2 * length(text)) AS BIGINT) AS max_bytes
+FROM (SELECT text FROM documents
+      ORDER BY doc_id LIMIT {_N_MEDIA_FILES}) t
+"""
+
+
+@query("media_ingest_inventory", oracle=_MEDIA_INVENTORY_ORACLE)
+def media_ingest_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest inventory over the on-disk corpus: per-format file count
+    and byte mass from the listing METADATA alone (meta.format from
+    the extension, meta.n_bytes from the filesystem length — payloads
+    are never decoded). The oracle recomputes every file's exact RIFF
+    container size (44-byte header + 2 bytes per sample) from the
+    text, so a truncated write, a stray file passing the glob, or a
+    wrong length column hash-fails.
+
+    Scale: a pure listing aggregation — the shape of the first query
+    any 100 TB media pipeline runs ("what did we actually land?").
+    """
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.sources.io import read_media
+
+    d = _media_fixture_dir(spark, sf_dir)
+    media = read_media(spark, d, glob="*.wav")
+    return media.groupBy(F.col("meta.format").alias("format")).agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("meta.n_bytes").cast("long").alias("total_bytes"),
+        F.min("meta.n_bytes").cast("long").alias("min_bytes"),
+        F.max("meta.n_bytes").cast("long").alias("max_bytes"),
+    )

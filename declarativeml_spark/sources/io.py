@@ -91,3 +91,148 @@ def save_bucketed_table(
 def append_results_table(df: DataFrame, table: str) -> None:
     """``STORE RESULTS IN t`` sink (DSL.md:71): append to a table."""
     df.write.mode("append").saveAsTable(table)
+
+
+# Extensions recognized by the media on-ramp; anything else still
+# loads (payload stays opaque) with format "application/octet-stream".
+_MEDIA_FORMATS = {
+    "wav": "audio/wav",
+    "ppm": "image/x-portable-pixmap",
+    "y4m": "video/x-yuv4mpeg",
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "mp3": "audio/mpeg",
+    "flac": "audio/flac",
+    "mp4": "video/mp4",
+    "mkv": "video/x-matroska",
+}
+
+
+def read_media(
+    spark: SparkSession,
+    path: str,
+    glob: Optional[str] = None,
+    recursive: bool = False,
+    spread: bool = True,
+) -> DataFrame:
+    """Read media files from disk into the standard media frame.
+
+    The filesystem on-ramp for the multimodal family (SURVEY §2.11):
+    ``binaryFile`` scan → one row per file with the same
+    ``(media_id, payload, meta)`` shape the in-memory synth fixtures
+    produce, so every downstream operator (decode_features,
+    window_energy, sample_frames, resize_image) runs unchanged on
+    real files. ``media_path`` is kept alongside for joins back to
+    the source listing.
+
+    ``path`` may itself be a glob (``/data/audio/*.wav``); ``glob``
+    maps to ``pathGlobFilter`` (applied to filenames under a
+    directory ``path``), ``recursive`` to ``recursiveFileLookup``.
+
+    Scale notes (the 100 TB story):
+
+    * many SMALL files — Spark packs multiple files per task using
+      ``spark.sql.files.maxPartitionBytes`` (128 MB default) and
+      ``openCostInBytes``, so a million 100 KB images does not mean a
+      million tasks; with fewer files than cores, ``spread=True``
+      round-robins them so decode parallelism isn't capped by the
+      listing (same policy as textops.spread — a no-op at real scale).
+    * one LARGE file is NOT split — ``binaryFile`` reads each file
+      whole into one row. Cap per-file size upstream (shard long
+      videos at ingest); a 10 GB single file would pin one task and
+      one executor's memory.
+    * ``media_id`` is ``xxhash64(path)`` — deterministic across runs
+      and restarts, join-stable, and computed JVM-side.
+    """
+    # A glob confined to the basename becomes pathGlobFilter on the
+    # parent directory: same listing, but avoids the literal
+    # getFileStatus probe Spark runs on the raw load() string (a noisy
+    # logged FileNotFoundException for every glob path). Globs in
+    # intermediate directories pass through — Spark expands those.
+    import posixpath
+
+    head, tail = posixpath.split(path.rstrip("/"))
+    if (
+        glob is None
+        and head
+        and not any(c in head for c in "*?[{")
+        and any(c in tail for c in "*?[{")
+    ):
+        path, glob = head, tail
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    out = _media_frame(reader.load(path))
+    if spread:
+        from declarativeml_spark.operators.textops import spread as _spread
+
+        out = _spread(out)
+    return out
+
+
+def _media_frame(raw: DataFrame) -> DataFrame:
+    """Shape a binaryFile scan (path/modificationTime/length/content)
+    into the standard media frame — shared by the batch and streaming
+    readers so both produce bit-identical rows for the same file."""
+    from pyspark.sql import functions as F
+
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    fmt = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _MEDIA_FORMATS.items() for x in kv]
+        ),
+        ext,
+    )
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.col("path").alias("media_path"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.coalesce(fmt, F.lit("application/octet-stream")).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("length").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def read_media_stream(
+    spark: SparkSession,
+    path: str,
+    glob: Optional[str] = None,
+    recursive: bool = False,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_media`: watch a directory for
+    NEW media files and emit each as one standard media-frame row.
+
+    Same binaryFile columns, same projection (``_media_frame``), so a
+    streaming DECODE over this source is asserted bit-equal to the
+    batch decode of the same directory (tests/test_media_ingest.py).
+    A streaming source requires an explicit schema; binaryFile's is
+    fixed, so it is pinned here rather than asked of the caller.
+
+    ``max_files_per_trigger`` bounds micro-batch size (ingest
+    backpressure at real scale: a directory landing thousands of
+    clips per minute should decode in bounded batches, not one giant
+    catch-up batch).
+    """
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    reader = spark.readStream.format("binaryFile").schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return _media_frame(reader.load(path))
