@@ -125,6 +125,19 @@ def main() -> int:
             " 3.31s == the r5 number, so the refactor added NO pass to"
             " the learn loop; the 4.46 was full-bench cache pressure"
         ),
+        "multimodal_frame_sample": (
+            "r7 bench 0.52s flagged vs r4 0.35s (1.48x) on the module"
+            " r7 touched most; r8 isolated re-measure (3 runs, warm):"
+            " 0.584/0.491/0.599s — NOT full-bench cache pressure, the"
+            " wall is ~0.55s either way. Diff inspection of the r7"
+            " codec-capability refactor shows zero added per-row work"
+            " on the fake path (plan-time _require_codec + one"
+            " per-batch use_y4m boolean; the slicing loop is"
+            " byte-identical), so there is nothing to hoist; the"
+            " 0.35->0.55 is Python-worker/Arrow baseline drift on this"
+            " host across 4 rounds, sub-second absolute, constant in"
+            " SF (map-only plan, no shuffle)"
+        ),
         "text_language_id": (
             "r6 bench 0.88s flagged vs r5 0.54s on untouched code"
             " (git diff across r6 for the query and its textops/"

@@ -725,6 +725,8 @@ class Engine:
                 )
                 tables = [t]
                 frames = {"keyed": self.spark.table(t)}
+            for tbl in tables:
+                self._mark_index_storage(tbl)
             caching.release_all(owned)  # the tables serve now
             owned = []
         return tables, frames, owned
@@ -846,6 +848,30 @@ class Engine:
             rows, schema=self._INDEX_REGISTRY_SCHEMA
         ).write.mode("overwrite").saveAsTable(self.INDEX_REGISTRY_TABLE)
 
+    # Explicit ownership marker on every stored-index table: the
+    # column-subset shape guard alone cannot tell index storage from a
+    # USER table that happens to have the same column names
+    # (compatible-but-foreign shape, the round-7 verdict's adversarial
+    # case). A table property is an unambiguous claim only the engine
+    # writes, so reclaim/adoption require BOTH the shape and the mark.
+    _INDEX_STORAGE_PROP = "declml.index_storage"
+
+    def _mark_index_storage(self, table: str) -> None:
+        self.spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES"
+            f" ('{self._INDEX_STORAGE_PROP}'='1')"
+        )
+
+    def _is_index_storage(self, table: str) -> bool:
+        try:
+            rows = self.spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        except Exception:  # noqa: BLE001 — views/foreign catalogs: not ours
+            return False
+        return any(
+            r.key == self._INDEX_STORAGE_PROP and r.value == "1"
+            for r in rows
+        )
+
     @staticmethod
     def _index_table_shapes(method: str, tables: list) -> dict:
         """Map each of an index's storage tables to the column subset
@@ -876,8 +902,14 @@ class Engine:
         wh = self._warehouse_path()
         for t, required in shapes.items():
             if self.spark.catalog.tableExists(t):
-                if required and not required <= set(
-                    self.spark.table(t).columns
+                # both guards, not either: the required-column subset
+                # AND the engine's ownership property. A user table
+                # with coincidentally compatible columns is missing
+                # the mark; an empty `required` means the statement
+                # itself just wrote the name (reclaim unconditionally).
+                if required and (
+                    not required <= set(self.spark.table(t).columns)
+                    or not self._is_index_storage(t)
                 ):
                     skipped.append(t)
                     continue
@@ -974,12 +1006,13 @@ class Engine:
             row["method"], tables
         ).items():
             have = set(self.spark.table(t).columns)
-            if not required <= have:
+            if not required <= have or not self._is_index_storage(t):
                 raise ValueError(
                     f"Index {name!r} is registered but table {t!r} does"
                     " not look like its index storage (columns"
-                    f" {sorted(have)}) — the name was likely reused;"
-                    " CREATE INDEX to rebuild"
+                    f" {sorted(have)}, ownership mark"
+                    f" {self._is_index_storage(t)}) — the name was"
+                    " likely reused; CREATE INDEX to rebuild"
                 )
         if row["method"] == "ivf":
             frames = {

@@ -332,3 +332,149 @@ def test_session_only_ops_survive_foreign_registry_table(
         ]
     finally:
         s2.sql("DROP TABLE IF EXISTS cold_foreign_reg2")
+
+
+def test_combined_squat_registry_and_storage_names(warm, spark, smoke_dir):
+    """Round-7 verdict ask #7, the combined adversarial case: a user
+    table squats the REGISTRY name (foreign shape) AND another user
+    table squats a typical stored-index name with a COMPATIBLE shape
+    (the exact lsh storage columns). Every path must fail loudly or
+    no-op — neither user table may lose a row."""
+    s2 = spark.newSession()
+    register_views(s2, smoke_dir)
+    e2 = Engine(s2)
+    e2.INDEX_REGISTRY_TABLE = "cold_sq_reg"
+    s2.createDataFrame([(1, "keep")], "a int, b string").write.mode(
+        "overwrite"
+    ).saveAsTable("cold_sq_reg")
+    # compatible-but-foreign: has {tbl, bkey} but is user data
+    s2.createDataFrame(
+        [("mine", 5, 99)], "tbl string, bkey long, payload int"
+    ).write.mode("overwrite").saveAsTable("cold_sq_tbl")
+    user_rows = [tuple(r) for r in s2.table("cold_sq_tbl").collect()]
+    try:
+        # stored CREATE INDEX onto the squatted storage name: the
+        # existence check refuses before anything is dropped
+        with pytest.raises(ValueError, match="already exists"):
+            e2.execute(
+                "CREATE INDEX cold_sq ON embeddings USING lsh"
+                " STORED AS cold_sq_tbl"
+            )
+        # stored CREATE INDEX onto a FREE name: fails on the foreign
+        # registry (it must record itself), storage squat untouched
+        with pytest.raises(
+            ValueError, match="not the engine's index registry"
+        ):
+            e2.execute(
+                "CREATE INDEX cold_sq ON embeddings USING lsh"
+                " STORED AS cold_sq_free_tbl"
+            )
+        # non-stored CREATE + SEARCH + DROP still work (session-only
+        # paths need no registry) and touch neither user table
+        e2.execute("CREATE INDEX cold_sq ON embeddings USING lsh")
+        assert (
+            e2.execute(
+                "SEARCH SIMILAR USING INDEX cold_sq(threshold=1.15)"
+            ).count()
+            >= 0
+        )
+        assert e2.execute("DROP INDEX cold_sq") == {"dropped": "cold_sq"}
+        assert [tuple(r) for r in s2.table("cold_sq_reg").collect()] == [
+            (1, "keep")
+        ]
+        assert [
+            tuple(r) for r in s2.table("cold_sq_tbl").collect()
+        ] == user_rows
+    finally:
+        e2.indexes.pop("cold_sq", None)
+        for t in ("cold_sq_reg", "cold_sq_tbl", "cold_sq_free_tbl"):
+            s2.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compatible_shape_user_table_never_served_or_dropped(
+    warm, spark, smoke_dir
+):
+    """A REAL registry row whose storage name now points at a user
+    table with a COMPATIBLE column shape: the subset guard alone
+    cannot tell them apart, so the ownership TBLPROPERTIES mark must —
+    adoption refuses to serve it and DROP INDEX clears the row while
+    leaving the table intact."""
+    import json
+
+    warm._write_index_registry(
+        warm._registry_rows_without("cold_compat")
+        + [
+            {
+                "index_name": "cold_compat",
+                "method": "lsh",
+                "source": "embeddings",
+                "source_is_identifier": True,
+                "params": json.dumps({}),
+                "tables": ["cold_compat_tbl"],
+            }
+        ]
+    )
+    # user data wearing the EXACT lsh storage columns — but no mark
+    spark.createDataFrame(
+        [("u", 1, 7), ("v", 2, 8)], "tbl string, bkey long, vec_id int"
+    ).write.mode("overwrite").saveAsTable("cold_compat_tbl")
+    try:
+        s2 = spark.newSession()
+        register_views(s2, smoke_dir)
+        e2 = Engine(s2)
+        # adoption must refuse to SERVE the user table
+        with pytest.raises(ValueError, match="likely reused"):
+            e2.execute("SEARCH SIMILAR USING INDEX cold_compat")
+        # DROP clears the stale row but never the user table
+        assert e2.execute("DROP INDEX cold_compat") == {
+            "dropped": "cold_compat"
+        }
+        assert sorted(
+            tuple(r) for r in s2.table("cold_compat_tbl").collect()
+        ) == [("u", 1, 7), ("v", 2, 8)]
+        # row really gone
+        with pytest.raises(ValueError, match="Unknown index"):
+            e2.execute("SEARCH SIMILAR USING INDEX cold_compat")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cold_compat_tbl")
+
+
+def test_nonstored_rebuild_skips_compatible_shape_user_table(
+    warm, spark, smoke_dir
+):
+    """The reclaim path (non-stored rebuild clearing a stale stored
+    row) must also honor the ownership mark: the compatible-shaped
+    user table is skipped, only the row is cleared."""
+    import json
+
+    warm._write_index_registry(
+        warm._registry_rows_without("cold_compat2")
+        + [
+            {
+                "index_name": "cold_compat2",
+                "method": "lsh",
+                "source": "embeddings",
+                "source_is_identifier": True,
+                "params": json.dumps({}),
+                "tables": ["cold_compat2_tbl"],
+            }
+        ]
+    )
+    spark.createDataFrame(
+        [("w", 3, 9)], "tbl string, bkey long, vec_id int"
+    ).write.mode("overwrite").saveAsTable("cold_compat2_tbl")
+    try:
+        s2 = spark.newSession()
+        register_views(s2, smoke_dir)
+        e2 = Engine(s2)
+        e2.execute("CREATE INDEX cold_compat2 ON embeddings USING lsh")
+        assert [
+            tuple(r) for r in s2.table("cold_compat2_tbl").collect()
+        ] == [("w", 3, 9)]
+        assert not any(
+            r["index_name"] == "cold_compat2"
+            for r in (e2._read_index_registry() or [])
+        )
+        e2.execute("DROP INDEX cold_compat2")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cold_compat2_tbl")
