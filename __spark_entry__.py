@@ -39,6 +39,11 @@ _CHECK_FIRST = (
     # (1) round-8 additions (never driver-checked) — prepend as they land
     "media_load_wav_features",
     "media_ingest_inventory",
+    "connector_orc_roundtrip",
+    "connector_csv_roundtrip",
+    "connector_partitioned_sink_pruning",
+    "salted_skew_join",
+    "text_readability_scores",
     # (2) stalest cohort: last green in CORRECTNESS_r04 (35)
     "events_rate_anomalies",
     "events_rollup_incremental",

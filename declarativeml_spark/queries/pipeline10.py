@@ -1,0 +1,349 @@
+"""Training-data pipeline operators, part 10 (round 8).
+
+Two families:
+
+* **Connector round trips** — the SURVEY §2.2 file-format row was
+  pytest-only until now; these queries drive the ORC / CSV /
+  partitioned-parquet read-write paths end to end under the driver's
+  hash gate (write a deterministic subset, read it back through
+  ``sources/io.py``, aggregate, compare against DuckDB computing the
+  same numbers from the ORIGINAL parquet — any loss in the round trip
+  hash-fails).
+* **Skew-mitigation correctness** — ``salted_skew_join`` executes the
+  canonical hot-key salting rewrite (fact side salted, dim side
+  exploded) and must produce exactly the plain join's aggregate.
+
+Float conventions follow registry.py (decimal-exact aggregation of
+doubles); the CSV round trip additionally relies on Spark writing
+shortest-round-trip decimal text for doubles, which parses back to
+the identical binary64.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from declarativeml_spark.queries.registry import dsum, query
+from declarativeml_spark.sources.catalog import load_table
+
+# bounded, deterministic subsets so the fixture writes stay cheap at
+# any SF while still exercising a multi-task write
+_ORC_MOD = 50
+_CSV_MOD = 37
+_PART_YEAR = 1997
+
+
+def _fixture_dir(spark: SparkSession, sf_dir: str, tag: str, writer) -> str:
+    """Materialize a connector fixture once per (sf_dir, tag):
+    ``writer(dir)`` runs only when the marker is absent, so bench /
+    verify / determinism double-runs reuse the files. Mirrors the
+    media-fixture discipline in pipeline9."""
+    key = hashlib.sha1(f"{sf_dir}|{tag}".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"declml_conn_{tag}_{key}")
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        writer(d)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+_ORC_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS sum_price
+FROM lineitem
+WHERE l_orderkey % {_ORC_MOD} = 0
+GROUP BY l_returnflag
+"""
+
+
+@query("connector_orc_roundtrip", oracle=_ORC_ORACLE)
+def connector_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector round trip: a deterministic lineitem subset is
+    written to ORC once (``sources/io.py::write_orc``), read back
+    (``read_orc``), and aggregated. The oracle computes the identical
+    numbers from the ORIGINAL parquet, so any loss anywhere in the
+    write → read path (type mapping, double encoding, row drops)
+    hash-fails. Reference has no file connectors at all (SURVEY §2.2);
+    this drives the row end to end under the driver gate.
+
+    Scale: both legs are columnar scans with pushdown; the aggregate
+    is a 4-group hash-agg. ORC round-trips binary64 losslessly.
+    """
+    from declarativeml_spark.sources.io import read_orc, write_orc
+
+    def write(d: str) -> None:
+        write_orc(
+            load_table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_orderkey") % _ORC_MOD == 0)
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+                "l_returnflag",
+            ),
+            d,
+        )
+
+    d = _fixture_dir(spark, sf_dir, "orc", write)
+    back = read_orc(spark, d)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_items"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+    )
+
+
+_CSV_ORACLE = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS sum_price
+FROM orders
+WHERE o_orderkey % {_CSV_MOD} = 0
+GROUP BY o_orderstatus
+"""
+
+
+@query("connector_csv_roundtrip", oracle=_CSV_ORACLE)
+def connector_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector round trip with an EXPLICIT schema on re-read
+    (``read_csv`` refuses inference — a 100 TB path must never
+    pre-scan). Doubles survive because Spark writes
+    shortest-round-trip text and binary64 parse-back is exact; the
+    oracle aggregates the original parquet, so any drift (quoting,
+    header handling, type coercion) hash-fails.
+    """
+    from pyspark.sql import types as T
+
+    from declarativeml_spark.sources.io import read_csv
+
+    def write(d: str) -> None:
+        (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % _CSV_MOD == 0)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(d)
+        )
+
+    d = _fixture_dir(spark, sf_dir, "csv", write)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = read_csv(spark, d, schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+_PART_ORACLE = f"""
+SELECT CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS sum_price
+FROM orders
+WHERE year(o_orderdate) = {_PART_YEAR}
+GROUP BY 1
+"""
+
+
+@query("connector_partitioned_sink_pruning", oracle=_PART_ORACLE)
+def connector_partitioned_sink_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned re-read: orders are
+    written once partitioned by year
+    (``write_partitioned_parquet``), then ONE year is read back — the
+    filter on the partition column prunes to that year's directory
+    (visible as PartitionFilters in the scan, the §2.2 sink's whole
+    point) — and aggregated per month. The oracle filters the
+    original parquet, so a row landing in the wrong partition
+    directory hash-fails.
+
+    Scale: at 100 TB this is the difference between scanning one
+    year and scanning everything; the write side also demonstrates
+    the layout a time-series lake actually uses.
+    """
+    from declarativeml_spark.sources.io import write_partitioned_parquet
+
+    def write(d: str) -> None:
+        write_partitioned_parquet(
+            load_table(spark, sf_dir, "orders").withColumn(
+                "o_year", F.year("o_orderdate")
+            ),
+            d,
+            ["o_year"],
+        )
+
+    d = _fixture_dir(spark, sf_dir, "part", write)
+    back = spark.read.parquet(d).filter(F.col("o_year") == _PART_YEAR)
+    return back.groupBy(
+        F.month("o_orderdate").cast("long").alias("o_month")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+_SALT_BUCKETS = 8
+
+_SALTED_ORACLE = """
+SELECT s.s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+"""
+
+
+@query("salted_skew_join", oracle=_SALTED_ORACLE)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical hot-key salting rewrite, hash-checked against the
+    plain join: the fact side (lineitem) gains a deterministic salt in
+    [0, <_SALT_BUCKETS>), the dim side (supplier) explodes into one
+    copy per salt value, and the join key becomes (key, salt) — so a
+    key hot enough to overwhelm one reducer spreads across
+    <_SALT_BUCKETS> of them. The oracle is the UNSALTED join, proving
+    the rewrite changes the shuffle layout and nothing else.
+
+    Scale: this is the manual fallback when AQE's skew-join split
+    cannot apply (e.g. the skewed side feeds an aggregation pinned to
+    the same partitioning). Salt fan-out multiplies the DIM side only
+    (25k suppliers × 8 here; at 100 TB the dim is still the small
+    side), while the fact side never copies. At local scale Catalyst
+    broadcasts the exploded dim anyway — correctness of the rewrite,
+    not the shuffle itself, is what is assertable at sf0.1.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    fact = li.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT_BUCKETS)),
+    )
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .withColumn(
+            "salt",
+            F.explode(F.sequence(F.lit(0), F.lit(_SALT_BUCKETS - 1))),
+        )
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    joined = fact.join(
+        dim,
+        (fact.l_suppkey == dim.s_suppkey) & (fact.salt == dim.salt),
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").cast("long").alias("n_items"),
+        dsum("rev", "revenue"),
+    )
+
+
+def _readability_exprs() -> tuple:
+    """Shared per-doc expression TEXT for both engines (the
+    lineitem_price_ols recipe: injecting identical expression strings
+    guarantees identical IEEE sequences). Only the count primitives
+    differ (Spark ``regexp_count`` vs DuckDB
+    ``len(regexp_extract_all(...))``); the flesch arithmetic is one
+    string used verbatim on both sides."""
+    from declarativeml_spark.operators import textops as T
+
+    flesch = (
+        "206.835e0 - 1.015e0 * (CAST(words AS DOUBLE) / sentences)"
+        " - 84.6e0 * (CAST(vg AS DOUBLE) / words)"
+    )
+    spark_cols = {
+        "words": f"greatest(size({T.TOKENS_SPARK.format(text='text')}), 1)",
+        "sentences": "greatest(regexp_count(text, '[.!?]+'), 1)",
+        "vg": "regexp_count(lower(text), '[aeiou]+')",
+    }
+    duck_cols = {
+        "words": (
+            f"greatest(len({T.TOKENS_DUCK.format(text='text')}), 1)"
+        ),
+        "sentences": (
+            r"greatest(len(regexp_extract_all(text, '[.!?]+')), 1)"
+        ),
+        "vg": r"len(regexp_extract_all(lower(text), '[aeiou]+'))",
+    }
+    return flesch, spark_cols, duck_cols
+
+
+def _readability_oracle() -> str:
+    flesch, _, d = _readability_exprs()
+    return f"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST({d['words']} AS BIGINT) AS words,
+               CAST({d['sentences']} AS BIGINT) AS sentences,
+               CAST({d['vg']} AS BIGINT) AS vg
+        FROM documents
+    ),
+    scored AS (
+        SELECT source, words, ({flesch}) AS flesch FROM per_doc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(words AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS avg_words,
+           CAST(SUM(CAST(flesch AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS avg_flesch
+    FROM scored GROUP BY source
+    """
+
+
+@query("text_readability_scores", oracle=_readability_oracle())
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source readability profile: a Flesch-reading-ease-shaped
+    score from whitespace words, sentence-punctuation runs, and
+    vowel-group counts (the standard dependency-free syllable proxy).
+    Quality-gating pipelines cut or re-weight sources by exactly this
+    kind of curve; the per-doc arithmetic is one shared expression
+    string on both engines so the hash pins every IEEE step.
+
+    Scale: per-row regex counting (codegen, no Python), then one
+    per-source hash-agg with decimal-exact sums — map-side partials,
+    one slim shuffle.
+    """
+    from declarativeml_spark.operators.textops import spread
+
+    flesch, s, _ = _readability_exprs()
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "source",
+        F.expr(s["words"]).cast("long").alias("words"),
+        F.expr(s["sentences"]).cast("long").alias("sentences"),
+        F.expr(s["vg"]).cast("long").alias("vg"),
+    ).withColumn("flesch", F.expr(flesch))
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (
+            F.sum(F.col("words").cast("decimal(38,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_words"),
+        (
+            F.sum(F.col("flesch").cast("decimal(38,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_flesch"),
+    )

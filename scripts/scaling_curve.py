@@ -52,6 +52,14 @@ QUERIES = [
     "multimodal_wav_features",
     "multimodal_ppm_stats",
     "multimodal_y4m_frames",
+    # r8: the bench's current slowest query (synth→resize→decode video
+    # chain) and the windowed-audio path — proving their cost is
+    # linear codec CPU, not superlinear plan growth (r7 verdict #8)
+    "multimodal_y4m_resize_stats",
+    "multimodal_wav_window_energy",
+    # r8: the binaryFile file-ingest round trip (bounded fixture: the
+    # flat small-end curve is the expected shape)
+    "media_load_wav_features",
 ]
 
 
