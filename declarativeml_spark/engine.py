@@ -862,6 +862,41 @@ class Engine:
             f" ('{self._INDEX_STORAGE_PROP}'='1')"
         )
 
+    def mark_legacy_index_storage(self, name: str) -> list:
+        """One-time migration for stored indexes persisted BEFORE the
+        ownership mark existed: stamp the registry row's storage
+        tables so adoption/reclaim accept them again.
+
+        Deliberately an EXPLICIT operator action, never automatic —
+        auto-marking anything a registry row points at would reopen
+        the squatting hole the mark closes (a user table reusing a
+        recorded name would get claimed). The caller asserts "these
+        tables really are index storage"; the shape subset is still
+        required. Returns the tables marked.
+        """
+        rows = [
+            r
+            for r in (self._read_index_registry() or [])
+            if r["index_name"] == name
+        ]
+        if not rows:
+            raise ValueError(f"Unknown index {name!r}: no registry row")
+        row = rows[0]
+        marked = []
+        for t, required in self._index_table_shapes(
+            row["method"], list(row["tables"])
+        ).items():
+            if not self.spark.catalog.tableExists(t):
+                continue
+            if not required <= set(self.spark.table(t).columns):
+                raise ValueError(
+                    f"Refusing to mark {t!r}: it does not have index"
+                    f" {name!r}'s storage columns {sorted(required)}"
+                )
+            self._mark_index_storage(t)
+            marked.append(t)
+        return marked
+
     def _is_index_storage(self, table: str) -> bool:
         try:
             rows = self.spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
@@ -1006,13 +1041,16 @@ class Engine:
             row["method"], tables
         ).items():
             have = set(self.spark.table(t).columns)
-            if not required <= have or not self._is_index_storage(t):
+            marked = self._is_index_storage(t)
+            if not required <= have or not marked:
                 raise ValueError(
                     f"Index {name!r} is registered but table {t!r} does"
                     " not look like its index storage (columns"
-                    f" {sorted(have)}, ownership mark"
-                    f" {self._is_index_storage(t)}) — the name was"
-                    " likely reused; CREATE INDEX to rebuild"
+                    f" {sorted(have)}, ownership mark {marked}) — the"
+                    " name was likely reused; CREATE INDEX to rebuild"
+                    " (or, for storage written before the ownership"
+                    " mark existed, run"
+                    f" Engine.mark_legacy_index_storage({name!r}) once)"
                 )
         if row["method"] == "ivf":
             frames = {

@@ -21,13 +21,10 @@ the identical binary64.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from declarativeml_spark.queries.fixtures import fixture_dir
 from declarativeml_spark.queries.registry import dsum, query
 from declarativeml_spark.sources.catalog import load_table
 
@@ -36,21 +33,6 @@ from declarativeml_spark.sources.catalog import load_table
 _ORC_MOD = 50
 _CSV_MOD = 37
 _PART_YEAR = 1997
-
-
-def _fixture_dir(spark: SparkSession, sf_dir: str, tag: str, writer) -> str:
-    """Materialize a connector fixture once per (sf_dir, tag):
-    ``writer(dir)`` runs only when the marker is absent, so bench /
-    verify / determinism double-runs reuse the files. Mirrors the
-    media-fixture discipline in pipeline9."""
-    key = hashlib.sha1(f"{sf_dir}|{tag}".encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"declml_conn_{tag}_{key}")
-    marker = os.path.join(d, "_COMPLETE")
-    if not os.path.exists(marker):
-        writer(d)
-        with open(marker, "w") as f:
-            f.write("ok")
-    return d
 
 
 _ORC_ORACLE = f"""
@@ -94,7 +76,11 @@ def connector_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             d,
         )
 
-    d = _fixture_dir(spark, sf_dir, "orc", write)
+    d = fixture_dir(
+        "orc",
+        f"{sf_dir}|mod{_ORC_MOD}|okey,lineno,qty,extprice,retflag",
+        write,
+    )
     back = read_orc(spark, d)
     return back.groupBy("l_returnflag").agg(
         F.count("*").cast("long").alias("n_items"),
@@ -137,7 +123,11 @@ def connector_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .csv(d)
         )
 
-    d = _fixture_dir(spark, sf_dir, "csv", write)
+    d = fixture_dir(
+        "csv",
+        f"{sf_dir}|mod{_CSV_MOD}|okey,status,totalprice|header",
+        write,
+    )
     schema = T.StructType(
         [
             T.StructField("o_orderkey", T.LongType()),
@@ -191,7 +181,7 @@ def connector_partitioned_sink_pruning(
             ["o_year"],
         )
 
-    d = _fixture_dir(spark, sf_dir, "part", write)
+    d = fixture_dir("part", f"{sf_dir}|by_o_year|all_orders", write)
     back = spark.read.parquet(d).filter(F.col("o_year") == _PART_YEAR)
     return back.groupBy(
         F.month("o_orderdate").cast("long").alias("o_month")

@@ -569,8 +569,8 @@ _N_MEDIA_FILES = 24
 def _media_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize a bounded on-disk WAV corpus (one real RIFF file
     per document, lowest <_N_MEDIA_FILES> doc_ids) and return its
-    directory. Content-addressed by (sf_dir, n) and marker-gated, so
-    repeated runs — bench, verify, the determinism double-run — reuse
+    directory — marker-gated via queries/fixtures.py::fixture_dir so
+    repeated runs (bench, verify, the determinism double-run) reuse
     the files instead of rewriting them.
 
     The collect is bounded by construction (a fixture, not a data
@@ -578,19 +578,12 @@ def _media_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     distributed storage; this helper only stands in for that storage
     on a single host.
     """
-    import hashlib
     import os
-    import tempfile
 
     from declarativeml_spark.operators.multimodal import synth_wav_from_text
+    from declarativeml_spark.queries.fixtures import fixture_dir
 
-    key = hashlib.sha1(
-        f"{sf_dir}|wav|{_N_MEDIA_FILES}".encode()
-    ).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"declml_media_{key}")
-    marker = os.path.join(d, "_COMPLETE")
-    if not os.path.exists(marker):
-        os.makedirs(d, exist_ok=True)
+    def write(d: str) -> None:
         docs = (
             load_table(spark, sf_dir, "documents")
             .orderBy("doc_id")
@@ -600,9 +593,8 @@ def _media_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         for r in wav.select("media_id", "payload").collect():
             with open(os.path.join(d, f"m{r.media_id:08d}.wav"), "wb") as f:
                 f.write(bytes(r.payload))
-        with open(marker, "w") as f:
-            f.write("ok")
-    return d
+
+    return fixture_dir("media_wav", f"{sf_dir}|wav|{_N_MEDIA_FILES}", write)
 
 
 _MEDIA_LOAD_ORACLE = f"""

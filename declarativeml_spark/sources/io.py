@@ -145,12 +145,17 @@ def read_media(
     * ``media_id`` is ``xxhash64(path)`` — deterministic across runs
       and restarts, join-stable, and computed JVM-side.
     """
-    # A glob confined to the basename becomes pathGlobFilter on the
-    # parent directory: same listing, but avoids the literal
-    # getFileStatus probe Spark runs on the raw load() string (a noisy
-    # logged FileNotFoundException for every glob path). Globs in
-    # intermediate directories pass through — Spark expands those.
+    # A FILENAME-shaped glob in the basename (has a dot extension:
+    # '*.wav', 'm*.y4m') becomes pathGlobFilter on the parent
+    # directory: same listing, but avoids the literal getFileStatus
+    # probe Spark runs on the raw load() string (a noisy logged
+    # FileNotFoundException for every glob path). Anything else —
+    # including a basename glob that could match DIRECTORIES
+    # ('/corpus/batch*') — passes through untouched so Hadoop glob
+    # expansion keeps its recurse-into-matched-dirs semantics
+    # (pathGlobFilter would instead silently list zero files).
     import posixpath
+    import re as _re
 
     head, tail = posixpath.split(path.rstrip("/"))
     if (
@@ -158,6 +163,7 @@ def read_media(
         and head
         and not any(c in head for c in "*?[{")
         and any(c in tail for c in "*?[{")
+        and _re.search(r"\.[A-Za-z0-9]+$", tail)
     ):
         path, glob = head, tail
     reader = spark.read.format("binaryFile")

@@ -478,3 +478,30 @@ def test_nonstored_rebuild_skips_compatible_shape_user_table(
         e2.execute("DROP INDEX cold_compat2")
     finally:
         spark.sql("DROP TABLE IF EXISTS cold_compat2_tbl")
+
+
+def test_mark_legacy_index_storage_migration(warm, spark, smoke_dir):
+    """Storage persisted before the ownership mark existed (simulated
+    by stripping the property): adoption refuses with the migration
+    hint, the EXPLICIT helper re-marks it, adoption then serves."""
+    rows = [
+        r
+        for r in (warm._read_index_registry() or [])
+        if r["index_name"] == "cold_idx"
+    ]
+    assert rows, "warm fixture registers cold_idx"
+    for t in rows[0]["tables"]:
+        spark.sql(
+            f"ALTER TABLE {t} UNSET TBLPROPERTIES IF EXISTS"
+            f" ('{warm._INDEX_STORAGE_PROP}')"
+        )
+    s2 = spark.newSession()
+    register_views(s2, smoke_dir)
+    e2 = Engine(s2)
+    with pytest.raises(ValueError, match="mark_legacy_index_storage"):
+        e2.execute("SEARCH SIMILAR USING INDEX cold_idx")
+    marked = e2.mark_legacy_index_storage("cold_idx")
+    assert marked == list(rows[0]["tables"])
+    assert e2.execute("SEARCH SIMILAR USING INDEX cold_idx").count() >= 0
+    with pytest.raises(ValueError, match="Unknown index"):
+        e2.mark_legacy_index_storage("never_registered")

@@ -66,7 +66,7 @@ def media_dir(spark, smoke_dir, tmp_path_factory):
     return d
 
 
-def _by_doc(df, media, ids_from_path=True):
+def _by_doc(df, media):
     """Re-key a (media_id, ...) result to the fixture's doc ids via the
     filename, so file-path results can be compared to in-memory ones."""
     ids = media.select(
@@ -267,3 +267,16 @@ def test_streaming_windowed_decode_matches_batch(spark, media_dir):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_directory_glob_is_not_folded(spark, media_dir):
+    """A basename glob that matches DIRECTORIES must keep Hadoop glob
+    semantics (expand into the matched dirs), not become a
+    pathGlobFilter that would silently list zero files."""
+    # media_dir holds wav/ ppm/ y4m/ subdirs; '/<root>/*' matches dirs
+    via_dir_glob = read_media(spark, os.path.join(media_dir, "*"))
+    # Hadoop expands the dir glob and lists each matched dir's files
+    assert via_dir_glob.count() == 3 * N_DOCS + 1  # incl. the decoy
+    # while a filename-shaped glob still folds (and still works)
+    via_file_glob = read_media(spark, os.path.join(media_dir, "wav", "*.wav"))
+    assert via_file_glob.count() == N_DOCS
