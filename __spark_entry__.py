@@ -42,6 +42,8 @@ _CHECK_FIRST = (
     "connector_orc_roundtrip",
     "connector_csv_roundtrip",
     "connector_partitioned_sink_pruning",
+    "connector_json_roundtrip",
+    "connector_bucketed_join",
     "salted_skew_join",
     "text_readability_scores",
     # (2) stalest cohort: last green in CORRECTNESS_r04 (35)

@@ -337,3 +337,137 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("avg_flesch"),
     )
+
+
+_JSON_ORACLE = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id % {_CSV_MOD} = 0
+GROUP BY lang
+"""
+
+
+@query("connector_json_roundtrip", oracle=_JSON_ORACLE)
+def connector_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines connector round trip, completing the §2.2 format
+    family under the driver gate (parquet is every other query; ORC /
+    CSV / partitioned are the siblings above): a deterministic
+    documents subset — including the free-text column, so quoting and
+    escape handling are actually exercised — is written as JSONL and
+    read back with an EXPLICIT schema (``read_json`` refuses
+    inference). The oracle aggregates the original parquet; any
+    escape/quoting/row-splitting defect hash-fails via the per-lang
+    character mass.
+    """
+    from pyspark.sql import types as T
+
+    from declarativeml_spark.sources.io import read_json
+
+    def write(d: str) -> None:
+        (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % _CSV_MOD == 0)
+            .select("doc_id", "lang", "text", "n_chars")
+            .write.mode("overwrite")
+            .json(d)
+        )
+
+    d = fixture_dir(
+        "json", f"{sf_dir}|mod{_CSV_MOD}|doc_id,lang,text,n_chars", write
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = read_json(spark, d, schema)
+    # recount characters from the round-tripped TEXT itself (not the
+    # carried n_chars column): the hash then proves the string payload
+    # survived the escape/unescape cycle byte for byte
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+_BUCKET_N = 8
+
+_BUCKETED_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("connector_bucketed_join", oracle=_BUCKETED_ORACLE)
+def connector_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship 100 TB join strategy under the driver gate: both
+    sides of a fact-fact join persisted as BUCKETED managed tables on
+    the join key (``save_bucketed_table``), so the join reads
+    co-partitioned and needs NO exchange below it — the shuffle is
+    paid once at write time and amortized over every later join.
+    The oracle runs the plain join on the original parquet, proving
+    bucketing changed the physical layout and nothing else
+    (tests/test_connector_queries.py asserts the zero-exchange plan).
+
+    Scale: at 1000 executors this is the difference between
+    re-shuffling 100 TB per query and a map-side merge join; the
+    bucket count (a fixture-sized 8 here) would be sized to
+    target-partition bytes in production.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from declarativeml_spark.sources.io import save_bucketed_table
+
+    def _bucketed_fixture(table: str, df, key_col: str) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # a fresh in-memory metastore over a SHARED warehouse dir can
+        # find the location without the catalog entry (a previous
+        # session's fixture) — stale by construction, remove it first
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        for prefix in ("file://", "file:"):
+            if wh.startswith(prefix):
+                wh = wh[len(prefix):]
+        loc = os.path.join(wh, table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+        save_bucketed_table(
+            df, table, key_col, n_buckets=_BUCKET_N, sort_col=key_col
+        )
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    li_t, ord_t = f"connfix_li_{key}", f"connfix_ord_{key}"
+    _bucketed_fixture(
+        li_t,
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        "l_orderkey",
+    )
+    _bucketed_fixture(
+        ord_t,
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        "o_orderkey",
+    )
+    li = spark.table(li_t)
+    orders = spark.table(ord_t)
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+    )
