@@ -46,6 +46,8 @@ _CHECK_FIRST = (
     "connector_bucketed_join",
     "salted_skew_join",
     "text_readability_scores",
+    "events_scd2_intervals",
+    "corpus_pack_efficiency",
     # (2) stalest cohort: last green in CORRECTNESS_r04 (35)
     "events_rate_anomalies",
     "events_rollup_incremental",

@@ -471,3 +471,143 @@ def connector_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
         ),
     )
+
+
+_SCD2_ORACLE = """
+WITH changes AS (
+    SELECT user_id, event_id, ts, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+scd AS (
+    SELECT user_id, ts AS valid_from, event_type,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to
+    FROM changes
+    WHERE prev_type IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM scd
+"""
+
+
+@query("events_scd2_intervals", oracle=_SCD2_ORACLE)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build from an event
+    log: collapse consecutive same-type events per user (true SCD2
+    records CHANGES, not every observation), then close each interval
+    with the next change's timestamp — (user_id, event_type,
+    valid_from, valid_to, is_current) rows, NULL valid_to marking the
+    open current interval. The warehouse-side sibling of
+    ``events_latest_per_user`` (SCD type 1).
+
+    Scale: both windows partition by user_id — parallel across users,
+    never a global sort; ties break on event_id so both engines pick
+    identical interval boundaries. At 100 TB this is one shuffle on
+    the dimension key, exactly what an SCD2 MERGE pipeline pays.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    ).filter(F.expr("prev_type IS DISTINCT FROM event_type"))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.withColumn("valid_to", F.lead("ts").over(w2))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+_PE_CTX = 512
+_PE_BUCKETS = 8
+
+
+def _pack_efficiency_oracle() -> str:
+    from declarativeml_spark.operators import textops as T
+
+    toks = T.TOKENS_DUCK.format(text="text")
+    return f"""
+    WITH d AS (SELECT doc_id, doc_id % {_PE_BUCKETS} AS bucket,
+                      CAST(len({toks}) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, bucket, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                      PARTITION BY bucket ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cum
+          FROM d),
+    spans AS (
+        SELECT bucket, n_tokens,
+               CAST(FLOOR((cum + n_tokens - 1) / {_PE_CTX}.0) AS BIGINT)
+                 - CAST(FLOOR(cum / {_PE_CTX}.0) AS BIGINT) + 1 AS spanned,
+               cum + n_tokens AS stream_end
+        FROM c
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CEIL(MAX(stream_end) / {_PE_CTX}.0) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN spanned > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_fragmented,
+           CAST(SUM(spanned - 1) AS BIGINT) AS boundary_crossings,
+           CAST(MAX(stream_end) % {_PE_CTX} AS BIGINT) AS tail_fill
+    FROM spans GROUP BY bucket
+    """
+
+
+@query("corpus_pack_efficiency", oracle=_pack_efficiency_oracle())
+def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-layout efficiency audit over ``pack_chunks``'s
+    assignment (same operator, same constants as the oracle-checked
+    ``pack_concat_chunks``): per packing stream, how many documents
+    the layout FRAGMENTS across context windows (a fragmented doc
+    costs attention-mask complexity or truncation downstream), total
+    boundary crossings, chunk count, and the tail window's fill.
+    Concat-and-chunk wastes zero padding by construction, so
+    fragmentation IS its entire cost — this is the number you weigh
+    against padding waste when choosing a packing strategy.
+
+    Scale: inherits pack_chunks's bucketed running sum (windows sort
+    within hash buckets only); the audit itself is one 8-group
+    aggregate.
+    """
+    from declarativeml_spark.operators.corpus import pack_chunks
+
+    packed = pack_chunks(
+        load_table(spark, sf_dir, "documents", spread=True),
+        context=_PE_CTX,
+        buckets=_PE_BUCKETS,
+    )
+    stream_end = (
+        F.col("chunk_id") * _PE_CTX + F.col("chunk_offset") + F.col("n_tokens")
+    )
+    per = packed.select(
+        "bucket",
+        "n_tokens",
+        F.col("chunks_spanned").alias("spanned"),
+        stream_end.alias("stream_end"),
+    )
+    return per.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.ceil(F.max("stream_end") / F.lit(float(_PE_CTX)))
+        .cast("long")
+        .alias("n_chunks"),
+        F.sum((F.col("spanned") > 1).cast("long"))
+        .cast("long")
+        .alias("docs_fragmented"),
+        F.sum(F.col("spanned") - 1).cast("long").alias("boundary_crossings"),
+        (F.max("stream_end") % _PE_CTX).cast("long").alias("tail_fill"),
+    )
