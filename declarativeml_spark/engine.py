@@ -887,7 +887,14 @@ class Engine:
             row["method"], list(row["tables"])
         ).items():
             if not self.spark.catalog.tableExists(t):
-                continue
+                # a silent skip here would report a no-op migration as
+                # success; mirror _adopt_stored_index's missing-storage
+                # error instead
+                raise ValueError(
+                    f"Cannot mark index {name!r}: its storage table"
+                    f" {t!r} is gone (dropped out of band?) — CREATE"
+                    " INDEX to rebuild instead"
+                )
             if not required <= set(self.spark.table(t).columns):
                 raise ValueError(
                     f"Refusing to mark {t!r}: it does not have index"
@@ -1073,11 +1080,9 @@ class Engine:
 
     # -- TRAIN TOKENIZER (beyond-parity, SURVEY §2.11) -----------------------
     def _warehouse_path(self) -> str:
-        wh = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        for prefix in ("file://", "file:"):
-            if wh.startswith(prefix):
-                return wh[len(prefix):]
-        return wh
+        from declarativeml_spark.sources.io import warehouse_path
+
+        return warehouse_path(self.spark)
 
     def _train_tokenizer(self, stmt: "ir.TrainTokenizer") -> DataFrame:
         """BPE-merge training (operators/bpe.py): ``VOCAB n`` is the

@@ -342,7 +342,7 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ORACLE = f"""
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       CAST(SUM(n_chars + 4) AS BIGINT) AS total_chars
 FROM documents
 WHERE doc_id % {_CSV_MOD} = 0
 GROUP BY lang
@@ -369,20 +369,32 @@ def connector_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % _CSV_MOD == 0)
-            .select("doc_id", "lang", "text", "n_chars")
+            # the fixture corpus is printable ASCII with nothing to
+            # escape, so append the four classic escape-needing
+            # characters to every doc — the JSON writer must encode
+            # them and the reader must restore them or the char-mass
+            # hash fails
+            .select(
+                "doc_id",
+                "lang",
+                F.concat(
+                    F.col("text"), F.lit('"\\\n\t')
+                ).alias("text"),
+            )
             .write.mode("overwrite")
             .json(d)
         )
 
     d = fixture_dir(
-        "json", f"{sf_dir}|mod{_CSV_MOD}|doc_id,lang,text,n_chars", write
+        "json",
+        f"{sf_dir}|mod{_CSV_MOD}|doc_id,lang,text+4esc",
+        write,
     )
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("lang", T.StringType()),
             T.StructField("text", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
         ]
     )
     back = read_json(spark, d, schema)
@@ -427,7 +439,10 @@ def connector_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from declarativeml_spark.sources.io import save_bucketed_table
+    from declarativeml_spark.sources.io import (
+        save_bucketed_table,
+        warehouse_path,
+    )
 
     def _bucketed_fixture(table: str, df, key_col: str) -> None:
         if spark.catalog.tableExists(table):
@@ -435,18 +450,19 @@ def connector_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a fresh in-memory metastore over a SHARED warehouse dir can
         # find the location without the catalog entry (a previous
         # session's fixture) — stale by construction, remove it first
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        for prefix in ("file://", "file:"):
-            if wh.startswith(prefix):
-                wh = wh[len(prefix):]
-        loc = os.path.join(wh, table.lower())
+        loc = os.path.join(warehouse_path(spark), table.lower())
         if os.path.isdir(loc):
             shutil.rmtree(loc, ignore_errors=True)
         save_bucketed_table(
             df, table, key_col, n_buckets=_BUCKET_N, sort_col=key_col
         )
 
-    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    # content-addressed like fixtures.py: the name hashes everything
+    # that determines the tables' layout, so a future bucket-count or
+    # column change can never serve a stale fixture
+    key = hashlib.sha1(
+        f"{sf_dir}|b{_BUCKET_N}|li:okey,extprice,disc|ord:okey,prio".encode()
+    ).hexdigest()[:10]
     li_t, ord_t = f"connfix_li_{key}", f"connfix_ord_{key}"
     _bucketed_fixture(
         li_t,
@@ -517,9 +533,8 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = ev.withColumn(
         "prev_type", F.lag("event_type").over(w)
     ).filter(F.expr("prev_type IS DISTINCT FROM event_type"))
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
-        changes.withColumn("valid_to", F.lead("ts").over(w2))
+        changes.withColumn("valid_to", F.lead("ts").over(w))
         .select(
             "user_id",
             "event_type",
@@ -530,8 +545,12 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PE_CTX = 512
-_PE_BUCKETS = 8
+# the SAME layout constants as the oracle-checked pack_concat_chunks
+# (a retune there must retune this audit with it)
+from declarativeml_spark.queries.pipeline2 import (  # noqa: E402
+    _CTX as _PE_CTX,
+    _PACK_BUCKETS as _PE_BUCKETS,
+)
 
 
 def _pack_efficiency_oracle() -> str:
@@ -562,7 +581,8 @@ def _pack_efficiency_oracle() -> str:
            CAST(SUM(CASE WHEN spanned > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS docs_fragmented,
            CAST(SUM(spanned - 1) AS BIGINT) AS boundary_crossings,
-           CAST(MAX(stream_end) % {_PE_CTX} AS BIGINT) AS tail_fill
+           CAST(((MAX(stream_end) - 1) % {_PE_CTX}) + 1 AS BIGINT)
+               AS tail_fill
     FROM spans GROUP BY bucket
     """
 
@@ -609,5 +629,8 @@ def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("docs_fragmented"),
         F.sum(F.col("spanned") - 1).cast("long").alias("boundary_crossings"),
-        (F.max("stream_end") % _PE_CTX).cast("long").alias("tail_fill"),
+        # ((end-1) % ctx) + 1: an exactly-full tail reports ctx, not 0
+        ((F.max("stream_end") - 1) % _PE_CTX + 1)
+        .cast("long")
+        .alias("tail_fill"),
     )

@@ -149,29 +149,38 @@ def read_media(
     # '*.wav', 'm*.y4m') becomes pathGlobFilter on the parent
     # directory: same listing, but avoids the literal getFileStatus
     # probe Spark runs on the raw load() string (a noisy logged
-    # FileNotFoundException for every glob path). Anything else —
-    # including a basename glob that could match DIRECTORIES
-    # ('/corpus/batch*') — passes through untouched so Hadoop glob
-    # expansion keeps its recurse-into-matched-dirs semantics
-    # (pathGlobFilter would instead silently list zero files).
+    # FileNotFoundException for every glob path). The fold is only a
+    # fast path, never a semantics change: if the folded listing comes
+    # back EMPTY (the glob actually matched directories — Hadoop glob
+    # would expand into them, pathGlobFilter lists nothing) we retry
+    # unfolded, so '/corpus/*.v2' over dotted DIRECTORY names still
+    # reads the files inside them.
     import posixpath
     import re as _re
 
+    def _load(p: str, g: "Optional[str]") -> DataFrame:
+        reader = spark.read.format("binaryFile")
+        if g:
+            reader = reader.option("pathGlobFilter", g)
+        if recursive:
+            reader = reader.option("recursiveFileLookup", "true")
+        return reader.load(p)
+
     head, tail = posixpath.split(path.rstrip("/"))
-    if (
+    folded = (
         glob is None
-        and head
+        and bool(head)
         and not any(c in head for c in "*?[{")
         and any(c in tail for c in "*?[{")
-        and _re.search(r"\.[A-Za-z0-9]+$", tail)
-    ):
-        path, glob = head, tail
-    reader = spark.read.format("binaryFile")
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    if recursive:
-        reader = reader.option("recursiveFileLookup", "true")
-    out = _media_frame(reader.load(path))
+        and bool(_re.search(r"\.[A-Za-z0-9]+$", tail))
+    )
+    if folded:
+        raw = _load(head, tail)
+        if not raw.inputFiles():  # dir-matching glob: unfold
+            raw = _load(path, None)
+    else:
+        raw = _load(path, glob)
+    out = _media_frame(raw)
     if spread:
         from declarativeml_spark.operators.textops import spread as _spread
 
@@ -242,3 +251,14 @@ def read_media_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return _media_frame(reader.load(path))
+
+
+def warehouse_path(spark: SparkSession) -> str:
+    """Local filesystem path of the session warehouse (the single
+    place that strips the file:/file:// URI prefixes — callers that
+    need to rmtree orphaned managed-table locations share this)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            return wh[len(prefix):]
+    return wh
