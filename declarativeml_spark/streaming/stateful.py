@@ -628,3 +628,96 @@ def streaming_stratified_quota(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("open_from_us", LongType()),
+        StructField("open_type", StringType()),
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+    ]
+)
+
+SCD2_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("valid_from", TimestampType()),
+        StructField("valid_to", TimestampType()),
+    ]
+)
+
+
+def _scd2_fn():
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            open_from, open_type, last_ts, last_eid = state.get
+        else:
+            open_from = open_type = last_ts = last_eid = None
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
+        out_type: list = []
+        out_from: list = []
+        out_to: list = []
+        for t, eid, etype in zip(
+            ts_us, rows["event_id"], rows["event_type"]
+        ):
+            t, eid, etype = int(t), int(eid), str(etype)
+            if last_ts is not None and (t, eid) <= (last_ts, last_eid):
+                # monotonicity guard (same policy as the rate-anomaly
+                # twin): late corrections flow through batch backfill,
+                # never by rewriting already-emitted intervals
+                continue
+            last_ts, last_eid = t, eid
+            if open_from is None:
+                open_from, open_type = t, etype
+            elif etype != open_type:
+                out_type.append(open_type)
+                out_from.append(open_from)
+                out_to.append(t)
+                open_from, open_type = t, etype
+        state.update((open_from, open_type, last_ts, last_eid))
+        if out_type:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(user_id)] * len(out_type),
+                    "event_type": out_type,
+                    "valid_from": pd.to_datetime(out_from, unit="us"),
+                    "valid_to": pd.to_datetime(out_to, unit="us"),
+                }
+            )
+
+    return update
+
+
+def streaming_scd2_intervals(events_stream: DataFrame) -> DataFrame:
+    """Stateful streaming twin of the batch ``events_scd2_intervals``
+    SCD-type-2 build: per user, consecutive same-type events collapse
+    into one open interval held in state; a type CHANGE closes the
+    interval and emits it (append mode — closed intervals are
+    immutable facts a dimension table can upsert).
+
+    The open (is_current) interval lives ONLY in state: a stream
+    cannot emit-then-retract it, so after any prefix the emitted rows
+    equal the batch query's CLOSED subset on the same prefix
+    (asserted in tests across a two-batch split); the batch backfill
+    publishes the open tails.
+
+    Scale: state per user is one (ts, type, ts, id) quadruple —
+    bounded, no timeline buffering; only closed-interval rows cross
+    the Python boundary.
+    """
+    d = events_stream.select("user_id", "event_id", "event_type", "ts")
+    return d.groupBy("user_id").applyInPandasWithState(
+        _scd2_fn(),
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -779,3 +779,65 @@ def test_streaming_semantic_decontam_edge_parity(spark, tmp_path):
     # zero-norm vector: smallest qid, NULL cosine, NULL flag
     assert by_id[1][1] == 10 and by_id[1][2] is None and by_id[1][3] is None
     assert by_id[2][3] is not None
+
+
+def test_streaming_scd2_matches_batch_closed_intervals(
+    spark, smoke_dir, tmp_path
+):
+    """The stateful SCD2 twin, fed the event log in time order across
+    two micro-batches, must emit exactly the batch
+    events_scd2_intervals CLOSED subset (open intervals live in state
+    — the batch backfill publishes the is_current tails)."""
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.queries import QUERIES
+    from declarativeml_spark.sources.catalog import epoch_us
+    from declarativeml_spark.streaming.stateful import (
+        streaming_scd2_intervals,
+    )
+
+    ev = load_table(spark, smoke_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts",
+        epoch_us("ts").alias("ts_us"),
+    )
+    cut = ev.agg(F.expr("percentile(ts_us, 0.5)")).first()[0]
+    src = tmp_path / "scd2_src"
+    src.mkdir()
+    ev.filter(F.col("ts_us") <= cut).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "a_first")
+    )
+    ev.filter(F.col("ts_us") > cut).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "b_second")
+    )
+    schema = spark.read.parquet(str(src / "a_first")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = streaming_scd2_intervals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scd2_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, event_type, valid_from, valid_to"
+            " FROM scd2_sink"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["events_scd2_intervals"](spark, smoke_dir)
+        .filter("valid_to IS NOT NULL")
+        .select("user_id", "event_type", "valid_from", "valid_to")
+        .collect()
+    )
+    assert got and got == want
