@@ -48,6 +48,7 @@ _CHECK_FIRST = (
     "text_readability_scores",
     "events_scd2_intervals",
     "corpus_pack_efficiency",
+    "dedup_simhash_hamming",
     # (2) stalest cohort: last green in CORRECTNESS_r04 (35)
     "events_rate_anomalies",
     "events_rollup_incremental",

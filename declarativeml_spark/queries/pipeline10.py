@@ -634,3 +634,96 @@ def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tail_fill"),
     )
+
+
+_HAM_RADIUS = 2  # pigeonhole: r+1 bands guarantee a shared band
+
+
+def _simhash_hamming_oracle() -> str:
+    from declarativeml_spark.operators import textops as T
+
+    toks = f"array_distinct({T.TOKENS_DUCK.format(text='text')})".replace(
+        "array_distinct", "list_distinct"
+    )
+    sig = T.simhash_duck(toks)
+    return f"""
+    WITH sigs AS MATERIALIZED (
+        SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM documents
+    )
+    SELECT CAST(bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) AS BIGINT)
+               AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(a.doc_id) AS BIGINT) AS min_doc_a
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) <= {_HAM_RADIUS}
+    GROUP BY 1
+    """
+
+
+@query("dedup_simhash_hamming", oracle=_simhash_hamming_oracle())
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball near-dup search over the 16-bit SimHash plane via
+    PIGEONHOLE BANDING: split the signature into <_HAM_RADIUS>+1 bit
+    bands — two signatures within Hamming distance <_HAM_RADIUS> must
+    agree on at least one whole band — so candidates come from three
+    band equi-joins instead of the all-pairs cross product, then the
+    exact ``bit_count(xor)`` verifies. The oracle counts the SAME
+    pairs by brute force, so the hash check simultaneously proves the
+    banding is COMPLETE (no pair lost) and the verify exact.
+
+    Scale: the only shuffles carry (band, value, id, sig) slivers;
+    real deployments widen to 64-bit signatures (sparser bands) — the
+    16-bit plane here matches the repo's oracle-checkable simhash and
+    makes the completeness proof cheap. Skewed bands (boilerplate
+    text) fall to AQE's skew-join split like the MinHash banding.
+    """
+    from declarativeml_spark.operators.dedup import simhash_signatures
+    from declarativeml_spark.operators.skew import spread_partitions
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    sigs = simhash_signatures(docs).withColumnRenamed("simhash", "sig")
+    # 16 bits -> bands of 6/5/5 bits: b0 = low 6, b1 = mid 5, b2 = top 5
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("b"),
+                    (F.col("sig") % 64).alias("v"),
+                ),
+                F.struct(
+                    F.lit(1).alias("b"),
+                    (F.expr("sig DIV 64") % 32).alias("v"),
+                ),
+                F.struct(
+                    F.lit(2).alias("b"),
+                    F.expr("sig DIV 2048").alias("v"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.b", "band.v")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()  # a pair can collide in several bands
+    )
+    pairs = cands.withColumn(
+        "hamming", F.bit_count(F.expr("sig_a ^ sig_b")).cast("long")
+    ).filter(F.col("hamming") <= _HAM_RADIUS)
+    return pairs.groupBy("hamming").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("doc_a").cast("long").alias("min_doc_a"),
+    )
