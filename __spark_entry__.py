@@ -49,6 +49,7 @@ _CHECK_FIRST = (
     "events_scd2_intervals",
     "corpus_pack_efficiency",
     "dedup_simhash_hamming",
+    "ann_pq_recall",
     # (2) stalest cohort: last green in CORRECTNESS_r04 (35)
     "events_rate_anomalies",
     "events_rollup_incremental",

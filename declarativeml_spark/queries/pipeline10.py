@@ -727,3 +727,204 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pairs"),
         F.min("doc_a").cast("long").alias("min_doc_a"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ-ADC search quality: asymmetric-distance top-k from the PQ codes
+# vs exact top-k on the raw vectors — the recall curve that justifies
+# (or vetoes) deploying PQ compression, closing the ANN evaluation
+# family (ann_ivf_recall is the IVF sibling).
+_PQR_K = 5
+_PQR_NQ = 8
+
+_SE_PAIR = (
+    "CAST(aggregate(zip_with({a}, {b}, (x, y) ->"
+    " CAST(floor((x - y) * (x - y) * 1e12 + 0.5) AS BIGINT)),"
+    " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+)
+
+
+def _pq_recall_oracle() -> str:
+    from declarativeml_spark.operators.dedup import native_cells_ctes
+    from declarativeml_spark.queries.pipeline5 import (
+        _PQ_CELLS,
+        _PQ_ITERS,
+        _PQ_M,
+        _PQ_SUBDIM,
+    )
+
+    dim = _PQ_M * _PQ_SUBDIM
+    se = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}), p ->"
+        " CAST(floor((p[1] - p[2]) * (p[1] - p[2]) * 1e12 + 0.5)"
+        " AS BIGINT))) AS BIGINT)"
+    )
+    ctes: list[str] = [
+        f"qids AS (SELECT vec_id AS qid FROM embeddings"
+        f" WHERE len(embedding) = {dim}"
+        f" ORDER BY vec_id LIMIT {_PQR_NQ})"
+    ]
+    adc_parts = []
+    for s in range(_PQ_M):
+        lo, hi = 1 + _PQ_SUBDIM * s, _PQ_SUBDIM * (s + 1)
+        sub_t = (
+            f"(SELECT vec_id, embedding[{lo}:{hi}] AS sub FROM embeddings"
+            f" WHERE len(embedding) = {dim}) AS sq{s}"
+        )
+        chain, _ = native_cells_ctes(
+            n_cells=_PQ_CELLS,
+            n_iters=_PQ_ITERS,
+            dim=_PQ_SUBDIM,
+            table=sub_t,
+            id_col="vec_id",
+            vec_col="sub",
+            prefix=f"r{s}_",
+        )
+        ctes += chain
+        # per-query LUT for this subspace: distance from the query's
+        # sub-vector to every centroid
+        ctes.append(
+            f"l{s} AS (SELECT q.qid, c.cell,"
+            f" {se.format(a='q.sub', b='c.cvec')} AS dq"
+            f" FROM (SELECT qid, embedding[{lo}:{hi}] AS sub"
+            f"       FROM embeddings JOIN qids ON vec_id = qid) q"
+            f" CROSS JOIN r{s}_c{_PQ_ITERS} c)"
+        )
+        ctes.append(
+            f"a{s} AS (SELECT l.qid, a.vec_id, l.dq"
+            f" FROM r{s}_corpus a JOIN l{s} l ON a.cell = l.cell)"
+        )
+        adc_parts.append(f"a{s}")
+    adc_join = " JOIN ".join(
+        [adc_parts[0]]
+        + [f"{p} USING (qid, vec_id)" for p in adc_parts[1:]]
+    )
+    dq_sum = " + ".join(f"a{s}.dq" for s in range(_PQ_M))
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    adc AS (
+        SELECT qid, vec_id, {dq_sum} AS d
+        FROM {adc_join}
+        WHERE vec_id <> qid
+    ),
+    pq_topk AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY d, vec_id) AS rk
+            FROM adc
+        ) WHERE rk <= {_PQR_K}
+    ),
+    exact AS (
+        SELECT q.qid, e.vec_id,
+               {se.format(a='e.embedding', b='q.qvec')} AS d
+        FROM (SELECT qid, embedding AS qvec
+              FROM embeddings JOIN qids ON vec_id = qid) q
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE len(embedding) = {dim}) e
+        WHERE e.vec_id <> q.qid
+    ),
+    exact_topk AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY d, vec_id) AS rk
+            FROM exact
+        ) WHERE rk <= {_PQR_K}
+    ),
+    hits AS (
+        SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_match
+        FROM pq_topk JOIN exact_topk USING (qid, vec_id)
+        GROUP BY qid
+    )
+    SELECT q.qid AS query_id,
+           CAST(COALESCE(h.n_match, 0) AS BIGINT) AS n_match,
+           CAST({_PQR_K} AS BIGINT) AS k,
+           CAST(COALESCE(h.n_match, 0) AS DOUBLE) / {_PQR_K} AS recall
+    FROM qids q LEFT JOIN hits h ON q.qid = h.qid
+    """
+
+
+@query("ann_pq_recall", oracle=_pq_recall_oracle())
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@<_PQR_K> of PQ asymmetric-distance (ADC) search against
+    exact L2 top-k, for the <_PQR_NQ> smallest-id query vectors, over
+    the SAME joint-Lloyd model as the oracle-checked
+    ``embedding_pq_codes`` (pipeline5._pq_model — one model, two
+    audits). The ADC structure is the real one: a per-query LUT of
+    (subspace, cell) → distance (M·k_cells entries, broadcast), so
+    the corpus side only LOOKS UP and sums — corpus vectors are never
+    touched after encoding, which is the whole point of PQ at
+    billion-vector scale.
+
+    Determinism: every distance is the exact integer-scaled squared
+    error (1e12 fixed point, same recipe as embedding_pq_codes' MSE);
+    ranking ties break on vec_id; recall is an exact small-int ratio.
+    Scale: LUT broadcast + one (qid, vec_id) aggregation; the exact
+    leg is the bounded _PQR_NQ × corpus sweep every recall eval pays.
+    """
+    from declarativeml_spark.queries.pipeline5 import _pq_model
+    from pyspark.sql.window import Window
+
+    emb, base, cents, assigned = _pq_model(spark, sf_dir)
+    qids = (
+        emb.orderBy("vec_id")
+        .limit(_PQR_NQ)
+        .select(F.col("vec_id").alias("qid"))
+    )
+    qsub = base.join(
+        F.broadcast(qids), base.vec_id == qids.qid
+    ).select("qid", "s", "vec")
+    lut = qsub.join(
+        F.broadcast(cents.withColumnRenamed("cvec", "cvec_c")), "s"
+    ).select(
+        "qid",
+        "s",
+        "cell",
+        F.expr(_SE_PAIR.format(a="vec", b="cvec_c")).alias("dq"),
+    )
+    adc = (
+        assigned.select("vec_id", "s", "cell")
+        .join(F.broadcast(lut), ["s", "cell"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dq").alias("d"))
+    )
+    w = Window.partitionBy("qid").orderBy("d", "vec_id")
+    pq_topk = (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQR_K)
+        .select("qid", "vec_id")
+    )
+    qfull = emb.join(F.broadcast(qids), emb.vec_id == qids.qid).select(
+        "qid", F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    exact = (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+        )
+        .crossJoin(F.broadcast(qfull))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(_SE_PAIR.format(a="vec", b="qvec")).alias("d"),
+        )
+    )
+    exact_topk = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQR_K)
+        .select("qid", "vec_id")
+    )
+    hits = pq_topk.join(exact_topk, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_match")
+    )
+    return qids.join(hits, "qid", "left").select(
+        F.col("qid").alias("query_id"),
+        F.coalesce(F.col("n_match"), F.lit(0)).cast("long").alias("n_match"),
+        F.lit(_PQR_K).cast("long").alias("k"),
+        (
+            F.coalesce(F.col("n_match"), F.lit(0)).cast("double") / _PQR_K
+        ).alias("recall"),
+    )

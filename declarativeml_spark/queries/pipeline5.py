@@ -527,22 +527,20 @@ def _pq_oracle() -> str:
     """
 
 
-@query("embedding_pq_codes", oracle=_pq_oracle())
-def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization: split each embedding into m = <_PQ_M>
-    subspaces of <_PQ_SUBDIM> dims, learn a <_PQ_CELLS>-centroid codebook per subspace
-    with the pinned deterministic Lloyd's (operators/dedup.py
-    ``native_cells`` — DECIMAL means, smallest-id init), and emit
-    each vector's concatenated cell code plus reconstruction MSE.
-    PQ is the memory lever behind IVFPQ-style billion-vector indexes:
-    m log2(k) bits per vector instead of dim floats.
+def _pq_model(spark: SparkSession, sf_dir: str):
+    """Train the joint-Lloyd PQ model once and return
+    ``(emb, base, cents, assigned)``:
 
-    Scale: each subspace's Lloyd iteration is a broadcast(centroids)
-    map over the corpus plus one <_PQ_SUBDIM>-column decimal agg — the corpus
-    never shuffles during training; the final code assembly joins m
-    slim (vec_id, code, se) frames on vec_id. Reconstruction error
-    aggregates as exact integers (per-dim terms rounded to BIGINT at
-    1e12 scale) so the hash cannot depend on summation order.
+    * ``emb``   — the dimension-validated embeddings scan;
+    * ``base``  — (vec_id, s, vec) exploded sub-vectors (persisted);
+    * ``cents`` — (s, cell, cvec) codebooks after <_PQ_ITERS> pinned
+      Lloyd iterations (persisted);
+    * ``assigned`` — (vec_id, s, cell) final code assignment.
+
+    Shared by ``embedding_pq_codes`` (codes + reconstruction MSE) and
+    ``ann_pq_recall`` (pipeline10 — ADC search quality): both must
+    audit the SAME model or the two queries would silently describe
+    different quantizers.
     """
     from declarativeml_spark.operators.skew import spread_partitions
 
@@ -620,11 +618,32 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     cents = cents.transform(track_persist)
-    final = (
-        base.join(F.broadcast(cents.groupBy("s").agg(cs)), "s")
-        .select("vec_id", "s", "vec", F.expr(assign).alias("cell"))
-        .join(F.broadcast(cents), ["s", "cell"])
-        .select("vec_id", "s", "cell", F.expr(_SE_SPARK).alias("se"))
+    assigned = base.join(
+        F.broadcast(cents.groupBy("s").agg(cs)), "s"
+    ).select("vec_id", "s", "vec", F.expr(assign).alias("cell"))
+    return emb, base, cents, assigned
+
+
+@query("embedding_pq_codes", oracle=_pq_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split each embedding into m = <_PQ_M>
+    subspaces of <_PQ_SUBDIM> dims, learn a <_PQ_CELLS>-centroid codebook per subspace
+    with the pinned deterministic Lloyd's (operators/dedup.py
+    ``native_cells`` — DECIMAL means, smallest-id init), and emit
+    each vector's concatenated cell code plus reconstruction MSE.
+    PQ is the memory lever behind IVFPQ-style billion-vector indexes:
+    m log2(k) bits per vector instead of dim floats.
+
+    Scale: each subspace's Lloyd iteration is a broadcast(centroids)
+    map over the corpus plus one <_PQ_SUBDIM>-column decimal agg — the corpus
+    never shuffles during training; the final code assembly joins m
+    slim (vec_id, code, se) frames on vec_id. Reconstruction error
+    aggregates as exact integers (per-dim terms rounded to BIGINT at
+    1e12 scale) so the hash cannot depend on summation order.
+    """
+    _emb, _base, cents, assigned = _pq_model(spark, sf_dir)
+    final = assigned.join(F.broadcast(cents), ["s", "cell"]).select(
+        "vec_id", "s", "cell", F.expr(_SE_SPARK).alias("se")
     )
     # one slim (vec_id, s, cell, se) shuffle assembles codes + MSE
     denom = F.lit(float(_PQ_M * _PQ_SUBDIM) * 1e12)
