@@ -642,9 +642,7 @@ _HAM_RADIUS = 2  # pigeonhole: r+1 bands guarantee a shared band
 def _simhash_hamming_oracle() -> str:
     from declarativeml_spark.operators import textops as T
 
-    toks = f"array_distinct({T.TOKENS_DUCK.format(text='text')})".replace(
-        "array_distinct", "list_distinct"
-    )
+    toks = f"list_distinct({T.TOKENS_DUCK.format(text='text')})"
     sig = T.simhash_duck(toks)
     return f"""
     WITH sigs AS MATERIALIZED (
@@ -678,7 +676,6 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     text) fall to AQE's skew-join split like the MinHash banding.
     """
     from declarativeml_spark.operators.dedup import simhash_signatures
-    from declarativeml_spark.operators.skew import spread_partitions
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     sigs = simhash_signatures(docs).withColumnRenamed("simhash", "sig")
@@ -737,10 +734,9 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQR_K = 5
 _PQR_NQ = 8
 
-_SE_PAIR = (
-    "CAST(aggregate(zip_with({a}, {b}, (x, y) ->"
-    " CAST(floor((x - y) * (x - y) * 1e12 + 0.5) AS BIGINT)),"
-    " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+from declarativeml_spark.queries.pipeline5 import (  # noqa: E402
+    _SE_DUCK_T,
+    _SE_SPARK_T as _SE_PAIR,
 )
 
 
@@ -754,11 +750,7 @@ def _pq_recall_oracle() -> str:
     )
 
     dim = _PQ_M * _PQ_SUBDIM
-    se = (
-        "CAST(list_sum(list_transform(list_zip({a}, {b}), p ->"
-        " CAST(floor((p[1] - p[2]) * (p[1] - p[2]) * 1e12 + 0.5)"
-        " AS BIGINT))) AS BIGINT)"
-    )
+    se = _SE_DUCK_T
     ctes: list[str] = [
         f"qids AS (SELECT vec_id AS qid FROM embeddings"
         f" WHERE len(embedding) = {dim}"
@@ -868,14 +860,18 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb, base, cents, assigned = _pq_model(spark, sf_dir)
-    qids = (
-        emb.orderBy("vec_id")
-        .limit(_PQR_NQ)
-        .select(F.col("vec_id").alias("qid"))
+    # the query-id set is tiny and reused by FOUR plan legs; deriving
+    # it as a frame would re-run the TakeOrdered scan once per
+    # F.broadcast (memory-playbook trap) — collect the bounded ids
+    # once and filter with literals instead
+    id_list = [
+        r.vec_id
+        for r in emb.select("vec_id").orderBy("vec_id").limit(_PQR_NQ).collect()
+    ]
+    qids = spark.createDataFrame([(i,) for i in id_list], "qid bigint")
+    qsub = base.filter(F.col("vec_id").isin(id_list)).select(
+        F.col("vec_id").alias("qid"), "s", "vec"
     )
-    qsub = base.join(
-        F.broadcast(qids), base.vec_id == qids.qid
-    ).select("qid", "s", "vec")
     lut = qsub.join(
         F.broadcast(cents.withColumnRenamed("cvec", "cvec_c")), "s"
     ).select(
@@ -897,8 +893,9 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _PQR_K)
         .select("qid", "vec_id")
     )
-    qfull = emb.join(F.broadcast(qids), emb.vec_id == qids.qid).select(
-        "qid", F.col("embedding").cast("array<double>").alias("qvec")
+    qfull = emb.filter(F.col("vec_id").isin(id_list)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
     )
     exact = (
         emb.select(

@@ -475,16 +475,21 @@ _PQ_ITERS = 2
 # exact BIGINT at 1e12 scale before summing, so the subspace error is
 # an exact integer in both engines — no float-accumulation-order or
 # decimal-cast-rounding dependence in the hash.
-_SE_SPARK = (
-    "CAST(aggregate(zip_with(vec, cvec, (x, y) ->"
+# Parameterized once, derived twice: ann_pq_recall (pipeline10) uses
+# the same 1e12 fixed-point recipe on different column pairs, and a
+# retune here must reach every distance the PQ family hashes.
+_SE_SPARK_T = (
+    "CAST(aggregate(zip_with({a}, {b}, (x, y) ->"
     " CAST(floor((x - y) * (x - y) * 1e12 + 0.5) AS BIGINT)),"
     " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
 )
-_SE_DUCK = (
-    "CAST(list_sum(list_transform(list_zip(a.vec, c.cvec), p ->"
+_SE_DUCK_T = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), p ->"
     " CAST(floor((p[1] - p[2]) * (p[1] - p[2]) * 1e12 + 0.5) AS BIGINT)))"
     " AS BIGINT)"
 )
+_SE_SPARK = _SE_SPARK_T.format(a="vec", b="cvec")
+_SE_DUCK = _SE_DUCK_T.format(a="a.vec", b="c.cvec")
 
 
 def _pq_oracle() -> str:
@@ -527,6 +532,14 @@ def _pq_oracle() -> str:
     """
 
 
+# appId-keyed memo (same discipline as dedup._NATIVE_CELLS_MEMO): the
+# driver window runs embedding_pq_codes AND ann_pq_recall in one
+# session; without the memo the identical model trains twice and
+# double-persists base/cents.
+_PQ_MODEL_MEMO: dict = {}
+_PQ_MODEL_MEMO_CAP = 8
+
+
 def _pq_model(spark: SparkSession, sf_dir: str):
     """Train the joint-Lloyd PQ model once and return
     ``(emb, base, cents, assigned)``:
@@ -543,6 +556,17 @@ def _pq_model(spark: SparkSession, sf_dir: str):
     different quantizers.
     """
     from declarativeml_spark.operators.skew import spread_partitions
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PQ_MODEL_MEMO.get(memo_key)
+    if hit is not None:
+        # serve CACHED frames: re-persist lazily if a release dropped
+        # the insert-time persist (native_cells memo-hit discipline)
+        for frame in (hit[1], hit[2]):
+            sl = frame.storageLevel
+            if not (sl.useMemory or sl.useDisk):
+                frame.persist()
+        return hit
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.size("embedding") == _PQ_M * _PQ_SUBDIM
@@ -621,6 +645,9 @@ def _pq_model(spark: SparkSession, sf_dir: str):
     assigned = base.join(
         F.broadcast(cents.groupBy("s").agg(cs)), "s"
     ).select("vec_id", "s", "vec", F.expr(assign).alias("cell"))
+    if len(_PQ_MODEL_MEMO) >= _PQ_MODEL_MEMO_CAP:
+        _PQ_MODEL_MEMO.pop(next(iter(_PQ_MODEL_MEMO)))
+    _PQ_MODEL_MEMO[memo_key] = (emb, base, cents, assigned)
     return emb, base, cents, assigned
 
 

@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -639,12 +640,15 @@ SCD2_STATE_SCHEMA = StructType(
     ]
 )
 
+# valid_from/valid_to are NTZ like the catalog's ts column: a
+# session-tz TimestampType here would reinterpret the UDF's naive
+# micros as local-time instants and break batch parity off-UTC.
 SCD2_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
-        StructField("valid_from", TimestampType()),
-        StructField("valid_to", TimestampType()),
+        StructField("valid_from", TimestampNTZType()),
+        StructField("valid_to", TimestampNTZType()),
     ]
 )
 
@@ -668,7 +672,13 @@ def _scd2_fn():
         for t, eid, etype in zip(
             ts_us, rows["event_id"], rows["event_type"]
         ):
-            t, eid, etype = int(t), int(eid), str(etype)
+            t, eid = int(t), int(eid)
+            # a NULL type stays None (str() would mint the literal
+            # 'None'); the change test below then matches the batch
+            # twin's IS DISTINCT FROM: a LEADING null-type row opens
+            # nothing (prev state is null too), a null after a value
+            # (or vice versa) is a change
+            etype = None if pd.isna(etype) else str(etype)
             if last_ts is not None and (t, eid) <= (last_ts, last_eid):
                 # monotonicity guard (same policy as the rate-anomaly
                 # twin): late corrections flow through batch backfill,
@@ -676,7 +686,8 @@ def _scd2_fn():
                 continue
             last_ts, last_eid = t, eid
             if open_from is None:
-                open_from, open_type = t, etype
+                if etype is not None:
+                    open_from, open_type = t, etype
             elif etype != open_type:
                 out_type.append(open_type)
                 out_from.append(open_from)
