@@ -61,6 +61,12 @@ HEADLINE = {
     "multimodal_y4m_frames": "three map-only stages (synth, container walk, stats) — zero exchanges; raw frames never cross the Python boundary",
     "multimodal_ppm_resize_stats": "synth -> real resize -> decode chained map-to-map in one stage pipeline; payloads stay executor-local",
     "tokenizer_bpe_encode": "every learned merge composes into ONE codegen fold chain in the scan's map task — no join, no second corpus pass",
+    "connector_bucketed_join": "both scans Bucketed: true; zero Exchange below the SortMergeJoin — the shuffle was paid once at write time",
+    "connector_partitioned_sink_pruning": "PartitionFilters prune the re-read to one year's directory before any row is touched",
+    "salted_skew_join": "fact side salted in place; only the dim side fans out x8 — the hot key spreads across 8 reducers",
+    "media_load_wav_features": "binaryFile listing packs small files per task; decode is map-only; the id re-key joins a broadcast sliver",
+    "dedup_simhash_hamming": "three band equi-joins replace the all-pairs cross product; only (band, value, id, sig) slivers shuffle",
+    "ann_pq_recall": "the ADC leg joins corpus CODES to a broadcast (subspace,cell)->distance LUT — corpus vectors untouched after encoding",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
