@@ -1095,3 +1095,66 @@ def resize_y4m(payload: bytes, width: int, height: int) -> bytes:
                 p = plane.reshape(ch, cw)
                 parts.append(p[cys][:, cxs].tobytes())
     return b"".join(parts)
+
+
+def resize_decode_features(
+    df: DataFrame,
+    width: int,
+    height: int,
+    codec: str,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Fused resize → decode in ONE map stage: each payload is
+    resampled by the codec's registered ``resize`` capability and
+    immediately decoded to its feature vector inside the same Python
+    pass — the ``y4m_frame_stats`` fusion pattern applied to the
+    resize chain.
+
+    Semantics are exactly ``decode_features(resize_image(df, …), …)``
+    (same capability checks, same per-row calls — asserted equal in
+    tests); the difference is purely physical: the chained form ships
+    every intermediate container across the Arrow boundary twice
+    (resize out, decode in), which at real payload sizes doubles the
+    serialization bill. Here only slim feature rows exit Python. Use
+    the chained form when the resized CONTAINERS are themselves the
+    output.
+    """
+    entry = _CODECS.get(codec)
+    if entry is None:
+        _require_codec(codec, "resize_decode_features")
+        raise ValueError(
+            f"codec {codec!r} has no registered decoder —"
+            " register_codec(name, decode, resize=fn) to add one"
+        )
+    decode_fn, feature_dtype, resizer = entry[0], entry[1], entry[2]
+    if resizer is None:
+        raise ValueError(
+            f"codec {codec!r} has no resize capability —"
+            " register_codec(name, decode, resize=fn) to add one"
+        )
+    if width < 1 or height < 1:
+        raise ValueError(
+            f"resize target must be positive, got {width}x{height}"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("features", feature_dtype, True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                decode_fn(
+                    resizer(
+                        bytes(b) if b is not None else b"", width, height
+                    ),
+                    None,
+                )
+                for b in pdf[payload_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col], "features": feats})
+
+    return df.mapInPandas(batches, schema=out_schema)

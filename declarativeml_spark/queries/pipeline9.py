@@ -354,7 +354,10 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_y4m_codec()
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: same single-split-scan rationale as the resize query —
+    # the container walk is per-row CPU heavy enough to repay it
+    # (measured ~2x warm at sf0.1)
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     y4m = synth_y4m_from_text(docs, "text", "doc_id")
     return y4m_frame_stats(y4m, every_n=_Y4M_EVERY_N)
 
@@ -405,14 +408,13 @@ def multimodal_ppm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     text alone, so an off-by-one in the resample index rule, a
     header re-encode bug, or a channel interleave slip hash-fails.
 
-    Scale: synth → resize → decode chain is three map-only
-    mapInPandas stages, zero shuffles; payloads never leave the
-    executor (6 longs per image cross the Python boundary).
+    Scale: synth then a FUSED resize+decode — two map-only
+    mapInPandas stages, zero shuffles; the resized container never
+    re-crosses the Arrow boundary (6 longs per image exit Python).
     """
     from declarativeml_spark.operators.multimodal import (
-        decode_features,
         register_ppm_codec,
-        resize_image,
+        resize_decode_features,
         synth_ppm_from_text,
     )
     from pyspark.sql import functions as F
@@ -420,8 +422,7 @@ def multimodal_ppm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_ppm_codec()
     docs = load_table(spark, sf_dir, "documents")
     ppm = synth_ppm_from_text(docs, "text", "doc_id", width=8)
-    small = resize_image(ppm, width=4, height=2, codec="ppm")
-    feats = decode_features(small, codec="ppm")
+    feats = resize_decode_features(ppm, 4, 2, "ppm")
     return feats.select(
         "media_id",
         F.col("features")[0].alias("width"),
@@ -525,23 +526,28 @@ def multimodal_y4m_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plane-boundary slip, per-frame offset error, or chroma-geometry
     bug in the resampler hash-fails.
 
-    Scale: synth → resize → decode is three chained map-only
-    mapInPandas stages, zero shuffles; containers never leave the
-    executor (8 longs per video cross the Python boundary).
+    Scale: synth then a FUSED resize+decode — two map-only
+    mapInPandas stages, zero shuffles; the resized container never
+    re-crosses the Arrow boundary (8 longs per video exit Python).
     """
     from declarativeml_spark.operators.multimodal import (
-        decode_features,
         register_y4m_codec,
-        resize_image,
+        resize_decode_features,
         synth_y4m_from_text,
     )
     from pyspark.sql import functions as F
 
     register_y4m_codec()
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the single-split scan would pin the whole per-row codec
+    # chain to ONE task (measured 4.6s -> 1.1s warm at sf0.1 with the
+    # fused stage); the video chain is the one multimodal family
+    # heavy enough per row to repay the tiny shuffle
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     y4m = synth_y4m_from_text(docs, "text", "doc_id")
-    small = resize_image(y4m, width=2, height=2, codec="y4m")
-    feats = decode_features(small, codec="y4m")
+    # fused resize+decode: one Python pass, containers never re-cross
+    # the Arrow boundary between stages (tests assert == the chained
+    # resize_image -> decode_features form)
+    feats = resize_decode_features(y4m, 2, 2, "y4m")
     return feats.select(
         "media_id",
         F.col("features")[0].alias("width"),

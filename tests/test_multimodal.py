@@ -538,3 +538,55 @@ def test_y4m_resize_stream_equals_batch(spark, smoke_dir, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 30
+
+
+def test_fused_resize_decode_equals_chained(spark, smoke_dir):
+    """resize_decode_features must be a purely PHYSICAL fusion: same
+    per-row calls as resize_image -> decode_features, asserted equal
+    for both codecs that ship a resize capability."""
+    from declarativeml_spark.operators import multimodal as M
+    from declarativeml_spark.sources.catalog import load_table
+
+    docs = (
+        load_table(spark, smoke_dir, "documents")
+        .orderBy("doc_id")
+        .limit(40)
+        .selectExpr("doc_id", "text")
+    )
+    M.register_y4m_codec()
+    M.register_ppm_codec()
+    for synth, codec, w, h in (
+        (M.synth_y4m_from_text, "y4m", 2, 2),
+        (M.synth_ppm_from_text, "ppm", 3, 3),
+    ):
+        media = synth(docs)
+        chained = {
+            r.media_id: r.features
+            for r in M.decode_features(
+                M.resize_image(media, width=w, height=h, codec=codec),
+                codec=codec,
+            ).collect()
+        }
+        fused = {
+            r.media_id: r.features
+            for r in M.resize_decode_features(media, w, h, codec).collect()
+        }
+        assert chained == fused and len(fused) == 40
+
+
+def test_fused_resize_decode_capability_errors(spark, smoke_dir):
+    import pytest
+
+    from declarativeml_spark.operators import multimodal as M
+    from declarativeml_spark.sources.catalog import load_table
+
+    docs = load_table(spark, smoke_dir, "documents").limit(2)
+    M.register_wav_codec()
+    M.register_ppm_codec()  # the width-validation case needs ppm present
+    media = M.synth_wav_from_text(docs.selectExpr("doc_id", "text"))
+    with pytest.raises(ValueError, match="no resize capability"):
+        M.resize_decode_features(media, 2, 2, "wav")
+    with pytest.raises(NotImplementedError, match="needs an image"):
+        M.resize_decode_features(media, 2, 2, "no_such_codec")
+    with pytest.raises(ValueError, match="must be positive"):
+        M.resize_decode_features(media, 0, 2, "ppm")
