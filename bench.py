@@ -125,6 +125,24 @@ def main() -> int:
             " 3.31s == the r5 number, so the refactor added NO pass to"
             " the learn loop; the 4.46 was full-bench cache pressure"
         ),
+        "multimodal_y4m_resize_stats": (
+            "r8 fused resize+decode (one Arrow pass) + spread scan:"
+            " isolated re-measures 4x fresh processes show ~4.5s on a"
+            " COLD 32-worker Python pool (spawn cost) vs 1.3-1.7s warm"
+            " repeats — vs 4.0s pre-fusion. Full-bench samples swing"
+            " 1.4-6.0s with worker-pool state; steady state (the"
+            " number that matters on a real cluster, where workers"
+            " are long-lived and spark.python.worker.reuse holds) is"
+            " the ~1.4s warm figure"
+        ),
+        "multimodal_y4m_frames": (
+            "r8 tried spreading this scan too: an isolated warm probe"
+            " said ~2x better, but two full-bench runs measured 3-4x"
+            " WORSE (1.1s -> 3.5/3.9s) — the frame walk is too light"
+            " per row to repay the exchange + 32-worker fan-out under"
+            " bench-wide pressure; REVERTED to the single-task scan"
+            " (1.2-1.5s isolated after revert)"
+        ),
         "multimodal_frame_sample": (
             "r7 bench 0.52s flagged vs r4 0.35s (1.48x) on the module"
             " r7 touched most; r8 isolated re-measure (3 runs, warm):"

@@ -1120,19 +1120,26 @@ def resize_decode_features(
     the chained form when the resized CONTAINERS are themselves the
     output.
     """
+    # exactly resize_image's dispatch: same idempotent built-in
+    # auto-registration, same error types — a caller migrating from
+    # the chained form must see identical behavior on every path
+    if codec == "ppm":
+        register_ppm_codec()
+    elif codec == "y4m":
+        register_y4m_codec()
+    _require_codec(codec, "resize_decode_features")
     entry = _CODECS.get(codec)
-    if entry is None:
-        _require_codec(codec, "resize_decode_features")
-        raise ValueError(
-            f"codec {codec!r} has no registered decoder —"
-            " register_codec(name, decode, resize=fn) to add one"
-        )
-    decode_fn, feature_dtype, resizer = entry[0], entry[1], entry[2]
+    resizer = entry[2] if entry and len(entry) > 2 else None
     if resizer is None:
-        raise ValueError(
-            f"codec {codec!r} has no resize capability —"
+        # covers codec='fake' too (a built-in decoder, but no pixel
+        # geometry to resize) — the chained form's signal is
+        # NotImplementedError, so this one's is as well
+        raise NotImplementedError(
+            f"codec {codec!r} has no registered resize capability;"
             " register_codec(name, decode, resize=fn) to add one"
+            " (codec='ppm' ships a real resampler)"
         )
+    decode_fn, feature_dtype = entry[0], entry[1]
     if width < 1 or height < 1:
         raise ValueError(
             f"resize target must be positive, got {width}x{height}"

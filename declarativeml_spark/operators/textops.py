@@ -39,8 +39,9 @@ def spread(df, min_parallelism: int | None = None):
     ``spark.sql.files.maxPartitionBytes`` and this is a no-op — the
     guard makes it safe to leave in the operator permanently.
 
-    Only for plans whose downstream is key-based (joins/groupBys):
-    round-robin placement must not matter. Spark's round-robin
+    Only for plans where round-robin placement must not matter:
+    key-based downstreams (joins/groupBys) or pure per-row maps
+    (mapInPandas codec chains). Spark's round-robin
     repartition locally sorts rows first, so the placement itself is
     deterministic across retries.
 

@@ -354,10 +354,13 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_y4m_codec()
-    # spread: same single-split-scan rationale as the resize query —
-    # the container walk is per-row CPU heavy enough to repay it
-    # (measured ~2x warm at sf0.1)
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # NOT spread: an isolated warm probe showed ~2x from spreading,
+    # but two full-bench runs measured 3-4x WORSE (1.1s -> 3.5/3.9s)
+    # — under bench-wide cache/worker pressure the extra exchange +
+    # 32-task Python fan-out costs more than the single-task walk;
+    # the per-row work here (FRAME-marker walk + plane sums) is too
+    # light to repay it, unlike the resize+decode chain
+    docs = load_table(spark, sf_dir, "documents")
     y4m = synth_y4m_from_text(docs, "text", "doc_id")
     return y4m_frame_stats(y4m, every_n=_Y4M_EVERY_N)
 
@@ -526,9 +529,11 @@ def multimodal_y4m_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plane-boundary slip, per-frame offset error, or chroma-geometry
     bug in the resampler hash-fails.
 
-    Scale: synth then a FUSED resize+decode — two map-only
-    mapInPandas stages, zero shuffles; the resized container never
-    re-crosses the Arrow boundary (8 longs per video exit Python).
+    Scale: synth then a FUSED resize+decode — two mapInPandas
+    stages whose only exchange is the scan re-spread (the single-split
+    parquet would otherwise pin the per-row codec CPU to one task);
+    the resized container never re-crosses the Arrow boundary (8
+    longs per video exit Python).
     """
     from declarativeml_spark.operators.multimodal import (
         register_y4m_codec,

@@ -59,7 +59,8 @@ HEADLINE = {
     "knn_graph_degrees": "edges explode-symmetrized from ONE evaluation of the LSH candidate join (a unionAll of projections would execute it twice); per-node top-k window partitions by node",
     "decontam_semantic_overlap": "benchmark embeddings broadcast; corpus scored in place; per-vector argmax windows over the benchmark-bounded candidate list",
     "multimodal_y4m_frames": "three map-only stages (synth, container walk, stats) — zero exchanges; raw frames never cross the Python boundary",
-    "multimodal_ppm_resize_stats": "synth -> real resize -> decode chained map-to-map in one stage pipeline; payloads stay executor-local",
+    "multimodal_y4m_resize_stats": "FUSED resize+decode after a scan re-spread — the only exchange widens the single-split scan; containers stay inside one Python pass",
+    "multimodal_ppm_resize_stats": "synth then FUSED resize+decode (one Python pass) — the resized container never re-crosses the Arrow boundary",
     "tokenizer_bpe_encode": "every learned merge composes into ONE codegen fold chain in the scan's map task — no join, no second corpus pass",
     "connector_bucketed_join": "both scans Bucketed: true; zero Exchange below the SortMergeJoin — the shuffle was paid once at write time",
     "connector_partitioned_sink_pruning": "PartitionFilters prune the re-read to one year's directory before any row is touched",

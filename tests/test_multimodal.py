@@ -584,8 +584,12 @@ def test_fused_resize_decode_capability_errors(spark, smoke_dir):
     M.register_wav_codec()
     M.register_ppm_codec()  # the width-validation case needs ppm present
     media = M.synth_wav_from_text(docs.selectExpr("doc_id", "text"))
-    with pytest.raises(ValueError, match="no resize capability"):
+    # same signal type as the chained resize_image for a codec
+    # without the capability
+    with pytest.raises(NotImplementedError, match="no registered resize"):
         M.resize_decode_features(media, 2, 2, "wav")
+    with pytest.raises(NotImplementedError, match="no registered resize"):
+        M.resize_decode_features(media, 2, 2, "fake")
     with pytest.raises(NotImplementedError, match="needs an image"):
         M.resize_decode_features(media, 2, 2, "no_such_codec")
     with pytest.raises(ValueError, match="must be positive"):

@@ -195,3 +195,35 @@ def test_resize_roundtrip(source, w, h, sep):
     assert isinstance(r, ir.ResizeMedia)
     assert r.source == source
     assert (r.width, r.height, r.codec) == (w, h, "ppm")
+
+
+_path_chars = st.text(
+    alphabet=st.sampled_from(
+        "abcdefghijklmnopqrstuvwxyz0123456789_-./*? "
+    ),
+    min_size=1,
+    max_size=40,
+).filter(lambda s: s.strip())
+
+
+@given(
+    path=_path_chars,
+    glob=st.one_of(st.none(), _path_chars),
+    recursive=st.booleans(),
+    view=st.one_of(st.none(), _ident),
+)
+def test_load_media_roundtrip(path, glob, recursive, view):
+    quoted = path.replace("'", "''")
+    stmt = f"LOAD MEDIA FROM '{quoted}'"
+    if glob is not None:
+        stmt += f" GLOB '{glob.replace(chr(39), chr(39) * 2)}'"
+    if recursive:
+        stmt += " RECURSIVE"
+    if view:
+        stmt += f" AS {view}"
+    m = parse(stmt)
+    assert isinstance(m, ir.LoadMedia)
+    assert m.path == path
+    assert m.glob == glob
+    assert m.recursive is recursive
+    assert m.view == (view or None)
