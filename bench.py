@@ -127,13 +127,17 @@ def main() -> int:
         ),
         "multimodal_y4m_resize_stats": (
             "r8 fused resize+decode (one Arrow pass) + spread scan:"
-            " isolated re-measures 4x fresh processes show ~4.5s on a"
-            " COLD 32-worker Python pool (spawn cost) vs 1.3-1.7s warm"
-            " repeats — vs 4.0s pre-fusion. Full-bench samples swing"
-            " 1.4-6.0s with worker-pool state; steady state (the"
-            " number that matters on a real cluster, where workers"
-            " are long-lived and spark.python.worker.reuse holds) is"
-            " the ~1.4s warm figure"
+            " steady-state repeats run 1.3-1.7s vs 4.0s pre-fusion,"
+            " but a bench-style FIRST evaluation pays ~2-3s of"
+            " per-worker one-time cost across the 32-task fan-out"
+            " (measured: 4.5s cold pool; still 3.4s after a 32-task"
+            " numpy-import warmup — so it is first-decode/JIT per"
+            " worker, not just spawn; repeat 1.7s; 2.2s after 90s"
+            " idle). Full-bench one-shot samples land 1.4-6.0s with"
+            " pool state. Kept: on a real cluster workers are"
+            " long-lived, so the steady-state 3x win is the relevant"
+            " number; single-shot wall stays within the 1.5x rule vs"
+            " the pre-fusion figure"
         ),
         "multimodal_y4m_frames": (
             "r8 tried spreading this scan too: an isolated warm probe"
