@@ -60,6 +60,11 @@ QUERIES = [
     # r8: the binaryFile file-ingest round trip (bounded fixture: the
     # flat small-end curve is the expected shape)
     "media_load_wav_features",
+    # r8: bit-sketch banding (candidate volume grows with collision
+    # density — the exponent proves the bands gate it) and the PQ-ADC
+    # eval (bounded query sweep + code-table lookups)
+    "dedup_simhash_hamming",
+    "ann_pq_recall",
 ]
 
 
