@@ -280,3 +280,39 @@ def test_directory_glob_is_not_folded(spark, media_dir):
     # while a filename-shaped glob still folds (and still works)
     via_file_glob = read_media(spark, os.path.join(media_dir, "wav", "*.wav"))
     assert via_file_glob.count() == N_DOCS
+
+
+def test_read_media_empty_and_no_match_contracts(spark, tmp_path):
+    """Edge contracts for the on-ramp: an EMPTY directory lists zero
+    rows; an explicit glob with zero matches lists zero rows
+    (pathGlobFilter semantics); a PATH-glob with zero matches fails
+    LOUDLY (Hadoop glob semantics — same as the un-folded load), so
+    the fold fallback never converts a typo into silent emptiness."""
+    empty = tmp_path / "empty_media"
+    empty.mkdir()
+    assert read_media(spark, str(empty)).count() == 0
+    d = tmp_path / "has_files"
+    d.mkdir()
+    (d / "a.txt").write_text("decoy")
+    assert read_media(spark, str(d), glob="*.wav").count() == 0
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        read_media(spark, str(d / "*.wav")).count()
+
+
+def test_fused_resize_decode_empty_inputs(spark, smoke_dir):
+    """The fused stage must survive EMPTY Arrow batches (a spread
+    frame has more partitions than rows) and an empty frame — the
+    dtype-inference trap empty pandas batches set for mapInPandas."""
+    docs = (
+        load_table(spark, smoke_dir, "documents")
+        .orderBy("doc_id")
+        .limit(5)
+        .selectExpr("doc_id", "text")
+    )
+    M.register_ppm_codec()
+    sparse = M.synth_ppm_from_text(docs).repartition(64)
+    assert M.resize_decode_features(sparse, 4, 2, "ppm").count() == 5
+    none = M.synth_ppm_from_text(docs.filter("doc_id < 0"))
+    assert M.resize_decode_features(none, 4, 2, "ppm").count() == 0
