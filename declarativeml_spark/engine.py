@@ -905,10 +905,18 @@ class Engine:
         return marked
 
     def _is_index_storage(self, table: str) -> bool:
+        from pyspark.errors import AnalysisException
+
         try:
             rows = self.spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-        except Exception:  # noqa: BLE001 — views/foreign catalogs: not ours
+        except AnalysisException:  # no such table / view: not ours
             return False
+        # anything else (transient catalog/metastore failure) must
+        # propagate: swallowing it here would make a flaky metastore
+        # indistinguishable from "not index storage", steering
+        # _adopt_stored_index into its destructive rebuild error and
+        # the create-path reclaim into silently skipping a table the
+        # engine actually owns.
         return any(
             r.key == self._INDEX_STORAGE_PROP and r.value == "1"
             for r in rows

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -27,13 +28,44 @@ def fixture_dir(tag: str, key_parts: str, writer: Callable[[str], None]) -> str:
     directory is content-addressed, so an un-keyed parameter change
     would reuse a stale fixture and fail the oracle gate with no
     visible cause in the diff.
+
+    Cross-process safe: two concurrent sessions (bench + a
+    correctness run) may both see the marker missing. The writer
+    therefore targets a PRIVATE staging directory which is renamed
+    into place atomically (one filesystem, same tempdir) — concurrent
+    writers never interleave output inside the served directory, and
+    the loser simply discards its staging copy.
     """
     key = hashlib.sha1(key_parts.encode()).hexdigest()[:12]
-    d = os.path.join(tempfile.gettempdir(), f"declml_fix_{tag}_{key}")
+    base = tempfile.gettempdir()
+    d = os.path.join(base, f"declml_fix_{tag}_{key}")
     marker = os.path.join(d, "_COMPLETE")
-    if not os.path.exists(marker):
-        os.makedirs(d, exist_ok=True)
-        writer(d)
-        with open(marker, "w") as f:
+    if os.path.exists(marker):
+        return d
+
+    stage = tempfile.mkdtemp(prefix=f"declml_stage_{tag}_{key}_", dir=base)
+    try:
+        writer(stage)
+        with open(os.path.join(stage, "_COMPLETE"), "w") as f:
             f.write("ok")
-    return d
+        for _ in range(3):
+            if os.path.exists(marker):  # a concurrent writer won
+                break
+            if os.path.isdir(d):
+                # stale partial (crashed pre-marker writer): clear it
+                # so the rename can land; losing a re-clear race just
+                # means another attempt through the loop.
+                shutil.rmtree(d, ignore_errors=True)
+            try:
+                os.rename(stage, d)
+                return d
+            except OSError:
+                continue  # raced: re-check the marker
+        if not os.path.exists(marker):
+            raise RuntimeError(
+                f"fixture_dir could not install {d!r} (persistent"
+                " rename race or stale partial directory)"
+            )
+        return d
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

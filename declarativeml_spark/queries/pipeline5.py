@@ -646,7 +646,16 @@ def _pq_model(spark: SparkSession, sf_dir: str):
         F.broadcast(cents.groupBy("s").agg(cs)), "s"
     ).select("vec_id", "s", "vec", F.expr(assign).alias("cell"))
     if len(_PQ_MODEL_MEMO) >= _PQ_MODEL_MEMO_CAP:
-        _PQ_MODEL_MEMO.pop(next(iter(_PQ_MODEL_MEMO)))
+        # release the evicted entry's persisted frames (base, cents) —
+        # dropping the dict reference alone would leak the cached
+        # blocks with no remaining handle, and a later re-train for
+        # the same key would stack a second persisted copy.
+        evicted = _PQ_MODEL_MEMO.pop(next(iter(_PQ_MODEL_MEMO)))
+        for frame in (evicted[1], evicted[2]):
+            try:
+                frame.unpersist()
+            except Exception:
+                pass  # a dead session's blocks are already gone
     _PQ_MODEL_MEMO[memo_key] = (emb, base, cents, assigned)
     return emb, base, cents, assigned
 

@@ -1650,8 +1650,12 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
 
     def edge(name, child, key, parent, pkey, broadcast_parent):
+        # broadcast_parent marks true dims (nation); scale-table
+        # parents (customer/supplier/orders) carry no hard hint —
+        # AQE broadcasts them at test scale and falls back to a
+        # shuffled anti join at 100 TB instead of aborting.
         p = parent.select(pkey)
-        if broadcast_parent:
+        if broadcast_parent and pkey.startswith("n_"):
             p = F.broadcast(p)
         orphans = child.select(key).join(
             p, child[key] == parent[pkey], "left_anti"

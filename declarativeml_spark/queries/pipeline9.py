@@ -656,7 +656,7 @@ def media_load_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("doc_id"),
     )
-    return feats.join(F.broadcast(ids), "media_id").select(
+    return feats.join(ids, "media_id").select(
         "doc_id",
         F.col("features")[0].alias("sample_rate"),
         F.col("features")[3].alias("n_samples"),

@@ -115,7 +115,7 @@ def nation_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     day = (F.unix_timestamp("o_orderdate") / F.lit(86400)).cast("long").alias("day_x")
     joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select("n_name", day, F.col("o_totalprice").alias("y"))
     )

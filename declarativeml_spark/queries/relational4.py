@@ -133,8 +133,8 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(broadcast(cn), customer.c_nationkey == F.col("cn_key"))
         .join(broadcast(sn), supplier.s_nationkey == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
@@ -218,7 +218,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        lineitem.join(broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .select(
             F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
             rev.alias("rev"),
@@ -323,7 +323,7 @@ def q19_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
     return (
-        lineitem.join(broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .filter(cond)
         .select(rev)
         .agg(dsum("rev", "revenue"), F.count("*").alias("n_lines"))
@@ -450,7 +450,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = srev.agg(F.max("total_rev").alias("max_rev"))
     return (
         srev.join(broadcast(mx), srev.total_rev == mx.max_rev)
-        .join(broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
 

@@ -72,10 +72,10 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_rev = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0.0))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(broadcast(cn), customer.c_nationkey == F.col("cn_key"))
         .join(broadcast(region), F.col("cn_region") == region.r_regionkey)
-        .join(broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(broadcast(sn), supplier.s_nationkey == F.col("sn_key"))
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -164,8 +164,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
-        .join(broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
@@ -289,7 +289,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
     )
     return (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -337,7 +337,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(pq, li.l_partkey == pq.pq_partkey)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -386,13 +386,13 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     shipped = (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(dsum("l_quantity", "total_qty"))
         .filter(F.col("total_qty") > 100)
     )
     return (
-        shipped.join(broadcast(supplier), shipped.l_suppkey == supplier.s_suppkey)
+        shipped.join(supplier, shipped.l_suppkey == supplier.s_suppkey)
         .join(broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .select("s_suppkey", "s_name", "n_name", "total_qty")
     )
@@ -470,7 +470,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        blamed.join(broadcast(supplier), blamed.l_suppkey == supplier.s_suppkey)
+        blamed.join(supplier, blamed.l_suppkey == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -43,7 +43,11 @@ def load_table(
     per-row work (tokenize, shingle, vector folds) — a small parquet
     file arrives as one input split with one row group, so that stage
     would otherwise run on a single core. No-op once the scan splits
-    at real scale; only for plans whose downstream is key-based.
+    at real scale; only for plans whose downstream is key-based
+    (groupBy/join on columns, placement-independent) or a pure
+    per-row map (mapInPandas codec chains) — the relaxed contract
+    textops.spread documents; never for plans that depend on
+    partition placement or row order.
 
     ``events.ts`` is parquet TIMESTAMP(NANOS). Spark 4.1 reads that
     natively as TIMESTAMP_NTZ (micros truncation); older runtimes need

@@ -166,9 +166,15 @@ def read_media(
             reader = reader.option("recursiveFileLookup", "true")
         return reader.load(p)
 
+    # recursive=True changes what the fold means: pathGlobFilter on
+    # the PARENT matches basenames at every depth, while the unfolded
+    # Hadoop glob matches direct children only (then recurses into
+    # matches) — so the fold is only applied non-recursively, where
+    # the two listings are provably identical.
     head, tail = posixpath.split(path.rstrip("/"))
     folded = (
         glob is None
+        and not recursive
         and bool(head)
         and not any(c in head for c in "*?[{")
         and any(c in tail for c in "*?[{")

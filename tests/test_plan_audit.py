@@ -62,6 +62,48 @@ def test_planted_global_window_fails_audit(spark):
     assert any(f.startswith("GlobalWindowOKx") for f in flags_ok)
 
 
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_planted_fact_broadcast_hint_fails_audit(spark, sf_dir):
+    """F.broadcast over a raw data-proportional scan must flag bad
+    (round-8 verdict: the dedup_source_overlap_matrix defect class)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    raw = li.select("l_orderkey", "l_partkey")
+    df = li.join(F.broadcast(raw), "l_orderkey")
+    flags, bad = audit_plan("planted_fact_broadcast", _formatted(df), _analyzed(df))
+    assert bad
+    assert any(f.startswith("ForcedBroadcastx") for f in flags)
+
+
+def test_dim_bounded_broadcast_hints_pass(spark, sf_dir):
+    """Hints over aggregates of facts and over true dim scans stay legal."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    agg = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    df = li.join(F.broadcast(agg), "l_returnflag")
+    _, bad = audit_plan("agg_broadcast", _formatted(df), _analyzed(df))
+    assert not bad
+
+    nat = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    df2 = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    _, bad2 = audit_plan("dim_broadcast", _formatted(df2), _analyzed(df2))
+    assert not bad2
+
+
+def test_bounded_branch_does_not_mask_sibling_raw_scan(spark, sf_dir):
+    """A join of (aggregate, raw fact scan) under one hint still fails:
+    the bounding node must sit on the raw relation's OWN ancestor path."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    agg = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    mixed = agg.join(li.select("l_orderkey", "l_partkey"), "l_orderkey")
+    df = li.join(F.broadcast(mixed), "l_orderkey")
+    flags, bad = audit_plan("mixed_broadcast", _formatted(df), _analyzed(df))
+    assert bad
+    assert any(f.startswith("ForcedBroadcastx") for f in flags)
+
+
 def test_clean_plan_passes(spark):
     df = spark.range(100).groupBy((F.col("id") % 7).alias("k")).count()
     flags, bad = audit_plan("clean", _formatted(df))
