@@ -88,6 +88,29 @@ def simhash_signatures(
     )
 
 
+def simhash64_quarters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-row 64-bit SimHash as four 16-bit quarter columns
+    ``q0``…``q3`` (shuffle-free map; one md5 per distinct token via a
+    precomputed hex-prefix array). The deployment-width sibling of
+    :func:`simhash_signatures` — quarters double as the Hamming-ball
+    pigeonhole bands (radius 3 → 4 bands) and reassemble into a
+    signed BIGINT via ``textops.simhash64_sig_from_quarters``."""
+    hexes = T.HEX64_SPARK.format(toks=_toks(text_col))
+    return df.select(
+        id_col, F.expr(hexes).alias("hx")
+    ).select(
+        id_col,
+        *[
+            F.expr(T.simhash64_quarter("hx", q, "spark"))
+            .cast("int")
+            .alias(f"q{q}")
+            for q in range(4)
+        ],
+    )
+
+
 def minhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -159,6 +159,69 @@ def simhash_spark(toks_distinct: str, bits: int = 16) -> str:
     return " + ".join(terms)
 
 
+# --- 64-bit SimHash (deployment width) ------------------------------------
+# One md5 per TOKEN (not per bit): callers bind ``hx`` to an array of
+# 16-hex-char prefixes — Spark ``transform(toks, t -> substr(md5(t),
+# 1, 16))`` / DuckDB ``list_transform(...)`` — and each of the 64 bit
+# votes is then pure instr/arithmetic over those strings, identical
+# text in both engines. The signature is built as four 16-bit
+# QUARTERS (q0 = low bits … q3 = high) so no Spark expression carries
+# more than 16 sibling aggregate() lambdas (Catalyst complexity cap)
+# and the Hamming banding can join on the quarters directly.
+
+HEX64_SPARK = "transform(array_distinct({toks}), t -> substr(md5(t), 1, 16))"
+HEX64_DUCK = "list_transform(list_distinct({toks}), t -> substr(md5(t), 1, 16))"
+
+
+def _hex4_int_at(var: str, start: int) -> str:
+    parts = []
+    for i, mult in ((0, 4096), (1, 256), (2, 16), (3, 1)):
+        parts.append(
+            f"(instr('0123456789abcdef', substr({var}, {start + i}, 1)) - 1)"
+            f" * {mult}"
+        )
+    return " + ".join(parts)
+
+
+def simhash64_quarter(hx: str, q: int, engine: str) -> str:
+    """16-bit quarter ``q`` (0 = lowest) of the 64-bit SimHash over
+    the hex-prefix array ``hx`` — ``engine`` picks the fold idiom
+    (``spark``: aggregate(); ``duck``: list_sum(list_transform()))
+    while the per-bit arithmetic text stays identical."""
+    h = _hex4_int_at("x", 4 * q + 1)
+    terms = []
+    for b in range(16):
+        if engine == "spark":
+            bit = f"CAST(({h}) / {1 << b} AS INT) % 2"
+            vote = (
+                f"aggregate({hx}, 0, (acc, x) -> acc +"
+                f" CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
+            )
+        else:
+            bit = f"CAST(floor(({h}) / {1 << b}) AS INT) % 2"
+            vote = (
+                f"list_sum(list_transform({hx},"
+                f" x -> CASE WHEN {bit} = 1 THEN 1 ELSE -1 END))"
+            )
+        terms.append(f"CASE WHEN ({vote}) > 0 THEN {1 << b} ELSE 0 END")
+    return " + ".join(terms)
+
+
+def simhash64_sig_from_quarters(q0: str, q1: str, q2: str, q3: str) -> str:
+    """Signed BIGINT signature from quarter columns/expressions: the
+    top quarter maps its high bit to the sign (two's complement), so
+    the value fits BIGINT identically in Spark and DuckDB and
+    xor/bit_count see the same 64 bits."""
+    return (
+        f"(CAST({q3} AS BIGINT)"
+        f" - CASE WHEN ({q3}) >= 32768 THEN 65536 ELSE 0 END)"
+        f" * 281474976710656"
+        f" + CAST({q2} AS BIGINT) * 4294967296"
+        f" + CAST({q1} AS BIGINT) * 65536"
+        f" + CAST({q0} AS BIGINT)"
+    )
+
+
 def simhash_duck(toks_distinct: str, bits: int = 16) -> str:
     h = _hex4_int("t")
     terms = []
