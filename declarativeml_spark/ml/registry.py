@@ -118,6 +118,24 @@ _register(
         dict(_COMMON_TREE),
     )
 )
+def _ridge_factory(**kwargs):
+    # local import: ridge.py imports pyspark.ml.param machinery that
+    # needs no session, but keeping the registry import-light matters
+    # for CLI startup
+    from declarativeml_spark.ml.ridge import RidgeClosedForm
+
+    return RidgeClosedForm(**kwargs)
+
+
+_register(
+    AlgorithmSpec(
+        "ridge_closed_form",
+        _ridge_factory,
+        "regression",
+        {"lambda": "lam", "reg": "lam", "regularization": "lam"},
+        supports_weight_col=False,
+    )
+)
 _register(
     AlgorithmSpec(
         "random_forest",
