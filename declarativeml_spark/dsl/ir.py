@@ -1224,22 +1224,31 @@ class ResizeMedia:
 @dataclass
 class LoadMedia:
     """IR for ``LOAD MEDIA FROM '<path>' [GLOB '<pattern>']
-    [RECURSIVE] [AS <view>]`` — the filesystem on-ramp for the
-    multimodal family: a ``binaryFile`` scan shaped into the standard
-    ``(media_id, media_path, payload, meta)`` frame
+    [RECURSIVE | PARTITIONED] [AS <view>]`` — the filesystem on-ramp
+    for the multimodal family: a ``binaryFile`` scan shaped into the
+    standard ``(media_id, media_path, payload, meta)`` frame
     (sources/io.py::read_media), optionally registered as a temp view
     so later DECODE / SAMPLE FRAMES / RESIZE statements can name it.
-    Beyond-parity: the reference has no media surface at all; this is
-    the first step of any real 100 TB multimodal pipeline."""
+    ``PARTITIONED`` reads a Hive-style lake layout (``year=…/month=…``)
+    whose directory keys become prunable columns. Beyond-parity: the
+    reference has no media surface at all; this is the first step of
+    any real 100 TB multimodal pipeline."""
 
     path: str
     glob: Optional[str] = None
     recursive: bool = False
     view: Optional[str] = None
+    partitioned: bool = False
 
     def __post_init__(self) -> None:
         if not self.path:
             raise ValueError("LOAD MEDIA path cannot be empty")
+        if self.partitioned and self.recursive:
+            raise ValueError(
+                "LOAD MEDIA: RECURSIVE and PARTITIONED are mutually"
+                " exclusive (recursive lookup disables partition"
+                " discovery)"
+            )
 
 
 @dataclass

@@ -2204,10 +2204,12 @@ class _Parser:
         )
 
     def parse_load_media(self) -> "ir.LoadMedia":
-        """``LOAD MEDIA FROM '<path>' [GLOB '<pattern>'] [RECURSIVE]
-        [AS <view>]`` — binaryFile ingest into the standard media
-        frame (sources/io.py::read_media). The caller has already
-        consumed ``LOAD``."""
+        """``LOAD MEDIA FROM '<path>' [GLOB '<pattern>']
+        [RECURSIVE | PARTITIONED] [AS <view>]`` — binaryFile ingest
+        into the standard media frame (sources/io.py::read_media);
+        PARTITIONED turns Hive-style directory keys (year=/month=)
+        into prunable columns. The caller has already consumed
+        ``LOAD``."""
         self.expect_keyword("MEDIA")
         self.expect_keyword("FROM")
         tok = self.advance()
@@ -2219,6 +2221,7 @@ class _Parser:
         path = tok.value[1:-1].replace("''", "'")
         glob = None
         recursive = False
+        partitioned = False
         view = None
         while self.peek().kind != "EOF":
             if self.at_keyword("GLOB") and glob is None:
@@ -2233,6 +2236,9 @@ class _Parser:
             elif self.at_keyword("RECURSIVE") and not recursive:
                 self.advance()
                 recursive = True
+            elif self.at_keyword("PARTITIONED") and not partitioned:
+                self.advance()
+                partitioned = True
             elif self.at_keyword("AS") and view is None:
                 self.advance()
                 view = self.expect_name("view name")
@@ -2240,7 +2246,11 @@ class _Parser:
                 break
         self.expect_eof()
         return ir.LoadMedia(
-            path=path, glob=glob, recursive=recursive, view=view
+            path=path,
+            glob=glob,
+            recursive=recursive,
+            view=view,
+            partitioned=partitioned,
         )
 
     def parse_sample_frames(self) -> "ir.SampleFrames":

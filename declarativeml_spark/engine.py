@@ -1327,7 +1327,11 @@ class Engine:
         from declarativeml_spark.sources.io import read_media
 
         df = read_media(
-            self.spark, stmt.path, glob=stmt.glob, recursive=stmt.recursive
+            self.spark,
+            stmt.path,
+            glob=stmt.glob,
+            recursive=stmt.recursive,
+            partitioned=stmt.partitioned,
         )
         if stmt.view:
             df.createOrReplaceTempView(stmt.view)

@@ -524,11 +524,19 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical interval boundaries. At 100 TB this is one shuffle on
     the dimension key, exactly what an SCD2 MERGE pipeline pays.
     """
-    from pyspark.sql.window import Window
-
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
+    return _scd2_build(ev)
+
+
+def _scd2_build(ev: DataFrame) -> DataFrame:
+    """(user_id, event_type, valid_from, valid_to, is_current) SCD2
+    intervals from an event frame — shared by the history build and
+    the merge-upsert snapshot fixture. Windows partition by user_id
+    (parallel across users); ties break on event_id."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = ev.withColumn(
         "prev_type", F.lag("event_type").over(w)
@@ -1281,3 +1289,162 @@ def dsl_train_ridge_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         sround(F.col("prediction"), 6).alias("prediction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 MERGE follow-through (judge round 8 ask #7): apply a compacted
+# change batch to a STORED SCD2 dimension — close intervals, keep
+# history, insert new current rows — co-located on a bucketed
+# snapshot (marries events_scd2_intervals to the orders_merge_upsert
+# pattern).
+
+_SCD2M_BUCKETS = 16
+_SCD2M_SPLIT_DAY = 24  # snapshot: day(ts) < 24; change batch: >= 24
+
+_SCD2M_ORACLE = f"""
+WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events),
+snap_marks AS (
+    SELECT user_id, event_id, ts, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM ev WHERE day(ts) < {_SCD2M_SPLIT_DAY}
+),
+snap AS (
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to
+    FROM snap_marks WHERE prev_type IS DISTINCT FROM event_type
+),
+snap2 AS (
+    SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM snap
+),
+chg AS (
+    SELECT user_id, event_type AS new_type, ts AS change_ts FROM (
+        SELECT user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev WHERE day(ts) >= {_SCD2M_SPLIT_DAY}) t
+    WHERE rn = 1
+)
+SELECT s.user_id, s.event_type, s.valid_from, s.valid_to, s.is_current
+FROM snap2 s LEFT JOIN chg c ON s.user_id = c.user_id
+WHERE c.user_id IS NULL OR NOT s.is_current OR s.event_type = c.new_type
+UNION ALL
+SELECT s.user_id, s.event_type, s.valid_from, c.change_ts, FALSE
+FROM snap2 s JOIN chg c ON s.user_id = c.user_id
+WHERE s.is_current AND s.event_type <> c.new_type
+UNION ALL
+SELECT c.user_id, c.new_type, c.change_ts, CAST(NULL AS TIMESTAMP), TRUE
+FROM chg c JOIN snap2 s ON s.user_id = c.user_id AND s.is_current
+WHERE s.event_type <> c.new_type
+UNION ALL
+SELECT c.user_id, c.new_type, c.change_ts, CAST(NULL AS TIMESTAMP), TRUE
+FROM chg c LEFT JOIN (SELECT DISTINCT user_id FROM snap2) su
+  ON c.user_id = su.user_id
+WHERE su.user_id IS NULL
+"""
+
+
+@query("events_scd2_merge_upsert", oracle=_SCD2M_ORACLE)
+def events_scd2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a compacted CDC batch into a stored SCD2 dimension: the
+    snapshot (SCD2 history of events before day <_SCD2M_SPLIT_DAY>,
+    built once and SAVED as a user_id-bucketed table — the stored
+    dimension) meets one change row per user (latest event at/after
+    the split); same-type changes are no-ops, type changes CLOSE the
+    open interval at the change's timestamp and INSERT a new current
+    row, and users unseen by the snapshot insert directly. The oracle
+    recomputes the whole merge from the raw events, so a row lost or
+    altered anywhere — including through the bucketed save/load round
+    trip — hash-fails.
+
+    Scale: the snapshot side reads pre-bucketed on user_id (no
+    exchange under the join — only the change batch shuffles to the
+    buckets, exactly what a warehouse MERGE pays); the close+insert
+    pair materializes via ONE explode(array(...)) so the joined frame
+    evaluates once. No broadcast hints: the change batch is
+    key-compacted but user-proportional, AQE picks the strategy.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from declarativeml_spark.sources.io import (
+        save_bucketed_table,
+        warehouse_path,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    key = hashlib.sha1(
+        f"{sf_dir}|b{_SCD2M_BUCKETS}|day<{_SCD2M_SPLIT_DAY}|scd2".encode()
+    ).hexdigest()[:10]
+    snap_t = f"scd2fix_{key}"
+    if not spark.catalog.tableExists(snap_t):
+        loc = os.path.join(warehouse_path(spark), snap_t.lower())
+        if os.path.isdir(loc):  # orphaned location from a dead metastore
+            shutil.rmtree(loc, ignore_errors=True)
+        save_bucketed_table(
+            _scd2_build(ev.filter(F.expr(f"day(ts) < {_SCD2M_SPLIT_DAY}"))),
+            snap_t,
+            "user_id",
+            n_buckets=_SCD2M_BUCKETS,
+            sort_col="user_id",
+        )
+    snap = spark.table(snap_t)
+
+    wc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    chg = (
+        ev.filter(F.expr(f"day(ts) >= {_SCD2M_SPLIT_DAY}"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("new_type"),
+            F.col("ts").alias("change_ts"),
+        )
+    )
+
+    j = snap.join(chg, "user_id", "left")
+    merged = j.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                """CASE WHEN new_type IS NOT NULL AND is_current
+                         AND event_type <> new_type
+                   THEN array(
+                       struct(event_type AS et, valid_from AS vf,
+                              change_ts AS vt, false AS cur),
+                       struct(new_type AS et, change_ts AS vf,
+                              CAST(NULL AS TIMESTAMP_NTZ) AS vt,
+                              true AS cur))
+                   ELSE array(struct(event_type AS et, valid_from AS vf,
+                                     valid_to AS vt, is_current AS cur))
+                   END"""
+            )
+        ).alias("r"),
+    ).select(
+        "user_id",
+        F.col("r.et").alias("event_type"),
+        F.col("r.vf").alias("valid_from"),
+        F.col("r.vt").alias("valid_to"),
+        F.col("r.cur").alias("is_current"),
+    )
+    inserts = (
+        chg.join(snap.select("user_id").distinct(), "user_id", "left_anti")
+        .select(
+            "user_id",
+            F.col("new_type").alias("event_type"),
+            F.col("change_ts").alias("valid_from"),
+            F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return merged.unionByName(inserts)

@@ -700,3 +700,110 @@ def media_ingest_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("meta.n_bytes").cast("long").alias("min_bytes"),
         F.max("meta.n_bytes").cast("long").alias("max_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned media LAKE layout (round-9 verdict ask #8): the same
+# WAV corpus written under year=2024/month=<m>/ directories, read
+# back via read_media(partitioned=True) so the directory keys become
+# prunable columns, and a DECODE over ONE month whose scan must list
+# only that month's directory (plan-asserted in
+# tests/test_media_ingest.py; the oracle proves no row leaked in
+# from other partitions).
+
+_MEDIA_PART_MONTHS = 12
+_MEDIA_PART_PICK = 3  # the month the pruned DECODE reads
+
+
+def _media_part_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The lowest <_N_MEDIA_FILES> documents as real RIFF files under
+    ``year=2024/month=<1 + doc_id % 12>/`` — the Hive layout a
+    time-partitioned media lake lands files in."""
+    import os
+
+    from declarativeml_spark.operators.multimodal import synth_wav_from_text
+    from declarativeml_spark.queries.fixtures import fixture_dir
+
+    def write(d: str) -> None:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id")
+            .limit(_N_MEDIA_FILES)
+        )
+        wav = synth_wav_from_text(docs, "text", "doc_id")
+        for r in wav.select("media_id", "payload").collect():
+            month = 1 + r.media_id % _MEDIA_PART_MONTHS
+            sub = os.path.join(d, "year=2024", f"month={month}")
+            os.makedirs(sub, exist_ok=True)
+            with open(os.path.join(sub, f"m{r.media_id:08d}.wav"), "wb") as f:
+                f.write(bytes(r.payload))
+
+    return fixture_dir(
+        "media_wav_part",
+        f"{sf_dir}|wav|{_N_MEDIA_FILES}|m{_MEDIA_PART_MONTHS}",
+        write,
+    )
+
+
+_MEDIA_PART_ORACLE = f"""
+SELECT doc_id,
+       CAST(1 + doc_id % {_MEDIA_PART_MONTHS} AS BIGINT) AS month,
+       CAST(length(text) AS BIGINT) AS n_samples,
+       CAST(COALESCE(list_sum(list_transform(
+           range(1, length(text) + 1),
+           i -> (ascii(substr(text, i, 1)) - 128)
+                * (ascii(substr(text, i, 1)) - 128)
+       )), 0) * 65536 AS BIGINT) AS energy
+FROM (SELECT doc_id, text FROM documents
+      ORDER BY doc_id LIMIT {_N_MEDIA_FILES}) t
+WHERE 1 + doc_id % {_MEDIA_PART_MONTHS} = {_MEDIA_PART_PICK}
+"""
+
+
+@query("media_partition_pruning_decode", oracle=_MEDIA_PART_ORACLE)
+def media_partition_pruning_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DECODE over one partition of a Hive-layout media lake:
+    ``read_media(partitioned=True)`` turns ``year=/month=`` into
+    columns, the ``month = <_MEDIA_PART_PICK>`` filter prunes the file
+    listing to one directory (PartitionFilters in the scan — the
+    media sibling of connector_partitioned_sink_pruning), and only
+    the surviving files decode. The oracle recomputes the expected
+    decoder output for exactly the documents whose doc_id lands in
+    that month, so a file read from any OTHER partition — or one
+    missing from the right one — hash-fails.
+
+    Scale: at 100 TB the pruned listing is the difference between
+    decoding one month and decoding the lake; payloads are never
+    touched by the filter (partition keys live in directory names).
+    Also the engine path behind ``LOAD MEDIA FROM '<dir>' GLOB
+    '*.wav' PARTITIONED``.
+    """
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.operators.multimodal import (
+        decode_features,
+        register_wav_codec,
+    )
+    from declarativeml_spark.sources.io import read_media
+
+    register_wav_codec()
+    d = _media_part_fixture_dir(spark, sf_dir)
+    media = read_media(spark, d, glob="*.wav", partitioned=True).filter(
+        F.col("month") == _MEDIA_PART_PICK
+    )
+    feats = decode_features(media, codec="wav")
+    ids = media.select(
+        "media_id",
+        F.regexp_extract("media_path", r"m(\d+)\.wav$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("month").cast("long").alias("month"),
+    )
+    return feats.join(ids, "media_id").select(
+        "doc_id",
+        "month",
+        F.col("features")[3].alias("n_samples"),
+        F.col("features")[4].alias("energy"),
+    )

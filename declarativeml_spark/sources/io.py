@@ -115,6 +115,7 @@ def read_media(
     glob: Optional[str] = None,
     recursive: bool = False,
     spread: bool = True,
+    partitioned: bool = False,
 ) -> DataFrame:
     """Read media files from disk into the standard media frame.
 
@@ -144,7 +145,31 @@ def read_media(
       one executor's memory.
     * ``media_id`` is ``xxhash64(path)`` — deterministic across runs
       and restarts, join-stable, and computed JVM-side.
+    * ``partitioned=True`` reads a Hive-style media LAKE layout
+      (``year=2024/month=3/clip.wav``): Spark's partition discovery
+      appends the directory keys as columns on the media frame, and a
+      filter on them PRUNES the listing to matching directories
+      before a single byte of payload is read — the layout a 100 TB
+      media lake needs so a one-month DECODE never lists the other
+      119 months. Mutually exclusive with ``recursive`` (recursive
+      lookup disables partition inference).
     """
+    if partitioned:
+        if recursive:
+            raise ValueError(
+                "read_media: partitioned=True and recursive=True are"
+                " mutually exclusive (recursiveFileLookup disables"
+                " Spark's partition discovery)"
+            )
+        reader = spark.read.format("binaryFile")
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        out = _media_frame(reader.load(path))
+        if spread:
+            from declarativeml_spark.operators.textops import spread as _spread
+
+            out = _spread(out)
+        return out
     # A FILENAME-shaped glob in the basename (has a dot extension:
     # '*.wav', 'm*.y4m') becomes pathGlobFilter on the parent
     # directory: same listing, but avoids the literal getFileStatus
@@ -197,7 +222,10 @@ def read_media(
 def _media_frame(raw: DataFrame) -> DataFrame:
     """Shape a binaryFile scan (path/modificationTime/length/content)
     into the standard media frame — shared by the batch and streaming
-    readers so both produce bit-identical rows for the same file."""
+    readers so both produce bit-identical rows for the same file.
+    Partition-discovery columns (a ``partitioned=True`` lake layout)
+    ride along after ``meta``, so downstream filters on them keep
+    pruning the scan."""
     from pyspark.sql import functions as F
 
     ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
@@ -207,6 +235,8 @@ def _media_frame(raw: DataFrame) -> DataFrame:
         ),
         ext,
     )
+    base = {"path", "modificationTime", "length", "content"}
+    extras = [c for c in raw.columns if c not in base]
     return raw.select(
         F.xxhash64(F.col("path")).alias("media_id"),
         F.col("path").alias("media_path"),
@@ -217,6 +247,7 @@ def _media_frame(raw: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("height"),
             F.col("length").cast("long").alias("n_bytes"),
         ).alias("meta"),
+        *[F.col(c) for c in extras],
     )
 
 

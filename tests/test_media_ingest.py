@@ -316,3 +316,81 @@ def test_fused_resize_decode_empty_inputs(spark, smoke_dir):
     assert M.resize_decode_features(sparse, 4, 2, "ppm").count() == 5
     none = M.synth_ppm_from_text(docs.filter("doc_id < 0"))
     assert M.resize_decode_features(none, 4, 2, "ppm").count() == 0
+
+
+# --- partitioned media lake (round-9 verdict ask #8) -----------------------
+
+
+@pytest.fixture(scope="module")
+def part_media_dir(spark, smoke_dir, tmp_path_factory):
+    """WAV files under year=2024/month=<1 + doc_id % 4>/ — the
+    Hive-style lake layout read_media(partitioned=True) discovers."""
+    d = str(tmp_path_factory.mktemp("media_part"))
+    docs = _docs(spark, smoke_dir)
+    rows = M.synth_wav_from_text(docs).select("media_id", "payload").collect()
+    for r in rows:
+        sub = os.path.join(d, "year=2024", f"month={1 + r.media_id % 4}")
+        _write_files([r], sub, "wav")
+    return d
+
+
+def test_partitioned_media_discovery_and_columns(spark, part_media_dir):
+    media = read_media(spark, part_media_dir, glob="*.wav", partitioned=True)
+    assert {"year", "month"} <= set(media.columns)
+    rows = media.collect()
+    assert len(rows) == N_DOCS
+    for r in rows:
+        assert r.year == 2024
+        assert f"month={r.month}" in r.media_path
+
+
+def test_partitioned_media_filter_prunes_listing(spark, part_media_dir):
+    """The month filter must reach the scan as a PartitionFilter and
+    the pruned frame must read ONLY that month's files."""
+    media = read_media(spark, part_media_dir, glob="*.wav", partitioned=True)
+    pruned = media.filter(F.col("month") == 1)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the partition predicate must appear in the scan's PartitionFilters
+    pf_line = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "month" in pf_line
+    # inputFiles() reports the RELATION's listing (pre-pruning), so
+    # the row-level check is on what actually came back
+    paths = [r.media_path for r in pruned.select("media_path").collect()]
+    assert paths and all("month=1" in p for p in paths)
+    assert pruned.count() == media.filter("month = 1").count()
+
+
+def test_partitioned_media_rejects_recursive(spark, part_media_dir):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_media(spark, part_media_dir, partitioned=True, recursive=True)
+
+
+def test_load_media_partitioned_dsl(spark, part_media_dir):
+    from declarativeml_spark import parse
+    from declarativeml_spark.engine import Engine
+
+    stmt = parse(
+        f"LOAD MEDIA FROM '{part_media_dir}' GLOB '*.wav' PARTITIONED"
+        " AS lake_media"
+    )
+    assert stmt.partitioned and not stmt.recursive
+    eng = Engine(spark)
+    df = eng.execute(
+        f"LOAD MEDIA FROM '{part_media_dir}' GLOB '*.wav' PARTITIONED"
+        " AS lake_media"
+    )
+    assert {"year", "month"} <= set(df.columns)
+    assert spark.table("lake_media").count() == N_DOCS
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        parse(
+            f"LOAD MEDIA FROM '{part_media_dir}' RECURSIVE PARTITIONED"
+        )
