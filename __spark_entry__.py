@@ -27,69 +27,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # correctness tooling that samples a prefix of this dict should spend
 # its budget on rows not yet (or not yet successfully) checked, not on
 # re-confirming long-green ones.
-# Round-8 rotation (scripts/rotation.py over CORRECTNESS_r0{1..7}):
-# every registered query has a driver-green row, so staleness (rounds
-# since last green) is the only ordering signal. Window head =
-# (1) round-8 ADDITIONS (never checked, capped at 15 so the window
-# still covers the whole stale cohort), (2) the 35 queries whose LAST
-# green is CORRECTNESS_r04 (three rounds stale), (3) fillers from the
-# next-stalest cohort (last green r5) in alphabetical order — these
-# only reach the driver if fewer than 15 additions land.
+# Round-9 rotation (scripts/rotation.py over CORRECTNESS_r0{1..8}):
+# every registered query has a driver-green row; staleness is the
+# ordering signal. The 48-name r5-stale cohort exceeds the 50-row
+# window once the 6 round-9 additions land, so the cohort is SPLIT
+# DELIBERATELY (the r8 verdict's instruction for >2 additions): the
+# 4 names the r8 judge independently re-ran green via
+# scripts/verify_local.py this cycle (tokenizer_bpe_merges,
+# semdedup_embedding_prune, events_conversion_funnel, plus
+# tokenizer_bpe_curve, the merge-trainer sibling of the judge-green
+# tokenizer_bpe_merges) carry the freshest independent evidence and
+# roll to positions 51-54, leading the r10 window. Head =
+# (1) the 6 round-9 additions (never checked), (2) 44 r5-stale names.
 _CHECK_FIRST = (
-    # (1) round-8 additions (never driver-checked) — prepend as they land
-    "media_load_wav_features",
-    "media_ingest_inventory",
-    "connector_orc_roundtrip",
-    "connector_csv_roundtrip",
-    "connector_partitioned_sink_pruning",
-    "connector_json_roundtrip",
-    "connector_bucketed_join",
-    "salted_skew_join",
-    "text_readability_scores",
-    "events_scd2_intervals",
-    "corpus_pack_efficiency",
-    "dedup_simhash_hamming",
-    "ann_pq_recall",
-    # (2) stalest cohort: last green in CORRECTNESS_r04 (35)
-    "events_rate_anomalies",
-    "events_rollup_incremental",
-    "events_transition_entropy",
-    "events_user_sessions",
-    "hybrid_search_rrf",
-    "knn_graph_degrees",
-    "knn_graph_triangles",
-    "lang_id_confusion",
-    "lineitem_decision_stump",
-    "lineitem_feature_mi",
-    "lineitem_numeric_profile",
-    "lineitem_zorder_layout",
-    "multimodal_audio_energy",
-    "multimodal_frame_sample",
-    "nation_revenue_gini",
-    "nation_trade_pagerank",
-    "nb_lang_confusion",
-    "orders_calendar_completeness",
-    "orders_forecast_backtest",
-    "orders_merge_upsert",
-    "parttype_supplier_hhi",
-    "pipeline_pretraining_corpus",
-    "quality_source_percentile",
-    "retention_half_life",
-    "segment_spend_ttest",
-    "source_length_drift_psi",
-    "text_bm25_topk",
-    "text_heuristic_filters",
-    "text_pii_redaction",
-    "text_tfidf_top_terms",
-    "text_zipf_fit",
-    "token_bigram_pmi",
-    "token_heavy_hitters_cms",
-    "token_vocab_coverage",
-    "tokenizer_fertility",
-    # (3) window fillers: next-stalest cohort (last green r05) —
-    # pushed past the 50-row window as round-8 additions land.
-    "corpus_cluster_split",
-    "corpus_cross_source_overlap",
+    # (1) round-9 additions (never driver-checked)
+    "dedup_simhash64_hamming",
+    "text_unicode_token_stats",
+    "text_unicode_pii_redaction",
+    "dsl_train_ridge_predictions",
+    "events_scd2_merge_upsert",
+    "media_partition_pruning_decode",
+    # (2) stalest cohort: last green in CORRECTNESS_r05 (44 of 48)
     "corpus_epoch_shuffle",
     "corpus_mix_sample",
     "corpus_source_datasheet",
@@ -103,92 +61,110 @@ _CHECK_FIRST = (
     "dedup_ngram_containment",
     "dedup_savings_by_source",
     "dedup_simhash",
+    "dedup_source_overlap_matrix",
+    "dedup_threshold_sweep",
+    "deletion_vector_plan",
+    "doremi_domain_weights",
+    "dsir_importance_weights",
+    "embedding_fisher_ratio",
+    "embedding_matryoshka_audit",
+    "embedding_nearest_centroid",
+    "embedding_outlier_audit",
+    "events_k_anonymity",
+    "events_robust_anomalies",
+    "events_user_cap_sample",
+    "events_weekly_retention",
+    "join_key_hotspots",
+    "lineitem_pruning_effectiveness",
+    "orders_amount_reconciliation",
+    "pack_concat_chunks",
+    "quality_budget_selection",
+    "quality_linear_margin",
+    "quality_margin_deciles",
+    "score_agreement_spearman",
+    "split_leakage_audit",
+    "text_bigram_logprob",
+    "text_bpe_token_stats",
+    "text_chunk_windows",
+    "text_heaps_law_fit",
+    "text_language_id",
+    "text_quality_repetition",
+    "text_quality_scores",
+    "text_token_stats",
+    "text_unigram_surprisal",
+    # (3) past the window: the 4 r5-stale names with fresh
+    # judge re-verification — deliberate split, r10 window head
+    "events_conversion_funnel",
+    "semdedup_embedding_prune",
+    "tokenizer_bpe_curve",
+    "tokenizer_bpe_merges",
 )
 
-# Every registered query has at least one driver-green row
-# (r1∪r3∪r4∪r5∪r6); _CHECK_LAST is therefore the full registry and
-# _CHECK_FIRST alone decides the window. Regenerate both blocks each
-# round from the CORRECTNESS artifacts (scripts/rotation.py).
+# Every registered query has at least one driver-green row;
+# _CHECK_LAST holds everything outside _CHECK_FIRST so the head alone
+# decides the window. Regenerate both blocks each round from the
+# CORRECTNESS artifacts (scripts/rotation.py).
 _CHECK_LAST = frozenset(
     {
         "ann_ivf_native",
         "ann_ivf_recall",
         "ann_ivf_topk",
         "ann_lsh_bucketed",
+        "ann_pq_recall",
         "ann_topk_cosine",
         "approx_distinct_parts",
         "asof_last_view_before_purchase",
         "cluster_top_terms",
+        "connector_bucketed_join",
+        "connector_csv_roundtrip",
+        "connector_json_roundtrip",
+        "connector_orc_roundtrip",
+        "connector_partitioned_sink_pruning",
         "corpus_cluster_split",
         "corpus_cross_source_overlap",
         "corpus_dedup_survivorship",
-        "corpus_epoch_shuffle",
-        "corpus_mix_sample",
+        "corpus_pack_efficiency",
         "corpus_shard_assignment",
-        "corpus_source_datasheet",
-        "corpus_stratified_quota",
         "corpus_temperature_mix",
-        "corpus_token_budget_curve",
-        "corpus_weighted_sample",
         "cte_nation_revenue",
         "customer_rfm_segments",
         "customer_year_setops",
         "customers_without_orders",
-        "decontam_benchmark_overlap",
         "decontam_bloom_gate",
-        "decontam_semantic_overlap",
-        "dedup_band_calibration",
         "dedup_clusters",
-        "dedup_exact",
         "dedup_incremental_delta",
         "dedup_minhash_lsh",
-        "dedup_ngram_containment",
         "dedup_ngram_jaccard",
-        "dedup_savings_by_source",
-        "dedup_simhash",
-        "dedup_source_overlap_matrix",
+        "dedup_simhash_hamming",
         "dedup_substring_runs",
-        "dedup_threshold_sweep",
-        "deletion_vector_plan",
-        "doremi_domain_weights",
-        "dsir_importance_weights",
         "embedding_array_stats",
         "embedding_centroid_dispersion",
-        "embedding_fisher_ratio",
-        "embedding_matryoshka_audit",
-        "embedding_nearest_centroid",
-        "embedding_outlier_audit",
         "embedding_pca_power",
         "embedding_pq_codes",
         "embedding_quantize_int8",
         "embedding_similarity_pairs",
         "events_autocorrelation",
         "events_change_points",
-        "events_conversion_funnel",
         "events_fano_factor",
         "events_hourly_corr",
         "events_hourly_stats",
         "events_json_extract",
-        "events_k_anonymity",
         "events_latest_per_user",
         "events_minute_gapfill",
         "events_new_users_cumulative",
         "events_rate_anomalies",
-        "events_robust_anomalies",
         "events_rollup_incremental",
+        "events_scd2_intervals",
         "events_sessionize",
         "events_time_weighted_value",
         "events_top_paths",
         "events_transition_entropy",
         "events_transition_matrix",
         "events_type_hour_cube",
-        "events_user_cap_sample",
         "events_user_sessions",
         "events_value_range_join",
-        "events_weekly_retention",
         "grouping_sets_revenue",
         "hybrid_search_rrf",
-        "join_key_hotspots",
         "key_uniqueness_audit",
         "knn_graph_degrees",
         "knn_graph_triangles",
@@ -198,9 +174,10 @@ _CHECK_LAST = frozenset(
         "lineitem_feature_mi",
         "lineitem_numeric_profile",
         "lineitem_price_ols",
-        "lineitem_pruning_effectiveness",
         "lineitem_winsorized_stats",
         "lineitem_zorder_layout",
+        "media_ingest_inventory",
+        "media_load_wav_features",
         "mktsegment_order_pivot",
         "monthly_revenue",
         "multimodal_audio_energy",
@@ -218,7 +195,6 @@ _CHECK_LAST = frozenset(
         "nation_trade_pagerank",
         "nb_lang_confusion",
         "order_priority_rollup",
-        "orders_amount_reconciliation",
         "orders_benford_audit",
         "orders_by_quarter",
         "orders_calendar_completeness",
@@ -226,7 +202,6 @@ _CHECK_LAST = frozenset(
         "orders_forecast_backtest",
         "orders_merge_upsert",
         "orders_seasonality_index",
-        "pack_concat_chunks",
         "part_abc_classification",
         "part_name_analysis",
         "part_pair_affinity",
@@ -258,41 +233,26 @@ _CHECK_LAST = frozenset(
         "q7_nation_trade_volume",
         "q8_nation_market_share",
         "q9_product_profit",
-        "quality_budget_selection",
-        "quality_linear_margin",
-        "quality_margin_deciles",
         "quality_source_percentile",
         "referential_integrity_audit",
         "retention_half_life",
         "revenue_moving_avg_7d",
-        "score_agreement_spearman",
+        "salted_skew_join",
         "segment_price_percentiles",
         "segment_spend_ttest",
-        "semdedup_embedding_prune",
         "source_length_drift_psi",
-        "split_leakage_audit",
-        "text_bigram_logprob",
         "text_bm25_topk",
-        "text_bpe_token_stats",
-        "text_chunk_windows",
-        "text_heaps_law_fit",
         "text_heuristic_filters",
-        "text_language_id",
         "text_ngram_novelty",
         "text_pii_redaction",
-        "text_quality_repetition",
-        "text_quality_scores",
+        "text_readability_scores",
         "text_tfidf_top_terms",
-        "text_token_stats",
-        "text_unigram_surprisal",
         "text_winnow_fingerprints",
         "text_zipf_fit",
         "token_bigram_pmi",
         "token_heavy_hitters_cms",
         "token_vocab_coverage",
-        "tokenizer_bpe_curve",
         "tokenizer_bpe_encode",
-        "tokenizer_bpe_merges",
         "tokenizer_fertility",
         "top3_customers_per_nation",
         "urgent_customers_by_nation",
