@@ -65,6 +65,8 @@ QUERIES = [
     # eval (bounded query sweep + code-table lookups)
     "dedup_simhash_hamming",
     "ann_pq_recall",
+    "dedup_simhash64_hamming",
+    "events_scd2_merge_upsert",
 ]
 
 
