@@ -48,14 +48,30 @@ def fixture_dir(tag: str, key_parts: str, writer: Callable[[str], None]) -> str:
         writer(stage)
         with open(os.path.join(stage, "_COMPLETE"), "w") as f:
             f.write("ok")
-        for _ in range(3):
+        for attempt in range(3):
             if os.path.exists(marker):  # a concurrent writer won
                 break
             if os.path.isdir(d):
-                # stale partial (crashed pre-marker writer): clear it
-                # so the rename can land; losing a re-clear race just
-                # means another attempt through the loop.
-                shutil.rmtree(d, ignore_errors=True)
+                # A directory at d without its marker is a stale
+                # partial (markers are only ever INSTALLED by the
+                # whole-dir rename below, never written in place) —
+                # but a concurrent winner may rename a complete copy
+                # onto d between the marker check above and now. So
+                # CLAIM the directory atomically (rename, exclusive by
+                # construction), re-inspect, and restore if we stole a
+                # freshly-installed complete fixture.
+                claimed = f"{d}.claim.{os.getpid()}.{attempt}"
+                try:
+                    os.rename(d, claimed)
+                except OSError:
+                    continue  # someone else claimed/replaced it: recheck
+                if os.path.exists(os.path.join(claimed, "_COMPLETE")):
+                    try:
+                        os.rename(claimed, d)  # put the winner back
+                    except OSError:  # a third writer already installed
+                        shutil.rmtree(claimed, ignore_errors=True)
+                    break
+                shutil.rmtree(claimed, ignore_errors=True)
             try:
                 os.rename(stage, d)
                 return d
@@ -69,3 +85,63 @@ def fixture_dir(tag: str, key_parts: str, writer: Callable[[str], None]) -> str:
         return d
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def bucketed_table_fixture(
+    spark,
+    tag: str,
+    key_parts: str,
+    table: str,
+    build_df,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str,
+) -> str:
+    """Content-addressed EXTERNAL bucketed table fixture.
+
+    The r8 managed-table fixtures raced across processes: two fresh
+    in-memory metastores over one shared warehouse each saw
+    ``tableExists == False``, and the second writer's orphan-location
+    rmtree could delete the first's in-flight files. Here the DATA is
+    immutable and installed atomically by :func:`fixture_dir` (a
+    staging ``saveAsTable`` with an explicit ``path`` writes real
+    bucket files, the temp catalog entry is dropped — external, so
+    files survive — and the directory renames into place); each
+    process then only registers its OWN catalog entry over the
+    finished directory, which mutates nothing shared.
+
+    Returns ``table`` (registered in this session's catalog).
+    """
+
+    def write(d: str) -> None:
+        df = build_df()
+        stage_name = f"{table}_stage_{os.getpid()}"
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(sort_col)
+            .option("path", d)
+            .saveAsTable(stage_name)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {stage_name}")  # external: files stay
+
+    d = fixture_dir(tag, key_parts, write)
+    return _register_external_bucketed(
+        spark, table, d, bucket_col, n_buckets, sort_col
+    )
+
+
+def _register_external_bucketed(
+    spark, table: str, location: str, bucket_col: str, n_buckets: int,
+    sort_col: str,
+) -> str:
+    if spark.catalog.tableExists(table):
+        return table
+    # schema from the finished files themselves (one footer read)
+    schema_ddl = spark.read.parquet(location)._jdf.schema().toDDL()
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({schema_ddl}) USING PARQUET"
+        f" CLUSTERED BY ({bucket_col}) SORTED BY ({sort_col})"
+        f" INTO {n_buckets} BUCKETS LOCATION '{location}'"
+    )
+    return table

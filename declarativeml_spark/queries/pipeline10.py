@@ -422,10 +422,10 @@ GROUP BY o.o_orderpriority
 @query("connector_bucketed_join", oracle=_BUCKETED_ORACLE)
 def connector_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship 100 TB join strategy under the driver gate: both
-    sides of a fact-fact join persisted as BUCKETED managed tables on
-    the join key (``save_bucketed_table``), so the join reads
-    co-partitioned and needs NO exchange below it — the shuffle is
-    paid once at write time and amortized over every later join.
+    sides of a fact-fact join persisted as BUCKETED external tables on
+    the join key (``fixtures.bucketed_table_fixture``), so the join
+    reads co-partitioned and needs NO exchange below it — the shuffle
+    is paid once at write time and amortized over every later join.
     The oracle runs the plain join on the original parquet, proving
     bucketing changed the physical layout and nothing else
     (tests/test_connector_queries.py asserts the zero-exchange plan).
@@ -436,47 +436,41 @@ def connector_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     target-partition bytes in production.
     """
     import hashlib
-    import os
-    import shutil
 
-    from declarativeml_spark.sources.io import (
-        save_bucketed_table,
-        warehouse_path,
-    )
-
-    def _bucketed_fixture(table: str, df, key_col: str) -> None:
-        if spark.catalog.tableExists(table):
-            return
-        # a fresh in-memory metastore over a SHARED warehouse dir can
-        # find the location without the catalog entry (a previous
-        # session's fixture) — stale by construction, remove it first
-        loc = os.path.join(warehouse_path(spark), table.lower())
-        if os.path.isdir(loc):
-            shutil.rmtree(loc, ignore_errors=True)
-        save_bucketed_table(
-            df, table, key_col, n_buckets=_BUCKET_N, sort_col=key_col
-        )
+    from declarativeml_spark.queries.fixtures import bucketed_table_fixture
 
     # content-addressed like fixtures.py: the name hashes everything
     # that determines the tables' layout, so a future bucket-count or
-    # column change can never serve a stale fixture
+    # column change can never serve a stale fixture. The data lives
+    # in immutable external directories (atomic install) — no shared
+    # warehouse location is ever removed, so concurrent sessions
+    # cannot clobber each other's in-flight files (r9 review).
     key = hashlib.sha1(
         f"{sf_dir}|b{_BUCKET_N}|li:okey,extprice,disc|ord:okey,prio".encode()
     ).hexdigest()[:10]
-    li_t, ord_t = f"connfix_li_{key}", f"connfix_ord_{key}"
-    _bucketed_fixture(
-        li_t,
-        load_table(spark, sf_dir, "lineitem").select(
+    li_t = bucketed_table_fixture(
+        spark,
+        "connli",
+        f"{sf_dir}|b{_BUCKET_N}|li:okey,extprice,disc",
+        f"connfix_li_{key}",
+        lambda: load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_discount"
         ),
-        "l_orderkey",
+        bucket_col="l_orderkey",
+        n_buckets=_BUCKET_N,
+        sort_col="l_orderkey",
     )
-    _bucketed_fixture(
-        ord_t,
-        load_table(spark, sf_dir, "orders").select(
+    ord_t = bucketed_table_fixture(
+        spark,
+        "connord",
+        f"{sf_dir}|b{_BUCKET_N}|ord:okey,prio",
+        f"connfix_ord_{key}",
+        lambda: load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"
         ),
-        "o_orderkey",
+        bucket_col="o_orderkey",
+        n_buckets=_BUCKET_N,
+        sort_col="o_orderkey",
     )
     li = spark.table(li_t)
     orders = spark.table(ord_t)
@@ -1271,7 +1265,15 @@ def dsl_train_ridge_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem_ridge_src")
-    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    # model dir is PER-SESSION (appId in the path): the registry's
+    # max+1 versioning and overwrite-save are not safe against a
+    # concurrent process sharing the directory (bench + verify), and
+    # per-session isolation also bounds version growth to the few
+    # runs one session makes. Retraining per session is one moment
+    # pass — cheap by design.
+    key = hashlib.sha1(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:10]
     mdir = os.path.join(tempfile.gettempdir(), f"declml_ridge_{key}")
     eng = Engine(spark, model_dir=mdir)
     eng.execute(
@@ -1368,15 +1370,10 @@ def events_scd2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-compacted but user-proportional, AQE picks the strategy.
     """
     import hashlib
-    import os
-    import shutil
 
     from pyspark.sql.window import Window
 
-    from declarativeml_spark.sources.io import (
-        save_bucketed_table,
-        warehouse_path,
-    )
+    from declarativeml_spark.queries.fixtures import bucketed_table_fixture
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
@@ -1384,18 +1381,18 @@ def events_scd2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = hashlib.sha1(
         f"{sf_dir}|b{_SCD2M_BUCKETS}|day<{_SCD2M_SPLIT_DAY}|scd2".encode()
     ).hexdigest()[:10]
-    snap_t = f"scd2fix_{key}"
-    if not spark.catalog.tableExists(snap_t):
-        loc = os.path.join(warehouse_path(spark), snap_t.lower())
-        if os.path.isdir(loc):  # orphaned location from a dead metastore
-            shutil.rmtree(loc, ignore_errors=True)
-        save_bucketed_table(
-            _scd2_build(ev.filter(F.expr(f"day(ts) < {_SCD2M_SPLIT_DAY}"))),
-            snap_t,
-            "user_id",
-            n_buckets=_SCD2M_BUCKETS,
-            sort_col="user_id",
-        )
+    snap_t = bucketed_table_fixture(
+        spark,
+        "scd2snap",
+        f"{sf_dir}|b{_SCD2M_BUCKETS}|day<{_SCD2M_SPLIT_DAY}|scd2",
+        f"scd2fix_{key}",
+        lambda: _scd2_build(
+            ev.filter(F.expr(f"day(ts) < {_SCD2M_SPLIT_DAY}"))
+        ),
+        bucket_col="user_id",
+        n_buckets=_SCD2M_BUCKETS,
+        sort_col="user_id",
+    )
     snap = spark.table(snap_t)
 
     wc = Window.partitionBy("user_id").orderBy(

@@ -1650,12 +1650,12 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
 
     def edge(name, child, key, parent, pkey, broadcast_parent):
-        # broadcast_parent marks true dims (nation); scale-table
-        # parents (customer/supplier/orders) carry no hard hint —
+        # broadcast_parent is True ONLY for true dims (nation);
+        # scale-table parents (customer/supplier/orders) pass False —
         # AQE broadcasts them at test scale and falls back to a
         # shuffled anti join at 100 TB instead of aborting.
         p = parent.select(pkey)
-        if broadcast_parent and pkey.startswith("n_"):
+        if broadcast_parent:
             p = F.broadcast(p)
         orphans = child.select(key).join(
             p, child[key] == parent[pkey], "left_anti"
@@ -1674,7 +1674,7 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         edge("lineitem.l_orderkey->orders", li, "l_orderkey", o,
              "o_orderkey", False),
         edge("orders.o_custkey->customer", o, "o_custkey", c,
-             "c_custkey", True),
+             "c_custkey", False),
         edge("customer.c_nationkey->nation", c, "c_nationkey", na,
              "n_nationkey", True),
         edge("supplier.s_nationkey->nation", s, "s_nationkey", na,
@@ -1822,7 +1822,8 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pair space is Σ items_per_order² — bounded by basket
     size (single digits), NOT corpus-quadratic, so the within-order
     self-join is safe at any order count. One orderkey shuffle builds
-    pairs; margins join back broadcast; the final cut is a
+    pairs; margins join back (part-cardinality — AQE picks broadcast
+    at test scale, shuffle at real part counts); the final cut is a
     TakeOrdered over the count-floored pair aggregate. Ties break on
     (pa, pb) so LIMIT picks identical rows cross-engine.
     """
@@ -1852,11 +1853,11 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         pairs.join(
-            F.broadcast(freq.select(F.col("l_partkey").alias("pa"),
+            (freq.select(F.col("l_partkey").alias("pa"),
                                     F.col("nf").alias("nfa"))), "pa"
         )
         .join(
-            F.broadcast(freq.select(F.col("l_partkey").alias("pb"),
+            (freq.select(F.col("l_partkey").alias("pb"),
                                     F.col("nf").alias("nfb"))), "pb"
         )
         .crossJoin(F.broadcast(n_orders))

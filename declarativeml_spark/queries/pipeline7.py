@@ -982,7 +982,7 @@ def retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
     n0 = f.agg(F.count(F.lit(1)).cast("long").alias("n"))
     offs = (
-        ev.join(F.broadcast(f), "user_id")
+        ev.join(f, "user_id")
         .select(
             "user_id",
             F.floor(

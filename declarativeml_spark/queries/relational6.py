@@ -60,8 +60,10 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: three per-user min-timestamp aggregations, each shuffling
     only (user_id, ts) pairs; the stage frames are user-cardinality
-    (tiny vs. the event log) and broadcast into the next stage's
-    filter — the event log itself is scanned, never self-joined.
+    (tiny vs. the event log; no hard hint — AQE broadcasts them at
+    test scale and shuffles at user counts past the broadcast cap)
+    joining into the next stage's filter — the event log itself is
+    scanned, never self-joined.
     Gaps are exact integer microseconds before one decimal average.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
@@ -72,14 +74,14 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = (
         ev.filter(F.col("event_type") == "view")
-        .join(F.broadcast(s), "user_id")
+        .join(s, "user_id")
         .filter(F.col("ts") > F.col("s_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"), F.min("s_ts").alias("s_ts"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(v.select("user_id", "v_ts")), "user_id")
+        .join(v.select("user_id", "v_ts"), "user_id")
         .filter(F.col("ts") > F.col("v_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"), F.min("v_ts").alias("v_ts"))
@@ -132,7 +134,8 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     chart behind every retention dashboard.
 
     Scale: one per-user min aggregation builds the cohort dimension
-    (user-cardinality — broadcast), then a single pass over the event
+    (user-cardinality — strategy left to AQE; a hard broadcast hint
+    would abort past the cap at real user counts), then one pass over the event
     log computes (cohort_week, week_offset) per event and a distinct
     count per cell. The distinct shuffles (cell, user_id) pairs; the
     cell space is weeks², which is tiny forever. All integer date
@@ -140,7 +143,7 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     f = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
-    joined = ev.join(F.broadcast(f), "user_id")
+    joined = ev.join(f, "user_id")
     cohort = F.floor(
         F.datediff(F.col("first_day"), F.lit("2024-01-01").cast("date")) / 7.0
     ).cast("bigint")

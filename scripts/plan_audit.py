@@ -90,13 +90,20 @@ FORCED_BROADCAST_OK: dict[str, str] = {
     "row) broadcast to the cosine leg",
 }
 
-# Nodes that bound the cardinality of everything beneath them.
+# Nodes that bound the cardinality of everything beneath them —
+# EXCEPT an Aggregate/Deduplicate keyed by a row-identity column
+# (doc_id, vec_id, …): groupBy(doc_id) keeps corpus cardinality, so
+# broadcasting it is the same 8 GB-cap abort the checker exists for.
 _BOUNDING_NODES = (
     "Aggregate",
     "Distinct",
     "Deduplicate",
     "GlobalLimit",
     "LocalLimit",
+)
+_ID_KEY_RE = re.compile(
+    r"\b(doc_id|vec_id|event_id|media_id|user_id|l_orderkey|o_orderkey"
+    r"|c_custkey|p_partkey|s_suppkey|chunk_id|pair_id)\b"
 )
 # Leaves that are driver-side / constant-size by construction.
 _BOUNDED_LEAVES = ("LocalRelation", "OneRowRelation", "Range", "LogicalRDD")
@@ -144,11 +151,26 @@ def forced_broadcasts(analyzed: str) -> int:
                 stack.pop()
             body = lines[j].strip().lstrip(":+- ")
             name = node_name(lines[j])
+            if name in _BOUNDED_LEAVES:
+                # driver-side / constant-size leaf: bounded regardless
+                # of the ancestor chain
+                stack.append((jind, True))
+                continue
             if body.startswith("Relation") and not _DIM_RELATION_RE.match(body):
                 if not any(b for _, b in stack):
                     flagged = True
                     break
-            stack.append((jind, name in _BOUNDING_NODES))
+            bounding = name in _BOUNDING_NODES
+            if bounding and name in ("Aggregate", "Deduplicate"):
+                # Grouped aggregates render TWO top-level bracket
+                # groups ([keys], [exprs]); a GLOBAL aggregate renders
+                # only one (the exprs) and is always bounded. An
+                # identity-keyed grouping keeps row cardinality and
+                # does not bound anything.
+                groups = re.findall(r"\[([^\]]*)\]", body)
+                if len(groups) >= 2 and _ID_KEY_RE.search(groups[0]):
+                    bounding = False
+            stack.append((jind, bounding))
         if flagged:
             hits += 1
     return hits

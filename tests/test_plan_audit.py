@@ -92,6 +92,22 @@ def test_dim_bounded_broadcast_hints_pass(spark, sf_dir):
     assert not bad2
 
 
+def test_identity_keyed_aggregate_is_not_bounding(spark, sf_dir):
+    """groupBy(doc_id).agg(...) keeps corpus cardinality — a broadcast
+    hint over it must still flag (review finding, round 9)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    per_doc = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df = docs.join(F.broadcast(per_doc), "doc_id")
+    flags, bad = audit_plan("planted_id_agg", _formatted(df), _analyzed(df))
+    assert bad
+    assert any(f.startswith("ForcedBroadcastx") for f in flags)
+    # ... while a bounded-key aggregate over the same table stays legal
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    df2 = docs.join(F.broadcast(per_src), "source")
+    _, bad2 = audit_plan("src_agg", _formatted(df2), _analyzed(df2))
+    assert not bad2
+
+
 def test_bounded_branch_does_not_mask_sibling_raw_scan(spark, sf_dir):
     """A join of (aggregate, raw fact scan) under one hint still fails:
     the bounding node must sit on the raw relation's OWN ancestor path."""
