@@ -19,6 +19,44 @@ import time
 from typing import TYPE_CHECKING, Optional
 
 from pyspark.ml import PipelineModel
+
+
+def _install_fast_params_writer() -> None:
+    """Speed patch for Python-stage model persistence (measured on
+    local[32], PySpark 4.1): ``DefaultParamsWriter.saveMetadata``
+    builds its one-row metadata DataFrame from a plain local list —
+    which parallelizes into defaultParallelism (32) mostly-EMPTY
+    Python-RDD slices — then ``coalesce(1)`` drains all 32 slices
+    sequentially through per-slice Python worker handshakes: ~6 s per
+    Python stage saved, ~12 s per PipelineModel. Building the same
+    one-row frame from a single-slice ``parallelize(..., 1)`` writes
+    the identical metadata file in one task (~0.2 s). Guarded: any
+    API drift falls back to the stock writer."""
+    try:
+        from pyspark.ml.util import DefaultParamsWriter
+        from pyspark.sql import SparkSession
+
+        original_get = DefaultParamsWriter._get_metadata_to_save
+
+        def save_metadata(instance, path, sc, extraMetadata=None, paramMap=None):
+            spark = (
+                sc if hasattr(sc, "createDataFrame")
+                else SparkSession.active()
+            )
+            metadata_json = original_get(
+                instance, spark, extraMetadata, paramMap
+            )
+            rdd = spark.sparkContext.parallelize([(metadata_json,)], 1)
+            spark.createDataFrame(rdd, "value string").write.text(
+                os.path.join(path, "metadata")
+            )
+
+        DefaultParamsWriter.saveMetadata = staticmethod(save_metadata)
+    except Exception:  # pragma: no cover — stock writer still correct
+        pass
+
+
+_install_fast_params_writer()
 from pyspark.sql import DataFrame, SparkSession
 
 if TYPE_CHECKING:

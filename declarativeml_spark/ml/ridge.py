@@ -168,10 +168,7 @@ class RidgeClosedForm(
     def _fit(self, dataset: DataFrame) -> "RidgeClosedFormModel":
         from pyspark.ml.functions import vector_to_array
 
-        first = dataset.select(self.getFeaturesCol()).first()
-        if first is None:
-            raise ValueError("ridge_closed_form: empty training set")
-        p = len(first[0])
+        p = self._feature_width(dataset)
         arr = vector_to_array(F.col(self.getFeaturesCol()))
         xs = [arr[i] for i in range(p)]
         y = F.col(self.getLabelCol()).cast("double")
@@ -193,6 +190,21 @@ class RidgeClosedForm(
             lam=self.getLam(),
         )
         return model
+
+    def _feature_width(self, dataset: DataFrame) -> int:
+        """Vector width from VectorAssembler's ml_attr metadata when
+        present (plan-time, no job); falls back to reading one row."""
+        field = dataset.schema[self.getFeaturesCol()]
+        try:
+            attrs = field.metadata["ml_attr"]["num_attrs"]
+            if isinstance(attrs, int) and attrs > 0:
+                return attrs
+        except (KeyError, TypeError):
+            pass
+        first = dataset.select(self.getFeaturesCol()).first()
+        if first is None:
+            raise ValueError("ridge_closed_form: empty training set")
+        return len(first[0])
 
 
 class _RidgeModelParams(_RidgeParams):

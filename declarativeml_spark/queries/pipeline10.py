@@ -1201,6 +1201,7 @@ def text_unicode_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (disk load) → scoring — lands under the cross-engine hash gate.
 
 _RIDGE_LAM = 1000.0
+_RIDGE_TRAIN_MOD = 5  # train on every 5th order's lines (det. 20%)
 _RIDGE_PRED_MOD = 100  # score every 100th order's lines
 
 
@@ -1227,7 +1228,7 @@ def _ridge_oracle() -> str:
                    AS DOUBLE) AS s1y,
                CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(38,6)))
                    AS DOUBLE) AS s2y
-        FROM lineitem
+        FROM lineitem WHERE l_orderkey % {_RIDGE_TRAIN_MOD} = 0
     ),
     c AS (SELECT ({e['b0']}) AS b0, ({e['c1']}) AS c1, ({e['c2']}) AS c2
           FROM m)
@@ -1252,9 +1253,16 @@ def dsl_train_ridge_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows into fit, feature order swap, lost model version, scoring
     drift) hash-fails.
 
+    Training set = a deterministic 20% slice (l_orderkey %
+    <_RIDGE_TRAIN_MOD> = 0); the scored slice (% <_RIDGE_PRED_MOD>)
+    is mostly OUT of training — a real train/serve split, and the
+    oracle's moment CTE carries the identical filter.
+
     Scale: fit = one map-side-combinable moment pass + constant
-    driver math; scoring = shuffle-free per-row expression; the model
-    artifact is O(p) params on disk.
+    driver math (feature width comes from the assembler's ml_attr
+    metadata — no extra job); scoring = shuffle-free per-row
+    expression; the model artifact is O(p) params on disk (the
+    ml/models.py fast-metadata writer keeps the save one task).
     """
     import hashlib
     import os
@@ -1263,7 +1271,7 @@ def dsl_train_ridge_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from declarativeml_spark.engine import Engine
     from declarativeml_spark.queries.registry import sround
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     li.createOrReplaceTempView("lineitem_ridge_src")
     # model dir is PER-SESSION (appId in the path): the registry's
     # max+1 versioning and overwrite-save are not safe against a
@@ -1278,7 +1286,9 @@ def dsl_train_ridge_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark, model_dir=mdir)
     eng.execute(
         f"TRAIN MODEL ridge_price_dsl USING ridge_closed_form(lam={_RIDGE_LAM!r})"
-        " FROM lineitem_ridge_src PREDICT l_extendedprice"
+        f" FROM (SELECT * FROM lineitem_ridge_src"
+        f" WHERE l_orderkey % {_RIDGE_TRAIN_MOD} = 0) t"
+        " PREDICT l_extendedprice"
         " WITH FEATURES(l_quantity, l_discount)"
     )
     scored = eng.execute(
