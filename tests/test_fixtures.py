@@ -1,0 +1,130 @@
+"""fixture_dir install semantics (queries/fixtures.py).
+
+The r9 review hardened the cross-process story: writers stage into a
+private directory and install by atomic rename; stale partial
+directories are CLAIMED by rename (never rmtree'd in place) and a
+freshly-installed complete copy is restored, not destroyed. These
+tests pin the single-process-visible contracts of that machinery.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from declarativeml_spark.queries.fixtures import fixture_dir
+
+
+def _writer(payload: str):
+    def write(d: str) -> None:
+        with open(os.path.join(d, "data.txt"), "w") as f:
+            f.write(payload)
+
+    return write
+
+
+def test_fixture_dir_writes_once_and_reuses(tmp_path, monkeypatch):
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # re-read TMPDIR
+    try:
+        calls = []
+
+        def write(d):
+            calls.append(d)
+            _writer("v1")(d)
+
+        d1 = fixture_dir("t1", "k1", write)
+        d2 = fixture_dir("t1", "k1", write)
+        assert d1 == d2
+        assert len(calls) == 1  # second call served from the marker
+        assert open(os.path.join(d1, "data.txt")).read() == "v1"
+        assert os.path.exists(os.path.join(d1, "_COMPLETE"))
+    finally:
+        tempfile.tempdir = None
+
+
+def test_fixture_dir_distinct_keys_distinct_dirs(tmp_path, monkeypatch):
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None
+    try:
+        a = fixture_dir("t2", "ka", _writer("a"))
+        b = fixture_dir("t2", "kb", _writer("b"))
+        assert a != b
+        assert open(os.path.join(a, "data.txt")).read() == "a"
+        assert open(os.path.join(b, "data.txt")).read() == "b"
+    finally:
+        tempfile.tempdir = None
+
+
+def test_fixture_dir_replaces_stale_partial(tmp_path, monkeypatch):
+    """A directory at the target WITHOUT its marker is a crashed
+    writer's leftover — it must be claimed and replaced, and the new
+    content served."""
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import hashlib
+    import tempfile
+
+    tempfile.tempdir = None
+    try:
+        key = hashlib.sha1(b"k3").hexdigest()[:12]
+        stale = tmp_path / f"declml_fix_t3_{key}"
+        stale.mkdir()
+        (stale / "data.txt").write_text("half-written garbage")
+        d = fixture_dir("t3", "k3", _writer("fresh"))
+        assert open(os.path.join(d, "data.txt")).read() == "fresh"
+        assert os.path.exists(os.path.join(d, "_COMPLETE"))
+        # no claim directories left behind
+        leftovers = [p for p in os.listdir(tmp_path) if ".claim." in p]
+        assert leftovers == []
+    finally:
+        tempfile.tempdir = None
+
+
+def test_fixture_dir_never_destroys_complete_dir(tmp_path, monkeypatch):
+    """A COMPLETE directory (marker present) is served as-is — the
+    writer must not run and the content must survive byte-for-byte."""
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import hashlib
+    import tempfile
+
+    tempfile.tempdir = None
+    try:
+        key = hashlib.sha1(b"k4").hexdigest()[:12]
+        done = tmp_path / f"declml_fix_t4_{key}"
+        done.mkdir()
+        (done / "data.txt").write_text("precious")
+        (done / "_COMPLETE").write_text("ok")
+
+        def never(d):  # pragma: no cover - must not run
+            raise AssertionError("writer ran over a complete fixture")
+
+        d = fixture_dir("t4", "k4", never)
+        assert open(os.path.join(d, "data.txt")).read() == "precious"
+    finally:
+        tempfile.tempdir = None
+
+
+def test_fixture_dir_writer_failure_leaves_no_install(tmp_path, monkeypatch):
+    """A writer that raises must leave neither the target directory
+    nor stray staging dirs, and a retry must succeed."""
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import hashlib
+    import tempfile
+
+    tempfile.tempdir = None
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            fixture_dir("t5", "k5", lambda d: (_ for _ in ()).throw(RuntimeError("boom")))
+        key = hashlib.sha1(b"k5").hexdigest()[:12]
+        assert not os.path.exists(tmp_path / f"declml_fix_t5_{key}")
+        stray = [p for p in os.listdir(tmp_path) if "declml_stage_t5" in p]
+        assert stray == []
+        d = fixture_dir("t5", "k5", _writer("recovered"))
+        assert open(os.path.join(d, "data.txt")).read() == "recovered"
+    finally:
+        tempfile.tempdir = None
