@@ -30,23 +30,37 @@ def _install_fast_params_writer() -> None:
     sequentially through per-slice Python worker handshakes: ~6 s per
     Python stage saved, ~12 s per PipelineModel. Building the same
     one-row frame from a single-slice ``parallelize(..., 1)`` writes
-    the identical metadata file in one task (~0.2 s). Guarded: any
-    API drift falls back to the stock writer."""
+    the identical metadata file in one task (~0.2 s). Guarded twice:
+    API drift at install time leaves the stock writer bound, and any
+    failure at CALL time (e.g. a Spark Connect session, where
+    ``spark.sparkContext`` raises — the stock createDataFrame path is
+    Connect-supported but the RDD fast path is not) delegates to the
+    stock writer for that call instead of failing the save."""
     try:
         from pyspark.ml.util import DefaultParamsWriter
         from pyspark.sql import SparkSession
 
         original_get = DefaultParamsWriter._get_metadata_to_save
+        original_save = DefaultParamsWriter.saveMetadata
 
         def save_metadata(instance, path, sc, extraMetadata=None, paramMap=None):
-            spark = (
-                sc if hasattr(sc, "createDataFrame")
-                else SparkSession.active()
-            )
-            metadata_json = original_get(
-                instance, spark, extraMetadata, paramMap
-            )
-            rdd = spark.sparkContext.parallelize([(metadata_json,)], 1)
+            try:
+                spark = (
+                    sc if hasattr(sc, "createDataFrame")
+                    else SparkSession.active()
+                )
+                metadata_json = original_get(
+                    instance, spark, extraMetadata, paramMap
+                )
+                # parallelize raises before any output exists, so the
+                # fallback never collides with partial metadata files
+                rdd = spark.sparkContext.parallelize([(metadata_json,)], 1)
+            except Exception:
+                original_save(
+                    instance, path, sc,
+                    extraMetadata=extraMetadata, paramMap=paramMap,
+                )
+                return
             spark.createDataFrame(rdd, "value string").write.text(
                 os.path.join(path, "metadata")
             )

@@ -15,7 +15,16 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 from collections.abc import Callable
+
+# A directory at the served path without its _COMPLETE marker is only
+# claimable (treated as a stale partial from a crashed legacy writer)
+# once it is older than this — a younger marker-less dir is far more
+# likely a concurrent winner mid-install racing our marker check, and
+# claiming it would transiently unlink a fixture another session is
+# actively reading.
+_CLAIM_MIN_AGE_S = 5.0
 
 
 def fixture_dir(tag: str, key_parts: str, writer: Callable[[str], None]) -> str:
@@ -48,6 +57,11 @@ def fixture_dir(tag: str, key_parts: str, writer: Callable[[str], None]) -> str:
         writer(stage)
         with open(os.path.join(stage, "_COMPLETE"), "w") as f:
             f.write("ok")
+        # mkdtemp creates the staging dir 0700; the installed fixture
+        # is a SHARED content-addressed cache under the system tempdir,
+        # so restore umask-default visibility or a second OS user
+        # cannot stat the marker and hard-fails instead of reusing it.
+        os.chmod(stage, 0o755)
         for attempt in range(3):
             if os.path.exists(marker):  # a concurrent writer won
                 break
@@ -56,10 +70,24 @@ def fixture_dir(tag: str, key_parts: str, writer: Callable[[str], None]) -> str:
                 # partial (markers are only ever INSTALLED by the
                 # whole-dir rename below, never written in place) —
                 # but a concurrent winner may rename a complete copy
-                # onto d between the marker check above and now. So
-                # CLAIM the directory atomically (rename, exclusive by
+                # onto d between the marker check above and now. Age-
+                # gate first: a marker-less dir younger than
+                # _CLAIM_MIN_AGE_S is almost certainly that winner
+                # (installs are a single rename, and stage dirs always
+                # carry their marker BEFORE the rename), so wait for
+                # its marker to become visible instead of claiming —
+                # claiming would transiently unlink a fixture the
+                # winner's own Spark job may already be reading.
+                try:
+                    if time.time() - os.path.getmtime(d) < _CLAIM_MIN_AGE_S:
+                        time.sleep(0.2)
+                        continue
+                except OSError:
+                    continue  # vanished under us: re-check the marker
+                # Old enough that no live writer is mid-install: CLAIM
+                # the directory atomically (rename, exclusive by
                 # construction), re-inspect, and restore if we stole a
-                # freshly-installed complete fixture.
+                # complete fixture after all.
                 claimed = f"{d}.claim.{os.getpid()}.{attempt}"
                 try:
                     os.rename(d, claimed)

@@ -1202,7 +1202,10 @@ def text_unicode_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RIDGE_LAM = 1000.0
 _RIDGE_TRAIN_MOD = 5  # train on every 5th order's lines (det. 20%)
-_RIDGE_PRED_MOD = 100  # score every 100th order's lines
+_RIDGE_PRED_MOD = 97  # score every 97th order's lines; coprime to
+# _RIDGE_TRAIN_MOD so the scored slice is ~80% OUT of training (a
+# multiple like 100 would make every scored row a training row and
+# the out-of-sample claim vacuous)
 
 
 def _ridge_oracle() -> str:

@@ -10,6 +10,7 @@ tests pin the single-process-visible contracts of that machinery.
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 
@@ -75,12 +76,61 @@ def test_fixture_dir_replaces_stale_partial(tmp_path, monkeypatch):
         stale = tmp_path / f"declml_fix_t3_{key}"
         stale.mkdir()
         (stale / "data.txt").write_text("half-written garbage")
+        # a real crashed-writer leftover is OLD; the claim path age-
+        # gates on mtime so a fresh marker-less dir (likely a racing
+        # winner mid-install) is never stolen — backdate to qualify
+        old = time.time() - 120
+        os.utime(stale, (old, old))
         d = fixture_dir("t3", "k3", _writer("fresh"))
         assert open(os.path.join(d, "data.txt")).read() == "fresh"
         assert os.path.exists(os.path.join(d, "_COMPLETE"))
         # no claim directories left behind
         leftovers = [p for p in os.listdir(tmp_path) if ".claim." in p]
         assert leftovers == []
+    finally:
+        tempfile.tempdir = None
+
+
+def test_fixture_dir_refuses_to_claim_fresh_markerless_dir(tmp_path, monkeypatch):
+    """A marker-less directory YOUNGER than the claim age gate is most
+    likely a concurrent winner racing the marker check — it must never
+    be renamed away (that would transiently unlink a fixture the
+    winner's Spark job may be reading). The loser fails loudly
+    instead, and the suspect directory survives untouched."""
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import hashlib
+    import tempfile
+
+    tempfile.tempdir = None
+    try:
+        key = hashlib.sha1(b"k3f").hexdigest()[:12]
+        fresh = tmp_path / f"declml_fix_t3f_{key}"
+        fresh.mkdir()
+        (fresh / "data.txt").write_text("winner content mid-race")
+        with pytest.raises(RuntimeError, match="rename race or stale"):
+            fixture_dir("t3f", "k3f", _writer("loser"))
+        # the suspect dir was left in place, not claimed or deleted
+        assert (fresh / "data.txt").read_text() == "winner content mid-race"
+        assert not [p for p in os.listdir(tmp_path) if ".claim." in p]
+    finally:
+        tempfile.tempdir = None
+
+
+def test_fixture_dir_installs_world_readable(tmp_path, monkeypatch):
+    """mkdtemp stages at 0700; the installed fixture is a SHARED
+    content-addressed cache, so the rename must publish a dir other
+    OS users can traverse (else a second user's marker stat fails and
+    the fixture hard-errors instead of being reused)."""
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import stat
+    import tempfile
+
+    tempfile.tempdir = None
+    try:
+        d = fixture_dir("t3p", "k3p", _writer("x"))
+        mode = stat.S_IMODE(os.stat(d).st_mode)
+        assert mode & stat.S_IROTH, f"installed mode {oct(mode)} lacks o+r"
+        assert mode & stat.S_IXOTH, f"installed mode {oct(mode)} lacks o+x"
     finally:
         tempfile.tempdir = None
 
