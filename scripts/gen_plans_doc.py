@@ -68,6 +68,11 @@ HEADLINE = {
     "media_load_wav_features": "binaryFile listing packs small files per task; decode is map-only; the id re-key joins a broadcast sliver",
     "dedup_simhash_hamming": "three band equi-joins replace the all-pairs cross product; only (band, value, id, sig) slivers shuffle",
     "ann_pq_recall": "the ADC leg joins corpus CODES to a broadcast (subspace,cell)->distance LUT — corpus vectors untouched after encoding",
+    "dedup_simhash64_hamming": "deployment-width SimHash: four quarter-band equi-joins (65536 buckets each) replace all-pairs; verify is codegen bit_count on the joined slivers",
+    "events_scd2_merge_upsert": "the stored SCD2 snapshot scans with NO snapshot-side Exchange (bucketed table; at this SF, AQE broadcasts the compacted change batch instead) — history is never rescanned or reshuffled",
+    "media_partition_pruning_decode": "PartitionFilters prune the media lake listing to one month before any payload byte is read; decode stays map-only Arrow",
+    "dsl_train_ridge_predictions": "the PREDICT plan: scored slice filter pushed to the scan; scoring is a shuffle-free per-row expression from O(p) loaded coefficients",
+    "text_unicode_token_stats": "unicode corpus synthesized per-row in codegen; tokenize/classify per-row expressions; one (lang_bucket) partial-agg shuffle",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
