@@ -29,17 +29,29 @@ the fold checks the LAST element of the accumulator, so a symbol
 consumed by the previous merge can never start another — exactly the
 scan order of the published algorithm. The DuckDB oracle twin
 replicates the same fold with ``list_reduce`` over a
-unit-separator-encoded accumulator (documents are printable ASCII and
-symbols are [a-z0-9]+, so chr(31) can't collide).
+unit-separator-encoded accumulator (symbols are unicode
+letters/digits — general categories L*/N* — and chr(31) is a C0
+control, so the separator can never collide).
+
+Word alphabet: text splits on ``[^\\p{L}\\p{N}]+`` (identical class
+semantics in Java regex and RE2), so the trainer sees accented Latin,
+CJK, Hangul, kana — not just ASCII. Emoji and other symbols are
+separators (standard word-tokenizer behavior), and combining marks
+(Mn) also separate: the synthetic corpus and any NFC-normalized real
+corpus use precomposed forms, and un-normalized NFD input should be
+NFC-normalized upstream.
 
 Determinism: pair counts are exact integers; the winning pair breaks
-ties by (count DESC, lhs, rhs) — byte ordering on ASCII is identical
-across engines.
+ties by (count DESC, lhs, rhs) — both engines compare strings by raw
+UTF-8 bytes by default (binary collation), and UTF-8 byte order IS
+codepoint order, so the tie-break is identical across engines for
+any unicode symbol.
 """
 
 from __future__ import annotations
 
 import re
+import unicodedata
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -49,12 +61,29 @@ from declarativeml_spark.operators.caching import (
     track_persist,
 )
 
-# merged symbols are runs of [a-z0-9] — checked before interpolation
-# (_SYMBOL_RE in _bpe_learn), so no regex/quote escaping is needed
-_SYMBOL_RE = re.compile(r"[a-z0-9]+")
-# word splitter for the Python encode path — MUST mirror the SQL
-# split('[^a-z0-9]+') used by the expression path and the learner
-_SPLIT_RE = re.compile(r"[^a-z0-9]+")
+# the word alphabet: unicode letters/digits. One class, three regex
+# dialects with identical semantics — Java (Spark codegen split), RE2
+# (DuckDB oracle split), and the Python twin for the mapInPandas
+# encode path (\w for str = L* ∪ N* ∪ '_', so [\W_] is its exact
+# complement-of-L∪N).
+_WORD_SPLIT = r"[^\p{L}\p{N}]+"  # valid verbatim in Java regex AND RE2
+_SPLIT_RE = re.compile(r"[\W_]+")
+
+
+def _valid_symbol(s) -> bool:
+    """True iff ``s`` is a non-empty string of unicode letters/digits
+    (general categories L*/N*) — exactly the ``\\p{L}\\p{N}`` split
+    alphabet. Checked before a symbol is interpolated into SQL
+    expression text: quotes, backslashes, whitespace, and control
+    characters (including the chr(31) oracle fold separator) are all
+    outside L/N, so interpolation needs no escaping."""
+    return (
+        isinstance(s, str)
+        and bool(s)
+        and all(unicodedata.category(c)[0] in "LN" for c in s)
+    )
+
+
 _APPLY_MERGE = (
     "aggregate({seq}, CAST(array() AS array<string>), ({acc}, {x}) -> "
     "CASE WHEN size({acc}) > 0 AND element_at({acc}, -1) = '{lhs}' "
@@ -82,7 +111,7 @@ def _gen_stats(gen: DataFrame) -> tuple:
     vocab = (
         gen.select(F.explode("seq").alias("s")).distinct().count()
     )
-    # an empty vocabulary (no [a-z0-9] text at all) sums to NULL —
+    # an empty vocabulary (no letter/digit text at all) sums to NULL —
     # mirror the oracle's scalar subquery: (NULL, 0)
     return (int(tot) if tot is not None else None), int(vocab)
 
@@ -107,7 +136,7 @@ def _bpe_learn(
 
     words = (
         spread(df.select(F.lower(F.col(text_col)).alias("t")))
-        .select(F.explode(F.split(F.col("t"), "[^a-z0-9]+")).alias("word"))
+        .select(F.explode(F.split(F.col("t"), _WORD_SPLIT)).alias("word"))
         .filter(F.col("word") != "")
     )
     vocab = words.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
@@ -162,13 +191,14 @@ def _bpe_learn(
             break
         lhs, rhs = top[0].lhs, top[0].rhs
         # these symbols are interpolated into a SQL expression below —
-        # enforce the [a-z0-9] invariant explicitly (an assert is
-        # stripped under python -O, and str.isalnum() admits Unicode
-        # letters/digits far beyond the split alphabet)
-        if not (_SYMBOL_RE.fullmatch(lhs) and _SYMBOL_RE.fullmatch(rhs)):
+        # _valid_symbol enforces the letters/digits-only invariant
+        # explicitly (an assert is stripped under python -O; category
+        # L/N excludes quotes, backslashes, and the fold separator)
+        if not (_valid_symbol(lhs) and _valid_symbol(rhs)):
             _release(prev, prev_is_ckpt)
             raise ValueError(
-                f"BPE learned a symbol outside [a-z0-9]+: {(lhs, rhs)!r}"
+                "BPE learned a symbol outside \\p{L}\\p{N}+:"
+                f" {(lhs, rhs)!r}"
                 " — the tokenizer alphabet invariant is broken"
             )
         merges.append((r, lhs, rhs, lhs + rhs, int(top[0].pair_count)))
@@ -248,7 +278,8 @@ def _bpe_ctes(
 
     The greedy fold rides ``list_reduce`` with a chr(31)-encoded
     accumulator string (list-valued accumulators aren't expressible;
-    symbols are [a-z0-9]+ so the separator can't collide); the last
+    symbols are unicode letters/digits so the C0 separator can't
+    collide); the last
     element is read/rewritten with an anchored regex.
     """
     sep = "chr(31)"
@@ -261,7 +292,7 @@ def _bpe_ctes(
     ctes = [
         "w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt"
         " FROM (SELECT unnest(string_split_regex(lower("
-        f"{text_col}), '[^a-z0-9]+')) AS word FROM {table})"
+        f"{text_col}), '{_WORD_SPLIT}')) AS word FROM {table})"
         " WHERE word <> '' GROUP BY word)",
         "s0 AS MATERIALIZED (SELECT word, cnt, list_transform("
         "range(1, length(word) + 1), i -> substr(word, i, 1)) AS seq"
@@ -334,19 +365,20 @@ def merge_chain_expr(seq_expr: str, rules: list) -> str:
     whole chain evaluates per row in a single projection: applying R
     rules to a corpus costs ZERO extra corpus passes. Lambda variables
     are numbered per nesting level so the analyzer never sees shadowed
-    names. Symbols are validated against the [a-z0-9]+ alphabet before
-    interpolation (they come from a DataFrame, possibly a stored
-    table)."""
+    names. Symbols are validated against the letters/digits alphabet
+    (_valid_symbol) before interpolation (they come from a DataFrame,
+    possibly a stored table)."""
     out = seq_expr
     for i, (lhs, rhs) in enumerate(rules):
         if not (
             isinstance(lhs, str)
             and isinstance(rhs, str)
-            and _SYMBOL_RE.fullmatch(lhs)
-            and _SYMBOL_RE.fullmatch(rhs)
+            and _valid_symbol(lhs)
+            and _valid_symbol(rhs)
         ):
             raise ValueError(
-                f"Merge rule {i + 1} has a symbol outside [a-z0-9]+:"
+                f"Merge rule {i + 1} has a symbol outside"
+                " \\p{L}\\p{N}+:"
                 f" {(lhs, rhs)!r} — not a BPE merge table?"
             )
         out = _APPLY_MERGE.format(
@@ -360,16 +392,21 @@ _CHARS_OF = "transform(sequence(1, length({w})), {i} -> substring({w}, {i}, 1))"
 
 
 def bpe_tokens_expr(text_col: str, rules: list) -> str:
-    """Per-row token-array expression: lowercase, split to [a-z0-9]+
-    words, encode each word through the merge chain, flatten in
+    """Per-row token-array expression: lowercase, split to
+    letter/digit words, encode each word through the merge chain, flatten in
     document order. Entirely map-side (no shuffle, no UDF) — the
     TOKENIZE statement adds this as one projected column, so encoding
     a 100-TB corpus is a single embarrassingly-parallel scan."""
     encoded = merge_chain_expr(_CHARS_OF.format(w="__w", i="__i"), rules)
     return (
-        "flatten(transform(filter(split(lower({t}), '[^a-z0-9]+'),"
+        "flatten(transform(filter(split(lower({t}), '{sp}'),"
         " __w -> __w != ''), __w -> {e}))"
-    ).format(t=text_col, e=encoded)
+        # this pattern rides inside a Spark SQL string LITERAL (F.expr),
+        # where backslashes are escape characters — double them or the
+        # parser strips them and \p{{L}} degrades to the literal chars
+        # p{{L}} (the DataFrame-API F.split sites pass the pattern
+        # straight to Java and must NOT double)
+    ).format(t=text_col, e=encoded, sp=_WORD_SPLIT.replace("\\", "\\\\"))
 
 
 def bpe_encode_doc_stats(
@@ -403,7 +440,7 @@ def bpe_encode_doc_stats(
             )
         )
         .select(
-            "doc_id", F.explode(F.split(F.col("t"), "[^a-z0-9]+")).alias("word")
+            "doc_id", F.explode(F.split(F.col("t"), _WORD_SPLIT)).alias("word")
         )
         .filter(F.col("word") != "")
     )
@@ -438,7 +475,7 @@ def bpe_encode_oracle_sql(
     )
     ctes.append(
         f"dw AS (SELECT {id_col} AS doc_id, word FROM (SELECT {id_col},"
-        f" unnest(string_split_regex(lower({text_col}), '[^a-z0-9]+'))"
+        f" unnest(string_split_regex(lower({text_col}), '{_WORD_SPLIT}'))"
         f" AS word FROM {table}) WHERE word <> '')"
     )
     joined = ",\n    ".join(ctes)
@@ -479,11 +516,12 @@ def bpe_tokenize_map(df, text_col: str, rules: list) -> DataFrame:
         if not (
             isinstance(lhs, str)
             and isinstance(rhs, str)
-            and _SYMBOL_RE.fullmatch(lhs)
-            and _SYMBOL_RE.fullmatch(rhs)
+            and _valid_symbol(lhs)
+            and _valid_symbol(rhs)
         ):
             raise ValueError(
-                f"Merge rule {i + 1} has a symbol outside [a-z0-9]+:"
+                f"Merge rule {i + 1} has a symbol outside"
+                " \\p{L}\\p{N}+:"
                 f" {(lhs, rhs)!r} — not a BPE merge table?"
             )
     triples = [(lhs, rhs, lhs + rhs) for lhs, rhs in rules]
