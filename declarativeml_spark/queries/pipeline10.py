@@ -781,10 +781,15 @@ def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     precomputed hex-prefix array (one md5 per token, instr arithmetic
     per bit), staying whole-stage-codegen JVM work.
     """
+    from declarativeml_spark.operators.caching import track_persist
     from declarativeml_spark.operators.dedup import simhash64_quarters
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sigs = simhash64_quarters(docs)
+    # persist the signature plane: both sides of the band self-join
+    # read it, and without the persist each side re-runs the 64-fold
+    # md5 signature pass over the full corpus (the join strategy
+    # breaks exchange reuse)
+    sigs = track_persist(simhash64_quarters(docs))
     qcols = [f"q{q}" for q in range(4)]
     bands = sigs.select(
         "doc_id",
@@ -802,7 +807,18 @@ def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", *qcols, "band.b", "band.v")
     a = bands.alias("a")
     b = bands.alias("b")
-    cands = (
+    # disjoint 16-bit quarters: hamming = sum of per-quarter xors.
+    # Verify INSIDE the join projection and filter BEFORE the pair
+    # dedup: the distinct then shuffles only (doc_a, doc_b, hamming)
+    # for pairs already inside the radius — 3 narrow columns and the
+    # near-dup sliver — instead of 10 columns for every band
+    # collision (hamming is a pure function of the pair, so dedup
+    # placement is semantics-free). With the persisted plane this
+    # measured ~2.8s -> ~1.8s warm at sf0.1.
+    ham = " + ".join(
+        f"bit_count(a.q{q} ^ b.q{q})" for q in range(4)
+    )
+    pairs = (
         a.join(
             b,
             (F.col("a.b") == F.col("b.b"))
@@ -812,18 +828,11 @@ def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            *[F.col(f"a.q{q}").alias(f"aq{q}") for q in range(4)],
-            *[F.col(f"b.q{q}").alias(f"bq{q}") for q in range(4)],
+            F.expr(ham).cast("long").alias("hamming"),
         )
+        .filter(F.col("hamming") <= _HAM64_RADIUS)
         .distinct()  # a pair can agree on several quarters
     )
-    # disjoint 16-bit quarters: hamming = sum of per-quarter xors
-    ham = " + ".join(
-        f"bit_count(aq{q} ^ bq{q})" for q in range(4)
-    )
-    pairs = cands.withColumn(
-        "hamming", F.expr(ham).cast("long")
-    ).filter(F.col("hamming") <= _HAM64_RADIUS)
     return pairs.groupBy("hamming").agg(
         F.count("*").cast("long").alias("n_pairs"),
         F.min("doc_a").cast("long").alias("min_doc_a"),
