@@ -677,10 +677,16 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the completeness proof cheap. Skewed bands (boilerplate
     text) fall to AQE's skew-join split like the MinHash banding.
     """
+    from declarativeml_spark.operators.caching import track_persist
     from declarativeml_spark.operators.dedup import simhash_signatures
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sigs = simhash_signatures(docs).withColumnRenamed("simhash", "sig")
+    # persisted for the same reason as the 64-bit sibling: the band
+    # self-join strategy breaks exchange reuse, so an unpersisted
+    # plane runs the signature pass twice
+    sigs = track_persist(
+        simhash_signatures(docs).withColumnRenamed("simhash", "sig")
+    )
     # 16 bits -> bands of 6/5/5 bits: b0 = low 6, b1 = mid 5, b2 = top 5
     bands = sigs.select(
         "doc_id",
@@ -704,7 +710,12 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sig", "band.b", "band.v")
     a = bands.alias("a")
     b = bands.alias("b")
-    cands = (
+    # verify inside the join projection, filter to the radius, THEN
+    # dedup: the distinct shuffles only the (doc_a, doc_b, hamming)
+    # near-dup sliver instead of every band collision with both raw
+    # signatures (hamming is a pure function of the pair, so the
+    # dedup placement is semantics-free)
+    pairs = (
         a.join(
             b,
             (F.col("a.b") == F.col("b.b"))
@@ -714,14 +725,11 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.bit_count(F.expr("a.sig ^ b.sig")).cast("long").alias("hamming"),
         )
+        .filter(F.col("hamming") <= _HAM_RADIUS)
         .distinct()  # a pair can collide in several bands
     )
-    pairs = cands.withColumn(
-        "hamming", F.bit_count(F.expr("sig_a ^ sig_b")).cast("long")
-    ).filter(F.col("hamming") <= _HAM_RADIUS)
     return pairs.groupBy("hamming").agg(
         F.count("*").cast("long").alias("n_pairs"),
         F.min("doc_a").cast("long").alias("min_doc_a"),
