@@ -45,12 +45,17 @@ Determinism: pair counts are exact integers; the winning pair breaks
 ties by (count DESC, lhs, rhs) — both engines compare strings by raw
 UTF-8 bytes by default (binary collation), and UTF-8 byte order IS
 codepoint order, so the tie-break is identical across engines for
-any unicode symbol.
+any unicode symbol. Case is folded via ``_CASEFOLD`` (lower + final-
+sigma normalization), the one context-sensitive mapping where Java
+and utf8proc disagree. Unicode-database VERSION skew (JVM vs CPython
+vs DuckDB) is handled fail-closed: a symbol the JVM classifies as a
+letter but this Python's ``unicodedata`` does not is rejected by
+``_valid_symbol`` with a loud ValueError — never silently divergent
+tokens.
 """
 
 from __future__ import annotations
 
-import re
 import unicodedata
 
 from pyspark.sql import DataFrame
@@ -61,13 +66,23 @@ from declarativeml_spark.operators.caching import (
     track_persist,
 )
 
-# the word alphabet: unicode letters/digits. One class, three regex
-# dialects with identical semantics — Java (Spark codegen split), RE2
-# (DuckDB oracle split), and the Python twin for the mapInPandas
-# encode path (\w for str = L* ∪ N* ∪ '_', so [\W_] is its exact
-# complement-of-L∪N).
+# the word alphabet: unicode letters/digits. One class, two regex
+# dialects with identical semantics — Java (Spark codegen split) and
+# RE2 (DuckDB oracle split). The mapInPandas encode path does NOT
+# re-split in Python: it receives JVM-split word arrays, so only
+# these two engines' Unicode tables participate.
 _WORD_SPLIT = r"[^\p{L}\p{N}]+"  # valid verbatim in Java regex AND RE2
-_SPLIT_RE = re.compile(r"[\W_]+")
+
+# Cross-engine case fold: lower() then fold the ONE context-sensitive
+# lowercase mapping in Unicode — Java lowercases word-final Σ to the
+# FINAL sigma ς while DuckDB's utf8proc always emits σ, so without
+# the fold the two engines learn different Greek word types. The
+# replace() call is valid verbatim in Spark SQL and DuckDB (and has
+# no backslashes, so SQL-literal escape modes cannot corrupt it).
+# Remaining caveat (documented, standard Spark deployment rule): Java
+# toLowerCase is JVM-default-locale sensitive for tr/az dotted-I —
+# run executors with a root/C locale.
+_CASEFOLD = "replace(lower({t}), 'ς', 'σ')"
 
 
 def _valid_symbol(s) -> bool:
@@ -135,7 +150,7 @@ def _bpe_learn(
     from declarativeml_spark.operators.textops import spread
 
     words = (
-        spread(df.select(F.lower(F.col(text_col)).alias("t")))
+        spread(df.select(F.expr(_CASEFOLD.format(t=text_col)).alias("t")))
         .select(F.explode(F.split(F.col("t"), _WORD_SPLIT)).alias("word"))
         .filter(F.col("word") != "")
     )
@@ -291,8 +306,8 @@ def _bpe_ctes(
     )
     ctes = [
         "w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt"
-        " FROM (SELECT unnest(string_split_regex(lower("
-        f"{text_col}), '{_WORD_SPLIT}')) AS word FROM {table})"
+        " FROM (SELECT unnest(string_split_regex("
+        f"{_CASEFOLD.format(t=text_col)}, '{_WORD_SPLIT}')) AS word FROM {table})"
         " WHERE word <> '' GROUP BY word)",
         "s0 AS MATERIALIZED (SELECT word, cnt, list_transform("
         "range(1, length(word) + 1), i -> substr(word, i, 1)) AS seq"
@@ -370,12 +385,7 @@ def merge_chain_expr(seq_expr: str, rules: list) -> str:
     possibly a stored table)."""
     out = seq_expr
     for i, (lhs, rhs) in enumerate(rules):
-        if not (
-            isinstance(lhs, str)
-            and isinstance(rhs, str)
-            and _valid_symbol(lhs)
-            and _valid_symbol(rhs)
-        ):
+        if not (_valid_symbol(lhs) and _valid_symbol(rhs)):
             raise ValueError(
                 f"Merge rule {i + 1} has a symbol outside"
                 " \\p{L}\\p{N}+:"
@@ -399,14 +409,18 @@ def bpe_tokens_expr(text_col: str, rules: list) -> str:
     a 100-TB corpus is a single embarrassingly-parallel scan."""
     encoded = merge_chain_expr(_CHARS_OF.format(w="__w", i="__i"), rules)
     return (
-        "flatten(transform(filter(split(lower({t}), '{sp}'),"
+        "flatten(transform(filter(split({cf}, '{sp}'),"
         " __w -> __w != ''), __w -> {e}))"
         # this pattern rides inside a Spark SQL string LITERAL (F.expr),
         # where backslashes are escape characters — double them or the
         # parser strips them and \p{{L}} degrades to the literal chars
         # p{{L}} (the DataFrame-API F.split sites pass the pattern
         # straight to Java and must NOT double)
-    ).format(t=text_col, e=encoded, sp=_WORD_SPLIT.replace("\\", "\\\\"))
+    ).format(
+        cf=_CASEFOLD.format(t=text_col),
+        e=encoded,
+        sp=_WORD_SPLIT.replace("\\", "\\\\"),
+    )
 
 
 def bpe_encode_doc_stats(
@@ -436,7 +450,7 @@ def bpe_encode_doc_stats(
         spread(
             df.select(
                 F.col(id_col).alias("doc_id"),
-                F.lower(F.col(text_col)).alias("t"),
+                F.expr(_CASEFOLD.format(t=text_col)).alias("t"),
             )
         )
         .select(
@@ -475,7 +489,8 @@ def bpe_encode_oracle_sql(
     )
     ctes.append(
         f"dw AS (SELECT {id_col} AS doc_id, word FROM (SELECT {id_col},"
-        f" unnest(string_split_regex(lower({text_col}), '{_WORD_SPLIT}'))"
+        f" unnest(string_split_regex({_CASEFOLD.format(t=text_col)},"
+        f" '{_WORD_SPLIT}'))"
         f" AS word FROM {table}) WHERE word <> '')"
     )
     joined = ",\n    ".join(ctes)
@@ -505,20 +520,20 @@ def bpe_tokenize_map(df, text_col: str, rules: list) -> DataFrame:
 
     Semantics are bit-identical to the expression path (tested equal):
     per rule, one left-to-right pass checking the accumulator tail.
-    Encoded word types are memoized per batch, so the per-byte Python
-    cost is paid once per DISTINCT word, not per occurrence. Still
-    map-only — no shuffle, no join; all source columns pass through.
+    Case-folding and word-splitting happen JVM-SIDE (the same
+    ``_CASEFOLD`` + ``_WORD_SPLIT`` expressions as the codegen path),
+    so the Python stage only folds merges over already-split words —
+    list operations with no Unicode semantics, immune to JVM-vs-
+    CPython Unicode-database version skew. Encoded word types are
+    memoized per batch, so the per-byte Python cost is paid once per
+    DISTINCT word, not per occurrence. Still map-only — no shuffle,
+    no join; all source columns pass through.
     """
     import pandas as pd
     from pyspark.sql import types as T
 
     for i, (lhs, rhs) in enumerate(rules):
-        if not (
-            isinstance(lhs, str)
-            and isinstance(rhs, str)
-            and _valid_symbol(lhs)
-            and _valid_symbol(rhs)
-        ):
+        if not (_valid_symbol(lhs) and _valid_symbol(rhs)):
             raise ValueError(
                 f"Merge rule {i + 1} has a symbol outside"
                 " \\p{L}\\p{N}+:"
@@ -530,6 +545,16 @@ def bpe_tokenize_map(df, text_col: str, rules: list) -> DataFrame:
         + [T.StructField("tokens", T.ArrayType(T.StringType()), True)]
     )
     cols = df.columns
+    words_col = "__bpe_words"
+    split_df = df.withColumn(
+        words_col,
+        F.filter(
+            F.split(
+                F.expr(_CASEFOLD.format(t=text_col)), _WORD_SPLIT
+            ),
+            lambda w: w != "",
+        ),
+    )
 
     def encode_word(word: str, cache: dict) -> list:
         toks = cache.get(word)
@@ -553,17 +578,16 @@ def bpe_tokenize_map(df, text_col: str, rules: list) -> DataFrame:
         cache: dict = {}
         for pdf in it:
             toks_col = []
-            for text in pdf[text_col]:
-                if text is None:
+            for words in pdf[words_col]:
+                if words is None:
                     toks_col.append(None)
                     continue
                 toks: list = []
-                for w in _SPLIT_RE.split(text.lower()):
-                    if w:
-                        toks.extend(encode_word(w, cache))
+                for w in words:
+                    toks.extend(encode_word(w, cache))
                 toks_col.append(toks)
             pdf = pdf.copy()
             pdf["tokens"] = pd.Series(toks_col, index=pdf.index, dtype=object)
             yield pdf[cols + ["tokens"]]
 
-    return df.mapInPandas(batches, schema=out_schema)
+    return split_df.mapInPandas(batches, schema=out_schema)

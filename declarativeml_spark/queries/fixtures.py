@@ -57,11 +57,19 @@ def fixture_dir(tag: str, key_parts: str, writer: Callable[[str], None]) -> str:
         writer(stage)
         with open(os.path.join(stage, "_COMPLETE"), "w") as f:
             f.write("ok")
-        # mkdtemp creates the staging dir 0700; the installed fixture
-        # is a SHARED content-addressed cache under the system tempdir,
-        # so restore umask-default visibility or a second OS user
-        # cannot stat the marker and hard-fails instead of reusing it.
+        # mkdtemp creates the staging dir 0700 (and a restrictive
+        # umask can leave writer-created files/subdirs 0600/0700);
+        # the installed fixture is a SHARED content-addressed cache
+        # under the system tempdir, so normalize the WHOLE tree to
+        # world-readable or a second OS user either fails the marker
+        # stat up front or — worse — passes it and dies mid-query on
+        # an unreadable data file.
         os.chmod(stage, 0o755)
+        for root, dirs, files in os.walk(stage):
+            for name in dirs:
+                os.chmod(os.path.join(root, name), 0o755)
+            for name in files:
+                os.chmod(os.path.join(root, name), 0o644)
         for attempt in range(3):
             if os.path.exists(marker):  # a concurrent writer won
                 break
@@ -79,11 +87,18 @@ def fixture_dir(tag: str, key_parts: str, writer: Callable[[str], None]) -> str:
                 # claiming would transiently unlink a fixture the
                 # winner's own Spark job may already be reading.
                 try:
-                    if time.time() - os.path.getmtime(d) < _CLAIM_MIN_AGE_S:
-                        time.sleep(0.2)
-                        continue
+                    age = time.time() - os.path.getmtime(d)
                 except OSError:
                     continue  # vanished under us: re-check the marker
+                if age < _CLAIM_MIN_AGE_S:
+                    # sleep long enough to actually BRIDGE the gate:
+                    # next attempt either sees the winner's marker
+                    # (break) or finds the dir old enough to claim (a
+                    # genuinely stale partial recovers after one wait
+                    # instead of burning all attempts in 0.6s and
+                    # raising)
+                    time.sleep(min(_CLAIM_MIN_AGE_S - age + 0.1, _CLAIM_MIN_AGE_S))
+                    continue
                 # Old enough that no live writer is mid-install: CLAIM
                 # the directory atomically (rename, exclusive by
                 # construction), re-inspect, and restore if we stole a

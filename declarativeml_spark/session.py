@@ -30,6 +30,11 @@ def get_spark(app_name: str = "declarativeml_spark", cpus: str | None = None) ->
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # pin the default explicitly: expression text the engine
+        # generates (e.g. the BPE tokenize split) embeds backslash
+        # regexes in SQL string literals with escape-mode doubling,
+        # which the Hive-compat raw-literal mode would corrupt
+        .config("spark.sql.parser.escapedStringLiterals", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # 8g, NOT a max-it-out heap: on this (overcommitted) host a

@@ -91,26 +91,32 @@ def test_fixture_dir_replaces_stale_partial(tmp_path, monkeypatch):
         tempfile.tempdir = None
 
 
-def test_fixture_dir_refuses_to_claim_fresh_markerless_dir(tmp_path, monkeypatch):
-    """A marker-less directory YOUNGER than the claim age gate is most
-    likely a concurrent winner racing the marker check — it must never
-    be renamed away (that would transiently unlink a fixture the
-    winner's Spark job may be reading). The loser fails loudly
-    instead, and the suspect directory survives untouched."""
+def test_fixture_dir_age_gates_fresh_markerless_dir(tmp_path, monkeypatch):
+    """A marker-less directory YOUNGER than the claim age gate might
+    be a concurrent winner racing the marker check — it must not be
+    renamed away immediately (that would transiently unlink a fixture
+    the winner's Spark job may be reading). The caller instead WAITS
+    out the gate; if no marker appears (so it really was a crashed
+    writer's fresh partial), it is then claimed and rebuilt — a
+    recovery, not a hard error."""
     monkeypatch.setenv("TMPDIR", str(tmp_path))
     import hashlib
     import tempfile
+
+    from declarativeml_spark.queries.fixtures import _CLAIM_MIN_AGE_S
 
     tempfile.tempdir = None
     try:
         key = hashlib.sha1(b"k3f").hexdigest()[:12]
         fresh = tmp_path / f"declml_fix_t3f_{key}"
         fresh.mkdir()
-        (fresh / "data.txt").write_text("winner content mid-race")
-        with pytest.raises(RuntimeError, match="rename race or stale"):
-            fixture_dir("t3f", "k3f", _writer("loser"))
-        # the suspect dir was left in place, not claimed or deleted
-        assert (fresh / "data.txt").read_text() == "winner content mid-race"
+        (fresh / "data.txt").write_text("crashed writer fresh partial")
+        t0 = time.monotonic()
+        d = fixture_dir("t3f", "k3f", _writer("rebuilt"))
+        elapsed = time.monotonic() - t0
+        # recovered with fresh content, but only after bridging the gate
+        assert open(os.path.join(d, "data.txt")).read() == "rebuilt"
+        assert elapsed >= _CLAIM_MIN_AGE_S * 0.8, elapsed
         assert not [p for p in os.listdir(tmp_path) if ".claim." in p]
     finally:
         tempfile.tempdir = None

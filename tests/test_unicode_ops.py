@@ -12,14 +12,18 @@ against DuckDB over the same unicode rows.
 
 from __future__ import annotations
 
+import re
+
 import duckdb
 import pytest
 
 from declarativeml_spark.operators.bpe import (
-    _SPLIT_RE,
+    _CASEFOLD,
+    _WORD_SPLIT,
     _valid_symbol,
     bpe_merges,
     bpe_merges_oracle_sql,
+    bpe_tokenize_map,
     bpe_tokens_expr,
 )
 
@@ -29,6 +33,10 @@ UNI_DOCS = [
     (3, "über naïve über café crème 😀🚀 ---"),
     (4, "한국어 처리 한국어 처리 café crème 42 42"),
     (5, "café crème 模型训练 データ 42 !!!"),
+    # uppercase Greek with word-final sigma: Java lower() emits the
+    # contextual FINAL sigma ς, utf8proc emits σ — the _CASEFOLD
+    # normalization is what keeps the engines' word types identical
+    (6, "ΑΣ ΑΣ ΒΣ ΑΣ café ΟΔΟΣ ΟΔΟΣ"),
 ]
 
 
@@ -48,19 +56,29 @@ def test_valid_symbol_unicode_alphabet():
         assert not _valid_symbol(bad), bad
 
 
-def test_python_split_twin_matches_sql_class():
-    """The mapInPandas encode path splits with the Python twin
-    ``[\\W_]+``; it must agree with the SQL ``[^\\p{L}\\p{N}]+`` class
-    (checked against DuckDB's RE2 on the same strings)."""
-    con = duckdb.connect()
-    for _, text in UNI_DOCS:
-        duck = con.execute(
-            r"SELECT list_filter(string_split_regex(lower($1),"
-            r" '[^\p{L}\p{N}]+'), w -> w <> '')",
-            [text],
-        ).fetchone()[0]
-        py = [w for w in _SPLIT_RE.split(text.lower()) if w]
-        assert py == duck, (text, py, duck)
+def test_jvm_split_matches_re2_split(spark):
+    """The Java-regex split+casefold (Spark side) and the RE2
+    split+casefold (DuckDB oracle side) must produce identical word
+    lists — including the Greek final-sigma fold."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(UNI_DOCS, "doc_id long, text string")
+    jvm = {
+        r.doc_id: [w for w in r.words if w]
+        for r in df.select(
+            "doc_id",
+            F.split(
+                F.expr(_CASEFOLD.format(t="text")), _WORD_SPLIT
+            ).alias("words"),
+        ).collect()
+    }
+    con = _duck_with_docs()
+    duck = dict(con.execute(
+        f"SELECT doc_id, list_filter(string_split_regex("
+        f"{_CASEFOLD.format(t='text')}, '{_WORD_SPLIT}'), w -> w <> '')"
+        " FROM docs"
+    ).fetchall())
+    assert jvm == duck
 
 
 def test_bpe_merges_unicode_cross_engine(spark):
@@ -105,8 +123,38 @@ def test_bpe_tokens_expr_unicode_roundtrip(spark):
     ).collect()
     for row in toks:
         joined = "".join(row.tokens)
-        words = "".join(w for w in _SPLIT_RE.split(row.text.lower()) if w)
+        words = "".join(
+            w
+            for w in re.split(r"[\W_]+", row.text.lower().replace("ς", "σ"))
+            if w
+        )
         assert joined == words, (row.text, row.tokens)
+
+
+def test_bpe_tokenize_map_equals_expr_path_unicode(spark):
+    """The Arrow mapInPandas encode (JVM-side split, Python merge
+    fold) and the codegen expression encode must produce identical
+    token arrays over the unicode corpus — the two TOKENIZE paths'
+    equivalence contract, now including Greek case folding."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(UNI_DOCS, "doc_id long, text string")
+    rules = [
+        (r.lhs, r.rhs) for r in bpe_merges(df, n_merges=4).collect()
+    ]
+    via_expr = {
+        r.doc_id: r.tokens
+        for r in df.select(
+            "doc_id", F.expr(bpe_tokens_expr("text", rules)).alias("tokens")
+        ).collect()
+    }
+    via_map = {
+        r.doc_id: r.tokens
+        for r in bpe_tokenize_map(df, "text", rules).select(
+            "doc_id", "tokens"
+        ).collect()
+    }
+    assert via_expr == via_map
 
 
 def test_readability_exprs_unicode_cross_engine(spark):
