@@ -778,9 +778,11 @@ def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     <_HAM64_RADIUS> makes the quarters themselves the bands (two
     signatures within Hamming distance 3 must agree on at least one
     of the 4 quarters). Candidates come from four quarter equi-joins,
-    then exact ``bit_count(xor)`` verifies on the reassembled signed
-    BIGINT. The brute-force oracle counts the same pairs directly, so
-    the hash gate again proves banding completeness.
+    then the exact Hamming distance verifies as the sum of the four
+    per-quarter ``bit_count(xor)`` terms (the quarters are disjoint,
+    so no BIGINT reassembly is needed), inside the join projection.
+    The brute-force oracle counts the same pairs directly, so the
+    hash gate again proves banding completeness.
 
     Scale: identical shuffle profile to the 16-bit sibling — (band,
     value, id, quarters) slivers only, never all-pairs; 16-bit band
