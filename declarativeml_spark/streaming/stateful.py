@@ -31,7 +31,6 @@ from pyspark.sql.types import (
     StructField,
     StructType,
     TimestampNTZType,
-    TimestampType,
 )
 
 SESSION_STATE_SCHEMA = StructType(
@@ -48,8 +47,11 @@ SESSION_OUTPUT_SCHEMA = StructType(
         StructField("user_id", LongType()),
         StructField("n_events", LongType()),
         StructField("total_value", DoubleType()),
-        StructField("session_start", TimestampType()),
-        StructField("session_end", TimestampType()),
+        # NTZ like the catalog's ts (see SCD2_OUTPUT_SCHEMA note):
+        # session-tz TimestampType would reinterpret the UDF's naive
+        # micros as local instants and break batch parity off-UTC
+        StructField("session_start", TimestampNTZType()),
+        StructField("session_end", TimestampNTZType()),
     ]
 )
 
@@ -78,10 +80,14 @@ def _sessionize_fn(gap_seconds: int):
             return
 
         rows = pd.concat(list(pdfs)).sort_values("ts")
-        ts_us = rows["ts"].astype("int64")  # ns → handled below
-        # pandas datetime64[ns|us] → microseconds
+        # pandas datetime64[ns|us] → microseconds; a raw int64 column
+        # can only be the legacy nanosAsLong shape (sources/catalog.py
+        # normalizes to NTZ upstream), so convert ns → us explicitly —
+        # keeping nanos here would make every gap look 1000x larger
         if rows["ts"].dtype.kind == "M":
             ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
+        else:
+            ts_us = rows["ts"].astype("int64") // 1000
         closed = []
         if state.exists:
             n, total, start_us, last_us = state.get
@@ -151,9 +157,20 @@ def _pack_fn(context: int):
         cum = int(state.get[0]) if state.exists else 0
         out: dict = {k.name: [] for k in PACK_OUTPUT_SCHEMA}
         for doc_id, n in zip(rows["doc_id"], rows["n_tokens"]):
-            n = int(n)
             out["doc_id"].append(int(doc_id))
             out["bucket"].append(int(bucket))
+            if pd.isna(n):
+                # batch parity (pack_chunks): size(split(NULL)) is
+                # NULL; the window sum skips NULLs so cum does not
+                # advance, the chunk position still emits, and
+                # chunks_spanned is NULL — int(NaN) would instead
+                # kill the stream on one NULL document
+                out["n_tokens"].append(None)
+                out["chunk_id"].append(cum // context)
+                out["chunk_offset"].append(cum % context)
+                out["chunks_spanned"].append(None)
+                continue
+            n = int(n)
             out["n_tokens"].append(n)
             out["chunk_id"].append(cum // context)
             out["chunk_offset"].append(cum % context)
@@ -214,7 +231,7 @@ ANOM_STATE_SCHEMA = StructType(
 ANOM_OUTPUT_SCHEMA = StructType(
     [
         StructField("event_type", StringType()),
-        StructField("hour", TimestampType()),
+        StructField("hour", TimestampNTZType()),  # NTZ: see SCD2 note
         StructField("n", LongType()),
         StructField("z", DoubleType()),
         StructField("is_anomaly", BooleanType()),
@@ -263,6 +280,12 @@ def _anomaly_fn(window_size: int, min_full: int, z_cut: float):
                     if var > 0
                     else None
                 )
+                if z is not None:
+                    # the batch twin emits sround(z, 4)
+                    # (floor(x*1e4 + 0.5)/1e4) — mirror the identical
+                    # IEEE op sequence so streaming output equals the
+                    # batch query byte for byte, not just to 4dp
+                    z = math.floor(z * 1e4 + 0.5) / 1e4
                 out["event_type"].append(event_type)
                 out["hour"].append(pd.Timestamp(h_us, unit="us"))
                 out["n"].append(n)
@@ -325,7 +348,7 @@ COMPACT_OUTPUT_SCHEMA = StructType(
         StructField("user_id", LongType()),
         StructField("event_id", LongType()),
         StructField("event_type", StringType()),
-        StructField("last_ts", TimestampType()),
+        StructField("last_ts", TimestampNTZType()),  # NTZ: see SCD2 note
     ]
 )
 
@@ -341,7 +364,13 @@ def _compact_fn():
         rows = pd.concat(list(pdfs))
         ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
         for t_us, eid, etype in zip(ts_us, rows["event_id"], rows["event_type"]):
-            cand = (int(t_us), int(eid), str(etype))
+            # preserve NULL event_type (batch max_by-struct keeps it
+            # NULL; unconditional str() would mint the literal 'nan')
+            cand = (
+                int(t_us),
+                int(eid),
+                None if pd.isna(etype) else str(etype),
+            )
             # same (ts, event_id) lexicographic ordering as the batch
             # max_by-struct — newest ts wins, event_id breaks ties
             if best is None or (cand[0], cand[1]) > (best[0], best[1]):
@@ -386,6 +415,7 @@ def streaming_latest_per_user(events_stream: DataFrame) -> DataFrame:
 TWA_STATE_SCHEMA = StructType(
     [
         StructField("last_ts_us", LongType()),
+        StructField("last_eid", LongType()),
         StructField("last_value", DoubleType()),
         StructField("wsum_dec", StringType()),  # exact DECIMAL(38,6) sum
         StructField("span_us", LongType()),
@@ -427,25 +457,46 @@ def _twa_fn():
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            last_ts, last_val, wsum_s, span, nseg = state.get
+            last_ts, last_eid, last_val, wsum_s, span, nseg = state.get
             wsum = decimal.Decimal(wsum_s)
         else:
-            last_ts, last_val, wsum, span, nseg = None, None, decimal.Decimal(0), 0, 0
+            last_ts, last_eid, last_val, wsum, span, nseg = (
+                None, None, None, decimal.Decimal(0), 0, 0,
+            )
         rows = pd.concat(list(pdfs))
         rows = rows.sort_values(["ts", "event_id"])
         ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
-        for t_us, val in zip(ts_us, rows["value"]):
-            t_us = int(t_us)
-            if last_ts is not None:
-                gap = t_us - last_ts
-                # each segment's weight contribution rounds to
-                # DECIMAL(38,6) exactly like the batch twin's
-                # cast(value * gap AS DECIMAL(38,6)), then sums exactly
-                wsum += dec6(last_val * float(gap))
-                span += gap
-                nseg += 1
-            last_ts, last_val = t_us, float(val)
-        state.update((last_ts, last_val, str(wsum), span, nseg))
+        # DECIMAL(38,6) needs up to 44 significant digits through the
+        # quantize; Python's default 28-digit context would raise
+        # InvalidOperation on large value*gap products and silently
+        # round long-running sums
+        with decimal.localcontext() as ctx:
+            ctx.prec = 50
+            for t_us, eid, val in zip(
+                ts_us, rows["event_id"], rows["value"]
+            ):
+                t_us, eid = int(t_us), int(eid)
+                if last_ts is not None and (t_us, eid) <= (
+                    last_ts,
+                    last_eid,
+                ):
+                    # monotonicity guard (same policy as the
+                    # rate-anomaly and SCD2 twins): a replayed or late
+                    # row would add a negative or duplicate segment
+                    # and corrupt the exact sum forever — drop it;
+                    # corrections flow through batch backfill
+                    continue
+                if last_ts is not None:
+                    gap = t_us - last_ts
+                    # each segment's weight contribution rounds to
+                    # DECIMAL(38,6) exactly like the batch twin's
+                    # cast(value * gap AS DECIMAL(38,6)), then sums
+                    # exactly
+                    wsum += dec6(last_val * float(gap))
+                    span += gap
+                    nseg += 1
+                last_ts, last_eid, last_val = t_us, eid, float(val)
+        state.update((last_ts, last_eid, last_val, str(wsum), span, nseg))
         twa = float(wsum) / float(span) if span > 0 else None
         yield pd.DataFrame(
             {

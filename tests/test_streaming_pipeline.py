@@ -374,10 +374,10 @@ def test_streaming_rate_anomalies_matches_batch(spark, smoke_dir, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    sround4 = "floor(z * 1e4 + 0.5) / 1e4"
+    # the operator itself emits sround(z, 4) like the batch query —
+    # no re-rounding here, the raw sink values must already match
     streamed = spark.sql(
-        f"SELECT event_type, hour, n, {sround4} AS z, is_anomaly"
-        " FROM anom_sink"
+        "SELECT event_type, hour, n, z, is_anomaly FROM anom_sink"
     )
     want = QUERIES["events_rate_anomalies"](spark, smoke_dir)
     skey = lambda r: (r[0], r[1])  # noqa: E731
@@ -841,3 +841,149 @@ def test_streaming_scd2_matches_batch_closed_intervals(
         .collect()
     )
     assert got and got == want
+
+
+def test_streaming_pack_null_text_matches_batch(spark, tmp_path):
+    """A NULL-text document must not kill the stream (int(NaN) did):
+    parity with pack_chunks — NULL n_tokens/chunks_spanned, chunk
+    position still emitted, the running count NOT advanced."""
+    from declarativeml_spark.operators.corpus import pack_chunks
+    from declarativeml_spark.streaming.stateful import streaming_pack
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e f g")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "pack_null_src"
+    src.mkdir()
+    docs.coalesce(1).write.parquet(str(src / "a"))
+    schema = spark.read.parquet(str(src / "a")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = streaming_pack(stream, context=4, buckets=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pack_null_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT doc_id, bucket, n_tokens, chunk_id, chunk_offset,"
+            " chunks_spanned FROM pack_null_sink"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in pack_chunks(docs, context=4, buckets=1).collect()
+    )
+    assert got == want
+    null_row = [r for r in got if r[0] == 2][0]
+    assert null_row[2] is None and null_row[5] is None
+
+
+def test_streaming_compaction_preserves_null_event_type(spark, tmp_path):
+    """A NULL event_type winning the compaction must stay NULL (the
+    batch max_by-struct keeps it NULL; str(NaN) minted 'nan')."""
+    from declarativeml_spark.streaming.stateful import streaming_latest_per_user
+
+    ev = spark.createDataFrame(
+        [
+            (7, 1, "click", "2024-01-01 10:00:00"),
+            (7, 2, None, "2024-01-01 11:00:00"),
+        ],
+        "user_id long, event_id long, event_type string, ts string",
+    ).selectExpr(
+        "user_id", "event_id", "event_type",
+        "CAST(ts AS TIMESTAMP_NTZ) AS ts",
+    )
+    src = tmp_path / "compact_null_src"
+    src.mkdir()
+    ev.coalesce(1).write.parquet(str(src / "a"))
+    schema = spark.read.parquet(str(src / "a")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = streaming_latest_per_user(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("compact_null_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "SELECT user_id, event_id, event_type FROM compact_null_sink"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].event_id == 2 and rows[0].event_type is None
+
+
+def test_streaming_twa_survives_large_values_and_replay(spark, tmp_path):
+    """Two regressions: (a) value*gap products needing >28 significant
+    digits raised decimal.InvalidOperation under Python's default
+    context; (b) a replayed micro-batch (at-least-once source) added
+    negative/duplicate segments and corrupted the sum forever. The
+    operator must survive both and match the exact closed form."""
+    from declarativeml_spark.streaming.stateful import (
+        streaming_time_weighted_value,
+    )
+
+    rows = [
+        (1, 1, 1.0e9, "2023-01-01 00:00:00"),
+        (1, 2, 2.0e9, "2024-01-01 00:00:00"),  # ~1-year gap at 1e9
+        (1, 3, 3.0e9, "2024-06-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, value double, ts string"
+    ).selectExpr(
+        "user_id", "event_id", "value", "CAST(ts AS TIMESTAMP_NTZ) AS ts"
+    )
+    src = tmp_path / "twa_big_src"
+    src.mkdir()
+    ev.coalesce(1).write.parquet(str(src / "a_first"))
+    # the SAME rows again: an at-least-once replay — the monotonicity
+    # guard must drop every one of them
+    ev.coalesce(1).write.parquet(str(src / "b_replay"))
+    schema = spark.read.parquet(str(src / "a_first")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = streaming_time_weighted_value(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("twa_big_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = spark.sql(
+        "SELECT * FROM twa_big_sink ORDER BY n_segments DESC LIMIT 1"
+    ).collect()[0]
+    # exact closed form over the 3 unique rows (replay contributes 0)
+    import datetime
+
+    t1 = datetime.datetime(2023, 1, 1)
+    t2 = datetime.datetime(2024, 1, 1)
+    t3 = datetime.datetime(2024, 6, 1)
+    g1 = int((t2 - t1).total_seconds() * 1e6)
+    g2 = int((t3 - t2).total_seconds() * 1e6)
+    expected_span = g1 + g2
+    expected_twa = (1.0e9 * g1 + 2.0e9 * g2) / expected_span
+    assert final.n_segments == 2
+    assert final.span_us == expected_span
+    assert abs(final.twa_raw - expected_twa) / expected_twa < 1e-12
