@@ -88,14 +88,14 @@ def streaming_rollup(
     stream = _ensure_event_time(stream, ts_col)
     win = F.window(F.col(ts_col), bucket)
     keys = [win] + ([F.col(key_col)] if key_col else [])
+    from declarativeml_spark.queries.registry import dsum
+
     agg = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(*keys)
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.col(value_col).cast("decimal(38,6)"))
-            .cast("double")
-            .alias("value_sum"),
+            dsum(value_col, "value_sum"),
             F.min(value_col).alias("value_min"),
             F.max(value_col).alias("value_max"),
         )
@@ -135,12 +135,23 @@ def streaming_decontam(
     from declarativeml_spark.operators.corpus import fp_sample_spark
 
     fp = F.expr(fp_sample_spark(text_col))
+    # persisted: the static side of a stream-static join re-executes
+    # on EVERY micro-batch — without the persist a 1s-trigger ingest
+    # re-tokenizes and re-hashes the whole benchmark forever.
+    # collect_set already deduplicates, so no .distinct() pre-pass.
     bench_row = (
         benchmark.withColumn("hs", fp)
         .select(F.explode("hs").alias("h"))
-        .distinct()
         .agg(F.array_sort(F.collect_set("h")).alias("bench_hs"))
         .withColumn("j", F.lit(1))
+        .persist()
+    )
+    # NULL text → NULL hs; coalesce like the batch twin
+    # (corpus.py benchmark_overlap) so the flag is false, not NULL —
+    # a NOT contaminated filter must admit the row on both paths
+    overlap = F.coalesce(
+        F.size(F.array_intersect("hs", "bench_hs")).cast("bigint"),
+        F.lit(0),
     )
     return (
         stream.withColumn("hs", fp)
@@ -148,13 +159,11 @@ def streaming_decontam(
         .join(F.broadcast(bench_row), "j")
         .select(
             F.col(id_col),
+            # n_grams stays NULL for NULL text — identical to the
+            # batch twin's un-coalesced size(hs)
             F.size("hs").cast("bigint").alias("n_grams"),
-            F.size(F.array_intersect("hs", "bench_hs"))
-            .cast("bigint")
-            .alias("overlap_grams"),
-            (
-                F.size(F.array_intersect("hs", "bench_hs")) >= min_overlap
-            ).alias("contaminated"),
+            overlap.alias("overlap_grams"),
+            (overlap >= min_overlap).alias("contaminated"),
         )
     )
 
@@ -253,13 +262,13 @@ def session_window_stats(
     df = _ensure_event_time(df, ts_col)
     if streaming:
         df = df.withWatermark(ts_col, watermark)
+    from declarativeml_spark.queries.registry import dsum
+
     agg = df.groupBy(
         F.session_window(F.col(ts_col), gap), F.col(key_col)
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col(value_col).cast("decimal(38,6)"))
-        .cast("double")
-        .alias("value_sum"),
+        dsum(value_col, "value_sum"),
     )
     return agg.select(
         F.col(key_col),
@@ -359,12 +368,22 @@ def streaming_new_users(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
     from declarativeml_spark.sources.catalog import epoch_us
     from declarativeml_spark.streaming.stateful import streaming_first_seen
 
-    ev = _ensure_event_time(stream, ts_col).select(
+    # wall-clock micros from an NTZ view of ts (no-op for NTZ input;
+    # session-tz wall clock for LTZ input): the stateful operator
+    # needs no event-time column, and keeping the attribution
+    # arithmetic tz-free matches the batch twin's NTZ cast-to-date —
+    # to_date(timestamp_micros(...)) would instead reinterpret wall
+    # micros as a UTC instant and shift near-midnight users to the
+    # wrong day under any non-UTC session timezone
+    ev = stream.select(
         F.col("user_id").cast("long").alias("user_id"),
-        epoch_us(ts_col).alias("ts_us"),
+        epoch_us(f"CAST({ts_col} AS TIMESTAMP_NTZ)").alias("ts_us"),
     )
     firsts = streaming_first_seen(ev)
-    day = F.to_date(F.timestamp_micros(F.col("first_ts_us")))
+    day = F.expr(
+        "date_add(DATE'1970-01-01',"
+        " CAST(FLOOR(first_ts_us / 86400000000.0) AS INT))"
+    )
     return firsts.groupBy(day.alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("n_new")
     )
@@ -413,6 +432,9 @@ def streaming_semantic_decontam(
         # the fold's init would leak sentinel rows instead
         .filter(F.size("bench") > 0)
         .withColumn("j", F.lit(1))
+        # persisted: the static side re-executes every micro-batch
+        # otherwise (same reason as streaming_decontam's bench_row)
+        .persist()
     )
     cos = (
         f"({_DOT_S.format(a='ce', b='b.qe')}"
@@ -422,22 +444,26 @@ def streaming_semantic_decontam(
     # score each benchmark element ONCE via transform, then fold over
     # the slim (cos, qid) structs — inlining the O(d) cosine fragment
     # into the CASE would re-evaluate it up to 3x per element on the
-    # map-only hot path. Init is a typed NULL struct; "acc.qid IS
-    # NULL" = nothing taken yet. A non-NULL cosine beats a NULL acc
+    # map-only hot path. Init is a STRUCT-level NULL and the fold
+    # tests "acc IS NULL" for nothing-taken-yet — a field-level
+    # "acc.qid IS NULL" sentinel would conflate it with a legitimate
+    # NULL benchmark id and let the next element steal the argmax
+    # regardless of cosine. A non-NULL cosine beats a NULL acc cos
     # (the window's NULLS LAST); when every cosine is NULL the first
     # (smallest-qid) element survives with cos NULL — exactly the
     # batch row.
     best = (
         f"aggregate(transform(bench, b -> struct(CAST({cos} AS DOUBLE)"
         " AS cos, b.qid AS qid)),"
-        " struct(CAST(NULL AS DOUBLE) AS cos, CAST(NULL AS BIGINT) AS qid),"
+        " CAST(NULL AS struct<cos: DOUBLE, qid: BIGINT>),"
         " (acc, s) -> CASE"
-        " WHEN acc.qid IS NULL THEN s"
+        " WHEN acc IS NULL THEN s"
         " WHEN s.cos IS NOT NULL AND (acc.cos IS NULL OR s.cos > acc.cos)"
         " THEN s"
         " ELSE acc END)"
     )
-    p = float(10**8)
+    from declarativeml_spark.queries.registry import sround
+
     return (
         stream.select(
             F.col(id_col).cast("long").alias("vec_id"),
@@ -449,12 +475,7 @@ def streaming_semantic_decontam(
         .select(
             "vec_id",
             F.col("best.qid").alias("nearest_benchmark"),
-            (
-                F.floor(F.col("best.cos") * F.lit(p) + F.lit(0.5)).cast(
-                    "double"
-                )
-                / F.lit(p)
-            ).alias("max_cosine"),
+            sround(F.col("best.cos"), 8).alias("max_cosine"),
             (F.col("best.cos") >= threshold).alias("contaminated"),
         )
     )

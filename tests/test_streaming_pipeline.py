@@ -987,3 +987,42 @@ def test_streaming_twa_survives_large_values_and_replay(spark, tmp_path):
     assert final.n_segments == 2
     assert final.span_us == expected_span
     assert abs(final.twa_raw - expected_twa) / expected_twa < 1e-12
+
+
+def test_streaming_decontam_null_text_matches_batch(spark, smoke_dir, tmp_path):
+    """A NULL-text document must flag contaminated=false (not NULL) on
+    the stream exactly as the batch twin's coalesce does — a
+    NOT-contaminated admission filter must treat both paths the same."""
+    from declarativeml_spark.operators.corpus import benchmark_overlap
+    from declarativeml_spark.streaming.pipeline import streaming_decontam
+
+    docs = load_table(spark, smoke_dir, "documents").limit(50)
+    bench = docs.filter("doc_id % 7 = 0")
+    corpus = docs.filter("doc_id % 7 <> 0").select("doc_id", "text").union(
+        spark.createDataFrame([(999_999, None)], "doc_id long, text string")
+    )
+    src = str(tmp_path / "null_corpus_src")
+    corpus.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_decontam(stream, bench, min_overlap=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decontam_null_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.sql(
+        "SELECT doc_id, n_grams, overlap_grams, contaminated"
+        " FROM decontam_null_sink"
+    )
+    batch = benchmark_overlap(spark.read.parquet(src), bench, min_overlap=3)
+    got = sorted(tuple(r) for r in streamed.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+    null_rows = [r for r in got if r[0] == 999_999]
+    assert null_rows and null_rows[0][3] is False
+    assert null_rows[0][2] == 0
