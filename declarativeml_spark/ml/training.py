@@ -29,12 +29,10 @@ Scale: the only driver-side data is metrics scalars; all data paths
 
 from __future__ import annotations
 
-import json
 import math
 import operator
 import os
 import re
-import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
@@ -139,18 +137,36 @@ def train(
     # --- class balancing -----------------------------------------------------
     weight_col: Optional[str] = None
     if stmt.balance_method and spec.kind == "classification" and label_col:
+        if (
+            stmt.balance_method in {"class_weights", "weights", "weighted"}
+            and not spec.supports_weight_col
+        ):
+            # silently training unweighted would ignore the declared
+            # balancing semantics; fail loudly with the alternative
+            raise ValueError(
+                f"BALANCE CLASSES BY class_weights: {spec.name} has no"
+                " weight column support — use oversampling or"
+                " undersampling"
+            )
         # when StringIndexer builds the label inside the pipeline,
         # balance on the raw target column (same class partition)
         balance_col = label_col if label_materialized else stmt.target
         train_df, weight_col = _balance(
-            train_df, balance_col, stmt.balance_method, spec
+            train_df, balance_col, stmt.balance_method
         )
 
     # --- estimator -----------------------------------------------------------
     params = dict(stmt.params)
     stop = _parse_stop(stmt.stop_condition)
-    if stop and stop.max_epochs is not None:
-        # epoch-budget clause maps onto maxIter (SURVEY.md §7.6)
+    if (
+        stop
+        and stop.max_epochs is not None
+        and "max_iter" in spec.param_map
+    ):
+        # epoch-budget clause maps onto maxIter (SURVEY.md §7.6) —
+        # only for algorithms that HAVE an iteration budget; injecting
+        # it into a tree/NB estimator would crash the constructor with
+        # an unexpected-keyword error
         params.setdefault("max_iter", stop.max_epochs)
 
     est_kwargs: dict[str, Any] = {"featuresCol": "features"}
@@ -173,24 +189,31 @@ def train(
 
     # WITH FALLBACK (DSL.md:372-383): on fit failure, retry with the
     # declared param overrides, up to MAX RETRIES total attempts.
-    if stmt.fallback is not None:
-        attempts = 0
-        last_err: Optional[Exception] = None
-        retry_queue = list(stmt.fallback.retries)
-        while attempts <= stmt.fallback.max_retries:
+    # Wraps every REAL fit below (plain, CV, and each epoch-wise
+    # step) — a 1-row "validation" fit would miss the typical failure
+    # modes (bad rows beyond the first, convergence, resources) and
+    # can itself fail spuriously (k-means with k > 1 point).
+    fb_queue = list(stmt.fallback.retries) if stmt.fallback else []
+    fb_attempts = 0
+
+    def _fit_with_fallback(do_fit):
+        nonlocal params, estimator, stages, pipeline, fb_attempts
+        while True:
             try:
-                pipeline.fit(train_df.limit(1))  # cheap plan validation
-                break
-            except Exception as e:  # noqa: BLE001 - fallback is the contract
-                last_err = e
-                if not retry_queue or attempts == stmt.fallback.max_retries:
+                return do_fit()
+            except Exception:  # noqa: BLE001 - fallback is the contract
+                if (
+                    stmt.fallback is None
+                    or not fb_queue
+                    or fb_attempts >= stmt.fallback.max_retries
+                ):
                     raise
-                _, overrides = retry_queue.pop(0)
+                _, overrides = fb_queue.pop(0)
                 params = {**params, **dict(overrides)}
                 estimator = spec.build(params, **est_kwargs)
                 stages = stages[:-1] + [estimator]
                 pipeline = Pipeline(stages=stages)
-                attempts += 1
+                fb_attempts += 1
 
     # Metric STOP WHEN clauses — or a SAVE CHECKPOINTS interval — on
     # an iterative estimator run the epoch-wise loop below instead of
@@ -199,6 +222,16 @@ def train(
     # at the first epoch where it holds; checkpoint snapshots persist
     # at interval crossings.
     ckpt_interval = stmt.checkpoint.interval if stmt.checkpoint else None
+    if stmt.checkpoint and (stmt.checkpoint.unit or "epochs").lower() not in (
+        "epoch", "epochs", "iteration", "iterations",
+    ):
+        # the parser accepts any NAME as the unit; only epoch-denominated
+        # intervals are implemented — dropping the unit silently would
+        # turn SAVE CHECKPOINTS EVERY 30 minutes into every 30 EPOCHS
+        raise ValueError(
+            f"SAVE CHECKPOINTS EVERY n {stmt.checkpoint.unit}: only"
+            " epoch-denominated checkpoint intervals are supported"
+        )
     epochwise = bool(
         ((stop and stop.metric_clauses) or ckpt_interval)
         and not use_cv
@@ -210,22 +243,26 @@ def train(
         for key, value in stmt.validate.params or []:
             if key in {"folds", "k", "num_folds"}:
                 folds = int(value)
-        cv = CrossValidator(
-            estimator=pipeline,
-            estimatorParamMaps=ParamGridBuilder().build(),
-            evaluator=evaluator,
-            numFolds=folds,
-            seed=SEED,
-            parallelism=4,
-        )
-        cv_model = cv.fit(train_df)
+        def _cv_fit():
+            # rebuild the CV against the CURRENT pipeline so a
+            # fallback retry fits the overridden estimator
+            return CrossValidator(
+                estimator=pipeline,
+                estimatorParamMaps=ParamGridBuilder().build(),
+                evaluator=evaluator,
+                numFolds=folds,
+                seed=SEED,
+                parallelism=4,
+            ).fit(train_df)
+
+        cv_model = _fit_with_fallback(_cv_fit)
         model = cv_model.bestModel
         cv_metric = float(cv_model.avgMetrics[0]) if cv_model.avgMetrics else None
     elif epochwise:
         model = None  # fitted inside the early-stopping loop below
         cv_metric = None
     else:
-        model = pipeline.fit(train_df)
+        model = _fit_with_fallback(lambda: pipeline.fit(train_df))
         cv_metric = None
 
     # --- evaluation ----------------------------------------------------------
@@ -238,8 +275,13 @@ def train(
             if spec.kind == "regression":
                 eval_df = eval_df.withColumn(label_col, F.col(stmt.target).cast("double"))
             elif spec.kind == "classification" and label_col:
-                ttype = dict(eval_df.dtypes).get(stmt.target)
-                if ttype != "string":
+                # mirror how the TRAIN side built the label: a
+                # materialized label means numeric cast; an indexer
+                # label is built by the pipeline during transform, so
+                # adding one here would collide ("label already
+                # exists"). Keying on the EVAL table's dtype instead
+                # produced exactly those mismatches.
+                if label_materialized:
                     eval_df = eval_df.withColumn(
                         label_col, F.col(stmt.target).cast("double")
                     )
@@ -257,7 +299,23 @@ def train(
         # first satisfying step is the recorded stopping epoch and
         # its model is the one kept. Falls through to the final
         # full-budget fit when the predicate never holds.
-        target_iter = int(params.get("max_iter", 100))
+        # the declared budget may arrive under any iteration alias;
+        # otherwise use the estimator's OWN default maxIter (reading
+        # only "max_iter" silently overrode epochs=/iterations= and
+        # stretched default-20 estimators to 100)
+        declared = next(
+            (
+                params[k]
+                for k in ("max_iter", "epochs", "iterations")
+                if k in params
+            ),
+            None,
+        )
+        target_iter = (
+            int(declared)
+            if declared is not None
+            else int(estimator.getOrDefault("maxIter"))
+        )
         schedule: list[int] = []
         e = 1
         while e < target_iter:
@@ -265,11 +323,30 @@ def train(
             e *= 2
         schedule.append(target_iter)
         stop_satisfied = False if stop else None
+        metrics = None
         prev_e = 0
         for e in schedule:
-            est_e = spec.build({**params, "max_iter": e}, **est_kwargs)
-            model = Pipeline(stages=stages[:-1] + [est_e]).fit(train_df)
-            metrics = _compute_metrics(model, eval_df, spec, label_col)
+
+            def _step_fit(n_iter=e):
+                # strip iteration aliases so the schedule's budget is
+                # the only maxIter writer
+                base = {
+                    k: v
+                    for k, v in params.items()
+                    if k not in ("epochs", "iterations")
+                }
+                est_e = spec.build(
+                    {**base, "max_iter": n_iter}, **est_kwargs
+                )
+                return Pipeline(stages=stages[:-1] + [est_e]).fit(
+                    train_df
+                )
+
+            model = _fit_with_fallback(_step_fit)
+            if stop:
+                # checkpoint-only loops skip the metric suite per
+                # step (an unused 8-job evaluation per schedule step)
+                metrics = _compute_metrics(model, eval_df, spec, label_col)
             # a checkpoint is the model snapshot at each crossed
             # EVERY-n boundary, persisted — not a log line per
             # schedule step (the geometric steps rarely hit exact
@@ -292,13 +369,17 @@ def train(
             # clauses are satisfied by completion (epoch=None form)
             if stop:
                 stop_satisfied = stop.evaluate(metrics)
+        if metrics is None:  # checkpoint-only loop: score once, at the end
+            metrics = _compute_metrics(model, eval_df, spec, label_col)
         if stopping_epoch is not None:
             metrics["stopping_epoch"] = float(stopping_epoch)
     else:
         metrics = _compute_metrics(model, eval_df, spec, label_col)
-        if stop and stop.metric_clauses:
-            # non-iterative estimator or CV path: the predicate is
-            # still reported, evaluated on the final fit
+        if stop:
+            # non-iterative estimator, CV path, or pure epoch budget:
+            # the predicate is still reported, evaluated on the final
+            # fit (epoch clauses hold — the budget was realized via
+            # maxIter or by the non-iterative fit completing)
             stop_satisfied = stop.evaluate(metrics)
     if cv_metric is not None:
         metrics[f"cv_{metric_name}"] = cv_metric
@@ -323,12 +404,20 @@ def train(
 
 # ---------------------------------------------------------------------------
 def _balance(
-    df: DataFrame, label_col: str, method: str, spec: AlgorithmSpec
+    df: DataFrame, label_col: str, method: str
 ) -> tuple[DataFrame, Optional[str]]:
     """BALANCE CLASSES BY {oversampling|undersampling|class_weights}.
 
     Oversampling/undersampling use per-class ``sampleBy`` fractions —
     a distributed, single-pass resample (no driver loop over rows).
+
+    F7 caveat (documented, not silently "fixed"): when the statement
+    also says VALIDATE USING cv, resampling happens BEFORE the folds
+    are drawn, so oversampled duplicate rows can land on both sides
+    of a fold split and bias cv_<metric> optimistically — the classic
+    resample-before-CV leakage. The flagship reference statement
+    composes exactly these options, so the composition is preserved;
+    use class_weights for leakage-free CV selection.
     """
     counts = {r[0]: r[1] for r in df.groupBy(label_col).count().collect()}
     if not counts:
@@ -434,8 +523,14 @@ def _parse_stop(text: Optional[str]) -> Optional[StopCondition]:
     cond = StopCondition(text=text)
     for m in _CLAUSE_RE.finditer(text):
         name, op, raw = m.groups()
-        if name in {"epochs", "epoch", "iterations"} and op in {">", ">="}:
-            cond.max_epochs = int(float(raw))
+        if name in {"epochs", "epoch", "iterations"}:
+            # epoch clauses are never METRIC clauses (classifying
+            # them as such triggered the expensive refit loop and
+            # then reported vacuous satisfaction); >, >= and = set
+            # the budget, < and <= are pure predicates evaluate()
+            # checks against the current epoch
+            if op in {">", ">=", "="}:
+                cond.max_epochs = int(float(raw))
         else:
             cond.metric_clauses.append((name, op, raw))
     return cond

@@ -200,3 +200,67 @@ def test_save_checkpoints_interval_persists_snapshots(engine):
         assert _os.path.isdir(
             _os.path.join(base, "ckpt_clf", f"checkpoint_e{e}")
         )
+
+
+def test_stop_when_epochs_on_tree_algorithm_no_crash(engine):
+    """STOP WHEN epochs > n on an algorithm WITHOUT an iteration
+    budget must not inject max_iter (RandomForestClassifier(max_iter=...)
+    raised TypeError before the guard)."""
+    trained = engine.execute(
+        "TRAIN MODEL rf_epochs USING random_forest(num_trees=5) "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice) "
+        "STOP WHEN epochs > 50"
+    )
+    assert trained.metrics["accuracy"] > 0.9
+
+
+def test_stop_when_epochs_equals_is_a_budget(engine):
+    """STOP WHEN epochs = n is an iteration budget, not a metric
+    clause — it must neither trigger the refit loop nor report
+    vacuous satisfaction."""
+    trained = engine.execute(
+        "TRAIN MODEL lr_eq USING logistic_regression "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice) "
+        "STOP WHEN epochs = 7"
+    )
+    # the budget was realized via maxIter → satisfied on completion
+    assert trained.stop_satisfied is True
+    lr_stage = trained.pipeline_model.stages[-1]
+    assert lr_stage.getOrDefault("maxIter") == 7
+
+
+def test_checkpoint_time_unit_rejected(engine):
+    """Only epoch-denominated checkpoint intervals exist; a time unit
+    must fail loudly instead of silently meaning epochs."""
+    with pytest.raises(Exception, match="epoch-denominated"):
+        engine.execute(
+            "TRAIN MODEL ckpt_min USING logistic_regression(max_iter=8) "
+            "FROM orders_labeled PREDICT expensive "
+            "WITH FEATURES(o_totalprice) "
+            "SAVE CHECKPOINTS EVERY 30 minutes"
+        )
+
+
+def test_class_weights_unsupported_estimator_rejected(engine):
+    """BALANCE CLASSES BY class_weights on an estimator without
+    weightCol support must error, not silently train unweighted."""
+    with pytest.raises(Exception, match="weight column"):
+        engine.execute(
+            "TRAIN MODEL nn_w USING neural_network(layers=[1,2]) "
+            "FROM orders_labeled PREDICT expensive "
+            "WITH FEATURES(o_totalprice) "
+            "BALANCE CLASSES BY class_weights"
+        )
+
+
+def test_epochwise_budget_respects_iteration_alias(engine):
+    """A metric STOP clause plus iterations=n must cap the refit
+    schedule at n, not stretch to the 100 default."""
+    trained = engine.execute(
+        "TRAIN MODEL lr_alias USING logistic_regression(iterations=8) "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice) "
+        "STOP WHEN accuracy > 1.5"  # unsatisfiable: runs the full schedule
+    )
+    assert trained.stop_satisfied is False
+    lr_stage = trained.pipeline_model.stages[-1]
+    assert lr_stage.getOrDefault("maxIter") == 8
