@@ -393,6 +393,19 @@ class Engine:
             # tokenizer's merge table (both artifact kinds share
             # _created_storage, so session ownership alone is NOT
             # permission to clean).
+            if stmt.name not in self.indexes:
+                # an idempotent re-run in a FRESH session: a prior
+                # session's registry row plus ownership marks prove an
+                # existing STORED AS target is this index's OWN
+                # storage, adoptable for rebuild rather than refused
+                # as a squatter. Adoption failures fall through to the
+                # availability checks below (missing storage → plain
+                # rebuild; unmarked/misshapen table → refused, never
+                # dropped).
+                try:
+                    self._adopt_stored_index(stmt.name)
+                except ValueError:
+                    pass
             old_tables = frozenset(
                 (self.indexes.get(stmt.name) or {}).get("tables", ())
             )
@@ -811,6 +824,12 @@ class Engine:
         discipline as the STORED AS target checks."""
         if not self.spark.catalog.tableExists(self.INDEX_REGISTRY_TABLE):
             return None
+        # the relation cache is PER SESSION: another live session's
+        # registry rewrite (swap-rename or overwrite) replaces the
+        # part files, and this session's cached listing would fail
+        # FAILED_READ_FILE on the next read. The registry is a
+        # handful of rows — refresh unconditionally before reading.
+        self.spark.sql(f"REFRESH TABLE {self.INDEX_REGISTRY_TABLE}")
         reg = self.spark.table(self.INDEX_REGISTRY_TABLE)
         if dict(reg.dtypes) != self._INDEX_REGISTRY_DTYPES:
             raise ForeignRegistryTableError(
@@ -830,23 +849,55 @@ class Engine:
     def _write_index_registry(self, rows: list) -> None:
         # callers have already read (and so shape-validated) the
         # registry; only the existence check remains
-        if not self.spark.catalog.tableExists(self.INDEX_REGISTRY_TABLE):
+        import os
+        import shutil
+
+        t = self.INDEX_REGISTRY_TABLE
+        frame = self.spark.createDataFrame(
+            rows, schema=self._INDEX_REGISTRY_SCHEMA
+        )
+        if not self.spark.catalog.tableExists(t):
             # an orphaned warehouse location (a previous catalog's
             # registry — e.g. a fresh in-memory metastore over a
             # shared warehouse dir) is stale by construction: nothing
             # it points to is registered in THIS catalog. Clean it the
             # way _create_index cleans orphaned index locations.
-            import os
-            import shutil
-
-            loc = os.path.join(
-                self._warehouse_path(), self.INDEX_REGISTRY_TABLE
-            )
+            loc = os.path.join(self._warehouse_path(), t)
             if os.path.isdir(loc):
                 shutil.rmtree(loc, ignore_errors=True)
-        self.spark.createDataFrame(
-            rows, schema=self._INDEX_REGISTRY_SCHEMA
-        ).write.mode("overwrite").saveAsTable(self.INDEX_REGISTRY_TABLE)
+            frame.write.saveAsTable(t)
+            return
+        # swap-write (the _write_tokenizer_table pattern): a plain
+        # overwrite drops the table before rewriting, so a mid-write
+        # failure would lose EVERY stored index's row and leave their
+        # bucketed tables orphaned with no DSL path to reclaim them.
+        # The swap name is engine-internal by construction, so a
+        # leftover from an interrupted swap is always safe to clean.
+        tmp = f"{t}__swap"
+
+        def _clean_tmp() -> None:
+            try:
+                self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
+            shutil.rmtree(
+                os.path.join(self._warehouse_path(), tmp.lower()),
+                ignore_errors=True,
+            )
+
+        try:
+            _clean_tmp()  # leftover from an interrupted prior swap
+            frame.write.saveAsTable(tmp)
+        except BaseException:
+            _clean_tmp()
+            raise  # the existing good registry is untouched
+        self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+        self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+        # the rename leaves stale cached file listings for the name in
+        # OTHER live sessions sharing this catalog (their next read
+        # fails FAILED_READ_FILE on the swapped-out part files);
+        # refresh invalidates the shared relation cache
+        self.spark.sql(f"REFRESH TABLE {t}")
 
     # Explicit ownership marker on every stored-index table: the
     # column-subset shape guard alone cannot tell index storage from a
@@ -904,7 +955,7 @@ class Engine:
             marked.append(t)
         return marked
 
-    def _is_index_storage(self, table: str) -> bool:
+    def _has_table_prop(self, table: str, prop: str) -> bool:
         from pyspark.errors import AnalysisException
 
         try:
@@ -913,14 +964,14 @@ class Engine:
             return False
         # anything else (transient catalog/metastore failure) must
         # propagate: swallowing it here would make a flaky metastore
-        # indistinguishable from "not index storage", steering
+        # indistinguishable from "not marked", steering
         # _adopt_stored_index into its destructive rebuild error and
         # the create-path reclaim into silently skipping a table the
         # engine actually owns.
-        return any(
-            r.key == self._INDEX_STORAGE_PROP and r.value == "1"
-            for r in rows
-        )
+        return any(r.key == prop and r.value == "1" for r in rows)
+
+    def _is_index_storage(self, table: str) -> bool:
+        return self._has_table_prop(table, self._INDEX_STORAGE_PROP)
 
     @staticmethod
     def _index_table_shapes(method: str, tables: list) -> dict:
@@ -1105,7 +1156,6 @@ class Engine:
         overwritten), so ``TOKENIZE … USING <t>`` works in a FRESH
         session — unlike the session dict, the table survives."""
         import os
-        import shutil
 
         from declarativeml_spark.operators.bpe import bpe_merges
 
@@ -1225,6 +1275,9 @@ class Engine:
                 raise  # the existing good table is untouched
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
             self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+            # invalidate other sessions' cached file listings for the
+            # name (same reason as the registry swap-write refresh)
+            self.spark.sql(f"REFRESH TABLE {t}")
             self._created_storage.discard(tmp)
         else:
             try:
@@ -1593,15 +1646,17 @@ class Engine:
         excluded (their inclusion probability is zero)."""
         from pyspark.sql import functions as F
 
+        from declarativeml_spark.operators.layout import LEHMER_ID
+
         df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
         col = stmt.column or "doc_id"
-        # two Lehmer steps: one multiply maps a small consecutive id
-        # range onto a small prefix of [0, m) — every row would pass
-        # any rate threshold; the second wrap actually mixes
-        h = F.expr(
-            f"pmod(pmod(pmod({col}, 2147483647) * 48271, 2147483647)"
-            " * 48271, 2147483647)"
-        )
+        # the SHARED Lehmer text (two wrap steps: one multiply maps a
+        # small consecutive id range onto a small prefix of [0, m), the
+        # second actually mixes). LEHMER_ID's BIGINT cast matters: an
+        # INT-typed id column would overflow the *48271 in 32-bit
+        # arithmetic (ANSI abort, silent wrap otherwise) and diverge
+        # from every other Lehmer consumer
+        h = F.expr(LEHMER_ID.format(id=col))
         if stmt.rate is not None:
             return df.filter(h < F.lit(float(stmt.rate) * 2147483647.0))
         w = F.col(stmt.weight_column).cast("double")
@@ -2074,13 +2129,28 @@ class Engine:
         """Mark the model's previous registry version ``archived``
         (bookkeeping status — the current version keeps serving, and a
         pinned load of the archived version still works)."""
-        from declarativeml_spark.ml.models import mark_version_status
+        from declarativeml_spark.ml.models import (
+            mark_version_status,
+            version_statuses,
+        )
 
         meta = self._model_meta(stmt.model)
         if meta is None:
             raise ValueError(f"No registered model named {stmt.model!r}")
-        prev = int(meta["version"]) - 1
-        if prev < 1:
+        # "previous" means the newest OLDER live version — stamping
+        # version-1 blindly would overwrite a rolled_back status with
+        # archived, and the live filter (which only excludes
+        # rolled_back) would make the bad version servable again
+        statuses = version_statuses(stmt.model, self.model_dir)
+        prev = next(
+            (
+                v
+                for v in range(int(meta["version"]) - 1, 0, -1)
+                if statuses.get(v, "registered") != "rolled_back"
+            ),
+            None,
+        )
+        if prev is None:
             return {"model": stmt.model, "archived": None,
                     "note": "no previous version"}
         mark_version_status(stmt.model, prev, "archived", self.model_dir)
@@ -2458,7 +2528,10 @@ class Engine:
         """Run every registered agent's monitor; execute THEN actions
         for unhealthy models, publish alerts to the bus."""
         results: dict[str, dict] = {}
-        for name, agent in self.agents.items():
+        # snapshot: an agent's THEN action may itself be CREATE AGENT
+        # (or fire a rule that registers one) — mutating self.agents
+        # mid-iteration would abort the whole tick with a RuntimeError
+        for name, agent in list(self.agents.items()):
             if isinstance(agent, ir.TrendAgent):
                 try:
                     results[name] = self._run_trend_agent(name, agent)
@@ -2467,7 +2540,14 @@ class Engine:
                     # agent's tick (or swallow their queued events)
                     results[name] = {"healthy": False, "error": str(e)}
                 continue
-            res = self._monitor(agent.monitor, bus=self.bus)
+            try:
+                res = self._monitor(agent.monitor, bus=self.bus)
+            except Exception as e:  # noqa: BLE001 — isolate agents
+                # same isolation as the trend branch: a monitor whose
+                # stored source vanished must not disable other
+                # agents' ticks or strand their queued events
+                results[name] = {"healthy": False, "error": str(e)}
+                continue
             results[name] = res
             if not res["healthy"]:
                 if agent.action:
@@ -2655,8 +2735,46 @@ class Engine:
                 df = build_features(df, meta["features"]).df
             scored = model.transform(df)
         if stmt.sink:
-            scored.write.mode("overwrite").saveAsTable(stmt.sink)
+            self._write_prediction_sink(scored, stmt.sink)
         return scored
+
+    _PREDICTION_SINK_PROP = "declml.prediction_sink"
+
+    def _write_prediction_sink(self, scored: DataFrame, sink: str) -> None:
+        """Never-clobber sink write (the same discipline as
+        _create_index/_train_tokenizer): overwrite only a name this
+        path itself created (marked ``declml.prediction_sink``) or a
+        name that does not exist. An unguarded overwrite-saveAsTable
+        could silently destroy the index registry, a live index's
+        bucketed storage, a tokenizer merge table, or any user
+        table."""
+        if sink == self.INDEX_REGISTRY_TABLE:
+            # refused by NAME, not catalog existence — a fresh
+            # catalog over a shared warehouse would otherwise pass
+            # the exists check and clobber (or collide with) the
+            # on-disk registry location
+            raise ValueError(
+                f"STORE RESULTS IN {sink!r}: that name is the"
+                " engine's index registry — choose another name"
+            )
+        if self.spark.catalog.tableExists(sink):
+            if self._is_index_storage(sink):
+                raise ValueError(
+                    f"STORE RESULTS IN {sink!r}: that table is engine"
+                    " index storage — choose another name"
+                )
+            if not self._has_table_prop(sink, self._PREDICTION_SINK_PROP):
+                raise ValueError(
+                    f"STORE RESULTS IN {sink!r}: table exists and was"
+                    " not created by a previous STORE RESULTS —"
+                    " refusing to overwrite; DROP TABLE it first or"
+                    " choose a new name"
+                )
+        scored.write.mode("overwrite").saveAsTable(sink)
+        self.spark.sql(
+            f"ALTER TABLE {sink} SET TBLPROPERTIES"
+            f" ('{self._PREDICTION_SINK_PROP}'='1')"
+        )
 
     def _evaluate(self, stmt: ir.EvaluateModel) -> dict:
         from pyspark.sql import functions as F

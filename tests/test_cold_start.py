@@ -505,3 +505,32 @@ def test_mark_legacy_index_storage_migration(warm, spark, smoke_dir):
     assert e2.execute("SEARCH SIMILAR USING INDEX cold_idx").count() >= 0
     with pytest.raises(ValueError, match="Unknown index"):
         e2.mark_legacy_index_storage("never_registered")
+
+
+def test_cold_recreate_same_stored_index_rebuilds(spark, smoke_dir, warm):
+    """An idempotent deployment script re-runs the SAME CREATE INDEX …
+    STORED AS statement in a fresh session: the registry row +
+    ownership marks prove the existing table is this index's own
+    storage, so the statement must REBUILD (adopt → release → write),
+    not refuse the name as a squatter. Self-contained index name so
+    the module fixtures' session records stay consistent."""
+    s1 = spark.newSession()
+    register_views(s1, smoke_dir)
+    e1 = Engine(s1, model_dir=warm.model_dir)
+    e1.execute(
+        "CREATE INDEX recr_idx ON embeddings USING lsh STORED AS recr_idx_tbl"
+    )
+    s2 = spark.newSession()
+    register_views(s2, smoke_dir)
+    e2 = Engine(s2, model_dir=warm.model_dir)
+    try:
+        e2.execute(
+            "CREATE INDEX recr_idx ON embeddings USING lsh"
+            " STORED AS recr_idx_tbl"
+        )
+        out = e2.execute(
+            "SEARCH SIMILAR embeddings USING INDEX recr_idx TOP 3"
+        )
+        assert out.count() > 0
+    finally:
+        e2.execute("DROP INDEX recr_idx")
