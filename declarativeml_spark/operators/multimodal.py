@@ -21,11 +21,12 @@ tested part. Codecs:
   library they'd need (PIL/libav), at plan-build time, loudly;
   :func:`register_codec` is the plug-in point.
 
-Scale notes: media blobs are large and skewed — the helpers
-repartition by a size bucket before the UDF so one executor doesn't
-receive all the 4K videos while another gets thumbnails. Batch size
-is bounded via ``spark.sql.execution.arrow.maxRecordsPerBatch``
-(COMPUTE's BLOCK hint maps to the same knob).
+Scale notes: media blobs are large and skewed — the helpers can
+round-robin repartition before the UDF (``balance_partitions``) so
+one executor doesn't receive all the 4K videos while another gets
+thumbnails. Decode peak memory is bounded per call by chunking rows
+INSIDE the batch function (``batch_size``) — never by mutating the
+session-wide Arrow conf, which would leak into every other query.
 """
 
 from __future__ import annotations
@@ -156,13 +157,20 @@ def decode_features(
     (byte // (256/bins)) — deterministic, so the distributed plumbing
     is verifiable against a SQL oracle.
     """
+    # shipped dependency-free codecs register on demand, like
+    # window_energy/resize_image do — without this, a fresh session's
+    # decode_features(codec="wav") raised a "needs PIL/libav" error
+    # for a codec this module itself implements (and it must happen
+    # BEFORE the capability check, or the check still raises first)
+    if codec == "wav":
+        register_wav_codec()
+    elif codec == "ppm":
+        register_ppm_codec()
+    elif codec == "y4m":
+        register_y4m_codec()
     _require_codec(codec, "decode_features")
     if not 1 <= bins <= 256:
         raise ValueError(f"bins must be in [1, 256], got {bins}")
-    if batch_size:
-        df.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
-        )
     width = 256 // bins
     custom = _CODECS.get(codec)
     feature_dtype = custom[1] if custom else T.ArrayType(T.LongType())
@@ -177,7 +185,19 @@ def decode_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        for pdf in it:
+        def _chunks(frames):
+            # bound decode peak memory per yielded frame WITHOUT
+            # mutating the session-wide Arrow batch conf (the old
+            # conf.set at plan-BUILD time leaked into every other
+            # query in the session, last builder winning)
+            for pdf in frames:
+                if batch_size and len(pdf) > batch_size:
+                    for i in range(0, len(pdf), batch_size):
+                        yield pdf.iloc[i : i + batch_size]
+                else:
+                    yield pdf
+
+        for pdf in _chunks(it):
             feats = []
             metas = pdf["meta"] if (custom and has_meta) else None
             for pos, blob in enumerate(pdf[payload_col]):
@@ -202,12 +222,45 @@ def decode_features(
                 feats.append(np.bincount(arr, minlength=bins).tolist())
             yield pd.DataFrame({"media_id": pdf[id_col], "features": feats})
 
-    # optional size-bucket repartition: worth one shuffle only when
-    # blob sizes are skewed enough (4K video vs thumbnails) that task
-    # balance beats the shuffle cost — off by default
+    # optional rebalance: worth one shuffle only when blob sizes are
+    # skewed enough (4K video vs thumbnails) that task balance beats
+    # the shuffle cost — off by default. Keyless repartition is
+    # ROUND-ROBIN, spreading rows evenly regardless of size; the old
+    # length-modulo hash key sent every identical-length large blob
+    # to ONE partition (fixed-geometry videos all share a length),
+    # recreating the exact skew it claimed to fix
     if balance_partitions:
-        df = df.repartition(balance_partitions, F.length(payload_col) % 64)
+        df = df.repartition(balance_partitions)
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def _resolve_resizer(codec: str, caller: str, width: int, height: int):
+    """Shared resize-capability dispatch for resize_image and
+    resize_decode_features: idempotent built-in auto-registration,
+    capability check, dims validation — ONE definition, so the
+    chained and fused forms cannot drift (a codec added to one path
+    but not the other would silently break their tested
+    equivalence). Returns the full codec entry."""
+    if codec == "ppm":
+        register_ppm_codec()
+    elif codec == "y4m":
+        register_y4m_codec()
+    _require_codec(codec, caller)
+    entry = _CODECS.get(codec)
+    resizer = entry[2] if entry and len(entry) > 2 else None
+    if resizer is None:
+        # covers codec='fake' too (a built-in decoder, but no pixel
+        # geometry to resize)
+        raise NotImplementedError(
+            f"codec {codec!r} has no registered resize capability;"
+            " register_codec(name, decode, resize=fn) to add one"
+            " (codec='ppm' ships a real resampler)"
+        )
+    if width < 1 or height < 1:
+        raise ValueError(
+            f"resize target must be positive, got {width}x{height}"
+        )
+    return entry
 
 
 def resize_image(
@@ -224,21 +277,8 @@ def resize_image(
     payloads have no pixel geometry; PIL-class codecs aren't in this
     container).
     """
-    if codec == "ppm":
-        register_ppm_codec()  # idempotent convenience
-    elif codec == "y4m":
-        register_y4m_codec()
-    _require_codec(codec, "resize_image")
-    entry = _CODECS.get(codec)
-    resizer = entry[2] if entry and len(entry) > 2 else None
-    if resizer is None:
-        raise NotImplementedError(
-            f"codec {codec!r} has no registered resize capability;"
-            " register_codec(name, decode, resize=fn) to add one"
-            " (codec='ppm' ships a real resampler)"
-        )
-    if width < 1 or height < 1:
-        raise ValueError(f"resize target must be positive, got {width}x{height}")
+    entry = _resolve_resizer(codec, "resize_image", width, height)
+    resizer = entry[2]
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -300,6 +340,18 @@ def sample_frames(
     if codec == "y4m":
         register_y4m_codec()  # idempotent convenience
     _require_codec(codec, "sample_frames")
+    if codec not in ("y4m", "fake"):
+        # frame walking is a CONTAINER capability: y4m has real FRAME
+        # markers and "fake" is the documented fixed-stride stub. Any
+        # other registered codec (wav, ppm — no frame semantics)
+        # would silently fall into the fixed-stride path and slice
+        # container header bytes into garbage "frames"; fail loudly
+        # like window_energy/resize_image do for missing capabilities
+        raise NotImplementedError(
+            f"sample_frames: codec {codec!r} has no frame-walking"
+            " capability — only 'y4m' (real container frames) and"
+            " 'fake' (fixed-stride stub) sample frames"
+        )
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -633,11 +685,18 @@ def _parse_ppm_header(payload: bytes) -> tuple:
     if not (0 < maxval < 65536):
         raise ValueError(f"PPM maxval {maxval} out of range")
     # comments may still stand between the maxval digits and the
-    # raster-delimiting whitespace
+    # raster-delimiting whitespace — consume EACH comment through its
+    # newline and re-check, so consecutive comments all skip (the old
+    # loop left pos ON the newline, could never iterate twice, and
+    # read the second comment's bytes as raster)
+    saw_comment = False
     while payload[pos : pos + 1] == b"#":
+        saw_comment = True
         while pos < len(payload) and payload[pos : pos + 1] != b"\n":
             pos += 1
-    pos += 1  # exactly ONE whitespace byte separates header and pixels
+        pos += 1  # the comment's terminating newline
+    if not saw_comment:
+        pos += 1  # exactly ONE whitespace byte separates header and pixels
     return width, height, maxval, pos
 
 
@@ -1078,9 +1137,21 @@ def resize_y4m(payload: bytes, width: int, height: int) -> bytes:
     if sx is not None:
         cys = _nn_index(height // sy, h0 // sy)
         cxs = _nn_index(width // sx, w0 // sx)
-    parts = [
-        f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} C{cs_tag}\n".encode()
-    ]
+    # rebuild the header by TOKEN SUBSTITUTION on the original line:
+    # only W/H change; F, C, and the optional I (interlacing),
+    # A (pixel aspect) and X (extension) parameters pass through
+    # verbatim — a re-encoder must not silently relabel interlaced
+    # anamorphic content as progressive square-pixel by omission
+    hdr_end = payload.index(b"\n")
+    out_tokens = []
+    for tok in payload[:hdr_end].decode("ascii").split(" "):
+        if tok.startswith("W") and tok != "W":
+            out_tokens.append(f"W{width}")
+        elif tok.startswith("H") and tok != "H":
+            out_tokens.append(f"H{height}")
+        else:
+            out_tokens.append(tok)
+    parts = [(" ".join(out_tokens) + "\n").encode()]
     for frame in _iter_y4m_frames(payload):
         arr = np.frombuffer(frame, dtype=np.uint8)
         y = arr[:y_size].reshape(h0, w0)
@@ -1120,30 +1191,9 @@ def resize_decode_features(
     the chained form when the resized CONTAINERS are themselves the
     output.
     """
-    # exactly resize_image's dispatch: same idempotent built-in
-    # auto-registration, same error types — a caller migrating from
-    # the chained form must see identical behavior on every path
-    if codec == "ppm":
-        register_ppm_codec()
-    elif codec == "y4m":
-        register_y4m_codec()
-    _require_codec(codec, "resize_decode_features")
-    entry = _CODECS.get(codec)
-    resizer = entry[2] if entry and len(entry) > 2 else None
-    if resizer is None:
-        # covers codec='fake' too (a built-in decoder, but no pixel
-        # geometry to resize) — the chained form's signal is
-        # NotImplementedError, so this one's is as well
-        raise NotImplementedError(
-            f"codec {codec!r} has no registered resize capability;"
-            " register_codec(name, decode, resize=fn) to add one"
-            " (codec='ppm' ships a real resampler)"
-        )
+    entry = _resolve_resizer(codec, "resize_decode_features", width, height)
+    resizer = entry[2]
     decode_fn, feature_dtype = entry[0], entry[1]
-    if width < 1 or height < 1:
-        raise ValueError(
-            f"resize target must be positive, got {width}x{height}"
-        )
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),

@@ -594,3 +594,67 @@ def test_fused_resize_decode_capability_errors(spark, smoke_dir):
         M.resize_decode_features(media, 2, 2, "no_such_codec")
     with pytest.raises(ValueError, match="must be positive"):
         M.resize_decode_features(media, 0, 2, "ppm")
+
+
+def test_decode_features_wav_registers_in_fresh_state(spark, smoke_dir):
+    """decode_features(codec='wav') must auto-register the shipped
+    RIFF decoder like its siblings, not claim PIL/libav is needed."""
+    from declarativeml_spark.operators import multimodal as M
+
+    M.unregister_codec("wav")
+    docs = load_table(spark, smoke_dir, "documents").limit(4)
+    media = M.synth_wav_from_text(docs)
+    out = M.decode_features(media, codec="wav")
+    assert out.count() == 4
+
+
+def test_decode_features_batch_size_no_session_conf_leak(spark, smoke_dir):
+    from declarativeml_spark.operators import multimodal as M
+
+    before = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    docs = load_table(spark, smoke_dir, "documents").limit(10)
+    media = M.attach_fake_media(docs)
+    out = M.decode_features(media, batch_size=3)
+    assert out.count() == 10
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        == before
+    )
+
+
+def test_sample_frames_refuses_frameless_codec(spark, smoke_dir):
+    """A registered codec without frame semantics (wav) must fail
+    loudly instead of slicing container bytes into fake frames."""
+    from declarativeml_spark.operators import multimodal as M
+
+    docs = load_table(spark, smoke_dir, "documents").limit(2)
+    media = M.synth_wav_from_text(docs)
+    M.register_wav_codec()
+    with pytest.raises(NotImplementedError, match="frame-walking"):
+        M.sample_frames(media, codec="wav")
+
+
+def test_ppm_header_consecutive_comments():
+    from declarativeml_spark.operators.multimodal import decode_ppm
+
+    # 2x1 maxval-255 with TWO comments between maxval and the raster
+    payload = b"P6\n2 1\n255#a\n#b\n" + bytes([10, 20, 30, 40, 50, 60])
+    w, h, mx, r, g, b = decode_ppm(payload)
+    assert (w, h, mx) == (2, 1, 255)
+    assert (r, g, b) == (10 + 40, 20 + 50, 30 + 60)
+
+
+def test_resize_y4m_preserves_interlace_and_aspect():
+    from declarativeml_spark.operators.multimodal import resize_y4m
+
+    # 4x4 C420 with interlacing + aspect + extension params
+    hdr = b"YUV4MPEG2 W4 H4 F25:1 It A16:9 Xsomething C420\n"
+    y = bytes(range(16))
+    u = bytes(range(4))
+    v = bytes(range(4))
+    payload = hdr + b"FRAME\n" + y + u + v
+    out = resize_y4m(payload, 2, 2)
+    out_hdr = out[: out.index(b"\n")].decode()
+    assert "W2" in out_hdr and "H2" in out_hdr
+    assert "It" in out_hdr and "A16:9" in out_hdr and "Xsomething" in out_hdr
+    assert "C420" in out_hdr
