@@ -8,8 +8,9 @@ here is the scale-correct equivalent:
 1. ``repartitionByRange`` on the order keys — rows land in
    range-contiguous partitions (partition 0 holds the first range of
    the sort order, partition 1 the next, ...) — and the ranged frame
-   is EAGERLY MATERIALIZED (``localCheckpoint``), freezing each
-   row's partition assignment;
+   is MATERIALIZED (``localCheckpoint``; lazy, because every
+   consumer's first action is a full totals pass that materializes
+   all blocks), freezing each row's partition assignment;
 2. one tiny pass over the *per-partition totals* (one row per
    partition, bounded by the partition count, never by data size)
    builds exclusive prefix offsets;
@@ -48,17 +49,34 @@ from pyspark.sql.window import Window
 _PART = "__range_pid"
 
 
+def _check_dir(d: str) -> str:
+    """Directions are the exact literals 'asc'/'desc' — anything else
+    (e.g. 'DESC') previously fell silently into a default, and
+    INCONSISTENTLY across functions (ntile_assign treated non-'asc'
+    as desc, ntile_assign_multi treated non-'desc' as asc): silently
+    inverted buckets, never an error."""
+    if d not in ("asc", "desc"):
+        raise ValueError(
+            f"order direction must be 'asc' or 'desc', got {d!r}"
+        )
+    return d
+
+
 def _ranged_frozen(
     df: DataFrame, order_by: List[Column], num_partitions: int
 ) -> DataFrame:
     """Range-partition on the order keys and freeze the assignment
-    (see module docstring — the eager materialization is what makes
-    the two-job offset scheme sound)."""
+    (see module docstring — the materialization is what makes the
+    two-job offset scheme sound). LAZY checkpoint: every consumer's
+    FIRST action is a full per-partition totals pass, which
+    materializes all blocks exactly once — identical soundness to
+    eager, one full-data job cheaper per call (the same argument
+    ntile_assign_multi documents for its own tagged union)."""
     n = max(2, num_partitions)
     ranged = df.repartitionByRange(n, *order_by).withColumn(
         _PART, F.spark_partition_id()
     )
-    return ranged.localCheckpoint(eager=True)
+    return ranged.localCheckpoint(eager=False)
 
 
 def _prefix_offsets(
@@ -91,7 +109,27 @@ def global_cumsum(
     global 1-based rank) in ``order_by`` order, two-phase over a
     frozen range partitioning. The only driver-side state is one row
     per range partition (a constant, never a function of data size).
+
+    Contract (the same discipline as the NTILE functions): the
+    composite ``order_by`` key must be UNIQUE per row — the frame is
+    a ROWS frame over ``row_number``, so tied keys would make both
+    ``out_col`` and ``rank_col`` order-dependent (SQL's default RANGE
+    frame gives peers equal sums; this one does not). NULL values in
+    ``value_col`` contribute 0 (an all-null prefix yields the carried
+    offset, never NULL); integral and floating value columns are
+    supported.
     """
+    vt = dict(df.dtypes).get(value_col)
+    if vt in ("tinyint", "smallint", "int", "bigint"):
+        off_type = "long"
+    elif vt in ("float", "double"):
+        off_type = "double"
+    else:
+        raise ValueError(
+            f"global_cumsum: value column {value_col!r} has type"
+            f" {vt!r}; only integral and float/double columns are"
+            " supported (the offset plane is typed to match)"
+        )
     ranged = _ranged_frozen(df, order_by, num_partitions)
 
     totals = (
@@ -104,8 +142,12 @@ def global_cumsum(
     )
     by_pid = {r[_PART]: (r["__n"], r["__t"]) for r in totals}
     rows, _total = _prefix_offsets(by_pid, want_sum=True)
+    if off_type == "double":
+        # the exclusive-prefix accumulator starts at int 0; coerce so
+        # the schema verifier sees homogeneous doubles
+        rows = [(pid, cn, float(sv)) for pid, cn, sv in rows]
     offsets = df.sparkSession.createDataFrame(
-        rows, f"{_PART} int, __cnt_off long, __sum_off long"
+        rows, f"{_PART} int, __cnt_off long, __sum_off {off_type}"
     )
 
     w = (
@@ -115,7 +157,11 @@ def global_cumsum(
     )
     out = (
         ranged.join(F.broadcast(offsets), _PART)
-        .withColumn(out_col, F.col("__sum_off") + F.sum(value_col).over(w))
+        .withColumn(
+            out_col,
+            F.col("__sum_off")
+            + F.coalesce(F.sum(value_col).over(w), F.lit(0)),
+        )
     )
     if rank_col is not None:
         out = out.withColumn(
@@ -175,6 +221,37 @@ def global_ntile(
     return out.drop(_PART, "__cnt_off")
 
 
+def _boundary_offsets(counts: list, n: int, k: int) -> dict:
+    """Map NTILE(k) interior boundary ranks to per-partition local
+    offsets: ``counts`` is the sorted [(pid, row_count)] of a frozen
+    range partitioning of n rows. ONE definition of the sizes/bounds
+    arithmetic and the rank→(pid, local-offset) walk — previously
+    near-verbatim duplicated in ntile_boundary_keys and
+    ntile_assign_multi, where a fix to one copy would silently miss
+    the other. Returns {} when there are no interior boundaries
+    (k=1 or n<=1)."""
+    q, rem = divmod(n, k)
+    sizes = [q + 1] * rem + [q] * (k - rem)
+    acc = 0
+    bounds: set = set()
+    for s in sizes[:-1]:
+        acc += s
+        if 1 <= acc <= n:
+            bounds.add(acc)
+    if not bounds:
+        return {}
+    out: dict = {}
+    lo = 0
+    it = iter(counts)
+    pid, cnt = next(it)
+    for r in sorted(bounds):
+        while r > lo + cnt:
+            lo += cnt
+            pid, cnt = next(it)
+        out.setdefault(pid, set()).add(r - lo)
+    return out
+
+
 def ntile_boundary_keys(
     df: DataFrame,
     order_spec: List[Tuple[str, str]],
@@ -203,7 +280,7 @@ def ntile_boundary_keys(
     if k < 1:
         raise ValueError(f"NTILE bucket count must be >= 1, got {k}")
     cols = [
-        F.col(c).asc() if d == "asc" else F.col(c).desc()
+        F.col(c).asc() if _check_dir(d) == "asc" else F.col(c).desc()
         for c, d in order_spec
     ]
     names = [c for c, _ in order_spec]
@@ -217,28 +294,10 @@ def ntile_boundary_keys(
     if n == 0:
         return 0, []
 
-    q, rem = divmod(n, k)
-    sizes = [q + 1] * rem + [q] * (k - rem)
-    acc = 0
-    bounds = []
-    for s in sizes[:-1]:
-        acc += s
-        bounds.append(acc)
-    ranks = sorted({r for r in bounds if 1 <= r < n + 1})
-    if not ranks:
+    targets = _boundary_offsets(counts, n, k)
+    if not targets:
         # k=1 (or n=1): no interior boundaries — NTILE is all-ones
         return n, []
-
-    # map each global boundary rank -> (pid, local 1-based offset)
-    targets: dict[int, set] = {}
-    lo = 0
-    it = iter(counts)
-    pid, cnt = next(it)
-    for r in ranks:
-        while r > lo + cnt:
-            lo += cnt
-            pid, cnt = next(it)
-        targets.setdefault(pid, set()).add(r - lo)
 
     cond = None
     for p, offs in targets.items():
@@ -286,7 +345,7 @@ def ntile_assign(
         eq = F.lit(True)
         for (c, d), v in zip(order_spec, key):
             col = F.col(c)
-            gt = col > F.lit(v) if d == "asc" else col < F.lit(v)
+            gt = col > F.lit(v) if _check_dir(d) == "asc" else col < F.lit(v)
             expr = expr | (eq & gt)
             eq = eq & (col == F.lit(v))
         return expr
@@ -328,11 +387,12 @@ def ntile_assign_multi(
     """
     if k < 1:
         raise ValueError(f"NTILE bucket count must be >= 1, got {k}")
-    sess = df.sparkSession
+    if not metrics:
+        raise ValueError("ntile_assign_multi: metrics must be non-empty")
 
     def signed(m: str, d: str) -> Column:
         sv = F.col(m).cast("double")
-        return -sv if d == "desc" else sv
+        return -sv if _check_dir(d) == "desc" else sv
 
     legs = [
         df.select(
@@ -371,26 +431,9 @@ def ntile_assign_multi(
         n = sum(c for _, c in counts)
         if n == 0:
             continue
-        q, rem = divmod(n, k)
-        sizes = [q + 1] * rem + [q] * (k - rem)
-        acc = 0
-        bounds = set()
-        for s in sizes[:-1]:
-            acc += s
-            if acc >= 1:
-                bounds.add(acc)
-        if not bounds:
-            # k=1 or n=1: no interior boundaries for this metric
-            continue
-        lo = 0
-        it = iter(counts)
-        pid, cnt = next(it)
-        t = targets.setdefault(tag, {})
-        for rank in sorted(bounds):
-            while rank > lo + cnt:
-                lo += cnt
-                pid, cnt = next(it)
-            t.setdefault(pid, set()).add(rank - lo)
+        t = _boundary_offsets(counts, n, k)
+        if t:
+            targets[tag] = t
 
     keys: dict = {}
     if targets:

@@ -213,3 +213,48 @@ def test_ntile_rejects_nonpositive_k(spark, k):
         ntile_assign(df, [("v", "asc"), ("id", "asc")], k, "b")
     with pytest.raises(ValueError, match=">= 1"):
         ntile_assign_multi(df, [("v", "asc", "b")], "id", k)
+
+
+def test_global_cumsum_null_values_carry_offset(spark):
+    """NULL values contribute 0; an all-null partition prefix carries
+    the running offset instead of nulling the sum out."""
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.operators.ordered import global_cumsum
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, None), (4, 5)], "id long, v int"
+    )
+    out = global_cumsum(
+        df, [F.col("id").asc()], "v", out_col="cum", num_partitions=2
+    ).orderBy("id")
+    assert [r.cum for r in out.collect()] == [10, 10, 10, 15]
+
+
+def test_global_cumsum_double_values(spark):
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.operators.ordered import global_cumsum
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5), (3, 4.0)], "id long, v double"
+    )
+    out = global_cumsum(
+        df, [F.col("id").asc()], "v", out_col="cum", num_partitions=2
+    ).orderBy("id")
+    assert [r.cum for r in out.collect()] == [1.5, 4.0, 8.0]
+
+
+def test_ntile_direction_validation(spark):
+    from declarativeml_spark.operators.ordered import (
+        ntile_assign,
+        ntile_assign_multi,
+    )
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    with pytest.raises(ValueError, match="asc.*desc|desc.*asc"):
+        ntile_assign(df, [("v", "DESC"), ("id", "asc")], 2, "b")
+    with pytest.raises(ValueError, match="asc.*desc|desc.*asc"):
+        ntile_assign_multi(df, [("v", "Descending", "b")], "id", 2)
+    with pytest.raises(ValueError, match="non-empty"):
+        ntile_assign_multi(df, [], "id", 2)
