@@ -11,14 +11,23 @@ TIME COLUMN t HORIZON n …`` form. There is no Prophet on a Spark
 cluster's JVM — the documented mapping (SURVEY.md §2.1 'TRAIN …
 FORECAST') is window-lag feature generation + an MLlib regressor;
 ``prophet`` is an alias for gradient-boosted regression with the full
-seasonal feature set.
+seasonal feature set. CAVEAT: TREND linear only extrapolates under a
+linear-family regressor — tree ensembles (including the ``prophet``
+alias) cannot produce values outside the training range for a
+``trend_idx`` beyond the history, so a strongly trending series
+under GBT plateaus at the last level; declare
+``USING linear_regression`` when extrapolated trend matters.
 
 Confidence intervals are distribution-free residual quantiles
-(split-conformal style): for level p the in-sample residual
+(split-conformal style): for level p the held-out residual
 quantiles at (1±p)/2 are added to each point forecast, yielding
 ``lo_80/hi_80``-style columns. The quantiles come from one
 ``approxQuantile`` pass (distributed, no driver materialization of
-residuals).
+residuals). SCOPE: the residuals are ONE-step-ahead errors, so the
+stated coverage holds for step 1 and degrades with horizon (steps
+2..h iterate on predicted lags, whose error grows; constant-width
+bands undercover there) — per-step conformal calibration is the
+upgrade path when multi-step coverage guarantees are needed.
 
 Holidays are a calendar dimension: the named table's date column is
 collected to a bounded driver-side set (a few hundred rows per
@@ -115,9 +124,19 @@ def _holiday_dates(spark: SparkSession, table: str) -> List[str]:
     df = resolve_source(spark, table, True)
     # conventionally-named calendar columns win over schema order —
     # a table like (created_at timestamp, holiday date) must use
-    # `holiday`, not whichever date-typed column happens to be first
+    # `holiday`, not whichever date-typed column happens to be first.
+    # The name must also be DATE-CAPABLE (date/timestamp/ISO string):
+    # an integer column named `day` (day-of-month numbers) would
+    # otherwise win the name scan, to_date every row to NULL, and
+    # silently produce an empty calendar
+    dtypes = dict(df.dtypes)
+    date_capable = {"date", "timestamp", "timestamp_ntz", "string"}
     date_col = next(
-        (c for c in ("holiday", "date", "day", "ds") if c in df.columns),
+        (
+            c
+            for c in ("holiday", "date", "day", "ds")
+            if c in df.columns and dtypes[c] in date_capable
+        ),
         None,
     )
     if date_col is None:
@@ -149,6 +168,14 @@ def _holiday_dates(spark: SparkSession, table: str) -> List[str]:
         raise ValueError(
             f"holidays table {table!r} exceeds {_MAX_HOLIDAY_ROWS} distinct "
             "dates — not a calendar"
+        )
+    if not rows:
+        # a silently empty calendar makes the declared holidays
+        # feature a no-op with no signal to the user
+        raise ValueError(
+            f"holidays table {table!r}: column {date_col!r} produced no"
+            " parseable dates — not a calendar (check the column type"
+            " and date format)"
         )
     return sorted(r.d for r in rows)
 
@@ -195,7 +222,13 @@ def build_forecast_frame(
             .isin(holiday_dates)
             .cast("double"),
         )
-    return out.na.drop(subset=[f"lag_{k}" for k in stmt.lags])
+    # drop null-label and null-time rows too: a null target row past
+    # the lag warmup otherwise reaches the fit as a null label (raw
+    # MLlib crash), and a null time makes NaN seasonal features
+    return out.na.drop(
+        subset=[f"lag_{k}" for k in stmt.lags]
+        + [stmt.target, stmt.time_column]
+    )
 
 
 _MIN_CALIB_ROWS = 8  # below this a holdout tail is too small to split
@@ -269,7 +302,13 @@ def train_forecast(
     df = resolve_source(spark, stmt.source, stmt.source_is_identifier)
     frame = build_forecast_frame(df, stmt, holiday_dates)
     feats = _feature_cols(stmt)
-    frame = frame.withColumn("label", F.col(stmt.target).cast("double"))
+    # persisted: the ordered-window feature build feeds the fit, the
+    # metrics transform, and (with confidence levels) the calibration
+    # count/refit/transform — five scans of the same single-shuffle
+    # pass without the persist
+    frame = frame.withColumn(
+        "label", F.col(stmt.target).cast("double")
+    ).persist()
 
     pipeline = Pipeline(
         stages=[
@@ -304,6 +343,7 @@ def train_forecast(
             forecast_df = forecast_df.withColumn(
                 f"lo_{tag}", F.col("forecast") + F.lit(lo_off)
             ).withColumn(f"hi_{tag}", F.col("forecast") + F.lit(hi_off))
+    frame.unpersist()  # everything downstream is materialized by now
     return trained, forecast_df
 
 
@@ -325,6 +365,14 @@ def forecast(
     scenario; callers wanting what-if paths re-run with a scenario
     table).
     """
+    if stmt.time_column in ("step", "forecast"):
+        # the result schema hardcodes step/forecast fields; a time
+        # column reusing either name would emit duplicate columns and
+        # break (or mis-bind) the confidence-band expressions
+        raise ValueError(
+            f"TIME COLUMN {stmt.time_column!r} collides with the"
+            " forecast output schema (step, forecast) — alias it"
+        )
     max_lag = max(stmt.lags)
     tail = (
         history_df.select(stmt.time_column, stmt.target)
@@ -338,13 +386,21 @@ def forecast(
         raise ValueError(
             f"Need at least {max_lag + 1} observations to forecast with lags {stmt.lags}"
         )
+    if tail[stmt.target].isna().any() or tail[stmt.time_column].isna().any():
+        # a NULL in the seed window would become a NaN lag feature:
+        # linear models emit NaN (and the feedback loop poisons every
+        # later step), tree models route it to an arbitrary branch —
+        # silent garbage either way; fail loudly instead
+        raise ValueError(
+            f"history tail (last {len(tail)} rows) contains NULL"
+            f" {stmt.target!r}/{stmt.time_column!r} values — clean or"
+            " gap-fill the series before forecasting"
+        )
     times = pd.to_datetime(tail[stmt.time_column])
     if stmt.horizon_unit:
-        if stmt.horizon_unit not in _UNIT_STEPS:
-            raise ValueError(
-                f"Unknown forecast unit {stmt.horizon_unit!r}; expected one of "
-                f"{sorted(set(_UNIT_STEPS))}"
-            )
+        # unit vocabulary is validated at parse/IR time
+        # (ForecastModel.__post_init__ rejects anything outside
+        # FORECAST_UNITS, test-pinned equal to _UNIT_STEPS' keys)
         freq = _UNIT_STEPS[stmt.horizon_unit]
     else:
         freq = (times.diff().dropna()).median()
@@ -372,6 +428,16 @@ def forecast(
     holiday_set = set(holiday_dates or [])
 
     seasonal = _seasonal_terms(stmt)
+    # score each step DRIVER-SIDE: the pipeline is assembler +
+    # regressor, and MLlib regression models expose a local
+    # .predict(Vector) — the per-step createDataFrame + transform +
+    # first() alternative costs ~2 Spark jobs of pure scheduling
+    # overhead per horizon step for a single row
+    from pyspark.ml.linalg import Vectors
+
+    feats = _feature_cols(stmt)
+    reg_model = model.stages[-1]
+    local_predict = getattr(reg_model, "predict", None)
     rows = []
     for step in range(1, stmt.horizon + 1):
         t_next = last_time + freq * step
@@ -390,10 +456,15 @@ def forecast(
         feat.update(exog_last)
         if holiday_dates is not None:
             feat["is_holiday"] = float(t_next.strftime("%Y-%m-%d") in holiday_set)
-        pred_df = model.transform(
-            spark.createDataFrame(pd.DataFrame([feat]))
-        )
-        yhat = pred_df.select("prediction").first()[0]
+        if local_predict is not None:
+            yhat = local_predict(
+                Vectors.dense([feat[c] for c in feats])
+            )
+        else:  # pragma: no cover — every registry regressor has predict
+            pred_df = model.transform(
+                spark.createDataFrame(pd.DataFrame([feat]))
+            )
+            yhat = pred_df.select("prediction").first()[0]
         values.append(float(yhat))
         rows.append((t_next.to_pydatetime(), step, float(yhat)))
 

@@ -519,3 +519,51 @@ def test_feature_importance_does_not_truncate(engine, spark):
     ).collect()
     assert len(out) == 2  # both features present
     assert {r.feature for r in out} == {"o_totalprice", "f1"}
+
+
+def test_forecast_null_tail_rejected(engine, spark):
+    # 30 daily points; the LAST one is NULL — the seed window for the
+    # iterative forecast must refuse it loudly (it previously became a
+    # NaN lag and poisoned every step)
+    spark.sql(
+        "SELECT CAST(date_add(DATE'2024-01-01', CAST(id AS INT))"
+        " AS TIMESTAMP) AS day,"
+        " CASE WHEN id = 29 THEN NULL"
+        "      ELSE CAST(100 + id AS DOUBLE) END AS revenue"
+        " FROM range(30)"
+    ).createOrReplaceTempView("null_rev")
+    with pytest.raises(Exception, match="NULL|null"):
+        engine.execute(
+            "TRAIN MODEL fc_null USING linear_regression FROM null_rev "
+            "FORECAST revenue WITH TIME COLUMN day HORIZON 3 LAGS [1]"
+        )
+
+
+def test_forecast_time_column_name_collision_rejected(engine, spark):
+    spark.sql(
+        "SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS step,"
+        " CAST(SUM(o_totalprice) AS DOUBLE) AS revenue"
+        " FROM orders GROUP BY 1"
+    ).createOrReplaceTempView("step_rev")
+    with pytest.raises(Exception, match="collides"):
+        engine.execute(
+            "TRAIN MODEL fc_step USING linear_regression FROM step_rev "
+            "FORECAST revenue WITH TIME COLUMN step HORIZON 3 LAGS [1]"
+        )
+
+
+def test_holiday_integer_day_column_not_picked(engine, spark):
+    """A table whose `day` column is INTEGER must not win the calendar
+    name scan (it previously to_date'd every row to NULL and made the
+    holidays feature a silent no-op)."""
+    spark.sql(
+        "SELECT CAST(id + 1 AS INT) AS day,"
+        " CAST(date_add(DATE'2024-01-01', CAST(id AS INT)) AS DATE) AS dt"
+        " FROM range(5)"
+    ).createOrReplaceTempView("hol_intday")
+    from declarativeml_spark.ml.forecast import _holiday_dates
+
+    dates = _holiday_dates(spark, "hol_intday")
+    assert dates == [
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05",
+    ]
