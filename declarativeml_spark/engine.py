@@ -130,9 +130,17 @@ class Engine:
         if isinstance(stmt, ir.Ensemble):
             from declarativeml_spark.ml.ensemble import create_ensemble
 
-            return create_ensemble(
+            record = create_ensemble(
                 self.spark, stmt.name, stmt.models, stmt.method, base=self.model_dir
             )
+            if stmt.validate_on:
+                # the parsed VALIDATE ON clause was previously dropped
+                # on the floor — the user believed the ensemble was
+                # scored on the holdout while nothing ran
+                record["validation_metrics"] = self._validate_ensemble(
+                    stmt.models, stmt.validate_on
+                )
+            return record
         if isinstance(stmt, ir.DeployModel):
             from declarativeml_spark.ml.ensemble import deploy_model
 
@@ -2591,6 +2599,37 @@ class Engine:
         return df
 
     # -- DEPLOY MODELS (A/B) -----------------------------------------------------
+    def _validate_ensemble(self, members: list, source: str) -> dict:
+        """Score a freshly created ensemble on its VALIDATE ON source
+        and return the standard metric set (keyed by the first
+        member's algorithm family — create_ensemble enforces a shared
+        feature spec, and members of one ensemble share a target)."""
+        from declarativeml_spark.ml.ensemble import score_ensemble
+        from declarativeml_spark.ml.registry import get_algorithm
+        from declarativeml_spark.ml.training import _compute_metrics
+        from declarativeml_spark.plans.builder import build_features
+
+        meta = self._model_meta(members[0][0])
+        if meta is None:
+            raise ValueError(
+                f"No registered model named {members[0][0]!r}"
+            )
+        spec = get_algorithm(meta["algorithm"])
+        df = resolve_source(self.spark, source, True)
+        df = build_features(df, meta["features"]).df
+        label_col = None
+        if spec.kind != "clustering":
+            label_col = "label"
+            ttype = dict(df.dtypes).get(meta["target"])
+            if not (spec.kind == "classification" and ttype == "string"):
+                df = df.withColumn(
+                    label_col, F.col(meta["target"]).cast("double")
+                )
+        scored = score_ensemble(
+            self.spark, members, df, base=self.model_dir
+        )
+        return _compute_metrics(None, df, spec, label_col, scored=scored)
+
     def _deploy_ab(self, stmt: ir.DeployABTest) -> dict:
         from declarativeml_spark.ml.ensemble import _append_record
 

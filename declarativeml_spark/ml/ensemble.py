@@ -39,11 +39,34 @@ def create_ensemble(
     method: str = "weighted_average",
     base: Optional[str] = None,
 ) -> dict:
-    """Register an ensemble (validates members exist)."""
+    """Register an ensemble: validates members exist, weights are
+    usable, and members share ONE feature spec (scoring derives the
+    feature plan from the first member alone — a member trained on
+    different FEATURES would crash or silently mis-score at PREDICT
+    time, far from this statement)."""
+    from declarativeml_spark.ml.models import registry_meta
+
     if method != "weighted_average":
         raise ValueError(f"Unknown ensemble method {method!r}; only weighted_average")
+    if not models:
+        raise ValueError("COMBINE MODELS needs at least one member")
+    if sum(w for _, w in models) <= 0:
+        raise ValueError(
+            "ensemble weights must sum to a positive value (a zero or"
+            " negative total makes every prediction NULL)"
+        )
+    feature_specs = {}
     for mname, _ in models:
         registry_load(spark, mname, base=base)  # raises if missing
+        meta = registry_meta(mname, base=base)
+        feature_specs[mname] = tuple(meta.get("features") or ())
+    distinct = set(feature_specs.values())
+    if len(distinct) > 1:
+        raise ValueError(
+            "ensemble members must share one FEATURES spec — scoring"
+            " derives features from the first member only; got"
+            f" {feature_specs!r}"
+        )
     record = {
         "name": name,
         "version": 1,
@@ -71,6 +94,11 @@ def score_ensemble(
     regardless of member count.
     """
     total_w = sum(w for _, w in members)
+    if not members or total_w <= 0:
+        raise ValueError(
+            "ensemble weights must sum to a positive value (a zero"
+            " total divides every prediction into NULL)"
+        )
     out = df
     member_cols = []
     for i, (mname, w) in enumerate(members):
@@ -93,7 +121,16 @@ def deploy_model(
     base: Optional[str] = None,
 ) -> dict:
     """Flip a model version to deployed status with serving config."""
+    from declarativeml_spark.ml.models import registry_meta
+
     registry_load(spark, model, version=version, base=base)  # validate
+    if version is None:
+        # record the RESOLVED latest live version: a null version in
+        # the status record was read back as version 1 by
+        # registry_meta (marking the wrong version deployed, and
+        # resurrecting it if it was rolled back) and skipped entirely
+        # by version_statuses
+        version = int(registry_meta(model, base=base).get("version") or 1)
     record = {
         "name": model,
         "version": version,
@@ -135,7 +172,20 @@ def ab_route(
             f"traffic split must sum to 100 (percent) or 1.0"
             f" (fractions); got {total!r}"
         )
-    bucket = F.crc32(F.col(key_col).cast("string")) % 100
+    if any(not 0.0 <= s_ <= 100.0 for s_ in split):
+        # [150, -50] sums to 100 but routes 100% to the first model
+        raise ValueError(
+            f"each traffic split entry must be in [0, 100]; got {split!r}"
+        )
+    # NULL keys hash as the empty string: crc32(NULL) is NULL, which
+    # fails every boundary comparison and silently dumped ALL
+    # null-key rows on the LAST variant. Folding to '' keeps routing
+    # deterministic; all null-key rows share one bucket, which is the
+    # honest best available for an unkeyed row (documented cohort
+    # caveat rather than silent last-variant skew).
+    bucket = (
+        F.crc32(F.coalesce(F.col(key_col).cast("string"), F.lit(""))) % 100
+    )
     out = df.withColumn("__bucket", bucket)
     preds = []
     for i, mname in enumerate(models):
@@ -162,7 +212,7 @@ def ab_route(
     return out.drop("__bucket", *preds)
 
 
-def _prediction_drift_psi(pipeline, df, spec, label_col: str) -> float:
+def _prediction_drift_psi(spec, label_col: str, scored) -> float:
     """Population-stability index between the PREDICTED and ACTUAL
     label distributions on the monitored batch — the stored-state-free
     drift proxy behind the reference's ``data_drift EXCEEDS t`` check
@@ -176,7 +226,7 @@ def _prediction_drift_psi(pipeline, df, spec, label_col: str) -> float:
     driver over that bin plane."""
     import math
 
-    pred = pipeline.transform(df).select(
+    pred = scored.select(
         F.col("prediction").cast("double").alias("p"),
         F.col(label_col).cast("double").alias("y"),
     )
@@ -235,21 +285,35 @@ def monitor_model(
     label_col = None
     if spec.kind != "clustering":
         label_col = "label"
-        ttype = dict(df.dtypes).get(target)
-        if not (spec.kind == "classification" and ttype == "string"):
+        # the MODEL decides label materialization, not the monitoring
+        # batch's dtype: a pipeline whose own stage (StringIndexer)
+        # builds `label` during transform must not get a second one
+        # ("label already exists"), and a pipeline trained on a
+        # numeric target needs the cast even when the batch's target
+        # arrives as a string
+        model_builds_label = any(
+            hasattr(st, "getOutputCol") and st.getOutputCol() == "label"
+            for st in pipeline.stages
+        )
+        if not model_builds_label:
             df = df.withColumn(label_col, F.col(target).cast("double"))
-    metrics = _compute_metrics(pipeline, df, spec, label_col)
-    if any(("data_drift" in c) or ("drift_score" in c) for c in checks):
-        # computed only when a check asks (reference DSL.md:155
-        # `data_drift EXCEEDS 0.2`; DSL.md:351 `drift_score > 0.3` —
-        # two spellings, one metric) — two bounded aggregations
-        if spec.kind == "clustering":
-            raise ValueError(
-                "data_drift checks need a supervised model (the drift"
-                " proxy compares predicted vs actual label"
-                " distributions)"
-            )
-        psi = _prediction_drift_psi(pipeline, df, spec, label_col)
+    drift_needed = any(
+        ("data_drift" in c) or ("drift_score" in c) for c in checks
+    )
+    if drift_needed and spec.kind == "clustering":
+        raise ValueError(
+            "data_drift checks need a supervised model (the drift"
+            " proxy compares predicted vs actual label"
+            " distributions)"
+        )
+    # ONE transform: shared by the metric suite and the PSI pass (the
+    # drift path previously re-scored the whole batch a second time)
+    scored = pipeline.transform(df) if drift_needed else None
+    metrics = _compute_metrics(pipeline, df, spec, label_col, scored=scored)
+    if drift_needed:
+        # reference DSL.md:155 `data_drift EXCEEDS 0.2`; DSL.md:351
+        # `drift_score > 0.3` — two spellings, one metric
+        psi = _prediction_drift_psi(spec, label_col, scored=scored)
         metrics["data_drift"] = psi
         metrics["drift_score"] = psi
     results: dict[str, Any] = {"metrics": metrics, "checks": {}}

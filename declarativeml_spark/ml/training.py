@@ -562,14 +562,21 @@ def _make_evaluator(spec: AlgorithmSpec, metric: Optional[str], label_col: Optio
 
 
 def _compute_metrics(
-    model: PipelineModel, eval_df: DataFrame, spec: AlgorithmSpec, label_col: Optional[str]
+    model: PipelineModel,
+    eval_df: DataFrame,
+    spec: AlgorithmSpec,
+    label_col: Optional[str],
+    scored: Optional[DataFrame] = None,
 ) -> Dict[str, float]:
     """Score the standard metric set for the algorithm family.
 
     One transform, cached, multiple evaluator passes — the transform
     output is small (predictions only) relative to training data.
+    ``scored`` lets a caller that already transformed the batch (the
+    monitor's drift path) share that single pass instead of paying a
+    second full scoring run.
     """
-    pred = model.transform(eval_df).cache()
+    pred = (scored if scored is not None else model.transform(eval_df)).cache()
     try:
         out: dict[str, float] = {}
         if spec.kind == "classification":

@@ -211,3 +211,97 @@ def test_retrain_and_rollback(engine, spark):
     # retrain without stored statement fails loudly
     with pytest.raises(ValueError, match="No registered model"):
         engine.execute("RETRAIN MODEL never_trained")
+
+
+def test_deploy_records_resolved_version(engine):
+    """DEPLOY MODEL with no pinned version must record the RESOLVED
+    latest version — a null version was read back as v1, marking the
+    wrong version deployed."""
+    engine.execute(
+        "TRAIN MODEL versioned_m USING logistic_regression(max_iter=5) "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice)"
+    )
+    engine.execute(
+        "TRAIN MODEL versioned_m USING logistic_regression(max_iter=5) "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice)"
+    )  # v2
+    rec = engine.execute("DEPLOY MODEL versioned_m")
+    assert rec["version"] == 2
+    from declarativeml_spark.ml.models import version_statuses
+
+    statuses = version_statuses("versioned_m", engine.model_dir)
+    assert statuses[2] == "deployed"
+    assert statuses.get(1, "registered") != "deployed"
+
+
+def test_ensemble_mismatched_features_rejected(engine):
+    """Members trained on different FEATURES must be refused at CREATE
+    time (scoring derives the feature plan from the first member)."""
+    engine.execute(
+        "TRAIN MODEL feat_other USING logistic_regression(max_iter=5) "
+        "FROM orders_labeled PREDICT expensive"
+        " WITH FEATURES(o_totalprice / 1000, log(o_totalprice + 1))"
+    )
+    with pytest.raises(ValueError, match="share one FEATURES"):
+        engine.execute(
+            "CREATE ENSEMBLE mix_bad FROM COMBINE MODELS"
+            " (base_a WEIGHT 0.5, feat_other WEIGHT 0.5)"
+        )
+
+
+def test_ensemble_zero_weight_sum_rejected(engine):
+    with pytest.raises(ValueError, match="positive"):
+        engine.execute(
+            "CREATE ENSEMBLE zero_w FROM COMBINE MODELS"
+            " (base_a WEIGHT 1.0, base_b WEIGHT -1.0)"
+        )
+
+
+def test_ab_route_null_keys_deterministic(engine, spark):
+    """NULL routing keys fold to the empty string instead of silently
+    landing every null-key row on the LAST variant."""
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.ml.ensemble import ab_route
+
+    df = spark.table("orders_labeled").limit(50).withColumn(
+        "nkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(
+            F.col("o_orderkey")
+        ),
+    )
+    out = ab_route(
+        spark, ["base_a", "base_b"], [50.0, 50.0], df, "nkey",
+        base=engine.model_dir,
+    )
+    null_served = {
+        r.served_by
+        for r in out.filter(F.col("nkey").isNull()).select("served_by").collect()
+    }
+    # all null-key rows share ONE deterministic cohort (crc32(''))
+    assert len(null_served) == 1
+    # crc32('') % 100 == 0 -> first variant, not the silent last-model dump
+    assert null_served == {"base_a"}
+
+
+def test_ab_route_out_of_range_split_rejected(engine, spark):
+    from declarativeml_spark.ml.ensemble import ab_route
+
+    df = spark.table("orders_labeled").limit(5)
+    with pytest.raises(ValueError, match="\\[0, 100\\]"):
+        ab_route(
+            spark, ["base_a", "base_b"], [150.0, -50.0], df, "o_orderkey",
+            base=engine.model_dir,
+        )
+
+
+def test_ensemble_validate_on_scores_holdout(engine, spark):
+    """CREATE ENSEMBLE … VALIDATE ON must actually evaluate on the
+    named source (the parsed clause was previously dropped)."""
+    rec = engine.execute(
+        "CREATE ENSEMBLE combo_v FROM COMBINE MODELS"
+        " (base_a WEIGHT 0.6, base_b WEIGHT 0.4)"
+        " VALIDATE ON orders_labeled"
+    )
+    vm = rec["validation_metrics"]
+    assert "accuracy" in vm and 0.0 <= vm["accuracy"] <= 1.0
