@@ -830,6 +830,7 @@ class Engine:
         A same-named table with a FOREIGN shape is never read as (or
         overwritten by) the registry — same never-clobber-user-data
         discipline as the STORED AS target checks."""
+        self._recover_index_registry_swap()
         if not self.spark.catalog.tableExists(self.INDEX_REGISTRY_TABLE):
             return None
         # the relation cache is PER SESSION: another live session's
@@ -854,12 +855,33 @@ class Engine:
             if r["index_name"] != name
         ]
 
+    def _recover_index_registry_swap(self) -> None:
+        """Crash recovery for the swap-rename window in
+        :meth:`_write_index_registry`: a failure between ``DROP TABLE
+        <registry>`` and ``ALTER TABLE <swap> RENAME`` leaves no
+        registry but a COMPLETE ``__swap`` table. Without recovery the
+        next write's ``_clean_tmp`` would delete that swap — silently
+        losing every stored-index row even though the data survived
+        the crash. Adopt a well-formed orphan by finishing the rename;
+        a foreign-shaped same-named table is left alone (the usual
+        never-clobber discipline — the write path's cleanup owns it)."""
+        t = self.INDEX_REGISTRY_TABLE
+        tmp = f"{t}__swap"
+        if self.spark.catalog.tableExists(t) or not self.spark.catalog.tableExists(tmp):
+            return
+        self.spark.sql(f"REFRESH TABLE {tmp}")
+        if dict(self.spark.table(tmp).dtypes) != self._INDEX_REGISTRY_DTYPES:
+            return
+        self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+        self.spark.sql(f"REFRESH TABLE {t}")
+
     def _write_index_registry(self, rows: list) -> None:
         # callers have already read (and so shape-validated) the
         # registry; only the existence check remains
         import os
         import shutil
 
+        self._recover_index_registry_swap()
         t = self.INDEX_REGISTRY_TABLE
         frame = self.spark.createDataFrame(
             rows, schema=self._INDEX_REGISTRY_SCHEMA
@@ -2615,6 +2637,21 @@ class Engine:
                 f"No registered model named {members[0][0]!r}"
             )
         spec = get_algorithm(meta["algorithm"])
+        if spec.kind == "clustering":
+            # score_ensemble keeps only input columns + the combined
+            # prediction, so the members' assembled 'features' vector
+            # (which ClusteringEvaluator needs) is gone by the time
+            # metrics run — and a weighted average of cluster INDICES
+            # is not a cluster assignment, so silhouette over it would
+            # be meaningless even if the vector survived. Fail loudly
+            # instead of returning {} (the "user believes the holdout
+            # was scored while nothing ran" failure this clause is
+            # here to prevent).
+            raise ValueError(
+                "VALIDATE ON is unsupported for clustering ensembles:"
+                " averaged cluster indices have no silhouette —"
+                " validate each member with EVALUATE MODEL instead"
+            )
         df = resolve_source(self.spark, source, True)
         df = build_features(df, meta["features"]).df
         label_col = None

@@ -101,16 +101,34 @@ def score_ensemble(
         )
     out = df
     member_cols = []
+    # A string-target classification member builds its label via an
+    # in-pipeline StringIndexer (training.py label_materialized=False);
+    # the keep-list below deliberately drops transform-built columns,
+    # which used to drop that label too and VALIDATE ON then selected
+    # a nonexistent 'label'. Preserve the FIRST member's built label
+    # (the metric contract is "keyed by the first member" —
+    # engine._validate_ensemble) under an alias so later members'
+    # indexers can still emit their own 'label' without a duplicate-
+    # column clash, and restore the name at the end.
+    label_aside = None
     for i, (mname, w) in enumerate(members):
         model = registry_load(spark, mname, base=base)
         col = f"__pred_{i}"
         scored = model.transform(out)
         keep = [c for c in scored.columns if c in out.columns] + [prediction_col]
+        if i == 0 and "label" in scored.columns and "label" not in out.columns:
+            keep.append("label")
+            label_aside = "__member0_label"
         out = scored.select(*keep).withColumnRenamed(prediction_col, col)
+        if i == 0 and label_aside:
+            out = out.withColumnRenamed("label", label_aside)
         member_cols.append((col, w))
     combined = sum(F.col(c) * F.lit(w) for c, w in member_cols) / F.lit(total_w)
     out = out.withColumn(prediction_col, combined)
-    return out.drop(*[c for c, _ in member_cols])
+    out = out.drop(*[c for c, _ in member_cols])
+    if label_aside:
+        out = out.withColumnRenamed(label_aside, "label")
+    return out
 
 
 def deploy_model(

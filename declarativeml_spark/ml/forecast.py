@@ -316,34 +316,40 @@ def train_forecast(
             spec.build(est_params, featuresCol="features", labelCol="label"),
         ]
     )
-    model = pipeline.fit(frame)
-    metrics = _compute_metrics(model, frame, spec, "label")
+    # try/finally: a fit/metrics/calibration exception must not leak
+    # the persisted feature plane for the session's lifetime —
+    # everything that reads `frame` is materialized inside the block
+    try:
+        model = pipeline.fit(frame)
+        metrics = _compute_metrics(model, frame, spec, "label")
 
-    trained = TrainedModel(
-        name=stmt.name,
-        # the RESOLVED algorithm, not the alias: registry consumers
-        # (EVALUATE/MONITOR/compare_models) call get_algorithm on this
-        # field, and 'prophet' is not a REGISTRY entry
-        algorithm=alg,
-        version=1,
-        pipeline_model=model,
-        metrics=metrics,
-        features=feats,
-        target=stmt.target,
-    )
-    registry_save(spark, trained, base=model_dir)
-    forecast_df = forecast(spark, model, df, stmt, holiday_dates)
-    if stmt.confidence_levels:
-        bands = _residual_bands(
-            model, pipeline, frame, stmt, stmt.confidence_levels
+        trained = TrainedModel(
+            name=stmt.name,
+            # the RESOLVED algorithm, not the alias: registry
+            # consumers (EVALUATE/MONITOR/compare_models) call
+            # get_algorithm on this field, and 'prophet' is not a
+            # REGISTRY entry
+            algorithm=alg,
+            version=1,
+            pipeline_model=model,
+            metrics=metrics,
+            features=feats,
+            target=stmt.target,
         )
-        for p in stmt.confidence_levels:
-            lo_off, hi_off = bands[p]
-            tag = int(round(p * 100))
-            forecast_df = forecast_df.withColumn(
-                f"lo_{tag}", F.col("forecast") + F.lit(lo_off)
-            ).withColumn(f"hi_{tag}", F.col("forecast") + F.lit(hi_off))
-    frame.unpersist()  # everything downstream is materialized by now
+        registry_save(spark, trained, base=model_dir)
+        forecast_df = forecast(spark, model, df, stmt, holiday_dates)
+        if stmt.confidence_levels:
+            bands = _residual_bands(
+                model, pipeline, frame, stmt, stmt.confidence_levels
+            )
+            for p in stmt.confidence_levels:
+                lo_off, hi_off = bands[p]
+                tag = int(round(p * 100))
+                forecast_df = forecast_df.withColumn(
+                    f"lo_{tag}", F.col("forecast") + F.lit(lo_off)
+                ).withColumn(f"hi_{tag}", F.col("forecast") + F.lit(hi_off))
+    finally:
+        frame.unpersist()
     return trained, forecast_df
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from declarativeml_spark.operators import textops as T
+from declarativeml_spark.operators.caching import track_persist
 
 
 def _ensure_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
@@ -139,12 +140,17 @@ def streaming_decontam(
     # on EVERY micro-batch — without the persist a 1s-trigger ingest
     # re-tokenizes and re-hashes the whole benchmark forever.
     # collect_set already deduplicates, so no .distinct() pre-pass.
+    # track_persist gives the plane an owner when a tracking scope is
+    # active (engine statement / bench capture); standalone callers
+    # own it themselves — unpersist it when the streaming query stops,
+    # or repeated builds in one long session pin a plane each
+    # (unpersist mid-stream is safe: the next micro-batch recomputes).
     bench_row = (
         benchmark.withColumn("hs", fp)
         .select(F.explode("hs").alias("h"))
         .agg(F.array_sort(F.collect_set("h")).alias("bench_hs"))
         .withColumn("j", F.lit(1))
-        .persist()
+        .transform(track_persist)
     )
     # NULL text → NULL hs; coalesce like the batch twin
     # (corpus.py benchmark_overlap) so the flag is false, not NULL —
@@ -433,8 +439,10 @@ def streaming_semantic_decontam(
         .filter(F.size("bench") > 0)
         .withColumn("j", F.lit(1))
         # persisted: the static side re-executes every micro-batch
-        # otherwise (same reason as streaming_decontam's bench_row)
-        .persist()
+        # otherwise (same reason as streaming_decontam's bench_row,
+        # same ownership contract: scope-tracked when one is active,
+        # else the caller unpersists on query stop)
+        .transform(track_persist)
     )
     cos = (
         f"({_DOT_S.format(a='ce', b='b.qe')}"

@@ -534,3 +534,27 @@ def test_cold_recreate_same_stored_index_rebuilds(spark, smoke_dir, warm):
         assert out.count() > 0
     finally:
         e2.execute("DROP INDEX recr_idx")
+
+
+def test_interrupted_swap_rename_recovers_registry(warm, spark):
+    """Crash recovery for _write_index_registry's swap window: a
+    failure between DROP TABLE <registry> and the rename leaves no
+    registry but a complete __swap table. The next read must adopt
+    the orphan (finish the rename) instead of letting the next
+    write's _clean_tmp silently delete every stored-index row."""
+    eng = warm
+    rows_before = eng._read_index_registry()
+    assert rows_before  # cold_idx + cold_ivf rows from the fixture
+    t = eng.INDEX_REGISTRY_TABLE
+    tmp = f"{t}__swap"
+    # simulate the crash: swap fully written, registry dropped,
+    # rename never ran
+    spark.table(t).write.saveAsTable(tmp)
+    spark.sql(f"DROP TABLE {t}")
+    rows_after = eng._read_index_registry()
+    assert rows_after is not None
+    assert sorted(r["index_name"] for r in rows_after) == sorted(
+        r["index_name"] for r in rows_before
+    )
+    assert spark.catalog.tableExists(t)
+    assert not spark.catalog.tableExists(tmp)

@@ -567,3 +567,30 @@ def test_holiday_integer_day_column_not_picked(engine, spark):
     assert dates == [
         "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05",
     ]
+
+
+def test_forecast_unpersists_feature_plane_on_failure(
+    engine, spark, monkeypatch
+):
+    """A fit/metrics/calibration exception must release the persisted
+    feature plane (round-9 advice) — previously only the success path
+    unpersisted, leaking one plane per failed TRAIN … FORECAST for
+    the session's lifetime."""
+    import declarativeml_spark.ml.training as tr
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+    def boom(*a, **k):
+        raise RuntimeError("metrics exploded")
+
+    # train_forecast imports _compute_metrics at call time from
+    # ml.training — patch it at the source
+    monkeypatch.setattr(tr, "_compute_metrics", boom)
+    with pytest.raises(RuntimeError, match="metrics exploded"):
+        engine.execute(
+            "TRAIN MODEL rev_fc_leak USING linear_regression"
+            " FROM daily_revenue FORECAST revenue WITH TIME COLUMN day"
+            " HORIZON 3"
+        )
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    assert after <= before, "failed forecast leaked persisted frames"

@@ -305,3 +305,49 @@ def test_ensemble_validate_on_scores_holdout(engine, spark):
     )
     vm = rec["validation_metrics"]
     assert "accuracy" in vm and 0.0 <= vm["accuracy"] <= 1.0
+
+
+def test_ensemble_validate_on_string_target(engine, spark):
+    """VALIDATE ON with a STRING-target classification ensemble: the
+    members' in-pipeline StringIndexer builds the label during
+    transform, and score_ensemble must preserve the first member's
+    built label instead of dropping it with the other transform
+    columns (which made _compute_metrics select a nonexistent
+    'label' after the ensemble record was already registered)."""
+    engine.execute(
+        "TRAIN MODEL str_a USING logistic_regression(max_iter=5) "
+        "FROM orders_labeled PREDICT o_orderstatus "
+        "WITH FEATURES(o_totalprice)"
+    )
+    engine.execute(
+        "TRAIN MODEL str_b USING decision_tree(max_depth=3) "
+        "FROM orders_labeled PREDICT o_orderstatus "
+        "WITH FEATURES(o_totalprice)"
+    )
+    rec = engine.execute(
+        "CREATE ENSEMBLE combo_str FROM COMBINE MODELS"
+        " (str_a WEIGHT 0.5, str_b WEIGHT 0.5)"
+        " VALIDATE ON orders_labeled"
+    )
+    vm = rec["validation_metrics"]
+    assert "accuracy" in vm and 0.0 <= vm["accuracy"] <= 1.0
+
+
+def test_ensemble_validate_on_clustering_rejected(engine):
+    """Clustering ensembles cannot be holdout-validated (averaged
+    cluster indices have no silhouette); VALIDATE ON must fail
+    loudly instead of silently returning no metrics."""
+    engine.execute(
+        "TRAIN MODEL km_a USING kmeans(k=2) "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice)"
+    )
+    engine.execute(
+        "TRAIN MODEL km_b USING kmeans(k=3) "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice)"
+    )
+    with pytest.raises(ValueError, match="clustering ensembles"):
+        engine.execute(
+            "CREATE ENSEMBLE combo_km FROM COMBINE MODELS"
+            " (km_a WEIGHT 0.5, km_b WEIGHT 0.5)"
+            " VALIDATE ON orders_labeled"
+        )

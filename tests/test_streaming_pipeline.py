@@ -1026,3 +1026,26 @@ def test_streaming_decontam_null_text_matches_batch(spark, smoke_dir, tmp_path):
     null_rows = [r for r in got if r[0] == 999_999]
     assert null_rows and null_rows[0][3] is False
     assert null_rows[0][2] == 0
+
+
+def test_decontam_static_planes_are_scope_tracked(spark, smoke_dir):
+    """The persisted static benchmark planes must be OWNED when a
+    tracking scope is active (engine statement / bench capture) —
+    repeated builds in a long-lived session otherwise pin a
+    broadcast-side plane each (round-9 advice)."""
+    from declarativeml_spark.operators.caching import capture, release_all
+    from declarativeml_spark.streaming.pipeline import (
+        streaming_decontam,
+        streaming_semantic_decontam,
+    )
+
+    docs = load_table(spark, smoke_dir, "documents")
+    emb = load_table(spark, smoke_dir, "embeddings")
+    with capture() as frames:
+        streaming_decontam(docs.limit(10), docs.limit(5))
+        streaming_semantic_decontam(emb.limit(10), emb.limit(5))
+    # one persisted benchmark plane per builder
+    assert len(frames) == 2
+    assert all(f.storageLevel.useMemory for f in frames)
+    release_all(frames)
+    assert all(not f.storageLevel.useMemory for f in frames)
