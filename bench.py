@@ -15,6 +15,41 @@ import sys
 import time
 
 
+def calibration_probe(spark) -> dict:
+    """Fixed synthetic host-state probes (round-9 verdict ask #7):
+    one pure-codegen scan and one 32-partition shuffle over generated
+    data, each sized to ~1s on a healthy host. Run before AND after
+    the query sweep so cross-round mover adjudication becomes
+    arithmetic — a query's round-over-round ratio divided by the
+    matching probe ratio separates host drift from code regressions.
+    The probes read no files and share no state with the queries, so
+    their wall time moves ONLY with host/JVM conditions."""
+    def codegen():
+        # whole-stage-codegen arithmetic over a generated range — no
+        # IO, no exchange; tracks CPU/JIT/steal state
+        spark.range(0, 3_000_000_000, 1, 32).selectExpr(
+            "sum((id % 100000) * 3 + id % 7) AS s"
+        ).collect()
+
+    def shuffle():
+        # one 32-partition hash exchange + agg over generated keys;
+        # tracks shuffle/disk/memory-pressure state
+        spark.range(0, 24_000_000, 1, 32).selectExpr(
+            "id % 1000000 AS k", "id AS v"
+        ).groupBy("k").agg({"v": "sum"}).selectExpr(
+            "count(*) AS n"
+        ).collect()
+
+    probes = {}
+    for key, fn in (("codegen_scan_s", codegen), ("shuffle_32p_s", shuffle)):
+        fn()  # untimed warm lap: the probe must measure the HOST, not
+        # its own first-call JIT/codegen compile, wherever it runs
+        t0 = time.perf_counter()
+        fn()
+        probes[key] = round(time.perf_counter() - t0, 3)
+    return probes
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -74,6 +109,9 @@ def main() -> int:
         print(f"# {name}: {t:.3f}s ({n} rows)", file=sys.stderr)
         return t
 
+    probe_before = calibration_probe(spark)
+    print(f"# probe before: {probe_before}", file=sys.stderr)
+
     timings: dict[str, float] = {name: run_once(name) for name in names}
 
     # The host's wall clock is bursty (IO/steal spikes inflate a query
@@ -88,6 +126,9 @@ def main() -> int:
             print(f"# re-measuring outlier {name}", file=sys.stderr)
             timings[name] = min(timings[name], run_once(name))
 
+    probe_after = calibration_probe(spark)
+    print(f"# probe after: {probe_after}", file=sys.stderr)
+
     m = re.search(r"sf([0-9.]+)", args.sf_dir)
     sf = float(m.group(1)) if m else None
     total = round(sum(timings.values()), 3)
@@ -98,7 +139,14 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(timings),
     }
-    full = {**summary, "queries": timings}
+    full = {
+        **summary,
+        "queries": timings,
+        # host-state calibration (see calibration_probe): compare a
+        # flagged query's round-over-round ratio against these probes'
+        # ratio before calling it a code regression
+        "probes": {"before": probe_before, "after": probe_after},
+    }
     # Adjudications of flagged cross-round regressions (re-measured in
     # isolation per the round-5 verdict; see git history for the raw
     # numbers). Kept in the artifact so the judge's diff reads them.
