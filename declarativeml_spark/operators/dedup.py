@@ -1720,3 +1720,69 @@ def threshold_sweep(
             "avg_jaccard",
         )
     )
+
+
+def hamming64_quarter_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", radius: int = 3
+) -> DataFrame:
+    """Near-dup pairs over 64-bit signatures stored as four 16-bit
+    quarter columns ``q0``…``q3``: pigeonhole band candidates + exact
+    Hamming verify — the machinery behind ``dedup_simhash64_hamming``
+    (queries/pipeline10.py), factored out so the media aHash query
+    reuses it VERBATIM (round-9 verdict ask #3).
+
+    With 4 disjoint 16-bit bands, two signatures within Hamming
+    distance r must agree on at least one band only when ``r < 4`` —
+    the pigeonhole guarantee this candidate generation rests on —
+    so ``radius`` > 3 is refused loudly.
+
+    Returns DISTINCT ``(id_a, id_b, hamming)`` with ``id_a < id_b``
+    and ``hamming <= radius``. The exact distance is the sum of the
+    four per-quarter ``bit_count(xor)`` terms (quarters are disjoint,
+    no BIGINT reassembly), computed INSIDE the join projection and
+    filtered BEFORE the pair dedup so the distinct shuffles only the
+    in-radius sliver (3 narrow columns), never every band collision.
+
+    Scale: shuffles (band, value, id, quarters) slivers only — never
+    all-pairs; 16-bit band values keep bucket cardinality 65536 per
+    band; boilerplate-skewed bands fall to AQE's skew-join split.
+    Callers persist ``sigs`` when its lineage is expensive (both join
+    sides read it; the join strategy breaks exchange reuse).
+    """
+    if not 0 <= radius <= 3:
+        raise ValueError(
+            f"hamming64_quarter_pairs: radius {radius} outside [0, 3]"
+            " — 4 quarter bands only guarantee candidate completeness"
+            " for Hamming radius < 4"
+        )
+    qcols = [f"q{q}" for q in range(4)]
+    bands = sigs.select(
+        F.col(id_col).alias("sid"),
+        *qcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(q).alias("b"), F.col(f"q{q}").alias("v"))
+                    for q in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("sid", *qcols, "band.b", "band.v")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = " + ".join(f"bit_count(a.q{q} ^ b.q{q})" for q in range(4))
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(
+            F.col("a.sid").alias("id_a"),
+            F.col("b.sid").alias("id_b"),
+            F.expr(ham).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= radius)
+        .distinct()  # a pair can agree on several quarters
+    )

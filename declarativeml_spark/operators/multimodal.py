@@ -1215,3 +1215,89 @@ def resize_decode_features(
             yield pd.DataFrame({"media_id": pdf[id_col], "features": feats})
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing: 8x8 mean-threshold average-hash (aHash) over
+# PPM luma — the first stage of media near-dup detection (round-9
+# verdict ask #3). The 64-bit signature comes out as four 16-bit
+# quarter columns so the near-dup join reuses the SimHash quarter-band
+# Hamming machinery VERBATIM (operators/dedup.py::
+# hamming64_quarter_pairs).
+
+# integer Rec.601-style luma in pure integer arithmetic — the SAME
+# closed form a SQL oracle can evaluate from synthesized pixel values
+_AHASH_SIDE = 8  # 8x8 grid -> 64 bits
+
+
+def ahash64_quarters(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-file 64-bit aHash of a PPM payload as four 16-bit quarter
+    columns ``q0``…``q3``.
+
+    Pipeline per payload (all exact integer math so a DuckDB oracle
+    replays it from the synth closed form, like multimodal_ppm_stats):
+
+    1. parse the P6 header (:func:`_parse_ppm_header` — one shared
+       parser, comment-aware);
+    2. nearest-neighbor resample to 8x8 via the ONE index rule
+       (:func:`_nn_index`, shared with :func:`resize_ppm`);
+    3. integer luma ``(299·r + 587·g + 114·b) // 1000`` per cell;
+    4. threshold at the floor mean (``sum // 64``): bit i (row-major
+       cell i) is 1 iff ``luma_i > mean``;
+    5. quarter q packs bits ``16q … 16q+15`` with weight ``1 << j``
+       (j the in-quarter offset).
+
+    Scale: map-only Arrow stage; payload bytes never leave the
+    executor — 4 ints per file cross the Python boundary. The
+    downstream banding join shuffles (band, value, id, quarters)
+    slivers only, the simhash64 shuffle profile.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False)]
+        + [T.StructField(f"q{q}", T.IntegerType(), True) for q in range(4)]
+    )
+    side = _AHASH_SIDE
+    weights = 1 << np.arange(16, dtype=np.int64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": pd.array(pdf[id_col], dtype="int64")}
+            qcols: list[list[int]] = [[] for _ in range(4)]
+            for b in pdf[payload_col]:
+                payload = bytes(b) if b is not None else b""
+                w0, h0, maxval, pos = _parse_ppm_header(payload)
+                dt = ">u2" if maxval > 255 else np.uint8
+                need = w0 * h0 * 3 * (2 if maxval > 255 else 1)
+                if len(payload) - pos < need:
+                    raise ValueError(
+                        f"truncated PPM pixel data"
+                        f" ({len(payload) - pos}/{need}B)"
+                    )
+                px = np.frombuffer(
+                    payload, dtype=dt, count=w0 * h0 * 3, offset=pos
+                ).reshape(h0, w0, 3)
+                ys, xs = _nn_index(side, h0), _nn_index(side, w0)
+                g = px[ys][:, xs].astype(np.int64)
+                luma = (
+                    299 * g[..., 0] + 587 * g[..., 1] + 114 * g[..., 2]
+                ) // 1000
+                flat = luma.reshape(side * side)
+                mean = int(flat.sum()) // (side * side)
+                bits = (flat > mean).astype(np.int64)
+                for q in range(4):
+                    qcols[q].append(
+                        int((bits[16 * q : 16 * q + 16] * weights).sum())
+                    )
+            for q in range(4):
+                rows[f"q{q}"] = pd.array(qcols[q], dtype="int32")
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col).alias(id_col), payload_col
+    ).mapInPandas(batches, schema=out_schema)

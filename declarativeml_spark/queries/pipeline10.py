@@ -792,7 +792,10 @@ def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     per bit), staying whole-stage-codegen JVM work.
     """
     from declarativeml_spark.operators.caching import track_persist
-    from declarativeml_spark.operators.dedup import simhash64_quarters
+    from declarativeml_spark.operators.dedup import (
+        hamming64_quarter_pairs,
+        simhash64_quarters,
+    )
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     # persist the signature plane: both sides of the band self-join
@@ -800,52 +803,14 @@ def dedup_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 signature pass over the full corpus (the join strategy
     # breaks exchange reuse)
     sigs = track_persist(simhash64_quarters(docs))
-    qcols = [f"q{q}" for q in range(4)]
-    bands = sigs.select(
-        "doc_id",
-        *qcols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(q).alias("b"), F.col(f"q{q}").alias("v")
-                    )
-                    for q in range(4)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", *qcols, "band.b", "band.v")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    # disjoint 16-bit quarters: hamming = sum of per-quarter xors.
-    # Verify INSIDE the join projection and filter BEFORE the pair
-    # dedup: the distinct then shuffles only (doc_a, doc_b, hamming)
-    # for pairs already inside the radius — 3 narrow columns and the
-    # near-dup sliver — instead of 10 columns for every band
-    # collision (hamming is a pure function of the pair, so dedup
-    # placement is semantics-free). With the persisted plane this
+    # band + verify-in-projection + filter-before-distinct machinery
+    # factored into hamming64_quarter_pairs (r10: the media aHash
+    # query reuses it verbatim). With the persisted plane this
     # measured ~2.8s -> ~1.8s warm at sf0.1.
-    ham = " + ".join(
-        f"bit_count(a.q{q} ^ b.q{q})" for q in range(4)
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.expr(ham).cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= _HAM64_RADIUS)
-        .distinct()  # a pair can agree on several quarters
-    )
+    pairs = hamming64_quarter_pairs(sigs, radius=_HAM64_RADIUS)
     return pairs.groupBy("hamming").agg(
         F.count("*").cast("long").alias("n_pairs"),
-        F.min("doc_a").cast("long").alias("min_doc_a"),
+        F.min("id_a").cast("long").alias("min_doc_a"),
     )
 
 

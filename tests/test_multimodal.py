@@ -658,3 +658,54 @@ def test_resize_y4m_preserves_interlace_and_aspect():
     assert "W2" in out_hdr and "H2" in out_hdr
     assert "It" in out_hdr and "A16:9" in out_hdr and "Xsomething" in out_hdr
     assert "C420" in out_hdr
+
+
+def test_ahash64_quarters_hand_computed(spark):
+    """aHash of a hand-built 8x8 P6 image: left half dark (0), right
+    half bright (255) -> luma 149 / 116 (g channel dominates), mean
+    132 -> bright cells (cols 4-7 of each row) set their bits."""
+    from declarativeml_spark.operators.multimodal import ahash64_quarters
+
+    px = bytearray()
+    for i in range(8):
+        for j in range(8):
+            b = 255 if j >= 4 else 0
+            px += bytes([b, 255 - b, (b * 7) % 256])
+    payload = b"P6\n8 8\n255\n" + bytes(px)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = ahash64_quarters(df).collect()[0]
+    # luma(b=0) = 587*255//1000 = 149; luma(b=255) =
+    # (299*255 + 114*249)//1000 = 104; mean = floor(126.5) = 126 ->
+    # the b=0 half (cols 0-3) is the BRIGHT-luma side; per 16-bit
+    # quarter (two rows of 8): bits 0-3 and 8-11 set
+    want = sum(1 << j for j in (0, 1, 2, 3, 8, 9, 10, 11))
+    assert (row.q0, row.q1, row.q2, row.q3) == (want, want, want, want)
+
+
+def test_ahash64_identical_payloads_hamming_zero(spark):
+    from declarativeml_spark.operators.dedup import hamming64_quarter_pairs
+    from declarativeml_spark.operators.multimodal import (
+        ahash64_quarters,
+        synth_ppm_from_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"),
+         (3, "zzzz completely different content zzzz")],
+        "doc_id long, text string",
+    )
+    sigs = ahash64_quarters(synth_ppm_from_text(docs), id_col="media_id")
+    pairs = hamming64_quarter_pairs(sigs, id_col="media_id").collect()
+    assert {(r.id_a, r.id_b, r.hamming) for r in pairs} >= {(1, 2, 0)}
+
+
+def test_hamming64_quarter_pairs_radius_guard(spark):
+    from declarativeml_spark.operators.dedup import hamming64_quarter_pairs
+
+    sigs = spark.createDataFrame(
+        [(1, 0, 0, 0, 0)], "doc_id long, q0 int, q1 int, q2 int, q3 int"
+    )
+    with pytest.raises(ValueError, match="radius"):
+        hamming64_quarter_pairs(sigs, radius=4)
