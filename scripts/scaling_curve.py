@@ -67,6 +67,15 @@ QUERIES = [
     "ann_pq_recall",
     "dedup_simhash64_hamming",
     "events_scd2_merge_upsert",
+    # r10: media-payload dedup over the bounded 48-file PPM lake
+    # (flat curves expected — the fixture is SF-independent; the rows
+    # prove the read->hash->band plumbing carries no hidden SF term),
+    # and the 128-hash MinHash plane at the calibrated (8,16) split
+    # (expect alpha ~ the 8-hash plane's: candidate volume stays
+    # banding-gated at 16x the hashing width)
+    "media_dedup_exact",
+    "media_phash_hamming",
+    "dedup_minhash128_pairs",
 ]
 
 
