@@ -151,6 +151,19 @@ def main() -> int:
     # isolation per the round-5 verdict; see git history for the raw
     # numbers). Kept in the artifact so the judge's diff reads them.
     full["notes"] = {
+        "dedup_minhash128_pairs": (
+            "NEW in r10 — the deployment-width plane, priced up"
+            " front: 16x the 8-hash plane's hashing (32 salted-md5"
+            " passes/shingle vs 2) makes the corpus-proportional CPU"
+            " real, so unlike the overhead-dominated 8-hash query its"
+            " SCALING_CURVE leg is alpha 0.82 (approaching linear,"
+            " as data-proportional work should; quadratic would be"
+            " ~2). sf0.1: 15.5s cold / 4.0-4.7s warm in-session;"
+            " candidate volume stays banding-gated (255 pairs =="
+            " the calibration's ~256 expected), so the verify join"
+            " never sees the quadratic space — the executed shape is"
+            " the deliverable, per the r9 ask"
+        ),
         "nb_lang_confusion": (
             "r10 adjudication (the one r9 mover isolation did not"
             " clear): SF sweep, 4 warm in-session runs each, probes"
