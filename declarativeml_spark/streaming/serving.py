@@ -75,3 +75,150 @@ def serve_model_stream(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def measure_serving_latency(
+    spark: SparkSession,
+    model_name: str,
+    *,
+    rows_per_second: int = 1000,
+    duration_s: float = 10.0,
+    trigger_seconds: float = 0.05,
+    warmup_s: float = 2.0,
+    base: Optional[str] = None,
+    feature_exprs: Optional[dict] = None,
+) -> dict:
+    """Measure the serving endpoint against the reference's deploy
+    config (reference: DSL.md:62-63 — ``max_latency: 50ms``,
+    ``throughput: 1000 rps``): drive the scoring pipeline from the
+    RATE source at ``rows_per_second`` and report per-record p50/p99
+    latency and sustained rows/s.
+
+    Latency definition (the end-to-end one a serving SLA means): for
+    each record, sink-visible completion wall-clock minus the rate
+    source's per-row generation ``timestamp`` — so it includes
+    micro-batch queueing (up to one trigger interval), scheduling,
+    feature derivation, and model scoring. Measured in a
+    ``foreachBatch`` sink on the driver; the first ``warmup_s``
+    seconds are excluded from the percentile/throughput stats (JVM
+    codegen + first-batch model broadcast dominate them — reported
+    separately as ``cold_p99_ms``).
+
+    ``feature_exprs``: mapping of column -> SQL expression over the
+    rate source's ``(timestamp, value)`` columns, materialized before
+    the model's own feature build (models trained on real tables need
+    their input columns synthesized from ``value``).
+
+    Returns a dict with ``n_rows``, ``rows_per_s``, ``p50_ms``,
+    ``p99_ms``, ``max_ms``, ``meets_latency_50ms`` (p99 <= 50),
+    ``meets_throughput_1000rps``, plus the raw config — the artifact
+    BASELINE.md records.
+
+    Scale: the scoring pipeline is stateless per row; on a cluster
+    the same topology fans the rate (or Kafka) source across
+    executors, so the single-box number here is the per-core floor,
+    not the ceiling.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    model = registry_load(spark, model_name, base=base)
+    from declarativeml_spark.ml.models import registry_meta
+
+    features = registry_meta(model_name, base=base).get("features")
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    for col, expr in (feature_exprs or {}).items():
+        stream = stream.withColumn(col, F.expr(expr))
+    if features:
+        from declarativeml_spark.plans.builder import build_features
+
+        stream = build_features(stream, features).df
+    scored = model.transform(stream)
+
+    lat_batches: list = []  # (arrival_epoch, [gen_epoch, ...])
+
+    def sink(batch_df, _bid) -> None:
+        pdf = batch_df.select("timestamp", "prediction").toPandas()
+        arrival = _time.time()  # AFTER materialization: end-to-end
+        if len(pdf):
+            if not pdf["prediction"].notna().all():
+                raise ValueError("serving produced NULL predictions")
+            gens = (
+                pdf["timestamp"].astype("int64") / 1e9
+            ).tolist()  # ns -> s
+            lat_batches.append((arrival, gens))
+
+    q = (
+        scored.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+    t0 = _time.time()
+    try:
+        while _time.time() - t0 < duration_s:
+            _time.sleep(0.1)
+    finally:
+        q.stop()
+
+    cold: list = []
+    steady: list = []
+    steady_arrivals: list = []
+    cut = t0 + warmup_s
+    for arrival, gens in lat_batches:
+        for g in gens:
+            lat = (arrival - g) * 1000.0
+            if g < cut:
+                cold.append(lat)
+            else:
+                steady.append(lat)
+                steady_arrivals.append(arrival)
+
+    def pct(xs: list, p: float) -> Optional[float]:
+        if not xs:
+            return None
+        xs = sorted(xs)
+        i = min(len(xs) - 1, int(round(p * (len(xs) - 1))))
+        return round(xs[i], 2)
+
+    # sustained throughput = COMPLETED rows over the completion span
+    # (generation timestamps would measure the source's rate, not the
+    # pipeline's — a backlogged pipeline still "generates" 1000 rps)
+    span = (
+        (max(steady_arrivals) - min(steady_arrivals))
+        if len(steady_arrivals) > 1
+        else None
+    )
+    rows_per_s = (
+        round((len(steady) - 1) / span, 1) if span and span > 0 else None
+    )
+    out = {
+        "config": {
+            "rows_per_second": rows_per_second,
+            "duration_s": duration_s,
+            "trigger_seconds": trigger_seconds,
+            "warmup_s": warmup_s,
+        },
+        "n_rows": len(steady),
+        "n_rows_cold": len(cold),
+        "rows_per_s": rows_per_s,
+        "p50_ms": pct(steady, 0.50),
+        "p99_ms": pct(steady, 0.99),
+        "max_ms": pct(steady, 1.0),
+        "cold_p99_ms": pct(cold, 0.99),
+        "target_latency_ms": 50.0,
+        "target_rps": 1000.0,
+    }
+    out["meets_latency_50ms"] = (
+        out["p99_ms"] is not None and out["p99_ms"] <= 50.0
+    )
+    out["meets_throughput_1000rps"] = (
+        rows_per_s is not None and rows_per_s >= 1000.0 * 0.95
+    )
+    return out

@@ -121,3 +121,35 @@ def test_registry_load_refuses_fully_rolled_back(spark, served):
         registry_load(spark, "rollback_all", base=model_dir)
     # pinning still works as the explicit override
     assert registry_load(spark, "rollback_all", version=1, base=model_dir)
+
+
+def test_measure_serving_latency_harness(spark, served):
+    """The DSL.md:62-63 measurement harness (BASELINE.md round-10
+    block): drives the endpoint from the rate source and reports
+    per-record p50/p99 + sustained rows/s. Short run — asserts the
+    harness's accounting, not the SLA (the measured numbers and the
+    pass/fail verdict live in BASELINE.md)."""
+    from declarativeml_spark.streaming.serving import (
+        measure_serving_latency,
+    )
+
+    engine, model_dir = served
+    res = measure_serving_latency(
+        spark,
+        "serve_clf",
+        rows_per_second=500,
+        duration_s=7.0,
+        trigger_seconds=0.05,
+        warmup_s=3.0,
+        base=model_dir,
+        feature_exprs={"o_totalprice": "CAST(value % 300000 AS DOUBLE)"},
+    )
+    assert res["n_rows"] > 0
+    assert res["p50_ms"] is not None and res["p50_ms"] > 0
+    assert res["p99_ms"] >= res["p50_ms"]
+    assert res["max_ms"] >= res["p99_ms"]
+    # steady state must keep up with the offered 500 rps (no backlog)
+    assert res["rows_per_s"] is not None and res["rows_per_s"] > 400
+    assert res["target_latency_ms"] == 50.0
+    assert isinstance(res["meets_latency_50ms"], bool)
+    assert res["meets_throughput_1000rps"] in (True, False)
