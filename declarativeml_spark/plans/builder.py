@@ -103,38 +103,63 @@ class FeaturePlan:
     df: DataFrame
     input_cols: List[str]
     stages: List[Transformer] = field(default_factory=list)
-    feature_names: List[str] = field(default_factory=list)
+
+
+# VectorAssembler-native column types: passed through by NAME (so
+# feature-importance labels keep the user's column name); anything
+# else (string, date, …) is materialized as a cast-to-double column —
+# previously a string-typed numeric column crashed as a bare feature
+# while working fine as an expression.
+_ASSEMBLABLE = {
+    "tinyint", "smallint", "int", "bigint",
+    "float", "double", "boolean", "vector",
+}
 
 
 def build_features(df: DataFrame, features: List[str]) -> FeaturePlan:
     """Materialize feature expressions as columns and pipeline stages."""
     input_cols: list[str] = []
     stages: list[Any] = []
-    names: list[str] = []
+    dtypes = dict(df.dtypes)
 
     for i, feat in enumerate(features):
         ast = parse_feature_expr(feat)
-        marker_inner = _unwrap_marker(ast)
-        if marker_inner is not None:
-            df, col_name, extra = _build_transformer_feature(df, marker_inner, i)
+        unwrapped = _unwrap_marker(ast)
+        if unwrapped is not None:
+            marker, marker_inner = unwrapped
+            df, col_name, extra = _build_transformer_feature(
+                df, marker, marker_inner, i
+            )
             stages.extend(extra)
             input_cols.append(col_name)
-            names.append(feat)
             continue
         if isinstance(ast, Identifier) and len(ast.parts) == 1:
-            input_cols.append(ast.parts[0])
-            names.append(feat)
+            name = ast.parts[0]
+            dt = dtypes.get(name)
+            if dt is None or dt in _ASSEMBLABLE or dt.startswith("decimal"):
+                input_cols.append(name)
+                continue
+            # fall through: cast the non-assemblable column like any
+            # expression feature
+            ast_sql = ast.to_spark_sql()
+            col_name = f"__feat_{i}"
+            df = df.withColumn(col_name, F.expr(ast_sql).cast("double"))
+            input_cols.append(col_name)
             continue
         col_name = f"__feat_{i}"
         df = df.withColumn(col_name, F.expr(ast.to_spark_sql()).cast("double"))
         input_cols.append(col_name)
-        names.append(feat)
 
-    return FeaturePlan(df=df, input_cols=input_cols, stages=stages, feature_names=names)
+    return FeaturePlan(df=df, input_cols=input_cols, stages=stages)
 
 
-def _unwrap_marker(ast: FeatureExpr) -> Optional[FeatureExpr]:
-    """Return the inner expression of TRANSFORM(...)/DERIVED(...), else None."""
+def _unwrap_marker(ast: FeatureExpr) -> Optional[tuple]:
+    """Return ``(marker, inner_expr)`` for TRANSFORM(...)/DERIVED(...),
+    else None. The marker name travels along because the two differ in
+    dispatch: TRANSFORM names one of the known MLlib transformer
+    functions (a typo there must fail loudly), while DERIVED wraps an
+    arbitrary expression (``DERIVED log(amt)`` is a computed column,
+    not a transformer lookup)."""
     if (
         isinstance(ast, Call)
         and len(ast.func.parts) == 1
@@ -142,19 +167,69 @@ def _unwrap_marker(ast: FeatureExpr) -> Optional[FeatureExpr]:
         and len(ast.args) == 1
         and not ast.kwargs
     ):
-        return ast.args[0]
+        return ast.func.parts[0].upper(), ast.args[0]
     return None
 
 
+def _lag_periods(periods_node) -> list[int]:
+    """Validate and normalize the ``periods`` argument: a number or a
+    NON-EMPTY list of integer-valued numbers. Degenerate inputs fail
+    loudly — an empty list silently trained on lag-1, a negative or
+    fractional period either crashed with a raw AttributeError or
+    truncated to a different lag than the user wrote."""
+
+    def one(node) -> int:
+        v = getattr(node, "value", None)
+        if not isinstance(v, (int, float)) or v != int(v):
+            raise ValueError(
+                "time_series.lag periods must be integer-valued"
+                f" numbers, got {getattr(node, 'value', node)!r}"
+            )
+        p = int(v)
+        if p < 1:
+            raise ValueError(
+                f"time_series.lag period must be >= 1, got {p}"
+            )
+        return p
+
+    if periods_node is None:
+        return [1]
+    if hasattr(periods_node, "items"):  # list literal [1, 7, 28]
+        if not periods_node.items:
+            raise ValueError(
+                "time_series.lag periods => [] names no lag at all —"
+                " pass at least one period (substituting lag-1 here"
+                " would train on a feature the user never wrote)"
+            )
+        return [one(n) for n in periods_node.items]
+    if hasattr(periods_node, "value"):  # scalar: periods => 7
+        # silently substituting lag-1 here trained on the wrong
+        # feature with no error — a scalar is a one-element list
+        return [one(periods_node)]
+    raise ValueError(
+        "time_series.lag periods must be a number or a list of"
+        f" numbers, got {type(periods_node).__name__}"
+    )
+
+
 def _build_transformer_feature(
-    df: DataFrame, inner: FeatureExpr, idx: int
+    df: DataFrame, marker: str, inner: FeatureExpr, idx: int
 ) -> tuple[DataFrame, str, list]:
-    """Map a TRANSFORM(...) inner call to MLlib stages (DSL.md:89-95).
+    """Map a TRANSFORM(...)/DERIVED(...) inner call to MLlib stages
+    (DSL.md:89-95).
 
     * ``standard_scaler(expr)`` → VectorAssembler + StandardScaler
     * ``one_hot_encoder(col)``  → StringIndexer + OneHotEncoder
-    * ``time_series.lag(expr, periods=[..], order_by=col)`` →
-      F.lag over Window.orderBy — evaluated eagerly as columns.
+    * ``time_series.lag(expr, periods=[..], order_by=col
+      [, partition_by=col])`` → F.lag over a window — evaluated
+      eagerly as columns.
+
+    Function-name dispatch is case-insensitive (the marker and the
+    DSL's other function names already are). Under the DERIVED marker
+    an unrecognized call is an ordinary computed column
+    (``DERIVED log(amt)``); under TRANSFORM it is an error — the user
+    named a transformer that does not exist, and evaluating the typo
+    as SQL would silently train a different feature.
     """
     from pyspark.sql import Window as W
 
@@ -163,13 +238,19 @@ def _build_transformer_feature(
         col_name = f"__feat_{idx}"
         return df.withColumn(col_name, F.expr(inner.to_spark_sql()).cast("double")), col_name, []
 
-    fn = ".".join(inner.func.parts)
+    fn = ".".join(inner.func.parts).lower()
     if fn == "standard_scaler":
         src_sql = inner.args[0].to_spark_sql()
         raw = f"__feat_{idx}_raw"
         vec = f"__feat_{idx}_vec"
         out = f"__feat_{idx}_scaled"
-        df = df.withColumn(raw, F.expr(src_sql).cast("double"))
+        # fill NULL/NaN like the lag path: the assembler's 'keep'
+        # would only launder NULL into a NaN vector cell, which
+        # StandardScaler.fit rejects — so without the fill a single
+        # NULL row crashed the fit for scaled features only
+        df = df.withColumn(raw, F.expr(src_sql).cast("double")).na.fill(
+            0.0, subset=[raw]
+        )
         stages = [
             VectorAssembler(inputCols=[raw], outputCol=vec),
             StandardScaler(inputCol=vec, outputCol=out, withMean=True, withStd=True),
@@ -192,23 +273,33 @@ def _build_transformer_feature(
             raise ValueError(
                 "time_series.lag requires an order_by => <time column> argument"
             )
-        order_col = kwargs["order_by"].to_spark_sql()
-        periods_node = kwargs.get("periods")
-        if periods_node is None:
-            periods = [1]
-        elif hasattr(periods_node, "items"):  # list literal [1, 7, 28]
-            periods = [int(n.value) for n in periods_node.items] or [1]
-        elif hasattr(periods_node, "value"):  # scalar: periods => 7
-            # silently substituting lag-1 here trained on the wrong
-            # feature with no error — a scalar is a one-element list
-            periods = [int(periods_node.value)]
-        else:
+        if df.isStreaming:
+            # rebuilding lag features on a stream (serve_model_stream
+            # restores features from registry metadata) would fail at
+            # query start with Spark's NON_TIME_WINDOW_NOT_SUPPORTED —
+            # surface the actionable contract instead
             raise ValueError(
-                "time_series.lag periods must be a number or a list of"
-                f" numbers, got {type(periods_node).__name__}"
+                "time_series.lag features cannot be rebuilt on a"
+                " STREAMING source (ordered windows need the full"
+                " history): precompute the lag columns upstream and"
+                " train on them directly, or serve this model in"
+                " batch"
             )
+        order_col = kwargs["order_by"].to_spark_sql()
+        periods = _lag_periods(kwargs.get("periods"))
         src_sql = inner.args[0].to_spark_sql()
-        w = W.orderBy(F.expr(order_col))
+        # partition_by bounds the window per key; WITHOUT it the
+        # global orderBy window is a single task holding every row —
+        # the documented scale constraint of an unpartitioned ordered
+        # lag (correct semantics need a total order; at 100 TB pass
+        # partition_by, or precompute with operators/ordered.py's
+        # range-partitioned primitives)
+        if "partition_by" in kwargs:
+            w = W.partitionBy(
+                F.expr(kwargs["partition_by"].to_spark_sql())
+            ).orderBy(F.expr(order_col))
+        else:
+            w = W.orderBy(F.expr(order_col))
         col_name = f"__feat_{idx}"
         # multiple periods → one column per lag, assembled later
         cols = []
@@ -223,4 +314,16 @@ def _build_transformer_feature(
             return df, cols[0], []
         vec = f"{col_name}_vec"
         return df, vec, [VectorAssembler(inputCols=cols, outputCol=vec)]
+    if marker == "DERIVED":
+        # DERIVED wraps arbitrary expressions: an unrecognized call
+        # (log(amt), feature_engineering.rfm(...)-style SQL) is a
+        # computed column, not a failed transformer lookup
+        col_name = f"__feat_{idx}"
+        return (
+            df.withColumn(
+                col_name, F.expr(inner.to_spark_sql()).cast("double")
+            ),
+            col_name,
+            [],
+        )
     raise ValueError(f"Unknown TRANSFORM function: {fn}")

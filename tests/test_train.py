@@ -264,3 +264,122 @@ def test_epochwise_budget_respects_iteration_alias(engine):
     assert trained.stop_satisfied is False
     lr_stage = trained.pipeline_model.stages[-1]
     assert lr_stage.getOrDefault("maxIter") == 8
+
+
+# --- round-10 builder.py review-sweep regressions ---------------------------
+
+
+def test_scaled_feature_tolerates_null_rows(engine, spark):
+    """standard_scaler's inner assembler must use handleInvalid='keep'
+    like the outer one — a single NULL row previously crashed ONLY
+    the scaled-feature path."""
+    spark.sql(
+        "SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN NULL"
+        " ELSE o_totalprice END AS amt,"
+        " CAST(o_totalprice > 150000 AS INT) AS expensive"
+        " FROM orders"
+    ).createOrReplaceTempView("orders_nullamt")
+    trained = engine.execute(
+        "TRAIN MODEL null_scaled USING logistic_regression(max_iter=5) "
+        "FROM orders_nullamt PREDICT expensive "
+        "WITH FEATURES(TRANSFORM(standard_scaler(amt)))"
+    )
+    assert trained.metrics["accuracy"] > 0
+
+
+def test_transform_dispatch_case_insensitive(engine):
+    trained = engine.execute(
+        "TRAIN MODEL case_tf USING logistic_regression(max_iter=5) "
+        "FROM orders_labeled PREDICT expensive "
+        "WITH FEATURES(TRANSFORM(STANDARD_SCALER(o_totalprice)))"
+    )
+    assert trained.metrics["accuracy"] > 0.9
+
+
+def test_derived_arbitrary_function_is_computed_column(engine):
+    """DERIVED wraps arbitrary SQL — DERIVED(log(amt)) is a computed
+    column, not a failed transformer lookup; a TRANSFORM typo still
+    fails loudly."""
+    trained = engine.execute(
+        "TRAIN MODEL derived_fn USING logistic_regression(max_iter=5) "
+        "FROM orders_labeled PREDICT expensive "
+        "WITH FEATURES(DERIVED(log(o_totalprice + 1)))"
+    )
+    assert trained.metrics["accuracy"] > 0.9
+    with pytest.raises(ValueError, match="Unknown TRANSFORM function"):
+        engine.execute(
+            "TRAIN MODEL typo_tf USING logistic_regression(max_iter=5) "
+            "FROM orders_labeled PREDICT expensive "
+            "WITH FEATURES(TRANSFORM(standard_scalar(o_totalprice)))"
+        )
+
+
+def test_lag_periods_validation():
+    from declarativeml_spark.plans.builder import _lag_periods
+    from declarativeml_spark.dsl.features import parse_feature_expr
+
+    def node(src):
+        # kwarg value node straight from the real parser
+        call = parse_feature_expr(f"time_series.lag(x, periods={src})")
+        return dict(call.kwargs)["periods"]
+
+    assert _lag_periods(None) == [1]
+    assert _lag_periods(node("7")) == [7]
+    assert _lag_periods(node("[1, 7, 28]")) == [1, 7, 28]
+    with pytest.raises(ValueError, match="no lag at all"):
+        _lag_periods(node("[]"))
+    with pytest.raises(ValueError, match="integer-valued"):
+        _lag_periods(node("[2.7]"))
+    with pytest.raises(ValueError, match=">= 1"):
+        _lag_periods(node("[0]"))
+
+
+def test_lag_partition_by_bounds_window(engine, spark):
+    """partition_by keeps the ordered-lag window per key instead of
+    one global single-task window (the documented scale constraint)."""
+    trained = engine.execute(
+        "TRAIN MODEL lag_part USING linear_regression(max_iter=5) "
+        "FROM orders_labeled PREDICT o_totalprice "
+        "WITH FEATURES(TRANSFORM(time_series.lag(o_totalprice,"
+        " order_by=o_orderkey, partition_by=o_custkey)))"
+    )
+    assert "rmse" in trained.metrics
+
+
+def test_lag_feature_refused_on_stream(spark, smoke_dir, tmp_path):
+    """Rebuilding a lag feature on a streaming source must be a typed
+    error with guidance, not Spark's NON_TIME_WINDOW crash at query
+    start."""
+    from declarativeml_spark.plans.builder import build_features
+    from declarativeml_spark.sources.catalog import load_table
+
+    src = load_table(spark, smoke_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    d = str(tmp_path / "lag_stream")
+    src.write.parquet(d)
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    with pytest.raises(ValueError, match="STREAMING"):
+        build_features(
+            stream,
+            [
+                "TRANSFORM(time_series.lag(o_totalprice,"
+                " order_by=o_orderkey))"
+            ],
+        )
+
+
+def test_bare_string_numeric_column_casts(engine, spark):
+    """A string-typed numeric column must work as a BARE feature (it
+    already worked as an expression) — the builder casts
+    non-assemblable dtypes instead of handing them to the
+    VectorAssembler raw."""
+    spark.sql(
+        "SELECT o_orderkey, CAST(o_totalprice AS STRING) AS amt_str,"
+        " CAST(o_totalprice > 150000 AS INT) AS expensive FROM orders"
+    ).createOrReplaceTempView("orders_strtyped")
+    trained = engine.execute(
+        "TRAIN MODEL str_feat USING logistic_regression(max_iter=5) "
+        "FROM orders_strtyped PREDICT expensive WITH FEATURES(amt_str)"
+    )
+    assert trained.metrics["accuracy"] > 0.9
