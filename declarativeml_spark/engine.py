@@ -120,7 +120,7 @@ class Engine:
         if isinstance(stmt, ir.ComputeKernel):
             from declarativeml_spark.functions.kernels import execute_compute
 
-            return execute_compute(self.spark, stmt)
+            return execute_compute(stmt)
         if isinstance(stmt, ir.PredictModel):
             return self._predict(stmt)
         if isinstance(stmt, ir.EvaluateModel):

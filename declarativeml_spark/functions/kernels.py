@@ -14,7 +14,15 @@ Arrow-vectorized pandas UDFs (the analogue of the reference's GPU
 batch kernels — EXTENSIONS.md:99-112 dispatches CUDA/BLAS/CPU by
 size; we dispatch JVM-expression vs Arrow-batch by registration
 type). BLOCK/GRID/SHARED are validated then recorded as advisory
-hints (BLOCK maps to the Arrow batch size at application time).
+hints; BLOCK bounds the vectorized kernel's per-call chunk INSIDE
+the Arrow batch — never via session-wide conf, which would leak one
+computation's batch size into every later Arrow exchange.
+
+The registry itself is PROCESS-GLOBAL by design: the reference
+stores registrations in a catalog table (``ml_register_compute``)
+shared by every session, so re-registering a name is a catalog
+upsert, not an error — two engines in one process see one catalog,
+exactly as two reference sessions see one database.
 """
 
 from __future__ import annotations
@@ -22,7 +30,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from declarativeml_spark.dsl.ir import ComputeKernel
@@ -36,7 +44,11 @@ class KernelSpec:
     fn: KernelFn
     arity: Optional[int] = None  # None = variadic
     description: str = ""
-    vectorized: bool = False  # True when backed by a pandas UDF
+    # vectorized=True changes the fn contract: it is the RAW pandas
+    # function (pd.Series, ... -> pd.Series); apply_compute wraps it
+    # in a pandas UDF itself so BLOCK can chunk INSIDE the batch
+    vectorized: bool = False
+    return_type: str = "double"  # vectorized kernels' output type
 
 
 KERNELS: Dict[str, KernelSpec] = {}
@@ -48,8 +60,11 @@ def register_kernel(
     arity: Optional[int] = None,
     description: str = "",
     vectorized: bool = False,
+    return_type: str = "double",
 ) -> None:
-    KERNELS[name] = KernelSpec(name, fn, arity, description, vectorized)
+    KERNELS[name] = KernelSpec(
+        name, fn, arity, description, vectorized, return_type
+    )
 
 
 def get_kernel(name: str) -> KernelSpec:
@@ -61,11 +76,32 @@ def get_kernel(name: str) -> KernelSpec:
 
 
 # --- built-in kernels (JVM expressions — whole-stage codegen) --------------
+def _size_guard(a: Column, b: Column, expr: Column, op: str) -> Column:
+    """Evaluate ``expr`` only when the arrays have equal length;
+    unequal lengths raise instead of silently zip_with-padding the
+    short side with NULLs (a length mismatch is almost always a data
+    bug, and the padded NULLs previously collapsed a whole dot
+    product to NULL with no signal)."""
+    return F.when(F.size(a) == F.size(b), expr).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op}: array length mismatch ("),
+                F.size(a).cast("string"),
+                F.lit(" vs "),
+                F.size(b).cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
+
+
 def _vector_add(*cols: Column) -> Column:
-    """Elementwise array addition for 2+ array columns, or scalar sum."""
+    """Elementwise array addition for 1+ equal-length array columns."""
     out = cols[0]
     for c in cols[1:]:
-        out = F.zip_with(out, c, lambda a, b: a + b)
+        out = _size_guard(
+            out, c, F.zip_with(out, c, lambda a, b: a + b), "vector_add"
+        )
     return out
 
 
@@ -77,10 +113,17 @@ def _scalar_add(*cols: Column) -> Column:
 
 
 def _vector_dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    # cast BEFORE the product (like _vector_norm): an int*int product
+    # can wrap 32-bit silently before the double accumulator widens it
+    return _size_guard(
+        a,
+        b,
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        "vector_dot",
     )
 
 
@@ -103,7 +146,10 @@ def _sigmoid(x: Column) -> Column:
 
 
 def _relu(x: Column) -> Column:
-    return F.greatest(x, F.lit(0.0))
+    # greatest() skips NULLs, so a bare greatest(x, 0.0) would
+    # fabricate 0.0 for missing inputs while every other kernel
+    # propagates NULL — guard so relu(NULL) stays NULL
+    return F.when(x.isNotNull(), F.greatest(x, F.lit(0.0)))
 
 
 def _log_scale(x: Column) -> Column:
@@ -137,10 +183,11 @@ class ComputeRegistration:
 COMPUTATIONS: Dict[str, ComputeRegistration] = {}
 
 
-def execute_compute(spark: SparkSession, stmt: ComputeKernel) -> ComputeRegistration:
+def execute_compute(stmt: ComputeKernel) -> ComputeRegistration:
     """Register a COMPUTE statement (validates the kernel AND its
     input arity NOW — deferring an arity mismatch to tick time would
-    surface it as a bare IndexError inside the streaming loop)."""
+    surface it as a bare IndexError inside the streaming loop).
+    Re-registering a name is a catalog upsert (module docstring)."""
     spec = get_kernel(stmt.kernel)
     n_inputs = len(stmt.inputs or [])
     if spec.arity is not None and n_inputs != spec.arity:
@@ -168,8 +215,10 @@ def execute_compute(spark: SparkSession, stmt: ComputeKernel) -> ComputeRegistra
 def apply_compute(df: DataFrame, name: str) -> DataFrame:
     """Apply a registered computation to a DataFrame.
 
-    ``BLOCK n`` is honored as the Arrow batch size for vectorized
-    kernels via the session conf (advisory, per SURVEY.md §2.10).
+    ``BLOCK n`` bounds a vectorized kernel's per-call chunk inside
+    the Arrow batch (advisory, per SURVEY.md §2.10) — the kernel
+    never sees more than BLOCK rows per call, without touching the
+    session-wide Arrow conf.
     """
     reg = COMPUTATIONS.get(name)
     if reg is None:
@@ -180,10 +229,38 @@ def apply_compute(df: DataFrame, name: str) -> DataFrame:
         raise ValueError(
             f"Kernel {spec.name!r} expects {spec.arity} inputs, got {len(inputs)}"
         )
-    block = reg.options.get("BLOCK")
-    if block and spec.vectorized:
-        df.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(block)
+    if spec.arity is None and not inputs:
+        # mirror the registration-time variadic check: a registration
+        # that bypassed execute_compute must not surface as a bare
+        # IndexError inside the tick loop
+        raise ValueError(
+            f"Kernel {spec.name!r} is variadic but the registration"
+            " names no input columns"
         )
     out_col = reg.output or f"{name}_out"
+    if spec.vectorized:
+        # BLOCK bounds the kernel's per-call chunk INSIDE the Arrow
+        # batch — never via spark.sql.execution.arrow.maxRecordsPerBatch,
+        # which is session-wide and (set at plan-construction time)
+        # leaked one computation's batch size into every later Arrow
+        # exchange, with last-set-wins across computations
+        from pyspark.sql.functions import pandas_udf
+
+        raw = spec.fn
+        block = reg.options.get("BLOCK")
+
+        def chunked(*series):
+            import pandas as pd
+
+            n = len(series[0])
+            if not block or n <= block:
+                return raw(*series)
+            outs = [
+                raw(*[s.iloc[i : i + block] for s in series])
+                for i in range(0, n, block)
+            ]
+            return pd.concat(outs, ignore_index=True)
+
+        udf = pandas_udf(chunked, spec.return_type)
+        return df.withColumn(out_col, udf(*[F.col(c) for c in inputs]))
     return df.withColumn(out_col, spec.fn(*[F.col(c) for c in inputs]))

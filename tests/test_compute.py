@@ -73,3 +73,77 @@ def test_schedule_ticks_recorded(engine):
         "COMPUTE periodic FROM table(value) INTO column(v2) EVERY 5 TICKS USING relu"
     )
     assert reg.schedule_ticks == 5
+
+
+# --- round-10 kernels.py review-sweep regressions ---------------------------
+
+
+def test_relu_preserves_null(engine, spark):
+    from pyspark.sql import functions as F
+    from declarativeml_spark.functions.kernels import get_kernel
+
+    df = spark.createDataFrame([(1.5,), (-2.0,), (None,)], "x double")
+    out = df.select(get_kernel("relu").fn(F.col("x")).alias("r")).collect()
+    assert [r.r for r in out] == [1.5, 0.0, None]
+
+
+def test_vector_dot_int_arrays_no_overflow(engine, spark):
+    from pyspark.sql import functions as F
+    from declarativeml_spark.functions.kernels import get_kernel
+
+    # 50000*50000 = 2.5e9 > INT_MAX: an un-cast int product wraps
+    df = spark.createDataFrame(
+        [([50000, 50000], [50000, 50000])], "a array<int>, b array<int>"
+    )
+    row = df.select(
+        get_kernel("vector_dot").fn(F.col("a"), F.col("b")).alias("d")
+    ).first()
+    assert row.d == 5.0e9
+
+
+def test_vector_kernels_length_mismatch_raises(engine, spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+    from declarativeml_spark.functions.kernels import get_kernel
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [1.0, 2.0, 3.0])],
+        "a array<double>, b array<double>",
+    )
+    for k in ("vector_dot", "vector_add"):
+        with pytest.raises(Exception, match="length mismatch"):
+            df.select(
+                get_kernel(k).fn(F.col("a"), F.col("b")).alias("o")
+            ).collect()
+
+
+def test_vectorized_kernel_block_chunks_not_session_conf(
+    engine, spark, smoke_dir
+):
+    """BLOCK bounds the vectorized kernel's per-call chunk inside the
+    Arrow batch; the session-wide Arrow conf must be untouched (it
+    previously leaked one computation's batch size into every later
+    Arrow exchange)."""
+    from declarativeml_spark.functions.kernels import (
+        apply_compute,
+        register_kernel,
+    )
+
+    def cube(s):
+        # raw pandas contract: pd.Series -> pd.Series
+        return s.astype("float64") ** 3
+
+    register_kernel("cube_vec", cube, arity=1, vectorized=True)
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(conf_key, None)
+    engine.execute(
+        "COMPUTE cubes FROM table(l_quantity) INTO column(q3) "
+        "USING cube_vec BLOCK 16"
+    )
+    li = load_table(spark, smoke_dir, "lineitem").limit(100).coalesce(1)
+    rows = apply_compute(li, "cubes").select("l_quantity", "q3").collect()
+    assert all(abs(r.q3 - r.l_quantity**3) < 1e-6 for r in rows)
+    assert spark.conf.get(conf_key, None) == before
+    from declarativeml_spark.functions.kernels import COMPUTATIONS
+
+    assert COMPUTATIONS["cubes"].options.get("BLOCK") == 16
