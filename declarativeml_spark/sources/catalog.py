@@ -49,19 +49,28 @@ def load_table(
     textops.spread documents; never for plans that depend on
     partition placement or row order.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS). Spark 4.1 reads that
-    natively as TIMESTAMP_NTZ (micros truncation); older runtimes need
-    ``spark.sql.legacy.parquet.nanosAsLong`` and hand us a nanos long.
-    Either way we normalize to TIMESTAMP_NTZ — the tz-independent type
-    whose wall-clock values match DuckDB's reading of the same file —
-    so every downstream query sees one canonical ``ts`` regardless of
+    ``events.ts`` is parquet TIMESTAMP(NANOS). On the current runtime
+    (verified on Spark 4.1.2) that type is UNREADABLE without
+    ``spark.sql.legacy.parquet.nanosAsLong`` — the scan throws
+    PARQUET_TYPE_ILLEGAL — and WITH the conf it arrives as a nanos
+    BIGINT; there is no native NTZ read. The conf set below is
+    therefore load-bearing for every session not built by
+    session.py, not merely defensive. Note the set is session-wide
+    and deliberately NOT restored: Spark captures SQLConf at query
+    EXECUTION, so restoring it after the eager schema read would
+    break this very DataFrame's later jobs — the trade is that other
+    TIMESTAMP(NANOS) sources read in the same session also arrive as
+    bigint (loudly typed, never silently shifted). Either way ``ts``
+    normalizes to TIMESTAMP_NTZ — the tz-independent type whose
+    wall-clock values match DuckDB's reading of the same file — so
+    every downstream query sees one canonical ``ts`` regardless of
     who built the session or what its timezone is.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # Callers (the correctness driver included) may hand us a session
-        # built without the nanos conf; set it defensively for runtimes
-        # that still require it (Spark 4.1 ignores it and reads NTZ).
+        # built without the nanos conf; REQUIRED on this runtime (see
+        # docstring) or the scan throws PARQUET_TYPE_ILLEGAL.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception as exc:  # pragma: no cover - conf locked down
@@ -96,8 +105,20 @@ def load_table(
                 ),
             )
         elif ts_type == "timestamp":
-            # a legacy INT96/LTZ reading; reinterpret as NTZ wall-clock
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            # a legacy INT96/LTZ reading; reinterpret as the UTC
+            # wall-clock of the instant. The bare cast renders in the
+            # SESSION timezone — under a non-UTC foreign session that
+            # silently shifted ts hours away from DuckDB's UTC reading
+            # of the same file (verified repro: 4h off under
+            # America/New_York); routing through convert_timezone
+            # pins the wall-clock to UTC in any session
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "convert_timezone(current_timezone(), 'UTC',"
+                    " cast(ts as timestamp_ntz))"
+                ),
+            )
     if spread:
         from declarativeml_spark.operators.textops import spread as _spread
 
@@ -110,14 +131,43 @@ def load_table(
 #: parquet values in ANY session timezone (``unix_micros`` rejects NTZ
 #: and would be tz-shifted anyway).
 def epoch_us(col: str) -> F.Column:
+    # the inner cast is a no-op for NTZ input but stops silent
+    # session-tz coercion when a caller hands an LTZ column (the
+    # NTZ-literal comparison would otherwise coerce via the session
+    # timezone and shift the result)
     return F.expr(
-        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" cast({col} as timestamp_ntz))"
     )
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
-    """Register each parquet table as a temp view named after itself."""
+    """Register each parquet table as a temp view named after itself.
+
+    Missing tables are skipped with a WARNING naming them — the old
+    ``os.path.exists`` gate was local-filesystem-only (an s3://hdfs://
+    ``sf_dir`` registered ZERO views while returning success) and a
+    typo'd directory failed only later as TABLE_OR_VIEW_NOT_FOUND
+    with no hint. Existence is now probed by the reader itself, so
+    any Hadoop-supported filesystem works."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    missing = []
     for name in tables:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        try:
+            df = load_table(spark, sf_dir, name)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+                missing.append(name)
+                continue
+            raise
+        df.createOrReplaceTempView(name)
+    if missing:
+        import warnings
+
+        warnings.warn(
+            f"register_views: no parquet found under {sf_dir!r} for"
+            f" {missing} — these views were NOT registered",
+            RuntimeWarning,
+            stacklevel=2,
+        )

@@ -29,11 +29,14 @@ from declarativeml_spark.operators.caching import track_persist
 
 
 def _ensure_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
-    """Watermarks require TIMESTAMP (LTZ); parquet TIMESTAMP(NANOS)
-    sources arrive as TIMESTAMP_NTZ on Spark 4.1 (see
-    sources/catalog.py). Reinterpret NTZ wall-clock in the session
-    timezone so ``withWatermark`` accepts the column — stream and any
-    batch twin built in the same session see identical wall-clocks."""
+    """Watermarks require TIMESTAMP (LTZ); event-time columns routed
+    through the catalog normalization arrive as TIMESTAMP_NTZ
+    (sources/catalog.py — on this runtime TIMESTAMP(NANOS) parquet
+    reads as a nanos bigint under the required legacy conf and is
+    converted to NTZ there; there is no native NTZ read).
+    Reinterpret NTZ wall-clock in the session timezone so
+    ``withWatermark`` accepts the column — stream and any batch twin
+    built in the same session see identical wall-clocks."""
     if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
         stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return stream
