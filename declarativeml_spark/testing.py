@@ -104,3 +104,17 @@ def compare_query(
         oracle_rows=len(oracle_df),
         notes=notes,
     )
+
+
+def formatted_plan(df) -> str:
+    """Capture ``df.explain('formatted')`` output as a string — the
+    one explain-capture helper shared by scripts/plan_audit.py and
+    scripts/gen_plans_doc.py (explain prints to stdout; two inline
+    copies of the redirect boilerplate drifted independently)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()

@@ -69,8 +69,15 @@ def main() -> int:
             runs = []
             for _ in range(2):
                 with capture() as persisted:
-                    runs.append(_canon(QUERIES[name](spark, args.sf_dir).collect()))
-                release_all(persisted)
+                    try:
+                        runs.append(
+                            _canon(QUERIES[name](spark, args.sf_dir).collect())
+                        )
+                    finally:
+                        # release INSIDE the per-run scope: a crash
+                        # mid-collect previously leaked the run's
+                        # persisted frames into the remaining sweep
+                        release_all(persisted)
             ok = runs[0] == runs[1]
         except Exception as e:  # noqa: BLE001 — a crash counts as unstable
             ok = False
@@ -80,8 +87,17 @@ def main() -> int:
         print(f"[{i:3}/{len(names)}] {status:8} {name} ({dt:.1f}s)", flush=True)
         if not ok:
             unstable.append(name)
-            a, b = set(runs[0]), set(runs[1])
-            for d in list(a ^ b)[:4]:
+            # multiset diff: a pair differing only in duplicate-row
+            # MULTIPLICITY is unstable too, and a set symmetric
+            # difference printed zero diagnostic lines for it
+            from collections import Counter
+
+            ca, cb = Counter(runs[0]), Counter(runs[1])
+            diffs = [
+                f"{d!r} (run1 x{ca.get(d, 0)}, run2 x{cb.get(d, 0)})"
+                for d in list(((ca - cb) + (cb - ca)).keys())[:4]
+            ]
+            for d in diffs:
                 print(f"      diff: {d}", flush=True)
 
     print({"checked": len(names), "unstable": unstable}, flush=True)

@@ -99,19 +99,27 @@ def main() -> int:
     from declarativeml_spark.session import get_spark
 
     spark = get_spark("plans-doc", cpus="8")
+    # validate up front, build in memory, write LAST: opening the doc
+    # for write before the loop truncated it, so a mid-loop failure
+    # (e.g. a HEADLINE name renamed in the registry) shipped a
+    # silently half-written evidence doc
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    if missing:
+        print(f"HEADLINE names missing from the registry: {missing}")
+        return 1
+    parts = [HEADER]
+    for name, note in HEADLINE.items():
+        from declarativeml_spark.testing import formatted_plan
+
+        df = QUERIES[name](spark, args.sf_dir)
+        plan = formatted_plan(df)
+        tree = plan.split("\n\n")[0]
+        pushed = sorted(set(re.findall(r"PushedFilters: \[[^\]]*\]", plan)))
+        parts.append(f"## {name}\n\n*{note}*\n\n```\n{tree}\n```\n\n")
+        if pushed:
+            parts.append("Pushed filters:\n\n```\n" + "\n".join(pushed) + "\n```\n\n")
     with open(os.path.join(os.path.dirname(__file__), "..", "docs", "PLANS.md"), "w") as f:
-        f.write(HEADER)
-        for name, note in HEADLINE.items():
-            df = QUERIES[name](spark, args.sf_dir)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
-            plan = buf.getvalue()
-            tree = plan.split("\n\n")[0]
-            pushed = sorted(set(re.findall(r"PushedFilters: \[[^\]]*\]", plan)))
-            f.write(f"## {name}\n\n*{note}*\n\n```\n{tree}\n```\n\n")
-            if pushed:
-                f.write("Pushed filters:\n\n```\n" + "\n".join(pushed) + "\n```\n\n")
+        f.write("".join(parts))
     print("docs/PLANS.md regenerated")
     return 0
 

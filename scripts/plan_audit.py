@@ -209,13 +209,31 @@ def partitionless_windows(plan: str) -> int:
             tree.append((len(prefix), name.strip(), int(nid)))
 
     def subtree_has_limit(idx: int) -> bool:
-        indent = tree[idx][0]
-        for j in range(idx + 1, len(tree)):
-            if tree[j][0] <= indent:
-                break
-            if tree[j][1] in _LIMIT_NODES:
+        """True iff a limit BOUNDS the window's input: it must sit on
+        the window's first-child SPINE, before any row-multiplying
+        binary node. The old any-descendant scan let a ``dim.limit(k)``
+        on a join's broadcast side suppress the flag while the joined
+        (data-proportional) stream still fed the single-task window —
+        reproduced live: Spark warned 'Moving all data to a single
+        partition' and the audit counted 0."""
+        j = idx
+        cur_indent = tree[idx][0]
+        while True:
+            j += 1
+            if j >= len(tree) or tree[j][0] <= cur_indent:
+                return False  # leaf: ran out of input chain
+            name = tree[j][1]
+            if name in _LIMIT_NODES:
                 return True
-        return False
+            if (
+                "Join" in name
+                or name in ("Union", "CartesianProduct")
+            ):
+                # a binary node without a dominating limit above it:
+                # conservatively unbounded (even two limited sides
+                # need the allowlist to pass — stated, not silent)
+                return False
+            cur_indent = tree[j][0]
 
     def is_partitionless(nid: int) -> bool:
         # Partitioned+ordered windows have 3 top-level bracket groups
@@ -303,11 +321,10 @@ def main() -> int:
     bad = 0
     for name in sorted(QUERIES):
         try:
+            from declarativeml_spark.testing import formatted_plan
+
             df = QUERIES[name](spark, args.sf_dir)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
-            plan = buf.getvalue()
+            plan = formatted_plan(df)
             analyzed = df._jdf.queryExecution().analyzed().toString()
         except Exception as e:  # keep auditing the rest
             print(f"{name}: ERROR {type(e).__name__}: {e}")

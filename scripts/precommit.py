@@ -32,7 +32,34 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _staged_tree() -> str | None:
+    """Materialize the STAGED index into a temp dir and return it, or
+    None when not in a usable git checkout. Importing the working
+    tree instead let a partially staged commit produce an
+    un-importable HEAD — the exact round-2 failure the gate exists
+    to prevent (and conversely blocked committing a clean staged
+    state from a broken working tree)."""
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = tempfile.mkdtemp(prefix="precommit_staged_")
+    try:
+        subprocess.run(
+            ["git", "checkout-index", "-a", f"--prefix={tmp}/"],
+            cwd=repo,
+            check=True,
+            capture_output=True,
+        )
+        return tmp
+    except Exception:
+        return None
+
+
 def main() -> int:
+    staged = _staged_tree()
+    if staged:
+        sys.path.insert(0, staged)
     try:
         import __spark_entry__ as entry
 
@@ -40,8 +67,15 @@ def main() -> int:
         oracles = entry.oracle_sql()
         assert callable(entry.entry)
     except Exception as e:  # noqa: BLE001 — any import failure blocks
-        print(f"PRECOMMIT BLOCK: import __spark_entry__ failed: {e!r}")
+        where = "staged index" if staged else "working tree"
+        print(f"PRECOMMIT BLOCK: import __spark_entry__ ({where}) failed: {e!r}")
         return 1
+    finally:
+        if staged:
+            import shutil
+
+            sys.path.remove(staged)
+            shutil.rmtree(staged, ignore_errors=True)
 
     extra = set(oracles) - set(queries)
     if extra:
@@ -54,8 +88,12 @@ def main() -> int:
     )
     try:
         with open(bench_path) as f:
-            n_bench = json.load(f).get("n_queries")
-    except OSError:
+            data = json.load(f)
+        n_bench = data.get("n_queries") if isinstance(data, dict) else None
+    except (OSError, ValueError):
+        # a truncated/corrupt artifact must WARN-or-skip, never block
+        # the end-of-round snapshot commit (ValueError covers
+        # json.JSONDecodeError)
         n_bench = None
     if n_bench is not None and n_bench != len(queries):
         print(

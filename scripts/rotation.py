@@ -86,8 +86,22 @@ def main() -> int:
         print("no CORRECTNESS artifacts found", file=sys.stderr)
         return 1
     by_last = cohorts(rounds)
-    ever_green = set().union(*rounds.values())
     registry = registry_names()
+    # intersect with the LIVE registry: a query renamed/removed since
+    # its last green row would otherwise occupy a window slot in the
+    # printed plan (and the emitted blocks) while __spark_entry__'s
+    # runtime filter silently drops it — the driver's actual window
+    # would then pull a different, unplanned query forward
+    ghosts = sorted(set().union(*rounds.values()) - registry)
+    if ghosts:
+        print(f"GHOST artifact names not in the registry ({len(ghosts)},"
+              f" excluded from the plan): {ghosts}")
+    by_last = {
+        rnd: [n for n in names if n in registry]
+        for rnd, names in by_last.items()
+    }
+    by_last = {rnd: names for rnd, names in by_last.items() if names}
+    ever_green = set().union(*rounds.values()) & registry
     never = sorted(registry - ever_green)
 
     print(f"registry: {len(registry)} queries; ever-green: {len(ever_green)}")

@@ -94,12 +94,28 @@ def main() -> int:
     rows = []
     for name in QUERIES:
         times = {}
+        failed = False
         for sf in SFS:
             t0 = time.perf_counter()
-            with capture() as persisted:
-                REGISTRY[name](spark, os.path.join(root, sf)).count()
-            release_all(persisted)
+            try:
+                with capture() as persisted:
+                    try:
+                        REGISTRY[name](spark, os.path.join(root, sf)).count()
+                    finally:
+                        # release inside the scope: a crash must not
+                        # leak this run's persists into the sweep
+                        release_all(persisted)
+            except Exception as e:  # noqa: BLE001 — keep the sweep alive
+                print(json.dumps({"query": name, "sf": sf,
+                                  "error": repr(e)[:200]}), flush=True)
+                failed = True
+                break
             times[sf] = round(time.perf_counter() - t0, 3)
+        if failed:
+            # one failing (query, sf) previously aborted the whole
+            # sweep, discarding every measured row and never writing
+            # the doc
+            continue
         # growth of time across each 10x data step, as an exponent:
         # alpha = log10(t_hi / t_lo) per decade of data. alpha <= ~1
         # is linear-or-better; ~2 means quadratic.

@@ -136,3 +136,38 @@ def test_strict_exit_is_default():
     assert "args.warn_only" in src
     # the old vacuous guard must be gone
     assert "args.fail_on_python and bad" not in src
+
+
+def test_join_side_limit_does_not_mask_global_window(spark, sf_dir):
+    """r10 tightening: a limit on a JOIN SIDE BRANCH must not count as
+    bounding the window input — fact.join(dim.limit(k)) over a global
+    window is still the single-task sort (Spark itself warns 'Moving
+    all data to a single partition'), but the old any-descendant limit
+    scan suppressed the flag."""
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    dim = li.select("l_orderkey").limit(10)
+    df = li.join(dim, "l_orderkey").withColumn(
+        "rk", F.row_number().over(Window.orderBy("l_extendedprice"))
+    )
+    plan = _formatted(df)
+    assert "GlobalLimit" in plan or "LocalLimit" in plan  # planted
+    flags, bad = audit_plan("planted_join_side_limit_window", plan)
+    assert bad
+    assert any(f.startswith("GlobalWindowx") for f in flags)
+
+
+def test_spine_limit_still_bounds_window(spark, sf_dir):
+    """The standard bounded top-k-then-rank shape (limit on the
+    window's own input spine) must still pass."""
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    df = (
+        li.orderBy(F.desc("l_extendedprice"))
+        .limit(25)
+        .withColumn("rk", F.row_number().over(Window.orderBy("l_extendedprice")))
+    )
+    flags, bad = audit_plan("planted_bounded_topk_window", _formatted(df))
+    assert not bad
