@@ -73,6 +73,10 @@ HEADLINE = {
     "media_partition_pruning_decode": "PartitionFilters prune the media lake listing to one month before any payload byte is read; decode stays map-only Arrow",
     "dsl_train_ridge_predictions": "the PREDICT plan: scored slice filter pushed to the scan; scoring is a shuffle-free per-row expression from O(p) loaded coefficients",
     "text_unicode_token_stats": "unicode corpus synthesized per-row in codegen; tokenize/classify per-row expressions; one (lang_bucket) partial-agg shuffle",
+    "media_dedup_exact": "payloads reduce to md5 inside the scan projection; only 16-byte digests shuffle to the dedup agg",
+    "media_phash_hamming": "aHash extraction is one map-only Arrow stage (4 ints/file exit Python); the pair join moves quarter-band slivers, never payloads",
+    "dedup_minhash128_pairs": "the 128-hash plane at the calibrated (8,16) split: band keys gate candidates, exact-Jaccard verify joins only the surviving pair sliver back to shingles",
+    "tokenizer_bpe_byte_coverage": "learn = one word-type shuffle; scoring is a single codegen map pass (merge-chain fold + hex byte arithmetic) into the per-doc partial agg",
 }
 
 HEADER = """# PLANS — physical-plan evidence for the headline queries
