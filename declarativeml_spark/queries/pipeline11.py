@@ -19,10 +19,14 @@ Three families, all converting toy-width coverage into the shapes a
   itself recommends, with exact-Jaccard parity on the
   candidate-gated pairs.
 
-Reference parity: the reference's dedup/tokenize operators are
-single-node passes (reference: src/dedup.rs, src/tokenize.rs-style
-modules); these are their cluster-scale Spark re-expressions, not
-translations.
+Reference parity: the reference has NO dedup/tokenizer/media
+operators (it is spec-only — reference: README.md:87-89, "conceptual
+and design stage"); this whole family is beyond-parity extension
+surface per SURVEY.md §2.11, designed Spark-first. The media queries
+build on the LOAD MEDIA lake machinery whose DSL shape extends the
+reference's source grammar (reference: DSL.md source clauses), and
+the serving measurement in streaming/serving.py targets the
+reference's DEPLOY configuration numbers (reference: DSL.md:62-63).
 
 Float/rounding conventions follow registry.py; byte-level parity
 pins use md5 over engine-identical string constructions.
