@@ -50,10 +50,20 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.format("delta").load(path)
     except Exception as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "Delta Lake needs delta-spark jars on the classpath; not available"
-            " in this environment"
-        ) from e
+        msg = str(e)
+        if (
+            "Failed to find data source" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+            or "ClassNotFoundException" in msg
+        ):
+            raise NotImplementedError(
+                "Delta Lake needs delta-spark jars on the classpath;"
+                " not available in this environment"
+            ) from e
+        # with the jars present, a PATH_NOT_FOUND / corrupt-table
+        # error is the caller's real problem — rebranding it as a
+        # classpath issue sent users debugging a nonexistent jar gap
+        raise
 
 
 def write_partitioned_parquet(
@@ -154,32 +164,7 @@ def read_media(
       119 months. Mutually exclusive with ``recursive`` (recursive
       lookup disables partition inference).
     """
-    if partitioned:
-        if recursive:
-            raise ValueError(
-                "read_media: partitioned=True and recursive=True are"
-                " mutually exclusive (recursiveFileLookup disables"
-                " Spark's partition discovery)"
-            )
-        reader = spark.read.format("binaryFile")
-        if glob:
-            reader = reader.option("pathGlobFilter", glob)
-        out = _media_frame(reader.load(path))
-        if spread:
-            from declarativeml_spark.operators.textops import spread as _spread
-
-            out = _spread(out)
-        return out
-    # A FILENAME-shaped glob in the basename (has a dot extension:
-    # '*.wav', 'm*.y4m') becomes pathGlobFilter on the parent
-    # directory: same listing, but avoids the literal getFileStatus
-    # probe Spark runs on the raw load() string (a noisy logged
-    # FileNotFoundException for every glob path). The fold is only a
-    # fast path, never a semantics change: if the folded listing comes
-    # back EMPTY (the glob actually matched directories — Hadoop glob
-    # would expand into them, pathGlobFilter lists nothing) we retry
-    # unfolded, so '/corpus/*.v2' over dotted DIRECTORY names still
-    # reads the files inside them.
+    import os as _os
     import posixpath
     import re as _re
 
@@ -191,26 +176,63 @@ def read_media(
             reader = reader.option("recursiveFileLookup", "true")
         return reader.load(p)
 
-    # recursive=True changes what the fold means: pathGlobFilter on
-    # the PARENT matches basenames at every depth, while the unfolded
-    # Hadoop glob matches direct children only (then recurses into
-    # matches) — so the fold is only applied non-recursively, where
-    # the two listings are provably identical.
-    head, tail = posixpath.split(path.rstrip("/"))
-    folded = (
-        glob is None
-        and not recursive
-        and bool(head)
-        and not any(c in head for c in "*?[{")
-        and any(c in tail for c in "*?[{")
-        and bool(_re.search(r"\.[A-Za-z0-9]+$", tail))
-    )
-    if folded:
-        raw = _load(head, tail)
-        if not raw.inputFiles():  # dir-matching glob: unfold
-            raw = _load(path, None)
-    else:
+    if partitioned:
+        if recursive:
+            raise ValueError(
+                "read_media: partitioned=True and recursive=True are"
+                " mutually exclusive (recursiveFileLookup disables"
+                " Spark's partition discovery)"
+            )
+        if any(c in path for c in "*?[{"):
+            # a glob-expanded path makes EACH match its own discovery
+            # root, so the partition key is consumed into the base
+            # path and silently never appears as a column — the first
+            # filter on it then fails UNRESOLVED_COLUMN on a valid
+            # lake. Require the lake ROOT (prune with a filter on the
+            # discovered columns, or filter filenames via glob=).
+            raise ValueError(
+                "read_media: partitioned=True needs the lake ROOT"
+                f" path, not a glob ({path!r}) — partition discovery"
+                " would consume the directory keys into the base"
+                " path; filter on the discovered columns instead"
+            )
         raw = _load(path, glob)
+    else:
+        # A FILENAME-shaped glob in the basename (has a dot extension:
+        # '*.wav', 'm*.y4m') becomes pathGlobFilter on the parent
+        # directory: same listing, but avoids the literal
+        # getFileStatus probe Spark runs on the raw load() string (a
+        # noisy logged FileNotFoundException for every glob path).
+        # The fold is only a fast path, never a semantics change, so
+        # it applies only where the two listings are provably
+        # identical: non-recursively (pathGlobFilter on the PARENT
+        # matches basenames at every depth, the Hadoop glob only
+        # direct children), on LOCAL paths, and only when no
+        # DIRECTORY matches the glob — pathGlobFilter lists nothing
+        # inside matched directories, and with a MIX of matching
+        # files and directories the old empty-listing retry never
+        # fired, silently dropping the directories' files.
+        head, tail = posixpath.split(path.rstrip("/"))
+        folded = (
+            glob is None
+            and not recursive
+            and bool(head)
+            and "://" not in path  # only local paths are verifiable
+            and not any(c in head for c in "*?[{")
+            and any(c in tail for c in "*?[{")
+            and bool(_re.search(r"\.[A-Za-z0-9]+$", tail))
+        )
+        if folded:
+            import glob as _glob
+
+            if any(_os.path.isdir(m) for m in _glob.glob(path)):
+                folded = False
+        if folded:
+            raw = _load(head, tail)
+            if not raw.inputFiles():  # nothing matched: unfold anyway
+                raw = _load(path, None)
+        else:
+            raw = _load(path, glob)
     out = _media_frame(raw)
     if spread:
         from declarativeml_spark.operators.textops import spread as _spread
@@ -237,6 +259,17 @@ def _media_frame(raw: DataFrame) -> DataFrame:
     )
     base = {"path", "modificationTime", "length", "content"}
     extras = [c for c in raw.columns if c not in base]
+    clash = [c for c in extras if c in ("media_id", "media_path", "payload", "meta")]
+    if clash:
+        # a lake partition key named like an output column would emit
+        # DUPLICATE columns — the read succeeds and the first
+        # downstream reference dies AMBIGUOUS_REFERENCE; refuse at
+        # read time with the actionable cause instead
+        raise ValueError(
+            f"media lake partition column(s) {clash} collide with the"
+            " media frame's own output columns (media_id, media_path,"
+            " payload, meta) — rename the partition directories"
+        )
     return raw.select(
         F.xxhash64(F.col("path")).alias("media_id"),
         F.col("path").alias("media_path"),
@@ -294,8 +327,13 @@ def warehouse_path(spark: SparkSession) -> str:
     """Local filesystem path of the session warehouse (the single
     place that strips the file:/file:// URI prefixes — callers that
     need to rmtree orphaned managed-table locations share this)."""
+    from urllib.parse import unquote
+
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     for prefix in ("file://", "file:"):
         if wh.startswith(prefix):
-            return wh[len(prefix):]
+            # Spark stores a QUALIFIED URI: percent-decode it or a
+            # warehouse dir containing spaces yields a %20 path that
+            # os.path/shutil callers silently fail to find
+            return unquote(wh[len(prefix):])
     return wh

@@ -394,3 +394,65 @@ def test_load_media_partitioned_dsl(spark, part_media_dir):
         parse(
             f"LOAD MEDIA FROM '{part_media_dir}' RECURSIVE PARTITIONED"
         )
+
+
+# --- round-10 io.py review-sweep regressions ---------------------------------
+
+
+def test_glob_fold_reads_files_inside_matched_dirs(spark, tmp_path):
+    """A glob matching a MIX of files and directories must read the
+    directories' files too (the fold's empty-listing retry only
+    caught the all-directories case — repro'd silent data loss)."""
+    import os
+
+    from declarativeml_spark.sources.io import read_media
+
+    d = tmp_path / "corpus"
+    (d / "b.v2").mkdir(parents=True)
+    (d / "a.v2").write_bytes(b"RIFFxxxx")
+    (d / "b.v2" / "c.dat").write_bytes(b"RIFFyyyy")
+    media = read_media(spark, f"{d}/*.v2")
+    names = sorted(os.path.basename(r.media_path) for r in media.collect())
+    assert names == ["a.v2", "c.dat"]
+
+
+def test_partitioned_glob_path_rejected(spark, tmp_path):
+    from declarativeml_spark.sources.io import read_media
+
+    with pytest.raises(ValueError, match="lake ROOT"):
+        read_media(spark, f"{tmp_path}/year=202*", partitioned=True)
+
+
+def test_partition_key_colliding_with_output_columns_rejected(
+    spark, tmp_path
+):
+    from declarativeml_spark.sources.io import read_media
+
+    d = tmp_path / "lake" / "media_id=7"
+    d.mkdir(parents=True)
+    (d / "clip.wav").write_bytes(b"RIFFzzzz")
+    with pytest.raises(ValueError, match="collide"):
+        read_media(spark, str(tmp_path / "lake"), partitioned=True).columns
+
+
+def test_warehouse_path_percent_decodes(spark, monkeypatch):
+    from declarativeml_spark.sources import io as io_mod
+
+    class FakeConf:
+        def get(self, k, default=None):
+            return "file:/root/my%20repo/spark-warehouse"
+
+    class FakeSession:
+        conf = FakeConf()
+
+    assert (
+        io_mod.warehouse_path(FakeSession())
+        == "/root/my repo/spark-warehouse"
+    )
+
+
+def test_read_delta_jarless_message(spark, tmp_path):
+    from declarativeml_spark.sources.io import read_delta
+
+    with pytest.raises(NotImplementedError, match="delta-spark"):
+        read_delta(spark, str(tmp_path / "no_table"))
