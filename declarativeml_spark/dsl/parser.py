@@ -97,6 +97,22 @@ Statement = Union[
 ]
 
 
+# Keywords that BEGIN a statement (the parse() dispatch table) or a
+# THEN-chain action — the chain-AND splitter consults this so a
+# statement's own conjunctions never split the chain.
+_STATEMENT_STARTS = frozenset({
+    "TRAIN", "COMPUTE", "PREDICT", "EVALUATE", "CREATE", "DEPLOY",
+    "MONITOR", "RETRAIN", "WHEN", "EXPLAIN", "REGISTER", "PUBLISH",
+    "SUBSCRIBE", "DEDUPLICATE", "SEARCH", "SAMPLE", "DECODE",
+    "RESIZE", "LOAD", "DECONTAMINATE", "PACK", "REDACT", "CHUNK",
+    "SESSIONIZE", "QUANTIZE", "MIX", "PROFILE", "DETECT", "SHARD",
+    "COMPACT", "SHUFFLE", "SCORE", "WEIGH", "AUDIT", "CALIBRATE",
+    "DROP", "REFRESH", "SELECT", "WITH", "NOTIFY", "ALERT", "CALL",
+    "EXECUTE", "ON", "SET", "SCHEDULE", "TOKENIZE", "ARCHIVE",
+    "ROLLBACK", "BEGIN",
+})
+
+
 class _Parser:
     def __init__(self, text: str):
         self.text = text
@@ -271,11 +287,14 @@ class _Parser:
             )
 
     def capture_statement_until_delimiter(
-        self, stop_names: frozenset = frozenset()
+        self, stop_names: frozenset = frozenset(), chain_and: bool = False
     ) -> str:
         """Raw text slice to the next TOP-LEVEL ';' or stop keyword
         (paren-aware) — the shared scanner for workflow-block steps and
-        THEN action chains."""
+        THEN action chains. ``chain_and=True`` stops at a top-level
+        AND only when the NEXT token starts a statement/action — a
+        captured statement's OWN conjunctions (``WHERE x = 1 AND
+        y = 2``) previously split the chain mid-statement."""
         start = self.peek()
         if start.kind == "EOF":
             raise DSLSyntaxError("Expected a statement")
@@ -289,6 +308,13 @@ class _Parser:
             elif depth == 0 and (
                 (t.kind == "OP" and t.value == ";")
                 or (t.kind == "NAME" and t.value in stop_names)
+                or (
+                    chain_and
+                    and t.kind == "NAME"
+                    and t.value == "AND"
+                    and self.peek(1).kind == "NAME"
+                    and self.peek(1).value in _STATEMENT_STARTS
+                )
             ):
                 break
             self.advance()
@@ -307,17 +333,25 @@ class _Parser:
             raise DSLSyntaxError("Training data source clause cannot be empty")
         start = start_tok.pos
         end = start
+        depth = 0  # stop keywords only bind at paren depth 0: a WITH
+        # or STORE inside a parenthesized subquery source is part of
+        # the subquery's own SQL, not this statement's next clause
         while True:
             tok = self.peek()
             if tok.kind == "EOF":
                 break
-            if tok.kind == "NAME" and tok.value in stop_keywords:
-                break
-            if tok.kind == "NAME" and any(
-                tok.value == a and self.at_keyword(b, 1)
-                for a, b in stop_pairs
-            ):
-                break
+            if tok.kind == "OP" and tok.value == "(":
+                depth += 1
+            elif tok.kind == "OP" and tok.value == ")":
+                depth = max(0, depth - 1)
+            elif depth == 0 and tok.kind == "NAME":
+                if tok.value in stop_keywords:
+                    break
+                if any(
+                    tok.value == a and self.at_keyword(b, 1)
+                    for a, b in stop_pairs
+                ):
+                    break
             self.advance()
             end = tok.pos + len(tok.value)
         return self.text[start:end].strip()
@@ -454,7 +488,18 @@ class _Parser:
                 interval = self.parse_value()
                 interval = _require_positive_int(interval, "checkpoint interval")
                 unit = None
-                if self.peek().kind == "NAME":
+                # the unit lookahead must not swallow the NEXT train
+                # option: `SAVE CHECKPOINTS EVERY 1000 STOP WHEN …`
+                # previously consumed STOP as the unit and broke on
+                # WHEN, though the loop accepts options in any order
+                _option_kws = {
+                    "SPLIT", "VALIDATE", "OPTIMIZE", "STOP",
+                    "BALANCE", "SAVE", "WITH",
+                }
+                if (
+                    self.peek().kind == "NAME"
+                    and self.peek().value.upper() not in _option_kws
+                ):
                     unit = self.advance().value
                 model.checkpoint = ir.CheckpointOption(interval=interval, unit=unit)
             elif self.at_keyword("WITH"):
@@ -1103,7 +1148,7 @@ class _Parser:
                 actions.append(("alert", target, self.parse_quoted_message()))
             else:
                 text = self.capture_statement_until_delimiter(
-                    stop_names=frozenset({"AND"})
+                    chain_and=True
                 )
                 parse(text)
                 actions.append(("stmt", text))
@@ -1298,9 +1343,14 @@ class _Parser:
                 # payload->>'k' → get_json_object(payload, '$.k');
                 # Spark coerces the string result for numeric compares.
                 # \b-anchored: a column merely ENDING in 'payload'
-                # (event_payload) must not be rewritten mid-identifier
+                # (event_payload) must not be rewritten mid-identifier.
+                # An ALIAS-qualified accessor (e.payload->>'k') folds
+                # its alias away — the predicate evaluates against the
+                # bare event row, and the old \b matched after the '.'
+                # leaving `e.get_json_object(...)`, invalid SQL that
+                # failed at fire time instead of registration
                 predicate = _re.sub(
-                    r"\bpayload\s*-\s*>\s*>\s*'([^']+)'",
+                    r"\b(?:[A-Za-z_]\w*\s*\.\s*)?payload\s*-\s*>\s*>\s*'([^']+)'",
                     lambda m: f"get_json_object(payload, '$.{m.group(1)}')",
                     predicate,
                 )
@@ -1314,6 +1364,13 @@ class _Parser:
                     "Expected dotted metric reference (e.g. model_metrics.accuracy)"
                 )
             metric = parts[-1]
+            # the prefix scopes the rule: `model_metrics.` is the
+            # generic any-model source; any OTHER prefix is a MODEL
+            # NAME (fraud_detector.accuracy < 0.85) and must filter
+            # the payload's model field — previously the prefix was
+            # silently discarded and the rule fired on EVERY model's
+            # metrics event
+            source = ".".join(parts[:-1])
             op_tok = self.advance()
             if op_tok.kind != "OP" or op_tok.value not in {
                 ">=", "<=", ">", "<", "!=", "=",
@@ -1336,6 +1393,12 @@ class _Parser:
                 predicate = (
                     f"CAST(get_json_object(payload, '$.{metric}') AS DOUBLE)"
                     f" {op_tok.value} {value}"
+                )
+            if source != "model_metrics":
+                mesc = source.replace("'", "''")
+                predicate = (
+                    f"get_json_object(payload, '$.model') = '{mesc}'"
+                    f" AND {predicate}"
                 )
         self.expect_keyword("THEN")
         tok = self.peek()
@@ -1424,7 +1487,8 @@ class _Parser:
             actions = self.parse_action_chain(subject)
             self.expect_eof()
             script = "; ".join(actions)
-            parse_script(script)
+            if not script.upper().startswith("BEGIN"):
+                parse_script(script)  # blocks validated in the chain
             return ir.WhenRule(
                 event_pattern="model.converged",
                 payload_predicate=predicate,
@@ -1434,7 +1498,8 @@ class _Parser:
         actions = self.parse_action_chain(subject)
         self.expect_eof()  # a dropped AND must not silently eat actions
         script = "; ".join(actions)
-        parse_script(script)  # validate now, not at fire time
+        if not script.upper().startswith("BEGIN"):
+            parse_script(script)  # validate now (blocks already were)
         return ir.WhenRule(
             event_pattern="model.metrics",
             payload_predicate=predicate,
@@ -1447,6 +1512,22 @@ class _Parser:
         leaves it implicit."""
         actions: list[str] = []
         while True:
+            if self.at_keyword("BEGIN"):
+                # a THEN workflow block — legal for WHEN EVENT, now
+                # for WHEN MODEL too; it must stand ALONE (the fire
+                # path dispatches on the action text's BEGIN prefix,
+                # so chain further statements INSIDE the block)
+                if actions:
+                    raise DSLSyntaxError(
+                        "a BEGIN…END block must be the only THEN"
+                        " action — move the other actions inside it"
+                    )
+                tok = self.peek()
+                text = self.text[tok.pos :].strip()
+                while self.peek().kind != "EOF":
+                    self.advance()
+                parse_workflow_block_text(text)  # validate NOW
+                return [text]
             if self.at_keyword("DEPLOY") and self.at_keyword("TO", 1):
                 self.advance()
                 self.advance()
@@ -1479,9 +1560,7 @@ class _Parser:
                 # a full DSL statement, captured to the next top-level
                 # AND (or EOF)
                 actions.append(
-                    self.capture_statement_until_delimiter(
-                        stop_names=frozenset({"AND"})
-                    )
+                    self.capture_statement_until_delimiter(chain_and=True)
                 )
             if self.at_keyword("AND"):
                 self.advance()
@@ -1771,7 +1850,17 @@ class _Parser:
             elif self.at_keyword("EVERY"):
                 self.advance()
                 every = _require_positive_int(self.parse_value(), "monitor interval")
-                if self.peek().kind == "NAME" and not self.at_keyword("THEN"):
+                # the unit lookahead must not swallow a FOLLOWING
+                # clause keyword: `EVERY 10 CHECK (...)` previously
+                # consumed CHECK as the time unit and orphaned the
+                # check clause, though the loop accepts the clauses
+                # in either order
+                if (
+                    self.peek().kind == "NAME"
+                    and not self.at_keyword("THEN")
+                    and not self.at_keyword("CHECK")
+                    and not self.at_keyword("EVERY")
+                ):
                     every_unit = self.advance().value
             else:
                 break
@@ -1916,7 +2005,14 @@ class _Parser:
         action = self.text[tok.pos :].strip()
         while self.peek().kind != "EOF":
             self.advance()
-        parse(action)
+        # validate like parse_when: a BEGIN…END workflow block is a
+        # legal action (the fire path runs it; registration-time
+        # single-statement parse() wrongly rejected it while the
+        # identical WHEN EVENT form accepted it)
+        if action.upper().startswith("BEGIN"):
+            parse_workflow_block_text(action)
+        else:
+            parse(action)
         return ir.WhenRule(event_pattern=pattern, payload_predicate=None, action=action)
 
     # -- PUBLISH EVENT (EXTENSIONS.md:194-210) -----------------------------------
@@ -3189,6 +3285,15 @@ def split_statements(text: str) -> list[str]:
             elif ch == quote:
                 quote = None
             i += 1
+        elif ch == "-" and i + 1 < n and text[i + 1] == "-":
+            # SQL `--`-to-newline comment (the lexer skips them like
+            # whitespace): a ';' or block keyword inside one must not
+            # split/track — previously any semicolon in a comment (or
+            # a trailing comment after the final ';') broke
+            # parse_script
+            while i < n and text[i] != "\n":
+                i += 1
+            prev_word = ""
         elif ch in ("'", '"'):
             quote = ch
             prev_word = ""
@@ -3235,7 +3340,7 @@ def split_statements(text: str) -> list[str]:
             i += 1
         elif ch == ";" and begin_depth == 0:
             stmt = text[start:i].strip()
-            if stmt:
+            if stmt and not _comment_only(stmt):
                 parts.append(stmt)
             start = i + 1
             prev_word = ""
@@ -3245,9 +3350,22 @@ def split_statements(text: str) -> list[str]:
                 prev_word = ""
             i += 1
     stmt = text[start:].strip()
-    if stmt:
+    if stmt and not _comment_only(stmt):
         parts.append(stmt)
     return parts
+
+
+def _comment_only(stmt: str) -> bool:
+    """True when a split chunk holds no tokens (whitespace/comments
+    only) — e.g. the text after a final ';' followed by a trailing
+    `-- done` comment."""
+    from declarativeml_spark.dsl.lexer import tokenize
+
+    try:
+        toks = tokenize(stmt)
+    except Exception:  # noqa: BLE001 — let parse() raise the real error
+        return False
+    return not toks or toks[0].kind == "EOF"
 
 
 def parse_script(text: str) -> list[Statement]:

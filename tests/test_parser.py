@@ -356,3 +356,103 @@ def test_fuzz_single_mutation_never_crashes(stmt, pos, ins):
         parse(mutated)
     except (DSLSyntaxError, ValueError):
         pass
+
+
+# --- round-10 parser review-sweep regressions --------------------------------
+
+
+def test_split_statements_comment_aware():
+    from declarativeml_spark.dsl.parser import parse_script, split_statements
+
+    assert len(parse_script("SET a.b = 1; -- done")) == 1
+    # the second chunk keeps its leading comment text (the lexer
+    # skips comments) — the point is the ';' inside the comment no
+    # longer splits, and the chunk still parses
+    stmts = split_statements("SET a.b = 1; -- note; careful\nSET c.d = 2")
+    assert len(stmts) == 2 and stmts[1].endswith("SET c.d = 2")
+    assert len(parse_script("SET a.b = 1; -- note; careful\nSET c.d = 2")) == 2
+    # a quoted '--' is NOT a comment
+    assert len(parse_script("PUBLISH EVENT e WITH PAYLOAD {x: 'a--b; c'}")) == 1
+
+
+def test_source_capture_is_paren_aware():
+    from declarativeml_spark.dsl.parser import parse
+
+    r = parse(
+        "PREDICT USING MODEL m FROM (WITH t AS (SELECT 1 AS x)"
+        " SELECT * FROM t) s STORE RESULTS IN out"
+    )
+    assert r.source.startswith("(WITH t AS") and r.sink == "out"
+
+
+def test_when_metric_sugar_model_prefix_scopes_rule():
+    from declarativeml_spark.dsl.parser import parse
+
+    scoped = parse(
+        "WHEN fraud_detector.accuracy < 0.85 THEN RETRAIN MODEL fraud_detector"
+    )
+    assert "'$.model') = 'fraud_detector'" in scoped.payload_predicate
+    generic = parse("WHEN model_metrics.accuracy < 0.85 THEN RETRAIN MODEL m")
+    assert "$.model" not in generic.payload_predicate
+
+
+def test_monitor_unitless_every_before_check():
+    from declarativeml_spark.dsl.parser import parse
+
+    r = parse("MONITOR MODEL m ON events EVERY 10 CHECK (accuracy > 0.8)")
+    assert r.every == 10 and r.every_unit is None
+    assert r.checks == ["accuracy > 0.8"]
+
+
+def test_unitless_checkpoint_before_next_option():
+    from declarativeml_spark.dsl.parser import parse
+
+    r = parse(
+        "TRAIN MODEL x USING logistic_regression FROM t PREDICT y"
+        " WITH FEATURES(a, b)"
+        " SAVE CHECKPOINTS EVERY 1000 STOP WHEN accuracy > 0.9"
+    )
+    assert r.checkpoint.interval == 1000 and r.checkpoint.unit is None
+    assert r.stop_condition == "accuracy > 0.9"
+
+
+def test_action_chain_keeps_statement_internal_and():
+    from declarativeml_spark.dsl.parser import parse
+
+    r = parse(
+        "WHEN MODEL m ACCURACY > 0.9 THEN EVALUATE MODEL m ON events"
+        " WHERE x = 1 AND y = 2 METRICS (accuracy)"
+    )
+    assert "AND y = 2" in r.action
+    # a genuine chain still splits
+    r2 = parse(
+        "WHEN MODEL m ACCURACY > 0.9 THEN DEPLOY TO prod"
+        " AND ARCHIVE previous_version"
+    )
+    assert "; " in r2.action
+
+
+def test_when_model_and_subscribe_accept_begin_blocks():
+    from declarativeml_spark.dsl.parser import parse
+
+    r = parse("WHEN MODEL m ACCURACY > 0.9 THEN BEGIN RETRAIN MODEL m; END")
+    assert r.action.startswith("BEGIN")
+    r2 = parse("SUBSCRIBE TO 'model.*' EXECUTE BEGIN RETRAIN MODEL m; END")
+    assert r2.action.startswith("BEGIN")
+    with pytest.raises(DSLSyntaxError, match="only THEN"):
+        parse(
+            "WHEN MODEL m ACCURACY > 0.9 THEN DEPLOY TO prod"
+            " AND BEGIN RETRAIN MODEL m; END"
+        )
+
+
+def test_alias_qualified_payload_accessor():
+    from declarativeml_spark.dsl.parser import parse
+
+    r = parse("WHEN EVENT 'm' WHERE e.payload->>'k' = 'v' THEN RETRAIN MODEL m")
+    assert r.payload_predicate == "get_json_object(payload, '$.k') = 'v'"
+    # a column merely ENDING in payload is untouched
+    r2 = parse(
+        "WHEN EVENT 'm' WHERE event_payload = 'x' THEN RETRAIN MODEL m"
+    )
+    assert r2.payload_predicate == "event_payload = 'x'"
