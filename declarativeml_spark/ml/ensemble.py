@@ -14,22 +14,15 @@ Reference semantics implemented Spark-first:
 
 from __future__ import annotations
 
-import json
 from typing import Any, Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from declarativeml_spark.ml.models import DEFAULT_MODEL_DIR, _registry_path, registry_load
-
-
-def _append_record(base: Optional[str], record: dict) -> None:
-    import os
-
-    base = base or DEFAULT_MODEL_DIR
-    os.makedirs(base, exist_ok=True)
-    with open(_registry_path(base), "a") as f:
-        f.write(json.dumps(record) + "\n")
+from declarativeml_spark.ml.models import (
+    append_registry_record as _append_record,  # engine.py imports this name
+    registry_load,
+)
 
 
 def create_ensemble(

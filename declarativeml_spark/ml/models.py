@@ -79,12 +79,74 @@ if TYPE_CHECKING:
 DEFAULT_MODEL_DIR = os.environ.get("DML_MODEL_DIR", "/tmp/dml_models")
 
 
+def _default_base() -> str:
+    """The layout root, resolved at CALL time: $DML_MODEL_DIR set
+    after import must take effect (the import-time constant silently
+    ignored it); the module-level DEFAULT_MODEL_DIR stays as the
+    static fallback for existing importers."""
+    return os.environ.get("DML_MODEL_DIR", DEFAULT_MODEL_DIR)
+
+
 def _registry_path(base: Optional[str] = None) -> str:
-    return os.path.join(base or DEFAULT_MODEL_DIR, "registry.jsonl")
+    return os.path.join(base or _default_base(), "registry.jsonl")
+
+
+def append_registry_record(base: Optional[str], record: dict) -> None:
+    """THE one registry appender (used by save/status/trials and
+    ml.ensemble): creates the base dir and appends one JSON line.
+    Four drifting copies of this pattern existed — one of them
+    (mark_version_status) had already lost its makedirs."""
+    base = base or _default_base()
+    os.makedirs(base, exist_ok=True)
+    path = _registry_path(base)
+    # self-heal a torn tail: a crash mid-append can leave the file
+    # without its trailing newline, and a bare append would CONCATENATE
+    # this record onto the truncated line — corrupting a good record
+    # into the bad line instead of isolating the bad line
+    needs_nl = False
+    try:
+        with open(path, "rb") as rf:
+            rf.seek(-1, os.SEEK_END)
+            needs_nl = rf.read(1) != b"\n"
+    except OSError:
+        pass  # missing or empty file: nothing to heal
+    with open(path, "a") as f:
+        if needs_nl:
+            f.write("\n")
+        f.write(json.dumps(record) + "\n")
+
+
+def _iter_registry(base: str):
+    """Yield parsed registry records, SKIPPING corrupt lines with a
+    warning naming them — one truncated line (crash mid-append, disk
+    full) previously bricked load/deploy/serve for EVERY model in the
+    registry, intact records included."""
+    path = _registry_path(base)
+    if not os.path.exists(path):
+        return
+    bad: list[int] = []
+    with open(path) as f:
+        for lineno, line in enumerate(f, 1):
+            if not line.strip():
+                continue
+            try:
+                yield json.loads(line)
+            except ValueError:
+                bad.append(lineno)
+    if bad:
+        import warnings
+
+        warnings.warn(
+            f"registry {path!r}: skipped corrupt line(s) {bad} —"
+            " records appended onto a truncated line are lost; the"
+            " remaining registry stays readable",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def next_version(name: str, base: Optional[str] = None) -> int:
-    model_dir = os.path.join(base or DEFAULT_MODEL_DIR, name)
+    model_dir = os.path.join(base or _default_base(), name)
     if not os.path.isdir(model_dir):
         return 1
     versions = [
@@ -101,14 +163,34 @@ def registry_save(
     extra: Optional[dict] = None,
 ) -> str:
     """Persist a trained model version + append registry metadata."""
-    base = base or DEFAULT_MODEL_DIR
-    version = next_version(trained.name, base)
-    path = os.path.join(base, trained.name, f"v{version}")
-    trained.pipeline_model.write().overwrite().save(path)
-    trained.version = version
-    trained.path = path
+    base = base or _default_base()
+    # CLAIM the version dir before the (slow) artifact write: two
+    # concurrent saves racing next_version would both compute N+1 and
+    # the second overwrite() silently clobbered the first's artifacts
+    # while the registry gained two records claiming one version.
+    # makedirs(exist_ok=False) is the atomic claim; on collision the
+    # loser re-reads and takes the next slot.
+    for _ in range(64):
+        version = next_version(trained.name, base)
+        path = os.path.join(base, trained.name, f"v{version}")
+        try:
+            os.makedirs(path, exist_ok=False)
+            break
+        except FileExistsError:
+            continue
+    else:  # pragma: no cover - 64 concurrent savers
+        raise RuntimeError(
+            f"could not allocate a version dir for {trained.name!r}"
+        )
+    try:
+        trained.pipeline_model.write().overwrite().save(path)
+    except BaseException:
+        # release the claim: an empty orphan dir would otherwise make
+        # next_version skip this slot forever
+        import shutil
 
-    os.makedirs(base, exist_ok=True)
+        shutil.rmtree(path, ignore_errors=True)
+        raise
     record = {
         "name": trained.name,
         "version": version,
@@ -126,8 +208,19 @@ def registry_save(
     }
     if extra:
         record.update(extra)
-    with open(_registry_path(base), "a") as f:
-        f.write(json.dumps(record) + "\n")
+    try:
+        append_registry_record(base, record)
+    except BaseException:
+        # an unregistered artifact is an invisible orphan that
+        # next_version skips forever and previous_<metric> lookups
+        # silently resolve past — remove it and surface the failure
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        raise
+    # mutate the caller's handle only once version+record BOTH exist
+    trained.version = version
+    trained.path = path
     return path
 
 
@@ -146,8 +239,7 @@ def trial_log_append(
     metadata, so a finished search is inspectable after the fact
     (reference DSL.md:158-171 tuner agents; surfaced by
     ``Engine.tuning_trials``)."""
-    base = base or DEFAULT_MODEL_DIR
-    os.makedirs(base, exist_ok=True)
+    base = base or _default_base()
     record = {
         "record": "tuning_trials",
         "agent": agent,
@@ -163,24 +255,18 @@ def trial_log_append(
         "best_trial": best_trial,
         "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    with open(_registry_path(base), "a") as f:
-        f.write(json.dumps(record) + "\n")
+    append_registry_record(base, record)
 
 
 def trial_log_read(
     agent: str, base: Optional[str] = None
 ) -> Optional[dict]:
     """Latest tuning_trials record for an agent, or None."""
-    base = base or DEFAULT_MODEL_DIR
-    path = _registry_path(base)
+    base = base or _default_base()
     out: Optional[dict] = None
-    if not os.path.exists(path):
-        return None
-    with open(path) as f:
-        for line in f:
-            rec = json.loads(line)
-            if rec.get("record") == "tuning_trials" and rec.get("agent") == agent:
-                out = rec
+    for rec in _iter_registry(base):
+        if rec.get("record") == "tuning_trials" and rec.get("agent") == agent:
+            out = rec
     return out
 
 
@@ -188,23 +274,18 @@ def mark_version_status(
     name: str, version: int, status: str, base: Optional[str] = None
 ) -> None:
     """Append a status record for a version (e.g. rolled_back)."""
-    base = base or DEFAULT_MODEL_DIR
-    with open(_registry_path(base), "a") as f:
-        f.write(json.dumps({"name": name, "version": version, "status": status}) + "\n")
+    append_registry_record(
+        base, {"name": name, "version": version, "status": status}
+    )
 
 
 def version_statuses(name: str, base: Optional[str] = None) -> dict[int, str]:
     """Latest status per version of a model."""
-    base = base or DEFAULT_MODEL_DIR
-    path = _registry_path(base)
+    base = base or _default_base()
     out: dict[int, str] = {}
-    if not os.path.exists(path):
-        return out
-    with open(path) as f:
-        for line in f:
-            rec = json.loads(line)
-            if rec.get("name") == name and rec.get("version") is not None:
-                out[rec["version"]] = rec.get("status", "registered")
+    for rec in _iter_registry(base):
+        if rec.get("name") == name and rec.get("version") is not None:
+            out[rec["version"]] = rec.get("status", "registered")
     return out
 
 
@@ -212,7 +293,7 @@ def registry_load(
     spark: SparkSession, name: str, version: Optional[int] = None, base: Optional[str] = None
 ) -> PipelineModel:
     """Load a model by name (latest non-rolled-back version unless pinned)."""
-    base = base or DEFAULT_MODEL_DIR
+    base = base or _default_base()
     if version is None:
         statuses = version_statuses(name, base)
         live = [v for v, s in statuses.items() if s != "rolled_back"]
@@ -226,7 +307,25 @@ def registry_load(
         version = max(live) if live else next_version(name, base) - 1
     if version < 1:
         raise ValueError(f"No registered model named {name!r} in {base}")
-    return PipelineModel.load(os.path.join(base, name, f"v{version}"))
+    path = os.path.join(base, name, f"v{version}")
+    if not os.path.isdir(path):
+        # typed error instead of an opaque Py4J crash deep in MLlib:
+        # artifact-less registry names (ensembles score through
+        # score_ensemble, not a PipelineModel) and pinned nonexistent
+        # versions both land here
+        meta = registry_meta(name, base=base)
+        if meta.get("algorithm") == "ensemble":
+            raise ValueError(
+                f"{name!r} is an ENSEMBLE (no stored PipelineModel) —"
+                " score it via PREDICT USING MODEL / score_ensemble,"
+                " not registry_load"
+            )
+        raise ValueError(
+            f"Model {name!r} version {version} has no stored artifacts"
+            f" under {base} — known versions:"
+            f" {sorted(version_statuses(name, base)) or 'none'}"
+        )
+    return PipelineModel.load(path)
 
 
 def registry_meta(
@@ -238,15 +337,10 @@ def registry_meta(
     append-only JSONL: full records carry ``algorithm``; status-only
     records (deploy / rollback) override a version's status. Returns
     ``{}`` when no live record exists."""
-    base = base or DEFAULT_MODEL_DIR
-    path = _registry_path(base)
-    if not os.path.exists(path):
-        return {}
+    base = base or _default_base()
     full: dict[int, dict] = {}
     status: dict[int, str] = {}
-    with open(path) as f:
-        for line in f:
-            rec = json.loads(line)
+    for rec in _iter_registry(base):
             if rec.get("name") != name:
                 continue
             ver = rec.get("version") or 1
@@ -272,9 +366,26 @@ def registry_table(spark: SparkSession, base: Optional[str] = None) -> DataFrame
     """The model registry as a DataFrame (ml_model analogue)."""
     path = _registry_path(base)
     if not os.path.exists(path):
-        from pyspark.sql.types import StringType, StructField, StructType
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
 
+        # cover the columns callers actually select so an EMPTY
+        # registry yields zero rows, not AnalysisException on
+        # 'version'/'status'
         return spark.createDataFrame(
-            [], StructType([StructField("name", StringType(), True)])
+            [],
+            StructType(
+                [
+                    StructField("name", StringType(), True),
+                    StructField("version", LongType(), True),
+                    StructField("status", StringType(), True),
+                    StructField("algorithm", StringType(), True),
+                    StructField("path", StringType(), True),
+                ]
+            ),
         )
     return spark.read.json(path)

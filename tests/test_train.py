@@ -383,3 +383,94 @@ def test_bare_string_numeric_column_casts(engine, spark):
         "FROM orders_strtyped PREDICT expensive WITH FEATURES(amt_str)"
     )
     assert trained.metrics["accuracy"] > 0.9
+
+
+# --- round-10 models.py registry hardening ------------------------------------
+
+
+def test_registry_survives_corrupt_line(spark, tmp_path, engine):
+    """One truncated registry line (crash mid-append) must not brick
+    reads for every model — corrupt lines skip with a warning."""
+    import json
+    import warnings
+
+    from declarativeml_spark.ml.models import (
+        append_registry_record,
+        registry_meta,
+        version_statuses,
+    )
+
+    base = str(tmp_path / "reg_corrupt")
+    append_registry_record(
+        base, {"name": "good", "version": 1, "algorithm": "x", "status": "registered"}
+    )
+    with open(f"{base}/registry.jsonl", "a") as f:
+        f.write('{"name": "trunc", "ver')  # no newline: torn write
+    append_registry_record(base, {"name": "good", "version": 1, "status": "deployed"})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        meta = registry_meta("good", base=base)
+    assert meta["status"] == "deployed"
+    assert version_statuses("good", base=base) == {1: "deployed"}
+    assert any("corrupt line" in str(x.message) for x in w)
+
+
+def test_registry_load_typed_errors(spark, tmp_path, engine):
+    from declarativeml_spark.ml.models import (
+        append_registry_record,
+        registry_load,
+    )
+
+    base = str(tmp_path / "reg_typed")
+    append_registry_record(
+        base,
+        {"name": "combo", "version": 1, "algorithm": "ensemble",
+         "status": "registered"},
+    )
+    with pytest.raises(ValueError, match="ENSEMBLE"):
+        registry_load(spark, "combo", base=base)
+    with pytest.raises(ValueError, match="No registered model"):
+        registry_load(spark, "ghost", base=base)
+
+
+def test_registry_load_pinned_missing_version(spark, engine):
+    from declarativeml_spark.ml.models import registry_load
+
+    engine.execute(
+        "TRAIN MODEL pin_v USING logistic_regression(max_iter=5) "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice)"
+    )
+    with pytest.raises(ValueError, match="no stored artifacts"):
+        registry_load(spark, "pin_v", version=99, base=engine.model_dir)
+
+
+def test_mark_version_status_creates_base_dir(tmp_path):
+    from declarativeml_spark.ml.models import (
+        mark_version_status,
+        version_statuses,
+    )
+
+    base = str(tmp_path / "fresh" / "nested")
+    mark_version_status("m", 1, "rolled_back", base=base)
+    assert version_statuses("m", base=base) == {1: "rolled_back"}
+
+
+def test_registry_table_empty_has_selectable_columns(spark, tmp_path):
+    from declarativeml_spark.ml.models import registry_table
+
+    reg = registry_table(spark, base=str(tmp_path / "empty_reg"))
+    assert reg.filter("name = 'x'").select("version", "status").count() == 0
+
+
+def test_model_dir_env_read_at_call_time(tmp_path, monkeypatch):
+    from declarativeml_spark.ml.models import (
+        _registry_path,
+        append_registry_record,
+    )
+
+    monkeypatch.setenv("DML_MODEL_DIR", str(tmp_path / "env_base"))
+    assert _registry_path(None).startswith(str(tmp_path / "env_base"))
+    append_registry_record(None, {"name": "m", "version": 1})
+    import os
+
+    assert os.path.exists(str(tmp_path / "env_base" / "registry.jsonl"))
