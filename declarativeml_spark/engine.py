@@ -1935,6 +1935,7 @@ class Engine:
             df = resolve_source(
                 self.spark, stmt.source, stmt.source_is_identifier
             )
+        background = None
         if stmt.row_filter is not None:
             col, value = stmt.row_filter
             if col not in df.columns:
@@ -1942,6 +1943,11 @@ class Engine:
                     f"EXPLAIN selector column {col!r} is not in the"
                     f" source (columns: {', '.join(df.columns)})"
                 )
+            # the UNFILTERED source is the SHAP background: the
+            # filtered single row's own mean is the row itself, so
+            # every linear contribution collapsed to coef*(x-x)=0 —
+            # a vacuous all-zero explanation
+            background = build_features(df, meta["features"]).df
             df = df.filter(F.col(col) == F.lit(value))
         df = build_features(df, meta["features"]).df
         return explain_predictions(
@@ -1951,6 +1957,7 @@ class Engine:
             feature_names=meta["features"],
             top_k=stmt.top_k,
             base=self.model_dir,
+            background_df=background,
         )
 
     # -- CREATE TYPE (reference DSL.md:177-210) -------------------------------
@@ -2116,7 +2123,9 @@ class Engine:
                 )
             if rec.get("maximize") is not None:
                 rec_asc = not bool(rec["maximize"])
-                heuristic_asc = primary in {"rmse", "mse", "mae"}
+                from declarativeml_spark.ml.evaluate import LOWER_IS_BETTER
+
+                heuristic_asc = primary in LOWER_IS_BETTER
                 if specs and rec_asc != heuristic_asc:
                     raise ValueError(
                         f"Tuner {trials_agent!r} ranks {primary!r}"
@@ -2853,30 +2862,27 @@ class Engine:
         )
 
     def _evaluate(self, stmt: ir.EvaluateModel) -> dict:
-        from pyspark.sql import functions as F
-
-        from declarativeml_spark.ml.registry import get_algorithm
-        from declarativeml_spark.ml.training import _compute_metrics
+        # delegate to the ONE evaluator (ml/evaluate.py): this body
+        # used to be a verbatim copy whose label handling drifted —
+        # the EVALUATE statement and the evaluate_model built-in must
+        # stay behaviorally identical
+        from declarativeml_spark.ml.evaluate import evaluate_model
+        from declarativeml_spark.plans.builder import build_features
 
         meta = self._model_meta(stmt.model)
         if meta is None:
             raise ValueError(f"No registered model named {stmt.model!r}")
-        model = registry_load(self.spark, stmt.model, base=self.model_dir)
-        spec = get_algorithm(meta["algorithm"])
         df = resolve_source(self.spark, stmt.source, stmt.source_is_identifier)
-        from declarativeml_spark.plans.builder import build_features
-
         df = build_features(df, meta["features"]).df
-        label_col = None
-        if spec.kind != "clustering":
-            label_col = "label"
-            ttype = dict(df.dtypes).get(meta["target"])
-            if not (spec.kind == "classification" and ttype == "string"):
-                df = df.withColumn(label_col, F.col(meta["target"]).cast("double"))
-        metrics = _compute_metrics(model, df, spec, label_col)
-        if stmt.metrics:
-            metrics = {k: v for k, v in metrics.items() if k in set(stmt.metrics)}
-        return metrics
+        return evaluate_model(
+            self.spark,
+            stmt.model,
+            df,
+            metrics=stmt.metrics,
+            algorithm=meta["algorithm"],
+            target=meta["target"],
+            base=self.model_dir,
+        )
 
     def _model_meta(self, name: str) -> Optional[dict[str, Any]]:
         """Latest live (non-rolled-back) full registry record for a

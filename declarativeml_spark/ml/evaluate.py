@@ -41,6 +41,13 @@ def _linear_coefficients(final) -> Optional[list]:
         return None
 
 
+# metrics where SMALLER is better — shared by compare_models' rank
+# direction and the engine's tuner-direction consistency check (two
+# drifting literals previously risked ranking a new error metric
+# descending in one place and ascending in the other)
+LOWER_IS_BETTER = frozenset({"rmse", "mse", "mae"})
+
+
 def evaluate_model(
     spark: SparkSession,
     model_name: str,
@@ -59,12 +66,36 @@ def evaluate_model(
     label_col = None
     if spec.kind != "clustering":
         label_col = "label"
-        ttype = dict(test_df.dtypes).get(target)
-        if not (spec.kind == "classification" and ttype == "string"):
-            test_df = test_df.withColumn(label_col, F.col(target).cast("double"))
+        # the MODEL decides label materialization, not the test
+        # batch's dtype (the monitor_model convention): a pipeline
+        # whose own StringIndexer builds `label` must not get a
+        # second one ("label already exists" when a string-trained
+        # model met a numeric test column), and a numeric-trained
+        # model needs the cast even when the test target arrives as
+        # a string (the dtype branch silently produced NULL labels)
+        model_builds_label = any(
+            hasattr(st, "getOutputCol") and st.getOutputCol() == "label"
+            for st in model.stages
+        )
+        if not model_builds_label:
+            test_df = test_df.withColumn(
+                label_col, F.col(target).cast("double")
+            )
     out = _compute_metrics(model, test_df, spec, label_col)
     if metrics:
-        out = {k: v for k, v in out.items() if k in set(metrics)}
+        wanted = set(metrics)
+        available = sorted(out)
+        missing = wanted - set(out)
+        if missing:
+            # a typo'd or inapplicable metric silently returned {} —
+            # the caller believed the holdout was scored
+            raise ValueError(
+                f"Requested metric(s) {sorted(missing)} not available"
+                f" for this model (unknown name, or inapplicable —"
+                f" e.g. binary metrics on a multiclass target);"
+                f" available: {available}"
+            )
+        out = {k: v for k, v in out.items() if k in wanted}
     return out
 
 
@@ -86,6 +117,18 @@ def compare_models(
     each is ``(name, algorithm, value, metrics_dict)`` — used by the
     engine to rank a tuner agent's recorded trials alongside
     registered models."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z_]\w*", primary_metric) or primary_metric in {
+        "model", "algorithm", "rank", "metrics",
+    }:
+        # the metric name lands verbatim in a DDL schema string — a
+        # non-identifier produced a cryptic ParseException, a reserved
+        # output-column name a duplicate-column frame
+        raise ValueError(
+            f"primary_metric {primary_metric!r} must be a plain metric"
+            " identifier (and not one of model/algorithm/rank/metrics)"
+        )
     rows = list(extra_rows or [])
     for spec in model_specs:
         m = evaluate_model(
@@ -100,7 +143,7 @@ def compare_models(
         )
         rows.append((spec["name"], spec["algorithm"], float(m.get(primary_metric, float("nan"))), m))
     if ascending is None:
-        ascending = primary_metric in {"rmse", "mse", "mae"}
+        ascending = primary_metric in LOWER_IS_BETTER
     # NaN keys (a model that lacks the primary metric, or a typo'd
     # metric name) violate sort-comparison consistency and could land
     # anywhere — rank the measurable models, append the rest last
@@ -145,17 +188,58 @@ def feature_importance(
         raise ValueError(
             f"Model {model_name!r} ({type(final).__name__}) exposes no importances"
         )
-    # never truncate the importance vector: a model with more features
-    # than provided names falls back to positional names (same 'f{i}'
-    # convention as explain_predictions) instead of silently dropping
-    # the tail — which could hide the single most important feature
-    names = list(feature_names) + [
-        f"f{i}" for i in range(len(feature_names), len(values))
-    ]
+    # never truncate the importance vector. Two distinct mismatch
+    # cases: (a) the model contains a vector-EXPANDING stage (one-hot:
+    # several slots per feature) — positional zipping would
+    # CONFIDENTLY MISLABEL every slot after the expansion, so label
+    # ALL slots by position and say so; (b) the caller merely supplied
+    # fewer names than features (no expanding stage) — the positional
+    # prefix is reliable, keep it and pad the tail with f{i} (the
+    # documented fallback, never dropping the tail importances).
+    expanding = any(
+        "OneHotEncoder" in type(st).__name__ for st in model.stages
+    )
+    if len(values) != len(feature_names) and expanding:
+        import warnings
+
+        warnings.warn(
+            f"model {model_name!r}: assembled vector has {len(values)}"
+            f" slots but {len(feature_names)} feature names (a"
+            " vector-expanding TRANSFORM) — importances are labeled"
+            " by slot position (f0..fN), not feature names",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        names = [f"f{i}" for i in range(len(values))]
+    else:
+        names = list(feature_names) + [
+            f"f{i}" for i in range(len(feature_names), len(values))
+        ]
     rows = sorted(
         zip(names[: len(values)], values), key=lambda kv: kv[1], reverse=True
     )
     return spark.createDataFrame(rows, "feature string, importance double")
+
+
+def _vector_slot_names(df: DataFrame, vec_col: str = "features"):
+    """Per-slot names of an assembled vector from its ML attribute
+    metadata, or None when absent. The source of truth when features
+    EXPAND to multiple slots (one_hot_encoder): positional zipping
+    against the user's feature list mislabels every slot after the
+    expansion."""
+    try:
+        md = df.schema[vec_col].metadata.get("ml_attr", {})
+        attrs = md.get("attrs", {})
+        out: dict[int, str] = {}
+        for group in attrs.values():
+            for a in group:
+                out[int(a["idx"])] = a.get("name", f"f{a['idx']}")
+        if not out:
+            return None
+        n = int(md.get("num_attrs", max(out) + 1))
+        return [out.get(i, f"f{i}") for i in range(n)]
+    except Exception:  # noqa: BLE001 — metadata shape varies by version
+        return None
 
 
 def _extract_tree(java_node, value: str = "prediction") -> list:
@@ -210,6 +294,7 @@ def explain_predictions(
     feature_names: List[str],
     top_k: int = 3,
     base: Optional[str] = None,
+    background_df: Optional[DataFrame] = None,
 ) -> DataFrame:
     """EXPLAIN PREDICTION (DSL.md:341-344): per-row top-k feature
     contributions, SHAP-style: every row's attributions are ADDITIVE —
@@ -255,7 +340,16 @@ def explain_predictions(
     scored = model.transform(df)
     arr = vector_to_array(F.col("features"))
 
+    # positional user names only when the assembled width matches the
+    # feature list; a vector-expanding TRANSFORM (one_hot_encoder)
+    # shifts every later slot, so fall back to the assembler's own
+    # slot-name metadata (then f{i}) instead of mislabeling
+    _slots = _vector_slot_names(scored)
+    _width = len(_slots) if _slots else None
+
     def _name(i: int) -> str:
+        if _width is not None and _width != len(feature_names):
+            return _slots[i] if i < _width else f"f{i}"
         return feature_names[i] if i < len(feature_names) else f"f{i}"
 
     def _structs(contrib_cols: list) -> "F.Column":
@@ -273,10 +367,19 @@ def explain_predictions(
     if lin_coefs is not None:
         coefs = lin_coefs
         d = len(coefs)
-        # background = mean feature vector of the explained frame
+        # background = mean feature vector of background_df when given
+        # (the UNFILTERED source — engine._explain passes it for the
+        # single-row `FOR TRANSACTION col = v` form, whose own mean IS
+        # the row, making every contribution coef·(x−x) = 0, a vacuous
+        # all-zero explanation), else of the explained frame itself
         # (one tiny agg job; d doubles to the driver)
+        mu_src = (
+            model.transform(background_df)
+            if background_df is not None
+            else scored
+        )
         mu_row = (
-            scored.select([F.avg(arr[i]).alias(f"m{i}") for i in range(d)])
+            mu_src.select([F.avg(arr[i]).alias(f"m{i}") for i in range(d)])
             .collect()[0]
         )
         mu = [float(mu_row[i] or 0.0) for i in range(d)]

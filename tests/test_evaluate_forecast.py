@@ -594,3 +594,77 @@ def test_forecast_unpersists_feature_plane_on_failure(
         )
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
     assert after <= before, "failed forecast leaked persisted frames"
+
+
+# --- round-10 evaluate.py review-sweep regressions ----------------------------
+
+
+def test_explain_single_row_has_nonzero_contributions(engine, spark):
+    """EXPLAIN PREDICTION m FOR <row>: the SHAP background must be the
+    UNFILTERED source — the filtered row's own mean is the row, which
+    collapsed every linear contribution to coef*(x-x)=0."""
+    key = spark.table("orders_labeled").select("o_orderkey").first().o_orderkey
+    out = engine.execute(
+        f"EXPLAIN PREDICTION ef_lr FOR TRANSACTION o_orderkey = {key}"
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert any(abs(c.contribution) > 0 for c in row.contributions)
+    assert row.prediction_value - row.base_value == pytest.approx(
+        sum(c.contribution for c in row.contributions), abs=1e-6
+    )
+
+
+def test_explain_onehot_labels_from_slot_metadata(engine, spark):
+    """A vector-expanding feature must not positionally mislabel the
+    later slots — names come from the assembler's slot metadata."""
+    engine.execute(
+        "TRAIN MODEL ohe_clf USING logistic_regression(max_iter=5) "
+        "FROM orders_labeled PREDICT expensive "
+        "WITH FEATURES(TRANSFORM(one_hot_encoder(o_orderstatus)),"
+        " o_totalprice)"
+    )
+    out = (
+        engine.execute(
+            "EXPLAIN PREDICTION FOR MODEL ohe_clf FROM orders_labeled"
+        )
+        .limit(1)
+        .collect()[0]
+    )
+    names = [c.feature for c in out.contributions]
+    # more slots than the 2 user features, and the scalar feature must
+    # NOT be attributed to a one-hot slot name
+    assert len(names) > 2
+    assert any("o_totalprice" in n for n in names)
+    assert "o_totalprice" not in names[1] or len(names) == 2
+
+
+def test_evaluate_string_trained_model_on_numeric_column(engine, spark):
+    """The MODEL decides label materialization: a string-trained
+    classifier evaluated where the target column is numeric-castable
+    must not crash with 'label already exists'."""
+    engine.execute(
+        "TRAIN MODEL str_eval USING logistic_regression(max_iter=5) "
+        "FROM orders_labeled PREDICT o_orderstatus "
+        "WITH FEATURES(o_totalprice)"
+    )
+    m = engine.execute(
+        "EVALUATE MODEL str_eval ON orders_labeled METRICS (accuracy)"
+    )
+    assert 0.0 <= m["accuracy"] <= 1.0
+
+
+def test_evaluate_unknown_metric_raises(engine):
+    with pytest.raises(ValueError, match="not available"):
+        engine.execute(
+            "EVALUATE MODEL ef_lr ON orders_labeled METRICS (acuracy)"
+        )
+
+
+def test_compare_models_invalid_primary_metric(engine, spark):
+    from declarativeml_spark.ml.evaluate import compare_models
+
+    with pytest.raises(ValueError, match="plain metric identifier"):
+        compare_models(
+            spark, [], spark.range(1), primary_metric="f1 score"
+        )
