@@ -314,6 +314,15 @@ class _Parser:
                     and t.value == "AND"
                     and self.peek(1).kind == "NAME"
                     and self.peek(1).value in _STATEMENT_STARTS
+                    # a column that merely COLLIDES with a statement
+                    # keyword ("… AND SCORE > 2") is still the captured
+                    # statement's own conjunction: a comparison operator
+                    # right after the keyword marks it as an operand,
+                    # never a new action
+                    and not (
+                        self.peek(2).kind == "OP"
+                        and self.peek(2).value in self._COMPARISON_OPS
+                    )
                 )
             ):
                 break

@@ -81,8 +81,14 @@ def _size_guard(a: Column, b: Column, expr: Column, op: str) -> Column:
     unequal lengths raise instead of silently zip_with-padding the
     short side with NULLs (a length mismatch is almost always a data
     bug, and the padded NULLs previously collapsed a whole dot
-    product to NULL with no signal)."""
-    return F.when(F.size(a) == F.size(b), expr).otherwise(
+    product to NULL with no signal). A NULL array on either side
+    propagates NULL like every other kernel — without the explicit
+    gate, legacy size(NULL) = -1 would route a NULL row into the
+    raise_error branch with a misleading "(-1 vs N)" message and
+    crash the whole job."""
+    return F.when(a.isNull() | b.isNull(), F.lit(None)).when(
+        F.size(a) == F.size(b), expr
+    ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"{op}: array length mismatch ("),

@@ -271,8 +271,11 @@ def media_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 5 existing BPE queries' ASCII results byte-identical).
 
 _BBC_ROUNDS = 6
+# coalesce pins the NULL convention: Spark concat(NULL, s) yields
+# NULL while DuckDB concat SKIPS NULL arguments and yields s — a NULL
+# documents.text row would otherwise hash-diverge between engines
 _BBC_AUG_DUCK = (
-    "concat(text, ' «tête-à-tête» #', CAST(doc_id AS VARCHAR),"
+    "concat(coalesce(text, ''), ' «tête-à-tête» #', CAST(doc_id AS VARCHAR),"
     "'! (50% + €2,50)… 😀🚀 模型/मॉडल')"
 )
 _BBC_AUG_SPARK = _BBC_AUG_DUCK.replace("AS VARCHAR", "AS STRING")

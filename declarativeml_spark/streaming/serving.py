@@ -144,14 +144,19 @@ def measure_serving_latency(
     lat_batches: list = []  # (arrival_epoch, [gen_epoch, ...])
 
     def sink(batch_df, _bid) -> None:
-        pdf = batch_df.select("timestamp", "prediction").toPandas()
+        # generation epoch computed SERVER-side (unix_micros is
+        # timezone-free): toPandas would localize the LTZ timestamp to
+        # a session-timezone-naive datetime, and subtracting that from
+        # time.time() (UTC epoch) shifts every latency by the UTC
+        # offset in a non-UTC session
+        pdf = batch_df.select(
+            F.unix_micros(F.col("timestamp")).alias("gen_us"), "prediction"
+        ).toPandas()
         arrival = _time.time()  # AFTER materialization: end-to-end
         if len(pdf):
             if not pdf["prediction"].notna().all():
                 raise ValueError("serving produced NULL predictions")
-            gens = (
-                pdf["timestamp"].astype("int64") / 1e9
-            ).tolist()  # ns -> s
+            gens = (pdf["gen_us"].astype("int64") / 1e6).tolist()  # us -> s
             lat_batches.append((arrival, gens))
 
     q = (

@@ -147,3 +147,26 @@ def test_vectorized_kernel_block_chunks_not_session_conf(
     from declarativeml_spark.functions.kernels import COMPUTATIONS
 
     assert COMPUTATIONS["cubes"].options.get("BLOCK") == 16
+
+
+def test_vector_kernels_null_array_propagates_null(engine, spark):
+    """A NULL array on either side must propagate NULL (the kernel
+    NULL contract) — legacy size(NULL) = -1 previously routed NULL
+    rows into the length-mismatch raise_error branch and crashed the
+    whole job with a misleading "(-1 vs N)" message."""
+    from pyspark.sql import functions as F
+    from declarativeml_spark.functions.kernels import get_kernel
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0]), (None, [3.0, 4.0]), ([1.0, 2.0], None)],
+        "a array<double>, b array<double>",
+    )
+    dots = df.select(
+        get_kernel("vector_dot").fn(F.col("a"), F.col("b")).alias("d")
+    ).collect()
+    assert [r.d for r in dots] == [11.0, None, None]
+    adds = df.select(
+        get_kernel("vector_add").fn(F.col("a"), F.col("b")).alias("s")
+    ).collect()
+    assert adds[0].s == [4.0, 6.0]
+    assert adds[1].s is None and adds[2].s is None

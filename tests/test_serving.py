@@ -153,3 +153,36 @@ def test_measure_serving_latency_harness(spark, served):
     assert res["target_latency_ms"] == 50.0
     assert isinstance(res["meets_latency_50ms"], bool)
     assert res["meets_throughput_1000rps"] in (True, False)
+
+
+def test_measure_serving_latency_foreign_session_timezone(spark, served):
+    """Generation epochs are computed server-side with unix_micros —
+    the previous toPandas path localized the rate source's LTZ
+    timestamps to session-timezone-naive datetimes, shifting every
+    latency by the UTC offset in a non-UTC session (hours, not ms)."""
+    from declarativeml_spark.streaming.serving import (
+        measure_serving_latency,
+    )
+
+    engine, model_dir = served
+    tz_key = "spark.sql.session.timeZone"
+    before = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "America/New_York")  # UTC-4/-5
+    try:
+        res = measure_serving_latency(
+            spark,
+            "serve_clf",
+            rows_per_second=200,
+            duration_s=9.0,
+            trigger_seconds=0.05,
+            warmup_s=3.5,
+            base=model_dir,
+            feature_exprs={"o_totalprice": "CAST(value % 300000 AS DOUBLE)"},
+        )
+    finally:
+        spark.conf.set(tz_key, before)
+    assert res["n_rows"] > 0
+    # a timezone shift would put p50 at ~±4-5 HOURS (1.4e7 ms, or
+    # negative); the genuine micro-batch floor is well under a minute
+    assert 0 < res["p50_ms"] < 60_000
+    assert 0 < res["p99_ms"] < 60_000

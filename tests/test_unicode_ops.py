@@ -228,3 +228,39 @@ def test_bpe_rejects_symbols_outside_alphabet():
         merge_chain_expr("seq", [("a", "b\x1f")])
     # unicode letters are inside the alphabet now
     merge_chain_expr("seq", [("模", "型"), ("é", "è")])
+
+
+def test_bbc_augmentation_null_text_cross_engine(spark):
+    """_BBC_AUG pins the NULL convention with coalesce: Spark
+    concat(NULL, s) is NULL while DuckDB concat SKIPS NULL args — a
+    NULL documents.text row previously hash-diverged the
+    tokenizer_bpe_byte_coverage gate between engines."""
+    import duckdb
+
+    from declarativeml_spark.queries.pipeline11 import (
+        _BBC_AUG_DUCK,
+        _BBC_AUG_SPARK,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "plain text")], "doc_id int, text string"
+    )
+    got_spark = [
+        r.aug
+        for r in df.select(F.expr(_BBC_AUG_SPARK).alias("aug"))
+        .orderBy("doc_id")
+        .collect()
+    ]
+    got_duck = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT "
+            + _BBC_AUG_DUCK
+            + " AS aug FROM (VALUES (1, NULL), (2, 'plain text'))"
+            " t(doc_id, text) ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
+    assert got_spark[0] is not None  # NULL text still tokenizes

@@ -265,3 +265,27 @@ def test_reference_monitor_agent_end_to_end(engine):
     assert res["ref_mon_ok"]["healthy"] is True
     assert events == []
     del engine.agents["ref_mon_ok"]
+
+
+def test_if_step_keyword_named_column_not_split():
+    """A column that merely collides with a statement-start keyword
+    (SCORE) inside a captured statement's own WHERE conjunction must
+    stay inside that statement — the chain splitter previously broke
+    the THEN chain mid-statement on ``AND SCORE > 2``."""
+    from declarativeml_spark.dsl.parser import parse_workflow_block_text
+
+    blk = parse_workflow_block_text(
+        """BEGIN
+        IF retraining_accuracy < previous_accuracy * 2.0 THEN
+          PREDICT USING MODEL wfm FROM orders
+            WHERE o_orderstatus = 'O' AND SCORE > 2
+            STORE RESULTS IN wf_pred_out
+          AND ALERT ml_team('fired');
+        END IF;
+      END"""
+    )
+    (step,) = blk.steps
+    stmt_actions = [a for a in step.actions if a[0] == "stmt"]
+    assert len(stmt_actions) == 1
+    assert "AND SCORE > 2" in stmt_actions[0][1]
+    assert ("alert", "ml_team", "fired") in step.actions
