@@ -1301,3 +1301,86 @@ def ahash64_quarters(
     return df.select(
         F.col(id_col).alias(id_col), payload_col
     ).mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio perceptual fingerprint: the WAV sibling of ahash64_quarters,
+# through the SAME 64-bit quarter-column signature contract so the
+# downstream pair machinery (operators/dedup.py::
+# hamming64_quarter_pairs) is shared verbatim.
+
+_AUDIO_BANDS = 64  # one bit per time band
+
+
+def audio_bandenergy64_quarters(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-file 64-bit band-energy fingerprint of a WAV payload as
+    four 16-bit quarter columns ``q0``…``q3`` — the audio analogue of
+    :func:`ahash64_quarters` (an 8×8 image grid becomes 64 time
+    bands; the mean-luma threshold becomes a mean-band-energy
+    threshold), emitting the exact signature layout
+    ``hamming64_quarter_pairs`` consumes.
+
+    Pipeline per payload (all exact integer math so a DuckDB oracle
+    replays it from the synth closed form, like
+    multimodal_wav_features):
+
+    1. parse the RIFF/WAVE container with the ONE shared parser
+       (:func:`_parse_wav` — chunk walking, PCM validation);
+    2. time band ``k`` of 64 covers samples ``[k·n // 64,
+       (k+1)·n // 64)`` — exact integer boundaries (when ``n < 64``
+       the trailing bands are empty and contribute energy 0);
+    3. band energy = sum of squared samples in the band (exact
+       int64 — 16-bit samples square to ≤ 2³⁰, so even GB-long
+       payloads stay far from overflow);
+    4. bit ``k`` is 1 iff ``64 · band_energy_k > total_energy`` —
+       the aHash floor-mean threshold rule without a division, and
+       scale-INVARIANT: a uniform gain change (the classic
+       re-encoded-asset perturbation) leaves every bit untouched;
+    5. quarter ``q`` packs bits ``16q … 16q+15`` with weight
+       ``1 << j`` (j the in-quarter offset).
+
+    Scale: map-only Arrow stage — payload bytes never leave the
+    executor; 4 ints per file cross the Python boundary. The
+    downstream banding join shuffles (band, value, id, quarters)
+    slivers only — the simhash64 shuffle profile.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False)]
+        + [T.StructField(f"q{q}", T.IntegerType(), True) for q in range(4)]
+    )
+    nb = _AUDIO_BANDS
+    weights = 1 << np.arange(16, dtype=np.int64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": pd.array(pdf[id_col], dtype="int64")}
+            qcols: list[list[int]] = [[] for _ in range(4)]
+            for b in pdf[payload_col]:
+                payload = bytes(b) if b is not None else b""
+                samples = _parse_wav(payload)[4]
+                n = samples.size
+                es = samples * samples
+                cum = np.concatenate(
+                    ([0], np.cumsum(es, dtype=np.int64))
+                )
+                edges = (np.arange(nb + 1, dtype=np.int64) * n) // nb
+                be = cum[edges[1:]] - cum[edges[:-1]]
+                total = int(cum[-1])
+                bits = (nb * be > total).astype(np.int64)
+                for q in range(4):
+                    qcols[q].append(
+                        int((bits[16 * q : 16 * q + 16] * weights).sum())
+                    )
+            for q in range(4):
+                rows[f"q{q}"] = pd.array(qcols[q], dtype="int32")
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col).alias(id_col), payload_col
+    ).mapInPandas(batches, schema=out_schema)

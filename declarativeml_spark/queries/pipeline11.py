@@ -418,3 +418,186 @@ def dedup_minhash128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_minhash=_MH128_N,
         bands=_MH128_BANDS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio perceptual near-dup (round-10 verdict ask #3): completes the
+# media dedup family — the WAV lake gets the same treatment the PPM
+# lake got from media_phash_hamming, through the SAME quarter-band
+# Hamming machinery (operators/dedup.py::hamming64_quarter_pairs,
+# shared verbatim). Near-identical audio is PLANTED: every
+# doc_id % <_WAV_COPY_MOD> == 0 file also exists as a copy with a
+# small loud burst spliced into the middle (amplitude perturbation of
+# ~one band), so the radius does real work — planted pairs land at
+# small nonzero Hamming, not the trivial 0.
+
+_N_MEDIA_WAV = 48
+_WAV_COPY_MOD = 3
+_AUDIO_RADIUS = 3
+
+
+def _perturb_audio_text(t: str) -> str:
+    """Python twin of the oracle's perturbation closed form: replace
+    ``max(1, n // 64)`` characters starting at ``n // 2`` (≈ one time
+    band) with ``'!'`` — a loud sample burst (|33 − 128| ≈ a space's
+    amplitude) that nudges the affected band over the energy
+    threshold without re-synthesizing the whole signal."""
+    n = len(t)
+    p0 = n // 2
+    pl = max(1, n // 64)
+    return t[:p0] + "!" * pl + t[p0 + pl :]
+
+
+def _media_wav_lake_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Content-addressed fixture dir holding the WAV lake: the lowest
+    <_N_MEDIA_WAV> documents as REAL RIFF/PCM files ``w<fid>.wav``
+    (fid = 2·doc_id), plus the perturbed near-duplicate copies
+    (fid = 2·doc_id + 1) for every doc_id % <_WAV_COPY_MOD> == 0."""
+    import os
+
+    from declarativeml_spark.operators.multimodal import (
+        synth_wav_from_text,
+    )
+    from declarativeml_spark.queries.fixtures import fixture_dir
+
+    def write(d: str) -> None:
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id")
+            .limit(_N_MEDIA_WAV)
+            .select("doc_id", "text")
+            .collect()  # bounded: 48 rows, fixture-side
+        )
+        variants = []
+        for r in rows:
+            t = r.text or ""
+            variants.append((r.doc_id * 2, t))
+            if r.doc_id % _WAV_COPY_MOD == 0:
+                variants.append((r.doc_id * 2 + 1, _perturb_audio_text(t)))
+        vdf = spark.createDataFrame(variants, "fid long, text string")
+        wav = synth_wav_from_text(vdf, "text", "fid", sample_rate=8000)
+        for r in wav.select("media_id", "payload").collect():
+            with open(os.path.join(d, f"w{r.media_id:08d}.wav"), "wb") as f:
+                f.write(bytes(r.payload))
+
+    return fixture_dir(
+        "media_wav_lake",
+        f"{sf_dir}|wav|{_N_MEDIA_WAV}|c{_WAV_COPY_MOD}|perturb_mid",
+        write,
+    )
+
+
+def _audio_fp_oracle() -> str:
+    # per-character energy (the synth closed form, scale factor
+    # dropped: sample = (byte-128)*256 squares to (byte-128)^2 * 2^16,
+    # and the 64*be > total threshold is scale-invariant)
+    esq = (
+        "(ascii(substr(vt, CAST(i AS INT), 1)) - 128)"
+        " * (ascii(substr(vt, CAST(i AS INT), 1)) - 128)"
+    )
+    # band k sums 1-based es indices [(k*n)//64 + 1, ((k+1)*n)//64]
+    band = (
+        "coalesce(list_sum(array_slice(e,"
+        " CAST((k * n) // 64 AS BIGINT) + 1,"
+        " CAST(((k + 1) * n) // 64 AS BIGINT))), 0)"
+    )
+    qexpr = (
+        "CAST(list_sum(list_transform(range(16), j ->"
+        " CASE WHEN 64 * bes[16 * {q} + j + 1] > total"
+        " THEN 1 << j ELSE 0 END)) AS INT)"
+    )
+    qs = ", ".join(qexpr.format(q=q) + f" AS q{q}" for q in range(4))
+    ham = " + ".join(f"bit_count(xor(a.q{q}, b.q{q}))" for q in range(4))
+    return f"""
+    WITH t AS (SELECT doc_id, coalesce(text, '') AS vt FROM documents
+               ORDER BY doc_id LIMIT {_N_MEDIA_WAV}),
+    variants AS (
+        SELECT doc_id * 2 AS fid, vt FROM t
+        UNION ALL
+        SELECT doc_id * 2 + 1,
+               concat(substr(vt, 1, p0), repeat('!', pl),
+                      substr(vt, p0 + pl + 1))
+        FROM (SELECT doc_id, vt, length(vt) // 2 AS p0,
+                     greatest(1, length(vt) // 64) AS pl
+              FROM t WHERE doc_id % {_WAV_COPY_MOD} = 0)
+    ),
+    es AS (
+        SELECT fid, length(vt) AS n,
+               list_transform(range(1, length(vt) + 1), i -> {esq}) AS e
+        FROM variants
+    ),
+    be AS (
+        SELECT fid, coalesce(list_sum(e), 0) AS total,
+               list_transform(range(64), k -> {band}) AS bes
+        FROM es
+    ),
+    sig AS (SELECT fid, {qs} FROM be),
+    pairs AS (
+        SELECT a.fid AS id_a, b.fid AS id_b, {ham} AS hamming
+        FROM sig a JOIN sig b ON a.fid < b.fid
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(id_a) AS BIGINT) AS min_id_a
+    FROM pairs WHERE hamming <= {_AUDIO_RADIUS}
+    GROUP BY hamming
+    """
+
+
+@query("media_audio_fingerprint_hamming", oracle=_audio_fp_oracle())
+def media_audio_fingerprint_hamming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio perceptual near-dup over the WAV lake: every file decodes
+    through the REAL RIFF/PCM parser, fingerprints to a 64-bit
+    band-energy signature (64 time bands, mean-energy threshold —
+    operators/multimodal.py::audio_bandenergy64_quarters, the audio
+    sibling of the image aHash), and the quarter columns feed
+    ``hamming64_quarter_pairs`` — byte-for-byte the machinery behind
+    ``dedup_simhash64_hamming`` and ``media_phash_hamming``. The
+    brute-force oracle recomputes every signature from the text
+    closed form and counts ALL in-radius pairs, so the hash gate
+    proves the decode arithmetic, the band-boundary integer rule, AND
+    banding completeness at the radius.
+
+    The planted copies are NOT byte-identical (a loud one-band burst
+    is spliced mid-signal), so they surface at small nonzero Hamming
+    — the re-encoded / lightly-edited asset class exact dedup
+    misses, which is exactly what this pass exists to catch. The
+    threshold rule is scale-invariant by construction, so a uniform
+    gain change (the other classic re-encode artifact) lands at
+    Hamming 0.
+
+    Scale: signature extraction is a map-only Arrow stage (payloads
+    never leave the executor; 4 ints per file exit Python); the pair
+    join shuffles (band, value, id, quarters) slivers only.
+    """
+    from declarativeml_spark.operators.caching import track_persist
+    from declarativeml_spark.operators.dedup import (
+        hamming64_quarter_pairs,
+    )
+    from declarativeml_spark.operators.multimodal import (
+        audio_bandenergy64_quarters,
+    )
+    from declarativeml_spark.sources.io import read_media
+
+    d = _media_wav_lake_dir(spark, sf_dir)
+    media = read_media(spark, d, glob="*.wav")
+    files = media.select(
+        F.regexp_extract("media_path", r"w(\d+)\.wav$", 1)
+        .cast("long")
+        .alias("file_id"),
+        "payload",
+    )
+    # persist the signature plane: both sides of the band self-join
+    # read it (same reason as media_phash_hamming)
+    sigs = track_persist(
+        audio_bandenergy64_quarters(files, id_col="file_id")
+    )
+    pairs = hamming64_quarter_pairs(
+        sigs, id_col="media_id", radius=_AUDIO_RADIUS
+    )
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("id_a").cast("long").alias("min_id_a"),
+    )
