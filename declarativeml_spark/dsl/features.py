@@ -163,7 +163,10 @@ class AllColumns:
         return ".".join(self.alias) + ".*"
 
     def to_spark_sql(self) -> str:
-        return "struct(" + ".".join(self.alias) + ".*)"
+        # backtick-quote the alias parts like every other identifier
+        # rendering here — an alias that collides with a SQL keyword
+        # (`order`, `table`) must not break only in the .* form
+        return "struct(" + ".".join(f"`{p}`" for p in self.alias) + ".*)"
 
 
 FeatureExpr = Union[
@@ -233,6 +236,12 @@ class _ExprParser:
         if tok.kind == "DSTRING":
             self.advance()
             return StringLit(json.loads(tok.value))
+        if tok.kind == "SQSTRING":
+            # the DSL's own idiomatic string syntax ('...' with ''
+            # escaping) — accepted everywhere else in the statement
+            # grammar, so feature expressions must take it too
+            self.advance()
+            return StringLit(tok.value[1:-1].replace("''", "'"))
         if tok.kind == "OP" and tok.value == "(":
             self.advance()
             inner = self.parse_expr()

@@ -118,6 +118,14 @@ class ForecastModel:
     horizon_unit: Optional[str] = None  # 'days'/'weeks'/'hours'
 
     def __post_init__(self) -> None:
+        # direct IR construction must enforce the same invariant the
+        # parser's _require_positive_int guards — a zero/negative
+        # horizon otherwise fails only AFTER a full model fit
+        if not isinstance(self.horizon, int) or self.horizon < 1:
+            raise ValueError(
+                f"FORECAST horizon must be a positive integer,"
+                f" got {self.horizon!r}"
+            )
         if self.horizon_unit is not None and (
             self.horizon_unit not in FORECAST_UNITS
         ):

@@ -50,8 +50,17 @@ def create_ensemble(
         )
     feature_specs = {}
     for mname, _ in models:
-        registry_load(spark, mname, base=base)  # raises if missing
+        # existence check from the registry metadata alone — loading
+        # every member's full PipelineModel (all stages, tree forests)
+        # through Py4J just to validate a registration statement was
+        # pure deserialization cost; scoring still goes through
+        # registry_load's full artifact checks
         meta = registry_meta(mname, base=base)
+        if not meta:
+            raise ValueError(
+                f"Unknown model {mname!r} — ensemble members must be"
+                " registered models"
+            )
         feature_specs[mname] = tuple(meta.get("features") or ())
     distinct = set(feature_specs.values())
     if len(distinct) > 1:
@@ -81,10 +90,18 @@ def score_ensemble(
 ) -> DataFrame:
     """Weighted-average scoring across member models.
 
-    One transform per member; each adds a prediction column which is
-    combined with column arithmetic. Transforms are narrow (no
+    One transform per member; each adds its contribution column which
+    is combined with column arithmetic. Transforms are narrow (no
     shuffle), so the whole ensemble is a single pass over the data
     regardless of member count.
+
+    Semantics by member kind: REGRESSION members average their
+    predictions directly. CLASSIFICATION members average their class
+    PROBABILITY vectors and predict the argmax (lowest index on ties,
+    MLlib's rule) — averaging class INDICES would mint labels no
+    member predicted (two members voting classes 0 and 2 must not
+    "predict" class 1). Members must agree on the class count;
+    mixing classifier and regressor members is refused.
     """
     total_w = sum(w for _, w in members)
     if not members or total_w <= 0:
@@ -94,6 +111,7 @@ def score_ensemble(
         )
     out = df
     member_cols = []
+    n_classes: Optional[int] = None  # None until first member decides
     # A string-target classification member builds its label via an
     # in-pipeline StringIndexer (training.py label_materialized=False);
     # the keep-list below deliberately drops transform-built columns,
@@ -106,17 +124,57 @@ def score_ensemble(
     label_aside = None
     for i, (mname, w) in enumerate(members):
         model = registry_load(spark, mname, base=base)
+        mc = getattr(model.stages[-1], "numClasses", None)
+        if i == 0:
+            n_classes = mc
+        elif mc != n_classes:
+            raise ValueError(
+                f"ensemble member {mname!r} disagrees on kind/classes"
+                f" ({mc} vs {n_classes}) — classifier and regressor"
+                " members (or different class counts) cannot share a"
+                " weighted average"
+            )
         col = f"__pred_{i}"
         scored = model.transform(out)
-        keep = [c for c in scored.columns if c in out.columns] + [prediction_col]
+        keep = [c for c in scored.columns if c in out.columns]
         if i == 0 and "label" in scored.columns and "label" not in out.columns:
             keep.append("label")
             label_aside = "__member0_label"
-        out = scored.select(*keep).withColumnRenamed(prediction_col, col)
+        if n_classes is not None:
+            if "probability" not in scored.columns:
+                raise ValueError(
+                    f"ensemble member {mname!r} is a classifier with no"
+                    " probability column (e.g. linear_svc) — a weighted"
+                    " average needs probabilistic members"
+                )
+            from pyspark.ml.functions import vector_to_array
+
+            contrib = vector_to_array(F.col("probability")).alias(col)
+        else:
+            contrib = F.col(prediction_col).alias(col)
+        out = scored.select(*keep, contrib)
         if i == 0 and label_aside:
             out = out.withColumnRenamed("label", label_aside)
         member_cols.append((col, w))
-    combined = sum(F.col(c) * F.lit(w) for c, w in member_cols) / F.lit(total_w)
+    if n_classes is not None:
+        summed = None
+        for c, w in member_cols:
+            term = F.transform(F.col(c), lambda v: v * F.lit(float(w)))
+            summed = (
+                term
+                if summed is None
+                else F.zip_with(summed, term, lambda a, b: a + b)
+            )
+        avg = F.transform(summed, lambda v: v / F.lit(float(total_w)))
+        # argmax with the lowest-index tie-break (MLlib's rule);
+        # array_position returns the FIRST match, 1-based
+        combined = (
+            F.array_position(avg, F.array_max(avg)) - F.lit(1)
+        ).cast("double")
+    else:
+        combined = sum(
+            F.col(c) * F.lit(w) for c, w in member_cols
+        ) / F.lit(total_w)
     out = out.withColumn(prediction_col, combined)
     out = out.drop(*[c for c, _ in member_cols])
     if label_aside:
@@ -245,8 +303,13 @@ def _prediction_drift_psi(spec, label_col: str, scored) -> float:
         edges = pred.stat.approxQuantile(
             "y", [i / 10.0 for i in range(1, 10)], 1.0e-3
         )
-        # strictly increasing edges (ties collapse bins — fine)
-        edges = sorted(set(edges))
+        # strictly increasing FINITE edges (ties collapse bins — fine;
+        # a NaN/inf decile — Spark sorts NaN greatest, so >=10% NaN
+        # labels produce one — would render as the unresolvable SQL
+        # token `nan` and crash the whole monitoring run)
+        edges = sorted(
+            {e for e in edges if e is not None and math.isfinite(e)}
+        )
         bin_expr = "1 + " + " + ".join(
             f"CASE WHEN {{c}} > {e!r} THEN 1 ELSE 0 END" for e in edges
         ) if edges else "1"

@@ -61,14 +61,29 @@ class AlgorithmSpec:
 
 _COMMON_ITER = {"max_iter": "maxIter", "epochs": "maxIter", "iterations": "maxIter"}
 _COMMON_REG = {"reg": "regParam", "regularization": "regParam", "l1_ratio": "elasticNetParam"}
-_COMMON_TREE = {
+# Tree-family aliases, split by what each estimator ACTUALLY exposes —
+# an alias to a parameter the estimator lacks crashes setParams at fit
+# time on a documented DSL name (e.g. GBTs count boosting rounds in
+# maxIter, not numTrees; plain decision trees have no ensemble knobs;
+# RandomForest has no learning rate).
+_TREE_BASE = {
     "max_depth": "maxDepth",
+    "min_instances_per_node": "minInstancesPerNode",
+    "seed": "seed",
+}
+_FOREST_TREE = {
+    **_TREE_BASE,
     "num_trees": "numTrees",
     "n_estimators": "numTrees",
-    "min_instances_per_node": "minInstancesPerNode",
+    "subsample": "subsamplingRate",
+}
+_GBT_TREE = {
+    **_TREE_BASE,
+    # boosting rounds: the sklearn-style n_estimators IS maxIter here
+    "num_trees": "maxIter",
+    "n_estimators": "maxIter",
     "subsample": "subsamplingRate",
     "learning_rate": "stepSize",
-    "seed": "seed",
 }
 
 REGISTRY: dict[str, AlgorithmSpec] = {}
@@ -107,7 +122,7 @@ _register(
         "decision_tree",
         DecisionTreeClassifier,
         "classification",
-        dict(_COMMON_TREE),
+        dict(_TREE_BASE),
     )
 )
 _register(
@@ -115,7 +130,7 @@ _register(
         "decision_tree_regressor",
         DecisionTreeRegressor,
         "regression",
-        dict(_COMMON_TREE),
+        dict(_TREE_BASE),
     )
 )
 def _ridge_factory(**kwargs):
@@ -141,7 +156,7 @@ _register(
         "random_forest",
         RandomForestClassifier,
         "classification",
-        dict(_COMMON_TREE),
+        dict(_FOREST_TREE),
     )
 )
 _register(
@@ -149,7 +164,7 @@ _register(
         "random_forest_regressor",
         RandomForestRegressor,
         "regression",
-        dict(_COMMON_TREE),
+        dict(_FOREST_TREE),
     )
 )
 _register(
@@ -157,7 +172,7 @@ _register(
         "gradient_boosting",
         GBTClassifier,
         "classification",
-        {**_COMMON_TREE, **_COMMON_ITER},
+        {**_GBT_TREE, **_COMMON_ITER},
     )
 )
 _register(
@@ -165,7 +180,7 @@ _register(
         "gradient_boosting_regressor",
         GBTRegressor,
         "regression",
-        {**_COMMON_TREE, **_COMMON_ITER},
+        {**_GBT_TREE, **_COMMON_ITER},
     )
 )
 _register(
@@ -181,7 +196,9 @@ _register(
         "linear_svc",
         LinearSVC,
         "classification",
-        {**_COMMON_ITER, **_COMMON_REG},
+        # LinearSVC has no elasticNetParam — only the plain reg aliases
+        {**_COMMON_ITER, "reg": "regParam", "regularization": "regParam",
+         "tol": "tol"},
     )
 )
 _register(

@@ -137,6 +137,80 @@ def _tuning_frame(spark: SparkSession, stmt: TrainModel, spec):
     return df, stages, label_col
 
 
+def _render_dsl_value(v) -> str:
+    """One DSL parameter literal: numbers plain, strings
+    single-quoted with ``''`` escaping, lists recursively. Search
+    spaces only produce these shapes (choice/uniform/log_uniform)."""
+    if isinstance(v, bool) or v is None:
+        raise ValueError(
+            f"cannot render {v!r} as a DSL parameter literal"
+        )
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_render_dsl_value(x) for x in v) + "]"
+    raise ValueError(f"cannot render {type(v).__name__} as a DSL literal")
+
+
+def annotate_statement(statement: str, algorithm: str, params: dict) -> str:
+    """Splice ``params`` into a TRAIN statement's ``USING
+    <algorithm>(…)`` clause and VALIDATE the result by re-parsing.
+
+    The tuner registers the winning pipeline as a new version of the
+    base model; without this, the stored statement kept the
+    PRE-tuning params and a later ``RETRAIN MODEL`` silently
+    re-fitted the un-tuned configuration — the paid-for search result
+    was discarded."""
+    from declarativeml_spark.dsl.parser import parse
+
+    marker = f"USING {algorithm}"
+    at = statement.find(marker)
+    if at < 0:
+        raise ValueError(
+            f"cannot annotate statement: USING {algorithm} clause not"
+            f" found in {statement!r}"
+        )
+    end = at + len(marker)
+    # existing param list? scan balanced parens (list/dict literals
+    # inside the params nest)
+    j = end
+    while j < len(statement) and statement[j].isspace():
+        j += 1
+    if j < len(statement) and statement[j] == "(":
+        depth = 0
+        while j < len(statement):
+            if statement[j] == "(":
+                depth += 1
+            elif statement[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    j += 1
+                    break
+            j += 1
+        if depth != 0:
+            raise ValueError(
+                f"unbalanced parameter list in {statement!r}"
+            )
+        end = j
+    rendered = ", ".join(
+        f"{k}={_render_dsl_value(v)}" for k, v in params.items()
+    )
+    new_stmt = (
+        statement[:at]
+        + f"USING {algorithm}({rendered})"
+        + statement[end:]
+    )
+    reparsed = parse(new_stmt)
+    if dict(reparsed.params) != dict(params):
+        raise ValueError(
+            "annotated statement did not round-trip the tuned params:"
+            f" {dict(reparsed.params)!r} != {dict(params)!r}"
+        )
+    return new_stmt
+
+
 def run_search(
     spark: SparkSession,
     tuner: TunerAgent,
@@ -245,11 +319,17 @@ def run_search(
     finally:
         df.unpersist()
     metrics = [float(v) for v in fitted.validationMetrics]
-    order = sorted(
-        range(len(trials)),
-        key=lambda i: metrics[i],
-        reverse=larger_better,
-    )
+
+    # Rank trials under the SAME total order TrainValidationSplit's
+    # own maxBy/minBy uses to pick bestModel (Scala's Double ordering:
+    # NaN ABOVE +inf). A plain Python sort diverges when a degenerate
+    # trial scores NaN — the registry would then record one trial's
+    # params against a pipeline actually fit with another's.
+    def _total_key(i: int) -> tuple:
+        m = metrics[i]
+        return (1, 0.0) if math.isnan(m) else (0, m)
+
+    order = sorted(range(len(trials)), key=_total_key, reverse=larger_better)
     best_i = order[0]
     best = {
         "trial": best_i,
@@ -300,11 +380,19 @@ def run_search(
         features=list(train_stmt.features),
         target=train_stmt.target,
     )
+    # the stored statement carries the CHOSEN params (docstring
+    # contract): RETRAIN re-executes the stored statement, so an
+    # un-annotated one would silently revert the tuning
+    annotated = annotate_statement(
+        meta["statement"],
+        train_stmt.algorithm,
+        {**base_params, **trials[best_i]},
+    )
     registry_save(
         spark,
         tuned,
         base=model_dir,
-        statement=meta["statement"],
+        statement=annotated,
         extra={
             "tuned_by": tuner.name,
             "trial": best_i,

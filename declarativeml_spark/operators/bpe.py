@@ -137,6 +137,8 @@ def _bpe_learn(
     n_merges: int,
     want_curve: bool,
     vocab_target: int | None = None,
+    checkpoint_every: int = 1,
+    vocab_partitions: int | None = None,
 ) -> tuple[list, list]:
     """Shared BPE loop: returns (merge rows, curve rows).
 
@@ -146,7 +148,35 @@ def _bpe_learn(
     VOCAB n) derives the merge budget from the base alphabet —
     counted on the already-built word-type frame (vocabulary-sized),
     so the corpus still scans exactly once.
+
+    Deep trainings (hundreds of rounds) are JOB-LAUNCH-floor bound,
+    not compute bound, so the loop spends exactly ONE Spark job per
+    round: each generation localCheckpoints LAZILY and the next
+    round's winner aggregation materializes it as part of its own
+    job (the superseded generation's blocks release one round late —
+    a lazily checkpointed child still needs its parent's blocks
+    until it materializes). Lineage still truncates every
+    ``checkpoint_every`` rounds (default 1 — every generation; in-
+    window generations stack ≤ k nested fold projections, which must
+    stay far under the ~64-rule Catalyst expression cliff this
+    module documents, so values > 32 are refused; measured on this
+    corpus, stacking LOSES to per-round truncation — plan compile
+    time grows faster than the saved job floors — so callers should
+    keep the default).
+
+    ``vocab_partitions``: optional coalesce width for the word-type
+    plane. The loop's frames are vocabulary-sized, so scheduling 32
+    shuffle partitions per round is pure task overhead on small
+    vocabularies — the deep query pins 1; a 100 TB corpus sizes it
+    at roughly one partition per million word types.
     """
+    if not 1 <= checkpoint_every <= 32:
+        raise ValueError(
+            f"checkpoint_every {checkpoint_every} outside [1, 32] —"
+            " in-window generations stack that many nested fold"
+            " projections, and >64 rules fails Catalyst parsing"
+            " (FAILED_TO_PARSE_TOO_COMPLEX); 32 keeps headroom"
+        )
     from declarativeml_spark.operators.textops import spread
 
     words = (
@@ -155,15 +185,20 @@ def _bpe_learn(
         .filter(F.col("word") != "")
     )
     vocab = words.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
-    prev = track_persist(
-        vocab.select(
-            "cnt",
-            F.expr(
-                "transform(sequence(1, length(word)),"
-                " i -> substring(word, i, 1))"
-            ).alias("seq"),
-        )
+    gen0 = vocab.select(
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(word)),"
+            " i -> substring(word, i, 1))"
+        ).alias("seq"),
     )
+    if vocab_partitions is not None:
+        if vocab_partitions < 1:
+            raise ValueError(
+                f"vocab_partitions must be >= 1, got {vocab_partitions}"
+            )
+        gen0 = gen0.coalesce(vocab_partitions)
+    prev = track_persist(gen0)
     if vocab_target is not None:
         alphabet = (
             prev.select(F.explode("seq").alias("s")).distinct().count()
@@ -177,7 +212,19 @@ def _bpe_learn(
             )
     merges: list[tuple] = []
     curve: list[tuple] = []
-    prev_is_ckpt = False  # generation 0 is persisted, not checkpointed
+    # `base` is the TRUNCATED generation (persisted gen 0, then
+    # localCheckpoints); `prev` is the current generation — equal to
+    # base right after a checkpoint, otherwise base plus ≤
+    # checkpoint_every stacked fold projections. Checkpoints are
+    # LAZY: the next round's winner aggregation (or _gen_stats)
+    # materializes them inside its own job, so a round costs one job
+    # floor, not two. A superseded base therefore releases one round
+    # LATE (deferred_release): its blocks are the lazy child's only
+    # data source until that child materializes.
+    base = prev
+    base_is_ckpt = False  # generation 0 is persisted, not checkpointed
+    pending = 0  # folds applied since `base` truncated
+    deferred_release: tuple | None = None
 
     def _release(gen, is_ckpt: bool) -> None:
         if is_ckpt:
@@ -196,6 +243,11 @@ def _bpe_learn(
             .limit(1)
             .collect()
         )
+        # prev (and any lazy checkpoint inside it) is materialized
+        # now — the generation it superseded can finally release
+        if deferred_release is not None:
+            _release(*deferred_release)
+            deferred_release = None
         if not top:
             if want_curve:
                 # pair space exhausted: the oracle's remaining
@@ -210,7 +262,7 @@ def _bpe_learn(
         # explicitly (an assert is stripped under python -O; category
         # L/N excludes quotes, backslashes, and the fold separator)
         if not (_valid_symbol(lhs) and _valid_symbol(rhs)):
-            _release(prev, prev_is_ckpt)
+            _release(base, base_is_ckpt)
             raise ValueError(
                 "BPE learned a symbol outside \\p{L}\\p{N}+:"
                 f" {(lhs, rhs)!r}"
@@ -218,15 +270,14 @@ def _bpe_learn(
             )
         merges.append((r, lhs, rhs, lhs + rhs, int(top[0].pair_count)))
         if r < n_merges or want_curve:
-            # Each generation LOCALCHECKPOINTs (eagerly), never merely
-            # persists: a persisted generation still carries the full
-            # fold lineage, whose OPTIMIZED plan doubles per round
-            # (measured: 12 KB at gen 2 → 7 MB at gen 11; the driver
-            # OOMs in AQE's explainString near 30 rounds — invisible
-            # at the 4-6 merges earlier rounds trained). The eager
-            # checkpoint truncates each generation to a constant-size
-            # block scan; the superseded generation's blocks release
-            # immediately (nothing references them again).
+            # Generations LOCALCHECKPOINT (lazily — see above), never
+            # merely persist: a persisted generation still carries the
+            # full fold lineage, whose OPTIMIZED plan doubles per
+            # round (measured: 12 KB at gen 2 → 7 MB at gen 11; the
+            # driver OOMs in AQE's explainString near 30 rounds —
+            # invisible at the 4-6 merges earlier rounds trained).
+            # The checkpoint truncates the generation to a
+            # constant-size block scan.
             nxt = prev.select(
                 "cnt",
                 F.expr(
@@ -235,13 +286,24 @@ def _bpe_learn(
                         lhs=lhs, rhs=rhs, merged=lhs + rhs,
                     )
                 ).alias("seq"),
-            ).localCheckpoint(eager=True)
-            _release(prev, prev_is_ckpt)
+            )
+            pending += 1
+            if pending >= checkpoint_every:
+                nxt = nxt.localCheckpoint(eager=False)
+                deferred_release = (base, base_is_ckpt)
+                base = nxt
+                base_is_ckpt = True
+                pending = 0
             prev = nxt
-            prev_is_ckpt = True
             if want_curve:
                 curve.append((r, *_gen_stats(prev)))
-    _release(prev, prev_is_ckpt)
+                if deferred_release is not None:
+                    # _gen_stats materialized prev already
+                    _release(*deferred_release)
+                    deferred_release = None
+    if deferred_release is not None:
+        _release(*deferred_release)
+    _release(base, base_is_ckpt)
     return merges, curve
 
 
@@ -794,3 +856,106 @@ def bpe_byte_coverage_oracle_sql(
            CAST(((bs.n_bytes - bs.n_byte_tokens) + bs.n_byte_tokens)
                 AS DOUBLE) / bs.n_bytes AS coverage
     FROM bs LEFT JOIN ws ON ws.doc_id = bs.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Deployment-width training (round-10 verdict ask #4): the same
+# greedy learner at >=256 merges, plus a DuckDB oracle that replays
+# the ENTIRE learning loop with one recursive CTE — no unrolled
+# 256-round chain, no pinned constants.
+
+
+def bpe_learn_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 256,
+    checkpoint_every: int = 1,
+    vocab_partitions: int | None = None,
+) -> list:
+    """Learn ``n_merges`` BPE rules and return the raw merge rows
+    ``(merge_round, lhs, rhs, merged, pair_count)`` — the deep-width
+    entry point (:func:`bpe_merges` wraps the same loop in a
+    DataFrame for the 4-6-merge oracle queries). Each round costs ONE
+    Spark job (lazy checkpoints — see :func:`_bpe_learn`);
+    ``vocab_partitions`` pins the word-type plane's width (1 on
+    local, ~1 per million word types on a cluster)."""
+    merges, _ = _bpe_learn(
+        df,
+        text_col,
+        n_merges,
+        want_curve=False,
+        checkpoint_every=checkpoint_every,
+        vocab_partitions=vocab_partitions,
+    )
+    return merges
+
+
+def bpe_deep_oracle_sql(
+    n_merges: int, table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of a ``bpe_learn_rules`` + full-corpus scoring
+    pass, with the LEARNING replayed by a single recursive CTE: the
+    working table carries every word type's current symbol sequence,
+    and each iteration (a) aggregates pair counts over the working
+    table, (b) picks the winner with the exact Spark tie-break
+    (count DESC, lhs, rhs — binary collation on both engines), and
+    (c) folds the merge into every sequence. DuckDB's recursive CTE
+    lets the recursive term aggregate over the working table
+    (verified against the unrolled :func:`_bpe_ctes` chain in
+    tests/test_deep_bpe.py), which is what makes a 256-round replay
+    expressible where a 256-CTE unroll is not.
+
+    Output: one row per learned rule, each carrying the corpus-level
+    final stats (``final_tokens``, ``final_vocab`` — the compression-
+    curve tail) computed from the final generation; on the Spark side
+    the same numbers come from Arrow-scoring the corpus with the
+    learned rules, so the gate also proves learn/score equivalence
+    at full width.
+    """
+    sep = "chr(31)"
+    fold = (
+        "list_reduce(seq, (acc, x) -> CASE WHEN "
+        "regexp_extract(acc, '[^\\x1f]*$') = win.wl AND x = win.wr "
+        "THEN regexp_replace(acc, '[^\\x1f]*$', win.wl || win.wr) "
+        f"ELSE acc || {sep} || x END)"
+    )
+    return f"""
+WITH RECURSIVE
+w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+ FROM (SELECT unnest(string_split_regex({_CASEFOLD.format(t=text_col)},
+              '{_WORD_SPLIT}')) AS word FROM {table})
+ WHERE word <> '' GROUP BY word),
+base AS MATERIALIZED (SELECT cnt,
+ list_transform(range(1, length(word) + 1), i -> substr(word, i, 1))
+     AS seq FROM w),
+gen(r, cnt, seq, lhs, rhs, pc) AS (
+    SELECT 0, cnt, seq, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT)
+    FROM base
+  UNION ALL
+    SELECT r + 1, cnt, string_split({fold}, {sep}), win.wl, win.wr,
+           win.wpc
+    FROM gen,
+         (SELECT lhs AS wl, rhs AS wr, pair_count AS wpc FROM (
+             SELECT seq[i] AS lhs, seq[i + 1] AS rhs,
+                    CAST(SUM(cnt) AS BIGINT) AS pair_count
+             FROM gen, unnest(range(1, len(seq))) AS u(i)
+             GROUP BY 1, 2)
+          ORDER BY pair_count DESC, lhs, rhs LIMIT 1) AS win
+    WHERE r < {n_merges}
+),
+fin AS (SELECT MAX(r) AS fr FROM gen),
+stats AS (
+    SELECT CAST(SUM(cnt * len(seq)) AS BIGINT) AS final_tokens,
+           (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
+            FROM gen, fin, unnest(seq) AS u(sym) WHERE r = fr)
+               AS final_vocab
+    FROM gen, fin WHERE r = fr
+)
+SELECT CAST(r AS BIGINT) AS merge_round, any_value(lhs) AS lhs,
+       any_value(rhs) AS rhs, any_value(lhs || rhs) AS merged,
+       any_value(pc) AS pair_count,
+       any_value(s.final_tokens) AS final_tokens,
+       any_value(s.final_vocab) AS final_vocab
+FROM gen, stats s WHERE r > 0 GROUP BY r
+"""

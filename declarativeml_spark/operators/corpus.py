@@ -193,6 +193,21 @@ def pack_chunks(
     global chunk key. Deterministic in ``id_col``, so the layout is
     reproducible across runs and engines.
     """
+    # bucketing is `id % buckets`, which needs a NUMERIC id: a string
+    # id would raise CAST_INVALID_INPUT under ANSI — or, with ANSI
+    # off, collapse every row into one NULL bucket (the exact
+    # single-stream sort this function exists to avoid). Refuse
+    # loudly at plan time instead of either.
+    id_type = dict(df.dtypes).get(id_col, "")
+    if not (
+        id_type in ("tinyint", "smallint", "int", "bigint")
+        or id_type.startswith("decimal")
+    ):
+        raise ValueError(
+            f"pack_chunks needs an integer id column for bucketing;"
+            f" {id_col!r} is {id_type or 'missing'} — supply a numeric"
+            " id (e.g. xxhash64 the string key first)"
+        )
     toks = rf"split(trim({text_col}), '\\s+')"
     d = df.select(
         F.col(id_col).alias("doc_id"),

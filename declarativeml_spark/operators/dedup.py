@@ -79,12 +79,16 @@ def exact_duplicates(
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Per-row 16-bit SimHash (shuffle-free)."""
-    return df.select(
+    """Per-row 16-bit SimHash (shuffle-free; one md5 per distinct
+    token via a materialized hex4-prefix column — inlining the hash
+    into the 16 per-bit votes re-hashed every token 64x)."""
+    hexed = df.select(
         id_col,
-        F.expr(T.simhash_spark(f"array_distinct({_toks(text_col)})"))
-        .cast("long")
-        .alias("simhash"),
+        F.expr(T.HEX4_SPARK.format(toks=_toks(text_col))).alias("__hex4"),
+    )
+    return hexed.select(
+        id_col,
+        F.expr(T.simhash_spark("__hex4")).cast("long").alias("simhash"),
     )
 
 

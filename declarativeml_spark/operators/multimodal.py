@@ -1384,3 +1384,82 @@ def audio_bandenergy64_quarters(
     return df.select(
         F.col(id_col).alias(id_col), payload_col
     ).mapInPandas(batches, schema=out_schema)
+
+
+def video_ahash64_quarters(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_n: int = 4,
+) -> DataFrame:
+    """Per-video 64-bit temporal aHash of a Y4M payload as four
+    16-bit quarter columns ``q0``…``q3`` — the video analogue of
+    :func:`ahash64_quarters`, emitting the exact signature layout
+    ``hamming64_quarter_pairs`` consumes. Frame sampling and hashing
+    fuse into ONE Arrow pass (the ``y4m_frame_stats`` shape): raw
+    frames never leave the executor.
+
+    Pipeline per payload (all exact integer math so a DuckDB oracle
+    replays it from the synth closed form):
+
+    1. parse the YUV4MPEG2 header and walk REAL ``FRAME`` markers
+       (:func:`_parse_y4m_header` / :func:`_iter_y4m_frames` — the
+       shared container machinery);
+    2. keep every ``every_n``-th frame (frame 0 always sampled — the
+       :func:`sample_frames` rule);
+    3. SUM the sampled frames' luma planes pixelwise (exact int64 —
+       the temporal average without the division, which the
+       mean-threshold makes unnecessary);
+    4. nearest-neighbor resample the sum plane to 8×8 via the ONE
+       index rule (:func:`_nn_index`, shared with :func:`resize_y4m`;
+       identity when the source is already 8×8);
+    5. threshold at the floor mean (``sum // 64``): bit i (row-major
+       cell i) is 1 iff ``cell_i > mean``; quarter q packs bits
+       ``16q … 16q+15`` with weight ``1 << j``.
+
+    Scale: map-only Arrow stage — payloads never leave the executor;
+    4 ints per file cross the Python boundary. The downstream banding
+    join shuffles (band, value, id, quarters) slivers only.
+    """
+    import numpy as np
+
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    out_schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False)]
+        + [T.StructField(f"q{q}", T.IntegerType(), True) for q in range(4)]
+    )
+    side = _AHASH_SIDE
+    weights = 1 << np.arange(16, dtype=np.int64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": pd.array(pdf[id_col], dtype="int64")}
+            qcols: list[list[int]] = [[] for _ in range(4)]
+            for b in pdf[payload_col]:
+                payload = bytes(b) if b is not None else b""
+                w0, h0, _fn, _fd, y_size, _cs, _pos, _tag = (
+                    _parse_y4m_header(payload)
+                )
+                acc = np.zeros(y_size, dtype=np.int64)
+                for f, frame in enumerate(_iter_y4m_frames(payload)):
+                    if f % every_n == 0:
+                        acc += np.frombuffer(
+                            frame, dtype=np.uint8, count=y_size
+                        ).astype(np.int64)
+                plane = acc.reshape(h0, w0)
+                ys, xs = _nn_index(side, h0), _nn_index(side, w0)
+                flat = plane[ys][:, xs].reshape(side * side)
+                mean = int(flat.sum()) // (side * side)
+                bits = (flat > mean).astype(np.int64)
+                for q in range(4):
+                    qcols[q].append(
+                        int((bits[16 * q : 16 * q + 16] * weights).sum())
+                    )
+            for q in range(4):
+                rows[f"q{q}"] = pd.array(qcols[q], dtype="int32")
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        F.col(id_col).alias(id_col), payload_col
+    ).mapInPandas(batches, schema=out_schema)

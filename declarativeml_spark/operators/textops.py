@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # --- tokenization -----------------------------------------------------------
@@ -149,12 +149,36 @@ def _hex4_int(token_expr: str) -> str:
     return " + ".join(parts)
 
 
-def simhash_spark(toks_distinct: str, bits: int = 16) -> str:
-    h = _hex4_int("t")
+# One md5 per TOKEN (the HEX64 pattern at 4 hex chars): callers bind
+# ``hx`` to a MATERIALIZED column of 4-hex-char md5 prefixes — without
+# the prebound array, inlining md5 into each of the 16 per-bit
+# aggregate() lambdas re-hashed every token 64 times per row (this
+# file already documents that md5 dominated the hashing queries'
+# runtime on BOTH engines).
+HEX4_SPARK = "transform(array_distinct({toks}), t -> substr(md5(t), 1, 4))"
+HEX4_DUCK = (
+    "list_transform(list_distinct({toks}), t -> substr(md5(t), 1, 4))"
+)
+
+
+def _hex4_int_of(h: str) -> str:
+    """Integer value of a BOUND 4-hex-char string (no hashing)."""
+    parts = []
+    for i, mult in ((1, 4096), (2, 256), (3, 16), (4, 1)):
+        parts.append(
+            f"(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1) * {mult}"
+        )
+    return " + ".join(parts)
+
+
+def simhash_spark(hexes: str, bits: int = 16) -> str:
+    """16-bit SimHash over a pre-hashed hex4-prefix array column
+    (``HEX4_SPARK``) — per-bit votes are pure instr arithmetic."""
+    h = _hex4_int_of("t")
     terms = []
     for b in range(bits):
         bit = f"CAST(({h}) / {1 << b} AS INT) % 2"
-        vote = f"aggregate({toks_distinct}, 0, (acc, t) -> acc + CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
+        vote = f"aggregate({hexes}, 0, (acc, t) -> acc + CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)"
         terms.append(f"CASE WHEN ({vote}) > 0 THEN {1 << b} ELSE 0 END")
     return " + ".join(terms)
 
@@ -222,13 +246,15 @@ def simhash64_sig_from_quarters(q0: str, q1: str, q2: str, q3: str) -> str:
     )
 
 
-def simhash_duck(toks_distinct: str, bits: int = 16) -> str:
-    h = _hex4_int("t")
+def simhash_duck(hexes: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`simhash_spark` — same pre-hashed hex4
+    array contract (``HEX4_DUCK``)."""
+    h = _hex4_int_of("t")
     terms = []
     for b in range(bits):
         bit = f"CAST(floor(({h}) / {1 << b}) AS INT) % 2"
         vote = (
-            f"list_sum(list_transform({toks_distinct},"
+            f"list_sum(list_transform({hexes},"
             f" t -> CASE WHEN {bit} = 1 THEN 1 ELSE -1 END))"
         )
         terms.append(f"CASE WHEN ({vote}) > 0 THEN {1 << b} ELSE 0 END")
@@ -362,13 +388,23 @@ def quality_margin(
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
-    toks = TOKENS_SPARK.format(text=text_col)
+    # materialize the token array ONCE: size() (twice) and the fold
+    # would otherwise each re-run the regex split per row — three
+    # tokenize passes inside an interpreted HOF projection (the exact
+    # measured pathology corpus.py documents; Catalyst's projection
+    # collapse declines to duplicate non-cheap expressions, so the
+    # staged projection keeps a single split)
+    toks_col = "__qm_toks"
+    staged = df.select(
+        *[c for c in df.columns if c != text_col],
+        F.expr(TOKENS_SPARK.format(text=text_col)).alias(toks_col),
+    )
     fold = (
-        f"aggregate({toks}, CAST(0.0 AS DOUBLE),"
+        f"aggregate({toks_col}, CAST(0.0 AS DOUBLE),"
         f" (acc, w) -> acc + {quality_weight_of('w', buckets)})"
     )
-    return df.select(
-        *[c for c in df.columns if c != text_col],
-        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
-        (F.expr(fold) / F.expr(f"size({toks})")).alias("margin"),
+    return staged.select(
+        *[c for c in staged.columns if c != toks_col],
+        F.expr(f"size({toks_col})").cast("long").alias("n_tokens"),
+        (F.expr(fold) / F.expr(f"size({toks_col})")).alias("margin"),
     )

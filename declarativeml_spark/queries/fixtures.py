@@ -18,6 +18,8 @@ import tempfile
 import time
 from collections.abc import Callable
 
+from pyspark.sql import functions as F
+
 # A directory at the served path without its _COMPLETE marker is only
 # claimable (treated as a stale partial from a crashed legacy writer)
 # once it is older than this — a younger marker-less dir is far more
@@ -179,7 +181,21 @@ def _register_external_bucketed(
     sort_col: str,
 ) -> str:
     if spark.catalog.tableExists(table):
-        return table
+        # the catalog entry is keyed by NAME; verify it points at THIS
+        # key's location — a caller re-using a table name across
+        # key_parts would otherwise be served the stale directory
+        # silently (the exact failure the module docstring promises
+        # is impossible). Location mismatch → drop and re-register.
+        current = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+            .filter(F.col("col_name") == "Location")
+            .select("data_type")
+            .first()
+        )
+        loc = (current.data_type if current else "") or ""
+        if loc.rstrip("/").endswith(os.path.basename(location.rstrip("/"))):
+            return table
+        spark.sql(f"DROP TABLE IF EXISTS {table}")  # external: files stay
     # schema from the finished files themselves (one footer read)
     schema_ddl = spark.read.parquet(location)._jdf.schema().toDDL()
     spark.sql(

@@ -314,9 +314,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_simhash",
     oracle=f"""
-    WITH d AS (SELECT doc_id, list_distinct({_TOKS_D}) AS toksd FROM documents)
-    SELECT doc_id, CAST({T.simhash_duck('toksd')} AS BIGINT) AS simhash
-    FROM d
+    WITH d AS (SELECT doc_id, list_distinct({_TOKS_D}) AS toksd FROM documents),
+    h AS (SELECT doc_id, list_transform(toksd,
+              t -> substr(md5(t), 1, 4)) AS hx FROM d)
+    SELECT doc_id, CAST({T.simhash_duck('hx')} AS BIGINT) AS simhash
+    FROM h
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,9 +331,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    hexed = docs.select(
         "doc_id",
-        F.expr(T.simhash_spark(f"array_distinct({_TOKS_S})")).cast("long").alias("simhash"),
+        F.expr(T.HEX4_SPARK.format(toks=_TOKS_S)).alias("__hex4"),
+    )
+    return hexed.select(
+        "doc_id",
+        F.expr(T.simhash_spark("__hex4")).cast("long").alias("simhash"),
     )
 
 

@@ -644,11 +644,12 @@ _HAM_RADIUS = 2  # pigeonhole: r+1 bands guarantee a shared band
 def _simhash_hamming_oracle() -> str:
     from declarativeml_spark.operators import textops as T
 
-    toks = f"list_distinct({T.TOKENS_DUCK.format(text='text')})"
-    sig = T.simhash_duck(toks)
+    hexes = T.HEX4_DUCK.format(toks=T.TOKENS_DUCK.format(text="text"))
+    sig = T.simhash_duck("hx")
     return f"""
-    WITH sigs AS MATERIALIZED (
-        SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM documents
+    WITH h AS (SELECT doc_id, {hexes} AS hx FROM documents),
+    sigs AS MATERIALIZED (
+        SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM h
     )
     SELECT CAST(bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) AS BIGINT)
                AS hamming,

@@ -601,3 +601,286 @@ def media_audio_fingerprint_hamming(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.min("id_a").cast("long").alias("min_id_a"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video perceptual near-dup: the third modality through the SAME
+# quarter-band Hamming machinery — every Y4M file's sampled frames
+# (every 4th, real FRAME-marker walk) sum into a temporal luma plane
+# that aHashes to a 64-bit signature. The synth frames are 8x8 (one
+# text byte per luma pixel), so each signature bit is an independent
+# pixel cell and the planted two-character brightening perturbs 1-3
+# bits — inside the radius, never the trivial 0.
+
+_N_MEDIA_Y4M = 48
+_Y4M_COPY_MOD = 3
+_VIDEO_RADIUS = 3
+_VIDEO_EVERY_N = 4
+_Y4M_SIDE = 8  # synth frame geometry: 8x8 luma, 64 chars per frame
+
+
+def _perturb_video_text(t: str) -> str:
+    """Python twin of the oracle's closed form: brighten the first two
+    characters to ``'~'`` (frame 0 is ALWAYS sampled, so the
+    perturbation is guaranteed visible to the fingerprint; cells 0-1
+    shift, flipping at most those two bits plus any mean-marginal
+    cell)."""
+    return "~~" + t[2:]
+
+
+def _media_y4m_lake_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Content-addressed fixture dir holding the Y4M lake: the lowest
+    <_N_MEDIA_Y4M> documents as REAL YUV4MPEG2 containers
+    ``v<fid>.y4m`` (fid = 2·doc_id, 8×8 C420 frames), plus the
+    brightened near-duplicate copies (fid = 2·doc_id + 1) for every
+    doc_id % <_Y4M_COPY_MOD> == 0."""
+    import os
+
+    from declarativeml_spark.operators.multimodal import (
+        synth_y4m_from_text,
+    )
+    from declarativeml_spark.queries.fixtures import fixture_dir
+
+    def write(d: str) -> None:
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id")
+            .limit(_N_MEDIA_Y4M)
+            .select("doc_id", "text")
+            .collect()  # bounded: 48 rows, fixture-side
+        )
+        variants = []
+        for r in rows:
+            t = r.text or ""
+            variants.append((r.doc_id * 2, t))
+            if r.doc_id % _Y4M_COPY_MOD == 0:
+                variants.append((r.doc_id * 2 + 1, _perturb_video_text(t)))
+        vdf = spark.createDataFrame(variants, "fid long, text string")
+        y4m = synth_y4m_from_text(
+            vdf, "text", "fid", width=_Y4M_SIDE, height=_Y4M_SIDE
+        )
+        for r in y4m.select("media_id", "payload").collect():
+            with open(os.path.join(d, f"v{r.media_id:08d}.y4m"), "wb") as f:
+                f.write(bytes(r.payload))
+
+    return fixture_dir(
+        "media_y4m_lake",
+        f"{sf_dir}|y4m|{_N_MEDIA_Y4M}|c{_Y4M_COPY_MOD}|{_Y4M_SIDE}x"
+        f"{_Y4M_SIDE}|brighten2",
+        write,
+    )
+
+
+def _video_ahash_oracle() -> str:
+    # 8x8 synth frames resample to the 8x8 grid as the IDENTITY
+    # (_nn_index(8, 8) = range(8)), so grid cell p IS luma offset p:
+    # cell value = sum over sampled frames f of text byte f*64 + p
+    # (0 beyond the text — the synth zero-pads the final frame).
+    fpp = _Y4M_SIDE * _Y4M_SIDE  # luma bytes per frame
+    cell = (
+        f"CASE WHEN f * {fpp} + p < n THEN"
+        f" ascii(substr(vt, CAST(f * {fpp} + p + 1 AS INT), 1))"
+        " ELSE 0 END"
+    )
+    # the exact aHash rule is v > total // 64 (FLOOR mean, matching
+    # ahash64_quarters) — not the scale-free 64*v > total, which
+    # differs when total % 64 != 0 and v == total // 64
+    qv = (
+        "CAST(SUM(CASE WHEN p // 16 = {q} AND v > total // 64"
+        " THEN 1 << (p % 16) ELSE 0 END) AS INT)"
+    )
+    qs = ", ".join(qv.format(q=q) + f" AS q{q}" for q in range(4))
+    ham = " + ".join(f"bit_count(xor(a.q{q}, b.q{q}))" for q in range(4))
+    return f"""
+    WITH t AS (SELECT doc_id, coalesce(text, '') AS vt FROM documents
+               ORDER BY doc_id LIMIT {_N_MEDIA_Y4M}),
+    variants AS (
+        SELECT doc_id * 2 AS fid, vt FROM t
+        UNION ALL
+        SELECT doc_id * 2 + 1, concat('~~', substr(vt, 3)) FROM t
+        WHERE doc_id % {_Y4M_COPY_MOD} = 0
+    ),
+    s AS (SELECT fid, vt, length(vt) AS n,
+                 greatest(1, CAST(ceil(length(vt) / {fpp}.0) AS BIGINT))
+                     AS nf
+          FROM variants),
+    cells AS (
+        SELECT fid, p, SUM({cell}) AS v
+        FROM s,
+             unnest(range(nf)) AS uf(f),
+             unnest(range({fpp})) AS up(p)
+        WHERE f % {_VIDEO_EVERY_N} = 0
+        GROUP BY fid, p
+    ),
+    tot AS (SELECT fid, SUM(v) AS total FROM cells GROUP BY fid),
+    sig AS (
+        SELECT c.fid, {qs}
+        FROM cells c JOIN tot USING (fid)
+        GROUP BY c.fid
+    ),
+    pairs AS (
+        SELECT a.fid AS id_a, b.fid AS id_b, {ham} AS hamming
+        FROM sig a JOIN sig b ON a.fid < b.fid
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(id_a) AS BIGINT) AS min_id_a
+    FROM pairs WHERE hamming <= {_VIDEO_RADIUS}
+    GROUP BY hamming
+    """
+
+
+@query("media_video_ahash_hamming", oracle=_video_ahash_oracle())
+def media_video_ahash_hamming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Video perceptual near-dup over the Y4M lake — the third
+    modality completing the media dedup family (images r10, audio +
+    video r11): every container decodes through the REAL FRAME-marker
+    walk, every 4th frame's luma plane sums into a temporal
+    signature plane, and the 8×8 aHash (operators/multimodal.py::
+    video_ahash64_quarters) feeds ``hamming64_quarter_pairs`` —
+    byte-for-byte the machinery behind ``dedup_simhash64_hamming``,
+    ``media_phash_hamming``, and ``media_audio_fingerprint_hamming``.
+    The brute-force oracle recomputes every signature from the text
+    closed form and counts ALL in-radius pairs, so the hash gate
+    proves the frame walk, the sampling rule, the temporal sum, AND
+    banding completeness at the radius.
+
+    The planted copies brighten two pixels of frame 0 (always
+    sampled), so they surface at small nonzero Hamming — the
+    re-encoded / lightly-edited clip class exact dedup misses.
+
+    Scale: decode + sample + hash fuse into one map-only Arrow stage
+    (raw frames never leave the executor; 4 ints per file exit
+    Python); the pair join shuffles (band, value, id, quarters)
+    slivers only.
+    """
+    from declarativeml_spark.operators.caching import track_persist
+    from declarativeml_spark.operators.dedup import (
+        hamming64_quarter_pairs,
+    )
+    from declarativeml_spark.operators.multimodal import (
+        video_ahash64_quarters,
+    )
+    from declarativeml_spark.sources.io import read_media
+
+    d = _media_y4m_lake_dir(spark, sf_dir)
+    media = read_media(spark, d, glob="*.y4m")
+    files = media.select(
+        F.regexp_extract("media_path", r"v(\d+)\.y4m$", 1)
+        .cast("long")
+        .alias("file_id"),
+        "payload",
+    )
+    sigs = track_persist(
+        video_ahash64_quarters(
+            files, id_col="file_id", every_n=_VIDEO_EVERY_N
+        )
+    )
+    pairs = hamming64_quarter_pairs(
+        sigs, id_col="media_id", radius=_VIDEO_RADIUS
+    )
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("id_a").cast("long").alias("min_id_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE at deployment width (round-10 verdict ask #4): 256 merges
+# end-to-end — the per-round driver loop, the lineage-truncation
+# discipline, and the Arrow mapInPandas scoring path (the >64-rule
+# Catalyst cliff makes expression-fold scoring impossible at this
+# width) all exercised at real size. The synthetic corpus has only
+# 31 distinct words (merge ceiling ~89), so each document also
+# contributes a separator-free GLUED rendition of its text — a
+# deterministic augmentation (the tokenizer_bpe_byte_coverage
+# decoration pattern) that widens the word plane to ~530 types and
+# supports the full 256 rounds at every SF. The oracle replays the
+# ENTIRE learning loop with one recursive CTE (operators/bpe.py::
+# bpe_deep_oracle_sql) — no unrolled chain, no pinned constants:
+# this is a full hash gate, not a pinned twin.
+
+_DEEP_MERGES = 256
+_DEEP_CKPT_EVERY = 1  # measured: fold stacking loses to per-round truncation
+_DEEP_VOCAB_PARTS = 1  # ~530 word types; see bpe_learn_rules
+# F.expr parses the pattern through a Spark SQL string literal
+# (backslashes DOUBLED); DuckDB takes them single and needs the 'g'
+# flag (its regexp_replace is first-match-only by default, Java's
+# replaceAll is global)
+_DEEP_AUG_SPARK = (
+    "concat(coalesce(text, ''), ' ', "
+    "regexp_replace(coalesce(text, ''), '[^\\\\p{L}\\\\p{N}]+', ''))"
+)
+_DEEP_AUG_DUCK = (
+    "concat(coalesce(text, ''), ' ', "
+    "regexp_replace(coalesce(text, ''), '[^\\p{L}\\p{N}]+', '', 'g'))"
+)
+
+
+def _deep_oracle() -> str:
+    from declarativeml_spark.operators.bpe import bpe_deep_oracle_sql
+
+    return bpe_deep_oracle_sql(
+        _DEEP_MERGES,
+        table=f"(SELECT {_DEEP_AUG_DUCK} AS aug FROM documents) t",
+        text_col="aug",
+    )
+
+
+@query("tokenizer_bpe_deep_merges", oracle=_deep_oracle())
+def tokenizer_bpe_deep_merges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BPE learner at deployment width: 256 greedy merge rounds
+    over the augmented word plane (operators/bpe.py::bpe_learn_rules
+    — the same loop the 6-merge oracle queries run, with the
+    lineage-truncation period widened to every 16 rounds: deep
+    training is job-launch-floor bound, and in-window generations
+    stack ≤16 fold projections, far under the documented 64-rule
+    Catalyst cliff), then the corpus Arrow-scored with all 256
+    learned rules (operators/bpe.py::bpe_tokenize_map — the
+    mapInPandas path that exists precisely because expression folds
+    stop parsing past ~64 rules).
+
+    Output: the full 256-row merge table, each row carrying the
+    corpus-level compression tail (final_tokens, final_vocab)
+    computed FROM THE SCORED CORPUS — so the hash gate
+    simultaneously proves (a) all 256 learned rules + counts against
+    the oracle's recursive-CTE learning replay, (b) that Arrow
+    scoring with the learned table reproduces the learner's final
+    generation exactly (learn/score equivalence at full width), and
+    (c) the curve tail.
+
+    Scale: the corpus shuffles ONCE into word types; 256 rounds run
+    on the vocabulary-sized plane (flat in SF — the documented cost
+    is the driver loop's ~256 job floors, linear in width, not in
+    data); scoring is map-only with per-batch word memoization.
+    """
+    from declarativeml_spark.operators.bpe import (
+        bpe_learn_rules,
+        bpe_tokenize_map,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(F.expr(_DEEP_AUG_SPARK).alias("aug"))
+    rows = bpe_learn_rules(
+        aug,
+        "aug",
+        _DEEP_MERGES,
+        checkpoint_every=_DEEP_CKPT_EVERY,
+        vocab_partitions=_DEEP_VOCAB_PARTS,
+    )
+    rules = [(lhs, rhs) for (_r, lhs, rhs, _m, _c) in rows]
+    scored = bpe_tokenize_map(aug, "aug", rules)
+    stats = scored.select(F.explode("tokens").alias("tok")).agg(
+        F.count(F.lit(1)).cast("long").alias("final_tokens"),
+        F.count_distinct("tok").cast("long").alias("final_vocab"),
+    )
+    mdf = spark.createDataFrame(
+        rows,
+        "merge_round long, lhs string, rhs string, merged string,"
+        " pair_count long",
+    )
+    return mdf.crossJoin(F.broadcast(stats))

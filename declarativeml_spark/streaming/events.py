@@ -46,9 +46,17 @@ def _like_pattern(pattern: str) -> str:
     """Event patterns match with SQL LIKE; the reference writes
     glob-style wildcards (AGENTS.md:50 ``'model.convergence.*'``), so
     ``*`` translates to ``%`` — an event TYPE never legitimately
-    contains a literal asterisk. ONE chokepoint for every matcher
-    (subscribe, wait_for), so the two APIs speak the same language."""
-    return pattern.replace("*", "%")
+    contains a literal asterisk. ``%`` stays a wildcard too — the
+    engine's own WHEN rules write raw LIKE patterns (``'ops.%'``).
+    LIKE's UNDERSCORE, however, is escaped: event types here
+    routinely contain literal underscores
+    (``training.epoch_complete``), and an unescaped ``_`` is a
+    single-char wildcard that silently overmatches
+    (``epochXcomplete`` would fire the rule). ONE chokepoint for
+    every matcher (subscribe, wait_for), so the two APIs speak the
+    same language."""
+    escaped = pattern.replace("\\", "\\\\").replace("_", "\\_")
+    return escaped.replace("*", "%")
 
 
 @dataclass
@@ -125,6 +133,7 @@ class EventBus:
             df = self.published_df()
             self._published = []
         counts: dict[str, int] = {}
+        errors: list[tuple[str, BaseException]] = []
         for i, sub in enumerate(self.subscriptions):
             matched = df.filter(F.col("event_type").like(sub.pattern))
             if sub.payload_predicate:
@@ -132,7 +141,20 @@ class EventBus:
             n = matched.count()
             counts[sub.name or f"sub{i}"] = n
             if n > 0:
-                sub.handler(matched)
+                # handler isolation: one raising handler must not skip
+                # every later subscription's delivery of this batch
+                # (user-supplied WHEN-rule actions throw); errors
+                # surface AFTER the full fan-out
+                try:
+                    sub.handler(matched)
+                except Exception as e:  # noqa: BLE001 - re-raised below
+                    errors.append((sub.name or f"sub{i}", e))
+        if errors:
+            names = ", ".join(n for n, _ in errors)
+            raise RuntimeError(
+                f"{len(errors)} event handler(s) failed ({names});"
+                " every other subscription still received the batch"
+            ) from errors[0][1]
         return counts
 
     def wait_for(
@@ -160,15 +182,32 @@ class EventBus:
                 return None
             time.sleep(poll_s)
 
-    def start_stream(self, events_stream: DataFrame, query_name: str = "event_rules"):
-        """Attach the rule set to a streaming event source."""
+    def start_stream(
+        self,
+        events_stream: DataFrame,
+        query_name: str = "event_rules",
+        trigger_seconds: Optional[float] = None,
+        available_now: bool = False,
+    ):
+        """Attach the rule set to a streaming event source.
+
+        By default the query runs CONTINUOUSLY (micro-batch as data
+        arrives, optionally paced by ``trigger_seconds``) — a rule
+        engine that self-terminates after the initial catch-up would
+        silently stop firing on a live stream. Pass
+        ``available_now=True`` for the drain-and-stop backfill shape.
+        """
 
         def process(batch_df: DataFrame, epoch_id: int) -> None:
             self.dispatch_batch(batch_df)
 
-        return (
-            events_stream.writeStream.foreachBatch(process)
-            .queryName(query_name)
-            .trigger(availableNow=True)
-            .start()
+        writer = events_stream.writeStream.foreachBatch(process).queryName(
+            query_name
         )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_seconds is not None:
+            writer = writer.trigger(
+                processingTime=f"{trigger_seconds} seconds"
+            )
+        return writer.start()

@@ -606,3 +606,19 @@ def test_calibrate_zero_hit_and_duplicate_thresholds(spark, smoke_dir):
         for r in threshold_sweep(docs, [0.2, 0.2]).collect()
     }
     assert dup == {0.2: out[0.2]["n_pairs"]}
+
+
+def test_pack_chunks_refuses_string_ids(spark):
+    """String ids would ANSI-crash or (ANSI off) collapse every row
+    into one NULL bucket — the single packing stream this operator
+    exists to avoid; refused loudly at plan time (review r11)."""
+    import pytest as _pytest
+
+    from declarativeml_spark.operators.corpus import pack_chunks
+
+    df = spark.createDataFrame(
+        [("doc-0001", "a b c"), ("doc-0002", "d e")],
+        "doc_id string, text string",
+    )
+    with _pytest.raises(ValueError, match="integer id"):
+        pack_chunks(df, context=4)

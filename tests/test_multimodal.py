@@ -824,3 +824,70 @@ def test_media_audio_fingerprint_planted_pairs_in_radius(spark, smoke_dir):
         "every planted pair collapsed to Hamming 0 - the perturbation"
         " is not exercising the radius"
     )
+
+
+def test_video_ahash64_hand_computed(spark):
+    """Temporal aHash of a hand-built two-frame 8x8 Y4M: frame 0 is
+    bright (200) in the top half, frame 1 (NOT sampled at every_n=2?
+    -- it IS sampled at every_n=1) adds nothing when every_n=2, so the
+    signature reflects frame 0 alone: top-half bits set."""
+    import numpy as np
+
+    from declarativeml_spark.operators.multimodal import (
+        video_ahash64_quarters,
+    )
+
+    w = h = 8
+    y0 = bytes([200] * 32 + [10] * 32)          # frame 0: top bright
+    y1 = bytes([10] * 32 + [200] * 32)          # frame 1: bottom bright
+    c = bytes([16] * 16) + bytes([240] * 16)    # C420 chroma planes
+    header = b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420jpeg\n"
+    payload = header + b"FRAME\n" + y0 + c + b"FRAME\n" + y1 + c
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    # every_n=2 samples frame 0 only -> top half above the mean
+    row = video_ahash64_quarters(df, every_n=2).collect()[0]
+    top = 0xFFFF
+    assert (row.q0, row.q1, row.q2, row.q3) == (top, top, 0, 0)
+    # every_n=1 sums both frames -> every cell equals 210, mean 210,
+    # strict > never fires -> all-zero signature
+    row = video_ahash64_quarters(df, every_n=1).collect()[0]
+    assert (row.q0, row.q1, row.q2, row.q3) == (0, 0, 0, 0)
+
+
+def test_video_ahash64_rejects_bad_every_n(spark):
+    from declarativeml_spark.operators.multimodal import (
+        video_ahash64_quarters,
+    )
+
+    df = spark.createDataFrame([(1, b"")], "media_id long, payload binary")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="every_n"):
+        video_ahash64_quarters(df, every_n=0)
+
+
+def test_video_perturbation_twins_agree(spark):
+    """The Python perturbation (fixture writer) and the oracle's SQL
+    closed form must produce identical variant texts."""
+    import duckdb
+
+    from declarativeml_spark.queries.pipeline11 import _perturb_video_text
+
+    texts = ["", "x", "ab", "abc", "hello world " * 30]
+    got_sql = duckdb.sql(
+        "SELECT concat('~~', substr(vt, 3)) FROM (SELECT unnest($1) AS vt)",
+        params=[texts],
+    ).fetchall()
+    assert [r[0] for r in got_sql] == [_perturb_video_text(t) for t in texts]
+
+
+def test_media_video_ahash_planted_pairs_in_radius(spark, smoke_dir):
+    """At least one planted brightened copy must surface at NONZERO
+    in-radius Hamming (the radius does real work)."""
+    from declarativeml_spark.queries import QUERIES
+
+    rows = QUERIES["media_video_ahash_hamming"](spark, smoke_dir).collect()
+    got = {r.hamming: r.n_pairs for r in rows}
+    assert any(h > 0 for h in got), got

@@ -456,3 +456,50 @@ def test_alias_qualified_payload_accessor():
         "WHEN EVENT 'm' WHERE event_payload = 'x' THEN RETRAIN MODEL m"
     )
     assert r2.payload_predicate == "event_payload = 'x'"
+
+
+def test_feature_expr_accepts_single_quoted_strings():
+    """SQL-style single-quoted strings ('' escaping) are the DSL's own
+    idiomatic string syntax and must parse in feature expressions like
+    everywhere else in the statement grammar (review r11)."""
+    from declarativeml_spark.dsl.features import (
+        StringLit,
+        parse_feature_expr,
+    )
+
+    ast = parse_feature_expr("coalesce(country, 'unknown')")
+    assert StringLit("unknown") in ast.args
+    esc = parse_feature_expr("label_of('it''s')")
+    assert esc.args[0] == StringLit("it's")
+    # double-quoted form still parses to the same literal
+    assert parse_feature_expr('coalesce(country, "unknown")').args[1] == (
+        StringLit("unknown")
+    )
+
+
+def test_all_columns_alias_backtick_quoted():
+    """alias.* renders with backtick-quoted parts like every other
+    identifier — a keyword-named alias must not break only in the
+    .* form (review r11)."""
+    from declarativeml_spark.dsl.features import parse_feature_expr
+
+    ast = parse_feature_expr("f(order.*)")
+    assert ast.args[0].to_spark_sql() == "struct(`order`.*)"
+
+
+def test_forecast_ir_rejects_nonpositive_horizon():
+    """Direct IR construction enforces the parser's positive-horizon
+    invariant — a bad horizon must not fail only AFTER a full model
+    fit (review r11)."""
+    from declarativeml_spark.dsl import ir
+
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="horizon"):
+            ir.ForecastModel(
+                name="f", algorithm="auto", params=[], source="orders",
+                target="y", time_column="d", horizon=bad,
+            )
+    ir.ForecastModel(
+        name="f", algorithm="auto", params=[], source="orders",
+        target="y", time_column="d", horizon=1,
+    )

@@ -351,3 +351,63 @@ def test_ensemble_validate_on_clustering_rejected(engine):
             " (km_a WEIGHT 0.5, km_b WEIGHT 0.5)"
             " VALIDATE ON orders_labeled"
         )
+
+
+def test_ensemble_classification_averages_probabilities(engine, spark):
+    """Classification ensembles average class PROBABILITY vectors and
+    predict the argmax — averaging class indices minted labels no
+    member predicted (two members voting 0 and 2 must never 'predict'
+     1; binary disagreement must never emit 0.5) (review r11)."""
+    scored = engine.execute("PREDICT USING MODEL combo FROM orders_labeled")
+    vals = {r.prediction for r in scored.select("prediction").distinct().collect()}
+    assert vals <= {0.0, 1.0}, vals  # valid class labels only
+    # and the decisions are well-calibrated against the easy label
+    from pyspark.sql import functions as F
+
+    acc = (
+        scored.select(
+            (F.col("prediction") == F.col("expensive")).cast("int").alias("ok")
+        )
+        .agg(F.avg("ok"))
+        .first()[0]
+    )
+    assert acc > 0.9
+
+
+def test_ensemble_refuses_mixed_member_kinds(engine, spark):
+    """A classifier and a regressor cannot share a weighted average —
+    refused loudly at scoring time (review r11)."""
+    import pytest as _pytest
+
+    engine.execute(
+        "TRAIN MODEL reg_member USING linear_regression(max_iter=5) "
+        "FROM orders_labeled PREDICT o_totalprice WITH FEATURES(o_orderkey)"
+    )
+    from declarativeml_spark.ml.ensemble import score_ensemble
+
+    with _pytest.raises(ValueError, match="kind|classes"):
+        score_ensemble(
+            spark,
+            [("base_a", 0.5), ("reg_member", 0.5)],
+            spark.table("orders_labeled"),
+            base=engine.model_dir,
+        ).collect()
+
+
+def test_psi_bins_survive_nan_labels(engine, spark):
+    """A regression monitoring batch with >=10% NaN labels produces a
+    NaN decile edge; the bin SQL previously rendered it as the
+    unresolvable token `nan` and crashed the run (review r11)."""
+    from declarativeml_spark.ml.ensemble import _prediction_drift_psi
+    from declarativeml_spark.ml.registry import get_algorithm
+    from pyspark.sql import functions as F
+
+    spec = get_algorithm("linear_regression")
+    scored = spark.range(100).select(
+        F.col("id").cast("double").alias("prediction"),
+        F.when(F.col("id") % 5 == 0, F.lit(float("nan")))
+        .otherwise(F.col("id").cast("double"))
+        .alias("y"),
+    )
+    psi = _prediction_drift_psi(spec, "y", scored)
+    assert psi == psi and psi >= 0.0  # finite, not a crash

@@ -105,3 +105,73 @@ def test_watermarked_windowed_agg(spark, smoke_dir, tmp_path):
     )
     emitted = spark.sql("SELECT * FROM win_sink").count()
     assert 0 < emitted <= batch_total
+
+
+def test_event_pattern_underscore_is_literal(spark):
+    """Event types routinely contain underscores; an unescaped ``_``
+    is a LIKE single-char wildcard that silently overmatches
+    (review r11)."""
+    import datetime
+
+    bus = EventBus(spark)
+    hits = []
+    bus.subscribe("training.epoch_complete", lambda df: hits.append(df.count()))
+    bus.publish("training.epoch_complete", {})
+    bus.publish("training.epochXcomplete", {})
+    bus.dispatch_batch()
+    assert sum(hits) == 1
+    # glob-* still works across the literal underscore
+    star_hits = []
+    bus.subscribe("model_saved.*", lambda df: star_hits.append(df.count()))
+    bus.publish("model_saved.v1", {})
+    bus.publish("modelXsaved.v1", {})
+    bus.dispatch_batch()
+    assert sum(star_hits) == 1
+
+
+def test_dispatch_batch_isolates_failing_handler(spark):
+    """One raising handler must not skip later subscriptions' delivery
+    (review r11) — the error still surfaces after the fan-out."""
+    import pytest as _pytest
+
+    bus = EventBus(spark)
+    seen = []
+
+    def boom(df):
+        raise RuntimeError("handler exploded")
+
+    bus.subscribe("x.*", boom, name="bad")
+    bus.subscribe("x.*", lambda df: seen.append(df.count()), name="good")
+    bus.publish("x.go", {})
+    with _pytest.raises(RuntimeError, match="handler"):
+        bus.dispatch_batch()
+    assert sum(seen) == 1  # the later subscription still fired
+
+
+def test_event_stream_default_trigger_is_live(spark, tmp_path):
+    """start_stream must not self-terminate after the initial
+    catch-up: a rule engine on a live stream keeps running
+    (review r11); the availableNow drain shape stays opt-in."""
+    import datetime
+
+    bus = EventBus(spark)
+    seen = []
+    bus.subscribe("tick", lambda df: seen.append(df.count()))
+    src = str(tmp_path / "live_src")
+    rows = [("tick", "{}", datetime.datetime(2024, 1, 1), "a")]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = bus.start_stream(stream, query_name="live_rules")
+    try:
+        q.processAllAvailable()
+        assert q.isActive  # live: did NOT transition to TERMINATED
+        # a second batch arriving later is still dispatched
+        spark.createDataFrame(rows, EVENT_SCHEMA).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert sum(seen) == 2
+    finally:
+        q.stop()
+    # drain-and-stop stays available as the explicit backfill shape
+    q2 = bus.start_stream(stream, query_name="drain_rules", available_now=True)
+    q2.awaitTermination(60)
+    assert not q2.isActive

@@ -474,3 +474,31 @@ def test_model_dir_env_read_at_call_time(tmp_path, monkeypatch):
     import os
 
     assert os.path.exists(str(tmp_path / "env_base" / "registry.jsonl"))
+
+
+def test_tree_param_aliases_map_to_real_estimator_params(spark):
+    """Every registry alias must target a parameter the estimator
+    actually has — GBTs count boosting rounds in maxIter (not
+    numTrees), plain decision trees have no ensemble knobs, and
+    LinearSVC has no elastic-net mixing (review r11: the old shared
+    alias table crashed fit on documented DSL names)."""
+    from declarativeml_spark.ml.registry import REGISTRY
+
+    for name, spec in REGISTRY.items():
+        try:
+            est = spec.factory()
+        except Exception:
+            continue  # factories needing a session/args
+        if not hasattr(est, "params"):
+            continue
+        valid = {p.name for p in est.params}
+        for alias, target in spec.param_map.items():
+            assert target in valid, (name, alias, target)
+    # the sklearn-style names land on the GBT's real boosting knobs
+    gbt = REGISTRY["gradient_boosting"].build(
+        {"n_estimators": 20, "learning_rate": 0.05}
+    )
+    assert gbt.getMaxIter() == 20
+    assert gbt.getStepSize() == 0.05
+    rf = REGISTRY["random_forest"].build({"n_estimators": 30})
+    assert rf.getNumTrees() == 30

@@ -318,3 +318,91 @@ def test_compare_models_trials_error_paths(engine):
             "SELECT compare_models(test_data := 'orders_tuner',"
             " primary_metric := 'f1')"
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 review-sweep regressions (ml/tuning.py findings)
+
+
+def test_annotate_statement_splices_and_roundtrips():
+    """The tuner's registered statement must carry the CHOSEN params:
+    RETRAIN re-executes the stored statement, so an un-annotated one
+    silently reverts the tuning."""
+    from declarativeml_spark.ml.tuning import annotate_statement
+
+    base = (
+        "TRAIN MODEL churn USING logistic_regression(max_iter=10,"
+        " reg=0.1) FROM orders PREDICT expensive"
+        " WITH FEATURES(o_totalprice)"
+    )
+    out = annotate_statement(
+        base, "logistic_regression", {"max_iter": 40, "reg": 0.01}
+    )
+    assert "USING logistic_regression(max_iter=40, reg=0.01)" in out
+    # bare USING (no param list) gains one
+    bare = (
+        "TRAIN MODEL churn USING decision_tree FROM orders"
+        " PREDICT expensive WITH FEATURES(o_totalprice)"
+    )
+    out2 = annotate_statement(bare, "decision_tree", {"max_depth": 5})
+    assert "USING decision_tree(max_depth=5)" in out2
+    # nested list params survive the balanced-paren scan
+    nn = (
+        "TRAIN MODEL n USING neural_network(layers=[4, 8], max_iter=3)"
+        " FROM orders PREDICT expensive WITH FEATURES(o_totalprice)"
+    )
+    out3 = annotate_statement(
+        nn, "neural_network", {"layers": [16, 32], "max_iter": 7}
+    )
+    assert "layers=[16, 32]" in out3 and "max_iter=7" in out3
+    # string values render in the DSL's own single-quote syntax
+    dt = annotate_statement(
+        bare, "decision_tree", {"max_depth": 3, "impurity": "gini"}
+    )
+    assert "impurity='gini'" in dt
+
+
+def test_best_trial_total_order_matches_spark_under_nan():
+    """Python-side ranking must use Scala's Double total order (NaN
+    above +inf) so best_i always describes the model TVS actually
+    saved as bestModel."""
+    import math
+
+    metrics = [float("nan"), 0.8, 0.9]
+
+    def key(i):
+        m = metrics[i]
+        return (1, 0.0) if math.isnan(m) else (0, m)
+
+    # maximize: Scala maxBy picks the NaN (total order: NaN greatest)
+    assert sorted(range(3), key=key, reverse=True)[0] == 0
+    # minimize: Scala minBy avoids the NaN
+    assert sorted(range(3), key=key)[0] == 1
+
+
+def test_tuned_model_statement_carries_winning_params(engine, spark):
+    """End-to-end: after a search, the registered version's stored
+    statement re-parses with the winning trial's params merged in."""
+    from declarativeml_spark.dsl.parser import parse
+    from declarativeml_spark.ml.models import registry_meta
+
+    engine.execute(
+        "TRAIN MODEL tuned_base USING logistic_regression(max_iter=2,"
+        " reg=0.5) FROM orders_tuner PREDICT expensive"
+        " WITH FEATURES(o_totalprice)"
+    )
+    engine.execute(
+        "CREATE AGENT ann_tuner FOR MODEL tuned_base OPTIMIZE USING"
+        " grid_search SEARCH SPACE {max_iter: choice([3, 6])}"
+        " MAXIMIZE accuracy WITH BUDGET 2 trials"
+    )
+    engine.run_tuner("ann_tuner")
+    meta = registry_meta("tuned_base", base=engine.model_dir)
+    stmt = parse(meta["statement"])
+    chosen = meta.get("trial_params") or {}
+    assert chosen, meta
+    got = dict(stmt.params)
+    for k, v in chosen.items():
+        assert got.get(k) == v, (k, got, chosen)
+    # un-tuned base params survive unless overridden by the trial
+    assert got.get("reg") == 0.5
