@@ -163,9 +163,13 @@ def main() -> int:
             " rounds. Already taken: lazy localCheckpoints (one job"
             " per round, not two), vocab plane coalesced to 1"
             " partition, 12-char augmentation words (the apply fold"
-            " is O(len^2) per word). The remaining wall is Catalyst"
-            " compiling 256 distinct fold expressions - inherent to"
-            " an honest per-round loop"
+            " is O(len^2) per word - unchopped glued words made"
+            " sf0.1 rounds ~3.5s), and training on a DETERMINISTIC"
+            " 500-doc sample (the standard tokenizer-training shape;"
+            " keeps the word plane at ~9.5k types at every SF -"
+            " measured sf0.01 98.3s / sf0.1 90.2s). The remaining"
+            " wall is Catalyst compiling 256 distinct fold"
+            " expressions - inherent to an honest per-round loop"
         ),
         "media_audio_fingerprint_hamming": (
             "NEW in r11 (ask #3): 48-file WAV lake fixture decode +"

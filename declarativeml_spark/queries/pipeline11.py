@@ -794,37 +794,53 @@ def media_video_ahash_hamming(
 # Catalyst cliff makes expression-fold scoring impossible at this
 # width) all exercised at real size. The synthetic corpus has only
 # 31 distinct words (merge ceiling ~89), so each document also
-# contributes a separator-free GLUED rendition of its text — a
-# deterministic augmentation (the tokenizer_bpe_byte_coverage
-# decoration pattern) that widens the word plane to ~530 types and
-# supports the full 256 rounds at every SF. The oracle replays the
-# ENTIRE learning loop with one recursive CTE (operators/bpe.py::
-# bpe_deep_oracle_sql) — no unrolled chain, no pinned constants:
-# this is a full hash gate, not a pinned twin.
+# contributes a separator-free GLUED rendition of its text, CHOPPED
+# into 12-char words — a deterministic augmentation (the
+# tokenizer_bpe_byte_coverage decoration pattern) that widens the
+# word plane to ~9.5k types. Chopping is load-bearing: the apply
+# fold is O(len²) per word (immutable array accumulators), so
+# unchopped glued words of thousands of chars made every round
+# quadratic in document length (measured: sf0.1 rounds at ~3.5 s vs
+# the ~0.4 s compile floor). Training reads a DETERMINISTIC
+# 500-document slice — the standard tokenizer-training SAMPLE (at
+# 100 TB nobody trains BPE on the full corpus), and the one design
+# choice that keeps the 256-round cost FLAT in SF: the word-type
+# plane stays ~9.5k types at every scale factor, so the only cost is
+# the driver loop's per-round floor, never data volume. The oracle
+# replays the ENTIRE learning loop over the same slice with one
+# recursive CTE (operators/bpe.py::bpe_deep_oracle_sql) — no
+# unrolled chain, no pinned constants: a full hash gate, not a
+# pinned twin.
 
 _DEEP_MERGES = 256
+_DEEP_SAMPLE = 500  # deterministic training slice (ORDER BY doc_id)
 _DEEP_CKPT_EVERY = 1  # measured: fold stacking loses to per-round truncation
-_DEEP_VOCAB_PARTS = 1  # ~530 word types; see bpe_learn_rules
-# F.expr parses the pattern through a Spark SQL string literal
-# (backslashes DOUBLED); DuckDB takes them single and needs the 'g'
+_DEEP_VOCAB_PARTS = 1  # ~9.5k word types; see bpe_learn_rules
+# F.expr parses patterns through a Spark SQL string literal
+# (backslashes DOUBLED); DuckDB takes them single, needs the 'g'
 # flag (its regexp_replace is first-match-only by default, Java's
-# replaceAll is global)
+# replaceAll is global), and spells the backreference \\1 vs Java's $1
 _DEEP_AUG_SPARK = (
-    "concat(coalesce(text, ''), ' ', "
-    "regexp_replace(coalesce(text, ''), '[^\\\\p{L}\\\\p{N}]+', ''))"
+    "concat(coalesce(text, ''), ' ', regexp_replace("
+    "regexp_replace(coalesce(text, ''), '[^\\\\p{L}\\\\p{N}]+', ''),"
+    " '(.{12})', '$1 '))"
 )
 _DEEP_AUG_DUCK = (
-    "concat(coalesce(text, ''), ' ', "
-    "regexp_replace(coalesce(text, ''), '[^\\p{L}\\p{N}]+', '', 'g'))"
+    "concat(coalesce(text, ''), ' ', regexp_replace("
+    "regexp_replace(coalesce(text, ''), '[^\\p{L}\\p{N}]+', '', 'g'),"
+    " '(.{12})', '\\1 ', 'g'))"
 )
 
 
 def _deep_oracle() -> str:
     from declarativeml_spark.operators.bpe import bpe_deep_oracle_sql
 
+    sample = (
+        f"(SELECT text FROM documents ORDER BY doc_id LIMIT {_DEEP_SAMPLE})"
+    )
     return bpe_deep_oracle_sql(
         _DEEP_MERGES,
-        table=f"(SELECT {_DEEP_AUG_DUCK} AS aug FROM documents) t",
+        table=f"(SELECT {_DEEP_AUG_DUCK} AS aug FROM {sample} s) t",
         text_col="aug",
     )
 
@@ -834,36 +850,39 @@ def tokenizer_bpe_deep_merges(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The BPE learner at deployment width: 256 greedy merge rounds
-    over the augmented word plane (operators/bpe.py::bpe_learn_rules
-    — the same loop the 6-merge oracle queries run, with the
-    lineage-truncation period widened to every 16 rounds: deep
-    training is job-launch-floor bound, and in-window generations
-    stack ≤16 fold projections, far under the documented 64-rule
-    Catalyst cliff), then the corpus Arrow-scored with all 256
-    learned rules (operators/bpe.py::bpe_tokenize_map — the
-    mapInPandas path that exists precisely because expression folds
-    stop parsing past ~64 rules).
+    over the augmented word plane of the deterministic 500-document
+    training slice (operators/bpe.py::bpe_learn_rules — the exact
+    loop the 6-merge oracle queries run, one lazy-checkpoint job per
+    round), then the slice Arrow-scored with all 256 learned rules
+    (operators/bpe.py::bpe_tokenize_map — the mapInPandas path that
+    exists precisely because expression folds stop parsing past ~64
+    rules; applying the table to the FULL corpus is the same
+    memoized map the other BPE queries gate).
 
     Output: the full 256-row merge table, each row carrying the
-    corpus-level compression tail (final_tokens, final_vocab)
-    computed FROM THE SCORED CORPUS — so the hash gate
-    simultaneously proves (a) all 256 learned rules + counts against
-    the oracle's recursive-CTE learning replay, (b) that Arrow
-    scoring with the learned table reproduces the learner's final
-    generation exactly (learn/score equivalence at full width), and
-    (c) the curve tail.
+    compression tail (final_tokens, final_vocab) computed FROM THE
+    ARROW-SCORED TEXT — so the hash gate simultaneously proves
+    (a) all 256 learned rules + counts against the oracle's
+    recursive-CTE learning replay, (b) that Arrow scoring with the
+    learned table reproduces the learner's final generation exactly
+    (learn/score equivalence at full width), and (c) the curve tail.
 
-    Scale: the corpus shuffles ONCE into word types; 256 rounds run
-    on the vocabulary-sized plane (flat in SF — the documented cost
-    is the driver loop's ~256 job floors, linear in width, not in
-    data); scoring is map-only with per-batch word memoization.
+    Scale: tokenizer training SAMPLES at any corpus size (the 100 TB
+    shape: one bounded slice feeds the loop; the corpus pays only
+    the scoring map). The 256 rounds run on a constant ~9.5k-type
+    plane, so the cost is the driver loop's per-round floor — flat
+    in SF by construction, priced in bench.py's notes.
     """
     from declarativeml_spark.operators.bpe import (
         bpe_learn_rules,
         bpe_tokenize_map,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(_DEEP_SAMPLE)
+    )
     aug = docs.select(F.expr(_DEEP_AUG_SPARK).alias("aug"))
     rows = bpe_learn_rules(
         aug,

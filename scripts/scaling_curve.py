@@ -76,13 +76,41 @@ QUERIES = [
     "media_dedup_exact",
     "media_phash_hamming",
     "dedup_minhash128_pairs",
+    # r11: the byte-fallback coverage pass (r10 verdict missing #5 —
+    # a learn pass + scoring map, flatness is the claim to prove),
+    # the two new perceptual media passes (bounded 48-file lakes,
+    # flat expected), and BPE at 256-merge width (the per-round
+    # driver loop is vocabulary-sized, so the claim under test is
+    # FLAT in SF — a data-proportional exponent here would mean the
+    # corpus is being rescanned per round)
+    "tokenizer_bpe_byte_coverage",
+    "media_audio_fingerprint_hamming",
+    "media_video_ahash_hamming",
+    "tokenizer_bpe_deep_merges",
 ]
 
 
 def main() -> int:
+    import argparse
+
     from declarativeml_spark.operators.caching import capture, release_all
     from declarativeml_spark.queries import QUERIES as REGISTRY
     from declarativeml_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--queries",
+        help="comma-separated subset to RE-measure; other queries'"
+        " rows are kept from the existing doc (full sweep when"
+        " omitted)",
+    )
+    args = ap.parse_args()
+    subset = (
+        [q.strip() for q in args.queries.split(",") if q.strip()]
+        if args.queries
+        else None
+    )
+    run_list = subset if subset else QUERIES
 
     root = os.environ.get("SPARK_GRAFT_DATA_ROOT", "/root/testdata")
     spark = get_spark("scaling-curve")
@@ -91,8 +119,36 @@ def main() -> int:
     # as compute
     REGISTRY[QUERIES[0]](spark, os.path.join(root, SFS[0])).count()
 
+    kept: list = []
+    if subset:
+        # carry forward the existing doc's rows for queries not
+        # re-measured this invocation
+        doc_path = os.path.join(
+            os.path.dirname(__file__), "..", "docs", "SCALING_CURVE.md"
+        )
+        if os.path.exists(doc_path):
+            for line in open(doc_path):
+                if not line.startswith("| ") or line.startswith("| query"):
+                    continue
+                cells = [c.strip() for c in line.strip().strip("|").split("|")]
+                if len(cells) != 6 or cells[0] in subset:
+                    continue
+                try:
+                    kept.append(
+                        {
+                            "query": cells[0],
+                            "sf0.001": float(cells[1].rstrip("s")),
+                            "sf0.01": float(cells[2].rstrip("s")),
+                            "sf0.1": float(cells[3].rstrip("s")),
+                            "alpha_001_01": float(cells[4]),
+                            "alpha_01_1": float(cells[5]),
+                        }
+                    )
+                except ValueError:
+                    continue
+
     rows = []
-    for name in QUERIES:
+    for name in run_list:
         times = {}
         failed = False
         for sf in SFS:
@@ -126,6 +182,11 @@ def main() -> int:
         rows.append(rec)
         print(json.dumps(rec), flush=True)
 
+    if subset:
+        # preserve the full sweep's ordering: kept rows in QUERIES
+        # order, re-measured rows replacing their old positions
+        by_name = {r["query"]: r for r in kept + rows}
+        rows = [by_name[q] for q in QUERIES if q in by_name]
     doc = os.path.join(os.path.dirname(__file__), "..", "docs",
                        "SCALING_CURVE.md")
     with open(doc, "w") as f:
