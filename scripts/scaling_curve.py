@@ -210,11 +210,17 @@ def main() -> int:
                 f" {r['sf0.1']}s | {r['alpha_001_01']} | {r['alpha_01_1']} |\n"
             )
         worst = max(rows, key=lambda r: r["alpha_01_1"])
+        verdict = (
+            "All exponents at or below ~1 ⇒ no operator family"
+            " exhibits superlinear growth over the measured range."
+            if worst["alpha_01_1"] <= 1.05
+            else "An exponent above ~1 needs adjudication (isolated"
+            " re-measure vs host-state probes) before reading it as"
+            " superlinear growth."
+        )
         f.write(
             f"\nWorst sf0.01→sf0.1 exponent: **{worst['query']}**"
-            f" (α={worst['alpha_01_1']}). All exponents at or below"
-            " ~1 ⇒ no operator family exhibits superlinear growth"
-            " over the measured range.\n"
+            f" (α={worst['alpha_01_1']}). {verdict}\n"
         )
     print(f"# wrote {os.path.normpath(doc)}", file=sys.stderr)
     return 0
