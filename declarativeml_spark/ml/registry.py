@@ -114,7 +114,9 @@ _register(
         "glm",
         GeneralizedLinearRegression,
         "regression",
-        {**_COMMON_ITER, **_COMMON_REG, "family": "family", "link": "link"},
+        # GLR has no elasticNetParam — only the plain reg aliases
+        {**_COMMON_ITER, "reg": "regParam", "regularization": "regParam",
+         "family": "family", "link": "link", "tol": "tol"},
     )
 )
 _register(
