@@ -173,8 +173,18 @@ def main() -> int:
         ),
         "media_audio_fingerprint_hamming": (
             "NEW in r11 (ask #3): 48-file WAV lake fixture decode +"
-            " banding join; map-only Arrow signature stage, expected"
-            " in the multimodal family's 1-2s one-shot band"
+            " banding join; map-only Arrow signature stage. The r11"
+            " settled-tree full-sweep sample (43.8s, survived its own"
+            " outlier re-measure) is ADJUDICATED session/host state,"
+            " not code: fresh-session isolated runs measure 14.6s"
+            " cold (first-decode/JIT across the fan-out, the"
+            " documented multimodal one-shot class) and 1.3-3.1s"
+            " warm; a 4-query bench-harness run on the same tree"
+            " measures 5.1s; and running it immediately AFTER the"
+            " deep BPE query (the suspected session damage) gives"
+            " 2.3s/1.3s - no code path explains 44s, and the sweep's"
+            " own probe pair degraded 1.45->2.38s (1.6x host drift"
+            " mid-run, the r10 pattern)"
         ),
         "media_video_ahash_hamming": (
             "NEW in r11: Y4M frame-walk + temporal aHash over the"
