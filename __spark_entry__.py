@@ -31,10 +31,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # every registered query has a driver-green row; staleness is the
 # ordering signal. Head = (1) the 8 r6-stale names spilled from the
 # r10 window (the r10 verdict's ask #1: they lead this round),
-# (2) the 3 round-11 additions (never checked — under the <=4 cap),
-# (3) the alphabetically-first 39 of the 50 r7-stale names. The
-# remaining 11 r7-stale names SPILL to r12 (recorded in COVERAGE.md's
+# (2) the 4 round-11 additions (never checked — exactly the <=4 cap),
+# (3) the alphabetically-first 38 of the 50 r7-stale names. The
+# remaining 12 r7-stale names SPILL to r12 (recorded in COVERAGE.md's
 # round-11 block):
+#   multimodal_y4m_frames
 #   multimodal_y4m_resize_stats
 #   nation_revenue_trend
 #   orders_benford_audit
@@ -56,11 +57,12 @@ _CHECK_FIRST = (
     "tokenizer_bpe_encode",
     "top3_customers_per_nation",
     "urgent_customers_by_nation",
-    # (2) round-11 additions (never driver-checked; cap <=4, used 3)
+    # (2) round-11 additions (never driver-checked; cap <=4, used 4)
+    "hll_distinct_audit",
     "media_audio_fingerprint_hamming",
     "media_video_ahash_hamming",
     "tokenizer_bpe_deep_merges",
-    # (3) alphabetically-first 39 of the 50 r7-stale names
+    # (3) alphabetically-first 38 of the 50 r7-stale names
     "ann_ivf_recall",
     "ann_ivf_topk",
     "approx_distinct_parts",
@@ -99,7 +101,6 @@ _CHECK_FIRST = (
     "multimodal_byte_histogram",
     "multimodal_ppm_resize_stats",
     "multimodal_wav_window_energy",
-    "multimodal_y4m_frames",
 )
 
 # Every registered query has at least one driver-green row;
@@ -187,6 +188,7 @@ _CHECK_LAST = frozenset(
         "multimodal_frame_sample",
         "multimodal_ppm_stats",
         "multimodal_wav_features",
+        "multimodal_y4m_frames",
         "multimodal_y4m_resize_stats",
         "nation_price_trend",
         "nation_revenue_gini",

@@ -7,6 +7,7 @@ __all__ = ["QUERIES", "ORACLES", "query"]
 # registry, so the TPC-H classics (relational4/5) — checked least so
 # far — register first, then the round-1-verified modules.
 from declarativeml_spark.queries import (  # noqa: E402,F401
+    pipeline12,
     pipeline11,
     pipeline10,
     pipeline9,

@@ -87,6 +87,11 @@ QUERIES = [
     "media_audio_fingerprint_hamming",
     "media_video_ahash_hamming",
     "tokenizer_bpe_deep_merges",
+    # r11: portable HLL — sketch path shuffles <=256 register rows
+    # per source regardless of SF; the exact-distinct audit leg is
+    # the only data-proportional term, so alpha should track the
+    # plain-aggregation families
+    "hll_distinct_audit",
 ]
 
 
