@@ -457,6 +457,15 @@ class Engine:
                         " exists (orphaned by a previous session?) —"
                         " remove it or pick another name"
                     )
+            # Registry writability is an availability check too: the
+            # closing _upsert_index_registry must not be the FIRST
+            # place a foreign-shaped squatter on the registry name
+            # surfaces — by then the old index and its tables are
+            # gone and the except-path tears the new build down with
+            # them. _read_index_registry raises
+            # ForeignRegistryTableError on a foreign shape and is
+            # cheap otherwise (no-op table miss or a handful of rows).
+            self._read_index_registry()
             # All checks passed. Release the same-name index NOW — its
             # DROP of the shared storage tables must run before, never
             # after, the new write (releasing afterwards would delete
@@ -523,7 +532,19 @@ class Engine:
                 # are reclaimed with it (shape-guarded), or they would
                 # leak in the warehouse with no DSL path left to free
                 # them. No-op when no row (or no real registry) exists.
-                self._reclaim_registry_row(stmt.name)
+                # One exception: never drop a reclaimed table the NEW
+                # index was just built FROM (CREATE INDEX i ON idx_t
+                # where idx_t is i's prior stored storage) — the fresh
+                # frames' lineage roots at that table, and reclaiming
+                # it would fail every later search on the first cache
+                # eviction. The row still goes; the table survives as
+                # an ordinary user-visible table.
+                keep = (
+                    frozenset({stmt.source.lower()})
+                    if stmt.source_is_identifier
+                    else frozenset()
+                )
+                self._reclaim_registry_row(stmt.name, keep=keep)
         except BaseException:
             self._release_index(self.indexes.pop(stmt.name))
             raise
@@ -622,9 +643,13 @@ class Engine:
             if rec["tables"]:
                 t = rec["tables"][0]
                 # persist the delta (count + write would otherwise
-                # each run the anti-join + keying end to end)
+                # each run the anti-join + keying end to end).
+                # Counts report VECTORS (distinct vec_id), not bucket
+                # rows — keyed is one row per (vector × hash table),
+                # and the ivf branch reports true vector counts; the
+                # two methods must mean the same thing by new_rows.
                 keyed_new = caching.track_persist(keyed_new)
-                n_new = keyed_new.count()
+                n_new = keyed_new.select("vec_id").distinct().count()
                 if n_new:
                     save_bucketed_table(
                         keyed_new, t, ["tbl", "bkey"],
@@ -634,16 +659,20 @@ class Engine:
                 # scope; the table serves
                 rec["frames"] = {"keyed": self.spark.table(t)}
             else:
-                n_old = keyed.count()  # BEFORE the old generation's
-                # checkpoint blocks are released by the union swap
+                # vector counts, not bucket rows (see above)
+                n_old = keyed.select("vec_id").distinct().count()
+                # counted BEFORE the old generation's checkpoint
+                # blocks are released by the union swap
                 union = self._checkpoint_refresh_union(
                     rec, keyed.unionByName(keyed_new)
                 )
-                n_new = union.count() - n_old
+                n_new = union.select("vec_id").distinct().count() - n_old
                 caching.release_all(rec["owned"])
                 rec["owned"] = caching.adopt_since(mark)
                 rec["frames"] = {"keyed": union}
-            total = rec["frames"]["keyed"].count()
+            total = (
+                rec["frames"]["keyed"].select("vec_id").distinct().count()
+            )
         return self.spark.createDataFrame(
             [(stmt.name, rec["method"], int(n_new), int(total))],
             "index_name string, method string, new_rows long,"
@@ -694,7 +723,10 @@ class Engine:
             keyed = caching.track_persist(
                 D.lsh_keyed_index(df, id_col=id_col, vec_col=vec_col, **p)
             )
-            n_rows = keyed.count()
+            # materializes the persisted snapshot AND reports VECTORS
+            # (keyed is one row per vector × hash table; indexed_rows
+            # must mean the same thing for lsh and ivf)
+            n_rows = keyed.select("vec_id").distinct().count()
             frames = {"keyed": keyed}
         owned = caching.adopt_since(mark)
         try:
@@ -1052,19 +1084,27 @@ class Engine:
             self._created_storage.discard(t)
         return skipped
 
-    def _reclaim_registry_row(self, name: str) -> None:
+    def _reclaim_registry_row(
+        self, name: str, keep: frozenset = frozenset()
+    ) -> None:
         """Reclaim a registered index's surviving storage (shape
-        -guarded) and its registry row. No-op when no registry — or a
-        foreign-shaped table under the registry name — exists."""
+        -guarded) and its registry row. Tables named in ``keep``
+        (lower-cased) are left standing — the caller's live lineage
+        depends on them. No-op when no registry — or a foreign-shaped
+        table under the registry name — exists."""
         try:
             rows = self._read_index_registry() or []
         except ForeignRegistryTableError:
             return  # not a registry: nothing registered to reclaim
         mine = [r for r in rows if r["index_name"] == name]
         for row in mine:
-            self._reclaim_storage(
-                self._index_table_shapes(row["method"], list(row["tables"]))
+            shapes = self._index_table_shapes(
+                row["method"], list(row["tables"])
             )
+            shapes = {
+                t: s for t, s in shapes.items() if t.lower() not in keep
+            }
+            self._reclaim_storage(shapes)
         if mine:
             self._write_index_registry(
                 [r for r in rows if r["index_name"] != name]
@@ -1265,6 +1305,30 @@ class Engine:
         self.tokenizers[stmt.name] = merges
         return merges
 
+    _TOKENIZER_SHAPE = frozenset({"merge_round", "lhs", "rhs"})
+
+    def _recover_tokenizer_swap(self, t: str) -> None:
+        """Crash recovery for the swap-rename window in
+        :meth:`_write_tokenizer_table` (the
+        ``_recover_index_registry_swap`` analog): a failure between
+        ``DROP TABLE <t>`` and ``ALTER TABLE <t>__swap RENAME`` leaves
+        no table but a COMPLETE swap. Without recovery the new merges
+        are stranded AND the orphan swap trips the next retrain's
+        ownership guard ('remove it or pick another STORED AS name') —
+        the engine's own crash permanently blocking the retrain. Adopt
+        a merge-shaped orphan by finishing the rename; anything else
+        is left alone (the usual never-clobber discipline)."""
+        tmp = f"{t}__swap"
+        if self.spark.catalog.tableExists(t) or not self.spark.catalog.tableExists(
+            tmp
+        ):
+            return
+        self.spark.sql(f"REFRESH TABLE {tmp}")
+        if not self._TOKENIZER_SHAPE <= set(self.spark.table(tmp).columns):
+            return
+        self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+        self.spark.sql(f"REFRESH TABLE {t}")
+
     def _write_tokenizer_table(self, merges: DataFrame, t: str) -> None:
         """Persist a merge table ATOMICALLY with respect to an existing
         good copy: a retrain writes to a swap table first and only then
@@ -1274,6 +1338,8 @@ class Engine:
         failure. Fresh targets write directly."""
         import os
         import shutil
+
+        self._recover_tokenizer_swap(t)
 
         def _clean(name: str) -> None:
             try:
@@ -1291,10 +1357,20 @@ class Engine:
                 self.spark.catalog.tableExists(tmp)
                 and tmp not in self._created_storage
             ):
-                raise ValueError(
-                    f"swap table {tmp!r} exists and is not session-owned"
-                    " — remove it or pick another STORED AS name"
-                )
+                # a crash between the swap save and the DROP of the old
+                # table leaves BOTH standing: the good table t plus an
+                # engine-written merge-shaped swap. That leftover is
+                # safe to clean (and _clean below does); only a
+                # foreign-shaped squatter on the swap name is refused.
+                self.spark.sql(f"REFRESH TABLE {tmp}")
+                if not self._TOKENIZER_SHAPE <= set(
+                    self.spark.table(tmp).columns
+                ):
+                    raise ValueError(
+                        f"swap table {tmp!r} exists and is not"
+                        " session-owned — remove it or pick another"
+                        " STORED AS name"
+                    )
             try:
                 self._created_storage.add(tmp)
                 _clean(tmp)  # leftover from an interrupted prior swap
@@ -1335,13 +1411,31 @@ class Engine:
                 f"TOKENIZE: source has no column {stmt.text_column!r}"
             )
         merges = self.tokenizers.get(stmt.tokenizer)
+        if merges is not None:
+            t = self.tokenizer_tables.get(stmt.tokenizer)
+            if t is not None and self.spark.catalog.tableExists(t):
+                # the session frame serves from the durable table;
+                # another live session's rewrite replaces its part
+                # files and the bound frame's resolved file listing
+                # goes stale (the relation cache is per session — same
+                # reason _read_index_registry refreshes
+                # unconditionally). REFRESH alone is not enough: the
+                # already-analyzed DataFrame keeps its frozen file
+                # index, so re-bind from the catalog too.
+                self.spark.sql(f"REFRESH TABLE {t}")
+                merges = self.spark.table(t)
+                self.tokenizers[stmt.tokenizer] = merges
         if merges is None:
+            # a prior session's crash may have stranded the merges in
+            # the swap (see _recover_tokenizer_swap)
+            self._recover_tokenizer_swap(stmt.tokenizer)
             if not self.spark.catalog.tableExists(stmt.tokenizer):
                 raise ValueError(
                     f"Unknown tokenizer {stmt.tokenizer!r}; train one with"
                     " TRAIN TOKENIZER, or reference a STORED AS merge"
                     " table by its table name"
                 )
+            self.spark.sql(f"REFRESH TABLE {stmt.tokenizer}")
             merges = self.spark.table(stmt.tokenizer)
             missing = {"merge_round", "lhs", "rhs"} - set(merges.columns)
             if missing:
@@ -1519,6 +1613,23 @@ class Engine:
         text_col = chosen_col or "text"
         id_param = p.pop("id_col", None)
         id_col = id_param or "doc_id"
+        if stmt.method in ("exact", "simhash"):
+            # these methods take no tuning surface — reject leftovers
+            # loudly instead of silently ignoring them (every other
+            # option surface here raises on unknown options, and a
+            # user who wrote THRESHOLD believes a cutoff was applied)
+            if p:
+                raise ValueError(
+                    f"DEDUPLICATE USING {stmt.method} does not accept"
+                    f" option(s) {', '.join(sorted(p))}; accepted:"
+                    " column, id_col"
+                )
+            if stmt.threshold is not None:
+                raise ValueError(
+                    f"DEDUPLICATE USING {stmt.method} does not accept"
+                    " THRESHOLD (exact grouping / signature emission"
+                    " has no similarity cutoff)"
+                )
         if stmt.method == "exact":
             return D.exact_duplicates(df, id_col=id_col, text_col=text_col)
         if stmt.method == "simhash":
@@ -2663,14 +2774,13 @@ class Engine:
             )
         df = resolve_source(self.spark, source, True)
         df = build_features(df, meta["features"]).df
-        label_col = None
-        if spec.kind != "clustering":
-            label_col = "label"
-            ttype = dict(df.dtypes).get(meta["target"])
-            if not (spec.kind == "classification" and ttype == "string"):
-                df = df.withColumn(
-                    label_col, F.col(meta["target"]).cast("double")
-                )
+        # clustering raised above, so a label always exists here
+        label_col = "label"
+        ttype = dict(df.dtypes).get(meta["target"])
+        if not (spec.kind == "classification" and ttype == "string"):
+            df = df.withColumn(
+                label_col, F.col(meta["target"]).cast("double")
+            )
         scored = score_ensemble(
             self.spark, members, df, base=self.model_dir
         )

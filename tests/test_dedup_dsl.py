@@ -708,7 +708,14 @@ def test_refresh_index_lsh_equals_cold_rebuild(engine, spark, smoke_dir):
         "SELECT * FROM embeddings WHERE vec_id % 2 = 0"
     ).createOrReplaceTempView("emb_growing")
     engine.execute("CREATE INDEX emb_grow ON emb_growing USING lsh")
-    half_rows = engine.indexes["emb_grow"]["frames"]["keyed"].count()
+    # counts report VECTORS (distinct vec_id), not (vector × table)
+    # bucket rows — same meaning as the ivf branch
+    half_rows = (
+        engine.indexes["emb_grow"]["frames"]["keyed"]
+        .select("vec_id")
+        .distinct()
+        .count()
+    )
     # the source grows: the view now serves the full table
     spark.sql("SELECT * FROM embeddings").createOrReplaceTempView(
         "emb_growing"
