@@ -33,7 +33,22 @@ __all__ = [
     "LocalScorer",
     "export_scorer",
     "measure_local_scorer_latency",
+    "percentile_nearest_rank",
 ]
+
+
+def percentile_nearest_rank(
+    xs: list, p: float, digits: int
+) -> Optional[float]:
+    """Nearest-rank percentile over unsorted samples — the ONE
+    implementation both serving shapes report through (they are
+    recorded side by side in BASELINE.md, so their rank/rounding
+    conventions must never drift apart)."""
+    if not xs:
+        return None
+    xs = sorted(xs)
+    i = min(len(xs) - 1, int(round(p * (len(xs) - 1))))
+    return round(xs[i], digits)
 
 
 class LocalScorer:
@@ -79,6 +94,20 @@ class LocalScorer:
                     raise KeyError(
                         f"request is missing feature column {e} —"
                         f" the exported scorer needs {p}"
+                    ) from None
+                except (TypeError, ValueError):
+                    bad = sorted(
+                        c
+                        for c in p
+                        if not isinstance(row.get(c), (int, float))
+                    )
+                    # a present-but-None (or non-numeric) value would
+                    # otherwise surface as an opaque float(None)
+                    # TypeError with no column name
+                    raise ValueError(
+                        "request has NULL/non-numeric value(s) for"
+                        f" feature column(s) {bad} — the exported"
+                        f" scorer needs numeric {p}"
                     ) from None
             elif kind == "scale":
                 mean, inv_std, with_mean, with_std = p
@@ -214,6 +243,15 @@ def export_scorer(
         raise ValueError(
             f"{model_name!r} has no exportable prediction stage"
         )
+    if not steps or steps[0][0] != "assemble":
+        # fail at EXPORT, not on the first request: every scale/model
+        # step consumes the assembled vector, and score_row would die
+        # on a bare assert (or a zip TypeError under python -O)
+        raise ValueError(
+            f"{model_name!r} has no leading VectorAssembler stage —"
+            " the exported scorer needs the assembler to map request"
+            " columns to the feature vector"
+        )
     return LocalScorer(steps, model_name)
 
 
@@ -245,19 +283,23 @@ def measure_local_scorer_latency(
         if now < sched:
             time.sleep(sched - now)
         scorer.score_row(request_fn(i))
-        lat_ms.append(((time.perf_counter() - sched) * 1000.0, sched))
+        done = time.perf_counter()
+        lat_ms.append(((done - sched) * 1000.0, sched, done))
     cut = t0 + warmup_s
-    steady = sorted(ms for ms, sched in lat_ms if sched >= cut)
-    span = duration_s - warmup_s
-
-    def pct(p: float) -> Optional[float]:
-        if not steady:
-            return None
-        i = min(len(steady) - 1, int(round(p * (len(steady) - 1))))
-        return round(steady[i], 3)
-
-    p50, p99 = pct(0.50), pct(0.99)
-    rows_per_s = round(len(steady) / span, 1) if span > 0 else None
+    steady = [(ms, done) for ms, sched, done in lat_ms if sched >= cut]
+    lats = [ms for ms, _ in steady]
+    # throughput over the ACTUAL completion span, not the nominal
+    # schedule — dividing the scheduled row count by duration_s would
+    # always report ≈ the offered rate (the exact 'generation
+    # timestamps measure the source's rate' error serving.py warns
+    # against for the streaming shape)
+    comps = [done for _, done in steady]
+    span = (max(comps) - min(comps)) if len(comps) > 1 else None
+    p50 = percentile_nearest_rank(lats, 0.50, 3)
+    p99 = percentile_nearest_rank(lats, 0.99, 3)
+    rows_per_s = (
+        round((len(steady) - 1) / span, 1) if span and span > 0 else None
+    )
     return {
         "shape": "exported_local_scorer",
         "model": scorer.model_name,
@@ -267,7 +309,7 @@ def measure_local_scorer_latency(
         "rows_per_s": rows_per_s,
         "p50_ms": p50,
         "p99_ms": p99,
-        "max_ms": round(steady[-1], 3) if steady else None,
+        "max_ms": round(max(lats), 3) if lats else None,
         "target_latency_ms": 50.0,
         "meets_latency_50ms": (p99 is not None and p99 <= 50.0),
         "meets_throughput_1000rps": (

@@ -224,9 +224,14 @@ def build_forecast_frame(
         )
     # drop null-label and null-time rows too: a null target row past
     # the lag warmup otherwise reaches the fit as a null label (raw
-    # MLlib crash), and a null time makes NaN seasonal features
+    # MLlib crash), and a null time makes NaN seasonal features.
+    # Null EXOGENOUS values are dropped for the same reason — with
+    # handleInvalid='keep' they'd become NaN features (NaN
+    # predictions for linear models, NaN residuals that poison the
+    # conformal bands: NaN sorts above every value in approxQuantile)
     return out.na.drop(
         subset=[f"lag_{k}" for k in stmt.lags]
+        + [f"exog_{i}" for i in range(len(stmt.exog))]
         + [stmt.target, stmt.time_column]
     )
 
@@ -320,6 +325,15 @@ def train_forecast(
     # the persisted feature plane for the session's lifetime —
     # everything that reads `frame` is materialized inside the block
     try:
+        # the friendly short-history message in forecast() runs AFTER
+        # the fit — an empty post-lag-warmup frame would die inside
+        # MLlib with an opaque 'requirement failed' first
+        if frame.limit(1).count() == 0:
+            raise ValueError(
+                f"Need at least {max(stmt.lags) + 1} observations to"
+                f" forecast with lags {stmt.lags} (no rows survive the"
+                " lag warm-up / null drop)"
+            )
         model = pipeline.fit(frame)
         metrics = _compute_metrics(model, frame, spec, "label")
 
@@ -431,6 +445,15 @@ def forecast(
             .collect()[0]
         )
         exog_last = {c: last_row[c] for c in _exog_cols(stmt)}
+        nulls = sorted(c for c, v in exog_last.items() if v is None)
+        if nulls:
+            # Vectors.dense(None) would raise a bare TypeError
+            # mid-horizon-loop; same loud policy as the tail check
+            raise ValueError(
+                "latest history row has NULL exogenous value(s)"
+                f" {', '.join(nulls)} (of {stmt.exog}) — clean or"
+                " gap-fill the regressors before forecasting"
+            )
     holiday_set = set(holiday_dates or [])
 
     seasonal = _seasonal_terms(stmt)

@@ -136,6 +136,11 @@ def train(
 
     # --- class balancing -----------------------------------------------------
     weight_col: Optional[str] = None
+    # captured PRE-balance: when no validation/test split exists, the
+    # metric fallback must never score the oversampled frame — the
+    # with-replacement duplicates are rows the model just memorized,
+    # so every metric (and any STOP WHEN predicate) would inflate
+    eval_fallback = train_df
     if stmt.balance_method and spec.kind == "classification" and label_col:
         if (
             stmt.balance_method in {"class_weights", "weights", "weighted"}
@@ -237,6 +242,34 @@ def train(
         and not use_cv
         and _has_max_iter(estimator)
     )
+    if ckpt_interval and not epochwise:
+        # same fail-loudly contract as the unit check above: declared
+        # checkpoint semantics must never silently evaporate
+        raise ValueError(
+            "SAVE CHECKPOINTS EVERY n: epoch-wise snapshots need an"
+            " iterative estimator and a plain fit — "
+            + (
+                "VALIDATE USING cv has no epoch loop to snapshot"
+                if use_cv
+                else f"{stmt.algorithm} has no iteration budget (maxIter)"
+            )
+        )
+
+    if use_cv and isinstance(evaluator, BinaryClassificationEvaluator):
+        # CV would otherwise die deep inside a fold with an opaque
+        # 'requirement failed' when the target is multiclass —
+        # _compute_metrics has the same n_labels > 2 guard
+        chk_col = (
+            label_col
+            if label_materialized and label_col
+            else stmt.target
+        )
+        n_labels = train_df.select(chk_col).distinct().count()
+        if n_labels > 2:
+            raise ValueError(
+                f"OPTIMIZE FOR {metric_name} requires a binary target;"
+                f" {stmt.target!r} has {n_labels} classes"
+            )
 
     if use_cv:
         folds = 3
@@ -286,7 +319,9 @@ def train(
                         label_col, F.col(stmt.target).cast("double")
                     )
     if eval_df is None:
-        eval_df = splits.get("validation") or splits.get("test") or train_df
+        eval_df = (
+            splits.get("validation") or splits.get("test") or eval_fallback
+        )
 
     # --- STOP WHEN metric clauses: epoch-wise early stopping ----------------
     stop_satisfied: Optional[bool] = None
@@ -325,52 +360,72 @@ def train(
         stop_satisfied = False if stop else None
         metrics = None
         prev_e = 0
-        for e in schedule:
+        # every schedule step refits (and, with STOP WHEN, re-scores)
+        # the SAME frames — unpersisted, each step would re-read the
+        # source, rebuild the feature plan, and redo any balance
+        # unions from scratch (forecast.py persists its equivalent
+        # multi-scan frame for the same reason)
+        train_df = train_df.persist()
+        eval_pinned = (
+            eval_df if (stop and eval_df is not train_df) else None
+        )
+        if eval_pinned is not None:
+            eval_df = eval_pinned = eval_pinned.persist()
+        try:
+            for e in schedule:
 
-            def _step_fit(n_iter=e):
-                # strip iteration aliases so the schedule's budget is
-                # the only maxIter writer
-                base = {
-                    k: v
-                    for k, v in params.items()
-                    if k not in ("epochs", "iterations")
-                }
-                est_e = spec.build(
-                    {**base, "max_iter": n_iter}, **est_kwargs
-                )
-                return Pipeline(stages=stages[:-1] + [est_e]).fit(
-                    train_df
-                )
-
-            model = _fit_with_fallback(_step_fit)
-            if stop:
-                # checkpoint-only loops skip the metric suite per
-                # step (an unused 8-job evaluation per schedule step)
-                metrics = _compute_metrics(model, eval_df, spec, label_col)
-            # a checkpoint is the model snapshot at each crossed
-            # EVERY-n boundary, persisted — not a log line per
-            # schedule step (the geometric steps rarely hit exact
-            # multiples; crossing is the honorable reading)
-            if ckpt_interval and (e // ckpt_interval) > (prev_e // ckpt_interval):
-                checkpoints.append(e)
-                if model_dir:
-                    model.write().overwrite().save(
-                        os.path.join(
-                            model_dir, stmt.name, f"checkpoint_e{e}"
-                        )
+                def _step_fit(n_iter=e):
+                    # strip iteration aliases so the schedule's budget
+                    # is the only maxIter writer
+                    base = {
+                        k: v
+                        for k, v in params.items()
+                        if k not in ("epochs", "iterations")
+                    }
+                    est_e = spec.build(
+                        {**base, "max_iter": n_iter}, **est_kwargs
                     )
-            prev_e = e
-            if stop and stop.evaluate(metrics, epoch=e):
-                stop_satisfied = True
-                stopping_epoch = e
-                break
-        else:
-            # budget exhausted without a metric hit: epoch-budget
-            # clauses are satisfied by completion (epoch=None form)
-            if stop:
-                stop_satisfied = stop.evaluate(metrics)
-        if metrics is None:  # checkpoint-only loop: score once, at the end
-            metrics = _compute_metrics(model, eval_df, spec, label_col)
+                    return Pipeline(stages=stages[:-1] + [est_e]).fit(
+                        train_df
+                    )
+
+                model = _fit_with_fallback(_step_fit)
+                if stop:
+                    # checkpoint-only loops skip the metric suite per
+                    # step (an unused 8-job evaluation per step)
+                    metrics = _compute_metrics(
+                        model, eval_df, spec, label_col
+                    )
+                # a checkpoint is the model snapshot at each crossed
+                # EVERY-n boundary, persisted — not a log line per
+                # schedule step (the geometric steps rarely hit exact
+                # multiples; crossing is the honorable reading)
+                if ckpt_interval and (e // ckpt_interval) > (
+                    prev_e // ckpt_interval
+                ):
+                    checkpoints.append(e)
+                    if model_dir:
+                        model.write().overwrite().save(
+                            os.path.join(
+                                model_dir, stmt.name, f"checkpoint_e{e}"
+                            )
+                        )
+                prev_e = e
+                if stop and stop.evaluate(metrics, epoch=e):
+                    stop_satisfied = True
+                    stopping_epoch = e
+                    break
+            else:
+                # budget exhausted without a metric hit: epoch-budget
+                # clauses are satisfied by completion (epoch=None form)
+                if stop:
+                    stop_satisfied = stop.evaluate(metrics)
+            if metrics is None:  # checkpoint-only loop: score at the end
+                metrics = _compute_metrics(model, eval_df, spec, label_col)
+        finally:
+            train_df.unpersist()
+            if eval_pinned is not None:
+                eval_pinned.unpersist()
         if stopping_epoch is not None:
             metrics["stopping_epoch"] = float(stopping_epoch)
     else:
@@ -581,6 +636,7 @@ def _compute_metrics(
         out: dict[str, float] = {}
         if spec.kind == "classification":
             n_labels = pred.select(label_col).distinct().count()
+            last_err: Optional[Exception] = None
             for key, (family, mname) in _CLASSIFICATION_METRICS.items():
                 if family == "binary":
                     if n_labels > 2:
@@ -590,8 +646,21 @@ def _compute_metrics(
                     ev = MulticlassClassificationEvaluator(labelCol=label_col, metricName=mname)
                 try:
                     out[key] = float(ev.evaluate(pred))
-                except Exception:
+                except Exception as exc:  # noqa: BLE001 — re-raised below
+                    # a SINGLE evaluator may legitimately fail (e.g.
+                    # a binary metric on a degenerate fold); all of
+                    # them failing means evaluation itself is broken
+                    # (NULL labels, bad prediction column) and must
+                    # not pass as an empty metrics dict — STOP WHEN
+                    # clauses would be silently unsatisfiable
+                    last_err = exc
                     continue
+            if not out and last_err is not None:
+                raise ValueError(
+                    "evaluation produced no metrics: every classification"
+                    f" evaluator failed on label {label_col!r} (are the"
+                    " labels NULL after the cast?)"
+                ) from last_err
         elif spec.kind == "regression":
             for key, mname in _REGRESSION_METRICS.items():
                 ev = RegressionEvaluator(labelCol=label_col, metricName=mname)

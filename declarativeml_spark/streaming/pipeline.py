@@ -34,12 +34,39 @@ def _ensure_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
     (sources/catalog.py — on this runtime TIMESTAMP(NANOS) parquet
     reads as a nanos bigint under the required legacy conf and is
     converted to NTZ there; there is no native NTZ read).
-    Reinterpret NTZ wall-clock in the session timezone so
-    ``withWatermark`` accepts the column — stream and any batch twin
-    built in the same session see identical wall-clocks."""
+
+    The NTZ wall-clock is interpreted AS UTC (not as session-local
+    time): a bare ``cast(ntz AS timestamp)`` would make tumbling
+    ``window()`` buckets — which align to the UTC epoch — land on
+    HH:30 wall-clock boundaries under a fractional-offset session
+    timezone (Asia/Kolkata), diverging from the batch twins'
+    ``date_trunc`` on the NTZ wall clock. Pinning through UTC makes
+    every instant's UTC rendering equal the original wall clock, so
+    bucket boundaries and ``_wall_label`` renderings are
+    session-timezone-independent (identity under a UTC session —
+    the same foreign-session hazard catalog.py:118 guards)."""
     if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
-        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        stream = stream.withColumn(
+            ts_col,
+            F.convert_timezone(
+                F.lit("UTC"), F.current_timezone(), F.col(ts_col)
+            ).cast("timestamp"),
+        )
     return stream
+
+
+def _wall_label(col, fmt: str):
+    """Render an event-time instant's ORIGINAL wall clock (the NTZ
+    value ``_ensure_event_time`` pinned through UTC), independent of
+    the session timezone: cast renders in session tz, convert shifts
+    that rendering back to UTC."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.date_format(
+        F.convert_timezone(
+            F.current_timezone(), F.lit("UTC"), c.cast("timestamp_ntz")
+        ),
+        fmt,
+    )
 
 
 def streaming_dedup(
@@ -105,7 +132,7 @@ def streaming_rollup(
         )
     )
     cols = [
-        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+        _wall_label(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
             "bucket_start"
         )
     ]
@@ -281,10 +308,10 @@ def session_window_stats(
     )
     return agg.select(
         F.col(key_col),
-        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+        _wall_label("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
             "session_start"
         ),
-        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+        _wall_label("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
             "session_end"
         ),
         "n_events",
@@ -342,10 +369,10 @@ def stream_stream_attribution_join(
         F.col("p_user").alias("user_id"),
         "purchase_id",
         "view_id",
-        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+        _wall_label("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
             "purchase_time"
         ),
-        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_time"),
+        _wall_label("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_time"),
         "purchase_value",
     )
 
@@ -428,11 +455,19 @@ def streaming_semantic_decontam(
     """
     from declarativeml_spark.queries.pipeline import _DOT_S, _NORM_S
 
+    # the benchmark-side norm is static — precompute it into the
+    # struct (LAST field, so array_sort still orders by qid) instead
+    # of re-deriving an O(d) fold per arriving corpus row
     bench_row = (
         benchmark.select(
+            F.col(bench_id_col).cast("long").alias("qid"),
+            F.col(bench_vec_col).cast("array<double>").alias("qe"),
+        )
+        .select(
             F.struct(
-                F.col(bench_id_col).cast("long").alias("qid"),
-                F.col(bench_vec_col).cast("array<double>").alias("qe"),
+                "qid",
+                "qe",
+                F.expr(_NORM_S.format(a="qe")).alias("qnorm"),
             ).alias("s")
         )
         .agg(F.array_sort(F.collect_list("s")).alias("bench"))
@@ -447,10 +482,15 @@ def streaming_semantic_decontam(
         # else the caller unpersists on query stop)
         .transform(track_persist)
     )
+    # ce_norm is projected ONCE per arriving row (below) and qnorm is
+    # precomputed in the broadcast structs — inlining _NORM_S here
+    # would re-run the O(d) fold |benchmark| times per row for the
+    # corpus side and once per row for the static side. Same ops in
+    # the same order (sqrt each, then multiply), so the cosine stays
+    # bit-identical to the batch twin's.
     cos = (
         f"({_DOT_S.format(a='ce', b='b.qe')}"
-        f" / nullif({_NORM_S.format(a='ce')} * {_NORM_S.format(a='b.qe')},"
-        " 0))"
+        " / nullif(ce_norm * b.qnorm, 0))"
     )
     # score each benchmark element ONCE via transform, then fold over
     # the slim (cos, qid) structs — inlining the O(d) cosine fragment
@@ -480,6 +520,7 @@ def streaming_semantic_decontam(
             F.col(id_col).cast("long").alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("ce"),
         )
+        .withColumn("ce_norm", F.expr(_NORM_S.format(a="ce")))
         .withColumn("j", F.lit(1))
         .join(F.broadcast(bench_row), "j")
         .withColumn("best", F.expr(best))

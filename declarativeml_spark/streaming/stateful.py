@@ -123,6 +123,13 @@ def streaming_sessionize(
 ) -> DataFrame:
     """Stateful sessionization over a streaming events frame
     (columns: user_id, ts, value)."""
+    from pyspark.sql import functions as F
+
+    # a NULL event time has no position on the per-user timeline —
+    # and pandas silently maps NaT to the int64-min sentinel
+    # (-9.2e18), which would wreck every later gap comparison. Drop
+    # before state, mirroring the batch windows' NULL skipping.
+    events_stream = events_stream.where(F.col("ts").isNotNull())
     return events_stream.groupBy("user_id").applyInPandasWithState(
         _sessionize_fn(gap_seconds),
         outputStructType=SESSION_OUTPUT_SCHEMA,
@@ -153,12 +160,20 @@ def _pack_fn(context: int):
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         (bucket,) = key
-        rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        # batch parity: the NULL-bucket partition (NULL doc_id rows)
+        # still packs — the window sorts NULLS FIRST and the running
+        # sum proceeds; int(None)/int(NaN) would kill the query on
+        # one NULL id instead
+        bucket = None if pd.isna(bucket) else int(bucket)  # NULL key
+        # arrives as float NaN through Arrow, not None
+        rows = pd.concat(list(pdfs)).sort_values(
+            "doc_id", na_position="first"
+        )
         cum = int(state.get[0]) if state.exists else 0
         out: dict = {k.name: [] for k in PACK_OUTPUT_SCHEMA}
         for doc_id, n in zip(rows["doc_id"], rows["n_tokens"]):
-            out["doc_id"].append(int(doc_id))
-            out["bucket"].append(int(bucket))
+            out["doc_id"].append(None if pd.isna(doc_id) else int(doc_id))
+            out["bucket"].append(bucket)
             if pd.isna(n):
                 # batch parity (pack_chunks): size(split(NULL)) is
                 # NULL; the window sum skips NULLs so cum does not
@@ -206,6 +221,19 @@ def streaming_pack(
     """
     from pyspark.sql import functions as F
 
+    # same plan-time refusal as batch pack_chunks: a string id would
+    # cast to all-NULL buckets and die row-by-row inside the state
+    # function instead of failing loudly here
+    id_type = dict(docs_stream.dtypes).get(id_col, "")
+    if not (
+        id_type in ("tinyint", "smallint", "int", "bigint")
+        or id_type.startswith("decimal")
+    ):
+        raise ValueError(
+            f"streaming_pack needs an integer id column for bucketing;"
+            f" {id_col!r} is {id_type or 'missing'} — supply a numeric"
+            " id (e.g. xxhash64 the string key first)"
+        )
     toks = rf"split(trim({text_col}), '\\s+')"
     d = docs_stream.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -254,6 +282,11 @@ def _anomaly_fn(window_size: int, min_full: int, z_cut: float):
         else:
             hist = []
         rows = pd.concat(list(pdfs)).sort_values("hour")
+        # a finalized hourly rollup can't produce NULL buckets or
+        # counts, but one malformed row must not poison the trailing
+        # window (NaT → int64-min sentinel) or kill the query
+        # (int(NaN)) — and the checkpoint would replay it forever
+        rows = rows.dropna(subset=["hour", "n"])
         hour_us = rows["hour"].astype("datetime64[us]").astype("int64")
         out: dict = {k.name: [] for k in ANOM_OUTPUT_SCHEMA}
         for h_us, n in zip(hour_us, rows["n"]):
@@ -402,7 +435,15 @@ def streaming_latest_per_user(events_stream: DataFrame) -> DataFrame:
     prefix of the stream the emitted state equals the batch query on
     the same prefix (tests assert it across a two-batch split).
     """
-    d = events_stream.select("user_id", "event_id", "event_type", "ts")
+    from pyspark.sql import functions as F
+
+    # NULL ts has no timeline position (and NaT becomes the int64-min
+    # sentinel, minting a 1677-09-21 last_ts); NULL event_id has no
+    # deterministic tie-break. The batch max_by struct never lets
+    # such a row win — drop them before state.
+    d = events_stream.select(
+        "user_id", "event_id", "event_type", "ts"
+    ).where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
     return d.groupBy("user_id").applyInPandasWithState(
         _compact_fn(),
         outputStructType=COMPACT_OUTPUT_SCHEMA,
@@ -491,11 +532,17 @@ def _twa_fn():
                     # each segment's weight contribution rounds to
                     # DECIMAL(38,6) exactly like the batch twin's
                     # cast(value * gap AS DECIMAL(38,6)), then sums
-                    # exactly
-                    wsum += dec6(last_val * float(gap))
+                    # exactly. A NULL value mirrors SUM's NULL
+                    # skipping: the segment still counts in span and
+                    # n_segments, only the product is skipped —
+                    # Decimal('NaN') would otherwise poison the exact
+                    # sum permanently.
+                    if last_val is not None:
+                        wsum += dec6(last_val * float(gap))
                     span += gap
                     nseg += 1
-                last_ts, last_eid, last_val = t_us, eid, float(val)
+                last_ts, last_eid = t_us, eid
+                last_val = None if pd.isna(val) else float(val)
         state.update((last_ts, last_eid, last_val, str(wsum), span, nseg))
         twa = float(wsum) / float(span) if span > 0 else None
         yield pd.DataFrame(
@@ -529,7 +576,16 @@ def streaming_time_weighted_value(events_stream: DataFrame) -> DataFrame:
     contract of the other stateful twins); within a micro-batch rows
     are sorted by (ts, event_id) before folding.
     """
-    d = events_stream.select("user_id", "event_id", "value", "ts")
+    from pyspark.sql import functions as F
+
+    # NULL ts/event_id rows carry no (ts, event_id) timeline position
+    # (the batch LEAD window orders them away; NaT would become the
+    # int64-min sentinel and mint a ~9.2e18-microsecond segment) —
+    # drop before state. NULL *values* stay: they advance the span
+    # like the batch SUM-skipped segments do.
+    d = events_stream.select(
+        "user_id", "event_id", "value", "ts"
+    ).where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
     return d.groupBy("user_id").applyInPandasWithState(
         _twa_fn(),
         outputStructType=TWA_OUTPUT_SCHEMA,
@@ -569,8 +625,12 @@ def _first_seen_fn():
             return
         mn = None
         for pdf in pdfs:
-            if len(pdf):
-                m = int(pdf["ts_us"].min())
+            # NULL ts arrives as NaN through Arrow — the batch MIN
+            # skips it; int(NaN) would kill the query (and the
+            # checkpoint replays the same poison batch on restart)
+            vals = pdf["ts_us"].dropna()
+            if len(vals):
+                m = int(vals.min())
                 mn = m if mn is None else min(mn, m)
         if mn is None:
             return
@@ -631,6 +691,10 @@ def _quota_fn(quota: int):
                 pass
             return
         rows = pd.concat(list(pdfs))
+        # a NULL hash or id cannot take budget deterministically (the
+        # batch row_number orders real values) — and .astype('int64')
+        # on NaN would kill the query
+        rows = rows.dropna(subset=["h", "doc_id"])
         if not len(rows):
             return
         # deterministic admission WITHIN the batch: smallest
@@ -775,7 +839,14 @@ def streaming_scd2_intervals(events_stream: DataFrame) -> DataFrame:
     bounded, no timeline buffering; only closed-interval rows cross
     the Python boundary.
     """
-    d = events_stream.select("user_id", "event_id", "event_type", "ts")
+    from pyspark.sql import functions as F
+
+    # same timeline discipline as the other stateful twins: NULL
+    # ts/event_id rows have no (ts, event_id) position (NaT would
+    # become the int64-min sentinel) — drop before state
+    d = events_stream.select(
+        "user_id", "event_id", "event_type", "ts"
+    ).where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
     return d.groupBy("user_id").applyInPandasWithState(
         _scd2_fn(),
         outputStructType=SCD2_OUTPUT_SCHEMA,

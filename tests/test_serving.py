@@ -304,3 +304,103 @@ def test_exported_scorer_meets_latency_target(spark, served):
     assert res["meets_latency_50ms"] is True, res
     assert res["meets_throughput_1000rps"] is True, res
     assert res["p99_ms"] < 50.0
+
+
+def test_local_scorer_null_feature_actionable(spark, served):
+    """A present-but-None feature value names the column instead of
+    dying as an opaque float(None) TypeError."""
+    from declarativeml_spark.ml.export import export_scorer
+
+    _, model_dir = served
+    scorer = export_scorer(spark, "serve_clf", base=model_dir)
+    with pytest.raises(ValueError, match="o_totalprice"):
+        scorer.score_row({"o_totalprice": None})
+    with pytest.raises(KeyError, match="o_totalprice"):
+        scorer.score_row({})
+
+
+def test_local_scorer_throughput_measures_actual_completion():
+    """A scorer slower than the offered rate must report its ACTUAL
+    throughput — dividing the scheduled count by the nominal span
+    reported ~= the offered rate regardless of scorer speed, making
+    meets_throughput_1000rps vacuously True."""
+    import time as _t
+
+    from declarativeml_spark.ml.export import measure_local_scorer_latency
+
+    class Slow:
+        model_name = "slow"
+
+        def score_row(self, row):
+            _t.sleep(0.005)  # 5 ms/row: ~200 rows/s actual
+            return {"prediction": 1.0}
+
+    res = measure_local_scorer_latency(
+        Slow(),
+        lambda i: {},
+        rows_per_second=1000,
+        duration_s=0.6,
+        warmup_s=0.1,
+    )
+    assert res["rows_per_s"] is not None and res["rows_per_s"] < 500
+    assert res["meets_throughput_1000rps"] is False
+    # queueing delay shows in the latency too (scheduled-time basis)
+    assert res["p99_ms"] > 5.0
+
+
+def test_export_refuses_pipeline_without_assembler(
+    spark, served, tmp_path
+):
+    """A registered pipeline with no leading VectorAssembler must be
+    refused at EXPORT time, not die on the first request's bare
+    assert."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.regression import LinearRegression
+
+    from declarativeml_spark.ml.export import export_scorer
+    from declarativeml_spark.ml.models import registry_save
+    from declarativeml_spark.ml.training import TrainedModel
+
+    df = spark.sql(
+        "SELECT CAST(o_totalprice AS DOUBLE) AS label,"
+        " array(CAST(o_orderkey AS DOUBLE)) AS arr FROM orders LIMIT 50"
+    ).withColumn("features", array_to_vector("arr"))
+    model = Pipeline(stages=[LinearRegression(maxIter=3)]).fit(df)
+    trained = TrainedModel(
+        name="no_assembler_lr",
+        algorithm="linear_regression",
+        version=1,
+        pipeline_model=model,
+        metrics={},
+        features=["arr"],
+        target="label",
+    )
+    base = str(tmp_path / "noasm_models")
+    registry_save(spark, trained, base=base)
+    with pytest.raises(ValueError, match="VectorAssembler"):
+        export_scorer(spark, "no_assembler_lr", base=base)
+
+
+def test_measure_serving_latency_surfaces_query_failure(spark, served):
+    """A sink/runtime failure must raise, not busy-sleep the full
+    duration and return zero-row stats (BASELINE.md would record a
+    silent-zero artifact)."""
+    from declarativeml_spark.streaming.serving import (
+        measure_serving_latency,
+    )
+
+    _, model_dir = served
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|0"):
+        measure_serving_latency(
+            spark,
+            "serve_clf",
+            rows_per_second=100,
+            duration_s=6.0,
+            trigger_seconds=0.05,
+            warmup_s=0.5,
+            base=model_dir,
+            feature_exprs={
+                "o_totalprice": "CAST(value % CAST(0 AS BIGINT) AS DOUBLE)"
+            },
+        )
