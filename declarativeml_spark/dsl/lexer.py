@@ -37,7 +37,7 @@ _TOKEN_RE = re.compile(
   | (?P<DSTRING>"(?:\\.|[^"\\])*")
   | (?P<SQSTRING>'(?:''|[^'])*')
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>!=|<>|<=|>=|=>|[.,()\[\]{}:=<>+\-*/%;])
+  | (?P<OP>\|\|?|!=?|<>|<=|>=|=>|[.,()\[\]{}:=<>+\-*/%;&~])
     """,
     re.VERBOSE,
 )
@@ -54,6 +54,18 @@ def tokenize(text: str) -> list[Token]:
                 f"Unexpected character {text[pos]!r} at position {pos}"
             )
         kind = m.lastgroup or ""
+        if kind == "NUMBER" and m.end() < n and text[m.end()] in "eE":
+            # a dangling exponent ('1e', '2.5E+') would otherwise
+            # split into NUMBER + NAME and surface as a confusing
+            # downstream parse error — or pass unflagged through
+            # raw-slice captures. (Adjacent NON-exponent letters stay
+            # legal: the COMPUTE grammar's size suffixes lex as
+            # NUMBER '64' + NAME 'K'.) The NUMBER regex already
+            # consumed any VALID exponent, so e/E here is malformed.
+            raise DSLSyntaxError(
+                f"Malformed number {text[pos:m.end() + 1]!r} at"
+                f" position {pos}"
+            )
         if kind not in ("WS", "COMMENT"):
             # SQL `--`-to-end-of-line comments skip like whitespace
             # (ADJACENT dashes only: `a - -1` still lexes as two ops)

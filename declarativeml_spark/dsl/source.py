@@ -41,12 +41,28 @@ _SUBQUERY_RE = re.compile(
 
 # relation [alias] (JOIN relation [alias] ON cond)* [WHERE][GROUP BY][HAVING][ORDER BY][LIMIT]
 _CONDITION_CHARS = r"[\w\s\.\(\)=<>!+\-*/'\"%]+"
+# The ON condition inside the REPEATED join group is TEMPERED: it may
+# not absorb a following join head. The reference's un-tempered class
+# (dsl/parser.py:662) lets every ON condition also swallow later
+# "JOIN … ON …" text, so a NON-matching fragment backtracks over
+# every partition of the join segments — exponential: 20 joins took
+# 6 s, ~30 joins pins a core for hours (a ReDoS inside the safety
+# validator itself). Tempering forces the unique real segmentation;
+# acceptance is unchanged for every legitimate fragment (columns
+# named left/right/full/etc. still work — only an actual
+# `[INNER |LEFT |…]JOIN ` head terminates the condition), and the
+# sole narrowing is an ON condition containing a literal standalone
+# join head, which a join-shape guard should reject anyway.
+_ON_COND_TEMPERED = (
+    r"(?:(?!\s+(?:(?:INNER|LEFT|RIGHT|FULL|CROSS)\s+)?JOIN\b)"
+    r"[\w\s\.\(\)=<>!+\-*/'\"%])+"
+)
 _RELATION_PATTERN = re.compile(
     rf"^(?:{_RELATION_IDENTIFIER})"
     rf"(?:\s+(?:AS\s+)?[A-Za-z_][A-Za-z0-9_]*)?"
     rf"(?:\s+(?:(?:INNER|LEFT|RIGHT|FULL|CROSS)\s+)?JOIN\s+(?:{_RELATION_IDENTIFIER})"
     rf"(?:\s+(?:AS\s+)?[A-Za-z_][A-Za-z0-9_]*)?"
-    rf"\s+(?:ON\s+{_CONDITION_CHARS}|USING\s*\(\s*[A-Za-z_][A-Za-z0-9_]*"
+    rf"\s+(?:ON\s+{_ON_COND_TEMPERED}|USING\s*\(\s*[A-Za-z_][A-Za-z0-9_]*"
     rf"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*\s*\)))*"
     rf"(?:\s+WHERE\s+{_CONDITION_CHARS})?"
     rf"(?:\s+GROUP\s+BY\s+[\w\s\.,\(\)]+)?"

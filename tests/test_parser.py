@@ -503,3 +503,47 @@ def test_forecast_ir_rejects_nonpositive_horizon():
         name="f", algorithm="auto", params=[], source="orders",
         target="y", time_column="d", horizon=1,
     )
+
+
+def test_source_validator_linear_on_repeated_joins():
+    """The reference's relation regex backtracks exponentially on
+    repeated non-matching JOIN...ON segments (20 joins took ~6 s; ~30
+    pinned a core for hours) — the tempered ON-condition class must
+    reject in linear time while accepting every legitimate shape."""
+    import time
+
+    from declarativeml_spark.dsl.source import validate_source_fragment
+
+    attack = "a" + " JOIN b ON x = y" * 60 + " ,"
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="relation/join"):
+        validate_source_fragment(attack)
+    assert time.perf_counter() - t0 < 0.5
+    # legitimate joins (incl. identifiers CONTAINING join words) pass
+    validate_source_fragment(
+        "a JOIN b ON a.x = b.y JOIN c ON b.z = c.w"
+        " WHERE a.left_val > 1 GROUP BY a.x LIMIT 5"
+    )
+    validate_source_fragment("t1 JOIN t2 ON t1.inner_id = t2.full_id")
+
+
+def test_lexer_sql_operator_passthrough_and_dangling_exponent():
+    """Subquery sources may carry ||/&/~ (the validator's passthrough
+    contract — the lexer used to die with 'Unexpected character');
+    a dangling exponent errors at the lexeme instead of silently
+    splitting into NUMBER + NAME."""
+    from declarativeml_spark.dsl import parse
+    from declarativeml_spark.dsl.lexer import DSLSyntaxError, tokenize
+
+    stmt = parse(
+        "TRAIN MODEL m USING linear_regression FROM"
+        " (SELECT a || b AS ab, v FROM t) s PREDICT v WITH FEATURES(v)"
+    )
+    assert "||" in stmt.source
+    toks = tokenize("a || b")
+    assert [t.value for t in toks[:-1]] == ["a", "||", "b"]
+    with pytest.raises(DSLSyntaxError, match="Malformed number"):
+        tokenize("epochs=1e")
+    # valid exponents and the COMPUTE size suffixes still lex
+    assert tokenize("1e5")[0].value == "1e5"
+    assert [t.value for t in tokenize("64K")[:-1]] == ["64", "K"]
