@@ -81,3 +81,35 @@ def test_deep_merges_full_width_and_score_equivalence(spark, smoke_dir):
     # merges: later merges consume intermediate symbols entirely, so
     # it can land below the merge count — only positivity is invariant
     assert toks.pop() > 0 and vocab.pop() > 0
+
+
+def test_local_learner_equals_distributed(spark, smoke_dir, monkeypatch):
+    """The r11 driver-local learner must reproduce the distributed
+    per-round loop EXACTLY — merges (winners, tie-breaks, counts) and
+    the full compression curve, with and without a VOCAB target. The
+    hoist is a scheduling change, never a semantic one."""
+    from declarativeml_spark.operators.bpe import _bpe_learn as learn
+
+    docs = load_table(spark, smoke_dir, "documents")
+    cases = [
+        dict(n_merges=12, want_curve=True),
+        dict(n_merges=12, want_curve=False),
+        dict(n_merges=5, want_curve=True, vocab_target=60),
+    ]
+    for kw in cases:
+        monkeypatch.delenv("DECLML_BPE_LOCAL_MAX_TYPES", raising=False)
+        local = learn(docs, "text", **kw)
+        monkeypatch.setenv("DECLML_BPE_LOCAL_MAX_TYPES", "0")
+        dist = learn(docs, "text", **kw)
+        assert local == dist, kw
+
+
+def test_local_cap_exceeded_falls_back(spark, smoke_dir, monkeypatch):
+    """A cap smaller than the word-type count must discard the
+    truncated collect and produce the distributed loop's answer."""
+    docs = load_table(spark, smoke_dir, "documents")
+    monkeypatch.setenv("DECLML_BPE_LOCAL_MAX_TYPES", "3")
+    capped = _bpe_learn(docs, "text", 6, want_curve=True)
+    monkeypatch.setenv("DECLML_BPE_LOCAL_MAX_TYPES", "0")
+    dist = _bpe_learn(docs, "text", 6, want_curve=True)
+    assert capped == dist
