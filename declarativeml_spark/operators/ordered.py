@@ -64,19 +64,29 @@ def _check_dir(d: str) -> str:
 
 def _ranged_frozen(
     df: DataFrame, order_by: List[Column], num_partitions: int
-) -> DataFrame:
+) -> Tuple[DataFrame, DataFrame]:
     """Range-partition on the order keys and freeze the assignment
     (see module docstring — the materialization is what makes the
     two-job offset scheme sound). LAZY checkpoint: every consumer's
     FIRST action is a full per-partition totals pass, which
     materializes all blocks exactly once — identical soundness to
     eager, one full-data job cheaper per call (the same argument
-    ntile_assign_multi documents for its own tagged union)."""
+    ntile_assign_multi documents for its own tagged union).
+
+    Returns ``(ranged, src)``: the INPUT is persisted before the
+    exchange because ``repartitionByRange`` runs a separate
+    boundary-SAMPLING job over its child — unpersisted, the full
+    upstream plan (often an expensive aggregate) executes twice, once
+    for the sampler and again for the shuffle map tasks (r11
+    measurement on part_abc_classification: the revenue aggregate ran
+    2x, ~40% of query wall). The caller must ``src.unpersist()``
+    after its first action materializes the checkpoint."""
     n = max(2, num_partitions)
-    ranged = df.repartitionByRange(n, *order_by).withColumn(
+    src = df.persist()
+    ranged = src.repartitionByRange(n, *order_by).withColumn(
         _PART, F.spark_partition_id()
     )
-    return ranged.localCheckpoint(eager=False)
+    return ranged.localCheckpoint(eager=False), src
 
 
 def _prefix_offsets(
@@ -130,7 +140,7 @@ def global_cumsum(
             f" {vt!r}; only integral and float/double columns are"
             " supported (the offset plane is typed to match)"
         )
-    ranged = _ranged_frozen(df, order_by, num_partitions)
+    ranged, src = _ranged_frozen(df, order_by, num_partitions)
 
     totals = (
         ranged.groupBy(_PART)
@@ -140,6 +150,7 @@ def global_cumsum(
         )
         .collect()
     )
+    src.unpersist()  # the collect materialized the checkpoint
     by_pid = {r[_PART]: (r["__n"], r["__t"]) for r in totals}
     rows, _total = _prefix_offsets(by_pid, want_sum=True)
     if off_type == "double":
@@ -190,11 +201,12 @@ def global_ntile(
     """
     if k < 1:
         raise ValueError(f"NTILE bucket count must be >= 1, got {k}")
-    ranged = _ranged_frozen(df, order_by, num_partitions)
+    ranged, src = _ranged_frozen(df, order_by, num_partitions)
 
     totals = (
         ranged.groupBy(_PART).agg(F.count(F.lit(1)).alias("__n")).collect()
     )
+    src.unpersist()  # the collect materialized the checkpoint
     by_pid = {r[_PART]: (r["__n"], None) for r in totals}
     rows, n = _prefix_offsets(by_pid, want_sum=False)
     offsets = df.sparkSession.createDataFrame(
@@ -284,11 +296,12 @@ def ntile_boundary_keys(
         for c, d in order_spec
     ]
     names = [c for c, _ in order_spec]
-    ranged = _ranged_frozen(df.select(*names), cols, num_partitions)
+    ranged, src = _ranged_frozen(df.select(*names), cols, num_partitions)
 
     totals = (
         ranged.groupBy(_PART).agg(F.count(F.lit(1)).alias("__n")).collect()
     )
+    src.unpersist()  # the collect materialized the checkpoint
     counts = sorted((r[_PART], r["__n"]) for r in totals)
     n = sum(c for _, c in counts)
     if n == 0:
@@ -407,6 +420,10 @@ def ntile_assign_multi(
         u = u.unionAll(leg)
 
     order = [F.col("__tag").asc(), F.col("__sv").asc(), F.col("__tie").asc()]
+    # persist the union for the same reason _ranged_frozen persists
+    # its input: the range sampler is a separate job, so an
+    # unpersisted union would execute every leg's upstream twice
+    u = u.persist()
     ranged = (
         u.repartitionByRange(max(2, num_partitions), *order)
         .withColumn(_PART, F.spark_partition_id())
@@ -421,6 +438,7 @@ def ntile_assign_multi(
         .agg(F.count(F.lit(1)).alias("__n"))
         .collect()
     )
+    u.unpersist()  # the collect materialized the checkpoint
     per_tag: dict = {}
     for r in totals:
         per_tag.setdefault(r["__tag"], {})[r[_PART]] = r["__n"]

@@ -237,8 +237,65 @@ def read_media(
     if spread:
         from declarativeml_spark.operators.textops import spread as _spread
 
-        out = _spread(out)
+        target = _media_width(spark, raw)
+        if target is not None and target < out.rdd.getNumPartitions():
+            # TINY lake: the binaryFile scan fans even a handful of
+            # KB-sized files across defaultParallelism partitions
+            # (minPartitionNum), so every downstream Arrow decode
+            # stage spawns a full-width Python worker pool for µs of
+            # decode (r11 measurement: 48 files x ~100 KB -> 30-32
+            # one-row tasks, the stage wall is worker spawn + numpy
+            # import, not decode — guide §4.5/§2.3). Coalesce is
+            # narrow (no exchange) and keeps whole files per task.
+            out = out.coalesce(target)
+        else:
+            # real lake (or unverifiable listing): round-robin up to
+            # cluster width exactly as before — a no-op at real scale
+            out = _spread(out)
     return out
+
+
+# per-task payload budget for the tiny-lake coalesce: one task per
+# ~4 MiB of listed bytes keeps decode tasks sub-second while avoiding
+# a 32-worker spawn storm for a few-MB fixture lake
+_MEDIA_TASK_BYTES_DEFAULT = 4 << 20
+_MEDIA_STAT_MAX_FILES = 4096
+
+
+def _media_width(spark: SparkSession, raw: DataFrame) -> "Optional[int]":
+    """Byte-derived target width for a media scan, or None when the
+    listing cannot be sized cheaply (non-local paths, or more files
+    than the driver should stat) — callers then keep the full-width
+    spread. Driver-side only: the file index is already materialized
+    by the load, and the stat loop is capped at
+    ``_MEDIA_STAT_MAX_FILES`` local files."""
+    import os as _os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = raw.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > _MEDIA_STAT_MAX_FILES:
+        return None
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return None
+        try:
+            total += _os.path.getsize(unquote(u.path))
+        except OSError:
+            return None
+    budget = int(
+        _os.environ.get(
+            "DECLML_MEDIA_TASK_BYTES", str(_MEDIA_TASK_BYTES_DEFAULT)
+        )
+    )
+    if budget <= 0:
+        return None
+    want = max(1, -(-total // budget))  # ceil
+    return min(want, spark.sparkContext.defaultParallelism)
 
 
 def _media_frame(raw: DataFrame) -> DataFrame:
