@@ -771,6 +771,32 @@ def register_ppm_codec() -> None:
         )
 
 
+def _ppm_synth_builder(width: int):
+    """Per-row P6 builder shared by :func:`synth_ppm_from_text` and
+    the fused :func:`synth_resize_decode_features` path — ONE
+    definition, so the chained and fused forms cannot drift."""
+    import numpy as np
+
+    def one(text: Optional[str]) -> bytes:
+        raw = np.frombuffer(
+            (text or "").encode("utf-8"), dtype=np.uint8
+        ).astype(np.int64)
+        n_pix = max(width, ((len(raw) + width - 1) // width) * width)
+        b = np.zeros(n_pix, dtype=np.int64)
+        b[: len(raw)] = raw
+        px = np.stack([b, 255 - b, (b * 7) % 256], axis=1).astype(
+            np.uint8
+        )
+        height = n_pix // width
+        header = (
+            b"P6\n# synthesized from text\n"
+            + f"{width} {height}\n255\n".encode()
+        )
+        return header + px.tobytes()
+
+    return one
+
+
 def synth_ppm_from_text(
     df: DataFrame,
     text_col: str = "text",
@@ -784,33 +810,15 @@ def synth_ppm_from_text(
     SQL oracle computes the decoder's expected channel sums from the
     text alone. Includes a header comment line, which the parser must
     skip. Builds executor-side in the Arrow batch (mapInPandas)."""
-    import numpy as np
-
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
+    one = _ppm_synth_builder(width)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def one(text: Optional[str]) -> bytes:
-            raw = np.frombuffer(
-                (text or "").encode("utf-8"), dtype=np.uint8
-            ).astype(np.int64)
-            n_pix = max(width, ((len(raw) + width - 1) // width) * width)
-            b = np.zeros(n_pix, dtype=np.int64)
-            b[: len(raw)] = raw
-            px = np.stack([b, 255 - b, (b * 7) % 256], axis=1).astype(
-                np.uint8
-            )
-            height = n_pix // width
-            header = (
-                b"P6\n# synthesized from text\n"
-                + f"{width} {height}\n255\n".encode()
-            )
-            return header + px.tobytes()
-
         for pdf in it:
             yield pd.DataFrame(
                 {
@@ -1054,6 +1062,32 @@ Y4M_SYNTH_U = 16  # constant chroma fill: a U/V plane-swap hash-fails
 Y4M_SYNTH_V = 240
 
 
+def _y4m_synth_builder(width: int, height: int):
+    """Per-row YUV4MPEG2 builder shared by :func:`synth_y4m_from_text`
+    and the fused :func:`synth_resize_decode_features` path — ONE
+    definition, so the chained and fused forms cannot drift."""
+    import numpy as np
+
+    y_size = width * height
+    c_size = (width // 2) * (height // 2)
+    chroma = bytes([Y4M_SYNTH_U] * c_size) + bytes([Y4M_SYNTH_V] * c_size)
+    header = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420jpeg\n".encode()
+
+    def one(text: Optional[str]) -> bytes:
+        raw = (text or "").encode("utf-8")
+        n_frames = max(1, -(-len(raw) // y_size))
+        buf = np.zeros(n_frames * y_size, dtype=np.uint8)
+        buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+        parts = [header]
+        for f in range(n_frames):
+            parts.append(b"FRAME\n")
+            parts.append(buf[f * y_size : (f + 1) * y_size].tobytes())
+            parts.append(chroma)
+        return b"".join(parts)
+
+    return one
+
+
 def synth_y4m_from_text(
     df: DataFrame,
     text_col: str = "text",
@@ -1069,8 +1103,6 @@ def synth_y4m_from_text(
     oracle computes the decoder's expected plane sums from the text
     alone while the Spark side must actually walk FRAME markers.
     Payloads build executor-side in the Arrow batch (mapInPandas)."""
-    import numpy as np
-
     if width % 2 or height % 2:
         raise ValueError(f"C420 synth needs even dims, got {width}x{height}")
     out_schema = T.StructType(
@@ -1079,24 +1111,9 @@ def synth_y4m_from_text(
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
-    y_size = width * height
-    c_size = (width // 2) * (height // 2)
-    chroma = bytes([Y4M_SYNTH_U] * c_size) + bytes([Y4M_SYNTH_V] * c_size)
-    header = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420jpeg\n".encode()
+    one = _y4m_synth_builder(width, height)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def one(text: Optional[str]) -> bytes:
-            raw = (text or "").encode("utf-8")
-            n_frames = max(1, -(-len(raw) // y_size))
-            buf = np.zeros(n_frames * y_size, dtype=np.uint8)
-            buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
-            parts = [header]
-            for f in range(n_frames):
-                parts.append(b"FRAME\n")
-                parts.append(buf[f * y_size : (f + 1) * y_size].tobytes())
-                parts.append(chroma)
-            return b"".join(parts)
-
         for pdf in it:
             yield pd.DataFrame(
                 {
@@ -1215,6 +1232,70 @@ def resize_decode_features(
             yield pd.DataFrame({"media_id": pdf[id_col], "features": feats})
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def synth_resize_decode_features(
+    df: DataFrame,
+    codec: str,
+    width: int,
+    height: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    synth_width: Optional[int] = None,
+    synth_height: Optional[int] = None,
+) -> DataFrame:
+    """Fully fused synth → resize → decode in ONE map stage: each
+    document's text builds its container, resamples it and decodes the
+    feature vector inside the same Python pass.
+
+    Semantics are exactly ``resize_decode_features(synth_*_from_text(
+    df, …), …)`` — the builders are shared verbatim
+    (:func:`_ppm_synth_builder` / :func:`_y4m_synth_builder`) and the
+    resize/decode dispatch is the same :func:`_resolve_resizer` entry,
+    asserted equal in tests. The difference is purely physical: the
+    chained form ships every synthesized container across the Arrow
+    boundary twice (synth out, resize+decode in) through two separate
+    Python worker stages; here only (id, text) enters Python and slim
+    feature rows exit — at real payload sizes that halves the
+    serialization bill and drops a whole Python stage (guide §4.1).
+    Use the chained form when the containers themselves are needed.
+    """
+    if codec == "ppm":
+        one = _ppm_synth_builder(8 if synth_width is None else synth_width)
+    elif codec == "y4m":
+        sw = Y4M_SYNTH_WIDTH if synth_width is None else synth_width
+        sh = Y4M_SYNTH_HEIGHT if synth_height is None else synth_height
+        if sw % 2 or sh % 2:
+            raise ValueError(f"C420 synth needs even dims, got {sw}x{sh}")
+        one = _y4m_synth_builder(sw, sh)
+    else:
+        raise NotImplementedError(
+            f"synth_resize_decode_features knows no text-synth for"
+            f" codec {codec!r} (ppm and y4m ship one)"
+        )
+    entry = _resolve_resizer(codec, "synth_resize_decode_features", width, height)
+    decode_fn, feature_dtype, resizer = entry[0], entry[1], entry[2]
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("features", feature_dtype, True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                decode_fn(resizer(one(t), width, height), None)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(pdf[id_col], dtype="int64"),
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

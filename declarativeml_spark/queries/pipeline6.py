@@ -127,15 +127,23 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(_TOKS_S).alias("t"))
         .where(F.expr(f"size(t) >= {_K}"))
     )
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(t) - {_K}),"
-                f" i -> md5(concat_ws(' ', slice(t, i + 1, {_K}))))"
-            )
-        ).alias("pos", "fp"),
-    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "fp")
+    from declarativeml_spark.operators.caching import track_persist
+
+    # persisted: the md5-per-window gram emitter feeds BOTH the
+    # repeated-fingerprint aggregation and the position join —
+    # unpersisted, the tokenize + md5 of every window ran twice (r11
+    # plan audit: 2 naked scans each under its own Generate)
+    grams = track_persist(
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {_K}),"
+                    f" i -> md5(concat_ws(' ', slice(t, i + 1, {_K}))))"
+                )
+            ).alias("pos", "fp"),
+        ).select("doc_id", F.col("pos").cast("long").alias("pos"), "fp")
+    )
 
     rep = (
         grams.groupBy("fp")
@@ -1330,14 +1338,22 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(_TOKS_S).alias("t"))
         .where(F.expr("size(t) >= 4"))
     )
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(t) - 4),"
-                " i -> md5(concat_ws(' ', slice(t, i + 1, 4))))"
-            )
-        ).alias("fp"),
+    from declarativeml_spark.operators.caching import track_persist
+
+    # persisted: the md5 4-gram emitter feeds BOTH the first-owner
+    # aggregation and the echo join — unpersisted, the tokenize + md5
+    # of every gram ran twice (r11 plan audit, the
+    # dedup_substring_runs pattern)
+    grams = track_persist(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 4),"
+                    " i -> md5(concat_ws(' ', slice(t, i + 1, 4))))"
+                )
+            ).alias("fp"),
+        )
     )
     owner = grams.groupBy("fp").agg(
         F.min("doc_id").cast("long").alias("first_doc")
@@ -1827,7 +1843,13 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered over the count-floored pair aggregate. Ties break on
     (pa, pb) so LIMIT picks identical rows cross-engine.
     """
-    items = (
+    from declarativeml_spark.operators.caching import track_persist
+
+    # persisted: the distinct (orderkey, partkey) plane feeds FOUR
+    # plan branches (n_orders, freq, and both self-join sides) — an
+    # unpersisted frame re-runs the scan + distinct shuffle for each
+    # (r11 plan audit: 5 parquet scans, 0 cache hits)
+    items = track_persist(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()

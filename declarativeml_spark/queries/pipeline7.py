@@ -102,6 +102,14 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-sized; per-document partial sums combine map-side.
     The argmax windows within one document only.
     """
+    # NOT persisted (r11 measured): the exploded token plane feeds
+    # four consumers, but three of them collapse map-side immediately
+    # over one or two pruned columns — caching forces the FULL
+    # (doc_id, lang, w) plane to materialize, which a clean
+    # capture/release A/B at sf0.1 measured ~25% SLOWER than letting
+    # each consumer recompute its pruned slice (persist medians
+    # 2.9-3.1s vs 2.3-2.4s recompute); the one heavy consumer (the
+    # scoring fan-out) reads the plane once either way
     tok = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "lang", F.explode(F.expr(_TOKS_S)).alias("w")
     )

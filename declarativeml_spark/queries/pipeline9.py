@@ -152,8 +152,14 @@ def corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp_s = T.FINGERPRINT_SPARK.format(text="text")
     toks_s = f"size({T.TOKENS_SPARK.format(text='text')})"
+    from declarativeml_spark.operators.caching import track_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    d = (
+    # persisted: the slim (fp, n_toks, split) plane feeds BOTH the
+    # per-split rollup and the leakage audit — unpersisted, the md5
+    # fingerprint + tokenize of every document ran twice (r11 plan
+    # audit: 2 naked scans)
+    d = track_persist(
         docs.select(
             F.expr(fp_s).alias("fp"),
             F.expr(toks_s).cast("long").alias("n_toks"),
@@ -411,21 +417,24 @@ def multimodal_ppm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     text alone, so an off-by-one in the resample index rule, a
     header re-encode bug, or a channel interleave slip hash-fails.
 
-    Scale: synth then a FUSED resize+decode — two map-only
-    mapInPandas stages, zero shuffles; the resized container never
-    re-crosses the Arrow boundary (6 longs per image exit Python).
+    Scale: FULLY fused synth+resize+decode — one map-only mapInPandas
+    stage, zero shuffles; no container ever crosses the Arrow
+    boundary (6 longs per image exit Python).
     """
     from declarativeml_spark.operators.multimodal import (
         register_ppm_codec,
-        resize_decode_features,
-        synth_ppm_from_text,
+        synth_resize_decode_features,
     )
     from pyspark.sql import functions as F
 
     register_ppm_codec()
     docs = load_table(spark, sf_dir, "documents")
-    ppm = synth_ppm_from_text(docs, "text", "doc_id", width=8)
-    feats = resize_decode_features(ppm, 4, 2, "ppm")
+    # fully fused synth+resize+decode: ONE Python stage, containers
+    # never cross the Arrow boundary at all (r11: the chained form
+    # shipped every synthesized payload JVM->Python->JVM->Python)
+    feats = synth_resize_decode_features(
+        docs, "ppm", 4, 2, "text", "doc_id", synth_width=8
+    )
     return feats.select(
         "media_id",
         F.col("features")[0].alias("width"),
@@ -529,16 +538,15 @@ def multimodal_y4m_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plane-boundary slip, per-frame offset error, or chroma-geometry
     bug in the resampler hash-fails.
 
-    Scale: synth then a FUSED resize+decode — two mapInPandas
-    stages whose only exchange is the scan re-spread (the single-split
+    Scale: FULLY fused synth+resize+decode — one mapInPandas stage
+    whose only exchange is the scan re-spread (the single-split
     parquet would otherwise pin the per-row codec CPU to one task);
-    the resized container never re-crosses the Arrow boundary (8
-    longs per video exit Python).
+    no container ever crosses the Arrow boundary (8 longs per video
+    exit Python).
     """
     from declarativeml_spark.operators.multimodal import (
         register_y4m_codec,
-        resize_decode_features,
-        synth_y4m_from_text,
+        synth_resize_decode_features,
     )
     from pyspark.sql import functions as F
 
@@ -548,11 +556,10 @@ def multimodal_y4m_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fused stage); the video chain is the one multimodal family
     # heavy enough per row to repay the tiny shuffle
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    y4m = synth_y4m_from_text(docs, "text", "doc_id")
-    # fused resize+decode: one Python pass, containers never re-cross
-    # the Arrow boundary between stages (tests assert == the chained
-    # resize_image -> decode_features form)
-    feats = resize_decode_features(y4m, 2, 2, "y4m")
+    # fully fused synth+resize+decode: ONE Python stage (r11: the
+    # chained form shipped every container across the Arrow boundary
+    # twice through two separate Python worker stages)
+    feats = synth_resize_decode_features(docs, "y4m", 2, 2, "text", "doc_id")
     return feats.select(
         "media_id",
         F.col("features")[0].alias("width"),

@@ -574,6 +574,56 @@ def test_fused_resize_decode_equals_chained(spark, smoke_dir):
         assert chained == fused and len(fused) == 40
 
 
+def test_fully_fused_synth_resize_decode_equals_chained(spark, smoke_dir):
+    """synth_resize_decode_features must be a purely PHYSICAL fusion:
+    same per-row builder + resize/decode calls as synth_*_from_text ->
+    resize_decode_features, asserted equal for both synth codecs (the
+    r11 one-Python-stage form behind the *_resize_stats queries)."""
+    from declarativeml_spark.operators import multimodal as M
+    from declarativeml_spark.sources.catalog import load_table
+
+    docs = (
+        load_table(spark, smoke_dir, "documents")
+        .orderBy("doc_id")
+        .limit(40)
+        .selectExpr("doc_id", "text")
+    )
+    M.register_y4m_codec()
+    M.register_ppm_codec()
+    for synth, codec, w, h in (
+        (M.synth_y4m_from_text, "y4m", 2, 2),
+        (M.synth_ppm_from_text, "ppm", 4, 2),
+    ):
+        chained = {
+            r.media_id: r.features
+            for r in M.resize_decode_features(
+                synth(docs), w, h, codec
+            ).collect()
+        }
+        fused = {
+            r.media_id: r.features
+            for r in M.synth_resize_decode_features(
+                docs, codec, w, h
+            ).collect()
+        }
+        assert chained == fused and len(fused) == 40
+
+
+def test_fully_fused_synth_resize_decode_errors(spark, smoke_dir):
+    import pytest
+
+    from declarativeml_spark.operators import multimodal as M
+    from declarativeml_spark.sources.catalog import load_table
+
+    docs = load_table(spark, smoke_dir, "documents").limit(2)
+    with pytest.raises(NotImplementedError, match="no text-synth"):
+        M.synth_resize_decode_features(docs, "wav", 2, 2)
+    with pytest.raises(ValueError, match="C420 synth needs even dims"):
+        M.synth_resize_decode_features(docs, "y4m", 2, 2, synth_width=3)
+    with pytest.raises(ValueError, match="must be positive"):
+        M.synth_resize_decode_features(docs, "ppm", 0, 2)
+
+
 def test_fused_resize_decode_capability_errors(spark, smoke_dir):
     import pytest
 
