@@ -550,12 +550,18 @@ def multimodal_y4m_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import functions as F
 
+    from declarativeml_spark.operators.textops import spread
+
     register_y4m_codec()
-    # spread: the single-split scan would pin the whole per-row codec
-    # chain to ONE task (measured 4.6s -> 1.1s warm at sf0.1 with the
-    # fused stage); the video chain is the one multimodal family
-    # heavy enough per row to repay the tiny shuffle
-    docs = load_table(spark, sf_dir, "documents", spread=True)
+    # spread, CAPPED at 16 tasks: the single-split scan would pin the
+    # whole per-row codec chain to ONE task, but full width spawns a
+    # simultaneous Python worker per core for ~30 core-seconds of
+    # work — r11 cold-session sweep measured width 16 fastest both
+    # cold (5.2s vs 7.6s at 32) and warm (1.6s vs 2.1s): worker
+    # spawn/coordination beats the extra parallelism past 16. At real
+    # scale the scan already splits and spread() is a no-op.
+    dp = spark.sparkContext.defaultParallelism
+    docs = spread(load_table(spark, sf_dir, "documents"), min(16, dp))
     # fully fused synth+resize+decode: ONE Python stage (r11: the
     # chained form shipped every container across the Arrow boundary
     # twice through two separate Python worker stages)
