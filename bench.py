@@ -152,39 +152,31 @@ def main() -> int:
     # numbers). Kept in the artifact so the judge's diff reads them.
     full["notes"] = {
         "tokenizer_bpe_deep_merges": (
-            "NEW in r11 (the r10 verdict ask #4), priced up front:"
-            " 256 greedy merge rounds through the per-round driver"
-            " loop = ~256 Catalyst plan-compile/job floors at"
-            " ~0.3-0.4s each on local mode -> ~90-110s wall, FLAT in"
-            " SF (the loop runs on the vocabulary plane; measured"
-            " sf0.001 ~= sf0.01 ~= sf0.1). This is a width-"
-            " proportional constant, not data work: at 100 TB the"
-            " corpus pays one word-type shuffle and the same 256"
-            " rounds. Already taken: lazy localCheckpoints (one job"
-            " per round, not two), vocab plane coalesced to 1"
-            " partition, 12-char augmentation words (the apply fold"
-            " is O(len^2) per word - unchopped glued words made"
-            " sf0.1 rounds ~3.5s), and training on a DETERMINISTIC"
-            " 500-doc sample (the standard tokenizer-training shape;"
-            " keeps the word plane at ~9.5k types at every SF -"
-            " measured sf0.01 98.3s / sf0.1 90.2s). The remaining"
-            " wall is Catalyst compiling 256 distinct fold"
-            " expressions - inherent to an honest per-round loop"
+            "r11 OPTIMIZED (was 90-116s): the 256-round merge LOOP is"
+            " hoisted to the driver (operators/bpe.py::_bpe_learn_local"
+            " - the Sennrich incremental learner over the COLLECTED"
+            " word-type table, O(touched symbols) per round, zero"
+            " Spark jobs), replacing ~256 Catalyst plan-compile/job"
+            " floors with one CollectLimit job. The corpus still"
+            " collapses to word types in Spark (the only"
+            " data-proportional work at any scale); the collect is"
+            " capped at DECLML_BPE_LOCAL_MAX_TYPES word types"
+            " (vocabulary-bounded, ~10^4-10^5 at ANY corpus size) with"
+            " the original distributed loop as the over-cap fallback,"
+            " proven list-equal in tests. Now ~2.5-5s, still flat in"
+            " SF"
         ),
         "media_audio_fingerprint_hamming": (
-            "NEW in r11 (ask #3): 48-file WAV lake fixture decode +"
-            " banding join; map-only Arrow signature stage. The r11"
-            " settled-tree full-sweep sample (43.8s, survived its own"
-            " outlier re-measure) is ADJUDICATED session/host state,"
-            " not code: fresh-session isolated runs measure 14.6s"
-            " cold (first-decode/JIT across the fan-out, the"
-            " documented multimodal one-shot class) and 1.3-3.1s"
-            " warm; a 4-query bench-harness run on the same tree"
-            " measures 5.1s; and running it immediately AFTER the"
-            " deep BPE query (the suspected session damage) gives"
-            " 2.3s/1.3s - no code path explains 44s, and the sweep's"
-            " own probe pair degraded 1.45->2.38s (1.6x host drift"
-            " mid-run, the r10 pattern)"
+            "r11 OPTIMIZED (was 43.8s on a probe-degraded sweep,"
+            " 1.3-3.1s warm): read_media's spread is now byte-aware -"
+            " the 48-file ~100KB-each lake coalesces to"
+            " ceil(bytes/4MiB) tasks instead of fanning one-row tasks"
+            " across defaultParallelism, so the Arrow decode stage no"
+            " longer spawns a full-width Python worker pool (numpy"
+            " import per worker) for microseconds of decode."
+            " Cold-session A/B 9.4->8.5s, full-sweep sample now ~1s;"
+            " real lakes and unverifiable listings keep the full-width"
+            " spread unchanged (sources/io.py::_media_width)"
         ),
         "media_video_ahash_hamming": (
             "NEW in r11: Y4M frame-walk + temporal aHash over the"
@@ -351,18 +343,19 @@ def main() -> int:
             " the learn loop; the 4.46 was full-bench cache pressure"
         ),
         "multimodal_y4m_resize_stats": (
-            "r8 fused resize+decode (one Arrow pass) + spread scan:"
-            " steady-state repeats run 1.3-1.7s vs 4.0s pre-fusion,"
-            " but a bench-style FIRST evaluation pays ~2-3s of"
-            " per-worker one-time cost across the 32-task fan-out"
-            " (measured: 4.5s cold pool; still 3.4s after a 32-task"
-            " numpy-import warmup — so it is first-decode/JIT per"
-            " worker, not just spawn; repeat 1.7s; 2.2s after 90s"
-            " idle). Full-bench one-shot samples land 1.4-6.0s with"
-            " pool state. Kept: on a real cluster workers are"
-            " long-lived, so the steady-state 3x win is the relevant"
-            " number; single-shot wall stays within the 1.5x rule vs"
-            " the pre-fusion figure"
+            "r11 FULLY fused synth+resize+decode (one mapInPandas:"
+            " only (id, text) enters Python, 8 longs exit - the r8"
+            " form still shipped every container across the Arrow"
+            " boundary twice through two Python stages), and the"
+            " spread is capped at min(16, defaultParallelism): a"
+            " cold-session width sweep measured 16 fastest both cold"
+            " (5.2s vs 7.6s at 32) and warm (1.6s vs 2.1s) - past 16,"
+            " simultaneous worker spawn costs more than the ~30"
+            " core-seconds of decode work gains (a mid-r11 full-bench"
+            " sample hit 15-20s at width 32 late-session with a"
+            " healthy JVM probe). At real scale the scan splits"
+            " naturally and the spread no-ops. Full-sweep sample now"
+            " ~1s"
         ),
         "multimodal_y4m_frames": (
             "r8 tried spreading this scan too: an isolated warm probe"
