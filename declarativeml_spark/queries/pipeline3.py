@@ -179,10 +179,16 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE aggregation so engine log() ulp differences cannot reach
     the decimal sum.
     """
+    from declarativeml_spark.operators.caching import track_persist
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_TOKS_S).alias("toks")
     )
-    tok = docs.select("doc_id", F.explode("toks").alias("t"))
+    # persisted: the exploded token plane feeds BOTH the unigram
+    # frequency table (twice, via its total) and the surprisal join —
+    # unpersisted the tokenize + explode ran 3x (the
+    # dedup_substring_runs emitter pattern)
+    tok = track_persist(docs.select("doc_id", F.explode("toks").alias("t")))
     freq = tok.groupBy("t").agg(F.count("*").alias("c"))
     tot = freq.agg(F.sum("c").alias("n"))
     per = (

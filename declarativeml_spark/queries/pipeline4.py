@@ -256,8 +256,15 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "is_new", F.expr(_DELTA_NEW)
     )
-    fp = docs.select(
-        "doc_id", "is_new", F.expr(T.FINGERPRINT_SPARK.format(text="text")).alias("fp")
+    # persisted: the fingerprint plane feeds both sides of the
+    # exact-dup self-join — unpersisted the scan + per-row md5 ran
+    # twice; the cached plane is (id, flag, 16-byte fp)
+    fp = track_persist(
+        docs.select(
+            "doc_id",
+            "is_new",
+            F.expr(T.FINGERPRINT_SPARK.format(text="text")).alias("fp"),
+        )
     )
     ex = (
         fp.filter("is_new")
@@ -401,8 +408,17 @@ def events_minute_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 minute"))).alias("minute")
     )
-    g = spine.join(per_min, "minute", "left").withColumn(
-        "day", F.to_date("minute")
+    from declarativeml_spark.operators.caching import track_persist
+
+    # persisted: the dense minute grid feeds the day-last pass, the
+    # day spine, and the final fill join — unpersisted, each consumer
+    # re-ran the spine generation AND the per-minute aggregation
+    # (full events scan) underneath it (3x); the cached plane is
+    # calendar-bounded (one row per minute)
+    g = track_persist(
+        spine.join(per_min, "minute", "left").withColumn(
+            "day", F.to_date("minute")
+        )
     )
 
     w_day = (

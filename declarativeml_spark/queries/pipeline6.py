@@ -537,7 +537,13 @@ def events_hourly_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one map-side-combinable aggregation; the pair join and the
     corr math run entirely on that aggregate plane.
     """
-    hourly = (
+    from declarativeml_spark.operators.caching import track_persist
+
+    # persisted: the hourly aggregate (full events scan + shuffle)
+    # feeds the hour spine, type spine, and grid join — unpersisted
+    # it ran 3x (and the grid self-join sides re-derived it again);
+    # the cached plane is tiny (hours x types)
+    hourly = track_persist(
         load_table(spark, sf_dir, "events")
         .groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
@@ -921,6 +927,8 @@ def orders_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,12); ln() is the proven cross-engine op
     (source_length_drift_psi).
     """
+    from declarativeml_spark.operators.caching import track_persist
+
     o = load_table(spark, sf_dir, "orders")
     counts = None
     for col in ("o_orderstatus", "o_orderpriority"):
@@ -928,6 +936,11 @@ def orders_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("c")
         ).select(F.lit(col).alias("column_name"), "val", "c")
         counts = part if counts is None else counts.unionByName(part)
+    # persisted: the value-histogram plane feeds BOTH the entropy
+    # aggregation and the modal-value filter — unpersisted, every
+    # per-column counting scan ran twice (4 scans); the cached plane
+    # is distinct-values sized
+    counts = track_persist(counts)
     wp = Window.partitionBy("column_name")
     t = counts.withColumn(
         "n", F.sum("c").over(wp).cast("long")
@@ -1177,14 +1190,21 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition only. Everything downstream (margins, total, lift)
     runs on the types×types aggregate, joined with broadcast margins.
     """
+    from declarativeml_spark.operators.caching import track_persist
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     ).where(F.col("to_type").isNotNull())
-    trans = seq.groupBy("from_type", "to_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # persisted: the transition counts (full events scan + LEAD
+    # window + shuffle) feed total/margins/join — unpersisted the
+    # chain ran 4x; the cached plane is the tiny types^2 matrix
+    trans = track_persist(
+        seq.groupBy("from_type", "to_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
     )
     tot = trans.agg(F.sum("n").cast("long").alias("total"))
     mf = trans.groupBy("from_type").agg(F.sum("n").cast("long").alias("nf"))

@@ -365,10 +365,18 @@ def lineitem_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one counting pass collapses the table to the (buckets ×
     classes) contingency plane; margins and the MI sum run there.
     """
-    cells = load_table(spark, sf_dir, "lineitem").groupBy(
-        F.expr("CAST(floor(l_quantity / 10.0) AS BIGINT)").alias("qb"),
-        F.col("l_returnflag").alias("y"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from declarativeml_spark.operators.caching import track_persist
+
+    # persisted: the contingency counts (a full lineitem scan +
+    # shuffle) feed total/margins/terms and their broadcast copies —
+    # unpersisted the counting pass ran 7x; the cached plane is the
+    # tiny buckets x classes matrix
+    cells = track_persist(
+        load_table(spark, sf_dir, "lineitem").groupBy(
+            F.expr("CAST(floor(l_quantity / 10.0) AS BIGINT)").alias("qb"),
+            F.col("l_returnflag").alias("y"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
     tot = cells.agg(F.sum("n").cast("long").alias("nt"))
     mx = cells.groupBy("qb").agg(F.sum("n").cast("long").alias("nx"))
     my = cells.groupBy("y").agg(F.sum("n").cast("long").alias("ny"))
@@ -775,9 +783,16 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the log collapses to the dense hour×type grid; LEAD
     windows within one event type on that plane.
     """
-    hourly = load_table(spark, sf_dir, "events").groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from declarativeml_spark.operators.caching import track_persist
+
+    # persisted: the hourly aggregate (a full events scan + shuffle)
+    # feeds THREE consumers (hour spine, type spine, grid join) —
+    # unpersisted it ran 3x; the cached plane is tiny (types x hours)
+    hourly = track_persist(
+        load_table(spark, sf_dir, "events").groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
     hours = hourly.select("hour").distinct()
     types = hourly.select("event_type").distinct()
     grid = (
@@ -791,15 +806,27 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         *[F.lead("n", k).over(w).alias(f"n{k}") for k in (1, 2, 3)],
     )
-    stacked = None
-    for k in (1, 2, 3):
-        part = led.where(F.col(f"n{k}").isNotNull()).select(
-            "event_type",
-            F.lit(k).cast("long").alias("lag"),
-            F.col("n").alias("x"),
-            F.col(f"n{k}").alias("y"),
-        )
-        stacked = part if stacked is None else stacked.unionByName(part)
+    # one evaluation of the window: explode the three lags per row
+    # (three unionByName legs re-ran the grid join + window 3x — the
+    # _knn_frame symmetrization pattern; groupBy below is
+    # order-insensitive and the sums are exact integers)
+    stacked = led.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col("n").alias("x"),
+                        F.col(f"n{k}").alias("y"),
+                    )
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "event_type", "p.lag", "p.x", "p.y"
+    ).where(F.col("y").isNotNull())
     m = stacked.groupBy("event_type", "lag").agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("x").cast("long").alias("sx"),
@@ -884,13 +911,21 @@ def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared key), one (label, term) counting pass, then everything
     runs on the vocab×labels plane with the corpus margins broadcast.
     """
+    from declarativeml_spark.operators.caching import track_persist
+
     d = load_table(spark, sf_dir, "documents", spread=True)
     e = load_table(spark, sf_dir, "embeddings")
     joined = d.join(e, d.doc_id == e.vec_id).select(
         "label", F.explode(F.expr(_TOKS_S)).alias("w")
     )
-    tf = joined.groupBy("label", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # persisted: the (label, term) counts (cross-modal join +
+    # tokenize explode + shuffle) feed class totals, corpus margins,
+    # the A constant, and the scoring join — unpersisted the whole
+    # chain ran 4x; the cached plane is vocab x labels
+    tf = track_persist(
+        joined.groupBy("label", "w").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
     )
     cls = tf.groupBy("label").agg(F.sum("c").cast("long").alias("tot"))
     corpus = tf.groupBy("w").agg(F.sum("c").cast("long").alias("fw"))
@@ -986,8 +1021,17 @@ def retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, offset) aggregation, then everything runs on the
     ~weeks-row curve.
     """
+    from declarativeml_spark.operators.caching import track_persist
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    f = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
+    # persisted: the per-user first-day aggregate (full events scan +
+    # shuffle) feeds BOTH the cohort-size count and the offsets join
+    # — unpersisted it ran twice; the cached plane is one row per user
+    f = track_persist(
+        ev.groupBy("user_id").agg(
+            F.min("ts").cast("date").alias("first_day")
+        )
+    )
     n0 = f.agg(F.count(F.lit(1)).cast("long").alias("n"))
     offs = (
         ev.join(f, "user_id")
@@ -1176,9 +1220,16 @@ def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one counting pass to the grid; moments per type are
     map-side-combinable integer sums.
     """
-    hourly = load_table(spark, sf_dir, "events").groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from declarativeml_spark.operators.caching import track_persist
+
+    # persisted: the hourly aggregate (full events scan + shuffle)
+    # feeds the hour spine, type spine, and grid join — unpersisted
+    # it ran 3x; the cached plane is the tiny types x hours grid
+    hourly = track_persist(
+        load_table(spark, sf_dir, "events").groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
     hours = hourly.select("hour").distinct()
     types = hourly.select("event_type").distinct()
     grid = (
@@ -1432,14 +1483,22 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one user_id shuffle for LEAD; everything after runs on
     the types² transition plane.
     """
+    from declarativeml_spark.operators.caching import track_persist
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("a"),
         F.lead("event_type").over(w).alias("b"),
     ).where(F.col("b").isNotNull())
-    trans = seq.groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # persisted: the transition counts (a full events scan + LEAD
+    # window + shuffle) feed ma/tot/hcond and their broadcast copies
+    # — unpersisted the whole chain ran 6x; the cached plane is the
+    # tiny types^2 matrix
+    trans = track_persist(
+        seq.groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
     )
     ma = trans.groupBy("a").agg(F.sum("n").cast("long").alias("na"))
     tot = trans.agg(F.sum("n").cast("long").alias("nt"))

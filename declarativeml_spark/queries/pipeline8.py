@@ -939,10 +939,18 @@ def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort); raw events appear only in the one
     map-side-combinable counting aggregation.
     """
+    from declarativeml_spark.operators.caching import track_persist
+
     ev = load_table(spark, sf_dir, "events")
-    h = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # persisted: the hourly counts (full events scan + shuffle) feed
+    # the median pass, the deviation join (twice: MAD + final) —
+    # unpersisted the counting aggregation ran 4x; the cached plane
+    # is the tiny types x hours grid
+    h = track_persist(
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
     med = h.groupBy("event_type").agg(
         F.expr("percentile(n, 0.5)").alias("med")
     )
@@ -1112,8 +1120,16 @@ def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(vec, cvec, (x, y) -> (x - y) * (x - y)),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    dist = base.join(F.broadcast(cents), "label").select(
-        "vec_id", "label", F.sqrt(F.expr(d2)).alias("d")
+    from declarativeml_spark.operators.caching import track_persist
+
+    # persisted: the distance plane (a <_NC_DIM>-dim fold per vector)
+    # feeds BOTH the p99 pass and the final outlier rollup —
+    # unpersisted the fold (and the embeddings scan under it) ran
+    # twice; the cached plane is 3 narrow columns
+    dist = track_persist(
+        base.join(F.broadcast(cents), "label").select(
+            "vec_id", "label", F.sqrt(F.expr(d2)).alias("d")
+        )
     )
     cut = dist.groupBy("label").agg(
         F.expr("percentile(d, 0.99)").alias("p99")
@@ -2433,11 +2449,17 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruct every prefix vocabulary exactly. The 10-row windows
     are calendar-bounded by construction.
     """
+    from declarativeml_spark.operators.caching import track_persist
+
     docs = load_table(spark, sf_dir, "documents", spread=True)
     mm = docs.agg(
         F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
     )
-    tok = (
+    # persisted: the (decile, token) plane feeds BOTH the per-decile
+    # token counts and the first-appearance pass — unpersisted the
+    # tokenize + explode ran twice, and unlike nb_lang_confusion
+    # neither consumer can prune (both need both columns)
+    tok = track_persist(
         docs.crossJoin(F.broadcast(mm))
         .select(
             F.expr(_HEAPS_Q).alias("decile"),

@@ -51,7 +51,12 @@ def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    c96, c97 = cohort(1996), cohort(1997)
+    from declarativeml_spark.operators.caching import track_persist
+
+    # persisted: each cohort (scan + filter + distinct shuffle) feeds
+    # two set-op legs — unpersisted both ran twice (6 orders scans);
+    # the cached planes are distinct-custkey sized
+    c96, c97 = track_persist(cohort(1996)), track_persist(cohort(1997))
     rows = [
         ("both", c96.intersect(c97)),
         ("only_1996", c96.exceptAll(c97)),
