@@ -1450,17 +1450,79 @@ def score_agreement_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderings end on doc_id), so the classic ``1 − 6Σd²/(n(n²−1))``
     closed form is exact — integer rank differences, one DECIMAL-free
     integer sum, one final IEEE expression shared across engines.
+
+    r11 FUSED scorer pass (guide §1.2/§2.4): the original form called
+    quality_margin + dsir_weights separately — TWO full corpus scans,
+    TWO tokenize passes (the dominant per-row CPU), and a doc-plane
+    shuffle join to land (margin, logw) side by side. Here ONE
+    tokenize pass computes the margin fold per document and feeds the
+    DSIR bucket explode; the margin (8 bytes) rides the exploded rows
+    and comes back out of the per-document aggregate via first() —
+    identical values (expression text shared verbatim with the
+    operators: quality_weight_of / _BKT / _DSIR_LL, so the forms
+    cannot drift; the oracle re-proves equality), one corpus pass,
+    zero joins. At 100 TB this halves the scan+tokenize work and
+    removes a full doc-plane shuffle.
     """
-    from declarativeml_spark.operators.corpus import dsir_weights
+    from declarativeml_spark.operators.caching import track_persist
     from declarativeml_spark.operators.ordered import global_cumsum
-    from declarativeml_spark.operators.textops import quality_margin
+    from declarativeml_spark.operators.textops import (
+        QUALITY_BUCKETS,
+        quality_weight_of,
+    )
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    m = quality_margin(docs.select("doc_id", "text")).select("doc_id", "margin")
-    d = dsir_weights(
-        docs, target_col="source", target_value=_DSIR_TARGET, buckets=_DSIR_B
-    ).select("doc_id", F.col("log_weight").alias("logw"))
-    j = m.join(d, "doc_id")
+    fold = (
+        f"aggregate(__toks, CAST(0.0 AS DOUBLE),"
+        f" (acc, w) -> acc + {quality_weight_of('w', QUALITY_BUCKETS)})"
+    )
+    # staged projection materializes the token array once (the
+    # quality_margin recipe: CollapseProject declines to duplicate
+    # the non-cheap split, so fold/size/explode all read one array)
+    staged = docs.select(
+        "doc_id",
+        (F.col("source") == _DSIR_TARGET).cast("long").alias("__is_t"),
+        F.expr(_TOKS_S).alias("__toks"),
+    ).select(
+        "doc_id",
+        "__is_t",
+        (F.expr(fold) / F.expr("size(__toks)")).alias("margin"),
+        "__toks",
+    )
+    # the persisted bucket plane (the dsir_weights shape) now carries
+    # margin: stats aggregate + per-doc combine both read this one
+    # materialization
+    bk = track_persist(
+        staged.select(
+            "doc_id", "__is_t", "margin", F.explode("__toks").alias("w")
+        ).select("doc_id", "__is_t", "margin", F.expr(_BKT).alias("bkt"))
+    )
+    stat_rows = (
+        bk.groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rc"),
+            F.sum("__is_t").cast("long").alias("tc"),
+        )
+        .collect()
+    )
+    rtot = sum(r["rc"] for r in stat_rows)
+    ttot = sum(r["tc"] for r in stat_rows)
+    stats = spark.createDataFrame(
+        [(r["bkt"], r["rc"], r["tc"]) for r in stat_rows],
+        "bkt int, rc long, tc long",
+    )
+    tots = spark.createDataFrame([(rtot, ttot)], "rtot long, ttot long")
+    j = (
+        bk.join(F.broadcast(stats), "bkt")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id")
+        .agg(
+            F.first("margin").alias("margin"),
+            F.sum(F.expr(_DSIR_LL).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("logw"),
+        )
+    )
     # Rank planes are one row per document; 8 range partitions keep
     # the two-phase rank's task count proportional to this small
     # plane locally (values are partitioning-independent; a 100 TB
