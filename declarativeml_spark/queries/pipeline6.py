@@ -1856,39 +1856,45 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase signal behind bundling and recommendation baselines.
 
     Scale: the pair space is Σ items_per_order² — bounded by basket
-    size (single digits), NOT corpus-quadratic, so the within-order
-    self-join is safe at any order count. One orderkey shuffle builds
-    pairs; margins join back (part-cardinality — AQE picks broadcast
-    at test scale, shuffle at real part counts); the final cut is a
-    TakeOrdered over the count-floored pair aggregate. Ties break on
-    (pa, pb) so LIMIT picks identical rows cross-engine.
+    size (single digits), NOT corpus-quadratic. r11: pairs are
+    generated MAP-SIDE from a per-order sorted item array (one
+    orderkey exchange with map-side collect_set dedup) instead of the
+    former items self-join — the same pair multiset (sorted array ⇒
+    x before y ⇔ pa < pb) for ONE exchange of the heavy plane where
+    the old shape paid three (the (ok,pk) distinct shuffle plus both
+    self-join sides re-shuffling by ok). Margins join back
+    (part-cardinality — AQE picks broadcast at test scale, shuffle at
+    real part counts); the final cut is a TakeOrdered over the
+    count-floored pair aggregate. Ties break on (pa, pb) so LIMIT
+    picks identical rows cross-engine.
     """
     from declarativeml_spark.operators.caching import track_persist
 
-    # persisted: the distinct (orderkey, partkey) plane feeds FOUR
-    # plan branches (n_orders, freq, and both self-join sides) — an
-    # unpersisted frame re-runs the scan + distinct shuffle for each
-    # (r11 plan audit: 5 parquet scans, 0 cache hits)
-    items = track_persist(
+    # persisted: the per-order item-array plane feeds THREE plan
+    # branches (n_orders, freq, pair expansion) — an unpersisted
+    # frame re-runs the scan + groupBy shuffle for each
+    g = track_persist(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    n_orders = items.agg(
-        F.count_distinct("l_orderkey").cast("long").alias("n")
+    n_orders = g.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    freq = (
+        g.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("nf"))
     )
-    freq = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("nf")
-    )
-    a = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    # within-order pairs from the sorted array: for element i, pair
+    # with every later element — basket-size-bounded, no join
+    pair_expr = (
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps)),"
+        " y -> struct(x AS pa, y AS pb))))"
     )
     pairs = (
-        a.join(b, "ok")
-        .where(F.col("pa") < F.col("pb"))
+        g.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.pa", "p.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
         .where(F.col("n_both") >= _MB_MIN_COUNT)
