@@ -138,8 +138,15 @@ def minhash_pairs(
     # spread the raw (id, text) rows and derive shingles AFTER the
     # shuffle — the shingle arrays are ~3x the text volume and should
     # never cross the wire
-    # group md5 arrays live in the persisted frame so each shingle is
-    # md5'd once per GROUP of 4 minhash tables, not once per table
+    # group md5 arrays feed the slice folds so each shingle is md5'd
+    # once per GROUP of 4 minhash tables, not once per table.
+    # r11: the n_minhash per-slice array_min FOLDS (shingle-
+    # proportional) and the band concats are computed INTO the
+    # persisted plane — the former shape persisted the raw md5
+    # arrays and re-ran all n_minhash folds on EACH side of the band
+    # self-join (2x the signature CPU; measured 1.44s of the 128-hash
+    # query's 3.6s warm wall), and cached shingle-proportional hash
+    # arrays where doc-proportional band keys suffice
     n_groups = (n_minhash + 3) // 4
     sh = (
         _shingled(
@@ -158,27 +165,30 @@ def minhash_pairs(
                 for g in range(n_groups)
             ],
         )
+        .select(
+            "doc_id",
+            "shingles",
+            *[
+                F.expr(T.minhash_slice_spark(f"mhg{k // 4}", k % 4)).alias(f"mh{k}")
+                for k in range(n_minhash)
+            ],
+        )
+        .select(
+            "doc_id",
+            "shingles",
+            *[
+                F.concat(
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias(f"bk{b}")
+                for b in range(bands)
+            ],
+        )
         .transform(track_persist)
     )
-    sigs = sh.select(
-        "doc_id",
-        "shingles",
-        *[
-            F.expr(T.minhash_slice_spark(f"mhg{k // 4}", k % 4)).alias(f"mh{k}")
-            for k in range(n_minhash)
-        ],
-    )
-    bands_df = sigs.select(
+    bands_df = sh.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.concat(
-                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[F.col(f"bk{b}") for b in range(bands)])
         ).alias("band_idx", "band_key"),
     )
     a, b = bands_df.alias("a"), bands_df.alias("b")
