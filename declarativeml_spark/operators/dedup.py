@@ -325,17 +325,27 @@ def ngram_jaccard_pairs(
                 for g in range(n_groups)
             ],
         )
+        # r11: the per-slice array_min folds (shingle-proportional)
+        # are computed INTO the persisted plane — the former shape
+        # cached the raw md5 arrays and re-ran every fold on EACH
+        # side of the band self-join (the minhash_pairs fix, applied
+        # to the single-hash-bucket gate identically)
+        .select(
+            "doc_id",
+            "shingles",
+            *[
+                F.expr(T.minhash_slice_spark(f"mhg{k // 4}", k % 4)).alias(
+                    f"mh{k}"
+                )
+                for k in range(n_minhash)
+            ],
+        )
         .transform(track_persist)
     )
     sigs = sh.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.expr(T.minhash_slice_spark(f"mhg{k // 4}", k % 4))
-                    for k in range(n_minhash)
-                ]
-            )
+            F.array(*[F.col(f"mh{k}") for k in range(n_minhash)])
         ).alias("band_idx", "band_key"),
     )
     a, b = sigs.alias("a"), sigs.alias("b")
@@ -1621,17 +1631,25 @@ def ngram_containment_pairs(
                 for g in range(n_groups)
             ],
         )
+        # r11: slice folds computed INTO the persisted plane (the
+        # minhash_pairs fix — the former shape re-ran every
+        # shingle-proportional fold on each band-join side)
+        .select(
+            "doc_id",
+            "shingles",
+            *[
+                F.expr(T.minhash_slice_spark(f"mhg{k // 4}", k % 4)).alias(
+                    f"mh{k}"
+                )
+                for k in range(n_minhash)
+            ],
+        )
         .transform(track_persist)
     )
     sigs = sh.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.expr(T.minhash_slice_spark(f"mhg{k // 4}", k % 4))
-                    for k in range(n_minhash)
-                ]
-            )
+            F.array(*[F.col(f"mh{k}") for k in range(n_minhash)])
         ).alias("band_idx", "band_key"),
     )
     a, b = sigs.alias("a"), sigs.alias("b")
