@@ -706,16 +706,26 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "p.w1", "p.w2")
     )
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    # persisted: c12 feeds the dimension join twice (directly and via
+    # the c1 roll-up) — vocab²-bounded rows, not corpus rows
+    c12 = track_persist(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    # r11: c1(w1) = Σ_w2 c12(w1, w2) — derived from the vocab²-sized
+    # count table and pre-joined into one (w1, w2, c12, c1) dimension,
+    # so the OCCURRENCE plane is aggregated and joined ONCE (at
+    # broadcast scale a wash — measured; past it, one sort-merge
+    # shuffle of the big plane instead of two)
+    cdim = c12.join(
+        c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1")), ["w1"]
+    )
     v = float(
         docs.select(F.explode("toks").alias("t"))
         .agg(F.count_distinct("t"))
         .collect()[0][0]
     )
     scored = (
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, ["w1"])
+        bg.join(cdim, ["w1", "w2"])
         .withColumn("v", F.lit(v))
         .groupBy("doc_id")
         .agg(
@@ -1649,16 +1659,22 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "p.w1", "p.w2")
     )
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    c12 = track_persist(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    # r11: same one-join shape as text_bigram_logprob — c1 derives
+    # from the persisted vocab²-sized c12 table, the occurrence plane
+    # is aggregated and joined once
+    cdim = c12.join(
+        c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1")), ["w1"]
+    )
     v = float(
         docs.select(F.explode("toks").alias("t"))
         .agg(F.count_distinct("t"))
         .collect()[0][0]
     )
     src = track_persist(
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, ["w1"])
+        bg.join(cdim, ["w1", "w2"])
         .withColumn("v", F.lit(v))
         .groupBy("source")
         .agg(
