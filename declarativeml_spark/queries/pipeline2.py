@@ -269,7 +269,14 @@ def _bm25_scored(docs: DataFrame) -> DataFrame:
     definition of the stats/tf/score plan shared by text_bm25_topk
     and hybrid_search_rrf (two verbatim copies had to be edited in
     lock-step). Broadcast one stats row; scoring is a per-row map."""
-    base = docs.select("doc_id", F.expr(_TOKS_S).alias("toks"))
+    from declarativeml_spark.operators.caching import track_persist
+
+    # persisted: base feeds BOTH the corpus-stats aggregate and the
+    # per-row scoring map — unpersisted, each re-ran scan + tokenize
+    # (r11; the text_bigram_logprob shape)
+    base = docs.select("doc_id", F.expr(_TOKS_S).alias("toks")).transform(
+        track_persist
+    )
     stats = base.agg(
         F.count("*").cast("double").alias("n_docs"),
         (

@@ -1163,9 +1163,12 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered on the scored bigram table; ties break on the pair
     text. ln() is the shared cross-engine IEEE op.
     """
+    # persisted: the tokenized plane feeds BOTH the unigram and the
+    # bigram explode — unpersisted, each re-ran the scan + tokenize
+    # (r11; the text_bigram_logprob shape)
     docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", F.expr(_TOKS_S).alias("toks")
-    )
+    ).transform(track_persist)
     uni = (
         docs.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
