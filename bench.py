@@ -210,14 +210,25 @@ def main() -> int:
             "NEW in r10 — the deployment-width plane, priced up"
             " front: 16x the 8-hash plane's hashing (32 salted-md5"
             " passes/shingle vs 2) makes the corpus-proportional CPU"
-            " real, so unlike the overhead-dominated 8-hash query its"
-            " SCALING_CURVE leg is alpha 0.82 (approaching linear,"
-            " as data-proportional work should; quadratic would be"
-            " ~2). sf0.1: 15.5s cold / 4.0-4.7s warm in-session;"
-            " candidate volume stays banding-gated (255 pairs =="
-            " the calibration's ~256 expected), so the verify join"
-            " never sees the quadratic space — the executed shape is"
-            " the deliverable, per the r9 ask"
+            " real. r11 (second session): the 128 per-slice array_min"
+            " FOLDS and band concats now compute INTO the persisted"
+            " plane (the former shape cached raw md5 arrays and re-ran"
+            " every fold on EACH band-join side) — stash-swap A/B"
+            " median 3.85->2.74s warm, rows identical; candidate"
+            " volume stays banding-gated (255 pairs == the"
+            " calibration's ~256 expected), so the verify join never"
+            " sees the quadratic space"
+        ),
+        "_r11b_session": (
+            "second r11 session: spearman scorer fusion (two corpus"
+            " passes + doc-plane join -> one pass; A/B 3.82->3.36 and"
+            " 3.70->2.83s), part_pair_affinity map-side pair expansion"
+            " (items self-join -> sorted-array transform, 3 exchanges"
+            " -> 1), minhash/ngram band-key materialization (above),"
+            " bigram c1-from-c12 one-join shape and tokenize-plane"
+            " persists (local wash, documented scale shapes). Every"
+            " change oracle-verified at sf0.01+sf0.001 and"
+            " determinism-stable at sf0.1 before commit"
         ),
         "nb_lang_confusion": (
             "r10 adjudication (the one r9 mover isolation did not"
