@@ -302,7 +302,12 @@ def main() -> int:
             " (self-join over persisted buckets is storage-pressure"
             " sensitive), the 1.57 full-bench sample sits at the"
             " low end of the isolated band; host drift, no code"
-            " cause"
+            " cause. r11 (third session): the 36 projection folds"
+            " now materialize INTO the persisted plane (the minhash"
+            " band-key recipe) instead of re-running once per"
+            " self-join side — interleaved stash-swap A/B warm"
+            " medians 2.29->1.85s here, -11..-13% across the other"
+            " four LSH-family queries, rows identical"
         ),
         "nation_price_trend": (
             "r8 bench 0.72s flagged vs r7 0.42s (1.70x) on a module"

@@ -475,13 +475,19 @@ def embedding_pairs(
         )
         .withColumn("nrm", F.expr(_NORM.format(a="vec")))
         .filter(F.col("nrm") > 0)  # no cosine direction; ANSI div-by-0
+        # the 36 projection folds compute INTO the persisted plane so
+        # both sides of the bucket self-join read materialized keys
+        # (the minhash band-key materialization recipe) instead of
+        # re-running every fold once per side; the cache grows by 6
+        # short strings per row against the 64-double vector
+        .withColumn("bkeys", F.array(*key_cols))
         .transform(track_persist)
     )
     keyed = base.select(
         "vec_id",
         "vec",
         "nrm",
-        F.posexplode(F.array(*key_cols)).alias("tbl", "bkey"),
+        F.posexplode("bkeys").alias("tbl", "bkey"),
     )
     a = keyed.select(
         F.col("vec_id").alias("id_a"),
@@ -903,13 +909,18 @@ def lsh_keyed_index(
         )
         # persisted for the downstream uses (bucket keying on both
         # join sides); released by Spark's LRU — callers running many
-        # statements per session can spark.catalog.clearCache()
+        # statements per session can spark.catalog.clearCache().
+        # The 36 projection folds compute INTO the persisted plane
+        # (the minhash band-key materialization recipe): both
+        # self-join sides read materialized keys instead of
+        # re-running every fold once per side
+        .withColumn("bkeys", F.array(*key_cols))
         .transform(track_persist)
     )
     return base.select(
         "vec_id",
         "vec",
-        F.posexplode(F.array(*key_cols)).alias("tbl", "bkey"),
+        F.posexplode("bkeys").alias("tbl", "bkey"),
     )
 
 
