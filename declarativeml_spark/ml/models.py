@@ -52,6 +52,36 @@ def _install_fast_params_writer() -> None:
                 metadata_json = original_get(
                     instance, spark, extraMetadata, paramMap
                 )
+            except Exception:
+                original_save(
+                    instance, path, sc,
+                    extraMetadata=extraMetadata, paramMap=paramMap,
+                )
+                return
+            # Local filesystem: skip the Spark job entirely and write
+            # the same layout (metadata/part-00000 + _SUCCESS, one
+            # UTF-8 JSON line) with plain file I/O — the one-task job
+            # below still costs a full job-launch floor (~0.2 s) per
+            # Python stage purely to emit one line of text.
+            # DefaultParamsReader.loadMetadata reads it back via
+            # textFile(dir), which needs only the part file.
+            local = path if "://" not in path else (
+                path[len("file://"):] if path.startswith("file://") else None
+            )
+            if local is not None:
+                try:
+                    mdir = os.path.join(local, "metadata")
+                    os.makedirs(mdir, exist_ok=True)
+                    tmp = os.path.join(mdir, "part-00000.tmp")
+                    with open(tmp, "w", encoding="utf-8") as mf:
+                        mf.write(metadata_json + "\n")
+                    os.replace(tmp, os.path.join(mdir, "part-00000"))
+                    with open(os.path.join(mdir, "_SUCCESS"), "w"):
+                        pass
+                    return
+                except OSError:
+                    pass  # unwritable locally: fall through to Spark
+            try:
                 # parallelize raises before any output exists, so the
                 # fallback never collides with partial metadata files
                 rdd = spark.sparkContext.parallelize([(metadata_json,)], 1)
@@ -77,6 +107,29 @@ if TYPE_CHECKING:
     from declarativeml_spark.ml.training import TrainedModel
 
 DEFAULT_MODEL_DIR = os.environ.get("DML_MODEL_DIR", "/tmp/dml_models")
+
+# In-session PipelineModel handle cache, keyed by the version dir the
+# artifacts live in. PREDICT immediately after TRAIN (the DSL chain's
+# common shape) otherwise pays a full PipelineModel.load — several
+# driver-side Spark jobs (per-stage metadata text reads + params
+# parquet scans) — for the very object this process just built and
+# saved. The disk artifact is still written on every save and remains
+# the source of truth for any other process (cold-start serving is
+# unchanged); this only skips re-reading bytes this session wrote or
+# already read. Version resolution (latest / rolled-back checks) and
+# the artifact-exists check stay on disk, so rollbacks and deleted
+# artifacts behave exactly as before. Entries are O(model params);
+# FIFO-capped.
+_PIPELINE_CACHE: dict[str, PipelineModel] = {}
+_PIPELINE_CACHE_CAP = 8
+
+
+def _pipeline_cache_put(path: str, model: PipelineModel) -> None:
+    key = os.path.abspath(path)
+    _PIPELINE_CACHE.pop(key, None)
+    while len(_PIPELINE_CACHE) >= _PIPELINE_CACHE_CAP:
+        _PIPELINE_CACHE.pop(next(iter(_PIPELINE_CACHE)))
+    _PIPELINE_CACHE[key] = model
 
 
 def _default_base() -> str:
@@ -221,6 +274,7 @@ def registry_save(
     # mutate the caller's handle only once version+record BOTH exist
     trained.version = version
     trained.path = path
+    _pipeline_cache_put(path, trained.pipeline_model)
     return path
 
 
@@ -325,7 +379,12 @@ def registry_load(
             f" under {base} — known versions:"
             f" {sorted(version_statuses(name, base)) or 'none'}"
         )
-    return PipelineModel.load(path)
+    cached = _PIPELINE_CACHE.get(os.path.abspath(path))
+    if cached is not None:
+        return cached
+    model = PipelineModel.load(path)
+    _pipeline_cache_put(path, model)
+    return model
 
 
 def registry_meta(

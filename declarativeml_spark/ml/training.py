@@ -631,7 +631,13 @@ def _compute_metrics(
     monitor's drift path) share that single pass instead of paying a
     second full scoring run.
     """
-    pred = (scored if scored is not None else model.transform(eval_df)).cache()
+    pred = scored if scored is not None else model.transform(eval_df)
+    # regression is a single fused aggregate (below) — caching would
+    # only force a full-width materialization (features vector
+    # included) that the one column-pruned agg pass never needs
+    multi_pass = spec.kind != "regression"
+    if multi_pass:
+        pred = pred.cache()
     try:
         out: dict[str, float] = {}
         if spec.kind == "classification":
@@ -662,9 +668,35 @@ def _compute_metrics(
                     " labels NULL after the cast?)"
                 ) from last_err
         elif spec.kind == "regression":
-            for key, mname in _REGRESSION_METRICS.items():
-                ev = RegressionEvaluator(labelCol=label_col, metricName=mname)
-                out[key] = float(ev.evaluate(pred))
+            # ONE aggregate job instead of four RegressionEvaluator
+            # passes (each .evaluate() is its own Spark job over the
+            # same cached predictions). Formulas are MLlib
+            # RegressionMetrics' own: SSerr = Σ(y−ŷ)², mae = Σ|y−ŷ|/n,
+            # SStot = sample-variance(y)·(n−1) (var_samp matches the
+            # online summarizer's numerically-stable merge), r2 = 1 −
+            # SSerr/SStot. No declared query's hash depends on these
+            # values — they feed the registry record and STOP WHEN.
+            err = F.col("prediction") - F.col(label_col)
+            row = pred.agg(
+                F.count(label_col).alias("n"),
+                F.sum(err * err).alias("sse"),
+                F.sum(F.abs(err)).alias("sae"),
+                F.var_samp(F.col(label_col)).alias("vy"),
+            ).collect()[0]
+            n = float(row["n"] or 0)
+            if n > 0:
+                sse = float(row["sse"])
+                sstot = (
+                    float(row["vy"]) * (n - 1.0)
+                    if row["vy"] is not None
+                    else 0.0
+                )
+                out["mse"] = sse / n
+                out["rmse"] = out["mse"] ** 0.5
+                out["mae"] = float(row["sae"]) / n
+                out["r2"] = (
+                    1.0 - sse / sstot if sstot != 0.0 else float("nan")
+                )
         else:
             try:
                 out["silhouette"] = float(ClusteringEvaluator().evaluate(pred))
@@ -672,4 +704,5 @@ def _compute_metrics(
                 pass
         return out
     finally:
-        pred.unpersist()
+        if multi_pass:
+            pred.unpersist()

@@ -1062,13 +1062,20 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_min"))
         )
-        # localCheckpoint (eager) BOTH materializes the round and
-        # truncates plan lineage to a leaf RDD scan — without it each
-        # round's plan embeds every prior round's, and Catalyst
-        # re-analyzes a tree that doubles per round (the r3 audit
-        # measured 9,580 Exchange nodes in the final plan). Values are
-        # unchanged, so the oracle hash is preserved; blocks are tiny
-        # (id, long) pairs released by the context cleaner.
+        # localCheckpoint BOTH materializes the round and truncates
+        # plan lineage to a leaf RDD scan — without it each round's
+        # plan embeds every prior round's, and Catalyst re-analyzes a
+        # tree that doubles per round (the r3 audit measured 9,580
+        # Exchange nodes in the final plan). Values are unchanged, so
+        # the oracle hash is preserved; blocks are tiny (id, long)
+        # pairs released by the context cleaner.
+        # r12: LAZY checkpoint — the `changed` count below is this
+        # round's first action, so the checkpoint blocks materialize
+        # inside THAT job (local checkpointing piggybacks on the first
+        # computation) instead of paying a separate eager job first:
+        # one job per round, not two (guide §1.2). The count still
+        # runs on the checkpointed frame, so every block exists before
+        # the previous generation is released.
         new_lbl = (
             lbl.join(nbr_min, lbl["id"] == nbr_min["src"], "left")
             .select(
@@ -1078,7 +1085,7 @@ def connected_components(
                     "lbl"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_lbl.filter(F.col("lbl") != F.col("old_lbl")).count()
         # round 1's frame is a plain persist; later rounds are local

@@ -545,7 +545,7 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     prev = None
-    for _ in range(_PR_ITERS):
+    for _it in range(_PR_ITERS):
         contrib = (
             enorm.join(ranks, enorm.src == ranks.node)
             .select(
@@ -570,10 +570,19 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unchanged; the rank frontier is (nation, double)-sized.
         # unpersist() can't free checkpoint blocks, so release each
         # superseded generation explicitly once the next one exists.
-        ranks = ranks.localCheckpoint(eager=True)
-        if prev is not None:
-            release_checkpoint(prev)
-        prev = ranks
+        # r12: checkpoint every SECOND iteration instead of every one
+        # (guide §1.2 — each eager checkpoint is a full job-launch
+        # floor on a 25-row frontier; a fixed-iteration loop computes
+        # identical values wherever the plan is cut), and never on the
+        # final iteration — the caller's action materializes that one.
+        # At most one unrolled iteration (join+agg over the PERSISTED
+        # enorm/nodes planes) rides each job, so plan growth stays
+        # bounded at any _PR_ITERS.
+        if (_it + 1) % 2 == 0 and (_it + 1) < _PR_ITERS:
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev is not None:
+                release_checkpoint(prev)
+            prev = ranks
     return ranks.select(
         F.col("node").alias("nation"),
         F.expr(T.stable_round("rank", 10)).alias("pagerank"),

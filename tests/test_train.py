@@ -502,3 +502,34 @@ def test_tree_param_aliases_map_to_real_estimator_params(spark):
     assert gbt.getStepSize() == 0.05
     rf = REGISTRY["random_forest"].build({"n_estimators": 30})
     assert rf.getNumTrees() == 30
+
+
+def test_registry_load_serves_in_session_handle(spark, engine):
+    """PREDICT-after-TRAIN must not re-read the artifact it just
+    wrote: registry_save caches the in-memory PipelineModel handle by
+    version dir and registry_load returns it (same object identity).
+    Disk resolution still governs: a version the cache never saw
+    loads from its artifacts and predicts identically."""
+    from declarativeml_spark.ml import models as M
+
+    trained = engine.execute(
+        "TRAIN MODEL cache_probe USING logistic_regression(max_iter=5) "
+        "FROM orders_labeled PREDICT expensive WITH FEATURES(o_totalprice)"
+    )
+    got = M.registry_load(spark, "cache_probe", base=engine.model_dir)
+    assert got is trained.pipeline_model  # served from the handle cache
+
+    # evict, then load cold from disk: same predictions as the handle
+    M._PIPELINE_CACHE.clear()
+    cold = M.registry_load(spark, "cache_probe", base=engine.model_dir)
+    assert cold is not trained.pipeline_model
+    src = spark.table("orders_labeled")
+    a = engine.execute(
+        "PREDICT USING MODEL cache_probe FROM orders_labeled"
+    ).select("o_orderkey", "prediction").collect()
+    b = cold.transform(
+        __import__(
+            "declarativeml_spark.plans.builder", fromlist=["build_features"]
+        ).build_features(src, trained.features).df
+    ).select("o_orderkey", "prediction").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
