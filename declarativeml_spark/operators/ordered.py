@@ -369,6 +369,91 @@ def ntile_assign(
     return df.withColumn(out_col, bucket.cast("int"))
 
 
+def global_rank_multi(
+    df: DataFrame,
+    metrics: List[Tuple[str, str, str]],
+    tie: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact global 1-based ranks of the same frame under SEVERAL
+    orderings — ``metrics`` is ``[(metric_col, 'asc'|'desc',
+    out_col), ...]``, each ordered by ``(metric, tie)`` — from ONE
+    range exchange and ONE per-(partition, tag) totals job (the
+    :func:`ntile_assign_multi` tagged-union shape, with full ranks
+    out instead of bucket boundaries). Calling :func:`global_cumsum`
+    per ordering pays a boundary-sampling pass, a range exchange and
+    a totals collect EACH; here every ordering rides one frozen
+    range partitioning of an exploded ``(tag, signed_value, tie)``
+    plane, and the ranks pivot back to one row per input row with a
+    single hash aggregation (no rank-plane self-join).
+
+    Returns ``(tie, out_col_0, out_col_1, ...)`` — one row per input
+    row. Contract: the metric columns are non-null numerics exactly
+    representable as doubles (|value| <= 2^53) and ``(metric, tie)``
+    is unique per row, the same discipline as every other ranker
+    here (ranks are ROW_NUMBER, so tied composites would be
+    order-dependent); ``tie`` is non-null and unique. ``desc`` is an
+    exact sign flip. Driver state: one row per (partition, tag).
+    """
+    if not metrics:
+        raise ValueError("global_rank_multi: metrics must be non-empty")
+    for _m, d, _out in metrics:
+        _check_dir(d)
+
+    def signed(m: str, d: str) -> Column:
+        sv = F.col(m).cast("double")
+        return -sv if d == "desc" else sv
+
+    # ONE pass over df builds every leg: posexplode over the metric
+    # array (2 short rows out per input row per 2 metrics) instead of
+    # a self-union that would execute df's plan once per ordering.
+    src = df.select(
+        F.col(tie).alias("__tie"),
+        F.posexplode(
+            F.array(*[signed(m, d) for m, d, _out in metrics])
+        ).alias("__tag", "__sv"),
+    ).persist()
+    order = [F.col("__tag").asc(), F.col("__sv").asc(), F.col("__tie").asc()]
+    # persist + lazy checkpoint: the sampler job materializes src once
+    # and the totals job freezes the shuffle — the same soundness
+    # argument as _ranged_frozen/ntile_assign_multi
+    ranged = (
+        src.repartitionByRange(max(2, num_partitions), *order)
+        .withColumn(_PART, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = (
+        ranged.groupBy(_PART, "__tag")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    src.unpersist()  # the collect materialized the checkpoint
+    per_tag: dict = {}
+    for r in totals:
+        per_tag.setdefault(r["__tag"], {})[r[_PART]] = r["__n"]
+    rows = []
+    for tag, by_pid in per_tag.items():
+        acc = 0
+        for pid in sorted(by_pid):
+            rows.append((pid, tag, acc))
+            acc += by_pid[pid]
+    offsets = df.sparkSession.createDataFrame(
+        rows, f"{_PART} int, __tag int, __off long"
+    )
+    w = Window.partitionBy(_PART, "__tag").orderBy(
+        F.col("__sv").asc(), F.col("__tie").asc()
+    )
+    ranked = ranged.join(F.broadcast(offsets), [_PART, "__tag"]).withColumn(
+        "__rk", F.col("__off") + F.row_number().over(w)
+    )
+    return ranked.groupBy(F.col("__tie").alias(tie)).agg(
+        *[
+            F.max(F.when(F.col("__tag") == i, F.col("__rk"))).alias(out)
+            for i, (_m, _d, out) in enumerate(metrics)
+        ]
+    )
+
+
 def ntile_assign_multi(
     df: DataFrame,
     metrics: List[Tuple[str, str, str]],

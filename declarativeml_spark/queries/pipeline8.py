@@ -1475,7 +1475,7 @@ def score_agreement_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     removes a full doc-plane shuffle.
     """
     from declarativeml_spark.operators.caching import track_persist
-    from declarativeml_spark.operators.ordered import global_cumsum
+    from declarativeml_spark.operators.ordered import global_rank_multi
     from declarativeml_spark.operators.textops import (
         QUALITY_BUCKETS,
         quality_weight_of,
@@ -1533,26 +1533,24 @@ def score_agreement_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("logw"),
         )
     )
-    # Rank planes are one row per document; 8 range partitions keep
+    # Rank planes are one row per document; 16 range partitions keep
     # the two-phase rank's task count proportional to this small
     # plane locally (values are partitioning-independent; a 100 TB
     # caller passes a real partition count).
-    rq = global_cumsum(
-        j.withColumn("__one", F.lit(1)),
-        [F.col("margin").asc(), F.col("doc_id").asc()],
-        "__one",
-        out_col="__c1",
-        rank_col="rq",
-        num_partitions=8,
-    ).select("doc_id", "logw", "rq")
-    both = global_cumsum(
-        rq.withColumn("__one", F.lit(1)),
-        [F.col("logw").asc(), F.col("doc_id").asc()],
-        "__one",
-        out_col="__c2",
-        rank_col="rw",
-        num_partitions=8,
-    ).select("doc_id", "rq", "rw")
+    # r12 (guide §1.2/§2.4): BOTH ranks from one tagged-union pass —
+    # the former two chained global_cumsum calls each paid a boundary
+    # sampler, a range exchange and a totals collect over the same
+    # doc plane; global_rank_multi folds that to one of each and
+    # pivots the ranks back without a rank-plane self-join. Rank
+    # values are identical: ROW_NUMBER over (margin, doc_id) and
+    # (logw, doc_id), exactly the orderings the oracle's ranks CTE
+    # declares.
+    both = global_rank_multi(
+        j,
+        [("margin", "asc", "rq"), ("logw", "asc", "rw")],
+        "doc_id",
+        num_partitions=16,
+    )
     # DECIMAL accumulator: sum(d^2) grows ~ n^3/6 and overflows int64
     # near n = 3M docs (ANSI abort); DuckDB's HUGEINT sum never does —
     # the decimal sum is exact like both and scale-safe

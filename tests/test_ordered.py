@@ -258,3 +258,51 @@ def test_ntile_direction_validation(spark):
         ntile_assign_multi(df, [("v", "Descending", "b")], "id", 2)
     with pytest.raises(ValueError, match="non-empty"):
         ntile_assign_multi(df, [], "id", 2)
+
+
+def test_global_rank_multi_matches_window_reference(spark):
+    """Both orderings' exact ranks from the one-exchange tagged-union
+    shape must equal the single-partition ROW_NUMBER reference,
+    including a desc metric (sign-flip realization) and a metric with
+    ties broken by the tie column."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from declarativeml_spark.operators.ordered import global_rank_multi
+
+    rng = random.Random(42)
+    rows = [
+        (i, rng.uniform(-5, 5), float(rng.randint(0, 3)))
+        for i in range(1, 201)
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {
+        r["id"]: (r["rx"], r["ry"])
+        for r in global_rank_multi(
+            df,
+            [("x", "asc", "rx"), ("y", "desc", "ry")],
+            "id",
+            num_partitions=7,
+        ).collect()
+    }
+    ref = df.withColumn(
+        "rx", F.row_number().over(Window.orderBy(F.col("x").asc(), F.col("id").asc()))
+    ).withColumn(
+        "ry", F.row_number().over(Window.orderBy(F.col("y").desc(), F.col("id").asc()))
+    )
+    expect = {r["id"]: (r["rx"], r["ry"]) for r in ref.collect()}
+    assert out == expect
+
+
+def test_global_rank_multi_validation(spark):
+    import pytest as _pytest
+
+    from declarativeml_spark.operators.ordered import global_rank_multi
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    with _pytest.raises(ValueError, match="non-empty"):
+        global_rank_multi(df, [], "id", 2)
+    with _pytest.raises(ValueError, match="asc.*desc|desc.*asc"):
+        global_rank_multi(df, [("v", "DESC", "r")], "id", 2)
