@@ -408,17 +408,13 @@ def events_minute_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 minute"))).alias("minute")
     )
-    from declarativeml_spark.operators.caching import track_persist
-
-    # persisted: the dense minute grid feeds the day-last pass, the
-    # day spine, and the final fill join — unpersisted, each consumer
-    # re-ran the spine generation AND the per-minute aggregation
-    # (full events scan) underneath it (3x); the cached plane is
-    # calendar-bounded (one row per minute)
-    g = track_persist(
-        spine.join(per_min, "minute", "left").withColumn(
-            "day", F.to_date("minute")
-        )
+    # NOT persisted (r12 revert of the r11 persist): the dense minute
+    # grid's consumers are identical subtrees whose exchanges
+    # ReuseExchange dedupes at execution — the sf1 A/B measured the
+    # persist ~1.9x slower (on 0.81 s / off 0.44 s median), sf0.1 a
+    # wash
+    g = spine.join(per_min, "minute", "left").withColumn(
+        "day", F.to_date("minute")
     )
 
     w_day = (

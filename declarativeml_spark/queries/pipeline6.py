@@ -537,13 +537,12 @@ def events_hourly_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one map-side-combinable aggregation; the pair join and the
     corr math run entirely on that aggregate plane.
     """
-    from declarativeml_spark.operators.caching import track_persist
-
-    # persisted: the hourly aggregate (full events scan + shuffle)
-    # feeds the hour spine, type spine, and grid join — unpersisted
-    # it ran 3x (and the grid self-join sides re-derived it again);
-    # the cached plane is tiny (hours x types)
-    hourly = track_persist(
+    # NOT persisted (r12 revert of the r11 persist): the hourly
+    # aggregate feeds the hour spine, type spine and grid join, but
+    # its consumers are identical subtrees that ReuseExchange dedupes
+    # at execution — the sf1 A/B measured the persist 2x slower
+    # (on 2.32 s / off 1.20 s median), sf0.1 a wash
+    hourly = (
         load_table(spark, sf_dir, "events")
         .groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
@@ -1868,12 +1867,14 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-floored pair aggregate. Ties break on (pa, pb) so LIMIT
     picks identical rows cross-engine.
     """
-    from declarativeml_spark.operators.caching import track_persist
-
-    # persisted: the per-order item-array plane feeds THREE plan
-    # branches (n_orders, freq, pair expansion) — an unpersisted
-    # frame re-runs the scan + groupBy shuffle for each
-    g = track_persist(
+    # NOT persisted (r12 revert of the r11 persist): the three
+    # consumers sit above the IDENTICAL groupBy(l_orderkey) exchange,
+    # which ReuseExchange/AQE stage reuse executes once at runtime —
+    # the sf1 A/B measured the persist consistently ~15-25% slower
+    # (on 3.6-6.8 s laps vs off 3.0-4.8 s), and caching the
+    # order-proportional basket-array plane is exactly the memory
+    # pressure guide §5 warns against
+    g = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")

@@ -365,13 +365,12 @@ def lineitem_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one counting pass collapses the table to the (buckets ×
     classes) contingency plane; margins and the MI sum run there.
     """
-    from declarativeml_spark.operators.caching import track_persist
-
-    # persisted: the contingency counts (a full lineitem scan +
-    # shuffle) feed total/margins/terms and their broadcast copies —
-    # unpersisted the counting pass ran 7x; the cached plane is the
-    # tiny buckets x classes matrix
-    cells = track_persist(
+    # NOT persisted (r12 revert of the r11 persist): the contingency
+    # counts' consumers are identical subtrees whose shuffle
+    # ReuseExchange-dedupes at execution — the sf1 A/B measured the
+    # persist ~1.3x slower (on 1.00 s / off 0.75 s median), sf0.1 a
+    # wash
+    cells = (
         load_table(spark, sf_dir, "lineitem").groupBy(
             F.expr("CAST(floor(l_quantity / 10.0) AS BIGINT)").alias("qb"),
             F.col("l_returnflag").alias("y"),
@@ -911,21 +910,18 @@ def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared key), one (label, term) counting pass, then everything
     runs on the vocab×labels plane with the corpus margins broadcast.
     """
-    from declarativeml_spark.operators.caching import track_persist
-
     d = load_table(spark, sf_dir, "documents", spread=True)
     e = load_table(spark, sf_dir, "embeddings")
     joined = d.join(e, d.doc_id == e.vec_id).select(
         "label", F.explode(F.expr(_TOKS_S)).alias("w")
     )
-    # persisted: the (label, term) counts (cross-modal join +
-    # tokenize explode + shuffle) feed class totals, corpus margins,
-    # the A constant, and the scoring join — unpersisted the whole
-    # chain ran 4x; the cached plane is vocab x labels
-    tf = track_persist(
-        joined.groupBy("label", "w").agg(
-            F.count(F.lit(1)).cast("long").alias("c")
-        )
+    # NOT persisted (r12 revert of the r11 persist): the (label,
+    # term) count consumers are identical subtrees whose shuffle
+    # ReuseExchange-dedupes at execution — the sf1 A/B measured the
+    # persist ~1.3x slower (on 1.52 s / off 1.21 s median), sf0.1 a
+    # wash
+    tf = joined.groupBy("label", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
     cls = tf.groupBy("label").agg(F.sum("c").cast("long").alias("tot"))
     corpus = tf.groupBy("w").agg(F.sum("c").cast("long").alias("fw"))
@@ -1220,12 +1216,12 @@ def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one counting pass to the grid; moments per type are
     map-side-combinable integer sums.
     """
-    from declarativeml_spark.operators.caching import track_persist
-
-    # persisted: the hourly aggregate (full events scan + shuffle)
-    # feeds the hour spine, type spine, and grid join — unpersisted
-    # it ran 3x; the cached plane is the tiny types x hours grid
-    hourly = track_persist(
+    # NOT persisted (r12 revert of the r11 persist): the hourly
+    # aggregate's consumers are identical subtrees whose shuffle
+    # ReuseExchange-dedupes at execution — the sf1 A/B measured the
+    # persist ~1.6x slower (on 1.09 s / off 0.67 s median), sf0.1 a
+    # wash
+    hourly = (
         load_table(spark, sf_dir, "events").groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
         ).agg(F.count(F.lit(1)).cast("long").alias("n"))

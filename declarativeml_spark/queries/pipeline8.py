@@ -1130,16 +1130,16 @@ def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(vec, cvec, (x, y) -> (x - y) * (x - y)),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    from declarativeml_spark.operators.caching import track_persist
-
-    # persisted: the distance plane (a <_NC_DIM>-dim fold per vector)
-    # feeds BOTH the p99 pass and the final outlier rollup —
-    # unpersisted the fold (and the embeddings scan under it) ran
-    # twice; the cached plane is 3 narrow columns
-    dist = track_persist(
-        base.join(F.broadcast(cents), "label").select(
-            "vec_id", "label", F.sqrt(F.expr(d2)).alias("d")
-        )
+    # NOT persisted (r12 revert of the r11 persist): the distance
+    # plane feeds both the p99 pass and the final rollup, but the
+    # sf1 A/B measured the persist 3x SLOWER (on 3.0 s / off 0.92 s,
+    # consistent across interleaved laps — eager materialization of
+    # the interpreted zip_with fold costs more than letting both
+    # consumers evaluate it inside their fused aggregate stages, and
+    # the centroid broadcast is ReuseExchange-deduped either way);
+    # sf0.1 was already an honest wash in r11
+    dist = base.join(F.broadcast(cents), "label").select(
+        "vec_id", "label", F.sqrt(F.expr(d2)).alias("d")
     )
     cut = dist.groupBy("label").agg(
         F.expr("percentile(d, 0.99)").alias("p99")

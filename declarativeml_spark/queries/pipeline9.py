@@ -152,14 +152,15 @@ def corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp_s = T.FINGERPRINT_SPARK.format(text="text")
     toks_s = f"size({T.TOKENS_SPARK.format(text='text')})"
-    from declarativeml_spark.operators.caching import track_persist
-
     docs = load_table(spark, sf_dir, "documents")
-    # persisted: the slim (fp, n_toks, split) plane feeds BOTH the
-    # per-split rollup and the leakage audit — unpersisted, the md5
-    # fingerprint + tokenize of every document ran twice (r11 plan
-    # audit: 2 naked scans)
-    d = track_persist(
+    # NOT persisted (r12 revert of the r11 persist): the sf1 A/B
+    # measured the persist ~1.7x slower (on 1.28 s / off 0.76 s,
+    # consistent across laps) — eagerly materializing the
+    # doc-proportional fingerprint plane costs more than letting each
+    # consumer evaluate the md5/tokenize inline in its own fused
+    # aggregate stage (and the leak branch prunes n_toks, skipping
+    # the tokenize entirely); sf0.1 was a wash
+    d = (
         docs.select(
             F.expr(fp_s).alias("fp"),
             F.expr(toks_s).cast("long").alias("n_toks"),

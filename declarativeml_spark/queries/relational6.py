@@ -66,20 +66,18 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned, never self-joined.
     Gaps are exact integer microseconds before one decimal average.
     """
-    from declarativeml_spark.operators.caching import track_persist
-
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    # persisted: each stage frame is a tiny user-cardinality
-    # aggregate reused by the NEXT stage's join and by the final
-    # union rollup — unpersisted, s ran 3x and v 2x (6 events scans;
-    # with the persists only the three pushdown-filtered stage scans
-    # remain)
-    s = track_persist(
+    # NOT persisted (r12 revert of the r11 persists on s and v): the
+    # repeated stage-frame subtrees are identical and their exchanges
+    # ReuseExchange-dedupe at execution — the sf1 A/B measured the
+    # persists ~1.3x slower (on 2.67 s / off 1.99 s median), sf0.1 a
+    # wash
+    s = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("s_ts"))
     )
-    v = track_persist(
+    v = (
         ev.filter(F.col("event_type") == "view")
         .join(s, "user_id")
         .filter(F.col("ts") > F.col("s_ts"))
