@@ -720,8 +720,15 @@ class Engine:
             n_rows = corpus.count()  # materialize the snapshot NOW
             frames = {"corpus": corpus, "cents": cents}
         else:  # lsh (options validated by _create_index)
+            # persist_base=False: this caller persists (or stores) the
+            # exploded keyed frame itself — the operator's internal
+            # vector-plane cache would be a second copy of every
+            # vector (r11 advice #2)
             keyed = caching.track_persist(
-                D.lsh_keyed_index(df, id_col=id_col, vec_col=vec_col, **p)
+                D.lsh_keyed_index(
+                    df, id_col=id_col, vec_col=vec_col,
+                    persist_base=False, **p,
+                )
             )
             # materializes the persisted snapshot AND reports VECTORS
             # (keyed is one row per vector × hash table; indexed_rows

@@ -475,11 +475,13 @@ def embedding_pairs(
         )
         .withColumn("nrm", F.expr(_NORM.format(a="vec")))
         .filter(F.col("nrm") > 0)  # no cosine direction; ANSI div-by-0
-        # the 36 projection folds compute INTO the persisted plane so
-        # both sides of the bucket self-join read materialized keys
-        # (the minhash band-key materialization recipe) instead of
-        # re-running every fold once per side; the cache grows by 6
-        # short strings per row against the 64-double vector
+        # the projection folds (num_hash_tables x projs_per_table of
+        # them) compute INTO the persisted plane so both sides of the
+        # bucket self-join read materialized keys (the minhash
+        # band-key materialization recipe) instead of re-running
+        # every fold once per side; the cache grows by
+        # num_hash_tables short strings per row against the
+        # dim-double vector
         .withColumn("bkeys", F.array(*key_cols))
         .transform(track_persist)
     )
@@ -873,11 +875,19 @@ def lsh_keyed_index(
     projs_per_table: int = 6,
     seed: int = 42,
     dim: int | None = None,
+    persist_base: bool = True,
 ) -> DataFrame:
     """Build stage of the native LSH: the banded bucket table
     (vec_id, vec, tbl, bkey) — one row per (vector, hash table).
     Split out so CREATE INDEX can materialize it once and serve
-    repeat searches (engine.py::_create_index)."""
+    repeat searches (engine.py::_create_index).
+
+    ``persist_base=False`` skips the internal persist of the
+    pre-explode vector plane — pass it when the CALLER persists (or
+    stores) the returned exploded frame itself, as CREATE INDEX does:
+    both self-join sides of the search then read the caller's one
+    materialization, and the inner cache would only hold a second
+    copy of every vector (the r11 advice's double-cache)."""
     if dim is None:
         probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if probe is None or probe["d"] is None or probe["d"] < 0:
@@ -910,12 +920,14 @@ def lsh_keyed_index(
         # persisted for the downstream uses (bucket keying on both
         # join sides); released by Spark's LRU — callers running many
         # statements per session can spark.catalog.clearCache().
-        # The 36 projection folds compute INTO the persisted plane
-        # (the minhash band-key materialization recipe): both
-        # self-join sides read materialized keys instead of
-        # re-running every fold once per side
+        # The projection folds (num_hash_tables x projs_per_table)
+        # compute INTO the persisted plane (the minhash band-key
+        # materialization recipe): both self-join sides read
+        # materialized keys instead of re-running every fold once per
+        # side. Skipped when the caller persists the exploded frame
+        # itself (persist_base=False).
         .withColumn("bkeys", F.array(*key_cols))
-        .transform(track_persist)
+        .transform(track_persist if persist_base else (lambda d: d))
     )
     return base.select(
         "vec_id",

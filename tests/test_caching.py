@@ -57,3 +57,25 @@ def test_iterative_loops_do_not_accumulate_generations(spark):
         (i, 1) for i in range(1, 8)
     }
     assert _n_stored_rdds(spark) <= base + 1
+
+
+def test_lsh_keyed_index_persist_base_flag(spark, smoke_dir):
+    from declarativeml_spark.operators import caching
+    from declarativeml_spark.operators.dedup import lsh_keyed_index
+
+    emb = spark.read.parquet(f"{smoke_dir}/embeddings.parquet")
+    base = _n_stored_rdds(spark)
+
+    with caching.capture() as scope:
+        keyed = lsh_keyed_index(emb, persist_base=False)
+        keyed.count()
+        # no internal persist: nothing entered the scope or storage
+        assert len(scope) == 0
+    assert _n_stored_rdds(spark) == base
+
+    with caching.capture() as scope:
+        keyed = lsh_keyed_index(emb)  # default keeps the inner persist
+        keyed.count()
+        assert len(scope) == 1
+    caching.release_all(scope)
+    assert _n_stored_rdds(spark) == base
