@@ -60,22 +60,27 @@ def test_iterative_loops_do_not_accumulate_generations(spark):
 
 
 def test_lsh_keyed_index_persist_base_flag(spark, smoke_dir):
+    """persist_base=False must create NO tracked persist (CREATE
+    INDEX persists the exploded frame itself — the inner cache would
+    double-hold every vector); the default keeps exactly one. Scope
+    membership is the contract — global storage counts are avoided
+    here because the shared session's context cleaner releases other
+    tests' blocks asynchronously."""
+    from pyspark import StorageLevel
+
     from declarativeml_spark.operators import caching
     from declarativeml_spark.operators.dedup import lsh_keyed_index
 
     emb = spark.read.parquet(f"{smoke_dir}/embeddings.parquet")
-    base = _n_stored_rdds(spark)
 
     with caching.capture() as scope:
         keyed = lsh_keyed_index(emb, persist_base=False)
         keyed.count()
-        # no internal persist: nothing entered the scope or storage
-        assert len(scope) == 0
-    assert _n_stored_rdds(spark) == base
+        assert len(scope) == 0  # no internal persist entered the scope
 
     with caching.capture() as scope:
         keyed = lsh_keyed_index(emb)  # default keeps the inner persist
         keyed.count()
         assert len(scope) == 1
+        assert scope[0].storageLevel != StorageLevel.NONE
     caching.release_all(scope)
-    assert _n_stored_rdds(spark) == base
