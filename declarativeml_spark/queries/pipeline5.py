@@ -773,10 +773,13 @@ def source_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("bkt"),
     )
-    sc = (
-        b.groupBy("source", "bkt")
-        .agg(F.count("*").cast("bigint").alias("c"))
-        .transform(track_persist)
+    # NOT persisted (r12 revert): every consumer of the (source, bkt)
+    # count grid sits above the IDENTICAL groupBy exchange, which
+    # ReuseExchange/AQE stage reuse executes once per action — the
+    # sf1 A/B measured the persist ~27% slower (on 0.48 s / off
+    # 0.37 s median); sf0.1 a wash
+    sc = b.groupBy("source", "bkt").agg(
+        F.count("*").cast("bigint").alias("c")
     )
     st = sc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
     gc = sc.groupBy("bkt").agg(F.sum("c").cast("bigint").alias("g"))
